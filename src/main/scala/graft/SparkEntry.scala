@@ -13,16 +13,42 @@ object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    ParityQueries.q1Agg(spark, "/root/testdata/sf0.001")
+    ParityQueries.q3AsOfChange(spark, "/root/testdata/sf0.001")
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_agg" -> (ParityQueries.q1Agg _),
+    "q1_agg"             -> (ParityQueries.q1Agg _),
+    "q2_latest_per_key"  -> (ParityQueries.q2LatestPerKey _),
+    "q3_asof_change"     -> (ParityQueries.q3AsOfChange _),
+    "q4_daily_ohlc"      -> (ParityQueries.q4DailyOhlc _),
+    "q5_sparkline"       -> (ParityQueries.q5Sparkline _),
+    "q6_search_filter"   -> (ParityQueries.q6SearchFilter _),
+    "q7_null_ordering"   -> (ParityQueries.q7NullOrdering _),
+    "q8_topk"            -> (ParityQueries.q8TopK _),
+    "q9_upsert_events"   -> (ParityQueries.q9UpsertEvents _),
+    "q10_upsert_preserve" -> (ParityQueries.q10UpsertPreserve _),
+    "q11_revenue"        -> (ParityQueries.q11Revenue _),
+    "q12_hourly"         -> (ParityQueries.q12Hourly _),
+    "q13_wordcount"      -> (ParityQueries.q13Wordcount _),
+    "q14_json_extract"   -> (ParityQueries.q14JsonExtract _),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB
     * on the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] = Map(
-    "q1_agg" -> ParityQueries.q1AggSql,
+    "q1_agg"             -> ParityQueries.q1AggSql,
+    "q2_latest_per_key"  -> ParityQueries.q2LatestPerKeySql,
+    "q3_asof_change"     -> ParityQueries.q3AsOfChangeSql,
+    "q4_daily_ohlc"      -> ParityQueries.q4DailyOhlcSql,
+    "q5_sparkline"       -> ParityQueries.q5SparklineSql,
+    "q6_search_filter"   -> ParityQueries.q6SearchFilterSql,
+    "q7_null_ordering"   -> ParityQueries.q7NullOrderingSql,
+    "q8_topk"            -> ParityQueries.q8TopKSql,
+    "q9_upsert_events"   -> ParityQueries.q9UpsertEventsSql,
+    "q10_upsert_preserve" -> ParityQueries.q10UpsertPreserveSql,
+    "q11_revenue"        -> ParityQueries.q11RevenueSql,
+    "q12_hourly"         -> ParityQueries.q12HourlySql,
+    "q13_wordcount"      -> ParityQueries.q13WordcountSql,
+    "q14_json_extract"   -> ParityQueries.q14JsonExtractSql,
   )
 }

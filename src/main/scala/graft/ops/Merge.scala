@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Last-write-wins merge — the reference's signature write semantics
+  * (`src/db.py:73-117`: INSERT … ON CONFLICT DO UPDATE on the PK).
+  *
+  * Contract reproduced exactly (SURVEY.md §2.9/§7.4):
+  *   - incoming beats existing on key collision;
+  *   - within one incoming batch, the LAST row in batch order wins
+  *     (psycopg2 `executemany` applies rows sequentially);
+  *   - per-table column carry-over: some columns are preserved from
+  *     the existing row when present (e.g. `assets.first_seen_at`,
+  *     `src/db.py:77-81` never updates it);
+  *   - idempotent: merge(merge(s, b), b) == merge(s, b).
+  *
+  * Scale posture: the merge itself is one shuffle on the key. For a
+  * 100 TB partitioned table the caller should restrict `existing` to
+  * the partitions the batch touches (dynamic partition overwrite /
+  * replaceWhere-style) — see [[MergeWriter.mergeIntoPartitioned]] —
+  * so a daily batch rewrites only the trailing date partitions, never
+  * full history.
+  */
+object Merge {
+
+  /** Dedup one batch by `keys`, keeping the row with the highest
+    * `batchOrder` (intra-batch last-write-wins, `executemany` order). */
+  def dedupKeepLast(batch: DataFrame, keys: Seq[String], batchOrder: Column): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(batchOrder.desc)
+    batch.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Merge `incoming` into `existing` by `keys`, incoming wins;
+    * `preserveExisting` columns keep the existing row's value when one
+    * exists (coalesce existing over incoming). Column sets must match.
+    */
+  def upsert(existing: DataFrame, incoming: DataFrame, keys: Seq[String],
+             preserveExisting: Seq[String] = Nil): DataFrame = {
+    val cols = existing.columns.toSeq
+    require(incoming.columns.toSeq.sorted == cols.sorted,
+      s"schema mismatch: ${incoming.columns.mkString(",")} vs ${cols.mkString(",")}")
+
+    val tagged = incoming.select(cols.map(col): _*).withColumn("__prec", lit(1))
+      .unionByName(existing.select(cols.map(col): _*).withColumn("__prec", lit(0)))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__prec").desc)
+
+    // Carry preserved columns from the existing row across the whole
+    // key group (existing has unique keys, so max of the existing-side
+    // value is that row's value), then keep the winning (incoming) row.
+    val wKey = Window.partitionBy(keys.map(col): _*)
+    val withPreserved = preserveExisting.foldLeft(tagged) { (df, c) =>
+      df.withColumn(c,
+        coalesce(max(when(col("__prec") === 0, col(c))).over(wKey), col(c)))
+    }
+    withPreserved
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__prec")
+  }
+}
+
+/** Partition-pruned merge writer: the 100 TB-safe form of U1-U3. */
+object MergeWriter {
+
+  /** Merge `incoming` into the parquet table at `path`, partitioned by
+    * `partitionCol` (a date-ish column). Only the partitions present
+    * in `incoming` are read and rewritten — the Spark analog of the
+    * reference's "re-upsert the trailing 24 h window" incrementality
+    * (`src/etl.py:35`, SURVEY.md §2.10) without touching history.
+    */
+  def mergeIntoPartitioned(spark: SparkSession, path: String, incoming: DataFrame,
+                           keys: Seq[String], partitionCol: String,
+                           preserveExisting: Seq[String] = Nil): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val exists = fs.exists(new org.apache.hadoop.fs.Path(path))
+
+    if (!exists) {
+      incoming.write.mode(SaveMode.Overwrite)
+        .partitionBy(partitionCol).parquet(path)
+      return
+    }
+    // Affected-partition pruning: tiny, bounded collect (distinct
+    // partition values of one batch — e.g. 1-2 dates/day), used to
+    // prune the existing-side scan to the touched partitions.
+    val parts = incoming.select(partitionCol).distinct()
+      .collect().map(_.get(0)).toSeq
+    val existing = spark.read.parquet(path)
+      .filter(col(partitionCol).isin(parts: _*))
+    val merged = Merge.upsert(existing, incoming, keys, preserveExisting)
+
+    // Spark refuses to overwrite a path it is reading from, so stage
+    // the merged slice first (it is only the affected partitions —
+    // bounded by the batch window, not table history), then rewrite
+    // those partitions with dynamic partition overwrite.
+    val staging = path.stripSuffix("/") + "__staging"
+    merged.write.mode(SaveMode.Overwrite).parquet(staging)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    spark.read.parquet(staging).write
+      .mode(SaveMode.Overwrite)
+      .partitionBy(partitionCol)
+      .parquet(path)
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+  }
+}

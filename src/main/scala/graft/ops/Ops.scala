@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core relational primitives the reference implements across its three
+  * compute layers (SQL views, Python ETL, pandas dashboard) — re-expressed
+  * as composable Spark operators.
+  *
+  * Scale posture (100 TB): every operator here is a single declarative
+  * plan — one shuffle for the window/agg on the key columns, no
+  * driver-side collects, no UDFs. Latest-per-key and as-of are window
+  * based rather than the reference's self-join form (`views.sql:4-6`),
+  * which halves the shuffles: the self-join shape shuffles the fact
+  * table twice (once for the agg, once for the join) while the window
+  * form shuffles it once by key.
+  */
+object Ops {
+
+  /** Greatest-row-per-group (reference J1, `views.sql:4-6`): the latest
+    * row per `keys` ordered by `orderBy` (pass ts plus a unique
+    * tie-breaker for determinism).
+    *
+    * One hash-partition shuffle on `keys`; at 1000 executors this is
+    * the minimal movement for this semantic. Skewed keys are handled by
+    * AQE (spark.sql.adaptive.enabled) since row_number windows
+    * partition strictly by key; for pathological single-key skew use
+    * [[latestPerKeyAgg]] which does partial aggregation map-side.
+    */
+  def latestPerKey(df: DataFrame, keys: Seq[String], orderBy: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderBy.map(_.desc): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Aggregation form of latest-per-key: `max_by(struct(payload), ord)`.
+    * Unlike the window form this gets a map-side partial aggregate
+    * (each task reduces its partition to one row per key before the
+    * shuffle), so it wins when keys are few and rows are many —
+    * exactly the reference's shape (10 assets × unbounded history).
+    * `ord` must be unique per key for deterministic results.
+    */
+  def latestPerKeyAgg(df: DataFrame, keys: Seq[String], ord: Column, payload: Seq[String]): DataFrame = {
+    val packed = struct(payload.map(col): _*)
+    df.groupBy(keys.map(col): _*)
+      .agg(max_by(packed, ord).as("__row"))
+      .select(keys.map(col) ++ payload.map(c => col(s"__row.$c").as(c)): _*)
+  }
+
+  /** As-of (backward) lookup (reference J3, `views.sql:12-21`): per key,
+    * the latest row with `tsCol <= cutoff`. The reference implements
+    * this as CTE + self-join; here it is filter + latest-per-key, so
+    * the cutoff predicate is pushed into the parquet scan (row-group
+    * pruning on ts min/max stats) before any shuffle.
+    */
+  def asOfAtOrBefore(df: DataFrame, keys: Seq[String], tsCol: Column,
+                     cutoff: Column, tieBreak: Seq[Column] = Nil): DataFrame =
+    latestPerKey(df.filter(tsCol <= cutoff), keys, tsCol +: tieBreak)
+
+  /** Daily OHLC rollup (reference A2, `src/etl.py:40-54`): per key per
+    * day: open = value at min ts, high/low = max/min value,
+    * close = value at max ts. `tieBreak` disambiguates equal
+    * timestamps (the reference relies on array order; Spark needs an
+    * explicit total order for determinism).
+    *
+    * Single hash aggregate with map-side combine — min_by/max_by are
+    * built-in Catalyst aggregates, so this stays in whole-stage
+    * codegen and shuffles only (key, day) partial states, not rows.
+    */
+  def ohlc(df: DataFrame, keys: Seq[String], dayCol: Column, tsCol: Column,
+           valueCol: Column, tieBreak: Column): DataFrame = {
+    val ord = struct(tsCol, tieBreak)
+    df.groupBy((keys.map(col) :+ dayCol.as("date")): _*)
+      .agg(
+        min_by(valueCol, ord).as("open"),
+        max(valueCol).as("high"),
+        min(valueCol).as("low"),
+        max_by(valueCol, ord).as("close"),
+        count(lit(1)).as("n_points"))
+  }
+}

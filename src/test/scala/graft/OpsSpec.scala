@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Merge, MergeWriter, Ops}
+
+object SparkTestSession {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+}
+
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("latestPerKey picks the greatest row per key with tie-break") {
+    val df = Seq(
+      ("a", ts("2024-01-01 00:00:00"), 1L, 10.0),
+      ("a", ts("2024-01-02 00:00:00"), 2L, 20.0),
+      ("a", ts("2024-01-02 00:00:00"), 3L, 30.0), // ts tie → id 3 wins
+      ("b", ts("2024-01-01 00:00:00"), 4L, 40.0)
+    ).toDF("k", "ts", "id", "v")
+    val got = Ops.latestPerKey(df, Seq("k"), Seq(col("ts"), col("id")))
+      .select("k", "v").as[(String, Double)].collect().toMap
+    assert(got == Map("a" -> 30.0, "b" -> 40.0))
+  }
+
+  test("latestPerKeyAgg agrees with window form") {
+    val df = Seq(
+      ("a", ts("2024-01-01 00:00:00"), 1L, 10.0),
+      ("a", ts("2024-01-03 00:00:00"), 2L, 20.0),
+      ("b", ts("2024-01-02 00:00:00"), 3L, 30.0)
+    ).toDF("k", "ts", "id", "v")
+    val a = Ops.latestPerKeyAgg(df, Seq("k"), struct(col("ts"), col("id")),
+      Seq("ts", "id", "v")).select("k", "v").as[(String, Double)].collect().toSet
+    val b = Ops.latestPerKey(df, Seq("k"), Seq(col("ts"), col("id")))
+      .select("k", "v").as[(String, Double)].collect().toSet
+    assert(a == b)
+  }
+
+  test("asOfAtOrBefore takes the latest row at-or-before the cutoff, inclusive") {
+    val df = Seq(
+      ("a", ts("2024-01-01 00:00:00"), 1L, 10.0),
+      ("a", ts("2024-01-02 00:00:00"), 2L, 20.0), // == cutoff → kept
+      ("a", ts("2024-01-03 00:00:00"), 3L, 30.0), // after cutoff
+      ("b", ts("2024-01-05 00:00:00"), 4L, 40.0)  // key entirely after
+    ).toDF("k", "ts", "id", "v")
+    val got = Ops.asOfAtOrBefore(df, Seq("k"), col("ts"),
+        lit("2024-01-02 00:00:00").cast("timestamp"), Seq(col("id")))
+      .select("k", "v").as[(String, Double)].collect().toMap
+    assert(got == Map("a" -> 20.0)) // b absent: left-join callers keep it as null
+  }
+
+  test("ohlc invariants: low <= open,close <= high; open/close by time order") {
+    val df = Seq(
+      ("a", ts("2024-01-01 01:00:00"), 1L, 15.0),
+      ("a", ts("2024-01-01 02:00:00"), 2L, 5.0),
+      ("a", ts("2024-01-01 03:00:00"), 3L, 25.0),
+      ("a", ts("2024-01-01 04:00:00"), 4L, 18.0),
+      ("a", ts("2024-01-02 01:00:00"), 5L, 7.0)
+    ).toDF("k", "ts", "id", "v")
+    val rows = Ops.ohlc(df, Seq("k"), date_trunc("day", col("ts")), col("ts"),
+        col("v"), col("id"))
+      .orderBy("date")
+      .select("open", "high", "low", "close", "n_points")
+      .as[(Double, Double, Double, Double, Long)].collect()
+    assert(rows(0) == ((15.0, 25.0, 5.0, 18.0, 4L)))
+    assert(rows(1) == ((7.0, 7.0, 7.0, 7.0, 1L)))
+    rows.foreach { case (o, h, l, c, _) =>
+      assert(l <= o && o <= h && l <= c && c <= h)
+    }
+  }
+
+  test("empty input produces no OHLC rows (P7: empty series emits nothing)") {
+    val df = Seq.empty[(String, java.sql.Timestamp, Long, Double)]
+      .toDF("k", "ts", "id", "v")
+    assert(Ops.ohlc(df, Seq("k"), date_trunc("day", col("ts")), col("ts"),
+      col("v"), col("id")).count() == 0)
+  }
+}
+
+class MergeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val existing = Seq(
+    (1L, "a", 100.0),
+    (2L, "b", 200.0),
+    (3L, "c", 300.0)
+  ).toDF("id", "name", "bal")
+
+  test("upsert: incoming wins on key collision, new keys inserted") {
+    val incoming = Seq((2L, "B2", 999.0), (4L, "d", 400.0)).toDF("id", "name", "bal")
+    val got = Merge.upsert(existing, incoming, Seq("id"))
+      .orderBy("id").as[(Long, String, Double)].collect().toSeq
+    assert(got == Seq((1L, "a", 100.0), (2L, "B2", 999.0), (3L, "c", 300.0), (4L, "d", 400.0)))
+  }
+
+  test("upsert preserves designated columns from existing (first_seen_at contract)") {
+    val incoming = Seq(
+      (2L, "B2", Option.empty[Double]),   // existing bal must survive
+      (4L, "d", Option(400.0))            // new key: incoming bal kept
+    ).toDF("id", "name", "bal")
+    val got = Merge.upsert(existing, incoming, Seq("id"), preserveExisting = Seq("bal"))
+      .orderBy("id").as[(Long, String, Option[Double])].collect().toSeq
+    assert(got == Seq((1L, "a", Some(100.0)), (2L, "B2", Some(200.0)),
+      (3L, "c", Some(300.0)), (4L, "d", Some(400.0))))
+  }
+
+  test("upsert is idempotent: applying the same batch twice equals once") {
+    val incoming = Seq((2L, "B2", 999.0), (4L, "d", 400.0)).toDF("id", "name", "bal")
+    val once = Merge.upsert(existing, incoming, Seq("id"))
+    val twice = Merge.upsert(once, incoming, Seq("id"))
+    assert(once.orderBy("id").collect().toSeq == twice.orderBy("id").collect().toSeq)
+  }
+
+  test("dedupKeepLast: later batch-order row wins within one batch (executemany order)") {
+    val batch = Seq((1L, "x", 0L), (1L, "y", 1L), (2L, "z", 2L))
+      .toDF("id", "name", "ord")
+    val got = Merge.dedupKeepLast(batch, Seq("id"), col("ord"))
+      .orderBy("id").select("id", "name").as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "y"), (2L, "z")))
+  }
+
+  test("mergeIntoPartitioned rewrites only affected partitions and is idempotent") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-merge").toString
+    val path = s"$dir/t"
+    val day1 = ts("2024-01-01")
+    val day2 = ts("2024-01-02")
+    val base = Seq((1L, day1, 10.0), (2L, day1, 20.0), (3L, day2, 30.0))
+      .toDF("id", "day", "v")
+    MergeWriter.mergeIntoPartitioned(spark, path, base, Seq("id"), "day")
+    // batch touches only day2
+    val batch = Seq((3L, day2, 99.0), (4L, day2, 40.0)).toDF("id", "day", "v")
+    MergeWriter.mergeIntoPartitioned(spark, path, batch, Seq("id"), "day")
+    MergeWriter.mergeIntoPartitioned(spark, path, batch, Seq("id"), "day") // idempotent
+    val got = spark.read.parquet(path).orderBy("id")
+      .select("id", "v").as[(Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 10.0), (2L, 20.0), (3L, 99.0), (4L, 40.0)))
+  }
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+}
