@@ -11,9 +11,11 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 object SparkEntry {
   import graft.queries._
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship on /root/testdata/sf0.001 (driver smoke-checks rows>0):
+    * the full reference pipeline — payload reshape → align → three
+    * upserts → combined dashboard overview — in one plan. */
   def entry(spark: SparkSession): DataFrame =
-    ParityQueries.q3AsOfChange(spark, "/root/testdata/sf0.001")
+    etl.Flagship.run(spark, "/root/testdata/sf0.001")
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -1,0 +1,117 @@
+package graft.etl
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.ops.{Merge, Ops}
+
+/** The reference's write path (`src/etl.py` / `src/backfill.py`),
+  * re-expressed as one DataFrame DAG per run (SURVEY.md §3.1):
+  *
+  *   markets → assets-upsert;  chart → align → prices-upsert;
+  *   aligned → OHLC fold → daily-upsert.
+  *
+  * All three merges follow the reference's PK last-write-wins contract
+  * (`src/db.py:73-117`); runs are idempotent under re-execution with
+  * overlapping windows (the reference's overlap-and-upsert
+  * incrementality, §2.10).
+  *
+  * `runTs` parameterizes the wall clock. The "daily" row is stamped
+  * with the Asia/Kolkata calendar date of the run — reproduced
+  * exactly from `src/etl.py:15,47` (SURVEY.md §7.6.1); pass
+  * `istDate = false` to use the candle-derived UTC date instead (the
+  * documented deviation mode).
+  */
+object Incremental {
+
+  /** OHLC + last-seen market_cap/volume fold over one run's aligned
+    * candle rows (`src/etl.py:40-54`): open/close by ts order,
+    * high/low extrema, mc/vol from the latest point that has one
+    * (`max(mc_map.keys())` ≈ max_by with null-skip). The whole fold is
+    * one hash aggregate with map-side combine.
+    */
+  def dailyFold(aligned: DataFrame, dateCol: Column, insertedAt: Column): DataFrame =
+    aligned
+      .groupBy(col("asset_id"))
+      .agg(
+        min_by(col("price"), col("ts")).as("open"),
+        max(col("price")).as("high"),
+        min(col("price")).as("low"),
+        max_by(col("price"), col("ts")).as("close"),
+        max_by(col("volume"), when(col("volume").isNotNull, col("ts"))).as("volume"),
+        max_by(col("market_cap"), when(col("market_cap").isNotNull, col("ts"))).as("market_cap"))
+      .select(
+        col("asset_id"), dateCol.as("date"),
+        col("open"), col("high"), col("low"), col("close"),
+        col("volume"), col("market_cap"),
+        insertedAt.as("inserted_at"))
+
+  /** IST run-date (`src/etl.py:15,47`): the Asia/Kolkata calendar date
+    * at run time — NOT the candle's own date. */
+  def istRunDate(runTs: Column): Column =
+    to_date(from_utc_timestamp(runTs, "Asia/Kolkata"))
+
+  /** One incremental run (`python -m src.etl` equivalent).
+    *
+    * @param markets  coins_markets payload (id, symbol, name)
+    * @param chart    market_chart payloads (coin_id + 3 parallel arrays)
+    * @param assets   existing assets table (may be empty)
+    * @param prices   existing prices table (may be empty)
+    * @param daily    existing daily_metrics table (may be empty)
+    * @param runTs    the run's wall-clock instant (replaces now())
+    * @return (assets', prices', daily_metrics') merged states
+    */
+  def run(markets: DataFrame, chart: DataFrame,
+          assets: DataFrame, prices: DataFrame, daily: DataFrame,
+          runTs: Timestamp, istDate: Boolean = true): (DataFrame, DataFrame, DataFrame) = {
+    val runTsCol = lit(runTs)
+
+    // U1: assets upsert — symbol/name update, first_seen_at preserved
+    // from the first insert (src/db.py:77-81; default now(), schema.sql:8).
+    val incomingAssets = markets.select(
+      col("id").as("asset_id"), col("symbol"), col("name"),
+      runTsCol.as("first_seen_at"))
+    val assetsMerged = Merge.upsert(assets, incomingAssets,
+      Seq("asset_id"), preserveExisting = Seq("first_seen_at"))
+
+    // J6/F6: align the three parallel series into candle rows.
+    val aligned = ChartAlign.align(chart, insertedAt = runTsCol)
+
+    // U2: prices upsert on (asset_id, ts).
+    val pricesMerged = Merge.upsert(prices, aligned, Seq("asset_id", "ts"))
+
+    // A2/F7: daily OHLC stamped with the configured run-date semantics
+    // (IST run-date for exact parity; candle-derived UTC date as the
+    // documented deviation mode).
+    val incomingDaily =
+      if (istDate) dailyFold(aligned, istRunDate(runTsCol), runTsCol)
+      else aligned.groupBy(col("asset_id"), to_date(col("ts")).as("date"))
+        .agg(
+          min_by(col("price"), col("ts")).as("open"),
+          max(col("price")).as("high"),
+          min(col("price")).as("low"),
+          max_by(col("price"), col("ts")).as("close"),
+          max_by(col("volume"), when(col("volume").isNotNull, col("ts"))).as("volume"),
+          max_by(col("market_cap"), when(col("market_cap").isNotNull, col("ts"))).as("market_cap"))
+        .withColumn("inserted_at", runTsCol)
+        .select("asset_id", "date", "open", "high", "low", "close",
+          "volume", "market_cap", "inserted_at")
+
+    // U3: daily_metrics upsert on (asset_id, date).
+    val dailyMerged = Merge.upsert(daily, incomingDaily, Seq("asset_id", "date"))
+
+    (assetsMerged, pricesMerged, dailyMerged)
+  }
+
+  /** Backfill (`src/backfill.py`): bulk-hydrate `prices` only — same
+    * align + upsert, no daily fold (§3.3). Trivially parallel over
+    * (coin, window): the chart DataFrame may hold any number of
+    * payload rows. */
+  def backfill(chart: DataFrame, prices: DataFrame, runTs: Timestamp): DataFrame = {
+    val aligned = ChartAlign.align(chart, insertedAt = lit(runTs))
+    Merge.upsert(prices, aligned, Seq("asset_id", "ts"))
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamingIngest
+
+case class Tick(asset_id: String, ts: Timestamp, price: Double,
+                market_cap: Option[Double], volume: Option[Double])
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("streamed hourly candles + merge sink equal the batch result; late data absorbed") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val sink = s"$dir/candles"
+
+    val input = MemoryStream[Tick]
+    val query = StreamingIngest.hourlyCandles(input.toDF())
+      .writeStream
+      .outputMode(OutputMode.Update)
+      .foreachBatch(StreamingIngest.candleMergeSink(sink))
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+
+    val batch1 = Seq(
+      Tick("btc", ts("2024-01-01 01:05:00"), 100.0, Some(1000.0), Some(10.0)),
+      Tick("btc", ts("2024-01-01 01:45:00"), 110.0, Some(1100.0), Some(11.0)),
+      Tick("btc", ts("2024-01-01 02:05:00"), 105.0, None, Some(10.5)))
+    input.addData(batch1: _*)
+    query.processAllAvailable()
+
+    // late tick for the 01:00 window, within watermark → window re-emitted,
+    // merge overwrites the stale candle (overlap-and-upsert semantics)
+    val late = Tick("btc", ts("2024-01-01 01:55:00"), 90.0, Some(900.0), Some(9.0))
+    input.addData(late)
+    query.processAllAvailable()
+    query.stop()
+
+    val streamed = spark.read.parquet(sink)
+      .select("asset_id", "ts", "open", "high", "low", "close", "n_ticks")
+      .orderBy("ts")
+
+    val batchResult = StreamingIngest.hourlyCandles((batch1 :+ late).toDF())
+      .select("asset_id", "ts", "open", "high", "low", "close", "n_ticks")
+      .orderBy("ts")
+
+    assert(streamed.collect().toSeq == batchResult.collect().toSeq)
+    // the late tick is reflected: 01:00 window low=90, close=90 (ts 01:55), 3 ticks
+    val h1 = streamed.filter(col("ts") === ts("2024-01-01 01:00:00"))
+      .select("low", "close", "n_ticks").as[(Double, Double, Long)].head()
+    assert(h1 == ((90.0, 90.0, 3L)))
+  }
+}
