@@ -31,12 +31,12 @@ object Tables {
     * to microseconds. Integer `div` is required — double division
     * loses precision above 2^53 and 2024 epoch-nanos is ~1.7e18.
     * DuckDB (the oracle) truncates ns→µs the same way on CAST.
+    * The required `nanosAsLong` conf is set by `GraftSession.builder`
+    * (session-level config belongs on the builder, not inside a reader).
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(spark: SparkSession, dir: String): DataFrame =
     load(spark, dir, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 }

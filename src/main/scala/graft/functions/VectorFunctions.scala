@@ -1,13 +1,12 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.{Column, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Vector similarity primitives over `array<float>` embedding columns
   * (the `embeddings` testdata table; SURVEY.md §7.5).
@@ -28,7 +27,6 @@ case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
-  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType), ArrayType(FloatType))
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     (left.dataType, right.dataType) match {
@@ -82,12 +80,35 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Session-extension hook registering graft's native expressions via the
+  * public `SparkSessionExtensions.injectFunction` API (Column↔Expression
+  * conversion is `private[sql]` in Spark 4.1, so a registered-function
+  * call is the supported way to reach a custom codegen Expression).
+  * Installed by `GraftSession.builder` (`withExtensions`); also usable
+  * via `spark.sql.extensions=graft.functions.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier(VectorFunctions.CosineName),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, VectorFunctions.CosineName),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, s"${VectorFunctions.CosineName}(a, b) takes exactly 2 arguments")
+        CosineSimilarity(args.head, args(1))
+      }))
+  }
+}
+
 object VectorFunctions {
 
-  /** Codegen'd cosine similarity between two `array<float>` columns. */
+  val CosineName = "graft_cosine"
+
+  /** Codegen'd cosine similarity between two `array<float>` columns.
+    * Requires a session built with [[GraftExtensions]] (see
+    * `GraftSession`); resolves through the function registry, which is
+    * the public path to a custom Expression in Spark 4. */
   def cosine(a: Column, b: Column): Column =
-    ExpressionUtils.column(CosineSimilarity(
-      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+    call_function(CosineName, a, b)
 
   /** Same semantics via built-in higher-order functions only (zip_with
     * + aggregate) — the cross-check reference for [[cosine]]. */
