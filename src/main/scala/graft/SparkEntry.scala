@@ -33,6 +33,18 @@ object SparkEntry {
     "q12_hourly"         -> (ParityQueries.q12Hourly _),
     "q13_wordcount"      -> (ParityQueries.q13Wordcount _),
     "q14_json_extract"   -> (ParityQueries.q14JsonExtract _),
+    "q15_cosine_topk"    -> (ExtQueries.q15CosineTopK _),
+    "q16_lsh_recall"     -> (ExtQueries.q16LshRecall _),
+    "q17_exact_dedup"    -> (ExtQueries.q17ExactDedup _),
+    "q18_neardup_text"   -> (ExtQueries.q18NearDupText _),
+    "q19_v_latest"       -> (RefViewQueries.q19VLatest _),
+    "q20_v_change24h"    -> (RefViewQueries.q20VChange24h _),
+    "q21_v_daily_ohlc"   -> (RefViewQueries.q21VDailyOhlc _),
+    "q22_v_sparkline"    -> (RefViewQueries.q22VSparkline _),
+    "q23_text_profile"   -> (ExtQueries.q23TextProfile _),
+    "q24_quality"        -> (ExtQueries.q24Quality _),
+    "q25_langid"         -> (ExtQueries.q25LangId _),
+    "q26_fingerprint"    -> (ExtQueries.q26Fingerprint _),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB
@@ -52,5 +64,17 @@ object SparkEntry {
     "q12_hourly"         -> ParityQueries.q12HourlySql,
     "q13_wordcount"      -> ParityQueries.q13WordcountSql,
     "q14_json_extract"   -> ParityQueries.q14JsonExtractSql,
+    "q15_cosine_topk"    -> ExtQueries.q15CosineTopKSql,
+    // q16_lsh_recall: hyperplane LSH not SQL-expressible → rows-only check
+    "q17_exact_dedup"    -> ExtQueries.q17ExactDedupSql,
+    "q18_neardup_text"   -> ExtQueries.q18NearDupTextSql,
+    "q19_v_latest"       -> RefViewQueries.q19VLatestSql,
+    "q20_v_change24h"    -> RefViewQueries.q20VChange24hSql,
+    "q21_v_daily_ohlc"   -> RefViewQueries.q21VDailyOhlcSql,
+    "q22_v_sparkline"    -> RefViewQueries.q22VSparklineSql,
+    "q23_text_profile"   -> ExtQueries.q23TextProfileSql,
+    "q24_quality"        -> ExtQueries.q24QualitySql,
+    "q25_langid"         -> ExtQueries.q25LangIdSql,
+    // q26_fingerprint: xxhash64 simhash not SQL-expressible → rows-only check
   )
 }

@@ -14,13 +14,19 @@ import graft.functions.VectorFunctions._
   *     small side (broadcast), the corpus never shuffles for scoring,
   *     and top-k selection is two-phase so the final shuffle carries
   *     only `queries × partitions × k` rows, not `queries × corpus`.
-  *   - [[lshTopK]]: approximate — sign-LSH (random-hyperplane)
-  *     bucketing; only same-bucket pairs are scored. Linear scan
-  *     becomes a bucket-equi-join, which is the standard
-  *     shuffle-bounded ANN layout at scale. Recall is tunable via
-  *     number of planes (specs measure it against brute force).
+  *   - [[lshTopK]]: approximate — banded sign-LSH (random-hyperplane)
+  *     bucketing with OR-amplification: `numBands` independent bands
+  *     of `planesPerBand` planes each; a pair is a candidate if it
+  *     collides in ANY band (candidate prob for cosine angle θ is
+  *     1-(1-p^r)^b with p = 1-θ/π — the standard LSH S-curve). Only
+  *     candidates are scored, so the linear scan becomes a
+  *     bucket-equi-join. `SimilaritySpec` measures recall against
+  *     [[bruteForceTopK]]; q16_lsh_recall reports it per query.
   */
 object Similarity {
+
+  val DefaultBands = 16
+  val DefaultPlanesPerBand = 4
 
   /** Exact top-k neighbors per query vector.
     *
@@ -48,44 +54,77 @@ object Similarity {
       .drop("__rl")
   }
 
-  /** Approximate top-k: score only pairs sharing an LSH bucket.
-    * `numPlanes` trades recall for candidate count (each extra plane
-    * halves the expected bucket size). Queries are broadcast; the
-    * corpus-side bucket assignment is a projection, so the only wide
-    * operation is the final per-query top-k. */
-  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, numPlanes: Int = 8,
+  /** `numBands × planesPerBand` hyperplanes, one fixed seed — band b
+    * uses planes [b*r, b*r+r). */
+  private def bandedPlanes(dim: Int, numBands: Int, planesPerBand: Int,
+                           seed: Long): Array[Array[Array[Float]]] =
+    hyperplanes(dim, numBands * planesPerBand, seed)
+      .grouped(planesPerBand).toArray
+
+  /** Array of per-band struct(band, bucket) for one vector column —
+    * exploded by callers into the band-join key. HOF/codegen only. */
+  private def bandBuckets(v: Column, planes: Array[Array[Array[Float]]]): Column =
+    array(planes.zipWithIndex.map { case (band, b) =>
+      struct(lit(b).as("band"), lshBucket(v, band).as("bucket"))
+    }: _*)
+
+  /** Approximate top-k via banded sign-LSH. Queries broadcast; the
+    * corpus-side band assignment is a projection + explode (numBands
+    * rows per corpus row, map-side only — the broadcast join happens
+    * before any exchange). Candidate (query, neighbor) pairs are
+    * deduped across bands carrying only (ids, sim) — the wide ops
+    * never carry vectors. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              numBands: Int = DefaultBands, planesPerBand: Int = DefaultPlanesPerBand,
               dim: Int = 64, seed: Long = 42L,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val planes = hyperplanes(dim, numPlanes, seed)
-    val c = corpus.withColumn("__bucket", lshBucket(col(vecCol), planes))
+    val planes = bandedPlanes(dim, numBands, planesPerBand, seed)
+    val c = corpus
+      .select(col(idCol), col(vecCol))
+      .withColumn("__b", explode(bandBuckets(col(vecCol), planes)))
     val q = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-      .withColumn("__bucket", lshBucket(col("__qv"), planes))
+      .withColumn("__qb", explode(bandBuckets(col("__qv"), planes)))
     val scored = c
-      .join(broadcast(q), c("__bucket") === q("__bucket") && col(idCol) =!= col("query_id"))
+      .join(broadcast(q),
+        c("__b") === q("__qb") && col(idCol) =!= col("query_id"))
       .withColumn("sim", cosine(col("__qv"), col(vecCol)))
       .select(col("query_id"), col(idCol).as("neighbor_id"), col("sim"))
+      .dropDuplicates("query_id", "neighbor_id") // collapse multi-band hits
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** Near-duplicate pairs by embedding cosine ≥ threshold. Exact
-    * variant scores all i<j pairs (quadratic — small corpora or
-    * within-bucket use); `viaLsh` restricts to same-bucket pairs
-    * first (the scale path). */
-  def nearDupPairs(embeddings: DataFrame, threshold: Double, viaLsh: Boolean = false,
-                   numPlanes: Int = 8, dim: Int = 64,
+  /** Near-duplicate pairs by embedding cosine ≥ threshold. Default is
+    * the banded-LSH candidate path (the only shape that survives scale
+    * — same-bucket equi-join, never all-pairs). `allPairs = true`
+    * opts into exact quadratic scoring for small corpora / recall
+    * baselines; it is deliberately NOT the default (round-1 verdict:
+    * an all-pairs default is a 100 TB non-starter).
+    */
+  def nearDupPairs(embeddings: DataFrame, threshold: Double, allPairs: Boolean = false,
+                   numBands: Int = DefaultBands, planesPerBand: Int = DefaultPlanesPerBand,
+                   dim: Int = 64, seed: Long = 42L,
                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val base = if (viaLsh) {
-      val planes = hyperplanes(dim, numPlanes)
-      embeddings.withColumn("__bucket", lshBucket(col(vecCol), planes))
-    } else embeddings.withColumn("__bucket", lit(0))
-    val a = base.select(col("__bucket"), col(idCol).as("id_a"), col(vecCol).as("__va"))
-    val b = base.select(col("__bucket"), col(idCol).as("id_b"), col(vecCol).as("__vb"))
-    a.join(b, Seq("__bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("sim", cosine(col("__va"), col("__vb")))
-      .filter(col("sim") >= threshold)
-      .select(col("id_a"), col("id_b"), col("sim"))
+    if (allPairs) {
+      val a = embeddings.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
+      val b = embeddings.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
+      a.join(b, col("id_a") < col("id_b"))
+        .withColumn("sim", cosine(col("__va"), col("__vb")))
+        .filter(col("sim") >= threshold)
+        .select(col("id_a"), col("id_b"), col("sim"))
+    } else {
+      val planes = bandedPlanes(dim, numBands, planesPerBand, seed)
+      val banded = embeddings
+        .select(col(idCol), col(vecCol))
+        .withColumn("__b", explode(bandBuckets(col(vecCol), planes)))
+      val a = banded.select(col("__b").as("__ba"), col(idCol).as("id_a"), col(vecCol).as("__va"))
+      val b = banded.select(col("__b").as("__bb"), col(idCol).as("id_b"), col(vecCol).as("__vb"))
+      a.join(b, col("__ba") === col("__bb") && col("id_a") < col("id_b"))
+        .withColumn("sim", cosine(col("__va"), col("__vb")))
+        .filter(col("sim") >= threshold)
+        .select(col("id_a"), col("id_b"), col("sim"))
+        .dropDuplicates("id_a", "id_b")
+    }
   }
 }

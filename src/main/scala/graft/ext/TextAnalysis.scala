@@ -1,0 +1,112 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM-training-data pipelines (driver
+  * mandate; SURVEY.md §7.5): token counting, quality scoring,
+  * language-ID heuristic, and simhash fingerprinting over a text
+  * column. All built-ins (regexp/HOF/xxhash64) — zero UDFs; every
+  * scorer is a per-row projection, so at 100 TB these are map-only
+  * passes with no shuffle at all.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count over normalized text. */
+  def tokenCount(text: Column): Column =
+    size(split(Dedup.normalized(text), " "))
+
+  /** BPE-ish subword count: runs of alphanumerics or single
+    * non-alphanumeric marks (≈ a GPT-style pre-tokenizer's word/punct
+    * split; the real merge table isn't needed for a count heuristic). */
+  def regexTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z0-9]+|[^a-z0-9 ]"), lit(0)))
+
+  /** Fraction of non-alphanumeric, non-space characters. */
+  def punctRatio(text: Column): Column = {
+    val t = Dedup.normalized(text)
+    when(length(t) === 0, lit(0.0))
+      .otherwise(length(regexp_replace(t, "[a-z0-9 ]", "")).cast("double") /
+        length(t).cast("double"))
+  }
+
+  /** English stopword list used by the quality scorer and lang-ID
+    * (fixed: part of the operator contract, mirrored in oracle SQL). */
+  val EnStopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+  private def hitCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words: _*)))
+
+  /** Fraction of tokens that are (English) stopwords. */
+  def stopwordRatio(text: Column): Column = {
+    val toks = split(Dedup.normalized(text), " ")
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(hitCount(toks, EnStopwords).cast("double") / size(toks).cast("double"))
+  }
+
+  /** Mean token length (characters excluding spaces / token count). */
+  def meanTokenLen(text: Column): Column = {
+    val t = Dedup.normalized(text)
+    val n = tokenCount(text)
+    when(n === 0, lit(0.0))
+      .otherwise(length(regexp_replace(t, " ", "")).cast("double") / n.cast("double"))
+  }
+
+  /** Composite [0,1] quality score — the standard pre-training
+    * heuristics (length, punctuation noise, stopword density, token
+    * shape), equal-weighted. Deterministic double arithmetic, written
+    * identically in the oracle SQL. */
+  def qualityScore(text: Column): Column =
+    lit(0.25) * least(lit(1.0), tokenCount(text).cast("double") / lit(50.0)) +
+    lit(0.25) * (lit(1.0) - least(lit(1.0), punctRatio(text) * lit(5.0))) +
+    lit(0.25) * least(lit(1.0), stopwordRatio(text) * lit(5.0)) +
+    lit(0.25) * least(lit(1.0), meanTokenLen(text) / lit(8.0))
+
+  /** Per-language marker words for the lang-ID heuristic. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "es" -> Seq("el", "los", "las", "y", "es"),
+    "zh" -> Seq("de", "shi", "le", "zai", "he"))
+
+  /** N-gram/stopword-profile language ID: argmax of marker-word hit
+    * counts, first-listed language wins ties (so 'en' on all-zero).
+    * A real system would use char n-gram profiles; the marker-argmax
+    * form is the portable deterministic core of that approach. */
+  def langId(text: Column): Column = {
+    val toks = split(Dedup.normalized(text), " ")
+    val scores = LangMarkers.map { case (lang, words) => lang -> hitCount(toks, words) }
+    // argmax with earlier-entry tie-break: lang_i wins if its score is
+    // >= every later score and > every earlier score (strictly, since
+    // earlier already won ties).
+    scores.zipWithIndex.foldRight(lit(LangMarkers.head._1)) {
+      case (((lang, s), i), elseCol) =>
+        val beatsEarlier = scores.take(i).map { case (_, s2) => s > s2 }
+        val beatsLater = scores.drop(i + 1).map { case (_, s2) => s >= s2 }
+        val cond = (beatsEarlier ++ beatsLater).reduceOption(_ && _).getOrElse(lit(true))
+        when(cond, lit(lang)).otherwise(elseCol)
+    }
+  }
+
+  /** 64-bit simhash fingerprint over token xxhash64s: bit j of the
+    * fingerprint is the sign of sum over tokens of ±1 for that bit.
+    * Near-identical documents land within a few bits of Hamming
+    * distance (spec-verified); banded over 4×16-bit chunks it gives
+    * the classic simhash near-dup join. Not oracle-expressible
+    * (xxhash64 is Spark-specific) → rows-only driver check + spec.
+    */
+  def simhash(text: Column): Column = {
+    val toks = array_distinct(split(Dedup.normalized(text), " "))
+    val hashes = transform(toks, t => xxhash64(t))
+    val bits = (0 until 64).map { j =>
+      val votes = aggregate(hashes, lit(0),
+        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
+      when(votes > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,258 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.ext.{Dedup, Similarity, TextAnalysis}
+
+/** Driver-mandated extension queries (SURVEY.md §7.5): similarity
+  * search, dedup, and text analysis over the `embeddings` and
+  * `documents` testdata tables, each with a DuckDB oracle where the
+  * semantics are SQL-expressible (q16/q26 use Spark-specific hashing
+  * and get the driver's rows-only check + ScalaTest coverage).
+  *
+  * Hash-stability notes on top of the ParityQueries conventions:
+  *   - cosine similarity is double-accumulated in index order on both
+  *     sides (the codegen expression and DuckDB's list_dot_product),
+  *     with the same `dot/(sqrt(n1)*sqrt(n2))` formula shape, then
+  *     rounded to 4 decimals;
+  *   - Jaccard is a ratio of integer set sizes — exact in double;
+  *   - quality-score arithmetic is written with the identical
+  *     association order in both engines.
+  */
+object ExtQueries {
+
+  // ----------------------------------------------------------------
+  // q15_cosine_topk — exact brute-force top-k cosine neighbors for 10
+  // query vectors. Corpus never shuffles for scoring; queries are
+  // broadcast; two-phase top-k (see Similarity.bruteForceTopK).
+  // ----------------------------------------------------------------
+  def q15CosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+    Similarity.bruteForceTopK(emb, queries, k = 10)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"), round(col("sim"), 4).as("sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val q15CosineTopKSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT q.query_id, e.vec_id AS neighbor_id,
+      |         list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS sim
+      |  FROM q JOIN e ON e.vec_id <> q.query_id),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, round(sim, 4) AS sim
+      |FROM ranked WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q16_lsh_recall — banded sign-LSH top-k vs the exact result:
+  // per-query hit count and recall@10. Hyperplane hashing is not
+  // SQL-expressible → rows-only driver check; SimilaritySpec asserts
+  // the recall floor.
+  // ----------------------------------------------------------------
+  def q16LshRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+    val k = 10
+    val exact = Similarity.bruteForceTopK(emb, queries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = Similarity.lshTopK(emb, queries, k)
+      .select(col("query_id"), col("neighbor_id")).withColumn("__hit", lit(1))
+    exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("__hit"), lit(0))).as("hits"))
+      .withColumn("recall_at_10", col("hits").cast("double") / lit(k.toDouble))
+      .orderBy(col("query_id"))
+  }
+
+  // ----------------------------------------------------------------
+  // q17_exact_dedup — content-hash exact dedup. The corpus is
+  // documents ∪ an exact copy under shifted ids (the testdata has no
+  // raw duplicate texts, so the duplicates are planted in-query, like
+  // q9 plants upsert collisions); dedup must return exactly the
+  // original rows, smallest id winning.
+  // ----------------------------------------------------------------
+  def q17ExactDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val corpus = docs.unionByName(docs.withColumn("doc_id", col("doc_id") + lit(1000000L)))
+    Dedup.exactDedup(corpus)
+      .select(col("doc_id"), col("content_hash"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q17ExactDedupSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text, lang, source, n_chars FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text, lang, source, n_chars FROM documents),
+      |hashed AS (
+      |  SELECT *, sha256(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS content_hash
+      |  FROM corpus)
+      |SELECT doc_id, content_hash, lang, source, n_chars
+      |FROM (SELECT *, row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn FROM hashed)
+      |WHERE rn = 1
+      |ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q18_neardup_text — minhash-banded near-duplicate pairs at word-
+  // trigram Jaccard >= 0.7, verified with exact Jaccard on the
+  // candidates. The oracle computes the exact all-pairs answer; they
+  // match because the band parameters (b=16, r=4) put candidate
+  // recall at ~1 for j >= 0.9 (the testdata's planted pairs are all
+  // >= 0.90) — equality is the recall proof, at oracle scale.
+  // ----------------------------------------------------------------
+  def q18NearDupText(spark: SparkSession, dir: String): DataFrame =
+    Dedup.nearDupText(Tables.documents(spark, dir), threshold = 0.7)
+      .orderBy(col("id_a"), col("id_b"))
+
+  val q18NearDupTextSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id,
+      |         list_distinct(list_transform(range(1, len(toks) - 1),
+      |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      |  FROM d WHERE len(toks) >= 3),
+      |p AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |         len(list_intersect(a.sh, b.sh)) * 1.0 / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+      |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+      |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.7
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q23_text_profile — per-(lang, source) corpus profile: doc count,
+  // token volume, char stats. Sums over integers (exact); averages as
+  // one double division (ParityQueries convention).
+  // ----------------------------------------------------------------
+  def q23TextProfile(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
+    docs.groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("tokens")).as("total_tokens"),
+        (sum(col("tokens")).cast("double") / count(lit(1))).as("avg_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  val q23TextProfileSql: String =
+    """SELECT lang, source, COUNT(*) AS n_docs,
+      |  SUM(tokens) AS total_tokens,
+      |  CAST(SUM(tokens) AS DOUBLE) / COUNT(*) AS avg_tokens,
+      |  SUM(n_chars) AS total_chars,
+      |  MAX(n_chars) AS max_chars
+      |FROM (SELECT *, CAST(len(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS BIGINT) AS tokens
+      |      FROM documents)
+      |GROUP BY lang, source
+      |ORDER BY lang, source""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q24_quality — per-document quality heuristics: whitespace and
+  // BPE-ish token counts, punctuation ratio, stopword ratio, composite
+  // score. All per-row double arithmetic with identical association
+  // order in both engines — exact match, no rounding needed.
+  // ----------------------------------------------------------------
+  def q24Quality(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    docs.select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextAnalysis.regexTokenCount(col("text")).cast("long").as("n_subtokens"),
+        TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+        TextAnalysis.stopwordRatio(col("text")).as("stopword_ratio"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q24QualitySql: String =
+    """WITH n AS (
+      |  SELECT doc_id,
+      |         regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t,
+      |         lower(text) AS lt
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(t, ' ')) AS BIGINT) AS n_tokens,
+      |    CAST(len(regexp_extract_all(lt, '[a-z0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_subtokens,
+      |    CASE WHEN len(t) = 0 THEN 0.0
+      |         ELSE CAST(len(regexp_replace(t, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / CAST(len(t) AS DOUBLE) END AS punct_ratio,
+      |    CASE WHEN len(string_split(t, ' ')) = 0 THEN 0.0
+      |         ELSE CAST(len(list_filter(string_split(t, ' '),
+      |                x -> x IN ('the','a','of','and','to','in','is','on','for','with'))) AS DOUBLE)
+      |              / CAST(len(string_split(t, ' ')) AS DOUBLE) END AS stopword_ratio,
+      |    CASE WHEN len(string_split(t, ' ')) = 0 THEN 0.0
+      |         ELSE CAST(len(regexp_replace(t, ' ', '', 'g')) AS DOUBLE) / CAST(len(string_split(t, ' ')) AS DOUBLE) END AS mean_tok_len
+      |  FROM n)
+      |SELECT doc_id, n_tokens, n_subtokens, punct_ratio, stopword_ratio,
+      |  0.25 * least(1.0, CAST(n_tokens AS DOUBLE) / 50.0)
+      |  + 0.25 * (1.0 - least(1.0, punct_ratio * 5.0))
+      |  + 0.25 * least(1.0, stopword_ratio * 5.0)
+      |  + 0.25 * least(1.0, mean_tok_len / 8.0) AS quality
+      |FROM m
+      |ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q25_langid — stopword-profile language ID (marker-word argmax,
+  // 'en'-first tie-break), confusion counts against the labeled lang.
+  // ----------------------------------------------------------------
+  def q25LangId(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    docs.withColumn("pred_lang", TextAnalysis.langId(col("text")))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("pred_lang"))
+  }
+
+  val q25LangIdSql: String = {
+    val scoreSql = TextAnalysis.LangMarkers.map { case (lang, words) =>
+      s"CAST(len(list_filter(toks, x -> x IN (${words.map(w => s"'$w'").mkString(",")}))) AS BIGINT) AS s_$lang"
+    }.mkString(",\n    ")
+    // argmax with earlier-entry tie-break, mirrored from TextAnalysis.langId
+    val langs = TextAnalysis.LangMarkers.map(_._1)
+    val caseArms = langs.zipWithIndex.map { case (lang, i) =>
+      val beatsEarlier = langs.take(i).map(l2 => s"s_$lang > s_$l2")
+      val beatsLater = langs.drop(i + 1).map(l2 => s"s_$lang >= s_$l2")
+      val cond = (beatsEarlier ++ beatsLater).mkString(" AND ")
+      s"WHEN $cond THEN '$lang'"
+    } :+ s"ELSE '${langs.head}'" // unreachable (arms are exhaustive); defensive
+    s"""WITH d AS (
+       |  SELECT lang, string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS toks
+       |  FROM documents),
+       |scored AS (
+       |  SELECT lang,
+       |    $scoreSql
+       |  FROM d),
+       |pred AS (
+       |  SELECT lang,
+       |    CASE ${caseArms.mkString(" ")} END AS pred_lang
+       |  FROM scored)
+       |SELECT lang, pred_lang, COUNT(*) AS n
+       |FROM pred
+       |GROUP BY lang, pred_lang
+       |ORDER BY lang, pred_lang""".stripMargin
+  }
+
+  // ----------------------------------------------------------------
+  // q26_fingerprint — simhash document fingerprints + intra-corpus
+  // near-dup pairs by Hamming distance <= 6. xxhash64-based → not
+  // oracle-expressible; rows-only driver check, TextAnalysisSpec
+  // verifies the Hamming property against the q18 Jaccard pairs.
+  // ----------------------------------------------------------------
+  def q26Fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextAnalysis.simhash(col("text")).as("fingerprint"))
+    docs.orderBy(col("doc_id"))
+  }
+}

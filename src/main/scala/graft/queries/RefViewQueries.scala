@@ -1,0 +1,153 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.views.CryptoViews
+
+/** The reference's four analytical views (`/root/reference/sql/
+  * views.sql:2-42`) under the DuckDB oracle, column-for-column —
+  * round-1 verdict "What's missing" #1: the actual reference query
+  * surface had no oracle coverage.
+  *
+  * The testdata has no crypto tables, so `events` is reshaped into
+  * `prices`/`assets` with a deterministic pure projection ((event_type,
+  * ts) is unique in the testdata, so the reshaped PK (asset_id, ts)
+  * holds): each event_type becomes an asset; market_cap is NULL for
+  * the 'click' asset so the views' `NULLS LAST` ordering and NULL
+  * propagation are actually exercised. The oracle SQL performs the
+  * identical reshape in a CTE, then the reference view text (DuckDB
+  * dialect) on top.
+  */
+object RefViewQueries {
+
+  /** Fixed `now()` stand-in (SURVEY.md §7.6.2), same anchor as q3. */
+  val AsOf = ParityQueries.AsOfCutoff
+
+  /** events → prices(asset_id, ts, price, market_cap, volume). */
+  def refPrices(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).select(
+      col("event_type").as("asset_id"),
+      col("ts"),
+      col("value").as("price"),
+      when(col("event_type") === "click", lit(null).cast("double"))
+        .otherwise(col("value") * lit(1000.0)).as("market_cap"),
+      (col("value") * lit(10.0)).as("volume"))
+
+  /** events → assets(asset_id, symbol, name). */
+  def refAssets(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).select(col("event_type")).distinct()
+      .select(
+        col("event_type").as("asset_id"),
+        upper(col("event_type")).as("symbol"),
+        concat(lit("Coin "), col("event_type")).as("name"))
+
+  private val reshapeSql =
+    """prices AS (
+      |  SELECT event_type AS asset_id, ts, value AS price,
+      |         CASE WHEN event_type = 'click' THEN NULL ELSE value * 1000.0 END AS market_cap,
+      |         value * 10.0 AS volume
+      |  FROM events),
+      |assets AS (
+      |  SELECT DISTINCT event_type AS asset_id, upper(event_type) AS symbol,
+      |         'Coin ' || event_type AS name
+      |  FROM events)""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q19_v_latest — v_latest_prices (views.sql:2-8).
+  // ----------------------------------------------------------------
+  def q19VLatest(spark: SparkSession, dir: String): DataFrame =
+    CryptoViews.vLatestPrices(refPrices(spark, dir), refAssets(spark, dir))
+
+  val q19VLatestSql: String =
+    s"""WITH $reshapeSql
+       |SELECT p.asset_id, a.symbol, a.name, p.price, p.market_cap, p.volume, p.ts
+       |FROM prices p
+       |JOIN (SELECT asset_id, max(ts) AS max_ts FROM prices GROUP BY asset_id) last
+       |  ON last.asset_id = p.asset_id AND last.max_ts = p.ts
+       |JOIN assets a ON a.asset_id = p.asset_id
+       |ORDER BY market_cap DESC NULLS LAST, p.asset_id""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q20_v_change24h — v_price_change_24h (views.sql:10-28), now()
+  // parameterized to the fixed AsOf anchor.
+  // ----------------------------------------------------------------
+  def q20VChange24h(spark: SparkSession, dir: String): DataFrame =
+    CryptoViews.vPriceChange24h(refPrices(spark, dir), refAssets(spark, dir),
+      asOf = lit(AsOf).cast("timestamp"))
+
+  val q20VChange24hSql: String =
+    s"""WITH $reshapeSql,
+       |latest AS (
+       |  SELECT p.asset_id, a.symbol, a.name, p.price, p.market_cap
+       |  FROM prices p
+       |  JOIN (SELECT asset_id, max(ts) AS max_ts FROM prices GROUP BY asset_id) last
+       |    ON last.asset_id = p.asset_id AND last.max_ts = p.ts
+       |  JOIN assets a ON a.asset_id = p.asset_id),
+       |p24 AS (
+       |  SELECT p.asset_id, p.price AS price_24h
+       |  FROM prices p
+       |  JOIN (
+       |    SELECT asset_id, max(ts) AS ts_24h
+       |    FROM prices
+       |    WHERE ts <= TIMESTAMP '$AsOf' - INTERVAL 24 HOURS
+       |    GROUP BY asset_id
+       |  ) t ON t.asset_id = p.asset_id AND t.ts_24h = p.ts)
+       |SELECT l.asset_id, l.symbol, l.name, l.price AS price_now, p24.price_24h,
+       |       CASE WHEN p24.price_24h IS NOT NULL
+       |            THEN round((l.price - p24.price_24h) / p24.price_24h * 100.0, 4)
+       |            ELSE NULL END AS pct_change_24h
+       |FROM latest l
+       |LEFT JOIN p24 ON p24.asset_id = l.asset_id
+       |ORDER BY l.market_cap DESC NULLS LAST, l.asset_id""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q21_v_daily_ohlc — daily_metrics built from the reshaped prices
+  // with the A2 OHLC fold (candle-date mode), then v_daily_ohlc
+  // (views.sql:30-35). `date` is a day-truncated timestamp (q4
+  // convention: identical physical parquet type in both engines).
+  // ----------------------------------------------------------------
+  def q21VDailyOhlc(spark: SparkSession, dir: String): DataFrame = {
+    val prices = refPrices(spark, dir)
+    val daily = prices
+      .groupBy(col("asset_id"), date_trunc("day", col("ts")).as("date"))
+      .agg(
+        min_by(col("price"), col("ts")).as("open"),
+        max(col("price")).as("high"),
+        min(col("price")).as("low"),
+        max_by(col("price"), col("ts")).as("close"),
+        max_by(col("volume"), col("ts")).as("volume"),
+        max_by(col("market_cap"), col("ts")).as("market_cap"))
+    CryptoViews.vDailyOhlc(daily, refAssets(spark, dir))
+  }
+
+  val q21VDailyOhlcSql: String =
+    s"""WITH $reshapeSql,
+       |daily_metrics AS (
+       |  SELECT asset_id, date_trunc('day', ts) AS date,
+       |         arg_min(price, ts) AS open, max(price) AS high,
+       |         min(price) AS low, arg_max(price, ts) AS close,
+       |         arg_max(volume, ts) AS volume, arg_max(market_cap, ts) AS market_cap
+       |  FROM prices GROUP BY asset_id, date_trunc('day', ts))
+       |SELECT a.asset_id, a.symbol, a.name,
+       |       d.date, d.open, d.high, d.low, d.close, d.volume, d.market_cap
+       |FROM daily_metrics d
+       |JOIN assets a ON a.asset_id = d.asset_id
+       |ORDER BY a.asset_id, d.date DESC""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q22_v_sparkline — v_sparkline_7d (views.sql:37-42).
+  // ----------------------------------------------------------------
+  def q22VSparkline(spark: SparkSession, dir: String): DataFrame =
+    CryptoViews.vSparkline7d(refPrices(spark, dir), refAssets(spark, dir),
+      asOf = lit(AsOf).cast("timestamp"))
+
+  val q22VSparklineSql: String =
+    s"""WITH $reshapeSql
+       |SELECT p.asset_id, a.symbol, a.name, p.ts, p.price
+       |FROM prices p
+       |JOIN assets a ON a.asset_id = p.asset_id
+       |WHERE p.ts >= TIMESTAMP '$AsOf' - INTERVAL 7 DAYS
+       |ORDER BY p.asset_id, p.ts""".stripMargin
+}

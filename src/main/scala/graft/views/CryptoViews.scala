@@ -33,10 +33,13 @@ object CryptoViews {
 
   /** `v_price_change_24h` (`views.sql:10-28`): latest price vs price
     * as of `asOf - 24h`, pct change rounded to 4, left join keeps
-    * assets lacking a 24h-old point (J4), NULLS LAST (R1). */
+    * assets lacking a 24h-old point (J4). Emits the reference's exact
+    * columns (`price AS price_now`, `views.sql:22`) and order —
+    * `l.market_cap desc nulls last` (`views.sql:28`); market_cap is
+    * carried for the sort but not projected, like the SQL. */
   def vPriceChange24h(prices: DataFrame, assets: DataFrame, asOf: Column): DataFrame = {
     val latest = Ops.latestPerKey(prices, Seq("asset_id"), Seq(col("ts")))
-      .select(col("asset_id"), col("price"), col("ts"))
+      .select(col("asset_id"), col("price"), col("market_cap"))
     val p24 = Ops.asOfAtOrBefore(prices, Seq("asset_id"), col("ts"),
         asOf - expr("INTERVAL 24 HOURS"))
       .select(col("asset_id"), col("price").as("price_24h"))
@@ -45,31 +48,32 @@ object CryptoViews {
       .join(broadcast(assets.select("asset_id", "symbol", "name")), Seq("asset_id"))
       .select(
         col("asset_id"), col("symbol"), col("name"),
-        col("price"), col("price_24h"),
+        col("price").as("price_now"), col("price_24h"),
         when(col("price_24h").isNotNull,
           round((col("price") - col("price_24h")) / col("price_24h") * lit(100.0), 4))
           .otherwise(lit(null)).as("pct_change_24h"),
-        col("ts"))
-      .orderBy(col("pct_change_24h").desc_nulls_last, col("asset_id"))
+        col("market_cap"))
+      .orderBy(col("market_cap").desc_nulls_last, col("asset_id"))
+      .drop("market_cap")
   }
 
-  /** `v_daily_ohlc` (`views.sql:30-35`): daily metrics + dim join,
-    * ordered (asset_id, date desc). */
+  /** `v_daily_ohlc` (`views.sql:30-35`): daily metrics + dim join
+    * (incl. `a.name`, `views.sql:32`), ordered (asset_id, date desc). */
   def vDailyOhlc(dailyMetrics: DataFrame, assets: DataFrame): DataFrame =
     dailyMetrics
-      .join(broadcast(assets.select("asset_id", "symbol")), Seq("asset_id"))
-      .select(col("asset_id"), col("symbol"), col("date"),
+      .join(broadcast(assets.select("asset_id", "symbol", "name")), Seq("asset_id"))
+      .select(col("asset_id"), col("symbol"), col("name"), col("date"),
         col("open"), col("high"), col("low"), col("close"),
         col("volume"), col("market_cap"))
       .orderBy(col("asset_id"), col("date").desc)
 
   /** `v_sparkline_7d` (`views.sql:37-42`): trailing-7-day price series
-    * per asset, ordered (asset_id, ts). */
+    * per asset (incl. `a.name`, `views.sql:38`), ordered (asset_id, ts). */
   def vSparkline7d(prices: DataFrame, assets: DataFrame, asOf: Column): DataFrame =
     prices
       .filter(col("ts") >= asOf - expr("INTERVAL 7 DAYS"))
-      .join(broadcast(assets.select("asset_id", "symbol")), Seq("asset_id"))
-      .select(col("asset_id"), col("symbol"), col("ts"), col("price"))
+      .join(broadcast(assets.select("asset_id", "symbol", "name")), Seq("asset_id"))
+      .select(col("asset_id"), col("symbol"), col("name"), col("ts"), col("price"))
       .orderBy(col("asset_id"), col("ts"))
 
   /** The dashboard's combined overview (`app.py:94-156`, J5/F11/P5/
@@ -82,7 +86,7 @@ object CryptoViews {
                search: Option[String] = None): DataFrame = {
     val latest = vLatestPrices(prices, assets)
     val change = vPriceChange24h(prices, assets, asOf)
-      .select(col("asset_id"), col("price").as("price_now"),
+      .select(col("asset_id"), col("price_now"),
         col("price_24h"), col("pct_change_24h"))
     val joined = latest.join(change, Seq("asset_id"), "left")
       .withColumn("display_price", coalesce(col("price_now"), col("price")))

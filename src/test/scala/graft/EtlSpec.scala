@@ -160,8 +160,10 @@ class EtlSpec extends AnyFunSuite {
     val change = CryptoViews.vPriceChange24h(prices, assets, asOf)
       .select(col("asset_id"), col("pct_change_24h").cast("double"))
       .as[(String, Option[Double])].collect().toSeq
-    // btc: (100-95)/95*100 = 5.2632 (round 4); eth null, sorted last
-    assert(change == Seq(("bitcoin", Some(5.2632)), ("ethereum", None)))
+    // btc: (100-95)/95*100 = 5.2632 (round 4); eth has no 24h-old point
+    // → null pct. Order is market_cap desc nulls last (views.sql:28):
+    // eth latest mc=2000 beats btc mc=1000.
+    assert(change == Seq(("ethereum", None), ("bitcoin", Some(5.2632))))
 
     val spark7d = CryptoViews.vSparkline7d(prices, assets, asOf)
     assert(spark7d.count() == 3) // all points within 7 days of asOf

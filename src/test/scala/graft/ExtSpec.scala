@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.{Dedup, Similarity, TextAnalysis}
+import graft.functions.VectorFunctions
+
+/** Extension-layer coverage (similarity, dedup, text analysis) — the
+  * components the round-1 verdict found untested. Small in-memory
+  * corpora with planted duplicates/neighbors, plus recall floors on
+  * the sf0.001 testdata. */
+class ExtSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // --- cosine expression ---------------------------------------------------
+
+  test("codegen cosine agrees with the HOF form on real embeddings") {
+    val emb = Tables.embeddings(spark, sf).limit(50)
+    val pairs = emb.select(col("vec_id").as("ia"), col("embedding").as("va"))
+      .crossJoin(emb.select(col("vec_id").as("ib"), col("embedding").as("vb")))
+      .filter(col("ia") < col("ib"))
+    val diffs = pairs.select(
+        abs(VectorFunctions.cosine(col("va"), col("vb")) -
+            VectorFunctions.cosineHof(col("va"), col("vb"))).as("d"))
+      .agg(max("d")).as[Double].head()
+    assert(diffs < 1e-9, s"codegen vs HOF max diff $diffs")
+  }
+
+  test("cosine handles zero vectors and identical vectors") {
+    val df = Seq(
+      (Array(0f, 0f), Array(1f, 1f)),
+      (Array(3f, 4f), Array(3f, 4f)),
+      (Array(1f, 0f), Array(0f, 1f))
+    ).toDF("a", "b")
+    val got = df.select(VectorFunctions.cosine(col("a"), col("b"))).as[Double].collect()
+    assert(got(0) == 0.0)
+    assert(math.abs(got(1) - 1.0) < 1e-12)
+    assert(got(2) == 0.0)
+  }
+
+  // --- similarity search ---------------------------------------------------
+
+  test("bruteForceTopK finds the planted nearest neighbor first") {
+    val base = Array.tabulate(8)(i => math.sin(i * 1.7).toFloat)
+    val near = base.map(x => x * 1.001f) // same direction
+    val far = Array.tabulate(8)(i => math.cos(i * 2.3).toFloat)
+    val corpus = Seq((1L, base), (2L, near), (3L, far)).toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" === 1L)
+    val top = Similarity.bruteForceTopK(corpus, queries, k = 2)
+      .orderBy($"rank").select($"neighbor_id").as[Long].collect()
+    assert(top.head == 2L)
+  }
+
+  test("lshTopK recall vs brute force >= 0.7 on sf0.001 embeddings") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter($"vec_id" < 5)
+    val exact = Similarity.bruteForceTopK(emb, queries, 10)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(emb, queries, 10)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.7, s"LSH recall $recall")
+  }
+
+  test("nearDupPairs: LSH path finds planted embedding near-dups and is a subset of all-pairs") {
+    val rng = new scala.util.Random(7)
+    val vecs = Seq.tabulate(30)(i => (i.toLong, Array.fill(16)(rng.nextGaussian().toFloat)))
+    // plant: 100 and 101 share vec 0's direction
+    val planted = Seq((100L, vecs.head._2.map(_ * 2f)), (101L, vecs.head._2.map(_ * 3f)))
+    val df = (vecs ++ planted).toDF("vec_id", "embedding")
+    val lsh = Similarity.nearDupPairs(df, threshold = 0.99, dim = 16)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val exact = Similarity.nearDupPairs(df, threshold = 0.99, allPairs = true, dim = 16)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact))
+    // identical-direction vectors share every band bucket → always found
+    assert(lsh.contains((0L, 100L)) && lsh.contains((0L, 101L)) && lsh.contains((100L, 101L)))
+  }
+
+  // --- dedup ---------------------------------------------------------------
+
+  test("exactDedup keeps the smallest id per normalized content") {
+    val docs = Seq(
+      (1L, "Hello  World"), (2L, "hello world"), (3L, "other text"),
+      (4L, "  HELLO WORLD  ")
+    ).toDF("doc_id", "text")
+    val got = Dedup.exactDedup(docs).select($"doc_id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(1L, 3L))
+  }
+
+  test("nearDupText finds planted near-dup, skips unrelated, verifies with exact jaccard") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 20) "CHANGED" else s"tok$i").mkString(" ")
+    val unrelated = (100 to 140).map(i => s"zzz$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, unrelated)).toDF("doc_id", "text")
+    val pairs = Dedup.nearDupText(docs, threshold = 0.7)
+      .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+    assert(pairs.head._3 > 0.8 && pairs.head._3 < 1.0)
+  }
+
+  test("nearDupText on sf0.001 equals the exact all-pairs jaccard answer") {
+    val docs = Tables.documents(spark, sf)
+    val viaLsh = Dedup.nearDupText(docs, threshold = 0.7)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    // exact all-pairs reference, built from the same shingle sets
+    val sh = docs.select($"doc_id", Dedup.shingles($"text").as("sh"))
+    val exact = sh.select($"doc_id".as("id_a"), $"sh".as("sa"))
+      .crossJoin(sh.select($"doc_id".as("id_b"), $"sh".as("sb")))
+      .filter($"id_a" < $"id_b")
+      .withColumn("j", Dedup.jaccard($"sa", $"sb"))
+      .filter($"j" >= 0.7)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(viaLsh == exact, s"missed=${exact -- viaLsh} extra=${viaLsh -- exact}")
+  }
+
+  // --- text analysis -------------------------------------------------------
+
+  test("token counts, ratios and quality score on a known string") {
+    val df = Seq((1L, "The quick, brown fox! of speed")).toDF("doc_id", "text")
+    val r = df.select(
+      TextAnalysis.tokenCount($"text"),
+      TextAnalysis.regexTokenCount($"text"),
+      TextAnalysis.punctRatio($"text"),
+      TextAnalysis.stopwordRatio($"text"),
+      TextAnalysis.qualityScore($"text")).head()
+    assert(r.getInt(0) == 6)        // the quick, brown fox! of speed
+    assert(r.getInt(1) == 8)        // 6 words + ',' + '!'
+    assert(r.getDouble(2) > 0.0 && r.getDouble(2) < 0.2)
+    assert(math.abs(r.getDouble(3) - 2.0 / 6.0) < 1e-12) // 'the', 'of'
+    assert(r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0)
+  }
+
+  test("langId picks the language with most marker hits; en on ties/zero") {
+    val df = Seq(
+      (1L, "der hund und die katze ist da"),
+      (2L, "le chat et la maison est grande"),
+      (3L, "xyzzy plugh")
+    ).toDF("doc_id", "text")
+    val got = df.select($"doc_id", TextAnalysis.langId($"text")).as[(Long, String)].collect().toMap
+    assert(got(1L) == "de" && got(2L) == "fr" && got(3L) == "en")
+  }
+
+  test("simhash: near-dup texts land within small hamming distance, unrelated far") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 60).map(i => if (i % 29 == 0) s"chg$i" else s"tok$i").mkString(" ")
+    val unrelated = (200 to 260).map(i => s"zzz$i").mkString(" ")
+    val df = Seq((1L, base), (2L, nearDup), (3L, unrelated)).toDF("doc_id", "text")
+      .select($"doc_id", TextAnalysis.simhash($"text").as("fp"))
+    val fps = df.as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fps(1L), fps(2L)) <= 12, s"near-dup hamming ${ham(fps(1L), fps(2L))}")
+    assert(ham(fps(1L), fps(3L)) >= 16, s"unrelated hamming ${ham(fps(1L), fps(3L))}")
+  }
+}
