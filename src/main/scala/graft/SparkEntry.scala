@@ -45,6 +45,8 @@ object SparkEntry {
     "q24_quality"        -> (ExtQueries.q24Quality _),
     "q25_langid"         -> (ExtQueries.q25LangId _),
     "q26_fingerprint"    -> (ExtQueries.q26Fingerprint _),
+    "q27_multimodal"     -> (ExtQueries.q27Multimodal _),
+    "q28_frame_sample"   -> (ExtQueries.q28FrameSample _),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB
@@ -76,5 +78,7 @@ object SparkEntry {
     "q24_quality"        -> ExtQueries.q24QualitySql,
     "q25_langid"         -> ExtQueries.q25LangIdSql,
     // q26_fingerprint: xxhash64 simhash not SQL-expressible → rows-only check
+    "q27_multimodal"     -> ExtQueries.q27MultimodalSql,
+    "q28_frame_sample"   -> ExtQueries.q28FrameSampleSql,
   )
 }

@@ -61,18 +61,24 @@ object Dedup {
     transform(sequence(lit(0), lit(numPerm - 1)), s =>
       array_min(transform(sh, t => xxhash64(t, s))))
 
-  /** Banded buckets over a minhash signature: `numBands` structs of
-    * (band, bucket) where bucket = xxhash64 of that band's `r`
-    * signature slice. A pair is a candidate if it collides in ANY
-    * band — the standard OR-amplification S-curve (collision prob
-    * 1-(1-j^r)^b for Jaccard j). */
-  def minhashBandBuckets(sh: Column, numBands: Int, r: Int): Column = {
-    val sig = minhashSignature(sh, numBands * r)
+  /** Banded buckets over an ALREADY-MATERIALIZED signature column:
+    * `numBands` structs of (band, bucket) where bucket = xxhash64 of
+    * that band's `r` signature slice. A pair is a candidate if it
+    * collides in ANY band — the standard OR-amplification S-curve
+    * (collision prob 1-(1-j^r)^b for Jaccard j).
+    *
+    * `sig` MUST be a plain column reference, not the signature
+    * expression inline: this array mentions it `numBands` times, and
+    * an inline expression would be recomputed per mention (the round-2
+    * bench caught exactly that — 16× signature recompute put
+    * q18_neardup_text at 93 s; Catalyst's CollapseProject keeps a
+    * non-cheap multi-referenced alias in its own projection, so a
+    * named column is computed once per row). */
+  def minhashBandBuckets(sig: Column, numBands: Int, r: Int): Column =
     array((0 until numBands).map { b =>
       struct(lit(b).as("band"),
         xxhash64(lit(b), slice(sig, b * r + 1, r)).as("bucket"))
     }: _*)
-  }
 
   /** Exact Jaccard over two shingle-set columns (the verification
     * predicate; integer set sizes, so the double division is exact and
@@ -99,8 +105,9 @@ object Dedup {
     val sh = docs.select(col(idCol).as("__id"), shingles(col(textCol), shingleN).as("__sh"))
       .filter(size(col("__sh")) > 0)
 
-    val banded = sh.select(col("__id"),
-        explode(minhashBandBuckets(col("__sh"), numBands, r)).as("__b"))
+    val banded = sh
+      .withColumn("__sig", minhashSignature(col("__sh"), numBands * r))
+      .select(col("__id"), explode(minhashBandBuckets(col("__sig"), numBands, r)).as("__b"))
     val candidates = banded.as("a")
       .join(banded.as("b"),
         col("a.__b") === col("b.__b") && col("a.__id") < col("b.__id"))

@@ -89,16 +89,22 @@ object TextAnalysis {
     }
   }
 
-  /** 64-bit simhash fingerprint over token xxhash64s: bit j of the
-    * fingerprint is the sign of sum over tokens of ±1 for that bit.
-    * Near-identical documents land within a few bits of Hamming
-    * distance (spec-verified); banded over 4×16-bit chunks it gives
-    * the classic simhash near-dup join. Not oracle-expressible
+  /** Distinct-token xxhash64 array — materialize this as a named
+    * column and feed it to [[simhashFromHashes]]: the fingerprint
+    * references it 64 times, and an inline expression would be
+    * re-hashed per bit (the round-2 bench caught that at 10 s/query;
+    * a named non-cheap alias is computed once per row). */
+  def tokenHashes(text: Column): Column =
+    transform(array_distinct(split(Dedup.normalized(text), " ")), t => xxhash64(t))
+
+  /** 64-bit simhash fingerprint over a materialized token-hash array:
+    * bit j of the fingerprint is the sign of sum over tokens of ±1
+    * for that bit. Near-identical documents land within a few bits of
+    * Hamming distance (spec-verified); banded over 4×16-bit chunks it
+    * gives the classic simhash near-dup join. Not oracle-expressible
     * (xxhash64 is Spark-specific) → rows-only driver check + spec.
     */
-  def simhash(text: Column): Column = {
-    val toks = array_distinct(split(Dedup.normalized(text), " "))
-    val hashes = transform(toks, t => xxhash64(t))
+  def simhashFromHashes(hashes: Column): Column = {
     val bits = (0 until 64).map { j =>
       val votes = aggregate(hashes, lit(0),
         (acc, h) => acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
@@ -106,6 +112,10 @@ object TextAnalysis {
     }
     bits.reduce(_ + _)
   }
+
+  /** Convenience one-expression form (fine for single use; prefer
+    * materializing [[tokenHashes]] when fingerprinting a corpus). */
+  def simhash(text: Column): Column = simhashFromHashes(tokenHashes(text))
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

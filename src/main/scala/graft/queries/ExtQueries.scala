@@ -245,14 +245,57 @@ object ExtQueries {
   }
 
   // ----------------------------------------------------------------
+  // q27_multimodal — media-wrapped documents: binary payload with
+  // typed metadata; byte length + content digest are computed on the
+  // binary column (portable: UTF-8 bytes on both sides).
+  // ----------------------------------------------------------------
+  def q27Multimodal(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Multimodal.fromDocuments(Tables.documents(spark, dir))
+      .select(col("media_id"), col("kind"),
+        col("meta.n_bytes").as("n_bytes"),
+        col("meta.duration_ms").as("duration_ms"),
+        sha2(col("payload"), 256).as("content_sha"))
+      .orderBy(col("media_id"))
+
+  val q27MultimodalSql: String =
+    """SELECT doc_id AS media_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |       WHEN doc_id % 3 = 1 THEN 'audio'
+      |       ELSE 'video' END AS kind,
+      |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+      |  CAST(n_chars * 40 AS BIGINT) AS duration_ms,
+      |  sha256(text) AS content_sha
+      |FROM documents
+      |ORDER BY media_id""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q28_frame_sample — video frame-sampling plumbing: generator over
+  // the scan, one row per 500ms offset, frames addressed by a
+  // deterministic digest (portable arithmetic + sha256).
+  // ----------------------------------------------------------------
+  def q28FrameSample(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Multimodal.sampleFrames(
+        graft.ext.Multimodal.fromDocuments(Tables.documents(spark, dir)), everyMs = 500L)
+      .orderBy(col("media_id"), col("offset_ms"))
+
+  val q28FrameSampleSql: String =
+    """SELECT doc_id AS media_id, offset_ms,
+      |  sha256(text || '-' || CAST(offset_ms AS VARCHAR)) AS frame_sha
+      |FROM (
+      |  SELECT doc_id, text, unnest(range(0, n_chars * 40, 500)) AS offset_ms
+      |  FROM documents
+      |  WHERE doc_id % 3 = 2)
+      |ORDER BY media_id, offset_ms""".stripMargin
+
+  // ----------------------------------------------------------------
   // q26_fingerprint — simhash document fingerprints + intra-corpus
   // near-dup pairs by Hamming distance <= 6. xxhash64-based → not
   // oracle-expressible; rows-only driver check, TextAnalysisSpec
   // verifies the Hamming property against the q18 Jaccard pairs.
   // ----------------------------------------------------------------
-  def q26Fingerprint(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), TextAnalysis.simhash(col("text")).as("fingerprint"))
-    docs.orderBy(col("doc_id"))
-  }
+  def q26Fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("__th", TextAnalysis.tokenHashes(col("text"))) // once per row
+      .select(col("doc_id"), TextAnalysis.simhashFromHashes(col("__th")).as("fingerprint"))
+      .orderBy(col("doc_id"))
 }

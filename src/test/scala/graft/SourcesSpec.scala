@@ -1,0 +1,140 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.etl.Incremental
+import graft.ext.Multimodal
+import graft.model.Schemas
+import graft.sources.{ConfigSource, Retry, Sources}
+import graft.views.Formatters
+
+/** Golden coverage for the source adapters (S1-S4), output formatters
+  * (F10) and multimodal plumbing — the round-1 "dead file" findings. */
+class SourcesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // --- S2/S3: fixture JSON payloads through the full ETL -------------------
+
+  test("fixture JSON payloads flow through Sources into Incremental.run") {
+    val dir = Files.createTempDirectory("graft-sources").toString
+    // market_chart payload (FIXTURES.md §A2 shape): misaligned arrays —
+    // the 2nd price ts has no market_cap.
+    Files.writeString(java.nio.file.Paths.get(s"$dir/chart.json"),
+      """{"coin_id":"bitcoin","prices":[[1735689600000,93421.17],[1735693200000,93512.02]],""" +
+      """"market_caps":[[1735689600000,1.849e12]],"total_volumes":[[1735689600000,3.12e10],[1735693200000,3.08e10]]}""")
+    // coins_markets payload: extra fields must be ignored by the schema.
+    Files.writeString(java.nio.file.Paths.get(s"$dir/markets.json"),
+      """{"id":"bitcoin","symbol":"btc","name":"Bitcoin","current_price":93512.02,"market_cap_rank":1}""")
+
+    val chart = Sources.marketChart(spark, s"$dir/chart.json")
+    val markets = Sources.coinsMarkets(spark, s"$dir/markets.json")
+    assert(markets.columns.toSeq == Seq("id", "symbol", "name")) // pruned to consumed fields
+
+    def empty(s: org.apache.spark.sql.types.StructType) =
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s)
+    val (assets, prices, daily) = Incremental.run(markets, chart,
+      empty(Schemas.assets), empty(Schemas.prices), empty(Schemas.dailyMetrics),
+      runTs = Timestamp.valueOf("2025-01-01 01:10:00"))
+
+    assert(assets.select("asset_id", "symbol").as[(String, String)].collect().toSeq ==
+      Seq(("bitcoin", "btc")))
+    val p = prices.orderBy("ts")
+      .select($"price".cast("double"), $"market_cap".cast("double"))
+      .as[(Double, Option[Double])].collect().toSeq
+    assert(p == Seq((93421.17, Some(1.849e12)), (93512.02, None))) // left-join survival
+    assert(daily.count() == 1)
+    val d = daily.select($"open".cast("double"), $"close".cast("double")).head()
+    assert(d.getDouble(0) == 93421.17 && d.getDouble(1) == 93512.02)
+  }
+
+  // --- S1: YAML config scan ------------------------------------------------
+
+  test("ConfigSource parses the reference coins.yaml shape") {
+    val yaml =
+      """# comment
+        |assets:
+        |  - bitcoin
+        |  - ethereum   # inline comment
+        |  - "solana"
+        |other:
+        |  - not-an-asset
+        |""".stripMargin
+    assert(ConfigSource.parseAssetList(yaml) == Seq("bitcoin", "ethereum", "solana"))
+  }
+
+  // --- S4: retry/backoff ---------------------------------------------------
+
+  test("Retry.withBackoff retries transient errors with exponential capped delays") {
+    val delays = scala.collection.mutable.ArrayBuffer[Long]()
+    var calls = 0
+    val out = Retry.withBackoff(attempts = 6, baseDelayMs = 1000, maxDelayMs = 4000,
+        sleep = delays += _) { () =>
+      calls += 1
+      if (calls < 4) throw new Retry.TransientError(s"429 #$calls")
+      "ok"
+    }
+    assert(out == "ok" && calls == 4)
+    assert(delays.toSeq == Seq(1000L, 2000L, 4000L))
+
+    // non-transient propagates immediately
+    var hard = 0
+    intercept[IllegalArgumentException] {
+      Retry.withBackoff(sleep = _ => ()) { () => hard += 1; throw new IllegalArgumentException("bad") }
+    }
+    assert(hard == 1)
+    // exhausted attempts rethrow the transient error
+    intercept[Retry.TransientError] {
+      Retry.withBackoff(attempts = 2, sleep = _ => ()) { () => throw new Retry.TransientError("always") }
+    }
+  }
+
+  // --- F10: formatters -----------------------------------------------------
+
+  test("formatters match the dashboard's display contract") {
+    val df = Seq((93421.171, 5.2632, 1.849e12), (0.5, -3.1, 45e6))
+      .toDF("price", "pct", "mc")
+      .union(Seq((Option.empty[Double], Option.empty[Double], Option.empty[Double]))
+        .toDF("price", "pct", "mc"))
+    val got = df.select(
+      Formatters.formatCurrency($"price"),
+      Formatters.pctStr($"pct"),
+      Formatters.formatCompact($"mc")).as[(String, String, String)].collect().toSeq
+    assert(got == Seq(
+      ("$93,421.17", "+5.26%", "1.85T"),
+      ("$0.50", "-3.10%", "45.00M"),
+      ("—", "—", "—")))
+  }
+
+  // --- multimodal plumbing -------------------------------------------------
+
+  test("multimodal: media wrap, stub features, resize, frame sampling, partition-amortized decode") {
+    val docs = Seq((0L, "alpha beta gamma", "en", "src0", 16L),
+                   (1L, "delta epsilon", "en", "src0", 13L),
+                   (2L, "zeta eta theta iota", "en", "src1", 19L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val media = Multimodal.fromDocuments(docs)
+    assert(media.select("kind").as[String].collect().toSet == Set("image", "audio", "video"))
+
+    val feats = media.select(Multimodal.fakeFeatures($"payload", 8).as("f"))
+      .select(size($"f")).as[Int].collect()
+    assert(feats.forall(_ == 8))
+
+    val resized = Multimodal.resize(media, 224, 224)
+      .select($"meta.width", $"meta.height").as[(Int, Int)].collect()
+    assert(resized.forall(_ == ((224, 224))))
+
+    val frames = Multimodal.sampleFrames(media, everyMs = 200L)
+    // only the video row (doc 2, duration 19*40=760ms) → offsets 0,200,400,600
+    assert(frames.select($"offset_ms").as[Long].collect().sorted.toSeq == Seq(0L, 200L, 400L, 600L))
+
+    val decoded = Multimodal.decodePartitions(media).collect().sortBy(_.media_id)
+    assert(decoded.map(_.n_bytes).toSeq == Seq(16, 13, 19))
+    assert(decoded.map(_.checksum).distinct.length == 3) // deterministic, distinct
+  }
+}
