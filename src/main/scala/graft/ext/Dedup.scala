@@ -45,40 +45,27 @@ object Dedup {
 
   /** Distinct word `n`-gram shingles of the normalized text. Documents
     * shorter than `n` tokens yield an empty set (they cannot
-    * participate in shingle-based near-dup). */
+    * participate in shingle-based near-dup).
+    *
+    * Construction note (perf, load-bearing): the token array is only
+    * ever an ARGUMENT of array functions (`zip_with`/`slice`), never
+    * referenced inside a per-element lambda. A lambda-body reference
+    * (`get(toks, i+j)`) re-evaluates the whole
+    * `split(regexp_replace(...))` subtree PER ELEMENT — the round-2
+    * bench measured that as minutes per 5k docs once an optimizer
+    * inline put it inside another lambda. `zip_with` evaluates each
+    * input array once and then iterates. */
   def shingles(text: Column, n: Int = 3): Column = {
     val toks = split(normalized(text), " ")
-    when(size(toks) >= n,
-      array_distinct(transform(sequence(lit(0), size(toks) - n), i =>
-        concat_ws(" ", (0 until n).map(j => get(toks, i + lit(j))): _*))))
+    // shingle_i = toks[i] ⧺ toks[i+1] ⧺ … built by zipping shifted
+    // copies; zip_with pads the shorter side with null and concat
+    // propagates it, so trailing partial shingles become null.
+    val zipped = (1 until n).foldLeft(toks) { (acc, k) =>
+      zip_with(acc, slice(toks, lit(k + 1), size(toks)), (a, b) => concat(a, lit(" "), b))
+    }
+    when(size(toks) >= n, array_distinct(filter(zipped, x => x.isNotNull)))
       .otherwise(array().cast("array<string>"))
   }
-
-  /** Minhash signature: for each of `numPerm` seeded xxhash64 families,
-    * the minimum hash over the shingle set. One expression — stays in
-    * codegen; cost is numPerm passes over the (small) shingle array. */
-  def minhashSignature(sh: Column, numPerm: Int): Column =
-    transform(sequence(lit(0), lit(numPerm - 1)), s =>
-      array_min(transform(sh, t => xxhash64(t, s))))
-
-  /** Banded buckets over an ALREADY-MATERIALIZED signature column:
-    * `numBands` structs of (band, bucket) where bucket = xxhash64 of
-    * that band's `r` signature slice. A pair is a candidate if it
-    * collides in ANY band — the standard OR-amplification S-curve
-    * (collision prob 1-(1-j^r)^b for Jaccard j).
-    *
-    * `sig` MUST be a plain column reference, not the signature
-    * expression inline: this array mentions it `numBands` times, and
-    * an inline expression would be recomputed per mention (the round-2
-    * bench caught exactly that — 16× signature recompute put
-    * q18_neardup_text at 93 s; Catalyst's CollapseProject keeps a
-    * non-cheap multi-referenced alias in its own projection, so a
-    * named column is computed once per row). */
-  def minhashBandBuckets(sig: Column, numBands: Int, r: Int): Column =
-    array((0 until numBands).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64(lit(b), slice(sig, b * r + 1, r)).as("bucket"))
-    }: _*)
 
   /** Exact Jaccard over two shingle-set columns (the verification
     * predicate; integer set sizes, so the double division is exact and
@@ -88,12 +75,34 @@ object Dedup {
       .otherwise(size(array_intersect(a, b)).cast("double") /
         size(array_union(a, b)).cast("double"))
 
+  /** Minhash signatures as an explode + hash-aggregate plan: one row
+    * per (doc, shingle-hash), then `numPerm` `min(xxhash64(h, seed))`
+    * aggregates. This is the scalable minhash shape — everything is
+    * codegen'd builtins; partial aggregation collapses each partition
+    * to one row per doc before the shuffle, and no HOF lambda ever
+    * re-evaluates an expensive subtree (minhash-inside-transform
+    * re-evaluated the shingle construction once PER SEED after
+    * optimizer inlining — the round-2 bench hang).
+    *
+    * Output: (__id, __m0 … __m{numPerm-1}).
+    */
+  def minhashSignatures(sh: DataFrame, numPerm: Int,
+                        idCol: String = "__id", shCol: String = "__sh"): DataFrame = {
+    val hashed = sh
+      .select(col(idCol), explode(col(shCol)).as("__t"))
+      .select(col(idCol), xxhash64(col("__t")).as("__h"))
+    val aggs = (0 until numPerm).map(s => min(xxhash64(col("__h"), lit(s))).as(s"__m$s"))
+    hashed.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Near-duplicate pairs by word-shingle Jaccard ≥ `threshold`.
     *
-    * Pipeline: shingle → minhash → band explode → band equi-join on
-    * (band, bucket) producing candidate id pairs (id-only — no
-    * payloads in the wide join) → dedup across bands → join back to
-    * the corpus for shingle sets → exact-Jaccard verification.
+    * Pipeline: shingle → minhash signatures (explode + min-aggregates)
+    * → per-band bucket = xxhash64 of that band's `r` signature slots →
+    * band equi-join on (band, bucket) producing candidate id pairs
+    * (id-only — no payloads in the wide join) → dedup across bands →
+    * join back to the corpus for shingle sets → exact-Jaccard
+    * verification.
     *
     * Band parameters default to b=16, r=4 (64 permutations): candidate
     * probability ≈ 1 for j ≥ 0.9, ≈ 0.97 at j = 0.8, falling fast
@@ -105,9 +114,12 @@ object Dedup {
     val sh = docs.select(col(idCol).as("__id"), shingles(col(textCol), shingleN).as("__sh"))
       .filter(size(col("__sh")) > 0)
 
-    val banded = sh
-      .withColumn("__sig", minhashSignature(col("__sh"), numBands * r))
-      .select(col("__id"), explode(minhashBandBuckets(col("__sig"), numBands, r)).as("__b"))
+    val sig = minhashSignatures(sh, numBands * r)
+    val bands = array((0 until numBands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((lit(b) +: (b * r until (b + 1) * r).map(s => col(s"__m$s"))): _*).as("bucket"))
+    }: _*)
+    val banded = sig.select(col("__id"), explode(bands).as("__b"))
     val candidates = banded.as("a")
       .join(banded.as("b"),
         col("a.__b") === col("b.__b") && col("a.__id") < col("b.__id"))

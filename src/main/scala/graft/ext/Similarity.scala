@@ -54,19 +54,13 @@ object Similarity {
       .drop("__rl")
   }
 
-  /** `numBands × planesPerBand` hyperplanes, one fixed seed — band b
-    * uses planes [b*r, b*r+r). */
-  private def bandedPlanes(dim: Int, numBands: Int, planesPerBand: Int,
-                           seed: Long): Array[Array[Array[Float]]] =
-    hyperplanes(dim, numBands * planesPerBand, seed)
-      .grouped(planesPerBand).toArray
-
-  /** Array of per-band struct(band, bucket) for one vector column —
-    * exploded by callers into the band-join key. HOF/codegen only. */
-  private def bandBuckets(v: Column, planes: Array[Array[Array[Float]]]): Column =
-    array(planes.zipWithIndex.map { case (band, b) =>
-      struct(lit(b).as("band"), lshBucket(v, band).as("bucket"))
-    }: _*)
+  /** Array of band-unique bucket longs for one vector column —
+    * exploded by callers into the band-join key. Codegen'd single
+    * pass (see [[graft.functions.SignLshBuckets]]); `planes` is the
+    * seeded flat (numBands*planesPerBand) × dim matrix. */
+  private def bandBuckets(v: Column, planes: Array[Array[Float]],
+                          numBands: Int, r: Int): Column =
+    lshBandBuckets(v, planes, numBands, r)
 
   /** Approximate top-k via banded sign-LSH. Queries broadcast; the
     * corpus-side band assignment is a projection + explode (numBands
@@ -78,13 +72,13 @@ object Similarity {
               numBands: Int = DefaultBands, planesPerBand: Int = DefaultPlanesPerBand,
               dim: Int = 64, seed: Long = 42L,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val planes = bandedPlanes(dim, numBands, planesPerBand, seed)
+    val planes = hyperplanes(dim, numBands * planesPerBand, seed)
     val c = corpus
       .select(col(idCol), col(vecCol))
-      .withColumn("__b", explode(bandBuckets(col(vecCol), planes)))
+      .withColumn("__b", explode(bandBuckets(col(vecCol), planes, numBands, planesPerBand)))
     val q = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-      .withColumn("__qb", explode(bandBuckets(col("__qv"), planes)))
+      .withColumn("__qb", explode(bandBuckets(col("__qv"), planes, numBands, planesPerBand)))
     val scored = c
       .join(broadcast(q),
         c("__b") === q("__qb") && col(idCol) =!= col("query_id"))
@@ -114,10 +108,10 @@ object Similarity {
         .filter(col("sim") >= threshold)
         .select(col("id_a"), col("id_b"), col("sim"))
     } else {
-      val planes = bandedPlanes(dim, numBands, planesPerBand, seed)
+      val planes = hyperplanes(dim, numBands * planesPerBand, seed)
       val banded = embeddings
         .select(col(idCol), col(vecCol))
-        .withColumn("__b", explode(bandBuckets(col(vecCol), planes)))
+        .withColumn("__b", explode(bandBuckets(col(vecCol), planes, numBands, planesPerBand)))
       val a = banded.select(col("__b").as("__ba"), col(idCol).as("id_a"), col(vecCol).as("__va"))
       val b = banded.select(col("__b").as("__bb"), col(idCol).as("id_b"), col(vecCol).as("__vb"))
       a.join(b, col("__ba") === col("__bb") && col("id_a") < col("id_b"))

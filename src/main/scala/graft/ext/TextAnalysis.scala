@@ -114,8 +114,28 @@ object TextAnalysis {
   }
 
   /** Convenience one-expression form (fine for single use; prefer
-    * materializing [[tokenHashes]] when fingerprinting a corpus). */
+    * [[simhashCorpus]] when fingerprinting a corpus). */
   def simhash(text: Column): Column = simhashFromHashes(tokenHashes(text))
+
+  /** Corpus-scale simhash as an explode + hash-aggregate plan: one row
+    * per (doc, token-hash), 64 `sum(±1)` bit-vote aggregates, then a
+    * cheap projection packs the signs into the fingerprint. Same
+    * rationale as `Dedup.minhashSignatures`: everything codegen'd,
+    * map-side partial aggregation, no HOF re-evaluation of the
+    * tokenize/hash subtree. Output: (idCol, fingerprint). */
+  def simhashCorpus(docs: DataFrame, textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    val hashed = docs
+      .select(col(idCol), explode(tokenHashes(col(textCol))).as("__h"))
+    val votes = (0 until 64).map { j =>
+      sum(when(shiftright(col("__h"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"__v$j")
+    }
+    val packed = (0 until 64).map { j =>
+      when(col(s"__v$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    hashed.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+      .select(col(idCol), packed.as("fingerprint"))
+  }
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -2,11 +2,11 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, Literal, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
 /** Vector similarity primitives over `array<float>` embedding columns
   * (the `embeddings` testdata table; SURVEY.md §7.5).
@@ -80,6 +80,97 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Banded sign-LSH buckets as a native codegen expression: one pass
+  * over the input vector computes every band's hyperplane dot
+  * products; band b's bucket is `(b << r) | signBits(planes[b*r …
+  * b*r+r))` — unique across bands, so the bucket long alone is the
+  * band-join key.
+  *
+  * This replaces the higher-order-function bucket computation: HOFs
+  * are CodegenFallback (interpreted, per-plane array passes), while
+  * this expression is a tight generated loop over primitive floats —
+  * the difference between an interpreted 64-pass scorer and a single
+  * fused pass on the corpus-scan side of an ANN join.
+  *
+  * `planesFlat` is the row-major (numBands*r) × dim hyperplane matrix,
+  * baked in as a constant reference (it comes from a seeded generator,
+  * a few KB — broadcast-as-literal is the right shape).
+  */
+case class SignLshBuckets(child: Expression, planesFlat: Array[Float],
+                          numBands: Int, r: Int)
+    extends UnaryExpression {
+
+  private val numPlanes = numBands * r
+  private val dim = if (numPlanes == 0) 0 else planesFlat.length / numPlanes
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"${VectorFunctions.LshName} expects array<float>, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(v.numElements(), dim)
+    val out = new Array[Long](numBands)
+    var b = 0
+    while (b < numBands) {
+      var bits = 0L
+      var j = 0
+      while (j < r) {
+        val planeOff = (b * r + j) * dim
+        var dot = 0.0
+        var i = 0
+        while (i < n) { dot += v.getFloat(i).toDouble * planesFlat(planeOff + i); i += 1 }
+        if (dot >= 0.0) bits |= (1L << j)
+        j += 1
+      }
+      out(b) = (b.toLong << r) | bits
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planesFlat, "float[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val b = ctx.freshName("b")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val bits = ctx.freshName("bits")
+      val dot = ctx.freshName("dot")
+      val off = ctx.freshName("off")
+      s"""
+         |int $n = java.lang.Math.min($v.numElements(), $dim);
+         |long[] $out = new long[$numBands];
+         |for (int $b = 0; $b < $numBands; $b++) {
+         |  long $bits = 0L;
+         |  for (int $j = 0; $j < $r; $j++) {
+         |    int $off = ($b * $r + $j) * $dim;
+         |    double $dot = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      $dot += (double) $v.getFloat($i) * (double) $planesRef[$off + $i];
+         |    }
+         |    if ($dot >= 0.0) $bits |= (1L << $j);
+         |  }
+         |  $out[$b] = (((long) $b) << $r) | $bits;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Session-extension hook registering graft's native expressions via the
   * public `SparkSessionExtensions.injectFunction` API (Column↔Expression
   * conversion is `private[sql]` in Spark 4.1, so a registered-function
@@ -96,12 +187,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2, s"${VectorFunctions.CosineName}(a, b) takes exactly 2 arguments")
         CosineSimilarity(args.head, args(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier(VectorFunctions.LshName),
+      new ExpressionInfo(classOf[SignLshBuckets].getName, VectorFunctions.LshName),
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          s"${VectorFunctions.LshName}(vec, planesFlat, numBands, r) takes exactly 4 arguments")
+        // The plane matrix and band geometry must be foldable — they
+        // parameterize the generated code, they are not per-row data.
+        val planes = args(1) match {
+          case Literal(arr: ArrayData, ArrayType(FloatType, _)) => arr.toFloatArray()
+          case other => throw new IllegalArgumentException(
+            s"planesFlat must be an array<float> literal, got $other")
+        }
+        def intLit(e: Expression, name: String): Int = e match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(s"$name must be an int literal, got $other")
+        }
+        SignLshBuckets(args.head, planes,
+          intLit(args(2), "numBands"), intLit(args(3), "r"))
+      }))
   }
 }
 
 object VectorFunctions {
 
   val CosineName = "graft_cosine"
+  val LshName = "graft_lsh_buckets"
 
   /** Codegen'd cosine similarity between two `array<float>` columns.
     * Requires a session built with [[GraftExtensions]] (see
@@ -132,12 +244,23 @@ object VectorFunctions {
 
   /** Sign-LSH bucket id: bit i = (v · plane_i) >= 0. Packs to a long,
     * so up to 63 planes. Computed with HOFs over a literal plane
-    * matrix — stays codegen-friendly, no UDF. */
+    * matrix — no UDF, but HOFs are interpreted (CodegenFallback):
+    * this is the cross-check reference for [[lshBandBuckets]]. */
   def lshBucket(v: Column, planes: Array[Array[Float]]): Column = {
     planes.zipWithIndex.map { case (p, i) =>
       val dot = aggregate(zip_with(v, typedlit(p.toSeq), (x, y) => x.cast("double") * y.cast("double")),
         lit(0.0), (acc, x) => acc + x)
       when(dot >= 0.0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
+  }
+
+  /** Codegen'd banded sign-LSH buckets (see [[SignLshBuckets]]): one
+    * fused pass over the vector → array of `numBands` band-unique
+    * bucket longs. `planes` is the seeded (numBands*r) × dim matrix. */
+  def lshBandBuckets(v: Column, planes: Array[Array[Float]], numBands: Int, r: Int): Column = {
+    require(planes.length == numBands * r,
+      s"need ${numBands * r} planes, got ${planes.length}")
+    call_function(LshName, v, typedlit(planes.flatten.toSeq),
+      lit(numBands), lit(r))
   }
 }

@@ -294,8 +294,6 @@ object ExtQueries {
   // verifies the Hamming property against the q18 Jaccard pairs.
   // ----------------------------------------------------------------
   def q26Fingerprint(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .withColumn("__th", TextAnalysis.tokenHashes(col("text"))) // once per row
-      .select(col("doc_id"), TextAnalysis.simhashFromHashes(col("__th")).as("fingerprint"))
+    TextAnalysis.simhashCorpus(Tables.documents(spark, dir))
       .orderBy(col("doc_id"))
 }

@@ -42,6 +42,18 @@ object StreamingIngest {
         col("open"), col("high"), col("low"), col("close"),
         col("market_cap"), col("volume"), col("n_ticks"))
 
+  /** Streaming exact dedup over a document stream — the streaming form
+    * of `Dedup.exactDedup` for continuous training-data ingest: rows
+    * whose normalized content hash was already seen are dropped;
+    * per-hash state is bounded by the event-time watermark
+    * (`dropDuplicatesWithinWatermark`), so state size is
+    * (distinct docs per watermark horizon), not unbounded history. */
+  def dedupDocuments(docs: DataFrame, watermark: String = "24 hours"): DataFrame =
+    docs
+      .withColumn("content_hash", graft.ext.Dedup.contentHash(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** foreachBatch sink: last-write-wins merge of each micro-batch into
     * a date-partitioned parquet table on (asset_id, ts) — U2 semantics
     * (`src/db.py:87-99`) with partition-pruned rewrites. */

@@ -43,6 +43,25 @@ class ExtSpec extends AnyFunSuite {
     assert(got(2) == 0.0)
   }
 
+  test("codegen LSH band buckets agree with the HOF plane-dot form") {
+    val numBands = 2; val r = 4; val dim = 16
+    val planes = VectorFunctions.hyperplanes(dim, numBands * r, seed = 42L)
+    val rng = new scala.util.Random(3)
+    val df = Seq.tabulate(20)(i => (i.toLong, Array.fill(dim)(rng.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val got = df.select($"vec_id",
+        VectorFunctions.lshBandBuckets($"embedding", planes, numBands, r).as("b"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val expected = df.select(($"vec_id" +:
+        (0 until numBands).map { b =>
+          (VectorFunctions.lshBucket($"embedding", planes.slice(b * r, (b + 1) * r))
+            + lit(b.toLong << r)).as(s"b$b")
+        }): _*)
+      .collect().map(row => row.getLong(0) -> (1 to numBands).map(row.getLong))
+      .toMap
+    assert(got.forall { case (id, bs) => bs == expected(id) })
+  }
+
   // --- similarity search ---------------------------------------------------
 
   test("bruteForceTopK finds the planted nearest neighbor first") {
@@ -156,5 +175,10 @@ class ExtSpec extends AnyFunSuite {
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(ham(fps(1L), fps(2L)) <= 12, s"near-dup hamming ${ham(fps(1L), fps(2L))}")
     assert(ham(fps(1L), fps(3L)) >= 16, s"unrelated hamming ${ham(fps(1L), fps(3L))}")
+
+    // the corpus-scale aggregate form computes the identical fingerprint
+    val docs2 = Seq((1L, base), (2L, nearDup), (3L, unrelated)).toDF("doc_id", "text")
+    val corpusFps = TextAnalysis.simhashCorpus(docs2).as[(Long, Long)].collect().toMap
+    assert(corpusFps == fps)
   }
 }

@@ -59,4 +59,28 @@ class StreamingSpec extends AnyFunSuite {
       .select("low", "close", "n_ticks").as[(Double, Double, Long)].head()
     assert(h1 == ((90.0, 90.0, 3L)))
   }
+
+  test("streaming exact dedup drops repeated content within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val query = StreamingIngest.dedupDocuments(
+        input.toDF().toDF("doc_id", "ts", "text"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName("dedup_out")
+      .start()
+
+    input.addData(
+      (1L, ts("2024-01-01 00:00:00"), "alpha beta"),
+      (2L, ts("2024-01-01 00:01:00"), "ALPHA   beta"), // same normalized content
+      (3L, ts("2024-01-01 00:02:00"), "gamma delta"))
+    query.processAllAvailable()
+    input.addData((4L, ts("2024-01-01 00:30:00"), "alpha beta")) // still duplicate
+    query.processAllAvailable()
+    query.stop()
+
+    val ids = spark.table("dedup_out").select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 3L))
+  }
 }
