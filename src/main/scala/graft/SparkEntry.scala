@@ -47,6 +47,7 @@ object SparkEntry {
     "q26_fingerprint"    -> (ExtQueries.q26Fingerprint _),
     "q27_multimodal"     -> (ExtQueries.q27Multimodal _),
     "q28_frame_sample"   -> (ExtQueries.q28FrameSample _),
+    "q29_curation"       -> (ExtQueries.q29Curation _),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB
@@ -80,5 +81,6 @@ object SparkEntry {
     // q26_fingerprint: xxhash64 simhash not SQL-expressible → rows-only check
     "q27_multimodal"     -> ExtQueries.q27MultimodalSql,
     "q28_frame_sample"   -> ExtQueries.q28FrameSampleSql,
+    "q29_curation"       -> ExtQueries.q29CurationSql,
   )
 }

@@ -288,6 +288,69 @@ object ExtQueries {
       |ORDER BY media_id, offset_ms""".stripMargin
 
   // ----------------------------------------------------------------
+  // q29_curation — the end-to-end training-data curation pipeline in
+  // one plan: quality-score filter → minhash near-dup removal (drop
+  // the higher doc_id of every pair ≥ 0.7, via left-anti join) →
+  // per-lang corpus profile. Composes TextAnalysis + Dedup and
+  // exercises the anti-join; the oracle recomputes near-dups exactly
+  // (all-pairs) so equality re-proves LSH recall on the kept set.
+  // ----------------------------------------------------------------
+  def q29Curation(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val kept = docs
+      .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+      .filter(col("quality") >= 0.5)
+    val dupIds = Dedup.nearDupText(kept, threshold = 0.7)
+      .select(col("id_b").as("doc_id")).distinct()
+    val curated = kept.join(dupIds, Seq("doc_id"), "left_anti")
+    curated.groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        (sum(col("quality").cast(DecimalType(18, 12))).cast("double") / count(lit(1)))
+          .as("avg_quality"))
+      .orderBy(col("lang"))
+  }
+
+  val q29CurationSql: String =
+    """WITH m AS (
+      |  SELECT doc_id, lang, n_chars,
+      |         regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t,
+      |         lower(text) AS lt
+      |  FROM documents),
+      |q AS (
+      |  SELECT doc_id, lang, n_chars, t,
+      |    0.25 * least(1.0, CAST(len(string_split(t, ' ')) AS DOUBLE) / 50.0)
+      |    + 0.25 * (1.0 - least(1.0,
+      |        (CASE WHEN len(t) = 0 THEN 0.0
+      |              ELSE CAST(len(regexp_replace(t, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / CAST(len(t) AS DOUBLE) END) * 5.0))
+      |    + 0.25 * least(1.0,
+      |        (CASE WHEN len(string_split(t, ' ')) = 0 THEN 0.0
+      |              ELSE CAST(len(list_filter(string_split(t, ' '),
+      |                     x -> x IN ('the','a','of','and','to','in','is','on','for','with'))) AS DOUBLE)
+      |                   / CAST(len(string_split(t, ' ')) AS DOUBLE) END) * 5.0)
+      |    + 0.25 * least(1.0,
+      |        (CASE WHEN len(string_split(t, ' ')) = 0 THEN 0.0
+      |              ELSE CAST(len(regexp_replace(t, ' ', '', 'g')) AS DOUBLE) / CAST(len(string_split(t, ' ')) AS DOUBLE) END) / 8.0) AS quality
+      |  FROM m),
+      |kept AS (SELECT * FROM q WHERE quality >= 0.5),
+      |s AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+      |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      |  FROM (SELECT doc_id, string_split(t, ' ') AS toks FROM kept)
+      |  WHERE len(toks) >= 3),
+      |dropped AS (
+      |  SELECT DISTINCT b.doc_id
+      |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |  WHERE len(list_intersect(a.sh, b.sh)) * 1.0 / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7),
+      |curated AS (SELECT * FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM dropped))
+      |SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+      |       CAST(SUM(CAST(quality AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*) AS avg_quality
+      |FROM curated
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
+  // ----------------------------------------------------------------
   // q26_fingerprint — simhash document fingerprints + intra-corpus
   // near-dup pairs by Hamming distance <= 6. xxhash64-based → not
   // oracle-expressible; rows-only driver check, TextAnalysisSpec

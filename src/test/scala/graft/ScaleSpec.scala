@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Layout, Skew}
+
+/** Physical-layout and skew-mitigation checks: bucketed joins must
+  * plan without shuffle exchanges; salted aggregation/join must be
+  * exact. */
+class ScaleSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("bucketed tables join and aggregate without a shuffle exchange") {
+    val prices = Seq.tabulate(1000)(i => (i % 20L, i.toLong, 100.0 + i))
+      .toDF("asset_id", "seq", "price")
+    val assets = Seq.tabulate(20)(i => (i.toLong, s"coin$i")).toDF("asset_id", "name")
+    Layout.writeBucketed(prices, "b_prices", Seq("asset_id"), buckets = 8)
+    Layout.writeBucketed(assets, "b_assets", Seq("asset_id"), buckets = 8)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // disable auto-broadcast so the join must pick sort-merge — the
+      // co-located bucketed layout then needs NO exchange of any kind
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b_prices").join(spark.table("b_assets"), "asset_id")
+        .groupBy($"asset_id", $"name").agg(sum($"price").as("s"))
+      assert(joined.count() == 20)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"expected exchange-free plan, got:\n$plan")
+      assert(plan.contains("SortMergeJoin"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS b_prices")
+      spark.sql("DROP TABLE IF EXISTS b_assets")
+    }
+  }
+
+  test("salted aggregation equals the direct aggregate") {
+    // heavy skew: 90% of rows on one key
+    val df = Seq.tabulate(2000)(i => (if (i < 1800) 1L else i % 7L, i.toLong, i * 0.5))
+      .toDF("k", "id", "v")
+    val direct = df.groupBy($"k").agg(sum($"v").as("sum"))
+      .as[(Long, Double)].collect().toMap
+    val salted = Skew.saltedSum(df, Seq("k"), $"v", saltFrom = $"id")
+      .as[(Long, Double)].collect().toMap
+    assert(salted == direct)
+  }
+
+  test("salted join equals the direct join") {
+    val fact = Seq.tabulate(500)(i => (if (i < 450) 1L else i % 5L, i.toLong)).toDF("k", "id")
+    val dim = Seq.tabulate(5)(i => (i.toLong, s"d$i")).toDF("k", "name")
+    val direct = fact.join(dim, "k").select($"id", $"name")
+      .as[(Long, String)].collect().toSet
+    val salted = Skew.saltedJoin(fact, dim, "k", saltFrom = $"id")
+      .select($"id", $"name").as[(Long, String)].collect().toSet
+    assert(salted == direct)
+  }
+}
