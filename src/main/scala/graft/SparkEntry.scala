@@ -48,6 +48,7 @@ object SparkEntry {
     "q27_multimodal"     -> (ExtQueries.q27Multimodal _),
     "q28_frame_sample"   -> (ExtQueries.q28FrameSample _),
     "q29_curation"       -> (ExtQueries.q29Curation _),
+    "q30_simhash_neardup" -> (ExtQueries.q30SimhashNearDup _),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB

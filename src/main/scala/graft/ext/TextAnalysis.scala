@@ -139,4 +139,32 @@ object TextAnalysis {
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Simhash near-duplicate pairs with Hamming distance ≤ `maxHamming`
+    * (≤ 7): the 64-bit fingerprint splits into 8 × 8-bit chunks; by
+    * pigeonhole, two fingerprints within Hamming 7 share at least one
+    * chunk, so a chunk equi-join finds ALL qualifying pairs — the
+    * classic simhash dedup layout (banded like minhash, but with a
+    * recall GUARANTEE instead of a probability). Candidates carry only
+    * (ids, fingerprints); verification is one bit_count. */
+  def simhashNearDup(docs: DataFrame, maxHamming: Int = 6,
+                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(maxHamming <= 7, s"8x8-bit chunking guarantees recall only for hamming <= 7, got $maxHamming")
+    val fp = simhashCorpus(docs, textCol, idCol)
+    val chunks = array((0 until 8).map { c =>
+      struct(lit(c).as("band"),
+        shiftright(col("fingerprint"), c * 8).bitwiseAND(lit(0xFFL)).as("chunk"))
+    }: _*)
+    val banded = fp.select(col(idCol).as("__id"), col("fingerprint"),
+      explode(chunks).as("__b"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.__b") === col("b.__b") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        col("a.fingerprint").as("__fa"), col("b.fingerprint").as("__fb"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", hamming(col("__fa"), col("__fb")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
 }

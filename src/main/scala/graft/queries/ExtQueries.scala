@@ -359,4 +359,13 @@ object ExtQueries {
   def q26Fingerprint(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.simhashCorpus(Tables.documents(spark, dir))
       .orderBy(col("doc_id"))
+
+  // ----------------------------------------------------------------
+  // q30_simhash_neardup — simhash chunk-join near-dup pairs (hamming
+  // <= 6, guaranteed-recall 8x8-bit banding). xxhash64-based → rows-
+  // only driver check; ExtSpec cross-checks against brute force.
+  // ----------------------------------------------------------------
+  def q30SimhashNearDup(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.simhashNearDup(Tables.documents(spark, dir), maxHamming = 6)
+      .orderBy(col("id_a"), col("id_b"))
 }

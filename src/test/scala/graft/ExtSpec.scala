@@ -181,4 +181,17 @@ class ExtSpec extends AnyFunSuite {
     val corpusFps = TextAnalysis.simhashCorpus(docs2).as[(Long, Long)].collect().toMap
     assert(corpusFps == fps)
   }
+
+  test("simhashNearDup chunk join finds exactly the brute-force hamming pairs") {
+    val docs = Tables.documents(spark, sf)
+    val maxH = 6
+    val got = TextAnalysis.simhashNearDup(docs, maxHamming = maxH)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val fps = TextAnalysis.simhashCorpus(docs).as[(Long, Long)].collect()
+    val expected = (for {
+      (ia, fa) <- fps; (ib, fb) <- fps
+      if ia < ib && java.lang.Long.bitCount(fa ^ fb) <= maxH
+    } yield (ia, ib)).toSet
+    assert(got == expected, s"missed=${expected -- got} extra=${got -- expected}")
+  }
 }
