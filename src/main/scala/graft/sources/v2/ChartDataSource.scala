@@ -1,0 +1,137 @@
+package graft.sources.v2
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.model.Schemas
+import graft.sources.Retry
+
+/** DataSource V2 adapter for the reference's `market_chart` REST
+  * payloads (SURVEY.md §2.1 S2-S4) — the live-ingest shape: the
+  * reference fetches per-coin JSON over HTTPS with retry/backoff
+  * (`/root/reference/src/coingecko.py:36-90`). Here each input
+  * partition is one payload file (one "API response"); a real
+  * deployment would make each partition one (coin, window) fetch —
+  * the planning, retry, and row-conversion layers are exactly this.
+  *
+  * Demonstrated connector mechanics, all public DSv2 API:
+  *   - `TableProvider`/`SupportsRead` with a declared fixed schema;
+  *   - partition planning: one `InputPartition` per payload →
+  *     parallel fetch across executors (vs the reference's sequential
+  *     per-coin loop, `src/etl.py:34`);
+  *   - per-partition retry via [[Retry.withBackoff]] INSIDE the
+  *     reader — where transient HTTP failures belong at scale;
+  *   - top-level column pruning (`SupportsPushDownRequiredColumns`):
+  *     `select coin_id` never materializes the arrays.
+  *
+  * Usage: `spark.read.format(classOf[ChartDataSource].getName)
+  *   .load(pathPattern)` — newline-delimited JSON objects with
+  *   coin_id + the three parallel `[[ms, v], …]` arrays.
+  */
+class ChartDataSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    Schemas.marketChart
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new ChartTable(schema)
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+class ChartTable(schema: StructType) extends Table with SupportsRead {
+  override def name(): String = "graft_market_chart"
+  override def schema(): StructType = schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ChartScanBuilder(paths(options))
+
+  private def paths(options: CaseInsensitiveStringMap): Seq[String] = {
+    val single = Seq(Option(options.get("path"))).flatten
+    val multi = Option(options.get("paths")).toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+    (single ++ multi).distinct
+  }
+}
+
+class ChartScanBuilder(paths: Seq[String])
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = Schemas.marketChart
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // preserve source field order; an empty projection (count(*)) is legal
+    required = StructType(Schemas.marketChart.fields
+      .filter(f => requiredSchema.fieldNames.contains(f.name)))
+
+  override def build(): Scan = new ChartScan(paths, required)
+}
+
+class ChartScan(paths: Seq[String], required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] = {
+    // one partition per payload file = one "API response" per task
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI("file:///"),
+      new org.apache.hadoop.conf.Configuration())
+    paths.flatMap { p =>
+      val path = new org.apache.hadoop.fs.Path(p)
+      if (fs.getFileStatus(path).isDirectory)
+        fs.listStatus(path).filter(_.isFile).map(s => ChartPartition(s.getPath.toString))
+      else Array(ChartPartition(p))
+    }.toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ChartReaderFactory(required)
+}
+
+case class ChartPartition(path: String) extends InputPartition
+
+class ChartReaderFactory(required: StructType) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new ChartReader(partition.asInstanceOf[ChartPartition].path, required)
+}
+
+/** Per-partition reader: the "fetch" (here: file read) runs under the
+  * reference's retry policy; JSON decodes with the payload schema. */
+class ChartReader(path: String, required: StructType)
+    extends PartitionReader[InternalRow] {
+
+  private val mapper = new ObjectMapper()
+  private val lines: Iterator[String] = Retry.withBackoff(baseDelayMs = 100L) { () =>
+    scala.io.Source.fromFile(new java.net.URI(if (path.contains(":")) path else s"file:$path")
+      .getPath, "UTF-8").getLines().filter(_.trim.nonEmpty).toVector
+  }.iterator
+
+  private var current: InternalRow = _
+
+  override def next(): Boolean =
+    if (!lines.hasNext) false
+    else { current = convert(mapper.readTree(lines.next())); true }
+
+  private def pairs(node: JsonNode): ArrayData =
+    if (node == null || node.isNull) null
+    else new GenericArrayData(node.elements().asScala.map { pair =>
+      new GenericArrayData(pair.elements().asScala.map(_.asDouble()).toArray[Any])
+    }.toArray[Any])
+
+  private def convert(node: JsonNode): InternalRow =
+    InternalRow.fromSeq(required.fields.map { f =>
+      (f.name, node.get(f.name)) match {
+        case ("coin_id", v) => if (v == null || v.isNull) null else UTF8String.fromString(v.asText())
+        case (_, v) => pairs(v)
+      }
+    }.toSeq)
+
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}

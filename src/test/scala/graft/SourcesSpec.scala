@@ -53,6 +53,30 @@ class SourcesSpec extends AnyFunSuite {
     assert(d.getDouble(0) == 93421.17 && d.getDouble(1) == 93512.02)
   }
 
+  // --- S2-S4 as DataSource V2 ---------------------------------------------
+
+  test("ChartDataSource (DSv2) reads payloads with pruning and matches the JSON reader") {
+    val dir = Files.createTempDirectory("graft-dsv2").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/c1.json"),
+      """{"coin_id":"bitcoin","prices":[[1735689600000,93421.17]],"market_caps":[[1735689600000,1.849e12]],"total_volumes":[]}""" + "\n" +
+      """{"coin_id":"ethereum","prices":[[1735689600000,3300.5],[1735693200000,3310.0]],"market_caps":null,"total_volumes":[[1735689600000,2.1e9]]}""")
+
+    val v2 = spark.read.format(classOf[graft.sources.v2.ChartDataSource].getName)
+      .load(s"$dir/c1.json")
+    val viaJson = graft.sources.Sources.marketChart(spark, s"$dir/c1.json")
+    // file-based readers force nullable=true on every field; compare names+types
+    def shape(s: org.apache.spark.sql.types.StructType) = s.fields.map(f => (f.name, f.dataType)).toSeq
+    assert(shape(v2.schema) == shape(viaJson.schema))
+    assert(v2.orderBy("coin_id").collect().toSeq == viaJson.orderBy("coin_id").collect().toSeq)
+
+    // top-level pruning reaches the reader: the BatchScan outputs only coin_id
+    val pruned = v2.select("coin_id")
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("BatchScan graft_market_chart[coin_id#") && !scan.contains("prices"),
+      s"not pruned:\n$scan")
+    assert(pruned.as[String].collect().sorted.toSeq == Seq("bitcoin", "ethereum"))
+  }
+
   // --- S1: YAML config scan ------------------------------------------------
 
   test("ConfigSource parses the reference coins.yaml shape") {
