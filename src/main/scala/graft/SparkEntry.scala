@@ -49,6 +49,8 @@ object SparkEntry {
     "q28_frame_sample"   -> (ExtQueries.q28FrameSample _),
     "q29_curation"       -> (ExtQueries.q29Curation _),
     "q30_simhash_neardup" -> (ExtQueries.q30SimhashNearDup _),
+    "q31_overview"       -> (RefViewQueries.q31Overview _),
+    "q32_align_roundtrip" -> (RefViewQueries.q32AlignRoundtrip _),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB
@@ -83,5 +85,7 @@ object SparkEntry {
     "q27_multimodal"     -> ExtQueries.q27MultimodalSql,
     "q28_frame_sample"   -> ExtQueries.q28FrameSampleSql,
     "q29_curation"       -> ExtQueries.q29CurationSql,
+    "q31_overview"       -> RefViewQueries.q31OverviewSql,
+    "q32_align_roundtrip" -> RefViewQueries.q32AlignRoundtripSql,
   )
 }

@@ -137,6 +137,90 @@ object RefViewQueries {
        |ORDER BY a.asset_id, d.date DESC""".stripMargin
 
   // ----------------------------------------------------------------
+  // q31_overview — the dashboard's combined overview (J5/F11,
+  // app.py:94-156): latest ⋈ 24h-change, display price coalesced,
+  // ordered by market cap. Closes the round-1 "J5 has no oracle" gap.
+  // ----------------------------------------------------------------
+  def q31Overview(spark: SparkSession, dir: String): DataFrame =
+    CryptoViews.overview(refPrices(spark, dir), refAssets(spark, dir),
+      asOf = lit(AsOf).cast("timestamp"))
+
+  val q31OverviewSql: String =
+    s"""WITH $reshapeSql,
+       |latest AS (
+       |  SELECT p.asset_id, a.symbol, a.name, p.price, p.market_cap, p.volume, p.ts
+       |  FROM prices p
+       |  JOIN (SELECT asset_id, max(ts) AS max_ts FROM prices GROUP BY asset_id) last
+       |    ON last.asset_id = p.asset_id AND last.max_ts = p.ts
+       |  JOIN assets a ON a.asset_id = p.asset_id),
+       |p24 AS (
+       |  SELECT p.asset_id, p.price AS price_24h
+       |  FROM prices p
+       |  JOIN (
+       |    SELECT asset_id, max(ts) AS ts_24h FROM prices
+       |    WHERE ts <= TIMESTAMP '$AsOf' - INTERVAL 24 HOURS
+       |    GROUP BY asset_id
+       |  ) t ON t.asset_id = p.asset_id AND t.ts_24h = p.ts),
+       |change AS (
+       |  SELECT l.asset_id, l.price AS price_now, p24.price_24h,
+       |         CASE WHEN p24.price_24h IS NOT NULL
+       |              THEN round((l.price - p24.price_24h) / p24.price_24h * 100.0, 4)
+       |              ELSE NULL END AS pct_change_24h
+       |  FROM latest l LEFT JOIN p24 ON p24.asset_id = l.asset_id)
+       |SELECT l.asset_id, l.symbol, l.name,
+       |       coalesce(c.price_now, l.price) AS display_price,
+       |       l.market_cap, l.volume, c.pct_change_24h, l.ts
+       |FROM latest l
+       |LEFT JOIN change c ON c.asset_id = l.asset_id
+       |ORDER BY l.market_cap DESC NULLS LAST, l.asset_id""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q32_align_roundtrip — J6/F6/F15 under the oracle: events are
+  // packed into the reference's parallel [[ms, value], …] payload
+  // arrays (market_caps only for even event_ids → misaligned series),
+  // then ChartAlign explodes and left-joins them back to rows. The
+  // oracle computes the expected rows DIRECTLY from events — equality
+  // proves the array build + ts-align roundtrip is lossless, nulls
+  // where a series lacks the ts (src/etl.py:43 semantics).
+  // ----------------------------------------------------------------
+  def q32AlignRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    // The payload carries whole-second timestamps (src/etl.py:42), so
+    // events colliding within one second must be reduced first — keep
+    // the highest event_id per (coin, second), identically on both
+    // sides — or the align join would fan out.
+    val ev = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("second", col("ts")).as("ts"))
+      .agg(max_by(col("value"), col("event_id")).as("value"),
+        max(col("event_id")).as("event_id"))
+    val msCol = unix_millis(col("ts")).cast("double")
+    val chart = ev.groupBy(col("event_type").as("coin_id"))
+      .agg(
+        sort_array(collect_list(array(msCol, col("value")))).as("prices"),
+        sort_array(collect_list(when(col("event_id") % 2 === 0,
+          array(msCol, col("value") * lit(1000.0))))).as("market_caps"),
+        sort_array(collect_list(array(msCol, col("value") * lit(10.0)))).as("total_volumes"))
+    graft.etl.ChartAlign.align(chart,
+        insertedAt = lit(AsOf).cast("timestamp"))
+      .select(col("asset_id"), col("ts"),
+        col("price").cast("double").as("price"),
+        col("market_cap").cast("double").as("market_cap"),
+        col("volume").cast("double").as("volume"))
+      .orderBy(col("asset_id"), col("ts"))
+  }
+
+  val q32AlignRoundtripSql: String =
+    """WITH e AS (
+      |  SELECT event_type, date_trunc('second', ts) AS ts,
+      |         arg_max(value, event_id) AS value, max(event_id) AS event_id
+      |  FROM events GROUP BY event_type, date_trunc('second', ts))
+      |SELECT event_type AS asset_id, ts,
+      |  CAST(CAST(value AS DECIMAL(20,8)) AS DOUBLE) AS price,
+      |  CAST(CAST(CASE WHEN event_id % 2 = 0 THEN value * 1000.0 END AS DECIMAL(30,2)) AS DOUBLE) AS market_cap,
+      |  CAST(CAST(value * 10.0 AS DECIMAL(30,2)) AS DOUBLE) AS volume
+      |FROM e
+      |ORDER BY asset_id, ts""".stripMargin
+
+  // ----------------------------------------------------------------
   // q22_v_sparkline — v_sparkline_7d (views.sql:37-42).
   // ----------------------------------------------------------------
   def q22VSparkline(spark: SparkSession, dir: String): DataFrame =
