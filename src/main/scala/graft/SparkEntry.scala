@@ -51,6 +51,7 @@ object SparkEntry {
     "q30_simhash_neardup" -> (ExtQueries.q30SimhashNearDup _),
     "q31_overview"       -> (RefViewQueries.q31Overview _),
     "q32_align_roundtrip" -> (RefViewQueries.q32AlignRoundtrip _),
+    "q33_ivf_recall"     -> (ExtQueries.q33IvfRecall _),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB

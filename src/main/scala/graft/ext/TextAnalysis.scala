@@ -141,19 +141,25 @@ object TextAnalysis {
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /** Simhash near-duplicate pairs with Hamming distance ≤ `maxHamming`
-    * (≤ 7): the 64-bit fingerprint splits into 8 × 8-bit chunks; by
-    * pigeonhole, two fingerprints within Hamming 7 share at least one
+    * (≤ 3): the 64-bit fingerprint splits into 4 × 16-bit chunks; by
+    * pigeonhole, two fingerprints within Hamming 3 share at least one
     * chunk, so a chunk equi-join finds ALL qualifying pairs — the
     * classic simhash dedup layout (banded like minhash, but with a
     * recall GUARANTEE instead of a probability). Candidates carry only
-    * (ids, fingerprints); verification is one bit_count. */
-  def simhashNearDup(docs: DataFrame, maxHamming: Int = 6,
+    * (ids, fingerprints); verification is one bit_count.
+    *
+    * 16-bit chunks (not 8): on a clustered corpus narrow chunks
+    * collide pervasively and the candidate join goes quadratic — the
+    * round-2 bench measured 8-bit chunks at 24 s/5 k docs. Chunk
+    * width is the recall-horizon vs candidate-volume dial; 4×16 is
+    * the standard production point. */
+  def simhashNearDup(docs: DataFrame, maxHamming: Int = 3,
                      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    require(maxHamming <= 7, s"8x8-bit chunking guarantees recall only for hamming <= 7, got $maxHamming")
+    require(maxHamming <= 3, s"4x16-bit chunking guarantees recall only for hamming <= 3, got $maxHamming")
     val fp = simhashCorpus(docs, textCol, idCol)
-    val chunks = array((0 until 8).map { c =>
+    val chunks = array((0 until 4).map { c =>
       struct(lit(c).as("band"),
-        shiftright(col("fingerprint"), c * 8).bitwiseAND(lit(0xFFL)).as("chunk"))
+        shiftright(col("fingerprint"), c * 16).bitwiseAND(lit(0xFFFFL)).as("chunk"))
     }: _*)
     val banded = fp.select(col(idCol).as("__id"), col("fingerprint"),
       explode(chunks).as("__b"))

@@ -245,6 +245,29 @@ object ExtQueries {
   }
 
   // ----------------------------------------------------------------
+  // q33_ivf_recall — IVF coarse-quantizer ANN vs the exact result:
+  // per-query hits and recall@10 (companion to q16's LSH variant).
+  // Iterative k-means is not SQL-expressible → rows-only driver
+  // check; ExtSpec asserts the recall floor.
+  // ----------------------------------------------------------------
+  def q33IvfRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+    val k = 10
+    val centroids = graft.ext.Ivf.train(emb, k = 16, iters = 3)
+    val index = graft.ext.Ivf.index(emb, centroids)
+    val exact = Similarity.bruteForceTopK(emb, queries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = graft.ext.Ivf.search(index, centroids, queries, k, nProbe = 4)
+      .select(col("query_id"), col("neighbor_id")).withColumn("__hit", lit(1))
+    exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("__hit"), lit(0))).as("hits"))
+      .withColumn("recall_at_10", col("hits").cast("double") / lit(k.toDouble))
+      .orderBy(col("query_id"))
+  }
+
+  // ----------------------------------------------------------------
   // q27_multimodal — media-wrapped documents: binary payload with
   // typed metadata; byte length + content digest are computed on the
   // binary column (portable: UTF-8 bytes on both sides).
@@ -362,10 +385,10 @@ object ExtQueries {
 
   // ----------------------------------------------------------------
   // q30_simhash_neardup — simhash chunk-join near-dup pairs (hamming
-  // <= 6, guaranteed-recall 8x8-bit banding). xxhash64-based → rows-
+  // <= 3, guaranteed-recall 4x16-bit banding). xxhash64-based → rows-
   // only driver check; ExtSpec cross-checks against brute force.
   // ----------------------------------------------------------------
   def q30SimhashNearDup(spark: SparkSession, dir: String): DataFrame =
-    TextAnalysis.simhashNearDup(Tables.documents(spark, dir), maxHamming = 6)
+    TextAnalysis.simhashNearDup(Tables.documents(spark, dir), maxHamming = 3)
       .orderBy(col("id_a"), col("id_b"))
 }

@@ -101,6 +101,21 @@ class ExtSpec extends AnyFunSuite {
     assert(lsh.contains((0L, 100L)) && lsh.contains((0L, 101L)) && lsh.contains((100L, 101L)))
   }
 
+  test("IVF search recall vs brute force >= 0.5 on sf0.001 embeddings; assignment is total") {
+    val emb = Tables.embeddings(spark, sf)
+    val centroids = graft.ext.Ivf.train(emb, k = 8, iters = 3)
+    assert(centroids.count() == 8)
+    val index = graft.ext.Ivf.index(emb, centroids)
+    assert(index.count() == emb.count()) // every vector lands in exactly one list
+    val queries = emb.filter($"vec_id" < 5)
+    val exact = Similarity.bruteForceTopK(emb, queries, 10)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = graft.ext.Ivf.search(index, centroids, queries, 10, nProbe = 3)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall $recall")
+  }
+
   // --- dedup ---------------------------------------------------------------
 
   test("exactDedup keeps the smallest id per normalized content") {
@@ -184,7 +199,7 @@ class ExtSpec extends AnyFunSuite {
 
   test("simhashNearDup chunk join finds exactly the brute-force hamming pairs") {
     val docs = Tables.documents(spark, sf)
-    val maxH = 6
+    val maxH = 3
     val got = TextAnalysis.simhashNearDup(docs, maxHamming = maxH)
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
     val fps = TextAnalysis.simhashCorpus(docs).as[(Long, Long)].collect()
