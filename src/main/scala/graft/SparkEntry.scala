@@ -52,6 +52,7 @@ object SparkEntry {
     "q31_overview"       -> (RefViewQueries.q31Overview _),
     "q32_align_roundtrip" -> (RefViewQueries.q32AlignRoundtrip _),
     "q33_ivf_recall"     -> (ExtQueries.q33IvfRecall _),
+    "q34_kpis"           -> (RefViewQueries.q34Kpis _),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB
@@ -88,5 +89,7 @@ object SparkEntry {
     "q29_curation"       -> ExtQueries.q29CurationSql,
     "q31_overview"       -> RefViewQueries.q31OverviewSql,
     "q32_align_roundtrip" -> RefViewQueries.q32AlignRoundtripSql,
+    // q33_ivf_recall: iterative k-means not SQL-expressible → rows-only check
+    "q34_kpis"           -> RefViewQueries.q34KpisSql,
   )
 }

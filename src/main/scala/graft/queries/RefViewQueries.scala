@@ -221,6 +221,48 @@ object RefViewQueries {
       |ORDER BY asset_id, ts""".stripMargin
 
   // ----------------------------------------------------------------
+  // q34_kpis — the dashboard KPI row (A3-A5, app.py:119-127) over the
+  // combined overview: asset count, top market cap, average 24h
+  // change (null-skipping avg, computed as one double division).
+  // ----------------------------------------------------------------
+  def q34Kpis(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val ov = q31Overview(spark, dir)
+    ov.agg(
+      count(lit(1)).as("n_assets"),
+      max(col("market_cap")).as("top_market_cap"),
+      (sum(col("pct_change_24h").cast(DecimalType(18, 10))).cast("double") /
+        count(col("pct_change_24h"))).as("avg_pct_change_24h"))
+  }
+
+  val q34KpisSql: String =
+    s"""WITH $reshapeSql,
+       |latest AS (
+       |  SELECT p.asset_id, p.price, p.market_cap
+       |  FROM prices p
+       |  JOIN (SELECT asset_id, max(ts) AS max_ts FROM prices GROUP BY asset_id) last
+       |    ON last.asset_id = p.asset_id AND last.max_ts = p.ts),
+       |p24 AS (
+       |  SELECT p.asset_id, p.price AS price_24h
+       |  FROM prices p
+       |  JOIN (
+       |    SELECT asset_id, max(ts) AS ts_24h FROM prices
+       |    WHERE ts <= TIMESTAMP '$AsOf' - INTERVAL 24 HOURS
+       |    GROUP BY asset_id
+       |  ) t ON t.asset_id = p.asset_id AND t.ts_24h = p.ts),
+       |overview AS (
+       |  SELECT l.asset_id, l.market_cap,
+       |         CASE WHEN p24.price_24h IS NOT NULL
+       |              THEN round((l.price - p24.price_24h) / p24.price_24h * 100.0, 4)
+       |              ELSE NULL END AS pct_change_24h
+       |  FROM latest l LEFT JOIN p24 ON p24.asset_id = l.asset_id)
+       |SELECT COUNT(*) AS n_assets,
+       |       max(market_cap) AS top_market_cap,
+       |       CAST(SUM(CAST(pct_change_24h AS DECIMAL(18,10))) AS DOUBLE)
+       |         / COUNT(pct_change_24h) AS avg_pct_change_24h
+       |FROM overview""".stripMargin
+
+  // ----------------------------------------------------------------
   // q22_v_sparkline — v_sparkline_7d (views.sql:37-42).
   // ----------------------------------------------------------------
   def q22VSparkline(spark: SparkSession, dir: String): DataFrame =
