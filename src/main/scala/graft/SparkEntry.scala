@@ -53,6 +53,7 @@ object SparkEntry {
     "q32_align_roundtrip" -> (RefViewQueries.q32AlignRoundtrip _),
     "q33_ivf_recall"     -> (ExtQueries.q33IvfRecall _),
     "q34_kpis"           -> (RefViewQueries.q34Kpis _),
+    "q35_embed_neardup"  -> (ExtQueries.q35EmbedNearDup _),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB
@@ -91,5 +92,6 @@ object SparkEntry {
     "q32_align_roundtrip" -> RefViewQueries.q32AlignRoundtripSql,
     // q33_ivf_recall: iterative k-means not SQL-expressible → rows-only check
     "q34_kpis"           -> RefViewQueries.q34KpisSql,
+    "q35_embed_neardup"  -> ExtQueries.q35EmbedNearDupSql,
   )
 }

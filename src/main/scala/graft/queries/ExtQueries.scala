@@ -245,6 +245,29 @@ object ExtQueries {
   }
 
   // ----------------------------------------------------------------
+  // q35_embed_neardup — embedding-cosine near-duplicate pairs (sim >=
+  // 0.4) via banded sign-LSH candidates + exact cosine verification.
+  // 64 bands x 4 planes put candidate recall at ~1-2e-5 miss for the
+  // lowest qualifying sims, so the result equals the oracle's exact
+  // all-pairs answer — the equality IS the recall proof (same pattern
+  // as q18). Sim rounded to 4 like q15.
+  // ----------------------------------------------------------------
+  def q35EmbedNearDup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.nearDupPairs(Tables.embeddings(spark, dir), threshold = 0.4,
+        numBands = 64, planesPerBand = 4)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+      .orderBy(col("id_a"), col("id_b"))
+
+  val q35EmbedNearDupSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      |p AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |         list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS sim
+      |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+      |SELECT id_a, id_b, round(sim, 4) AS sim FROM p WHERE sim >= 0.4
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // ----------------------------------------------------------------
   // q33_ivf_recall — IVF coarse-quantizer ANN vs the exact result:
   // per-query hits and recall@10 (companion to q16's LSH variant).
   // Iterative k-means is not SQL-expressible → rows-only driver
