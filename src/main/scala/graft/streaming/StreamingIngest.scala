@@ -1,9 +1,17 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.ops.MergeWriter
+
+/** Input tick for the stateful alert stream. */
+case class PriceTick(asset_id: String, ts: java.sql.Timestamp, price: Double)
+
+/** Emitted when a tick exceeds the running per-asset high watermark. */
+case class HighAlert(asset_id: String, ts: java.sql.Timestamp,
+                     price: Double, prev_high: Double)
 
 /** Structured Streaming skin over the reference's incremental contract
   * (SURVEY.md §2.10). The reference emulates streaming with a daily
@@ -53,6 +61,34 @@ object StreamingIngest {
       .withColumn("content_hash", graft.ext.Dedup.contentHash(col("text")))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("content_hash")
+
+  /** Custom per-key streaming state via `flatMapGroupsWithState`
+    * (SURVEY.md §2.10 — arbitrary stateful ops beyond windowed aggs):
+    * emits an alert whenever an asset ticks above its running
+    * all-time-high. State is one double per asset — bounded by the
+    * key cardinality, the correct shape for arbitrary-state streaming
+    * at scale (vs. holding history). Works on a streaming OR batch
+    * Dataset (the spec cross-checks both paths).
+    */
+  def highWatermarkAlerts(ticks: Dataset[PriceTick]): Dataset[HighAlert] = {
+    import ticks.sparkSession.implicits._
+    ticks
+      .groupByKey(_.asset_id)
+      .flatMapGroupsWithState[Double, HighAlert](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (asset: String, rows: Iterator[PriceTick], state: GroupState[Double]) =>
+          var high = state.getOption.getOrElse(Double.NegativeInfinity)
+          val alerts = rows.toSeq.sortBy(_.ts.getTime).flatMap { t =>
+            if (t.price > high) {
+              val prev = high
+              high = t.price
+              Some(HighAlert(asset, t.ts, t.price, prev))
+            } else None
+          }
+          state.update(high)
+          alerts.iterator
+      }
+  }
 
   /** foreachBatch sink: last-write-wins merge of each micro-batch into
     * a date-partitioned parquet table on (asset_id, ts) — U2 semantics

@@ -83,4 +83,28 @@ class StreamingSpec extends AnyFunSuite {
     val ids = spark.table("dedup_out").select("doc_id").as[Long].collect().sorted.toSeq
     assert(ids == Seq(1L, 3L))
   }
+
+  test("flatMapGroupsWithState high-watermark alerts carry state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{HighAlert, PriceTick}
+    val input = MemoryStream[PriceTick]
+    val query = StreamingIngest.highWatermarkAlerts(input.toDS())
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("alerts_out").start()
+
+    input.addData(
+      PriceTick("btc", ts("2024-01-01 00:00:00"), 100.0),
+      PriceTick("btc", ts("2024-01-01 01:00:00"), 90.0),   // below high → no alert
+      PriceTick("btc", ts("2024-01-01 02:00:00"), 120.0))
+    query.processAllAvailable()
+    input.addData(
+      PriceTick("btc", ts("2024-01-01 03:00:00"), 110.0),  // state survived: 120 still high
+      PriceTick("btc", ts("2024-01-01 04:00:00"), 130.0))
+    query.processAllAvailable()
+    query.stop()
+
+    val alerts = spark.table("alerts_out").as[HighAlert].collect().sortBy(_.ts.getTime)
+    assert(alerts.map(_.price).toSeq == Seq(100.0, 120.0, 130.0))
+    assert(alerts.last.prev_high == 120.0) // state crossed the batch boundary
+  }
 }
