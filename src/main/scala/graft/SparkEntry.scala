@@ -54,6 +54,7 @@ object SparkEntry {
     "q33_ivf_recall"     -> (ExtQueries.q33IvfRecall _),
     "q34_kpis"           -> (RefViewQueries.q34Kpis _),
     "q35_embed_neardup"  -> (ExtQueries.q35EmbedNearDup _),
+    "q36_profile"        -> (ExtQueries.q36Profile _),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB
@@ -93,5 +94,6 @@ object SparkEntry {
     // q33_ivf_recall: iterative k-means not SQL-expressible → rows-only check
     "q34_kpis"           -> RefViewQueries.q34KpisSql,
     "q35_embed_neardup"  -> ExtQueries.q35EmbedNearDupSql,
+    "q36_profile"        -> ExtQueries.q36ProfileSql,
   )
 }

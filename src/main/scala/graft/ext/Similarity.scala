@@ -54,6 +54,30 @@ object Similarity {
       .drop("__rl")
   }
 
+  /** Aggregation-form exact top-k (SURVEY.md §7.3's typed
+    * `Aggregator` path): a bounded O(k) buffer accumulates per query,
+    * with map-side partial aggregation — the exchange carries
+    * `queries × partitions × k` pairs, like the window form but with
+    * no sort and usable inside any `agg(...)`. Produces the identical
+    * result to [[bruteForceTopK]] (spec-asserted). */
+  def bruteForceTopKAgg(corpus: DataFrame, queries: DataFrame, k: Int,
+                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val scored = corpus
+      .join(broadcast(q), col(idCol) =!= col("query_id"))
+      .withColumn("sim", cosine(col("__qv"), col(vecCol)))
+    val topk = udaf(new graft.functions.TopKAggregator(k), ExpressionEncoder[(Double, Long)]())
+    scored
+      .groupBy(col("query_id"))
+      .agg(topk(col("sim"), col(idCol)).as("__topk"))
+      .select(col("query_id"), posexplode(col("__topk")).as(Seq("__pos", "__pair")))
+      .select(col("query_id"),
+        col("__pair._2").as("neighbor_id"),
+        col("__pair._1").as("sim"),
+        (col("__pos") + 1).cast("int").as("rank"))
+  }
+
   /** Array of band-unique bucket longs for one vector column —
     * exploded by callers into the band-join key. Codegen'd single
     * pass (see [[graft.functions.SignLshBuckets]]); `planes` is the

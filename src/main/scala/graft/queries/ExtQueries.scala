@@ -245,6 +245,28 @@ object ExtQueries {
   }
 
   // ----------------------------------------------------------------
+  // q36_profile — per-column data-quality profile of documents (null
+  // counts, distinct counts, min/max) in one aggregate pass, long
+  // format. `text` excluded: giant min/max strings have no profiling
+  // value (n_chars carries the size signal).
+  // ----------------------------------------------------------------
+  def q36Profile(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Profile.profile(Tables.documents(spark, dir),
+      Seq("doc_id", "lang", "source", "n_chars"))
+
+  val q36ProfileSql: String = {
+    val arms = Seq("doc_id", "lang", "source", "n_chars").map { c =>
+      s"""SELECT '$c' AS "column",
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  CAST(min($c) AS VARCHAR) AS min_str,
+         |  CAST(max($c) AS VARCHAR) AS max_str
+         |FROM documents""".stripMargin
+    }
+    arms.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+  }
+
+  // ----------------------------------------------------------------
   // q35_embed_neardup — embedding-cosine near-duplicate pairs (sim >=
   // 0.4) via banded sign-LSH candidates + exact cosine verification.
   // 64 bands x 4 planes put candidate recall at ~1-2e-5 miss for the

@@ -75,6 +75,18 @@ class ExtSpec extends AnyFunSuite {
     assert(top.head == 2L)
   }
 
+  test("Aggregator top-k equals the window-form top-k exactly") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter($"vec_id" < 5)
+    val win = Similarity.bruteForceTopK(emb, queries, 10)
+      .select($"query_id", $"neighbor_id", $"sim", $"rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val agg = Similarity.bruteForceTopKAgg(emb, queries, 10)
+      .select($"query_id", $"neighbor_id", $"sim", $"rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(agg == win)
+  }
+
   test("lshTopK recall vs brute force >= 0.7 on sf0.001 embeddings") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.filter($"vec_id" < 5)

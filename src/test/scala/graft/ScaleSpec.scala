@@ -36,6 +36,17 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("partitioned write prunes partitions on a partition-key filter") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(s"$dir/docs")
+    val read = spark.read.parquet(s"$dir/docs").filter($"lang" === "en")
+    assert(read.count() == docs.filter($"lang" === "en").count())
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("(lang"),
+      s"no partition pruning in:\n$plan")
+  }
+
   test("salted aggregation equals the direct aggregate") {
     // heavy skew: 90% of rows on one key
     val df = Seq.tabulate(2000)(i => (if (i < 1800) 1L else i % 7L, i.toLong, i * 0.5))
