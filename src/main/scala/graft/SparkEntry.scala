@@ -55,6 +55,8 @@ object SparkEntry {
     "q34_kpis"           -> (RefViewQueries.q34Kpis _),
     "q35_embed_neardup"  -> (ExtQueries.q35EmbedNearDup _),
     "q36_profile"        -> (ExtQueries.q36Profile _),
+    "q37_top_tokens"     -> (ExtQueries.q37TopTokens _),
+    "q38_chars_hist"     -> (ExtQueries.q38CharsHist _),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB
@@ -95,5 +97,7 @@ object SparkEntry {
     "q34_kpis"           -> RefViewQueries.q34KpisSql,
     "q35_embed_neardup"  -> ExtQueries.q35EmbedNearDupSql,
     "q36_profile"        -> ExtQueries.q36ProfileSql,
+    "q37_top_tokens"     -> ExtQueries.q37TopTokensSql,
+    "q38_chars_hist"     -> ExtQueries.q38CharsHistSql,
   )
 }

@@ -245,6 +245,52 @@ object ExtQueries {
   }
 
   // ----------------------------------------------------------------
+  // q37_top_tokens — top-5 tokens per language by frequency (explode →
+  // hash agg with map-side combine → WindowGroupLimit top-k per lang).
+  // ----------------------------------------------------------------
+  def q37TopTokens(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val counts = docs
+      .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("lang"), col("token"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("token"))
+    counts.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .orderBy(col("lang"), col("rank"))
+  }
+
+  val q37TopTokensSql: String =
+    """WITH counts AS (
+      |  SELECT lang, token, COUNT(*) AS n
+      |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents)
+      |  WHERE token <> ''
+      |  GROUP BY lang, token)
+      |SELECT lang, token, n, rank FROM (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, token) AS BIGINT) AS rank
+      |  FROM counts)
+      |WHERE rank <= 5
+      |ORDER BY lang, rank""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q38_chars_hist — document-length distribution per language:
+  // n_chars bucketed by 100s (integer arithmetic — exact both sides).
+  // ----------------------------------------------------------------
+  def q38CharsHist(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"), ((col("n_chars") / 100).cast("long") * 100).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("bucket"))
+
+  val q38CharsHistSql: String =
+    """SELECT lang, CAST(n_chars // 100 AS BIGINT) * 100 AS bucket, COUNT(*) AS n
+      |FROM documents
+      |GROUP BY lang, CAST(n_chars // 100 AS BIGINT) * 100
+      |ORDER BY lang, bucket""".stripMargin
+
+  // ----------------------------------------------------------------
   // q36_profile — per-column data-quality profile of documents (null
   // counts, distinct counts, min/max) in one aggregate pass, long
   // format. `text` excluded: giant min/max strings have no profiling
