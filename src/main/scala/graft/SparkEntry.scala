@@ -57,6 +57,9 @@ object SparkEntry {
     "q36_profile"        -> (ExtQueries.q36Profile _),
     "q37_top_tokens"     -> (ExtQueries.q37TopTokens _),
     "q38_chars_hist"     -> (ExtQueries.q38CharsHist _),
+    "q39_rollup"         -> (ExtQueries.q39Rollup _),
+    "q40_semi"           -> (ExtQueries.q40Semi _),
+    "q41_median"         -> (ExtQueries.q41Median _),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB
@@ -99,5 +102,8 @@ object SparkEntry {
     "q36_profile"        -> ExtQueries.q36ProfileSql,
     "q37_top_tokens"     -> ExtQueries.q37TopTokensSql,
     "q38_chars_hist"     -> ExtQueries.q38CharsHistSql,
+    "q39_rollup"         -> ExtQueries.q39RollupSql,
+    "q40_semi"           -> ExtQueries.q40SemiSql,
+    "q41_median"         -> ExtQueries.q41MedianSql,
   )
 }

@@ -245,6 +245,65 @@ object ExtQueries {
   }
 
   // ----------------------------------------------------------------
+  // q39_rollup — hierarchical totals via ROLLUP (beyond the reference
+  // surface; SURVEY §2.4 notes grouping sets as absent-but-available):
+  // per-(flag, status) + per-flag + grand totals in one pass.
+  // ----------------------------------------------------------------
+  def q39Rollup(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(ParityQueries.dec(col("l_quantity"))).cast("double").as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_last, col("l_linestatus").asc_nulls_last)
+  }
+
+  val q39RollupSql: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS LAST, l_linestatus ASC NULLS LAST""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q40_semi — left-semi join (existence filter, no fan-out):
+  // customers that have at least one purchase event.
+  // ----------------------------------------------------------------
+  def q40Semi(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val purchases = Tables.events(spark, dir).filter(col("event_type") === "purchase")
+    cust.join(purchases, cust("c_custkey") === purchases("user_id"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val q40SemiSql: String =
+    """SELECT c_custkey, c_name
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM events e
+      |              WHERE e.user_id = c.c_custkey AND e.event_type = 'purchase')
+      |ORDER BY c_custkey""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q41_median — exact interpolated median document length per
+  // language (percentile / quantile_cont: both engines interpolate
+  // linearly on exactly-representable integers).
+  // ----------------------------------------------------------------
+  def q41Median(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"))
+      .agg(
+        percentile(col("n_chars"), lit(0.5)).as("median_chars"),
+        count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"))
+
+  val q41MedianSql: String =
+    """SELECT lang, quantile_cont(n_chars, 0.5) AS median_chars, COUNT(*) AS n_docs
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
+  // ----------------------------------------------------------------
   // q37_top_tokens — top-5 tokens per language by frequency (explode →
   // hash agg with map-side combine → WindowGroupLimit top-k per lang).
   // ----------------------------------------------------------------
