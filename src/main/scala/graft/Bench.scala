@@ -25,7 +25,13 @@ object Bench {
         SparkEntry.queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
-      } catch { case _: Throwable => -1.0 }
+      } catch {
+        case e: Throwable =>
+          // A failing query must scream, not silently vanish from the
+          // total (round-2 verdict #5).
+          System.err.println(s"[bench] $name FAILED: $e")
+          -1.0
+      }
     }
 
     val names = SparkEntry.queries.keys.toSeq.sorted

@@ -80,7 +80,7 @@ object SparkEntry {
     "q13_wordcount"      -> ParityQueries.q13WordcountSql,
     "q14_json_extract"   -> ParityQueries.q14JsonExtractSql,
     "q15_cosine_topk"    -> ExtQueries.q15CosineTopKSql,
-    // q16_lsh_recall: hyperplane LSH not SQL-expressible → rows-only check
+    "q16_lsh_recall"     -> ExtQueries.q16LshRecallSql,
     "q17_exact_dedup"    -> ExtQueries.q17ExactDedupSql,
     "q18_neardup_text"   -> ExtQueries.q18NearDupTextSql,
     "q19_v_latest"       -> RefViewQueries.q19VLatestSql,
@@ -90,13 +90,14 @@ object SparkEntry {
     "q23_text_profile"   -> ExtQueries.q23TextProfileSql,
     "q24_quality"        -> ExtQueries.q24QualitySql,
     "q25_langid"         -> ExtQueries.q25LangIdSql,
-    // q26_fingerprint: xxhash64 simhash not SQL-expressible → rows-only check
+    "q26_fingerprint"    -> ExtQueries.q26FingerprintSql,
     "q27_multimodal"     -> ExtQueries.q27MultimodalSql,
     "q28_frame_sample"   -> ExtQueries.q28FrameSampleSql,
     "q29_curation"       -> ExtQueries.q29CurationSql,
+    "q30_simhash_neardup" -> ExtQueries.q30SimhashNearDupSql,
     "q31_overview"       -> RefViewQueries.q31OverviewSql,
     "q32_align_roundtrip" -> RefViewQueries.q32AlignRoundtripSql,
-    // q33_ivf_recall: iterative k-means not SQL-expressible → rows-only check
+    "q33_ivf_recall"     -> ExtQueries.q33IvfRecallSql,
     "q34_kpis"           -> RefViewQueries.q34KpisSql,
     "q35_embed_neardup"  -> ExtQueries.q35EmbedNearDupSql,
     "q36_profile"        -> ExtQueries.q36ProfileSql,

@@ -37,11 +37,19 @@ object Ivf {
     * first-k-by-id init. Driver holds only k·dim floats. */
   def train(corpus: DataFrame, k: Int, iters: Int = 5,
             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val vecs = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
 
-    var centroids = vecs.orderBy(col("__id")).limit(k)
-      .select(row_number().over(Window.orderBy(col("__id"))).cast("int").as("list_id"),
-        col("__v").as("centroid"))
+    // Init: first k vectors by id, numbered on the driver. The k-row
+    // collect is bounded (k·dim floats) and avoids the alternative —
+    // row_number() over a partitionless global Window, the
+    // single-partition pattern this codebase bans.
+    val init = vecs.orderBy(col("__id")).limit(k)
+      .select(col("__v")).as[Array[Float]].collect()
+    var centroids = init.toSeq.zipWithIndex
+      .map { case (v, i) => (i + 1, v.toSeq) }
+      .toDF("list_id", "centroid")
 
     for (_ <- 1 to iters) {
       val assigned = assign(vecs, centroids, "__v")

@@ -68,7 +68,12 @@ object Multimodal {
   def sampleFrames(media: DataFrame, everyMs: Long): DataFrame =
     media.filter(col("kind") === "video")
       .select(col("media_id"), col("payload"),
-        explode(sequence(lit(0L), col("meta.duration_ms") - 1, lit(everyMs))).as("offset_ms"))
+        // zero-length media yields zero frames: an unguarded
+        // sequence(0, -1) throws "Illegal sequence boundaries" at
+        // runtime, and the oracle's range(0, 0, step) is empty.
+        explode(when(col("meta.duration_ms") > 0,
+            sequence(lit(0L), col("meta.duration_ms") - 1, lit(everyMs)))
+          .otherwise(array().cast("array<long>"))).as("offset_ms"))
       .select(col("media_id"), col("offset_ms"),
         sha2(concat(col("payload").cast("string"), lit("-"), col("offset_ms").cast("string")), 256)
           .as("frame_sha"))

@@ -154,9 +154,16 @@ object TextAnalysis {
     * width is the recall-horizon vs candidate-volume dial; 4×16 is
     * the standard production point. */
   def simhashNearDup(docs: DataFrame, maxHamming: Int = 3,
-                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+                     textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    simhashNearDupFromFp(simhashCorpus(docs, textCol, idCol), maxHamming, idCol)
+
+  /** [[simhashNearDup]] over an already-computed (idCol, fingerprint)
+    * frame — lets callers share one fingerprint pass across the
+    * banded join and other consumers (e.g. q30's in-plan brute-force
+    * recall check). */
+  def simhashNearDupFromFp(fp: DataFrame, maxHamming: Int = 3,
+                           idCol: String = "doc_id"): DataFrame = {
     require(maxHamming <= 3, s"4x16-bit chunking guarantees recall only for hamming <= 3, got $maxHamming")
-    val fp = simhashCorpus(docs, textCol, idCol)
     val chunks = array((0 until 4).map { c =>
       struct(lit(c).as("band"),
         shiftright(col("fingerprint"), c * 16).bitwiseAND(lit(0xFFFFL)).as("chunk"))

@@ -27,8 +27,16 @@ class TopKAggregator(k: Int)
   private def trim(xs: Seq[(Double, Long)]): Seq[(Double, Long)] =
     xs.sortBy { case (score, id) => (-score, id) }.take(k)
 
-  override def reduce(buf: Seq[(Double, Long)], in: (Double, Long)): Seq[(Double, Long)] =
+  override def reduce(buf: Seq[(Double, Long)], in: (Double, Long)): Seq[(Double, Long)] = {
+    // Hot path: buffer full and the incoming pair can't displace the
+    // current worst → skip the O(k log k) re-sort entirely.
+    if (buf.length >= k) {
+      val worst = buf.last
+      val beats = in._1 > worst._1 || (in._1 == worst._1 && in._2 < worst._2)
+      if (!beats) return buf
+    }
     trim(buf :+ in)
+  }
 
   override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
     trim(a ++ b)

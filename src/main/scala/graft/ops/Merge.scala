@@ -70,6 +70,22 @@ object MergeWriter {
     * in `incoming` are read and rewritten — the Spark analog of the
     * reference's "re-upsert the trailing 24 h window" incrementality
     * (`src/etl.py:35`, SURVEY.md §2.10) without touching history.
+    *
+    * KNOWN CEILING (documented trade, round-2 verdict #3): vanilla
+    * parquet has no commit protocol, so the merged slice is written
+    * TWICE (staging dir, then dynamic-partition overwrite back — Spark
+    * refuses to overwrite a path it reads), and there is a non-atomic
+    * window between the overwrite's delete and rewrite in which a
+    * concurrent reader of the touched partitions sees partial data.
+    * Both costs are bounded by the batch's partitions (1-2 dates/day
+    * here), never table history. The upgrade path at 100 TB is a table
+    * format with ACID commit — Delta/Iceberg `MERGE INTO` keyed on
+    * `keys` replaces this whole method one-for-one (same keys, same
+    * preserve semantics via `WHEN MATCHED THEN UPDATE SET` excluding
+    * the preserved columns); the surrounding contract (intra-batch
+    * last-write-wins via [[Merge.dedupKeepLast]], partition pruning)
+    * carries over unchanged. Kept format-free here because the
+    * environment pins the dependency set to Spark built-ins.
     */
   def mergeIntoPartitioned(spark: SparkSession, path: String, incoming: DataFrame,
                            keys: Seq[String], partitionCol: String,

@@ -6,12 +6,16 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 import graft.ext.{Dedup, Similarity, TextAnalysis}
+import graft.ops.ResultCache
 
 /** Driver-mandated extension queries (SURVEY.md §7.5): similarity
   * search, dedup, and text analysis over the `embeddings` and
-  * `documents` testdata tables, each with a DuckDB oracle where the
-  * semantics are SQL-expressible (q16/q26 use Spark-specific hashing
-  * and get the driver's rows-only check + ScalaTest coverage).
+  * `documents` testdata tables, each with a DuckDB oracle. Queries
+  * whose internals are not SQL-expressible (q16/q26/q30/q33: Spark-
+  * specific hashing / iterative k-means) emit SELF-CHECKING results —
+  * an in-plan comparison against an exact baseline whose expected
+  * values are plain constants the oracle can also state — so the
+  * driver's hash check still bites (round-2 verdict #2).
   *
   * Hash-stability notes on top of the ParityQueries conventions:
   *   - cosine similarity is double-accumulated in index order on both
@@ -24,19 +28,34 @@ import graft.ext.{Dedup, Similarity, TextAnalysis}
   */
 object ExtQueries {
 
+  /** Exact brute-force top-10 for the 10 probe queries — the shared
+    * baseline of q15 (its output), q16 and q33 (their recall
+    * denominators). Memoized per (session, dir) via the S8 result
+    * cache: one evaluation per process instead of one per consumer. */
+  private def exactTop10(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${System.identityHashCode(spark)}:$dir:exact_top10") {
+      val emb = Tables.embeddings(spark, dir)
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 10)
+    }
+
+  /** Shared simhash fingerprint pass over `documents` (q26 + q30). */
+  private def simhashFp(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${System.identityHashCode(spark)}:$dir:simhash_fp") {
+      TextAnalysis.simhashCorpus(Tables.documents(spark, dir))
+    }
+
   // ----------------------------------------------------------------
   // q15_cosine_topk — exact brute-force top-k cosine neighbors for 10
   // query vectors. Corpus never shuffles for scoring; queries are
   // broadcast; two-phase top-k (see Similarity.bruteForceTopK).
   // ----------------------------------------------------------------
-  def q15CosineTopK(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-    val queries = emb.filter(col("vec_id") < 10)
-    Similarity.bruteForceTopK(emb, queries, k = 10)
+  def q15CosineTopK(spark: SparkSession, dir: String): DataFrame =
+    exactTop10(spark, dir)
       .select(col("query_id"), col("neighbor_id"),
         col("rank").cast("long").as("rank"), round(col("sim"), 4).as("sim"))
       .orderBy(col("query_id"), col("rank"))
-  }
 
   val q15CosineTopKSql: String =
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
@@ -53,25 +72,37 @@ object ExtQueries {
       |ORDER BY query_id, rank""".stripMargin
 
   // ----------------------------------------------------------------
-  // q16_lsh_recall — banded sign-LSH top-k vs the exact result:
-  // per-query hit count and recall@10. Hyperplane hashing is not
-  // SQL-expressible → rows-only driver check; SimilaritySpec asserts
-  // the recall floor.
+  // q16_lsh_recall — banded sign-LSH top-k vs the exact result, as a
+  // SELF-CHECKING report: hyperplane hashing is not SQL-expressible,
+  // but "recall@10 ≥ floor for every query" is a constant expectation
+  // the oracle CAN state — the driver hash now bites on a recall
+  // regression. NOTE the gate is probabilistic in the data seed: the
+  // floor (0.7, the ExtSpec value) holds deterministically on the
+  // fixed testdata; a future hash/seed change that flips `pass` is a
+  // recall miss, not a correctness bug.
   // ----------------------------------------------------------------
   def q16LshRecall(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val queries = emb.filter(col("vec_id") < 10)
     val k = 10
-    val exact = Similarity.bruteForceTopK(emb, queries, k)
-      .select(col("query_id"), col("neighbor_id"))
+    val floor = 0.7
+    val exact = exactTop10(spark, dir).select(col("query_id"), col("neighbor_id"))
     val approx = Similarity.lshTopK(emb, queries, k)
       .select(col("query_id"), col("neighbor_id")).withColumn("__hit", lit(1))
     exact.join(approx, Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("query_id"))
       .agg(sum(coalesce(col("__hit"), lit(0))).as("hits"))
-      .withColumn("recall_at_10", col("hits").cast("double") / lit(k.toDouble))
+      .select(col("query_id").cast("long").as("query_id"),
+        lit(floor).as("recall_floor"),
+        (col("hits").cast("double") / lit(k.toDouble) >= lit(floor)).as("pass"))
       .orderBy(col("query_id"))
   }
+
+  val q16LshRecallSql: String =
+    """SELECT CAST(vec_id AS BIGINT) AS query_id,
+      |  CAST(0.7 AS DOUBLE) AS recall_floor, TRUE AS pass
+      |FROM embeddings WHERE vec_id < 10
+      |ORDER BY query_id""".stripMargin
 
   // ----------------------------------------------------------------
   // q17_exact_dedup — content-hash exact dedup. The corpus is
@@ -141,7 +172,7 @@ object ExtQueries {
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("tokens")).as("total_tokens"),
-        (sum(col("tokens")).cast("double") / count(lit(1))).as("avg_tokens"),
+        round(sum(col("tokens")).cast("double") / count(lit(1)), 8).as("avg_tokens"),
         sum(col("n_chars")).as("total_chars"),
         max(col("n_chars")).as("max_chars"))
       .orderBy(col("lang"), col("source"))
@@ -150,7 +181,7 @@ object ExtQueries {
   val q23TextProfileSql: String =
     """SELECT lang, source, COUNT(*) AS n_docs,
       |  SUM(tokens) AS total_tokens,
-      |  CAST(SUM(tokens) AS DOUBLE) / COUNT(*) AS avg_tokens,
+      |  round(CAST(SUM(tokens) AS DOUBLE) / COUNT(*), 8) AS avg_tokens,
       |  SUM(n_chars) AS total_chars,
       |  MAX(n_chars) AS max_chars
       |FROM (SELECT *, CAST(len(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS BIGINT) AS tokens
@@ -373,15 +404,16 @@ object ExtQueries {
 
   // ----------------------------------------------------------------
   // q35_embed_neardup — embedding-cosine near-duplicate pairs (sim >=
-  // 0.4) via banded sign-LSH candidates + exact cosine verification.
-  // 64 bands x 4 planes put candidate recall at ~1-2e-5 miss for the
-  // lowest qualifying sims, so the result equals the oracle's exact
-  // all-pairs answer — the equality IS the recall proof (same pattern
-  // as q18). Sim rounded to 4 like q15.
+  // 0.4). At threshold 0.4 nearDupPairs auto-routes to exact blocked
+  // all-pairs (see Similarity.LshMinThreshold: on this data the min
+  // qualifying sim is 0.40052 and the max non-qualifying 0.39987 — a
+  // gap no LSH S-curve can straddle, and the round-2 64×4 banding
+  // degenerated to ~all pairs 4× over). The result is exact by
+  // construction — this gate is deterministic, unlike q18's
+  // probabilistic minhash equality. Sim rounded to 4 like q15.
   // ----------------------------------------------------------------
   def q35EmbedNearDup(spark: SparkSession, dir: String): DataFrame =
-    Similarity.nearDupPairs(Tables.embeddings(spark, dir), threshold = 0.4,
-        numBands = 64, planesPerBand = 4)
+    Similarity.nearDupPairs(Tables.embeddings(spark, dir), threshold = 0.4)
       .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
       .orderBy(col("id_a"), col("id_b"))
 
@@ -395,27 +427,36 @@ object ExtQueries {
       |ORDER BY id_a, id_b""".stripMargin
 
   // ----------------------------------------------------------------
-  // q33_ivf_recall — IVF coarse-quantizer ANN vs the exact result:
-  // per-query hits and recall@10 (companion to q16's LSH variant).
-  // Iterative k-means is not SQL-expressible → rows-only driver
-  // check; ExtSpec asserts the recall floor.
+  // q33_ivf_recall — IVF coarse-quantizer ANN vs the exact result
+  // (companion to q16's LSH variant), self-checking like q16:
+  // iterative k-means is not SQL-expressible, but "recall@10 ≥ 0.5
+  // (the ExtSpec floor) for every query" is a constant expectation
+  // the oracle states, so the driver hash bites.
   // ----------------------------------------------------------------
   def q33IvfRecall(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val queries = emb.filter(col("vec_id") < 10)
     val k = 10
+    val floor = 0.5
     val centroids = graft.ext.Ivf.train(emb, k = 16, iters = 3)
     val index = graft.ext.Ivf.index(emb, centroids)
-    val exact = Similarity.bruteForceTopK(emb, queries, k)
-      .select(col("query_id"), col("neighbor_id"))
+    val exact = exactTop10(spark, dir).select(col("query_id"), col("neighbor_id"))
     val approx = graft.ext.Ivf.search(index, centroids, queries, k, nProbe = 4)
       .select(col("query_id"), col("neighbor_id")).withColumn("__hit", lit(1))
     exact.join(approx, Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("query_id"))
       .agg(sum(coalesce(col("__hit"), lit(0))).as("hits"))
-      .withColumn("recall_at_10", col("hits").cast("double") / lit(k.toDouble))
+      .select(col("query_id").cast("long").as("query_id"),
+        lit(floor).as("recall_floor"),
+        (col("hits").cast("double") / lit(k.toDouble) >= lit(floor)).as("pass"))
       .orderBy(col("query_id"))
   }
+
+  val q33IvfRecallSql: String =
+    """SELECT CAST(vec_id AS BIGINT) AS query_id,
+      |  CAST(0.5 AS DOUBLE) AS recall_floor, TRUE AS pass
+      |FROM embeddings WHERE vec_id < 10
+      |ORDER BY query_id""".stripMargin
 
   // ----------------------------------------------------------------
   // q27_multimodal — media-wrapped documents: binary payload with
@@ -480,7 +521,7 @@ object ExtQueries {
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("total_chars"),
-        (sum(col("quality").cast(DecimalType(18, 12))).cast("double") / count(lit(1)))
+        round(sum(col("quality").cast(DecimalType(18, 12))).cast("double") / count(lit(1)), 8)
           .as("avg_quality"))
       .orderBy(col("lang"))
   }
@@ -518,27 +559,64 @@ object ExtQueries {
       |  WHERE len(list_intersect(a.sh, b.sh)) * 1.0 / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7),
       |curated AS (SELECT * FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM dropped))
       |SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
-      |       CAST(SUM(CAST(quality AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*) AS avg_quality
+      |       round(CAST(SUM(CAST(quality AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*), 8) AS avg_quality
       |FROM curated
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
   // ----------------------------------------------------------------
-  // q26_fingerprint — simhash document fingerprints + intra-corpus
-  // near-dup pairs by Hamming distance <= 6. xxhash64-based → not
-  // oracle-expressible; rows-only driver check, TextAnalysisSpec
-  // verifies the Hamming property against the q18 Jaccard pairs.
+  // q26_fingerprint — simhash document fingerprinting, self-checking:
+  // the fingerprint value is xxhash64-based (not oracle-expressible),
+  // but its normalization CONTRACT is — simhash is invariant under
+  // whitespace perturbation (leading/trailing/internal runs), because
+  // fingerprinting reads Dedup.normalized text. Each doc is
+  // fingerprinted twice (original + whitespace-mangled) via the
+  // corpus-scale explode+agg plan; expected: equal for every doc.
   // ----------------------------------------------------------------
-  def q26Fingerprint(spark: SparkSession, dir: String): DataFrame =
-    TextAnalysis.simhashCorpus(Tables.documents(spark, dir))
+  def q26Fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val mangled = docs.withColumn("text",
+      concat(lit("  "), regexp_replace(col("text"), lit(" "), lit("   ")), lit("  ")))
+    val fp1 = simhashFp(spark, dir)
+    val fp2 = TextAnalysis.simhashCorpus(mangled)
+      .withColumnRenamed("fingerprint", "__fp_ws")
+    fp1.join(fp2, Seq("doc_id"))
+      .select(col("doc_id"),
+        (col("fingerprint") === col("__fp_ws")).as("fp_ws_invariant"))
       .orderBy(col("doc_id"))
+  }
+
+  val q26FingerprintSql: String =
+    """SELECT doc_id, TRUE AS fp_ws_invariant
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
 
   // ----------------------------------------------------------------
-  // q30_simhash_neardup — simhash chunk-join near-dup pairs (hamming
-  // <= 3, guaranteed-recall 4x16-bit banding). xxhash64-based → rows-
-  // only driver check; ExtSpec cross-checks against brute force.
+  // q30_simhash_neardup — simhash chunk-join near-dup (hamming <= 3,
+  // 4x16-bit banding), self-checking: the pigeonhole argument says the
+  // chunk join finds EVERY qualifying pair, so the banded result is
+  // compared in-plan against brute-force all-pairs hamming over the
+  // same fingerprints (both Spark-side; one shared fingerprint pass).
+  // Expected: zero missing, zero extra — constants the oracle states.
+  // Unlike q18/q35's probabilistic LSH gates this one is a THEOREM:
+  // a false here is always a code bug.
   // ----------------------------------------------------------------
-  def q30SimhashNearDup(spark: SparkSession, dir: String): DataFrame =
-    TextAnalysis.simhashNearDup(Tables.documents(spark, dir), maxHamming = 3)
-      .orderBy(col("id_a"), col("id_b"))
+  def q30SimhashNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val fp = simhashFp(spark, dir)
+    val banded = TextAnalysis.simhashNearDupFromFp(fp, maxHamming = 3)
+      .select(col("id_a"), col("id_b"), lit(1).as("__lhs"))
+    val brute = fp.as("a").join(fp.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .filter(TextAnalysis.hamming(col("a.fingerprint"), col("b.fingerprint")) <= 3)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"), lit(1).as("__rhs"))
+    banded.join(brute, Seq("id_a", "id_b"), "full_outer")
+      .agg(
+        coalesce(sum(when(col("__lhs").isNull, 1L).otherwise(0L)), lit(0L)).as("n_missing"),
+        coalesce(sum(when(col("__rhs").isNull, 1L).otherwise(0L)), lit(0L)).as("n_extra"))
+      .select(col("n_missing"), col("n_extra"),
+        (col("n_missing") === 0 && col("n_extra") === 0).as("guarantee_holds"))
+  }
+
+  val q30SimhashNearDupSql: String =
+    """SELECT CAST(0 AS BIGINT) AS n_missing, CAST(0 AS BIGINT) AS n_extra,
+      |  TRUE AS guarantee_holds""".stripMargin
 }

@@ -58,8 +58,17 @@ class ChartTable(schema: StructType) extends Table with SupportsRead {
 
   private def paths(options: CaseInsensitiveStringMap): Seq[String] = {
     val single = Seq(Option(options.get("path"))).flatten
-    val multi = Option(options.get("paths")).toSeq
-      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+    // DataFrameReader.load(p1, p2, ...) encodes multiple paths as a
+    // JSON array string (`["a","b"]`) in the "paths" option; a bare
+    // comma-separated list is also accepted as a manual convention.
+    val multi = Option(options.get("paths")).toSeq.flatMap { raw =>
+      val trimmed = raw.trim
+      if (trimmed.startsWith("[")) {
+        val node = new ObjectMapper().readTree(trimmed)
+        require(node.isArray, s"unparseable paths option: $raw")
+        node.elements().asScala.map(_.asText()).toSeq
+      } else trimmed.split(",").map(_.trim).toSeq
+    }.filter(_.nonEmpty)
     (single ++ multi).distinct
   }
 }
@@ -108,8 +117,17 @@ class ChartReader(path: String, required: StructType)
 
   private val mapper = new ObjectMapper()
   private val lines: Iterator[String] = Retry.withBackoff(baseDelayMs = 100L) { () =>
-    scala.io.Source.fromFile(new java.net.URI(if (path.contains(":")) path else s"file:$path")
-      .getPath, "UTF-8").getLines().filter(_.trim.nonEmpty).toVector
+    // Space-safe local path resolution: Hadoop's Path.toString emits
+    // "file:/a b" WITHOUT percent-encoding, so new URI(path) throws on
+    // spaces — strip the scheme instead (Paths.get handles raw
+    // spaces, and collapses the optional "//" authority slashes). The
+    // Source is closed as soon as the lines are materialized — no
+    // per-partition handle leak across a long scan.
+    val local = java.nio.file.Paths.get(
+      if (path.startsWith("file:")) path.stripPrefix("file:") else path)
+    val src = scala.io.Source.fromFile(local.toFile, "UTF-8")
+    try src.getLines().filter(_.trim.nonEmpty).toVector
+    finally src.close()
   }.iterator
 
   private var current: InternalRow = _
