@@ -20,10 +20,12 @@ import graft.sources.Retry
 /** DataSource V2 adapter for the reference's `market_chart` REST
   * payloads (SURVEY.md §2.1 S2-S4) — the live-ingest shape: the
   * reference fetches per-coin JSON over HTTPS with retry/backoff
-  * (`/root/reference/src/coingecko.py:36-90`). Here each input
-  * partition is one payload file (one "API response"); a real
-  * deployment would make each partition one (coin, window) fetch —
-  * the planning, retry, and row-conversion layers are exactly this.
+  * (`/root/reference/src/coingecko.py:36-90`). Each input partition
+  * is one payload — a live http(s) endpoint (one GET per partition,
+  * executed on the executor under the retry policy: the reference's
+  * per-(coin, window) fetch) or a fixture file. SourcesSpec exercises
+  * the HTTP path against a loopback server, including a transient-5xx
+  * retry.
   *
   * Demonstrated connector mechanics, all public DSv2 API:
   *   - `TableProvider`/`SupportsRead` with a declared fixed schema;
@@ -89,14 +91,19 @@ class ChartScan(paths: Seq[String], required: StructType) extends Scan with Batc
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] = {
-    // one partition per payload file = one "API response" per task
+    // one partition per payload = one "API response" per task; http(s)
+    // endpoints are planned as-is (one fetch per partition — the live
+    // per-(coin, window) shape), local paths expand directories
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI("file:///"),
       new org.apache.hadoop.conf.Configuration())
     paths.flatMap { p =>
-      val path = new org.apache.hadoop.fs.Path(p)
-      if (fs.getFileStatus(path).isDirectory)
-        fs.listStatus(path).filter(_.isFile).map(s => ChartPartition(s.getPath.toString))
-      else Array(ChartPartition(p))
+      if (ChartReader.isHttp(p)) Array(ChartPartition(p))
+      else {
+        val path = new org.apache.hadoop.fs.Path(p)
+        if (fs.getFileStatus(path).isDirectory)
+          fs.listStatus(path).filter(_.isFile).map(s => ChartPartition(s.getPath.toString))
+        else Array(ChartPartition(p))
+      }
     }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
@@ -110,13 +117,44 @@ class ChartReaderFactory(required: StructType) extends PartitionReaderFactory {
     new ChartReader(partition.asInstanceOf[ChartPartition].path, required)
 }
 
-/** Per-partition reader: the "fetch" (here: file read) runs under the
-  * reference's retry policy; JSON decodes with the payload schema. */
+object ChartReader {
+  def isHttp(path: String): Boolean =
+    path.startsWith("http://") || path.startsWith("https://")
+}
+
+/** Per-partition reader: the fetch — a live HTTP GET for http(s)
+  * partitions, a file read for fixture partitions — runs under the
+  * reference's retry policy (429/5xx/transport → retryable, other 4xx
+  * → hard, `src/coingecko.py:13-34` semantics); JSON decodes with the
+  * payload schema. */
 class ChartReader(path: String, required: StructType)
     extends PartitionReader[InternalRow] {
 
   private val mapper = new ObjectMapper()
-  private val lines: Iterator[String] = Retry.withBackoff(baseDelayMs = 100L) { () =>
+
+  private def fetchHttp(): Vector[String] = {
+    val conn = java.net.URI.create(path).toURL.openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    conn.setConnectTimeout(10000)
+    conn.setReadTimeout(30000)
+    conn.setRequestProperty("Accept", "application/json")
+    try {
+      val code =
+        try conn.getResponseCode
+        catch { case e: java.io.IOException =>
+          throw new Retry.TransientError(s"transport failure fetching $path", e)
+        }
+      if (code == 429 || code >= 500)
+        throw new Retry.TransientError(s"HTTP $code from $path")
+      if (code >= 400)
+        throw new java.io.IOException(s"HTTP $code from $path") // hard: no retry
+      val src = scala.io.Source.fromInputStream(conn.getInputStream, "UTF-8")
+      try src.getLines().filter(_.trim.nonEmpty).toVector
+      finally src.close()
+    } finally conn.disconnect()
+  }
+
+  private def readLocal(): Vector[String] = {
     // Space-safe local path resolution: Hadoop's Path.toString emits
     // "file:/a b" WITHOUT percent-encoding, so new URI(path) throws on
     // spaces — strip the scheme instead (Paths.get handles raw
@@ -128,6 +166,10 @@ class ChartReader(path: String, required: StructType)
     val src = scala.io.Source.fromFile(local.toFile, "UTF-8")
     try src.getLines().filter(_.trim.nonEmpty).toVector
     finally src.close()
+  }
+
+  private val lines: Iterator[String] = Retry.withBackoff(baseDelayMs = 100L) { () =>
+    if (ChartReader.isHttp(path)) fetchHttp() else readLocal()
   }.iterator
 
   private var current: InternalRow = _

@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TopKAggregator
+import graft.ops.ResultCache
+
+/** Coverage for the S8 result-cache analog and the TopKAggregator
+  * full-buffer fast path. */
+class CacheSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("ResultCache memoizes per key, expires on TTL, and invalidates") {
+    var now = 0L
+    val cache = new ResultCache(ttlMs = 100L, clock = () => now)
+    var computes = 0
+    def mk() = { computes += 1; Seq(computes).toDF("x") }
+
+    val a = cache.getOrCompute("k")(mk())
+    val b = cache.getOrCompute("k")(mk())
+    assert(computes == 1 && (a eq b)) // hit returns the SAME cached plan
+
+    now = 99L
+    cache.getOrCompute("k")(mk())
+    assert(computes == 1) // still inside TTL
+
+    now = 150L
+    val c = cache.getOrCompute("k")(mk())
+    assert(computes == 2 && !(c eq a)) // expired → recomputed
+
+    cache.getOrCompute("k2")(mk())
+    assert(computes == 3 && cache.size == 2) // keys are independent
+
+    cache.invalidate("k")
+    cache.getOrCompute("k")(mk())
+    assert(computes == 4)
+
+    cache.clear()
+    assert(cache.size == 0)
+  }
+
+  test("TopKAggregator fast path (full buffer, non-beating input) matches the naive top-k") {
+    val agg = new TopKAggregator(3)
+    val inputs = Seq(
+      (0.5, 1L), (0.9, 2L), (0.7, 3L),
+      (0.3, 4L),             // worse than the current worst once full → fast-path skip
+      (0.7, 9L),             // ties the worst score but larger id → skip
+      (0.7, 0L),             // ties the worst score, SMALLER id → must displace
+      (0.95, 6L), (0.1, 7L))
+    val buf = inputs.foldLeft(agg.zero)(agg.reduce)
+    val expected = inputs.sortBy { case (s, id) => (-s, id) }.take(3)
+    assert(agg.finish(buf) == expected)
+
+    // merge of two partial buffers agrees with reducing everything
+    val (l, r) = inputs.splitAt(4)
+    val merged = agg.merge(l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+    assert(agg.finish(merged) == expected)
+  }
+}

@@ -77,6 +77,44 @@ class SourcesSpec extends AnyFunSuite {
     assert(pruned.as[String].collect().sorted.toSeq == Seq("bitcoin", "ethereum"))
   }
 
+  test("ChartDataSource multi-path load (JSON-array paths option) reads every file") {
+    val dir = Files.createTempDirectory("graft-dsv2-multi").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/c1.json"),
+      """{"coin_id":"bitcoin","prices":[[1735689600000,1.0]],"market_caps":[],"total_volumes":[]}""")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/c2.json"),
+      """{"coin_id":"ethereum","prices":[[1735689600000,2.0]],"market_caps":[],"total_volumes":[]}""")
+    // DataFrameReader.load(p1, p2) encodes the paths as a JSON array string
+    val v2 = spark.read.format(classOf[graft.sources.v2.ChartDataSource].getName)
+      .load(s"$dir/c1.json", s"$dir/c2.json")
+    assert(v2.select("coin_id").as[String].collect().sorted.toSeq == Seq("bitcoin", "ethereum"))
+  }
+
+  test("ChartDataSource fetches live http partitions, retrying a transient 5xx") {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val hits = new java.util.concurrent.atomic.AtomicInteger()
+    val payload =
+      """{"coin_id":"bitcoin","prices":[[1735689600000,93421.17]],"market_caps":[],"total_volumes":[]}"""
+    server.createContext("/chart", (ex: com.sun.net.httpserver.HttpExchange) => {
+      if (hits.incrementAndGet() == 1) {
+        ex.sendResponseHeaders(500, -1) // transient: the reader must retry
+        ex.close()
+      } else {
+        val bytes = payload.getBytes("UTF-8")
+        ex.sendResponseHeaders(200, bytes.length.toLong)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      }
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/chart"
+      val df = spark.read.format(classOf[graft.sources.v2.ChartDataSource].getName).load(url)
+      assert(df.select("coin_id").as[String].collect().toSeq == Seq("bitcoin"))
+      assert(hits.get() >= 2, s"expected a retry after the 500, got ${hits.get()} hits")
+    } finally server.stop(0)
+  }
+
   // --- S1: YAML config scan ------------------------------------------------
 
   test("ConfigSource parses the reference coins.yaml shape") {
@@ -156,6 +194,11 @@ class SourcesSpec extends AnyFunSuite {
     val frames = Multimodal.sampleFrames(media, everyMs = 200L)
     // only the video row (doc 2, duration 19*40=760ms) → offsets 0,200,400,600
     assert(frames.select($"offset_ms").as[Long].collect().sorted.toSeq == Seq(0L, 200L, 400L, 600L))
+
+    // zero-duration media must yield zero frames, not a sequence() crash
+    val zero = Multimodal.fromDocuments(
+      Seq((2L, "", "en", "src0", 0L)).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    assert(Multimodal.sampleFrames(zero, everyMs = 200L).count() == 0)
 
     val decoded = Multimodal.decodePartitions(media).collect().sortBy(_.media_id)
     assert(decoded.map(_.n_bytes).toSeq == Seq(16, 13, 19))
