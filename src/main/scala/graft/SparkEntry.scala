@@ -60,6 +60,8 @@ object SparkEntry {
     "q39_rollup"         -> (ExtQueries.q39Rollup _),
     "q40_semi"           -> (ExtQueries.q40Semi _),
     "q41_median"         -> (ExtQueries.q41Median _),
+    "q42_hll_distinct"   -> (ExtQueries.q42HllDistinct _),
+    "q43_approx_quantile" -> (ExtQueries.q43ApproxQuantile _),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB
@@ -106,5 +108,7 @@ object SparkEntry {
     "q39_rollup"         -> ExtQueries.q39RollupSql,
     "q40_semi"           -> ExtQueries.q40SemiSql,
     "q41_median"         -> ExtQueries.q41MedianSql,
+    "q42_hll_distinct"   -> ExtQueries.q42HllDistinctSql,
+    "q43_approx_quantile" -> ExtQueries.q43ApproxQuantileSql,
   )
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -619,4 +619,66 @@ object ExtQueries {
   val q30SimhashNearDupSql: String =
     """SELECT CAST(0 AS BIGINT) AS n_missing, CAST(0 AS BIGINT) AS n_extra,
       |  TRUE AS guarantee_holds""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q42_hll_distinct — mergeable-sketch distinct counting (the 100 TB
+  // shape for COUNT(DISTINCT): per-partition/per-group sketches merge
+  // associatively, so a global estimate never re-shuffles raw values).
+  // Self-checking: both the direct sketch estimate AND the estimate
+  // from unioning per-group sketches land within 5% of the exact
+  // count (Datasketches HLL at lgK=12 is ~1.6% RSE; deterministic on
+  // the fixed data). NOTE the two estimates are NOT asserted equal:
+  // the union gadget normalizes to dense HLL_8 while a
+  // small-cardinality direct sketch estimates in sparse mode, so the
+  // paths can legitimately differ by a few counts (observed at sf0.1)
+  // — mergeability is algebraic, not bit-level. The exact count and
+  // the two tolerance booleans are oracle-expressible.
+  // ----------------------------------------------------------------
+  def q42HllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val perGroup = ev.groupBy(col("event_type"))
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("__sk"))
+    val merged = perGroup.agg(
+      hll_sketch_estimate(hll_union_agg(col("__sk"), lit(false))).as("__n_merged"))
+    val direct = ev.agg(
+      hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12))).as("__n_direct"),
+      count_distinct(col("user_id")).as("n_exact"))
+    def within5(est: Column) =
+      abs(est - col("n_exact")).cast("double") / col("n_exact").cast("double") <= lit(0.05)
+    direct.crossJoin(merged).select(
+      col("n_exact"),
+      within5(col("__n_direct")).as("direct_within_5pct"),
+      within5(col("__n_merged")).as("merged_within_5pct"))
+  }
+
+  val q42HllDistinctSql: String =
+    """SELECT count(DISTINCT user_id) AS n_exact,
+      |  TRUE AS direct_within_5pct, TRUE AS merged_within_5pct
+      |FROM events""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q43_approx_quantile — sketch-based percentile (percentile_approx,
+  // Spark's KLL-style bounded-memory quantile) vs the exact
+  // interpolated median of q41, per language. Self-checking: the
+  // approx median must land within 5% of the exact one (deterministic
+  // on the fixed data; accuracy=10000 on ≤ thousands of rows per
+  // group is in fact exact-rank). Exact median + flag are
+  // oracle-expressible.
+  // ----------------------------------------------------------------
+  def q43ApproxQuantile(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"))
+      .agg(
+        percentile(col("n_chars"), lit(0.5)).as("median_exact"),
+        percentile_approx(col("n_chars"), lit(0.5), lit(10000)).as("__approx"))
+      .select(col("lang"), col("median_exact"),
+        (abs(col("__approx").cast("double") - col("median_exact")) /
+          col("median_exact") <= lit(0.05)).as("within_5pct"))
+      .orderBy(col("lang"))
+
+  val q43ApproxQuantileSql: String =
+    """SELECT lang, quantile_cont(n_chars, 0.5) AS median_exact, TRUE AS within_5pct
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
 }
