@@ -89,7 +89,8 @@ object ExtQueries {
     val exact = exactTop10(spark, dir).select(col("query_id"), col("neighbor_id"))
     val approx = Similarity.lshTopK(emb, queries, k)
       .select(col("query_id"), col("neighbor_id")).withColumn("__hit", lit(1))
-    exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+    // approx is structurally ≤ queries×k rows — broadcast, don't sort-merge
+    exact.join(broadcast(approx), Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("query_id"))
       .agg(sum(coalesce(col("__hit"), lit(0))).as("hits"))
       .select(col("query_id").cast("long").as("query_id"),
@@ -443,7 +444,8 @@ object ExtQueries {
     val exact = exactTop10(spark, dir).select(col("query_id"), col("neighbor_id"))
     val approx = graft.ext.Ivf.search(index, centroids, queries, k, nProbe = 4)
       .select(col("query_id"), col("neighbor_id")).withColumn("__hit", lit(1))
-    exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+    // approx is structurally ≤ queries×k rows — broadcast, don't sort-merge
+    exact.join(broadcast(approx), Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("query_id"))
       .agg(sum(coalesce(col("__hit"), lit(0))).as("hits"))
       .select(col("query_id").cast("long").as("query_id"),

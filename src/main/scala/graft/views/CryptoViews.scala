@@ -88,7 +88,9 @@ object CryptoViews {
     val change = vPriceChange24h(prices, assets, asOf)
       .select(col("asset_id"), col("price_now"),
         col("price_24h"), col("pct_change_24h"))
-    val joined = latest.join(change, Seq("asset_id"), "left")
+    // one row per asset on both sides — broadcast the change side so
+    // the merge is a map-side hash join, not a sort-merge exchange
+    val joined = latest.join(broadcast(change), Seq("asset_id"), "left")
       .withColumn("display_price", coalesce(col("price_now"), col("price")))
     val searched = search.fold(joined) { q =>
       val needle = q.toLowerCase
