@@ -62,6 +62,7 @@ object SparkEntry {
     "q41_median"         -> (ExtQueries.q41Median _),
     "q42_hll_distinct"   -> (ExtQueries.q42HllDistinct _),
     "q43_approx_quantile" -> (ExtQueries.q43ApproxQuantile _),
+    "q44_dedup_clusters" -> (ExtQueries.q44DedupClusters _),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB
@@ -110,5 +111,6 @@ object SparkEntry {
     "q41_median"         -> ExtQueries.q41MedianSql,
     "q42_hll_distinct"   -> ExtQueries.q42HllDistinctSql,
     "q43_approx_quantile" -> ExtQueries.q43ApproxQuantileSql,
+    "q44_dedup_clusters" -> ExtQueries.q44DedupClustersSql,
   )
 }

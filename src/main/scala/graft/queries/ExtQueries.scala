@@ -39,6 +39,14 @@ object ExtQueries {
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 10)
     }
 
+  /** Shared minhash near-dup pairs at threshold 0.7 over `documents`
+    * (q18's output, reused as q44's edge list). */
+  private def nearDup07(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${System.identityHashCode(spark)}:$dir:neardup_text_07") {
+      Dedup.nearDupText(Tables.documents(spark, dir), threshold = 0.7)
+    }
+
   /** Shared simhash fingerprint pass over `documents` (q26 + q30). */
   private def simhashFp(spark: SparkSession, dir: String): DataFrame =
     ResultCache.shared.getOrCompute(
@@ -142,7 +150,7 @@ object ExtQueries {
   // >= 0.90) — equality is the recall proof, at oracle scale.
   // ----------------------------------------------------------------
   def q18NearDupText(spark: SparkSession, dir: String): DataFrame =
-    Dedup.nearDupText(Tables.documents(spark, dir), threshold = 0.7)
+    nearDup07(spark, dir)
       .orderBy(col("id_a"), col("id_b"))
 
   val q18NearDupTextSql: String =
@@ -683,4 +691,44 @@ object ExtQueries {
       |FROM documents
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q44_dedup_clusters — near-dup CLUSTERING: connected components
+  // over the q18 pair graph (min-label propagation as iterative
+  // join+aggregate plans), one row per clustered doc with its
+  // component label (= min doc_id of the group — the surviving
+  // representative). The oracle recomputes components with a
+  // recursive CTE over the exact all-pairs jaccard edges: fixpoint
+  // reachability, min reachable id per node.
+  // ----------------------------------------------------------------
+  def q44DedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = nearDup07(spark, dir).select(col("id_a"), col("id_b"))
+    Dedup.connectedComponents(pairs)
+      .select(col("id").as("doc_id"), col("comp").as("component"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q44DedupClustersSql: String =
+    """WITH RECURSIVE d AS (
+      |  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id,
+      |         list_distinct(list_transform(range(1, len(toks) - 1),
+      |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      |  FROM d WHERE len(toks) >= 3),
+      |p AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |  WHERE len(list_intersect(a.sh, b.sh)) * 1.0 / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7),
+      |e AS (SELECT id_a AS src, id_b AS dst FROM p
+      |      UNION ALL SELECT id_b, id_a FROM p),
+      |n AS (SELECT DISTINCT src AS id FROM e),
+      |reach(src, dst) AS (
+      |  SELECT id, id FROM n
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN e ON e.src = r.dst)
+      |SELECT src AS doc_id, min(dst) AS component
+      |FROM reach GROUP BY src
+      |ORDER BY doc_id""".stripMargin
 }

@@ -150,6 +150,21 @@ class ExtSpec extends AnyFunSuite {
     assert(pairs.head._3 > 0.8 && pairs.head._3 < 1.0)
   }
 
+  test("connectedComponents labels chains, triangles and disjoint pairs correctly") {
+    // chain 1-2-3-4 (diameter 3), triangle 10-11-12, disjoint pair 20-21
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L)
+    ).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
   test("nearDupText on sf0.001 equals the exact all-pairs jaccard answer") {
     val docs = Tables.documents(spark, sf)
     val viaLsh = Dedup.nearDupText(docs, threshold = 0.7)
