@@ -66,17 +66,20 @@ object Ivf {
   }
 
   /** Nearest-centroid assignment: broadcast the centroids, score with
-    * the codegen cosine, keep rank-1 per vector. The corpus side never
-    * shuffles (`WindowGroupLimit` reduces map-side; the only exchange
-    * carries one row per vector). */
-  private def assign(vecs: DataFrame, centroids: DataFrame, vc: String): DataFrame = {
-    val w = Window.partitionBy(col("__id")).orderBy(col("__sim").desc, col("list_id"))
+    * the codegen cosine, keep rank-1 per vector — as a `min_by` hash
+    * aggregate over the order key (−sim, list_id), NOT a window: the
+    * window form sorts k rows per vector inside a sort exchange,
+    * while the aggregate keeps one candidate per vector map-side and
+    * shuffles exactly one row per vector with no sort (same
+    * tie-break: highest sim, then lowest list id). */
+  private def assign(vecs: DataFrame, centroids: DataFrame, vc: String): DataFrame =
     vecs.crossJoin(broadcast(centroids))
       .withColumn("__sim", cosine(col(vc), col("centroid")))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col("__id"), col("list_id"), col(vc))
-  }
+      .groupBy(col("__id"))
+      .agg(min_by(
+        struct(col("list_id"), col(vc).as("__v")),
+        struct((-col("__sim")).as("__negsim"), col("list_id"))).as("__w"))
+      .select(col("__id"), col("__w.list_id").as("list_id"), col("__w.__v").as(vc))
 
   /** Build the inverted index: (list_id, vec_id, embedding). */
   def index(corpus: DataFrame, centroids: DataFrame,
