@@ -40,6 +40,25 @@ class CacheSpec extends AnyFunSuite {
     assert(cache.size == 0)
   }
 
+  test("SQL surface: registered graft functions work through spark.sql over temp views") {
+    Tables.embeddings(spark, "/root/testdata/sf0.001").createOrReplaceTempView("emb_v")
+    // graft_cosine resolves from the function registry (the public
+    // injectFunction path) in SQL text, not just the Column DSL
+    val self = spark.sql(
+      """SELECT vec_id, graft_cosine(embedding, embedding) AS c
+        |FROM emb_v ORDER BY vec_id LIMIT 5""".stripMargin)
+      .as[(Long, Double)].collect()
+    assert(self.forall { case (_, c) => math.abs(c - 1.0) < 1e-12 })
+
+    // and an end-to-end SQL query mixing builtins with a graft function
+    val top = spark.sql(
+      """SELECT a.vec_id ia, b.vec_id ib, graft_cosine(a.embedding, b.embedding) sim
+        |FROM emb_v a JOIN emb_v b ON a.vec_id < b.vec_id
+        |WHERE a.vec_id < 3 AND b.vec_id < 3
+        |ORDER BY sim DESC""".stripMargin).collect()
+    assert(top.length == 3) // pairs (0,1) (0,2) (1,2)
+  }
+
   test("TopKAggregator fast path (full buffer, non-beating input) matches the naive top-k") {
     val agg = new TopKAggregator(3)
     val inputs = Seq(
