@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression guards — the 100 TB posture invariants the
+  * perf work established, asserted so they can't silently regress:
+  * no cartesian products anywhere, predicate pushdown reaching the
+  * parquet scans, column pruning keeping wide columns out of scans
+  * that don't need them. Every query's plan is also BUILT here, which
+  * doubles as a construction smoke test for the whole surface. */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("no query in the surface plans a CartesianProduct") {
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"),
+        s"$name plans a cartesian product:\n$p")
+    }
+  }
+
+  test("equality predicates reach the parquet scan (q40 pushdown)") {
+    val p = plan("q40_semi")
+    assert(p.contains("EqualTo(event_type,purchase)"), s"filter not pushed:\n$p")
+  }
+
+  test("column pruning keeps text out of scans that don't read it (q38)") {
+    val p = plan("q38_chars_hist")
+    assert(p.contains("ReadSchema: struct<lang:string,n_chars:bigint>"),
+      s"scan reads more than (lang, n_chars):\n$p")
+    assert(!p.contains("text:string"), s"text column not pruned:\n$p")
+  }
+
+  test("dimension joins broadcast; recall reports don't sort-merge (q16, q31)") {
+    Seq("q16_lsh_recall", "q31_overview").foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("SortMergeJoin"), s"$name sort-merges:\n$p")
+    }
+  }
+}
