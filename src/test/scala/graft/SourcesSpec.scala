@@ -106,12 +106,28 @@ class SourcesSpec extends AnyFunSuite {
         ex.close()
       }
     })
+    // hard 4xx must fail immediately — no retry
+    val hardHits = new java.util.concurrent.atomic.AtomicInteger()
+    server.createContext("/gone", (ex: com.sun.net.httpserver.HttpExchange) => {
+      hardHits.incrementAndGet()
+      ex.sendResponseHeaders(404, -1)
+      ex.close()
+    })
     server.start()
     try {
       val url = s"http://127.0.0.1:${server.getAddress.getPort}/chart"
       val df = spark.read.format(classOf[graft.sources.v2.ChartDataSource].getName).load(url)
       assert(df.select("coin_id").as[String].collect().toSeq == Seq("bitcoin"))
       assert(hits.get() >= 2, s"expected a retry after the 500, got ${hits.get()} hits")
+
+      val gone = s"http://127.0.0.1:${server.getAddress.getPort}/gone"
+      val err = intercept[org.apache.spark.SparkException] {
+        spark.read.format(classOf[graft.sources.v2.ChartDataSource].getName)
+          .load(gone).collect()
+      }
+      assert(err.getMessage.contains("HTTP 404") ||
+        Option(err.getCause).exists(_.getMessage.contains("HTTP 404")))
+      assert(hardHits.get() == 1, s"404 must not retry, got ${hardHits.get()} hits")
     } finally server.stop(0)
   }
 
