@@ -55,12 +55,69 @@ object TextAnalysis {
   /** Composite [0,1] quality score — the standard pre-training
     * heuristics (length, punctuation noise, stopword density, token
     * shape), equal-weighted. Deterministic double arithmetic, written
-    * identically in the oracle SQL. */
+    * identically in the oracle SQL.
+    *
+    * NOTE this single-Column form re-derives the normalize/tokenize
+    * subtree inside each component (Column expressions are trees, not
+    * CSE'd values) — fine for one-off use; pipelines that also want
+    * the component ratios should use [[withTextFeatures]], which
+    * materializes the normalization once per row. */
   def qualityScore(text: Column): Column =
     lit(0.25) * least(lit(1.0), tokenCount(text).cast("double") / lit(50.0)) +
     lit(0.25) * (lit(1.0) - least(lit(1.0), punctRatio(text) * lit(5.0))) +
     lit(0.25) * least(lit(1.0), stopwordRatio(text) * lit(5.0)) +
     lit(0.25) * least(lit(1.0), meanTokenLen(text) / lit(8.0))
+
+  /** [[qualityScore]] assembled from already-computed components —
+    * identical arithmetic shape (association order matters for
+    * bit-exact oracle parity). */
+  def qualityScoreFrom(nTokens: Column, punct: Column,
+                       stopword: Column, meanLen: Column): Column =
+    lit(0.25) * least(lit(1.0), nTokens.cast("double") / lit(50.0)) +
+    lit(0.25) * (lit(1.0) - least(lit(1.0), punct * lit(5.0))) +
+    lit(0.25) * least(lit(1.0), stopword * lit(5.0)) +
+    lit(0.25) * least(lit(1.0), meanLen / lit(8.0))
+
+  /** All text-quality features from ONE normalization pass (the
+    * round-3 verdict's q24 fix): materializes `normalized(text)` and
+    * its token array once as named columns — CollapseProject keeps
+    * non-cheap multi-referenced aliases, so each evaluates once per
+    * row — then builds every scorer from them. The single-Column
+    * scorers above would re-run the normalize/split subtree once per
+    * scorer per row (~10× for the q24 column set).
+    *
+    * `mean token length` uses the arithmetic identity
+    * `chars_without_spaces = length(t) - (n_tokens - 1)` (exact
+    * because `t` is single-space normalized and trimmed) instead of a
+    * third regexp_replace; the integer is identical, so the double
+    * ratio is bit-identical to [[meanTokenLen]] (spec-asserted).
+    *
+    * Appends: n_tokens, n_subtokens, punct_ratio, stopword_ratio,
+    * quality. Per-row projection — zero shuffle at any scale. */
+  def withTextFeatures(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col("__t")
+    val toks = col("__toks")
+    val meanLen = when(size(toks) === 0, lit(0.0))
+      .otherwise((length(t) - (size(toks) - lit(1))).cast("double") /
+        size(toks).cast("double"))
+    docs
+      .withColumn("__t", Dedup.normalized(col(textCol)))
+      .withColumn("__toks", split(t, " "))
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("n_subtokens", regexTokenCount(col(textCol)).cast("long"))
+      .withColumn("punct_ratio",
+        when(length(t) === 0, lit(0.0))
+          .otherwise(length(regexp_replace(t, "[a-z0-9 ]", "")).cast("double") /
+            length(t).cast("double")))
+      .withColumn("stopword_ratio",
+        when(size(toks) === 0, lit(0.0))
+          .otherwise(hitCount(toks, EnStopwords).cast("double") /
+            size(toks).cast("double")))
+      .withColumn("quality",
+        qualityScoreFrom(col("n_tokens"), col("punct_ratio"),
+          col("stopword_ratio"), meanLen))
+      .drop("__t", "__toks")
+  }
 
   /** Per-language marker words for the lang-ID heuristic. */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(

@@ -2,8 +2,6 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
-
 import graft.Tables
 import graft.ext.{Dedup, Similarity, TextAnalysis}
 import graft.ops.ResultCache
@@ -171,8 +169,15 @@ object ExtQueries {
 
   // ----------------------------------------------------------------
   // q23_text_profile — per-(lang, source) corpus profile: doc count,
-  // token volume, char stats. Sums over integers (exact); averages as
-  // one double division (ParityQueries convention).
+  // token volume, char stats. ALL columns are integer fixed-point:
+  // the average is micro-token units computed with pure BIGINT
+  // arithmetic — rounds 2/3 proved that any float rounding path here
+  // (round(double, 8) both sides) hash-diverges in the last ulp
+  // across DuckDB versions, so no float leaves this query. The split
+  // form (t DIV n)*1e6 + ((t MOD n)*1e6) DIV n equals
+  // (t*1e6) DIV n but never overflows BIGINT until total_tokens
+  // itself would (the direct form dies at ~9.2e12 tokens/group —
+  // real at 100 TB).
   // ----------------------------------------------------------------
   def q23TextProfile(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -181,16 +186,21 @@ object ExtQueries {
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("tokens")).as("total_tokens"),
-        round(sum(col("tokens")).cast("double") / count(lit(1)), 8).as("avg_tokens"),
         sum(col("n_chars")).as("total_chars"),
         max(col("n_chars")).as("max_chars"))
+      .withColumn("avg_tokens_e6",
+        expr("(total_tokens div n_docs) * CAST(1000000 AS BIGINT)" +
+          " + ((total_tokens % n_docs) * CAST(1000000 AS BIGINT)) div n_docs"))
+      .select(col("lang"), col("source"), col("n_docs"), col("total_tokens"),
+        col("avg_tokens_e6"), col("total_chars"), col("max_chars"))
       .orderBy(col("lang"), col("source"))
   }
 
   val q23TextProfileSql: String =
     """SELECT lang, source, COUNT(*) AS n_docs,
       |  SUM(tokens) AS total_tokens,
-      |  round(CAST(SUM(tokens) AS DOUBLE) / COUNT(*), 8) AS avg_tokens,
+      |  CAST((SUM(tokens) // COUNT(*)) * 1000000
+      |       + ((SUM(tokens) % COUNT(*)) * 1000000) // COUNT(*) AS BIGINT) AS avg_tokens_e6,
       |  SUM(n_chars) AS total_chars,
       |  MAX(n_chars) AS max_chars
       |FROM (SELECT *, CAST(len(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS BIGINT) AS tokens
@@ -202,19 +212,16 @@ object ExtQueries {
   // q24_quality — per-document quality heuristics: whitespace and
   // BPE-ish token counts, punctuation ratio, stopword ratio, composite
   // score. All per-row double arithmetic with identical association
-  // order in both engines — exact match, no rounding needed.
+  // order in both engines — exact match, no rounding needed. Built
+  // via TextAnalysis.withTextFeatures: ONE normalize/tokenize pass
+  // per row instead of one per scorer (round-3 verdict #2; the
+  // PlanSpec RegExpReplace-count guard keeps it that way).
   // ----------------------------------------------------------------
-  def q24Quality(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    docs.select(
-        col("doc_id"),
-        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
-        TextAnalysis.regexTokenCount(col("text")).cast("long").as("n_subtokens"),
-        TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
-        TextAnalysis.stopwordRatio(col("text")).as("stopword_ratio"),
-        TextAnalysis.qualityScore(col("text")).as("quality"))
+  def q24Quality(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.withTextFeatures(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("n_tokens"), col("n_subtokens"),
+        col("punct_ratio"), col("stopword_ratio"), col("quality"))
       .orderBy(col("doc_id"))
-  }
 
   val q24QualitySql: String =
     """WITH n AS (
@@ -521,8 +528,9 @@ object ExtQueries {
   // ----------------------------------------------------------------
   def q29Curation(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val kept = docs
-      .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+    // One normalize/tokenize pass per row (withTextFeatures), same
+    // quality doubles as the single-column scorer (spec-asserted).
+    val kept = TextAnalysis.withTextFeatures(docs)
       .filter(col("quality") >= 0.5)
     // Near-dups among kept == the full-corpus q18 pairs restricted to
     // kept endpoints: signatures and band buckets are per-doc
@@ -537,12 +545,22 @@ object ExtQueries {
       .join(keptIds.withColumnRenamed("doc_id", "id_b"), Seq("id_b"), "left_semi")
       .select(col("id_b").as("doc_id")).distinct()
     val curated = kept.join(dupIds, Seq("doc_id"), "left_anti")
-    curated.groupBy(col("lang"))
+    // avg_quality as integer fixed-point (1e-8 units): the per-row
+    // quality doubles are proven engine-bit-identical (q24 is driver-
+    // green on the same expression), multiply+floor are IEEE-
+    // deterministic, and from there everything is BIGINT — rounds 2/3
+    // proved any float/decimal rounding of the AVERAGE diverges in the
+    // last ulp across DuckDB versions. quality ≤ 1 so q_e8 ≤ 1e8 and
+    // the sum overflows only past ~9e10 rows per group.
+    curated
+      .withColumn("q_e8", floor(col("quality") * lit(1e8)))
+      .groupBy(col("lang"))
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("total_chars"),
-        round(sum(col("quality").cast(DecimalType(18, 12))).cast("double") / count(lit(1)), 8)
-          .as("avg_quality"))
+        sum(col("q_e8")).as("__sq"))
+      .select(col("lang"), col("n_docs"), col("total_chars"),
+        expr("__sq div n_docs").as("avg_quality_e8"))
       .orderBy(col("lang"))
   }
 
@@ -567,7 +585,8 @@ object ExtQueries {
       |        (CASE WHEN len(string_split(t, ' ')) = 0 THEN 0.0
       |              ELSE CAST(len(regexp_replace(t, ' ', '', 'g')) AS DOUBLE) / CAST(len(string_split(t, ' ')) AS DOUBLE) END) / 8.0) AS quality
       |  FROM m),
-      |kept AS (SELECT * FROM q WHERE quality >= 0.5),
+      |kept AS (SELECT *, CAST(FLOOR(quality * 1e8) AS BIGINT) AS q_e8
+      |         FROM q WHERE quality >= 0.5),
       |s AS (
       |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
       |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
@@ -579,7 +598,7 @@ object ExtQueries {
       |  WHERE len(list_intersect(a.sh, b.sh)) * 1.0 / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7),
       |curated AS (SELECT * FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM dropped))
       |SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
-      |       round(CAST(SUM(CAST(quality AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*), 8) AS avg_quality
+      |       CAST(SUM(q_e8) // COUNT(*) AS BIGINT) AS avg_quality_e8
       |FROM curated
       |GROUP BY lang
       |ORDER BY lang""".stripMargin

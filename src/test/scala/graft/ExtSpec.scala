@@ -197,6 +197,25 @@ class ExtSpec extends AnyFunSuite {
     assert(r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0)
   }
 
+  test("withTextFeatures is bit-identical to the single-column scorers") {
+    val docs = Tables.documents(spark, sf)
+    val bundled = TextAnalysis.withTextFeatures(docs)
+      .select($"doc_id", $"n_tokens", $"n_subtokens",
+        $"punct_ratio", $"stopword_ratio", $"quality")
+      .as[(Long, Long, Long, Double, Double, Double)].collect().sortBy(_._1)
+    val single = docs.select(
+        $"doc_id",
+        TextAnalysis.tokenCount($"text").cast("long"),
+        TextAnalysis.regexTokenCount($"text").cast("long"),
+        TextAnalysis.punctRatio($"text"),
+        TextAnalysis.stopwordRatio($"text"),
+        TextAnalysis.qualityScore($"text"))
+      .as[(Long, Long, Long, Double, Double, Double)].collect().sortBy(_._1)
+    // exact equality on the doubles — the mean-token-len arithmetic
+    // identity must not perturb a single bit
+    assert(bundled.sameElements(single))
+  }
+
   test("langId picks the language with most marker hits; en on ties/zero") {
     val df = Seq(
       (1L, "der hund und die katze ist da"),

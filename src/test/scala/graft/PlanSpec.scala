@@ -36,6 +36,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("text:string"), s"text column not pruned:\n$p")
   }
 
+  test("q24 normalizes once per row: ≤2 RegExpReplace nodes in the plan") {
+    // The whole class of "Column trees recompute shared subtrees" bugs
+    // (round-3 verdict #2): q24 needs exactly one normalization
+    // regexp_replace plus one punct-strip regexp_replace; any scorer
+    // that re-derives normalized(text) adds more.
+    import org.apache.spark.sql.catalyst.expressions.RegExpReplace
+    val df = SparkEntry.queries("q24_quality")(spark, sf)
+    val n = df.queryExecution.optimizedPlan.collect { case p =>
+      p.expressions.map(_.collect { case r: RegExpReplace => r }.size).sum
+    }.sum
+    assert(n <= 2, s"q24 plans $n RegExpReplace nodes — the normalize subtree is recomputed")
+  }
+
   test("dimension joins broadcast; recall reports don't sort-merge (q16, q31)") {
     Seq("q16_lsh_recall", "q31_overview").foreach { name =>
       val p = plan(name)
