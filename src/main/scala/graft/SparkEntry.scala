@@ -63,6 +63,7 @@ object SparkEntry {
     "q42_hll_distinct"   -> (ExtQueries.q42HllDistinct _),
     "q43_approx_quantile" -> (ExtQueries.q43ApproxQuantile _),
     "q44_dedup_clusters" -> (ExtQueries.q44DedupClusters _),
+    "q45_ivf_neardup"    -> (ExtQueries.q45IvfNearDup _),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB
@@ -112,5 +113,6 @@ object SparkEntry {
     "q42_hll_distinct"   -> ExtQueries.q42HllDistinctSql,
     "q43_approx_quantile" -> ExtQueries.q43ApproxQuantileSql,
     "q44_dedup_clusters" -> ExtQueries.q44DedupClustersSql,
+    "q45_ivf_neardup"    -> ExtQueries.q45IvfNearDupSql,
   )
 }

@@ -101,16 +101,24 @@ object Dedup {
     * label) survives per group. Pair-wise dropping alone can't see
     * chains; components can.
     *
-    * Algorithm: min-label propagation as DataFrame plans — each
-    * iteration is one join + hash-aggregate (comp(v) := min(comp(v),
-    * min over neighbors of comp(n))), with `localCheckpoint()` per
-    * iteration to truncate lineage (the standard iterative-plan
-    * hygiene) and a convergence count to stop early. Iterations
-    * needed = graph diameter; near-dup clusters are shallow (dups of
-    * a doc are dups of each other), so this converges in 2-3 rounds.
-    * At 100 TB with adversarial diameters, swap the step for the
-    * large-star/small-star contraction (log² n rounds, same
-    * join+aggregate building blocks); the API contract is unchanged.
+    * Algorithm: min-label propagation with pointer-jumping, as
+    * DataFrame plans. Each iteration is (1) a neighbor-min step —
+    * join + hash-aggregate, comp(v) := min(comp(v), min over
+    * neighbors of comp(n)) — then (2) a path-compression step,
+    * comp(v) := comp(comp(v)) (comp(v) is always the id of a node in
+    * v's component, so the hop stays inside the component and is
+    * monotone non-increasing). Plain propagation needs
+    * diameter-many rounds — a 1000-link chain would need 1000 —
+    * while the pointer jump doubles the propagation horizon each
+    * round, so convergence is O(log diameter): maxIters = 20 covers
+    * diameters up to ~2^20 regardless of shape. `localCheckpoint()`
+    * per iteration truncates lineage (standard iterative-plan
+    * hygiene); a convergence count stops early (near-dup clusters
+    * are shallow — 2-3 rounds in practice).
+    *
+    * If the loop still hits `maxIters` without converging it THROWS
+    * rather than returning partially-propagated labels (wrong answers
+    * must be loud — round-3 advisory).
     *
     * Input: (aCol, bCol) edge list. Output: (id, comp) for every id
     * appearing in an edge, comp = min id of its component. */
@@ -134,15 +142,29 @@ object Dedup {
         .join(labels.select(col("id").as("__dst"), col("comp").as("__c")), Seq("__dst"))
         .groupBy(col("__src").as("id"))
         .agg(min(col("__c")).as("__nc"))
-      val next = labels.join(nbr, Seq("id"), "left")
+      val stepped = labels.join(nbr, Seq("id"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("__nc"), col("comp"))).as("comp"))
+      // Pointer jump: comp(v) := comp(comp(v)). comp(v) is always an
+      // id present in `labels` (it starts as v's own id and only ever
+      // takes other nodes' ids), so the self-join always matches; the
+      // coalesce is defensive only.
+      val next = stepped.as("l")
+        .join(stepped.select(col("id").as("__cid"), col("comp").as("__cc")).as("p"),
+          col("l.comp") === col("__cid"), "left")
+        .select(col("l.id").as("id"),
+          coalesce(col("__cc"), col("l.comp")).as("comp"))
         .localCheckpoint()
       changed = next.join(labels.select(col("id"), col("comp").as("__old")), Seq("id"))
         .filter(col("comp") =!= col("__old")).count()
       labels = next
       i += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within maxIters=$maxIters " +
+        s"($changed labels still changing) — raise maxIters; labels would be " +
+        "partially propagated and silently wrong")
     labels
   }
 

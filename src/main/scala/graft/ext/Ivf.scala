@@ -53,6 +53,11 @@ object Ivf {
 
     for (_ <- 1 to iters) {
       val assigned = assign(vecs, centroids, "__v")
+      // localCheckpoint (eager, k rows) truncates the plan between
+      // iterations: without it iteration N's centroids DataFrame
+      // chains iterations 1..N-1 as sub-plans, so one evaluation
+      // re-scans the corpus O(iters²/2) times instead of O(iters) —
+      // the same iterative-plan hygiene as Dedup.connectedComponents.
       centroids = assigned
         .select(col("list_id"), posexplode(col("__v")).as(Seq("__pos", "__x")))
         .groupBy(col("list_id"), col("__pos"))
@@ -61,6 +66,7 @@ object Ivf {
         .agg(sort_array(collect_list(struct(col("__pos"), col("__mean")))).as("__pm"))
         .select(col("list_id"),
           transform(col("__pm"), p => p.getField("__mean").cast("float")).as("centroid"))
+        .localCheckpoint()
     }
     centroids
   }

@@ -141,6 +141,51 @@ object Similarity {
     *     within each list) rather than corpus-wide. Recall is exactly
     *     1 — the q35 gate is deterministic, not probabilistic.
     */
+  /** Sub-quadratic LOW-threshold near-dup via IVF coarse partitioning
+    * — the scale path for the regime where sign-LSH provably cannot
+    * prune (threshold < [[LshMinThreshold]]; see its scaladoc) and
+    * corpus-wide all-pairs is inherently quadratic:
+    *
+    *   1. assign every vector to its `nProbe` nearest IVF lists
+    *      (multi-probe membership; centroids from [[Ivf.train]],
+    *      always the broadcast side);
+    *   2. candidates = pairs sharing ≥1 list — the all-pairs scoring
+    *      runs only WITHIN lists, cost ≈ Σ_list |members|² ≈
+    *      N²·nProbe²/k instead of N². With k ~ √N lists this is
+    *      O(N^1.5); at 100 TB the members table is written
+    *      list_id-partitioned and each list's block never leaves its
+    *      executor.
+    *   3. exact-cosine verification of candidates (ids-only wide
+    *      join, vectors join back after dedup — the q18/q35 shape).
+    *
+    * Precision is exactly 1 (every emitted pair is exact-verified);
+    * recall is the probability a qualifying pair shares ≥1 of its
+    * nProbe lists — (k, nProbe) is the recall/cost dial (measured in
+    * PERF.md; driver-gated by q45 with an in-plan recall floor). */
+  def nearDupPairsIvf(corpus: DataFrame, centroids: DataFrame, threshold: Double,
+                      nProbe: Int = 4,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val member = corpus
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("__csim", cosine(col("__v"), col("centroid")))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__id")).orderBy(col("__csim").desc, col("list_id"))))
+      .filter(col("__rn") <= nProbe)
+      .select(col("list_id"), col("__id"))
+    val candidates = member.as("a")
+      .join(member.as("b"),
+        col("a.list_id") === col("b.list_id") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    candidates
+      .join(corpus.select(col(idCol).as("id_a"), col(vecCol).as("__va")), Seq("id_a"))
+      .join(corpus.select(col(idCol).as("id_b"), col(vecCol).as("__vb")), Seq("id_b"))
+      .withColumn("sim", cosine(col("__va"), col("__vb")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+
   def nearDupPairs(embeddings: DataFrame, threshold: Double, allPairs: Boolean = false,
                    numBands: Int = DefaultBands, planesPerBand: Int = DefaultPlanesPerBand,
                    dim: Int = 64, seed: Long = 42L,

@@ -132,27 +132,12 @@ class ChartReader(path: String, required: StructType)
 
   private val mapper = new ObjectMapper()
 
-  private def fetchHttp(): Vector[String] = {
-    val conn = java.net.URI.create(path).toURL.openConnection()
-      .asInstanceOf[java.net.HttpURLConnection]
-    conn.setConnectTimeout(10000)
-    conn.setReadTimeout(30000)
-    conn.setRequestProperty("Accept", "application/json")
-    try {
-      val code =
-        try conn.getResponseCode
-        catch { case e: java.io.IOException =>
-          throw new Retry.TransientError(s"transport failure fetching $path", e)
-        }
-      if (code == 429 || code >= 500)
-        throw new Retry.TransientError(s"HTTP $code from $path")
-      if (code >= 400)
-        throw new java.io.IOException(s"HTTP $code from $path") // hard: no retry
-      val src = scala.io.Source.fromInputStream(conn.getInputStream, "UTF-8")
-      try src.getLines().filter(_.trim.nonEmpty).toVector
-      finally src.close()
-    } finally conn.disconnect()
-  }
+  // Status semantics (429/5xx/transport retryable, other 4xx hard)
+  // live in the shared graft.sources.Http helper — one contract for
+  // this executor-side reader and the driver-side markets fetch.
+  private def fetchHttp(): Vector[String] =
+    graft.sources.Http.getBody(path)
+      .linesIterator.filter(_.trim.nonEmpty).toVector
 
   private def readLocal(): Vector[String] = {
     // Space-safe local path resolution: Hadoop's Path.toString emits

@@ -113,6 +113,18 @@ class ExtSpec extends AnyFunSuite {
     assert(lsh.contains((0L, 100L)) && lsh.contains((0L, 101L)) && lsh.contains((100L, 101L)))
   }
 
+  test("nearDupPairsIvf: exact precision, recall >= 0.8, and fewer scored pairs than all-pairs") {
+    val emb = Tables.embeddings(spark, sf)
+    val centroids = ext.Ivf.train(emb, k = 16, iters = 3)
+    val found = ext.Similarity.nearDupPairsIvf(emb, centroids, threshold = 0.4, nProbe = 4)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val exact = ext.Similarity.nearDupPairs(emb, threshold = 0.4) // routes to all-pairs
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert((found -- exact).isEmpty, s"false positives: ${found -- exact}") // precision theorem
+    val recall = (found & exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall < 0.8 (hit ${(found & exact).size}/${exact.size})")
+  }
+
   test("IVF search recall vs brute force >= 0.5 on sf0.001 embeddings; assignment is total") {
     val emb = Tables.embeddings(spark, sf)
     val centroids = graft.ext.Ivf.train(emb, k = 8, iters = 3)
@@ -163,6 +175,19 @@ class ExtSpec extends AnyFunSuite {
       1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L, 12L -> 10L,
       20L -> 20L, 21L -> 20L))
+  }
+
+  test("connectedComponents converges on a deep chain via pointer-jumping; cap overrun throws") {
+    // A 64-link path has diameter 63: plain min-label propagation
+    // would need 63 rounds (silently wrong at the old maxIters=20);
+    // pointer-jumping needs ~log2 rounds.
+    val chain = (1 until 64).map(i => (i.toLong, i.toLong + 1)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(chain, maxIters = 10).as[(Long, Long)].collect()
+    assert(got.length == 64 && got.forall(_._2 == 1L))
+    // Non-convergence must be an error, never partially-propagated labels.
+    assertThrows[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIters = 2)
+    }
   }
 
   test("nearDupText on sf0.001 equals the exact all-pairs jaccard answer") {

@@ -131,6 +131,48 @@ class SourcesSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("coinsMarketsLive fetches the metadata dim over HTTP with retry; 4xx is hard") {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val hits = new java.util.concurrent.atomic.AtomicInteger()
+    // array payload with extra fields, like the real endpoint
+    val payload =
+      """[{"id":"bitcoin","symbol":"btc","name":"Bitcoin","current_price":93512.02},
+        | {"id":"ethereum","symbol":"eth","name":"Ethereum","market_cap_rank":2}]""".stripMargin
+    server.createContext("/markets", (ex: com.sun.net.httpserver.HttpExchange) => {
+      if (hits.incrementAndGet() == 1) {
+        ex.sendResponseHeaders(429, -1) // rate limit: must retry
+        ex.close()
+      } else {
+        val bytes = payload.getBytes("UTF-8")
+        ex.sendResponseHeaders(200, bytes.length.toLong)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      }
+    })
+    val hardHits = new java.util.concurrent.atomic.AtomicInteger()
+    server.createContext("/denied", (ex: com.sun.net.httpserver.HttpExchange) => {
+      hardHits.incrementAndGet()
+      ex.sendResponseHeaders(403, -1)
+      ex.close()
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val df = Sources.coinsMarketsLive(spark, s"$base/markets", retryBaseDelayMs = 1L)
+      assert(df.columns.toSeq == Seq("id", "symbol", "name")) // extras dropped
+      assert(df.orderBy("id").as[(String, String, String)].collect().toSeq ==
+        Seq(("bitcoin", "btc", "Bitcoin"), ("ethereum", "eth", "Ethereum")))
+      assert(hits.get() >= 2, s"expected a retry after the 429, got ${hits.get()} hits")
+
+      val err = intercept[java.io.IOException] {
+        Sources.coinsMarketsLive(spark, s"$base/denied", retryBaseDelayMs = 1L)
+      }
+      assert(err.getMessage.contains("HTTP 403"))
+      assert(hardHits.get() == 1, s"403 must not retry, got ${hardHits.get()} hits")
+    } finally server.stop(0)
+  }
+
   // --- S1: YAML config scan ------------------------------------------------
 
   test("ConfigSource parses the reference coins.yaml shape") {
