@@ -64,6 +64,10 @@ object SparkEntry {
     "q43_approx_quantile" -> (ExtQueries.q43ApproxQuantile _),
     "q44_dedup_clusters" -> (ExtQueries.q44DedupClusters _),
     "q45_ivf_neardup"    -> (ExtQueries.q45IvfNearDup _),
+    "q46_split"          -> (ExtQueries.q46Split _),
+    "q47_stratified_sample" -> (ExtQueries.q47StratifiedSample _),
+    "q48_chunks"         -> (ExtQueries.q48Chunks _),
+    "q49_redact"         -> (ExtQueries.q49Redact _),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB
@@ -114,5 +118,9 @@ object SparkEntry {
     "q43_approx_quantile" -> ExtQueries.q43ApproxQuantileSql,
     "q44_dedup_clusters" -> ExtQueries.q44DedupClustersSql,
     "q45_ivf_neardup"    -> ExtQueries.q45IvfNearDupSql,
+    "q46_split"          -> ExtQueries.q46SplitSql,
+    "q47_stratified_sample" -> ExtQueries.q47StratifiedSampleSql,
+    "q48_chunks"         -> ExtQueries.q48ChunksSql,
+    "q49_redact"         -> ExtQueries.q49RedactSql,
   )
 }

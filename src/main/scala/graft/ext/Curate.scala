@@ -1,0 +1,88 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dataset-curation operators a large-scale training-data pipeline
+  * needs around the dedup/similarity/quality core (driver mandate;
+  * SURVEY.md §7.5): reproducible splits, deterministic sampling,
+  * context-window chunking, and PII redaction.
+  *
+  * Everything here is a per-row projection or a bounded per-group
+  * top-k — map-only (or one WindowGroupLimit) at any scale, zero UDFs.
+  *
+  * Determinism is the design center: splits and samples key on a
+  * CONTENT-STABLE hash (`md5` of the id — identical in every engine,
+  * unlike xxhash64/rand which are Spark-specific), so re-running the
+  * pipeline on a grown corpus keeps every previously-assigned row in
+  * its split — the property that makes train/test contamination
+  * auditable at 100 TB. No RNG state, no seed plumbing, no shuffle.
+  */
+object Curate {
+
+  /** Engine-portable deterministic bucket in [0, buckets): the first
+    * 8 hex chars of md5(id) as an integer, mod buckets. Uniform
+    * (md5 avalanche), content-stable, and expressible in DuckDB as
+    * `CAST(('0x' || substr(md5(id::VARCHAR),1,8)) AS UBIGINT) % b`. */
+  def hashBucket(id: Column, buckets: Int): Column =
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long") % buckets
+
+  /** Reproducible train/val/test split: adds a `split` column keyed
+    * on [[hashBucket]] over 100 buckets — `trainPct`% train, `valPct`%
+    * val, remainder test. Rows never migrate between splits when the
+    * corpus grows (assignment depends only on the row's own id). */
+  def withSplit(df: DataFrame, idCol: String = "doc_id",
+                trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct + valPct < 100, s"train+val must leave room for test, got $trainPct+$valPct")
+    val b = hashBucket(col(idCol), 100)
+    df.withColumn("split",
+      when(b < trainPct, "train")
+        .when(b < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
+  /** Deterministic stratified sample: `n` rows per stratum, chosen by
+    * ordering each stratum on (md5(id), id) — a reproducible
+    * pseudo-random order with no RNG. One WindowGroupLimit per
+    * stratum (rank ≤ n prunes before the final sort), not a global
+    * sample: every stratum is guaranteed its quota, which
+    * `TABLESAMPLE`-style Bernoulli sampling cannot promise. */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+                       n: Int): DataFrame = {
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= n)
+  }
+
+  /** Context-window chunking: one output row per `maxChars` segment
+    * of the text — the pre-tokenization analog of sequence packing.
+    * Explode over a computed index range + substring: map-only, no
+    * shuffle; empty documents yield zero chunks (not one empty one).
+    * Output: (idCol, chunk_id, offset [1-based], chunk). */
+  def chunk(df: DataFrame, maxChars: Int,
+            textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    df.filter(length(col(textCol)) > 0)
+      .withColumn("__n", expr(s"(length($textCol) + ${maxChars - 1}) div $maxChars"))
+      .select(col(idCol), col(textCol),
+        explode(expr("sequence(0, __n - 1)")).as("chunk_id"))
+      .withColumn("offset", col("chunk_id") * maxChars + 1)
+      .select(col(idCol), col("chunk_id"), col("offset"),
+        expr(s"substring($textCol, offset, $maxChars)").as("chunk"))
+
+  /** PII patterns (emails; NANP-style phone runs). Deliberately plain
+    * regex — identical semantics under Java regex and RE2, so the
+    * oracle can restate them verbatim. */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhoneRe = "\\d{3}-\\d{3}-\\d{4}"
+
+  /** Count of PII matches (emails + phones) in the text. */
+  def piiCount(text: Column): Column =
+    (size(regexp_extract_all(text, lit(EmailRe), lit(0))) +
+      size(regexp_extract_all(text, lit(PhoneRe), lit(0)))).cast("long")
+
+  /** Replace PII with typed placeholder tokens. */
+  def redact(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
+}

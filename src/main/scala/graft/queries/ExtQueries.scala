@@ -730,6 +730,109 @@ object ExtQueries {
       |  TRUE AS guarantee_holds""".stripMargin
 
   // ----------------------------------------------------------------
+  // q46_split — reproducible train/val/test split (Curate.withSplit):
+  // assignment keys on md5(doc_id), so it is content-stable (rows
+  // never migrate when the corpus grows — the contamination-audit
+  // property) and engine-portable (the oracle recomputes the exact
+  // same buckets). Output: per-(split, lang) counts.
+  // ----------------------------------------------------------------
+  def q46Split(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Curate.withSplit(Tables.documents(spark, dir))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("split"), col("lang"))
+
+  val q46SplitSql: String =
+    """WITH b AS (
+      |  SELECT lang,
+      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 100 AS bucket
+      |  FROM documents)
+      |SELECT CASE WHEN bucket < 80 THEN 'train'
+      |            WHEN bucket < 90 THEN 'val'
+      |            ELSE 'test' END AS split,
+      |       lang, COUNT(*) AS n_docs
+      |FROM b
+      |GROUP BY 1, 2
+      |ORDER BY split, lang""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q47_stratified_sample — deterministic per-language sample of 20
+  // docs, ordered by (md5(doc_id), doc_id): a reproducible
+  // pseudo-random order with no RNG/seed state, so both engines pick
+  // the identical rows. One WindowGroupLimit per stratum.
+  // ----------------------------------------------------------------
+  def q47StratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Curate.stratifiedSample(
+        Tables.documents(spark, dir), strataCol = "lang", idCol = "doc_id", n = 20)
+      .select(col("lang"), col("doc_id"), col("rank"))
+      .orderBy(col("lang"), col("rank"))
+
+  val q47StratifiedSampleSql: String =
+    """SELECT lang, doc_id, rank FROM (
+      |  SELECT lang, doc_id,
+      |    CAST(row_number() OVER (PARTITION BY lang
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rank
+      |  FROM documents)
+      |WHERE rank <= 20
+      |ORDER BY lang, rank""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q48_chunks — context-window chunking (Curate.chunk): one row per
+  // 500-char segment, explode + substring (map-only). Chunk content
+  // is checked by md5 digest rather than shipping the text through
+  // the compare.
+  // ----------------------------------------------------------------
+  def q48Chunks(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Curate.chunk(Tables.documents(spark, dir), maxChars = 500)
+      .select(col("doc_id"), col("chunk_id"), col("offset"),
+        length(col("chunk")).cast("long").as("n_chunk_chars"),
+        md5(col("chunk")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  val q48ChunksSql: String =
+    """SELECT doc_id, chunk_id, chunk_id * 500 + 1 AS offset,
+      |  CAST(len(substr(text, CAST(chunk_id * 500 + 1 AS INT), 500)) AS BIGINT) AS n_chunk_chars,
+      |  md5(substr(text, CAST(chunk_id * 500 + 1 AS INT), 500)) AS chunk_md5
+      |FROM (SELECT doc_id, text,
+      |        unnest(generate_series(0, (len(text) + 499) // 500 - 1)) AS chunk_id
+      |      FROM documents WHERE len(text) > 0)
+      |ORDER BY doc_id, chunk_id""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q49_redact — PII redaction: emails/phones are planted in-query on
+  // every 7th doc (the testdata has none — same planting pattern as
+  // q17's duplicates), then counted and redacted; the redacted text
+  // is checked by digest. Identical regex semantics under Java regex
+  // (Spark) and RE2 (DuckDB) — the patterns are restated verbatim.
+  // ----------------------------------------------------------------
+  def q49Redact(spark: SparkSession, dir: String): DataFrame = {
+    val planted = Tables.documents(spark, dir).withColumn("text",
+      when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or 555-123-4567")))
+        .otherwise(col("text")))
+    planted.select(col("doc_id"),
+        graft.ext.Curate.piiCount(col("text")).as("n_pii"),
+        md5(graft.ext.Curate.redact(col("text"))).as("redacted_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q49RedactSql: String =
+    """WITH planted AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 0
+      |         THEN text || ' contact user' || doc_id || '@example.com or 555-123-4567'
+      |         ELSE text END AS text
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))
+      |     + len(regexp_extract_all(text, '\d{3}-\d{3}-\d{4}')) AS BIGINT) AS n_pii,
+      |  md5(regexp_replace(regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+      |      '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g')) AS redacted_md5
+      |FROM planted
+      |ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------------------------
   // q42_hll_distinct — mergeable-sketch distinct counting (the 100 TB
   // shape for COUNT(DISTINCT): per-partition/per-group sketches merge
   // associatively, so a global estimate never re-shuffles raw values).

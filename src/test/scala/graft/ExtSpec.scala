@@ -4,7 +4,7 @@ import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ext.{Dedup, Similarity, TextAnalysis}
+import graft.ext.{Curate, Dedup, Similarity, TextAnalysis}
 import graft.functions.VectorFunctions
 
 /** Extension-layer coverage (similarity, dedup, text analysis) — the
@@ -249,6 +249,40 @@ class ExtSpec extends AnyFunSuite {
     ).toDF("doc_id", "text")
     val got = df.select($"doc_id", TextAnalysis.langId($"text")).as[(Long, String)].collect().toMap
     assert(got(1L) == "de" && got(2L) == "fr" && got(3L) == "en")
+  }
+
+  test("Curate: split is total/deterministic, samples are exact, chunks reassemble, redaction scrubs") {
+    val docs = Tables.documents(spark, sf)
+    // split: every row gets exactly one of train/val/test; assignment
+    // is a pure function of doc_id (input order must not matter)
+    val s1 = Curate.withSplit(docs).select($"doc_id", $"split")
+      .as[(Long, String)].collect().toMap
+    val s2 = Curate.withSplit(docs.orderBy($"doc_id".desc)).select($"doc_id", $"split")
+      .as[(Long, String)].collect().toMap
+    assert(s1 == s2 && s1.size == docs.count())
+    assert(s1.values.toSet.subsetOf(Set("train", "val", "test")))
+    val frac = s1.values.count(_ == "train").toDouble / s1.size
+    assert(frac > 0.7 && frac < 0.9, s"train fraction $frac off the 0.8 target")
+
+    // stratified sample: exactly n rows per stratum
+    val perLang = Curate.stratifiedSample(docs, "lang", "doc_id", 5)
+      .groupBy($"lang").count().as[(String, Long)].collect().toMap
+    assert(perLang.nonEmpty && perLang.values.forall(_ == 5L), s"$perLang")
+
+    // chunks reassemble to the original text; no empty chunks
+    val chunks = Curate.chunk(docs, maxChars = 100)
+    val rebuilt = chunks.groupBy($"doc_id")
+      .agg(array_join(transform(
+        sort_array(collect_list(struct($"chunk_id", $"chunk"))),
+        x => x.getField("chunk")), "").as("t"))
+    assert(rebuilt.join(docs, Seq("doc_id")).filter($"t" =!= $"text").count() == 0)
+    assert(chunks.filter(length($"chunk") === 0).count() == 0)
+
+    // redaction scrubs every pattern; count sees both kinds
+    val dirty = Seq((1L, "reach me at a.b-c@mail-x.io or 555-123-4567 ok")).toDF("doc_id", "text")
+    val r = dirty.select(Curate.piiCount($"text"), Curate.redact($"text"))
+      .as[(Long, String)].head()
+    assert(r._1 == 2L && r._2 == "reach me at <EMAIL> or <PHONE> ok")
   }
 
   test("simhash: near-dup texts land within small hamming distance, unrelated far") {
