@@ -68,6 +68,9 @@ object SparkEntry {
     "q47_stratified_sample" -> (ExtQueries.q47StratifiedSample _),
     "q48_chunks"         -> (ExtQueries.q48Chunks _),
     "q49_redact"         -> (ExtQueries.q49Redact _),
+    "q50_mixture"        -> (ExtQueries.q50Mixture _),
+    "q51_packing"        -> (ExtQueries.q51Packing _),
+    "q52_repetition"     -> (ExtQueries.q52Repetition _),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB
@@ -122,5 +125,8 @@ object SparkEntry {
     "q47_stratified_sample" -> ExtQueries.q47StratifiedSampleSql,
     "q48_chunks"         -> ExtQueries.q48ChunksSql,
     "q49_redact"         -> ExtQueries.q49RedactSql,
+    "q50_mixture"        -> ExtQueries.q50MixtureSql,
+    "q51_packing"        -> ExtQueries.q51PackingSql,
+    "q52_repetition"     -> ExtQueries.q52RepetitionSql,
   )
 }

@@ -71,6 +71,49 @@ object Curate {
       .select(col(idCol), col("chunk_id"), col("offset"),
         expr(s"substring($textCol, offset, $maxChars)").as("chunk"))
 
+  /** [[hashBucket]] with a salt, so independent sampling decisions
+    * (split vs mixture) are uncorrelated — sharing one hash would
+    * drop all of a key's mixture losses from the same split region. */
+  def hashBucketSalted(id: Column, salt: String, buckets: Int): Column =
+    conv(substring(md5(concat(id.cast("string"), lit(salt))), 1, 8), 16, 10)
+      .cast("long") % buckets
+
+  /** Weighted dataset mixture — the language/source rebalancing step
+    * of a pretraining pipeline: per-key deterministic subsampling at
+    * `ratesPct` percent (keys absent from the list keep
+    * `defaultPct`). Same content-stable hash mechanics as
+    * [[withSplit]] (salted; no RNG), so the mixture is reproducible
+    * and composes with the split without correlation. Map-only. */
+  def mixture(df: DataFrame, keyCol: String, idCol: String,
+              ratesPct: Seq[(String, Int)], defaultPct: Int = 100,
+              salt: String = "#mix"): DataFrame = {
+    val b = hashBucketSalted(col(idCol), salt, 100)
+    val rate = ratesPct.foldRight(lit(defaultPct): Column) { case ((k, p), acc) =>
+      when(col(keyCol) === k, lit(p)).otherwise(acc)
+    }
+    df.filter(b < rate)
+  }
+
+  /** Concat-and-split sequence packing (the LM-training layout): rows
+    * are laid out in deterministic `idCol` order within each group
+    * and cut into `budget`-token bins; a row's bin is where its FIRST
+    * token lands (`exclusive-prefix-sum DIV budget`) — the standard
+    * "concatenate documents, slice at context length" packing,
+    * expressed as one window prefix-sum + integer division.
+    *
+    * Scale posture: the prefix-sum needs a total order per group, so
+    * at 100 TB packing runs per (shard, group) — which is also what
+    * training wants (each worker packs its own shard); the operator
+    * is the per-shard kernel. Appends: bin_id. */
+  def packBins(df: DataFrame, groupCol: String, idCol: String,
+               tokensCol: String, budget: Int): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("__prior", coalesce(sum(col(tokensCol)).over(w), lit(0L)))
+      .withColumn("bin_id", expr(s"__prior div $budget"))
+      .drop("__prior")
+  }
+
   /** PII patterns (emails; NANP-style phone runs). Deliberately plain
     * regex — identical semantics under Java regex and RE2, so the
     * oracle can restate them verbatim. */

@@ -833,6 +833,108 @@ object ExtQueries {
       |ORDER BY doc_id""".stripMargin
 
   // ----------------------------------------------------------------
+  // q50_mixture — weighted dataset mixture (Curate.mixture): language
+  // rebalancing by deterministic per-key subsampling (en kept whole,
+  // de/fr/es at 50%, zh at 25%) — salted hash, so composable with the
+  // q46 split. Output: per-lang kept counts + the applied rate.
+  // ----------------------------------------------------------------
+  private val MixRates = Seq("de" -> 50, "fr" -> 50, "es" -> 50, "zh" -> 25)
+
+  def q50Mixture(spark: SparkSession, dir: String): DataFrame = {
+    val rateCol = MixRates.foldRight(lit(100): Column) { case ((k, p), acc) =>
+      when(col("lang") === k, lit(p)).otherwise(acc)
+    }
+    graft.ext.Curate.mixture(Tables.documents(spark, dir),
+        keyCol = "lang", idCol = "doc_id", ratesPct = MixRates)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"))
+      .withColumn("rate_pct", rateCol.cast("long"))
+      .orderBy(col("lang"))
+  }
+
+  val q50MixtureSql: String =
+    """WITH b AS (
+      |  SELECT lang,
+      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#mix'), 1, 8)) AS UBIGINT) % 100 AS bucket,
+      |    CASE lang WHEN 'de' THEN 50 WHEN 'fr' THEN 50 WHEN 'es' THEN 50
+      |              WHEN 'zh' THEN 25 ELSE 100 END AS rate
+      |  FROM documents)
+      |SELECT lang, COUNT(*) AS n_kept, CAST(rate AS BIGINT) AS rate_pct
+      |FROM b WHERE bucket < rate
+      |GROUP BY lang, rate
+      |ORDER BY lang""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q51_packing — concat-and-split sequence packing (Curate.packBins):
+  // per-lang deterministic layout cut into 2048-token bins; reports
+  // docs and tokens starting in each bin. All-integer output (token
+  // counts are the q23-proven portable tokenizer).
+  // ----------------------------------------------------------------
+  def q51Packing(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
+    graft.ext.Curate.packBins(docs, groupCol = "lang", idCol = "doc_id",
+        tokensCol = "tokens", budget = 2048)
+      .groupBy(col("lang"), col("bin_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("bin_tokens"))
+      .orderBy(col("lang"), col("bin_id"))
+  }
+
+  val q51PackingSql: String =
+    """WITH t AS (
+      |  SELECT lang, doc_id,
+      |    CAST(len(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS BIGINT) AS tokens
+      |  FROM documents),
+      |p AS (
+      |  SELECT lang, tokens,
+      |    COALESCE(SUM(tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048 AS bin_id
+      |  FROM t)
+      |SELECT lang, CAST(bin_id AS BIGINT) AS bin_id, COUNT(*) AS n_docs,
+      |  SUM(tokens) AS bin_tokens
+      |FROM p
+      |GROUP BY lang, bin_id
+      |ORDER BY lang, bin_id""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q52_repetition — intra-document repetition detection (the
+  // Gopher/RefinedWeb "repeated n-gram" quality rule): duplicate
+  // trigram mass per doc, flagged when > 20% of trigrams are repeats.
+  // All-integer columns; the 20% flag is an integer cross-multiply
+  // ((total - distinct) * 5 > total), so no float leaves the query.
+  // ----------------------------------------------------------------
+  def q52Repetition(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    // Tokens materialized once (named multi-referenced alias) — the
+    // inline form re-ran the tokenizer ~5× per row (3.7 s → 0.9 s).
+    docs
+      .withColumn("__toks", split(Dedup.normalized(col("text")), " "))
+      .select(col("doc_id"),
+        greatest(size(col("__toks")) - 2, lit(0)).cast("long").as("n_trigrams"),
+        size(Dedup.shinglesFromToks(col("__toks"))).cast("long").as("n_distinct"))
+      .withColumn("is_repetitive",
+        (col("n_trigrams") - col("n_distinct")) * 5 > col("n_trigrams"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q52RepetitionSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
+      |  FROM documents),
+      |t AS (
+      |  SELECT doc_id,
+      |    CAST(greatest(len(toks) - 2, 0) AS BIGINT) AS n_trigrams,
+      |    CAST(CASE WHEN len(toks) >= 3
+      |         THEN len(list_distinct(list_transform(range(1, len(toks) - 1),
+      |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+      |         ELSE 0 END AS BIGINT) AS n_distinct
+      |  FROM d)
+      |SELECT doc_id, n_trigrams, n_distinct,
+      |  (n_trigrams - n_distinct) * 5 > n_trigrams AS is_repetitive
+      |FROM t
+      |ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------------------------
   // q42_hll_distinct — mergeable-sketch distinct counting (the 100 TB
   // shape for COUNT(DISTINCT): per-partition/per-group sketches merge
   // associatively, so a global estimate never re-shuffles raw values).

@@ -285,6 +285,37 @@ class ExtSpec extends AnyFunSuite {
     assert(r._1 == 2L && r._2 == "reach me at <EMAIL> or <PHONE> ok")
   }
 
+  test("Curate: mixture subsamples only targeted keys; packing matches a sequential re-pack; repetition flags") {
+    val docs = Tables.documents(spark, sf)
+    // mixture: non-targeted keys untouched; targeted key roughly halved
+    val mixed = Curate.mixture(docs, "lang", "doc_id", Seq("en" -> 50))
+    val en = docs.filter($"lang" === "en").count()
+    val enKept = mixed.filter($"lang" === "en").count()
+    assert(enKept > en * 3 / 10 && enKept < en * 7 / 10, s"kept $enKept of $en en docs at 50%")
+    assert(mixed.filter($"lang" =!= "en").count() == docs.filter($"lang" =!= "en").count())
+
+    // packing: bin assignment equals a sequential driver-side re-pack
+    val budget = 512
+    val enToks = docs.filter($"lang" === "en")
+      .withColumn("tokens", TextAnalysis.tokenCount($"text").cast("long"))
+    val ordered = enToks.select($"doc_id", $"tokens").as[(Long, Long)].collect().sortBy(_._1)
+    var cum = 0L
+    val expected = ordered.map { case (id, t) => val b = cum / budget; cum += t; id -> b }.toMap
+    val got = Curate.packBins(enToks, "lang", "doc_id", "tokens", budget)
+      .select($"doc_id", $"bin_id").as[(Long, Long)].collect().toMap
+    assert(got == expected)
+
+    // repetition rule: a looped text is >20% duplicate trigrams, varied text is not
+    val rep = Seq(
+      (1L, Seq.fill(30)("spam ham eggs").mkString(" ")),
+      (2L, (1 to 90).map(i => s"tok$i").mkString(" "))).toDF("doc_id", "text")
+    val nTri = greatest(TextAnalysis.tokenCount($"text") - 2, lit(0)).cast("long")
+    val flags = rep.select($"doc_id",
+        ((nTri - size(Dedup.shingles($"text")).cast("long")) * 5 > nTri).as("f"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(flags(1L) && !flags(2L))
+  }
+
   test("simhash: near-dup texts land within small hamming distance, unrelated far") {
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
     val nearDup = (1 to 60).map(i => if (i % 29 == 0) s"chg$i" else s"tok$i").mkString(" ")
