@@ -49,6 +49,15 @@ class PlanSpec extends AnyFunSuite {
     assert(n <= 2, s"q24 plans $n RegExpReplace nodes — the normalize subtree is recomputed")
   }
 
+  test("q52 tokenizes once per row: ≤1 RegExpReplace node in the plan") {
+    import org.apache.spark.sql.catalyst.expressions.RegExpReplace
+    val df = SparkEntry.queries("q52_repetition")(spark, sf)
+    val n = df.queryExecution.optimizedPlan.collect { case p =>
+      p.expressions.map(_.collect { case r: RegExpReplace => r }.size).sum
+    }.sum
+    assert(n <= 1, s"q52 plans $n RegExpReplace nodes — the tokenizer is recomputed")
+  }
+
   test("dimension joins broadcast; recall reports don't sort-merge (q16, q31)") {
     Seq("q16_lsh_recall", "q31_overview").foreach { name =>
       val p = plan(name)
