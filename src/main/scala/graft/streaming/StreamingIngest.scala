@@ -9,6 +9,16 @@ import graft.ops.MergeWriter
 /** Input tick for the stateful alert stream. */
 case class PriceTick(asset_id: String, ts: java.sql.Timestamp, price: Double)
 
+/** Input document for the streaming near-dup detector. */
+case class DocText(doc_id: Long, text: String)
+
+/** Emitted when a document lands in a minhash band bucket already
+  * claimed by an earlier document: a NEAR-DUP CANDIDATE (same
+  * contract as the batch band join — verify with exact Jaccard
+  * downstream before dropping; a doc colliding in several bands is
+  * emitted once per band). */
+case class NearDupCandidate(doc_id: Long, dup_of: Long, band: Int)
+
 /** Emitted when a tick exceeds the running per-asset high watermark. */
 case class HighAlert(asset_id: String, ts: java.sql.Timestamp,
                      price: Double, prev_high: Double)
@@ -61,6 +71,63 @@ object StreamingIngest {
       .withColumn("content_hash", graft.ext.Dedup.contentHash(col("text")))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("content_hash")
+
+  /** Streaming NEAR-duplicate candidate detection — the streaming form
+    * of `Dedup.nearDupText`'s band join, for continuous training-data
+    * ingest where "have I seen something like this" must be answered
+    * per arriving document, not per batch recompute.
+    *
+    * Per-row (map-only): normalize → trigram shingles → minhash
+    * signature → `numBands` band buckets, computed with the SAME
+    * hash chain as the batch operator (xxhash64 shingle → per-seed
+    * xxhash64 → per-band combiner), so stream and batch agree on
+    * candidacy exactly (spec-asserted). The signature uses the HOF
+    * form here — per-document streaming cost, where the batch path's
+    * explode+aggregate shape doesn't compose with the keyed state op
+    * (one stateful operator per stream).
+    *
+    * Stateful: one `Long` (first-seen doc id) per OCCUPIED (band,
+    * bucket) — the keyed-state analog of the band join's build side.
+    * State grows with distinct buckets seen; production ingest bounds
+    * it with `GroupStateTimeout` eviction (the watermark analog of
+    * `dropDuplicatesWithinWatermark`), which changes candidate recall
+    * only across evicted horizons. Works on a batch Dataset too
+    * (state is per-group-empty there; smallest id wins via the
+    * in-group sort), which is how the spec cross-checks.
+    */
+  def nearDupCandidates(docs: Dataset[DocText],
+                        numBands: Int = 16, r: Int = 4): Dataset[NearDupCandidate] = {
+    import docs.sparkSession.implicits._
+    import graft.ext.Dedup
+    val bands = array((0 until numBands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((lit(b) +: (b * r until (b + 1) * r)
+          .map(i => element_at(col("__sig"), i + 1))): _*).as("bucket"))
+    }: _*)
+    docs.toDF()
+      .withColumn("__toks", split(Dedup.normalized(col("text")), " "))
+      .withColumn("__sh", Dedup.shinglesFromToks(col("__toks")))
+      .filter(size(col("__sh")) > 0)
+      .withColumn("__h", transform(col("__sh"), s => xxhash64(s)))
+      .withColumn("__sig", transform(sequence(lit(0), lit(numBands * r - 1)),
+        s => array_min(transform(col("__h"), h => xxhash64(h, s)))))
+      .select(col("doc_id"), explode(bands).as("__b"))
+      .select(col("doc_id"), col("__b.band").as("band"), col("__b.bucket").as("bucket"))
+      .as[(Long, Int, Long)]
+      .groupByKey { case (_, band, bucket) => (band, bucket) }
+      .flatMapGroupsWithState[Long, NearDupCandidate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((band, _), rows, state) =>
+          var first = state.getOption.getOrElse(Long.MaxValue)
+          val out = rows.toSeq.sortBy(_._1).flatMap { case (id, _, _) =>
+            if (first == Long.MaxValue) { first = id; None }
+            else if (id != first) Some(NearDupCandidate(id, first, band))
+            else None
+          }
+          state.update(first)
+          out.iterator
+      }
+  }
 
   /** Custom per-key streaming state via `flatMapGroupsWithState`
     * (SURVEY.md §2.10 — arbitrary stateful ops beyond windowed aggs):

@@ -107,4 +107,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(alerts.map(_.price).toSeq == Seq(100.0, 120.0, 130.0))
     assert(alerts.last.prev_high == 120.0) // state crossed the batch boundary
   }
+
+  test("streaming near-dup candidates flag cross-batch band collisions; stream == batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{DocText, NearDupCandidate}
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 60).map(i => if (i == 30) "changed" else s"tok$i").mkString(" ")
+    val unrelated = (100 to 160).map(i => s"zzz$i").mkString(" ")
+
+    val input = MemoryStream[DocText]
+    val q = StreamingIngest.nearDupCandidates(input.toDS())
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("neardup_out").start()
+    input.addData(DocText(1L, base), DocText(3L, unrelated))
+    q.processAllAvailable()
+    input.addData(DocText(2L, nearDup)) // later batch: must hit doc 1's band state
+    q.processAllAvailable()
+    q.stop()
+    val streamPairs = spark.table("neardup_out").as[NearDupCandidate]
+      .collect().map(c => (c.doc_id, c.dup_of)).toSet
+    assert(streamPairs == Set((2L, 1L)))
+
+    // batch execution of the same operator agrees (smallest id wins in-group)
+    val batchPairs = StreamingIngest.nearDupCandidates(
+        Seq(DocText(1L, base), DocText(2L, nearDup), DocText(3L, unrelated)).toDS())
+      .collect().map(c => (c.doc_id, c.dup_of)).toSet
+    assert(batchPairs == Set((2L, 1L)))
+  }
 }
