@@ -71,6 +71,7 @@ object SparkEntry {
     "q50_mixture"        -> (ExtQueries.q50Mixture _),
     "q51_packing"        -> (ExtQueries.q51Packing _),
     "q52_repetition"     -> (ExtQueries.q52Repetition _),
+    "q53_winnow"         -> (ExtQueries.q53Winnow _),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB
@@ -128,5 +129,6 @@ object SparkEntry {
     "q50_mixture"        -> ExtQueries.q50MixtureSql,
     "q51_packing"        -> ExtQueries.q51PackingSql,
     "q52_repetition"     -> ExtQueries.q52RepetitionSql,
+    "q53_winnow"         -> ExtQueries.q53WinnowSql,
   )
 }

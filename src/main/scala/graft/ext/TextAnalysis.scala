@@ -194,6 +194,53 @@ object TextAnalysis {
       .select(col(idCol), packed.as("fingerprint"))
   }
 
+  /** Ordered (non-distinct, position-preserving) token k-gram array —
+    * the winnowing input. Same shifted-zip construction as
+    * `Dedup.shinglesFromToks` but WITHOUT the distinct: winnowing
+    * needs the gram SEQUENCE. Pass a materialized token column. */
+  def orderedGramsFromToks(toks: Column, k: Int = 3): Column = {
+    val zipped = (1 until k).foldLeft(toks) { (acc, j) =>
+      zip_with(acc, slice(toks, lit(j + 1), size(toks)), (a, b) => concat(a, lit(" "), b))
+    }
+    when(size(toks) >= k, filter(zipped, x => x.isNotNull))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Winnowing selection over a materialized gram-hash sequence: the
+    * distinct minima of every `w`-length window (Schleimer/Wilkerson/
+    * Aiken "winnowing" — the rolling-hash fingerprint family; the
+    * declarative form hashes each gram directly instead of rolling
+    * the hash incrementally, which changes cost constants, not the
+    * selected fingerprints). Documents with fewer than `w` windows
+    * contribute their single global min. */
+  def winnowFromHashes(hashes: Column, w: Int = 4): Column = {
+    val m = size(hashes) - (w - 1)
+    when(size(hashes) === 0, array().cast("array<bigint>"))
+      .when(m <= 0, array(array_min(hashes)))
+      .otherwise(array_distinct(
+        transform(sequence(lit(0), m - 1), j => array_min(slice(hashes, j + 1, lit(w))))))
+  }
+
+  /** Winnowing document fingerprints over a corpus: (idCol,
+    * fingerprints: array<bigint>). The selection guarantee is LOCAL:
+    * any shared token run of length ≥ k+w-1 shares at least one
+    * fingerprint — so quotes/boilerplate/partial plagiarism between
+    * documents are detectable from fingerprint intersection, which
+    * global-similarity schemes (minhash jaccard, simhash) miss when
+    * the shared span is a small fraction of both docs. In particular
+    * a token-aligned excerpt's fingerprint set is a SUBSET of its
+    * source's (every excerpt window is a source window — a theorem,
+    * gated by q53). Per-row projection; at scale, explode to
+    * (fingerprint, doc) and equi-join to find sharing pairs — the
+    * q18 band-join shape. */
+  def winnowCorpus(docs: DataFrame, k: Int = 3, w: Int = 4,
+                   textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs
+      .withColumn("__toks", split(Dedup.normalized(col(textCol)), " "))
+      .withColumn("__grams", orderedGramsFromToks(col("__toks"), k))
+      .withColumn("__h", transform(col("__grams"), g => xxhash64(g)))
+      .select(col(idCol), winnowFromHashes(col("__h"), w).as("fingerprints"))
+
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 

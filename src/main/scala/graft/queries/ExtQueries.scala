@@ -935,6 +935,39 @@ object ExtQueries {
       |ORDER BY doc_id""".stripMargin
 
   // ----------------------------------------------------------------
+  // q53_winnow — rolling-hash (winnowing) document fingerprints, the
+  // LOCAL-overlap fingerprint family (quotes/boilerplate detection).
+  // Self-checking THEOREM gate, like q30: a token-aligned excerpt's
+  // winnowing fingerprints are a subset of its source's (every
+  // excerpt window IS a source window), so for every ≥80-token doc we
+  // fingerprint the doc and its tokens[11..60] excerpt and assert
+  // subset — constants the oracle states; a false is a code bug.
+  // ----------------------------------------------------------------
+  def q53Winnow(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("__toks", split(Dedup.normalized(col("text")), " "))
+      .filter(size(col("__toks")) >= 80)
+    val sources = docs.select(col("doc_id"), col("text"))
+    val excerpts = docs.select(col("doc_id"),
+      array_join(slice(col("__toks"), 11, 50), " ").as("text"))
+    val fpS = TextAnalysis.winnowCorpus(sources).withColumnRenamed("fingerprints", "__fs")
+    val fpE = TextAnalysis.winnowCorpus(excerpts).withColumnRenamed("fingerprints", "__fe")
+    fpS.join(fpE, Seq("doc_id"))
+      .select(col("doc_id"),
+        (size(col("__fe")) > 0).as("has_fps"),
+        (size(array_except(col("__fe"), col("__fs"))) === 0).as("subset_holds"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q53WinnowSql: String =
+    """SELECT doc_id, TRUE AS has_fps, TRUE AS subset_holds
+      |FROM (SELECT doc_id,
+      |        len(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS n
+      |      FROM documents)
+      |WHERE n >= 80
+      |ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------------------------
   // q42_hll_distinct — mergeable-sketch distinct counting (the 100 TB
   // shape for COUNT(DISTINCT): per-partition/per-group sketches merge
   // associatively, so a global estimate never re-shuffles raw values).

@@ -333,6 +333,32 @@ class ExtSpec extends AnyFunSuite {
     assert(corpusFps == fps)
   }
 
+  test("winnowing fingerprints detect a local quote that global jaccard misses") {
+    val quote = (1 to 20).map(i => s"quoted$i").mkString(" ")
+    val docA = ((1 to 40).map(i => s"aaa$i").mkString(" ")) + " " + quote + " " +
+      ((41 to 80).map(i => s"aaa$i").mkString(" "))
+    val docB = ((1 to 40).map(i => s"bbb$i").mkString(" ")) + " " + quote + " " +
+      ((41 to 80).map(i => s"bbb$i").mkString(" "))
+    val df = Seq((1L, docA), (2L, docB)).toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowCorpus(df)
+      .as[(Long, Array[Long])].collect().toMap
+    val shared = fps(1L).toSet & fps(2L).toSet
+    assert(shared.nonEmpty, "20-token shared run must share a winnowing fingerprint")
+    // while the documents' GLOBAL trigram jaccard is tiny
+    val j = df.select(Dedup.shingles($"text").as("sh"))
+      .as[Array[String]].collect()
+    val jac = (j(0).toSet & j(1).toSet).size.toDouble / (j(0).toSet | j(1).toSet).size
+    assert(jac < 0.2, s"global jaccard $jac should be small — that's the point")
+
+    // excerpt-subset theorem on a synthetic doc (the q53 gate's core)
+    val toks = (1 to 100).map(i => s"w$i")
+    val src = Seq((1L, toks.mkString(" "))).toDF("doc_id", "text")
+    val exc = Seq((1L, toks.slice(10, 60).mkString(" "))).toDF("doc_id", "text")
+    val fs = TextAnalysis.winnowCorpus(src).as[(Long, Array[Long])].head()._2.toSet
+    val fe = TextAnalysis.winnowCorpus(exc).as[(Long, Array[Long])].head()._2.toSet
+    assert(fe.nonEmpty && fe.subsetOf(fs))
+  }
+
   test("simhashNearDup chunk join finds exactly the brute-force hamming pairs") {
     val docs = Tables.documents(spark, sf)
     val maxH = 3
