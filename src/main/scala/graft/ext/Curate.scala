@@ -62,7 +62,8 @@ object Curate {
     * shuffle; empty documents yield zero chunks (not one empty one).
     * Output: (idCol, chunk_id, offset [1-based], chunk). */
   def chunk(df: DataFrame, maxChars: Int,
-            textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+            textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(maxChars >= 1, s"maxChars must be >= 1, got $maxChars")
     df.filter(length(col(textCol)) > 0)
       .withColumn("__n", expr(s"(length($textCol) + ${maxChars - 1}) div $maxChars"))
       .select(col(idCol), col(textCol),
@@ -70,6 +71,7 @@ object Curate {
       .withColumn("offset", col("chunk_id") * maxChars + 1)
       .select(col(idCol), col("chunk_id"), col("offset"),
         expr(s"substring($textCol, offset, $maxChars)").as("chunk"))
+  }
 
   /** [[hashBucket]] with a salt, so independent sampling decisions
     * (split vs mixture) are uncorrelated — sharing one hash would
@@ -86,13 +88,17 @@ object Curate {
     * and composes with the split without correlation. Map-only. */
   def mixture(df: DataFrame, keyCol: String, idCol: String,
               ratesPct: Seq[(String, Int)], defaultPct: Int = 100,
-              salt: String = "#mix"): DataFrame = {
-    val b = hashBucketSalted(col(idCol), salt, 100)
-    val rate = ratesPct.foldRight(lit(defaultPct): Column) { case ((k, p), acc) =>
-      when(col(keyCol) === k, lit(p)).otherwise(acc)
+              salt: String = "#mix"): DataFrame =
+    df.filter(hashBucketSalted(col(idCol), salt, 100) <
+      rateFor(col(keyCol), ratesPct, defaultPct))
+
+  /** The per-key sampling rate [[mixture]] applies — exposed so
+    * reports can state the rate they were filtered at from the SAME
+    * expression (a re-implemented chain could silently drift). */
+  def rateFor(key: Column, ratesPct: Seq[(String, Int)], defaultPct: Int = 100): Column =
+    ratesPct.foldRight(lit(defaultPct): Column) { case ((k, p), acc) =>
+      when(key === k, lit(p)).otherwise(acc)
     }
-    df.filter(b < rate)
-  }
 
   /** Concat-and-split sequence packing (the LM-training layout): rows
     * are laid out in deterministic `idCol` order within each group

@@ -150,9 +150,13 @@ object Dedup {
         .join(labels.select(col("id").as("__dst"), col("comp").as("__c")), Seq("__dst"))
         .groupBy(col("__src").as("id"))
         .agg(min(col("__c")).as("__nc"))
+      // Materialized: the pointer-jump self-join below references this
+      // plan twice, and exchange reuse dedups only the shuffle, not
+      // the join+aggregate work above it.
       val stepped = labels.join(nbr, Seq("id"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("__nc"), col("comp"))).as("comp"))
+        .localCheckpoint()
       // Pointer jump: comp(v) := comp(comp(v)). comp(v) is always an
       // id present in `labels` (it starts as v's own id and only ever
       // takes other nodes' ids), so the self-join always matches; the

@@ -499,7 +499,10 @@ object ExtQueries {
         coalesce(sum(when(col("__e").isNull, 1L).otherwise(0L)), lit(0L)).as("n_extra"))
       .select(col("n_exact"), col("n_extra"),
         lit(floor).as("recall_floor"),
-        (col("n_hit").cast("double") / col("n_exact").cast("double") >= lit(floor)).as("pass"))
+        // vacuously true on a pair-free corpus (0/0 would be NaN and
+        // false-fail against the oracle's constant TRUE)
+        (col("n_exact") === 0 ||
+          col("n_hit").cast("double") / col("n_exact").cast("double") >= lit(floor)).as("pass"))
   }
 
   val q45IvfNearDupSql: String =
@@ -840,17 +843,15 @@ object ExtQueries {
   // ----------------------------------------------------------------
   private val MixRates = Seq("de" -> 50, "fr" -> 50, "es" -> 50, "zh" -> 25)
 
-  def q50Mixture(spark: SparkSession, dir: String): DataFrame = {
-    val rateCol = MixRates.foldRight(lit(100): Column) { case ((k, p), acc) =>
-      when(col("lang") === k, lit(p)).otherwise(acc)
-    }
+  def q50Mixture(spark: SparkSession, dir: String): DataFrame =
     graft.ext.Curate.mixture(Tables.documents(spark, dir),
         keyCol = "lang", idCol = "doc_id", ratesPct = MixRates)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_kept"))
-      .withColumn("rate_pct", rateCol.cast("long"))
+      // same expression the filter applied — can't silently drift
+      .withColumn("rate_pct",
+        graft.ext.Curate.rateFor(col("lang"), MixRates).cast("long"))
       .orderBy(col("lang"))
-  }
 
   val q50MixtureSql: String =
     """WITH b AS (

@@ -50,7 +50,12 @@ object Sources {
     val rows: java.util.List[Row] = node.elements().asScala.map { o =>
       def str(f: String) =
         Option(o.get(f)).filterNot(_.isNull).map(_.asText()).orNull
-      Row(str("id"), str("symbol"), str("name"))
+      val id = str("id")
+      // `id` is declared non-nullable in the schema; a null here would
+      // silently violate it (codegen trusts declared nullability) —
+      // fail fast with a payload-shaped error instead.
+      require(id != null, s"coins_markets element missing 'id': ${o.toString.take(120)}")
+      Row(id, str("symbol"), str("name"))
     }.toList.asJava
     spark.createDataFrame(rows, Schemas.coinsMarkets)
   }
@@ -81,9 +86,15 @@ object Http {
         throw new Retry.TransientError(s"HTTP $code from $url")
       if (code >= 400)
         throw new java.io.IOException(s"HTTP $code from $url") // hard: no retry
-      val src = scala.io.Source.fromInputStream(conn.getInputStream, "UTF-8")
-      try src.mkString
-      finally src.close()
+      // Body-read failures are transport failures too (connection reset
+      // mid-stream) — retryable, same as a failed connect.
+      try {
+        val src = scala.io.Source.fromInputStream(conn.getInputStream, "UTF-8")
+        try src.mkString
+        finally src.close()
+      } catch { case e: java.io.IOException =>
+        throw new Retry.TransientError(s"transport failure reading $url", e)
+      }
     } finally conn.disconnect()
   }
 }

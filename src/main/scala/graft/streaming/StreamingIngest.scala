@@ -109,8 +109,17 @@ object StreamingIngest {
       .withColumn("__sh", Dedup.shinglesFromToks(col("__toks")))
       .filter(size(col("__sh")) > 0)
       .withColumn("__h", transform(col("__sh"), s => xxhash64(s)))
-      .withColumn("__sig", transform(sequence(lit(0), lit(numBands * r - 1)),
-        s => array_min(transform(col("__h"), h => xxhash64(h, s)))))
+      // The `when` guard is always true post-filter; it exists to
+      // reference __h a SECOND time in this projection, so
+      // CollapseProject keeps it as a materialized alias — a
+      // single-referenced non-cheap alias gets inlined into the
+      // per-seed lambda and re-hashes every shingle once per seed
+      // (the expression-tree recompute class; a filter between
+      // projections is no barrier, PushPredicateThroughProject
+      // substitutes it away — the round-2 lesson).
+      .withColumn("__sig", when(size(col("__h")) > 0,
+        transform(sequence(lit(0), lit(numBands * r - 1)),
+          s => array_min(transform(col("__h"), h => xxhash64(h, s))))))
       .select(col("doc_id"), explode(bands).as("__b"))
       .select(col("doc_id"), col("__b.band").as("band"), col("__b.bucket").as("bucket"))
       .as[(Long, Int, Long)]
