@@ -58,6 +58,23 @@ class PlanSpec extends AnyFunSuite {
     assert(n <= 1, s"q52 plans $n RegExpReplace nodes — the tokenizer is recomputed")
   }
 
+  test("curation row-ops are map-only (no Exchange); stratified sample uses WindowGroupLimit") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf)
+    // the scaladoc's zero-shuffle claim, asserted
+    Seq(
+      "withSplit" -> graft.ext.Curate.withSplit(docs),
+      "chunk" -> graft.ext.Curate.chunk(docs, 500),
+      "redact" -> docs.select(graft.ext.Curate.redact(col("text")))
+    ).foreach { case (name, df) =>
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), s"$name shuffles:\n$p")
+    }
+    val samp = graft.ext.Curate.stratifiedSample(docs, "lang", "doc_id", 5)
+    val sp = samp.queryExecution.executedPlan.toString
+    assert(sp.contains("WindowGroupLimit"), s"per-stratum top-k not pruned map-side:\n$sp")
+  }
+
   test("dimension joins broadcast; recall reports don't sort-merge (q16, q31)") {
     Seq("q16_lsh_recall", "q31_overview").foreach { name =>
       val p = plan(name)
