@@ -72,6 +72,7 @@ object SparkEntry {
     "q51_packing"        -> (ExtQueries.q51Packing _),
     "q52_repetition"     -> (ExtQueries.q52Repetition _),
     "q53_winnow"         -> (ExtQueries.q53Winnow _),
+    "q54_meanpool"       -> (ExtQueries.q54MeanPool _),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB
@@ -130,5 +131,6 @@ object SparkEntry {
     "q51_packing"        -> ExtQueries.q51PackingSql,
     "q52_repetition"     -> ExtQueries.q52RepetitionSql,
     "q53_winnow"         -> ExtQueries.q53WinnowSql,
+    "q54_meanpool"       -> ExtQueries.q54MeanPoolSql,
   )
 }

@@ -969,6 +969,34 @@ object ExtQueries {
       |ORDER BY doc_id""".stripMargin
 
   // ----------------------------------------------------------------
+  // q54_meanpool — element-wise embedding pooling (chunk embeddings →
+  // document embedding): vectors grouped into pseudo-documents
+  // (vec_id % 50), per-coordinate sums in 1e-7 fixed point. Integer
+  // output: float sums are order-sensitive (not reproducible across
+  // partitionings, let alone engines); FLOOR(x·1e7) BIGINT sums are
+  // exact in any order. The shape is posexplode + hash aggregate —
+  // the Ivf centroid plan, shuffle state = groups·dim cells.
+  // ----------------------------------------------------------------
+  def q54MeanPool(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Embeddings.poolSumsE7(
+        Tables.embeddings(spark, dir).withColumn("grp", col("vec_id") % 50),
+        grpCol = "grp")
+      .orderBy(col("grp"), col("pos"))
+
+  val q54MeanPoolSql: String =
+    """WITH e AS (SELECT vec_id % 50 AS grp, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |x AS (SELECT grp,
+      |        unnest(generate_series(0, len(v) - 1)) AS pos,
+      |        unnest(v) AS val
+      |      FROM e)
+      |SELECT grp, CAST(pos AS BIGINT) AS pos,
+      |  SUM(CAST(FLOOR(val * 1e7) AS BIGINT)) AS sum_e7,
+      |  COUNT(*) AS n_vecs
+      |FROM x
+      |GROUP BY grp, pos
+      |ORDER BY grp, pos""".stripMargin
+
+  // ----------------------------------------------------------------
   // q42_hll_distinct — mergeable-sketch distinct counting (the 100 TB
   // shape for COUNT(DISTINCT): per-partition/per-group sketches merge
   // associatively, so a global estimate never re-shuffles raw values).

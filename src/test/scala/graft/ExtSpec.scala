@@ -4,7 +4,7 @@ import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ext.{Curate, Dedup, Similarity, TextAnalysis}
+import graft.ext.{Curate, Dedup, Embeddings, Similarity, TextAnalysis}
 import graft.functions.VectorFunctions
 
 /** Extension-layer coverage (similarity, dedup, text analysis) — the
@@ -111,6 +111,32 @@ class ExtSpec extends AnyFunSuite {
     assert(lsh.subsetOf(exact))
     // identical-direction vectors share every band bucket → always found
     assert(lsh.contains((0L, 100L)) && lsh.contains((0L, 101L)) && lsh.contains((100L, 101L)))
+  }
+
+  test("unitNorm yields norm-1 vectors where cosine degenerates to the dot product") {
+    val emb = Tables.embeddings(spark, sf).limit(100)
+    val n = emb.select($"vec_id", Embeddings.unitNorm($"embedding").as("embedding"))
+    def sq(v: org.apache.spark.sql.Column) =
+      aggregate(v, lit(0.0d), (acc, x) => acc + x.cast("double") * x.cast("double"))
+    val normErr = n.select(max(abs(sqrt(sq($"embedding")) - 1.0d))).as[Double].head()
+    assert(normErr < 1e-5, s"norms off by $normErr")
+    val pairs = n.select($"vec_id".as("ia"), $"embedding".as("va"))
+      .crossJoin(n.select($"vec_id".as("ib"), $"embedding".as("vb")))
+      .filter($"ia" < $"ib").limit(300)
+    val dot = aggregate(
+      zip_with($"va", $"vb", (a, b) => a.cast("double") * b.cast("double")),
+      lit(0.0d), (acc, x) => acc + x)
+    val maxDiff = pairs
+      .select(max(abs(VectorFunctions.cosine($"va", $"vb") - dot))).as[Double].head()
+    assert(maxDiff < 1e-5, s"cosine != dot after normalization: $maxDiff")
+
+    // pooling: every (group, coordinate) cell aggregates every group member
+    val pooled = Embeddings.poolSumsE7(
+      emb.withColumn("grp", $"vec_id" % 10), grpCol = "grp")
+    val counts = pooled.groupBy($"grp").agg(countDistinct($"n_vecs").as("d"), max($"n_vecs").as("m"))
+      .as[(Long, Long, Long)].collect()
+    assert(counts.forall(_._2 == 1L)) // same member count at every coordinate
+    assert(counts.map(_._3).sum == 100L)
   }
 
   test("nearDupPairsIvf: exact precision, recall >= 0.8, and fewer scored pairs than all-pairs") {
