@@ -23,6 +23,31 @@ object Layout {
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(table)
+
+  /** Compact a small-files parquet dataset to ~`targetBytes`-sized
+    * files — the housekeeping op every incremental sink needs: the
+    * merge writer and streaming foreachBatch accrete a file per
+    * (micro-)batch, and scan planning degrades with file count long
+    * before data size is a problem. File count is computed from the
+    * ACTUAL on-disk bytes, then the data is rewritten through one
+    * `repartition`; rewrite-then-rename has the same non-atomic
+    * window as `MergeWriter` (documented there) — the vanilla-parquet
+    * ceiling, with table formats' rewrite-commit as the upgrade path.
+    * Returns the target file count. */
+  def compact(spark: SparkSession, path: String,
+              targetBytes: Long = 128L << 20): Int = {
+    require(targetBytes >= 1, s"targetBytes must be >= 1, got $targetBytes")
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val size = fs.getContentSummary(hPath).getLength
+    val n = math.max(1, math.ceil(size.toDouble / targetBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
+    spark.read.parquet(path).repartition(n)
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(hPath, true)
+    fs.rename(tmp, hPath)
+    n
+  }
 }
 
 /** Skew mitigation utilities. AQE's skew-join handling (on by default)

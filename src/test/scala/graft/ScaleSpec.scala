@@ -67,4 +67,18 @@ class ScaleSpec extends AnyFunSuite {
       .select($"id", $"name").as[(Long, String)].collect().toSet
     assert(salted == direct)
   }
+
+  test("compact rewrites a many-small-files dataset to the computed file count, losslessly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/t"
+    val df = Seq.tabulate(1000)(i => (i.toLong, s"row$i")).toDF("id", "s")
+    df.repartition(40).write.parquet(dir) // 40 tiny files
+    def parquetFiles =
+      new java.io.File(dir).listFiles().count(f => f.getName.endsWith(".parquet"))
+    assert(parquetFiles == 40)
+    val before = spark.read.parquet(dir).as[(Long, String)].collect().toSet
+    // huge target → everything fits one file
+    val n = Layout.compact(spark, dir, targetBytes = 1L << 30)
+    assert(n == 1 && parquetFiles == 1, s"expected 1 file, got $parquetFiles")
+    assert(spark.read.parquet(dir).as[(Long, String)].collect().toSet == before)
+  }
 }
