@@ -73,6 +73,7 @@ object SparkEntry {
     "q52_repetition"     -> (ExtQueries.q52Repetition _),
     "q53_winnow"         -> (ExtQueries.q53Winnow _),
     "q54_meanpool"       -> (ExtQueries.q54MeanPool _),
+    "q55_sessionize"     -> (ExtQueries.q55Sessionize _),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB
@@ -132,5 +133,6 @@ object SparkEntry {
     "q52_repetition"     -> ExtQueries.q52RepetitionSql,
     "q53_winnow"         -> ExtQueries.q53WinnowSql,
     "q54_meanpool"       -> ExtQueries.q54MeanPoolSql,
+    "q55_sessionize"     -> ExtQueries.q55SessionizeSql,
   )
 }

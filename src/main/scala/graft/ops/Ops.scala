@@ -80,4 +80,31 @@ object Ops {
         max_by(valueCol, ord).as("close"),
         count(lit(1)).as("n_points"))
   }
+
+  /** Gap-based sessionization — the classic event-stream operator: a
+    * new session starts when the gap to the user's previous event
+    * exceeds `gapUs` microseconds. Two windows over one (user) shuffle
+    * — a lag for the boundary flag, a running sum to number sessions —
+    * then the per-session rollup is a hash aggregate. All arithmetic
+    * is integer microseconds (engine-portable). At scale the shuffle
+    * key is the user id — the same partitioning the rollup reuses, so
+    * the whole operator is ONE exchange.
+    *
+    * Output: (userCol, session_id, n_events, start_us, end_us). */
+  def sessionize(events: DataFrame, userCol: String, tsUsCol: String,
+                 tieBreak: String, gapUs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsUsCol), col(tieBreak))
+    val prev = lag(col(tsUsCol), 1).over(w)
+    events
+      .withColumn("__new",
+        when(prev.isNull || col(tsUsCol) - prev > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("__new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(userCol), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col(tsUsCol)).as("start_us"),
+        max(col(tsUsCol)).as("end_us"))
+  }
 }

@@ -997,6 +997,40 @@ object ExtQueries {
       |ORDER BY grp, pos""".stripMargin
 
   // ----------------------------------------------------------------
+  // q55_sessionize — gap-based sessionization of the events stream
+  // (30-minute inactivity gap): per-(user, session) event counts and
+  // integer-microsecond bounds. Ops.sessionize — one user-keyed
+  // exchange feeds the lag window, the running session counter AND
+  // the rollup.
+  // ----------------------------------------------------------------
+  def q55Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+    graft.ops.Ops.sessionize(ev, userCol = "user_id", tsUsCol = "ts_us",
+        tieBreak = "event_id", gapUs = 30L * 60 * 1000000)
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  val q55SessionizeSql: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+      |f AS (
+      |  SELECT user_id, event_id, ts_us,
+      |    CASE WHEN lag(ts_us) OVER w IS NULL
+      |              OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS nw
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      |s AS (
+      |  SELECT user_id, ts_us,
+      |    SUM(nw) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |                  ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM f)
+      |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+      |  COUNT(*) AS n_events, MIN(ts_us) AS start_us, MAX(ts_us) AS end_us
+      |FROM s
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  // ----------------------------------------------------------------
   // q42_hll_distinct — mergeable-sketch distinct counting (the 100 TB
   // shape for COUNT(DISTINCT): per-partition/per-group sketches merge
   // associatively, so a global estimate never re-shuffles raw values).

@@ -82,6 +82,21 @@ class OpsSpec extends AnyFunSuite {
     assert(Ops.ohlc(df, Seq("k"), date_trunc("day", col("ts")), col("ts"),
       col("v"), col("id")).count() == 0)
   }
+
+  test("sessionize splits on gaps over the threshold, per user") {
+    val us = 1000000L
+    val ev = Seq(
+      (1L, 1L, 0L), (1L, 2L, 10L * us), (1L, 3L, 100L * us), // 90 s gap > 60 s → new session
+      (2L, 4L, 5L * us)
+    ).toDF("user_id", "event_id", "ts_us")
+    val got = Ops.sessionize(ev, "user_id", "ts_us", "event_id", gapUs = 60L * us)
+      .orderBy("user_id", "session_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, 2L, 0L, 10L * us),
+      (1L, 2L, 1L, 100L * us, 100L * us),
+      (2L, 1L, 1L, 5L * us, 5L * us)))
+  }
 }
 
 class MergeSpec extends AnyFunSuite {
