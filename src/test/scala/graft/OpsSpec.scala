@@ -83,6 +83,29 @@ class OpsSpec extends AnyFunSuite {
       col("v"), col("id")).count() == 0)
   }
 
+  test("sessionize on real events equals a sequential reference implementation") {
+    val gap = 30L * 60 * 1000000
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"))
+    val rows = ev.as[(Long, Long, Long)].collect()
+    val assigned: Seq[((Long, Long), Long)] = rows.groupBy(_._1).toSeq.flatMap {
+      case (u, rs) =>
+        var sid = 0L
+        var prev = Long.MinValue
+        rs.sortBy(r => (r._3, r._2)).toSeq.map { case (_, _, ts) =>
+          if (prev == Long.MinValue || ts - prev > gap) sid += 1
+          prev = ts
+          ((u, sid), ts)
+        }
+    }
+    val expected = assigned.groupBy(_._1).map { case ((u, sid), ts) =>
+      (u, sid, ts.size.toLong, ts.map(_._2).min, ts.map(_._2).max)
+    }.toSet
+    val got = graft.ops.Ops.sessionize(ev, "user_id", "ts_us", "event_id", gapUs = gap)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == expected)
+  }
+
   test("sessionize splits on gaps over the threshold, per user") {
     val us = 1000000L
     val ev = Seq(
