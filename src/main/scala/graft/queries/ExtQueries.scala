@@ -225,10 +225,10 @@ object ExtQueries {
 
   val q23TextProfileSql: String =
     """SELECT lang, source, COUNT(*) AS n_docs,
-      |  SUM(tokens) AS total_tokens,
+      |  CAST(SUM(tokens) AS BIGINT) AS total_tokens,
       |  CAST((SUM(tokens) // COUNT(*)) * 1000000
       |       + ((SUM(tokens) % COUNT(*)) * 1000000) // COUNT(*) AS BIGINT) AS avg_tokens_e6,
-      |  SUM(n_chars) AS total_chars,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
       |  MAX(n_chars) AS max_chars
       |FROM (SELECT *, CAST(len(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS BIGINT) AS tokens
       |      FROM documents)
@@ -670,7 +670,7 @@ object ExtQueries {
       |  FROM s a JOIN s b ON a.doc_id < b.doc_id
       |  WHERE len(list_intersect(a.sh, b.sh)) * 1.0 / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7),
       |curated AS (SELECT * FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM dropped))
-      |SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+      |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
       |       CAST(SUM(q_e8) // COUNT(*) AS BIGINT) AS avg_quality_e8
       |FROM curated
       |GROUP BY lang
@@ -892,7 +892,7 @@ object ExtQueries {
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048 AS bin_id
       |  FROM t)
       |SELECT lang, CAST(bin_id AS BIGINT) AS bin_id, COUNT(*) AS n_docs,
-      |  SUM(tokens) AS bin_tokens
+      |  CAST(SUM(tokens) AS BIGINT) AS bin_tokens
       |FROM p
       |GROUP BY lang, bin_id
       |ORDER BY lang, bin_id""".stripMargin
@@ -990,7 +990,7 @@ object ExtQueries {
       |        unnest(v) AS val
       |      FROM e)
       |SELECT grp, CAST(pos AS BIGINT) AS pos,
-      |  SUM(CAST(FLOOR(val * 1e7) AS BIGINT)) AS sum_e7,
+      |  CAST(SUM(CAST(FLOOR(val * 1e7) AS BIGINT)) AS BIGINT) AS sum_e7,
       |  COUNT(*) AS n_vecs
       |FROM x
       |GROUP BY grp, pos

@@ -1,5 +1,5 @@
 #!/usr/bin/env python3
-"""Local replica of the driver's t2 correctness gate.
+"""Local replica of the driver's t2 correctness gate — DTYPE-STRICT.
 
 Usage: python3 tools/check_correctness.py <sfDir> <verifyOutDir>
 
@@ -8,9 +8,24 @@ matching oracle SQL from oracle_sql.json in DuckDB over the same
 testdata parquet tables, and compares:
   - column name sets (sorted-by-name, like the driver)
   - row counts
+  - per-column DTYPE KINDS (int vs float vs bool vs other). This is
+    the round-4 lesson: DuckDB types SUM(<integer>) as HUGEINT which
+    pandas renders as float64 (120.0), while Spark emits int64 (120).
+    The driver's value hash sees "120.0" != "120" and fails, but a
+    float(a) == float(b) comparison is blind to it — which is exactly
+    how q23/q29/q51/q54 stayed red for three rounds while this script
+    reported "bit-exact". An integer-kind vs float-kind mismatch is
+    now a hard FAIL even when every value compares float-equal.
   - values: exact for non-floats; exact-bits first, then 1e-9 rel
-    tolerance reported separately for floats (the driver may be
-    strict, so we want exact).
+    tolerance reported separately for floats (the driver is strict,
+    so we want exact).
+
+It also LINTS declared result types: for each oracle SQL it reads the
+DuckDB relation's logical types (rel.types) and the Spark result's
+parquet/arrow schema, and reports any integer/float-kind divergence —
+this catches HUGEINT (SUM of integers), `x // y` (DuckDB int division
+of HUGEINT stays HUGEINT), and MIN/MAX-of-int32 style traps even when
+the sampled values happen to collide.
 
 This script is a dev-side verification tool only — it is not part of
 the Spark library.
@@ -20,20 +35,107 @@ import math
 import sys
 
 import duckdb
+import pyarrow as pa
 import pyarrow.dataset as ds
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 
-def load_spark_result(path):
-    return ds.dataset(path, format="parquet").to_table().to_pandas()
+def load_spark_dataset(path):
+    return ds.dataset(path, format="parquet")
 
 
 def canon(df):
     df = df[sorted(df.columns)]
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
+
+
+def dtype_kind(dt):
+    """Collapse a pandas dtype to a comparison kind.
+
+    int/uint -> 'int', float -> 'float', bool -> 'bool',
+    datetime -> 'time', everything else (object: str, list, decimal)
+    -> 'other'. A nullable int column surfaces as float64 on BOTH
+    sides (pyarrow and duckdb both promote int+NULL to float64 in
+    pandas), so null-promotion does not produce false positives here.
+    """
+    k = dt.kind
+    if k in ("i", "u"):
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    if k in ("M", "m"):
+        return "time"
+    return "other"
+
+
+def arrow_kind(t):
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_temporal(t):
+        return "time"
+    if pa.types.is_decimal(t):
+        return "decimal"
+    return "other"
+
+
+def duckdb_kind(t):
+    """Map a DuckDB logical type name to a kind, flagging the traps.
+
+    HUGEINT/UHUGEINT are logically integer but pandas renders them as
+    float64, so against a Spark int64 they are a hash divergence —
+    classify them as their own kind so the lint always surfaces them.
+    """
+    s = str(t).upper()
+    if s.startswith("DECIMAL"):
+        return "decimal"
+    if s in ("HUGEINT", "UHUGEINT"):
+        return "hugeint"
+    if s in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if s in ("FLOAT", "REAL", "DOUBLE"):
+        return "float"
+    if s == "BOOLEAN":
+        return "bool"
+    if s.startswith("TIMESTAMP") or s in ("DATE", "TIME", "INTERVAL"):
+        return "time"
+    return "other"
+
+
+def lint_declared_types(name, rel, spark_schema):
+    """Compare DuckDB declared result types vs Spark result schema.
+
+    Returns a list of human-readable mismatch strings (empty = clean).
+    Only integer/float-kind divergence is flagged — VARCHAR vs string
+    etc. all map to 'other' and are fine.
+    """
+    problems = []
+    duck = dict(zip(rel.columns, [duckdb_kind(t) for t in rel.types]))
+    duck_raw = dict(zip(rel.columns, [str(t) for t in rel.types]))
+    for field in spark_schema:
+        if field.name not in duck:
+            continue  # column-set mismatch reported elsewhere
+        sk = arrow_kind(field.type)
+        dk = duck[field.name]
+        if dk == "hugeint":
+            problems.append(
+                f"col={field.name}: DuckDB {duck_raw[field.name]} "
+                f"(pandas float64) vs Spark {field.type} — CAST the "
+                f"oracle column AS BIGINT")
+        elif {sk, dk} == {"int", "float"}:
+            problems.append(
+                f"col={field.name}: DuckDB {duck_raw[field.name]} ({dk}) "
+                f"vs Spark {field.type} ({sk})")
+    return problems
 
 
 def values_equal(a, b):
@@ -66,16 +168,18 @@ def main(sf_dir, out_dir):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    n_pass = n_fail = 0
+    n_pass = n_fail = n_lint = 0
     for name, sql in sorted(oracle.items()):
         try:
-            got = load_spark_result(f"{out_dir}/{name}")
+            dset = load_spark_dataset(f"{out_dir}/{name}")
+            got = dset.to_table().to_pandas()
         except Exception as e:
             print(f"FAIL {name}: spark result unreadable: {e}")
             n_fail += 1
             continue
         try:
-            exp = con.sql(sql).df()
+            rel = con.sql(sql)
+            exp = rel.df()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
             n_fail += 1
@@ -88,7 +192,29 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: rows {len(got)} != {len(exp)}")
             n_fail += 1
             continue
+        # Declared-type lint (independent of values; catches traps
+        # even when the sampled values coincidentally hash-match).
+        lint = lint_declared_types(name, rel, dset.schema)
+        if lint:
+            n_lint += len(lint)
+            for p in lint:
+                print(f"LINT {name}: {p}")
         g, e = canon(got), canon(exp)
+        # DTYPE-STRICT: integer-kind vs float-kind per column is a
+        # hard fail — the driver hashes "120" vs "120.0" differently.
+        dtype_fail = None
+        for col in g.columns:
+            gk, ek = dtype_kind(g[col].dtype), dtype_kind(e[col].dtype)
+            if gk != ek and "other" not in (gk, ek):
+                dtype_fail = (col, g[col].dtype, e[col].dtype)
+                break
+        if dtype_fail:
+            col, gd, ed = dtype_fail
+            print(f"FAIL {name}: dtype mismatch col={col}: "
+                  f"spark={gd} oracle={ed} — values may compare equal "
+                  f"but the driver hash will not")
+            n_fail += 1
+            continue
         exact = True
         close = True
         first_diff = None
@@ -116,8 +242,8 @@ def main(sf_dir, out_dir):
             col, i, a, b = first_diff
             print(f"FAIL {name}: value mismatch col={col} row={i}: {a!r} != {b!r}")
             n_fail += 1
-    print(f"== {n_pass} pass, {n_fail} fail")
-    return 1 if n_fail else 0
+    print(f"== {n_pass} pass, {n_fail} fail, {n_lint} declared-type lint(s)")
+    return 1 if n_fail or n_lint else 0
 
 
 if __name__ == "__main__":
