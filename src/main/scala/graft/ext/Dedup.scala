@@ -83,6 +83,29 @@ object Dedup {
       .otherwise(size(array_intersect(a, b)).cast("double") /
         size(array_union(a, b)).cast("double"))
 
+  /** Per-seed minhash permutation hash — THE hash whose min over a
+    * doc's shingle hashes is signature slot `seed`. Factored so the
+    * batch aggregate form (`min(permHash(h, lit(s)))`) and the
+    * streaming HOF form (`array_min(transform(hs, h => permHash(h,
+    * s)))`) provably apply the same function with the same seed
+    * type (int) — a seed- or type-drift between the two would
+    * silently desynchronize stream and batch candidacy. */
+  def permHash(shingleHash: Column, seed: Column): Column =
+    xxhash64(shingleHash, seed)
+
+  /** Band-bucket combiner shared by the batch band join
+    * ([[nearDupText]]) and the streaming candidate operator
+    * (`StreamingIngest.nearDupCandidates`): bucket of band `b` =
+    * xxhash64(b, sig[b·r], …, sig[b·r+r-1]). `sigAt` adapts the two
+    * signature layouts (named `__m<i>` columns vs one array column);
+    * the band structure itself has exactly one definition. Returns
+    * an array of (band, bucket) structs, one per band. */
+  def bandBuckets(numBands: Int, r: Int)(sigAt: Int => Column): Column =
+    array((0 until numBands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((lit(b) +: (b * r until (b + 1) * r).map(sigAt)): _*).as("bucket"))
+    }: _*)
+
   /** Minhash signatures as an explode + hash-aggregate plan: one row
     * per (doc, shingle-hash), then `numPerm` `min(xxhash64(h, seed))`
     * aggregates. This is the scalable minhash shape — everything is
@@ -99,7 +122,7 @@ object Dedup {
     val hashed = sh
       .select(col(idCol), explode(col(shCol)).as("__t"))
       .select(col(idCol), xxhash64(col("__t")).as("__h"))
-    val aggs = (0 until numPerm).map(s => min(xxhash64(col("__h"), lit(s))).as(s"__m$s"))
+    val aggs = (0 until numPerm).map(s => min(permHash(col("__h"), lit(s))).as(s"__m$s"))
     hashed.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -204,10 +227,7 @@ object Dedup {
       .filter(size(col("__sh")) > 0)
 
     val sig = minhashSignatures(sh, numBands * r)
-    val bands = array((0 until numBands).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64((lit(b) +: (b * r until (b + 1) * r).map(s => col(s"__m$s"))): _*).as("bucket"))
-    }: _*)
+    val bands = bandBuckets(numBands, r)(s => col(s"__m$s"))
     val banded = sig.select(col("__id"), explode(bands).as("__b"))
     val candidates = banded.as("a")
       .join(banded.as("b"),

@@ -165,6 +165,11 @@ object Similarity {
   def nearDupPairsIvf(corpus: DataFrame, centroids: DataFrame, threshold: Double,
                       nProbe: Int = 4,
                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // localCheckpoint: `member` feeds BOTH sides of the candidate
+    // self-join below — as a plain plan the corpus × centroids
+    // assignment pass (the expensive scan) would be computed twice
+    // (the connectedComponents lesson: self-joined frames must be
+    // materialized, not re-planned).
     val member = corpus
       .select(col(idCol).as("__id"), col(vecCol).as("__v"))
       .crossJoin(broadcast(centroids))
@@ -173,6 +178,7 @@ object Similarity {
         Window.partitionBy(col("__id")).orderBy(col("__csim").desc, col("list_id"))))
       .filter(col("__rn") <= nProbe)
       .select(col("list_id"), col("__id"))
+      .localCheckpoint(eager = false)
     val candidates = member.as("a")
       .join(member.as("b"),
         col("a.list_id") === col("b.list_id") && col("a.__id") < col("b.__id"))

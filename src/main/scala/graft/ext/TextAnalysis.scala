@@ -127,23 +127,55 @@ object TextAnalysis {
     "es" -> Seq("el", "los", "las", "y", "es"),
     "zh" -> Seq("de", "shi", "le", "zai", "he"))
 
-  /** N-gram/stopword-profile language ID: argmax of marker-word hit
-    * counts, first-listed language wins ties (so 'en' on all-zero).
-    * A real system would use char n-gram profiles; the marker-argmax
-    * form is the portable deterministic core of that approach. */
-  def langId(text: Column): Column = {
-    val toks = split(Dedup.normalized(text), " ")
-    val scores = LangMarkers.map { case (lang, words) => lang -> hitCount(toks, words) }
-    // argmax with earlier-entry tie-break: lang_i wins if its score is
-    // >= every later score and > every earlier score (strictly, since
-    // earlier already won ties).
-    scores.zipWithIndex.foldRight(lit(LangMarkers.head._1)) {
+  /** Argmax with earlier-entry tie-break: lang_i wins if its score is
+    * >= every later score and > every earlier score (strictly, since
+    * earlier already won ties). Each score Column is referenced in
+    * ~2·|langs| comparison arms — callers MUST pass cheap columns
+    * (named attributes), or the score subtree is recomputed per arm. */
+  private def argmaxLang(scores: Seq[(String, Column)]): Column =
+    scores.zipWithIndex.foldRight(lit(scores.head._1)) {
       case (((lang, s), i), elseCol) =>
         val beatsEarlier = scores.take(i).map { case (_, s2) => s > s2 }
         val beatsLater = scores.drop(i + 1).map { case (_, s2) => s >= s2 }
         val cond = (beatsEarlier ++ beatsLater).reduceOption(_ && _).getOrElse(lit(true))
         when(cond, lit(lang)).otherwise(elseCol)
     }
+
+  /** N-gram/stopword-profile language ID: argmax of marker-word hit
+    * counts, first-listed language wins ties (so 'en' on all-zero).
+    * A real system would use char n-gram profiles; the marker-argmax
+    * form is the portable deterministic core of that approach.
+    *
+    * ONE-EXPRESSION FORM — fine for a single ad-hoc projection, but
+    * the `toks` subtree is referenced once per language and each
+    * score ~8× by the argmax arms, so the normalize/split tree is
+    * recomputed ~25-40× per row (the round-4 bench caught q25 at
+    * 2.45 s for exactly this). Corpus-scale callers use
+    * [[withLangId]], which materializes toks and scores as named
+    * columns computed once per row. */
+  def langId(text: Column): Column = {
+    val toks = split(Dedup.normalized(text), " ")
+    argmaxLang(LangMarkers.map { case (lang, words) => lang -> hitCount(toks, words) })
+  }
+
+  /** Corpus-scale language ID: the [[withTextFeatures]] pattern.
+    * Materializes the token array and the five per-language scores as
+    * named columns (CollapseProject keeps non-cheap multi-referenced
+    * aliases as separate projections), then argmaxes over the named
+    * score attributes — every expensive subtree is computed exactly
+    * once per row regardless of how many comparison arms read it.
+    * Per-row projection, zero shuffle at any scale. */
+  def withLangId(docs: DataFrame, textCol: String = "text",
+                 outCol: String = "pred_lang"): DataFrame = {
+    val toks = col("__lid_toks")
+    val withScores = LangMarkers.foldLeft(
+      docs.withColumn("__lid_toks", split(Dedup.normalized(col(textCol)), " "))) {
+      case (df, (lang, words)) =>
+        df.withColumn(s"__lid_s_$lang", hitCount(toks, words))
+    }
+    val named = LangMarkers.map { case (lang, _) => lang -> col(s"__lid_s_$lang") }
+    withScores.withColumn(outCol, argmaxLang(named))
+      .drop("__lid_toks" +: LangMarkers.map { case (l, _) => s"__lid_s_$l" }: _*)
   }
 
   /** Distinct-token xxhash64 array — materialize this as a named

@@ -44,8 +44,14 @@ object Layout {
     val tmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
     spark.read.parquet(path).repartition(n)
       .write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(hPath, true)
-    fs.rename(tmp, hPath)
+    // HDFS delete/rename signal failure via their return value, not an
+    // exception — ignoring them can turn a failed rename (cross-fs tmp,
+    // permissions) into silent data loss beyond the documented window.
+    // On failure the compacted copy survives at `tmp` for manual recovery.
+    require(fs.delete(hPath, true), s"compact: delete of $hPath failed; " +
+      s"original intact, compacted copy at $tmp")
+    require(fs.rename(tmp, hPath), s"compact: rename $tmp -> $hPath failed; " +
+      s"data preserved at $tmp")
     n
   }
 }

@@ -72,6 +72,18 @@ object ExtQueries {
       Similarity.nearDupPairs(Tables.embeddings(spark, dir), threshold = 0.4)
     }
 
+  /** Shared per-doc token counts over `documents` (q23's profile and
+    * q51's packing each tokenize the full corpus; round-4 bench paid
+    * the normalize+split regex pass twice). Text is dropped before
+    * caching — the cached frame is 5 narrow columns, not the corpus. */
+  private def docTokens(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${System.identityHashCode(spark)}:$dir:doc_tokens") {
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("tokens"))
+    }
+
   /** Shared simhash fingerprint pass over `documents` (q26 + q30). */
   private def simhashFp(spark: SparkSession, dir: String): DataFrame =
     ResultCache.shared.getOrCompute(
@@ -207,8 +219,7 @@ object ExtQueries {
   // real at 100 TB).
   // ----------------------------------------------------------------
   def q23TextProfile(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .withColumn("tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
+    val docs = docTokens(spark, dir) // shared tokenize pass with q51
     docs.groupBy(col("lang"), col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -283,7 +294,10 @@ object ExtQueries {
   // ----------------------------------------------------------------
   def q25LangId(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    docs.withColumn("pred_lang", TextAnalysis.langId(col("text")))
+    // Materialized form: tokens + 5 scores computed once per row.
+    // The inline langId(col) recomputed the normalize/split subtree
+    // ~25-40× per row (round-4 bench: 2.45 s); PlanSpec guards this.
+    TextAnalysis.withLangId(docs)
       .groupBy(col("lang"), col("pred_lang"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("lang"), col("pred_lang"))
@@ -872,8 +886,7 @@ object ExtQueries {
   // counts are the q23-proven portable tokenizer).
   // ----------------------------------------------------------------
   def q51Packing(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .withColumn("tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
+    val docs = docTokens(spark, dir) // shared tokenize pass with q23
     graft.ext.Curate.packBins(docs, groupCol = "lang", idCol = "doc_id",
         tokensCol = "tokens", budget = 2048)
       .groupBy(col("lang"), col("bin_id"))

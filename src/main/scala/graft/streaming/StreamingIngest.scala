@@ -99,11 +99,10 @@ object StreamingIngest {
                         numBands: Int = 16, r: Int = 4): Dataset[NearDupCandidate] = {
     import docs.sparkSession.implicits._
     import graft.ext.Dedup
-    val bands = array((0 until numBands).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64((lit(b) +: (b * r until (b + 1) * r)
-          .map(i => element_at(col("__sig"), i + 1))): _*).as("bucket"))
-    }: _*)
+    // Band/bucket construction and per-seed permutation hash are the
+    // SHARED Dedup helpers — one definition for batch and stream, so
+    // candidacy cannot drift (also spec-compared on the same corpus).
+    val bands = Dedup.bandBuckets(numBands, r)(i => element_at(col("__sig"), i + 1))
     docs.toDF()
       .withColumn("__toks", split(Dedup.normalized(col("text")), " "))
       .withColumn("__sh", Dedup.shinglesFromToks(col("__toks")))
@@ -119,7 +118,7 @@ object StreamingIngest {
       // substitutes it away — the round-2 lesson).
       .withColumn("__sig", when(size(col("__h")) > 0,
         transform(sequence(lit(0), lit(numBands * r - 1)),
-          s => array_min(transform(col("__h"), h => xxhash64(h, s))))))
+          s => array_min(transform(col("__h"), h => Dedup.permHash(h, s))))))
       .select(col("doc_id"), explode(bands).as("__b"))
       .select(col("doc_id"), col("__b.band").as("band"), col("__b.bucket").as("bucket"))
       .as[(Long, Int, Long)]

@@ -40,6 +40,36 @@ class CacheSpec extends AnyFunSuite {
     assert(cache.size == 0)
   }
 
+  test("ResultCache: concurrent misses on one key run exactly one computation") {
+    // The round-4 check-then-act race: two threads miss, both compute,
+    // one result is silently dropped (its Spark cache leaked). The
+    // lazy-holder putIfAbsent design decides the winner BEFORE the
+    // computation runs, so losers never compute.
+    val cache = new ResultCache()
+    val computes = new java.util.concurrent.atomic.AtomicInteger(0)
+    val startGate = new java.util.concurrent.CountDownLatch(1)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[AnyRef]()
+    val threads = (1 to 8).map { _ =>
+      new Thread(() => {
+        startGate.await()
+        val df = cache.getOrCompute("race-key") {
+          computes.incrementAndGet()
+          Seq(1, 2, 3).toDF("x")
+        }
+        results.add(df)
+      })
+    }
+    threads.foreach(_.start())
+    startGate.countDown()
+    threads.foreach(_.join(30000))
+    assert(computes.get() == 1,
+      s"${computes.get()} computations ran for one key under contention")
+    val distinct = results.toArray.toSet
+    assert(distinct.size == 1, "threads observed different DataFrames")
+    assert(cache.size == 1)
+    cache.clear()
+  }
+
   test("SQL surface: registered graft functions work through spark.sql over temp views") {
     Tables.embeddings(spark, "/root/testdata/sf0.001").createOrReplaceTempView("emb_v")
     // graft_cosine resolves from the function registry (the public

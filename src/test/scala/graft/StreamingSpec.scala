@@ -134,4 +134,37 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(c => (c.doc_id, c.dup_of)).toSet
     assert(batchPairs == Set((2L, 1L)))
   }
+
+  test("streaming candidacy equals candidates derived from the BATCH band join's buckets") {
+    // Round-4 advisory: the scaladoc's stream==batch claim was only
+    // checked against the streaming operator's own batch execution —
+    // a seed/type drift in a duplicated hash chain would pass that.
+    // The chain is now factored into Dedup.permHash/bandBuckets; this
+    // spec additionally proves agreement end-to-end on real docs:
+    // expected candidates recomputed from Dedup.minhashSignatures +
+    // the shared band combiner (the batch band-join build side) must
+    // equal the streaming operator's output exactly.
+    import graft.ext.Dedup
+    import graft.streaming.DocText
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text")).limit(50)
+    val sh = docs
+      .select(col("doc_id").as("__id"),
+        split(Dedup.normalized(col("text")), " ").as("__toks"))
+      .select(col("__id"), Dedup.shinglesFromToks(col("__toks")).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+    val sig = Dedup.minhashSignatures(sh, 64)
+    val expected = sig
+      .select(col("__id"), explode(Dedup.bandBuckets(16, 4)(s => col(s"__m$s"))).as("__b"))
+      .groupBy(col("__b.band").as("band"), col("__b.bucket"))
+      .agg(min(col("__id")).as("first"), collect_set(col("__id")).as("ids"))
+      .select(col("band"), col("first"), explode(col("ids")).as("doc_id"))
+      .filter(col("doc_id") =!= col("first"))
+      .select(col("doc_id"), col("first").as("dup_of"), col("band"))
+      .as[(Long, Long, Int)].collect().toSet
+    val got = StreamingIngest.nearDupCandidates(docs.as[DocText])
+      .collect().map(c => (c.doc_id, c.dup_of, c.band)).toSet
+    assert(got == expected,
+      s"stream and batch band buckets disagree: extra=${got -- expected} missing=${expected -- got}")
+  }
 }
