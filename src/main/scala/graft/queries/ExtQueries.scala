@@ -208,11 +208,15 @@ object ExtQueries {
 
   // ----------------------------------------------------------------
   // q23_text_profile — per-(lang, source) corpus profile: doc count,
-  // token volume, char stats. ALL columns are integer fixed-point:
-  // the average is micro-token units computed with pure BIGINT
-  // arithmetic — rounds 2/3 proved that any float rounding path here
-  // (round(double, 8) both sides) hash-diverges in the last ulp
-  // across DuckDB versions, so no float leaves this query. The split
+  // token volume, char stats. ALL columns are integer, and every
+  // integer aggregate in the ORACLE is CAST to BIGINT: DuckDB types
+  // SUM(<integer>) as HUGEINT, which pandas renders as float64
+  // ("120.0" vs Spark's int64 "120") and the driver hash diverges —
+  // the PROVEN root cause of rounds 2-4's q23 red row (rounds 2/3's
+  // "round(double) last-ulp" theory was wrong; the totals columns
+  // were the failure all along). tools/check_correctness.py is now
+  // dtype-strict + lints DuckDB rel.types for exactly this. The
+  // average stays BIGINT fixed-point (micro-token units): the split
   // form (t DIV n)*1e6 + ((t MOD n)*1e6) DIV n equals
   // (t*1e6) DIV n but never overflows BIGINT until total_tokens
   // itself would (the direct form dies at ~9.2e12 tokens/group —
@@ -635,10 +639,13 @@ object ExtQueries {
     // avg_quality as integer fixed-point (1e-8 units): the per-row
     // quality doubles are proven engine-bit-identical (q24 is driver-
     // green on the same expression), multiply+floor are IEEE-
-    // deterministic, and from there everything is BIGINT — rounds 2/3
-    // proved any float/decimal rounding of the AVERAGE diverges in the
-    // last ulp across DuckDB versions. quality ≤ 1 so q_e8 ≤ 1e8 and
-    // the sum overflows only past ~9e10 rows per group.
+    // deterministic, and from there everything is BIGINT. (Historical
+    // note: rounds 2-4's red row here was NEVER the average — it was
+    // the uncast SUM(n_chars) totals column, typed HUGEINT by DuckDB
+    // → float64 in pandas vs Spark's int64; fixed by CAST AS BIGINT
+    // in the oracle. Fixed-point remains the right call where float
+    // SUM order-sensitivity is real, e.g. q54 pooling.) quality ≤ 1
+    // so q_e8 ≤ 1e8 and the sum overflows only past ~9e10 rows/group.
     curated
       .withColumn("q_e8", floor(col("quality") * lit(1e8)))
       .groupBy(col("lang"))
