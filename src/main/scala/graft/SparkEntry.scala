@@ -74,6 +74,9 @@ object SparkEntry {
     "q53_winnow"         -> (ExtQueries.q53Winnow _),
     "q54_meanpool"       -> (ExtQueries.q54MeanPool _),
     "q55_sessionize"     -> (ExtQueries.q55Sessionize _),
+    "q56_tfidf"          -> (ExtQueries.q56TfIdf _),
+    "q57_contamination"  -> (ExtQueries.q57Contamination _),
+    "q58_incremental_neardup" -> (ExtQueries.q58IncrementalNearDup _),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB
@@ -134,5 +137,8 @@ object SparkEntry {
     "q53_winnow"         -> ExtQueries.q53WinnowSql,
     "q54_meanpool"       -> ExtQueries.q54MeanPoolSql,
     "q55_sessionize"     -> ExtQueries.q55SessionizeSql,
+    "q56_tfidf"          -> ExtQueries.q56TfIdfSql,
+    "q57_contamination"  -> ExtQueries.q57ContaminationSql,
+    "q58_incremental_neardup" -> ExtQueries.q58IncrementalNearDupSql,
   )
 }

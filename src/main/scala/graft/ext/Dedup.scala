@@ -216,19 +216,28 @@ object Dedup {
     * probability ≈ 1 for j ≥ 0.9, ≈ 0.97 at j = 0.8, falling fast
     * below — sized for `threshold` ≥ ~0.7.
     */
-  def nearDupText(docs: DataFrame, threshold: Double = 0.7,
-                  shingleN: Int = 3, numBands: Int = 16, r: Int = 4,
-                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    // Tokens staged as a named column so the shingle construction's
-    // ~n+2 references hit an attribute, not a re-run tokenizer.
-    val sh = docs
+  /** (__id, __sh) distinct-shingle frame for a document set — tokens
+    * staged as a named column so the shingle construction's ~n+2
+    * references hit an attribute, not a re-run tokenizer. Shared by
+    * the intra-corpus and incremental near-dup paths. */
+  private[ext] def shingleFrame(docs: DataFrame, shingleN: Int,
+                                textCol: String, idCol: String): DataFrame =
+    docs
       .select(col(idCol).as("__id"), split(normalized(col(textCol)), " ").as("__toks"))
       .select(col("__id"), shinglesFromToks(col("__toks"), shingleN).as("__sh"))
       .filter(size(col("__sh")) > 0)
 
-    val sig = minhashSignatures(sh, numBands * r)
-    val bands = bandBuckets(numBands, r)(s => col(s"__m$s"))
-    val banded = sig.select(col("__id"), explode(bands).as("__b"))
+  /** (__id, __b=(band,bucket)) exploded band-bucket frame over a
+    * shingle frame — the band join's probe/build rows. */
+  private[ext] def bandedFrame(sh: DataFrame, numBands: Int, r: Int): DataFrame =
+    minhashSignatures(sh, numBands * r)
+      .select(col("__id"), explode(bandBuckets(numBands, r)(s => col(s"__m$s"))).as("__b"))
+
+  def nearDupText(docs: DataFrame, threshold: Double = 0.7,
+                  shingleN: Int = 3, numBands: Int = 16, r: Int = 4,
+                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val sh = shingleFrame(docs, shingleN, textCol, idCol)
+    val banded = bandedFrame(sh, numBands, r)
     val candidates = banded.as("a")
       .join(banded.as("b"),
         col("a.__b") === col("b.__b") && col("a.__id") < col("b.__id"))
@@ -241,5 +250,77 @@ object Dedup {
       .withColumn("jaccard", jaccard(col("__sha"), col("__shb")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** INCREMENTAL near-dup: new batch vs existing corpus — the
+    * daily-ingest shape. [[nearDupText]] answers "which pairs inside
+    * THIS corpus are near-dups"; continuous ingest needs "which of
+    * today's documents near-duplicate anything already ingested"
+    * WITHOUT re-banding the corpus per batch.
+    *
+    * Same hash chain as the batch band join ([[minhashSignatures]] +
+    * [[bandBuckets]]), but candidates come from a band equi-join
+    * BETWEEN the new batch's buckets and the corpus's buckets — cost
+    * ∝ |new| · collision rate, never corpus². At 100 TB the corpus
+    * banded frame is the persistent index: write it bucketed on
+    * `__b` ([[graft.ops.Layout.writeBucketed]]'s shape) and each
+    * day's join is shuffle-free on the corpus side; the new batch's
+    * banded rows (small) broadcast. Verification is exact Jaccard on
+    * the candidate pairs only, so precision is exactly 1 regardless
+    * of banding.
+    *
+    * Output: (new_id, corpus_id, jaccard) for every cross pair with
+    * jaccard ≥ threshold. */
+  def nearDupTextAgainst(newDocs: DataFrame, corpus: DataFrame, threshold: Double = 0.7,
+                         shingleN: Int = 3, numBands: Int = 16, r: Int = 4,
+                         textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // Each shingle frame feeds its banded frame AND the verification
+    // join — materialize once (the self-join/recompute class) instead
+    // of re-running tokenize+shingle per consumer.
+    val newSh = shingleFrame(newDocs, shingleN, textCol, idCol)
+      .localCheckpoint(eager = false)
+    val corpusSh = shingleFrame(corpus, shingleN, textCol, idCol)
+      .localCheckpoint(eager = false)
+    val candidates = bandedFrame(newSh, numBands, r).as("a")
+      .join(bandedFrame(corpusSh, numBands, r).as("b"), col("a.__b") === col("b.__b"))
+      .select(col("a.__id").as("new_id"), col("b.__id").as("corpus_id"))
+      .dropDuplicates("new_id", "corpus_id")
+    candidates
+      .join(newSh.select(col("__id").as("new_id"), col("__sh").as("__sha")), Seq("new_id"))
+      .join(corpusSh.select(col("__id").as("corpus_id"), col("__sh").as("__shb")), Seq("corpus_id"))
+      .withColumn("jaccard", jaccard(col("__sha"), col("__shb")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id"), col("corpus_id"), col("jaccard"))
+  }
+
+  /** Train/eval CONTAMINATION check — the n-gram-overlap test every
+    * LLM eval pipeline runs before trusting a benchmark number: an
+    * eval document is contaminated if any of its word `shingleN`-grams
+    * appears anywhere in the training corpus.
+    *
+    * Shape: distinct corpus grams (one hash-aggregate — the gram set
+    * is the reusable artifact; at 100 TB persist it bucketed on the
+    * gram and reuse across eval suites) inner-joined by the eval
+    * docs' exploded grams, counted per doc, then left-joined back so
+    * uncontaminated and too-short eval docs report 0. Grams join as
+    * strings here for oracle parity; at scale hash them to longs
+    * first (xxhash64) — same plan, 8-byte keys.
+    *
+    * Output: (doc_id, n_shared, contaminated) — n_shared = how many
+    * of the eval doc's distinct grams occur in the corpus. */
+  def contaminationReport(evalDocs: DataFrame, corpus: DataFrame, shingleN: Int = 3,
+                          textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val evalGrams = shingleFrame(evalDocs, shingleN, textCol, idCol)
+      .select(col("__id"), explode(col("__sh")).as("__gram"))
+    val corpusGrams = shingleFrame(corpus, shingleN, textCol, idCol)
+      .select(explode(col("__sh")).as("__gram")).distinct()
+    val hits = evalGrams
+      .join(corpusGrams, Seq("__gram"))
+      .groupBy(col("__id")).agg(count(lit(1)).as("__n"))
+    evalDocs.select(col(idCol))
+      .join(hits.withColumnRenamed("__id", idCol), Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("__n"), lit(0L)).as("n_shared"),
+        (coalesce(col("__n"), lit(0L)) > 0).as("contaminated"))
   }
 }

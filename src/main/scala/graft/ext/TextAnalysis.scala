@@ -178,6 +178,56 @@ object TextAnalysis {
       .drop("__lid_toks" +: LangMarkers.map { case (l, _) => s"__lid_s_$l" }: _*)
   }
 
+  /** Smooth inverse document frequency: ln((n+1)/(df+1)) + 1 — the
+    * sklearn-style smoothing that keeps corpus-wide terms positive.
+    * Float-valued, so fine for ranking/filtering inside one engine
+    * but NOT for cross-engine hash gates (java Math.log vs libm can
+    * differ in the last ulp); the driver-gated query (q56) ranks by
+    * the integer tf/df ratio instead. */
+  def idf(df: Column, nDocs: Column): Column =
+    log((nDocs.cast("double") + 1.0) / (df.cast("double") + 1.0)) + 1.0
+
+  /** Top-`k` characteristic terms per document by rare-term weight —
+    * the TF-IDF keyword-extraction shape (vocabulary pruning, topic
+    * sniffing, dedup explanation) as three hash aggregates and one
+    * per-doc top-k:
+    *
+    *   1. explode tokens → per-(doc, term) counts (tf) — map-side
+    *      combine collapses repeats before the shuffle;
+    *   2. per-term document frequency (df) = one more hash agg over
+    *      the (doc, term) rows (already distinct per doc);
+    *   3. weight = (tf·1e6) div df, integer fixed-point — monotone in
+    *      the tf/df ratio, engine-exact (see [[idf]] for why the
+    *      float log form can't feed a cross-engine hash gate; rank
+    *      by [[idf]]·tf when portability isn't required);
+    *   4. per-doc top-k by (weight desc, term asc) — a rank-k window
+    *      over the doc-partitioned weights.
+    *
+    * Scale: the df table is vocabulary-sized; the tf↔df join
+    * shuffles on term — at 100 TB both sides are already term-keyed
+    * from their aggregates, so AQE plans it without an extra
+    * exchange. No step touches the raw text twice. */
+  def topTermsTfIdf(docs: DataFrame, k: Int = 3,
+                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val terms = docs
+      .select(col(idCol), explode(split(Dedup.normalized(col(textCol)), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    // localCheckpoint: both df (aggregated again) and the join read
+    // tf — as a plain plan the explode+count corpus pass would run
+    // twice (the self-join/recompute class; same fix as
+    // Similarity.nearDupPairsIvf's membership table).
+    val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = false)
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("score_e6").desc, col("term"))
+    tf.join(df, Seq("term"))
+      .withColumn("score_e6", expr("(tf * CAST(1000000 AS BIGINT)) div df"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"), col("tf"), col("df"), col("score_e6"))
+  }
+
   /** Distinct-token xxhash64 array — materialize this as a named
     * column and feed it to [[simhashFromHashes]]: the fingerprint
     * references it 64 times, and an inline expression would be

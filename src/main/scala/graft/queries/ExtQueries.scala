@@ -1151,4 +1151,111 @@ object ExtQueries {
       |SELECT src AS doc_id, min(dst) AS component
       |FROM reach GROUP BY src
       |ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q56_tfidf — top-3 characteristic terms per document by rare-term
+  // weight (TextAnalysis.topTermsTfIdf): explode → tf → df → integer
+  // (tf·1e6) div df weight → per-doc rank-3 window. Deterministic
+  // ordering: weight desc, then term asc; every integer output CAST
+  // to BIGINT in the oracle (the HUGEINT lesson). Restricted to one
+  // lang to keep the bench row-count sane; the operator itself is
+  // corpus-wide.
+  // ----------------------------------------------------------------
+  def q56TfIdf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).filter(col("lang") === "en")
+    TextAnalysis.topTermsTfIdf(docs, k = 3)
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  val q56TfIdfSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    unnest(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS term
+      |  FROM documents WHERE lang = 'en'),
+      |tf AS (
+      |  SELECT doc_id, term, COUNT(*) AS tf
+      |  FROM t WHERE len(term) > 0 GROUP BY doc_id, term),
+      |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      |s AS (
+      |  SELECT doc_id, tf.term, tf.tf, df.df,
+      |    (tf.tf * 1000000) // df.df AS score_e6
+      |  FROM tf JOIN df USING (term)),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id
+      |    ORDER BY score_e6 DESC, term) AS rank
+      |  FROM s)
+      |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term,
+      |  CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+      |  CAST(score_e6 AS BIGINT) AS score_e6
+      |FROM r WHERE rank <= 3
+      |ORDER BY doc_id, rank""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q57_contamination — train/eval n-gram overlap check
+  // (Dedup.contaminationReport): eval set = doc_id % 20 = 0, corpus =
+  // the rest; an eval doc is contaminated if any of its distinct
+  // trigrams appears in the corpus. Short eval docs (< 3 tokens) have
+  // no grams and report 0 — the left-outer-join contract, asserted by
+  // the oracle's LEFT JOIN.
+  // ----------------------------------------------------------------
+  def q57Contamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val eval = docs.filter(col("doc_id") % 20 === 0)
+    val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+    Dedup.contaminationReport(eval, corpus)
+      .orderBy(col("doc_id"))
+  }
+
+  val q57ContaminationSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id,
+      |         list_distinct(list_transform(range(1, len(toks) - 1),
+      |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      |  FROM d WHERE len(toks) >= 3),
+      |e AS (SELECT doc_id, unnest(sh) AS gram FROM s WHERE doc_id % 20 = 0),
+      |c AS (SELECT DISTINCT unnest(sh) AS gram FROM s WHERE doc_id % 20 <> 0),
+      |hit AS (
+      |  SELECT e.doc_id, COUNT(*) AS n_shared
+      |  FROM e JOIN c USING (gram) GROUP BY e.doc_id)
+      |SELECT d.doc_id,
+      |  CAST(COALESCE(hit.n_shared, 0) AS BIGINT) AS n_shared,
+      |  COALESCE(hit.n_shared, 0) > 0 AS contaminated
+      |FROM (SELECT doc_id FROM documents WHERE doc_id % 20 = 0) d
+      |LEFT JOIN hit USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q58_incremental_neardup — new-batch-vs-corpus near-dup
+  // (Dedup.nearDupTextAgainst): new = doc_id % 10 = 0, corpus = the
+  // rest. Candidates from the cross band join only; the oracle is the
+  // exact cross all-pairs jaccard — equality is the same banding-
+  // completeness theorem q18 proves intra-corpus (same signatures,
+  // same bands, cross subset of the pair space).
+  // ----------------------------------------------------------------
+  def q58IncrementalNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Dedup.nearDupTextAgainst(
+        docs.filter(col("doc_id") % 10 === 0),
+        docs.filter(col("doc_id") % 10 =!= 0), threshold = 0.7)
+      .orderBy(col("new_id"), col("corpus_id"))
+  }
+
+  val q58IncrementalNearDupSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id,
+      |         list_distinct(list_transform(range(1, len(toks) - 1),
+      |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      |  FROM d WHERE len(toks) >= 3),
+      |p AS (
+      |  SELECT a.doc_id AS new_id, b.doc_id AS corpus_id,
+      |         len(list_intersect(a.sh, b.sh)) * 1.0 / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+      |  FROM s a JOIN s b ON a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0)
+      |SELECT new_id, corpus_id, jaccard FROM p WHERE jaccard >= 0.7
+      |ORDER BY new_id, corpus_id""".stripMargin
 }

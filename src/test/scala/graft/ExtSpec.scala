@@ -275,6 +275,80 @@ class ExtSpec extends AnyFunSuite {
     ).toDF("doc_id", "text")
     val got = df.select($"doc_id", TextAnalysis.langId($"text")).as[(Long, String)].collect().toMap
     assert(got(1L) == "de" && got(2L) == "fr" && got(3L) == "en")
+
+    // the materialized corpus form agrees with the one-expression form
+    // on real documents (same argmax, different plan shape)
+    val docs = Tables.documents(spark, sf).limit(200)
+    val inline = docs.select($"doc_id", TextAnalysis.langId($"text").as("p"))
+      .as[(Long, String)].collect().toMap
+    val mat = TextAnalysis.withLangId(docs).select($"doc_id", $"pred_lang")
+      .as[(Long, String)].collect().toMap
+    assert(mat == inline)
+  }
+
+  test("topTermsTfIdf ranks rare terms first with deterministic ties; idf is smooth-log") {
+    val df = Seq(
+      // "apple" appears in 1 doc (rare), "common" in all 3 (df=3)
+      (1L, "apple apple common zebra"),
+      (2L, "common banana banana"),
+      (3L, "common cherry")
+    ).toDF("doc_id", "text")
+    val top = TextAnalysis.topTermsTfIdf(df, k = 2)
+      .select($"doc_id", $"rank", $"term", $"tf", $"df", $"score_e6")
+      .as[(Long, Long, String, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(t => (t._3, t._6)).toList).toMap
+    // doc 1: apple tf=2 df=1 → 2e6; zebra tf=1 df=1 → 1e6; common tf=1 df=3 → 333333
+    assert(top(1L) == List(("apple", 2000000L), ("zebra", 1000000L)))
+    // doc 2: banana tf=2 df=1 → 2e6; common 333333
+    assert(top(2L) == List(("banana", 2000000L), ("common", 333333L)))
+    // doc 3: cherry 1e6, common 333333
+    assert(top(3L) == List(("cherry", 1000000L), ("common", 333333L)))
+
+    // equal weights tie-break by term ascending
+    val tie = TextAnalysis.topTermsTfIdf(Seq((9L, "bb aa")).toDF("doc_id", "text"), k = 2)
+      .select($"rank", $"term").as[(Long, String)].collect().sortBy(_._1).toList
+    assert(tie == List((1L, "aa"), (2L, "bb")))
+
+    // the float idf helper: smooth log, positive even at df = n
+    val v = df.sparkSession.range(1)
+      .select(TextAnalysis.idf(lit(3), lit(3)).as("i")).as[Double].head()
+    assert(math.abs(v - 1.0) < 1e-12) // ln((3+1)/(3+1)) + 1 = 1
+  }
+
+  test("contaminationReport counts shared grams; short and clean eval docs report 0") {
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "completely unrelated corpus content here")
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (1L, "a sentence with the quick brown fox inside"), // shares grams
+      (2L, "nothing in common at all with training data"), // clean
+      (3L, "too short")                                    // < 3 tokens → no grams
+    ).toDF("doc_id", "text")
+    val got = Dedup.contaminationReport(eval, corpus)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // eval doc 1 shares "the quick brown" and "quick brown fox" (2 distinct grams)
+    assert(got(1L) == ((2L, true)))
+    assert(got(2L) == ((0L, false)))
+    assert(got(3L) == ((0L, false)))
+  }
+
+  test("nearDupTextAgainst equals the cross-set slice of intra-corpus near-dup pairs") {
+    val docs = Tables.documents(spark, sf)
+    val newDocs = docs.filter($"doc_id" % 10 === 0)
+    val corpus = docs.filter($"doc_id" % 10 =!= 0)
+    val incremental = Dedup.nearDupTextAgainst(newDocs, corpus, threshold = 0.7)
+      .select($"new_id", $"corpus_id").as[(Long, Long)].collect().toSet
+    // nearDupText emits (min, max) ordered pairs over the whole corpus;
+    // the cross-set slice in either orientation must match exactly
+    val all = Dedup.nearDupText(docs, threshold = 0.7)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+    val expected = all.flatMap { case (a, b) =>
+      (if (a % 10 == 0 && b % 10 != 0) Seq((a, b)) else Nil) ++
+        (if (b % 10 == 0 && a % 10 != 0) Seq((b, a)) else Nil)
+    }.toSet
+    assert(incremental == expected,
+      s"extra=${incremental -- expected} missing=${expected -- incremental}")
   }
 
   test("Curate: split is total/deterministic, samples are exact, chunks reassemble, redaction scrubs") {
