@@ -312,10 +312,18 @@ object Dedup {
                           textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val evalGrams = shingleFrame(evalDocs, shingleN, textCol, idCol)
       .select(col("__id"), explode(col("__sh")).as("__gram"))
+    // distinct BEFORE the join: partial aggregation collapses repeated
+    // grams within each scan partition before the exchange, so the
+    // shuffle carries each distinct gram ~once instead of every
+    // occurrence (measured: semi-joining the raw exploded grams moves
+    // more bytes than distinct+join at sf0.1). LEFT SEMI states the
+    // intent (existence, never multiplication); eval gram rows are
+    // already distinct per doc (shinglesFromToks), so the per-doc
+    // count is exactly "distinct grams shared with the corpus".
     val corpusGrams = shingleFrame(corpus, shingleN, textCol, idCol)
       .select(explode(col("__sh")).as("__gram")).distinct()
     val hits = evalGrams
-      .join(corpusGrams, Seq("__gram"))
+      .join(corpusGrams, Seq("__gram"), "left_semi")
       .groupBy(col("__id")).agg(count(lit(1)).as("__n"))
     evalDocs.select(col(idCol))
       .join(hits.withColumnRenamed("__id", idCol), Seq(idCol), "left_outer")
