@@ -270,7 +270,20 @@ object Dedup {
     * of banding.
     *
     * Output: (new_id, corpus_id, jaccard) for every cross pair with
-    * jaccard ≥ threshold. */
+    * jaccard ≥ threshold.
+    *
+    * Preconditions / lifetime notes:
+    *   - ids must be DISJOINT between `newDocs` and `corpus`: an id
+    *     present on both sides yields a (id, id, 1.0) self-pair —
+    *     meaningless for the daily-ingest contract this models, where
+    *     "new" means not-yet-ingested. Callers re-processing a batch
+    *     should anti-join it out of `corpus` first.
+    *   - the two shingle frames are `localCheckpoint(eager = false)`ed
+    *     (they each feed the band join AND the verification join);
+    *     their blocks are freed by the ContextCleaner when the frames
+    *     become unreachable — i.e. after the caller drops the returned
+    *     DataFrame — not at action end. Long-lived services that call
+    *     this in a loop should not retain old results. */
   def nearDupTextAgainst(newDocs: DataFrame, corpus: DataFrame, threshold: Double = 0.7,
                          shingleN: Int = 3, numBands: Int = 16, r: Int = 4,
                          textCol: String = "text", idCol: String = "doc_id"): DataFrame = {

@@ -206,7 +206,11 @@ object TextAnalysis {
     * Scale: the df table is vocabulary-sized; the tf↔df join
     * shuffles on term — at 100 TB both sides are already term-keyed
     * from their aggregates, so AQE plans it without an extra
-    * exchange. No step touches the raw text twice. */
+    * exchange. No step touches the raw text twice. The tf frame is
+    * `localCheckpoint(eager = false)`ed (it feeds both the df agg and
+    * the join); its blocks are freed by the ContextCleaner when the
+    * result becomes unreachable, not at action end — loop callers
+    * should not retain old results. */
   def topTermsTfIdf(docs: DataFrame, k: Int = 3,
                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val terms = docs

@@ -2,7 +2,7 @@ package graft.ops
 
 import scala.collection.concurrent.TrieMap
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** TTL result cache — the reference dashboard's view memoization
   * (`apps/streamlit-dashboard/app.py:33-51`: `@st.cache_data(ttl=…)`
@@ -22,20 +22,43 @@ import org.apache.spark.sql.DataFrame
 final class ResultCache(ttlMs: Long = Long.MaxValue,
                         clock: () => Long = () => System.currentTimeMillis()) {
 
-  /** Lazy holder: the TrieMap insertion race is decided BEFORE the
-    * computation runs (putIfAbsent of an unforced holder), so the
-    * loser of a concurrent miss never computes or caches anything —
-    * compute-if-absent rather than compute-then-discard. A thrown
-    * computation leaves the lazy val uninitialized, so the next
-    * caller retries instead of caching the failure. */
+  /** Compute-once holder: the TrieMap insertion race is decided
+    * BEFORE the computation runs (putIfAbsent of an unforced holder),
+    * so the loser of a concurrent miss never computes or caches
+    * anything — compute-if-absent rather than compute-then-discard.
+    *
+    * All state is guarded by the Entry monitor, held across
+    * `compute()` itself, so invalidation SERIALIZES with an in-flight
+    * computation instead of racing it (the round-4 `@volatile
+    * computed` flag was set only after `.cache()` returned, leaving a
+    * window where `unpersistIfComputed` saw false and leaked the
+    * Spark-cached plan for the session lifetime). Contention is
+    * per-key only — distinct keys never share a monitor.
+    *
+    * A thrown computation leaves `value` empty, so the next caller
+    * retries instead of caching the failure. Once `dead` (evicted /
+    * invalidated), a late caller that still holds the Entry reference
+    * gets a correct frame but nothing new is ever Spark-cached — an
+    * evicted entry cannot re-acquire storage nobody will release. */
   private final class Entry(val at: Long, compute: () => DataFrame) {
-    @volatile private var computed = false
-    lazy val df: DataFrame = { val d = compute().cache(); computed = true; d }
-    /** Unpersist only if some caller actually forced the plan —
-      * forcing a never-used loser/stale entry just to unpersist it
-      * would run the very computation we avoided. */
-    def unpersistIfComputed(): Unit =
-      if (computed) df.unpersist(blocking = false)
+    private var value: Option[DataFrame] = None // guarded by this
+    private var dead = false                    // guarded by this
+    def df: DataFrame = synchronized {
+      value.getOrElse {
+        val d = compute()
+        if (!dead) { d.cache(); value = Some(d) }
+        d
+      }
+    }
+    /** Unpersist the Spark cache if some caller actually forced the
+      * plan (forcing a never-used loser/stale entry just to unpersist
+      * it would run the very computation we avoided), and mark the
+      * entry dead so late callers never cache into the void. */
+    def unpersistIfComputed(): Unit = synchronized {
+      value.foreach(_.unpersist(blocking = false))
+      dead = true // value is kept: a late caller reuses the computed
+      //             (now uncached) plan instead of recomputing
+    }
   }
   private val memo = TrieMap.empty[String, Entry]
 
@@ -58,13 +81,18 @@ final class ResultCache(ttlMs: Long = Long.MaxValue,
   }
 
   /** CAS the expired entry out; whoever wins unpersists it. A loser
-    * reads the winner's entry back (or, in the vanishingly rare
-    * remove race, serves its own un-memoized frame). */
+    * reads the winner's entry back; in the vanishingly rare remove
+    * race (key vanished entirely), it serves its own frame UNCACHED —
+    * marking it dead first, so an entry that never entered the map
+    * can't acquire Spark storage nobody would ever release. */
   private def replaceStale(key: String, stale: Entry, fresh: Entry): DataFrame =
     if (memo.replace(key, stale, fresh)) {
       stale.unpersistIfComputed()
       fresh.df
-    } else memo.get(key).getOrElse(fresh).df
+    } else memo.get(key) match {
+      case Some(current) => current.df
+      case None => fresh.unpersistIfComputed(); fresh.df
+    }
 
   /** Drop one entry, unpersisting its Spark cache. */
   def invalidate(key: String): Unit =
@@ -78,8 +106,25 @@ final class ResultCache(ttlMs: Long = Long.MaxValue,
 
 object ResultCache {
   /** Process-wide cache used by the query surface (Verify/Bench run
-    * many queries over the same tables in one session). Keys embed the
-    * session identity and data dir, so sessions/scale-factors never
-    * collide. */
+    * many queries over the same tables in one session). Keys embed
+    * [[sessionKey]] and the data dir, so sessions/scale-factors
+    * never collide — a UUID, unlike an identityHashCode, is never
+    * reused after GC, so a new session can't be served a frame bound
+    * to a dead one. Entries for stopped sessions linger until their
+    * TTL/`clear()`; they hold only plan objects (the executor storage
+    * died with the session), so the residue is driver-heap-bounded. */
   val shared = new ResultCache()
+
+  /** Stable, never-reused identity for a session, for use in `shared`
+    * keys. `identityHashCode` can be REUSED after the session is
+    * GC'd, so a new session could be served a cached frame bound to a
+    * dead one; a UUID cannot. (Spark's own `sessionUUID` lives on the
+    * `classic` implementation class, not the public interface, so we
+    * mint our own — weak keys, so the mapping dies with the session.) */
+  private val sessionIds = new java.util.WeakHashMap[SparkSession, String]()
+  def sessionKey(spark: SparkSession): String = sessionIds.synchronized {
+    var id = sessionIds.get(spark)
+    if (id == null) { id = java.util.UUID.randomUUID().toString; sessionIds.put(spark, id) }
+    id
+  }
 }

@@ -32,7 +32,7 @@ object ExtQueries {
     * cache: one evaluation per process instead of one per consumer. */
   private def exactTop10(spark: SparkSession, dir: String): DataFrame =
     ResultCache.shared.getOrCompute(
-      s"${System.identityHashCode(spark)}:$dir:exact_top10") {
+      s"${ResultCache.sessionKey(spark)}:$dir:exact_top10") {
       val emb = Tables.embeddings(spark, dir)
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 10)
     }
@@ -41,7 +41,7 @@ object ExtQueries {
     * (q18's output, reused as q44's edge list). */
   private def nearDup07(spark: SparkSession, dir: String): DataFrame =
     ResultCache.shared.getOrCompute(
-      s"${System.identityHashCode(spark)}:$dir:neardup_text_07") {
+      s"${ResultCache.sessionKey(spark)}:$dir:neardup_text_07") {
       Dedup.nearDupText(Tables.documents(spark, dir), threshold = 0.7)
     }
 
@@ -51,7 +51,7 @@ object ExtQueries {
     * training runs once per (session, dir). */
   private[queries] def ivfCentroids(spark: SparkSession, dir: String): DataFrame =
     ResultCache.shared.getOrCompute(
-      s"${System.identityHashCode(spark)}:$dir:ivf_centroids") {
+      s"${ResultCache.sessionKey(spark)}:$dir:ivf_centroids") {
       graft.ext.Ivf.train(Tables.embeddings(spark, dir), k = 16, iters = 3)
     }
 
@@ -60,7 +60,7 @@ object ExtQueries {
     * per-list near-dup (q45). */
   private[queries] def ivfIndex(spark: SparkSession, dir: String): DataFrame =
     ResultCache.shared.getOrCompute(
-      s"${System.identityHashCode(spark)}:$dir:ivf_index") {
+      s"${ResultCache.sessionKey(spark)}:$dir:ivf_index") {
       graft.ext.Ivf.index(Tables.embeddings(spark, dir), ivfCentroids(spark, dir))
     }
 
@@ -68,7 +68,7 @@ object ExtQueries {
     * `embeddings` (q35's output; q45's recall denominator). */
   private def embedPairs04(spark: SparkSession, dir: String): DataFrame =
     ResultCache.shared.getOrCompute(
-      s"${System.identityHashCode(spark)}:$dir:embed_pairs_04") {
+      s"${ResultCache.sessionKey(spark)}:$dir:embed_pairs_04") {
       Similarity.nearDupPairs(Tables.embeddings(spark, dir), threshold = 0.4)
     }
 
@@ -78,7 +78,7 @@ object ExtQueries {
     * caching — the cached frame is 5 narrow columns, not the corpus. */
   private def docTokens(spark: SparkSession, dir: String): DataFrame =
     ResultCache.shared.getOrCompute(
-      s"${System.identityHashCode(spark)}:$dir:doc_tokens") {
+      s"${ResultCache.sessionKey(spark)}:$dir:doc_tokens") {
       Tables.documents(spark, dir)
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
           TextAnalysis.tokenCount(col("text")).cast("long").as("tokens"))
@@ -87,7 +87,7 @@ object ExtQueries {
   /** Shared simhash fingerprint pass over `documents` (q26 + q30). */
   private def simhashFp(spark: SparkSession, dir: String): DataFrame =
     ResultCache.shared.getOrCompute(
-      s"${System.identityHashCode(spark)}:$dir:simhash_fp") {
+      s"${ResultCache.sessionKey(spark)}:$dir:simhash_fp") {
       TextAnalysis.simhashCorpus(Tables.documents(spark, dir))
     }
 
@@ -1231,9 +1231,13 @@ object ExtQueries {
   // q58_incremental_neardup — new-batch-vs-corpus near-dup
   // (Dedup.nearDupTextAgainst): new = doc_id % 10 = 0, corpus = the
   // rest. Candidates from the cross band join only; the oracle is the
-  // exact cross all-pairs jaccard — equality is the same banding-
-  // completeness theorem q18 proves intra-corpus (same signatures,
-  // same bands, cross subset of the pair space).
+  // exact cross all-pairs jaccard. Equality is EMPIRICAL, not a
+  // theorem: with b=16, r=4 the per-pair detection probability is
+  // 1-(1-j^4)^16 ≈ 0.988 at j = 0.70 (≈ 1 only for j ≥ 0.9, where
+  // the testdata's planted pairs live — same argument as q18). If
+  // this row ever goes red with a few missing pairs, check for cross
+  // pairs with jaccard in [0.70, 0.75) that banding missed before
+  // suspecting the operator.
   // ----------------------------------------------------------------
   def q58IncrementalNearDup(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)

@@ -231,7 +231,7 @@ object RefViewQueries {
     // row; the S8 result cache makes that one evaluation per process
     // (reference memoizes the same way, app.py:33-51).
     val ov = graft.ops.ResultCache.shared.getOrCompute(
-      s"${System.identityHashCode(spark)}:$dir:q31_overview")(q31Overview(spark, dir))
+      s"${graft.ops.ResultCache.sessionKey(spark)}:$dir:q31_overview")(q31Overview(spark, dir))
     ov.agg(
       count(lit(1)).as("n_assets"),
       max(col("market_cap")).as("top_market_cap"),

@@ -70,6 +70,39 @@ class CacheSpec extends AnyFunSuite {
     cache.clear()
   }
 
+  test("ResultCache: invalidation during an in-flight computation still unpersists") {
+    // The round-5 advice race: invalidate() running while another
+    // thread is inside the computation used to see computed=false and
+    // skip the unpersist, leaking the Spark-cached plan for the
+    // session lifetime. The Entry monitor now serializes them: the
+    // invalidator blocks until the compute finishes, then unpersists.
+    val cache = new ResultCache()
+    val inCompute = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    @volatile var got: org.apache.spark.sql.DataFrame = null
+    val computer = new Thread(() => {
+      got = cache.getOrCompute("inflight") {
+        inCompute.countDown()
+        release.await() // hold the computation open while invalidate runs
+        Seq(1, 2, 3).toDF("x")
+      }
+    })
+    computer.start()
+    inCompute.await()
+    val invalidator = new Thread(() => cache.invalidate("inflight"))
+    invalidator.start() // blocks on the Entry monitor until compute ends
+    release.countDown()
+    computer.join(30000); invalidator.join(30000)
+    assert(got != null)
+    assert(got.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "invalidation racing an in-flight compute leaked the Spark cache")
+    assert(cache.size == 0)
+    // a late caller after invalidation gets a usable frame and the
+    // dead entry never re-caches behind the map's back
+    assert(cache.getOrCompute("inflight")(Seq(4).toDF("x")).count() == 1)
+    cache.clear()
+  }
+
   test("SQL surface: registered graft functions work through spark.sql over temp views") {
     Tables.embeddings(spark, "/root/testdata/sf0.001").createOrReplaceTempView("emb_v")
     // graft_cosine resolves from the function registry (the public
