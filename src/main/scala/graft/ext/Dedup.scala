@@ -252,6 +252,75 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** EXACT n-gram Jaccard similarity join: every pair with
+    * J(A, B) ≥ threshold — no probabilistic step, unlike
+    * [[nearDupText]], whose banding misses a qualifying pair with
+    * probability (1-(1-j^r))^b > 0 near the threshold. This is the
+    * operator to reach for when the threshold is too low for LSH
+    * banding to prune (sign-LSH can't prune jaccard < ~0.6 usefully)
+    * or when the answer must be provably complete (dedup audits,
+    * gate oracles).
+    *
+    * Sub-quadratic shape: PREFIX FILTERING (the AllPairs/PPJoin
+    * family). Under one global total order on grams, sort each
+    * document's gram set and index only its first
+    * p(x) = |x| - ⌈t·|x|⌉ + 1 grams. Any qualifying pair shares a
+    * gram in BOTH prefixes: let g be the order-smallest common gram;
+    * the grams of x strictly before g are all non-shared, and there
+    * are at most |x| - |A∩B| ≤ |x| - ⌈t·|x|⌉ of them (J ≥ t forces
+    * |A∩B| ≥ t·max(|A|,|B|) ≥ t·|x|), so g sits within the first
+    * p(x) grams of each side. Hence the prefix-gram equi-join loses
+    * nothing, and exact verification on the candidates returns the
+    * complete answer.
+    *
+    * The global order is rarest-first (df asc, gram asc): prefixes
+    * then hold each document's LEAST common grams, so candidate
+    * buckets are small by construction and corpus-wide stop-grams
+    * never enter the join — the skew story at 100 TB. A size filter
+    * (min ≥ t·max, necessary since |A∩B| ≤ min and |A∪B| ≥ max)
+    * prunes candidates before the verify join touches shingle sets.
+    *
+    * Cost: df agg + one doc-keyed rank window + candidate equi-join
+    * on rare grams + exact verify on candidates. The shingle frame is
+    * `localCheckpoint(eager = false)`ed (it feeds df, prefix, and
+    * both verify sides); blocks are freed when the result becomes
+    * unreachable.
+    *
+    * Output: (id_a, id_b, jaccard), id_a < id_b. */
+  def jaccardJoinExact(docs: DataFrame, threshold: Double = 0.5,
+                       shingleN: Int = 3,
+                       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1], got $threshold")
+    val sh = shingleFrame(docs, shingleN, textCol, idCol)
+      .withColumn("__sz", size(col("__sh")))
+      .localCheckpoint(eager = false)
+    val grams = sh.select(col("__id"), col("__sz"), explode(col("__sh")).as("__g"))
+    val dfreq = grams.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__id")).orderBy(col("__df"), col("__g"))
+    // localCheckpoint: prefix feeds BOTH sides of the candidate
+    // self-join — as a plain plan the df agg + rank window would run
+    // twice (the self-join/recompute class).
+    val prefix = grams.join(dfreq, Seq("__g"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= col("__sz") - ceil(col("__sz") * threshold) + 1)
+      .select(col("__id"), col("__sz"), col("__g"))
+      .localCheckpoint(eager = false)
+    val candidates = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.__g") === col("b.__g") && col("a.__id") < col("b.__id") &&
+          least(col("a.__sz"), col("b.__sz")).cast("double") >=
+            greatest(col("a.__sz"), col("b.__sz")) * threshold)
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    candidates
+      .join(sh.select(col("__id").as("id_a"), col("__sh").as("__sha")), Seq("id_a"))
+      .join(sh.select(col("__id").as("id_b"), col("__sh").as("__shb")), Seq("id_b"))
+      .withColumn("jaccard", jaccard(col("__sha"), col("__shb")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** INCREMENTAL near-dup: new batch vs existing corpus — the
     * daily-ingest shape. [[nearDupText]] answers "which pairs inside
     * THIS corpus are near-dups"; continuous ingest needs "which of

@@ -1262,4 +1262,34 @@ object ExtQueries {
       |  FROM s a JOIN s b ON a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0)
       |SELECT new_id, corpus_id, jaccard FROM p WHERE jaccard >= 0.7
       |ORDER BY new_id, corpus_id""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q59_jaccard_join — EXACT n-gram Jaccard similarity join at
+  // threshold 0.5 (Dedup.jaccardJoinExact): prefix filtering under a
+  // rarest-first gram order, then exact verification. Unlike
+  // q18/q58, equality with the all-pairs oracle here is a THEOREM
+  // (the prefix-filter completeness proof in the scaladoc), and 0.5
+  // is deliberately BELOW what minhash banding can prune — the
+  // threshold regime where the exact join is the only complete
+  // sub-quadratic option.
+  // ----------------------------------------------------------------
+  def q59JaccardJoin(spark: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardJoinExact(Tables.documents(spark, dir), threshold = 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+
+  val q59JaccardJoinSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id,
+      |         list_distinct(list_transform(range(1, len(toks) - 1),
+      |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      |  FROM d WHERE len(toks) >= 3),
+      |p AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |         len(list_intersect(a.sh, b.sh)) * 1.0 / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+      |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+      |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin
 }

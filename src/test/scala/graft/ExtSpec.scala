@@ -231,6 +231,26 @@ class ExtSpec extends AnyFunSuite {
     assert(viaLsh == exact, s"missed=${exact -- viaLsh} extra=${viaLsh -- exact}")
   }
 
+  test("jaccardJoinExact equals all-pairs exactly at thresholds LSH banding cannot prune") {
+    val docs = Tables.documents(spark, sf)
+    val sh = docs.select($"doc_id", Dedup.shingles($"text").as("sh"))
+      .filter(size($"sh") > 0)
+    for (t <- Seq(0.3, 0.5, 0.7)) {
+      val got = Dedup.jaccardJoinExact(docs, threshold = t)
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      val exact = sh.select($"doc_id".as("id_a"), $"sh".as("sa"))
+        .crossJoin(sh.select($"doc_id".as("id_b"), $"sh".as("sb")))
+        .filter($"id_a" < $"id_b")
+        .withColumn("j", Dedup.jaccard($"sa", $"sb"))
+        .filter($"j" >= t)
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      // prefix filtering is complete (the scaladoc proof), so unlike
+      // the banded paths this must be EQUAL at every threshold, not
+      // just on planted high-similarity pairs
+      assert(got == exact, s"t=$t missed=${exact -- got} extra=${got -- exact}")
+    }
+  }
+
   // --- text analysis -------------------------------------------------------
 
   test("token counts, ratios and quality score on a known string") {
