@@ -252,6 +252,24 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Sized gram rows: (__id, __sz, __g) — one row per (doc, distinct
+    * gram), carrying the doc's gram-set size. The shared input of
+    * both exact-join variants. */
+  private def sizedGramRows(docs: DataFrame, shingleN: Int,
+                            textCol: String, idCol: String): DataFrame =
+    shingleFrame(docs, shingleN, textCol, idCol)
+      .select(col("__id"), size(col("__sh")).as("__sz"), explode(col("__sh")).as("__g"))
+
+  /** Count-based Jaccard from pair intersection counts: rows are
+    * (id_a, id_b, __sza, __szb, __inter); J = ∩ / (|A|+|B|−∩) —
+    * a ratio of integers, exact in double, no array ops anywhere. */
+  private def jaccardFromCounts(pairs: DataFrame, threshold: Double): DataFrame =
+    pairs
+      .withColumn("jaccard", col("__inter").cast("double") /
+        (col("__sza") + col("__szb") - col("__inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+
   /** EXACT n-gram Jaccard similarity join: every pair with
     * J(A, B) ≥ threshold — no probabilistic step, unlike
     * [[nearDupText]], whose banding misses a qualifying pair with
@@ -261,40 +279,69 @@ object Dedup {
     * or when the answer must be provably complete (dedup audits,
     * gate oracles).
     *
-    * Sub-quadratic shape: PREFIX FILTERING (the AllPairs/PPJoin
-    * family). Under one global total order on grams, sort each
-    * document's gram set and index only its first
-    * p(x) = |x| - ⌈t·|x|⌉ + 1 grams. Any qualifying pair shares a
-    * gram in BOTH prefixes: let g be the order-smallest common gram;
-    * the grams of x strictly before g are all non-shared, and there
-    * are at most |x| - |A∩B| ≤ |x| - ⌈t·|x|⌉ of them (J ≥ t forces
-    * |A∩B| ≥ t·max(|A|,|B|) ≥ t·|x|), so g sits within the first
-    * p(x) grams of each side. Hence the prefix-gram equi-join loses
-    * nothing, and exact verification on the candidates returns the
-    * complete answer.
+    * Shape: an inverted-index PAIR COUNT. Explode distinct grams,
+    * self-join on the gram (size filter min ≥ t·max inline — a
+    * necessary condition, since |A∩B| ≤ min and |A∪B| ≥ max), and
+    * hash-aggregate the matches per pair: the count IS |A∩B|, and
+    * J = ∩ / (|A|+|B|−∩) exactly. No shingle array ever crosses a
+    * join and no array intersection is ever computed — the first cut
+    * verified candidates with `array_intersect` over ~50-string
+    * arrays and spent 17 of its 21 s there.
     *
-    * The global order is rarest-first (df asc, gram asc): prefixes
-    * then hold each document's LEAST common grams, so candidate
-    * buckets are small by construction and corpus-wide stop-grams
-    * never enter the join — the skew story at 100 TB. A size filter
-    * (min ≥ t·max, necessary since |A∩B| ≤ min and |A∪B| ≥ max)
-    * prunes candidates before the verify join touches shingle sets.
-    *
-    * Cost: df agg + one doc-keyed rank window + candidate equi-join
-    * on rare grams + exact verify on candidates. The shingle frame is
-    * `localCheckpoint(eager = false)`ed (it feeds df, prefix, and
-    * both verify sides); blocks are freed when the result becomes
-    * unreachable.
+    * Cost: Σ_g df(g)² pair events. Fine whenever no gram is shared
+    * by a large fraction of the corpus (this corpus: max df 25 on
+    * 5 k docs → 1.3 M events); real web text has STOP-GRAMS whose
+    * df² explodes — that regime is [[jaccardJoinPrefix]], which
+    * bounds candidate generation to each doc's rarest grams. At
+    * 100 TB also hash grams to longs first (xxhash64) — same plan,
+    * 8-byte keys — accepting a 2⁻⁶⁴-per-gram-pair collision risk;
+    * the string-keyed form here keeps the oracle-equality exact.
     *
     * Output: (id_a, id_b, jaccard), id_a < id_b. */
   def jaccardJoinExact(docs: DataFrame, threshold: Double = 0.5,
                        shingleN: Int = 3,
                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1], got $threshold")
-    val sh = shingleFrame(docs, shingleN, textCol, idCol)
-      .withColumn("__sz", size(col("__sh")))
-      .localCheckpoint(eager = false)
-    val grams = sh.select(col("__id"), col("__sz"), explode(col("__sh")).as("__g"))
+    val grams = sizedGramRows(docs, shingleN, textCol, idCol)
+      .localCheckpoint(eager = false) // feeds both sides of the self-join
+    val pairs = grams.as("a")
+      .join(grams.as("b"),
+        col("a.__g") === col("b.__g") && col("a.__id") < col("b.__id") &&
+          least(col("a.__sz"), col("b.__sz")).cast("double") >=
+            greatest(col("a.__sz"), col("b.__sz")) * threshold)
+      .groupBy(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        col("a.__sz").as("__sza"), col("b.__sz").as("__szb"))
+      .agg(count(lit(1)).as("__inter"))
+    jaccardFromCounts(pairs, threshold)
+  }
+
+  /** [[jaccardJoinExact]] for STOP-GRAM corpora: same exact answer,
+    * but candidate generation touches only each document's rarest
+    * grams — PREFIX FILTERING (the AllPairs/PPJoin family).
+    *
+    * Under one global total order on grams, sort each document's
+    * gram set and index only its first p(x) = |x| - ⌈t·|x|⌉ + 1
+    * grams. Any qualifying pair shares a gram in BOTH prefixes: let
+    * g be the order-smallest common gram; the grams of x strictly
+    * before g are all non-shared, and there are at most
+    * |x| - |A∩B| ≤ |x| - ⌈t·|x|⌉ of them (J ≥ t forces
+    * |A∩B| ≥ t·max(|A|,|B|) ≥ t·|x|), so g sits within the first
+    * p(x) grams of each side — the prefix equi-join loses nothing.
+    * The global order is rarest-first (df asc, gram asc), so
+    * prefixes hold each document's LEAST common grams and corpus-
+    * wide stop-grams never generate candidates — Σ df² over prefix
+    * grams stays bounded where [[jaccardJoinExact]]'s full-gram form
+    * explodes. Verification then counts the full intersection for
+    * candidate pairs only (two joins over gram rows — still no
+    * array ops).
+    *
+    * Output: (id_a, id_b, jaccard), id_a < id_b. */
+  def jaccardJoinPrefix(docs: DataFrame, threshold: Double = 0.5,
+                        shingleN: Int = 3,
+                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1], got $threshold")
+    val grams = sizedGramRows(docs, shingleN, textCol, idCol)
+      .localCheckpoint(eager = false) // feeds df, prefix, and both verify joins
     val dfreq = grams.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__id")).orderBy(col("__df"), col("__g"))
@@ -311,14 +358,15 @@ object Dedup {
         col("a.__g") === col("b.__g") && col("a.__id") < col("b.__id") &&
           least(col("a.__sz"), col("b.__sz")).cast("double") >=
             greatest(col("a.__sz"), col("b.__sz")) * threshold)
-      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        col("a.__sz").as("__sza"), col("b.__sz").as("__szb"))
       .dropDuplicates("id_a", "id_b")
-    candidates
-      .join(sh.select(col("__id").as("id_a"), col("__sh").as("__sha")), Seq("id_a"))
-      .join(sh.select(col("__id").as("id_b"), col("__sh").as("__shb")), Seq("id_b"))
-      .withColumn("jaccard", jaccard(col("__sha"), col("__shb")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    val pairs = candidates
+      .join(grams.select(col("__id").as("id_a"), col("__g")), Seq("id_a"))
+      .join(grams.select(col("__id").as("id_b"), col("__g")), Seq("id_b", "__g"))
+      .groupBy(col("id_a"), col("id_b"), col("__sza"), col("__szb"))
+      .agg(count(lit(1)).as("__inter"))
+    jaccardFromCounts(pairs, threshold)
   }
 
   /** INCREMENTAL near-dup: new batch vs existing corpus — the

@@ -84,6 +84,33 @@ object ExtQueries {
           TextAnalysis.tokenCount(col("text")).cast("long").as("tokens"))
     }
 
+  /** Unit-normalized embeddings — the vector space PQ trains,
+    * encodes and searches in (cosine is scale-invariant, so exact
+    * baselines over the raw vectors rank identically). */
+  private def normEmb(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:norm_emb") {
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), graft.ext.Embeddings.unitNorm(col("embedding")).as("embedding"))
+    }
+
+  /** Trained PQ codebooks (m=16 subspaces × k=16 codewords) over the
+    * normalized embeddings — memoized like ivfCentroids: Lloyd's
+    * runs once per (session, dir), not once per consumer. */
+  private[queries] def pqCodebooks(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:pq_codebooks") {
+      graft.ext.Pq.train(normEmb(spark, dir), m = 16, k = 16, iters = 3)
+    }
+
+  /** PQ-coded corpus (vec_id, codes: array<int>) — the compressed
+    * table the ADC scan reads. */
+  private[queries] def pqCodes(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:pq_codes") {
+      graft.ext.Pq.encode(normEmb(spark, dir), pqCodebooks(spark, dir), m = 16)
+    }
+
   /** Shared simhash fingerprint pass over `documents` (q26 + q30). */
   private def simhashFp(spark: SparkSession, dir: String): DataFrame =
     ResultCache.shared.getOrCompute(
@@ -563,6 +590,42 @@ object ExtQueries {
   val q33IvfRecallSql: String =
     """SELECT CAST(vec_id AS BIGINT) AS query_id,
       |  CAST(0.5 AS DOUBLE) AS recall_floor, TRUE AS pass
+      |FROM embeddings WHERE vec_id < 10
+      |ORDER BY query_id""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q60_pq_recall — product-quantization ANN (ADC shortlist + exact
+  // re-rank) vs the exact result, completing the ANN family gates
+  // (q16 sign-LSH, q33 IVF). Self-checking like q33: k-means
+  // codebooks are not SQL-expressible, but "recall@10 ≥ 0.6 for
+  // every query" is a constant expectation the oracle states. The
+  // floor is deliberately below the measured recall (m=16, k=16,
+  // shortlist=100: min 0.90 / mean 0.98 at sf0.01, the gate SF) so
+  // codeword-boundary float jitter can't flip the gate. Shortlist
+  // should scale with corpus size for a fixed recall target (100 is
+  // 20% of sf0.01's corpus); the scale posture is in Pq's scaladoc.
+  // ----------------------------------------------------------------
+  def q60PqRecall(spark: SparkSession, dir: String): DataFrame = {
+    val norm = normEmb(spark, dir)
+    val queries = norm.filter(col("vec_id") < 10)
+    val k = 10
+    val floor = 0.6
+    val approx = graft.ext.Pq.search(
+        pqCodes(spark, dir), pqCodebooks(spark, dir), norm, queries, k, shortlist = 100)
+      .select(col("query_id"), col("neighbor_id")).withColumn("__hit", lit(1))
+    val exact = exactTop10(spark, dir).select(col("query_id"), col("neighbor_id"))
+    exact.join(broadcast(approx), Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("__hit"), lit(0))).as("hits"))
+      .select(col("query_id").cast("long").as("query_id"),
+        lit(floor).as("recall_floor"),
+        (col("hits").cast("double") / lit(k.toDouble) >= lit(floor)).as("pass"))
+      .orderBy(col("query_id"))
+  }
+
+  val q60PqRecallSql: String =
+    """SELECT CAST(vec_id AS BIGINT) AS query_id,
+      |  CAST(0.6 AS DOUBLE) AS recall_floor, TRUE AS pass
       |FROM embeddings WHERE vec_id < 10
       |ORDER BY query_id""".stripMargin
 
@@ -1265,13 +1328,14 @@ object ExtQueries {
 
   // ----------------------------------------------------------------
   // q59_jaccard_join — EXACT n-gram Jaccard similarity join at
-  // threshold 0.5 (Dedup.jaccardJoinExact): prefix filtering under a
-  // rarest-first gram order, then exact verification. Unlike
-  // q18/q58, equality with the all-pairs oracle here is a THEOREM
-  // (the prefix-filter completeness proof in the scaladoc), and 0.5
-  // is deliberately BELOW what minhash banding can prune — the
-  // threshold regime where the exact join is the only complete
-  // sub-quadratic option.
+  // threshold 0.5 (Dedup.jaccardJoinExact): inverted-index pair
+  // count — |A∩B| is a hash-aggregate over the gram self-join, J a
+  // ratio of integers; no array ops, no probabilistic step. Unlike
+  // q18/q58, equality with the all-pairs oracle here is a THEOREM,
+  // and 0.5 is deliberately BELOW what minhash banding can prune —
+  // the threshold regime where the exact join is the only complete
+  // sub-quadratic option (jaccardJoinPrefix covers the stop-gram
+  // regime; spec-checked equal).
   // ----------------------------------------------------------------
   def q59JaccardJoin(spark: SparkSession, dir: String): DataFrame =
     Dedup.jaccardJoinExact(Tables.documents(spark, dir), threshold = 0.5)

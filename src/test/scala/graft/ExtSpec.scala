@@ -231,24 +231,61 @@ class ExtSpec extends AnyFunSuite {
     assert(viaLsh == exact, s"missed=${exact -- viaLsh} extra=${viaLsh -- exact}")
   }
 
-  test("jaccardJoinExact equals all-pairs exactly at thresholds LSH banding cannot prune") {
+  test("jaccardJoinExact and jaccardJoinPrefix equal all-pairs at thresholds LSH cannot prune") {
     val docs = Tables.documents(spark, sf)
     val sh = docs.select($"doc_id", Dedup.shingles($"text").as("sh"))
       .filter(size($"sh") > 0)
     for (t <- Seq(0.3, 0.5, 0.7)) {
-      val got = Dedup.jaccardJoinExact(docs, threshold = t)
-        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
       val exact = sh.select($"doc_id".as("id_a"), $"sh".as("sa"))
         .crossJoin(sh.select($"doc_id".as("id_b"), $"sh".as("sb")))
         .filter($"id_a" < $"id_b")
         .withColumn("j", Dedup.jaccard($"sa", $"sb"))
         .filter($"j" >= t)
-        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
-      // prefix filtering is complete (the scaladoc proof), so unlike
-      // the banded paths this must be EQUAL at every threshold, not
-      // just on planted high-similarity pairs
-      assert(got == exact, s"t=$t missed=${exact -- got} extra=${got -- exact}")
+        .select($"id_a", $"id_b", $"j").as[(Long, Long, Double)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      // both exact variants must EQUAL all-pairs at every threshold —
+      // pair values included (integer-ratio jaccard is bit-portable)
+      for ((name, join) <- Seq(
+          "pairCount" -> Dedup.jaccardJoinExact(docs, threshold = t),
+          "prefix" -> Dedup.jaccardJoinPrefix(docs, threshold = t))) {
+        val got = join.select($"id_a", $"id_b", $"jaccard")
+          .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+        assert(got.keySet == exact.keySet,
+          s"$name t=$t missed=${exact.keySet -- got.keySet} extra=${got.keySet -- exact.keySet}")
+        assert(got.forall { case (k, v) => v == exact(k) }, s"$name t=$t value drift")
+      }
     }
+  }
+
+  test("PQ: codes are total and bounded; ADC+rerank recall@10 >= 0.8 on sf0.001") {
+    import graft.ext.{Embeddings, Pq}
+    val m = 16; val k = 16
+    val norm = Tables.embeddings(spark, sf)
+      .select($"vec_id", Embeddings.unitNorm($"embedding").as("embedding"))
+    val books = Pq.train(norm, m = m, k = k, iters = 3)
+    // every subspace kept a usable codebook (empty-cluster shrinkage
+    // may drop codewords but never a whole subspace)
+    val perSub = books.groupBy($"sub_id").count().as[(Int, Long)].collect().toMap
+    assert(perSub.keySet == (0 until m).toSet && perSub.values.forall(c => c >= 2 && c <= k))
+
+    val codes = Pq.encode(norm, books, m)
+    assert(codes.count() == norm.count(), "every vector must be encoded")
+    assert(codes.filter(size($"codes") =!= m).isEmpty, s"codes must have $m entries")
+
+    val queries = norm.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(norm, queries, k = 10)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val approx = Pq.search(codes, books, norm, queries, k = 10, shortlist = 100)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (q, ex) =>
+      q -> ex.intersect(approx.getOrElse(q, Set.empty)).size.toDouble / ex.size
+    }
+    // the q60 gate floor is 0.6; assert the stronger 0.8 here so the
+    // driver gate keeps a 0.2 margin against codeword-boundary jitter
+    assert(recalls.values.forall(_ >= 0.8),
+      s"PQ recall@10 below 0.8: ${recalls.toSeq.sortBy(_._1)}")
   }
 
   // --- text analysis -------------------------------------------------------
