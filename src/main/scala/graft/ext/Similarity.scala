@@ -192,6 +192,43 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("sim"))
   }
 
+  /** SemDeDup-style SEMANTIC deduplication: drop all but one
+    * representative of every group of embedding-near-duplicate
+    * documents (cosine ≥ threshold, chained transitively — A~B, B~C
+    * dedups all three even when cos(A, C) < t, the same chain
+    * argument as [[Dedup.connectedComponents]]'s scaladoc).
+    *
+    * Composition: per-IVF-list candidate pairs ([[nearDupPairsIvf]] —
+    * exact-verified, so precision 1) → connected components → keep
+    * the min-id member per component; vectors in no component are
+    * their own representative. Because the IVF pair set is a SUBSET
+    * of the exact ≥ t pair set, IVF components REFINE exact
+    * components, and anything this drops the exact dedup drops too
+    * (its component min is a genuine ≥ t-chain neighbor with a
+    * smaller id) — false drops are impossible by construction; the
+    * (k, nProbe) dial trades only recall of drops. Driver-gated by
+    * q62 (no_false_drops theorem + recall floor vs the exact
+    * components).
+    *
+    * Scale: candidate volume ~N²·nProbe²/k within lists (the q45
+    * analysis), components O(log diameter) rounds over a pair list
+    * that is near-dup-sized, not corpus-sized.
+    *
+    * Output: (idCol, component, kept) — total over the corpus. */
+  def semanticDedup(corpus: DataFrame, centroids: DataFrame, threshold: Double,
+                    nProbe: Int = 4,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val pairs = nearDupPairsIvf(corpus, centroids, threshold, nProbe, idCol, vecCol)
+      .select(col("id_a"), col("id_b"))
+    val comps = Dedup.connectedComponents(pairs)
+      .withColumnRenamed("id", idCol)
+    corpus.select(col(idCol))
+      .join(comps, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("comp"), col(idCol)).as("component"),
+        (col("comp").isNull || col("comp") === col(idCol)).as("kept"))
+  }
+
   def nearDupPairs(embeddings: DataFrame, threshold: Double, allPairs: Boolean = false,
                    numBands: Int = DefaultBands, planesPerBand: Int = DefaultPlanesPerBand,
                    dim: Int = 64, seed: Long = 42L,

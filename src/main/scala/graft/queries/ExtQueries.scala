@@ -1341,6 +1341,126 @@ object ExtQueries {
     Dedup.jaccardJoinExact(Tables.documents(spark, dir), threshold = 0.5)
       .orderBy(col("id_a"), col("id_b"))
 
+  // ----------------------------------------------------------------
+  // q61_grouped_hll — PER-GROUP mergeable-sketch distinct counting:
+  // q42 proves the global union-merge algebra; this is the shape a
+  // 100 TB pipeline actually runs (distinct users per event type,
+  // distinct docs per source, …) — one hash aggregate whose state is
+  // a fixed-size sketch per group, where count_distinct's state is
+  // the value set itself. Self-checking per group: estimate within
+  // 5% of the exact count (deterministic on fixed data; lgK=12 on
+  // these cardinalities is comfortably inside that bound).
+  // ----------------------------------------------------------------
+  def q61GroupedHll(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count_distinct(col("user_id")).as("n_exact"),
+        hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12))).as("__est"))
+      .select(col("event_type"), col("n_exact"),
+        (abs(col("__est") - col("n_exact")).cast("double") /
+          col("n_exact").cast("double") <= lit(0.05)).as("within_5pct"))
+      .orderBy(col("event_type"))
+
+  val q61GroupedHllSql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS n_exact, TRUE AS within_5pct
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q62_semantic_dedup — SemDeDup-style semantic dedup
+  // (Similarity.semanticDedup): IVF-candidate pairs → connected
+  // components → keep min id per component. Split gate like q45:
+  //   - no_false_drops is a THEOREM: IVF pairs ⊆ exact pairs, so IVF
+  //     components refine exact components and every IVF-dropped doc
+  //     is exact-dropped too (a false here is a code bug);
+  //   - drop recall ≥ 0.8 is the (k, nProbe) dial (pair recall
+  //     measured 0.95-1.0, q45).
+  // n_docs and n_dropped_exact are oracle-expressible (all-pairs
+  // cosine edges + the q44 recursive-CTE components).
+  // ----------------------------------------------------------------
+  def q62SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val floor = 0.8
+    val ivfDrop = graft.ext.Similarity
+      .semanticDedup(emb, ivfCentroids(spark, dir), threshold = 0.4, nProbe = 4)
+      .filter(!col("kept")).select(col("vec_id")).withColumn("__i", lit(1))
+    val exactDrop = Dedup.connectedComponents(
+        embedPairs04(spark, dir).select(col("id_a"), col("id_b")))
+      .filter(col("comp") =!= col("id"))
+      .select(col("id").as("vec_id")).withColumn("__e", lit(1))
+    val agreement = exactDrop.join(ivfDrop, Seq("vec_id"), "full_outer")
+      .agg(
+        sum(coalesce(col("__e"), lit(0))).as("__n_exact"),
+        sum(when(col("__e").isNull, 1).otherwise(0)).as("__false"),
+        sum(when(col("__e").isNotNull && col("__i").isNotNull, 1).otherwise(0)).as("__hits"))
+    emb.agg(count(lit(1)).as("n_docs")).crossJoin(agreement)
+      .select(col("n_docs"),
+        col("__n_exact").cast("long").as("n_dropped_exact"),
+        (col("__false") === 0).as("no_false_drops"),
+        (col("__hits").cast("double") / col("__n_exact").cast("double") >= lit(floor))
+          .as("recall_pass"))
+  }
+
+  val q62SemanticDedupSql: String =
+    """WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      |p AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |  WHERE list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4),
+      |ed AS (SELECT id_a AS src, id_b AS dst FROM p
+      |       UNION ALL SELECT id_b, id_a FROM p),
+      |n AS (SELECT DISTINCT src AS id FROM ed),
+      |reach(src, dst) AS (
+      |  SELECT id, id FROM n
+      |  UNION
+      |  SELECT r.src, ed.dst FROM reach r JOIN ed ON ed.src = r.dst),
+      |comp AS (SELECT src AS id, min(dst) AS comp FROM reach GROUP BY src)
+      |SELECT (SELECT count(*) FROM embeddings) AS n_docs,
+      |  (SELECT count(*) FROM comp WHERE comp <> id) AS n_dropped_exact,
+      |  TRUE AS no_false_drops, TRUE AS recall_pass""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q63_session_window — Spark's BUILT-IN session_window aggregation
+  // over event time, same 30-minute gap as q55's hand-rolled
+  // lag/running-sum sessionization. Boundary semantics differ by
+  // design: session_window merges on diff < gap (strict — a pair
+  // exactly 30:00 apart splits), the window form on diff <= gap; the
+  // oracle states the strict form. Per-user session numbering is a
+  // rank over session start.
+  // ----------------------------------------------------------------
+  def q63SessionWindow(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("start_us"))
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("__sw"))
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_micros(col("ts"))).as("start_us"),
+        max(unix_micros(col("ts"))).as("end_us"))
+      .select(col("user_id"), col("n_events"), col("start_us"), col("end_us"))
+      .withColumn("session_id", row_number().over(w).cast("long"))
+      .select(col("user_id"), col("session_id"), col("n_events"), col("start_us"), col("end_us"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  val q63SessionWindowSql: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+      |f AS (
+      |  SELECT user_id, ts_us,
+      |    CASE WHEN lag(ts_us) OVER w IS NULL
+      |              OR ts_us - lag(ts_us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS nw
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      |s AS (
+      |  SELECT user_id, ts_us,
+      |    SUM(nw) OVER (PARTITION BY user_id ORDER BY ts_us
+      |                  ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM f)
+      |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+      |  COUNT(*) AS n_events, MIN(ts_us) AS start_us, MAX(ts_us) AS end_us
+      |FROM s
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
   val q59JaccardJoinSql: String =
     """WITH d AS (
       |  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks

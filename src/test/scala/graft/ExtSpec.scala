@@ -288,6 +288,29 @@ class ExtSpec extends AnyFunSuite {
       s"PQ recall@10 below 0.8: ${recalls.toSeq.sortBy(_._1)}")
   }
 
+  test("semanticDedup: total, keeps component minima, never false-drops, recall >= 0.8") {
+    val emb = Tables.embeddings(spark, sf)
+    val centroids = ext.Ivf.train(emb, k = 16, iters = 3)
+    val dedup = ext.Similarity.semanticDedup(emb, centroids, threshold = 0.4, nProbe = 4)
+    assert(dedup.count() == emb.count(), "every vector must get a verdict")
+    // each component keeps exactly its min id; singletons keep themselves
+    val bad = dedup.groupBy($"component")
+      .agg(min($"vec_id").as("mn"), sum(when($"kept", 1).otherwise(0)).as("nk"),
+        min(when($"kept", $"vec_id")).as("keptId"))
+      .filter($"nk" =!= 1 || $"keptId" =!= $"mn" || $"mn" =!= $"component")
+    assert(bad.isEmpty, s"bad components: ${bad.collect().mkString(",")}")
+
+    val ivfDropped = dedup.filter(!$"kept").select($"vec_id").as[Long].collect().toSet
+    val exactDropped = Dedup.connectedComponents(
+        ext.Similarity.nearDupPairs(emb, threshold = 0.4).select($"id_a", $"id_b"))
+      .filter($"comp" =!= $"id").select($"id").as[Long].collect().toSet
+    // theorem: IVF components refine exact components → no false drops
+    assert((ivfDropped -- exactDropped).isEmpty,
+      s"false drops: ${ivfDropped -- exactDropped}")
+    val recall = ivfDropped.size.toDouble / exactDropped.size
+    assert(recall >= 0.8, s"drop recall $recall (${ivfDropped.size}/${exactDropped.size})")
+  }
+
   // --- text analysis -------------------------------------------------------
 
   test("token counts, ratios and quality score on a known string") {
