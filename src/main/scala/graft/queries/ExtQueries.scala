@@ -1461,6 +1461,57 @@ object ExtQueries {
       |GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
 
+  // ----------------------------------------------------------------
+  // q64_heavy_hitters — Misra-Gries frequent-tokens sketch
+  // (FreqSketchAggregator, k=64 counters): the frequencies member of
+  // the mergeable-sketch family. The exact top-tokens agg (q37)
+  // shuffles one row per distinct token — dictionary-sized at 100 TB
+  // — where the sketch exchange carries ≤ partitions·k counters.
+  // The sketch's surviving set varies with Spark's merge order, so
+  // the gate asserts only the THEOREMS (constants, any order):
+  //   - every token with cnt·(k+1) > N survives in the sketch;
+  //   - for every survivor, est ≤ cnt and (cnt−est)·(k+1) ≤ N.
+  // All-integer cross-multiplies; n_tokens/n_heavy are
+  // oracle-expressible exact aggregates.
+  // ----------------------------------------------------------------
+  def q64HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    val k = 64
+    val toks = Tables.documents(spark, dir)
+      .select(explode(split(Dedup.normalized(col("text")), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .localCheckpoint(eager = false) // feeds sketch, exact counts, and N
+    val mg = udaf(new graft.functions.FreqSketchAggregator(k), ExpressionEncoder[String]())
+    val skItems = toks.agg(mg(col("tok")).as("__sk"))
+      .select(explode(col("__sk")).as(Seq("tok", "est")))
+      .localCheckpoint(eager = false) // feeds the bound check and the anti-join
+    val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(eager = false) // feeds heavy set and the bound check
+    val n = toks.agg(count(lit(1)).as("n_tokens"))
+    val heavy = exact.crossJoin(n).filter(col("cnt") * (k + 1) > col("n_tokens"))
+    val missing = heavy.join(skItems.select(col("tok")), Seq("tok"), "left_anti")
+      .agg(count(lit(1)).as("__n_missing"))
+    val bounds = skItems.join(exact, Seq("tok")).crossJoin(n)
+      .agg(bool_and(col("est") <= col("cnt") &&
+        (col("cnt") - col("est")) * (k + 1) <= col("n_tokens")).as("__bounds_ok"))
+    n.crossJoin(heavy.agg(count(lit(1)).as("n_heavy")))
+      .crossJoin(missing).crossJoin(bounds)
+      .select(col("n_tokens"), col("n_heavy"),
+        (col("__n_missing") === 0).as("all_heavy_found"),
+        col("__bounds_ok").as("bounds_ok"))
+  }
+
+  val q64HeavyHittersSql: String =
+    """WITH t AS (
+      |  SELECT unnest(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS tok
+      |  FROM documents),
+      |tt AS (SELECT tok FROM t WHERE len(tok) > 0),
+      |c AS (SELECT tok, count(*) AS cnt FROM tt GROUP BY tok),
+      |n AS (SELECT count(*) AS n_tokens FROM tt)
+      |SELECT (SELECT n_tokens FROM n) AS n_tokens,
+      |  (SELECT count(*) FROM c, n WHERE cnt * 65 > n_tokens) AS n_heavy,
+      |  TRUE AS all_heavy_found, TRUE AS bounds_ok""".stripMargin
+
   val q59JaccardJoinSql: String =
     """WITH d AS (
       |  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks

@@ -122,6 +122,33 @@ class CacheSpec extends AnyFunSuite {
     assert(top.length == 3) // pairs (0,1) (0,2) (1,2)
   }
 
+  test("FreqSketchAggregator: Misra-Gries theorems hold on adversarial streams and merges") {
+    import graft.functions.FreqSketchAggregator
+    val k = 3
+    val agg = new FreqSketchAggregator(k)
+    // stream engineered so decrements fire: 4 distinct fillers + heavy 'a'
+    val stream = Seq.fill(10)("a") ++ Seq("b", "c", "d", "e", "b", "c", "d", "e") ++ Seq.fill(5)("a")
+    val n = stream.length
+    val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+
+    def check(sketch: Map[String, Long]): Unit = {
+      assert(sketch.size <= k)
+      sketch.foreach { case (t, est) =>
+        assert(est <= exact(t), s"$t overcounted: $est > ${exact(t)}")
+        assert((exact(t) - est) * (k + 1) <= n, s"$t error too large")
+      }
+      exact.foreach { case (t, c) =>
+        if (c * (k + 1) > n) assert(sketch.contains(t), s"heavy hitter $t lost")
+      }
+    }
+    check(stream.foldLeft(agg.zero)(agg.reduce))
+    // every split point: merge of two partial sketches keeps the theorems
+    for (cut <- 1 until n) {
+      val (l, r) = stream.splitAt(cut)
+      check(agg.merge(l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce)))
+    }
+  }
+
   test("TopKAggregator fast path (full buffer, non-beating input) matches the naive top-k") {
     val agg = new TopKAggregator(3)
     val inputs = Seq(

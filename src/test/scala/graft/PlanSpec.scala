@@ -39,6 +39,36 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("runtime bloom filter prunes the probe side of a selective shuffled join") {
+    // The bloom-pruned join at 100 TB: a selective dim filter builds a
+    // bloom filter that is pushed into the fact-side scan, so rows
+    // that cannot join never enter the exchange. Spark's
+    // InjectRuntimeFilter does this when enabled — the capability is
+    // configuration + plan shape, not custom code; this test pins the
+    // recipe (thresholds included, since the defaults assume TB-scale
+    // scans) and that our session/plan shapes are eligible.
+    import org.apache.spark.sql.functions.col
+    val restore = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold"
+    ).map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the shuffle-join regime
+      val li = Tables.lineitem(spark, sf)
+      val part = Tables.part(spark, sf).filter(col("p_size") <= 2)
+      val joined = li.join(part, col("l_partkey") === col("p_partkey"))
+      val p = joined.queryExecution.optimizedPlan.toString
+      assert(p.contains("bloom_filter_agg") || p.contains("might_contain"),
+        s"no runtime bloom filter injected:\n$p")
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("equality predicates reach the parquet scan (q40 pushdown)") {
     val p = plan("q40_semi")
     assert(p.contains("EqualTo(event_type,purchase)"), s"filter not pushed:\n$p")
