@@ -233,10 +233,28 @@ object Dedup {
     minhashSignatures(sh, numBands * r)
       .select(col("__id"), explode(bandBuckets(numBands, r)(s => col(s"__m$s"))).as("__b"))
 
+  /** The shareable shingle pass: (__id, __sh) with one row per doc
+    * that has ≥ 1 shingle. EVERY shingle-consuming operator has a
+    * `...FromShingles` variant taking this frame, so a session that
+    * runs several of them (near-dup, exact Jaccard join, incremental
+    * near-dup, contamination) tokenizes and shingles the corpus ONCE
+    * — cache it (S8) or persist it; at 100 TB this frame is the
+    * artifact you materialize next to the corpus, not recompute per
+    * job. The same cross-consumer argument as [[shinglesFromToks]],
+    * one level up. */
+  def shingled(docs: DataFrame, shingleN: Int = 3,
+               textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    shingleFrame(docs, shingleN, textCol, idCol)
+
   def nearDupText(docs: DataFrame, threshold: Double = 0.7,
                   shingleN: Int = 3, numBands: Int = 16, r: Int = 4,
-                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val sh = shingleFrame(docs, shingleN, textCol, idCol)
+                  textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    nearDupTextFromShingles(shingleFrame(docs, shingleN, textCol, idCol),
+      threshold, numBands, r)
+
+  /** [[nearDupText]] over a pre-shingled frame (see [[shingled]]). */
+  def nearDupTextFromShingles(sh: DataFrame, threshold: Double = 0.7,
+                              numBands: Int = 16, r: Int = 4): DataFrame = {
     val banded = bandedFrame(sh, numBands, r)
     val candidates = banded.as("a")
       .join(banded.as("b"),
@@ -300,9 +318,14 @@ object Dedup {
     * Output: (id_a, id_b, jaccard), id_a < id_b. */
   def jaccardJoinExact(docs: DataFrame, threshold: Double = 0.5,
                        shingleN: Int = 3,
-                       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+                       textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    jaccardJoinExactFromShingles(shingleFrame(docs, shingleN, textCol, idCol), threshold)
+
+  /** [[jaccardJoinExact]] over a pre-shingled frame (see [[shingled]]). */
+  def jaccardJoinExactFromShingles(sh: DataFrame, threshold: Double = 0.5): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1], got $threshold")
-    val grams = sizedGramRows(docs, shingleN, textCol, idCol)
+    val grams = sh
+      .select(col("__id"), size(col("__sh")).as("__sz"), explode(col("__sh")).as("__g"))
       .localCheckpoint(eager = false) // feeds both sides of the self-join
     val pairs = grams.as("a")
       .join(grams.as("b"),
@@ -403,14 +426,22 @@ object Dedup {
     *     this in a loop should not retain old results. */
   def nearDupTextAgainst(newDocs: DataFrame, corpus: DataFrame, threshold: Double = 0.7,
                          shingleN: Int = 3, numBands: Int = 16, r: Int = 4,
-                         textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+                         textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    nearDupTextAgainstFromShingles(
+      shingleFrame(newDocs, shingleN, textCol, idCol),
+      shingleFrame(corpus, shingleN, textCol, idCol),
+      threshold, numBands, r)
+
+  /** [[nearDupTextAgainst]] over pre-shingled frames (see
+    * [[shingled]]) — e.g. two filters of ONE cached corpus pass. */
+  def nearDupTextAgainstFromShingles(newShingles: DataFrame, corpusShingles: DataFrame,
+                                     threshold: Double = 0.7,
+                                     numBands: Int = 16, r: Int = 4): DataFrame = {
     // Each shingle frame feeds its banded frame AND the verification
     // join — materialize once (the self-join/recompute class) instead
     // of re-running tokenize+shingle per consumer.
-    val newSh = shingleFrame(newDocs, shingleN, textCol, idCol)
-      .localCheckpoint(eager = false)
-    val corpusSh = shingleFrame(corpus, shingleN, textCol, idCol)
-      .localCheckpoint(eager = false)
+    val newSh = newShingles.localCheckpoint(eager = false)
+    val corpusSh = corpusShingles.localCheckpoint(eager = false)
     val candidates = bandedFrame(newSh, numBands, r).as("a")
       .join(bandedFrame(corpusSh, numBands, r).as("b"), col("a.__b") === col("b.__b"))
       .select(col("a.__id").as("new_id"), col("b.__id").as("corpus_id"))
@@ -439,8 +470,20 @@ object Dedup {
     * Output: (doc_id, n_shared, contaminated) — n_shared = how many
     * of the eval doc's distinct grams occur in the corpus. */
   def contaminationReport(evalDocs: DataFrame, corpus: DataFrame, shingleN: Int = 3,
-                          textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val evalGrams = shingleFrame(evalDocs, shingleN, textCol, idCol)
+                          textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    contaminationReportFromShingles(
+      evalDocs.select(col(idCol)),
+      shingleFrame(evalDocs, shingleN, textCol, idCol),
+      shingleFrame(corpus, shingleN, textCol, idCol), idCol)
+
+  /** [[contaminationReport]] over pre-shingled frames (see
+    * [[shingled]]). `evalIds` must hold EVERY eval doc id — shingle
+    * frames drop sub-`shingleN`-token docs, and those must still
+    * report 0 (the left-outer contract). */
+  def contaminationReportFromShingles(evalIds: DataFrame, evalShingles: DataFrame,
+                                      corpusShingles: DataFrame,
+                                      idCol: String = "doc_id"): DataFrame = {
+    val evalGrams = evalShingles
       .select(col("__id"), explode(col("__sh")).as("__gram"))
     // distinct BEFORE the join: partial aggregation collapses repeated
     // grams within each scan partition before the exchange, so the
@@ -450,12 +493,12 @@ object Dedup {
     // intent (existence, never multiplication); eval gram rows are
     // already distinct per doc (shinglesFromToks), so the per-doc
     // count is exactly "distinct grams shared with the corpus".
-    val corpusGrams = shingleFrame(corpus, shingleN, textCol, idCol)
+    val corpusGrams = corpusShingles
       .select(explode(col("__sh")).as("__gram")).distinct()
     val hits = evalGrams
       .join(corpusGrams, Seq("__gram"), "left_semi")
       .groupBy(col("__id")).agg(count(lit(1)).as("__n"))
-    evalDocs.select(col(idCol))
+    evalIds
       .join(hits.withColumnRenamed("__id", idCol), Seq(idCol), "left_outer")
       .select(col(idCol),
         coalesce(col("__n"), lit(0L)).as("n_shared"),
