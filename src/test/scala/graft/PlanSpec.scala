@@ -37,6 +37,10 @@ class PlanSpec extends AnyFunSuite {
       assert(p.contains("BroadcastNestedLoopJoin"),
         s"$name's quadratic check side is no longer broadcast-bounded:\n$p")
     }
+    // q60's ADC scan is corpus × (10 broadcast query maps) by design —
+    // the compressed-scan shape, not an accident; same intent pin.
+    assert(plan("q60_pq_recall").contains("BroadcastNestedLoopJoin"),
+      "q60's ADC crossJoin is no longer broadcast-bounded")
   }
 
   test("runtime bloom filter prunes the probe side of a selective shuffled join") {

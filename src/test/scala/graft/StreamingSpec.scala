@@ -60,6 +60,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(h1 == ((90.0, 90.0, 3L)))
   }
 
+  test("streaming session_window finalizes watermark-passed sessions; stream == batch") {
+    // The q63 surface under a stream: session_window + watermark in
+    // Append mode emits a (user, session) row exactly when the
+    // watermark passes session end + gap — the unbounded-stream form
+    // of gap sessionization. Finalized sessions must equal the batch
+    // session_window aggregation over the same rows.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val sessions = input.toDF().toDF("user_id", "ts")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("start"), col("n_events"))
+    val name = s"sw_sessions_${System.nanoTime()}"
+    val q = sessions.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName(name).start()
+
+    val early = Seq(
+      (1L, ts("2024-01-01 01:00:00")), (1L, ts("2024-01-01 01:10:00")),
+      (2L, ts("2024-01-01 01:05:00")))
+    val laterUser1 = (1L, ts("2024-01-01 03:00:00"))
+    val farFuture = (2L, ts("2024-01-01 09:00:00"))
+    input.addData(early: _*)
+    q.processAllAvailable()
+    input.addData(laterUser1) // watermark → 02:50: the 01:xx sessions close
+    q.processAllAvailable()
+    input.addData(farFuture) // watermark → 08:50: user 1's 03:00 session closes
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table(name)
+      .as[(Long, Timestamp, Long)].collect().toSet
+    // batch reference over the SAME rows; the final un-closed session
+    // (user 2 at 09:00 — the watermark never passed it) is the one
+    // row Append mode must still be holding back
+    val all = (early :+ laterUser1 :+ farFuture).toDF("user_id", "ts")
+    val batch = all
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("start"), col("n_events"))
+      .as[(Long, Timestamp, Long)].collect().toSet
+    val unclosed = (2L, ts("2024-01-01 09:00:00"), 1L)
+    assert(batch.contains(unclosed))
+    assert(streamed == batch - unclosed,
+      s"streamed=$streamed\nbatch=$batch")
+  }
+
   test("streaming exact dedup drops repeated content within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, String)]
