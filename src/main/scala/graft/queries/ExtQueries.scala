@@ -1542,6 +1542,82 @@ object ExtQueries {
       |  (SELECT count(*) FROM c, n WHERE cnt * 65 > n_tokens) AS n_heavy,
       |  TRUE AS all_heavy_found, TRUE AS bounds_ok""".stripMargin
 
+  // ----------------------------------------------------------------
+  // q65_gap_fill — linear interpolation over a dense per-user hourly
+  // grid (TimeSeries.gapFillHourly): the series-repair step the
+  // reference's sparkline consumers do by hand. Interpolation is
+  // per-row double arithmetic mirrored expression-for-expression in
+  // the oracle (the q24 portability argument); the gate emits
+  // floor(x·10⁶) BIGINT because round(x, 6) disagrees across
+  // engines in the last ulp on identical inputs (measured), while
+  // floor of bit-identical doubles cannot. The time fraction
+  // compares equal because (a·10⁶)/(b·10⁶) and a/b round to the
+  // same correctly-rounded quotient.
+  // ----------------------------------------------------------------
+  def q65GapFill(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.TimeSeries.gapFillHourly(
+        Tables.events(spark, dir), keyCol = "user_id", tsCol = "ts", valCol = "value")
+      .select(col("user_id"), col("hour"),
+        floor(col("value_filled") * lit(1e6)).cast("long").as("value_e6"),
+        col("was_gap"))
+      .orderBy(col("user_id"), col("hour"))
+
+  val q65GapFillSql: String =
+    """WITH h AS (
+      |  SELECT user_id, date_trunc('hour', ts) AS hour, arg_max(value, ts) AS close
+      |  FROM events GROUP BY 1, 2),
+      |span AS (SELECT user_id, min(hour) AS h0, max(hour) AS h1 FROM h GROUP BY 1),
+      |grid AS (SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM span),
+      |j AS (SELECT grid.user_id, grid.hour, h.close
+      |      FROM grid LEFT JOIN h ON grid.user_id = h.user_id AND grid.hour = h.hour),
+      |f AS (
+      |  SELECT user_id, hour, close,
+      |    last_value(close IGNORE NULLS) OVER wp AS pv,
+      |    last_value(CASE WHEN close IS NOT NULL THEN hour END IGNORE NULLS) OVER wp AS ph,
+      |    first_value(close IGNORE NULLS) OVER wn AS nv,
+      |    first_value(CASE WHEN close IS NOT NULL THEN hour END IGNORE NULLS) OVER wn AS nh
+      |  FROM j
+      |  WINDOW wp AS (PARTITION BY user_id ORDER BY hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |         wn AS (PARTITION BY user_id ORDER BY hour ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |SELECT user_id, hour,
+      |  CAST(floor((CASE WHEN close IS NOT NULL THEN close
+      |        ELSE pv + (nv - pv) * (CAST(epoch_us(hour) - epoch_us(ph) AS DOUBLE)
+      |                               / CAST(epoch_us(nh) - epoch_us(ph) AS DOUBLE)) END) * 1e6) AS BIGINT) AS value_e6,
+      |  close IS NULL AS was_gap
+      |FROM f ORDER BY user_id, hour""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q66_rolling_avg — trailing 24 h rolling average over the hourly
+  // close series (TimeSeries.rollingAvg24h), RANGE frame on epoch
+  // seconds. The frame sum is 1e-6 fixed point: double window sums
+  // are engine-dependent in the last ulp (Spark accumulates in frame
+  // order, DuckDB uses a segment tree), integer sums are exact in
+  // any association — the q54 argument applied to window frames.
+  // The gate emits the exact integers (sum_e6, avg_e6 = sum div n);
+  // the oracle CASTs its HUGEINT window sum to BIGINT (the proven
+  // r4 trap). Positive sums make int-div == floor-div.
+  // ----------------------------------------------------------------
+  def q66RollingAvg(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.TimeSeries.rollingAvg24h(
+        Tables.events(spark, dir), keyCol = "user_id", tsCol = "ts", valCol = "value")
+      .select(col("user_id"), col("hour"), col("sum_e6"),
+        expr("sum_e6 div n_24h").as("avg_e6"), col("n_24h"))
+      .orderBy(col("user_id"), col("hour"))
+
+  val q66RollingAvgSql: String =
+    """WITH h AS (
+      |  SELECT user_id, date_trunc('hour', ts) AS hour, arg_max(value, ts) AS close
+      |  FROM events GROUP BY 1, 2),
+      |e AS (SELECT user_id, hour, epoch_us(hour) // 1000000 AS es,
+      |             CAST(floor(close * 1e6) AS BIGINT) AS e6 FROM h)
+      |SELECT user_id, hour,
+      |  CAST(sum(e6) OVER w AS BIGINT) AS sum_e6,
+      |  CAST(sum(e6) OVER w AS BIGINT) // count(*) OVER w AS avg_e6,
+      |  count(*) OVER w AS n_24h
+      |FROM e
+      |WINDOW w AS (PARTITION BY user_id ORDER BY es RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, hour""".stripMargin
+
   val q59JaccardJoinSql: String =
     """WITH d AS (
       |  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks

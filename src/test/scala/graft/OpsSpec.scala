@@ -83,6 +83,43 @@ class OpsSpec extends AnyFunSuite {
       col("v"), col("id")).count() == 0)
   }
 
+  test("gapFillHourly interpolates planted gaps linearly; observed hours pass through") {
+    import graft.ops.TimeSeries
+    // user 1: hours 00,01,02,03,04 with 02 and 03 missing between
+    // knowns 10.0 (01:00) and 40.0 (04:00) -> interp 20.0, 30.0
+    val ev = Seq(
+      (1L, ts("2024-03-01 00:30:00"), 5.0),
+      (1L, ts("2024-03-01 01:15:00"), 10.0),
+      (1L, ts("2024-03-01 01:45:00"), 10.0), // later event same hour wins (equal here)
+      (1L, ts("2024-03-01 04:10:00"), 40.0),
+      (2L, ts("2024-03-01 06:00:00"), 7.0) // single point: 1-row grid, no gap
+    ).toDF("user_id", "ts", "value")
+    val got = TimeSeries.gapFillHourly(ev, "user_id", "ts", "value")
+      .orderBy($"user_id", $"hour")
+      .select($"user_id", $"value_filled", $"was_gap")
+      .as[(Long, Double, Boolean)].collect().toSeq
+    assert(got == Seq(
+      (1L, 5.0, false), (1L, 10.0, false), (1L, 20.0, true), (1L, 30.0, true),
+      (1L, 40.0, false), (2L, 7.0, false)))
+  }
+
+  test("rollingAvg24h frame holds exactly the trailing-24h hourly closes") {
+    import graft.ops.TimeSeries
+    // hours 0..30 for one user, value = hour index; at hour h the frame
+    // is hours max(0, h-24)..h  ->  sum of an integer ramp
+    val rows = (0 to 30).map { h =>
+      (9L, new java.sql.Timestamp(ts("2024-03-01 00:00:00").getTime + h * 3600L * 1000), h.toDouble)
+    }
+    val got = TimeSeries.rollingAvg24h(rows.toDF("user_id", "ts", "value"),
+        "user_id", "ts", "value")
+      .orderBy($"hour").select($"sum_e6", $"n_24h").as[(Long, Long)].collect()
+    (0 to 30).foreach { h =>
+      val lo = math.max(0, h - 24)
+      val expSum = (lo to h).map(_.toLong * 1000000L).sum
+      assert(got(h) == ((expSum, (h - lo + 1).toLong)), s"hour $h")
+    }
+  }
+
   test("sessionize on real events equals a sequential reference implementation") {
     val gap = 30L * 60 * 1000000
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
