@@ -53,18 +53,26 @@ object TimeSeries {
       .agg(min(col("hour")).as("__h0"), max(col("hour")).as("__h1"))
       .select(col(keyCol),
         explode(sequence(col("__h0"), col("__h1"), expr("INTERVAL 1 HOUR"))).as("hour"))
+    // Both neighbor lookups run as UNBOUNDED-PRECEDING frames —
+    // `last(ignoreNulls)` over a growing frame is O(1) per row. The
+    // "next observed" side uses a DESCENDING sort with the same
+    // growing frame instead of the natural current-row→unbounded-
+    // FOLLOWING frame, because Spark's unbounded-following
+    // WindowFunctionFrame re-aggregates the remainder of the
+    // partition for every row — O(rows²) per entity; measured 47 s
+    // vs 1.5 s at sf0.1 on ~700-hour grids.
     val wPrev = Window.partitionBy(col(keyCol)).orderBy(col("hour"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wNext = Window.partitionBy(col(keyCol)).orderBy(col("hour"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wNextRev = Window.partitionBy(col(keyCol)).orderBy(col("hour").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val obsHour = when(col("close").isNotNull, col("hour"))
     val frac = (unix_timestamp(col("hour")) - unix_timestamp(col("__ph"))).cast("double") /
       (unix_timestamp(col("__nh")) - unix_timestamp(col("__ph"))).cast("double")
     grid.join(hourly, Seq(keyCol, "hour"), "left_outer")
       .withColumn("__pv", last(col("close"), ignoreNulls = true).over(wPrev))
       .withColumn("__ph", last(obsHour, ignoreNulls = true).over(wPrev))
-      .withColumn("__nv", first(col("close"), ignoreNulls = true).over(wNext))
-      .withColumn("__nh", first(obsHour, ignoreNulls = true).over(wNext))
+      .withColumn("__nv", last(col("close"), ignoreNulls = true).over(wNextRev))
+      .withColumn("__nh", last(obsHour, ignoreNulls = true).over(wNextRev))
       .select(col(keyCol), col("hour"),
         when(col("close").isNotNull, col("close"))
           .otherwise(col("__pv") + (col("__nv") - col("__pv")) * frac)
