@@ -1,0 +1,146 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Market analytics over per-entity trade/price streams — the
+  * derived metrics the reference's dashboard consumers compute by
+  * hand from its raw price table (`apps/streamlit-dashboard` charts
+  * raw closes; any real market tracker layers VWAP, drawdown,
+  * volatility bands and cross-asset correlation on top).
+  *
+  * Portability posture (the q54/q66 argument): every aggregate the
+  * gates compare is an INTEGER in fixed point — double sums are
+  * engine-dependent in the last ulp (Spark accumulates in frame
+  * order, DuckDB merges segment-tree partials), while integer sums
+  * are exact under any association. Ratios the gates compare are
+  * integer `div` on positive operands (== floor division in both
+  * engines); doubles appear only in per-row scalar arithmetic
+  * mirrored expression-for-expression in the oracle, built from
+  * exact integer inputs with correctly-rounded IEEE ops (+,−,×,÷,
+  * sqrt) — bit-identical across engines.
+  *
+  * Scale posture: every operator here is one hash aggregate and/or
+  * one entity-keyed sort exchange feeding O(1)-per-row window
+  * frames (growing or bounded RANGE) — the q55 sessionization
+  * shape. Nothing is quadratic in rows; [[pairwiseCorr]] is
+  * quadratic only in the WATCHLIST size (an explicit, small,
+  * caller-bounded entity set — the reference tracks 10 coins,
+  * `src/config.yaml`), never in the corpus.
+  */
+object MarketStats {
+
+  /** Hourly volume-weighted average price per entity.
+    *
+    * pv_e6 = Σ floor(price·10⁶)·qty and vol = Σ qty are exact
+    * integer sums; vwap_e6 = pv_e6 div vol (qty ≥ 0, price > 0, so
+    * truncating and flooring division agree). One hash aggregate —
+    * map-side partial combine does the heavy lifting at 100 TB; no
+    * window, no join. Rows with vol = 0 in the hour yield a NULL
+    * vwap rather than a division error. */
+  def vwapHourly(trades: DataFrame, keyCol: String, tsCol: String,
+                 priceCol: String, qtyCol: String): DataFrame =
+    trades
+      .groupBy(col(keyCol), date_trunc("hour", col(tsCol)).as("hour"))
+      .agg(
+        sum(floor(col(priceCol) * lit(1e6)).cast("long") * col(qtyCol).cast("long"))
+          .as("pv_e6"),
+        sum(col(qtyCol).cast("long")).as("vol"),
+        count(lit(1)).as("n_trades"))
+      .withColumn("vwap_e6",
+        when(col("vol") > 0, expr("pv_e6 div vol")).otherwise(lit(null).cast("long")))
+
+  /** Running peak and drawdown-from-peak per entity over an hourly
+    * close series (as produced by [[TimeSeries.hourlyClose]]).
+    *
+    * peak_e6 is a `max` over a growing frame — O(1) per row; never
+    * the O(rows²) unbounded-following shape (the q65 lesson).
+    * dd_bps = (peak−close)·10⁴ div peak is basis points of drawdown
+    * as an exact integer (peak ≥ close and peak > 0 whenever prices
+    * are positive, which the caller guarantees). One sort exchange
+    * per entity. */
+  def drawdownFromHourly(hourly: DataFrame, keyCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hourly
+      .withColumn("close_e6", floor(col("close") * lit(1e6)).cast("long"))
+      .withColumn("peak_e6", max(col("close_e6")).over(w))
+      .select(col(keyCol), col("hour"), col("close_e6"), col("peak_e6"),
+        expr("(peak_e6 - close_e6) * 10000 div peak_e6").as("dd_bps"))
+  }
+
+  /** Trailing-24 h Bollinger-style anomaly flags per entity over an
+    * hourly close series: flag hours whose close deviates from the
+    * trailing-window mean by more than two standard deviations.
+    *
+    * The test |x − μ| > 2σ is evaluated ENTIRELY in integers by
+    * clearing denominators: with n rows, s = Σxᵢ, q = Σxᵢ² over the
+    * frame (x in 10⁻³ fixed point),
+    *
+    *   |x − s/n| > 2·sqrt((n·q − s²)/n²)  ⟺  (n·x − s)² > 4·(n·q − s²)
+    *
+    * — no float ever enters the comparison, so the flag is
+    * bit-portable. Magnitudes are bounded by the frame, not the
+    * corpus: n ≤ 25 (one row per entity-hour, 24 h RANGE frame), so
+    * with x ≤ 5·10⁸ every cross-product stays far below 2⁶³.
+    * Frames with n < minN never flag (σ of a near-empty window is
+    * noise). One entity-keyed sort exchange, O(1)-per-row bounded
+    * RANGE frame. */
+  def rollingAnomaly(hourly: DataFrame, keyCol: String, minN: Int = 8): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("__es")).rangeBetween(-86400L, 0L)
+    hourly
+      .withColumn("__es", unix_timestamp(col("hour")))
+      .withColumn("close_e3", floor(col("close") * lit(1e3)).cast("long"))
+      .withColumn("n_24h", count(lit(1)).over(w))
+      .withColumn("sum_e3", sum(col("close_e3")).over(w))
+      .withColumn("sumsq_e3", sum(col("close_e3") * col("close_e3")).over(w))
+      .select(col(keyCol), col("hour"), col("close_e3"),
+        col("n_24h"), col("sum_e3"), col("sumsq_e3"),
+        (col("n_24h") >= minN &&
+          pow2(col("n_24h") * col("close_e3") - col("sum_e3")) >
+            lit(4) * (col("n_24h") * col("sumsq_e3") - col("sum_e3") * col("sum_e3")))
+          .as("is_anomaly"))
+  }
+
+  private def pow2(c: Column): Column = c * c
+
+  /** Pairwise Pearson correlation of hourly closes across a small
+    * watchlist of entities, from exact integer co-moments.
+    *
+    * The hourly series self-joins on the hour (key_a < key_b), and
+    * the per-pair aggregates n, Σx, Σy, Σxy, Σx², Σy² are exact
+    * integer sums over 10⁻³ fixed-point closes. The correlation
+    *
+    *   r = (n·Σxy − Σx·Σy) / (√(n·Σx² − (Σx)²) · √(n·Σy² − (Σy)²))
+    *
+    * is then per-row scalar arithmetic on exact integers — each
+    * IEEE op correctly rounded, so bit-identical across engines
+    * (the q24 argument); zero-variance pairs yield NULL. The join
+    * build side is the watchlist's own series — tiny by contract —
+    * so Catalyst broadcasts it; pair count is quadratic in the
+    * WATCHLIST (bounded, like the reference's 10-coin config), not
+    * the corpus, and the co-moment agg is one hash aggregate. */
+  def pairwiseCorr(hourly: DataFrame, keyCol: String): DataFrame = {
+    val e3 = floor(col("close") * lit(1e3)).cast("long")
+    val h = hourly.select(col(keyCol).as("__k"), col("hour"), e3.as("__x"))
+    val a = h.select(col("__k").as("key_a"), col("hour"), col("__x").as("__xa"))
+    val b = h.select(col("__k").as("key_b"), col("hour"), col("__x").as("__xb"))
+    val joined = a.join(b, Seq("hour")).filter(col("key_a") < col("key_b"))
+    val stats = joined.groupBy(col("key_a"), col("key_b")).agg(
+      count(lit(1)).as("n"),
+      sum(col("__xa")).as("sx"), sum(col("__xb")).as("sy"),
+      sum(col("__xa") * col("__xb")).as("sxy"),
+      sum(col("__xa") * col("__xa")).as("sxx"),
+      sum(col("__xb") * col("__xb")).as("syy"))
+    val vx = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val vy = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    stats.select(col("key_a"), col("key_b"),
+      col("n"), col("sx"), col("sy"), col("sxy"), col("sxx"), col("syy"),
+      when(vx > 0 && vy > 0,
+        floor(num / (sqrt(vx) * sqrt(vy)) * lit(1e6)).cast("long"))
+        .otherwise(lit(null).cast("long")).as("corr_e6"))
+  }
+}

@@ -47,8 +47,14 @@ object TimeSeries {
     * 32.557812 on identical inputs) while `floor` of bit-identical
     * doubles cannot. */
   def gapFillHourly(events: DataFrame, keyCol: String, tsCol: String,
-                    valCol: String): DataFrame = {
-    val hourly = hourlyClose(events, keyCol, tsCol, valCol)
+                    valCol: String): DataFrame =
+    gapFillFromHourly(hourlyClose(events, keyCol, tsCol, valCol), keyCol)
+
+  /** [[gapFillHourly]] over a precomputed (key, hour, close) frame —
+    * the `FromShingles` convention: callers holding a shared cached
+    * hourly pass (one aggregate feeding the whole time-series
+    * family) skip re-aggregating the raw events. */
+  def gapFillFromHourly(hourly: DataFrame, keyCol: String): DataFrame = {
     val grid = hourly.groupBy(col(keyCol))
       .agg(min(col("hour")).as("__h0"), max(col("hour")).as("__h1"))
       .select(col(keyCol),
@@ -92,8 +98,13 @@ object TimeSeries {
     * windows. Output carries the exact integers (sum_e6, n_24h) and
     * a convenience double average; gates compare the integers. */
   def rollingAvg24h(events: DataFrame, keyCol: String, tsCol: String,
-                    valCol: String): DataFrame = {
-    val hourly = hourlyClose(events, keyCol, tsCol, valCol)
+                    valCol: String): DataFrame =
+    rollingAvg24hFromHourly(hourlyClose(events, keyCol, tsCol, valCol), keyCol)
+
+  /** [[rollingAvg24h]] over a precomputed (key, hour, close) frame —
+    * same shared-pass convention as [[gapFillFromHourly]]. */
+  def rollingAvg24hFromHourly(hourlyIn: DataFrame, keyCol: String): DataFrame = {
+    val hourly = hourlyIn
       .withColumn("__es", unix_timestamp(col("hour")))
       .withColumn("__e6", floor(col("close") * lit(1e6)).cast("long"))
     val w = Window.partitionBy(col(keyCol)).orderBy(col("__es"))

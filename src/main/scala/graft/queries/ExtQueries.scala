@@ -87,6 +87,18 @@ object ExtQueries {
     * q51's packing each tokenize the full corpus; round-4 bench paid
     * the normalize+split regex pass twice). Text is dropped before
     * caching — the cached frame is 5 narrow columns, not the corpus. */
+  /** Shared hourly close series over `events` (one `max_by` hash
+    * aggregate — TimeSeries.hourlyClose) feeding the whole
+    * time-series family: q65 gap fill, q66 rolling average, q68
+    * drawdown, q69 anomaly bands, q70 correlation. Before sharing,
+    * each consumer re-aggregated the raw events table. */
+  private def hourlyCloseCached(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:hourly_close") {
+      graft.ops.TimeSeries.hourlyClose(
+        Tables.events(spark, dir), keyCol = "user_id", tsCol = "ts", valCol = "value")
+    }
+
   private def docTokens(spark: SparkSession, dir: String): DataFrame =
     ResultCache.shared.getOrCompute(
       s"${ResultCache.sessionKey(spark)}:$dir:doc_tokens") {
@@ -1555,8 +1567,8 @@ object ExtQueries {
   // same correctly-rounded quotient.
   // ----------------------------------------------------------------
   def q65GapFill(spark: SparkSession, dir: String): DataFrame =
-    graft.ops.TimeSeries.gapFillHourly(
-        Tables.events(spark, dir), keyCol = "user_id", tsCol = "ts", valCol = "value")
+    graft.ops.TimeSeries.gapFillFromHourly(
+        hourlyCloseCached(spark, dir), keyCol = "user_id")
       .select(col("user_id"), col("hour"),
         floor(col("value_filled") * lit(1e6)).cast("long").as("value_e6"),
         col("was_gap"))
@@ -1598,8 +1610,8 @@ object ExtQueries {
   // r4 trap). Positive sums make int-div == floor-div.
   // ----------------------------------------------------------------
   def q66RollingAvg(spark: SparkSession, dir: String): DataFrame =
-    graft.ops.TimeSeries.rollingAvg24h(
-        Tables.events(spark, dir), keyCol = "user_id", tsCol = "ts", valCol = "value")
+    graft.ops.TimeSeries.rollingAvg24hFromHourly(
+        hourlyCloseCached(spark, dir), keyCol = "user_id")
       .select(col("user_id"), col("hour"), col("sum_e6"),
         expr("sum_e6 div n_24h").as("avg_e6"), col("n_24h"))
       .orderBy(col("user_id"), col("hour"))
@@ -1617,6 +1629,143 @@ object ExtQueries {
       |FROM e
       |WINDOW w AS (PARTITION BY user_id ORDER BY es RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)
       |ORDER BY user_id, hour""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q67_vwap — hourly volume-weighted average price per entity
+  // (MarketStats.vwapHourly), the first derived market metric every
+  // tracker layers on raw trades. Quantity comes from the event's
+  // JSON payload (the reference's payload-reshape posture, q14).
+  // pv_e6/vol are exact integer sums (map-side combinable — ONE
+  // hash aggregate, no window, no join, the friendliest possible
+  // 100 TB shape); vwap_e6 = pv_e6 div vol on positive operands so
+  // truncating (Spark `div`) and flooring (DuckDB `//`) division
+  // agree. Oracle CASTs its HUGEINT sums to BIGINT (the r4 trap).
+  // ----------------------------------------------------------------
+  def q67Vwap(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.MarketStats.vwapHourly(
+        Tables.events(spark, dir)
+          .withColumn("qty", get_json_object(col("props"), "$.k").cast("long")),
+        keyCol = "user_id", tsCol = "ts", priceCol = "value", qtyCol = "qty")
+      .orderBy(col("user_id"), col("hour"))
+
+  val q67VwapSql: String =
+    """WITH t AS (
+      |  SELECT user_id, date_trunc('hour', ts) AS hour,
+      |         CAST(floor(value * 1e6) AS BIGINT) AS p_e6,
+      |         CAST(json_extract_string(props, '$.k') AS BIGINT) AS qty
+      |  FROM events),
+      |g AS (
+      |  SELECT user_id, hour,
+      |         CAST(sum(p_e6 * qty) AS BIGINT) AS pv_e6,
+      |         CAST(sum(qty) AS BIGINT) AS vol,
+      |         count(*) AS n_trades
+      |  FROM t GROUP BY 1, 2)
+      |SELECT user_id, hour, pv_e6, vol, n_trades,
+      |  CASE WHEN vol > 0 THEN pv_e6 // vol END AS vwap_e6
+      |FROM g ORDER BY user_id, hour""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q68_drawdown — running peak and drawdown-from-peak per entity
+  // over the shared hourly close series (MarketStats
+  // .drawdownFromHourly). The peak is a growing-frame max — O(1)
+  // per row, never the O(rows²) unbounded-following shape (the q65
+  // lesson); dd_bps is an exact integer (peak ≥ close, peak > 0
+  // since prices are positive). MAX over a window doesn't promote
+  // to HUGEINT (only SUM does), so the oracle needs no casts there.
+  // ----------------------------------------------------------------
+  def q68Drawdown(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.MarketStats.drawdownFromHourly(
+        hourlyCloseCached(spark, dir), keyCol = "user_id")
+      .orderBy(col("user_id"), col("hour"))
+
+  val q68DrawdownSql: String =
+    """WITH h AS (
+      |  SELECT user_id, date_trunc('hour', ts) AS hour, arg_max(value, ts) AS close
+      |  FROM events GROUP BY 1, 2),
+      |e AS (SELECT user_id, hour, CAST(floor(close * 1e6) AS BIGINT) AS close_e6 FROM h),
+      |p AS (
+      |  SELECT user_id, hour, close_e6,
+      |    max(close_e6) OVER (PARTITION BY user_id ORDER BY hour
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak_e6
+      |  FROM e)
+      |SELECT user_id, hour, close_e6, peak_e6,
+      |  (peak_e6 - close_e6) * 10000 // peak_e6 AS dd_bps
+      |FROM p ORDER BY user_id, hour""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q69_anomaly — trailing-24 h Bollinger-style two-sigma flags per
+  // entity (MarketStats.rollingAnomaly). The |x−μ| > 2σ test is
+  // evaluated entirely in integers by clearing denominators:
+  // (n·x − s)² > 4·(n·q − s²) — no float ever enters the
+  // comparison, so the boolean is bit-portable (the q64 integer
+  // cross-multiply posture applied to variance). Frame sums are
+  // 10⁻³ fixed point; magnitudes are bounded by the ≤25-row frame,
+  // not the corpus. Oracle CASTs its window SUMs to BIGINT.
+  // ----------------------------------------------------------------
+  def q69Anomaly(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.MarketStats.rollingAnomaly(
+        hourlyCloseCached(spark, dir), keyCol = "user_id")
+      .orderBy(col("user_id"), col("hour"))
+
+  val q69AnomalySql: String =
+    """WITH h AS (
+      |  SELECT user_id, date_trunc('hour', ts) AS hour, arg_max(value, ts) AS close
+      |  FROM events GROUP BY 1, 2),
+      |e AS (SELECT user_id, hour, epoch_us(hour) // 1000000 AS es,
+      |             CAST(floor(close * 1e3) AS BIGINT) AS x FROM h),
+      |w AS (
+      |  SELECT user_id, hour, x AS close_e3,
+      |    count(*) OVER win AS n_24h,
+      |    CAST(sum(x) OVER win AS BIGINT) AS sum_e3,
+      |    CAST(sum(x * x) OVER win AS BIGINT) AS sumsq_e3
+      |  FROM e
+      |  WINDOW win AS (PARTITION BY user_id ORDER BY es
+      |    RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW))
+      |SELECT user_id, hour, close_e3, n_24h, sum_e3, sumsq_e3,
+      |  n_24h >= 8 AND
+      |    (n_24h * close_e3 - sum_e3) * (n_24h * close_e3 - sum_e3)
+      |      > 4 * (n_24h * sumsq_e3 - sum_e3 * sum_e3) AS is_anomaly
+      |FROM w ORDER BY user_id, hour""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q70_corr — pairwise Pearson correlation of hourly closes across
+  // a 10-entity watchlist (MarketStats.pairwiseCorr), from exact
+  // integer co-moments (n, Σx, Σy, Σxy, Σx², Σy² over 10⁻³ fixed
+  // point). The correlation itself is per-row scalar double
+  // arithmetic on those exact integers, mirrored expression-for-
+  // expression — every IEEE op correctly rounded, so bit-identical
+  // (the q24/q65 argument). Pair count is quadratic in the
+  // WATCHLIST (the reference tracks 10 coins, src/config.yaml:4),
+  // never in the corpus; the self-join side is tiny → broadcast.
+  // ----------------------------------------------------------------
+  def q70Corr(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.MarketStats.pairwiseCorr(
+        hourlyCloseCached(spark, dir).filter(col("user_id") < 10),
+        keyCol = "user_id")
+      .orderBy(col("key_a"), col("key_b"))
+
+  val q70CorrSql: String =
+    """WITH h AS (
+      |  SELECT user_id, date_trunc('hour', ts) AS hour, arg_max(value, ts) AS close
+      |  FROM events WHERE user_id < 10 GROUP BY 1, 2),
+      |e AS (SELECT user_id, hour, CAST(floor(close * 1e3) AS BIGINT) AS x FROM h),
+      |p AS (
+      |  SELECT a.user_id AS key_a, b.user_id AS key_b, a.x AS xa, b.x AS xb
+      |  FROM e a JOIN e b ON a.hour = b.hour AND a.user_id < b.user_id),
+      |s AS (
+      |  SELECT key_a, key_b, count(*) AS n,
+      |    CAST(sum(xa) AS BIGINT) AS sx, CAST(sum(xb) AS BIGINT) AS sy,
+      |    CAST(sum(xa * xb) AS BIGINT) AS sxy,
+      |    CAST(sum(xa * xa) AS BIGINT) AS sxx,
+      |    CAST(sum(xb * xb) AS BIGINT) AS syy
+      |  FROM p GROUP BY 1, 2)
+      |SELECT key_a, key_b, n, sx, sy, sxy, sxx, syy,
+      |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+      |    CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+      |      / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+      |      * 1e6) AS BIGINT)
+      |  END AS corr_e6
+      |FROM s ORDER BY key_a, key_b""".stripMargin
 
   val q59JaccardJoinSql: String =
     """WITH d AS (
