@@ -370,4 +370,78 @@ object TextAnalysis {
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
+
+  /** Exploded multiset token stream (idCol, tok) over normalized
+    * whitespace tokens — the shared front end of the corpus-level
+    * statistics below. One map-only explode; empty tokens dropped. */
+  def tokenStream(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+        explode(split(Dedup.normalized(col(textCol)), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+
+  /** Per-document document-frequency profile — a rare-token quality
+    * signal: documents dominated by tokens no other document uses
+    * (OCR noise, mojibake, boilerplate IDs) profile as hapax-heavy.
+    * For each document's DISTINCT tokens: n_distinct, sum_df (sum of
+    * each token's corpus document frequency), hapax_cnt (tokens with
+    * df = 1 — this document is their only home), and the flag
+    * hapax_cnt·4 > n_distinct (> 25 % hapax) as an integer
+    * cross-multiply — every gated value an exact integer.
+    *
+    * Shape: explode → distinct → df hash-agg → tok equi-join back →
+    * per-doc hash-agg. The tok join is vocabulary-keyed and
+    * stopword-skewed at 100 TB — exactly the AQE-skew-join /
+    * salting case ([[graft.ops.Scale]]'s recipe); df itself is
+    * map-side combinable. Nothing is quadratic. */
+  def docFrequencyProfile(docs: DataFrame, idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    val d = tokenStream(docs, idCol, textCol).distinct()
+    val df = d.groupBy(col("tok")).agg(count(lit(1)).as("__df"))
+    d.join(df, Seq("tok"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_distinct"),
+        sum(col("__df")).as("sum_df"),
+        sum(when(col("__df") === 1, 1L).otherwise(0L)).as("hapax_cnt"))
+      .withColumn("low_quality", col("hapax_cnt") * 4 > col("n_distinct"))
+  }
+
+  /** Total-variation distance between the unigram distributions of
+    * two corpus sides (mixture-drift monitoring: did the token
+    * distribution of shard A drift from shard B / yesterday's
+    * snapshot?). With per-token counts aᵢ, bᵢ and totals Nₐ, N_b,
+    *
+    *   TV = ½ Σᵢ |aᵢ/Nₐ − bᵢ/N_b| = Σᵢ |aᵢ·N_b − bᵢ·Nₐ| / (2·Nₐ·N_b)
+    *
+    * — clearing denominators keeps the summand an exact integer, so
+    * tv_num is bit-portable (the q69 posture). The convenience
+    * tv_e9 divides the exact integers in double, mirrored
+    * expression-for-expression. Integer ceiling: aᵢ·N_b ≤ Nₐ·N_b
+    * must stay below 2⁶³ — fine to ~3·10⁹ tokens per side; past
+    * that, production would sum the normalized |p−q| in DECIMAL(38)
+    * or double (documented, like MergeWriter's ceiling).
+    *
+    * Shape: one conditional-sum hash-agg per token (map-side
+    * combinable), a broadcast of the 1-row totals, one final agg —
+    * no join on data keys at all. */
+  def unigramTvDrift(docs: DataFrame, side: Column,
+                     textCol: String = "text"): DataFrame = {
+    val t = docs.select(side.cast("boolean").as("__a"),
+        explode(split(Dedup.normalized(col(textCol)), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val counts = t.groupBy(col("tok")).agg(
+      sum(when(col("__a"), 1L).otherwise(0L)).as("cnt_a"),
+      sum(when(!col("__a"), 1L).otherwise(0L)).as("cnt_b"))
+    val tot = counts.agg(sum(col("cnt_a")).as("n_a"), sum(col("cnt_b")).as("n_b"))
+    counts.crossJoin(broadcast(tot))
+      .agg(
+        max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        count(lit(1)).as("n_vocab"),
+        sum(abs(col("cnt_a") * col("n_b") - col("cnt_b") * col("n_a"))).as("tv_num"))
+      .select(col("n_a"), col("n_b"), col("n_vocab"), col("tv_num"),
+        floor(col("tv_num").cast("double") /
+            (lit(2.0) * col("n_a").cast("double") * col("n_b").cast("double")) * lit(1e9))
+          .cast("long").as("tv_e9"))
+  }
 }

@@ -1767,6 +1767,68 @@ object ExtQueries {
       |  END AS corr_e6
       |FROM s ORDER BY key_a, key_b""".stripMargin
 
+  // ----------------------------------------------------------------
+  // q71_docfreq — per-document document-frequency quality profile
+  // (TextAnalysis.docFrequencyProfile): hapax-heavy documents (>25 %
+  // of distinct tokens appear in no other document) flag as low
+  // quality — the rare-token filter real curation stacks run next
+  // to the q24 surface heuristics. All gated values are exact
+  // integers; the flag is an integer cross-multiply. The tok join
+  // is vocabulary-keyed (stopword-skewed at scale → the AQE skew
+  // recipe); oracle CASTs its HUGEINT sums to BIGINT.
+  // ----------------------------------------------------------------
+  def q71DocFreq(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.TextAnalysis.docFrequencyProfile(Tables.documents(spark, dir))
+      .orderBy(col("doc_id"))
+
+  val q71DocFreqSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS tok
+      |  FROM documents),
+      |d AS (SELECT DISTINCT doc_id, tok FROM t WHERE len(tok) > 0),
+      |f AS (SELECT tok, count(*) AS df FROM d GROUP BY tok),
+      |j AS (SELECT d.doc_id, f.df FROM d JOIN f USING (tok))
+      |SELECT doc_id, count(*) AS n_distinct,
+      |  CAST(sum(df) AS BIGINT) AS sum_df,
+      |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_cnt,
+      |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) * 4 > count(*) AS low_quality
+      |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q72_tv_drift — total-variation distance between the unigram
+  // distributions of the even- and odd-doc_id corpus halves
+  // (TextAnalysis.unigramTvDrift) — the mixture-drift monitor a
+  // pipeline runs between shards or snapshots. The summand
+  // |aᵢ·N_b − bᵢ·Nₐ| is an exact integer (denominators cleared, the
+  // q69 posture); tv_e9 is per-row double arithmetic on exact
+  // integers, mirrored expression-for-expression. One token
+  // hash-agg + a broadcast 1-row totals join — no data-keyed join.
+  // ----------------------------------------------------------------
+  def q72TvDrift(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.TextAnalysis.unigramTvDrift(
+      Tables.documents(spark, dir), side = col("doc_id") % 2 === 0)
+
+  val q72TvDriftSql: String =
+    """WITH t AS (
+      |  SELECT (doc_id % 2 = 0) AS a,
+      |         unnest(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS tok
+      |  FROM documents),
+      |tt AS (SELECT a, tok FROM t WHERE len(tok) > 0),
+      |c AS (
+      |  SELECT tok,
+      |    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+      |    CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS cnt_b
+      |  FROM tt GROUP BY tok),
+      |n AS (SELECT CAST(sum(cnt_a) AS BIGINT) AS n_a, CAST(sum(cnt_b) AS BIGINT) AS n_b FROM c),
+      |s AS (
+      |  SELECT max(n.n_a) AS n_a, max(n.n_b) AS n_b, count(*) AS n_vocab,
+      |    CAST(sum(abs(cnt_a * n.n_b - cnt_b * n.n_a)) AS BIGINT) AS tv_num
+      |  FROM c, n)
+      |SELECT n_a, n_b, n_vocab, tv_num,
+      |  CAST(floor(CAST(tv_num AS DOUBLE)
+      |    / (2.0 * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) * 1e9) AS BIGINT) AS tv_e9
+      |FROM s""".stripMargin
+
   val q59JaccardJoinSql: String =
     """WITH d AS (
       |  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks

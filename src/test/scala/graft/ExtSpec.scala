@@ -551,4 +551,30 @@ class ExtSpec extends AnyFunSuite {
     } yield (ia, ib)).toSet
     assert(got == expected, s"missed=${expected -- got} extra=${got -- expected}")
   }
+
+  test("docFrequencyProfile: hand-computed df/hapax on a tiny corpus") {
+    val docs = Seq(
+      (1L, "alpha beta"), (2L, "alpha gamma"), (3L, "delta delta")
+    ).toDF("doc_id", "text")
+    // df: alpha=2, beta=gamma=delta=1
+    val got = TextAnalysis.docFrequencyProfile(docs)
+      .select($"doc_id", $"n_distinct", $"sum_df", $"hapax_cnt", $"low_quality")
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    assert(got(1L) === ((2L, 3L, 1L, true)))   // {alpha(2), beta(1)}: 1·4 > 2
+    assert(got(2L) === ((2L, 3L, 1L, true)))
+    assert(got(3L) === ((1L, 1L, 1L, true)))   // dup tokens collapse to one distinct
+  }
+
+  test("unigramTvDrift: 0 on identical sides, 1 on disjoint sides") {
+    val same = Seq((0L, "x y z"), (1L, "x y z")).toDF("doc_id", "text")
+    val s = TextAnalysis.unigramTvDrift(same, side = $"doc_id" % 2 === 0)
+      .select($"tv_num", $"tv_e9").as[(Long, Long)].head()
+    assert(s === ((0L, 0L)))
+    val disjoint = Seq((0L, "x x y"), (1L, "p q r s")).toDF("doc_id", "text")
+    val d = TextAnalysis.unigramTvDrift(disjoint, side = $"doc_id" % 2 === 0)
+      .select($"n_a", $"n_b", $"tv_num", $"tv_e9").as[(Long, Long, Long, Long)].head()
+    // disjoint supports: Σ|aᵢ·N_b − bᵢ·Nₐ| = 2·Nₐ·N_b → TV = 1
+    assert(d === ((3L, 4L, 24L, 1000000000L)))
+  }
 }
