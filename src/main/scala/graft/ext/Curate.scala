@@ -134,4 +134,61 @@ object Curate {
   /** Replace PII with typed placeholder tokens. */
   def redact(text: Column): Column =
     regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
+
+  /** Systematic probability-proportional-to-size (PPS) sampling —
+    * weighted sampling for mixture construction (e.g. "sample 50
+    * documents with probability ∝ length/quality-score"), in EXACT
+    * integer arithmetic.
+    *
+    * Rows are laid out in the content-stable pseudo-random order
+    * (md5(id), id) — [[stratifiedSample]]'s idiom, no RNG state —
+    * and a conceptual tape of cumulative integer weights is cut at
+    * every multiple of total/n: row i is picked once per multiple
+    * of total that (cum_{i-1}·n, cum_i·n] contains, i.e.
+    * `n_picks = (cum_i·n) div total − (cum_{i-1}·n) div total`.
+    * Every quantity is a BIGINT — no float ever enters the
+    * selection, so the sample is bit-portable across engines
+    * (the q69 integer posture applied to sampling). A row heavier
+    * than the total/n stride can be picked multiple times
+    * (n_picks > 1), exactly as PPS prescribes; Σ n_picks = n by
+    * telescoping — a theorem, which the q75 gate states as a
+    * constant.
+    *
+    * The prefix sum is computed DISTRIBUTED: range-partition by the
+    * order key, one window pass per partition, then a broadcast join
+    * of per-partition offsets (the two-phase scan pattern) — no
+    * global single-task window at any scale. Weights must be
+    * positive integers (callers bucket float scores first).
+    *
+    * Output: the picked rows (original columns) + n_picks ≥ 1. */
+  def ppsSystematicSample(df: DataFrame, weightCol: String, n: Int,
+                          idCol: String = "doc_id", partitions: Int = 32): DataFrame = {
+    require(n >= 1, s"sample size must be >= 1, got $n")
+    val cols = df.columns.toSeq
+    val ranged = df
+      .withColumn("__w", col(weightCol).cast("long"))
+      .withColumn("__ord", md5(col(idCol).cast("string")))
+      .repartitionByRange(partitions, col("__ord"), col(idCol))
+      .withColumn("__pid", spark_partition_id())
+    val wLocal = Window.partitionBy(col("__pid")).orderBy(col("__ord"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // feeds both the offsets aggregate and the final join — one
+    // materialization, not two range-partition passes
+    val local = ranged.withColumn("__cum_local", sum(col("__w")).over(wLocal))
+      .localCheckpoint(eager = false)
+    val offsets = local.groupBy(col("__pid")).agg(sum(col("__w")).as("__psum"))
+      .withColumn("__offset", coalesce(
+        sum(col("__psum")).over(
+          Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("__total", sum(col("__psum")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("__pid"), col("__offset"), col("__total"))
+    local.join(broadcast(offsets), Seq("__pid"))
+      .withColumn("__cum", col("__cum_local") + col("__offset"))
+      .withColumn("n_picks",
+        expr(s"(__cum * $n) div __total - ((__cum - __w) * $n) div __total"))
+      .filter(col("n_picks") >= 1)
+      .select((cols.map(col) :+ col("n_picks")): _*)
+  }
 }

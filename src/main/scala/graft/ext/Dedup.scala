@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus deduplication for LLM-training-data pipelines (driver
@@ -503,5 +504,67 @@ object Dedup {
       .select(col(idCol),
         coalesce(col("__n"), lit(0L)).as("n_shared"),
         (coalesce(col("__n"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** Cross-document duplicated-SUBSTRING spans — the exact-substring
+    * dedup family (finding repeated boilerplate/quotes at token-span
+    * granularity, which whole-document schemes like [[exactDedup]] and
+    * set-similarity schemes like [[nearDupText]] both miss when the
+    * shared run is a small fraction of each document).
+    *
+    * Shape (all built-ins, suffix-array-free):
+    *   1. positioned token `k`-grams — one row per (doc, start
+    *      position); the gram STRING is the join key (oracle-portable;
+    *      at 100 TB key on a 128-bit hash of the gram instead — same
+    *      plan, 16-byte keys, collision odds ~n²/2¹²⁸);
+    *   2. "duplicated" grams = those whose distinct-doc count ≥ 2 (one
+    *      hash aggregate; partial aggregation collapses within-doc
+    *      repeats before the exchange). Stopword-like ubiquitous
+    *      grams are naturally capped by `k`: a 5-gram shared by many
+    *      docs IS the boilerplate being hunted;
+    *   3. left-semi join the positioned grams against the duplicated
+    *      set (existence, never multiplication);
+    *   4. gaps-and-islands per document: hit positions whose starts
+    *      are within `k` of each other merge into one maximal span
+    *      (two hits at p < q overlap/adjoin as token spans iff
+    *      q ≤ p + k). One doc-keyed window pass.
+    *
+    * Output: (doc_id, span_start, span_end, span_len) — 1-based
+    * inclusive TOKEN positions of each maximal duplicated span,
+    * the rows a curation pipeline would cut (or use to discount
+    * quality scores) before training.
+    *
+    * Every stage is a hash aggregate, a semi join on the gram, or a
+    * doc-keyed window — no all-pairs path, no global window; scales
+    * like the q18 band join. */
+  def dupSpans(docs: DataFrame, k: Int = 5,
+               textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val grams = docs
+      .select(col(idCol), split(normalized(col(textCol)), " ").as("__toks"))
+      .filter(size(col("__toks")) >= k)
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0), size(col("__toks")) - k),
+          i => concat_ws(" ", slice(col("__toks"), i + 1, lit(k))))).as(Seq("__p", "__gram")))
+      // 1-based start position (matches SQL/DuckDB list indexing)
+      .select(col(idCol), (col("__p") + 1).cast("long").as("__i"), col("__gram"))
+    val dup = grams.groupBy(col("__gram"))
+      .agg(count_distinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= 2)
+      .select(col("__gram"))
+    val hits = grams.join(dup, Seq("__gram"), "left_semi")
+      .select(col(idCol), col("__i"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__i"))
+    hits
+      // break when this start is beyond the previous span's reach
+      // (lag null on the first row → null > x is null → otherwise 0)
+      .withColumn("__brk",
+        when(col("__i") > lag(col("__i"), 1).over(w) + k, 1).otherwise(0))
+      .withColumn("__isl",
+        sum(col("__brk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("__isl"))
+      .agg(min(col("__i")).as("span_start"),
+        (max(col("__i")) + (k - 1)).as("span_end"))
+      .select(col(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_len"))
   }
 }

@@ -60,6 +60,39 @@ object Merge {
       .filter(col("__rn") === 1)
       .drop("__rn", "__prec")
   }
+
+  /** Snapshot diff — the CDC complement of [[upsert]]: classify every
+    * key across two keyed snapshots as `insert` (new only), `delete`
+    * (old only), `update` (both, value changed) or `unchanged`. This
+    * is the change feed an incremental downstream consumes when the
+    * source can only provide full snapshots (the reference's upstream
+    * REST API is exactly such a source — each poll is a full
+    * `coins/markets` snapshot, `src/etl.py:21`), and the audit tool
+    * for "what did yesterday's merge actually change".
+    *
+    * Both sides must be unique per `keys` (snapshots, not logs — run
+    * [[dedupKeepLast]] first otherwise). One full-outer join keyed on
+    * `keys`: co-partitioned by the shuffle, no other exchange;
+    * `valCols` compare null-safely (`<=>`) so a null-vs-value change
+    * is an update, not a false `unchanged`. */
+  def snapshotDiff(old: DataFrame, neu: DataFrame, keys: Seq[String],
+                   valCols: Seq[String]): DataFrame = {
+    val o = old.select((keys ++ valCols).map(col): _*)
+      .withColumn("__in_old", lit(true))
+    val n = neu.select((keys ++ valCols).map(col): _*)
+      .withColumn("__in_new", lit(true))
+    val renamedO = valCols.foldLeft(o)((df, c) => df.withColumnRenamed(c, s"old_$c"))
+    val renamedN = valCols.foldLeft(n)((df, c) => df.withColumnRenamed(c, s"new_$c"))
+    val same = valCols.map(c => col(s"old_$c") <=> col(s"new_$c"))
+      .reduce(_ && _)
+    renamedO.join(renamedN, keys, "full_outer")
+      .withColumn("change_type",
+        when(col("__in_old").isNull, "insert")
+          .when(col("__in_new").isNull, "delete")
+          .when(same, "unchanged")
+          .otherwise("update"))
+      .drop("__in_old", "__in_new")
+  }
 }
 
 /** Partition-pruned merge writer: the 100 TB-safe form of U1-U3. */

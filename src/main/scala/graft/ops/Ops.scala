@@ -107,4 +107,40 @@ object Ops {
         min(col(tsUsCol)).as("start_us"),
         max(col(tsUsCol)).as("end_us"))
   }
+
+  /** Bucketed range (interval) join: match each point to every
+    * interval containing it, with NO equi key available. The naive
+    * plan for `p.x BETWEEN i.lo AND i.hi` is a broadcast-nested-loop
+    * (or cartesian) join — |points| × |intervals| comparisons, the
+    * classic 100 TB killer. Instead, decompose into an EQUI join:
+    * each interval explodes into the day buckets it covers, each
+    * point maps to its one bucket, and the join key is the bucket —
+    * a shuffle/broadcast hash join whose cost is |points| +
+    * Σ interval-lengths-in-days. The exact containment predicate is
+    * re-checked in the join condition (buckets at day granularity
+    * over day-precision data make it a no-op here, but sub-bucket
+    * precision stays correct). This is the standard interval-join
+    * decomposition (bucket width trades replication vs selectivity;
+    * choose ~= median interval length).
+    *
+    * `points` keeps all its columns; intervals contribute `idCol`.
+    * Points in no interval are dropped (inner semantics); intervals
+    * with no points surface through the caller's left join against
+    * the interval table (q78's shape). PlanSpec asserts the physical
+    * plan has no BNLJ/cartesian. */
+  def rangeJoinByDay(points: DataFrame, ptDateCol: String,
+                     intervals: DataFrame, idCol: String,
+                     startCol: String, endCol: String): DataFrame = {
+    val buckets = intervals
+      .select(col(idCol), col(startCol).as("__lo"), col(endCol).as("__hi"),
+        explode(sequence(
+          to_date(col(startCol)), to_date(col(endCol)),
+          expr("interval 1 day"))).as("__iday"))
+    points
+      .withColumn("__pday", to_date(col(ptDateCol)))
+      .join(buckets,
+        col("__pday") === col("__iday") &&
+          col(ptDateCol) >= col("__lo") && col(ptDateCol) <= col("__hi"))
+      .drop("__pday", "__iday", "__lo", "__hi")
+  }
 }

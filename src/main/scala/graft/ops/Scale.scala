@@ -54,6 +54,39 @@ object Layout {
       s"data preserved at $tmp")
     n
   }
+
+  /** 2-D Z-order (Morton) value: interleave the low `bits` bits of
+    * two non-negative integer columns (a at even positions, b at
+    * odd). Pure shift/and/or tree — codegen'd, no UDF. 21 bits each
+    * keeps the result in a positive long. Values are clamped into
+    * range by masking; callers clustering wider domains should
+    * pre-quantize (rank or bucketize) — standard practice, since
+    * Z-order cares about ORDER, not magnitude. */
+  def zValue(a: Column, b: Column, bits: Int = 21): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    (0 until bits).flatMap { j =>
+      Seq(
+        shiftleft(shiftright(a, j).bitwiseAND(lit(1L)), 2 * j),
+        shiftleft(shiftright(b, j).bitwiseAND(lit(1L)), 2 * j + 1))
+    }.reduce[Column](_ bitwiseOR _)
+  }
+
+  /** Cluster `df` along the Z-order curve of two columns — the
+    * multi-dimensional data-skipping layout: range-partitioning by
+    * the interleaved value gives every output file a TIGHT min/max
+    * range on BOTH columns (a linear sort gives tight ranges on its
+    * leading column only), so parquet row-group/file pruning bites
+    * for predicates on either dimension. This is the vanilla-parquet
+    * form of the table-format Z-ORDER maintenance command; write the
+    * result with `partitionBy`-free `.parquet(...)` and min/max
+    * footer stats do the skipping. ScaleSpec measures the pruning
+    * win against a linear layout. */
+  def clusterZOrder(df: DataFrame, c1: String, c2: String,
+                    partitions: Int, bits: Int = 21): DataFrame =
+    df.withColumn("__z", zValue(col(c1).cast("long"), col(c2).cast("long"), bits))
+      .repartitionByRange(partitions, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
 }
 
 /** Skew mitigation utilities. AQE's skew-join handling (on by default)

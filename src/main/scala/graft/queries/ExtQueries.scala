@@ -1844,4 +1844,229 @@ object ExtQueries {
       |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
       |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.5
       |ORDER BY id_a, id_b""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q73_substring_spans — cross-document duplicated-SUBSTRING spans
+  // (Dedup.dupSpans): the exact-substring dedup family — repeated
+  // boilerplate is planted in-query on every 10th doc (the q49
+  // planting pattern; the synthetic corpus has no natural repeats),
+  // then located as maximal token spans via positioned 5-grams +
+  // distinct-doc-count ≥ 2 + gaps-and-islands merge. All positions
+  // are 1-based BIGINTs; the oracle rebuilds the identical spans.
+  // ----------------------------------------------------------------
+  private val PlantedFooter =
+    "all rights reserved contact the site operator for licensing details today"
+
+  def q73SubstringSpans(spark: SparkSession, dir: String): DataFrame = {
+    val planted = Tables.documents(spark, dir).withColumn("text",
+      when(col("doc_id") % 10 === 0, concat(col("text"), lit(" " + PlantedFooter)))
+        .otherwise(col("text")))
+    Dedup.dupSpans(planted, k = 5)
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
+  val q73SubstringSpansSql: String =
+    s"""WITH planted AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 10 = 0 THEN text || ' $PlantedFooter' ELSE text END AS text
+      |  FROM documents),
+      |d AS (SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS toks
+      |      FROM planted),
+      |g0 AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS i FROM d WHERE len(toks) >= 5),
+      |g AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+      |        toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4] AS gram
+      |      FROM g0),
+      |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+      |h AS (SELECT doc_id, i FROM g WHERE gram IN (SELECT gram FROM dup)),
+      |b AS (SELECT doc_id, i,
+      |        CASE WHEN i > lag(i) OVER (PARTITION BY doc_id ORDER BY i) + 5 THEN 1 ELSE 0 END AS brk
+      |      FROM h),
+      |s AS (SELECT doc_id, i,
+      |        sum(brk) OVER (PARTITION BY doc_id ORDER BY i ROWS UNBOUNDED PRECEDING) AS isl
+      |      FROM b)
+      |SELECT doc_id, min(i) AS span_start, max(i) + 4 AS span_end,
+      |  max(i) + 4 - min(i) + 1 AS span_len
+      |FROM s GROUP BY doc_id, isl
+      |ORDER BY doc_id, span_start""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q74_cms — Count-Min sketch point queries (Sketches.cmsCounters /
+  // cmsEstimate, depth 4 × width 1024) probed with the exact top-20
+  // tokens. Self-checking THEOREM gate: CMS counters only ever
+  // over-count, so estimate ≥ exact for every probe — a false
+  // `lower_bound_holds` is always a code bug (the q30 posture). The
+  // sketch hash is the engine-portable md5 bucket (q46's idiom)
+  // seeded per depth row, so the oracle rebuilds the identical
+  // counter matrix.
+  // ----------------------------------------------------------------
+  def q74Cms(spark: SparkSession, dir: String): DataFrame = {
+    // feeds the sketch build AND the exact top-20 — one explode pass
+    val toks = TextAnalysis.tokenStream(Tables.documents(spark, dir))
+      .select(col("tok")).localCheckpoint(eager = false)
+    val counters = graft.ext.Sketches.cmsCounters(toks, "tok", depth = 4, width = 1024)
+    val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("tok")).limit(20)
+    graft.ext.Sketches.cmsEstimate(counters, top, "tok", depth = 4, width = 1024)
+      .join(top, Seq("tok"))
+      .select(col("tok"), col("exact_cnt"), col("cms_est"),
+        (col("cms_est") >= col("exact_cnt")).as("lower_bound_holds"))
+      .orderBy(col("tok"))
+  }
+
+  val q74CmsSql: String =
+    """WITH t AS (
+      |  SELECT unnest(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS tok
+      |  FROM documents),
+      |tt AS (SELECT tok FROM t WHERE len(tok) > 0),
+      |cb AS (SELECT j, CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '#' || tok), 1, 8)) AS UBIGINT) % 1024 AS bucket
+      |       FROM (SELECT tok, unnest([0, 1, 2, 3]) AS j FROM tt)),
+      |c AS (SELECT j, bucket, count(*) AS cnt FROM cb GROUP BY 1, 2),
+      |top AS (SELECT tok, count(*) AS exact_cnt FROM tt GROUP BY tok
+      |        ORDER BY exact_cnt DESC, tok LIMIT 20),
+      |pb AS (SELECT tok, exact_cnt, j,
+      |         CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '#' || tok), 1, 8)) AS UBIGINT) % 1024 AS bucket
+      |       FROM (SELECT tok, exact_cnt, unnest([0, 1, 2, 3]) AS j FROM top)),
+      |e AS (SELECT tok, exact_cnt, min(coalesce(c.cnt, 0)) AS cms_est
+      |      FROM pb LEFT JOIN c USING (j, bucket) GROUP BY tok, exact_cnt)
+      |SELECT tok, exact_cnt, cms_est, cms_est >= exact_cnt AS lower_bound_holds
+      |FROM e ORDER BY tok""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q75_pps_sample — systematic probability-proportional-to-size
+  // sampling (Curate.ppsSystematicSample, n=50, weight=n_chars) over
+  // the content-stable (md5(id), id) order. Selection is EXACT
+  // BIGINT arithmetic (cumulative-weight floor-crossing) — no float
+  // enters the pick, so both engines choose identical rows; the
+  // Spark side computes the prefix sum distributed (range-partition
+  // + per-partition window + broadcast offsets), the oracle as one
+  // global window — same mathematical function.
+  // ----------------------------------------------------------------
+  def q75PpsSample(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Curate.ppsSystematicSample(
+        Tables.documents(spark, dir).select(col("doc_id"), col("lang"), col("n_chars")),
+        weightCol = "n_chars", n = 50)
+      .orderBy(col("doc_id"))
+
+  val q75PpsSampleSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, lang, n_chars, md5(CAST(doc_id AS VARCHAR)) AS ord FROM documents),
+      |c AS (
+      |  SELECT doc_id, lang, n_chars,
+      |    CAST(sum(n_chars) OVER (ORDER BY ord, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+      |    CAST(sum(n_chars) OVER () AS BIGINT) AS total
+      |  FROM w),
+      |p AS (
+      |  SELECT doc_id, lang, n_chars,
+      |    (cum * 50) // total - ((cum - n_chars) * 50) // total AS n_picks
+      |  FROM c)
+      |SELECT doc_id, lang, n_chars, n_picks FROM p WHERE n_picks >= 1
+      |ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q76_snapshot_diff — CDC classification between two latest-value
+  // snapshots of the events stream (Merge.snapshotDiff): old = state
+  // at day 15 (epoch-µs cutoff — timezone-free on both engines), new
+  // = full history. Every user classifies as insert / update /
+  // unchanged (delete is structurally present; an append-only stream
+  // produces none). Values compare as e6 fixed point.
+  // ----------------------------------------------------------------
+  def q76SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"),
+        floor(col("value") * 1e6).cast("long").as("value_e6"))
+    def latest(df: DataFrame): DataFrame =
+      graft.ops.Merge.dedupKeepLast(df, Seq("user_id"),
+          struct(col("ts_us"), col("event_id")))
+        .select(col("user_id"), col("value_e6"))
+    // 2024-01-16T00:00:00Z in epoch µs
+    val cutoffUs = 1705363200000000L
+    graft.ops.Merge.snapshotDiff(
+        latest(ev.filter(col("ts_us") < cutoffUs)), latest(ev),
+        keys = Seq("user_id"), valCols = Seq("value_e6"))
+      .orderBy(col("user_id"))
+  }
+
+  val q76SnapshotDiffSql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+      |         CAST(floor(value * 1e6) AS BIGINT) AS value_e6
+      |  FROM events),
+      |o AS (SELECT user_id, value_e6 AS old_value_e6 FROM (
+      |        SELECT user_id, value_e6,
+      |          row_number() OVER (PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC) AS rn
+      |        FROM e WHERE ts_us < 1705363200000000) WHERE rn = 1),
+      |n AS (SELECT user_id, value_e6 AS new_value_e6 FROM (
+      |        SELECT user_id, value_e6,
+      |          row_number() OVER (PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC) AS rn
+      |        FROM e) WHERE rn = 1)
+      |SELECT coalesce(o.user_id, n.user_id) AS user_id, old_value_e6, new_value_e6,
+      |  CASE WHEN o.user_id IS NULL THEN 'insert'
+      |       WHEN n.user_id IS NULL THEN 'delete'
+      |       WHEN old_value_e6 IS NOT DISTINCT FROM new_value_e6 THEN 'unchanged'
+      |       ELSE 'update' END AS change_type
+      |FROM o FULL OUTER JOIN n ON o.user_id = n.user_id
+      |ORDER BY user_id""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q77_pivot — wide reshaping: hour-of-day × event-type counts via
+  // Spark's relational pivot with an EXPLICIT value list (never the
+  // inferred form — value inference is itself a distinct scan and
+  // makes the output schema data-dependent, which breaks at scale
+  // and in the oracle). The oracle is the equivalent conditional
+  // aggregation — what pivot lowers to.
+  // ----------------------------------------------------------------
+  def q77Pivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("hour_of_day", hour(col("ts")).cast("long"))
+      .groupBy(col("hour_of_day"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("hour_of_day"))
+
+  val q77PivotSql: String =
+    """SELECT CAST(hour(ts) AS BIGINT) AS hour_of_day,
+      |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+      |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS "error",
+      |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+      |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+      |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS "view"
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q78_range_join — pure range (interval-containment) join with NO
+  // equi key (Ops.rangeJoinByDay): ~1% of orders become 3-day
+  // windows; every lineitem ship date lands in each window covering
+  // it. The Spark plan is the bucketed DECOMPOSITION — intervals
+  // explode into covered day buckets, points join on their day — so
+  // the physical join is a hash equi-join (PlanSpec asserts no
+  // BNLJ/cartesian); the oracle states the SEMANTIC definition, a
+  // plain BETWEEN inequality join, which is only affordable because
+  // the oracle runs at sf0.01.
+  // ----------------------------------------------------------------
+  def q78RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val intervals = Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 97 === 0)
+      .select(col("o_orderkey").as("interval_id"),
+        col("o_orderdate").as("start_ts"),
+        (col("o_orderdate") + expr("interval 3 days")).as("end_ts"))
+    val matched = graft.ops.Ops.rangeJoinByDay(
+        Tables.lineitem(spark, dir).select(col("l_shipdate")), "l_shipdate",
+        intervals, "interval_id", "start_ts", "end_ts")
+      .groupBy(col("interval_id")).agg(count(lit(1)).as("n_points"))
+    intervals.select(col("interval_id"))
+      .join(matched, Seq("interval_id"), "left_outer")
+      .select(col("interval_id"), coalesce(col("n_points"), lit(0L)).as("n_points"))
+      .orderBy(col("interval_id"))
+  }
+
+  val q78RangeJoinSql: String =
+    """WITH iv AS (
+      |  SELECT o_orderkey AS interval_id, o_orderdate AS start_ts,
+      |         o_orderdate + INTERVAL 3 DAY AS end_ts
+      |  FROM orders WHERE o_orderkey % 97 = 0)
+      |SELECT interval_id, CAST(count(l.l_shipdate) AS BIGINT) AS n_points
+      |FROM iv LEFT JOIN lineitem l
+      |  ON l.l_shipdate BETWEEN iv.start_ts AND iv.end_ts
+      |GROUP BY interval_id ORDER BY interval_id""".stripMargin
 }

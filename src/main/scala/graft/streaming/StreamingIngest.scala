@@ -165,6 +165,30 @@ object StreamingIngest {
       }
   }
 
+  /** STREAM-STREAM interval join — the event-correlation shape
+    * (impression→click attribution here; trade→quote, request→response
+    * generally): two live streams joined on an equi key PLUS an
+    * event-time containment bound. Each side carries its own
+    * watermark, and the time-range predicate lets Spark bound BOTH
+    * join-state buffers: an impression can be evicted once the click
+    * watermark passes `imp_ts + horizon`, a click once the impression
+    * watermark passes `click_ts` — state ∝ traffic × horizon, never
+    * unbounded history. Without the range predicate a stream-stream
+    * join must buffer forever; the bound is what makes the operator
+    * deployable. Works identically on batch frames (watermarks are
+    * no-ops there), which is how the spec cross-checks stream ==
+    * batch. */
+  def attributeClicks(impressions: DataFrame, clicks: DataFrame,
+                      horizonMinutes: Int = 10,
+                      watermark: String = "1 hour"): DataFrame =
+    impressions.withWatermark("imp_ts", watermark)
+      .join(clicks.withWatermark("click_ts", watermark),
+        col("ad_id") === col("click_ad_id") &&
+          col("click_ts") >= col("imp_ts") &&
+          col("click_ts") <= col("imp_ts") + expr(s"interval $horizonMinutes minutes"))
+      .select(col("imp_id"), col("click_id"), col("ad_id"),
+        col("imp_ts"), col("click_ts"))
+
   /** foreachBatch sink: last-write-wins merge of each micro-batch into
     * a date-partitioned parquet table on (asset_id, ts) — U2 semantics
     * (`src/db.py:87-99`) with partition-pruned rewrites. */

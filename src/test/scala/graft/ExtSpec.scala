@@ -577,4 +577,68 @@ class ExtSpec extends AnyFunSuite {
     // disjoint supports: Σ|aᵢ·N_b − bᵢ·Nₐ| = 2·Nₐ·N_b → TV = 1
     assert(d === ((3L, 4L, 24L, 1000000000L)))
   }
+
+  test("dupSpans finds planted shared runs as maximal merged spans; separated runs stay separate") {
+    // Docs 1 and 2 share a 6-token run (-> one span each, k=5 gives 2
+    // overlapping gram hits that must merge); doc 3 shares nothing.
+    // Doc 4 repeats the shared run at TWO separated offsets -> two spans.
+    val shared = "one two three four five six"
+    val docs = Seq(
+      (1L, s"hello there $shared and more text here"),
+      (2L, s"$shared entirely different tail content words"),
+      (3L, "unrelated content with no overlap at all whatsoever"),
+      (4L, s"$shared gap gap gap gap gap gap $shared")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dupSpans(docs, k = 5)
+      .select($"doc_id", $"span_start", $"span_end", $"span_len")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // doc 1: shared run at tokens 3..8 (1-based)
+    // doc 2: tokens 1..6
+    // doc 4: tokens 1..6 and 13..18 — two islands, not one
+    assert(got == Set(
+      (1L, 3L, 8L, 6L),
+      (2L, 1L, 6L, 6L),
+      (4L, 1L, 6L, 6L),
+      (4L, 13L, 18L, 6L)))
+  }
+
+  test("CMS estimates are exact-or-over for every token and the sketch is mergeable") {
+    import graft.ext.Sketches
+    val docs = Tables.documents(spark, sf)
+    val toks = TextAnalysis.tokenStream(docs).select($"tok").localCheckpoint(eager = false)
+    val counters = Sketches.cmsCounters(toks, "tok", depth = 4, width = 256)
+    val exact = toks.groupBy($"tok").agg(count(lit(1)).as("exact_cnt"))
+    val probed = Sketches.cmsEstimate(counters, exact, "tok", depth = 4, width = 256)
+      .join(exact, Seq("tok"))
+    // theorem: CMS never under-counts — for EVERY token in the corpus
+    assert(probed.filter($"cms_est" < $"exact_cnt").count() == 0)
+    // mergeability: sketch(all) == merge of per-half sketches
+    val half1 = Sketches.cmsCounters(toks.filter(xxhash64($"tok") % 2 === 0), "tok", 4, 256)
+    val half2 = Sketches.cmsCounters(toks.filter(xxhash64($"tok") % 2 =!= 0), "tok", 4, 256)
+    val merged = half1.unionByName(half2)
+      .groupBy($"j", $"bucket").agg(sum($"cnt").as("cnt"))
+    val diff = counters.as("a").join(merged.as("b"), Seq("j", "bucket"), "full_outer")
+      .filter(!(col("a.cnt") <=> col("b.cnt")))
+    assert(diff.count() == 0)
+  }
+
+  test("ppsSystematicSample: picks sum to n, match a sequential reference, and favor weight") {
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"n_chars")
+    val got = Curate.ppsSystematicSample(docs, "n_chars", n = 40)
+      .select($"doc_id", $"n_picks").as[(Long, Long)].collect().toMap
+    assert(got.values.sum == 40)  // telescoping: Σ n_picks = n exactly
+    // sequential reference over the same (md5(id), id) order
+    val ordered = docs.withColumn("__ord", md5($"doc_id".cast("string")))
+      .orderBy($"__ord", $"doc_id")
+      .select($"doc_id", $"n_chars").as[(Long, Long)].collect()
+    val total = ordered.map(_._2).sum
+    var cum = 0L
+    val expect = scala.collection.mutable.Map[Long, Long]()
+    ordered.foreach { case (id, w) =>
+      val prev = cum; cum += w
+      val picks = (cum * 40) / total - (prev * 40) / total
+      if (picks >= 1) expect(id) = picks
+    }
+    assert(got == expect.toMap)
+  }
 }

@@ -219,5 +219,41 @@ class MergeSpec extends AnyFunSuite {
     assert(got == Seq((1L, 10.0), (2L, 20.0), (3L, 99.0), (4L, 40.0)))
   }
 
+  test("snapshotDiff classifies insert/delete/update/unchanged incl. null transitions") {
+    val old = Seq((1L, Some(10.0)), (2L, Some(20.0)), (3L, None), (4L, Some(40.0)))
+      .toDF("id", "v")
+    val neu = Seq((1L, Some(10.0)), (2L, Some(25.0)), (3L, Some(30.0)), (5L, Some(50.0)))
+      .toDF("id", "v")
+    val got = Merge.snapshotDiff(old, neu, Seq("id"), Seq("v"))
+      .orderBy("id").select("id", "change_type").as[(Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, "unchanged"),
+      (2L, "update"),
+      (3L, "update"),   // null -> value is a change, not a false unchanged
+      (4L, "delete"),
+      (5L, "insert")))
+  }
+
+  test("rangeJoinByDay equals the naive BETWEEN join and plans as an equi hash join") {
+    val intervals = Seq(
+      (100L, ts("2024-01-01"), ts("2024-01-03")),
+      (200L, ts("2024-01-02"), ts("2024-01-02")), // 1-day window; overlaps 100
+      (300L, ts("2024-02-01"), ts("2024-02-05"))  // no points
+    ).toDF("iid", "lo", "hi")
+    val points = Seq.tabulate(40)(i => (i.toLong, ts(f"2024-01-${i % 9 + 1}%02d")))
+      .toDF("pid", "d")
+    val got = Ops.rangeJoinByDay(points, "d", intervals, "iid", "lo", "hi")
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    val naive = points.join(intervals, col("d") >= col("lo") && col("d") <= col("hi"))
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(got == naive && got.nonEmpty)
+    // a point inside two overlapping intervals matches both
+    assert(got.exists(_._2 == 100L) && got.exists(_._2 == 200L))
+    val plan = Ops.rangeJoinByDay(points, "d", intervals, "iid", "lo", "hi")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join fell back to a nested-loop plan:\n$plan")
+  }
+
   private def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
 }

@@ -43,6 +43,17 @@ class PlanSpec extends AnyFunSuite {
       "q60's ADC crossJoin is no longer broadcast-bounded")
   }
 
+  test("q78's range join is an equi hash join, never a nested loop") {
+    // The whole point of the bucketed interval-join decomposition is
+    // that a pure range predicate becomes an EQUI join on the day
+    // bucket — if this plan ever contains a BNLJ the operator has
+    // regressed to |points| × |intervals|.
+    val p = plan("q78_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"q78's range join fell back to a nested loop:\n$p")
+    assert(p.contains("HashJoin"), s"expected a hash equi-join in q78:\n$p")
+  }
+
   test("runtime bloom filter prunes the probe side of a selective shuffled join") {
     // The bloom-pruned join at 100 TB: a selective dim filter builds a
     // bloom filter that is pushed into the fact-side scan, so rows

@@ -81,4 +81,39 @@ class ScaleSpec extends AnyFunSuite {
     assert(n == 1 && parquetFiles == 1, s"expected 1 file, got $parquetFiles")
     assert(spark.read.parquet(dir).as[(Long, String)].collect().toSet == before)
   }
+
+  test("zValue interleaves bits; Z-order clustering prunes on BOTH dims, linear sort only on one") {
+    import graft.ops.Layout
+    // zValue correctness on known interleavings
+    val z = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L))
+      .toDF("a", "b")
+      .select(Layout.zValue($"a", $"b").as("z")).as[Long].collect().toSeq
+    // interleave(3=0b11, 5=0b101): a bits at even positions (1,1,0),
+    // b bits at odd (1,0,1) -> 0b100111 = 39
+    assert(z == Seq(0L, 1L, 2L, 39L))
+
+    // Pruning model: cluster a 64x64 grid into 16 partitions, record
+    // per-partition min/max of both dims (what parquet footers hold),
+    // and count partitions a point predicate on each dim would scan.
+    val grid = (for { x <- 0 until 64; y <- 0 until 64 } yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    def scanCount(clustered: org.apache.spark.sql.DataFrame, dim: String): Long = {
+      val stats = clustered
+        .withColumn("__p", spark_partition_id())
+        .groupBy($"__p")
+        .agg(min(col(dim)).as("lo"), max(col(dim)).as("hi"))
+      // how many of the 16 "files" a predicate dim=17 must read
+      stats.filter($"lo" <= 17 && $"hi" >= 17).count()
+    }
+    val zClustered = Layout.clusterZOrder(grid, "x", "y", partitions = 16, bits = 6)
+      .localCheckpoint() // pin partitioning for spark_partition_id
+    val linear = grid.repartitionByRange(16, $"x").sortWithinPartitions($"x")
+      .localCheckpoint()
+    val (zx, zy) = (scanCount(zClustered, "x"), scanCount(zClustered, "y"))
+    val (lx, ly) = (scanCount(linear, "x"), scanCount(linear, "y"))
+    // linear layout: perfect on x, useless on y (scans all 16)
+    assert(lx <= 2 && ly == 16)
+    // Z-order: strictly better than "scan everything" on BOTH dims
+    assert(zx <= 8 && zy <= 8, s"z-order pruning too weak: x=$zx y=$zy")
+  }
 }

@@ -214,4 +214,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == expected,
       s"stream and batch band buckets disagree: extra=${got -- expected} missing=${expected -- got}")
   }
+
+  test("stream-stream interval join attributes clicks within the horizon; stream == batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[(Long, Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val q = StreamingIngest.attributeClicks(
+        imps.toDF().toDF("imp_id", "ad_id", "imp_ts"),
+        clicks.toDF().toDF("click_id", "click_ad_id", "click_ts"))
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("attr_out").start()
+
+    imps.addData(
+      (1L, 10L, ts("2024-01-01 00:00:00")),
+      (2L, 20L, ts("2024-01-01 00:00:00")))
+    q.processAllAvailable()
+    clicks.addData(
+      (100L, 10L, ts("2024-01-01 00:05:00")), // within 10 min of imp 1 — match
+      (101L, 10L, ts("2024-01-01 00:20:00")), // past the horizon — no match
+      (102L, 20L, ts("2024-01-01 00:09:00")), // within horizon, ad 20 — match
+      (103L, 30L, ts("2024-01-01 00:01:00"))) // no impression for ad 30
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("attr_out")
+      .select("imp_id", "click_id").as[(Long, Long)].collect().toSet
+    assert(streamed == Set((1L, 100L), (2L, 102L)))
+
+    // identical operator over batch frames (watermarks no-op) agrees
+    val impB = Seq((1L, 10L, ts("2024-01-01 00:00:00")), (2L, 20L, ts("2024-01-01 00:00:00")))
+      .toDF("imp_id", "ad_id", "imp_ts")
+    val clkB = Seq(
+      (100L, 10L, ts("2024-01-01 00:05:00")), (101L, 10L, ts("2024-01-01 00:20:00")),
+      (102L, 20L, ts("2024-01-01 00:09:00")), (103L, 30L, ts("2024-01-01 00:01:00")))
+      .toDF("click_id", "click_ad_id", "click_ts")
+    val batch = StreamingIngest.attributeClicks(impB, clkB)
+      .select("imp_id", "click_id").as[(Long, Long)].collect().toSet
+    assert(batch == streamed)
+  }
 }
