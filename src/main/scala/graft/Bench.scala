@@ -11,6 +11,20 @@ package graft
   *     EliminateSorts drop ORDER BYs and lets limits short-circuit);
   *   - per-query median over `SPARK_GRAFT_BENCH_ITERS` (default 3)
   *     runs, so one GC pause can't define a query's number.
+  *
+  * Storage discipline (round-6 verdict finding #1): every evaluation
+  * ends with an `Intermediates.sweep`, so materialize-once
+  * intermediates never accumulate across the 78-query × 4-pass
+  * session (the driver-only q56/q66 blowups were storage-pool
+  * eviction pressure from hundreds of orphaned checkpoint blocks),
+  * and each query logs a storage line (live cached RDD count +
+  * mem/disk bytes) so eviction pressure is visible in the driver
+  * tail.
+  *
+  * Output contract: the FULL per-query JSON line first, then a
+  * compact summary (total + 5 slowest) as the LAST stdout line — the
+  * driver's tail capture keeps the end of stdout, and round 6 lost
+  * the totals when the 78-entry line's head fell outside the window.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -21,7 +35,7 @@ object Bench {
 
     def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
-      try {
+      val sec = try {
         SparkEntry.queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
@@ -32,19 +46,37 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: $e")
           -1.0
       }
+      // Outside the timed region: free this evaluation's
+      // materialize-once intermediates before the next one runs.
+      graft.ops.Intermediates.sweep(spark)
+      sec
+    }
+
+    def storageLine(): String = {
+      val infos = spark.sparkContext.getRDDStorageInfo
+      val mem = infos.map(_.memSize).sum >> 20
+      val disk = infos.map(_.diskSize).sum >> 20
+      s"cached_rdds=${infos.length} mem_mb=$mem disk_mb=$disk"
     }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     names.foreach(runOnce) // warmup pass (untimed)
     val results = names.map { name =>
       val ok = Seq.fill(iters)(runOnce(name)).filter(_ >= 0).sorted
-      name -> (if (ok.isEmpty) -1.0 else ok(ok.length / 2))
+      val med = if (ok.isEmpty) -1.0 else ok(ok.length / 2)
+      println(f"[bench] $name median=$med%.3fs ${storageLine()}")
+      name -> med
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Compact summary LAST so tail capture always keeps a parseable
+    // totals line even when the full line above is truncated.
+    val slowest = results.sortBy(-_._2).take(5)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$slowest,"sf":"$sfDir","note":"compact summary; full per-query map on preceding line"}""")
     spark.stop()
   }
 }

@@ -173,9 +173,11 @@ object Curate {
     val wLocal = Window.partitionBy(col("__pid")).orderBy(col("__ord"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // feeds both the offsets aggregate and the final join — one
-    // materialization, not two range-partition passes
-    val local = ranged.withColumn("__cum_local", sum(col("__w")).over(wLocal))
-      .localCheckpoint(eager = false)
+    // materialization, not two range-partition passes; swept at query
+    // end (MEMORY_AND_DISK blocks never drop in-session, so both
+    // consumers see one consistent partition layout)
+    val local = graft.ops.Intermediates.shared(
+      ranged.withColumn("__cum_local", sum(col("__w")).over(wLocal)))
     val offsets = local.groupBy(col("__pid")).agg(sum(col("__w")).as("__psum"))
       .withColumn("__offset", coalesce(
         sum(col("__psum")).over(

@@ -191,11 +191,19 @@ object Dedup {
         .select(col("l.id").as("id"),
           coalesce(col("__cc"), col("l.comp")).as("comp"))
         .localCheckpoint()
+      // `next` is eagerly materialized, so `stepped`'s blocks are dead
+      // the moment it exists; the old labels die once the convergence
+      // count below has read them. Without these releases a bench
+      // session accumulates ~3 checkpoint RDDs per iteration per
+      // evaluation (the round-6 storage-pressure finding).
+      graft.ops.Intermediates.release(stepped)
       changed = next.join(labels.select(col("id"), col("comp").as("__old")), Seq("id"))
         .filter(col("comp") =!= col("__old")).count()
+      graft.ops.Intermediates.release(labels)
       labels = next
       i += 1
     }
+    graft.ops.Intermediates.release(edges) // loop-only; returned labels never re-read it
     if (changed > 0)
       throw new IllegalStateException(
         s"connectedComponents did not converge within maxIters=$maxIters " +
@@ -274,11 +282,6 @@ object Dedup {
   /** Sized gram rows: (__id, __sz, __g) — one row per (doc, distinct
     * gram), carrying the doc's gram-set size. The shared input of
     * both exact-join variants. */
-  private def sizedGramRows(docs: DataFrame, shingleN: Int,
-                            textCol: String, idCol: String): DataFrame =
-    shingleFrame(docs, shingleN, textCol, idCol)
-      .select(col("__id"), size(col("__sh")).as("__sz"), explode(col("__sh")).as("__g"))
-
   /** Count-based Jaccard from pair intersection counts: rows are
     * (id_a, id_b, __sza, __szb, __inter); J = ∩ / (|A|+|B|−∩) —
     * a ratio of integers, exact in double, no array ops anywhere. */
@@ -325,9 +328,9 @@ object Dedup {
   /** [[jaccardJoinExact]] over a pre-shingled frame (see [[shingled]]). */
   def jaccardJoinExactFromShingles(sh: DataFrame, threshold: Double = 0.5): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1], got $threshold")
-    val grams = sh
+    val grams = graft.ops.Intermediates.shared(sh
       .select(col("__id"), size(col("__sh")).as("__sz"), explode(col("__sh")).as("__g"))
-      .localCheckpoint(eager = false) // feeds both sides of the self-join
+    ) // feeds both sides of the self-join; swept at query end
     val pairs = grams.as("a")
       .join(grams.as("b"),
         col("a.__g") === col("b.__g") && col("a.__id") < col("b.__id") &&
@@ -362,21 +365,27 @@ object Dedup {
     * Output: (id_a, id_b, jaccard), id_a < id_b. */
   def jaccardJoinPrefix(docs: DataFrame, threshold: Double = 0.5,
                         shingleN: Int = 3,
-                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+                        textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    jaccardJoinPrefixFromShingles(shingleFrame(docs, shingleN, textCol, idCol), threshold)
+
+  /** [[jaccardJoinPrefix]] over a pre-shingled frame (see
+    * [[shingled]]) — e.g. the one cached corpus shingle pass that
+    * also feeds the exact variant (the q59 gated-equality pairing). */
+  def jaccardJoinPrefixFromShingles(sh: DataFrame, threshold: Double = 0.5): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1], got $threshold")
-    val grams = sizedGramRows(docs, shingleN, textCol, idCol)
-      .localCheckpoint(eager = false) // feeds df, prefix, and both verify joins
+    val grams = graft.ops.Intermediates.shared(sh
+      .select(col("__id"), size(col("__sh")).as("__sz"), explode(col("__sh")).as("__g"))
+    ) // feeds df, prefix, and both verify joins; swept at query end
     val dfreq = grams.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__id")).orderBy(col("__df"), col("__g"))
-    // localCheckpoint: prefix feeds BOTH sides of the candidate
-    // self-join — as a plain plan the df agg + rank window would run
-    // twice (the self-join/recompute class).
-    val prefix = grams.join(dfreq, Seq("__g"))
+    // prefix feeds BOTH sides of the candidate self-join — as a plain
+    // plan the df agg + rank window would run twice (the self-join/
+    // recompute class).
+    val prefix = graft.ops.Intermediates.shared(grams.join(dfreq, Seq("__g"))
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= col("__sz") - ceil(col("__sz") * threshold) + 1)
-      .select(col("__id"), col("__sz"), col("__g"))
-      .localCheckpoint(eager = false)
+      .select(col("__id"), col("__sz"), col("__g")))
     val candidates = prefix.as("a")
       .join(prefix.as("b"),
         col("a.__g") === col("b.__g") && col("a.__id") < col("b.__id") &&
@@ -419,12 +428,12 @@ object Dedup {
     *     meaningless for the daily-ingest contract this models, where
     *     "new" means not-yet-ingested. Callers re-processing a batch
     *     should anti-join it out of `corpus` first.
-    *   - the two shingle frames are `localCheckpoint(eager = false)`ed
-    *     (they each feed the band join AND the verification join);
-    *     their blocks are freed by the ContextCleaner when the frames
-    *     become unreachable — i.e. after the caller drops the returned
-    *     DataFrame — not at action end. Long-lived services that call
-    *     this in a loop should not retain old results. */
+    *   - the two shingle frames are persisted via
+    *     [[graft.ops.Intermediates.shared]] (they each feed the band
+    *     join AND the verification join); their blocks are freed at
+    *     the harness's next `Intermediates.sweep` — long-lived
+    *     services embedding the library should sweep at their own
+    *     request boundaries. */
   def nearDupTextAgainst(newDocs: DataFrame, corpus: DataFrame, threshold: Double = 0.7,
                          shingleN: Int = 3, numBands: Int = 16, r: Int = 4,
                          textCol: String = "text", idCol: String = "doc_id"): DataFrame =
@@ -441,8 +450,8 @@ object Dedup {
     // Each shingle frame feeds its banded frame AND the verification
     // join — materialize once (the self-join/recompute class) instead
     // of re-running tokenize+shingle per consumer.
-    val newSh = newShingles.localCheckpoint(eager = false)
-    val corpusSh = corpusShingles.localCheckpoint(eager = false)
+    val newSh = graft.ops.Intermediates.shared(newShingles)
+    val corpusSh = graft.ops.Intermediates.shared(corpusShingles)
     val candidates = bandedFrame(newSh, numBands, r).as("a")
       .join(bandedFrame(corpusSh, numBands, r).as("b"), col("a.__b") === col("b.__b"))
       .select(col("a.__id").as("new_id"), col("b.__id").as("corpus_id"))
@@ -504,6 +513,40 @@ object Dedup {
       .select(col(idCol),
         coalesce(col("__n"), lit(0L)).as("n_shared"),
         (coalesce(col("__n"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** Bounded EDIT-DISTANCE probe join — the entity-resolution /
+    * fuzzy-contamination shape: which corpus documents does each of a
+    * SMALL probe batch nearly match, where "nearly" is Levenshtein
+    * distance ≤ `maxDist` over the first `prefixLen` chars of the
+    * normalized text. Set similarity (Jaccard, [[jaccardJoinExact]])
+    * is order-blind; edit distance catches character-level mutations
+    * (typos, templated injections) that keep token sets intact.
+    *
+    * Shape: the probe side broadcasts (bounded batch by contract —
+    * the q57/q58 incremental posture), the corpus NEVER shuffles, and
+    * two pruning layers run before/inside the DP: the length
+    * NECESSARY condition `|len(a)−len(b)| ≤ maxDist` (an edit can
+    * change length by at most 1 — a theorem, so no qualifying pair is
+    * lost), then Spark's threshold-banded Levenshtein (O(maxDist·n)
+    * per pair, and -1-early-out past the band) instead of the full
+    * O(n²) DP. At 100 TB this is a map-only corpus scan.
+    *
+    * Output: (probe_id, corpus_id, dist), dist ≤ maxDist. */
+  def editDistanceProbe(probes: DataFrame, corpus: DataFrame, maxDist: Int,
+                        prefixLen: Int = 64,
+                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    require(prefixLen >= 1, s"prefixLen must be >= 1, got $prefixLen")
+    val p = probes.select(col(idCol).as("probe_id"),
+      substring(normalized(col(textCol)), 1, prefixLen).as("__pt"))
+    val c = corpus.select(col(idCol).as("corpus_id"),
+      substring(normalized(col(textCol)), 1, prefixLen).as("__ct"))
+    c.join(broadcast(p),
+        abs(length(col("__pt")) - length(col("__ct"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("__pt"), col("__ct"), maxDist))
+      .filter(col("dist") >= 0) // -1 = banded DP proved dist > maxDist
+      .select(col("probe_id"), col("corpus_id"), col("dist"))
   }
 
   /** Cross-document duplicated-SUBSTRING spans — the exact-substring

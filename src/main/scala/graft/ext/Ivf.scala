@@ -58,6 +58,7 @@ object Ivf {
       // chains iterations 1..N-1 as sub-plans, so one evaluation
       // re-scans the corpus O(iters²/2) times instead of O(iters) —
       // the same iterative-plan hygiene as Dedup.connectedComponents.
+      val prev = centroids
       centroids = assigned
         .select(col("list_id"), posexplode(col("__v")).as(Seq("__pos", "__x")))
         .groupBy(col("list_id"), col("__pos"))
@@ -67,6 +68,9 @@ object Ivf {
         .select(col("list_id"),
           transform(col("__pm"), p => p.getField("__mean").cast("float")).as("centroid"))
         .localCheckpoint()
+      // prev's blocks are dead once the new (eager) checkpoint exists;
+      // no-op on iteration 1's un-checkpointed seed frame.
+      graft.ops.Intermediates.release(prev)
     }
     centroids
   }

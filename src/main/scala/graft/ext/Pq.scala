@@ -110,6 +110,7 @@ object Pq {
     for (_ <- 1 to iters) {
       // localCheckpoint between iterations — without it iteration N
       // chains 1..N-1 as sub-plans (the Ivf.train hygiene).
+      val prev = codebooks
       codebooks = assign(subs, codebooks)
         .select(col("sub_id"), col("code_id"), posexplode(col("__sv")).as(Seq("__pos", "__x")))
         .groupBy(col("sub_id"), col("code_id"), col("__pos"))
@@ -119,6 +120,8 @@ object Pq {
         .select(col("sub_id"), col("code_id"),
           transform(col("__pm"), p => p.getField("__mean").cast("float")).as("codeword"))
         .localCheckpoint()
+      // prev's blocks are dead once the new (eager) checkpoint exists
+      graft.ops.Intermediates.release(prev)
     }
     codebooks
   }

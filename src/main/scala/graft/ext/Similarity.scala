@@ -165,20 +165,19 @@ object Similarity {
   def nearDupPairsIvf(corpus: DataFrame, centroids: DataFrame, threshold: Double,
                       nProbe: Int = 4,
                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // localCheckpoint: `member` feeds BOTH sides of the candidate
-    // self-join below — as a plain plan the corpus × centroids
-    // assignment pass (the expensive scan) would be computed twice
-    // (the connectedComponents lesson: self-joined frames must be
-    // materialized, not re-planned).
-    val member = corpus
+    // `member` feeds BOTH sides of the candidate self-join below — as
+    // a plain plan the corpus × centroids assignment pass (the
+    // expensive scan) would be computed twice (the
+    // connectedComponents lesson: self-joined frames must be
+    // materialized, not re-planned). Swept at query end.
+    val member = graft.ops.Intermediates.shared(corpus
       .select(col(idCol).as("__id"), col(vecCol).as("__v"))
       .crossJoin(broadcast(centroids))
       .withColumn("__csim", cosine(col("__v"), col("centroid")))
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col("__id")).orderBy(col("__csim").desc, col("list_id"))))
       .filter(col("__rn") <= nProbe)
-      .select(col("list_id"), col("__id"))
-      .localCheckpoint(eager = false)
+      .select(col("list_id"), col("__id")))
     val candidates = member.as("a")
       .join(member.as("b"),
         col("a.list_id") === col("b.list_id") && col("a.__id") < col("b.__id"))

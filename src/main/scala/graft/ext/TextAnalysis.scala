@@ -207,21 +207,20 @@ object TextAnalysis {
     * shuffles on term — at 100 TB both sides are already term-keyed
     * from their aggregates, so AQE plans it without an extra
     * exchange. No step touches the raw text twice. The tf frame is
-    * `localCheckpoint(eager = false)`ed (it feeds both the df agg and
-    * the join); its blocks are freed by the ContextCleaner when the
-    * result becomes unreachable, not at action end — loop callers
-    * should not retain old results. */
+    * persisted via [[graft.ops.Intermediates.shared]] (it feeds both
+    * the df agg and the join); its blocks are freed at the harness's
+    * next `Intermediates.sweep`. */
   def topTermsTfIdf(docs: DataFrame, k: Int = 3,
                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val terms = docs
       .select(col(idCol), explode(split(Dedup.normalized(col(textCol)), " ")).as("term"))
       .filter(length(col("term")) > 0)
-    // localCheckpoint: both df (aggregated again) and the join read
-    // tf — as a plain plan the explode+count corpus pass would run
-    // twice (the self-join/recompute class; same fix as
+    // Both df (aggregated again) and the join read tf — as a plain
+    // plan the explode+count corpus pass would run twice (the
+    // self-join/recompute class; same fix as
     // Similarity.nearDupPairsIvf's membership table).
-    val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint(eager = false)
+    val tf = graft.ops.Intermediates.shared(
+      terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf")))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("score_e6").desc, col("term"))

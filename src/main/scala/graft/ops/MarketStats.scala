@@ -119,15 +119,27 @@ object MarketStats {
     * IEEE op correctly rounded, so bit-identical across engines
     * (the q24 argument); zero-variance pairs yield NULL. The join
     * build side is the watchlist's own series — tiny by contract —
-    * so Catalyst broadcasts it; pair count is quadratic in the
+    * and is broadcast EXPLICITLY; pair count is quadratic in the
     * WATCHLIST (bounded, like the reference's 10-coin config), not
-    * the corpus, and the co-moment agg is one hash aggregate. */
-  def pairwiseCorr(hourly: DataFrame, keyCol: String): DataFrame = {
+    * the corpus, and the co-moment agg is one hash aggregate.
+    *
+    * The watchlist contract is ENFORCED, not assumed (round-6
+    * verdict #7): the call refuses more than `maxEntities` distinct
+    * keys, so a future caller can't silently hand the self-join a
+    * corpus and make it quadratic in it. The guard is one bounded
+    * aggregation job over the (already small) hourly frame —
+    * `limit(maxEntities+1)` caps the work regardless of input size. */
+  def pairwiseCorr(hourly: DataFrame, keyCol: String, maxEntities: Int = 64): DataFrame = {
+    require(maxEntities >= 2, s"maxEntities must be >= 2, got $maxEntities")
     val e3 = floor(col("close") * lit(1e3)).cast("long")
     val h = hourly.select(col(keyCol).as("__k"), col("hour"), e3.as("__x"))
+    val nKeys = h.select(col("__k")).distinct().limit(maxEntities + 1).count()
+    require(nKeys <= maxEntities,
+      s"pairwiseCorr is quadratic in the entity set: got > $maxEntities distinct " +
+        s"'$keyCol' values — filter to a watchlist first, or raise maxEntities deliberately")
     val a = h.select(col("__k").as("key_a"), col("hour"), col("__x").as("__xa"))
     val b = h.select(col("__k").as("key_b"), col("hour"), col("__x").as("__xb"))
-    val joined = a.join(b, Seq("hour")).filter(col("key_a") < col("key_b"))
+    val joined = a.join(broadcast(b), Seq("hour")).filter(col("key_a") < col("key_b"))
     val stats = joined.groupBy(col("key_a"), col("key_b")).agg(
       count(lit(1)).as("n"),
       sum(col("__xa")).as("sx"), sum(col("__xb")).as("sy"),

@@ -30,29 +30,57 @@ object Layout {
     * (micro-)batch, and scan planning degrades with file count long
     * before data size is a problem. File count is computed from the
     * ACTUAL on-disk bytes, then the data is rewritten through one
-    * `repartition`; rewrite-then-rename has the same non-atomic
-    * window as `MergeWriter` (documented there) — the vanilla-parquet
-    * ceiling, with table formats' rewrite-commit as the upgrade path.
-    * Returns the target file count. */
+    * `repartition` into a `__compact_tmp` sibling and committed with
+    * a two-rename swap (`path → path__compact_old`, `tmp → path`):
+    * the window a concurrent reader can observe is those two
+    * metadata-only renames — the previous form's recursive delete
+    * (O(files), the very thing compaction exists to shrink) sat
+    * inside it. A crash between the renames is rolled back by
+    * [[compactRecover]], which runs at the top of every compact;
+    * crash states are ScaleSpec-tested. True atomicity needs a
+    * manifest readers resolve — a table format's rewrite-commit, the
+    * documented upgrade path. Returns the target file count. */
   def compact(spark: SparkSession, path: String,
               targetBytes: Long = 128L << 20): Int = {
     require(targetBytes >= 1, s"targetBytes must be >= 1, got $targetBytes")
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    compactRecover(fs, path)
     val size = fs.getContentSummary(hPath).getLength
     val n = math.max(1, math.ceil(size.toDouble / targetBytes).toInt)
     val tmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
+    val old = new org.apache.hadoop.fs.Path(path + "__compact_old")
     spark.read.parquet(path).repartition(n)
       .write.mode("overwrite").parquet(tmp.toString)
-    // HDFS delete/rename signal failure via their return value, not an
-    // exception — ignoring them can turn a failed rename (cross-fs tmp,
+    // HDFS rename signals failure via its return value, not an
+    // exception — ignoring it can turn a failed rename (cross-fs tmp,
     // permissions) into silent data loss beyond the documented window.
-    // On failure the compacted copy survives at `tmp` for manual recovery.
-    require(fs.delete(hPath, true), s"compact: delete of $hPath failed; " +
+    require(fs.rename(hPath, old), s"compact: rename $hPath -> $old failed; " +
       s"original intact, compacted copy at $tmp")
     require(fs.rename(tmp, hPath), s"compact: rename $tmp -> $hPath failed; " +
-      s"data preserved at $tmp")
+      s"original preserved at $old — next compact on this path rolls it back")
+    fs.delete(old, true)
     n
+  }
+
+  /** Roll back the residue of a compact that crashed mid-swap:
+    *   - `__compact_old` present with `path` MISSING → the crash hit
+    *     between the two renames; restore the original;
+    *   - `__compact_old` present with `path` live → the crash hit
+    *     after commit, before cleanup; the compacted data wins;
+    *   - a `__compact_tmp` dir is an uncommitted rewrite → dropped
+    *     (recomputable). */
+  private[ops] def compactRecover(fs: org.apache.hadoop.fs.FileSystem,
+                                  path: String): Unit = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val old = new org.apache.hadoop.fs.Path(path + "__compact_old")
+    if (fs.exists(old)) {
+      if (!fs.exists(hPath))
+        require(fs.rename(old, hPath), s"compact recovery: rename $old -> $hPath failed")
+      else fs.delete(old, true)
+    }
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
   }
 
   /** 2-D Z-order (Morton) value: interleave the low `bits` bits of

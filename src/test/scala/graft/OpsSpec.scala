@@ -219,6 +219,45 @@ class MergeSpec extends AnyFunSuite {
     assert(got == Seq((1L, 10.0), (2L, 20.0), (3L, 99.0), (4L, 40.0)))
   }
 
+  test("mergeIntoPartitioned commit: crash states roll back / roll forward correctly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-merge-crash").toString
+    val path = s"$dir/t"
+    val day1 = ts("2024-01-01")
+    val day2 = ts("2024-01-02")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def hp(s: String) = new org.apache.hadoop.fs.Path(s)
+
+    val base = Seq((1L, day1, 10.0), (2L, day2, 20.0)).toDF("id", "day", "v")
+    MergeWriter.mergeIntoPartitioned(spark, path, base, Seq("id"), "day")
+    val partDir = new java.io.File(path).listFiles()
+      .map(_.getName).find(_.startsWith("day=")).get
+
+    // Crash point A — mid-swap: the live partition was moved to __old
+    // but the staged one never moved in. Recovery must restore the
+    // pre-merge state, and a re-run of the merge must then succeed.
+    fs.mkdirs(hp(s"${path}__old"))
+    assert(fs.rename(hp(s"$path/$partDir"), hp(s"${path}__old/$partDir")))
+    val batch = Seq((1L, day1, 99.0)).toDF("id", "day", "v")
+    MergeWriter.mergeIntoPartitioned(spark, path, batch, Seq("id"), "day")
+    val got = spark.read.parquet(path).orderBy("id")
+      .select("id", "v").as[(Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 99.0), (2L, 20.0)),
+      "mid-swap residue must roll back, then the merge applies")
+    assert(!fs.exists(hp(s"${path}__old")) && !fs.exists(hp(s"${path}__swap")))
+
+    // Crash point B — post-commit: live partition exists AND a stale
+    // __old copy remains. The live (merged) data must win.
+    fs.mkdirs(hp(s"${path}__old/$partDir"))
+    // stale __swap from an uncommitted run must also be discarded
+    fs.mkdirs(hp(s"${path}__swap/$partDir"))
+    MergeWriter.mergeIntoPartitioned(spark, path, batch, Seq("id"), "day")
+    val got2 = spark.read.parquet(path).orderBy("id")
+      .select("id", "v").as[(Long, Double)].collect().toSeq
+    assert(got2 == Seq((1L, 99.0), (2L, 20.0)))
+    assert(!fs.exists(hp(s"${path}__old")) && !fs.exists(hp(s"${path}__swap")))
+  }
+
   test("snapshotDiff classifies insert/delete/update/unchanged incl. null transitions") {
     val old = Seq((1L, Some(10.0)), (2L, Some(20.0)), (3L, None), (4L, Some(40.0)))
       .toDF("id", "v")

@@ -54,6 +54,36 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashJoin"), s"expected a hash equi-join in q78:\n$p")
   }
 
+  test("time-series family plans no moving-lower/UNBOUNDED-FOLLOWING window frame (q65-q69)") {
+    // The O(rows²) window shape: an upper bound of UNBOUNDED FOLLOWING
+    // with a MOVING lower bound — Spark's UnboundedFollowingWindow-
+    // FunctionFrame re-scans the remainder of the partition per row.
+    // (UNBOUNDED PRECEDING, UNBOUNDED FOLLOWING) is exempt: whole-
+    // partition frames are computed once. q65's first cut shipped the
+    // bad shape at 47 s and was fixed by reversing the sort into a
+    // growing frame (TimeSeries.scala:62-73); this pins that lesson
+    // for the whole family, like the q24 RegExpReplace cap.
+    val frame = """specifiedwindowframe\(\w+Frame, ([^,]*), unboundedfollowing\$\(\)\)""".r
+    Seq("q65_gap_fill", "q66_rolling_avg", "q67_vwap", "q68_drawdown",
+        "q69_anomaly").foreach { name =>
+      val p = plan(name)
+      frame.findAllMatchIn(p).foreach { m =>
+        assert(m.group(1) == "unboundedpreceding$()",
+          s"$name plans the O(rows²) window frame shape: ${m.matched}\n$p")
+      }
+    }
+  }
+
+  test("q70's watchlist self-join broadcasts (quadratic in the watchlist, never the corpus)") {
+    // pairwiseCorr's runtime guard refuses a corpus-sized entity set;
+    // this pins the plan half of the contract — the hour-keyed
+    // self-join must stay a broadcast hash join, not degrade to a
+    // shuffled sort-merge of the full series against itself.
+    val p = plan("q70_corr")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q70's self-join is no longer broadcast:\n$p")
+  }
+
   test("runtime bloom filter prunes the probe side of a selective shuffled join") {
     // The bloom-pruned join at 100 TB: a selective dim filter builds a
     // bloom filter that is pushed into the fact-side scan, so rows

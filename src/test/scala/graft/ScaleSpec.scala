@@ -82,6 +82,27 @@ class ScaleSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).as[(Long, String)].collect().toSet == before)
   }
 
+  test("compact commit: crash between the two renames rolls back; stale tmp is dropped") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact-crash").toString + "/t"
+    val df = Seq.tabulate(100)(i => (i.toLong, s"row$i")).toDF("id", "s")
+    df.repartition(4).write.parquet(dir)
+    val before = spark.read.parquet(dir).as[(Long, String)].collect().toSet
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def hp(s: String) = new org.apache.hadoop.fs.Path(s)
+
+    // Simulate the worst crash point: original moved aside, compacted
+    // copy never renamed in (reader would see ENOENT). The next
+    // compact must first restore the original, then compact it.
+    assert(fs.rename(hp(dir), hp(dir + "__compact_old")))
+    fs.mkdirs(hp(dir + "__compact_tmp")) // stale uncommitted rewrite
+    val n = Layout.compact(spark, dir, targetBytes = 1L << 30)
+    assert(n == 1)
+    assert(spark.read.parquet(dir).as[(Long, String)].collect().toSet == before,
+      "recovery + compact must be lossless")
+    assert(!fs.exists(hp(dir + "__compact_old")) && !fs.exists(hp(dir + "__compact_tmp")))
+  }
+
   test("zValue interleaves bits; Z-order clustering prunes on BOTH dims, linear sort only on one") {
     import graft.ops.Layout
     // zValue correctness on known interleavings
