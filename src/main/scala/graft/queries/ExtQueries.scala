@@ -2264,4 +2264,56 @@ object ExtQueries {
       |  SELECT make_timestamp((us // 1800000000) * 1800000000 - 1800000000), e3 FROM e)
       |SELECT win_start, count(*) AS n_events, CAST(sum(e3) AS BIGINT) AS sum_value_e3
       |FROM w GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q85_salted_sum — two-stage SALTED aggregation (Skew.saltedSum):
+  // partial agg on (keys, salt), final on keys — a hot key's rows
+  // spread over 16 reducers in stage 1 instead of one. The oracle is
+  // the PLAIN aggregate: the two-stage split must be exact for
+  // reassociable aggregates (a theorem — this driver-gates the skew
+  // family, previously ScaleSpec-only). All-integer 1e-3 fixed point.
+  // ----------------------------------------------------------------
+  def q85SaltedSum(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Skew.saltedSum(
+        Tables.events(spark, dir)
+          .withColumn("__v_e3", floor(col("value") * lit(1e3)).cast("long")),
+        keys = Seq("event_type"), valueCol = col("__v_e3"),
+        saltFrom = col("event_id"), salts = 16)
+      .select(col("event_type"), col("sum").as("sum_e3"))
+      .orderBy(col("event_type"))
+
+  val q85SaltedSumSql: String =
+    """SELECT event_type,
+      |  CAST(sum(CAST(floor(value * 1e3) AS BIGINT)) AS BIGINT) AS sum_e3
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q86_zorder — the Z-order (Morton) interleave value itself
+  // (Layout.zValue), driver-gated (previously ScaleSpec-only): the
+  // oracle rebuilds the identical 10-bit interleave with SQL bit
+  // arithmetic, mirroring the shift/and/or tree term for term. Both
+  // coordinates are non-negative (pmod / ((x % m) + m) % m), the
+  // zValue domain contract that ScaleSpec's pruning test relies on.
+  // ----------------------------------------------------------------
+  def q86Zorder(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"),
+        pmod(col("user_id"), lit(1024L)).as("a"),
+        pmod(floor(col("value") * lit(100)).cast("long"), lit(1024L)).as("b"))
+      .select(col("event_id"), col("a"), col("b"),
+        graft.ops.Layout.zValue(col("a"), col("b"), bits = 10).as("z"))
+      .orderBy(col("event_id"))
+
+  val q86ZorderSql: String = {
+    val interleave = (0 until 10).flatMap { j =>
+      Seq(s"(((a >> $j) & 1) << ${2 * j})", s"(((b >> $j) & 1) << ${2 * j + 1})")
+    }.mkString(" | ")
+    s"""WITH e AS (
+      |  SELECT event_id,
+      |    ((user_id % 1024) + 1024) % 1024 AS a,
+      |    ((CAST(floor(value * 100) AS BIGINT) % 1024) + 1024) % 1024 AS b
+      |  FROM events)
+      |SELECT event_id, a, b, CAST($interleave AS BIGINT) AS z
+      |FROM e ORDER BY event_id""".stripMargin
+  }
 }
