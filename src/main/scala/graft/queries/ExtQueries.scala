@@ -2316,4 +2316,48 @@ object ExtQueries {
       |SELECT event_id, a, b, CAST($interleave AS BIGINT) AS z
       |FROM e ORDER BY event_id""".stripMargin
   }
+
+  // ----------------------------------------------------------------
+  // q87_pagerank — link analysis (Graph.pageRankE9): 3 fixed
+  // iterations of PageRank-style propagation over the UNDIRECTED
+  // supplier↔customer graph induced by lineitem⋈orders (node ids
+  // disambiguated 2k / 2k+1 — supplier and customer keys share the
+  // integer space). All-BIGINT 1e-9 fixed point: rank div outdeg and
+  // the damping cross-multiply (85·Σ) div 100 are truncating integer
+  // ops on non-negative operands, so Spark `div` == DuckDB `//` and
+  // the oracle (the same three iterations unrolled as CTEs) matches
+  // bit for bit. Undirected edges mean no dangling nodes — the
+  // operator's documented simplification never engages here.
+  // ----------------------------------------------------------------
+  def q87PageRank(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("l_suppkey") * 2).as("src"), (col("o_custkey") * 2 + 1).as("dst"))
+    val edges = pairs.unionByName(
+      pairs.select(col("dst").as("src"), col("src").as("dst")))
+    graft.ext.Graph.pageRankE9(edges, iters = 3).orderBy(col("node"))
+  }
+
+  val q87PageRankSql: String = {
+    def step(prev: String, cur: String) =
+      s"""$cur AS (
+         |  SELECT n.node,
+         |    CAST(150000000 + (85 * COALESCE(s.m, 0)) // 100 AS BIGINT) AS r
+         |  FROM n LEFT JOIN (
+         |    SELECT e.dst AS node, CAST(SUM($prev.r // deg.deg) AS BIGINT) AS m
+         |    FROM e JOIN deg ON e.src = deg.src JOIN $prev ON $prev.node = e.src
+         |    GROUP BY 1) s ON s.node = n.node)""".stripMargin
+    s"""WITH p AS (
+      |  SELECT DISTINCT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |e AS (SELECT src, dst FROM p UNION SELECT dst, src FROM p),
+      |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+      |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM n),
+      |${step("r0", "r1")},
+      |${step("r1", "r2")},
+      |${step("r2", "r3")}
+      |SELECT node, r AS rank_e9 FROM r3 ORDER BY node""".stripMargin
+  }
 }

@@ -1,0 +1,34 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.Graph
+
+class GraphSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("pageRankE9 matches hand-computed fixed-point iterations on a 3-node star") {
+    // 1↔2, 1↔3 (undirected as directed pairs): deg(1)=2, deg(2)=deg(3)=1.
+    // r0 = 1e9 everywhere;
+    // r1(1) = 15e7 + (85·(1e9 + 1e9)) div 100      = 1,850,000,000
+    // r1(2) = r1(3) = 15e7 + (85·(1e9 div 2)) div 100 = 575,000,000
+    // r2(1) = 15e7 + (85·(575e6 + 575e6)) div 100  = 1,127,500,000
+    // r2(2) = r2(3) = 15e7 + (85·(185e7 div 2)) div 100 = 936,250,000
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L)).toDF("src", "dst")
+    val r = Graph.pageRankE9(edges, iters = 2)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(r == Seq((1L, 1127500000L), (2L, 936250000L), (3L, 936250000L)))
+    graft.ops.Intermediates.sweep(spark)
+  }
+
+  test("pageRankE9: a sink node keeps base rank inflow only (dangling mass not redistributed)") {
+    // 1 → 2 only: node 2 never emits, node 1 never receives.
+    // r1(1) = 15e7; r1(2) = 15e7 + (85·1e9) div 100 = 1e9.
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val r = Graph.pageRankE9(edges, iters = 1)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(r == Seq((1L, 150000000L), (2L, 1000000000L)))
+    graft.ops.Intermediates.sweep(spark)
+  }
+}

@@ -252,4 +252,42 @@ class StreamingSpec extends AnyFunSuite {
       .select("imp_id", "click_id").as[(Long, Long)].collect().toSet
     assert(batch == streamed)
   }
+
+  test("streaming hopping windows finalize behind the watermark; stream == batch") {
+    // q84's operator under a stream: EventAnalytics.hoppingCounts is
+    // the built-in window() generator, so the SAME function runs over
+    // a streaming frame with a watermark — the batch/stream shared-
+    // plan claim, asserted. Append mode emits a window exactly when
+    // the watermark passes its end.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Double)]
+    val counts = graft.ops.EventAnalytics.hoppingCounts(
+      input.toDF().toDF("ts", "value").withWatermark("ts", "10 minutes"))
+    val name = s"hop_out_${System.nanoTime()}"
+    val q = counts.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName(name).start()
+
+    val early = Seq(
+      (ts("2024-01-01 00:10:00"), 1.0), // windows 23:30 (prev day) and 00:00
+      (ts("2024-01-01 00:40:00"), 2.0)) // windows 00:00 and 00:30
+    val late = (ts("2024-01-01 03:00:00"), 4.0) // watermark → 02:50 closes all early windows
+    input.addData(early: _*)
+    q.processAllAvailable()
+    input.addData(late)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table(name)
+      .as[(Timestamp, Long, Long)].collect().toSet
+    // batch over the same rows, minus the two windows holding the late
+    // event — the watermark never passed them, Append must withhold
+    val batch = graft.ops.EventAnalytics.hoppingCounts(
+        (early :+ late).toDF("ts", "value"))
+      .as[(Timestamp, Long, Long)].collect().toSet
+    val withheld = Set(
+      (ts("2024-01-01 02:30:00"), 1L, 4000L),
+      (ts("2024-01-01 03:00:00"), 1L, 4000L))
+    assert(withheld.subsetOf(batch))
+    assert(streamed == batch -- withheld, s"streamed=$streamed\nbatch=$batch")
+  }
 }
