@@ -143,4 +143,25 @@ object Ops {
           col(ptDateCol) >= col("__lo") && col(ptDateCol) <= col("__hi"))
       .drop("__pday", "__iday", "__lo", "__hi")
   }
+
+  /** SCD2 (slowly-changing-dimension type 2) temporal join: each fact
+    * row picks the dimension VERSION effective at its event time —
+    * `fact.ts ∈ [valid_from, valid_to)` (half-open, the standard SCD2
+    * interval convention: a version's `valid_to` is the successor's
+    * `valid_from`, so no instant matches two versions).
+    *
+    * Plan shape — the reason this is an operator and not a raw join:
+    * the dimension KEY is an equi condition, so the join is a hash
+    * join (broadcast for normal dim sizes) with the interval test as
+    * a residual filter — never a nested loop, unlike a naive
+    * "BETWEEN-only" temporal join (q78's no-equi-key problem doesn't
+    * arise: SCD2 always has the key). Each fact matches at most one
+    * version when intervals are disjoint per key — the caller's
+    * contract; PlanSpec pins the hash-join shape via q88. */
+  def scd2Join(facts: DataFrame, dimVersions: DataFrame,
+               factKey: String, dimKey: String, tsCol: String,
+               fromCol: String = "valid_from", toCol: String = "valid_to"): DataFrame =
+    facts.join(dimVersions,
+      facts(factKey) === dimVersions(dimKey) &&
+        facts(tsCol) >= dimVersions(fromCol) && facts(tsCol) < dimVersions(toCol))
 }

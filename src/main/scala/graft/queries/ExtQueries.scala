@@ -2360,4 +2360,95 @@ object ExtQueries {
       |${step("r2", "r3")}
       |SELECT node, r AS rank_e9 FROM r3 ORDER BY node""".stripMargin
   }
+
+  // ----------------------------------------------------------------
+  // q88_scd2 — SCD2 temporal dimension join (Ops.scd2Join): each
+  // order picks the customer-segment VERSION effective at its order
+  // date (half-open [valid_from, valid_to) — no instant matches two
+  // versions). Versions are built in-plan from `customer` (the
+  // corpus has no natural version table): a 'LEGACY' v1 up to
+  // 1995-06-01, the real mktsegment after. The equi key keeps the
+  // plan a (broadcast) hash join with the interval test residual —
+  // PlanSpec pins it.
+  // ----------------------------------------------------------------
+  def q88Scd2(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val cut = to_date(lit("1995-06-01"))
+    val dims = cust.select(col("c_custkey").as("dim_key"), lit("LEGACY").as("segment"),
+        to_date(lit("1990-01-01")).as("valid_from"), cut.as("valid_to"))
+      .unionByName(cust.select(col("c_custkey").as("dim_key"), col("c_mktsegment").as("segment"),
+        cut.as("valid_from"), to_date(lit("9999-01-01")).as("valid_to")))
+    val facts = Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 50 === 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    graft.ops.Ops.scd2Join(facts, dims, "o_custkey", "dim_key", "o_orderdate")
+      .select(col("o_orderkey"), col("o_custkey"), col("segment"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q88Scd2Sql: String =
+    """WITH dims AS (
+      |  SELECT c_custkey AS dim_key, 'LEGACY' AS segment,
+      |         DATE '1990-01-01' AS valid_from, DATE '1995-06-01' AS valid_to
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey, c_mktsegment, DATE '1995-06-01', DATE '9999-01-01'
+      |  FROM customer)
+      |SELECT o_orderkey, o_custkey, segment
+      |FROM orders JOIN dims
+      |  ON o_custkey = dim_key AND o_orderdate >= valid_from AND o_orderdate < valid_to
+      |WHERE o_orderkey % 50 = 0
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q89_cube — CUBE grouping sets with grouping_id: event counts by
+  // every subset of (event_type, hour-of-day) — the missing grouping-
+  // sets sibling of q39's ROLLUP. grouping_id disambiguates a rolled-
+  // up NULL from a data NULL; both engines compose it MSB-first over
+  // the cube columns (verified by the hash gate).
+  // ----------------------------------------------------------------
+  def q89Cube(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("hod", hour(col("ts")).cast("long"))
+      .cube(col("event_type"), col("hod"))
+      .agg(count(lit(1)).as("n"), grouping_id().cast("long").as("gid"))
+      .orderBy(col("gid"), col("event_type").asc_nulls_last, col("hod").asc_nulls_last)
+
+  val q89CubeSql: String =
+    """WITH e AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod FROM events)
+      |SELECT event_type, hod, COUNT(*) AS n,
+      |  CAST(GROUPING(event_type, hod) AS BIGINT) AS gid
+      |FROM e GROUP BY CUBE (event_type, hod)
+      |ORDER BY gid, event_type ASC NULLS LAST, hod ASC NULLS LAST""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q90_rank_suite — the ranking-function family over one tie-rich
+  // order (n_chars per lang): rank (gaps), dense_rank (no gaps),
+  // percent_rank ((rank−1)/(n−1)) and cume_dist (rows ≤ current / n).
+  // The two ratio functions are single correctly-rounded divisions of
+  // exact small integers, so the doubles compare bit-identically (the
+  // q24 argument). doc_id carries row identity; ties make the four
+  // functions diverge, which is the point of gating all four.
+  // ----------------------------------------------------------------
+  def q90RankSuite(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("n_chars"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars").cast("long").as("n_chars"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        percent_rank().over(w).as("prnk"),
+        cume_dist().over(w).as("cdist"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q90RankSuiteSql: String =
+    """SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+      |  CAST(rank() OVER w AS BIGINT) AS rnk,
+      |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+      |  percent_rank() OVER w AS prnk,
+      |  cume_dist() OVER w AS cdist
+      |FROM documents
+      |WINDOW w AS (PARTITION BY lang ORDER BY n_chars)
+      |ORDER BY doc_id""".stripMargin
 }

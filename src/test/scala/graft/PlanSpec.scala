@@ -41,6 +41,22 @@ class PlanSpec extends AnyFunSuite {
     // the compressed-scan shape, not an accident; same intent pin.
     assert(plan("q60_pq_recall").contains("BroadcastNestedLoopJoin"),
       "q60's ADC crossJoin is no longer broadcast-bounded")
+    // q82's edit-distance probe has NO equi key (length-band + banded
+    // DP are both inequalities) — broadcast-bounded by the probe-batch
+    // contract, like q60's ADC scan.
+    assert(plan("q82_edit_distance").contains("BroadcastNestedLoopJoin"),
+      "q82's probe join is no longer broadcast-bounded")
+  }
+
+  test("q88's SCD2 temporal join stays a hash join (equi key + residual interval)") {
+    // The operator's contract: the dimension KEY is an equi condition,
+    // so the interval test rides as a residual filter on a hash join —
+    // if this ever degrades to a BNLJ the temporal join went
+    // |facts| × |versions|.
+    val p = plan("q88_scd2")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"q88's SCD2 join fell back to a nested loop:\n$p")
+    assert(p.contains("HashJoin"), s"expected a hash join in q88:\n$p")
   }
 
   test("q78's range join is an equi hash join, never a nested loop") {

@@ -32,6 +32,7 @@ the Spark library.
 """
 import json
 import math
+import os
 import sys
 
 import duckdb
@@ -162,7 +163,7 @@ def values_close(a, b):
         return values_equal(a, b)
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, partial=False):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -170,6 +171,11 @@ def main(sf_dir, out_dir):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = n_lint = 0
     for name, sql in sorted(oracle.items()):
+        # --partial: single-query Verify runs (graft.Verify <sf> <out>
+        # <query...>) dump the full oracle map but only the named
+        # outputs — skip the absent ones instead of failing them.
+        if partial and not os.path.isdir(f"{out_dir}/{name}"):
+            continue
         try:
             dset = load_spark_dataset(f"{out_dir}/{name}")
             got = dset.to_table().to_pandas()
@@ -247,4 +253,5 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  partial="--partial" in sys.argv[3:]))
