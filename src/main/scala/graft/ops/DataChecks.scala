@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality constraint checks — the validation layer
+  * every production pipeline runs before trusting a load (the
+  * reference delegates this entirely to Postgres constraints:
+  * PKs/FKs/NOT NULL in `sql/schema.sql:4-36`; a lake has no engine to
+  * enforce them, so they become assertions over scans).
+  *
+  * Every check is ONE aggregate (or one anti-join + aggregate) and
+  * reports exact integer evidence `(n_bad, n_total)` rather than a
+  * bare boolean — at 100 TB you triage by violation count, and the
+  * integers make the report engine-exact for cross-engine gates.
+  * Checks return 1-row frames with a common schema
+  * (check, n_bad, n_total, ok) so callers union them into one report
+  * and write it next to the load.
+  */
+object DataChecks {
+
+  /** Key uniqueness: n_bad = rows beyond the first per key (0 ⇒ the
+    * columns form a candidate key). One hash aggregate + one scalar
+    * aggregate; NULL keys group together like SQL GROUP BY. */
+  def uniqueness(df: DataFrame, cols: Seq[String], name: String): DataFrame =
+    df.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__n"))
+      .agg(lit(name).as("check"),
+        sum(col("__n") - 1).cast("long").as("n_bad"),
+        sum(col("__n")).cast("long").as("n_total"))
+      .withColumn("ok", col("n_bad") === 0)
+
+  /** Completeness: n_bad = NULL rows in `c`. */
+  def completeness(df: DataFrame, c: String, name: String): DataFrame =
+    df.agg(lit(name).as("check"),
+      count(when(col(c).isNull, 1)).as("n_bad"),
+      count(lit(1)).as("n_total"))
+      .withColumn("ok", col("n_bad") === 0)
+
+  /** Referential integrity: n_bad = child rows whose key has no match
+    * in `parent` (NULL child keys are orphans too — a lake FK can't
+    * be satisfied by an absent key). Left-anti join on the key — at
+    * scale the parent key column broadcasts or bloom-prunes. Fully
+    * lazy: the orphan count and the total are two 1-row aggregates
+    * combined by a trivial broadcast cross join, no driver action. */
+  def referential(child: DataFrame, childKey: String,
+                  parent: DataFrame, parentKey: String, name: String): DataFrame =
+    child.join(parent.select(col(parentKey).as(childKey)).distinct(),
+        Seq(childKey), "left_anti")
+      .agg(count(lit(1)).as("__bad"))
+      .crossJoin(child.agg(count(lit(1)).as("__tot")))
+      .select(lit(name).as("check"), col("__bad").as("n_bad"), col("__tot").as("n_total"))
+      .withColumn("ok", col("n_bad") === 0)
+
+  /** Range/predicate conformance: n_bad = rows FAILING `pred` (null
+    * predicate results count as failures — unknown is not conforming). */
+  def satisfies(df: DataFrame, pred: org.apache.spark.sql.Column, name: String): DataFrame =
+    df.agg(lit(name).as("check"),
+      (count(lit(1)) - count(when(pred, 1))).as("n_bad"),
+      count(lit(1)).as("n_total"))
+      .withColumn("ok", col("n_bad") === 0)
+}

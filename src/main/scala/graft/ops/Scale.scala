@@ -41,7 +41,8 @@ object Layout {
     * manifest readers resolve — a table format's rewrite-commit, the
     * documented upgrade path. Returns the target file count. */
   def compact(spark: SparkSession, path: String,
-              targetBytes: Long = 128L << 20): Int = {
+              targetBytes: Long = 128L << 20,
+              partitionBy: Seq[String] = Nil): Int = {
     require(targetBytes >= 1, s"targetBytes must be >= 1, got $targetBytes")
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -50,8 +51,17 @@ object Layout {
     val n = math.max(1, math.ceil(size.toDouble / targetBytes).toInt)
     val tmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
     val old = new org.apache.hadoop.fs.Path(path + "__compact_old")
-    spark.read.parquet(path).repartition(n)
-      .write.mode("overwrite").parquet(tmp.toString)
+    // A PARTITIONED dataset must be compacted with its partition
+    // columns (pass `partitionBy`): a bare rewrite would read the
+    // partition values as ordinary columns and write them back FLAT,
+    // silently destroying the layout (and its pruning). Clustering by
+    // the partition columns writes one file per partition value; `n`
+    // then only bounds write parallelism.
+    val rewritten =
+      if (partitionBy.isEmpty) spark.read.parquet(path).repartition(n)
+      else spark.read.parquet(path).repartition(n, partitionBy.map(col): _*)
+    rewritten.write.mode("overwrite")
+      .partitionBy(partitionBy: _*).parquet(tmp.toString)
     // HDFS rename signals failure via its return value, not an
     // exception — ignoring it can turn a failed rename (cross-fs tmp,
     // permissions) into silent data loss beyond the documented window.

@@ -2451,4 +2451,78 @@ object ExtQueries {
       |FROM documents
       |WINDOW w AS (PARTITION BY lang ORDER BY n_chars)
       |ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q91_setops — INTERSECT and EXCEPT (R5's remaining members; q29/
+  // q40 cover union/semi/anti): clickers who also purchased, and
+  // clickers who never did. Both are set-semantic (distinct) ops —
+  // Spark plans them as aggregated semi/anti joins on all columns.
+  // ----------------------------------------------------------------
+  def q91SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def users(t: String) = ev.filter(col("event_type") === t).select(col("user_id"))
+    users("click").intersect(users("purchase")).withColumn("op", lit("intersect"))
+      .unionByName(
+        users("click").except(users("purchase")).withColumn("op", lit("except")))
+      .orderBy(col("op"), col("user_id"))
+  }
+
+  val q91SetOpsSql: String =
+    """SELECT user_id, 'intersect' AS op FROM (
+      |  SELECT user_id FROM events WHERE event_type = 'click'
+      |  INTERSECT
+      |  SELECT user_id FROM events WHERE event_type = 'purchase')
+      |UNION ALL
+      |SELECT user_id, 'except' AS op FROM (
+      |  SELECT user_id FROM events WHERE event_type = 'click'
+      |  EXCEPT
+      |  SELECT user_id FROM events WHERE event_type = 'purchase')
+      |ORDER BY op, user_id""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q92_dq_report — declarative data-quality constraint report
+  // (ops/DataChecks): the reference's Postgres PK/FK/NOT NULL
+  // constraints (sql/schema.sql:4-36) re-expressed as lake-side
+  // assertions with exact integer evidence — key uniqueness,
+  // completeness, referential integrity (left-anti), and a predicate
+  // conformance check, unioned into one report frame. Each check is
+  // one aggregate; the FK anti-join broadcasts/bloom-prunes at scale.
+  // ----------------------------------------------------------------
+  def q92DqReport(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.DataChecks._
+    val ev = Tables.events(spark, dir)
+    Seq(
+      uniqueness(Tables.orders(spark, dir), Seq("o_orderkey"), "orders_pk_unique"),
+      uniqueness(ev, Seq("event_id"), "events_pk_unique"),
+      completeness(ev, "value", "events_value_complete"),
+      referential(Tables.orders(spark, dir), "o_custkey",
+        Tables.customer(spark, dir), "c_custkey", "orders_custkey_fk"),
+      satisfies(Tables.lineitem(spark, dir), col("l_quantity") > 0, "lineitem_qty_positive")
+    ).reduce(_ unionByName _).orderBy(col("check"))
+  }
+
+  val q92DqReportSql: String =
+    """SELECT "check", n_bad, n_total, n_bad = 0 AS ok FROM (
+      |  SELECT 'orders_pk_unique' AS "check",
+      |    CAST(sum(n - 1) AS BIGINT) AS n_bad, CAST(sum(n) AS BIGINT) AS n_total
+      |  FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderkey)
+      |  UNION ALL
+      |  SELECT 'events_pk_unique',
+      |    CAST(sum(n - 1) AS BIGINT), CAST(sum(n) AS BIGINT)
+      |  FROM (SELECT count(*) AS n FROM events GROUP BY event_id)
+      |  UNION ALL
+      |  SELECT 'events_value_complete',
+      |    count(CASE WHEN value IS NULL THEN 1 END), count(*)
+      |  FROM events
+      |  UNION ALL
+      |  SELECT 'orders_custkey_fk',
+      |    count(CASE WHEN NOT EXISTS (SELECT 1 FROM customer c
+      |                                WHERE c.c_custkey = o.o_custkey) THEN 1 END),
+      |    count(*)
+      |  FROM orders o
+      |  UNION ALL
+      |  SELECT 'lineitem_qty_positive',
+      |    count(*) - count(CASE WHEN l_quantity > 0 THEN 1 END), count(*)
+      |  FROM lineitem) t
+      |ORDER BY "check"""".stripMargin
 }

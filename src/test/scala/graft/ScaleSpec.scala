@@ -82,6 +82,24 @@ class ScaleSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).as[(Long, String)].collect().toSet == before)
   }
 
+  test("compact with partitionBy preserves the partition layout (and its pruning) losslessly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact-part").toString + "/t"
+    val df = Seq.tabulate(300)(i => (i.toLong, i % 3L, s"row$i")).toDF("id", "part", "s")
+    df.repartition(10).write.partitionBy("part").parquet(dir) // 10 files per partition dir
+    val before = spark.read.parquet(dir)
+      .select("id", "part", "s").as[(Long, Long, String)].collect().toSet
+    Layout.compact(spark, dir, targetBytes = 1L << 30, partitionBy = Seq("part"))
+    val partDirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part=")).toSeq
+    assert(partDirs.size == 3, s"partition dirs lost: ${partDirs.map(_.getName)}")
+    partDirs.foreach { d =>
+      val files = d.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(files == 1, s"${d.getName}: expected 1 compacted file, got $files")
+    }
+    assert(spark.read.parquet(dir)
+      .select("id", "part", "s").as[(Long, Long, String)].collect().toSet == before)
+  }
+
   test("compact commit: crash between the two renames rolls back; stale tmp is dropped") {
     val dir = java.nio.file.Files.createTempDirectory("graft-compact-crash").toString + "/t"
     val df = Seq.tabulate(100)(i => (i.toLong, s"row$i")).toDF("id", "s")
