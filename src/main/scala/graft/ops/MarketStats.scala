@@ -129,6 +129,43 @@ object MarketStats {
     * corpus and make it quadratic in it. The guard is one bounded
     * aggregation job over the (already small) hourly frame —
     * `limit(maxEntities+1)` caps the work regardless of input size. */
+  /** Per-entity OLS trend slope over the hourly close series — "is
+    * this asset drifting up or down, and how fast" — from exact
+    * integer co-moments (the [[pairwiseCorr]] machinery pointed at
+    * time): x = hours since the ENTITY'S OWN first hour (centering x
+    * per entity keeps n·Σxy inside BIGINT — raw epoch-hours overflow
+    * at ~2e19 — and leaves the slope invariant), y = 10⁻³ fixed-point
+    * close.
+    *
+    *   slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)   [y-units/hour]
+    *
+    * n, Σx, Σy, Σxy, Σx² are one entity-keyed hash aggregate after a
+    * min-hour self-aggregate + same-key join (no extra exchange under
+    * AQE); the slope itself is per-row double arithmetic on exact
+    * integers — bit-identical cross-engine. Zero x-variance (a single
+    * observation) yields NULL. Output: (key, n, slope_e6 =
+    * floor(slope·10⁶), sum_y_e3 = Σy exactly). */
+  def trendSlopeE6(hourly: DataFrame, keyCol: String): DataFrame = {
+    val h = hourly.select(col(keyCol).as("__k"), col("hour"),
+      floor(col("close") * lit(1e3)).cast("long").as("__y"))
+    val first = h.groupBy(col("__k")).agg(min(col("hour")).as("__h0"))
+    val xy = h.join(first, Seq("__k"))
+      .withColumn("__x", expr("(unix_timestamp(hour) - unix_timestamp(__h0)) div 3600"))
+    val stats = xy.groupBy(col("__k").as(keyCol)).agg(
+      count(lit(1)).as("n"),
+      sum(col("__x")).as("sx"), sum(col("__y")).as("sy"),
+      sum(col("__x") * col("__y")).as("sxy"),
+      sum(col("__x") * col("__x")).as("sxx"))
+    val den = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    stats.select(col(keyCol), col("n"),
+      when(den > 0, floor(num / den * lit(1e6)).cast("long"))
+        .otherwise(lit(null).cast("long")).as("slope_e6"),
+      // the exact sum, not a mean: a truncating integer mean would
+      // diverge from DuckDB's floor `//` on negative sums
+      col("sy").as("sum_y_e3"))
+  }
+
   def pairwiseCorr(hourly: DataFrame, keyCol: String, maxEntities: Int = 64): DataFrame = {
     require(maxEntities >= 2, s"maxEntities must be >= 2, got $maxEntities")
     val e3 = floor(col("close") * lit(1e3)).cast("long")

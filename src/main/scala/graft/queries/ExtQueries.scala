@@ -2525,4 +2525,37 @@ object ExtQueries {
       |    count(*) - count(CASE WHEN l_quantity > 0 THEN 1 END), count(*)
       |  FROM lineitem) t
       |ORDER BY "check"""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q93_trend — per-entity OLS trend slope over the hourly closes
+  // (MarketStats.trendSlopeE6): the q70 co-moment machinery pointed
+  // at time. x is centered on each entity's first hour (keeps
+  // n·Σxy inside BIGINT; slope-invariant); the slope is ONE double
+  // division of exact integers, mirrored expression-for-expression.
+  // ----------------------------------------------------------------
+  def q93Trend(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.MarketStats.trendSlopeE6(hourlyCloseCached(spark, dir), keyCol = "user_id")
+      .orderBy(col("user_id"))
+
+  val q93TrendSql: String =
+    """WITH h AS (
+      |  SELECT user_id, date_trunc('hour', ts) AS hour, arg_max(value, ts) AS close
+      |  FROM events GROUP BY 1, 2),
+      |e AS (SELECT user_id, hour, CAST(floor(close * 1e3) AS BIGINT) AS y FROM h),
+      |f AS (SELECT user_id, min(hour) AS h0 FROM e GROUP BY 1),
+      |x AS (
+      |  SELECT e.user_id, (epoch_us(hour) - epoch_us(h0)) // 3600000000 AS x, y
+      |  FROM e JOIN f ON e.user_id = f.user_id),
+      |s AS (
+      |  SELECT user_id, count(*) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+      |  FROM x GROUP BY 1)
+      |SELECT user_id, n,
+      |  CASE WHEN n * sxx - sx * sx > 0 THEN
+      |    CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+      |      / CAST(n * sxx - sx * sx AS DOUBLE) * 1e6) AS BIGINT)
+      |  END AS slope_e6,
+      |  sy AS sum_y_e3
+      |FROM s ORDER BY user_id""".stripMargin
 }

@@ -107,4 +107,22 @@ class MarketStatsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("trendSlopeE6: exact slope on a perfect line; single observation yields null") {
+    // entity 1: y = 1.0, 2.0, 3.0 at hours 0,1,2 → slope exactly
+    // 1000 e3-units/hour → slope_e6 = 1e9; entity 2: one point → null
+    val hourly = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1.0),
+      (1L, ts("2024-01-01 01:00:00"), 2.0),
+      (1L, ts("2024-01-01 02:00:00"), 3.0),
+      (2L, ts("2024-01-01 00:00:00"), 5.0)
+    ).toDF("user_id", "hour", "close")
+    val got = graft.ops.MarketStats.trendSlopeE6(hourly, "user_id")
+      .orderBy("user_id")
+      .select("user_id", "n", "slope_e6", "sum_y_e3")
+      .as[(Long, Long, Option[Long], Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, Some(1000000000L), 6000L),
+      (2L, 1L, None, 5000L)))
+  }
 }
