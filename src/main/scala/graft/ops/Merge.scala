@@ -93,6 +93,35 @@ object Merge {
           .otherwise("update"))
       .drop("__in_old", "__in_new")
   }
+
+  /** Apply a CDC change feed to a keyed snapshot — the consumer side
+    * of [[snapshotDiff]], and the one write shape [[upsert]] cannot
+    * express: DELETES. The feed carries the snapshot's columns plus
+    * `opCol` ('insert' | 'update' | 'delete') and `versionCol`; per
+    * key the HIGHEST version wins (a delete followed by a re-insert
+    * at a higher version resurrects the key), then:
+    *   - surviving op insert/update ⇒ the feed row's values replace
+    *     (or create) the key;
+    *   - surviving op delete ⇒ the key is dropped.
+    *
+    * Shape: one key-window dedup over the feed (small side) + one
+    * left-anti join + a union — the existing snapshot is touched by
+    * exactly one join keyed on its own key, so a partitioned 100 TB
+    * snapshot combines this with [[MergeWriter]]-style partition
+    * pruning. Keys absent from the feed pass through untouched;
+    * feed-only deletes (key never existed) are no-ops. */
+  def applyChangeFeed(existing: DataFrame, feed: DataFrame, keys: Seq[String],
+                      opCol: String = "op", versionCol: String = "version"): DataFrame = {
+    val cols = existing.columns.toSeq
+    require((cols ++ Seq(opCol, versionCol)).sorted == feed.columns.toSeq.sorted,
+      s"feed must carry the snapshot columns plus $opCol/$versionCol: " +
+        s"got ${feed.columns.mkString(",")}")
+    val latest = Merge.dedupKeepLast(feed, keys, col(versionCol))
+    val survivors = existing.join(latest.select(keys.map(col): _*), keys, "left_anti")
+    val applied = latest.filter(col(opCol) =!= "delete")
+      .select(cols.map(col): _*)
+    survivors.select(cols.map(col): _*).unionByName(applied)
+  }
 }
 
 /** Partition-pruned merge writer: the 100 TB-safe form of U1-U3. */

@@ -2558,4 +2558,48 @@ object ExtQueries {
       |  END AS slope_e6,
       |  sy AS sum_y_e3
       |FROM s ORDER BY user_id""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q94_cdc_apply — apply a versioned CDC feed to a keyed snapshot
+  // (Merge.applyChangeFeed): the consumer side of q76's snapshot
+  // diff, and the write shape upsert can't express — DELETES. The
+  // feed is built in-plan from `customer` (updates on 7-multiples,
+  // v2 deletes on 11-multiples — the overlap at 77-multiples proves
+  // highest-version-wins — and key-shifted inserts on 13-multiples).
+  // ----------------------------------------------------------------
+  def q94CdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("id"), col("c_mktsegment").as("segment"))
+    val feed = base.filter(col("id") % 7 === 0)
+      .select(col("id"), lit("UPDATED").as("segment"),
+        lit("update").as("op"), lit(1L).as("version"))
+      .unionByName(base.filter(col("id") % 11 === 0)
+        .select(col("id"), lit(null).cast("string").as("segment"),
+          lit("delete").as("op"), lit(2L).as("version")))
+      .unionByName(base.filter(col("id") % 13 === 0)
+        .select((col("id") + 1000000L).as("id"), lit("NEW").as("segment"),
+          lit("insert").as("op"), lit(1L).as("version")))
+    graft.ops.Merge.applyChangeFeed(base, feed, Seq("id"))
+      .orderBy(col("id"))
+  }
+
+  val q94CdcApplySql: String =
+    """WITH base AS (SELECT c_custkey AS id, c_mktsegment AS segment FROM customer),
+      |feed AS (
+      |  SELECT id, 'UPDATED' AS segment, 'update' AS op, 1 AS v FROM base WHERE id % 7 = 0
+      |  UNION ALL
+      |  SELECT id, NULL, 'delete', 2 FROM base WHERE id % 11 = 0
+      |  UNION ALL
+      |  SELECT id + 1000000, 'NEW', 'insert', 1 FROM base WHERE id % 13 = 0),
+      |latest AS (
+      |  SELECT id, segment, op FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY v DESC) AS rn FROM feed)
+      |  WHERE rn = 1),
+      |survivors AS (
+      |  SELECT b.id, b.segment FROM base b
+      |  WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.id = b.id))
+      |SELECT id, segment FROM survivors
+      |UNION ALL
+      |SELECT id, segment FROM latest WHERE op <> 'delete'
+      |ORDER BY id""".stripMargin
 }

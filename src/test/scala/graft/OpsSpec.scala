@@ -258,6 +258,22 @@ class MergeSpec extends AnyFunSuite {
     assert(!fs.exists(hp(s"${path}__old")) && !fs.exists(hp(s"${path}__swap")))
   }
 
+  test("applyChangeFeed: deletes drop keys, highest version wins, re-insert resurrects") {
+    val existing = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "v")
+    val feed = Seq(
+      (2L, "B", "update", 1L),   // plain update
+      (3L, "x", "delete", 1L),   // delete v1 ...
+      (3L, "C2", "insert", 2L),  // ... then re-insert v2: resurrects with new value
+      (4L, "x", "update", 1L),
+      (4L, "x", "delete", 2L),   // delete wins over the v1 update
+      (5L, "E", "insert", 1L),   // brand-new key
+      (9L, "x", "delete", 1L)    // delete of a key that never existed: no-op
+    ).toDF("id", "v", "op", "version")
+    val got = graft.ops.Merge.applyChangeFeed(existing, feed, Seq("id"))
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "a"), (2L, "B"), (3L, "C2"), (5L, "E")))
+  }
+
   test("snapshotDiff classifies insert/delete/update/unchanged incl. null transitions") {
     val old = Seq((1L, Some(10.0)), (2L, Some(20.0)), (3L, None), (4L, Some(40.0)))
       .toDF("id", "v")
