@@ -41,15 +41,34 @@ object Intermediates {
 
   private val registry = mutable.Map.empty[String, mutable.Buffer[DataFrame]]
 
+  /** One warning per session when the unswept count crosses this —
+    * persist pins blocks in the CacheManager (unlike the checkpoints
+    * it replaced, which the ContextCleaner freed on unreachability),
+    * so a caller that never sweeps accumulates storage until session
+    * end. The harness sweeps per query and never comes near this. */
+  private val WarnUnswept = 256
+
   /** Persist `df` (MEMORY_AND_DISK) and register it for the owning
     * session's next [[sweep]]. Returns `df` itself — drop-in where a
-    * `localCheckpoint(eager = false)` used to sit. */
+    * `localCheckpoint(eager = false)` used to sit.
+    *
+    * OWNERSHIP: registration pins the blocks until a sweep (or
+    * session stop) — embedding callers MUST call [[sweep]] at their
+    * request boundaries; dropping every reference does NOT free the
+    * storage the way it did for the ContextCleaner-managed
+    * checkpoints. */
   def shared(df: DataFrame): DataFrame = {
     df.persist(StorageLevel.MEMORY_AND_DISK)
     val key = ResultCache.sessionKey(df.sparkSession)
-    registry.synchronized {
-      registry.getOrElseUpdate(key, mutable.Buffer.empty) += df
+    val unswept = registry.synchronized {
+      val owned = registry.getOrElseUpdate(key, mutable.Buffer.empty)
+      owned += df
+      owned.size
     }
+    if (unswept == WarnUnswept)
+      System.err.println(s"[graft] Intermediates: $unswept unswept intermediates " +
+        s"for session $key — call Intermediates.sweep(spark) at request " +
+        "boundaries or executor storage will accumulate until session end")
     df
   }
 

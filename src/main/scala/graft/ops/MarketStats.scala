@@ -106,29 +106,6 @@ object MarketStats {
 
   private def pow2(c: Column): Column = c * c
 
-  /** Pairwise Pearson correlation of hourly closes across a small
-    * watchlist of entities, from exact integer co-moments.
-    *
-    * The hourly series self-joins on the hour (key_a < key_b), and
-    * the per-pair aggregates n, Σx, Σy, Σxy, Σx², Σy² are exact
-    * integer sums over 10⁻³ fixed-point closes. The correlation
-    *
-    *   r = (n·Σxy − Σx·Σy) / (√(n·Σx² − (Σx)²) · √(n·Σy² − (Σy)²))
-    *
-    * is then per-row scalar arithmetic on exact integers — each
-    * IEEE op correctly rounded, so bit-identical across engines
-    * (the q24 argument); zero-variance pairs yield NULL. The join
-    * build side is the watchlist's own series — tiny by contract —
-    * and is broadcast EXPLICITLY; pair count is quadratic in the
-    * WATCHLIST (bounded, like the reference's 10-coin config), not
-    * the corpus, and the co-moment agg is one hash aggregate.
-    *
-    * The watchlist contract is ENFORCED, not assumed (round-6
-    * verdict #7): the call refuses more than `maxEntities` distinct
-    * keys, so a future caller can't silently hand the self-join a
-    * corpus and make it quadratic in it. The guard is one bounded
-    * aggregation job over the (already small) hourly frame —
-    * `limit(maxEntities+1)` caps the work regardless of input size. */
   /** Per-entity OLS trend slope over the hourly close series — "is
     * this asset drifting up or down, and how fast" — from exact
     * integer co-moments (the [[pairwiseCorr]] machinery pointed at
@@ -166,10 +143,37 @@ object MarketStats {
       col("sy").as("sum_y_e3"))
   }
 
+  /** Pairwise Pearson correlation of hourly closes across a small
+    * watchlist of entities, from exact integer co-moments.
+    *
+    * The hourly series self-joins on the hour (key_a < key_b), and
+    * the per-pair aggregates n, Σx, Σy, Σxy, Σx², Σy² are exact
+    * integer sums over 10⁻³ fixed-point closes. The correlation
+    *
+    *   r = (n·Σxy − Σx·Σy) / (√(n·Σx² − (Σx)²) · √(n·Σy² − (Σy)²))
+    *
+    * is then per-row scalar arithmetic on exact integers — each
+    * IEEE op correctly rounded, so bit-identical across engines
+    * (the q24 argument); zero-variance pairs yield NULL. The join
+    * build side is the watchlist's own series — tiny by contract —
+    * and is broadcast EXPLICITLY; pair count is quadratic in the
+    * WATCHLIST (bounded, like the reference's 10-coin config), not
+    * the corpus, and the co-moment agg is one hash aggregate.
+    *
+    * The watchlist contract is ENFORCED, not assumed (round-6
+    * verdict #7): the call refuses more than `maxEntities` distinct
+    * keys, so a future caller can't silently hand the self-join a
+    * corpus and make it quadratic in it. The guard's count job runs
+    * over the [[Intermediates]]-persisted series (one materialization
+    * feeds the guard AND both join sides — an uncached caller would
+    * otherwise pay its upstream plan three times), and
+    * `limit(maxEntities+1)` caps the guard's work regardless of
+    * input size. */
   def pairwiseCorr(hourly: DataFrame, keyCol: String, maxEntities: Int = 64): DataFrame = {
     require(maxEntities >= 2, s"maxEntities must be >= 2, got $maxEntities")
     val e3 = floor(col("close") * lit(1e3)).cast("long")
-    val h = hourly.select(col(keyCol).as("__k"), col("hour"), e3.as("__x"))
+    val h = Intermediates.shared(
+      hourly.select(col(keyCol).as("__k"), col("hour"), e3.as("__x")))
     val nKeys = h.select(col("__k")).distinct().limit(maxEntities + 1).count()
     require(nKeys <= maxEntities,
       s"pairwiseCorr is quadratic in the entity set: got > $maxEntities distinct " +

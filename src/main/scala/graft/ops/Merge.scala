@@ -116,7 +116,17 @@ object Merge {
     require((cols ++ Seq(opCol, versionCol)).sorted == feed.columns.toSeq.sorted,
       s"feed must carry the snapshot columns plus $opCol/$versionCol: " +
         s"got ${feed.columns.mkString(",")}")
-    val latest = Merge.dedupKeepLast(feed, keys, col(versionCol))
+    // Op domain is enforced IN-PLAN (raise_error), not assumed: a NULL
+    // op would otherwise silently DELETE its key (null-propagating
+    // =!= drops the row from both branches), and a miscased 'DELETE'
+    // would silently apply as an upsert of the delete-row's payload.
+    val ops = Seq("insert", "update", "delete")
+    val guarded = feed.withColumn(opCol,
+      when(col(opCol).isin(ops: _*), col(opCol))
+        .otherwise(raise_error(concat(
+          lit(s"applyChangeFeed: $opCol must be one of ${ops.mkString("/")}, got '"),
+          coalesce(col(opCol), lit("NULL")), lit("'")))))
+    val latest = Merge.dedupKeepLast(guarded, keys, col(versionCol))
     val survivors = existing.join(latest.select(keys.map(col): _*), keys, "left_anti")
     val applied = latest.filter(col(opCol) =!= "delete")
       .select(cols.map(col): _*)

@@ -55,8 +55,12 @@ object Layout {
     // columns (pass `partitionBy`): a bare rewrite would read the
     // partition values as ordinary columns and write them back FLAT,
     // silently destroying the layout (and its pruning). Clustering by
-    // the partition columns writes one file per partition value; `n`
-    // then only bounds write parallelism.
+    // the partition columns writes ONE file per partition value —
+    // `n` and targetBytes then bound only write parallelism, not file
+    // size; a caller with single partition values far above
+    // targetBytes should cap file size via
+    // spark.sql.files.maxRecordsPerFile (the per-file split knob that
+    // composes with partitionBy) rather than this byte target.
     val rewritten =
       if (partitionBy.isEmpty) spark.read.parquet(path).repartition(n)
       else spark.read.parquet(path).repartition(n, partitionBy.map(col): _*)

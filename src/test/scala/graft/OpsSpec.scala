@@ -274,6 +274,24 @@ class MergeSpec extends AnyFunSuite {
     assert(got == Seq((1L, "a"), (2L, "B"), (3L, "C2"), (5L, "E")))
   }
 
+  test("applyChangeFeed rejects unknown and NULL ops loudly instead of misapplying them") {
+    // 'DELETE' (wrong case) would otherwise upsert its payload; a NULL
+    // op would silently delete its key (null-propagating =!= drops it
+    // from both branches).
+    val existing = Seq((1L, "a")).toDF("id", "v")
+    def messages(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString("|")
+    Seq(Some("DELETE"), None).foreach { op =>
+      val bad = Seq((1L, "x", op.orNull, 1L)).toDF("id", "v", "op", "version")
+      val ex = intercept[Throwable] {
+        graft.ops.Merge.applyChangeFeed(existing, bad, Seq("id")).collect()
+      }
+      assert(messages(ex).contains("applyChangeFeed"),
+        s"op=$op should fail with the domain message, got: ${messages(ex)}")
+    }
+  }
+
   test("snapshotDiff classifies insert/delete/update/unchanged incl. null transitions") {
     val old = Seq((1L, Some(10.0)), (2L, Some(20.0)), (3L, None), (4L, Some(40.0)))
       .toDF("id", "v")

@@ -249,6 +249,13 @@ def main(sf_dir, out_dir, partial=False):
             print(f"FAIL {name}: value mismatch col={col} row={i}: {a!r} != {b!r}")
             n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail, {n_lint} declared-type lint(s)")
+    if partial and n_pass == 0 and n_fail == 0:
+        # Checking nothing must not read as green: the query under test
+        # either failed inside Verify (it writes no dir) or the name
+        # was mistyped (Verify's filter matched nothing).
+        print("== PARTIAL RUN CHECKED ZERO DATASETS — query failed in "
+              "Verify or name mistyped")
+        return 1
     return 1 if n_fail or n_lint else 0
 
 
