@@ -144,6 +144,48 @@ object Ops {
       .drop("__pday", "__iday", "__lo", "__hi")
   }
 
+  /** General two-table AS-OF join (pandas `merge_asof` / kdb `aj`):
+    * every left row picks the single right row with the greatest
+    * right-ts ≤ its own ts within its key; left rows with no prior
+    * right row survive with null payload (left-outer). [[asOfAtOrBefore]]
+    * (the reference's 24 h-ago view, J3) is the special case of a
+    * constant cutoff; this is the per-row form a time-series store
+    * needs (match each trade to the prevailing quote, each event to
+    * the last config change).
+    *
+    * Shape — the UNION-AND-SWEEP form: both sides union into one
+    * frame sorted per key by (ts, side) with right rows FIRST at
+    * equal ts (making the match inclusive), and each right payload
+    * column rides forward under a growing `last(ignoreNulls)` frame;
+    * left rows filter back out. ONE sort exchange on the key total.
+    * The alternatives don't scale: a per-left-row subquery is
+    * O(L·R), and an equi-join on key explodes on dense right series
+    * before its window prunes. Right rows must be unique per
+    * (key, ts) — at equal right timestamps the carried payload is
+    * tie-ambiguous.
+    *
+    * Output: every left column plus `payloadCols` from the right. */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
+               payloadCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    require(payloadCols.nonEmpty, "asofJoin needs at least one payload column")
+    require(leftCols.intersect(payloadCols).isEmpty,
+      s"right payload collides with left columns: ${leftCols.intersect(payloadCols).mkString(",")}")
+    val l = left.select(leftCols.map(col) ++
+      payloadCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)) :+
+      lit(1).as("__side"): _*)
+    val r = right.select(leftCols.map(c =>
+      if (c == keyCol || c == tsCol) col(c)
+      else lit(null).cast(left.schema(c).dataType).as(c)) ++
+      payloadCols.map(col) :+ lit(0).as("__side"): _*)
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val swept = payloadCols.foldLeft(l.unionByName(r)) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    swept.filter(col("__side") === 1).drop("__side")
+  }
+
   /** SCD2 (slowly-changing-dimension type 2) temporal join: each fact
     * row picks the dimension VERSION effective at its event time —
     * `fact.ts ∈ [valid_from, valid_to)` (half-open, the standard SCD2

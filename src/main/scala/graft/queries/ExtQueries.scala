@@ -2602,4 +2602,34 @@ object ExtQueries {
       |UNION ALL
       |SELECT id, segment FROM latest WHERE op <> 'delete'
       |ORDER BY id""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q95_asof_join — general two-table AS-OF join (Ops.asofJoin):
+  // each purchase matched to the user's most recent at-or-before
+  // view. The Spark plan is the union-and-sweep form (one key sort,
+  // growing last(ignoreNulls) frame); the ORACLE is DuckDB's NATIVE
+  // `ASOF LEFT JOIN` — a structurally independent implementation of
+  // the same semantics, the strongest kind of gate. (user_id, ts) is
+  // unique in events, so the right side meets the uniqueness
+  // precondition; purchases with no prior view emit NULL.
+  // ----------------------------------------------------------------
+  def q95AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("value").as("view_value"))
+    graft.ops.Ops.asofJoin(purchases, views, "user_id", "ts", Seq("view_value"))
+      .select(col("event_id"), col("user_id"),
+        floor(col("view_value") * lit(1e3)).cast("long").as("view_value_e3"))
+      .orderBy(col("event_id"))
+  }
+
+  val q95AsofJoinSql: String =
+    """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+      |v AS (SELECT user_id, ts, value FROM events WHERE event_type = 'view')
+      |SELECT p.event_id, p.user_id,
+      |  CAST(floor(v.value * 1e3) AS BIGINT) AS view_value_e3
+      |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+      |ORDER BY p.event_id""".stripMargin
 }

@@ -43,6 +43,25 @@ class OpsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("asofJoin: latest at-or-before per row, inclusive tie, null when no prior right row") {
+    val left = Seq(
+      (100L, 1L, ts("2024-01-01 02:00:00")), // between right rows -> picks 01:00's value
+      (101L, 1L, ts("2024-01-01 03:00:00")), // EXACT tie with a right row -> inclusive
+      (102L, 1L, ts("2024-01-01 00:30:00")), // before any right row -> null
+      (103L, 2L, ts("2024-01-01 05:00:00"))  // other key: its own series only
+    ).toDF("id", "k", "ts")
+    val right = Seq(
+      (1L, ts("2024-01-01 01:00:00"), 10.0),
+      (1L, ts("2024-01-01 03:00:00"), 30.0),
+      (1L, ts("2024-01-01 04:00:00"), 40.0), // after every left row: never picked
+      (2L, ts("2024-01-01 01:00:00"), 99.0)
+    ).toDF("k", "ts", "v")
+    val got = graft.ops.Ops.asofJoin(left, right, "k", "ts", Seq("v"))
+      .orderBy("id").select("id", "v").as[(Long, Option[Double])].collect().toSeq
+    assert(got == Seq(
+      (100L, Some(10.0)), (101L, Some(30.0)), (102L, None), (103L, Some(99.0))))
+  }
+
   test("asOfAtOrBefore takes the latest row at-or-before the cutoff, inclusive") {
     val df = Seq(
       ("a", ts("2024-01-01 00:00:00"), 1L, 10.0),
