@@ -342,6 +342,43 @@ object Dedup {
     jaccardFromCounts(pairs, threshold)
   }
 
+  /** EXACT n-gram CONTAINMENT join: every DIRECTED pair with
+    * C(A→B) = |A∩B| / |A| ≥ threshold — the near-SUBSET detector.
+    * Jaccard structurally misses embedded duplication: a document
+    * quoted whole inside one 4× its size has J ≤ 0.25 no matter the
+    * threshold, while its containment is ~1. This is the metric for
+    * "this doc is mostly a copy of part of that one" — licensing
+    * boilerplate, quoted articles, chunk-of-a-document training leaks.
+    *
+    * Shape: the [[jaccardJoinExact]] inverted-index pair count,
+    * MINUS its size-ratio prune (Jaccard-specific — containment
+    * deliberately admits arbitrarily unequal sizes), PLUS an unpivot:
+    * each unordered pair's single intersection count is tested in
+    * both directions against the contained side's own size. Same
+    * Σ df² cost model and the same stop-gram caveat (pair with
+    * prefix-filter-style pruning at 100 TB; here the unpruned form
+    * keeps oracle equality a theorem).
+    *
+    * Output: (contained_id, container_id, containment), one row per
+    * qualifying DIRECTION (a near-identical pair emits both). */
+  def containmentJoinFromShingles(sh: DataFrame, threshold: Double = 0.8): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1], got $threshold")
+    val grams = graft.ops.Intermediates.shared(sh
+      .select(col("__id"), size(col("__sh")).as("__sz"), explode(col("__sh")).as("__g")))
+    val pairs = grams.as("a")
+      .join(grams.as("b"), col("a.__g") === col("b.__g") && col("a.__id") < col("b.__id"))
+      .groupBy(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        col("a.__sz").as("__sza"), col("b.__sz").as("__szb"))
+      .agg(count(lit(1)).as("__inter"))
+    pairs.select(col("id_a").as("contained_id"), col("id_b").as("container_id"),
+        col("__sza").as("__csz"), col("__inter"))
+      .unionByName(pairs.select(col("id_b").as("contained_id"), col("id_a").as("container_id"),
+        col("__szb").as("__csz"), col("__inter")))
+      .withColumn("containment", col("__inter").cast("double") / col("__csz").cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("contained_id"), col("container_id"), col("containment"))
+  }
+
   /** [[jaccardJoinExact]] for STOP-GRAM corpora: same exact answer,
     * but candidate generation touches only each document's rarest
     * grams — PREFIX FILTERING (the AllPairs/PPJoin family).

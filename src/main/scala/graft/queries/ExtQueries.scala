@@ -2632,4 +2632,54 @@ object ExtQueries {
       |  CAST(floor(v.value * 1e3) AS BIGINT) AS view_value_e3
       |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
       |ORDER BY p.event_id""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q96_containment — exact n-gram CONTAINMENT join (Dedup.
+  // containmentJoinFromShingles): the near-SUBSET detector Jaccard
+  // structurally misses (a doc quoted whole inside one 4× its size
+  // has J ≤ 0.25 but containment ~1). Snippet documents are planted
+  // in-plan (every 97th doc contributes its first-half text under a
+  // shifted id — the q73/q82 planting pattern), so each snippet must
+  // rediscover its source as its container. Equality with the
+  // all-pairs oracle is a theorem (no probabilistic step; the
+  // containment ratio is exact integers divided once).
+  // ----------------------------------------------------------------
+  def q96Containment(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val snippets = docs.filter(col("doc_id") % 97 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        expr("substring(text, 1, CAST(n_chars div 2 AS INT))").as("text"))
+    val corpus = docs.select(col("doc_id"), col("text"))
+      .unionByName(snippets.select(col("doc_id"), col("text")))
+    Dedup.containmentJoinFromShingles(Dedup.shingled(corpus), threshold = 0.8)
+      .orderBy(col("contained_id"), col("container_id"))
+  }
+
+  val q96ContainmentSql: String =
+    """WITH snip AS (
+      |  SELECT doc_id + 2000000 AS doc_id,
+      |         substr(text, 1, CAST(n_chars // 2 AS INT)) AS text
+      |  FROM documents WHERE doc_id % 97 = 0),
+      |corpus AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM snip),
+      |d AS (
+      |  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
+      |  FROM corpus),
+      |s AS (
+      |  SELECT doc_id,
+      |         list_distinct(list_transform(range(1, len(toks) - 1),
+      |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      |  FROM d WHERE len(toks) >= 3),
+      |p AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |         len(list_intersect(a.sh, b.sh)) AS inter,
+      |         len(a.sh) AS sza, len(b.sh) AS szb
+      |  FROM s a JOIN s b ON a.doc_id < b.doc_id),
+      |dirs AS (
+      |  SELECT id_a AS contained_id, id_b AS container_id,
+      |         inter * 1.0 / sza AS containment FROM p
+      |  UNION ALL
+      |  SELECT id_b, id_a, inter * 1.0 / szb FROM p)
+      |SELECT contained_id, container_id, containment
+      |FROM dirs WHERE containment >= 0.8
+      |ORDER BY contained_id, container_id""".stripMargin
 }

@@ -257,6 +257,25 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("containment join finds an embedded near-subset that Jaccard structurally misses") {
+    // doc 1 is (a prefix slice of) doc 2, which is ~4x longer:
+    // containment(1 -> 2) ~ 1 while J is capped near |A|/|B| ~ 0.25.
+    val words = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // the embedded slice
+      (2L, words),
+      (3L, (100 to 140).map(i => s"v$i").mkString(" ")) // unrelated
+    ).toDF("doc_id", "text")
+    val sh = Dedup.shingled(docs)
+    val contained = Dedup.containmentJoinFromShingles(sh, threshold = 0.9)
+      .select($"contained_id", $"container_id").as[(Long, Long)].collect().toSet
+    assert(contained == Set((1L, 2L)),
+      s"expected exactly the embedded direction, got $contained")
+    // the same pair is invisible to exact Jaccard at any useful threshold
+    assert(Dedup.jaccardJoinExactFromShingles(sh, threshold = 0.5).count() == 0)
+    graft.ops.Intermediates.sweep(spark)
+  }
+
   test("PQ: codes are total and bounded; ADC+rerank recall@10 >= 0.8 on sf0.001") {
     import graft.ext.{Embeddings, Pq}
     val m = 16; val k = 16
