@@ -104,6 +104,29 @@ object CryptoViews {
   }
 
   /** Dashboard KPI row (`app.py:119-127`, A3-A5): one tiny aggregate. */
+  /** Register the reference's entire SQL-visible surface as Spark
+    * temp views under the reference's own names — the three base
+    * tables (`sql/schema.sql`) and the four analytical views
+    * (`sql/views.sql:2-42`) — so a consumer who today reads
+    * `v_latest_prices` through PostgREST can `spark.sql` the
+    * identical names unchanged.
+    *
+    * Temp views are lazy plans: each query re-evaluates against the
+    * CURRENT content of the passed frames, but `asOf` is frozen at
+    * registration (the views are deterministic by design — SURVEY
+    * §7.6 #2); re-register per batch/request to advance the clock,
+    * mirroring the reference's one-cron-tick-per-day cadence. */
+  def registerSql(prices: DataFrame, assets: DataFrame, dailyMetrics: DataFrame,
+                  asOf: Column): Unit = {
+    prices.createOrReplaceTempView("prices")
+    assets.createOrReplaceTempView("assets")
+    dailyMetrics.createOrReplaceTempView("daily_metrics")
+    vLatestPrices(prices, assets).createOrReplaceTempView("v_latest_prices")
+    vPriceChange24h(prices, assets, asOf).createOrReplaceTempView("v_price_change_24h")
+    vDailyOhlc(dailyMetrics, assets).createOrReplaceTempView("v_daily_ohlc")
+    vSparkline7d(prices, assets, asOf).createOrReplaceTempView("v_sparkline_7d")
+  }
+
   def kpis(overviewDf: DataFrame): DataFrame =
     overviewDf.agg(
       count(lit(1)).as("n_assets"),

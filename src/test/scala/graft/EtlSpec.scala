@@ -171,4 +171,28 @@ class EtlSpec extends AnyFunSuite {
     val ov = CryptoViews.overview(prices, assets, asOf, search = Some("bit"))
     assert(ov.select("asset_id").as[String].collect().toSeq == Seq("bitcoin"))
   }
+
+  test("registerSql: the reference's view NAMES answer spark.sql identically to the functions") {
+    val asOf = lit(ts("2024-01-02 00:30:00"))
+    val assets = Seq(("bitcoin", "btc", "Bitcoin", runTs))
+      .toDF("asset_id", "symbol", "name", "first_seen_at")
+    val prices = Seq(
+      ("bitcoin", ts("2023-12-31 23:00:00"), BigDecimal(95.0), BigDecimal(900.0),
+        BigDecimal(1.0), "coingecko", runTs),
+      ("bitcoin", ts("2024-01-02 00:00:00"), BigDecimal(100.0), BigDecimal(1000.0),
+        BigDecimal(1.0), "coingecko", runTs)
+    ).toDF("asset_id", "ts", "price", "market_cap", "volume", "source", "inserted_at")
+    val daily = emptyTable(Schemas.dailyMetrics)
+
+    CryptoViews.registerSql(prices, assets, daily, asOf)
+    // a PostgREST consumer's query, verbatim names, through spark.sql
+    assert(spark.sql("SELECT asset_id, price FROM v_latest_prices")
+      .as[(String, BigDecimal)].collect().toSeq == Seq(("bitcoin", BigDecimal(100.0))))
+    assert(spark.sql(
+        "SELECT pct_change_24h FROM v_price_change_24h WHERE asset_id = 'bitcoin'")
+      .select(col("pct_change_24h").cast("double")).as[Double].head() == 5.2632)
+    assert(spark.sql("SELECT count(*) FROM v_sparkline_7d").as[Long].head() == 2L)
+    assert(spark.sql("SELECT count(*) FROM v_daily_ohlc").as[Long].head() == 0L)
+    assert(spark.sql("SELECT count(*) FROM prices").as[Long].head() == 2L)
+  }
 }

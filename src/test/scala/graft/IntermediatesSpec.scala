@@ -1,29 +1,32 @@
 package graft
 
+import org.apache.spark.storage.StorageLevel
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.ops.Intermediates
 
+/** Runs against its OWN `newSession()` (same SparkContext, distinct
+  * session object): the registry is keyed per session, and the suite
+  * pool shares one session — a concurrent suite's sweep would
+  * otherwise race these assertions. Per-frame `storageLevel` is the
+  * assertion primitive, not global cached-RDD counts, for the same
+  * reason. */
 class IntermediatesSpec extends AnyFunSuite {
-  lazy val spark = SparkTestSession.spark
+  lazy val spark = SparkTestSession.spark.newSession()
   import spark.implicits._
 
-  private def cachedRddCount: Int = spark.sparkContext.getRDDStorageInfo.length
-
-  test("shared persists once; sweep releases everything registered since the last sweep") {
-    Intermediates.sweep(spark) // clean slate for the session
-    val before = cachedRddCount
+  test("shared persists; sweep releases exactly this session's registrations") {
     val a = Intermediates.shared(Seq(1, 2, 3).toDF("x"))
     val b = Intermediates.shared(Seq(4, 5).toDF("y"))
     assert(a.count() == 3 && b.count() == 2) // materialize the storage
-    assert(cachedRddCount >= before + 2, "both intermediates should hold blocks")
+    assert(a.storageLevel != StorageLevel.NONE && b.storageLevel != StorageLevel.NONE)
     assert(Intermediates.sweep(spark) == 2)
-    assert(cachedRddCount == before, "sweep must free exactly what was registered")
+    assert(a.storageLevel == StorageLevel.NONE && b.storageLevel == StorageLevel.NONE,
+      "sweep must unpersist what was registered")
     assert(Intermediates.sweep(spark) == 0, "second sweep has nothing to release")
   }
 
   test("a swept intermediate stays correct: persist keeps lineage, so re-access recomputes") {
-    Intermediates.sweep(spark)
     val df = Intermediates.shared(Seq(1, 2, 3).toDF("x"))
     assert(df.count() == 3)
     Intermediates.sweep(spark)
@@ -34,12 +37,15 @@ class IntermediatesSpec extends AnyFunSuite {
   }
 
   test("release frees an eager localCheckpoint's blocks; no-op on ordinary plans") {
-    Intermediates.sweep(spark)
-    val before = cachedRddCount
     val ck = Seq(1, 2, 3).toDF("x").localCheckpoint() // eager: blocks exist now
-    assert(cachedRddCount == before + 1)
+    val rdd = ck.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      case other => fail(s"expected LogicalRDD, got ${other.getClass}")
+    }
+    assert(rdd.getStorageLevel != StorageLevel.NONE)
     Intermediates.release(ck)
-    assert(cachedRddCount == before, "release must free the checkpoint RDD")
+    assert(rdd.getStorageLevel == StorageLevel.NONE,
+      "release must free the checkpoint RDD's blocks")
     Intermediates.release(Seq(1).toDF("x")) // ordinary plan: must not throw
   }
 }

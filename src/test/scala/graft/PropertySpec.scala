@@ -107,4 +107,58 @@ class PropertySpec extends AnyFunSuite {
       assert(got == expected, s"trial $t")
     }
   }
+
+  test("law: applyChangeFeed is idempotent, and delete+higher-version reinsert resurrects") {
+    for (t <- 1 to Trials) {
+      val r = rng(500 + t)
+      val existing = randomTable(r, 30).select($"k", $"ts", $"v")
+      // feed over the same dense key space; version = trial-local order
+      val feed = Seq.fill(20)((
+        s"k${r.nextInt(5)}",
+        new Timestamp(1700000000000L + r.nextInt(1000) * 1000L),
+        r.nextInt(1000).toDouble / 4.0,
+        Seq("insert", "update", "delete")(r.nextInt(3)),
+        r.nextInt(100).toLong
+      )).toDF("k", "ts", "v", "op", "version")
+        // unique (key, version) so highest-version-wins is unambiguous
+        .dropDuplicates("k", "ts", "version")
+      val once = Merge.applyChangeFeed(existing, feed, Seq("k", "ts"))
+      val twice = Merge.applyChangeFeed(once, feed, Seq("k", "ts"))
+      val onceS = once.orderBy("k", "ts", "v").collect().toSeq
+      assert(twice.orderBy("k", "ts", "v").collect().toSeq == onceS,
+        s"trial $t: not idempotent")
+      // sequential reference: fold the feed per key by version order
+      val winner = feed.collect()
+        .map(x => ((x.getString(0), x.getTimestamp(1)), (x.getLong(4), x.getString(3), x.getDouble(2))))
+        .groupBy(_._1).map { case (k, rows) => k -> rows.map(_._2).maxBy(_._1) }
+      val expected = existing.collect()
+        .map(x => (x.getString(0), x.getTimestamp(1)) -> x.getDouble(2)).toMap
+        .filter { case (k, _) => !winner.contains(k) } ++
+        winner.collect { case (k, (_, op, v)) if op != "delete" => k -> v }
+      val got = once.collect()
+        .map(x => (x.getString(0), x.getTimestamp(1)) -> x.getDouble(2)).toMap
+      assert(got == expected, s"trial $t: diverges from sequential fold")
+    }
+  }
+
+  test("law: asofJoin is left-preserving — exactly one output row per left row") {
+    for (t <- 1 to Trials) {
+      val r = rng(600 + t)
+      val left = randomTable(r, 25).select($"k", $"ts", $"tag")
+      val right = randomTable(r, 25).select($"k", $"ts", $"v")
+      val got = Ops.asofJoin(left, right, "k", "ts", Seq("v"))
+      assert(got.count() == left.count(), s"trial $t: row count changed")
+      // and every carried value is genuinely at-or-before its left row
+      val rightRows = right.as[(String, Timestamp, Double)].collect()
+        .groupBy(_._1).view.mapValues(_.map(x => (x._2, x._3))).toMap
+      got.select($"k", $"ts", $"v").as[(String, Timestamp, Option[Double])]
+        .collect().foreach { case (k, lts, v) =>
+          val eligible = rightRows.getOrElse(k, Array.empty)
+            .filter(!_._1.after(lts))
+          val expected = if (eligible.isEmpty) None
+            else Some(eligible.maxBy(_._1.getTime)._2)
+          assert(v == expected, s"trial $t: ($k,$lts) got $v expected $expected")
+        }
+    }
+  }
 }
