@@ -325,21 +325,34 @@ object Dedup {
                        textCol: String = "text", idCol: String = "doc_id"): DataFrame =
     jaccardJoinExactFromShingles(shingleFrame(docs, shingleN, textCol, idCol), threshold)
 
-  /** [[jaccardJoinExact]] over a pre-shingled frame (see [[shingled]]). */
-  def jaccardJoinExactFromShingles(sh: DataFrame, threshold: Double = 0.5): DataFrame = {
-    require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1], got $threshold")
+  /** Shared inverted-index PAIR COUNT core of the exact-similarity
+    * joins: explode grams (materialized once — feeds both self-join
+    * sides; swept at query end), self-join on the gram under an
+    * optional extra pruning predicate over the aliased sides, and
+    * hash-aggregate per pair. Output: (id_a, id_b, __sza, __szb,
+    * __inter) with id_a < id_b — the 100 TB changes documented on
+    * the callers (xxhash64 gram keys, stop-gram mitigations) belong
+    * HERE, once. */
+  private def gramPairCounts(sh: DataFrame,
+                             prune: Option[org.apache.spark.sql.Column]): DataFrame = {
     val grams = graft.ops.Intermediates.shared(sh
-      .select(col("__id"), size(col("__sh")).as("__sz"), explode(col("__sh")).as("__g"))
-    ) // feeds both sides of the self-join; swept at query end
-    val pairs = grams.as("a")
-      .join(grams.as("b"),
-        col("a.__g") === col("b.__g") && col("a.__id") < col("b.__id") &&
-          least(col("a.__sz"), col("b.__sz")).cast("double") >=
-            greatest(col("a.__sz"), col("b.__sz")) * threshold)
+      .select(col("__id"), size(col("__sh")).as("__sz"), explode(col("__sh")).as("__g")))
+    val base = col("a.__g") === col("b.__g") && col("a.__id") < col("b.__id")
+    grams.as("a")
+      .join(grams.as("b"), prune.map(base && _).getOrElse(base))
       .groupBy(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
         col("a.__sz").as("__sza"), col("b.__sz").as("__szb"))
       .agg(count(lit(1)).as("__inter"))
-    jaccardFromCounts(pairs, threshold)
+  }
+
+  /** [[jaccardJoinExact]] over a pre-shingled frame (see [[shingled]]). */
+  def jaccardJoinExactFromShingles(sh: DataFrame, threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1], got $threshold")
+    // inline size prune: necessary for J ≥ t, since |A∩B| ≤ min and
+    // |A∪B| ≥ max
+    jaccardFromCounts(gramPairCounts(sh, Some(
+      least(col("a.__sz"), col("b.__sz")).cast("double") >=
+        greatest(col("a.__sz"), col("b.__sz")) * threshold)), threshold)
   }
 
   /** EXACT n-gram CONTAINMENT join: every DIRECTED pair with
@@ -363,13 +376,9 @@ object Dedup {
     * qualifying DIRECTION (a near-identical pair emits both). */
   def containmentJoinFromShingles(sh: DataFrame, threshold: Double = 0.8): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1], got $threshold")
-    val grams = graft.ops.Intermediates.shared(sh
-      .select(col("__id"), size(col("__sh")).as("__sz"), explode(col("__sh")).as("__g")))
-    val pairs = grams.as("a")
-      .join(grams.as("b"), col("a.__g") === col("b.__g") && col("a.__id") < col("b.__id"))
-      .groupBy(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
-        col("a.__sz").as("__sza"), col("b.__sz").as("__szb"))
-      .agg(count(lit(1)).as("__inter"))
+    // no prune: containment deliberately admits unequal sizes, and no
+    // pair-level size prune exists (one direction is always feasible)
+    val pairs = gramPairCounts(sh, prune = None)
     pairs.select(col("id_a").as("contained_id"), col("id_b").as("container_id"),
         col("__sza").as("__csz"), col("__inter"))
       .unionByName(pairs.select(col("id_b").as("contained_id"), col("id_a").as("container_id"),

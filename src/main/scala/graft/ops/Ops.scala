@@ -155,14 +155,23 @@ object Ops {
     *
     * Shape — the UNION-AND-SWEEP form: both sides union into one
     * frame sorted per key by (ts, side) with right rows FIRST at
-    * equal ts (making the match inclusive), and each right payload
-    * column rides forward under a growing `last(ignoreNulls)` frame;
-    * left rows filter back out. ONE sort exchange on the key total.
-    * The alternatives don't scale: a per-left-row subquery is
-    * O(L·R), and an equi-join on key explodes on dense right series
-    * before its window prunes. Right rows must be unique per
-    * (key, ts) — at equal right timestamps the carried payload is
-    * tie-ambiguous.
+    * equal ts (making the match inclusive), and the right payload
+    * rides forward under a growing `last(ignoreNulls)` frame; left
+    * rows filter back out. ONE sort exchange on the key total. The
+    * alternatives don't scale: a per-left-row subquery is O(L·R),
+    * and an equi-join on key explodes on dense right series before
+    * its window prunes.
+    *
+    * Null semantics match merge_asof/ASOF JOIN exactly: the payload
+    * travels as ONE STRUCT (non-null for every right row even when
+    * all its fields are null), so a matched right row whose payload
+    * VALUE is null yields null — `ignoreNulls` skips only the union's
+    * placeholder rows, never a genuine null observation. Right rows
+    * with a null timestamp are dropped (no event time is "at or
+    * before" anything — ASOF's null comparison matches nothing);
+    * they'd otherwise sort nulls-first and become a bogus fallback.
+    * Right rows must be unique per (key, ts) — at equal right
+    * timestamps the carried payload is tie-ambiguous.
     *
     * Output: every left column plus `payloadCols` from the right. */
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
@@ -171,19 +180,19 @@ object Ops {
     require(payloadCols.nonEmpty, "asofJoin needs at least one payload column")
     require(leftCols.intersect(payloadCols).isEmpty,
       s"right payload collides with left columns: ${leftCols.intersect(payloadCols).mkString(",")}")
-    val l = left.select(leftCols.map(col) ++
-      payloadCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)) :+
-      lit(1).as("__side"): _*)
-    val r = right.select(leftCols.map(c =>
-      if (c == keyCol || c == tsCol) col(c)
-      else lit(null).cast(left.schema(c).dataType).as(c)) ++
-      payloadCols.map(col) :+ lit(0).as("__side"): _*)
+    val r = right.filter(col(tsCol).isNotNull)
+      .select(leftCols.map(c =>
+        if (c == keyCol || c == tsCol) col(c)
+        else lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(payloadCols.map(col): _*).as("__p") :+ lit(0).as("__side"): _*)
+    val l = left.select(leftCols.map(col) :+
+      lit(null).cast(r.schema("__p").dataType).as("__p") :+ lit(1).as("__side"): _*)
     val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val swept = payloadCols.foldLeft(l.unionByName(r)) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    swept.filter(col("__side") === 1).drop("__side")
+    l.unionByName(r)
+      .withColumn("__p", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(leftCols.map(col) ++ payloadCols.map(c => col(s"__p.$c").as(c)): _*)
   }
 
   /** SCD2 (slowly-changing-dimension type 2) temporal join: each fact

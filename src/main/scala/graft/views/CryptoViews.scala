@@ -103,7 +103,6 @@ object CryptoViews {
       .orderBy(col("market_cap").desc_nulls_last, col("asset_id"))
   }
 
-  /** Dashboard KPI row (`app.py:119-127`, A3-A5): one tiny aggregate. */
   /** Register the reference's entire SQL-visible surface as Spark
     * temp views under the reference's own names — the three base
     * tables (`sql/schema.sql`) and the four analytical views
@@ -127,6 +126,7 @@ object CryptoViews {
     vSparkline7d(prices, assets, asOf).createOrReplaceTempView("v_sparkline_7d")
   }
 
+  /** Dashboard KPI row (`app.py:119-127`, A3-A5): one tiny aggregate. */
   def kpis(overviewDf: DataFrame): DataFrame =
     overviewDf.agg(
       count(lit(1)).as("n_assets"),

@@ -15,15 +15,24 @@ class IntermediatesSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark.newSession()
   import spark.implicits._
 
-  test("shared persists; sweep releases exactly this session's registrations") {
+  test("shared persists; sweep releases exactly this session's registrations, no more") {
     val a = Intermediates.shared(Seq(1, 2, 3).toDF("x"))
     val b = Intermediates.shared(Seq(4, 5).toDF("y"))
-    assert(a.count() == 3 && b.count() == 2) // materialize the storage
+    // a sibling session's registration must SURVIVE this session's sweep
+    val sibling = SparkTestSession.spark.newSession()
+    val c = {
+      import sibling.implicits._
+      Intermediates.shared(Seq(7, 8).toDF("z"))
+    }
+    assert(a.count() == 3 && b.count() == 2 && c.count() == 2) // materialize the storage
     assert(a.storageLevel != StorageLevel.NONE && b.storageLevel != StorageLevel.NONE)
     assert(Intermediates.sweep(spark) == 2)
     assert(a.storageLevel == StorageLevel.NONE && b.storageLevel == StorageLevel.NONE,
       "sweep must unpersist what was registered")
+    assert(c.storageLevel != StorageLevel.NONE,
+      "sweep must not touch another session's registrations")
     assert(Intermediates.sweep(spark) == 0, "second sweep has nothing to release")
+    assert(Intermediates.sweep(sibling) == 1)
   }
 
   test("a swept intermediate stays correct: persist keeps lineage, so re-access recomputes") {

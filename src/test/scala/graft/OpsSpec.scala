@@ -62,6 +62,23 @@ class OpsSpec extends AnyFunSuite {
       (100L, Some(10.0)), (101L, Some(30.0)), (102L, None), (103L, Some(99.0))))
   }
 
+  test("asofJoin: a matched NULL observation yields NULL (never an older non-null fallback)") {
+    // merge_asof/ASOF JOIN semantics: the MATCH is by time, the value
+    // comes from the matched row even when it is null. A null right
+    // TIMESTAMP, by contrast, matches nothing and must not become a
+    // fallback payload.
+    val left = Seq((100L, 1L, ts("2024-01-01 03:00:00"))).toDF("id", "k", "ts")
+    val right = Seq(
+      (1L, Some(ts("2024-01-01 01:00:00")), Some(10.0)),
+      (1L, Some(ts("2024-01-01 02:00:00")), None), // matched: its null wins
+      (1L, None, Some(777.0))                      // null ts: never matchable
+    ).toDF("k", "ts", "v")
+    val got = graft.ops.Ops.asofJoin(left, right, "k", "ts", Seq("v"))
+      .select("id", "v").as[(Long, Option[Double])].collect().toSeq
+    assert(got == Seq((100L, None)),
+      s"matched null observation must surface as null, got $got")
+  }
+
   test("asOfAtOrBefore takes the latest row at-or-before the cutoff, inclusive") {
     val df = Seq(
       ("a", ts("2024-01-01 00:00:00"), 1L, 10.0),
