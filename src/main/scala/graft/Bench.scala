@@ -2,29 +2,40 @@ package graft
 
 /** Driver benchmark main: one JSON line with per-query medians.
   *
-  * Measurement discipline (round-1 verdict finding #6):
+  * Measurement discipline (round-1 verdict finding #6, round-7 #1):
   *   - a full warmup pass first, so no query pays session/codegen/JIT
   *     warmup (round 1 charged ~8 s of warmup to whichever query ran
   *     first);
   *   - the timed action is a `noop`-format write — materializes every
   *     result row through the full plan (a bare `count()` lets
   *     EliminateSorts drop ORDER BYs and lets limits short-circuit);
-  *   - per-query median over `SPARK_GRAFT_BENCH_ITERS` (default 3)
-  *     runs, so one GC pause can't define a query's number.
+  *   - `SPARK_GRAFT_BENCH_ITERS` (default 3) full INTERLEAVED passes
+  *     over the whole suite, median per query taken ACROSS passes.
+  *     Round 7's driver artifact showed nine rows inflated up to 36×
+  *     by transient host load; with back-to-back iterations a stall
+  *     lasting a few seconds poisons every iteration of one query.
+  *     Interleaving separates a query's samples by a full suite pass
+  *     (~25 s), so a transient can poison at most one sample and the
+  *     median sheds it.
   *
   * Storage discipline (round-6 verdict finding #1): every evaluation
   * ends with an `Intermediates.sweep`, so materialize-once
-  * intermediates never accumulate across the 78-query × 4-pass
+  * intermediates never accumulate across the ~100-query × 4-pass
   * session (the driver-only q56/q66 blowups were storage-pool
   * eviction pressure from hundreds of orphaned checkpoint blocks),
-  * and each query logs a storage line (live cached RDD count +
+  * and each row logs a storage line (live cached RDD count +
   * mem/disk bytes) so eviction pressure is visible in the driver
   * tail.
   *
-  * Output contract: the FULL per-query JSON line first, then a
-  * compact summary (total + 5 slowest) as the LAST stdout line — the
-  * driver's tail capture keeps the end of stdout, and round 6 lost
-  * the totals when the 78-entry line's head fell outside the window.
+  * Output contract: the FULL JSON line first (medians + per-pass raw
+  * times per query), then ten `[bench-diag]` lines — the 10 slowest
+  * queries with their per-pass times and per-pass storage lines, so
+  * the surviving tail is self-diagnosing: an inflated median shows
+  * its own spread (one bad pass among flat ones = host noise; all
+  * passes slow = a real plan cost) — then a compact summary (total +
+  * 5 slowest) as the LAST stdout line, because the driver's tail
+  * capture keeps the end of stdout and round 6 lost the totals when
+  * the full line's head fell outside the window.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -61,22 +72,47 @@ object Bench {
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     names.foreach(runOnce) // warmup pass (untimed)
+
+    // iters full interleaved passes: pass p runs EVERY query once, so
+    // consecutive samples of the same query are a whole suite apart.
+    val samples = scala.collection.mutable.Map.empty[String, Vector[(Double, String)]]
+      .withDefaultValue(Vector.empty)
+    for (p <- 1 to iters; name <- names) {
+      val t = runOnce(name)
+      val sl = storageLine()
+      samples(name) = samples(name) :+ (t, sl)
+      println(f"[bench] pass=$p $name $t%.3fs $sl")
+    }
+
     val results = names.map { name =>
-      val ok = Seq.fill(iters)(runOnce(name)).filter(_ >= 0).sorted
+      val ok = samples(name).map(_._1).filter(_ >= 0).sorted
       val med = if (ok.isEmpty) -1.0 else ok(ok.length / 2)
-      println(f"[bench] $name median=$med%.3fs ${storageLine()}")
       name -> med
     }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def fmt(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    val rawJson = names.map { name =>
+      "\"" + name + "\":[" + samples(name).map(s => fmt(s._1)).mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"raw_passes":$rawJson,"sf":"$sfDir"}""")
+
+    // Diagnostic tail: the 10 slowest medians, each with its per-pass
+    // spread and the storage line observed after each pass — enough to
+    // adjudicate host noise vs plan cost from the tail alone.
+    results.sortBy(-_._2).take(10).foreach { case (name, med) =>
+      val passes = samples(name).map(s => fmt(s._1)).mkString("[", ",", "]")
+      val storage = samples(name).map(_._2).distinct.mkString(" | ")
+      println(s"[bench-diag] $name median=${fmt(med)}s passes=$passes storage: $storage")
+    }
+
     // Compact summary LAST so tail capture always keeps a parseable
     // totals line even when the full line above is truncated.
     val slowest = results.sortBy(-_._2).take(5)
-      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$slowest,"sf":"$sfDir","note":"compact summary; full per-query map on preceding line"}""")
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$slowest,"sf":"$sfDir","note":"compact summary; medians over $iters interleaved full passes; full per-query map + raw_passes on the first JSON line; [bench-diag] lines show per-pass spread for the 10 slowest"}""")
     spark.stop()
   }
 }

@@ -325,14 +325,25 @@ object Dedup {
                        textCol: String = "text", idCol: String = "doc_id"): DataFrame =
     jaccardJoinExactFromShingles(shingleFrame(docs, shingleN, textCol, idCol), threshold)
 
+  /** UNPRUNED inverted-index pair counts over a pre-shingled frame —
+    * the shared expensive pass of the exact-similarity join family.
+    * Output: (id_a, id_b, __sza, __szb, __inter), id_a < id_b, one
+    * row per unordered pair sharing ≥ 1 gram. Feed it to
+    * [[jaccardJoinExactFromPairCounts]] and/or
+    * [[containmentJoinFromPairCounts]]: both metrics are pure
+    * per-row arithmetic over these counts, so a caller running
+    * several similarity joins over ONE corpus (the q59+q96 pairing)
+    * caches this frame once and pays the Σ df² join once. */
+  def pairCounts(sh: DataFrame): DataFrame = gramPairCounts(sh, prune = None)
+
   /** Shared inverted-index PAIR COUNT core of the exact-similarity
     * joins: explode grams (materialized once — feeds both self-join
     * sides; swept at query end), self-join on the gram under an
     * optional extra pruning predicate over the aliased sides, and
-    * hash-aggregate per pair. Output: (id_a, id_b, __sza, __szb,
-    * __inter) with id_a < id_b — the 100 TB changes documented on
-    * the callers (xxhash64 gram keys, stop-gram mitigations) belong
-    * HERE, once. */
+    * hash-aggregate the matches per pair. Output: (id_a, id_b, __sza,
+    * __szb, __inter) with id_a < id_b — the 100 TB changes documented
+    * on the callers (xxhash64 gram keys, stop-gram mitigations)
+    * belong HERE, once. */
   private def gramPairCounts(sh: DataFrame,
                              prune: Option[org.apache.spark.sql.Column]): DataFrame = {
     val grams = graft.ops.Intermediates.shared(sh
@@ -353,6 +364,20 @@ object Dedup {
     jaccardFromCounts(gramPairCounts(sh, Some(
       least(col("a.__sz"), col("b.__sz")).cast("double") >=
         greatest(col("a.__sz"), col("b.__sz")) * threshold)), threshold)
+  }
+
+  /** [[jaccardJoinExact]] over an UNPRUNED [[pairCounts]] frame. The
+    * size prune is a NECESSARY condition on (|A|, |B|) alone, so
+    * re-applying it as a post-filter on the aggregated pair frame
+    * keeps the answer identical to the inline-pruned form (a
+    * DedupSpec theorem) — the point is sharing: when the unpruned
+    * frame is already being paid for (a containment join over the
+    * same corpus), this form adds only per-row arithmetic. */
+  def jaccardJoinExactFromPairCounts(pairs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1], got $threshold")
+    jaccardFromCounts(pairs.filter(
+      least(col("__sza"), col("__szb")).cast("double") >=
+        greatest(col("__sza"), col("__szb")) * threshold), threshold)
   }
 
   /** EXACT n-gram CONTAINMENT join: every DIRECTED pair with
@@ -581,11 +606,24 @@ object Dedup {
     * Output: (probe_id, corpus_id, dist), dist ≤ maxDist. */
   def editDistanceProbe(probes: DataFrame, corpus: DataFrame, maxDist: Int,
                         prefixLen: Int = 64,
-                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+                        textCol: String = "text", idCol: String = "doc_id",
+                        maxProbes: Long = 100000L): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
     require(prefixLen >= 1, s"prefixLen must be >= 1, got $prefixLen")
-    val p = probes.select(col(idCol).as("probe_id"),
-      substring(normalized(col(textCol)), 1, prefixLen).as("__pt"))
+    // The bounded-batch contract is ENFORCED, not assumed (the
+    // pairwiseCorr pattern from round 6): an unbounded probe frame
+    // under a forced broadcast is a driver OOM deep inside the join
+    // instead of a precondition error here. The capped limit bounds
+    // the guard's own work regardless of probe-side size, and the
+    // guarded frame goes through [[graft.ops.Intermediates]] so ONE
+    // materialization feeds both the guard count and the broadcast.
+    val p = graft.ops.Intermediates.shared(
+      probes.select(col(idCol).as("probe_id"),
+        substring(normalized(col(textCol)), 1, prefixLen).as("__pt")))
+    val nProbes = p.limit(math.min(maxProbes + 1, Int.MaxValue.toLong).toInt).count()
+    require(nProbes <= maxProbes,
+      s"editDistanceProbe broadcasts the probe side: got > $maxProbes probe rows — " +
+        s"batch the probes, or raise maxProbes deliberately")
     val c = corpus.select(col(idCol).as("corpus_id"),
       substring(normalized(col(textCol)), 1, prefixLen).as("__ct"))
     c.join(broadcast(p),

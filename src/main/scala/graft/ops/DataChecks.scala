@@ -21,12 +21,17 @@ object DataChecks {
 
   /** Key uniqueness: n_bad = rows beyond the first per key (0 ⇒ the
     * columns form a candidate key). One hash aggregate + one scalar
-    * aggregate; NULL keys group together like SQL GROUP BY. */
+    * aggregate; NULL keys group together like SQL GROUP BY. The sums
+    * are coalesced to 0: an empty table trivially satisfies the key
+    * constraint, and a bare SUM over zero groups is NULL — which
+    * would make `ok` NULL and silently drop the row from BOTH
+    * `filter(ok)` and `filter(!ok)` consumers (neither pass nor
+    * fail). Empty input reports (0, 0, true) like the other checks. */
   def uniqueness(df: DataFrame, cols: Seq[String], name: String): DataFrame =
     df.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__n"))
       .agg(lit(name).as("check"),
-        sum(col("__n") - 1).cast("long").as("n_bad"),
-        sum(col("__n")).cast("long").as("n_total"))
+        coalesce(sum(col("__n") - 1), lit(0L)).cast("long").as("n_bad"),
+        coalesce(sum(col("__n")), lit(0L)).cast("long").as("n_total"))
       .withColumn("ok", col("n_bad") === 0)
 
   /** Completeness: n_bad = NULL rows in `c`. */

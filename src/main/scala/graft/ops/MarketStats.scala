@@ -169,7 +169,8 @@ object MarketStats {
     * otherwise pay its upstream plan three times), and
     * `limit(maxEntities+1)` caps the guard's work regardless of
     * input size. */
-  def pairwiseCorr(hourly: DataFrame, keyCol: String, maxEntities: Int = 64): DataFrame = {
+  def pairwiseCorr(hourly: DataFrame, keyCol: String, maxEntities: Int = 64,
+                   maxRows: Long = 4000000L): DataFrame = {
     require(maxEntities >= 2, s"maxEntities must be >= 2, got $maxEntities")
     val e3 = floor(col("close") * lit(1e3)).cast("long")
     val h = Intermediates.shared(
@@ -178,6 +179,15 @@ object MarketStats {
     require(nKeys <= maxEntities,
       s"pairwiseCorr is quadratic in the entity set: got > $maxEntities distinct " +
         s"'$keyCol' values — filter to a watchlist first, or raise maxEntities deliberately")
+    // The entity guard bounds distinct keys but not rows per key — a
+    // 64-entity watchlist with decades of hourly history could still
+    // blow the 8 GB broadcast hard limit (round-7 advice). Bound the
+    // broadcast side's ROW count too, the same capped-limit way; the
+    // count runs over the persisted frame, so it costs one cheap scan.
+    val nRows = h.limit(math.min(maxRows + 1, Int.MaxValue.toLong).toInt).count()
+    require(nRows <= maxRows,
+      s"pairwiseCorr broadcasts the watchlist series: got > $maxRows rows — " +
+        s"restrict the time range first, or raise maxRows deliberately")
     val a = h.select(col("__k").as("key_a"), col("hour"), col("__x").as("__xa"))
     val b = h.select(col("__k").as("key_b"), col("hour"), col("__x").as("__xb"))
     val joined = a.join(broadcast(b), Seq("hour")).filter(col("key_a") < col("key_b"))

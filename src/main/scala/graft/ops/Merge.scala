@@ -109,7 +109,16 @@ object Merge {
     * exactly one join keyed on its own key, so a partitioned 100 TB
     * snapshot combines this with [[MergeWriter]]-style partition
     * pruning. Keys absent from the feed pass through untouched;
-    * feed-only deletes (key never existed) are no-ops. */
+    * feed-only deletes (key never existed) are no-ops.
+    *
+    * PRECONDITION: `(keys, versionCol)` should be unique in the feed —
+    * a well-formed CDC log never emits two ops for one key at one
+    * version. The function still behaves deterministically if the
+    * caller violates this: ties on version are broken by a total
+    * order over `(opCol, remaining columns)` descending, so the same
+    * feed always yields the same snapshot — but WHICH duplicate wins
+    * is then an artifact of that tiebreak, not of feed semantics, so
+    * fix the feed rather than lean on it. */
   def applyChangeFeed(existing: DataFrame, feed: DataFrame, keys: Seq[String],
                       opCol: String = "op", versionCol: String = "version"): DataFrame = {
     val cols = existing.columns.toSeq
@@ -126,7 +135,14 @@ object Merge {
         .otherwise(raise_error(concat(
           lit(s"applyChangeFeed: $opCol must be one of ${ops.mkString("/")}, got '"),
           coalesce(col(opCol), lit("NULL")), lit("'")))))
-    val latest = Merge.dedupKeepLast(guarded, keys, col(versionCol))
+    // Deterministic winner even on a (keys, version) collision: the
+    // order column is a struct, compared field-by-field — version
+    // first (the contract), then op and the payload columns as a
+    // total tiebreak (two rows identical in every column tie, but
+    // then the winner is identical too).
+    val valCols = cols.filterNot(keys.contains)
+    val order = struct((Seq(versionCol, opCol) ++ valCols).map(col): _*)
+    val latest = Merge.dedupKeepLast(guarded, keys, order)
     val survivors = existing.join(latest.select(keys.map(col): _*), keys, "left_anti")
     val applied = latest.filter(col(opCol) =!= "delete")
       .select(cols.map(col): _*)

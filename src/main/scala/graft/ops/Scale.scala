@@ -47,6 +47,18 @@ object Layout {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     compactRecover(fs, path)
+    // A forgotten `partitionBy` on a partitioned dataset must fail
+    // LOUDLY, not flatten the layout (round-7 advice): the path has
+    // enough filesystem context to detect Hive-style `col=value`
+    // partition dirs itself, so detect them and refuse a flat rewrite.
+    val partDirs = fs.listStatus(hPath)
+      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+      .map(_.getPath.getName.takeWhile(_ != '='))
+      .distinct
+    require(partDirs.isEmpty || partitionBy.nonEmpty,
+      s"compact: $path is partitioned (found ${partDirs.map(_ + "=*").mkString(", ")} " +
+        s"dirs) but partitionBy is empty — a flat rewrite would silently destroy the " +
+        s"layout and its pruning; pass partitionBy=Seq(${partDirs.map("\"" + _ + "\"").mkString(", ")})")
     val size = fs.getContentSummary(hPath).getLength
     val n = math.max(1, math.ceil(size.toDouble / targetBytes).toInt)
     val tmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")

@@ -2570,15 +2570,22 @@ object ExtQueries {
   def q94CdcApply(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.customer(spark, dir)
       .select(col("c_custkey").as("id"), col("c_mktsegment").as("segment"))
+    // Insert keys are shifted past the ACTUAL max key (broadcast
+    // 1-row scalar, not a fixed 1e6): a fixed shift collides with
+    // real keys once SF grows the key space past it, making the feed
+    // violate applyChangeFeed's unique-(keys, version) precondition.
+    val shift = base.agg((max(col("id")) + 1L).as("__shift"))
+    val inserts = base.filter(col("id") % 13 === 0)
+      .crossJoin(broadcast(shift))
+      .select((col("id") + col("__shift")).as("id"), lit("NEW").as("segment"),
+        lit("insert").as("op"), lit(1L).as("version"))
     val feed = base.filter(col("id") % 7 === 0)
       .select(col("id"), lit("UPDATED").as("segment"),
         lit("update").as("op"), lit(1L).as("version"))
       .unionByName(base.filter(col("id") % 11 === 0)
         .select(col("id"), lit(null).cast("string").as("segment"),
           lit("delete").as("op"), lit(2L).as("version")))
-      .unionByName(base.filter(col("id") % 13 === 0)
-        .select((col("id") + 1000000L).as("id"), lit("NEW").as("segment"),
-          lit("insert").as("op"), lit(1L).as("version")))
+      .unionByName(inserts)
     graft.ops.Merge.applyChangeFeed(base, feed, Seq("id"))
       .orderBy(col("id"))
   }
@@ -2590,7 +2597,8 @@ object ExtQueries {
       |  UNION ALL
       |  SELECT id, NULL, 'delete', 2 FROM base WHERE id % 11 = 0
       |  UNION ALL
-      |  SELECT id + 1000000, 'NEW', 'insert', 1 FROM base WHERE id % 13 = 0),
+      |  SELECT id + (SELECT max(id) + 1 FROM base), 'NEW', 'insert', 1
+      |  FROM base WHERE id % 13 = 0),
       |latest AS (
       |  SELECT id, segment, op FROM (
       |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY v DESC) AS rn FROM feed)
