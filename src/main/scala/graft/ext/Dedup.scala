@@ -399,11 +399,16 @@ object Dedup {
     *
     * Output: (contained_id, container_id, containment), one row per
     * qualifying DIRECTION (a near-identical pair emits both). */
-  def containmentJoinFromShingles(sh: DataFrame, threshold: Double = 0.8): DataFrame = {
-    require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1], got $threshold")
+  def containmentJoinFromShingles(sh: DataFrame, threshold: Double = 0.8): DataFrame =
     // no prune: containment deliberately admits unequal sizes, and no
     // pair-level size prune exists (one direction is always feasible)
-    val pairs = gramPairCounts(sh, prune = None)
+    containmentJoinFromPairCounts(gramPairCounts(sh, prune = None), threshold)
+
+  /** [[containmentJoinFromShingles]] over a [[pairCounts]] frame the
+    * caller already has — per-row arithmetic only, so several
+    * similarity joins over one corpus share one Σ df² pass. */
+  def containmentJoinFromPairCounts(pairs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1], got $threshold")
     pairs.select(col("id_a").as("contained_id"), col("id_b").as("container_id"),
         col("__sza").as("__csz"), col("__inter"))
       .unionByName(pairs.select(col("id_b").as("contained_id"), col("id_a").as("container_id"),

@@ -48,6 +48,40 @@ object ExtQueries {
       Dedup.shingled(Tables.documents(spark, dir))
     }
 
+  /** Id shift for the q96 planted snippets — real doc ids stay below
+    * it, snippet ids at doc_id + shift above it (the testdata doc-id
+    * space is far below; the q94 lesson of deriving shifts from the
+    * actual max key is deliberately NOT applied here, because the
+    * shift is baked into q96's all-pairs oracle SQL as the same
+    * literal and the pair-frame split below needs it constant). */
+  private val SnippetIdShift = 2000000L
+
+  /** The q96 corpus: `documents` plus planted half-text snippets
+    * under [[SnippetIdShift]]-shifted ids (every 97th doc), so each
+    * snippet must rediscover its source as its container. */
+  private def corpus96(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val snippets = docs.filter(col("doc_id") % 97 === 0)
+      .select((col("doc_id") + SnippetIdShift).as("doc_id"),
+        expr("substring(text, 1, CAST(n_chars div 2 AS INT))").as("text"))
+    docs.select(col("doc_id"), col("text")).unionByName(snippets)
+  }
+
+  /** ONE unpruned inverted-index pair-count pass over the augmented
+    * q96 corpus, S8-cached per (session, dir) — round-7 verdict #3.
+    * q96 consumes it whole (containment); q59 consumes it restricted
+    * to real-doc pairs (both ids < [[SnippetIdShift]]), which equals
+    * the documents-only pair frame EXACTLY: pair counts are pairwise
+    * functions of per-document shingle sets, so adding snippet docs
+    * to the corpus changes no (real, real) pair's row. The Σ df²
+    * gram self-join — the family's dominant cost — is paid once per
+    * session instead of once per query per evaluation. */
+  private def pairCounts96(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:gram_pair_counts_unpruned") {
+      Dedup.pairCounts(Dedup.shingled(corpus96(spark, dir)))
+    }
+
   /** Shared minhash near-dup pairs at threshold 0.7 over `documents`
     * (q18's output, reused as q44's edge list). */
   private def nearDup07(spark: SparkSession, dir: String): DataFrame =
@@ -1390,18 +1424,24 @@ object ExtQueries {
   // (pair, jaccard, count≠2) group exists in their union.
   // ----------------------------------------------------------------
   def q59JaccardJoin(spark: SparkSession, dir: String): DataFrame = {
-    val sh = docShingles(spark, dir)
-    // exact feeds both the output rows and the equality check —
-    // materialize once (25 rows), not two inverted-index passes
+    // exact rides the SHARED unpruned pair-count pass (pairCounts96,
+    // round-7 verdict #3): restricted to real-doc pairs it equals the
+    // documents-only pair frame, and the Jaccard size prune — a
+    // necessary condition on sizes alone — re-applies as a
+    // post-filter (Dedup.jaccardJoinExactFromPairCounts), so q59 and
+    // q96 split one Σ df² join. Materialized once (25 rows) — it
+    // feeds both the output rows and the equality check.
     val exact = graft.ops.Intermediates.shared(
-      Dedup.jaccardJoinExactFromShingles(sh, threshold = 0.5))
+      Dedup.jaccardJoinExactFromPairCounts(
+        pairCounts96(spark, dir)
+          .filter(col("id_b") < SnippetIdShift), threshold = 0.5))
     // The 1-row gate is an S8 artifact (the q62 pattern): the prefix
     // pipeline — a full second candidate-generation plan — runs once
     // per (session, dir), not once per evaluation; both variants are
     // deterministic on fixed data, so caching loses nothing.
     val gate = ResultCache.shared.getOrCompute(
       s"${ResultCache.sessionKey(spark)}:$dir:jaccard_prefix_gate") {
-      val prefix = Dedup.jaccardJoinPrefixFromShingles(sh, threshold = 0.5)
+      val prefix = Dedup.jaccardJoinPrefixFromShingles(docShingles(spark, dir), threshold = 0.5)
       exact.unionByName(prefix)
         .groupBy(col("id_a"), col("id_b"), col("jaccard"))
         .agg(count(lit(1)).as("__n"))
@@ -2652,16 +2692,9 @@ object ExtQueries {
   // all-pairs oracle is a theorem (no probabilistic step; the
   // containment ratio is exact integers divided once).
   // ----------------------------------------------------------------
-  def q96Containment(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val snippets = docs.filter(col("doc_id") % 97 === 0)
-      .select((col("doc_id") + 2000000L).as("doc_id"),
-        expr("substring(text, 1, CAST(n_chars div 2 AS INT))").as("text"))
-    val corpus = docs.select(col("doc_id"), col("text"))
-      .unionByName(snippets.select(col("doc_id"), col("text")))
-    Dedup.containmentJoinFromShingles(Dedup.shingled(corpus), threshold = 0.8)
+  def q96Containment(spark: SparkSession, dir: String): DataFrame =
+    Dedup.containmentJoinFromPairCounts(pairCounts96(spark, dir), threshold = 0.8)
       .orderBy(col("contained_id"), col("container_id"))
-  }
 
   val q96ContainmentSql: String =
     """WITH snip AS (

@@ -207,4 +207,52 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.contains("SortMergeJoin"), s"$name sort-merges:\n$p")
     }
   }
+
+  test("q59 and q96 split ONE gram pair-count pass (shared-pass invariant)") {
+    // Round-8 refactor: both queries consume the same S8-cached
+    // unpruned pair frame (q59 re-applies its size prune as a
+    // post-filter), so the Σ df² gram self-join runs once per
+    // session. Guard both halves of the invariant:
+    //   1. per-plan: each query's formatted plan DEFINES at most the
+    //      expected number of Generate (explode) nodes — one shared
+    //      gram explode for q96; q59 adds only the prefix-gate's own
+    //      (a second pipeline by design). The formatted mode lists
+    //      each physical node once, so counting definition lines
+    //      counts nodes, not the repeated references inline mode
+    //      prints per join side.
+    //   2. cross-plan: the two optimized plans reference the SAME
+    //      cache entry (CachedRDDBuilder identity) — a regression
+    //      that rebuilds the pair frame per query would cache two.
+    // Fresh session: ResultCache keys embed the session, so this test
+    // can't be satisfied by residue from other suites (they share the
+    // outer session).
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    val s = spark.newSession()
+    val q59 = SparkEntry.queries("q59_jaccard_join")(s, sf)
+    val q96 = SparkEntry.queries("q96_containment")(s, sf)
+    def generateDefs(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+        .linesIterator.count(_.matches("""\(\d+\) Generate.*"""))
+    assert(generateDefs(q96) == 1,
+      s"q96 should explode the gram frame exactly once, got ${generateDefs(q96)}")
+    assert(generateDefs(q59) <= 2,
+      s"q59 should add at most the prefix-gate explode, got ${generateDefs(q59)}")
+    // Recursive: q59 wraps its exact rows in their own cached frame,
+    // so the pair-frame relation sits INSIDE that entry's cached
+    // physical plan — descend through InMemoryTableScans.
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    def descend(p: org.apache.spark.sql.execution.SparkPlan): Seq[AnyRef] = {
+      // AdaptiveSparkPlanExec is a LEAF wrapper — collect stops at it,
+      // so unwrap to its input plan by hand.
+      val unwrapped = p.collect { case a: AdaptiveSparkPlanExec => a.inputPlan }
+      (p +: unwrapped).flatMap(_.collect { case s: InMemoryTableScanExec => s.relation })
+        .flatMap(r => r.cacheBuilder +: descend(r.cacheBuilder.cachedPlan))
+    }
+    def builders(df: org.apache.spark.sql.DataFrame): Seq[AnyRef] =
+      df.queryExecution.optimizedPlan.collect { case m: InMemoryRelation => m }
+        .flatMap(m => m.cacheBuilder +: descend(m.cacheBuilder.cachedPlan))
+    assert(builders(q59).exists(a => builders(q96).exists(b => a eq b)),
+      "q59 and q96 no longer share the cached pair-count frame")
+  }
 }
