@@ -2723,4 +2723,84 @@ object ExtQueries {
       |SELECT contained_id, container_id, containment
       |FROM dirs WHERE containment >= 0.8
       |ORDER BY contained_id, container_id""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q97_stream_replay — the §2.10 streaming surface under the DRIVER
+  // gate (round-7 verdict #2; previously spec-only): a fixed event
+  // log replayed through the REAL micro-batch pipeline — MemoryStream
+  // source → watermarked 1-hour tumbling OHLC (update mode) →
+  // foreachBatch last-write-wins partition-pruned merge
+  // (StreamingIngest.hourlyCandles + candleMergeSink, the reference's
+  // overlap-and-upsert contract, src/etl.py:35 + src/db.py:87-99) —
+  // then the final merged table read back. Three deterministic
+  // batches by time range; every 13th event is withheld until batch 3
+  // so it arrives LATE: late-but-within-watermark rows must be
+  // incorporated (window re-emitted, merge overwrites), rows whose
+  // hour window fell beyond the 72 h watermark must be DROPPED (at
+  // sf0.01: 4 late-kept, 20 late-dropped — both paths exercised). The
+  // oracle recomputes both halves in SQL: the watermark before batch
+  // 3 is max(ts of on-time rows in batches 1-2) − 72 h — a scalar
+  // subquery — and a late row survives iff its window END exceeds it
+  // (hour-aligned ends vs a µs-resolution cut: no boundary ties
+  // possible). Stream == batch-over-kept-rows is checked cross-engine
+  // with the watermark cut itself part of the check.
+  // ----------------------------------------------------------------
+  def q97StreamReplay(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:q97_stream_replay") {
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val (t1, t2) = ("2024-01-11 00:00:00", "2024-01-21 00:00:00")
+      val log = Tables.events(spark, dir)
+        .filter(col("user_id") % 29 === 0)
+        .select(col("user_id").cast("string").as("asset_id"), col("ts"),
+          col("value").as("price"),
+          when(col("event_id") % 13 === 0, 3)
+            .when(col("ts") < lit(t1).cast("timestamp"), 1)
+            .when(col("ts") < lit(t2).cast("timestamp"), 2)
+            .otherwise(3).as("__b"))
+      // Bounded driver collect BY DESIGN: a replay gate feeds rows
+      // through the streaming source from the driver (~3.5 k rows at
+      // sf0.1 — user_id % 29). At scale the source is Kafka/files and
+      // this query is the harness, not the pipeline.
+      val rows = log.as[(String, java.sql.Timestamp, Double, Int)].collect()
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(String, java.sql.Timestamp, Double)]
+      val ticks = input.toDF().toDF("asset_id", "ts", "price")
+        .withColumn("market_cap", lit(null).cast("double"))
+        .withColumn("volume", lit(null).cast("double"))
+      val out = java.nio.file.Files.createTempDirectory("graft_q97_").toString
+      val sinkPath = s"$out/table"
+      val query = graft.streaming.StreamingIngest.hourlyCandles(ticks, watermark = "72 hours")
+        .writeStream.outputMode("update")
+        .foreachBatch(graft.streaming.StreamingIngest.candleMergeSink(sinkPath))
+        .option("checkpointLocation", s"$out/ckpt")
+        .start()
+      try {
+        (1 to 3).foreach { b =>
+          input.addData(rows.iterator.filter(_._4 == b)
+            .map(t => (t._1, t._2, t._3)).toSeq: _*)
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+      spark.read.parquet(sinkPath)
+        .select(col("asset_id"), col("ts"), col("open"), col("high"),
+          col("low"), col("close"), col("n_ticks"))
+    }.orderBy(col("asset_id"), col("ts"))
+
+  val q97StreamReplaySql: String =
+    """WITH log AS (
+      |  SELECT CAST(user_id AS VARCHAR) AS asset_id, ts, value AS price, event_id
+      |  FROM events WHERE user_id % 29 = 0),
+      |wm AS (
+      |  SELECT max(ts) - INTERVAL 72 HOUR AS w FROM log
+      |  WHERE event_id % 13 <> 0 AND ts < TIMESTAMP '2024-01-21 00:00:00'),
+      |kept AS (
+      |  SELECT * FROM log
+      |  WHERE event_id % 13 <> 0
+      |     OR date_trunc('hour', ts) + INTERVAL 1 HOUR > (SELECT w FROM wm))
+      |SELECT asset_id, date_trunc('hour', ts) AS ts,
+      |  arg_min(price, ts) AS open, max(price) AS high, min(price) AS low,
+      |  arg_max(price, ts) AS close, CAST(count(*) AS BIGINT) AS n_ticks
+      |FROM kept GROUP BY 1, 2 ORDER BY asset_id, ts""".stripMargin
 }
