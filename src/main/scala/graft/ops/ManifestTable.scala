@@ -1,0 +1,186 @@
+package graft.ops
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Manifest-committed partitioned table — the minimal table format
+  * that closes [[MergeWriter.mergeIntoPartitioned]]'s remaining
+  * ceiling (round-7 verdict #4): true multi-partition snapshot
+  * atomicity. The two-rename swap commit still exposes a
+  * per-partition torn-read window — a reader listing the table
+  * between two partition swaps sees partition A new and partition B
+  * old. Here readers never list the table at all: they resolve ONE
+  * manifest file, and the commit point is ONE filesystem rename.
+  *
+  * Layout under `path/`:
+  *   - `data/batch-<uuid>/__pdir=<value>/part-*.parquet` — immutable
+  *     data directories; every merge writes NEW directories and never
+  *     mutates or renames an existing one. The partition column is
+  *     retained inside the files (the `__pdir` copy exists only to
+  *     shape the directory layout), so a data dir reads as plain
+  *     parquet with the full schema — no partition-inference plumbing.
+  *   - `_manifests/m<version>` — one line per live partition:
+  *     `<partition-value-string>\t<relative data dir>`. The LATEST
+  *     version is the table.
+  *
+  * Commit protocol: write the merged batch's data dirs (invisible —
+  * nothing references them), write the new manifest to a `.tmp` name,
+  * then ONE `rename(tmp, m<v+1>)` — atomic on HDFS and on the
+  * object-store committers that emulate it. A reader resolves either
+  * m<v> (wholly old) or m<v+1> (wholly new); there is no intermediate
+  * state, however many partitions the batch touched. Rename-if-absent
+  * doubles as optimistic concurrency: two racing writers both target
+  * m<v+1> and the loser's rename fails loudly (single-writer is the
+  * contract, the check makes a violation a crash instead of a
+  * corruption).
+  *
+  * Crash anywhere before the manifest rename leaves the table
+  * untouched — orphan data dirs and manifest tmps are garbage, swept
+  * by the next successful merge's [[cleanup]]. No recovery-rollback
+  * step exists because no state between "old table" and "new table"
+  * ever does.
+  *
+  * Retention: cleanup keeps the data dirs of the latest TWO manifests,
+  * so a reader that resolved the previous manifest just before a
+  * commit keeps reading consistent (old) data through one subsequent
+  * merge — the same one-version grace Delta's default VACUUM horizon
+  * serves. This is deliberately a miniature of the Delta/Iceberg
+  * commit design; swapping to a real table format replaces this file
+  * one-for-one and keeps every caller's semantics.
+  *
+  * Scale posture: the manifest is O(live partitions) text resolved
+  * once per read — at 100 TB that is thousands of lines, driver-side
+  * trivial; data reads remain partition-pruned parquet scans (pass a
+  * `partitionFilter` to [[read]] for dir-level pruning). The merge
+  * itself reads only touched partitions, like the swap-commit form.
+  */
+object ManifestTable {
+
+  private val ManifestDir = "_manifests"
+  private val DataDir = "data"
+
+  /** Merge `incoming` into the manifest table at `path` with
+    * [[Merge.upsert]] semantics per partition of `partitionCol`
+    * (non-null values required — a null partition has no directory
+    * name). Creates the table on first call. Only the partitions
+    * present in `incoming` are read and re-written. */
+  def merge(spark: SparkSession, path: String, incoming: DataFrame,
+            keys: Seq[String], partitionCol: String,
+            preserveExisting: Seq[String] = Nil): Unit = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val current = latestVersion(fs, path)
+    val oldEntries = current.map(v => readManifest(fs, path, v)).getOrElse(Nil)
+
+    // Affected-partition pruning: tiny bounded collect (distinct
+    // partition values of one batch), same as the swap-commit form.
+    val touched = incoming
+      .select(col(partitionCol).cast("string").as("__p")).distinct()
+      .collect().map(r => Option(r.getString(0)).getOrElse(
+        sys.error(s"ManifestTable.merge: null $partitionCol value in incoming"))).toSet
+    val touchedDirs = oldEntries.filter(e => touched(e._1)).map(e => s"$path/${e._2}")
+    val merged =
+      if (touchedDirs.isEmpty) incoming
+      else Merge.upsert(spark.read.parquet(touchedDirs: _*), incoming, keys, preserveExisting)
+
+    // New data dirs, invisible until the manifest rename below.
+    val batch = s"$DataDir/batch-${java.util.UUID.randomUUID()}"
+    merged.withColumn("__pdir", col(partitionCol).cast("string"))
+      .write.partitionBy("__pdir").parquet(s"$path/$batch")
+    val newEntries = fs.listStatus(new Path(s"$path/$batch"))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("__pdir="))
+      .map { st =>
+        val name = st.getPath.getName
+        unescapePathName(name.stripPrefix("__pdir=")) -> s"$batch/$name"
+      }.toSeq.sortBy(_._1)
+    require(newEntries.map(_._1).toSet == touched,
+      s"ManifestTable.merge: written partitions ${newEntries.map(_._1)} != " +
+        s"batch partitions $touched — partition-value string roundtrip broke")
+
+    val entries = oldEntries.filterNot(e => touched(e._1)) ++ newEntries
+    val next = current.getOrElse(0L) + 1
+    writeManifest(fs, path, next, entries)
+    cleanup(fs, path, keepVersions = current.toSet + next)
+  }
+
+  /** The table as of its latest manifest. `partitionFilter` prunes at
+    * the DIRECTORY level by partition-value string, before any file
+    * is touched — the manifest-resolved analog of partition pruning. */
+  def read(spark: SparkSession, path: String,
+           partitionFilter: String => Boolean = _ => true): DataFrame = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = latestVersion(fs, path).getOrElse(
+      sys.error(s"ManifestTable.read: no manifest under $path/$ManifestDir"))
+    val dirs = readManifest(fs, path, v)
+      .collect { case (key, dir) if partitionFilter(key) => s"$path/$dir" }
+    require(dirs.nonEmpty, s"ManifestTable.read: manifest m$v has no partition " +
+      s"passing the filter")
+    spark.read.parquet(dirs: _*)
+  }
+
+  /** Highest committed manifest version, if the table exists. */
+  private[ops] def latestVersion(fs: FileSystem, path: String): Option[Long] = {
+    val dir = new Path(s"$path/$ManifestDir")
+    if (!fs.exists(dir)) None
+    else fs.listStatus(dir).map(_.getPath.getName)
+      .collect { case n if n.startsWith("m") && !n.endsWith(".tmp") => n.drop(1).toLong }
+      .reduceOption(_ max _)
+  }
+
+  private[ops] def readManifest(fs: FileSystem, path: String, v: Long): Seq[(String, String)] = {
+    val in = fs.open(new Path(f"$path/$ManifestDir/m$v%012d"))
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList.map { line =>
+      val i = line.indexOf('\t')
+      (line.substring(0, i), line.substring(i + 1))
+    } finally in.close()
+  }
+
+  private def writeManifest(fs: FileSystem, path: String, v: Long,
+                            entries: Seq[(String, String)]): Unit = {
+    val dest = new Path(f"$path/$ManifestDir/m$v%012d")
+    val tmp = new Path(f"$path/$ManifestDir/m$v%012d-${java.util.UUID.randomUUID()}.tmp")
+    fs.mkdirs(dest.getParent)
+    val out = fs.create(tmp, false)
+    try out.write(entries.map { case (k, d) => s"$k\t$d" }.mkString("", "\n", "\n")
+      .getBytes("UTF-8"))
+    finally out.close()
+    // THE commit point: one rename. HDFS rename-to-existing returns
+    // false, so a concurrent writer racing to the same version fails
+    // here loudly instead of silently clobbering the other's commit.
+    require(fs.rename(tmp, dest),
+      s"ManifestTable: commit rename $tmp -> $dest failed (concurrent writer?); " +
+        s"table still reads as the previous version")
+  }
+
+  /** Drop data dirs unreferenced by every kept manifest, stray
+    * manifest tmps, and manifests older than the kept set. Runs after
+    * each successful commit; also sweeps the residue of crashed
+    * merges (their batch dirs were never referenced by anything). */
+  private def cleanup(fs: FileSystem, path: String, keepVersions: Set[Long]): Unit = {
+    val live: Set[String] = keepVersions.flatMap(v => readManifest(fs, path, v))
+      .map { case (_, dir) => dir.split('/').take(2).mkString("/") } // data/batch-…
+    val dataDir = new Path(s"$path/$DataDir")
+    if (fs.exists(dataDir)) fs.listStatus(dataDir).foreach { st =>
+      if (!live(s"$DataDir/${st.getPath.getName}")) fs.delete(st.getPath, true)
+    }
+    fs.listStatus(new Path(s"$path/$ManifestDir")).foreach { st =>
+      val n = st.getPath.getName
+      val stale = n.endsWith(".tmp") ||
+        (n.startsWith("m") && !n.endsWith(".tmp") && !keepVersions(n.drop(1).toLong))
+      if (stale) fs.delete(st.getPath, false)
+    }
+  }
+
+  /** Inverse of Spark's partition-dir escaping (`%xx` sequences). */
+  private[graft] def unescapePathName(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 3 <= s.length) {
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar); i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+}

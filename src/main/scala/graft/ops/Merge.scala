@@ -176,14 +176,20 @@ object MergeWriter {
     * states and their recovery are OpsSpec-tested.
     *
     * Remaining ceiling: true multi-partition snapshot atomicity needs
-    * a manifest readers resolve — i.e. a table format. Delta/Iceberg
-    * `MERGE INTO` keyed on `keys` replaces this method one-for-one
-    * (same keys, preserve semantics via `WHEN MATCHED THEN UPDATE SET`
-    * excluding the preserved columns); the surrounding contract
-    * (intra-batch last-write-wins via [[Merge.dedupKeepLast]],
-    * partition pruning) carries over unchanged. Kept format-free here
-    * because the environment pins the dependency set to Spark
-    * built-ins.
+    * a manifest readers resolve — i.e. a table format. That form
+    * exists as [[ManifestTable]] (round 8): immutable data dirs plus
+    * a manifest committed in ONE rename, wholly-old-or-wholly-new for
+    * readers. This swap-commit form is kept for tables that must stay
+    * readable as PLAIN `spark.read.parquet(path)` layouts (the
+    * streaming candle sink, anything outside readers list directly);
+    * choose [[ManifestTable]] when readers can resolve the manifest.
+    * Delta/Iceberg `MERGE INTO` keyed on `keys` replaces either
+    * one-for-one (same keys, preserve semantics via `WHEN MATCHED
+    * THEN UPDATE SET` excluding the preserved columns); the
+    * surrounding contract (intra-batch last-write-wins via
+    * [[Merge.dedupKeepLast]], partition pruning) carries over
+    * unchanged. Kept format-free because the environment pins the
+    * dependency set to Spark built-ins.
     */
   def mergeIntoPartitioned(spark: SparkSession, path: String, incoming: DataFrame,
                            keys: Seq[String], partitionCol: String,

@@ -2788,6 +2788,52 @@ object ExtQueries {
           col("low"), col("close"), col("n_ticks"))
     }.orderBy(col("asset_id"), col("ts"))
 
+  // ----------------------------------------------------------------
+  // q98_manifest_merge — the manifest-committed table writer
+  // (ManifestTable) end-to-end under the driver gate: initial load of
+  // the first half of `events` day-partitioned, then an incremental
+  // merge of an OVERLAPPING re-fetch window with bumped values (the
+  // reference's daily overlap-and-upsert, src/etl.py:35) — two
+  // multi-partition commits, each a single manifest rename — then the
+  // final table read back THROUGH the manifest and aggregated per
+  // day. Oracle: the same two-layer last-write-wins in SQL. Writes
+  // real parquet to a per-evaluation temp dir: this query gates the
+  // WRITE path (commit protocol + manifest resolution), not a plan.
+  // ----------------------------------------------------------------
+  def q98ManifestMerge(spark: SparkSession, dir: String): DataFrame = {
+    val cut = "2024-01-16 00:00:00"
+    val overlap = "2024-01-10 00:00:00"
+    val ev = Tables.events(spark, dir)
+      .withColumn("day", date_trunc("day", col("ts")))
+    val initial = ev.filter(col("ts") < lit(cut).cast("timestamp"))
+    val refetch = ev.filter(col("ts") >= lit(overlap).cast("timestamp"))
+      .withColumn("value", col("value") + lit(1.0))
+    val path = java.nio.file.Files.createTempDirectory("graft_q98_").toString + "/table"
+    graft.ops.ManifestTable.merge(spark, path, initial,
+      keys = Seq("event_id"), partitionCol = "day")
+    graft.ops.ManifestTable.merge(spark, path, refetch,
+      keys = Seq("event_id"), partitionCol = "day")
+    graft.ops.ManifestTable.read(spark, path)
+      .groupBy(col("day"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(floor(col("value") * lit(1e3)).cast("long")).as("sum_value_e3"))
+      .orderBy(col("day"))
+  }
+
+  val q98ManifestMergeSql: String =
+    """WITH ev AS (SELECT event_id, date_trunc('day', ts) AS day, ts, value FROM events),
+      |merged AS (
+      |  SELECT event_id, day, value + 1.0 AS value FROM ev
+      |  WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      |  UNION ALL
+      |  SELECT event_id, day, value FROM ev
+      |  WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+      |    AND event_id NOT IN (SELECT event_id FROM ev
+      |                         WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'))
+      |SELECT day, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(floor(value * 1e3) AS BIGINT)) AS BIGINT) AS sum_value_e3
+      |FROM merged GROUP BY day ORDER BY day""".stripMargin
+
   val q97StreamReplaySql: String =
     """WITH log AS (
       |  SELECT CAST(user_id AS VARCHAR) AS asset_id, ts, value AS price, event_id

@@ -294,6 +294,97 @@ class MergeSpec extends AnyFunSuite {
     assert(!fs.exists(hp(s"${path}__old")) && !fs.exists(hp(s"${path}__swap")))
   }
 
+  test("ManifestTable: merge/read roundtrip, partition pruning, idempotence") {
+    val path = java.nio.file.Files.createTempDirectory("graft-manifest").toString + "/t"
+    val day1 = ts("2024-01-01")
+    val day2 = ts("2024-01-02")
+    val base = Seq((1L, day1, 10.0), (2L, day1, 20.0), (3L, day2, 30.0))
+      .toDF("id", "day", "v")
+    graft.ops.ManifestTable.merge(spark, path, base, Seq("id"), "day")
+    val batch = Seq((3L, day2, 99.0), (4L, day2, 40.0)).toDF("id", "day", "v")
+    graft.ops.ManifestTable.merge(spark, path, batch, Seq("id"), "day")
+    graft.ops.ManifestTable.merge(spark, path, batch, Seq("id"), "day") // idempotent
+    val got = graft.ops.ManifestTable.read(spark, path).orderBy("id")
+      .select("id", "v").as[(Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 10.0), (2L, 20.0), (3L, 99.0), (4L, 40.0)))
+    // dir-level pruning: the day1 filter reads only day1's directory
+    val pruned = graft.ops.ManifestTable.read(spark, path,
+      partitionFilter = _.startsWith("2024-01-01"))
+    assert(pruned.select("id").as[Long].collect().toSet == Set(1L, 2L))
+  }
+
+  test("ManifestTable commit is ONE rename: reader sees wholly-old or wholly-new, never mixed") {
+    // Replays the commit sequence by hand around a live reader: after
+    // the batch data dirs are fully written (the torn window of the
+    // two-rename swap commit, which had already moved partition A
+    // when partition B was still old) the table must still read
+    // WHOLLY OLD, because nothing references the new dirs until the
+    // single manifest rename — which is the only step that changes
+    // what a reader resolves.
+    val path = java.nio.file.Files.createTempDirectory("graft-manifest-atomic").toString + "/t"
+    val day1 = ts("2024-01-01")
+    val day2 = ts("2024-01-02")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = Seq((1L, day1, 10.0), (2L, day2, 20.0)).toDF("id", "day", "v")
+    graft.ops.ManifestTable.merge(spark, path, base, Seq("id"), "day")
+    def snapshot() = graft.ops.ManifestTable.read(spark, path).orderBy("id")
+      .select("id", "v").as[(Long, Double)].collect().toSeq
+    val old = snapshot()
+
+    // Simulate a MULTI-partition merge crashed (or paused) after its
+    // data write but before its manifest rename: write both updated
+    // partitions as a new batch dir, reader-checks in between.
+    val merged = Seq((1L, day1, 11.0), (2L, day2, 22.0)).toDF("id", "day", "v")
+    merged.withColumn("__pdir", col("day").cast("string"))
+      .write.partitionBy("__pdir").parquet(s"$path/data/batch-crashsim")
+    assert(snapshot() == old,
+      "new data dirs are invisible until the manifest rename")
+
+    // The commit: one rename of a manifest listing BOTH new dirs.
+    val entries = fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/data/batch-crashsim"))
+      .filter(_.getPath.getName.startsWith("__pdir="))
+      .map { st =>
+        val n = st.getPath.getName
+        graft.ops.ManifestTable.unescapePathName(n.stripPrefix("__pdir=")) ->
+          s"data/batch-crashsim/$n"
+      }.toSeq
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/_manifests/m000000000002.crash.tmp")
+    val out = fs.create(tmp, false)
+    out.write(entries.map { case (k, d) => s"$k\t$d" }.mkString("", "\n", "\n").getBytes("UTF-8"))
+    out.close()
+    assert(snapshot() == old, "a manifest tmp is not a commit")
+    assert(fs.rename(tmp, new org.apache.hadoop.fs.Path(s"$path/_manifests/m000000000002")))
+    assert(snapshot() == Seq((1L, 11.0), (2L, 22.0)),
+      "after the single rename the table is wholly new")
+  }
+
+  test("ManifestTable: a crashed merge's orphan batch dir is swept by the next merge") {
+    val path = java.nio.file.Files.createTempDirectory("graft-manifest-orphan").toString + "/t"
+    val day1 = ts("2024-01-01")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = Seq((1L, day1, 10.0)).toDF("id", "day", "v")
+    graft.ops.ManifestTable.merge(spark, path, base, Seq("id"), "day")
+    // crash residue: a fully-written batch dir + a manifest tmp that
+    // never committed
+    Seq((1L, day1, 666.0)).toDF("id", "day", "v")
+      .withColumn("__pdir", col("day").cast("string"))
+      .write.partitionBy("__pdir").parquet(s"$path/data/batch-orphan")
+    fs.create(new org.apache.hadoop.fs.Path(s"$path/_manifests/m000000000002-x.tmp"), false).close()
+    // table unaffected by the residue
+    assert(graft.ops.ManifestTable.read(spark, path)
+      .select("v").as[Double].collect().toSeq == Seq(10.0))
+    // the next successful merge commits AND sweeps the orphans
+    graft.ops.ManifestTable.merge(spark, path,
+      Seq((2L, day1, 20.0)).toDF("id", "day", "v"), Seq("id"), "day")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/data/batch-orphan")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_manifests/m000000000002-x.tmp")))
+    assert(graft.ops.ManifestTable.read(spark, path).orderBy("id")
+      .select("id", "v").as[(Long, Double)].collect().toSeq ==
+      Seq((1L, 10.0), (2L, 20.0)))
+  }
+
   test("applyChangeFeed: deletes drop keys, highest version wins, re-insert resurrects") {
     val existing = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "v")
     val feed = Seq(
