@@ -2834,6 +2834,66 @@ object ExtQueries {
       |  CAST(sum(CAST(floor(value * 1e3) AS BIGINT)) AS BIGINT) AS sum_value_e3
       |FROM merged GROUP BY day ORDER BY day""".stripMargin
 
+  // ----------------------------------------------------------------
+  // q99_image_decode — the REAL byte-level image kernel under the
+  // driver gate (round-7 verdict #5; the decode family is no longer
+  // stub-labeled): deterministic gradient images are ENCODED in a
+  // mapPartitions pass — even ids as uncompressed 24-bit BMP
+  // (little-endian header, BGR, 4-byte row padding, bottom-up rows),
+  // odd ids as binary P6 PPM (ASCII header with a comment line) —
+  // then DECODED by Multimodal.PixelDecoder back to header dims,
+  // exact per-channel pixel sums, and two positional probes. The
+  // oracle computes every value in closed form from the pixel rule
+  // r=(3x+5y+id)%256 (g,b offset by 85/170): dims and fmt from the
+  // spec, channel sums as list-comprehension sums over the pixel
+  // grid, probes by plugging in (0,0)/(w-1,h-1). A decoder that
+  // mis-parses padding corrupts the sums; one that ignores BMP's
+  // bottom-up order flips the probes; one that misses the PPM
+  // comment line shears the whole raster — all caught cross-engine.
+  // ----------------------------------------------------------------
+  def q99ImageDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val spec = Tables.documents(spark, dir)
+      .select(col("doc_id").as("media_id"),
+        (col("doc_id") % 24 + 8).cast("int").as("w"),
+        (col("doc_id") % 18 + 6).cast("int").as("h"))
+      .as[(Long, Int, Int)]
+    val media = spec.mapPartitions { rows =>
+      rows.map { case (id, w, h) =>
+        val px = (x: Int, y: Int) => {
+          val base = 3 * x + 5 * y + id
+          (((base % 256) & 0xff).toInt, (((base + 85) % 256) & 0xff).toInt,
+            (((base + 170) % 256) & 0xff).toInt)
+        }
+        val bytes =
+          if (id % 2 == 0) graft.ext.Multimodal.encodeBmp(w, h, px)
+          else graft.ext.Multimodal.encodePpm(w, h, px)
+        (id, bytes)
+      }
+    }.toDF("media_id", "payload")
+    graft.ext.Multimodal.decodeImages(media)
+      .toDF()
+      .orderBy(col("media_id"))
+  }
+
+  val q99ImageDecodeSql: String =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id, doc_id % 24 + 8 AS w, doc_id % 18 + 6 AS h
+      |  FROM documents)
+      |SELECT media_id,
+      |  CASE WHEN media_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS fmt,
+      |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+      |  CAST(w * h AS BIGINT) AS n_pixels,
+      |  CAST(list_sum(flatten(list_transform(range(h), y ->
+      |    list_transform(range(w), x -> (3*x + 5*y + media_id) % 256)))) AS BIGINT) AS sum_r,
+      |  CAST(list_sum(flatten(list_transform(range(h), y ->
+      |    list_transform(range(w), x -> (3*x + 5*y + media_id + 85) % 256)))) AS BIGINT) AS sum_g,
+      |  CAST(list_sum(flatten(list_transform(range(h), y ->
+      |    list_transform(range(w), x -> (3*x + 5*y + media_id + 170) % 256)))) AS BIGINT) AS sum_b,
+      |  media_id % 256 AS p00_r,
+      |  (3*(w-1) + 5*(h-1) + media_id + 170) % 256 AS plast_b
+      |FROM m ORDER BY media_id""".stripMargin
+
   val q97StreamReplaySql: String =
     """WITH log AS (
       |  SELECT CAST(user_id AS VARCHAR) AS asset_id, ts, value AS price, event_id

@@ -296,4 +296,49 @@ class SourcesSpec extends AnyFunSuite {
     assert(decoded.map(_.n_bytes).toSeq == Seq(16, 13, 19))
     assert(decoded.map(_.checksum).distinct.length == 3) // deterministic, distinct
   }
+
+  test("PixelDecoder: real BMP/PPM round-trip incl. padding widths, 1x1, top-down BMP, malformed") {
+    val dec = new Multimodal.PixelDecoder
+    // Pixel rule with distinct values per position, so any row-order /
+    // padding / channel-order slip shifts a probe or a sum.
+    def px(x: Int, y: Int): (Int, Int, Int) = ((3 * x + 5 * y) % 256,
+      (3 * x + 5 * y + 85) % 256, (3 * x + 5 * y + 170) % 256)
+    def expected(w: Int, h: Int): (Long, Long, Long, Long, Long) = {
+      val grid = for { y <- 0 until h; x <- 0 until w } yield px(x, y)
+      (grid.map(_._1.toLong).sum, grid.map(_._2.toLong).sum, grid.map(_._3.toLong).sum,
+        px(0, 0)._1.toLong, px(w - 1, h - 1)._3.toLong)
+    }
+    // widths 1..5 cover every BMP pad amount (w*3 mod 4 ∈ {3,2,1,0});
+    // 1x1 is the degenerate image
+    for (w <- 1 to 5; h <- Seq(1, 3, 4)) {
+      val (sr, sg, sb, p00, pl) = expected(w, h)
+      for (bytes <- Seq(Multimodal.encodeBmp(w, h, px), Multimodal.encodePpm(w, h, px))) {
+        val d = dec.decode(7L, bytes)
+        assert((d.width, d.height, d.n_pixels) == ((w, h, w.toLong * h)))
+        assert((d.sum_r, d.sum_g, d.sum_b, d.p00_r, d.plast_b) == ((sr, sg, sb, p00, pl)),
+          s"${d.fmt} ${w}x$h")
+      }
+    }
+    // top-down BMP variant (negative height) must decode identically:
+    // flip the stored rows and negate the height field of a bottom-up
+    // encoding — same image, other storage order.
+    val w = 3; val h = 2
+    val up = Multimodal.encodeBmp(w, h, px)
+    val stride = (w * 3 + 3) / 4 * 4
+    val down = up.clone()
+    val negH = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(-h).array()
+    System.arraycopy(negH, 0, down, 22, 4)
+    for (r <- 0 until h)
+      System.arraycopy(up, 54 + r * stride, down, 54 + (h - 1 - r) * stride, stride)
+    val (du, dd) = (dec.decode(1L, up), dec.decode(1L, down))
+    assert(dd == du, s"top-down BMP decodes differently: $dd vs $du")
+
+    // malformed payloads must THROW (quarantine path), not average junk
+    intercept[IllegalArgumentException](dec.decode(9L, Array[Byte]('X', 'Y', 1, 2)))
+    intercept[IllegalArgumentException](dec.decode(9L, up.take(40))) // truncated header
+    intercept[IllegalArgumentException](dec.decode(9L, up.take(57))) // truncated pixels
+    intercept[IllegalArgumentException](
+      dec.decode(9L, "P6\n2 2\n65535\n".getBytes ++ Array.fill(24)(0: Byte))) // 16-bit PPM
+  }
 }
