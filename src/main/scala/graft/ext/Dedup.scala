@@ -370,7 +370,7 @@ object Dedup {
     * size prune is a NECESSARY condition on (|A|, |B|) alone, so
     * re-applying it as a post-filter on the aggregated pair frame
     * keeps the answer identical to the inline-pruned form (a
-    * DedupSpec theorem) — the point is sharing: when the unpruned
+    * ExtSpec theorem) — the point is sharing: when the unpruned
     * frame is already being paid for (a containment join over the
     * same corpus), this form adds only per-row arithmetic. */
   def jaccardJoinExactFromPairCounts(pairs: DataFrame, threshold: Double = 0.5): DataFrame = {

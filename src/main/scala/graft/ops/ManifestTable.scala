@@ -64,10 +64,17 @@ object ManifestTable {
     * [[Merge.upsert]] semantics per partition of `partitionCol`
     * (non-null values required — a null partition has no directory
     * name). Creates the table on first call. Only the partitions
-    * present in `incoming` are read and re-written. */
+    * present in `incoming` are read and re-written.
+    *
+    * `retainVersions` manifests (and every data dir any of them
+    * references) survive each commit — the reader grace period AND
+    * the time-travel horizon: [[readVersion]] can pin any retained
+    * snapshot. The default keeps the new version plus one. */
   def merge(spark: SparkSession, path: String, incoming: DataFrame,
             keys: Seq[String], partitionCol: String,
-            preserveExisting: Seq[String] = Nil): Unit = {
+            preserveExisting: Seq[String] = Nil,
+            retainVersions: Int = 2): Unit = {
+    require(retainVersions >= 1, s"retainVersions must be >= 1, got $retainVersions")
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val current = latestVersion(fs, path)
     val oldEntries = current.map(v => readManifest(fs, path, v)).getOrElse(Nil)
@@ -100,7 +107,8 @@ object ManifestTable {
     val entries = oldEntries.filterNot(e => touched(e._1)) ++ newEntries
     val next = current.getOrElse(0L) + 1
     writeManifest(fs, path, next, entries)
-    cleanup(fs, path, keepVersions = current.toSet + next)
+    cleanup(fs, path, keepVersions =
+      (versions(fs, path) :+ next).distinct.sorted.takeRight(retainVersions).toSet)
   }
 
   /** The table as of its latest manifest. `partitionFilter` prunes at
@@ -118,14 +126,35 @@ object ManifestTable {
     spark.read.parquet(dirs: _*)
   }
 
-  /** Highest committed manifest version, if the table exists. */
-  private[ops] def latestVersion(fs: FileSystem, path: String): Option[Long] = {
+  /** TIME TRAVEL: the table as of a specific retained `version` — the
+    * snapshot a reader pinned before a subsequent commit, or an audit
+    * ("what did yesterday's load see"). Fails if the version was
+    * cleaned (older than the writer's `retainVersions` horizon). */
+  def readVersion(spark: SparkSession, path: String, version: Long,
+                  partitionFilter: String => Boolean = _ => true): DataFrame = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(versions(fs, path).contains(version),
+      s"ManifestTable.readVersion: m$version not retained under $path " +
+        s"(have ${versions(fs, path).mkString(", ")})")
+    val dirs = readManifest(fs, path, version)
+      .collect { case (key, dir) if partitionFilter(key) => s"$path/$dir" }
+    require(dirs.nonEmpty, s"ManifestTable.readVersion: manifest m$version has no " +
+      s"partition passing the filter")
+    spark.read.parquet(dirs: _*)
+  }
+
+  /** All retained manifest versions, ascending (empty = no table). */
+  def versions(fs: FileSystem, path: String): Seq[Long] = {
     val dir = new Path(s"$path/$ManifestDir")
-    if (!fs.exists(dir)) None
+    if (!fs.exists(dir)) Nil
     else fs.listStatus(dir).map(_.getPath.getName)
       .collect { case n if n.startsWith("m") && !n.endsWith(".tmp") => n.drop(1).toLong }
-      .reduceOption(_ max _)
+      .toSeq.sorted
   }
+
+  /** Highest committed manifest version, if the table exists. */
+  private[ops] def latestVersion(fs: FileSystem, path: String): Option[Long] =
+    versions(fs, path).lastOption
 
   private[ops] def readManifest(fs: FileSystem, path: String, v: Long): Seq[(String, String)] = {
     val in = fs.open(new Path(f"$path/$ManifestDir/m$v%012d"))

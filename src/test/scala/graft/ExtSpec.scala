@@ -257,6 +257,26 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("FromPairCounts forms == inline forms over one shared unpruned pass (post-filter theorem)") {
+    // The r8 sharing refactor rests on: the Jaccard size prune is a
+    // necessary condition on (|A|, |B|) alone, so applying it as a
+    // POST-filter on the unpruned pair frame yields the identical
+    // answer to pruning inside the join — and containment is pure
+    // per-row arithmetic over the same counts. Assert both against
+    // the original single-purpose forms on real data.
+    val docs = Tables.documents(spark, sf)
+    val sh = Dedup.shingled(docs)
+    val pairs = Dedup.pairCounts(sh)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    for (t <- Seq(0.3, 0.5, 0.7))
+      assert(rows(Dedup.jaccardJoinExactFromPairCounts(pairs, t)) ==
+        rows(Dedup.jaccardJoinExactFromShingles(sh, t)), s"jaccard post-filter t=$t")
+    assert(rows(Dedup.containmentJoinFromPairCounts(pairs, 0.8)) ==
+      rows(Dedup.containmentJoinFromShingles(sh, 0.8)), "containment from shared pass")
+    graft.ops.Intermediates.sweep(spark)
+  }
+
   test("containment join finds an embedded near-subset that Jaccard structurally misses") {
     // doc 1 is (a prefix slice of) doc 2, which is ~4x longer:
     // containment(1 -> 2) ~ 1 while J is capped near |A|/|B| ~ 0.25.

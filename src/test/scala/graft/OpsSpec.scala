@@ -385,6 +385,25 @@ class MergeSpec extends AnyFunSuite {
       Seq((1L, 10.0), (2L, 20.0)))
   }
 
+  test("ManifestTable time travel: retained versions pin their snapshot; horizon cleans") {
+    val path = java.nio.file.Files.createTempDirectory("graft-manifest-tt").toString + "/t"
+    val day1 = ts("2024-01-01")
+    def mergeV(v: Double) = graft.ops.ManifestTable.merge(spark, path,
+      Seq((1L, day1, v)).toDF("id", "day", "v"), Seq("id"), "day", retainVersions = 2)
+    def readV(ver: Long) = graft.ops.ManifestTable.readVersion(spark, path, ver)
+      .select("v").as[Double].collect().toSeq
+    mergeV(10.0); mergeV(20.0)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(graft.ops.ManifestTable.versions(fs, path) == Seq(1L, 2L))
+    assert(readV(1L) == Seq(10.0), "the previous snapshot is pinnable")
+    assert(readV(2L) == Seq(20.0))
+    mergeV(30.0) // v1 falls off the retain-2 horizon
+    assert(graft.ops.ManifestTable.versions(fs, path) == Seq(2L, 3L))
+    assert(readV(2L) == Seq(20.0) && readV(3L) == Seq(30.0))
+    intercept[IllegalArgumentException](readV(1L))
+  }
+
   test("applyChangeFeed: deletes drop keys, highest version wins, re-insert resurrects") {
     val existing = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "v")
     val feed = Seq(
