@@ -85,6 +85,12 @@ object ManifestTable {
       .select(col(partitionCol).cast("string").as("__p")).distinct()
       .collect().map(r => Option(r.getString(0)).getOrElse(
         sys.error(s"ManifestTable.merge: null $partitionCol value in incoming"))).toSet
+    // Manifest lines are `key\tdir\n` — a key carrying either control
+    // character would corrupt the file's structure. Date/numeric
+    // partition values never do; refuse the exotic string case loudly.
+    touched.find(k => k.contains('\t') || k.contains('\n')).foreach(k =>
+      sys.error(s"ManifestTable.merge: partition value ${k.replace("\t", "\\t")
+        .replace("\n", "\\n")} contains a tab/newline — not manifest-encodable"))
     val touchedDirs = oldEntries.filter(e => touched(e._1)).map(e => s"$path/${e._2}")
     val merged =
       if (touchedDirs.isEmpty) incoming
@@ -143,12 +149,15 @@ object ManifestTable {
     spark.read.parquet(dirs: _*)
   }
 
-  /** All retained manifest versions, ascending (empty = no table). */
+  /** All retained manifest versions, ascending (empty = no table).
+    * Only `m<digits>` names count — a stray foreign file in the
+    * manifest dir is ignored rather than crashing every read. */
   def versions(fs: FileSystem, path: String): Seq[Long] = {
     val dir = new Path(s"$path/$ManifestDir")
     if (!fs.exists(dir)) Nil
     else fs.listStatus(dir).map(_.getPath.getName)
-      .collect { case n if n.startsWith("m") && !n.endsWith(".tmp") => n.drop(1).toLong }
+      .collect { case n if n.length > 1 && n.startsWith("m") &&
+        n.drop(1).forall(_.isDigit) => n.drop(1).toLong }
       .toSeq.sorted
   }
 
@@ -195,7 +204,8 @@ object ManifestTable {
     fs.listStatus(new Path(s"$path/$ManifestDir")).foreach { st =>
       val n = st.getPath.getName
       val stale = n.endsWith(".tmp") ||
-        (n.startsWith("m") && !n.endsWith(".tmp") && !keepVersions(n.drop(1).toLong))
+        (n.length > 1 && n.startsWith("m") && n.drop(1).forall(_.isDigit) &&
+          !keepVersions(n.drop(1).toLong))
       if (stale) fs.delete(st.getPath, false)
     }
   }
