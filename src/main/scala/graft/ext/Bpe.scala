@@ -1,0 +1,180 @@
+package graft.ext
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Intermediates
+
+/** Byte-pair-encoding tokenizer TRAINING as Spark plans — the
+  * iterative pair-count-and-merge algorithm (Sennrich et al. 2016)
+  * every subword tokenizer pipeline runs before a model sees a
+  * token, expressed map-reduce-style:
+  *
+  *   - the corpus collapses ONCE to its distinct-word dictionary
+  *     with counts (a hash aggregate — at 100 TB the dictionary is
+  *     orders of magnitude smaller than the corpus, and it is the
+  *     only frame the iteration ever touches);
+  *   - each round counts adjacent symbol pairs weighted by word
+  *     count (explode + one map-side-combinable hash aggregate),
+  *     takes the global argmax under a DETERMINISTIC total order
+  *     (count desc, then lexicographic (left, right) — ties must
+  *     break identically on any cluster layout or the learned vocab
+  *     is nondeterministic), and
+  *   - rewrites every word's symbol array with the new merge as a
+  *     codegen'd `aggregate` fold (greedy leftmost-first,
+  *     non-overlapping — "aaa" under merge (a,a) becomes [aa, a]) —
+  *     a map-only pass, no UDF.
+  *
+  * Per-round driver traffic is ONE argmax row (the q87/k-means
+  * bounded-collect posture); the dictionary iterates under eager
+  * localCheckpoint with the previous iterate released
+  * ([[graft.ops.Intermediates.release]] hygiene — plan depth and
+  * storage stay O(1) in the round number).
+  *
+  * Training stops after `nMerges` rounds, or earlier when no pair
+  * occurs at least twice (merging a count-1 pair can never shrink
+  * another occurrence). [[sequentialReference]] is the same
+  * algorithm on driver-side collections — the q101 gate's
+  * independent implementation, bounded by the dictionary like the
+  * all-pairs oracles.
+  *
+  * Symbols are character strings over the normalized token alphabet
+  * ([[TextAnalysis.tokenStream]] — ASCII in the testdata; a
+  * byte-level variant would pre-map text to latin-1 single-byte
+  * chars first, same plans). No end-of-word marker: words are
+  * tokenized independently, so merges never cross a boundary.
+  */
+object Bpe {
+
+  /** One learned merge: at `step` (1-based), the adjacent pair
+    * (`left`, `right`) with weighted count `pairCount` was fused;
+    * `tokensAfter` = Σ |syms|·cnt over the dictionary after the
+    * rewrite (strictly decreasing in `step` — each applied fusion
+    * removes exactly one symbol occurrence). */
+  final case class MergeStep(step: Int, left: String, right: String,
+                             pairCount: Long, tokensAfter: Long)
+
+  /** Distinct-word dictionary with counts: (word, cnt). */
+  def wordCounts(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame =
+    TextAnalysis.tokenStream(docs, idCol, textCol)
+      .groupBy(col("tok").as("word")).agg(count(lit(1)).as("cnt"))
+
+  /** `word` split to single-character symbols. `split(w, "")` keeps
+    * a trailing zero-width match on some regex engines — filter the
+    * empties rather than depending on that edge. */
+  private def charSyms(word: Column): Column =
+    filter(split(word, ""), s => length(s) > 0)
+
+  /** Adjacent-pair counts over a (syms, cnt) dictionary:
+    * (a, b, pc). zip_with of the array against its own tail — words
+    * of one symbol contribute nothing (empty slice). */
+  def pairCounts(words: DataFrame): DataFrame =
+    words
+      .select(col("cnt"), explode(zip_with(
+        slice(col("syms"), lit(1), size(col("syms")) - 1),
+        slice(col("syms"), lit(2), size(col("syms")) - 1),
+        (x, y) => struct(x.as("a"), y.as("b")))).as("__p"))
+      .groupBy(col("__p.a").as("a"), col("__p.b").as("b"))
+      .agg(sum(col("cnt")).as("pc"))
+
+  /** Greedy leftmost-first rewrite of `syms` under merge (a, b) as a
+    * codegen'd fold: state = (rewritten prefix, one-symbol
+    * lookbehind). The carry matches `a` and the next symbol `b` →
+    * emit the fused symbol and CLEAR the carry, so a fused symbol
+    * never re-matches as the `a` of an overlapping pair — exactly
+    * the non-overlapping semantics of the sequential algorithm. */
+  def applyMerge(syms: Column, a: String, b: String): Column = {
+    val fused = a + b
+    aggregate(
+      syms,
+      struct(array().cast("array<string>").as("acc"), lit(null).cast("string").as("carry")),
+      (st, s) =>
+        when(st.getField("carry").isNull,
+          struct(st.getField("acc").as("acc"), s.as("carry")))
+        .when(st.getField("carry") === lit(a) && s === lit(b),
+          struct(concat(st.getField("acc"), array(lit(fused))).as("acc"),
+            lit(null).cast("string").as("carry")))
+        .otherwise(
+          struct(concat(st.getField("acc"), array(st.getField("carry"))).as("acc"),
+            s.as("carry"))),
+      st => when(st.getField("carry").isNull, st.getField("acc"))
+        .otherwise(concat(st.getField("acc"), array(st.getField("carry")))))
+  }
+
+  /** Train `nMerges` rounds over a (word, cnt) dictionary. */
+  def train(wordCounts: DataFrame, nMerges: Int): Seq[MergeStep] = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    val out = mutable.Buffer.empty[MergeStep]
+    var words = wordCounts
+      .select(charSyms(col("word")).as("syms"), col("cnt"))
+      .localCheckpoint()
+    var step = 0
+    var done = false
+    while (step < nMerges && !done) {
+      val top = pairCounts(words)
+        .orderBy(col("pc").desc, col("a"), col("b")).limit(1).collect()
+      if (top.isEmpty || top(0).getAs[Long]("pc") < 2L) done = true
+      else {
+        step += 1
+        val (a, b, pc) = (top(0).getAs[String]("a"), top(0).getAs[String]("b"),
+          top(0).getAs[Long]("pc"))
+        val prev = words
+        words = words
+          .select(applyMerge(col("syms"), a, b).as("syms"), col("cnt"))
+          .localCheckpoint()
+        Intermediates.release(prev)
+        val tokensAfter = words
+          .agg(sum(size(col("syms")) * col("cnt"))).collect()(0).getLong(0)
+        out += MergeStep(step, a, b, pc, tokensAfter)
+      }
+    }
+    Intermediates.release(words)
+    out.toSeq
+  }
+
+  /** Tokenize a string column with a learned merge list: chars, then
+    * every merge replayed in training order (the standard BPE encode
+    * for text the trainer saw; rare-pair interactions on UNSEEN text
+    * differ from priority-queue encoders, documented not gated).
+    * Map-only — `nMerges` chained folds, no UDF, no shuffle. */
+  def encodeCol(text: Column, merges: Seq[MergeStep]): Column =
+    merges.foldLeft(charSyms(text)) { (c, m) => applyMerge(c, m.left, m.right) }
+
+  /** The same training rounds on driver-side collections — the
+    * gate's independent reference (bounded by the dictionary). */
+  def sequentialReference(words: Seq[(String, Long)], nMerges: Int): Seq[MergeStep] = {
+    def applyM(s: Vector[String], a: String, b: String): Vector[String] = {
+      val buf = Vector.newBuilder[String]
+      var i = 0
+      while (i < s.length) {
+        if (i + 1 < s.length && s(i) == a && s(i + 1) == b) { buf += (a + b); i += 2 }
+        else { buf += s(i); i += 1 }
+      }
+      buf.result()
+    }
+    var dict = words.map { case (w, c) => (w.split("").filter(_.nonEmpty).toVector, c) }
+    val out = mutable.Buffer.empty[MergeStep]
+    var step = 0
+    var done = false
+    while (step < nMerges && !done) {
+      val pc = mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+      dict.foreach { case (s, c) =>
+        var i = 0
+        while (i + 1 < s.length) { pc((s(i), s(i + 1))) += c; i += 1 }
+      }
+      val best = pc.toSeq.sortBy { case ((a, b), n) => (-n, a, b) }.headOption
+      if (best.isEmpty || best.get._2 < 2L) done = true
+      else {
+        step += 1
+        val ((a, b), n) = best.get
+        dict = dict.map { case (s, c) => (applyM(s, a, b), c) }
+        val tokensAfter = dict.map { case (s, c) => s.length * c }.sum
+        out += MergeStep(step, a, b, n, tokensAfter)
+      }
+    }
+    out.toSeq
+  }
+}

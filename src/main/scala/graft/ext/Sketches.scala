@@ -71,4 +71,73 @@ object Sketches {
       .join(broadcast(counters), Seq("j", "bucket"), "left_outer")
       .groupBy(col(itemCol))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
+
+  // ----------------------------------------------------------------
+  // Bloom filter — packed-bitset membership sketch
+  // ----------------------------------------------------------------
+
+  /** Bit position of `item` under hash row `j`, in `[0, mBits)` —
+    * the same engine-portable md5 idiom as [[cmsBucket]] (the DuckDB
+    * oracle rebuilds identical positions). */
+  def bloomPos(item: Column, j: Int, mBits: Int): Column =
+    conv(substring(md5(concat_ws("#", lit(j.toString), item.cast("string"))), 1, 8), 16, 10)
+      .cast("long") % mBits
+
+  private def bloomPosArray(item: Column, k: Int, mBits: Int): Column =
+    array((0 until k).map(j => bloomPos(item, j, mBits)): _*)
+
+  /** Build a Bloom filter over `items` as a packed-word frame: one
+    * (word, bits) row per non-empty 32-bit word of the m-bit array.
+    * `k` hash rows set `k` bits per item; membership holds iff all
+    * `k` bits are set ([[bloomMightContain]]).
+    *
+    * Two Bloom guarantees (Bloom 1970):
+    *   - NO false negatives — an inserted item always probes
+    *     present (a theorem: bit_or only ever sets bits — q100
+    *     gates it);
+    *   - false positives at rate ≈ (1 − e^{−k·n/m})^k
+    *     (probabilistic; reported, not gated — the q74 posture).
+    *
+    * Why this exists next to the exact semi-join (q57): the filter
+    * is ≤ m/32 rows REGARDLESS of corpus size — at 100 TB the
+    * distinct-gram set is itself TB-scale and the exact
+    * decontamination check shuffles the eval grams against it, while
+    * this sketch broadcasts (mBits = 2^26 packs to 16 MB of longs),
+    * turning the common all-clear probe into a map-only pass; only
+    * maybe-hits (exact hits + the ε of false positives) ever need
+    * the exact join. Mergeable for free: union two filters'
+    * frames and `groupBy(word).agg(bit_or(bits))`.
+    *
+    * 32-bit packing (not 64): the shifted mask `1L << bit` stays a
+    * POSITIVE BIGINT in both engines — bit 63 would be negative in
+    * Spark's two's-complement shiftleft and an overflow hazard in
+    * DuckDB's checked `<<`. */
+  def bloomWords(items: DataFrame, itemCol: String,
+                 k: Int = 4, mBits: Int = 1 << 20): DataFrame = {
+    require(mBits % 32 == 0, s"mBits must be a multiple of 32, got $mBits")
+    items
+      .select(explode(bloomPosArray(col(itemCol), k, mBits)).as("__pos"))
+      .select(floor(col("__pos") / 32).cast("long").as("word"),
+        (col("__pos") % 32).cast("int").as("__bit"))
+      .groupBy(col("word"))
+      .agg(bit_or(expr("shiftleft(CAST(1 AS BIGINT), __bit)")).as("bits"))
+  }
+
+  /** Probe `probes`' items against a packed-word filter frame:
+    * present iff ALL `k` probed bits are set. The filter is ≤ m/32
+    * rows → broadcast; the probe side never shuffles. A missing word
+    * row means no bit in that word was ever set — every probe into
+    * it misses (coalesce to 0). `k`/`mBits` must match the build. */
+  def bloomMightContain(words: DataFrame, probes: DataFrame, itemCol: String,
+                        k: Int = 4, mBits: Int = 1 << 20): DataFrame =
+    probes
+      .select(col(itemCol), explode(bloomPosArray(col(itemCol), k, mBits)).as("__pos"))
+      .select(col(itemCol), floor(col("__pos") / 32).cast("long").as("word"),
+        (col("__pos") % 32).cast("int").as("__bit"))
+      .join(broadcast(words), Seq("word"), "left_outer")
+      .select(col(itemCol),
+        (coalesce(col("bits"), lit(0L))
+          .bitwiseAND(expr("shiftleft(CAST(1 AS BIGINT), __bit)")) =!= 0L).as("__hit"))
+      .groupBy(col(itemCol))
+      .agg((min(when(col("__hit"), lit(1)).otherwise(lit(0))) === 1).as("might_contain"))
 }

@@ -2894,6 +2894,155 @@ object ExtQueries {
       |  (3*(w-1) + 5*(h-1) + media_id + 170) % 256 AS plast_b
       |FROM m ORDER BY media_id""".stripMargin
 
+  // ----------------------------------------------------------------
+  // q100_bloom_decontam — Bloom-filter decontamination probe
+  // (Sketches.bloomWords / bloomMightContain, k = 4, m = 2^20 bits)
+  // next to q57's exact semi-join, over the SAME eval/corpus split
+  // (doc_id % 20) and the same cached corpus shingle pass. The point
+  // at 100 TB: the exact check shuffles eval grams against a
+  // TB-scale distinct-gram set, while the filter is ≤ m/32 rows
+  // (2^20 bits pack to 32 K words ≈ 256 KB) REGARDLESS of corpus
+  // size — it broadcasts, the all-clear probe is map-only, and only
+  // maybe-hits ever need the exact join. Per eval doc: exact
+  // shared-gram count vs the count of grams the filter cannot rule
+  // out. THEOREM gate (Bloom 1970): no false negatives — every
+  // exact hit is a bloom maybe, so n_maybe >= n_exact and
+  // exact-contaminated ⇒ bloom-flagged, always; a false
+  // `no_false_neg` is a code bug, never data. The md5 bit positions
+  // are engine-portable (q74's idiom), so the oracle rebuilds the
+  // IDENTICAL filter and every per-doc value — false positives
+  // included — hash-matches exactly.
+  // ----------------------------------------------------------------
+  def q100BloomDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val sh = docShingles(spark, dir) // ONE cached corpus shingle pass
+    val evalIds = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 20 === 0).select(col("doc_id"))
+    val evalGrams = sh.filter(col("__id") % 20 === 0)
+      .select(col("__id"), explode(col("__sh")).as("gram"))
+    val corpusGrams = sh.filter(col("__id") % 20 =!= 0)
+      .select(explode(col("__sh")).as("gram")).distinct()
+    val filter = graft.ext.Sketches.bloomWords(corpusGrams, "gram")
+    // probe the DISTINCT eval gram set once (grams repeat across
+    // docs), then fan the verdicts back out per (doc, gram)
+    val verdicts = graft.ext.Sketches.bloomMightContain(
+      filter, evalGrams.select(col("gram")).distinct(), "gram")
+    val perDoc = evalGrams.join(verdicts, Seq("gram"))
+      .groupBy(col("__id").as("doc_id"))
+      .agg(sum(when(col("might_contain"), lit(1L)).otherwise(lit(0L))).as("__maybe"))
+    Dedup.contaminationReportFromShingles(evalIds,
+        sh.filter(col("__id") % 20 === 0), sh.filter(col("__id") % 20 =!= 0))
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        col("n_shared").as("n_exact"),
+        coalesce(col("__maybe"), lit(0L)).as("n_maybe"),
+        col("contaminated").as("contaminated_exact"),
+        (coalesce(col("__maybe"), lit(0L)) > 0).as("flagged_bloom"),
+        (coalesce(col("__maybe"), lit(0L)) >= col("n_shared") &&
+          (!col("contaminated") || coalesce(col("__maybe"), lit(0L)) > 0))
+          .as("no_false_neg"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q100BloomDecontamSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id,
+      |         list_distinct(list_transform(range(1, len(toks) - 1),
+      |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      |  FROM d WHERE len(toks) >= 3),
+      |e AS (SELECT doc_id, unnest(sh) AS gram FROM s WHERE doc_id % 20 = 0),
+      |c AS (SELECT DISTINCT unnest(sh) AS gram FROM s WHERE doc_id % 20 <> 0),
+      |cp AS (SELECT CAST(CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '#' || gram), 1, 8)) AS UBIGINT) % 1048576 AS BIGINT) AS pos
+      |       FROM (SELECT gram, unnest([0, 1, 2, 3]) AS j FROM c)),
+      |w AS (SELECT pos // 32 AS word, bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits
+      |      FROM cp GROUP BY 1),
+      |eg AS (SELECT DISTINCT gram FROM e),
+      |pp AS (SELECT gram, CAST(CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '#' || gram), 1, 8)) AS UBIGINT) % 1048576 AS BIGINT) AS pos
+      |       FROM (SELECT gram, unnest([0, 1, 2, 3]) AS j FROM eg)),
+      |ph AS (SELECT gram,
+      |         bool_and((coalesce(bits, 0) & (CAST(1 AS BIGINT) << CAST(pos % 32 AS INT))) <> 0) AS might
+      |       FROM pp LEFT JOIN w ON pp.pos // 32 = w.word GROUP BY gram),
+      |perdoc AS (
+      |  SELECT e.doc_id, sum(CASE WHEN ph.might THEN 1 ELSE 0 END) AS n_maybe
+      |  FROM e JOIN ph USING (gram) GROUP BY e.doc_id),
+      |hit AS (
+      |  SELECT e.doc_id, COUNT(*) AS n_exact
+      |  FROM e JOIN c USING (gram) GROUP BY e.doc_id)
+      |SELECT ids.doc_id,
+      |  CAST(COALESCE(hit.n_exact, 0) AS BIGINT) AS n_exact,
+      |  CAST(COALESCE(perdoc.n_maybe, 0) AS BIGINT) AS n_maybe,
+      |  COALESCE(hit.n_exact, 0) > 0 AS contaminated_exact,
+      |  COALESCE(perdoc.n_maybe, 0) > 0 AS flagged_bloom,
+      |  COALESCE(perdoc.n_maybe, 0) >= COALESCE(hit.n_exact, 0)
+      |    AND (COALESCE(hit.n_exact, 0) = 0 OR COALESCE(perdoc.n_maybe, 0) > 0) AS no_false_neg
+      |FROM (SELECT doc_id FROM documents WHERE doc_id % 20 = 0) ids
+      |LEFT JOIN hit ON ids.doc_id = hit.doc_id
+      |LEFT JOIN perdoc ON ids.doc_id = perdoc.doc_id
+      |ORDER BY ids.doc_id""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q101_bpe_train — distributed BPE tokenizer training
+  // (Bpe.train: 12 pair-count-argmax-rewrite rounds over the
+  // distinct-word dictionary, deterministic (count desc, left,
+  // right) tiebreak) gated three ways:
+  //   - first merge + dictionary stats (n_words, initial token
+  //     count) recomputed EXACTLY by the oracle — round 1's argmax
+  //     is plain SQL even though rounds 2+ are not;
+  //   - seq_match: the full 12-step merge list (pairs, counts, and
+  //     per-step token totals) equals an independent driver-side
+  //     sequential implementation over the collected dictionary
+  //     (gate-bounded collect, the all-pairs-oracle posture);
+  //   - roundtrip_violations / monotone_ok THEOREMS: re-encoding
+  //     every dictionary word with the learned merges concatenates
+  //     back to the word exactly (the fold loses no symbol), and
+  //     the dictionary token total strictly decreases every round
+  //     (each applied fusion removes one occurrence).
+  // ----------------------------------------------------------------
+  def q101BpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.Bpe
+    val wc = graft.ops.Intermediates.shared(
+      Bpe.wordCounts(Tables.documents(spark, dir)))
+    val merges = Bpe.train(wc, nMerges = 12)
+    val ref = Bpe.sequentialReference(
+      wc.collect().map(r => (r.getString(0), r.getLong(1))).toSeq, nMerges = 12)
+    val enc = wc.select(col("word"), Bpe.encodeCol(col("word"), merges).as("toks"))
+    val violations = enc.filter(concat_ws("", col("toks")) =!= col("word")).count()
+    val tokensInit = wc.agg(sum(length(col("word")) * col("cnt")))
+      .collect()(0).getLong(0)
+    val monotone = (tokensInit +: merges.map(_.tokensAfter))
+      .sliding(2).forall(p => p(1) < p(0))
+    val first = merges.head
+    import spark.implicits._
+    Seq((merges.size, first.left, first.right, first.pairCount,
+        wc.count(), tokensInit, merges == ref, violations, monotone))
+      .toDF("n_merges", "first_left", "first_right", "first_count",
+        "n_words", "n_tokens_init", "seq_match", "roundtrip_violations",
+        "monotone_ok")
+  }
+
+  val q101BpeTrainSql: String =
+    """WITH t AS (
+      |  SELECT unnest(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS tok
+      |  FROM documents),
+      |wc AS (SELECT tok AS word, CAST(count(*) AS BIGINT) AS cnt
+      |       FROM t WHERE len(tok) > 0 GROUP BY 1),
+      |p AS (SELECT cnt,
+      |        unnest(list_transform(range(1, length(word)), i -> word[i])) AS l,
+      |        unnest(list_transform(range(1, length(word)), i -> word[i+1])) AS r
+      |      FROM wc WHERE length(word) >= 2),
+      |agg AS (SELECT l, r, CAST(sum(cnt) AS BIGINT) AS pc FROM p GROUP BY 1, 2),
+      |first AS (SELECT l, r, pc FROM agg ORDER BY pc DESC, l, r LIMIT 1)
+      |SELECT CAST(12 AS INT) AS n_merges,
+      |  l AS first_left, r AS first_right, pc AS first_count,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM wc) AS n_words,
+      |  (SELECT CAST(sum(length(word) * cnt) AS BIGINT) FROM wc) AS n_tokens_init,
+      |  true AS seq_match,
+      |  CAST(0 AS BIGINT) AS roundtrip_violations,
+      |  true AS monotone_ok
+      |FROM first""".stripMargin
+
   val q97StreamReplaySql: String =
     """WITH log AS (
       |  SELECT CAST(user_id AS VARCHAR) AS asset_id, ts, value AS price, event_id

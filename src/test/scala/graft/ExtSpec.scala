@@ -661,6 +661,65 @@ class ExtSpec extends AnyFunSuite {
     assert(diff.count() == 0)
   }
 
+  test("BPE: hand-computed merges, greedy overlap, stop rule, encode roundtrip") {
+    import graft.ext.Bpe
+    // Sennrich's classic corpus. Adjacent-pair totals: (e,s)=9 and
+    // (s,t)=9 tie — the (count desc, left, right) tiebreak picks
+    // (e,s); after fusing, (es,t)=9 dominates.
+    val wc = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+      .toDF("word", "cnt")
+    val merges = Bpe.train(wc, nMerges = 4)
+    assert(merges.map(m => (m.left, m.right, m.pairCount)).take(2) ==
+      Seq(("e", "s", 9L), ("es", "t", 9L)))
+    // the distributed rounds equal the sequential algorithm exactly
+    assert(merges == Bpe.sequentialReference(
+      Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L)), 4))
+    // tokensAfter strictly decreases: 16-token alphabet start shrinks
+    val tokensInit = 3 * 5 + 5 * 2 + 6 * 6 + 6 * 3
+    assert((tokensInit.toLong +: merges.map(_.tokensAfter))
+      .sliding(2).forall(p => p(1) < p(0)))
+    // greedy leftmost non-overlap: "aaa" under (a,a) -> [aa, a]
+    val fold = Seq(Tuple1(Seq("a", "a", "a"))).toDF("syms")
+      .select(Bpe.applyMerge($"syms", "a", "a").as("out"))
+      .as[Seq[String]].head()
+    assert(fold == Seq("aa", "a"))
+    // stop rule: every pair unique -> no merge ever applies
+    assert(Bpe.train(Seq(("ab", 1L), ("cd", 1L)).toDF("word", "cnt"), 3).isEmpty)
+    // encode roundtrip on unseen words: concatenation is lossless
+    val back = Seq("lowest", "wider", "x", "newnewest")
+      .toDF("word")
+      .select($"word", concat_ws("", Bpe.encodeCol($"word", merges)).as("rt"))
+      .filter($"word" =!= $"rt").count()
+    assert(back == 0)
+  }
+
+  test("Bloom filter: no false negatives ever, sane FP rate, mergeable by bit_or") {
+    import graft.ext.Sketches
+    val docs = Tables.documents(spark, sf)
+    val toks = TextAnalysis.tokenStream(docs).select($"tok").distinct()
+      .localCheckpoint(eager = false)
+    val words = Sketches.bloomWords(toks, "tok", k = 4, mBits = 1 << 16)
+    // theorem: an inserted item ALWAYS probes present
+    val present = Sketches.bloomMightContain(words, toks, "tok", k = 4, mBits = 1 << 16)
+    assert(present.filter(!$"might_contain").count() == 0)
+    // never-inserted probes: the filter must not be saturated — the
+    // FP rate at this load (k·n/m well under 1) is a fraction of a
+    // percent; 10% is an astronomically safe ceiling
+    val absent = spark.range(0, 1000)
+      .select(concat(lit("__never_a_token_"), $"id").as("tok"))
+    val fp = Sketches.bloomMightContain(words, absent, "tok", k = 4, mBits = 1 << 16)
+      .filter($"might_contain").count()
+    assert(fp < 100, s"Bloom FP rate implausibly high: $fp / 1000")
+    // mergeability: bloom(all) == bit_or of per-half blooms
+    val half1 = Sketches.bloomWords(toks.filter(xxhash64($"tok") % 2 === 0), "tok", 4, 1 << 16)
+    val half2 = Sketches.bloomWords(toks.filter(xxhash64($"tok") % 2 =!= 0), "tok", 4, 1 << 16)
+    val merged = half1.unionByName(half2)
+      .groupBy($"word").agg(bit_or($"bits").as("bits"))
+    val diff = words.as("a").join(merged.as("b"), Seq("word"), "full_outer")
+      .filter(!(col("a.bits") <=> col("b.bits")))
+    assert(diff.count() == 0)
+  }
+
   test("ppsSystematicSample: picks sum to n, match a sequential reference, and favor weight") {
     val docs = Tables.documents(spark, sf).select($"doc_id", $"n_chars")
     val got = Curate.ppsSystematicSample(docs, "n_chars", n = 40)
