@@ -104,36 +104,82 @@ object Bpe {
         .otherwise(concat(st.getField("acc"), array(st.getField("carry")))))
   }
 
-  /** Train `nMerges` rounds over a (word, cnt) dictionary. */
+  /** Train `nMerges` rounds over a (word, cnt) dictionary.
+    *
+    * ONE aggregation job per round: the argmax (as
+    * `min(struct(-pc, a, b))` — negation turns the desc-count,
+    * asc-pair tiebreak into a single lexicographic min) and the
+    * total pair mass come from the same pass, and the token total
+    * needs no job of its own by the identity
+    * Σ|syms|·cnt = Σpc + Σcnt (every word has one more symbol than
+    * adjacent pairs) — round N's pair pass prices round N−1's
+    * rewrite. */
   def train(wordCounts: DataFrame, nMerges: Int): Seq[MergeStep] = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
     val out = mutable.Buffer.empty[MergeStep]
+    // LAZY checkpoints throughout: each rewrite materializes inside
+    // the NEXT round's survey job (one Spark job per round, not a
+    // survey + a checkpoint write), and the superseded iterate is
+    // released only after that survey has materialized its
+    // successor — release-before-materialize would strand the
+    // truncated lineage. This is the eager-checkpoint-and-release
+    // hygiene of Graph.pageRankE9 with the materialization folded
+    // into the job each round already pays.
     var words = wordCounts
       .select(charSyms(col("word")).as("syms"), col("cnt"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
+    var pendingRelease: Option[DataFrame] = None
+    val totalCnt = words.agg(sum(col("cnt"))).collect()(0).getLong(0)
+
+    // (best pair under the (count desc, left, right) order | None,
+    //  total pair mass) of the CURRENT dictionary; materializes
+    // `words` as a side effect, after which the superseded iterate
+    // is safe to release
+    def survey(): (Option[(String, String, Long)], Long) = {
+      val r = pairCounts(words)
+        .agg(min(struct((-col("pc")).as("npc"), col("a"), col("b"))).as("best"),
+          sum(col("pc")).as("tpc")).collect()(0)
+      pendingRelease.foreach(Intermediates.release)
+      pendingRelease = None
+      val tpc = if (r.isNullAt(1)) 0L else r.getLong(1)
+      val best = if (r.isNullAt(0)) None else {
+        val s = r.getStruct(0)
+        Some((s.getString(1), s.getString(2), -s.getLong(0)))
+      }
+      (best, tpc)
+    }
+
     var step = 0
     var done = false
     while (step < nMerges && !done) {
-      val top = pairCounts(words)
-        .orderBy(col("pc").desc, col("a"), col("b")).limit(1).collect()
-      if (top.isEmpty || top(0).getAs[Long]("pc") < 2L) done = true
+      val (best, tpc) = survey()
+      if (step > 0) // price the previous round's rewrite
+        out(step - 1) = out(step - 1).copy(tokensAfter = tpc + totalCnt)
+      if (best.isEmpty || best.get._3 < 2L) done = true
       else {
         step += 1
-        val (a, b, pc) = (top(0).getAs[String]("a"), top(0).getAs[String]("b"),
-          top(0).getAs[Long]("pc"))
-        val prev = words
+        val (a, b, pc) = best.get
+        out += MergeStep(step, a, b, pc, tokensAfter = -1L) // priced next round
+        pendingRelease = Some(words)
         words = words
           .select(applyMerge(col("syms"), a, b).as("syms"), col("cnt"))
-          .localCheckpoint()
-        Intermediates.release(prev)
-        val tokensAfter = words
-          .agg(sum(size(col("syms")) * col("cnt"))).collect()(0).getLong(0)
-        out += MergeStep(step, a, b, pc, tokensAfter)
+          .localCheckpoint(eager = false)
       }
+    }
+    if (!done && out.nonEmpty) { // loop left on step count: price the last rewrite
+      val (_, tpc) = survey()
+      out(step - 1) = out(step - 1).copy(tokensAfter = tpc + totalCnt)
     }
     Intermediates.release(words)
     out.toSeq
   }
+
+  /** Initial token total Σ length(word)·cnt of a (word, cnt)
+    * dictionary — the step-0 point of the [[MergeStep.tokensAfter]]
+    * monotone chain. */
+  def tokensInit(wordCounts: DataFrame): Long =
+    wordCounts.agg(sum(length(col("word")) * col("cnt")))
+      .collect()(0).getLong(0)
 
   /** Tokenize a string column with a learned merge list: chars, then
     * every merge replayed in training order (the standard BPE encode

@@ -3009,8 +3009,7 @@ object ExtQueries {
       wc.collect().map(r => (r.getString(0), r.getLong(1))).toSeq, nMerges = 12)
     val enc = wc.select(col("word"), Bpe.encodeCol(col("word"), merges).as("toks"))
     val violations = enc.filter(concat_ws("", col("toks")) =!= col("word")).count()
-    val tokensInit = wc.agg(sum(length(col("word")) * col("cnt")))
-      .collect()(0).getLong(0)
+    val tokensInit = Bpe.tokensInit(wc)
     val monotone = (tokensInit +: merges.map(_.tokensAfter))
       .sliding(2).forall(p => p(1) < p(0))
     val first = merges.head
