@@ -3042,6 +3042,56 @@ object ExtQueries {
       |  true AS monotone_ok
       |FROM first""".stripMargin
 
+  // ----------------------------------------------------------------
+  // q102_jsonl_ingest — JSONL parsing with corrupt-record routing
+  // (sources.Jsonl.parseLines: Spark's own Jackson line parser in
+  // PERMISSIVE mode with an explicit corrupt-record column and a
+  // DECLARED schema — no inference pass). The fixture is in-plan and
+  // deterministic: every document serialized with to_json, lines at
+  // doc_id % 17 = 3 truncated to 25 chars (always inside the text
+  // field — guaranteed malformed), so the oracle is CLOSED-FORM over
+  // `documents`: good buckets aggregate the surviving docs, the
+  // __corrupt__ bucket counts the planted lines and proves the raw
+  // line survived routing intact (sum_raw_len = 25·n). A dropped or
+  // mis-routed line shifts a count; a mangled good row shifts a
+  // checksum.
+  // ----------------------------------------------------------------
+  def q102JsonlIngest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.StructType
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+    val line = to_json(struct(col("doc_id"), col("lang"), col("n_chars"), col("text")))
+    val lines = docs.select(
+      when(col("doc_id") % 17 === 3, substring(line, 1, 25))
+        .otherwise(line).as("line"))
+    val parsed = graft.sources.Jsonl.parseLines(lines, "line",
+      StructType.fromDDL("doc_id BIGINT, lang STRING, n_chars BIGINT, text STRING"))
+    parsed
+      .groupBy(when(col("is_corrupt"), lit("__corrupt__"))
+        .otherwise(col("lang")).as("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(sum(col("n_chars")), lit(0L)).as("sum_chars"),
+        coalesce(sum(length(col("text"))), lit(0L)).cast("long").as("sum_text_len"),
+        coalesce(sum(length(col("_corrupt_record"))), lit(0L)).cast("long").as("sum_raw_len"))
+      .orderBy(col("bucket"))
+  }
+
+  val q102JsonlIngestSql: String =
+    """WITH g AS (
+      |  SELECT lang, n_chars, text FROM documents WHERE doc_id % 17 <> 3),
+      |gr AS (
+      |  SELECT lang AS bucket, CAST(count(*) AS BIGINT) AS n_rows,
+      |    CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |    CAST(sum(length(text)) AS BIGINT) AS sum_text_len,
+      |    CAST(0 AS BIGINT) AS sum_raw_len
+      |  FROM g GROUP BY lang),
+      |c AS (
+      |  SELECT '__corrupt__' AS bucket, CAST(count(*) AS BIGINT) AS n_rows,
+      |    CAST(0 AS BIGINT) AS sum_chars, CAST(0 AS BIGINT) AS sum_text_len,
+      |    CAST(25 * count(*) AS BIGINT) AS sum_raw_len
+      |  FROM documents WHERE doc_id % 17 = 3)
+      |SELECT * FROM gr UNION ALL SELECT * FROM c ORDER BY bucket""".stripMargin
+
   val q97StreamReplaySql: String =
     """WITH log AS (
       |  SELECT CAST(user_id AS VARCHAR) AS asset_id, ts, value AS price, event_id

@@ -255,4 +255,15 @@ class PlanSpec extends AnyFunSuite {
     assert(builders(q59).exists(a => builders(q96).exists(b => a eq b)),
       "q59 and q96 no longer share the cached pair-count frame")
   }
+
+  test("q100's packed-word Bloom filter broadcasts; the probe side never sort-merges on it") {
+    // The filter frame is ≤ m/32 rows by construction — at 100 TB it
+    // is the ONLY part of the corpus-derived state small enough to
+    // ship to every task, and shuffling the probe grams against it
+    // instead would reintroduce exactly the exchange the sketch
+    // exists to avoid.
+    val p = plan("q100_bloom_decontam")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q100's bloom probe join is no longer broadcast:\n$p")
+  }
 }

@@ -341,4 +341,36 @@ class SourcesSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       dec.decode(9L, "P6\n2 2\n65535\n".getBytes ++ Array.fill(24)(0: Byte))) // 16-bit PPM
   }
+
+  test("Jsonl.parseLines routes malformed lines whole and never drops a row") {
+    import org.apache.spark.sql.types.StructType
+    import graft.sources.Jsonl
+    val schema = StructType.fromDDL("id BIGINT, lang STRING, text STRING")
+    val lines = Seq(
+      """{"id":1,"lang":"en","text":"good"}""",           // well-formed
+      """{"id":2,"lang":"de"}""",                         // missing field: GOOD, null text
+      """{"id":3,"lang":"fr","text":"tail","x":9}""",     // extra field: GOOD, ignored
+      """{"id":4,"lang":"es","text":"trunc""",            // truncated mid-string
+      "not json at all",                                  // garbage
+      "",                                                 // empty line
+      null                                                // null line
+    ).toDF("line")
+    val parsed = Jsonl.parseLines(lines, "line", schema).collect()
+    assert(parsed.length == 7) // routing, never dropping
+    val good = parsed.filter(!_.getAs[Boolean]("is_corrupt"))
+    assert(good.map(_.getAs[Long]("id")).toSet == Set(1L, 2L, 3L))
+    assert(good.find(_.getAs[Long]("id") == 2L).get.getAs[String]("text") == null)
+    // malformed lines carry the RAW line for quarantine/re-parse; the
+    // null input line is corrupt with nothing to preserve
+    val bad = parsed.filter(_.getAs[Boolean]("is_corrupt"))
+      .map(_.getAs[String]("_corrupt_record"))
+    assert(bad.length == 4 && bad.filter(_ != null).toSet ==
+      Set("""{"id":4,"lang":"es","text":"trunc""", "not json at all", ""))
+    val stats = Jsonl.parseStats(Jsonl.parseLines(lines, "line", schema)).collect()(0)
+    assert((stats.getAs[Long]("n_lines"), stats.getAs[Long]("n_good"),
+      stats.getAs[Long]("n_corrupt")) == ((7L, 3L, 4L)))
+    intercept[IllegalArgumentException](
+      Jsonl.parseLines(lines, "line",
+        StructType.fromDDL("id BIGINT, _corrupt_record STRING")))
+  }
 }
