@@ -443,4 +443,59 @@ object TextAnalysis {
             (lit(2.0) * col("n_a").cast("double") * col("n_b").cast("double")) * lit(1e9))
           .cast("long").as("tv_e9"))
   }
+
+  /** BM25-family per-term relevance contribution, in 1e6 fixed point.
+    *
+    * Cross-engine exactness: every operation here is IEEE-754 double
+    * +,-,*,/ on identical inputs (integers < 2^53 and decimal
+    * literals, both of which parse to identical doubles everywhere),
+    * and those four ops are correctly rounded — so the oracle
+    * computing the LITERALLY same expression gets bit-identical
+    * doubles and the e6 floor cannot straddle. That rules the
+    * standard `ln` idf out (libm vs libm drifts in the last ulp);
+    * this uses Robertson's raw odds idf, (N − df + ½)/(df + ½),
+    * WITHOUT the log — a documented variant: log is monotone, so
+    * single-term rankings agree with classic BM25 and multi-term
+    * score sums weight rare terms more sharply. k1 = 1.2, b = 0.75
+    * (the textbook constants). Inputs: tf (term freq in doc), df
+    * (docs containing term), len (doc token count), nn (corpus doc
+    * count), total_len (corpus token count). MUST stay literally in
+    * sync with q103's oracle SQL. */
+  val Bm25ContribE6: String =
+    "CAST(floor(1000000.0 * ((((nn - df) + 0.5) / (df + 0.5)) * " +
+      "((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * ((len * nn) / total_len)))))) AS LONG)"
+
+  /** Full-text relevance search: BM25-variant top-k over the token
+    * stream ([[Bm25ContribE6]] summed per document).
+    *
+    * The 100 TB plan: per-term stats prune to the QUERY's terms
+    * before anything joins — `tf ⋈ broadcast(query ⋈ df)` touches
+    * only rows for queried terms (an inverted-index posting-list
+    * fetch, as a broadcast hash join) — then one doc-keyed join
+    * attaches lengths (bucketable on doc id), one hash aggregate
+    * sums contributions, and TakeOrderedAndProject keeps k rows.
+    * Corpus-wide scalars (N, total length) ride a broadcast 1-row
+    * frame. Nothing corpus-sized ever shuffles on a term key. */
+  def bm25TopK(docs: DataFrame, queryTerms: Seq[String], topK: Int = 20,
+               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK: empty query")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = tokenStream(docs, idCol, textCol)
+    val tf = toks.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+    val lens = toks.groupBy(col(idCol)).agg(count(lit(1)).as("len"))
+    val dfs = toks.select(col(idCol), col("tok")).distinct()
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val stats = toks.agg(
+      count_distinct(col(idCol)).as("nn"), count(lit(1)).as("total_len"))
+    val q = queryTerms.distinct.toDF("tok")
+    tf.join(broadcast(dfs.join(q, Seq("tok"))), Seq("tok"))
+      .join(lens, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib_e6", expr(Bm25ContribE6))
+      .groupBy(col(idCol))
+      .agg(sum(col("contrib_e6")).as("score_e6"))
+      .orderBy(col("score_e6").desc, col(idCol))
+      .limit(topK)
+  }
 }

@@ -3092,6 +3092,114 @@ object ExtQueries {
       |  FROM documents WHERE doc_id % 17 = 3)
       |SELECT * FROM gr UNION ALL SELECT * FROM c ORDER BY bucket""".stripMargin
 
+  // ----------------------------------------------------------------
+  // q103_bm25_search — full-text relevance top-k
+  // (TextAnalysis.bm25TopK) for the query {hash, join, dup} — 'dup'
+  // is the corpus's one rare term (df ≈ 26 vs ≈ 900), so the
+  // rare-term-dominates property of idf weighting is actually
+  // exercised. The score is the log-free Robertson-idf BM25 variant
+  // in e6 fixed point: every arithmetic step is an IEEE double
+  // +,-,*,/ on identical inputs, so the oracle — which embeds the
+  // LITERALLY same formula string (interpolated below, sync by
+  // construction) — computes bit-identical doubles and the floor
+  // cannot straddle. Scores, not just ranks, hash-match.
+  // ----------------------------------------------------------------
+  def q103Bm25Search(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bm25TopK(Tables.documents(spark, dir),
+      Seq("hash", "join", "dup"), topK = 20)
+
+  val q103Bm25SearchSql: String =
+    s"""WITH tk AS (
+      |  SELECT doc_id, tok FROM (
+      |    SELECT doc_id, unnest(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+      |    FROM documents)
+      |  WHERE len(tok) > 0),
+      |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM tk GROUP BY 1, 2),
+      |lens AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM tk GROUP BY 1),
+      |dfs AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tk GROUP BY 1),
+      |st AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS nn,
+      |              CAST(count(*) AS BIGINT) AS total_len FROM tk),
+      |qq AS (SELECT unnest(['hash', 'join', 'dup']) AS tok),
+      |c AS (
+      |  SELECT tf.doc_id, ${TextAnalysis.Bm25ContribE6} AS contrib_e6
+      |  FROM tf JOIN qq USING (tok) JOIN dfs USING (tok)
+      |       JOIN lens USING (doc_id) CROSS JOIN st)
+      |SELECT doc_id, CAST(sum(contrib_e6) AS BIGINT) AS score_e6
+      |FROM c GROUP BY doc_id
+      |ORDER BY score_e6 DESC, doc_id LIMIT 20""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q104_logreg_quality — distributed full-batch logistic-regression
+  // training (LogReg.train: 8 GD rounds, ONE map-side-combinable
+  // gradient aggregate per round, e6-quantized per-row contributions
+  // so the trajectory is partitioning-independent) on a tiny
+  // is-this-English classifier: y = (lang = 'en'),
+  // x = [1, count of 'the', token_count div 10]. Gated like q101:
+  //   - the FIRST gradient is oracle-exact closed form — at w = 0,
+  //     σ(0) = 0.5 exactly, so g_j = 500000·(Σ_{y=0}x_j − Σ_{y=1}x_j),
+  //     pure integer arithmetic DuckDB recomputes;
+  //   - seq_match: the full 8-step weight trajectory (e9 BIGINTs)
+  //     equals the driver-side sequential replica bit-for-bit —
+  //     exact, not approximate, because every float op is the same
+  //     IEEE sequence through the same JVM's Math.exp (gate-bounded
+  //     collect of the narrow feature frame, the q101 posture);
+  //   - dictionary stats (n_docs, n_pos) recomputed by the oracle.
+  // ----------------------------------------------------------------
+  def q104LogregQuality(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.LogReg
+    val docs = Tables.documents(spark, dir)
+    val tokFeats = TextAnalysis.tokenStream(docs)
+      .groupBy(col("doc_id")).agg(
+        count(lit(1)).as("len"),
+        sum(when(col("tok") === "the", 1L).otherwise(0L)).as("cnt_the"))
+    val feat = graft.ops.Intermediates.shared(
+      docs.select(col("doc_id"), (col("lang") === "en").cast("long").as("y"))
+        .join(tokFeats, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("y"), lit(1L).as("x0"),
+          coalesce(col("cnt_the"), lit(0L)).as("x1"),
+          expr("coalesce(len, 0L) div 10").as("x2")))
+    val t = LogReg.train(feat, Seq("x0", "x1", "x2"), "y",
+      iters = 8, lrDiv = 10000000L)
+    val ref = LogReg.sequentialReference(
+      feat.select(col("y"), col("x0"), col("x1"), col("x2")).collect()
+        .map(r => (r.getLong(0), Seq(r.getLong(1), r.getLong(2), r.getLong(3)))).toSeq,
+      iters = 8, lrDiv = 10000000L)
+    import spark.implicits._
+    Seq((feat.count(), feat.filter(col("y") === 1L).count(),
+        t.firstGradE6(0), t.firstGradE6(1), t.firstGradE6(2),
+        t.stepsE9.size, t == ref))
+      .toDF("n_docs", "n_pos", "g0_first", "g1_first", "g2_first",
+        "n_steps", "seq_match")
+  }
+
+  val q104LogregQualitySql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, tok FROM (
+      |    SELECT doc_id, unnest(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS tok
+      |    FROM documents)
+      |  WHERE len(tok) > 0),
+      |tf AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS len,
+      |    CAST(sum(CASE WHEN tok = 'the' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_the
+      |  FROM tk GROUP BY doc_id),
+      |f AS (
+      |  SELECT CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y,
+      |    CAST(1 AS BIGINT) AS x0,
+      |    COALESCE(tf.cnt_the, 0) AS x1,
+      |    COALESCE(tf.len, 0) // 10 AS x2
+      |  FROM documents d LEFT JOIN tf USING (doc_id))
+      |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(y) AS BIGINT) AS n_pos,
+      |  CAST(500000 * (sum(CASE WHEN y = 0 THEN x0 ELSE 0 END)
+      |               - sum(CASE WHEN y = 1 THEN x0 ELSE 0 END)) AS BIGINT) AS g0_first,
+      |  CAST(500000 * (sum(CASE WHEN y = 0 THEN x1 ELSE 0 END)
+      |               - sum(CASE WHEN y = 1 THEN x1 ELSE 0 END)) AS BIGINT) AS g1_first,
+      |  CAST(500000 * (sum(CASE WHEN y = 0 THEN x2 ELSE 0 END)
+      |               - sum(CASE WHEN y = 1 THEN x2 ELSE 0 END)) AS BIGINT) AS g2_first,
+      |  CAST(8 AS INT) AS n_steps,
+      |  true AS seq_match
+      |FROM f""".stripMargin
+
   val q97StreamReplaySql: String =
     """WITH log AS (
       |  SELECT CAST(user_id AS VARCHAR) AS asset_id, ts, value AS price, event_id

@@ -693,6 +693,63 @@ class ExtSpec extends AnyFunSuite {
     assert(back == 0)
   }
 
+  test("bm25TopK: matches a sequential per-term reference; rare term dominates; k respected") {
+    // corpus: 'rare' appears in exactly one doc, 'com' in all four
+    val docs = Seq(
+      (1L, "com com com com"),
+      (2L, "com rare"),
+      (3L, "com com alt alt"),
+      (4L, "com alt")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25TopK(docs, Seq("com", "rare"), topK = 3)
+      .as[(Long, Long)].collect()
+    // the identical formula in plain Scala doubles — same IEEE ops,
+    // same order, so equality is exact, not approximate
+    def contrib(tf: Long, df: Long, len: Long, nn: Long, total: Long): Long =
+      math.floor(1000000.0 * ((((nn - df) + 0.5) / (df + 0.5)) *
+        ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * ((len * nn).toDouble / total)))))).toLong
+    val (nn, total) = (4L, 12L)
+    val expect = Map(
+      1L -> contrib(4, 4, 4, nn, total),
+      2L -> (contrib(1, 4, 2, nn, total) + contrib(1, 1, 2, nn, total)),
+      3L -> contrib(2, 4, 4, nn, total),
+      4L -> contrib(1, 4, 2, nn, total))
+    assert(got.length == 3) // k respected
+    assert(got.toMap == expect.toSeq.sortBy { case (id, s) => (-s, id) }.take(3).toMap)
+    // the rare-term doc wins outright: its idf is (4-1+0.5)/(1+0.5)
+    // vs the saturated common term's (4-4+0.5)/(4+0.5)
+    assert(got.head._1 == 2L)
+  }
+
+  test("LogReg: closed-form first gradient, partition-independent trajectory, separates") {
+    import graft.ext.LogReg
+    // y = 1 iff the marker feature fires — linearly separable
+    val rows = (1 to 40).map { i =>
+      val y = i % 2L
+      (y, 1L, if (y == 1) 5L else 0L, (i % 7).toLong)
+    }
+    val feat = rows.toDF("y", "x0", "x1", "x2")
+    val t = LogReg.train(feat.repartition(7), Seq("x0", "x1", "x2"), "y",
+      iters = 8, lrDiv = 100000L)
+    // w = 0 ⇒ σ = 0.5 exactly ⇒ g_j = 500000·(Σ_{y=0}x_j − Σ_{y=1}x_j)
+    def cf(sel: ((Long, Long, Long, Long)) => Long): Long =
+      500000L * (rows.filter(_._1 == 0).map(sel).sum - rows.filter(_._1 == 1).map(sel).sum)
+    assert(t.firstGradE6 == Seq(cf(_._2), cf(_._3), cf(_._4)))
+    // the e6/e9 fixed point makes the trajectory independent of
+    // partitioning AND bit-equal to the sequential replica
+    val t1 = LogReg.train(feat.coalesce(1), Seq("x0", "x1", "x2"), "y",
+      iters = 8, lrDiv = 100000L)
+    val ref = LogReg.sequentialReference(
+      rows.map { case (y, a, b, c) => (y, Seq(a, b, c)) }, iters = 8, lrDiv = 100000L)
+    assert(t == t1 && t == ref)
+    // after 8 rounds at this lr the learned margin separates the data
+    val w = t.stepsE9.last.map(_ / 1e9)
+    rows.foreach { case (y, a, b, c) =>
+      val m = a * w(0) + b * w(1) + c * w(2)
+      assert((m > 0) == (y == 1L), s"row ($y,$a,$b,$c) margin $m misclassified")
+    }
+  }
+
   test("Bloom filter: no false negatives ever, sane FP rate, mergeable by bit_or") {
     import graft.ext.Sketches
     val docs = Tables.documents(spark, sf)
