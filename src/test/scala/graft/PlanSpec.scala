@@ -266,4 +266,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"),
       s"q100's bloom probe join is no longer broadcast:\n$p")
   }
+
+  test("q103's posting fetch broadcasts the query-term stats; top-k never global-sorts") {
+    // The inverted-index contract at 100 TB: the per-term frame that
+    // joins the corpus-sized tf stream is query ⋈ df — a handful of
+    // rows — and MUST broadcast; k rows leave via TakeOrderedAndProject
+    // (a per-partition heap + driver merge), never a full Sort of the
+    // scored docs.
+    val p = plan("q103_bm25_search")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q103's posting fetch no longer broadcasts:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"q103's top-k no longer plans as TakeOrderedAndProject:\n$p")
+  }
 }

@@ -290,4 +290,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(withheld.subsetOf(batch))
     assert(streamed == batch -- withheld, s"streamed=$streamed\nbatch=$batch")
   }
+
+  test("Jsonl.parseLines runs unchanged on a stream (map-only) and routes identically") {
+    // the parser is a stateless projection, so the SAME call works on
+    // a streaming frame — the property that makes the q102 ingest
+    // shape deployable as a continuous tail -f of landing shards
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.types.StructType
+    val schema = StructType.fromDDL("id BIGINT, text STRING")
+    val input = MemoryStream[String]
+    val query = graft.sources.Jsonl.parseLines(input.toDF().toDF("line"), "line", schema)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("jsonl_out").start()
+    input.addData("""{"id":1,"text":"ok"}""", "broken {", """{"id":2,"text":"also ok"}""")
+    query.processAllAvailable()
+    input.addData("more garbage") // corrupt lines keep flowing batch over batch
+    query.processAllAvailable()
+    query.stop()
+    val out = spark.table("jsonl_out")
+    assert(out.count() == 4)
+    assert(out.filter(!col("is_corrupt")).select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    assert(out.filter(col("is_corrupt")).select("_corrupt_record").as[String].collect().toSet ==
+      Set("broken {", "more garbage"))
+  }
 }
