@@ -58,8 +58,12 @@ object LogReg {
     var firstGrad: Seq[Long] = Nil
     for (it <- 1 to iters) {
       val p = lit(1.0) / (lit(1.0) + exp(-marginCol(featCols, w)))
+      // coalesce: sum over an EMPTY feature frame is null, and a
+      // zero gradient (w stays put) is the right read of "no data" —
+      // the DataChecks.uniqueness lesson from round-7 advice
       val gcols = featCols.zipWithIndex.map { case (c, j) =>
-        sum(floor(((p - col(labelCol)) * col(c)) * lit(1e6)).cast("long")).as(s"g$j")
+        coalesce(sum(floor(((p - col(labelCol)) * col(c)) * lit(1e6)).cast("long")),
+          lit(0L)).as(s"g$j")
       }
       val r = feat.agg(gcols.head, gcols.tail: _*).collect()(0)
       val g = featCols.indices.map(r.getLong)
