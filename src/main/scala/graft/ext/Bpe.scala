@@ -129,7 +129,10 @@ object Bpe {
       .select(charSyms(col("word")).as("syms"), col("cnt"))
       .localCheckpoint(eager = false)
     var pendingRelease: Option[DataFrame] = None
-    val totalCnt = words.agg(sum(col("cnt"))).collect()(0).getLong(0)
+    // sum over an empty dictionary is null — an empty corpus trains
+    // an empty merge list, it doesn't NPE
+    val cntRow = words.agg(sum(col("cnt"))).collect()(0)
+    val totalCnt = if (cntRow.isNullAt(0)) 0L else cntRow.getLong(0)
 
     // (best pair under the (count desc, left, right) order | None,
     //  total pair mass) of the CURRENT dictionary; materializes
@@ -176,10 +179,11 @@ object Bpe {
 
   /** Initial token total Σ length(word)·cnt of a (word, cnt)
     * dictionary — the step-0 point of the [[MergeStep.tokensAfter]]
-    * monotone chain. */
-  def tokensInit(wordCounts: DataFrame): Long =
-    wordCounts.agg(sum(length(col("word")) * col("cnt")))
-      .collect()(0).getLong(0)
+    * monotone chain. 0 for an empty dictionary. */
+  def tokensInit(wordCounts: DataFrame): Long = {
+    val r = wordCounts.agg(sum(length(col("word")) * col("cnt"))).collect()(0)
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
 
   /** Tokenize a string column with a learned merge list: chars, then
     * every merge replayed in training order (the standard BPE encode
@@ -188,6 +192,24 @@ object Bpe {
     * Map-only — `nMerges` chained folds, no UDF, no shuffle. */
   def encodeCol(text: Column, merges: Seq[MergeStep]): Column =
     merges.foldLeft(charSyms(text)) { (c, m) => applyMerge(c, m.left, m.right) }
+
+  /** Unsigned UTF-8 byte order — Spark compares strings as UTF-8
+    * binary, while Java's `String.compareTo` is UTF-16 code-unit
+    * order; the two DISAGREE between supplementary characters
+    * (surrogates, 0xD800-0xDFFF code units) and U+E000..U+FFFF, so
+    * the reference must tie-break in Spark's order or a tie between
+    * such symbols would diverge on correct code. */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val (x, y) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
 
   /** The same training rounds on driver-side collections — the
     * gate's independent reference (bounded by the dictionary). */
@@ -211,7 +233,11 @@ object Bpe {
         var i = 0
         while (i + 1 < s.length) { pc((s(i), s(i + 1))) += c; i += 1 }
       }
-      val best = pc.toSeq.sortBy { case ((a, b), n) => (-n, a, b) }.headOption
+      val best = pc.toSeq.sortWith { case (((a1, b1), n1), ((a2, b2), n2)) =>
+        if (n1 != n2) n1 > n2
+        else if (a1 != a2) utf8Lt(a1, a2)
+        else utf8Lt(b1, b2)
+      }.headOption
       if (best.isEmpty || best.get._2 < 2L) done = true
       else {
         step += 1

@@ -76,10 +76,13 @@ object LogReg {
 
   /** The same rounds over a driver-side collection — the q104 gate's
     * independent replica (exact, see object scaladoc). Rows are
-    * (label, features) with features in `featCols` order. */
-  def sequentialReference(rows: Seq[(Long, Seq[Long])],
+    * (label, features) with features in `featCols` order; `nf` is
+    * the feature count, passed explicitly so the empty-input replica
+    * still returns `nf`-sized zero gradients like [[train]] does
+    * (inferring it from the first row would shrink them to zero
+    * length and fail an == gate on exactly the no-data case). */
+  def sequentialReference(rows: Seq[(Long, Seq[Long])], nf: Int,
                           iters: Int, lrDiv: Long): Trained = {
-    val nf = rows.headOption.map(_._2.size).getOrElse(0)
     var w = Seq.fill(nf)(0L)
     val steps = mutable.Buffer.empty[Seq[Long]]
     var firstGrad: Seq[Long] = Nil

@@ -481,13 +481,19 @@ object TextAnalysis {
     require(queryTerms.nonEmpty, "bm25TopK: empty query")
     val spark = docs.sparkSession
     import spark.implicits._
-    val toks = tokenStream(docs, idCol, textCol)
-    val tf = toks.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
-    val lens = toks.groupBy(col(idCol)).agg(count(lit(1)).as("len"))
-    val dfs = toks.select(col(idCol), col("tok")).distinct()
-      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val stats = toks.agg(
-      count_distinct(col(idCol)).as("nn"), count(lit(1)).as("total_len"))
+    // ONE tokenize-and-count pass: tf is materialized once
+    // (Intermediates, swept at the harness's query boundary) and
+    // lens / dfs / stats all derive from it — tf already holds one
+    // row per (doc, term), so len = Σ tf per doc, df = row count per
+    // term, and the corpus scalars are one aggregate over the same
+    // frame. The naive form re-tokenized the corpus four times.
+    val tf = graft.ops.Intermediates.shared(
+      tokenStream(docs, idCol, textCol)
+        .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf")))
+    val lens = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("len"))
+    val dfs = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val stats = tf.agg(
+      count_distinct(col(idCol)).as("nn"), sum(col("tf")).as("total_len"))
     val q = queryTerms.distinct.toDF("tok")
     tf.join(broadcast(dfs.join(q, Seq("tok"))), Seq("tok"))
       .join(lens, Seq(idCol))

@@ -3010,11 +3010,15 @@ object ExtQueries {
     val enc = wc.select(col("word"), Bpe.encodeCol(col("word"), merges).as("toks"))
     val violations = enc.filter(concat_ws("", col("toks")) =!= col("word")).count()
     val tokensInit = Bpe.tokensInit(wc)
+    // sliding(2) emits a lone size-1 window on a single-element seq
+    // (the zero-merge corpus), so guard the window length — a gate
+    // must report on degenerate input, not crash on it
     val monotone = (tokensInit +: merges.map(_.tokensAfter))
-      .sliding(2).forall(p => p(1) < p(0))
-    val first = merges.head
+      .sliding(2).forall(p => p.length < 2 || p(1) < p(0))
+    val (fl, fr, fc) = merges.headOption
+      .map(m => (m.left, m.right, m.pairCount)).getOrElse((null, null, 0L))
     import spark.implicits._
-    Seq((merges.size, first.left, first.right, first.pairCount,
+    Seq((merges.size, fl, fr, fc,
         wc.count(), tokensInit, merges == ref, violations, monotone))
       .toDF("n_merges", "first_left", "first_right", "first_count",
         "n_words", "n_tokens_init", "seq_match", "roundtrip_violations",
@@ -3163,7 +3167,7 @@ object ExtQueries {
     val ref = LogReg.sequentialReference(
       feat.select(col("y"), col("x0"), col("x1"), col("x2")).collect()
         .map(r => (r.getLong(0), Seq(r.getLong(1), r.getLong(2), r.getLong(3)))).toSeq,
-      iters = 8, lrDiv = 10000000L)
+      nf = 3, iters = 8, lrDiv = 10000000L)
     import spark.implicits._
     Seq((feat.count(), feat.filter(col("y") === 1L).count(),
         t.firstGradE6(0), t.firstGradE6(1), t.firstGradE6(2),

@@ -740,7 +740,7 @@ class ExtSpec extends AnyFunSuite {
     val t1 = LogReg.train(feat.coalesce(1), Seq("x0", "x1", "x2"), "y",
       iters = 8, lrDiv = 100000L)
     val ref = LogReg.sequentialReference(
-      rows.map { case (y, a, b, c) => (y, Seq(a, b, c)) }, iters = 8, lrDiv = 100000L)
+      rows.map { case (y, a, b, c) => (y, Seq(a, b, c)) }, nf = 3, iters = 8, lrDiv = 100000L)
     assert(t == t1 && t == ref)
     // after 8 rounds at this lr the learned margin separates the data
     val w = t.stepsE9.last.map(_ / 1e9)

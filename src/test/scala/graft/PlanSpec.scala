@@ -265,6 +265,17 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q100_bloom_decontam")
     assert(p.contains("BroadcastHashJoin"),
       s"q100's bloom probe join is no longer broadcast:\n$p")
+    // attribution: q100's full plan also carries the exact semi-join,
+    // which can broadcast on its own and mask a probe-side
+    // regression — so pin the operator's OWN plan too: its single
+    // join must be the broadcast, with no sort-merge anywhere
+    import org.apache.spark.sql.functions.col
+    val probe = spark.range(0, 100).select(col("id").cast("string").as("g"))
+    val op = graft.ext.Sketches.bloomMightContain(
+      graft.ext.Sketches.bloomWords(probe, "g"), probe, "g")
+      .queryExecution.executedPlan.toString
+    assert(op.contains("BroadcastHashJoin") && !op.contains("SortMergeJoin"),
+      s"bloomMightContain's own join regressed from broadcast:\n$op")
   }
 
   test("q103's posting fetch broadcasts the query-term stats; top-k never global-sorts") {
