@@ -3204,6 +3204,54 @@ object ExtQueries {
       |  true AS seq_match
       |FROM f""".stripMargin
 
+  // ----------------------------------------------------------------
+  // q105_columnar_roundtrip — ORC and CSV write→read roundtrips of
+  // the documents table (Spark's built-in sources; CSV read back
+  // under a DECLARED schema with multiLine quoting — the q102
+  // no-inference posture). The gate: per-format full-table
+  // checksums — row count, Σ doc_id, Σ n_chars, Σ length(text),
+  // distinct langs — equal the parquet originals, which is what the
+  // CLOSED-FORM oracle computes; any row lost, duplicated, mangled,
+  // or mis-typed in either direction shifts a sum. Exercises the
+  // two remaining ubiquitous lake formats next to the parquet
+  // everything else reads: ORC as the columnar sibling, CSV as the
+  // quoting/escaping stress (free text through a delimited format).
+  // ----------------------------------------------------------------
+  def q105ColumnarRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q105_").toString
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+    docs.write.mode("overwrite").orc(s"$tmp/orc")
+    docs.write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
+    val orc = spark.read.orc(s"$tmp/orc")
+    val csv = spark.read
+      .schema("doc_id BIGINT, lang STRING, n_chars BIGINT, text STRING")
+      .option("header", "true").option("multiLine", "true")
+      .csv(s"$tmp/csv")
+    def sums(df: DataFrame, fmt: String): DataFrame =
+      df.agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("doc_id")).as("sum_id"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(length(col("text"))).cast("long").as("sum_text_len"),
+        count_distinct(col("lang")).as("n_langs"))
+        .select(lit(fmt).as("fmt"), col("*"))
+    sums(orc, "orc").unionByName(sums(csv, "csv"))
+      .orderBy(col("fmt"))
+  }
+
+  val q105ColumnarRoundtripSql: String =
+    """WITH s AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |    CAST(sum(doc_id) AS BIGINT) AS sum_id,
+      |    CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |    CAST(sum(length(text)) AS BIGINT) AS sum_text_len,
+      |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+      |  FROM documents)
+      |SELECT 'csv' AS fmt, * FROM s
+      |UNION ALL SELECT 'orc' AS fmt, * FROM s
+      |ORDER BY fmt""".stripMargin
+
   val q97StreamReplaySql: String =
     """WITH log AS (
       |  SELECT CAST(user_id AS VARCHAR) AS asset_id, ts, value AS price, event_id
