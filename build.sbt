@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run stdout must reach the console UNPREFIXED: sbt's default
+// LoggedOutput strategy prepends "[info] " to every line, so no line of
+// Bench/Verify output ever starts with '{' and a harness that parses
+// stdout for a JSON line fails (observed: every BENCH_r*.json artifact
+// through round 8 has parsed:null while the JSON sits intact behind an
+// "[info] " prefix in the tail).
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

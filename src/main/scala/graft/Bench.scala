@@ -27,15 +27,21 @@ package graft
   * mem/disk bytes) so eviction pressure is visible in the driver
   * tail.
   *
-  * Output contract: the FULL JSON line first (medians + per-pass raw
-  * times per query), then ten `[bench-diag]` lines — the 10 slowest
-  * queries with their per-pass times and per-pass storage lines, so
-  * the surviving tail is self-diagnosing: an inflated median shows
-  * its own spread (one bad pass among flat ones = host noise; all
-  * passes slow = a real plan cost) — then a compact summary (total +
-  * 5 slowest) as the LAST stdout line, because the driver's tail
-  * capture keeps the end of stdout and round 6 lost the totals when
-  * the full line's head fell outside the window.
+  * Output contract: the FULL JSON line first (medians + mins +
+  * per-pass raw times per query; also persisted to `BENCH_FULL.json`
+  * in the working directory), then ten `[bench-diag]` lines — the 10
+  * slowest queries with their per-pass times and per-pass storage
+  * lines, so the surviving tail is self-diagnosing: an inflated
+  * median shows its own spread (one bad pass among flat ones = host
+  * noise; all passes slow = a real plan cost) — then a compact
+  * summary as the LAST stdout line carrying the COMPLETE per-query
+  * `[median,min]` map in centiseconds under qNN short keys (~1.8 KB,
+  * sized to survive a 2 KB stdout-tail capture window). The sbt
+  * `outputStrategy := StdoutOutput` setting in build.sbt keeps these
+  * lines unprefixed — with the default LoggedOutput strategy every
+  * line gained an "[info] " prefix and no stdout line started with
+  * '{', which is why rounds 1-8 all produced `parsed: null` bench
+  * artifacts.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -84,35 +90,57 @@ object Bench {
       println(f"[bench] pass=$p $name $t%.3fs $sl")
     }
 
+    // Per query: median across passes (the headline statistic) and the
+    // per-pass MIN (the noise-exonerating statistic — a min near the
+    // quiet-local time proves an inflated median was transient host
+    // load; a uniformly-elevated min is a real cost). Round-8 verdict
+    // asked for the min alongside the median in the artifact.
     val results = names.map { name =>
       val ok = samples(name).map(_._1).filter(_ >= 0).sorted
       val med = if (ok.isEmpty) -1.0 else ok(ok.length / 2)
-      name -> med
+      val min = if (ok.isEmpty) -1.0 else ok.head
+      (name, med, min)
     }
 
     def fmt(v: Double): String = f"$v%.3f"
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val mins = results.map { case (k, _, m) => "\"" + k + "\":" + fmt(m) }
       .mkString("{", ",", "}")
     val rawJson = names.map { name =>
       "\"" + name + "\":[" + samples(name).map(s => fmt(s._1)).mkString(",") + "]"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"raw_passes":$rawJson,"sf":"$sfDir"}""")
+    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"mins":$mins,"raw_passes":$rawJson,"sf":"$sfDir"}"""
+    println(fullLine)
+    // Belt and braces against stdout-capture truncation: persist the
+    // same full result next to the build so it is readable from the
+    // working tree even when only a bounded tail of stdout survives.
+    try {
+      val p = java.nio.file.Paths.get("BENCH_FULL.json")
+      java.nio.file.Files.write(p, (fullLine + "\n").getBytes("UTF-8"))
+    } catch { case e: Exception => System.err.println(s"[bench] BENCH_FULL.json write failed: $e") }
 
     // Diagnostic tail: the 10 slowest medians, each with its per-pass
     // spread and the storage line observed after each pass — enough to
     // adjudicate host noise vs plan cost from the tail alone.
-    results.sortBy(-_._2).take(10).foreach { case (name, med) =>
+    results.sortBy(-_._2).take(10).foreach { case (name, med, _) =>
       val passes = samples(name).map(s => fmt(s._1)).mkString("[", ",", "]")
       val storage = samples(name).map(_._2).distinct.mkString(" | ")
       println(s"[bench-diag] $name median=${fmt(med)}s passes=$passes storage: $storage")
     }
 
     // Compact summary LAST so tail capture always keeps a parseable
-    // totals line even when the full line above is truncated.
-    val slowest = results.sortBy(-_._2).take(5)
-      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$slowest,"sf":"$sfDir","note":"compact summary; medians over $iters interleaved full passes; full per-query map + raw_passes on the first JSON line; [bench-diag] lines show per-pass spread for the 10 slowest"}""")
+    // totals line even when the full line above is truncated. It now
+    // carries the COMPLETE per-query map (round-8 verdict #1): keys are
+    // shortened to the unique qNN prefix and values are
+    // [median,min] in CENTISECONDS, which fits all ~105 entries in
+    // ~1.8 KB — inside a 2 KB stdout-tail window.
+    def cs(v: Double): String = if (v < 0) "-1" else Math.round(v * 100).toString
+    val allCs = results.map { case (k, med, min) =>
+      "\"" + k.takeWhile(_ != '_') + "\":[" + cs(med) + "," + cs(min) + "]"
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"median_min_cs":$allCs,"sf":"$sfDir","note":"[median,min] centiseconds over $iters interleaved passes; full-name map+mins+raw on first JSON line and in BENCH_FULL.json"}""")
     spark.stop()
   }
 }

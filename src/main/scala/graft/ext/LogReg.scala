@@ -28,7 +28,14 @@ import org.apache.spark.sql.functions._
   * BOTH the codegen'd executor path and the sequential reference —
   * same JVM, same bits. That makes [[sequentialReference]] an exact
   * (not approximate) replica, which is what the q104 gate compares
-  * against.
+  * against. CAVEAT: this exactness assumes a HOMOGENEOUS JVM fleet —
+  * `Math.exp` is permitted 1-ulp implementation variance (platform
+  * intrinsics), so on mixed CPU/JVM-version executors the distributed
+  * gradient could differ from a driver replica by a quantization
+  * bucket. Holds unconditionally in a single JVM (this harness); on a
+  * heterogeneous cluster, pin the JVM or swap σ to a
+  * `StrictMath.exp`-based custom expression for specified-bits
+  * guarantees.
   *
   * At 100 TB: the feature frame is one narrow row per document (the
   * corpus never re-shuffles after featurization), each round is a

@@ -202,8 +202,17 @@ object Multimodal {
       val h = math.abs(hRaw)
       require(le16(b, 28) == 24, s"media $id: bpp ${le16(b, 28)}, only 24-bit supported")
       require(le32(b, 30) == 0, s"media $id: compressed BMP (method ${le32(b, 30)})")
-      val stride = (w * 3 + 3) / 4 * 4
-      require(b.length >= off + stride * h, s"media $id: truncated BMP pixel array")
+      // Long arithmetic throughout the bound: crafted headers with huge
+      // w/h must fail THIS require loudly, not overflow the int product
+      // and surface later as an ArrayIndexOutOfBoundsException; and
+      // w=0/h=0 must not skip the pixel loops yet still "succeed" by
+      // reading probe bytes out of the header.
+      require(w > 0 && h > 0 && off >= 54,
+        s"media $id: implausible BMP geometry w=$w h=$h off=$off")
+      val strideL = (w.toLong * 3 + 3) / 4 * 4
+      require(off.toLong + strideL * h <= b.length,
+        s"media $id: truncated BMP pixel array")
+      val stride = strideL.toInt
       var (sr, sg, sb) = (0L, 0L, 0L)
       var y = 0
       while (y < h) {
@@ -240,7 +249,10 @@ object Multimodal {
       val w = token(); val h = token(); val maxv = token()
       require(maxv == 255, s"media $id: PPM maxval $maxv, only 8-bit supported")
       i += 1 // the single whitespace after maxval
-      require(b.length >= i + w * h * 3, s"media $id: truncated PPM pixel data")
+      // Same hardening as decodeBmp: zero/huge dims must fail here, in
+      // long arithmetic, not read probes out of the header or overflow.
+      require(w > 0 && h > 0 && i.toLong + w.toLong * h * 3 <= b.length,
+        s"media $id: truncated PPM pixel data (w=$w h=$h)")
       var (sr, sg, sb) = (0L, 0L, 0L)
       var p = i
       val end = i + w * h * 3

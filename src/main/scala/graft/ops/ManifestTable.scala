@@ -69,7 +69,17 @@ object ManifestTable {
     * `retainVersions` manifests (and every data dir any of them
     * references) survive each commit — the reader grace period AND
     * the time-travel horizon: [[readVersion]] can pin any retained
-    * snapshot. The default keeps the new version plus one. */
+    * snapshot. The default keeps the new version plus one.
+    *
+    * CONTRACT: `partitionCol` must be STABLE per key (or derived from
+    * the key, like a date column keyed by (entity, date)). The upsert
+    * is partition-scoped, so if an incoming row moved a key to a
+    * different partition value, the old copy — living in an untouched
+    * partition that is never read — would survive alongside the new
+    * one in the next snapshot. This is inherited from
+    * [[MergeWriter.mergeIntoPartitioned]]'s swap-commit contract and
+    * is the same restriction Hive-style static partition overwrite
+    * carries. */
   def merge(spark: SparkSession, path: String, incoming: DataFrame,
             keys: Seq[String], partitionCol: String,
             preserveExisting: Seq[String] = Nil,
@@ -166,11 +176,20 @@ object ManifestTable {
     versions(fs, path).lastOption
 
   private[ops] def readManifest(fs: FileSystem, path: String, v: Long): Seq[(String, String)] = {
-    val in = fs.open(new Path(f"$path/$ManifestDir/m$v%012d"))
-    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList.map { line =>
-      val i = line.indexOf('\t')
-      (line.substring(0, i), line.substring(i + 1))
-    } finally in.close()
+    val mpath = f"$path/$ManifestDir/m$v%012d"
+    val in = fs.open(new Path(mpath))
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().zipWithIndex.toList
+      .map { case (line, n) =>
+        val i = line.indexOf('\t')
+        // A tab-less line means a truncated or corrupt manifest (e.g. a
+        // trailing partial line from a non-atomic create on a foreign
+        // filesystem). Name the file and line, matching the loud-failure
+        // posture of the rest of this object, instead of letting
+        // substring throw an uninformative StringIndexOutOfBounds.
+        require(i >= 0, s"ManifestTable: corrupt manifest $mpath line ${n + 1}: " +
+          s"no tab separator in ${line.take(80)}")
+        (line.substring(0, i), line.substring(i + 1))
+      } finally in.close()
   }
 
   private def writeManifest(fs: FileSystem, path: String, v: Long,

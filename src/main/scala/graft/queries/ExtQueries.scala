@@ -3052,8 +3052,14 @@ object ExtQueries {
   // PERMISSIVE mode with an explicit corrupt-record column and a
   // DECLARED schema — no inference pass). The fixture is in-plan and
   // deterministic: every document serialized with to_json, lines at
-  // doc_id % 17 = 3 truncated to 25 chars (always inside the text
-  // field — guaranteed malformed), so the oracle is CLOSED-FORM over
+  // doc_id % 17 = 3 truncated to 25 chars — a strict prefix of a
+  // serialized JSON object is never valid JSON, hence guaranteed
+  // malformed regardless of WHERE the cut lands (for small doc_ids it
+  // lands in the lang/n_chars key region, not the text field; and
+  // under spark.sql.json.enablePartialResults, fields serialized
+  // before the cut, like doc_id, may still parse non-null on corrupt
+  // rows — the gate keys on is_corrupt, not on field nullness, so
+  // neither detail affects it) — so the oracle is CLOSED-FORM over
   // `documents`: good buckets aggregate the surviving docs, the
   // __corrupt__ bucket counts the planted lines and proves the raw
   // line survived routing intact (sum_raw_len = 25·n). A dropped or
