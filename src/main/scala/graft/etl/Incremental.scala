@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.ops.{Merge, Ops}
+import graft.ops.{ManifestTable, Merge, Ops}
 
 /** The reference's write path (`src/etl.py` / `src/backfill.py`),
   * re-expressed as one DataFrame DAG per run (SURVEY.md §3.1):
@@ -67,21 +67,39 @@ object Incremental {
   def run(markets: DataFrame, chart: DataFrame,
           assets: DataFrame, prices: DataFrame, daily: DataFrame,
           runTs: Timestamp, istDate: Boolean = true): (DataFrame, DataFrame, DataFrame) = {
-    val runTsCol = lit(runTs)
+    val (incomingAssets, aligned, incomingDaily) =
+      incomingFrames(markets, chart, lit(runTs), istDate)
 
     // U1: assets upsert — symbol/name update, first_seen_at preserved
     // from the first insert (src/db.py:77-81; default now(), schema.sql:8).
-    val incomingAssets = markets.select(
-      col("id").as("asset_id"), col("symbol"), col("name"),
-      runTsCol.as("first_seen_at"))
     val assetsMerged = Merge.upsert(assets, incomingAssets,
       Seq("asset_id"), preserveExisting = Seq("first_seen_at"))
 
-    // J6/F6: align the three parallel series into candle rows.
-    val aligned = ChartAlign.align(chart, insertedAt = runTsCol)
-
     // U2: prices upsert on (asset_id, ts).
     val pricesMerged = Merge.upsert(prices, aligned, Seq("asset_id", "ts"))
+
+    // U3: daily_metrics upsert on (asset_id, date).
+    val dailyMerged = Merge.upsert(daily, incomingDaily, Seq("asset_id", "date"))
+
+    (assetsMerged, pricesMerged, dailyMerged)
+  }
+
+  /** The three incoming frames of one run — ONE derivation shared by
+    * the in-memory sink ([[run]]) and the durable manifest sink
+    * ([[runOnManifest]]), so the two write paths can never drift
+    * semantically.
+    *
+    * @return (incomingAssets U1, aligned candle rows U2, incomingDaily U3)
+    */
+  private def incomingFrames(markets: DataFrame, chart: DataFrame,
+                             runTsCol: Column, istDate: Boolean)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val incomingAssets = markets.select(
+      col("id").as("asset_id"), col("symbol"), col("name"),
+      runTsCol.as("first_seen_at"))
+
+    // J6/F6: align the three parallel series into candle rows.
+    val aligned = ChartAlign.align(chart, insertedAt = runTsCol)
 
     // A2/F7: daily OHLC stamped with the configured run-date semantics
     // (IST run-date for exact parity; candle-derived UTC date as the
@@ -100,11 +118,58 @@ object Incremental {
         .select("asset_id", "date", "open", "high", "low", "close",
           "volume", "market_cap", "inserted_at")
 
-    // U3: daily_metrics upsert on (asset_id, date).
-    val dailyMerged = Merge.upsert(daily, incomingDaily, Seq("asset_id", "date"))
-
-    (assetsMerged, pricesMerged, dailyMerged)
+    (incomingAssets, aligned, incomingDaily)
   }
+
+  /** Partition column the manifest sink derives for each table and
+    * strips again on read. Derivations are functions of each table's
+    * KEY — asset_id hash bucket for `assets`, the day of `ts` for
+    * `prices`, the day of `date` for `daily_metrics` — so
+    * [[ManifestTable]]'s stable-partition-per-key contract holds by
+    * construction, never by caller discipline. */
+  val SinkPartCol = "__part"
+
+  /** One incremental run committed DURABLY: the same three upserts as
+    * [[run]], landed on three [[ManifestTable]]s under `base/` —
+    * `assets`, `prices`, `daily_metrics` — each commit ONE manifest
+    * rename, wholly-old-or-wholly-new for any concurrent reader. This
+    * is the reference pipeline (`src/etl.py:57-59`) on the durable
+    * sink: a crash mid-run leaves every table readable at its previous
+    * snapshot, and re-running the same payload is idempotent
+    * (merge(merge(s,b),b) == merge(s,b), the U1-U3 contract).
+    *
+    * Scale posture: only the partitions a batch touches are read and
+    * rewritten (ManifestTable prunes by partition value), so a daily
+    * refetch rewrites the trailing date dirs of `prices`, never
+    * history; `assets` is bucketed by key hash so a 10-coin or a
+    * 100 k-asset dim both land bounded directories. */
+  def runOnManifest(spark: SparkSession, markets: DataFrame, chart: DataFrame,
+                    base: String, runTs: Timestamp, istDate: Boolean = true,
+                    assetBuckets: Int = 16): Unit = {
+    val (incomingAssets, aligned, incomingDaily) =
+      incomingFrames(markets, chart, lit(runTs), istDate)
+    ManifestTable.merge(spark, s"$base/assets",
+      incomingAssets.withColumn(SinkPartCol,
+        pmod(xxhash64(col("asset_id")), lit(assetBuckets.toLong)).cast("string")),
+      keys = Seq("asset_id"), partitionCol = SinkPartCol,
+      preserveExisting = Seq("first_seen_at"))
+    ManifestTable.merge(spark, s"$base/prices",
+      aligned.withColumn(SinkPartCol, date_format(col("ts"), "yyyy-MM-dd")),
+      keys = Seq("asset_id", "ts"), partitionCol = SinkPartCol)
+    ManifestTable.merge(spark, s"$base/daily_metrics",
+      incomingDaily.withColumn(SinkPartCol, date_format(col("date"), "yyyy-MM-dd")),
+      keys = Seq("asset_id", "date"), partitionCol = SinkPartCol)
+  }
+
+  /** Manifest-sink readers — resolve the latest snapshot and strip the
+    * derived partition column, so callers see exactly the [[run]]
+    * schemas. */
+  def readAssets(spark: SparkSession, base: String): DataFrame =
+    ManifestTable.read(spark, s"$base/assets").drop(SinkPartCol)
+  def readPrices(spark: SparkSession, base: String): DataFrame =
+    ManifestTable.read(spark, s"$base/prices").drop(SinkPartCol)
+  def readDaily(spark: SparkSession, base: String): DataFrame =
+    ManifestTable.read(spark, s"$base/daily_metrics").drop(SinkPartCol)
 
   /** Backfill (`src/backfill.py`): bulk-hydrate `prices` only — same
     * align + upsert, no daily fold (§3.3). Trivially parallel over

@@ -16,6 +16,16 @@ case class DecodedImage(media_id: Long, fmt: String, width: Int, height: Int,
                         n_pixels: Long, sum_r: Long, sum_g: Long, sum_b: Long,
                         p00_r: Long, plast_b: Long)
 
+/** Decoded-audio statistics produced by the REAL byte-level
+  * [[Multimodal.WavDecoder]]: header-parsed channel count / sample
+  * rate / frame count, exact integer per-channel sample sums, and two
+  * positional probes — the first left-channel sample and the very
+  * last sample in the data chunk — which catch a decoder that
+  * mis-handles interleaving or chunk offsets even when sums survive. */
+case class DecodedAudio(media_id: Long, fmt: String, n_channels: Int,
+                        sample_rate: Int, n_frames: Long,
+                        sum_l: Long, sum_r: Long, first_l: Long, last_s: Long)
+
 /** Multimodal columns for LLM-training-data pipelines (driver
   * mandate): image/audio/video as opaque `binary` payload columns with
   * a typed metadata struct, plus the decode / feature-extract /
@@ -27,7 +37,11 @@ case class DecodedImage(media_id: Long, fmt: String, width: Int, height: Int,
   * padding, bottom-up row order) and binary P6 PPM (ASCII header with
   * comment handling) down to per-pixel channel values, inside the
   * same per-partition-amortized mapPartitions shape
-  * ([[decodeImages]]). The remaining kernels — [[fakeFeatures]]
+  * ([[decodeImages]]). The AUDIO kernel is real the same way
+  * (round 9): [[WavDecoder]] walks a RIFF/WAVE chunk list (unknown
+  * chunks skipped, odd sizes padded per the RIFF rule) and decodes
+  * 16-bit PCM mono/stereo down to per-channel sample sums
+  * ([[decodeAudio]]). The remaining kernels — [[fakeFeatures]]
   * (vision-model embedding), [[resize]]'s re-encode, and
   * [[sampleFrames]]'s container slicing — still stand in for codec
   * LIBRARIES the container doesn't ship (mandate-permitted); they
@@ -275,6 +289,124 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         val decoder = new PixelDecoder // per-partition init, not per-row
+        rows.map { case (id, bytes) => decoder.decode(id, bytes) }
+      }
+  }
+
+  // ------------------------------------------------------------------
+  // REAL audio codec: RIFF/WAVE, 16-bit PCM, mono/stereo.
+  // ------------------------------------------------------------------
+
+  /** Encode 16-bit PCM as a canonical RIFF/WAVE file: `RIFF` size
+    * `WAVE`, a 16-byte `fmt ` chunk (format 1 = PCM, little-endian
+    * throughout), then the `data` chunk of interleaved frames
+    * (channel-major within a frame: L then R). `sample(frame, ch)`
+    * must fit a signed 16-bit value. With `withListChunk`, an odd-
+    * sized `LIST` metadata chunk is inserted BETWEEN `fmt ` and
+    * `data` — decoders must walk the chunk list and apply RIFF's
+    * odd-size pad rule to find the data, the audio analog of PPM's
+    * comment line. */
+  def encodeWav(nChannels: Int, sampleRate: Int, nFrames: Int,
+                sample: (Int, Int) => Int,
+                withListChunk: Boolean = false): Array[Byte] = {
+    require(nChannels == 1 || nChannels == 2, s"bad channel count $nChannels")
+    require(sampleRate > 0 && nFrames > 0, s"bad rate/frames $sampleRate/$nFrames")
+    val list = if (withListChunk) "INFOgraft".getBytes("US-ASCII") else Array.empty[Byte]
+    val listPadded = list.length + (list.length & 1) // RIFF pads odd chunks
+    val listBytes = if (withListChunk) 8 + listPadded else 0
+    val dataBytes = nFrames * nChannels * 2
+    val size = 12 + 24 + listBytes + 8 + dataBytes
+    val b = java.nio.ByteBuffer.allocate(size).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(size - 8).put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(nChannels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * nChannels * 2).putShort((nChannels * 2).toShort).putShort(16)
+    if (withListChunk) {
+      b.put("LIST".getBytes("US-ASCII")).putInt(list.length).put(list)
+      if ((list.length & 1) == 1) b.put(0: Byte) // pad byte, not counted in size
+    }
+    b.put("data".getBytes("US-ASCII")).putInt(dataBytes)
+    var f = 0
+    while (f < nFrames) {
+      var c = 0
+      while (c < nChannels) { b.putShort(sample(f, c).toShort); c += 1 }
+      f += 1
+    }
+    b.array()
+  }
+
+  /** REAL byte-level WAV decoder — one instance per partition (the
+    * codec-handle amortization slot, like [[PixelDecoder]]). Walks the
+    * RIFF chunk list (skipping unknown chunks, honoring the odd-size
+    * pad rule), validates the PCM `fmt ` chunk, then decodes the
+    * interleaved 16-bit frames to exact per-channel sums and two
+    * positional probes: the first left sample and the LAST sample of
+    * the data chunk (last frame, last channel) — a decoder that
+    * mis-walks chunks or de-interleaves wrongly is caught positionally
+    * even when totals collide. Mono rows report `sum_r = 0`.
+    * Malformed payloads throw with the offending detail, long
+    * arithmetic guarding every bound (the q99 hardening posture). */
+  final class WavDecoder {
+    private def le32(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | (b(i + 1) & 0xff) << 8 | (b(i + 2) & 0xff) << 16 | (b(i + 3) & 0xff) << 24
+    private def le16(b: Array[Byte], i: Int): Int = (b(i) & 0xff) | (b(i + 1) & 0xff) << 8
+    private def tag(b: Array[Byte], i: Int): String =
+      new String(b, i, 4, "US-ASCII")
+
+    def decode(id: Long, b: Array[Byte]): DecodedAudio = {
+      require(b.length >= 44, s"media $id: ${b.length}-byte payload, shorter than any WAV")
+      require(tag(b, 0) == "RIFF" && tag(b, 8) == "WAVE",
+        s"media $id: not RIFF/WAVE (${tag(b, 0)}/${tag(b, 8)})")
+      // Walk the chunk list: fmt must precede data (the spec's rule);
+      // unknown chunks (LIST, cue , …) are skipped with the pad rule.
+      var i = 12
+      var nCh = -1; var rate = -1; var dataOff = -1; var dataLen = -1
+      while (i + 8 <= b.length && dataOff < 0) {
+        val ct = tag(b, i); val cs = le32(b, i + 4)
+        require(cs >= 0 && i + 8 + cs.toLong <= b.length,
+          s"media $id: chunk $ct size $cs overruns payload at byte $i")
+        if (ct == "fmt ") {
+          require(cs >= 16, s"media $id: fmt chunk only $cs bytes")
+          require(le16(b, i + 8) == 1, s"media $id: format ${le16(b, i + 8)}, only PCM supported")
+          nCh = le16(b, i + 10); rate = le32(b, i + 12)
+          require(nCh == 1 || nCh == 2, s"media $id: $nCh channels, only mono/stereo")
+          require(le16(b, i + 22) == 16, s"media $id: ${le16(b, i + 22)}-bit, only 16-bit PCM")
+        } else if (ct == "data") {
+          require(nCh > 0, s"media $id: data chunk before fmt")
+          dataOff = i + 8; dataLen = cs
+        }
+        i += 8 + cs + (cs & 1) // RIFF odd-size pad
+      }
+      require(dataOff >= 0, s"media $id: no data chunk found")
+      val blockAlign = nCh * 2
+      require(dataLen % blockAlign == 0,
+        s"media $id: data length $dataLen not a multiple of frame size $blockAlign")
+      val nFrames = dataLen / blockAlign
+      require(nFrames > 0, s"media $id: empty data chunk")
+      var (sl, sr) = (0L, 0L)
+      var f = 0
+      while (f < nFrames) {
+        val base = dataOff + f * blockAlign
+        sl += le16(b, base).toShort.toLong // sign-extend
+        if (nCh == 2) sr += le16(b, base + 2).toShort.toLong
+        f += 1
+      }
+      val firstL = le16(b, dataOff).toShort.toLong
+      val lastS = le16(b, dataOff + dataLen - 2).toShort.toLong
+      DecodedAudio(id, "wav", nCh, rate, nFrames.toLong, sl, sr, firstL, lastS)
+    }
+  }
+
+  /** Decode (media_id, payload) WAV rows with the REAL [[WavDecoder]]
+    * — per-partition decoder instance, map-only, payloads never
+    * shuffle (the [[decodeImages]] shape for the audio modality). */
+  def decodeAudio(media: DataFrame): Dataset[DecodedAudio] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val decoder = new WavDecoder // per-partition init, not per-row
         rows.map { case (id, bytes) => decoder.decode(id, bytes) }
       }
   }

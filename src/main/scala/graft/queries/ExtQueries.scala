@@ -3273,4 +3273,172 @@ object ExtQueries {
       |  arg_min(price, ts) AS open, max(price) AS high, min(price) AS low,
       |  arg_max(price, ts) AS close, CAST(count(*) AS BIGINT) AS n_ticks
       |FROM kept GROUP BY 1, 2 ORDER BY asset_id, ts""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q106_manifest_etl — the REFERENCE PIPELINE end-to-end on the
+  // durable sink (round-8 verdict #3): events are reshaped into the
+  // reference's ingest payloads (q32's parallel-array build, deduped
+  // per (coin, second) so the align roundtrip is exact), then
+  // Incremental.runOnManifest lands the three upserts — assets /
+  // prices / daily_metrics (src/etl.py:57-59) — on three
+  // ManifestTables: an initial load (ts < cut, runTs1), an
+  // OVERLAPPING refetch with bumped values (ts >= overlap, runTs2 —
+  // the reference's daily overlap-and-upsert, src/etl.py:35), and the
+  // SAME refetch re-applied (idempotence: merge(merge(s,b),b) ==
+  // merge(s,b) — a drifting rerun would shift every checksum). All
+  // nine commits are single manifest renames; the final state is read
+  // back THROUGH the manifests and joined into one per-asset report.
+  // The oracle restates the two-layer last-write-wins directly:
+  // prices = refetch ∪ (initial rows before the overlap), daily = the
+  // refetch window's OHLC fold (both runs share one IST run-date, so
+  // the rerun's fold must have REPLACED the initial one — a sink that
+  // failed the daily overwrite returns run-1 closes and mismatches),
+  // first_seen_at = runTs1 (the U1 preserve contract surviving two
+  // further commits on the durable sink).
+  // ----------------------------------------------------------------
+  def q106ManifestEtl(spark: SparkSession, dir: String): DataFrame = {
+    val cut = "2024-01-16 00:00:00"
+    val overlap = "2024-01-10 00:00:00"
+    val runTs1 = java.sql.Timestamp.valueOf("2024-02-01 01:10:00")
+    val runTs2 = java.sql.Timestamp.valueOf("2024-02-01 03:30:00") // same IST date
+    // q32's reshape: events colliding within one second are reduced
+    // first (the payload carries whole-second timestamps), keeping the
+    // highest event_id per (coin, second).
+    val e = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("second", col("ts")).as("ts"))
+      .agg(max_by(col("value"), col("event_id")).as("value"))
+    val markets = e.select(col("event_type")).distinct()
+      .select(col("event_type").as("id"), upper(col("event_type")).as("symbol"),
+        concat(lit("Coin "), col("event_type")).as("name"))
+    def chartOf(base: DataFrame): DataFrame = {
+      val msCol = unix_millis(col("ts")).cast("double")
+      base.groupBy(col("event_type").as("coin_id")).agg(
+        sort_array(collect_list(array(msCol, col("value")))).as("prices"),
+        sort_array(collect_list(array(msCol, col("value") * lit(1000.0)))).as("market_caps"),
+        sort_array(collect_list(array(msCol, col("value") * lit(10.0)))).as("total_volumes"))
+    }
+    val run1 = e.filter(col("ts") < lit(cut).cast("timestamp"))
+    val run2 = e.filter(col("ts") >= lit(overlap).cast("timestamp"))
+      .withColumn("value", col("value") + lit(1.0))
+    val base = java.nio.file.Files.createTempDirectory("graft_q106_").toString
+    graft.etl.Incremental.runOnManifest(spark, markets, chartOf(run1), base, runTs1)
+    graft.etl.Incremental.runOnManifest(spark, markets, chartOf(run2), base, runTs2)
+    graft.etl.Incremental.runOnManifest(spark, markets, chartOf(run2), base, runTs2)
+    val assets = graft.etl.Incremental.readAssets(spark, base)
+    val prices = graft.etl.Incremental.readPrices(spark, base)
+    val daily = graft.etl.Incremental.readDaily(spark, base)
+    val pAgg = prices.groupBy(col("asset_id")).agg(
+      count(lit(1)).as("n_prices"),
+      sum(when(col("inserted_at") === lit(runTs2), lit(1L)).otherwise(lit(0L)))
+        .as("n_refetched"),
+      sum(floor(col("price").cast("double") * lit(1e3))).as("sum_price_e3"))
+    assets.join(pAgg, Seq("asset_id"))
+      .join(daily, Seq("asset_id"))
+      .select(col("asset_id"), col("symbol"), col("name"), col("first_seen_at"),
+        col("n_prices"), col("n_refetched"), col("sum_price_e3"),
+        col("date").cast("timestamp").as("run_date"),
+        col("open").cast("double").as("open"),
+        col("high").cast("double").as("high"),
+        col("low").cast("double").as("low"),
+        col("close").cast("double").as("close"),
+        col("volume").cast("double").as("volume"),
+        col("market_cap").cast("double").as("market_cap"))
+      .orderBy(col("asset_id"))
+  }
+
+  val q106ManifestEtlSql: String =
+    """WITH e AS (
+      |  SELECT event_type, date_trunc('second', ts) AS ts,
+      |         arg_max(value, event_id) AS value
+      |  FROM events GROUP BY event_type, date_trunc('second', ts)),
+      |run2 AS (
+      |  SELECT event_type AS asset_id, ts, value + 1.0 AS value
+      |  FROM e WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'),
+      |prices AS (
+      |  SELECT asset_id, ts, CAST(value AS DECIMAL(20,8)) AS price, 1 AS refetched
+      |  FROM run2
+      |  UNION ALL
+      |  SELECT event_type, ts, CAST(value AS DECIMAL(20,8)), 0
+      |  FROM e WHERE ts < TIMESTAMP '2024-01-10 00:00:00'),
+      |p_agg AS (
+      |  SELECT asset_id, CAST(count(*) AS BIGINT) AS n_prices,
+      |    CAST(sum(refetched) AS BIGINT) AS n_refetched,
+      |    CAST(sum(CAST(floor(CAST(price AS DOUBLE) * 1e3) AS BIGINT)) AS BIGINT) AS sum_price_e3
+      |  FROM prices GROUP BY asset_id),
+      |daily AS (
+      |  SELECT asset_id,
+      |    arg_min(price, ts) AS open, max(price) AS high, min(price) AS low,
+      |    arg_max(price, ts) AS close,
+      |    arg_max(volume, ts) AS volume, arg_max(market_cap, ts) AS market_cap
+      |  FROM (SELECT asset_id, ts, CAST(value AS DECIMAL(20,8)) AS price,
+      |               CAST(value * 1000.0 AS DECIMAL(30,2)) AS market_cap,
+      |               CAST(value * 10.0 AS DECIMAL(30,2)) AS volume
+      |        FROM run2)
+      |  GROUP BY asset_id)
+      |SELECT p.asset_id, upper(p.asset_id) AS symbol,
+      |  'Coin ' || p.asset_id AS name,
+      |  TIMESTAMP '2024-02-01 01:10:00' AS first_seen_at,
+      |  p.n_prices, p.n_refetched, p.sum_price_e3,
+      |  TIMESTAMP '2024-02-01 00:00:00' AS run_date,
+      |  CAST(d.open AS DOUBLE) AS open, CAST(d.high AS DOUBLE) AS high,
+      |  CAST(d.low AS DOUBLE) AS low, CAST(d.close AS DOUBLE) AS close,
+      |  CAST(d.volume AS DOUBLE) AS volume, CAST(d.market_cap AS DOUBLE) AS market_cap
+      |FROM p_agg p JOIN daily d USING (asset_id)
+      |ORDER BY p.asset_id""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q107_audio_decode — the REAL byte-level AUDIO kernel under the
+  // driver gate (round-8 verdict #4; the q99 pattern for the wav
+  // modality): deterministic planted waveforms are ENCODED as
+  // canonical RIFF/WAVE 16-bit PCM in a mapPartitions pass — even ids
+  // mono, odd ids stereo; every third id carries an odd-sized LIST
+  // metadata chunk between fmt and data, so the decoder must walk the
+  // chunk list with RIFF's odd-size pad rule (the audio analog of
+  // PPM's comment line) — then DECODED by Multimodal.WavDecoder back
+  // to header fields, exact per-channel sample sums, and positional
+  // probes (first left sample, very last sample). The oracle computes
+  // every value in closed form from the sample rule
+  // s_l(f) = (7f+id)%4096−2048, s_r(f) = (11f+id)%4096−2048: sums as
+  // list_sum over range(n), probes by plugging in f=0 / f=n−1. A
+  // decoder that mis-walks chunks shifts every sum; one that
+  // de-interleaves wrongly flips sum_l/sum_r; one that reads unsigned
+  // samples loses the negative half — all caught cross-engine.
+  // ----------------------------------------------------------------
+  def q107AudioDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val spec = Tables.documents(spark, dir)
+      .select(col("doc_id").as("media_id"),
+        (col("doc_id") % 300 + 16).cast("int").as("n"),
+        (col("doc_id") % 2 + 1).cast("int").as("ch"),
+        (lit(8000) + (col("doc_id") % 3) * 4000).cast("int").as("rate"))
+      .as[(Long, Int, Int, Int)]
+    val media = spec.mapPartitions { rows =>
+      rows.map { case (id, n, ch, rate) =>
+        val sample = (f: Int, c: Int) =>
+          (((if (c == 0) 7L * f else 11L * f) + id) % 4096L - 2048L).toInt
+        (id, graft.ext.Multimodal.encodeWav(ch, rate, n, sample,
+          withListChunk = id % 3 == 0))
+      }
+    }.toDF("media_id", "payload")
+    graft.ext.Multimodal.decodeAudio(media)
+      .toDF()
+      .orderBy(col("media_id"))
+  }
+
+  val q107AudioDecodeSql: String =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id, doc_id % 300 + 16 AS n, doc_id % 2 + 1 AS ch
+      |  FROM documents)
+      |SELECT media_id, 'wav' AS fmt,
+      |  CAST(ch AS INT) AS n_channels,
+      |  CAST(8000 + (media_id % 3) * 4000 AS INT) AS sample_rate,
+      |  CAST(n AS BIGINT) AS n_frames,
+      |  CAST(list_sum(list_transform(range(n), f ->
+      |    (7*f + media_id) % 4096 - 2048)) AS BIGINT) AS sum_l,
+      |  CAST(CASE WHEN ch = 2 THEN list_sum(list_transform(range(n), f ->
+      |    (11*f + media_id) % 4096 - 2048)) ELSE 0 END AS BIGINT) AS sum_r,
+      |  CAST(media_id % 4096 - 2048 AS BIGINT) AS first_l,
+      |  CAST(CASE WHEN ch = 2 THEN (11*(n-1) + media_id) % 4096 - 2048
+      |            ELSE (7*(n-1) + media_id) % 4096 - 2048 END AS BIGINT) AS last_s
+      |FROM m ORDER BY media_id""".stripMargin
 }

@@ -115,6 +115,42 @@ class EtlSpec extends AnyFunSuite {
     assert(fs == runTs)
   }
 
+  // -- manifest sink ----------------------------------------------------
+  test("runOnManifest: two overlapping runs land the in-memory run's exact states durably") {
+    val c1 = chart(("bitcoin",
+      Seq(Seq(ms("2024-01-01 01:00:00"), 100.0), Seq(ms("2024-01-01 02:00:00"), 110.0)),
+      Seq(Seq(ms("2024-01-01 01:00:00"), 1000.0)),
+      Seq(Seq(ms("2024-01-01 01:00:00"), 10.0), Seq(ms("2024-01-01 02:00:00"), 11.0))))
+    // second run: overlapping window, corrected 02:00 price + a new
+    // 01-02 point (two prices partitions touched), later runTs
+    val c2 = chart(("bitcoin",
+      Seq(Seq(ms("2024-01-01 02:00:00"), 111.0), Seq(ms("2024-01-02 03:00:00"), 120.0)),
+      Seq(Seq(ms("2024-01-02 03:00:00"), 1200.0)),
+      Seq(Seq(ms("2024-01-01 02:00:00"), 11.1))))
+    val runTs2 = ts("2024-01-02 02:10:00")
+
+    // in-memory reference path (U1-U3 on DataFrames)
+    val (a1, p1, d1) = Incremental.run(markets, c1,
+      emptyTable(Schemas.assets), emptyTable(Schemas.prices), emptyTable(Schemas.dailyMetrics),
+      runTs)
+    val (a2, p2, d2) = Incremental.run(markets, c2, a1, p1, d1, runTs2)
+
+    // durable path: same two runs onto ManifestTables
+    val base = java.nio.file.Files.createTempDirectory("graft_etl_manifest_").toString
+    Incremental.runOnManifest(spark, markets, c1, base, runTs)
+    Incremental.runOnManifest(spark, markets, c2, base, runTs2)
+
+    def rows(df: DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(rows(Incremental.readAssets(spark, base)) == rows(a2))
+    assert(rows(Incremental.readPrices(spark, base).select(p2.columns.map(col): _*)) == rows(p2))
+    assert(rows(Incremental.readDaily(spark, base).select(d2.columns.map(col): _*)) == rows(d2))
+
+    // and re-applying the second run is a durable no-op (idempotence)
+    Incremental.runOnManifest(spark, markets, c2, base, runTs2)
+    assert(rows(Incremental.readPrices(spark, base).select(p2.columns.map(col): _*)) == rows(p2))
+  }
+
   // -- empty-series -----------------------------------------------------
   test("coin with empty chart emits no price rows and no daily row (P7)") {
     val c = chart(("bitcoin", Seq(), Seq(), Seq()))

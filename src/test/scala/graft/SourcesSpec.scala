@@ -342,6 +342,34 @@ class SourcesSpec extends AnyFunSuite {
       dec.decode(9L, "P6\n2 2\n65535\n".getBytes ++ Array.fill(24)(0: Byte))) // 16-bit PPM
   }
 
+  test("WavDecoder: PCM round-trip incl. stereo interleave, LIST chunk walk, malformed") {
+    val dec = new Multimodal.WavDecoder
+    // sample rule: distinct per (frame, channel) so interleave slips
+    // flip sums and the positional probes
+    def s(f: Int, c: Int): Int = ((if (c == 0) 7 * f else 11 * f) + 5) % 4096 - 2048
+    for (ch <- Seq(1, 2); n <- Seq(1, 5, 64); withList <- Seq(false, true)) {
+      val d = dec.decode(5L, Multimodal.encodeWav(ch, 16000, n, s, withList))
+      assert((d.n_channels, d.sample_rate, d.n_frames) == ((ch, 16000, n.toLong)))
+      assert(d.sum_l == (0 until n).map(f => s(f, 0).toLong).sum)
+      assert(d.sum_r == (if (ch == 2) (0 until n).map(f => s(f, 1).toLong).sum else 0L))
+      assert(d.first_l == s(0, 0).toLong)
+      assert(d.last_s == s(n - 1, ch - 1).toLong, s"ch=$ch n=$n list=$withList")
+    }
+    // negative samples must sign-extend, not accumulate as unsigned
+    val neg = dec.decode(1L, Multimodal.encodeWav(1, 8000, 4, (_, _) => -3))
+    assert(neg.sum_l == -12L && neg.first_l == -3L && neg.last_s == -3L)
+
+    // malformed payloads must THROW (quarantine path)
+    val ok = Multimodal.encodeWav(2, 16000, 8, s)
+    intercept[IllegalArgumentException](dec.decode(9L, "RIFXjunk".getBytes ++ new Array[Byte](40)))
+    intercept[IllegalArgumentException](dec.decode(9L, ok.take(43)))  // shorter than any WAV
+    intercept[IllegalArgumentException](dec.decode(9L, ok.take(60)))  // data chunk overruns
+    val badBits = ok.clone(); badBits(34) = 8 // bitsPerSample 16 → 8
+    intercept[IllegalArgumentException](dec.decode(9L, badBits))
+    val badFmt = ok.clone(); badFmt(20) = 3   // format 1 (PCM) → 3 (float)
+    intercept[IllegalArgumentException](dec.decode(9L, badFmt))
+  }
+
   test("Jsonl.parseLines routes malformed lines whole and never drops a row") {
     import org.apache.spark.sql.types.StructType
     import graft.sources.Jsonl
