@@ -26,17 +26,32 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame       = load(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark has no native
-    * type for (SPARK-40819): read it as epoch-nanos long and truncate
-    * to microseconds. Integer `div` is required — double division
-    * loses precision above 2^53 and 2024 epoch-nanos is ~1.7e18.
-    * DuckDB (the oracle) truncates ns→µs the same way on CAST.
-    * The required `nanosAsLong` conf is set by `GraftSession.builder`
-    * (session-level config belongs on the builder, not inside a reader).
+  /** `events.ts` has shipped in two physical parquet layouts across
+    * testdata generations, so the reader adapts to the scanned dtype:
+    *
+    *   - TIMESTAMP(NANOS): Spark has no native type (SPARK-40819) and
+    *     surfaces it as epoch-nanos `long` (via the `nanosAsLong` conf
+    *     set in `GraftSession.builder`). Truncate ns→µs with integer
+    *     `div` — double division loses precision above 2^53 and 2024
+    *     epoch-nanos is ~1.7e18. DuckDB (the oracle) truncates the
+    *     same way on CAST.
+    *   - TIMESTAMP_MICROS with isAdjustedToUTC=false → Spark
+    *     TIMESTAMP_NTZ. Cast to session-local TIMESTAMP: the session
+    *     timezone is pinned to UTC (`GraftSession.builder`), so the
+    *     wall-clock is preserved exactly, matching DuckDB's naive read.
+    *   - TIMESTAMP_MICROS (UTC-adjusted) → already Spark TIMESTAMP;
+    *     pass through.
     */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    load(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
+  }
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 }

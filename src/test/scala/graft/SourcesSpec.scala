@@ -401,4 +401,40 @@ class SourcesSpec extends AnyFunSuite {
       Jsonl.parseLines(lines, "line",
         StructType.fromDDL("id BIGINT, _corrupt_record STRING")))
   }
+
+  // --- Tables.events: schema-adaptive across physical ts layouts ----------
+
+  test("Tables.events reads epoch-nanos-long, NTZ-micros and UTC-micros layouts") {
+    import org.apache.spark.sql.types._
+    val base = Files.createTempDirectory("graft-events-layouts").toString
+    // All three layouts encode the same instant: 2025-01-01T00:00:00Z.
+    val epochMicros = 1735689600000000L
+
+    // Layout A: TIMESTAMP(NANOS) surfaces as epoch-nanos long under the
+    // nanosAsLong conf; emulate with a plain long column (+1 sub-µs ns,
+    // which the ns→µs truncation must drop).
+    val dirA = s"$base/long"
+    Seq((1L, epochMicros * 1000L + 1L)).toDF("event_id", "ts")
+      .write.parquet(s"$dirA/events.parquet")
+
+    // Layout B: TIMESTAMP_MICROS isAdjustedToUTC=false → TIMESTAMP_NTZ
+    // (the current driver-generated testdata layout).
+    val dirB = s"$base/ntz"
+    Seq((1L, epochMicros)).toDF("event_id", "us")
+      .select($"event_id", timestamp_micros($"us").cast(TimestampNTZType).as("ts"))
+      .write.parquet(s"$dirB/events.parquet")
+
+    // Layout C: UTC-adjusted TIMESTAMP_MICROS → native Spark TIMESTAMP.
+    val dirC = s"$base/tz"
+    Seq((1L, epochMicros)).toDF("event_id", "us")
+      .select($"event_id", timestamp_micros($"us").as("ts"))
+      .write.parquet(s"$dirC/events.parquet")
+
+    for (dir <- Seq(dirA, dirB, dirC)) {
+      val df = Tables.events(spark, dir)
+      assert(df.schema("ts").dataType == TimestampType, s"layout $dir")
+      val got = df.select(unix_micros($"ts")).as[Long].collect()
+      assert(got.toSeq == Seq(epochMicros), s"layout $dir")
+    }
+  }
 }
