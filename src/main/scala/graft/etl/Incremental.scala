@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.ops.{ManifestTable, Merge, Ops}
+import graft.ops.{Intermediates, ManifestTable, Merge, Ops}
 
 /** The reference's write path (`src/etl.py` / `src/backfill.py`),
   * re-expressed as one DataFrame DAG per run (SURVEY.md §3.1):
@@ -146,8 +146,17 @@ object Incremental {
   def runOnManifest(spark: SparkSession, markets: DataFrame, chart: DataFrame,
                     base: String, runTs: Timestamp, istDate: Boolean = true,
                     assetBuckets: Int = 16): Unit = {
-    val (incomingAssets, aligned, incomingDaily) =
+    val (rawAssets, rawAligned, rawDaily) =
       incomingFrames(markets, chart, lit(runTs), istDate)
+    // Each merge evaluates its incoming frame several times (the
+    // touched-partition distinct, the batch write, the upsert), and
+    // `aligned` additionally feeds the daily fold — materialize the
+    // three frames once per run instead of re-running the
+    // explode-heavy alignment per action. Swept by the harness at the
+    // query boundary (Intermediates contract).
+    val incomingAssets = Intermediates.shared(rawAssets)
+    val aligned = Intermediates.shared(rawAligned)
+    val incomingDaily = Intermediates.shared(rawDaily)
     ManifestTable.merge(spark, s"$base/assets",
       incomingAssets.withColumn(SinkPartCol,
         pmod(xxhash64(col("asset_id")), lit(assetBuckets.toLong)).cast("string")),

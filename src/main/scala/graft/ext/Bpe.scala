@@ -193,6 +193,57 @@ object Bpe {
   def encodeCol(text: Column, merges: Seq[MergeStep]): Column =
     merges.foldLeft(charSyms(text)) { (c, m) => applyMerge(c, m.left, m.right) }
 
+  /** Driver-side training-order replay encode — the sequential mirror
+    * of [[encodeCol]] (chars, then one leftmost-greedy pass per merge
+    * in training order). */
+  def replayEncode(s: String, merges: Seq[MergeStep]): Vector[String] = {
+    def applyM(v: Vector[String], a: String, b: String): Vector[String] = {
+      val buf = Vector.newBuilder[String]
+      var i = 0
+      while (i < v.length) {
+        if (i + 1 < v.length && v(i) == a && v(i + 1) == b) { buf += (a + b); i += 2 }
+        else { buf += v(i); i += 1 }
+      }
+      buf.result()
+    }
+    merges.foldLeft(s.split("").filter(_.nonEmpty).toVector)((v, m) =>
+      applyM(v, m.left, m.right))
+  }
+
+  /** Iterative lowest-rank-first encode — the canonical
+    * priority-queue BPE encoder (GPT-2/HF shape): repeatedly merge
+    * the LEFTMOST occurrence of the lowest-rank pair present, to
+    * fixpoint. For a WELL-FORMED merge list (each side of merge i is
+    * buildable from merges < i — what training produces) this equals
+    * [[replayEncode]] on any text, seen or unseen: a merge application
+    * only creates pairs involving the new symbol, whose ranks are
+    * necessarily HIGHER, so a single pass per rank never leaves a
+    * lower-rank pair behind. An ILL-ORDERED list (a pair referencing
+    * a symbol formed by a LATER merge) breaks that invariant and the
+    * two encoders diverge — q109 plants exactly that case and gates
+    * the equality live for the trained table. */
+  def priorityEncode(s: String, merges: Seq[MergeStep]): Vector[String] = {
+    // reversed so the EARLIEST rank survives a duplicate pair
+    val rank = merges.zipWithIndex.reverse.map { case (m, i) => (m.left, m.right) -> i }.toMap
+    var syms = s.split("").filter(_.nonEmpty).toVector
+    var done = false
+    while (!done) {
+      var bestRank = Int.MaxValue
+      var bestPos = -1
+      var i = 0
+      while (i + 1 < syms.length) {
+        rank.get((syms(i), syms(i + 1))).foreach { r =>
+          if (r < bestRank) { bestRank = r; bestPos = i }
+        }
+        i += 1
+      }
+      if (bestPos < 0) done = true
+      else syms = syms.take(bestPos) ++
+        Vector(syms(bestPos) + syms(bestPos + 1)) ++ syms.drop(bestPos + 2)
+    }
+    syms
+  }
+
   /** Unsigned UTF-8 byte order — Spark compares strings as UTF-8
     * binary, while Java's `String.compareTo` is UTF-16 code-unit
     * order; the two DISAGREE between supplementary characters

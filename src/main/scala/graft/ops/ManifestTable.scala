@@ -20,9 +20,14 @@ import org.apache.spark.sql.functions._
   *     retained inside the files (the `__pdir` copy exists only to
   *     shape the directory layout), so a data dir reads as plain
   *     parquet with the full schema — no partition-inference plumbing.
-  *   - `_manifests/m<version>` — one line per live partition:
-  *     `<partition-value-string>\t<relative data dir>`. The LATEST
-  *     version is the table.
+  *   - `_manifests/m<version>` — a `__schema__\t<schema-json>` header
+  *     (the snapshot's committed schema) then one line per live
+  *     partition: `<partition-value-string>\t<relative data dir>`.
+  *     The LATEST version is the table. Reads resolve under the
+  *     committed schema, so a partition written before an additive
+  *     widening fills the missing columns with nulls — no
+  *     mergeSchema footer sweep, and each retained version reads
+  *     under its own schema.
   *
   * Commit protocol: write the merged batch's data dirs (invisible —
   * nothing references them), write the new manifest to a `.tmp` name,
@@ -59,6 +64,11 @@ object ManifestTable {
 
   private val ManifestDir = "_manifests"
   private val DataDir = "data"
+  /** Manifest line key carrying the committed table schema (JSON).
+    * Reserved — a real partition value can never collide with it
+    * because partition values are stringified column values and this
+    * name is not a legal date/number and is refused as exotic. */
+  private val SchemaKey = "__schema__"
 
   /** Merge `incoming` into the manifest table at `path` with
     * [[Merge.upsert]] semantics per partition of `partitionCol`
@@ -87,7 +97,9 @@ object ManifestTable {
     require(retainVersions >= 1, s"retainVersions must be >= 1, got $retainVersions")
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val current = latestVersion(fs, path)
-    val oldEntries = current.map(v => readManifest(fs, path, v)).getOrElse(Nil)
+    val oldLines = current.map(v => readManifest(fs, path, v)).getOrElse(Nil)
+    val oldEntries = dataEntries(oldLines)
+    val prevSchema = committedSchema(oldLines)
 
     // Affected-partition pruning: tiny bounded collect (distinct
     // partition values of one batch), same as the swap-commit form.
@@ -101,10 +113,37 @@ object ManifestTable {
     touched.find(k => k.contains('\t') || k.contains('\n')).foreach(k =>
       sys.error(s"ManifestTable.merge: partition value ${k.replace("\t", "\\t")
         .replace("\n", "\\n")} contains a tab/newline — not manifest-encodable"))
+    require(!touched(SchemaKey),
+      s"ManifestTable.merge: partition value '$SchemaKey' collides with the manifest schema key")
     val touchedDirs = oldEntries.filter(e => touched(e._1)).map(e => s"$path/${e._2}")
+    // SCHEMA EVOLUTION (additive): a merge may ADD nullable columns.
+    // The touched partitions are read under the previously COMMITTED
+    // schema (absent columns fill as null — handles partitions written
+    // before an earlier widening without a mergeSchema footer sweep),
+    // then widened to the incoming batch's new columns so the upsert
+    // sees aligned frames. Dropping or retyping a column is refused
+    // loudly: untouched partitions would silently disagree.
     val merged =
       if (touchedDirs.isEmpty) incoming
-      else Merge.upsert(spark.read.parquet(touchedDirs: _*), incoming, keys, preserveExisting)
+      else {
+        val reader = prevSchema.map(spark.read.schema(_)).getOrElse(spark.read)
+        val existing = reader.parquet(touchedDirs: _*)
+        val dropped = existing.columns.filterNot(incoming.columns.contains)
+        require(dropped.isEmpty, "ManifestTable.merge: incoming batch is missing table " +
+          s"column(s) ${dropped.mkString(", ")} — only additive schema evolution is supported")
+        val added = incoming.columns.filterNot(existing.columns.contains)
+        val widened = added.foldLeft(existing)((df, c) =>
+          df.withColumn(c, lit(null).cast(incoming.schema(c).dataType)))
+        Merge.upsert(widened, incoming, keys, preserveExisting)
+      }
+    // The committed schema: previous column order first, additions at
+    // the end; a column any retained data dir may lack is forced
+    // nullable so old-version readers still resolve it (as null).
+    val prevNames = prevSchema.map(_.fieldNames.toSet)
+      .orElse(if (current.isDefined) Some(Set.empty[String]) else None)
+    val nextSchema = org.apache.spark.sql.types.StructType(merged.schema.fields.map { f =>
+      if (prevNames.exists(names => !names(f.name))) f.copy(nullable = true) else f
+    })
 
     // New data dirs, invisible until the manifest rename below.
     val batch = s"$DataDir/batch-${java.util.UUID.randomUUID()}"
@@ -120,7 +159,8 @@ object ManifestTable {
       s"ManifestTable.merge: written partitions ${newEntries.map(_._1)} != " +
         s"batch partitions $touched — partition-value string roundtrip broke")
 
-    val entries = oldEntries.filterNot(e => touched(e._1)) ++ newEntries
+    val entries = (SchemaKey -> nextSchema.json) +:
+      (oldEntries.filterNot(e => touched(e._1)) ++ newEntries)
     val next = current.getOrElse(0L) + 1
     writeManifest(fs, path, next, entries)
     cleanup(fs, path, keepVersions =
@@ -135,11 +175,14 @@ object ManifestTable {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val v = latestVersion(fs, path).getOrElse(
       sys.error(s"ManifestTable.read: no manifest under $path/$ManifestDir"))
-    val dirs = readManifest(fs, path, v)
+    val lines = readManifest(fs, path, v)
+    val dirs = dataEntries(lines)
       .collect { case (key, dir) if partitionFilter(key) => s"$path/$dir" }
     require(dirs.nonEmpty, s"ManifestTable.read: manifest m$v has no partition " +
       s"passing the filter")
-    spark.read.parquet(dirs: _*)
+    // Committed schema (when present) pins column set + order and
+    // fills columns a pre-widening data dir lacks with nulls.
+    committedSchema(lines).map(spark.read.schema(_)).getOrElse(spark.read).parquet(dirs: _*)
   }
 
   /** TIME TRAVEL: the table as of a specific retained `version` — the
@@ -152,11 +195,14 @@ object ManifestTable {
     require(versions(fs, path).contains(version),
       s"ManifestTable.readVersion: m$version not retained under $path " +
         s"(have ${versions(fs, path).mkString(", ")})")
-    val dirs = readManifest(fs, path, version)
+    val lines = readManifest(fs, path, version)
+    val dirs = dataEntries(lines)
       .collect { case (key, dir) if partitionFilter(key) => s"$path/$dir" }
     require(dirs.nonEmpty, s"ManifestTable.readVersion: manifest m$version has no " +
       s"partition passing the filter")
-    spark.read.parquet(dirs: _*)
+    // Each version reads under ITS OWN committed schema — a snapshot
+    // pinned before a widening resolves without the added columns.
+    committedSchema(lines).map(spark.read.schema(_)).getOrElse(spark.read).parquet(dirs: _*)
   }
 
   /** All retained manifest versions, ascending (empty = no table).
@@ -174,6 +220,19 @@ object ManifestTable {
   /** Highest committed manifest version, if the table exists. */
   private[ops] def latestVersion(fs: FileSystem, path: String): Option[Long] =
     versions(fs, path).lastOption
+
+  /** Partition entries of a manifest (the schema header filtered out). */
+  private[ops] def dataEntries(lines: Seq[(String, String)]): Seq[(String, String)] =
+    lines.filterNot(_._1 == SchemaKey)
+
+  /** The schema a manifest committed, if one was recorded (manifests
+    * written before schema tracking have none — readers then fall
+    * back to parquet self-description, the pre-evolution behavior). */
+  private[ops] def committedSchema(
+      lines: Seq[(String, String)]): Option[org.apache.spark.sql.types.StructType] =
+    lines.collectFirst { case (SchemaKey, json) =>
+      org.apache.spark.sql.types.DataType.fromJson(json)
+        .asInstanceOf[org.apache.spark.sql.types.StructType] }
 
   private[ops] def readManifest(fs: FileSystem, path: String, v: Long): Seq[(String, String)] = {
     val mpath = f"$path/$ManifestDir/m$v%012d"
@@ -214,7 +273,7 @@ object ManifestTable {
     * each successful commit; also sweeps the residue of crashed
     * merges (their batch dirs were never referenced by anything). */
   private def cleanup(fs: FileSystem, path: String, keepVersions: Set[Long]): Unit = {
-    val live: Set[String] = keepVersions.flatMap(v => readManifest(fs, path, v))
+    val live: Set[String] = keepVersions.flatMap(v => dataEntries(readManifest(fs, path, v)))
       .map { case (_, dir) => dir.split('/').take(2).mkString("/") } // data/batch-…
     val dataDir = new Path(s"$path/$DataDir")
     if (fs.exists(dataDir)) fs.listStatus(dataDir).foreach { st =>

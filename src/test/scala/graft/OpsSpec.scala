@@ -404,6 +404,41 @@ class MergeSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](readV(1L))
   }
 
+  test("ManifestTable schema evolution: a merge adding a nullable column widens the " +
+    "committed schema; untouched partitions and pinned old versions still resolve") {
+    val path = java.nio.file.Files.createTempDirectory("graft-manifest-evo").toString + "/t"
+    val day1 = ts("2024-01-01")
+    val day2 = ts("2024-01-02")
+    val base = Seq((1L, day1, 10.0), (2L, day2, 20.0)).toDF("id", "day", "v")
+    graft.ops.ManifestTable.merge(spark, path, base, Seq("id"), "day")
+    // The widening merge touches ONLY day2; day1's data dir keeps its
+    // old-schema files and must resolve the new column as null.
+    val widened = Seq((2L, day2, 22.0, "api"), (3L, day2, 30.0, "csv"))
+      .toDF("id", "day", "v", "src")
+    graft.ops.ManifestTable.merge(spark, path, widened, Seq("id"), "day")
+    val got = graft.ops.ManifestTable.read(spark, path).orderBy("id")
+      .select("id", "v", "src").as[(Long, Double, Option[String])].collect().toSeq
+    assert(got == Seq((1L, 10.0, None), (2L, 22.0, Some("api")), (3L, 30.0, Some("csv"))))
+    val schema = graft.ops.ManifestTable.read(spark, path).schema
+    assert(schema.fieldNames.toSeq == Seq("id", "day", "v", "src"))
+    assert(schema("src").nullable, "a column old data dirs lack must commit as nullable")
+    // A pinned pre-widening version reads under ITS schema — no src.
+    val v1 = graft.ops.ManifestTable.readVersion(spark, path, 1L)
+    assert(v1.schema.fieldNames.toSeq == Seq("id", "day", "v"))
+    assert(v1.orderBy("id").select("v").as[Double].collect().toSeq == Seq(10.0, 20.0))
+    // A later merge under the widened schema upserts against day2's
+    // MIXED history correctly (old rows resolve src via the committed
+    // schema, not a footer sweep).
+    graft.ops.ManifestTable.merge(spark, path,
+      Seq((3L, day2, 33.0, "fix")).toDF("id", "day", "v", "src"), Seq("id"), "day")
+    assert(graft.ops.ManifestTable.read(spark, path).orderBy("id")
+      .select("id", "v", "src").as[(Long, Double, Option[String])].collect().toSeq ==
+      Seq((1L, 10.0, None), (2L, 22.0, Some("api")), (3L, 33.0, Some("fix"))))
+    // Non-additive evolution (batch missing a table column) refuses loudly.
+    intercept[IllegalArgumentException](graft.ops.ManifestTable.merge(spark, path,
+      Seq((4L, day2, 40.0)).toDF("id", "day", "v"), Seq("id"), "day"))
+  }
+
   test("applyChangeFeed: deletes drop keys, highest version wins, re-insert resurrects") {
     val existing = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "v")
     val feed = Seq(
