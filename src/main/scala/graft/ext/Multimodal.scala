@@ -26,6 +26,20 @@ case class DecodedAudio(media_id: Long, fmt: String, n_channels: Int,
                         sample_rate: Int, n_frames: Long,
                         sum_l: Long, sum_r: Long, first_l: Long, last_s: Long)
 
+/** Decoded-video statistics produced by the REAL byte-level
+  * [[Multimodal.AviDecoder]]: container-parsed dimensions / frame
+  * count / frame duration, exact integer per-channel pixel sums over
+  * ALL frames, the middle frame's green sum obtained by SLICING the
+  * container through its `idx1` index (random access, not the
+  * sequential walk), and two positional probes — frame 0's top-left
+  * red and the last frame's bottom-right blue — which catch a decoder
+  * that mis-walks chunks, mis-handles the bottom-up DIB rows, or
+  * builds a wrong index even when totals collide. */
+case class DecodedVideo(media_id: Long, fmt: String, width: Int, height: Int,
+                        n_frames: Long, us_per_frame: Int,
+                        sum_r: Long, sum_g: Long, sum_b: Long,
+                        mid_sum_g: Long, first_r: Long, last_b: Long)
+
 /** Multimodal columns for LLM-training-data pipelines (driver
   * mandate): image/audio/video as opaque `binary` payload columns with
   * a typed metadata struct, plus the decode / feature-extract /
@@ -41,9 +55,14 @@ case class DecodedAudio(media_id: Long, fmt: String, n_channels: Int,
   * (round 9): [[WavDecoder]] walks a RIFF/WAVE chunk list (unknown
   * chunks skipped, odd sizes padded per the RIFF rule) and decodes
   * 16-bit PCM mono/stereo down to per-channel sample sums
-  * ([[decodeAudio]]). The remaining kernels — [[fakeFeatures]]
-  * (vision-model embedding), [[resize]]'s re-encode, and
-  * [[sampleFrames]]'s container slicing — still stand in for codec
+  * ([[decodeAudio]]). The VIDEO kernel is real as of round 10:
+  * [[AviDecoder]] walks a RIFF AVI container (hdrl/strl headers, JUNK
+  * padding skipped with the pad rule, movi child chunks, idx1 index)
+  * and decodes uncompressed 24-bit DIB frames, with middle-frame
+  * SLICING through the index — random access, the real form of what
+  * [[sampleFrames]]'s digest plumbing stands in for on arbitrary
+  * codecs. The remaining kernels — [[fakeFeatures]] (vision-model
+  * embedding) and [[resize]]'s re-encode — still stand in for codec
   * LIBRARIES the container doesn't ship (mandate-permitted); they
   * plug into the same plumbing.
   *
@@ -407,6 +426,220 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         val decoder = new WavDecoder // per-partition init, not per-row
+        rows.map { case (id, bytes) => decoder.decode(id, bytes) }
+      }
+  }
+
+  // ------------------------------------------------------------------
+  // REAL video codec: RIFF AVI with uncompressed 24-bit DIB frames.
+  // ------------------------------------------------------------------
+
+  /** Encode `nFrames` frames of `w`×`h` uncompressed 24-bit video as a
+    * canonical RIFF AVI: `LIST hdrl` (an `avih` main header + one
+    * `LIST strl` video stream with `strh`/`strf`), `LIST movi` holding
+    * one `00db` DIB chunk per frame (BGR, rows BOTTOM-UP, 4-byte row
+    * stride — the BMP pixel layout without the BMP header), and an
+    * `idx1` index whose offsets are relative to the first byte after
+    * the `movi` fourcc (the standard convention) — the structure that
+    * makes frame SLICING random-access. `px(frame, x, y)` is (r, g, b)
+    * at IMAGE coordinates (origin top-left). With `withJunk`, an
+    * odd-sized `JUNK` padding chunk (ubiquitous in real AVIs) sits
+    * between `hdrl` and `movi` — decoders must skip it with RIFF's
+    * odd-size pad rule. */
+  def encodeAvi(w: Int, h: Int, nFrames: Int, usPerFrame: Int,
+                px: (Int, Int, Int) => (Int, Int, Int),
+                withJunk: Boolean = false): Array[Byte] = {
+    require(w > 0 && h > 0 && nFrames > 0 && usPerFrame > 0,
+      s"bad avi spec ${w}x$h x$nFrames @$usPerFrame")
+    val stride = (w * 3 + 3) / 4 * 4
+    val frameBytes = stride * h
+    val framePad = frameBytes & 1 // stride is 4-aligned so 0, kept for form
+    val junk = if (withJunk) "GRAFTPAD1".getBytes("US-ASCII") else Array.empty[Byte]
+    val junkBytes = if (withJunk) 8 + junk.length + (junk.length & 1) else 0
+    val strlSize = 4 + 8 + 56 + 8 + 40              // 'strl' + strh + strf
+    val hdrlSize = 4 + 8 + 56 + 8 + strlSize        // 'hdrl' + avih + LIST strl
+    val moviSize = 4 + nFrames * (8 + frameBytes + framePad)
+    val idx1Size = 16 * nFrames
+    val riffSize = 4 + 8 + hdrlSize + junkBytes + 8 + moviSize + 8 + idx1Size
+    val b = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(s: String): Unit = b.put(s.getBytes("US-ASCII"))
+    fourcc("RIFF"); b.putInt(riffSize); fourcc("AVI ")
+    fourcc("LIST"); b.putInt(hdrlSize); fourcc("hdrl")
+    fourcc("avih"); b.putInt(56)
+    b.putInt(usPerFrame).putInt(0).putInt(0).putInt(0x10 /* AVIF_HASINDEX */)
+      .putInt(nFrames).putInt(0).putInt(1).putInt(frameBytes)
+      .putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0)
+    fourcc("LIST"); b.putInt(strlSize); fourcc("strl")
+    fourcc("strh"); b.putInt(56)
+    fourcc("vids"); fourcc("DIB ")
+    b.putInt(0).putInt(0).putInt(0)
+      .putInt(usPerFrame).putInt(1000000) // dwScale/dwRate: rate/scale = fps
+      .putInt(0).putInt(nFrames).putInt(frameBytes).putInt(-1).putInt(0)
+    b.putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort) // rcFrame
+    fourcc("strf"); b.putInt(40)
+    b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(frameBytes).putInt(0).putInt(0).putInt(0).putInt(0)
+    if (withJunk) {
+      fourcc("JUNK"); b.putInt(junk.length); b.put(junk)
+      if ((junk.length & 1) == 1) b.put(0: Byte)
+    }
+    fourcc("LIST"); b.putInt(moviSize); fourcc("movi")
+    val offsets = new Array[Int](nFrames)
+    var base = 4 // offset of the next chunk relative to after 'movi'
+    var f = 0
+    while (f < nFrames) {
+      offsets(f) = base
+      fourcc("00db"); b.putInt(frameBytes)
+      var row = h - 1 // bottom-up
+      while (row >= 0) {
+        var x = 0
+        while (x < w) {
+          val (r, g, bl) = px(f, x, row)
+          b.put(bl.toByte).put(g.toByte).put(r.toByte)
+          x += 1
+        }
+        var padI = w * 3
+        while (padI < stride) { b.put(0: Byte); padI += 1 }
+        row -= 1
+      }
+      if (framePad == 1) b.put(0: Byte)
+      base += 8 + frameBytes + framePad
+      f += 1
+    }
+    fourcc("idx1"); b.putInt(idx1Size)
+    f = 0
+    while (f < nFrames) {
+      fourcc("00db"); b.putInt(0x10 /* AVIIF_KEYFRAME */)
+      b.putInt(offsets(f)).putInt(frameBytes)
+      f += 1
+    }
+    b.array()
+  }
+
+  /** REAL byte-level AVI decoder — one instance per partition (the
+    * codec-handle amortization slot). Walks the outer RIFF chunk list
+    * (JUNK and unknown chunks skipped with the odd-size pad rule),
+    * parses `avih`/`strh`/`strf` for dimensions, frame count, frame
+    * duration and the DIB format, then decodes every `00db` frame in
+    * the `movi` list (BGR bottom-up, 4-byte stride) to exact channel
+    * sums — and separately SLICES the middle frame through the `idx1`
+    * index, validating random access against the sequential walk.
+    * Malformed payloads throw with the offending detail, long
+    * arithmetic guarding every bound (the q99/q107 hardening
+    * posture). */
+  final class AviDecoder {
+    private def le32(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | (b(i + 1) & 0xff) << 8 | (b(i + 2) & 0xff) << 16 | (b(i + 3) & 0xff) << 24
+    private def le16(b: Array[Byte], i: Int): Int = (b(i) & 0xff) | (b(i + 1) & 0xff) << 8
+    private def tag(b: Array[Byte], i: Int): String = new String(b, i, 4, "US-ASCII")
+
+    /** (r, g, b) sums of ONE DIB frame starting at `off`. */
+    private def frameSums(b: Array[Byte], off: Int, w: Int, h: Int): (Long, Long, Long) = {
+      val stride = (w * 3 + 3) / 4 * 4
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      var row = 0
+      while (row < h) {
+        val rowOff = off + (h - 1 - row).toLong * stride // bottom-up
+        var x = 0
+        while (x < w) {
+          val p = (rowOff + x * 3).toInt
+          sb += (b(p) & 0xff); sg += (b(p + 1) & 0xff); sr += (b(p + 2) & 0xff)
+          x += 1
+        }
+        row += 1
+      }
+      (sr, sg, sb)
+    }
+
+    def decode(id: Long, b: Array[Byte]): DecodedVideo = {
+      require(b.length >= 12 && tag(b, 0) == "RIFF" && tag(b, 8) == "AVI ",
+        s"media $id: not a RIFF AVI")
+      var i = 12
+      var w = -1; var h = -1; var nFrames = -1; var usPerFrame = -1
+      var moviOff = -1; var moviEnd = -1; var idxOff = -1; var idxLen = -1
+      while (i + 8 <= b.length) {
+        val ct = tag(b, i); val cs = le32(b, i + 4)
+        require(cs >= 0 && i + 8 + cs.toLong <= b.length,
+          s"media $id: chunk $ct size $cs overruns payload at byte $i")
+        if (ct == "LIST") {
+          val lt = tag(b, i + 8)
+          if (lt == "hdrl") {
+            // avih is the first child chunk of hdrl (spec-mandated)
+            val a = i + 12
+            require(tag(b, a) == "avih" && le32(b, a + 4) >= 56,
+              s"media $id: hdrl does not lead with a 56-byte avih")
+            usPerFrame = le32(b, a + 8)
+            nFrames = le32(b, a + 24)
+            w = le32(b, a + 40); h = le32(b, a + 44)
+            require(w > 0 && h > 0 && nFrames > 0 && usPerFrame > 0,
+              s"media $id: degenerate avih ${w}x$h x$nFrames @$usPerFrame")
+            // the stream headers must declare uncompressed 24-bit DIB
+            val sl = a + 8 + 56
+            require(tag(b, sl) == "LIST" && tag(b, sl + 8) == "strl" &&
+              tag(b, sl + 12) == "strh" && tag(b, sl + 20) == "vids",
+              s"media $id: missing vids stream header")
+            val sf = sl + 20 + 56
+            require(tag(b, sf) == "strf" && le16(b, sf + 22) == 24,
+              s"media $id: stream format is not 24-bit DIB")
+          } else if (lt == "movi") {
+            require(w > 0, s"media $id: movi before hdrl")
+            moviOff = i + 12; moviEnd = i + 8 + cs
+          }
+        } else if (ct == "idx1") { idxOff = i + 8; idxLen = cs }
+        i += 8 + cs + (cs & 1) // RIFF odd-size pad
+      }
+      require(moviOff >= 0, s"media $id: no movi list")
+      require(idxOff >= 0 && idxLen == 16 * nFrames,
+        s"media $id: idx1 missing or ${idxLen}B for $nFrames frames")
+      val stride = (w * 3 + 3) / 4 * 4
+      val frameBytes = stride * h
+      // Sequential walk of the movi children.
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      var seen = 0
+      var j = moviOff
+      while (j + 8 <= moviEnd) {
+        val ft = tag(b, j); val fs = le32(b, j + 4)
+        require(ft == "00db" && fs == frameBytes,
+          s"media $id: movi chunk $ft/$fs != 00db/$frameBytes at byte $j")
+        val (r, g, bl) = frameSums(b, j + 8, w, h)
+        sr += r; sg += g; sb += bl
+        seen += 1
+        j += 8 + fs + (fs & 1)
+      }
+      require(seen == nFrames, s"media $id: movi holds $seen frames, avih says $nFrames")
+      // Random-access SLICE of the middle frame through idx1: offsets
+      // are relative to the first byte after the 'movi' fourcc.
+      val mid = nFrames / 2
+      val e = idxOff + 16 * mid
+      require(tag(b, e) == "00db", s"media $id: idx1[$mid] tags ${tag(b, e)}")
+      val midOff = moviOff - 4 + le32(b, e + 8)
+      require(tag(b, midOff) == "00db" && le32(b, midOff + 4) == frameBytes,
+        s"media $id: idx1[$mid] offset ${le32(b, e + 8)} does not land on frame $mid")
+      val (_, midG, _) = frameSums(b, midOff + 8, w, h)
+      // Positional probes: frame 0 top-left red, last frame
+      // bottom-right blue — catch bottom-up/stride mistakes that
+      // cancel in the sums.
+      val f0 = moviOff + 8 // first movi child is frame 0; +8 skips its header
+      val firstR = (b(f0 + (h - 1) * stride + 2) & 0xff).toLong
+      val lastOff = moviOff - 4 + le32(b, idxOff + 16 * (nFrames - 1) + 8) + 8
+      val lastB = (b(lastOff + (w - 1) * 3) & 0xff).toLong
+      DecodedVideo(id, "avi", w, h, nFrames.toLong, usPerFrame,
+        sr, sg, sb, midG, firstR, lastB)
+    }
+  }
+
+  /** Decode (media_id, payload) AVI rows with the REAL [[AviDecoder]]
+    * — per-partition decoder instance, map-only, payloads never
+    * shuffle (the [[decodeImages]]/[[decodeAudio]] shape for the
+    * video modality). */
+  def decodeVideos(media: DataFrame): Dataset[DecodedVideo] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val decoder = new AviDecoder // per-partition init, not per-row
         rows.map { case (id, bytes) => decoder.decode(id, bytes) }
       }
   }

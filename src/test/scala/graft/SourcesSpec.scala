@@ -370,6 +370,49 @@ class SourcesSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](dec.decode(9L, badFmt))
   }
 
+  test("AviDecoder: DIB round-trip, JUNK chunk walk, idx1 slicing, malformed") {
+    val dec = new Multimodal.AviDecoder
+    // pixel rule: distinct per (frame, x, y, channel) so bottom-up /
+    // stride / interleave slips flip sums and the positional probes
+    def px(f: Int, x: Int, y: Int): (Int, Int, Int) = (10 * f + x, 10 * f + y, f + x + y)
+    for (withJunk <- Seq(false, true)) {
+      val d = dec.decode(7L, Multimodal.encodeAvi(2, 2, 3, 33333, px, withJunk))
+      assert((d.width, d.height, d.n_frames, d.us_per_frame) == ((2, 2, 3L, 33333)))
+      // hand-computed: r = Σ(10f+x) = 40f+2 per frame → 126; g symmetric;
+      // b = Σ(f+x+y) = 4f+4 per frame → 24; mid frame (1): g = Σ(10+y) = 42
+      assert(d.sum_r == 126L && d.sum_g == 126L && d.sum_b == 24L,
+        s"junk=$withJunk: (${d.sum_r}, ${d.sum_g}, ${d.sum_b})")
+      assert(d.mid_sum_g == 42L)
+      assert(d.first_r == 0L)       // px(0,0,0).r
+      assert(d.last_b == 4L)        // px(2,1,1).b
+    }
+    // widths that need row padding (stride 4-alignment) must round-trip
+    val wide = dec.decode(8L, Multimodal.encodeAvi(3, 2, 2, 40000, px))
+    assert(wide.sum_r == (for (f <- 0 until 2; x <- 0 until 3; _ <- 0 until 2)
+      yield (10 * f + x).toLong).sum)
+    assert(wide.last_b == (1 + 2 + 1).toLong) // px(1,2,1).b
+
+    // malformed payloads must THROW (quarantine path)
+    val ok = Multimodal.encodeAvi(2, 2, 3, 33333, px)
+    intercept[IllegalArgumentException](dec.decode(9L, "RIFXjunkAVI ".getBytes ++ new Array[Byte](40)))
+    intercept[IllegalArgumentException](dec.decode(9L, ok.take(80)))  // chunk overruns payload
+    val badCount = ok.clone(); badCount(32 + 16) = 9 // avih dwTotalFrames 3 → 9
+    intercept[IllegalArgumentException](dec.decode(9L, badCount))
+    val badBits = ok.clone()
+    // strf biBitCount lives at hdrl(12+8) + avih(8+56) + LIST/strl(12) +
+    // strh(8+56) + strf tag/size(8) + 14
+    val strfOff = 12 + 8 + 4 + 8 + 56 + 12 + 8 + 56 + 8
+    assert(new String(ok, strfOff - 8, 4, "US-ASCII") == "strf")
+    badBits(strfOff + 14) = 8 // 24-bit → 8-bit
+    intercept[IllegalArgumentException](dec.decode(9L, badBits))
+    val badIdx = ok.clone()
+    // the MID entry's offset field (the one the slice reads): corrupt
+    // it so random access lands off-chunk
+    val idxPos = ok.length - 16 * 3 + 16 + 8
+    badIdx(idxPos) = 99
+    intercept[IllegalArgumentException](dec.decode(9L, badIdx))
+  }
+
   test("Jsonl.parseLines routes malformed lines whole and never drops a row") {
     import org.apache.spark.sql.types.StructType
     import graft.sources.Jsonl
