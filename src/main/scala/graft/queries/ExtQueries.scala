@@ -2835,6 +2835,67 @@ object ExtQueries {
       |FROM merged GROUP BY day ORDER BY day""".stripMargin
 
   // ----------------------------------------------------------------
+  // q111_manifest_evolution — ManifestTable's ADDITIVE SCHEMA
+  // EVOLUTION under the driver gate (OpsSpec covers it in-JVM; this
+  // puts the cross-engine hash on it): an initial day-partitioned
+  // load of the first half of `events`, then an overlapping refetch
+  // merge that ADDS a nullable `src` column — the commit widens the
+  // manifest schema, so the final read must resolve `src` as null for
+  // every untouched pre-widening partition and as 'refetch' for the
+  // merged rows, while the RETAINED pre-widening version still reads
+  // under its own (narrower) schema. Oracle: the same two-layer
+  // last-write-wins in SQL with NULL src on the initial layer;
+  // old-version facts ride as constants (v1 row count is plain SQL,
+  // v1_has_src is the theorem that a pinned snapshot never grows
+  // columns committed after it).
+  // ----------------------------------------------------------------
+  def q111ManifestEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val cut = "2024-01-16 00:00:00"
+    val overlap = "2024-01-10 00:00:00"
+    val ev = Tables.events(spark, dir)
+      .withColumn("day", date_trunc("day", col("ts")))
+    val initial = ev.filter(col("ts") < lit(cut).cast("timestamp"))
+      .select(col("event_id"), col("day"), col("value"))
+    val refetch = ev.filter(col("ts") >= lit(overlap).cast("timestamp"))
+      .select(col("event_id"), col("day"),
+        (col("value") + lit(1.0)).as("value"), lit("refetch").as("src"))
+    val path = java.nio.file.Files.createTempDirectory("graft_q111_").toString + "/table"
+    graft.ops.ManifestTable.merge(spark, path, initial,
+      keys = Seq("event_id"), partitionCol = "day")
+    graft.ops.ManifestTable.merge(spark, path, refetch,
+      keys = Seq("event_id"), partitionCol = "day")
+    val v1 = graft.ops.ManifestTable.readVersion(spark, path, 1L)
+    val v1Rows = v1.count()
+    val v1HasSrc = v1.columns.contains("src")
+    graft.ops.ManifestTable.read(spark, path)
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n"),
+        count(col("src")).as("n_src"),
+        sum(floor(col("value") * lit(1e3)).cast("long")).as("sum_value_e3"))
+      .withColumn("v1_rows", lit(v1Rows))
+      .withColumn("v1_has_src", lit(v1HasSrc))
+      .orderBy(col("day"))
+  }
+
+  val q111ManifestEvolutionSql: String =
+    """WITH ev AS (SELECT event_id, date_trunc('day', ts) AS day, ts, value FROM events),
+      |merged AS (
+      |  SELECT event_id, day, value + 1.0 AS value, 'refetch' AS src FROM ev
+      |  WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      |  UNION ALL
+      |  SELECT event_id, day, value, NULL AS src FROM ev
+      |  WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+      |    AND event_id NOT IN (SELECT event_id FROM ev
+      |                         WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'))
+      |SELECT day, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(count(src) AS BIGINT) AS n_src,
+      |  CAST(sum(CAST(floor(value * 1e3) AS BIGINT)) AS BIGINT) AS sum_value_e3,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM ev
+      |   WHERE ts < TIMESTAMP '2024-01-16 00:00:00') AS v1_rows,
+      |  false AS v1_has_src
+      |FROM merged GROUP BY day ORDER BY day""".stripMargin
+
+  // ----------------------------------------------------------------
   // q99_image_decode — the REAL byte-level image kernel under the
   // driver gate (round-7 verdict #5; the decode family is no longer
   // stub-labeled): deterministic gradient images are ENCODED in a
