@@ -49,7 +49,11 @@ object Tables {
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case org.apache.spark.sql.types.TimestampNTZType =>
         raw.withColumn("ts", col("ts").cast("timestamp"))
-      case _ => raw
+      case org.apache.spark.sql.types.TimestampType => raw
+      case other => sys.error(s"Tables.events: events.ts has unsupported physical " +
+        s"type ${other.simpleString} — this reader adapts epoch-nanos long, " +
+        "TIMESTAMP_NTZ and TIMESTAMP; a regenerated testdata layout needs a new branch " +
+        "(fail HERE with the dtype named, not 42 queries later with analysis errors)")
     }
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")

@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.ops.{Intermediates, ManifestTable, Merge, Ops}
+import graft.ops.{ManifestTable, Merge, Ops}
 
 /** The reference's write path (`src/etl.py` / `src/backfill.py`),
   * re-expressed as one DataFrame DAG per run (SURVEY.md §3.1):
@@ -146,28 +146,33 @@ object Incremental {
   def runOnManifest(spark: SparkSession, markets: DataFrame, chart: DataFrame,
                     base: String, runTs: Timestamp, istDate: Boolean = true,
                     assetBuckets: Int = 16): Unit = {
-    val (rawAssets, rawAligned, rawDaily) =
+    val (incomingAssets, aligned, incomingDaily) =
       incomingFrames(markets, chart, lit(runTs), istDate)
     // Each merge evaluates its incoming frame several times (the
     // touched-partition distinct, the batch write, the upsert), and
     // `aligned` additionally feeds the daily fold — materialize the
     // three frames once per run instead of re-running the
-    // explode-heavy alignment per action. Swept by the harness at the
-    // query boundary (Intermediates contract).
-    val incomingAssets = Intermediates.shared(rawAssets)
-    val aligned = Intermediates.shared(rawAligned)
-    val incomingDaily = Intermediates.shared(rawDaily)
-    ManifestTable.merge(spark, s"$base/assets",
-      incomingAssets.withColumn(SinkPartCol,
-        pmod(xxhash64(col("asset_id")), lit(assetBuckets.toLong)).cast("string")),
-      keys = Seq("asset_id"), partitionCol = SinkPartCol,
-      preserveExisting = Seq("first_seen_at"))
-    ManifestTable.merge(spark, s"$base/prices",
-      aligned.withColumn(SinkPartCol, date_format(col("ts"), "yyyy-MM-dd")),
-      keys = Seq("asset_id", "ts"), partitionCol = SinkPartCol)
-    ManifestTable.merge(spark, s"$base/daily_metrics",
-      incomingDaily.withColumn(SinkPartCol, date_format(col("date"), "yyyy-MM-dd")),
-      keys = Seq("asset_id", "date"), partitionCol = SinkPartCol)
+    // explode-heavy alignment per action. Persisted LOCALLY and
+    // released in `finally` (not `Intermediates.shared`): this is a
+    // write-path API whose callers — specs, long-lived ingest
+    // services — are not the Bench/Verify harness and never sweep, so
+    // registry-pinned storage would accumulate per run for the
+    // session's lifetime.
+    val frames = Seq(incomingAssets, aligned, incomingDaily)
+    frames.foreach(_.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    try {
+      ManifestTable.merge(spark, s"$base/assets",
+        incomingAssets.withColumn(SinkPartCol,
+          pmod(xxhash64(col("asset_id")), lit(assetBuckets.toLong)).cast("string")),
+        keys = Seq("asset_id"), partitionCol = SinkPartCol,
+        preserveExisting = Seq("first_seen_at"))
+      ManifestTable.merge(spark, s"$base/prices",
+        aligned.withColumn(SinkPartCol, date_format(col("ts"), "yyyy-MM-dd")),
+        keys = Seq("asset_id", "ts"), partitionCol = SinkPartCol)
+      ManifestTable.merge(spark, s"$base/daily_metrics",
+        incomingDaily.withColumn(SinkPartCol, date_format(col("date"), "yyyy-MM-dd")),
+        keys = Seq("asset_id", "date"), partitionCol = SinkPartCol)
+    } finally frames.foreach(_.unpersist(blocking = false))
   }
 
   /** Manifest-sink readers — resolve the latest snapshot and strip the

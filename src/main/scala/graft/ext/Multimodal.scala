@@ -567,20 +567,26 @@ object Multimodal {
           if (lt == "hdrl") {
             // avih is the first child chunk of hdrl (spec-mandated)
             val a = i + 12
-            require(tag(b, a) == "avih" && le32(b, a + 4) >= 56,
-              s"media $id: hdrl does not lead with a 56-byte avih")
+            val avihSize = le32(b, a + 4)
+            require(tag(b, a) == "avih" && avihSize >= 56 &&
+              a + 8 + avihSize.toLong <= b.length,
+              s"media $id: hdrl does not lead with a >=56-byte avih")
             usPerFrame = le32(b, a + 8)
             nFrames = le32(b, a + 24)
             w = le32(b, a + 40); h = le32(b, a + 44)
             require(w > 0 && h > 0 && nFrames > 0 && usPerFrame > 0,
               s"media $id: degenerate avih ${w}x$h x$nFrames @$usPerFrame")
-            // the stream headers must declare uncompressed 24-bit DIB
-            val sl = a + 8 + 56
-            require(tag(b, sl) == "LIST" && tag(b, sl + 8) == "strl" &&
+            // the stream headers must declare uncompressed 24-bit DIB;
+            // skip avih by its DECLARED size (spec-legal >56-byte
+            // variants), honoring the pad rule
+            val sl = a + 8 + avihSize + (avihSize & 1)
+            require(sl + 24 <= b.length &&
+              tag(b, sl) == "LIST" && tag(b, sl + 8) == "strl" &&
               tag(b, sl + 12) == "strh" && tag(b, sl + 20) == "vids",
               s"media $id: missing vids stream header")
             val sf = sl + 20 + 56
-            require(tag(b, sf) == "strf" && le16(b, sf + 22) == 24,
+            require(sf + 24 <= b.length &&
+              tag(b, sf) == "strf" && le16(b, sf + 22) == 24,
               s"media $id: stream format is not 24-bit DIB")
           } else if (lt == "movi") {
             require(w > 0, s"media $id: movi before hdrl")
@@ -608,21 +614,31 @@ object Multimodal {
         j += 8 + fs + (fs & 1)
       }
       require(seen == nFrames, s"media $id: movi holds $seen frames, avih says $nFrames")
-      // Random-access SLICE of the middle frame through idx1: offsets
-      // are relative to the first byte after the 'movi' fourcc.
+      // Random-access SLICE through idx1: offsets are relative to the
+      // first byte after the 'movi' fourcc. EVERY index-derived
+      // dereference is bounds- and tag-checked BEFORE use — a corrupt
+      // offset must throw the labeled quarantine error, never return a
+      // silently-wrong probe or an unlabeled array exception.
+      def frameDataAt(entry: Int, what: String): Int = {
+        val e = idxOff + 16 * entry
+        require(tag(b, e) == "00db", s"media $id: idx1[$what] tags ${tag(b, e)}")
+        val off = le32(b, e + 8)
+        val pos = moviOff.toLong - 4 + off
+        require(off >= 0 && pos >= 0 && pos + 8 + frameBytes <= b.length,
+          s"media $id: idx1[$what] offset $off out of bounds")
+        val p = pos.toInt
+        require(tag(b, p) == "00db" && le32(b, p + 4) == frameBytes,
+          s"media $id: idx1[$what] offset $off does not land on a frame chunk")
+        p + 8
+      }
       val mid = nFrames / 2
-      val e = idxOff + 16 * mid
-      require(tag(b, e) == "00db", s"media $id: idx1[$mid] tags ${tag(b, e)}")
-      val midOff = moviOff - 4 + le32(b, e + 8)
-      require(tag(b, midOff) == "00db" && le32(b, midOff + 4) == frameBytes,
-        s"media $id: idx1[$mid] offset ${le32(b, e + 8)} does not land on frame $mid")
-      val (_, midG, _) = frameSums(b, midOff + 8, w, h)
+      val (_, midG, _) = frameSums(b, frameDataAt(mid, s"mid=$mid"), w, h)
       // Positional probes: frame 0 top-left red, last frame
       // bottom-right blue — catch bottom-up/stride mistakes that
       // cancel in the sums.
       val f0 = moviOff + 8 // first movi child is frame 0; +8 skips its header
       val firstR = (b(f0 + (h - 1) * stride + 2) & 0xff).toLong
-      val lastOff = moviOff - 4 + le32(b, idxOff + 16 * (nFrames - 1) + 8) + 8
+      val lastOff = frameDataAt(nFrames - 1, s"last=${nFrames - 1}")
       val lastB = (b(lastOff + (w - 1) * 3) & 0xff).toLong
       DecodedVideo(id, "avi", w, h, nFrames.toLong, usPerFrame,
         sr, sg, sb, midG, firstR, lastB)

@@ -121,29 +121,59 @@ object ManifestTable {
     // schema (absent columns fill as null — handles partitions written
     // before an earlier widening without a mergeSchema footer sweep),
     // then widened to the incoming batch's new columns so the upsert
-    // sees aligned frames. Dropping or retyping a column is refused
-    // loudly: untouched partitions would silently disagree.
-    val merged =
-      if (touchedDirs.isEmpty) incoming
-      else {
-        val reader = prevSchema.map(spark.read.schema(_)).getOrElse(spark.read)
-        val existing = reader.parquet(touchedDirs: _*)
-        val dropped = existing.columns.filterNot(incoming.columns.contains)
-        require(dropped.isEmpty, "ManifestTable.merge: incoming batch is missing table " +
-          s"column(s) ${dropped.mkString(", ")} — only additive schema evolution is supported")
+    // sees aligned frames. Dropping or RETYPING a column is refused
+    // loudly — by NAME AND DTYPE, and also on new-partition-only
+    // batches (no touched dirs), which would otherwise commit a
+    // narrowed/retyped schema that silently projects away or bricks
+    // the untouched partitions.
+    val reader = prevSchema.map(spark.read.schema(_)).getOrElse(spark.read)
+    val existingOpt =
+      if (touchedDirs.isEmpty) None else Some(reader.parquet(touchedDirs: _*))
+    // The schema the table already has, whenever one is knowable:
+    // the committed schema, else (legacy manifests) the touched dirs'
+    // self-described schema. A legacy table touched only on NEW
+    // partitions has no knowable baseline — pre-evolution behavior.
+    val baseline: Option[org.apache.spark.sql.types.StructType] =
+      prevSchema.orElse(existingOpt.map(_.schema))
+    baseline.foreach { base =>
+      val dropped = base.fieldNames.filterNot(incoming.columns.contains)
+      require(dropped.isEmpty, "ManifestTable.merge: incoming batch is missing table " +
+        s"column(s) ${dropped.mkString(", ")} — only additive schema evolution is supported")
+      base.fields.foreach { f =>
+        val inDt = incoming.schema(f.name).dataType
+        require(inDt == f.dataType, s"ManifestTable.merge: column ${f.name} retyped " +
+          s"${f.dataType.simpleString} -> ${inDt.simpleString} — only additive schema " +
+          "evolution is supported (untouched partitions cannot be read under the new type)")
+      }
+    }
+    val merged = existingOpt match {
+      case None => incoming
+      case Some(existing) =>
         val added = incoming.columns.filterNot(existing.columns.contains)
         val widened = added.foldLeft(existing)((df, c) =>
           df.withColumn(c, lit(null).cast(incoming.schema(c).dataType)))
         Merge.upsert(widened, incoming, keys, preserveExisting)
-      }
+    }
     // The committed schema: previous column order first, additions at
     // the end; a column any retained data dir may lack is forced
-    // nullable so old-version readers still resolve it (as null).
-    val prevNames = prevSchema.map(_.fieldNames.toSet)
-      .orElse(if (current.isDefined) Some(Set.empty[String]) else None)
-    val nextSchema = org.apache.spark.sql.types.StructType(merged.schema.fields.map { f =>
-      if (prevNames.exists(names => !names(f.name))) f.copy(nullable = true) else f
-    })
+    // nullable so old-version readers still resolve it (as null). A
+    // legacy table (committed pre-schema-tracking) gets every field
+    // forced nullable — the conservative choice when the set of dirs
+    // that might lack a column is unknowable.
+    val nextSchema: org.apache.spark.sql.types.StructType = baseline match {
+      case Some(base) =>
+        val addedFields = merged.schema.fields
+          .filterNot(f => base.fieldNames.contains(f.name))
+          .map(_.copy(nullable = true))
+        org.apache.spark.sql.types.StructType(
+          base.fields.map { f =>
+            f.copy(nullable = f.nullable || merged.schema(f.name).nullable)
+          } ++ addedFields)
+      case None if current.isDefined =>
+        org.apache.spark.sql.types.StructType(
+          merged.schema.fields.map(_.copy(nullable = true)))
+      case None => merged.schema
+    }
 
     // New data dirs, invisible until the manifest rename below.
     val batch = s"$DataDir/batch-${java.util.UUID.randomUUID()}"

@@ -3068,20 +3068,20 @@ object ExtQueries {
     * (the S8 memoization posture applied to a non-DataFrame value). */
   private val bpeMergesMemo =
     scala.collection.concurrent.TrieMap.empty[String, Seq[graft.ext.Bpe.MergeStep]]
-  private def trainedMerges12(spark: SparkSession, dir: String)
-      : Seq[graft.ext.Bpe.MergeStep] =
-    bpeMergesMemo.getOrElseUpdate(s"${ResultCache.sessionKey(spark)}:$dir", {
-      import graft.ext.Bpe
-      val wc = graft.ops.Intermediates.shared(
-        Bpe.wordCounts(Tables.documents(spark, dir)))
-      Bpe.train(wc, nMerges = 12)
-    })
+  /** Trains over the caller's (already-persisted) word-count frame on
+    * the first call per (session, dir) — taking `wc` from the caller
+    * avoids double-persisting the identical plan both consumers
+    * already register via `Intermediates.shared`. */
+  private def trainedMerges12(spark: SparkSession, dir: String,
+                              wc: DataFrame): Seq[graft.ext.Bpe.MergeStep] =
+    bpeMergesMemo.getOrElseUpdate(s"${ResultCache.sessionKey(spark)}:$dir",
+      graft.ext.Bpe.train(wc, nMerges = 12))
 
   def q101BpeTrain(spark: SparkSession, dir: String): DataFrame = {
     import graft.ext.Bpe
     val wc = graft.ops.Intermediates.shared(
       Bpe.wordCounts(Tables.documents(spark, dir)))
-    val merges = trainedMerges12(spark, dir)
+    val merges = trainedMerges12(spark, dir, wc)
     val ref = Bpe.sequentialReference(
       wc.collect().map(r => (r.getString(0), r.getLong(1))).toSeq, nMerges = 12)
     val enc = wc.select(col("word"), Bpe.encodeCol(col("word"), merges).as("toks"))
@@ -3588,8 +3588,9 @@ object ExtQueries {
       |        FROM ev WHERE user_id % 17 = 0),
       |clk AS (SELECT event_id AS click_id, user_id % 10 AS click_ad_id, sts AS click_ts, b
       |        FROM ev WHERE user_id % 23 = 0),
-      |cut AS (SELECT least((SELECT max(imp_ts) FROM imp WHERE b < 3),
-      |                     (SELECT max(click_ts) FROM clk WHERE b < 3))
+      |cut AS (SELECT least(
+      |          coalesce((SELECT max(imp_ts) FROM imp WHERE b < 3), TIMESTAMP '1970-01-01 00:00:00'),
+      |          coalesce((SELECT max(click_ts) FROM clk WHERE b < 3), TIMESTAMP '1970-01-01 00:00:00'))
       |               - INTERVAL '72 hours' - INTERVAL '500 milliseconds' AS wm),
       |ikept AS (SELECT * FROM imp WHERE b < 3 OR imp_ts >= (SELECT wm FROM cut)),
       |ckept AS (SELECT * FROM clk WHERE b < 3 OR click_ts >= (SELECT wm FROM cut))
@@ -3630,12 +3631,15 @@ object ExtQueries {
     import spark.implicits._
     val wc = graft.ops.Intermediates.shared(
       Bpe.wordCounts(Tables.documents(spark, dir)))
-    val merges = trainedMerges12(spark, dir)
+    val merges = trainedMerges12(spark, dir, wc)
     val unseen = wc.filter(col("word").rlike("^[a-z]{2,20}$"))
       .select(concat(reverse(col("word")), col("word")).as("u"))
     val enc = unseen.select(col("u"), Bpe.encodeCol(col("u"), merges).as("toks"))
     val nUnseen = unseen.count()
-    val sumChars = unseen.agg(sum(length(col("u")))).collect()(0).getLong(0)
+    // sum over an empty unseen set is null — report 0, don't NPE (the
+    // q101 empty-corpus posture); the oracle coalesces the same way
+    val sumRow = unseen.agg(sum(length(col("u")))).collect()(0)
+    val sumChars = if (sumRow.isNullAt(0)) 0L else sumRow.getLong(0)
     val rtViolations = enc.filter(concat_ws("", col("toks")) =!= col("u")).count()
     val overLong = enc.filter(size(col("toks")) > length(col("u"))).count()
     // Gate-bounded collect: the distinct [a-z] dictionary words — the
@@ -3659,7 +3663,7 @@ object ExtQueries {
       |wc AS (SELECT tok AS word FROM t WHERE len(tok) > 0 GROUP BY 1),
       |u AS (SELECT word FROM wc WHERE regexp_matches(word, '^[a-z]{2,20}$'))
       |SELECT CAST(count(*) AS BIGINT) AS n_unseen,
-      |  CAST(sum(2 * length(word)) AS BIGINT) AS sum_chars,
+      |  CAST(coalesce(sum(2 * length(word)), 0) AS BIGINT) AS sum_chars,
       |  CAST(0 AS BIGINT) AS roundtrip_violations,
       |  CAST(0 AS BIGINT) AS tokens_over_chars,
       |  true AS pq_match,

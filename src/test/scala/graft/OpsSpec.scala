@@ -437,6 +437,18 @@ class MergeSpec extends AnyFunSuite {
     // Non-additive evolution (batch missing a table column) refuses loudly.
     intercept[IllegalArgumentException](graft.ops.ManifestTable.merge(spark, path,
       Seq((4L, day2, 40.0)).toDF("id", "day", "v"), Seq("id"), "day"))
+    // ... including on a NEW-partition-only batch (no touched dirs):
+    // committing the narrowed schema would silently project `src` away
+    // from every untouched partition.
+    val day3 = ts("2024-01-03")
+    intercept[IllegalArgumentException](graft.ops.ManifestTable.merge(spark, path,
+      Seq((5L, day3, 50.0)).toDF("id", "day", "v"), Seq("id"), "day"))
+    // ... and RETYPING a column refuses loudly too: untouched
+    // partitions' parquet could not be read under the new type.
+    intercept[IllegalArgumentException](graft.ops.ManifestTable.merge(spark, path,
+      Seq((5L, day3, "oops", "x")).toDF("id", "day", "v", "src"), Seq("id"), "day"))
+    // the refusals left the table untouched
+    assert(graft.ops.ManifestTable.read(spark, path).count() == 3)
   }
 
   test("applyChangeFeed: deletes drop keys, highest version wins, re-insert resurrects") {

@@ -411,6 +411,12 @@ class SourcesSpec extends AnyFunSuite {
     val idxPos = ok.length - 16 * 3 + 16 + 8
     badIdx(idxPos) = 99
     intercept[IllegalArgumentException](dec.decode(9L, badIdx))
+    // the LAST entry's offset (the last_b probe's path) must be
+    // validated the same way — in-bounds-but-misaligned throws the
+    // labeled error, never returns a silently wrong probe
+    val badLast = ok.clone()
+    badLast(ok.length - 16 + 8) = 99
+    intercept[IllegalArgumentException](dec.decode(9L, badLast))
   }
 
   test("Jsonl.parseLines routes malformed lines whole and never drops a row") {
