@@ -52,6 +52,42 @@ object TextAnalysis {
       .otherwise(length(regexp_replace(t, " ", "")).cast("double") / n.cast("double"))
   }
 
+  /** HTML boilerplate removal — the web-scrape cleaning step of a
+    * pre-training text pipeline (trafilatura's job, reduced to the
+    * deterministic regex core a cross-engine gate can pin): drop
+    * `<script>`/`<style>` blocks and comments wholesale, strip the
+    * remaining tags, unescape the five predefined HTML entities
+    * (`&amp;` LAST, so `&amp;lt;` correctly yields the literal
+    * `&lt;`), and collapse runs of whitespace. Map-only — codegen'd
+    * string expressions over the scan, no UDF, nothing shuffles.
+    *
+    * Regex notes for engine parity (the oracle runs the SAME chain in
+    * DuckDB/RE2 against Spark's java.util.regex): only `(?s)`,
+    * non-greedy `.*?`, and explicit character classes are used —
+    * semantics identical in both engines. `\s` is AVOIDED on purpose:
+    * Java's includes U+000B, RE2's does not, so a vertical tab in a
+    * document would silently diverge; the explicit class can't. */
+  def stripHtml(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?s)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?s)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]+>", " ")
+    val unescaped = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, v)) => replace(c, lit(e), lit(v)) }
+    trim(regexp_replace(unescaped, "[ \\t\\n\\r\\f]+", " "))
+  }
+
+  /** Tag count of raw HTML (`<[^>]+>` occurrences — script/style/
+    * comment openers included; the boilerplate-density numerator). */
+  def htmlTagCount(html: Column): Column =
+    regexp_count(html, lit("<[^>]+>")).cast("long")
+
+  /** Anchor count of raw HTML (link density — the classic
+    * boilerplate-page signal: navigation chrome is mostly links). */
+  def htmlLinkCount(html: Column): Column =
+    regexp_count(html, lit("(?i)<a[ >]")).cast("long")
+
   /** Composite [0,1] quality score — the standard pre-training
     * heuristics (length, punctuation noise, stopword density, token
     * shape), equal-weighted. Deterministic double arithmetic, written

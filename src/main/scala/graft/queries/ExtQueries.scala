@@ -2896,6 +2896,74 @@ object ExtQueries {
       |FROM merged GROUP BY day ORDER BY day""".stripMargin
 
   // ----------------------------------------------------------------
+  // q112_html_strip — HTML boilerplate removal under the driver gate
+  // (TextAnalysis.stripHtml — the web-scrape cleaning step of a
+  // pre-training pipeline): every document is wrapped in-plan in a
+  // deterministic HTML template (title/script/style/comment chrome, a
+  // per-id number of nav links, the text in a <p>), then cleaned —
+  // script/style/comment blocks dropped wholesale, tags stripped,
+  // entities unescaped, whitespace collapsed — and profiled: tag and
+  // link counts on the RAW html (boilerplate/link density inputs),
+  // raw vs clean lengths, and the cleaned head as a positional probe.
+  // The oracle runs the IDENTICAL regex chain in DuckDB on the same
+  // synthesized html — the patterns are restricted to constructs with
+  // identical java.util.regex/RE2 semantics ((?s), non-greedy,
+  // explicit character classes; no \s, whose definition differs
+  // between the engines). A strip that eats text, misses a block, or
+  // unescapes in the wrong order shifts lengths and the probe.
+  // ----------------------------------------------------------------
+  def q112HtmlStrip(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.TextAnalysis
+    val html = concat(
+      lit("<html><head><title>Doc "), col("doc_id"), lit("</title>"),
+      lit("<script type=\"text/javascript\">var x = "), col("doc_id"), lit(";</script>"),
+      lit("<style>.c{color:red}</style></head><body><!-- id "), col("doc_id"), lit(" -->"),
+      lit("<h1>"), upper(col("lang")), lit("</h1><p>"), col("text"), lit("</p>"),
+      repeat(lit("<a href=\"https://example.com/x\">x</a>"), (col("doc_id") % 4).cast("int")),
+      lit("</body></html>"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), html.as("html"))
+      .select(col("doc_id"),
+        TextAnalysis.htmlTagCount(col("html")).as("n_tags"),
+        TextAnalysis.htmlLinkCount(col("html")).as("n_links"),
+        length(col("html")).cast("long").as("raw_len"),
+        TextAnalysis.stripHtml(col("html")).as("clean"))
+      .select(col("doc_id"), col("n_tags"), col("n_links"), col("raw_len"),
+        length(col("clean")).cast("long").as("clean_len"),
+        substring(col("clean"), 1, 40).as("head40"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q112HtmlStripSql: String =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    '<html><head><title>Doc ' || doc_id || '</title><script type="text/javascript">var x = '
+      |    || doc_id || ';</script><style>.c{color:red}</style></head><body><!-- id ' || doc_id
+      |    || ' --><h1>' || upper(lang) || '</h1><p>' || text || '</p>'
+      |    || repeat('<a href="https://example.com/x">x</a>', CAST(doc_id % 4 AS INT))
+      |    || '</body></html>' AS html
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, html,
+      |    trim(regexp_replace(
+      |      replace(replace(replace(replace(replace(
+      |        regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+      |          '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+      |          '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+      |          '(?s)<!--.*?-->', ' ', 'g'),
+      |          '<[^>]+>', ' ', 'g'),
+      |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+      |      '[ \t\n\r\f]+', ' ', 'g')) AS clean
+      |  FROM h)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(html, '<[^>]+>')) AS BIGINT) AS n_tags,
+      |  CAST(len(regexp_extract_all(html, '(?i)<a[ >]')) AS BIGINT) AS n_links,
+      |  CAST(length(html) AS BIGINT) AS raw_len,
+      |  CAST(length(clean) AS BIGINT) AS clean_len,
+      |  substr(clean, 1, 40) AS head40
+      |FROM c ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------------------------
   // q99_image_decode — the REAL byte-level image kernel under the
   // driver gate (round-7 verdict #5; the decode family is no longer
   // stub-labeled): deterministic gradient images are ENCODED in a

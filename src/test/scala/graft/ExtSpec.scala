@@ -796,4 +796,24 @@ class ExtSpec extends AnyFunSuite {
     }
     assert(got == expect.toMap)
   }
+
+  test("stripHtml: blocks dropped whole, entity unescape order, adversarial fragments") {
+    def strip(in: String): String =
+      Seq(in).toDF("h").select(TextAnalysis.stripHtml(col("h"))).as[String].collect()(0)
+    // &amp; must unescape LAST: &amp;lt; is the LITERAL text "&lt;"
+    assert(strip("<p>a&amp;lt;b</p>") == "a&lt;b")
+    // a script body containing '<' must not leak
+    assert(strip("<script>if (a<b) {x}</script>hi") == "hi")
+    // comments may contain tags; both go wholesale
+    assert(strip("x<style>.a{}</style> <!-- <p>no</p> -->y") == "x y")
+    assert(strip("<a href='z'>link</a>  text") == "link text")
+    // all five predefined entities
+    assert(strip("A&lt;B&gt;C&quot;D&#39;E&amp;F") == "A<B>C\"D'E&F")
+    assert(strip("no tags") == "no tags")
+    // raw-html profile counters: 8 tags, 2 anchors (case-insensitive)
+    val h = "<html><a href=x>1</a><A >2</A><p>t</p></html>"
+    assert(Seq(h).toDF("h").select(
+      TextAnalysis.htmlTagCount(col("h")), TextAnalysis.htmlLinkCount(col("h")))
+      .as[(Long, Long)].collect()(0) == ((8L, 2L)))
+  }
 }
