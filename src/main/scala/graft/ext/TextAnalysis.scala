@@ -88,6 +88,24 @@ object TextAnalysis {
   def htmlLinkCount(html: Column): Column =
     regexp_count(html, lit("(?i)<a[ >]")).cast("long")
 
+  /** All character trigrams of an ALREADY-NORMALIZED text column, in
+    * position order (occurrences, not distinct — coverage weights
+    * repeated trigrams). Map-only HOF; empty array below 3 characters.
+    *
+    * Takes the normalized column (project `Dedup.normalized(text)` as
+    * its own alias first), NOT raw text: this expression references
+    * its input once per trigram position inside the `transform`
+    * lambda, so an embedded normalization subtree would re-run the
+    * whole-document regexp per position — O(len²) per document, the
+    * round-2 expression-tree recompute class. A projected attribute
+    * is a row-value read; the multi-reference of a non-cheap alias
+    * also keeps CollapseProject from inlining it back. */
+  def charTrigrams(normalized: Column): Column =
+    when(length(normalized) >= 3,
+      transform(sequence(lit(1), length(normalized) - 2),
+        i => normalized.substr(i, lit(3))))
+      .otherwise(array().cast("array<string>"))
+
   /** Composite [0,1] quality score — the standard pre-training
     * heuristics (length, punctuation noise, stopword density, token
     * shape), equal-weighted. Deterministic double arithmetic, written

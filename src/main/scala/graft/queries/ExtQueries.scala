@@ -2964,6 +2964,70 @@ object ExtQueries {
       |FROM c ORDER BY doc_id""".stripMargin
 
   // ----------------------------------------------------------------
+  // q113_trigram_coverage — LM-coverage quality scoring (the CCNet
+  // idea — score documents by how well a corpus-level language model
+  // "expects" them — reduced to its deterministic integer core): the
+  // corpus's top-4096 character trigrams BY COUNT (ties broken by the
+  // trigram itself — binary collation in both engines, so the cut is
+  // deterministic) form the model; each document's coverage is the
+  // fraction of its trigram OCCURRENCES that land in the model, in e6
+  // fixed point (integer floor-division — no float crosses the
+  // engines). Scale shape: one trigram-count shuffle, a driver-bounded
+  // top-K (4096 rows), then coverage via a BROADCAST hash join +
+  // doc-keyed aggregate — the model ships to executors, the corpus
+  // never re-shuffles except on doc_id. A gibberish document scores
+  // near 0, templated text near 1e6 — the classic cheap quality
+  // filter signal. Oracle: identical pipeline in DuckDB.
+  // ----------------------------------------------------------------
+  def q113TrigramCoverage(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.TextAnalysis
+    val docs = Tables.documents(spark, dir)
+    val tri = graft.ops.Intermediates.shared(
+      docs.select(col("doc_id"), graft.ext.Dedup.normalized(col("text")).as("t"))
+        .select(col("doc_id"), explode(TextAnalysis.charTrigrams(col("t"))).as("g")))
+    val top = tri.groupBy(col("g")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("g")).limit(4096)
+      .select(col("g"), lit(1).as("__hit"))
+    val cov = tri.join(broadcast(top), Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tri"),
+        sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_covered"))
+    docs.select(col("doc_id")).join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"))
+      .withColumn("coverage_e6",
+        when(col("n_tri") === 0, lit(0L))
+          .otherwise(expr("n_covered * 1000000 div n_tri")))
+      .orderBy(col("doc_id"))
+  }
+
+  val q113TrigramCoverageSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t
+      |  FROM documents),
+      |tri AS (
+      |  SELECT doc_id,
+      |         unnest(list_transform(range(1, length(t) - 1),
+      |           i -> substr(t, CAST(i AS INT), 3))) AS g
+      |  FROM d WHERE length(t) >= 3),
+      |cnt AS (SELECT g, count(*) AS c FROM tri GROUP BY g),
+      |top AS (SELECT g FROM cnt ORDER BY c DESC, g LIMIT 4096),
+      |cov AS (
+      |  SELECT tri.doc_id, count(*) AS n_tri,
+      |         sum(CASE WHEN top.g IS NOT NULL THEN 1 ELSE 0 END) AS n_cov
+      |  FROM tri LEFT JOIN top ON tri.g = top.g
+      |  GROUP BY tri.doc_id)
+      |SELECT d.doc_id,
+      |  CAST(coalesce(cov.n_tri, 0) AS BIGINT) AS n_tri,
+      |  CAST(coalesce(cov.n_cov, 0) AS BIGINT) AS n_covered,
+      |  CAST(CASE WHEN coalesce(cov.n_tri, 0) = 0 THEN 0
+      |            ELSE coalesce(cov.n_cov, 0) * 1000000 // cov.n_tri END AS BIGINT)
+      |    AS coverage_e6
+      |FROM d LEFT JOIN cov ON d.doc_id = cov.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
+  // ----------------------------------------------------------------
   // q99_image_decode — the REAL byte-level image kernel under the
   // driver gate (round-7 verdict #5; the decode family is no longer
   // stub-labeled): deterministic gradient images are ENCODED in a
