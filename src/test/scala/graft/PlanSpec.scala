@@ -290,4 +290,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"),
       s"q103's top-k no longer plans as TakeOrderedAndProject:\n$p")
   }
+
+  test("q113's trigram model broadcasts; the corpus never sort-merge-joins") {
+    // The LM-coverage contract at 100 TB: the top-4096 trigram model
+    // is the ONLY thing that crosses executors for the coverage join —
+    // the corpus-sized trigram stream must join it as a broadcast
+    // build side, never re-shuffle into a SortMergeJoin.
+    val p = plan("q113_trigram_coverage")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q113's model join no longer broadcasts:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"q113 grew a sort-merge join over the corpus-sized side:\n$p")
+  }
 }
