@@ -3708,6 +3708,116 @@ object ExtQueries {
           col("imp_ts"), col("click_ts"))
     }.orderBy(col("imp_id"), col("click_id"))
 
+  // ----------------------------------------------------------------
+  // q114_attribution_outer — the stream-stream LEFT OUTER interval
+  // join (the funnel form of q108): unmatched impressions must emit
+  // exactly once with null click columns, and only after the
+  // watermark closes their attribution window (eviction-time
+  // emission — Spark emits the null row when the impression leaves
+  // join state, one micro-batch after its window passes the global
+  // watermark). Same two-stream 3-batch replay as q108; the final
+  // `processAllAvailable` runs the trailing no-data batch whose
+  // advanced watermark evicts-and-emits. Oracle: matched pairs as in
+  // q108, UNION the kept impressions with no kept in-window click
+  // whose `imp_ts + horizon` lies before the FINAL watermark —
+  // computed from the maxima of ALL arrivals (watermark statistics
+  // are collected before late filtering, so late-dropped rows still
+  // advance it). The 500 ms watermark tail vs second-aligned stream
+  // timestamps keeps every comparison tie-free.
+  // ----------------------------------------------------------------
+  def q114AttributionOuter(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:q114_attribution_outer") {
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val (t1, t2) = ("2024-01-11 00:00:00", "2024-01-21 00:00:00")
+      val base = Tables.events(spark, dir)
+        .withColumn("sts", date_trunc("second", col("ts")))
+        .withColumn("__b",
+          when(col("event_id") % 13 === 0, 3)
+            .when(col("ts") < lit(t1).cast("timestamp"), 1)
+            .when(col("ts") < lit(t2).cast("timestamp"), 2)
+            .otherwise(3))
+      val imps = base.filter(col("user_id") % 17 === 0)
+        .select(col("event_id").as("imp_id"), (col("user_id") % 10).as("ad_id"),
+          col("sts").as("imp_ts"), col("__b"))
+        .as[(Long, Long, java.sql.Timestamp, Int)].collect()
+      val clks = base.filter(col("user_id") % 23 === 0)
+        .select(col("event_id").as("click_id"), (col("user_id") % 10).as("click_ad_id"),
+          col("sts").as("click_ts"), col("__b"))
+        .as[(Long, Long, java.sql.Timestamp, Int)].collect()
+      val impIn = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, java.sql.Timestamp)]
+      val clkIn = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, java.sql.Timestamp)]
+      val out = java.nio.file.Files.createTempDirectory("graft_q114_").toString
+      val joined = graft.streaming.StreamingIngest.attributeClicks(
+        impIn.toDF().toDF("imp_id", "ad_id", "imp_ts"),
+        clkIn.toDF().toDF("click_id", "click_ad_id", "click_ts"),
+        horizonMinutes = 720, watermark = "72 hours 500 milliseconds",
+        joinType = "left_outer")
+      val query = joined.writeStream.outputMode("append")
+        .format("parquet").option("path", s"$out/table")
+        .option("checkpointLocation", s"$out/ckpt")
+        .start()
+      try {
+        (1 to 3).foreach { b =>
+          impIn.addData(imps.iterator.filter(_._4 == b)
+            .map(t => (t._1, t._2, t._3)).toSeq: _*)
+          clkIn.addData(clks.iterator.filter(_._4 == b)
+            .map(t => (t._1, t._2, t._3)).toSeq: _*)
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+      // Unmatched rows leave the join as NULL click columns (asserted
+      // upstream by StreamingSpec); the GATE projects them to
+      // sentinels (-1 / epoch) because null-vs-null timestamp cells
+      // are not comparable through the parquet→pandas hash path.
+      spark.read.parquet(s"$out/table")
+        .select(col("imp_id"),
+          coalesce(col("click_id"), lit(-1L)).as("click_id"),
+          col("ad_id"), col("imp_ts"),
+          coalesce(col("click_ts"),
+            lit("1970-01-01 00:00:00").cast("timestamp")).as("click_ts"))
+    }.orderBy(col("imp_id"), col("click_id"))
+
+  val q114AttributionOuterSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, date_trunc('second', ts) AS sts,
+      |         CASE WHEN event_id % 13 = 0 THEN 3
+      |              WHEN ts < TIMESTAMP '2024-01-11 00:00:00' THEN 1
+      |              WHEN ts < TIMESTAMP '2024-01-21 00:00:00' THEN 2
+      |              ELSE 3 END AS b
+      |  FROM events),
+      |imp AS (SELECT event_id AS imp_id, user_id % 10 AS ad_id, sts AS imp_ts, b
+      |        FROM ev WHERE user_id % 17 = 0),
+      |clk AS (SELECT event_id AS click_id, user_id % 10 AS click_ad_id, sts AS click_ts, b
+      |        FROM ev WHERE user_id % 23 = 0),
+      |cut AS (SELECT least(
+      |          coalesce((SELECT max(imp_ts) FROM imp WHERE b < 3), TIMESTAMP '1970-01-01 00:00:00'),
+      |          coalesce((SELECT max(click_ts) FROM clk WHERE b < 3), TIMESTAMP '1970-01-01 00:00:00'))
+      |               - INTERVAL '72 hours' - INTERVAL '500 milliseconds' AS wm),
+      |fin AS (SELECT least(
+      |          coalesce((SELECT max(imp_ts) FROM imp), TIMESTAMP '1970-01-01 00:00:00'),
+      |          coalesce((SELECT max(click_ts) FROM clk), TIMESTAMP '1970-01-01 00:00:00'))
+      |               - INTERVAL '72 hours' - INTERVAL '500 milliseconds' AS wm),
+      |ikept AS (SELECT * FROM imp WHERE b < 3 OR imp_ts >= (SELECT wm FROM cut)),
+      |ckept AS (SELECT * FROM clk WHERE b < 3 OR click_ts >= (SELECT wm FROM cut)),
+      |matched AS (
+      |  SELECT i.imp_id, c.click_id, i.ad_id, i.imp_ts, c.click_ts
+      |  FROM ikept i JOIN ckept c
+      |    ON i.ad_id = c.click_ad_id
+      |   AND c.click_ts >= i.imp_ts
+      |   AND c.click_ts <= i.imp_ts + INTERVAL '720 minutes')
+      |SELECT imp_id, click_id, ad_id, imp_ts, click_ts FROM matched
+      |UNION ALL
+      |SELECT i.imp_id, CAST(-1 AS BIGINT) AS click_id, i.ad_id, i.imp_ts,
+      |       TIMESTAMP '1970-01-01 00:00:00' AS click_ts
+      |FROM ikept i
+      |WHERE i.imp_id NOT IN (SELECT imp_id FROM matched)
+      |  AND i.imp_ts + INTERVAL '720 minutes' < (SELECT wm FROM fin)
+      |ORDER BY imp_id, click_id""".stripMargin
+
   val q108StreamStreamJoinSql: String =
     """WITH ev AS (
       |  SELECT event_id, user_id, date_trunc('second', ts) AS sts,

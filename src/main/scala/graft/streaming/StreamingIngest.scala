@@ -177,15 +177,24 @@ object StreamingIngest {
     * join must buffer forever; the bound is what makes the operator
     * deployable. Works identically on batch frames (watermarks are
     * no-ops there), which is how the spec cross-checks stream ==
-    * batch. */
+    * batch.
+    *
+    * `joinType = "left_outer"` is the funnel form: an impression whose
+    * attribution window closes with no click emits ONCE with null
+    * click columns — the emission happens when the watermark evicts
+    * the impression from join state, so unmatched rows appear one
+    * micro-batch after their window closes, never earlier (the
+    * correctness condition: a click may still arrive until then). */
   def attributeClicks(impressions: DataFrame, clicks: DataFrame,
                       horizonMinutes: Int = 10,
-                      watermark: String = "1 hour"): DataFrame =
+                      watermark: String = "1 hour",
+                      joinType: String = "inner"): DataFrame =
     impressions.withWatermark("imp_ts", watermark)
       .join(clicks.withWatermark("click_ts", watermark),
         col("ad_id") === col("click_ad_id") &&
           col("click_ts") >= col("imp_ts") &&
-          col("click_ts") <= col("imp_ts") + expr(s"interval $horizonMinutes minutes"))
+          col("click_ts") <= col("imp_ts") + expr(s"interval $horizonMinutes minutes"),
+        joinType)
       .select(col("imp_id"), col("click_id"), col("ad_id"),
         col("imp_ts"), col("click_ts"))
 
