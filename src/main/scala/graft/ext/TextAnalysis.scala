@@ -71,22 +71,29 @@ object TextAnalysis {
     val noScript = regexp_replace(html, "(?s)<script[^>]*>.*?</script>", " ")
     val noStyle = regexp_replace(noScript, "(?s)<style[^>]*>.*?</style>", " ")
     val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
-    val noTags = regexp_replace(noComment, "<[^>]+>", " ")
+    // Tag-shaped spans only: the char after '<' must start a tag name
+    // (letter, '/', '!'), so a literal "x < 3 and y > 0" in prose is
+    // NOT eaten as a pseudo-tag — a bare '<[^>]+>' destroys any
+    // such span wholesale, invisibly to a same-regex oracle.
+    val noTags = regexp_replace(noComment, "<[/!]?[A-Za-z][^>]*>", " ")
     val unescaped = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&#39;" -> "'", "&amp;" -> "&")
       .foldLeft(noTags) { case (c, (e, v)) => replace(c, lit(e), lit(v)) }
     trim(regexp_replace(unescaped, "[ \\t\\n\\r\\f]+", " "))
   }
 
-  /** Tag count of raw HTML (`<[^>]+>` occurrences — script/style/
-    * comment openers included; the boilerplate-density numerator). */
+  /** Tag count of raw HTML (tag-shaped spans, same shape
+    * [[stripHtml]] strips — script/style openers included; the
+    * boilerplate-density numerator). */
   def htmlTagCount(html: Column): Column =
-    regexp_count(html, lit("<[^>]+>")).cast("long")
+    regexp_count(html, lit("<[/!]?[A-Za-z][^>]*>")).cast("long")
 
   /** Anchor count of raw HTML (link density — the classic
-    * boilerplate-page signal: navigation chrome is mostly links). */
+    * boilerplate-page signal: navigation chrome is mostly links).
+    * Accepts any whitespace, '/', or '>' after the tag name —
+    * prettified markup routinely breaks the line after `<a`. */
   def htmlLinkCount(html: Column): Column =
-    regexp_count(html, lit("(?i)<a[ >]")).cast("long")
+    regexp_count(html, lit("(?i)<a[ \\t\\n\\r\\f/>]")).cast("long")
 
   /** All character trigrams of an ALREADY-NORMALIZED text column, in
     * position order (occurrences, not distinct — coverage weights

@@ -2951,13 +2951,13 @@ object ExtQueries {
       |          '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
       |          '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
       |          '(?s)<!--.*?-->', ' ', 'g'),
-      |          '<[^>]+>', ' ', 'g'),
+      |          '<[/!]?[A-Za-z][^>]*>', ' ', 'g'),
       |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
       |      '[ \t\n\r\f]+', ' ', 'g')) AS clean
       |  FROM h)
       |SELECT doc_id,
-      |  CAST(len(regexp_extract_all(html, '<[^>]+>')) AS BIGINT) AS n_tags,
-      |  CAST(len(regexp_extract_all(html, '(?i)<a[ >]')) AS BIGINT) AS n_links,
+      |  CAST(len(regexp_extract_all(html, '<[/!]?[A-Za-z][^>]*>')) AS BIGINT) AS n_tags,
+      |  CAST(len(regexp_extract_all(html, '(?i)<a[ \t\n\r\f/>]')) AS BIGINT) AS n_links,
       |  CAST(length(html) AS BIGINT) AS raw_len,
       |  CAST(length(clean) AS BIGINT) AS clean_len,
       |  substr(clean, 1, 40) AS head40
@@ -2982,8 +2982,14 @@ object ExtQueries {
   def q113TrigramCoverage(spark: SparkSession, dir: String): DataFrame = {
     import graft.ext.TextAnalysis
     val docs = Tables.documents(spark, dir)
+    // Explicit whitespace class, not Dedup.normalized's \s: Java's \s
+    // includes U+000B, RE2's does not, so a vertical tab in a document
+    // would give the two engines different trigram streams (the q112
+    // parity rule; Dedup.normalized predates it and its oracles share
+    // the \s convention on both sides).
     val tri = graft.ops.Intermediates.shared(
-      docs.select(col("doc_id"), graft.ext.Dedup.normalized(col("text")).as("t"))
+      docs.select(col("doc_id"),
+          regexp_replace(trim(lower(col("text"))), "[ \\t\\n\\r\\f]+", " ").as("t"))
         .select(col("doc_id"), explode(TextAnalysis.charTrigrams(col("t"))).as("g")))
     val top = tri.groupBy(col("g")).agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("g")).limit(4096)
@@ -3004,7 +3010,7 @@ object ExtQueries {
 
   val q113TrigramCoverageSql: String =
     """WITH d AS (
-      |  SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t
+      |  SELECT doc_id, regexp_replace(trim(lower(text)), '[ \t\n\r\f]+', ' ', 'g') AS t
       |  FROM documents),
       |tri AS (
       |  SELECT doc_id,
@@ -3657,8 +3663,26 @@ object ExtQueries {
   // (late-kept rows in the final 72 h window, late-dropped before it).
   // ----------------------------------------------------------------
   def q108StreamStreamJoin(spark: SparkSession, dir: String): DataFrame =
+    replayAttribution(spark, dir, "inner", "q108_stream_stream_join")
+      .select(col("imp_id"), col("click_id"), col("ad_id"),
+        col("imp_ts"), col("click_ts"))
+      .orderBy(col("imp_id"), col("click_id"))
+
+  /** Shared two-stream replay harness for the stream-stream join
+    * gates (q108 inner / q114 left outer) — ONE definition of the
+    * batch assignment, stream derivation, watermark string and replay
+    * loop, so the two gates can never drift on harness semantics.
+    * Returns the raw read-back of the joined sink (cached per
+    * (session, dir, key)); each gate applies its own projection.
+    *
+    * Bounded driver collects BY DESIGN (the q97 replay-harness
+    * shape): the gate feeds rows through the streaming source from
+    * the driver. At scale the sources are Kafka/files and this
+    * query is the harness, not the pipeline. */
+  private def replayAttribution(spark: SparkSession, dir: String,
+                                joinType: String, cacheKey: String): DataFrame =
     ResultCache.shared.getOrCompute(
-      s"${ResultCache.sessionKey(spark)}:$dir:q108_stream_stream_join") {
+      s"${ResultCache.sessionKey(spark)}:$dir:$cacheKey") {
       import spark.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
       val (t1, t2) = ("2024-01-11 00:00:00", "2024-01-21 00:00:00")
@@ -3669,10 +3693,6 @@ object ExtQueries {
             .when(col("ts") < lit(t1).cast("timestamp"), 1)
             .when(col("ts") < lit(t2).cast("timestamp"), 2)
             .otherwise(3))
-      // Bounded driver collects BY DESIGN (the q97 replay-harness
-      // shape): the gate feeds rows through the streaming source from
-      // the driver. At scale the sources are Kafka/files and this
-      // query is the harness, not the pipeline.
       val imps = base.filter(col("user_id") % 17 === 0)
         .select(col("event_id").as("imp_id"), (col("user_id") % 10).as("ad_id"),
           col("sts").as("imp_ts"), col("__b"))
@@ -3685,11 +3705,12 @@ object ExtQueries {
         .MemoryStream[(Long, Long, java.sql.Timestamp)]
       val clkIn = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, Long, java.sql.Timestamp)]
-      val out = java.nio.file.Files.createTempDirectory("graft_q108_").toString
+      val out = java.nio.file.Files.createTempDirectory(s"graft_$cacheKey").toString
       val joined = graft.streaming.StreamingIngest.attributeClicks(
         impIn.toDF().toDF("imp_id", "ad_id", "imp_ts"),
         clkIn.toDF().toDF("click_id", "click_ad_id", "click_ts"),
-        horizonMinutes = 720, watermark = "72 hours 500 milliseconds")
+        horizonMinutes = 720, watermark = "72 hours 500 milliseconds",
+        joinType = joinType)
       val query = joined.writeStream.outputMode("append")
         .format("parquet").option("path", s"$out/table")
         .option("checkpointLocation", s"$out/ckpt")
@@ -3704,9 +3725,7 @@ object ExtQueries {
         }
       } finally query.stop()
       spark.read.parquet(s"$out/table")
-        .select(col("imp_id"), col("click_id"), col("ad_id"),
-          col("imp_ts"), col("click_ts"))
-    }.orderBy(col("imp_id"), col("click_id"))
+    }
 
   // ----------------------------------------------------------------
   // q114_attribution_outer — the stream-stream LEFT OUTER interval
@@ -3726,60 +3745,17 @@ object ExtQueries {
   // timestamps keeps every comparison tie-free.
   // ----------------------------------------------------------------
   def q114AttributionOuter(spark: SparkSession, dir: String): DataFrame =
-    ResultCache.shared.getOrCompute(
-      s"${ResultCache.sessionKey(spark)}:$dir:q114_attribution_outer") {
-      import spark.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-      val (t1, t2) = ("2024-01-11 00:00:00", "2024-01-21 00:00:00")
-      val base = Tables.events(spark, dir)
-        .withColumn("sts", date_trunc("second", col("ts")))
-        .withColumn("__b",
-          when(col("event_id") % 13 === 0, 3)
-            .when(col("ts") < lit(t1).cast("timestamp"), 1)
-            .when(col("ts") < lit(t2).cast("timestamp"), 2)
-            .otherwise(3))
-      val imps = base.filter(col("user_id") % 17 === 0)
-        .select(col("event_id").as("imp_id"), (col("user_id") % 10).as("ad_id"),
-          col("sts").as("imp_ts"), col("__b"))
-        .as[(Long, Long, java.sql.Timestamp, Int)].collect()
-      val clks = base.filter(col("user_id") % 23 === 0)
-        .select(col("event_id").as("click_id"), (col("user_id") % 10).as("click_ad_id"),
-          col("sts").as("click_ts"), col("__b"))
-        .as[(Long, Long, java.sql.Timestamp, Int)].collect()
-      val impIn = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(Long, Long, java.sql.Timestamp)]
-      val clkIn = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(Long, Long, java.sql.Timestamp)]
-      val out = java.nio.file.Files.createTempDirectory("graft_q114_").toString
-      val joined = graft.streaming.StreamingIngest.attributeClicks(
-        impIn.toDF().toDF("imp_id", "ad_id", "imp_ts"),
-        clkIn.toDF().toDF("click_id", "click_ad_id", "click_ts"),
-        horizonMinutes = 720, watermark = "72 hours 500 milliseconds",
-        joinType = "left_outer")
-      val query = joined.writeStream.outputMode("append")
-        .format("parquet").option("path", s"$out/table")
-        .option("checkpointLocation", s"$out/ckpt")
-        .start()
-      try {
-        (1 to 3).foreach { b =>
-          impIn.addData(imps.iterator.filter(_._4 == b)
-            .map(t => (t._1, t._2, t._3)).toSeq: _*)
-          clkIn.addData(clks.iterator.filter(_._4 == b)
-            .map(t => (t._1, t._2, t._3)).toSeq: _*)
-          query.processAllAvailable()
-        }
-      } finally query.stop()
-      // Unmatched rows leave the join as NULL click columns (asserted
-      // upstream by StreamingSpec); the GATE projects them to
-      // sentinels (-1 / epoch) because null-vs-null timestamp cells
-      // are not comparable through the parquet→pandas hash path.
-      spark.read.parquet(s"$out/table")
-        .select(col("imp_id"),
-          coalesce(col("click_id"), lit(-1L)).as("click_id"),
-          col("ad_id"), col("imp_ts"),
-          coalesce(col("click_ts"),
-            lit("1970-01-01 00:00:00").cast("timestamp")).as("click_ts"))
-    }.orderBy(col("imp_id"), col("click_id"))
+    // Unmatched rows leave the join as NULL click columns (asserted
+    // by StreamingSpec's left_outer eviction test); the GATE projects
+    // them to sentinels (-1 / epoch) because null-vs-null timestamp
+    // cells are not comparable through the parquet→pandas hash path.
+    replayAttribution(spark, dir, "left_outer", "q114_attribution_outer")
+      .select(col("imp_id"),
+        coalesce(col("click_id"), lit(-1L)).as("click_id"),
+        col("ad_id"), col("imp_ts"),
+        coalesce(col("click_ts"),
+          lit("1970-01-01 00:00:00").cast("timestamp")).as("click_ts"))
+      .orderBy(col("imp_id"), col("click_id"))
 
   val q114AttributionOuterSql: String =
     """WITH ev AS (

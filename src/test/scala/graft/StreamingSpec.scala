@@ -253,6 +253,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch == streamed)
   }
 
+  test("left-outer stream-stream join emits unmatched impressions with NULLs, " +
+    "only after the watermark evicts them") {
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[(Long, Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val name = s"attr_outer_${System.nanoTime()}"
+    val q = StreamingIngest.attributeClicks(
+        imps.toDF().toDF("imp_id", "ad_id", "imp_ts"),
+        clicks.toDF().toDF("click_id", "click_ad_id", "click_ts"),
+        watermark = "30 minutes", joinType = "left_outer")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName(name).start()
+
+    imps.addData(
+      (1L, 10L, ts("2024-01-01 00:00:00")),  // will match
+      (2L, 20L, ts("2024-01-01 00:00:00")))  // never clicks
+    clicks.addData((100L, 10L, ts("2024-01-01 00:05:00")))
+    q.processAllAvailable()
+    def rows() = spark.table(name)
+      .select(col("imp_id"), col("click_id")).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    // the match emits immediately; imp 2's window (10 min) is open and
+    // a click may still arrive — NO null row yet
+    assert(rows() == Set((1L, 100L)),
+      "unmatched impression emitted before its window closed")
+    // advance both watermarks far past imp 2's window; the eviction
+    // batch emits the unmatched row with null click columns
+    imps.addData((3L, 30L, ts("2024-01-01 02:00:00")))
+    clicks.addData((101L, 30L, ts("2024-01-01 02:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    val got = rows()
+    assert(got.contains((2L, -1L)),
+      s"closed unmatched impression never emitted its null row: $got")
+    assert(got.contains((1L, 100L)) && got.contains((3L, 101L)))
+    // and exactly once: no duplicate null emission for imp 2
+    assert(spark.table(name).filter(col("imp_id") === 2L).count() == 1)
+    // the null row's click columns really are NULL (the q114 gate
+    // projects them to sentinels only for hash transport)
+    val nullRow = spark.table(name).filter(col("imp_id") === 2L).collect()(0)
+    assert(nullRow.isNullAt(nullRow.fieldIndex("click_id")) &&
+      nullRow.isNullAt(nullRow.fieldIndex("click_ts")))
+  }
+
   test("streaming hopping windows finalize behind the watermark; stream == batch") {
     // q84's operator under a stream: EventAnalytics.hoppingCounts is
     // the built-in window() generator, so the SAME function runs over
