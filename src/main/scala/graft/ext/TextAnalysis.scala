@@ -68,8 +68,19 @@ object TextAnalysis {
     * Java's includes U+000B, RE2's does not, so a vertical tab in a
     * document would silently diverge; the explicit class can't. */
   def stripHtml(html: Column): Column = {
-    val noScript = regexp_replace(html, "(?s)<script[^>]*>.*?</script>", " ")
-    val noStyle = regexp_replace(noScript, "(?s)<style[^>]*>.*?</style>", " ")
+    // Closed blocks first (non-greedy), then a fallback that strips an
+    // UNCLOSED opener to end-of-string: truncated/malformed HTML (a
+    // <script> whose close tag was cut off) must not leak the script
+    // body into the cleaned text via the generic tag-strip below.
+    // Greedy `(?s).*` with no `$` anchor on purpose — it consumes to
+    // end-of-text in both engines, while Java's `$` (before a final
+    // newline) and RE2's `$` (end of text) disagree.
+    val noScript = regexp_replace(
+      regexp_replace(html, "(?s)<script[^>]*>.*?</script>", " "),
+      "(?s)<script[^>]*>.*", " ")
+    val noStyle = regexp_replace(
+      regexp_replace(noScript, "(?s)<style[^>]*>.*?</style>", " "),
+      "(?s)<style[^>]*>.*", " ")
     val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
     // Tag-shaped spans only: the char after '<' must start a tag name
     // (letter, '/', '!'), so a literal "x < 3 and y > 0" in prose is

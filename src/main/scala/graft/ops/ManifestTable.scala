@@ -131,10 +131,17 @@ object ManifestTable {
       if (touchedDirs.isEmpty) None else Some(reader.parquet(touchedDirs: _*))
     // The schema the table already has, whenever one is knowable:
     // the committed schema, else (legacy manifests) the touched dirs'
-    // self-described schema. A legacy table touched only on NEW
-    // partitions has no knowable baseline — pre-evolution behavior.
+    // self-described schema, else — for a legacy table touched only on
+    // NEW partitions — ONE old data dir's parquet footer (a cheap
+    // single-dir read). Without that last arm the drop/retype guard
+    // would be skipped and the incoming batch's schema committed as
+    // authoritative, deterministically projecting away any column the
+    // old partitions carry on every subsequent read.
     val baseline: Option[org.apache.spark.sql.types.StructType] =
       prevSchema.orElse(existingOpt.map(_.schema))
+        .orElse(oldEntries.headOption.map { case (_, dir) =>
+          spark.read.parquet(s"$path/$dir").schema
+        })
     baseline.foreach { base =>
       val dropped = base.fieldNames.filterNot(incoming.columns.contains)
       require(dropped.isEmpty, "ManifestTable.merge: incoming batch is missing table " +

@@ -2849,7 +2849,17 @@ object ExtQueries {
   // v1_has_src is the theorem that a pinned snapshot never grows
   // columns committed after it).
   // ----------------------------------------------------------------
-  def q111ManifestEvolution(spark: SparkSession, dir: String): DataFrame = {
+  def q111ManifestEvolution(spark: SparkSession, dir: String): DataFrame =
+    // The build is side-effectful (temp-dir table + two full merges of
+    // half of events): memoize per (session, dir) like q108/q114's
+    // replay harness, so bench's interleaved passes pay the 2+ s build
+    // once and exactly one temp table exists per session.
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:q111_manifest_evolution") {
+      q111ManifestEvolutionBuild(spark, dir)
+    }
+
+  private def q111ManifestEvolutionBuild(spark: SparkSession, dir: String): DataFrame = {
     val cut = "2024-01-16 00:00:00"
     val overlap = "2024-01-10 00:00:00"
     val ev = Tables.events(spark, dir)
@@ -2947,9 +2957,12 @@ object ExtQueries {
       |  SELECT doc_id, html,
       |    trim(regexp_replace(
       |      replace(replace(replace(replace(replace(
-      |        regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+      |        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |        regexp_replace(regexp_replace(html,
       |          '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+      |          '(?s)<script[^>]*>.*', ' ', 'g'),
       |          '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+      |          '(?s)<style[^>]*>.*', ' ', 'g'),
       |          '(?s)<!--.*?-->', ' ', 'g'),
       |          '<[/!]?[A-Za-z][^>]*>', ' ', 'g'),
       |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
@@ -3959,6 +3972,155 @@ object ExtQueries {
       |  CAST(media_id % 256 AS BIGINT) AS first_r,
       |  CAST((19*(nf-1) + 23*(w-1) + 29*(h-1) + media_id) % 256 AS BIGINT) AS last_b
       |FROM m ORDER BY media_id""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q115_feature_extract — the REAL multimodal FEATURE kernel under
+  // the driver gate (round-10 verdict #1; fakeFeatures is gone):
+  // deterministic payloads are ENCODED per row — even ids as images
+  // (BMP for id%4=0, PPM for id%4=2, the q99 gradient rule), odd ids
+  // as WAV PCM (mono for id%4=1, stereo for id%4=3, the q107 sample
+  // rule) — then summarized by Multimodal.FeatureExtractor entirely
+  // from the in-repo byte decoders: images → 4-bin red-intensity
+  // histogram (f0–f3) + 2×2 spatial green-sum pooling (f4–f7, the
+  // integer form of first-layer patch pooling), audio → per-window
+  // energy (sum of squared samples over 4 equal frame windows), left
+  // in f0–f3, right in f4–f7 (zero for mono). The oracle recomputes
+  // every feature closed-form from the planted rules — histogram bins
+  // as predicate counts over the pixel grid, quadrant sums with the
+  // 2x>=w / 2y>=h split, energies as Σs² under the f*4//n window
+  // split. A kernel that bins on the wrong channel, splits quadrants
+  // off-by-one on odd dims, or windows on time instead of frame index
+  // shifts exact integers cross-engine. All map-only; payloads never
+  // shuffle.
+  // ----------------------------------------------------------------
+  def q115FeatureExtract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val spec = Tables.documents(spark, dir)
+      .select(col("doc_id").as("media_id"),
+        (col("doc_id") % 24 + 8).cast("int").as("w"),
+        (col("doc_id") % 18 + 6).cast("int").as("h"),
+        (col("doc_id") % 300 + 16).cast("int").as("n"))
+      .as[(Long, Int, Int, Int)]
+    val media = spec.mapPartitions { rows =>
+      rows.map { case (id, w, h, n) =>
+        val bytes =
+          if (id % 2 == 0) {
+            val px = (x: Int, y: Int) => {
+              val base = 3 * x + 5 * y + id
+              (((base % 256) & 0xff).toInt, (((base + 85) % 256) & 0xff).toInt,
+                (((base + 170) % 256) & 0xff).toInt)
+            }
+            if (id % 4 == 0) graft.ext.Multimodal.encodeBmp(w, h, px)
+            else graft.ext.Multimodal.encodePpm(w, h, px)
+          } else {
+            val ch = if (id % 4 == 3) 2 else 1
+            val sample = (f: Int, c: Int) =>
+              (((if (c == 0) 7L * f else 11L * f) + id) % 4096L - 2048L).toInt
+            graft.ext.Multimodal.encodeWav(ch, 16000, n, sample)
+          }
+        (id, bytes)
+      }
+    }.toDF("media_id", "payload")
+    graft.ext.Multimodal.extractFeatures(media)
+      .toDF()
+      .orderBy(col("media_id"))
+  }
+
+  val q115FeatureExtractSql: String = {
+    // image feature k over the w×h grid (x = i%w, y = i//w)
+    def hist(k: Int) =
+      s"""list_sum(list_transform(range(w*h), i ->
+         |      CASE WHEN ((3*(i%w) + 5*(i//w) + media_id) % 256) // 64 = $k
+         |           THEN 1 ELSE 0 END))""".stripMargin
+    def quad(q: Int) =
+      s"""list_sum(list_transform(range(w*h), i ->
+         |      CASE WHEN (CASE WHEN 2*(i//w) >= h THEN 2 ELSE 0 END)
+         |               + (CASE WHEN 2*(i%w) >= w THEN 1 ELSE 0 END) = $q
+         |           THEN (3*(i%w) + 5*(i//w) + media_id + 85) % 256 ELSE 0 END))""".stripMargin
+    // audio energy of channel (mult = 7 left / 11 right) in window k
+    def energy(mult: Int, k: Int) =
+      s"""list_sum(list_transform(range(n), f ->
+         |      CASE WHEN f*4//n = $k
+         |           THEN (($mult*f + media_id) % 4096 - 2048)
+         |              * (($mult*f + media_id) % 4096 - 2048) ELSE 0 END))""".stripMargin
+    val fCols = (0 to 3).map(k =>
+      s"""  CAST(CASE WHEN media_id % 2 = 0 THEN ${hist(k)}
+         |       ELSE ${energy(7, k)} END AS BIGINT) AS f$k""".stripMargin) ++
+      (0 to 3).map(q =>
+        s"""  CAST(CASE WHEN media_id % 2 = 0 THEN ${quad(q)}
+           |       WHEN media_id % 4 = 3 THEN ${energy(11, q)}
+           |       ELSE 0 END AS BIGINT) AS f${4 + q}""".stripMargin)
+    s"""WITH m AS (
+       |  SELECT doc_id AS media_id, doc_id % 24 + 8 AS w, doc_id % 18 + 6 AS h,
+       |         doc_id % 300 + 16 AS n
+       |  FROM documents)
+       |SELECT media_id,
+       |  CASE WHEN media_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+       |${fCols.mkString(",\n")}
+       |FROM m ORDER BY media_id""".stripMargin
+  }
+
+  // ----------------------------------------------------------------
+  // q116_resize — the REAL nearest-neighbor RESIZE kernel under the
+  // driver gate (round-10 verdict #2; the metadata-only stub is
+  // gone): q99-rule gradient images (BMP for even ids, PPM for odd —
+  // so the PPM→BMP conversion path is gated too) are resized to a
+  // fixed 13×7 through Multimodal.resizeImages — decode via
+  // PixelDecoder.raster, sample source pixel (⌊x·w0/13⌋, ⌊y·h0/7⌋),
+  // re-encode via encodeBmp — then DECODED BACK by decodeImages, so
+  // the gate exercises decode→resample→encode→decode end to end.
+  // Source dims straddle the target (w0 ∈ 8..31 vs 13, h0 ∈ 6..23 vs
+  // 7), so both up- and down-scaling are exercised. The oracle
+  // recomputes the resized raster closed-form: channel sums as sums
+  // of the gradient rule at the NN source coordinates, positional
+  // probes by plugging (0,0) and (12,6) into the same rule. An
+  // off-by-one in the NN floor, a channel-order slip in the
+  // re-encode, or a stride/padding mistake in either codec shifts
+  // exact integers cross-engine. Map-only; payloads never shuffle.
+  // ----------------------------------------------------------------
+  def q116Resize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val spec = Tables.documents(spark, dir)
+      .select(col("doc_id").as("media_id"),
+        (col("doc_id") % 24 + 8).cast("int").as("w"),
+        (col("doc_id") % 18 + 6).cast("int").as("h"))
+      .as[(Long, Int, Int)]
+    val media = spec.mapPartitions { rows =>
+      rows.map { case (id, w, h) =>
+        val px = (x: Int, y: Int) => {
+          val base = 3 * x + 5 * y + id
+          (((base % 256) & 0xff).toInt, (((base + 85) % 256) & 0xff).toInt,
+            (((base + 170) % 256) & 0xff).toInt)
+        }
+        (id, if (id % 2 == 0) graft.ext.Multimodal.encodeBmp(w, h, px)
+             else graft.ext.Multimodal.encodePpm(w, h, px))
+      }
+    }.toDF("media_id", "payload")
+    graft.ext.Multimodal.decodeImages(
+        graft.ext.Multimodal.resizeImages(media, 13, 7))
+      .toDF()
+      .orderBy(col("media_id"))
+  }
+
+  val q116ResizeSql: String = {
+    // resized pixel (x, y) reads source (x*w0//13, y*h0//7); channel
+    // offsets 0/85/170 are the q99 gradient rule
+    def sum(offset: Int) =
+      s"""list_sum(list_transform(range(91), i ->
+         |    (3*((i%13)*w0//13) + 5*((i//13)*h0//7) + media_id + $offset) % 256))""".stripMargin
+    s"""WITH m AS (
+       |  SELECT doc_id AS media_id, doc_id % 24 + 8 AS w0, doc_id % 18 + 6 AS h0
+       |  FROM documents)
+       |SELECT media_id, 'bmp' AS fmt,
+       |  CAST(13 AS INT) AS width, CAST(7 AS INT) AS height,
+       |  CAST(91 AS BIGINT) AS n_pixels,
+       |  CAST(${sum(0)} AS BIGINT) AS sum_r,
+       |  CAST(${sum(85)} AS BIGINT) AS sum_g,
+       |  CAST(${sum(170)} AS BIGINT) AS sum_b,
+       |  CAST(media_id % 256 AS BIGINT) AS p00_r,
+       |  CAST((3*(12*w0//13) + 5*(6*h0//7) + media_id + 170) % 256 AS BIGINT) AS plast_b
+       |FROM m ORDER BY media_id""".stripMargin
+  }
 
   val q107AudioDecodeSql: String =
     """WITH m AS (

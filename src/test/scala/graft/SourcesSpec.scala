@@ -267,21 +267,13 @@ class SourcesSpec extends AnyFunSuite {
 
   // --- multimodal plumbing -------------------------------------------------
 
-  test("multimodal: media wrap, stub features, resize, frame sampling, partition-amortized decode") {
+  test("multimodal: media wrap, frame sampling, partition-amortized decode") {
     val docs = Seq((0L, "alpha beta gamma", "en", "src0", 16L),
                    (1L, "delta epsilon", "en", "src0", 13L),
                    (2L, "zeta eta theta iota", "en", "src1", 19L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     val media = Multimodal.fromDocuments(docs)
     assert(media.select("kind").as[String].collect().toSet == Set("image", "audio", "video"))
-
-    val feats = media.select(Multimodal.fakeFeatures($"payload", 8).as("f"))
-      .select(size($"f")).as[Int].collect()
-    assert(feats.forall(_ == 8))
-
-    val resized = Multimodal.resize(media, 224, 224)
-      .select($"meta.width", $"meta.height").as[(Int, Int)].collect()
-    assert(resized.forall(_ == ((224, 224))))
 
     val frames = Multimodal.sampleFrames(media, everyMs = 200L)
     // only the video row (doc 2, duration 19*40=760ms) → offsets 0,200,400,600
@@ -417,6 +409,64 @@ class SourcesSpec extends AnyFunSuite {
     val badLast = ok.clone()
     badLast(ok.length - 16 + 8) = 99
     intercept[IllegalArgumentException](dec.decode(9L, badLast))
+  }
+
+  test("FeatureExtractor: real image histogram/pooling + audio band energy, closed-form") {
+    val fx = new Multimodal.FeatureExtractor
+    // image: distinct per-position values so any layout slip shifts a bin
+    def px(x: Int, y: Int): (Int, Int, Int) = ((3 * x + 5 * y + 7) % 256,
+      (3 * x + 5 * y + 92) % 256, (3 * x + 5 * y + 177) % 256)
+    for (w <- Seq(1, 4, 5); h <- Seq(1, 3, 4);
+         enc <- Seq(Multimodal.encodeBmp _, Multimodal.encodePpm _)) {
+      val got = fx.extract(3L, enc(w, h, px))
+      val grid = for { y <- 0 until h; x <- 0 until w } yield (x, y, px(x, y))
+      val hist = (0 to 3).map(k => grid.count(_._3._1 >> 6 == k).toLong)
+      val quad = (0 to 3).map(q => grid.collect {
+        case (x, y, (_, g, _))
+          if (if (2 * y >= h) 2 else 0) + (if (2 * x >= w) 1 else 0) == q => g.toLong
+      }.sum)
+      assert(got.kind == "image")
+      assert(Seq(got.f0, got.f1, got.f2, got.f3) == hist, s"hist ${w}x$h")
+      assert(Seq(got.f4, got.f5, got.f6, got.f7) == quad, s"quad ${w}x$h")
+    }
+    // audio: windows must split on frame index (f*4/n), per channel
+    def s(f: Int, c: Int): Int = ((if (c == 0) 7 * f else 11 * f) + 5) % 4096 - 2048
+    for (ch <- Seq(1, 2); n <- Seq(1, 3, 64)) {
+      val got = fx.extract(4L, Multimodal.encodeWav(ch, 16000, n, s))
+      def energy(c: Int, k: Int): Long = (0 until n)
+        .filter(f => f.toLong * 4 / n == k)
+        .map(f => s(f, c).toLong * s(f, c)).sum
+      assert(got.kind == "audio")
+      assert(Seq(got.f0, got.f1, got.f2, got.f3) == (0 to 3).map(energy(0, _)),
+        s"left ch=$ch n=$n")
+      assert(Seq(got.f4, got.f5, got.f6, got.f7) ==
+        (0 to 3).map(k => if (ch == 2) energy(1, k) else 0L), s"right ch=$ch n=$n")
+    }
+    // malformed payloads still quarantine through the decoders
+    intercept[IllegalArgumentException](fx.extract(9L, Array[Byte]('X', 'Y', 1, 2)))
+  }
+
+  test("resizeImage: real nearest-neighbor re-encode, up/down scale, PPM->BMP, identity") {
+    val dec = new Multimodal.PixelDecoder
+    def px(x: Int, y: Int): (Int, Int, Int) =
+      ((7 * x + 13 * y + 2) % 256, (7 * x + 13 * y + 87) % 256, (7 * x + 13 * y + 172) % 256)
+    for ((w0, h0, w1, h1) <- Seq((2, 2, 4, 4), (6, 4, 3, 2), (5, 3, 7, 2), (3, 3, 3, 3));
+         enc <- Seq(Multimodal.encodeBmp _, Multimodal.encodePpm _)) {
+      val out = Multimodal.resizeImage(dec, 6L, enc(w0, h0, px), w1, h1)
+      assert(out(0) == 'B' && out(1) == 'M') // always BMP out
+      val r = dec.raster(6L, out)
+      assert((r.w, r.h) == ((w1, h1)))
+      for (y <- 0 until h1; x <- 0 until w1) {
+        val (er, eg, eb) = px((x.toLong * w0 / w1).toInt, (y.toLong * h0 / h1).toInt)
+        assert((r.channel(x, y, 0), r.channel(x, y, 1), r.channel(x, y, 2)) ==
+          ((er, eg, eb)), s"${w0}x$h0 -> ${w1}x$h1 @($x,$y)")
+      }
+    }
+    // identity resize of a BMP reproduces the exact pixel grid
+    val same = Multimodal.resizeImage(dec, 1L, Multimodal.encodeBmp(4, 3, px), 4, 3)
+    val d = dec.decode(1L, same)
+    val grid = for { y <- 0 until 3; x <- 0 until 4 } yield px(x, y)
+    assert(d.sum_r == grid.map(_._1.toLong).sum && d.sum_b == grid.map(_._3.toLong).sum)
   }
 
   test("Jsonl.parseLines routes malformed lines whole and never drops a row") {
