@@ -44,13 +44,40 @@ object ChartAlign {
     * (asset_id, ts, price, market_cap, volume, source, inserted_at).
     * `insertedAt` parameterizes the DB-default `now()` for
     * determinism (SURVEY.md §7.6.2).
-    */
+    *
+    * Plan shape: ONE exchange. The three arrays arrive colocated in a
+    * single row per coin, so the earlier 3-explode + 2-left-join form
+    * re-shuffled data that was never apart (3 exchanges); here each
+    * element is tagged with its series, exploded once (map-side), and
+    * pivoted back by a single (coin, ts) hash aggregate. A row is
+    * emitted iff the ts has a PRICE entry (the reference iterates the
+    * prices list and probes the other two, `src/etl.py:40-43`), with
+    * null mc/vol where those series lack the ts.
+    *
+    * Contract (shared with the join form it replaces): (coin, second)
+    * is unique within each series — the payload carries whole-second
+    * timestamps, so callers reduce sub-second collisions first. On a
+    * violating input the join form fanned out duplicate rows; this
+    * form collapses to the max value per second — both are outside
+    * the contract, this one at least keeps the (asset_id, ts) PK the
+    * downstream upsert requires. */
   def align(chart: DataFrame, insertedAt: Column): DataFrame = {
-    val p  = explodeSeries(chart, "prices", "price")
-    val mc = explodeSeries(chart, "market_caps", "market_cap")
-    val v  = explodeSeries(chart, "total_volumes", "volume")
-    p.join(mc, Seq("coin_id", "ts"), "left")
-      .join(v, Seq("coin_id", "ts"), "left")
+    def tag(arrayCol: String, s: Int): Column =
+      transform(col(arrayCol), pair =>
+        struct(pair.getItem(0).as("ms"), pair.getItem(1).as("v"), lit(s).as("s")))
+    chart
+      .select(col("coin_id"), explode(concat(
+        tag("prices", 0), tag("market_caps", 1), tag("total_volumes", 2))).as("e"))
+      .groupBy(col("coin_id"),
+        timestamp_seconds(expr("CAST(e.ms AS LONG) div 1000")).as("ts"))
+      .agg(
+        // existence, not value: a null price ENTRY must still emit its
+        // row (the join form kept it), only a missing one drops it
+        count(when(col("e.s") === 0, lit(1))).as("__has_price"),
+        max(when(col("e.s") === 0, col("e.v"))).as("price"),
+        max(when(col("e.s") === 1, col("e.v"))).as("market_cap"),
+        max(when(col("e.s") === 2, col("e.v"))).as("volume"))
+      .filter(col("__has_price") > 0)
       .select(
         col("coin_id").as("asset_id"),
         col("ts"),

@@ -96,25 +96,171 @@ object ManifestTable {
             retainVersions: Int = 2): Unit = {
     require(retainVersions >= 1, s"retainVersions must be >= 1, got $retainVersions")
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val current = latestVersion(fs, path)
-    val oldLines = current.map(v => readManifest(fs, path, v)).getOrElse(Nil)
-    val oldEntries = dataEntries(oldLines)
-    val prevSchema = committedSchema(oldLines)
 
     // Affected-partition pruning: tiny bounded collect (distinct
     // partition values of one batch), same as the swap-commit form.
-    val touched = incoming
+    val touched = validateTouched(incoming
       .select(col(partitionCol).cast("string").as("__p")).distinct()
       .collect().map(r => Option(r.getString(0)).getOrElse(
-        sys.error(s"ManifestTable.merge: null $partitionCol value in incoming"))).toSet
-    // Manifest lines are `key\tdir\n` — a key carrying either control
-    // character would corrupt the file's structure. Date/numeric
-    // partition values never do; refuse the exotic string case loudly.
+        sys.error(s"ManifestTable.merge: null $partitionCol value in incoming"))).toSet)
+    val plan = planMerge(spark, fs, path, incoming, keys, preserveExisting, touched)
+
+    // New data dirs, invisible until the manifest rename below. The
+    // repartition gives each partition dir ONE file per batch (see
+    // mergeMany's write for the small-files rationale).
+    val batch = s"$DataDir/batch-${java.util.UUID.randomUUID()}"
+    plan.merged.withColumn("__pdir", col(partitionCol).cast("string"))
+      .repartition(col("__pdir"))
+      .write.partitionBy("__pdir").parquet(s"$path/$batch")
+    val newEntries = listPartitionDirs(fs, s"$path/$batch").map { name =>
+      unescapePathName(name.stripPrefix("__pdir=")) -> s"$batch/$name"
+    }
+    commitPlan(fs, plan, newEntries, retainVersions)
+  }
+
+  /** One incoming batch per table (a [[mergeMany]] element): the table
+    * lives at `<base>/<name>`, carrying [[merge]]'s per-table contract
+    * (stable partition per key, additive-only schema evolution).
+    *
+    * `knownTouched` is the replaceWhere-style fast path: an ingest
+    * job that KNOWS its batch's partition window (a daily cron's date
+    * range, a fixed bucket set) declares it and skips the
+    * touched-partition discovery job entirely. It is SAFE to get
+    * wrong: the commit cross-checks the declared set against the
+    * partitions the batch actually wrote and refuses to commit on any
+    * mismatch — a declared-but-absent partition and an
+    * undeclared-but-present one both fail loudly before the manifest
+    * rename, so an incorrect declaration can never mis-merge. */
+  final case class TableMerge(name: String, incoming: DataFrame,
+                              keys: Seq[String], partitionCol: String,
+                              preserveExisting: Seq[String] = Nil,
+                              knownTouched: Option[Set[String]] = None)
+
+  /** Merge several tables' batches with ONE touched-partition job and
+    * ONE Spark write job covering every table — the multi-table form
+    * of [[merge]] for pipelines that land N tables per run (the ETL's
+    * assets/prices/daily triple). Per-table COMMITS stay individual
+    * manifest renames — each table is atomically old-or-new, but the
+    * run as a whole is not a cross-table transaction (a crash between
+    * renames leaves earlier tables committed; re-running the same
+    * batches is idempotent, which is the recovery story).
+    *
+    * Mechanics: the per-table MERGED frames are tagged with their
+    * table name and union'd (by name, missing columns null — they
+    * never collide because each table reads back under its OWN
+    * committed schema), written once partitioned by
+    * `(__tbl, __pdir)` to a staging dir, then each `__tbl=<name>`
+    * subtree is RENAMED into that table's conventional
+    * `data/batch-<uuid>` location — a metadata move, no data copy —
+    * so manifests, readers, retention and cleanup are exactly the
+    * single-table code paths. Cuts a 3-table run from 6 Spark jobs
+    * (distinct+write per table) to 2; at scale the win is the write
+    * job's fixed overhead (driver scheduling, commit protocol), which
+    * this amortizes N× per run. */
+  def mergeMany(spark: SparkSession, base: String, tables: Seq[TableMerge],
+                retainVersions: Int = 2): Unit = {
+    require(retainVersions >= 1, s"retainVersions must be >= 1, got $retainVersions")
+    require(tables.nonEmpty, "ManifestTable.mergeMany: no tables")
+    require(tables.map(_.name).distinct.size == tables.size,
+      s"ManifestTable.mergeMany: duplicate table names in ${tables.map(_.name)}")
+    tables.foreach(t => require(t.name.nonEmpty &&
+      t.name.forall(c => c.isLetterOrDigit || c == '_' || c == '-' || c == '.'),
+      s"ManifestTable.mergeMany: table name '${t.name}' must be [A-Za-z0-9_.-]+ " +
+        "(it becomes a partition directory name)"))
+    // Same-named columns across tables must agree on dtype or the
+    // union below would mis-type one side; refuse loudly up front.
+    tables.flatMap(t => t.incoming.schema.fields.map(f => (f.name, f.dataType, t.name)))
+      .groupBy(_._1).foreach { case (cname, occ) =>
+        require(occ.map(_._2).distinct.size == 1,
+          s"ManifestTable.mergeMany: column $cname has conflicting types across tables " +
+            occ.map(o => s"${o._3}:${o._2.simpleString}").mkString(", "))
+      }
+    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // ONE job for every table's touched-partition distinct — and only
+    // for the tables that did NOT declare `knownTouched` (declared
+    // sets are commit-checked, not trusted; see TableMerge). The
+    // per-table distincts never collide across the union because the
+    // table-name tag differs.
+    val undeclared = tables.filter(_.knownTouched.isEmpty)
+    val touchedRows =
+      if (undeclared.isEmpty) Array.empty[org.apache.spark.sql.Row]
+      else undeclared.map(t =>
+          t.incoming.select(lit(t.name).as("__t"),
+            col(t.partitionCol).cast("string").as("__p")).distinct())
+        .reduce(_ unionAll _).collect()
+    val touchedByTable: Map[String, Set[String]] = tables.map { t =>
+      t.name -> validateTouched(t.knownTouched.getOrElse(
+        touchedRows.iterator.filter(_.getString(0) == t.name)
+          .map(r => Option(r.getString(1)).getOrElse(
+            sys.error(s"ManifestTable.merge: null ${t.partitionCol} value in incoming")))
+          .toSet))
+    }.toMap
+
+    val plans = tables.map(t => t -> planMerge(spark, fs, s"$base/${t.name}",
+      t.incoming, t.keys, t.preserveExisting, touchedByTable(t.name)))
+
+    // ONE write job covering every table's merged batch. The
+    // repartition aligns write tasks with partition dirs: each
+    // (table, partition) lands in exactly one task, so every dir gets
+    // ONE parquet file instead of one per upstream shuffle partition —
+    // the small-files discipline. (A single partition too large for
+    // one task would add a salt column here; daily/bucketed partitions
+    // at batch granularity stay well under that.)
+    val staging = s"$base/_staging-${java.util.UUID.randomUUID()}"
+    plans.map { case (t, p) =>
+        p.merged.withColumn("__tbl", lit(t.name))
+          .withColumn("__pdir", col(t.partitionCol).cast("string"))
+      }.reduce(_.unionByName(_, allowMissingColumns = true))
+      .repartition(col("__tbl"), col("__pdir"))
+      .write.partitionBy("__tbl", "__pdir").parquet(staging)
+
+    try plans.foreach { case (t, plan) =>
+      val src = new Path(s"$staging/__tbl=${t.name}")
+      val batch = s"$DataDir/batch-${java.util.UUID.randomUUID()}"
+      val newEntries =
+        if (!fs.exists(src)) Nil // empty batch for this table
+        else {
+          val dest = new Path(s"${plan.path}/$batch")
+          fs.mkdirs(dest.getParent)
+          require(fs.rename(src, dest),
+            s"ManifestTable.mergeMany: staging rename $src -> $dest failed")
+          listPartitionDirs(fs, dest.toString).map { name =>
+            unescapePathName(name.stripPrefix("__pdir=")) -> s"$batch/$name"
+          }
+        }
+      commitPlan(fs, plan, newEntries, retainVersions)
+    } finally fs.delete(new Path(staging), true)
+  }
+
+  /** A planned single-table merge: everything [[merge]] derives before
+    * its batch write, so [[mergeMany]] can share one write job across
+    * tables and still commit each through the identical path. */
+  private final case class MergePlan(path: String, current: Option[Long],
+                                     oldEntries: Seq[(String, String)],
+                                     touched: Set[String], merged: DataFrame,
+                                     nextSchemaJson: String)
+
+  /** Manifest lines are `key\tdir\n` — a key carrying either control
+    * character would corrupt the file's structure. Date/numeric
+    * partition values never do; refuse the exotic string case loudly. */
+  private def validateTouched(touched: Set[String]): Set[String] = {
     touched.find(k => k.contains('\t') || k.contains('\n')).foreach(k =>
       sys.error(s"ManifestTable.merge: partition value ${k.replace("\t", "\\t")
         .replace("\n", "\\n")} contains a tab/newline — not manifest-encodable"))
     require(!touched(SchemaKey),
       s"ManifestTable.merge: partition value '$SchemaKey' collides with the manifest schema key")
+    touched
+  }
+
+  private def planMerge(spark: SparkSession, fs: FileSystem, path: String,
+                        incoming: DataFrame, keys: Seq[String],
+                        preserveExisting: Seq[String],
+                        touched: Set[String]): MergePlan = {
+    val current = latestVersion(fs, path)
+    val oldLines = current.map(v => readManifest(fs, path, v)).getOrElse(Nil)
+    val oldEntries = dataEntries(oldLines)
+    val prevSchema = committedSchema(oldLines)
     val touchedDirs = oldEntries.filter(e => touched(e._1)).map(e => s"$path/${e._2}")
     // SCHEMA EVOLUTION (additive): a merge may ADD nullable columns.
     // The touched partitions are read under the previously COMMITTED
@@ -181,27 +327,68 @@ object ManifestTable {
           merged.schema.fields.map(_.copy(nullable = true)))
       case None => merged.schema
     }
+    MergePlan(path, current, oldEntries, touched, merged, nextSchema.json)
+  }
 
-    // New data dirs, invisible until the manifest rename below.
-    val batch = s"$DataDir/batch-${java.util.UUID.randomUUID()}"
-    merged.withColumn("__pdir", col(partitionCol).cast("string"))
-      .write.partitionBy("__pdir").parquet(s"$path/$batch")
-    val newEntries = fs.listStatus(new Path(s"$path/$batch"))
+  /** Leaf `__pdir=` partition directory names of a written batch dir,
+    * sorted by partition value. */
+  private def listPartitionDirs(fs: FileSystem, batchDir: String): Seq[String] =
+    fs.listStatus(new Path(batchDir))
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("__pdir="))
-      .map { st =>
-        val name = st.getPath.getName
-        unescapePathName(name.stripPrefix("__pdir=")) -> s"$batch/$name"
-      }.toSeq.sortBy(_._1)
-    require(newEntries.map(_._1).toSet == touched,
-      s"ManifestTable.merge: written partitions ${newEntries.map(_._1)} != " +
-        s"batch partitions $touched — partition-value string roundtrip broke")
+      .map(_.getPath.getName).toSeq.sorted
 
-    val entries = (SchemaKey -> nextSchema.json) +:
-      (oldEntries.filterNot(e => touched(e._1)) ++ newEntries)
-    val next = current.getOrElse(0L) + 1
-    writeManifest(fs, path, next, entries)
-    cleanup(fs, path, keepVersions =
-      (versions(fs, path) :+ next).distinct.sorted.takeRight(retainVersions).toSet)
+  /** The commit half shared by [[merge]] and [[mergeMany]]: assemble
+    * the next manifest from the plan plus the written entries, rename
+    * it live, retire versions beyond the retention horizon. */
+  private def commitPlan(fs: FileSystem, plan: MergePlan,
+                         newEntries: Seq[(String, String)],
+                         retainVersions: Int): Unit = {
+    // The written-vs-touched cross-check, directional:
+    //   - a WRITTEN partition outside the touched set means the batch
+    //     carried rows whose existing data was never read (an
+    //     under-declared `knownTouched`, or a broken partition-value
+    //     string roundtrip) — committing would lose the merge, refuse;
+    //   - a touched partition NOT written is legal only as the no-op
+    //     case (declared, but neither incoming rows nor an existing
+    //     dir — over-declaring a fixed bucket set is the documented
+    //     default); if it HAS an existing dir its rows were read into
+    //     the merged batch, so absence from the output means the
+    //     write dropped data — refuse.
+    val written = newEntries.map(_._1).toSet
+    val undeclared = written -- plan.touched
+    require(undeclared.isEmpty,
+      s"ManifestTable.merge: partitions ${undeclared.mkString(", ")} were written but " +
+        s"not in the touched set ${plan.touched} — under-declared knownTouched or a " +
+        "partition-value string roundtrip break; refusing to commit")
+    val phantom = (plan.touched -- written).intersect(plan.oldEntries.map(_._1).toSet)
+    require(phantom.isEmpty,
+      s"ManifestTable.merge: touched partitions ${phantom.mkString(", ")} have existing " +
+        "data but the merged batch wrote no output for them — refusing to commit")
+    val entries = (SchemaKey -> plan.nextSchemaJson) +:
+      (plan.oldEntries.filterNot(e => plan.touched(e._1)) ++ newEntries)
+    val next = plan.current.getOrElse(0L) + 1
+    writeManifest(fs, plan.path, next, entries)
+    cleanup(fs, plan.path, keepVersions =
+      (versions(fs, plan.path) :+ next).distinct.sorted.takeRight(retainVersions).toSet)
+  }
+
+  /** MAINTENANCE: shrink the retention horizon of an existing table to
+    * its latest `keepLast` versions — expire older manifests and
+    * DELETE every data file no retained version references (the
+    * vacuum). A long-lived table whose writers used a generous
+    * `retainVersions` accumulates every superseded batch dir;
+    * this is the explicit reclaim. The CURRENT version can never be
+    * expired (`keepLast >= 1` and the kept set always contains the
+    * head); expired versions subsequently fail [[readVersion]] with
+    * its named not-retained error. Idempotent; driver-side filesystem
+    * metadata only, no Spark job. */
+  def expireVersions(spark: SparkSession, path: String, keepLast: Int): Unit = {
+    require(keepLast >= 1, s"expireVersions: keepLast must be >= 1, got $keepLast " +
+      "(the current version cannot be expired)")
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vs = versions(fs, path)
+    require(vs.nonEmpty, s"expireVersions: no manifest under $path/$ManifestDir")
+    cleanup(fs, path, keepVersions = vs.takeRight(keepLast).toSet)
   }
 
   /** The table as of its latest manifest. `partitionFilter` prunes at

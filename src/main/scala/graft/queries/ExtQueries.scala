@@ -3532,12 +3532,19 @@ object ExtQueries {
     // q32's reshape: events colliding within one second are reduced
     // first (the payload carries whole-second timestamps), keeping the
     // highest event_id per (coin, second).
-    val e = Tables.events(spark, dir)
+    // The second-truncation reshape feeds all three runs' chart
+    // payloads — materialize it once for the gate instead of paying
+    // the events group-by per run (the runs' own persist covers only
+    // their derived frames, not this shared input derivation).
+    val e = graft.ops.Intermediates.shared(Tables.events(spark, dir)
       .groupBy(col("event_type"), date_trunc("second", col("ts")).as("ts"))
-      .agg(max_by(col("value"), col("event_id")).as("value"))
-    val markets = e.select(col("event_type")).distinct()
-      .select(col("event_type").as("id"), upper(col("event_type")).as("symbol"),
-        concat(lit("Coin "), col("event_type")).as("name"))
+      .agg(max_by(col("value"), col("event_id")).as("value")))
+    // Shared too: each run's incomingAssets projects from this one
+    // 5-row distinct (one shuffle per pass instead of per run).
+    val markets = graft.ops.Intermediates.shared(
+      e.select(col("event_type")).distinct()
+        .select(col("event_type").as("id"), upper(col("event_type")).as("symbol"),
+          concat(lit("Coin "), col("event_type")).as("name")))
     def chartOf(base: DataFrame): DataFrame = {
       val msCol = unix_millis(col("ts")).cast("double")
       base.groupBy(col("event_type").as("coin_id")).agg(
@@ -3549,9 +3556,31 @@ object ExtQueries {
     val run2 = e.filter(col("ts") >= lit(overlap).cast("timestamp"))
       .withColumn("value", col("value") + lit(1.0))
     val base = java.nio.file.Files.createTempDirectory("graft_q106_").toString
-    graft.etl.Incremental.runOnManifest(spark, markets, chartOf(run1), base, runTs1)
-    graft.etl.Incremental.runOnManifest(spark, markets, chartOf(run2), base, runTs2)
-    graft.etl.Incremental.runOnManifest(spark, markets, chartOf(run2), base, runTs2)
+    // Runs 2 and 3 ingest the SAME refetch payload (the idempotence
+    // half of the gate) — materialize the collect_list reshape once.
+    val chart2 = graft.ops.Intermediates.shared(chartOf(run2))
+    // The replaceWhere-style declared windows (KnownParts): a real
+    // daily cron knows its date range up front; here the gate derives
+    // each run's day set with one tiny cached-`e` scan instead of a
+    // per-run discovery job over the full incoming frames. A wrong
+    // declaration cannot mis-merge — the commit cross-checks it
+    // against the written partitions and refuses.
+    def daysOf(r: DataFrame): Set[String] =
+      r.select(date_format(col("ts"), "yyyy-MM-dd").as("d")).distinct()
+        .collect().map(_.getString(0)).toSet
+    def partsOf(r: DataFrame, runTs: java.sql.Timestamp) =
+      Some(graft.etl.Incremental.KnownParts(
+        assets = graft.etl.Incremental.allAssetBuckets(),
+        prices = daysOf(r),
+        daily = graft.etl.Incremental.dailyPartOf(runTs)))
+    val parts1 = partsOf(run1, runTs1)
+    val parts2 = partsOf(run2, runTs2)
+    graft.etl.Incremental.runOnManifest(spark, markets, chartOf(run1), base, runTs1,
+      knownParts = parts1, shareIntermediates = true)
+    graft.etl.Incremental.runOnManifest(spark, markets, chart2, base, runTs2,
+      knownParts = parts2, shareIntermediates = true)
+    graft.etl.Incremental.runOnManifest(spark, markets, chart2, base, runTs2,
+      knownParts = parts2, shareIntermediates = true)
     val assets = graft.etl.Incremental.readAssets(spark, base)
     val prices = graft.etl.Incremental.readPrices(spark, base)
     val daily = graft.etl.Incremental.readDaily(spark, base)

@@ -451,6 +451,88 @@ class MergeSpec extends AnyFunSuite {
     assert(graft.ops.ManifestTable.read(spark, path).count() == 3)
   }
 
+  test("ManifestTable.mergeMany: one write job lands N tables with per-table " +
+    "upsert semantics identical to single-table merge; staging is swept") {
+    import graft.ops.ManifestTable
+    import graft.ops.ManifestTable.TableMerge
+    val base = java.nio.file.Files.createTempDirectory("graft-manifest-many").toString
+    val day1 = ts("2024-01-01")
+    val day2 = ts("2024-01-02")
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def run(aRows: Seq[(Long, java.sql.Timestamp, Double)],
+            bRows: Seq[(Long, java.sql.Timestamp, String)]) =
+      ManifestTable.mergeMany(spark, base, Seq(
+        TableMerge("ta", aRows.toDF("id", "day", "v"), Seq("id"), "day"),
+        TableMerge("tb", bRows.toDF("id", "day", "w"), Seq("id"), "day")))
+    run(Seq((1L, day1, 10.0), (2L, day2, 20.0)), Seq((1L, day1, "x")))
+    run(Seq((2L, day2, 22.0), (3L, day2, 30.0)), Seq((2L, day2, "y")))
+    assert(ManifestTable.read(spark, base + "/ta").orderBy("id")
+      .select("id", "v").as[(Long, Double)].collect().toSeq ==
+      Seq((1L, 10.0), (2L, 22.0), (3L, 30.0)))
+    assert(ManifestTable.read(spark, base + "/tb").orderBy("id")
+      .select("id", "w").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "x"), (2L, "y")))
+    // per-table manifests advanced independently and atomically
+    assert(ManifestTable.versions(fs, base + "/ta") == Seq(1L, 2L))
+    assert(ManifestTable.versions(fs, base + "/tb") == Seq(1L, 2L))
+    // the shared staging dir is gone
+    assert(!fs.listStatus(new org.apache.hadoop.fs.Path(base))
+      .exists(_.getPath.getName.startsWith("_staging-")))
+    // a column a data file carries for ANOTHER union'd table never
+    // leaks: each table reads back under its own committed schema
+    assert(ManifestTable.read(spark, base + "/ta").schema.fieldNames.toSeq ==
+      Seq("id", "day", "v"))
+    // an EMPTY batch for one table still commits (a no-data version)
+    run(Seq((3L, day2, 33.0)), Seq.empty)
+    assert(ManifestTable.read(spark, base + "/tb").count() == 2)
+    assert(ManifestTable.versions(fs, base + "/tb") == Seq(2L, 3L))
+    // same-named columns with conflicting dtypes across tables refuse loudly
+    intercept[IllegalArgumentException](ManifestTable.mergeMany(spark, base, Seq(
+      TableMerge("ta", Seq((9L, day1, 9.0)).toDF("id", "day", "v"), Seq("id"), "day"),
+      TableMerge("tc", Seq((9L, "2024-01-01", "s")).toDF("id", "day", "v"),
+        Seq("id"), "day"))))
+    // duplicate table names refuse loudly
+    intercept[IllegalArgumentException](ManifestTable.mergeMany(spark, base, Seq(
+      TableMerge("ta", Seq((9L, day1, 9.0)).toDF("id", "day", "v"), Seq("id"), "day"),
+      TableMerge("ta", Seq((9L, day1, 9.0)).toDF("id", "day", "v"), Seq("id"), "day"))))
+  }
+
+  test("ManifestTable.expireVersions: vacuums unreferenced files, keeps retained " +
+    "time travel, refuses keepLast < 1, expired reads fail loudly") {
+    import graft.ops.ManifestTable
+    val path = java.nio.file.Files.createTempDirectory("graft-manifest-exp").toString + "/t"
+    val day1 = ts("2024-01-01")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def mergeV(v: Double) = ManifestTable.merge(spark, path,
+      Seq((1L, day1, v)).toDF("id", "day", "v"), Seq("id"), "day", retainVersions = 3)
+    mergeV(10.0); mergeV(20.0); mergeV(30.0)
+    assert(ManifestTable.versions(fs, path) == Seq(1L, 2L, 3L))
+    def batchDirs() = fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/data"))
+      .map(_.getPath.getName).toSet
+    assert(batchDirs().size == 3, "each version's batch dir is retained pre-expire")
+    ManifestTable.expireVersions(spark, path, keepLast = 2)
+    // (a) retained versions still time-travel
+    assert(ManifestTable.readVersion(spark, path, 2L)
+      .select("v").as[Double].collect().toSeq == Seq(20.0))
+    assert(ManifestTable.read(spark, path)
+      .select("v").as[Double].collect().toSeq == Seq(30.0))
+    // (b) unreferenced files are gone from disk
+    assert(ManifestTable.versions(fs, path) == Seq(2L, 3L))
+    assert(batchDirs().size == 2, "v1's unreferenced batch dir was vacuumed")
+    // (c) expired-version reads fail with the named error
+    val e = intercept[IllegalArgumentException](
+      ManifestTable.readVersion(spark, path, 1L))
+    assert(e.getMessage.contains("not retained"))
+    // the current version can never be expired
+    intercept[IllegalArgumentException](
+      ManifestTable.expireVersions(spark, path, keepLast = 0))
+    // idempotent
+    ManifestTable.expireVersions(spark, path, keepLast = 2)
+    assert(ManifestTable.versions(fs, path) == Seq(2L, 3L))
+  }
+
   test("applyChangeFeed: deletes drop keys, highest version wins, re-insert resurrects") {
     val existing = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "v")
     val feed = Seq(
