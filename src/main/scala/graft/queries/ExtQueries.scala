@@ -2906,6 +2906,87 @@ object ExtQueries {
       |FROM merged GROUP BY day ORDER BY day""".stripMargin
 
   // ----------------------------------------------------------------
+  // q117_manifest_expire — ManifestTable RETENTION MAINTENANCE under
+  // the driver gate (MergeSpec covers it in-JVM; this puts the
+  // cross-engine hash on it): three day-partitioned merges with a
+  // 3-version retention — a full load, a full value+1 refresh that
+  // supersedes every batch-1 file, and a partial value+2 refetch of
+  // the tail days — then expireVersions(keepLast = 2). The vacuum
+  // must DELETE version 1's now-unreferenced batch dir (disk dir
+  // count rides as the constant batch_dirs = 2), KEEP version 2's
+  // batch even though version 3 superseded part of it (a
+  // partially-referenced batch must survive — v2's full row count and
+  // value sum are recomputed through the retained snapshot AFTER the
+  // vacuum, proving no live file was deleted), and fail the expired
+  // v1 read with the named not-retained error (v1_read_fails). The
+  // current snapshot aggregates per day under the two-layer
+  // last-write-wins the merges built. Oracle: the same layering in
+  // SQL; the filesystem facts are theorems riding as constants.
+  // ----------------------------------------------------------------
+  def q117ManifestExpire(spark: SparkSession, dir: String): DataFrame =
+    // Side-effectful temp-dir build — memoized per (session, dir) like
+    // q111, so bench's interleaved passes pay the build once.
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:q117_manifest_expire") {
+      q117ManifestExpireBuild(spark, dir)
+    }
+
+  private def q117ManifestExpireBuild(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.ManifestTable
+    val cut = "2024-01-15 00:00:00"
+    val ev = Tables.events(spark, dir)
+      .withColumn("day", date_trunc("day", col("ts")))
+    val all = ev.select(col("event_id"), col("day"), col("ts"), col("value"))
+    val path = java.nio.file.Files.createTempDirectory("graft_q117_").toString + "/table"
+    def m(df: DataFrame): Unit = ManifestTable.merge(spark, path,
+      df.select(col("event_id"), col("day"), col("value")),
+      keys = Seq("event_id"), partitionCol = "day", retainVersions = 3)
+    m(all)                                                      // v1: full load
+    m(all.withColumn("value", col("value") + lit(1.0)))         // v2: full refresh
+    m(all.filter(col("ts") >= lit(cut).cast("timestamp"))       // v3: partial refetch
+      .withColumn("value", col("value") + lit(2.0)))
+    ManifestTable.expireVersions(spark, path, keepLast = 2)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versionsAfter = ManifestTable.versions(fs, path)
+    val batchDirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/data"))
+      .count(_.isDirectory).toLong
+    val v1Fails =
+      try { ManifestTable.readVersion(spark, path, 1L); false }
+      catch { case _: IllegalArgumentException => true }
+    val v2 = ManifestTable.readVersion(spark, path, 2L)
+    val v2Agg = v2.agg(count(lit(1)).as("n"),
+      sum(floor(col("value") * lit(1e3)).cast("long")).as("s")).collect()(0)
+    ManifestTable.read(spark, path)
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * lit(1e3)).cast("long")).as("sum_value_e3"))
+      .withColumn("versions_after", lit(versionsAfter.length.toLong))
+      .withColumn("v1_read_fails", lit(v1Fails))
+      .withColumn("v2_rows", lit(v2Agg.getLong(0)))
+      .withColumn("v2_sum_e3", lit(v2Agg.getLong(1)))
+      .withColumn("batch_dirs", lit(batchDirs))
+      .orderBy(col("day"))
+  }
+
+  val q117ManifestExpireSql: String =
+    """WITH ev AS (SELECT event_id, date_trunc('day', ts) AS day, ts, value FROM events),
+      |fin AS (
+      |  SELECT event_id, day,
+      |         CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00' THEN value + 2.0
+      |              ELSE value + 1.0 END AS value
+      |  FROM ev)
+      |SELECT day, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(floor(value * 1e3) AS BIGINT)) AS BIGINT) AS sum_value_e3,
+      |  CAST(2 AS BIGINT) AS versions_after,
+      |  true AS v1_read_fails,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM ev) AS v2_rows,
+      |  (SELECT CAST(sum(CAST(floor((value + 1.0) * 1e3) AS BIGINT)) AS BIGINT) FROM ev)
+      |    AS v2_sum_e3,
+      |  CAST(2 AS BIGINT) AS batch_dirs
+      |FROM fin GROUP BY day ORDER BY day""".stripMargin
+
+  // ----------------------------------------------------------------
   // q112_html_strip — HTML boilerplate removal under the driver gate
   // (TextAnalysis.stripHtml — the web-scrape cleaning step of a
   // pre-training pipeline): every document is wrapped in-plan in a
