@@ -3943,6 +3943,122 @@ object ExtQueries {
       |ORDER BY i.imp_id, c.click_id""".stripMargin
 
   // ----------------------------------------------------------------
+  // q118_stream_dedup — STREAMING DEDUP WITHIN WATERMARK under the
+  // driver gate (the streaming form of exact dedup for continuous
+  // training-data ingest — StreamingIngest.dedupDocuments, i.e.
+  // watermark + dropDuplicatesWithinWatermark on the content hash):
+  // a 3-batch MemoryStream replay of documents derived from `events`
+  // (40 distinct texts, one row per (text, batch) by max-ts reduction
+  // so the in-batch winner is determined), with every 7th key's
+  // batch-1 row WITHHELD to batch 3 — arriving beyond the watermark,
+  // it must be late-filtered even though its content hash has no live
+  // state. Semantics pinned empirically and in StreamingSpec:
+  //   - a row is late-dropped iff ts < wm(batch), where wm(b) is the
+  //     max arrival ts of earlier batches minus the delay;
+  //   - a duplicate is dropped iff some EARLIER EMITTED row of the
+  //     same hash has ts + delay > wm(batch) (state evicted below
+  //     that), and a dropped duplicate does NOT extend the state's
+  //     expiry — re-arrival after eviction re-emits;
+  // so the oracle unrolls the three batches in SQL (e1/e2/e3 layers,
+  // each NOT EXISTS over prior emissions). The 333 ms watermark tail
+  // against second-truncated stream timestamps makes every ts-vs-wm
+  // and expiry-vs-wm comparison tie-free (difference always carries
+  // a .333/.666 s fraction).
+  // ----------------------------------------------------------------
+  def q118StreamDedup(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:q118_stream_dedup") {
+      q118StreamDedupBuild(spark, dir)
+    }
+
+  /** Bounded driver collect BY DESIGN (the q97/q108 replay-harness
+    * shape): the gate feeds rows through the streaming source from
+    * the driver; at scale the source is Kafka/files and this query is
+    * the harness, not the pipeline. */
+  private def q118StreamDedupBuild(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val (t1, t2) = ("2024-01-11 00:00:00", "2024-01-21 00:00:00")
+    val rows = Tables.events(spark, dir)
+      .select((col("user_id") % 40).as("knum"),
+        date_trunc("second", col("ts")).as("sts"))
+      .withColumn("ob",
+        when(col("sts") < lit(t1).cast("timestamp"), 1)
+          .when(col("sts") < lit(t2).cast("timestamp"), 2)
+          .otherwise(3))
+      .groupBy(col("knum"), col("ob")).agg(max(col("sts")).as("sts"))
+      // every 7th key's batch-1 row is withheld until batch 3 (late);
+      // its own batch-3 row is dropped so batch 3 holds ONE row per
+      // key (the in-batch dedup winner among differing rows is
+      // order-nondeterministic — not cross-engine testable)
+      .filter(!(col("ob") === 3 && col("knum") % 7 === 0))
+      .withColumn("b", when(col("ob") === 1 && col("knum") % 7 === 0, 3)
+        .otherwise(col("ob")))
+      .select(concat(lit("doc-"), col("knum").cast("string")).as("text"),
+        col("sts").as("ts"), col("b"))
+      .as[(String, java.sql.Timestamp, Int)].collect()
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, java.sql.Timestamp)]
+    val out = java.nio.file.Files.createTempDirectory("graft_q118_").toString
+    val deduped = graft.streaming.StreamingIngest.dedupDocuments(
+      in.toDF().toDF("text", "ts"), watermark = "72 hours 333 milliseconds")
+    val query = deduped.writeStream.outputMode("append")
+      .format("parquet").option("path", s"$out/table")
+      .option("checkpointLocation", s"$out/ckpt")
+      .start()
+    try {
+      (1 to 3).foreach { b =>
+        in.addData(rows.iterator.filter(_._3 == b).map(r => (r._1, r._2)).toSeq: _*)
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+    spark.read.parquet(s"$out/table")
+      .select(col("text").as("key"), col("ts"))
+      .orderBy(col("key"), col("ts"))
+  }
+
+  val q118StreamDedupSql: String =
+    """WITH ev AS (
+      |  SELECT user_id % 40 AS knum, date_trunc('second', ts) AS sts FROM events),
+      |r0 AS (
+      |  SELECT knum,
+      |         CASE WHEN sts < TIMESTAMP '2024-01-11 00:00:00' THEN 1
+      |              WHEN sts < TIMESTAMP '2024-01-21 00:00:00' THEN 2
+      |              ELSE 3 END AS ob, sts
+      |  FROM ev),
+      |r1 AS (SELECT knum, ob, max(sts) AS sts FROM r0 GROUP BY knum, ob),
+      |r AS (
+      |  SELECT knum, sts,
+      |         CASE WHEN ob = 1 AND knum % 7 = 0 THEN 3 ELSE ob END AS b
+      |  FROM r1 WHERE NOT (ob = 3 AND knum % 7 = 0)),
+      |wm2 AS (SELECT max(sts) - INTERVAL '72 hours' - INTERVAL '333 milliseconds' AS w
+      |        FROM r WHERE b = 1),
+      |wm3 AS (SELECT max(sts) - INTERVAL '72 hours' - INTERVAL '333 milliseconds' AS w
+      |        FROM r WHERE b <= 2),
+      |e1 AS (SELECT knum, sts FROM r WHERE b = 1),
+      |e2 AS (
+      |  SELECT r.knum, r.sts FROM r WHERE b = 2
+      |    AND sts >= (SELECT w FROM wm2)
+      |    AND NOT EXISTS (SELECT 1 FROM e1
+      |          WHERE e1.knum = r.knum
+      |            AND e1.sts + INTERVAL '72 hours' + INTERVAL '333 milliseconds'
+      |                > (SELECT w FROM wm2))),
+      |e3 AS (
+      |  SELECT r.knum, r.sts FROM r WHERE b = 3
+      |    AND sts >= (SELECT w FROM wm3)
+      |    AND NOT EXISTS (SELECT 1 FROM e1
+      |          WHERE e1.knum = r.knum
+      |            AND e1.sts + INTERVAL '72 hours' + INTERVAL '333 milliseconds'
+      |                > (SELECT w FROM wm3))
+      |    AND NOT EXISTS (SELECT 1 FROM e2
+      |          WHERE e2.knum = r.knum
+      |            AND e2.sts + INTERVAL '72 hours' + INTERVAL '333 milliseconds'
+      |                > (SELECT w FROM wm3))),
+      |em AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2 UNION ALL SELECT * FROM e3)
+      |SELECT 'doc-' || CAST(knum AS VARCHAR) AS key, sts AS ts
+      |FROM em ORDER BY key, ts""".stripMargin
+
+  // ----------------------------------------------------------------
   // q109_bpe_encode — BPE ENCODE ON UNSEEN TEXT under the driver gate
   // (round-9 verdict #6; previously documented-not-gated): does the
   // training-order replay encode (Bpe.encodeCol — one pass per merge,

@@ -131,6 +131,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids == Seq(1L, 3L))
   }
 
+  test("dedup-within-watermark semantics: late rows filter even for unseen keys, " +
+    "post-eviction re-arrival re-emits, dropped dups do not extend expiry") {
+    // The q118 oracle encodes exactly these rules; this test pins them
+    // against the live operator so a Spark behavior change fails HERE
+    // with a named assertion, not as an opaque gate hash mismatch.
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: Long) = new Timestamp(s * 1000L)
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val query = StreamingIngest.dedupDocuments(
+        input.toDF().toDF("doc_id", "ts", "text"), watermark = "10 seconds")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("dedup_sem_out").start()
+    // b1: k1, k2 at t=100 (expiry 110)
+    input.addData((1L, t(100), "k1"), (2L, t(100), "k2"))
+    query.processAllAvailable()
+    // b2 (wm 90): dup k1@105 dropped (state alive; also must NOT
+    // extend expiry); k3@200 advances the watermark; k4@50 is an
+    // UNSEEN key below the watermark -> late-filtered
+    input.addData((3L, t(105), "k1"), (4L, t(200), "k3"), (5L, t(50), "k4"))
+    query.processAllAvailable()
+    // b3 (wm 190): k1's expiry stayed 110 (not 115) < 190 -> evicted,
+    // re-emits; k3's expiry 210 > 190 -> still deduped
+    input.addData((6L, t(205), "k1"), (7L, t(205), "k3"))
+    query.processAllAvailable()
+    query.stop()
+    val ids = spark.table("dedup_sem_out").select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 4L, 6L),
+      s"got $ids: expected k1/k2 from b1, k3 from b2 (k1-dup dropped, k4 late-filtered), " +
+        "and the post-eviction k1 re-emission from b3 (k3 still deduped)")
+  }
+
   test("flatMapGroupsWithState high-watermark alerts carry state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.{HighAlert, PriceTick}
