@@ -3128,6 +3128,113 @@ object ExtQueries {
       |ORDER BY d.doc_id""".stripMargin
 
   // ----------------------------------------------------------------
+  // q119_lm_score — interpolated BACKOFF-LM quality score (the second
+  // half of the CCNet-style filter, extending q113's coverage): a
+  // character-trigram language model with Jelinek-Mercer
+  // interpolation — p(g) = 0.7·P(c₃|c₁c₂) + 0.2·P(c₃|c₂) + 0.1·P(c₃)
+  // — where every count is a marginal of ONE corpus trigram-count
+  // pass (prefix-bigram contexts, suffix-bigram counts, mid/last
+  // char counts, total mass), so the whole model derives from the
+  // same shuffle q113 pays. Per-document score = Σ floor(ln p · 1e6)
+  // over its trigram occurrences: quantizing the log-prob PER MODEL
+  // ENTRY makes the doc aggregate an integer sum — order-independent
+  // and bit-identical cross-engine (the only transcendental, ln, is
+  // evaluated once per distinct trigram on identical doubles; +,·,/
+  // are IEEE-exact in both engines). Scale shape: one explode+count
+  // shuffle, model-size marginal aggs (≤ alphabet³ rows — bounded at
+  // ANY corpus size), broadcast model join, one doc-keyed aggregate;
+  // PlanSpec pins the broadcast. Oracle: identical pipeline in
+  // DuckDB. Gibberish scores far below templated text — with
+  // coverage (q113) this is the standard cheap pre-training filter
+  // pair.
+  // ----------------------------------------------------------------
+  def q119LmScore(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.TextAnalysis
+    val docs = Tables.documents(spark, dir)
+    // Same normalization + explode as q113 (same Intermediates key, so
+    // a pass running both pays the trigram pass once).
+    val tri = graft.ops.Intermediates.shared(
+      docs.select(col("doc_id"),
+          regexp_replace(trim(lower(col("text"))), "[ \\t\\n\\r\\f]+", " ").as("t"))
+        .select(col("doc_id"), explode(TextAnalysis.charTrigrams(col("t"))).as("g")))
+    val cnt3 = graft.ops.Intermediates.shared(
+      tri.groupBy(col("g")).agg(count(lit(1)).as("n3")))
+    val ctx2 = cnt3.groupBy(substring(col("g"), 1, 2).as("p"))
+      .agg(sum(col("n3")).as("n2ctx"))
+    val bi = cnt3.groupBy(substring(col("g"), 2, 2).as("s"))
+      .agg(sum(col("n3")).as("n2"))
+    val ctx1 = cnt3.groupBy(substring(col("g"), 2, 1).as("m"))
+      .agg(sum(col("n3")).as("n1ctx"))
+    val uni = cnt3.groupBy(substring(col("g"), 3, 1).as("c"))
+      .agg(sum(col("n3")).as("n1"))
+    val tot = cnt3.agg(sum(col("n3")).as("ntot"))
+    val model = cnt3
+      .join(broadcast(ctx2), substring(col("g"), 1, 2) === col("p"))
+      .join(broadcast(bi), substring(col("g"), 2, 2) === col("s"))
+      .join(broadcast(ctx1), substring(col("g"), 2, 1) === col("m"))
+      .join(broadcast(uni), substring(col("g"), 3, 1) === col("c"))
+      .crossJoin(broadcast(tot))
+      .select(col("g"),
+        // association order mirrored EXACTLY in the oracle SQL —
+        // +,·,/ are IEEE-exact-rounded, so identical order means
+        // identical bits; only ln's final ulp is engine-dependent,
+        // and the 1e6 floor makes that a ~1e-10 boundary event per
+        // distinct trigram
+        floor(log(
+          lit(0.7) * col("n3") / col("n2ctx") +
+          lit(0.2) * col("n2") / col("n1ctx") +
+          lit(0.1) * col("n1") / col("ntot")) * lit(1e6)).as("qlp"))
+    val sc = tri.join(broadcast(model), Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tri"), sum(col("qlp")).as("score_q"))
+    docs.select(col("doc_id")).join(sc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        coalesce(col("score_q"), lit(0L)).as("score_q"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q119LmScoreSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, regexp_replace(trim(lower(text)), '[ \t\n\r\f]+', ' ', 'g') AS t
+      |  FROM documents),
+      |tri AS (
+      |  SELECT doc_id,
+      |         unnest(list_transform(range(1, length(t) - 1),
+      |           i -> substr(t, CAST(i AS INT), 3))) AS g
+      |  FROM d WHERE length(t) >= 3),
+      |cnt3 AS (SELECT g, CAST(count(*) AS BIGINT) AS n3 FROM tri GROUP BY g),
+      |ctx2 AS (SELECT substr(g, 1, 2) AS p, CAST(sum(n3) AS BIGINT) AS n2ctx
+      |         FROM cnt3 GROUP BY 1),
+      |bi   AS (SELECT substr(g, 2, 2) AS s, CAST(sum(n3) AS BIGINT) AS n2
+      |         FROM cnt3 GROUP BY 1),
+      |ctx1 AS (SELECT substr(g, 2, 1) AS m, CAST(sum(n3) AS BIGINT) AS n1ctx
+      |         FROM cnt3 GROUP BY 1),
+      |uni  AS (SELECT substr(g, 3, 1) AS c, CAST(sum(n3) AS BIGINT) AS n1
+      |         FROM cnt3 GROUP BY 1),
+      |tot  AS (SELECT CAST(sum(n3) AS BIGINT) AS ntot FROM cnt3),
+      |model AS (
+      |  SELECT g, CAST(floor(ln(
+      |      0.7e0 * CAST(n3 AS DOUBLE) / CAST(n2ctx AS DOUBLE)
+      |    + 0.2e0 * CAST(n2 AS DOUBLE) / CAST(n1ctx AS DOUBLE)
+      |    + 0.1e0 * CAST(n1 AS DOUBLE) / CAST(ntot AS DOUBLE)) * 1e6) AS BIGINT) AS qlp
+      |  FROM cnt3
+      |  JOIN ctx2 ON substr(g, 1, 2) = p
+      |  JOIN bi   ON substr(g, 2, 2) = s
+      |  JOIN ctx1 ON substr(g, 2, 1) = m
+      |  JOIN uni  ON substr(g, 3, 1) = c
+      |  CROSS JOIN tot),
+      |sc AS (
+      |  SELECT tri.doc_id, CAST(count(*) AS BIGINT) AS n_tri,
+      |         CAST(sum(qlp) AS BIGINT) AS score_q
+      |  FROM tri JOIN model USING (g) GROUP BY tri.doc_id)
+      |SELECT d.doc_id,
+      |  CAST(coalesce(sc.n_tri, 0) AS BIGINT) AS n_tri,
+      |  CAST(coalesce(sc.score_q, 0) AS BIGINT) AS score_q
+      |FROM d LEFT JOIN sc ON d.doc_id = sc.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
+  // ----------------------------------------------------------------
   // q99_image_decode — the REAL byte-level image kernel under the
   // driver gate (round-7 verdict #5; the decode family is no longer
   // stub-labeled): deterministic gradient images are ENCODED in a

@@ -306,4 +306,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"),
       s"q113's model join no longer broadcasts:\n$p")
   }
+
+  test("q119's LM model joins broadcast; the corpus trigram stream never sort-merges") {
+    // Same contract as q113 at 100 TB: the model (≤ alphabet³ distinct
+    // trigrams — bounded at any corpus size) and its marginal tables
+    // are the only broadcast payloads; the corpus-sized trigram
+    // stream must probe them as broadcast build sides. The final
+    // docs⋈score doc_id join is doc-cardinality and MAY shuffle at
+    // scale, so SortMergeJoin is not banned plan-wide — but the model
+    // join path must show broadcast joins.
+    val p = plan("q119_lm_score")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q119's model join no longer broadcasts:\n$p")
+  }
 }
