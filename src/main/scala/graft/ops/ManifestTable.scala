@@ -93,7 +93,8 @@ object ManifestTable {
   def merge(spark: SparkSession, path: String, incoming: DataFrame,
             keys: Seq[String], partitionCol: String,
             preserveExisting: Seq[String] = Nil,
-            retainVersions: Int = 2): Unit = {
+            retainVersions: Int = 2,
+            statsColumns: Seq[String] = Nil): Unit = {
     require(retainVersions >= 1, s"retainVersions must be >= 1, got $retainVersions")
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -115,7 +116,7 @@ object ManifestTable {
     val newEntries = listPartitionDirs(fs, s"$path/$batch").map { name =>
       unescapePathName(name.stripPrefix("__pdir=")) -> s"$batch/$name"
     }
-    commitPlan(fs, plan, newEntries, retainVersions)
+    commitPlan(fs, plan, newEntries, retainVersions, statsColumns)
   }
 
   /** One incoming batch per table (a [[mergeMany]] element): the table
@@ -134,7 +135,8 @@ object ManifestTable {
   final case class TableMerge(name: String, incoming: DataFrame,
                               keys: Seq[String], partitionCol: String,
                               preserveExisting: Seq[String] = Nil,
-                              knownTouched: Option[Set[String]] = None)
+                              knownTouched: Option[Set[String]] = None,
+                              statsColumns: Seq[String] = Nil)
 
   /** Merge several tables' batches with ONE touched-partition job and
     * ONE Spark write job covering every table — the multi-table form
@@ -229,7 +231,7 @@ object ManifestTable {
             unescapePathName(name.stripPrefix("__pdir=")) -> s"$batch/$name"
           }
         }
-      commitPlan(fs, plan, newEntries, retainVersions)
+      commitPlan(fs, plan, newEntries, retainVersions, t.statsColumns)
     } finally fs.delete(new Path(staging), true)
   }
 
@@ -261,7 +263,7 @@ object ManifestTable {
     val oldLines = current.map(v => readManifest(fs, path, v)).getOrElse(Nil)
     val oldEntries = dataEntries(oldLines)
     val prevSchema = committedSchema(oldLines)
-    val touchedDirs = oldEntries.filter(e => touched(e._1)).map(e => s"$path/${e._2}")
+    val touchedDirs = oldEntries.filter(e => touched(e._1)).map(e => s"$path/${dirOf(e._2)}")
     // SCHEMA EVOLUTION (additive): a merge may ADD nullable columns.
     // The touched partitions are read under the previously COMMITTED
     // schema (absent columns fill as null — handles partitions written
@@ -285,8 +287,8 @@ object ManifestTable {
     // old partitions carry on every subsequent read.
     val baseline: Option[org.apache.spark.sql.types.StructType] =
       prevSchema.orElse(existingOpt.map(_.schema))
-        .orElse(oldEntries.headOption.map { case (_, dir) =>
-          spark.read.parquet(s"$path/$dir").schema
+        .orElse(oldEntries.headOption.map { case (_, value) =>
+          spark.read.parquet(s"$path/${dirOf(value)}").schema
         })
     baseline.foreach { base =>
       val dropped = base.fieldNames.filterNot(incoming.columns.contains)
@@ -337,12 +339,170 @@ object ManifestTable {
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("__pdir="))
       .map(_.getPath.getName).toSeq.sorted
 
+  // ------------------------------------------------------------------
+  // ZONE-MAP DATA SKIPPING (r11). When a merge declares
+  // `statsColumns`, the commit reads the just-written parquet FOOTERS
+  // (driver-side metadata, no Spark job) and records per-partition
+  // min/max for those columns as a third tab field on the manifest
+  // line: `<pvalue>\t<dir>\t<col>=<kind>:<min>:<max>;…`. Untouched
+  // partitions carry their stats forward verbatim (the entry value
+  // moves whole through the commit), so one statsful writer makes the
+  // whole table skippable over time. [[readSkipping]] then prunes at
+  // the DIRECTORY level on a value range — the layer below partition
+  // pruning that makes a 100 TB scan touch only the files whose range
+  // intersects the predicate (Delta/Iceberg's file-stats skipping in
+  // miniature). Fail-safe by construction: a column with no recorded
+  // stats (older commits, unsupported physical type, a file whose
+  // footer lacks them) is never skipped on.
+  //
+  // Only physical types whose footer min/max order matches the SQL
+  // value order are recorded: INT32/INT64 (incl. timestamp micros —
+  // bounds are then raw micros), FLOAT, DOUBLE. Decimals (unscaled
+  // ints), strings (unsigned-byte vs UTF-16 collation mismatch), and
+  // nested types are skipped — unrecordable, so unprunable, so safe.
+  // ------------------------------------------------------------------
+
+  /** Split a manifest entry value into its data dir and optional
+    * encoded stats (the value is `dir` or `dir\tstats`). */
+  private[ops] def dirOf(entryValue: String): String = {
+    val i = entryValue.indexOf('\t')
+    if (i < 0) entryValue else entryValue.substring(0, i)
+  }
+
+  private[ops] def statsOf(entryValue: String): Option[String] = {
+    val i = entryValue.indexOf('\t')
+    if (i < 0) None else Some(entryValue.substring(i + 1))
+  }
+
+  /** Decode `col=kind:min:max;…` to per-column numeric bounds. */
+  private[ops] def decodeStats(stats: String): Map[String, (BigDecimal, BigDecimal)] =
+    stats.split(';').iterator.filter(_.nonEmpty).flatMap { part =>
+      val eq = part.indexOf('=')
+      if (eq < 0) None
+      else part.substring(eq + 1).split(':') match {
+        case Array(_, mn, mx) =>
+          try Some(part.substring(0, eq) -> (BigDecimal(mn), BigDecimal(mx)))
+          catch { case _: NumberFormatException => None }
+        case _ => None
+      }
+    }.toMap
+
+  /** Merge footer min/max for `cols` across every parquet file of
+    * `absDir`. A column is recorded only if EVERY file has usable
+    * stats for it under a supported physical type — anything less and
+    * skipping on it could drop rows. */
+  private def collectStats(fs: FileSystem, absDir: String,
+                           cols: Seq[String]): Option[String] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val files = fs.listStatus(new Path(absDir))
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    if (files.isEmpty) return None
+    // col -> (kind, min, max); None value = poisoned (unsupported or
+    // a file without stats)
+    val acc = scala.collection.mutable.Map.empty[String, Option[(String, BigDecimal, BigDecimal)]]
+    files.foreach { f =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, fs.getConf))
+      try {
+        val blocks = reader.getFooter.getBlocks
+        cols.foreach { c =>
+          if (!acc.get(c).contains(None)) {
+            var fileMin: BigDecimal = null
+            var fileMax: BigDecimal = null
+            var ok = true
+            blocks.forEach { b =>
+              b.getColumns.forEach { cc =>
+                if (cc.getPath.toDotString == c) {
+                  val pt = cc.getPrimitiveType
+                  val logical = pt.getLogicalTypeAnnotation
+                  val decimalOrOther = logical != null &&
+                    !logical.isInstanceOf[org.apache.parquet.schema
+                      .LogicalTypeAnnotation.TimestampLogicalTypeAnnotation] &&
+                    !logical.isInstanceOf[org.apache.parquet.schema
+                      .LogicalTypeAnnotation.IntLogicalTypeAnnotation] &&
+                    !logical.isInstanceOf[org.apache.parquet.schema
+                      .LogicalTypeAnnotation.DateLogicalTypeAnnotation]
+                  val st = cc.getStatistics
+                  if (decimalOrOther || st == null || !st.hasNonNullValue ||
+                      !Seq(INT32, INT64, FLOAT, DOUBLE).contains(pt.getPrimitiveTypeName))
+                    ok = false
+                  else {
+                    val (mn, mx) = (st.genericGetMin, st.genericGetMax) match {
+                      case (a: java.lang.Integer, b: java.lang.Integer) =>
+                        (BigDecimal(a.intValue), BigDecimal(b.intValue))
+                      case (a: java.lang.Long, b: java.lang.Long) =>
+                        (BigDecimal(a.longValue), BigDecimal(b.longValue))
+                      case (a: java.lang.Float, b: java.lang.Float) =>
+                        (BigDecimal(a.floatValue.toDouble), BigDecimal(b.floatValue.toDouble))
+                      case (a: java.lang.Double, b: java.lang.Double) =>
+                        (BigDecimal(a.doubleValue), BigDecimal(b.doubleValue))
+                      case _ => ok = false; (BigDecimal(0), BigDecimal(0))
+                    }
+                    if (ok) {
+                      if (fileMin == null || mn < fileMin) fileMin = mn
+                      if (fileMax == null || mx > fileMax) fileMax = mx
+                    }
+                  }
+                }
+              }
+            }
+            if (!ok || fileMin == null) acc(c) = None
+            else acc.updateWith(c) {
+              case Some(Some((k, m0, m1))) => Some(Some((k, m0.min(fileMin), m1.max(fileMax))))
+              case Some(None) => Some(None)
+              case None => Some(Some(("n", fileMin, fileMax)))
+            }
+          }
+        }
+      } finally reader.close()
+    }
+    val recorded = cols.flatMap(c => acc.get(c).flatten.map { case (k, mn, mx) =>
+      s"$c=$k:${mn.bigDecimal.toPlainString}:${mx.bigDecimal.toPlainString}" })
+    if (recorded.isEmpty) None else Some(recorded.mkString(";"))
+  }
+
+  /** A [[readSkipping]] result: the pruned frame plus the pruning
+    * evidence (how many live dirs the range actually touched). */
+  final case class SkipResult(df: DataFrame, dirsScanned: Long, dirsTotal: Long)
+
+  /** Read the table touching only partition dirs whose recorded
+    * [min, max] for `column` intersects [lo, hi] — zone-map skipping
+    * under partition pruning. Returns a SUPERSET of the rows matching
+    * the range (whole surviving dirs); apply the row filter on top.
+    * Dirs without recorded stats for `column` are always read. */
+  def readSkipping(spark: SparkSession, path: String, column: String,
+                   lo: BigDecimal, hi: BigDecimal,
+                   partitionFilter: String => Boolean = _ => true): SkipResult = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = latestVersion(fs, path).getOrElse(
+      sys.error(s"ManifestTable.readSkipping: no manifest under $path/$ManifestDir"))
+    val lines = readManifest(fs, path, v)
+    val live = dataEntries(lines).filter(e => partitionFilter(e._1))
+    val kept = live.filter { case (_, value) =>
+      statsOf(value).map(decodeStats).flatMap(_.get(column)) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None => true // no stats recorded -> cannot prune safely
+      }
+    }
+    val schema = committedSchema(lines)
+    val df =
+      if (kept.isEmpty) {
+        val s = schema.getOrElse(sys.error(
+          s"ManifestTable.readSkipping: every dir pruned and manifest m$v has no " +
+            "committed schema to shape an empty result"))
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+      } else schema.map(spark.read.schema(_)).getOrElse(spark.read)
+        .parquet(kept.map(e => s"$path/${dirOf(e._2)}"): _*)
+    SkipResult(df, kept.size.toLong, live.size.toLong)
+  }
+
   /** The commit half shared by [[merge]] and [[mergeMany]]: assemble
     * the next manifest from the plan plus the written entries, rename
     * it live, retire versions beyond the retention horizon. */
   private def commitPlan(fs: FileSystem, plan: MergePlan,
                          newEntries: Seq[(String, String)],
-                         retainVersions: Int): Unit = {
+                         retainVersions: Int,
+                         statsColumns: Seq[String] = Nil): Unit = {
     // The written-vs-touched cross-check, directional:
     //   - a WRITTEN partition outside the touched set means the batch
     //     carried rows whose existing data was never read (an
@@ -364,8 +524,16 @@ object ManifestTable {
     require(phantom.isEmpty,
       s"ManifestTable.merge: touched partitions ${phantom.mkString(", ")} have existing " +
         "data but the merged batch wrote no output for them — refusing to commit")
+    // Zone-map stats for the new dirs (driver-side footer reads, no
+    // Spark job); untouched entries carry theirs forward verbatim.
+    val newWithStats =
+      if (statsColumns.isEmpty) newEntries
+      else newEntries.map { case (k, dir) =>
+        k -> collectStats(fs, s"${plan.path}/$dir", statsColumns)
+          .map(s => s"$dir\t$s").getOrElse(dir)
+      }
     val entries = (SchemaKey -> plan.nextSchemaJson) +:
-      (plan.oldEntries.filterNot(e => plan.touched(e._1)) ++ newEntries)
+      (plan.oldEntries.filterNot(e => plan.touched(e._1)) ++ newWithStats)
     val next = plan.current.getOrElse(0L) + 1
     writeManifest(fs, plan.path, next, entries)
     cleanup(fs, plan.path, keepVersions =
@@ -401,7 +569,7 @@ object ManifestTable {
       sys.error(s"ManifestTable.read: no manifest under $path/$ManifestDir"))
     val lines = readManifest(fs, path, v)
     val dirs = dataEntries(lines)
-      .collect { case (key, dir) if partitionFilter(key) => s"$path/$dir" }
+      .collect { case (key, value) if partitionFilter(key) => s"$path/${dirOf(value)}" }
     require(dirs.nonEmpty, s"ManifestTable.read: manifest m$v has no partition " +
       s"passing the filter")
     // Committed schema (when present) pins column set + order and
@@ -421,7 +589,7 @@ object ManifestTable {
         s"(have ${versions(fs, path).mkString(", ")})")
     val lines = readManifest(fs, path, version)
     val dirs = dataEntries(lines)
-      .collect { case (key, dir) if partitionFilter(key) => s"$path/$dir" }
+      .collect { case (key, value) if partitionFilter(key) => s"$path/${dirOf(value)}" }
     require(dirs.nonEmpty, s"ManifestTable.readVersion: manifest m$version has no " +
       s"partition passing the filter")
     // Each version reads under ITS OWN committed schema — a snapshot
@@ -498,7 +666,7 @@ object ManifestTable {
     * merges (their batch dirs were never referenced by anything). */
   private def cleanup(fs: FileSystem, path: String, keepVersions: Set[Long]): Unit = {
     val live: Set[String] = keepVersions.flatMap(v => dataEntries(readManifest(fs, path, v)))
-      .map { case (_, dir) => dir.split('/').take(2).mkString("/") } // data/batch-…
+      .map { case (_, value) => dirOf(value).split('/').take(2).mkString("/") } // data/batch-…
     val dataDir = new Path(s"$path/$DataDir")
     if (fs.exists(dataDir)) fs.listStatus(dataDir).foreach { st =>
       if (!live(s"$DataDir/${st.getPath.getName}")) fs.delete(st.getPath, true)

@@ -2987,6 +2987,63 @@ object ExtQueries {
       |FROM fin GROUP BY day ORDER BY day""".stripMargin
 
   // ----------------------------------------------------------------
+  // q120_stats_skipping — ZONE-MAP DATA SKIPPING under the driver
+  // gate (MergeSpec covers it in-JVM): a day-partitioned manifest
+  // table committed with `statsColumns = value` records each dir's
+  // footer min/max in the manifest; `readSkipping(value, 340, ∞)`
+  // must then touch ONLY the days whose max value reaches 340 — the
+  // layer below partition pruning that makes a 100 TB scan touch
+  // only the files whose range intersects the predicate. The oracle
+  // recomputes the per-day maxima in SQL, so THREE facts hash
+  // cross-engine: dirs_scanned == days with max ≥ 340 (footer stats
+  // are exact), rows_scanned == the row mass of exactly those days
+  // (skipping reads whole surviving dirs, no more, no fewer), and
+  // the post-filter per-day aggregate == a plain SQL filter (no row
+  // beyond the surviving dirs was needed — skipping is lossless for
+  // this predicate).
+  // ----------------------------------------------------------------
+  def q120StatsSkipping(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:q120_stats_skipping") {
+      q120StatsSkippingBuild(spark, dir)
+    }
+
+  private def q120StatsSkippingBuild(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.ManifestTable
+    val lo = 340.0
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), date_trunc("day", col("ts")).as("day"), col("value"))
+    val path = java.nio.file.Files.createTempDirectory("graft_q120_").toString + "/table"
+    ManifestTable.merge(spark, path, ev,
+      keys = Seq("event_id"), partitionCol = "day", statsColumns = Seq("value"))
+    val r = ManifestTable.readSkipping(spark, path, "value",
+      BigDecimal(lo), BigDecimal("1e18"))
+    val rowsScanned = r.df.count()
+    r.df.filter(col("value") >= lit(lo))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_hi"),
+        sum(floor(col("value") * lit(1e3)).cast("long")).as("sum_hi_e3"))
+      .withColumn("dirs_scanned", lit(r.dirsScanned))
+      .withColumn("dirs_total", lit(r.dirsTotal))
+      .withColumn("rows_scanned", lit(rowsScanned))
+      .orderBy(col("day"))
+  }
+
+  val q120StatsSkippingSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, date_trunc('day', ts) AS day, value FROM events),
+      |dstat AS (SELECT day, max(value) AS mx, count(*) AS c FROM ev GROUP BY day),
+      |hi AS (
+      |  SELECT day, CAST(count(*) AS BIGINT) AS n_hi,
+      |         CAST(sum(CAST(floor(value * 1e3) AS BIGINT)) AS BIGINT) AS sum_hi_e3
+      |  FROM ev WHERE value >= 340.0 GROUP BY day)
+      |SELECT day, n_hi, sum_hi_e3,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM dstat WHERE mx >= 340.0) AS dirs_scanned,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM dstat) AS dirs_total,
+      |  (SELECT CAST(sum(c) AS BIGINT) FROM dstat WHERE mx >= 340.0) AS rows_scanned
+      |FROM hi ORDER BY day""".stripMargin
+
+  // ----------------------------------------------------------------
   // q112_html_strip — HTML boilerplate removal under the driver gate
   // (TextAnalysis.stripHtml — the web-scrape cleaning step of a
   // pre-training pipeline): every document is wrapped in-plan in a

@@ -533,6 +533,49 @@ class MergeSpec extends AnyFunSuite {
     assert(ManifestTable.versions(fs, path) == Seq(2L, 3L))
   }
 
+  test("ManifestTable zone-map skipping: footer stats prune dirs, untouched " +
+    "partitions carry stats forward, statless columns never prune") {
+    import graft.ops.ManifestTable
+    val path = java.nio.file.Files.createTempDirectory("graft-manifest-stats").toString + "/t"
+    val day1 = ts("2024-01-01")
+    val day2 = ts("2024-01-02")
+    val day3 = ts("2024-01-03")
+    // value ranges: day1 [1,5], day2 [10,15], day3 [100,200]
+    val base = Seq(
+      (1L, day1, 1.0, "a"), (2L, day1, 5.0, "b"),
+      (3L, day2, 10.0, "c"), (4L, day2, 15.0, "d"),
+      (5L, day3, 100.0, "e"), (6L, day3, 200.0, "f")).toDF("id", "day", "v", "s")
+    ManifestTable.merge(spark, path, base, Seq("id"), "day",
+      statsColumns = Seq("v", "s", "id"))
+    // range [12, 50] intersects only day2's [10,15]
+    val r1 = ManifestTable.readSkipping(spark, path, "v", BigDecimal(12), BigDecimal(50))
+    assert(r1.dirsScanned == 1 && r1.dirsTotal == 3)
+    assert(r1.df.select("id").as[Long].collect().toSet == Set(3L, 4L))
+    // long column stats work too (INT64)
+    val r2 = ManifestTable.readSkipping(spark, path, "id", BigDecimal(5), BigDecimal(5))
+    assert(r2.dirsScanned == 1, "per-dir id ranges are [1,2], [3,4], [5,6]: only day3's " +
+      s"intersects id=5; got ${r2.dirsScanned}")
+    // string column: unsupported physical ordering -> no stats -> never pruned
+    val r3 = ManifestTable.readSkipping(spark, path, "s", BigDecimal(0), BigDecimal(0))
+    assert(r3.dirsScanned == 3, "a statless column must read every dir (fail-safe)")
+    // a later merge touching ONLY day3 narrows its range; day1/day2
+    // entries carry their stats forward and still prune
+    ManifestTable.merge(spark, path,
+      Seq((5L, day3, 100.0, "e"), (6L, day3, 120.0, "f")).toDF("id", "day", "v", "s"),
+      Seq("id"), "day", statsColumns = Seq("v"))
+    val r4 = ManifestTable.readSkipping(spark, path, "v", BigDecimal(150), BigDecimal(300))
+    assert(r4.dirsScanned == 0 && r4.dirsTotal == 3,
+      s"day3 re-written as [100,120] must now prune for [150,300]; got ${r4.dirsScanned}")
+    assert(r4.df.count() == 0 &&
+      r4.df.schema.fieldNames.toSeq == Seq("id", "day", "v", "s"),
+      "the all-pruned read returns an empty frame under the committed schema")
+    val r5 = ManifestTable.readSkipping(spark, path, "v", BigDecimal(0), BigDecimal(3))
+    assert(r5.dirsScanned == 1 && r5.df.select("id").as[Long].collect().toSet == Set(1L, 2L),
+      "day1's carried-forward stats still prune after an unrelated commit")
+    // a reader that ignores stats sees the identical table
+    assert(ManifestTable.read(spark, path).count() == 6)
+  }
+
   test("applyChangeFeed: deletes drop keys, highest version wins, re-insert resurrects") {
     val existing = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "v")
     val feed = Seq(
