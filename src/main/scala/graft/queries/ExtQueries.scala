@@ -4223,6 +4223,122 @@ object ExtQueries {
       |FROM em ORDER BY key, ts""".stripMargin
 
   // ----------------------------------------------------------------
+  // q121_stream_sessionize — STREAMING SESSIONIZATION WITH EVENT-TIME
+  // TIMERS under the driver gate: the transformWithState form of
+  // q55's batch sessionize (Spark 4's arbitrary-state API — typed
+  // ValueState + event-time timers over the RocksDB state store).
+  // Each session emits EXACTLY ONCE: at arrival when a later same-key
+  // event beyond the 30-min gap closes it, or at timer expiry when
+  // the watermark passes session_end + gap; a session still open at
+  // stream end never emits. 3-batch replay from `events` with every
+  // 13th batch-1 row withheld to batch 3 (arriving below the
+  // watermark, so late-FILTERED — pinned in StreamingSpec: late rows
+  // never reach the processor). The oracle recomputes the kept set
+  // under the per-batch watermarks, sessionizes it with the classic
+  // lag/gap-id windows, and keeps a session iff it is not its user's
+  // last OR its end + gap clears the FINAL watermark. The 333 ms
+  // watermark tail keeps every comparison tie-free; equal-timestamp
+  // rows are gap-0 and land in one session under any tie order.
+  // ----------------------------------------------------------------
+  def q121StreamSessionize(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:q121_stream_sessionize") {
+      q121StreamSessionizeBuild(spark, dir)
+    }
+
+  /** Bounded driver collect BY DESIGN (the q97/q108/q118 replay-
+    * harness shape): the gate is the harness, not the pipeline. */
+  private def q121StreamSessionizeBuild(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val (t1, t2) = ("2024-01-11 00:00:00", "2024-01-21 00:00:00")
+    val rows = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("second", col("ts")).as("sts"), col("event_id"))
+      .withColumn("b",
+        when(col("event_id") % 13 === 0 && col("sts") < lit(t1).cast("timestamp"), 3)
+          .when(col("sts") < lit(t1).cast("timestamp"), 1)
+          .when(col("sts") < lit(t2).cast("timestamp"), 2)
+          .otherwise(3))
+      .select(col("user_id"), col("sts"), col("b"))
+      .as[(Long, java.sql.Timestamp, Int)].collect()
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp)]
+    val out = java.nio.file.Files.createTempDirectory("graft_q121_").toString
+    // transformWithState requires the RocksDB state store; scope the
+    // session conf to this query and restore the previous provider.
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.get(provKey,
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val sessions = graft.streaming.StreamingIngest.sessionizeStream(
+        in.toDF().toDF("user_id", "ts").as[graft.streaming.SessionEvent],
+        gapMs = 30 * 60 * 1000L, watermark = "72 hours 333 milliseconds")
+      val query = sessions.writeStream.outputMode("append")
+        .format("parquet").option("path", s"$out/table")
+        .option("checkpointLocation", s"$out/ckpt")
+        .start()
+      try {
+        (1 to 3).foreach { b =>
+          in.addData(rows.iterator.filter(_._3 == b).map(r => (r._1, r._2)).toSeq: _*)
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+    } finally spark.conf.set(provKey, prevProv)
+    spark.read.parquet(s"$out/table")
+      .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
+  val q121StreamSessionizeSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, date_trunc('second', ts) AS sts, event_id FROM events),
+      |r AS (
+      |  SELECT user_id, sts,
+      |         CASE WHEN event_id % 13 = 0 AND sts < TIMESTAMP '2024-01-11 00:00:00' THEN 3
+      |              WHEN sts < TIMESTAMP '2024-01-11 00:00:00' THEN 1
+      |              WHEN sts < TIMESTAMP '2024-01-21 00:00:00' THEN 2
+      |              ELSE 3 END AS b
+      |  FROM ev),
+      |wm2 AS (SELECT max(sts) - INTERVAL '72 hours' - INTERVAL '333 milliseconds' AS w
+      |        FROM r WHERE b = 1),
+      |wm3 AS (SELECT max(sts) - INTERVAL '72 hours' - INTERVAL '333 milliseconds' AS w
+      |        FROM r WHERE b <= 2),
+      |wmf AS (SELECT max(sts) - INTERVAL '72 hours' - INTERVAL '333 milliseconds' AS w
+      |        FROM r),
+      |kept AS (
+      |  SELECT user_id, sts FROM r
+      |  WHERE b = 1
+      |     OR (b = 2 AND sts >= (SELECT w FROM wm2))
+      |     OR (b = 3 AND sts >= (SELECT w FROM wm3))),
+      |o AS (
+      |  SELECT user_id, sts,
+      |         CASE WHEN lag(sts) OVER (PARTITION BY user_id ORDER BY sts) IS NULL
+      |                OR sts - lag(sts) OVER (PARTITION BY user_id ORDER BY sts)
+      |                   > INTERVAL '30 minutes'
+      |              THEN 1 ELSE 0 END AS brk
+      |  FROM kept),
+      |s AS (
+      |  SELECT user_id, sts,
+      |         sum(brk) OVER (PARTITION BY user_id ORDER BY sts
+      |                        ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM o),
+      |g AS (
+      |  SELECT user_id, sid, min(sts) AS session_start, max(sts) AS session_end,
+      |         CAST(count(*) AS BIGINT) AS n_events
+      |  FROM s GROUP BY user_id, sid),
+      |e AS (
+      |  SELECT user_id, sid, session_start, session_end, n_events,
+      |         max(sid) OVER (PARTITION BY user_id) AS maxsid
+      |  FROM g)
+      |SELECT user_id, session_start, session_end, n_events
+      |FROM e
+      |WHERE sid < maxsid
+      |   OR session_end + INTERVAL '30 minutes' < (SELECT w FROM wmf)
+      |ORDER BY user_id, session_start""".stripMargin
+
+  // ----------------------------------------------------------------
   // q109_bpe_encode — BPE ENCODE ON UNSEEN TEXT under the driver gate
   // (round-9 verdict #6; previously documented-not-gated): does the
   // training-order replay encode (Bpe.encodeCol — one pass per merge,

@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 import graft.ops.MergeWriter
 
@@ -22,6 +22,18 @@ case class NearDupCandidate(doc_id: Long, dup_of: Long, band: Int)
 /** Emitted when a tick exceeds the running per-asset high watermark. */
 case class HighAlert(asset_id: String, ts: java.sql.Timestamp,
                      price: Double, prev_high: Double)
+
+/** Input event for the streaming sessionizer. */
+case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
+
+/** A CLOSED session emitted by [[StreamingIngest.sessionizeStream]]:
+  * closed either by a same-user event beyond the gap (emitted at
+  * arrival) or by the event-time timer once the watermark passes
+  * `session_end + gap` (no in-order event can extend it anymore). A
+  * session still open at stream end is never emitted — the same
+  * contract as `session_window`'s unclosed tail. */
+case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
+                         session_end: java.sql.Timestamp, n_events: Long)
 
 /** Structured Streaming skin over the reference's incremental contract
   * (SURVEY.md §2.10). The reference emulates streaming with a daily
@@ -197,6 +209,93 @@ object StreamingIngest {
         joinType)
       .select(col("imp_id"), col("click_id"), col("ad_id"),
         col("imp_ts"), col("click_ts"))
+
+  /** The `transformWithState` processor behind [[sessionizeStream]] —
+    * Spark 4's arbitrary-state API (SPARK-46815): explicit typed
+    * state handles plus EVENT-TIME TIMERS, the piece
+    * `flatMapGroupsWithState` lacks (its timeouts are per-function
+    * and processing-time-ish; here the session CLOSES exactly when
+    * the watermark proves no in-order event can extend it).
+    *
+    * State: one (startMs, lastMs, n) triple per open session per key.
+    * On input: rows sorted by event time, folded with the gap rule —
+    * a row within `gapMs` of the session end extends it, a later row
+    * CLOSES it (emitted immediately) and opens the next; the one
+    * registered timer is moved to the new `lastMs + gapMs`. On timer
+    * expiry (watermark ≥ session end + gap): emit and clear. Rows
+    * below the watermark never reach the processor (late-filtered by
+    * the operator — pinned in StreamingSpec).
+    *
+    * CONTRACT: per-key arrival must be event-time monotone ACROSS
+    * batches (in-batch disorder is sorted away); an out-of-order
+    * cross-batch survivor within the watermark merges conservatively
+    * (min start / max end) rather than re-splitting history.
+    *
+    * Scale posture: state is 3 longs per OPEN session per key —
+    * bounded by live keys, not history; timers evict it the moment
+    * the watermark closes the window. This is the deployable form of
+    * q55's batch sessionize for continuous ingest. */
+  private[streaming] class SessionProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, SessionEvent, ClosedSession] {
+    @transient private var st: ValueState[(Long, Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long, Long)]("session",
+        Encoders.product[(Long, Long, Long)], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[SessionEvent],
+                                 tv: TimerValues): Iterator[ClosedSession] = {
+      val sorted = rows.toSeq.sortBy(_.ts.getTime)
+      var out = List.empty[ClosedSession]
+      var cur = if (st.exists()) Some(st.get()) else None
+      // one live timer per key: drop the old one before re-registering
+      cur.foreach { case (_, last, _) => getHandle.deleteTimer(last + gapMs) }
+      sorted.foreach { e =>
+        val ms = e.ts.getTime
+        cur match {
+          case Some((s0, l0, n0)) if ms - l0 <= gapMs =>
+            cur = Some((math.min(s0, ms), math.max(l0, ms), n0 + 1))
+          case Some((s0, l0, n0)) =>
+            out ::= ClosedSession(key, new java.sql.Timestamp(s0),
+              new java.sql.Timestamp(l0), n0)
+            cur = Some((ms, ms, 1L))
+          case None => cur = Some((ms, ms, 1L))
+        }
+      }
+      cur.foreach { c => st.update(c); getHandle.registerTimer(c._2 + gapMs) }
+      out.reverseIterator
+    }
+
+    override def handleExpiredTimer(key: Long, tv: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[ClosedSession] = {
+      if (st.exists()) {
+        val (s0, l0, n0) = st.get()
+        // guard against a stale timer racing a same-batch extension
+        if (l0 + gapMs == info.getExpiryTimeInMs) {
+          st.clear()
+          return Iterator.single(ClosedSession(key, new java.sql.Timestamp(s0),
+            new java.sql.Timestamp(l0), n0))
+        }
+      }
+      Iterator.empty
+    }
+  }
+
+  /** Streaming sessionization with event-time-timer closure — the
+    * streaming form of `EventAnalytics.sessionize` (q55): sessions
+    * split on inactivity gaps over `gapMs`, and each session is
+    * emitted EXACTLY ONCE, either when a later same-key event closes
+    * it or when the watermark passes its `end + gap` (the timer).
+    * Requires the RocksDB state store provider (transformWithState's
+    * backing store); see the q121 gate for the session-conf shape. */
+  def sessionizeStream(events: Dataset[SessionEvent],
+                       gapMs: Long = 30 * 60 * 1000L,
+                       watermark: String = "24 hours"): Dataset[ClosedSession] =
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(new SessionProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())(Encoders.product[ClosedSession])
 
   /** foreachBatch sink: last-write-wins merge of each micro-batch into
     * a date-partitioned parquet table on (asset_id, ts) — U2 semantics

@@ -162,6 +162,51 @@ class StreamingSpec extends AnyFunSuite {
         "and the post-eviction k1 re-emission from b3 (k3 still deduped)")
   }
 
+  test("transformWithState sessionizer: gap closes at arrival, timer closes at " +
+    "watermark, unclosed tail never emits, late rows are filtered") {
+    // The q121 oracle encodes exactly these rules; pin them against
+    // the live operator so a Spark behavior change fails HERE.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{ClosedSession, SessionEvent}
+    def t(s: Long) = new Timestamp(s * 1000L)
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.get(provKey,
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[SessionEvent]
+      val query = StreamingIngest.sessionizeStream(input.toDS(),
+          gapMs = 30000L, watermark = "10 seconds")
+        .writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName("tws_sessions").start()
+      // b1: u1 at 100,110 (one session); u2 at 100
+      input.addData(SessionEvent(1L, t(100)), SessionEvent(1L, t(110)),
+        SessionEvent(2L, t(100)))
+      query.processAllAvailable()
+      // b2 (wm 100): u1 at 300 — gap 190 > 30 closes [100,110] AT
+      // ARRIVAL; u2 at 105 extends its open session (105 >= wm)
+      input.addData(SessionEvent(1L, t(300)), SessionEvent(2L, t(105)))
+      query.processAllAvailable()
+      // b3 (wm 290): u2's timer (135) fires -> [100,105] emits; a TRUE
+      // late row (u4 at 50 < wm) must never reach the processor; u3 at
+      // 1000 advances the final watermark so u1's [300,300] closes by
+      // timer in the trailing batch; u3's own session stays OPEN
+      // (timer 1030 > final wm 990) and must not emit
+      input.addData(SessionEvent(3L, t(1000)), SessionEvent(4L, t(50)))
+      query.processAllAvailable()
+      query.stop()
+      val got = spark.table("tws_sessions").as[ClosedSession].collect()
+        .map(s => (s.user_id, s.session_start.getTime / 1000,
+          s.session_end.getTime / 1000, s.n_events)).toSet
+      assert(got == Set(
+        (1L, 100L, 110L, 2L),  // closed at arrival by the 300 event
+        (1L, 300L, 300L, 1L),  // closed by timer under the final watermark
+        (2L, 100L, 105L, 2L)), // extended across batches, closed by timer
+        s"got $got — u3 must stay open (unclosed tail) and u4's late row filtered")
+    } finally spark.conf.set(provKey, prevProv)
+  }
+
   test("flatMapGroupsWithState high-watermark alerts carry state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.{HighAlert, PriceTick}
