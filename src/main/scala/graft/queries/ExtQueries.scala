@@ -4339,6 +4339,120 @@ object ExtQueries {
       |ORDER BY user_id, session_start""".stripMargin
 
   // ----------------------------------------------------------------
+  // q122_stream_pattern — STREAMING A→B PATTERN MATCH WITH TIMEOUT
+  // under the driver gate (the CEP-lite funnel step as one
+  // transformWithState operator — ListState of pending A's + one
+  // event-time timer per A): every A resolves exactly once, as a
+  // match with its FIRST qualifying B (b_ts in [a_ts, a_ts + 1 h]) or
+  // as a timeout when the watermark passes a_ts + 1 h unmatched; an A
+  // whose window is still open at stream end emits nothing. Events
+  // derive from `events`: every 3rd event_id is an A, the next
+  // residue a B, the rest are upstream-filtered noise; the usual
+  // 3-batch time-ranged replay with every 13th batch-1 row withheld
+  // to batch 3 (late-filtered). The oracle is closed-form because an
+  // A pends exactly until its first qualifying KEPT B: match = (A,
+  // min qualifying b_ts), timeout = unmatched A's with a_ts + 1 h
+  // below the FINAL watermark — no intra-batch ordering enters (a
+  // kept qualifying B provably precedes the A's timer; equal-ts A/B
+  // pairs share a batch under time-ranged batching and the processor
+  // sorts A before B). Sentinel epoch b_ts for timeouts (the q114
+  // null-cell convention); 333 ms tail keeps wm comparisons tie-free.
+  // ----------------------------------------------------------------
+  def q122StreamPattern(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:q122_stream_pattern") {
+      q122StreamPatternBuild(spark, dir)
+    }
+
+  /** Bounded driver collect BY DESIGN (the replay-harness shape). */
+  private def q122StreamPatternBuild(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val (t1, t2) = ("2024-01-11 00:00:00", "2024-01-21 00:00:00")
+    val rows = Tables.events(spark, dir)
+      .filter(col("event_id") % 3 < 2) // A's and B's only; the rest is noise
+      .select(col("user_id"),
+        when(col("event_id") % 3 === 0, "A").otherwise("B").as("etype"),
+        date_trunc("second", col("ts")).as("sts"), col("event_id"))
+      .withColumn("b",
+        when(col("event_id") % 13 === 0 && col("sts") < lit(t1).cast("timestamp"), 3)
+          .when(col("sts") < lit(t1).cast("timestamp"), 1)
+          .when(col("sts") < lit(t2).cast("timestamp"), 2)
+          .otherwise(3))
+      .as[(Long, String, java.sql.Timestamp, Long, Int)].collect()
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, java.sql.Timestamp, Long)]
+    val out = java.nio.file.Files.createTempDirectory("graft_q122_").toString
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.get(provKey,
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val outcomes = graft.streaming.StreamingIngest.matchPattern(
+        in.toDF().toDF("user_id", "etype", "ts", "event_id")
+          .as[graft.streaming.PatternEvent],
+        horizonMs = 60 * 60 * 1000L, watermark = "72 hours 333 milliseconds")
+      val query = outcomes.writeStream.outputMode("append")
+        .format("parquet").option("path", s"$out/table")
+        .option("checkpointLocation", s"$out/ckpt")
+        .start()
+      try {
+        (1 to 3).foreach { b =>
+          in.addData(rows.iterator.filter(_._5 == b)
+            .map(r => (r._1, r._2, r._3, r._4)).toSeq: _*)
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+    } finally spark.conf.set(provKey, prevProv)
+    spark.read.parquet(s"$out/table")
+      .select(col("user_id"), col("a_id"), col("a_ts"), col("b_ts"), col("matched"))
+      .orderBy(col("a_id"))
+  }
+
+  val q122StreamPatternSql: String =
+    """WITH ev AS (
+      |  SELECT user_id,
+      |         CASE WHEN event_id % 3 = 0 THEN 'A' ELSE 'B' END AS etype,
+      |         date_trunc('second', ts) AS sts, event_id
+      |  FROM events WHERE event_id % 3 < 2),
+      |r AS (
+      |  SELECT user_id, etype, sts, event_id,
+      |         CASE WHEN event_id % 13 = 0 AND sts < TIMESTAMP '2024-01-11 00:00:00' THEN 3
+      |              WHEN sts < TIMESTAMP '2024-01-11 00:00:00' THEN 1
+      |              WHEN sts < TIMESTAMP '2024-01-21 00:00:00' THEN 2
+      |              ELSE 3 END AS b
+      |  FROM ev),
+      |wm2 AS (SELECT max(sts) - INTERVAL '72 hours' - INTERVAL '333 milliseconds' AS w
+      |        FROM r WHERE b = 1),
+      |wm3 AS (SELECT max(sts) - INTERVAL '72 hours' - INTERVAL '333 milliseconds' AS w
+      |        FROM r WHERE b <= 2),
+      |wmf AS (SELECT max(sts) - INTERVAL '72 hours' - INTERVAL '333 milliseconds' AS w
+      |        FROM r),
+      |kept AS (
+      |  SELECT user_id, etype, sts, event_id FROM r
+      |  WHERE b = 1
+      |     OR (b = 2 AND sts >= (SELECT w FROM wm2))
+      |     OR (b = 3 AND sts >= (SELECT w FROM wm3))),
+      |akept AS (SELECT user_id, event_id AS a_id, sts AS a_ts FROM kept WHERE etype = 'A'),
+      |bkept AS (SELECT user_id, sts AS b_sts FROM kept WHERE etype = 'B'),
+      |m AS (
+      |  SELECT a.user_id, a.a_id, a.a_ts, min(b.b_sts) AS b_ts
+      |  FROM akept a JOIN bkept b
+      |    ON b.user_id = a.user_id
+      |   AND b.b_sts >= a.a_ts
+      |   AND b.b_sts <= a.a_ts + INTERVAL '60 minutes'
+      |  GROUP BY a.user_id, a.a_id, a.a_ts)
+      |SELECT user_id, a_id, a_ts, b_ts, true AS matched FROM m
+      |UNION ALL
+      |SELECT user_id, a_id, a_ts, TIMESTAMP '1970-01-01 00:00:00' AS b_ts,
+      |       false AS matched
+      |FROM akept
+      |WHERE a_id NOT IN (SELECT a_id FROM m)
+      |  AND a_ts + INTERVAL '60 minutes' < (SELECT w FROM wmf)
+      |ORDER BY a_id""".stripMargin
+
+  // ----------------------------------------------------------------
   // q109_bpe_encode — BPE ENCODE ON UNSEEN TEXT under the driver gate
   // (round-9 verdict #6; previously documented-not-gated): does the
   // training-order replay encode (Bpe.encodeCol — one pass per merge,

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 import graft.ops.MergeWriter
 
@@ -25,6 +25,20 @@ case class HighAlert(asset_id: String, ts: java.sql.Timestamp,
 
 /** Input event for the streaming sessionizer. */
 case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
+
+/** Input event for the streaming A→B pattern matcher: `etype` is
+  * "A" (the trigger, e.g. login/impression) or "B" (the goal, e.g.
+  * purchase/click); other types should be filtered out upstream. */
+case class PatternEvent(user_id: Long, etype: String,
+                        ts: java.sql.Timestamp, event_id: Long)
+
+/** One resolution per A event from [[StreamingIngest.matchPattern]]:
+  * `matched = true` with the FIRST qualifying B's timestamp, or
+  * `matched = false` (b_ts = epoch sentinel) when the watermark
+  * passed `a_ts + horizon` with no qualifying B — the timeout. An A
+  * whose window is still open at stream end emits nothing. */
+case class PatternOutcome(user_id: Long, a_id: Long, a_ts: java.sql.Timestamp,
+                          b_ts: java.sql.Timestamp, matched: Boolean)
 
 /** A CLOSED session emitted by [[StreamingIngest.sessionizeStream]]:
   * closed either by a same-user event beyond the gap (emitted at
@@ -296,6 +310,80 @@ object StreamingIngest {
       .groupByKey(_.user_id)(Encoders.scalaLong)
       .transformWithState(new SessionProcessor(gapMs),
         TimeMode.EventTime(), OutputMode.Append())(Encoders.product[ClosedSession])
+
+  /** The `transformWithState` processor behind [[matchPattern]] —
+    * ListState + one event-time timer per pending A. An arriving B
+    * resolves EVERY pending A whose window covers it (an A stays
+    * pending only until its first qualifying B, so "first B at or
+    * after A within the horizon" is exactly what emits); a timer
+    * firing at `a_ts + horizon` resolves the A as a timeout. Stale
+    * timers (their A already matched) find no pending entry with that
+    * expiry and no-op. Input rows are sorted (ts, A-before-B) so an
+    * equal-timestamp A/B pair resolves deterministically as a match.
+    *
+    * Ordering soundness: a KEPT B implies `b_ts ≥ wm(batch)`, and a
+    * qualifying B implies `b_ts ≤ a_ts + horizon`, so the A's timer
+    * (`wm > a_ts + horizon`) can never have fired before a batch that
+    * still delivers a qualifying B — match-vs-timeout is determined
+    * by the data, not by intra-batch processing order.
+    *
+    * State: pending (a_id, a_ts) pairs per key — bounded by A-traffic
+    * × horizon, evicted by match or timer, never history. */
+  private[streaming] class PatternProcessor(horizonMs: Long)
+      extends StatefulProcessor[Long, PatternEvent, PatternOutcome] {
+    @transient private var pending: ListState[(Long, Long)] = _
+    private def t(ms: Long) = new java.sql.Timestamp(ms)
+    private val epoch = new java.sql.Timestamp(0L)
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      pending = getHandle.getListState[(Long, Long)]("pendingA",
+        Encoders.product[(Long, Long)], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[PatternEvent],
+                                 tv: TimerValues): Iterator[PatternOutcome] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, if (e.etype == "B") 1 else 0))
+      var buf = if (pending.exists()) pending.get().toVector else Vector.empty
+      var out = List.empty[PatternOutcome]
+      sorted.foreach { e =>
+        val ms = e.ts.getTime
+        if (e.etype == "A") {
+          buf :+= ((e.event_id, ms))
+          getHandle.registerTimer(ms + horizonMs)
+        } else if (e.etype == "B") {
+          val (hit, miss) = buf.partition(p => p._2 <= ms && ms <= p._2 + horizonMs)
+          hit.foreach { case (id, aMs) => out ::= PatternOutcome(key, id, t(aMs), t(ms), true) }
+          buf = miss
+        }
+      }
+      if (buf.isEmpty) pending.clear() else pending.put(buf.toArray)
+      out.reverseIterator
+    }
+
+    override def handleExpiredTimer(key: Long, tv: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[PatternOutcome] = {
+      val buf = if (pending.exists()) pending.get().toVector else Vector.empty
+      val (timedOut, keep) = buf.partition(_._2 + horizonMs == info.getExpiryTimeInMs)
+      if (keep.isEmpty) pending.clear() else pending.put(keep.toArray)
+      timedOut.iterator.map { case (id, aMs) =>
+        PatternOutcome(key, id, t(aMs), epoch, false) }
+    }
+  }
+
+  /** Streaming A→B pattern matching with timeout — the CEP-lite
+    * funnel step ("purchase within an hour of login") as a single
+    * stateful operator: every A event resolves exactly once, as a
+    * MATCH carrying its first qualifying B's timestamp or as a
+    * TIMEOUT once the watermark proves no qualifying B can arrive.
+    * The batch q79 funnel answers this offline; this is the
+    * continuous form. Requires the RocksDB state store (see q122). */
+  def matchPattern(events: Dataset[PatternEvent],
+                   horizonMs: Long = 60 * 60 * 1000L,
+                   watermark: String = "24 hours"): Dataset[PatternOutcome] =
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(new PatternProcessor(horizonMs),
+        TimeMode.EventTime(), OutputMode.Append())(Encoders.product[PatternOutcome])
 
   /** foreachBatch sink: last-write-wins merge of each micro-batch into
     * a date-partitioned parquet table on (asset_id, ts) — U2 semantics

@@ -207,6 +207,58 @@ class StreamingSpec extends AnyFunSuite {
     } finally spark.conf.set(provKey, prevProv)
   }
 
+  test("matchPattern: one B resolves all covered pending A's, timeouts fire at " +
+    "watermark, open windows and late/uncovered B's emit nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{PatternEvent, PatternOutcome}
+    def t(s: Long) = new Timestamp(s * 1000L)
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.get(provKey,
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[PatternEvent]
+      val query = StreamingIngest.matchPattern(input.toDS(),
+          horizonMs = 50000L, watermark = "10 seconds")
+        .writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName("tws_pattern").start()
+      // b1: u1 has two pending A's resolved by ONE B in-batch; u2's A
+      // never sees a B; u7's A will lose its B to the late filter
+      input.addData(
+        PatternEvent(1L, "A", t(100), 1L), PatternEvent(1L, "A", t(110), 2L),
+        PatternEvent(1L, "B", t(120), 91L),
+        PatternEvent(2L, "A", t(100), 3L),
+        PatternEvent(7L, "A", t(120), 7L))
+      query.processAllAvailable()
+      // b2 (wm 110): u3's B has no pending A (ignored); advances wm to
+      // 290 so u2's and u7's timers fire next; u4's A stays pending
+      input.addData(PatternEvent(3L, "B", t(300), 92L),
+        PatternEvent(4L, "A", t(285), 4L))
+      query.processAllAvailable()
+      // b3 (wm 290): u4's B matches across batches; u6 is the equal-ts
+      // A/B pair (must match — A sorts first); u7's B arrives LATE
+      // (140 < wm, filtered); u5's A advances the final wm but its own
+      // window stays open (1050 > 990) and must not emit
+      input.addData(PatternEvent(4L, "B", t(300), 93L),
+        PatternEvent(6L, "A", t(600), 6L), PatternEvent(6L, "B", t(600), 94L),
+        PatternEvent(7L, "B", t(140), 95L),
+        PatternEvent(5L, "A", t(1000), 5L))
+      query.processAllAvailable()
+      query.stop()
+      val got = spark.table("tws_pattern").as[PatternOutcome].collect()
+        .map(o => (o.a_id, o.a_ts.getTime / 1000, o.b_ts.getTime / 1000, o.matched))
+        .toSet
+      assert(got == Set(
+        (1L, 100L, 120L, true), (2L, 110L, 120L, true), // one B, both A's
+        (3L, 100L, 0L, false),                          // timeout
+        (4L, 285L, 300L, true),                         // cross-batch match
+        (6L, 600L, 600L, true),                         // equal-ts pair
+        (7L, 120L, 0L, false)),                         // its B was late-filtered
+        s"got $got — id5's open window must not emit; uncovered/late B's resolve nothing")
+    } finally spark.conf.set(provKey, prevProv)
+  }
+
   test("flatMapGroupsWithState high-watermark alerts carry state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.{HighAlert, PriceTick}
