@@ -3130,18 +3130,26 @@ object ExtQueries {
   // near 0, templated text near 1e6 — the classic cheap quality
   // filter signal. Oracle: identical pipeline in DuckDB.
   // ----------------------------------------------------------------
-  def q113TrigramCoverage(spark: SparkSession, dir: String): DataFrame = {
-    import graft.ext.TextAnalysis
-    val docs = Tables.documents(spark, dir)
-    // Explicit whitespace class, not Dedup.normalized's \s: Java's \s
-    // includes U+000B, RE2's does not, so a vertical tab in a document
-    // would give the two engines different trigram streams (the q112
-    // parity rule; Dedup.normalized predates it and its oracles share
-    // the \s convention on both sides).
-    val tri = graft.ops.Intermediates.shared(
-      docs.select(col("doc_id"),
+  /** The (doc_id, trigram-occurrence) stream both LM gates consume —
+    * ONE explode pass per (session, dir) shared across q113 and q119
+    * through the S8 cache (the q101↔q109 shared-training posture:
+    * whichever runs first pays the pass). Explicit whitespace class,
+    * not Dedup.normalized's \s: Java's \s includes U+000B, RE2's does
+    * not, so a vertical tab in a document would give the two engines
+    * different trigram streams (the q112 parity rule). */
+  private def trigramPass(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:trigram_pass") {
+      Tables.documents(spark, dir)
+        .select(col("doc_id"),
           regexp_replace(trim(lower(col("text"))), "[ \\t\\n\\r\\f]+", " ").as("t"))
-        .select(col("doc_id"), explode(TextAnalysis.charTrigrams(col("t"))).as("g")))
+        .select(col("doc_id"),
+          explode(graft.ext.TextAnalysis.charTrigrams(col("t"))).as("g"))
+    }
+
+  def q113TrigramCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tri = trigramPass(spark, dir)
     val top = tri.groupBy(col("g")).agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("g")).limit(4096)
       .select(col("g"), lit(1).as("__hit"))
@@ -3206,14 +3214,8 @@ object ExtQueries {
   // pair.
   // ----------------------------------------------------------------
   def q119LmScore(spark: SparkSession, dir: String): DataFrame = {
-    import graft.ext.TextAnalysis
     val docs = Tables.documents(spark, dir)
-    // Same normalization + explode as q113 (same Intermediates key, so
-    // a pass running both pays the trigram pass once).
-    val tri = graft.ops.Intermediates.shared(
-      docs.select(col("doc_id"),
-          regexp_replace(trim(lower(col("text"))), "[ \\t\\n\\r\\f]+", " ").as("t"))
-        .select(col("doc_id"), explode(TextAnalysis.charTrigrams(col("t"))).as("g")))
+    val tri = trigramPass(spark, dir) // shared with q113 (S8 cache)
     val cnt3 = graft.ops.Intermediates.shared(
       tri.groupBy(col("g")).agg(count(lit(1)).as("n3")))
     val ctx2 = cnt3.groupBy(substring(col("g"), 1, 2).as("p"))
