@@ -69,6 +69,10 @@ object ManifestTable {
     * because partition values are stringified column values and this
     * name is not a legal date/number and is refused as exotic. */
   private val SchemaKey = "__schema__"
+  /** Manifest line key carrying the commit wall-clock epoch-millis —
+    * the [[readAsOf]] resolution key. Same reservation argument. */
+  private val CommitKey = "__commit_ms__"
+  private val Reserved = Set(SchemaKey, CommitKey)
 
   /** Merge `incoming` into the manifest table at `path` with
     * [[Merge.upsert]] semantics per partition of `partitionCol`
@@ -250,8 +254,8 @@ object ManifestTable {
     touched.find(k => k.contains('\t') || k.contains('\n')).foreach(k =>
       sys.error(s"ManifestTable.merge: partition value ${k.replace("\t", "\\t")
         .replace("\n", "\\n")} contains a tab/newline — not manifest-encodable"))
-    require(!touched(SchemaKey),
-      s"ManifestTable.merge: partition value '$SchemaKey' collides with the manifest schema key")
+    Reserved.foreach(k => require(!touched(k),
+      s"ManifestTable.merge: partition value '$k' collides with a reserved manifest key"))
     touched
   }
 
@@ -533,6 +537,7 @@ object ManifestTable {
           .map(s => s"$dir\t$s").getOrElse(dir)
       }
     val entries = (SchemaKey -> plan.nextSchemaJson) +:
+      (CommitKey -> System.currentTimeMillis().toString) +:
       (plan.oldEntries.filterNot(e => plan.touched(e._1)) ++ newWithStats)
     val next = plan.current.getOrElse(0L) + 1
     writeManifest(fs, plan.path, next, entries)
@@ -597,6 +602,29 @@ object ManifestTable {
     committedSchema(lines).map(spark.read.schema(_)).getOrElse(spark.read).parquet(dirs: _*)
   }
 
+  /** TIME TRAVEL BY TIMESTAMP: the table as of wall-clock instant
+    * `asOfMs` — the latest retained version whose commit time is at
+    * or before it (Delta's `TIMESTAMP AS OF`). Commit times come from
+    * the `__commit_ms__` manifest header; pre-tracking manifests fall
+    * back to the manifest file's modification time. Fails if every
+    * retained version committed after `asOfMs` (the snapshot that was
+    * live then has been expired — or never existed). */
+  def readAsOf(spark: SparkSession, path: String, asOfMs: Long,
+               partitionFilter: String => Boolean = _ => true): DataFrame = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vs = versions(fs, path)
+    require(vs.nonEmpty, s"ManifestTable.readAsOf: no manifest under $path/$ManifestDir")
+    val eligible = vs.filter { v =>
+      val ms = committedMs(readManifest(fs, path, v)).getOrElse(
+        fs.getFileStatus(new Path(f"$path/$ManifestDir/m$v%012d")).getModificationTime)
+      ms <= asOfMs
+    }
+    require(eligible.nonEmpty,
+      s"ManifestTable.readAsOf: no retained version committed at or before $asOfMs " +
+        s"(earliest retained is m${vs.head})")
+    readVersion(spark, path, eligible.last, partitionFilter)
+  }
+
   /** All retained manifest versions, ascending (empty = no table).
     * Only `m<digits>` names count — a stray foreign file in the
     * manifest dir is ignored rather than crashing every read. */
@@ -613,9 +641,15 @@ object ManifestTable {
   private[ops] def latestVersion(fs: FileSystem, path: String): Option[Long] =
     versions(fs, path).lastOption
 
-  /** Partition entries of a manifest (the schema header filtered out). */
+  /** Partition entries of a manifest (reserved headers filtered out). */
   private[ops] def dataEntries(lines: Seq[(String, String)]): Seq[(String, String)] =
-    lines.filterNot(_._1 == SchemaKey)
+    lines.filterNot(e => Reserved(e._1))
+
+  /** The wall-clock commit instant a manifest recorded, if any
+    * (manifests written before commit-time tracking have none —
+    * [[readAsOf]] then falls back to the manifest file's mtime). */
+  private[ops] def committedMs(lines: Seq[(String, String)]): Option[Long] =
+    lines.collectFirst { case (CommitKey, ms) => ms.toLong }
 
   /** The schema a manifest committed, if one was recorded (manifests
     * written before schema tracking have none — readers then fall

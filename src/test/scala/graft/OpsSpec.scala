@@ -576,6 +576,46 @@ class MergeSpec extends AnyFunSuite {
     assert(ManifestTable.read(spark, path).count() == 6)
   }
 
+  test("ManifestTable.readAsOf resolves the version live at a wall-clock instant; " +
+    "under-declared knownTouched refuses before any commit") {
+    import graft.ops.ManifestTable
+    import graft.ops.ManifestTable.TableMerge
+    val path = java.nio.file.Files.createTempDirectory("graft-manifest-asof").toString + "/t"
+    val day1 = ts("2024-01-01")
+    def mergeV(v: Double) = ManifestTable.merge(spark, path,
+      Seq((1L, day1, v)).toDF("id", "day", "v"), Seq("id"), "day")
+    val t0 = System.currentTimeMillis()
+    Thread.sleep(5); mergeV(10.0); Thread.sleep(5)
+    val t1 = System.currentTimeMillis()
+    Thread.sleep(5); mergeV(20.0); Thread.sleep(5)
+    def vAt(ms: Long) = ManifestTable.readAsOf(spark, path, ms)
+      .select("v").as[Double].collect().toSeq
+    assert(vAt(t1) == Seq(10.0), "the snapshot live between the commits is v1")
+    assert(vAt(System.currentTimeMillis()) == Seq(20.0))
+    intercept[IllegalArgumentException](vAt(t0)) // before the first commit
+    // knownTouched safety: a batch carrying rows for an UNDECLARED
+    // partition must refuse loudly BEFORE committing anything
+    val day2 = ts("2024-01-02")
+    val base2 = java.nio.file.Files.createTempDirectory("graft-manifest-kt").toString
+    val fs = new org.apache.hadoop.fs.Path(base2)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // partition-value strings are Spark's cast-to-string form (no
+    // fractional tail, unlike Timestamp.toString)
+    val (p1, p2) = ("2024-01-01 00:00:00", "2024-01-02 00:00:00")
+    intercept[IllegalArgumentException](ManifestTable.mergeMany(spark, base2, Seq(
+      TableMerge("tt", Seq((1L, day1, 1.0), (2L, day2, 2.0)).toDF("id", "day", "v"),
+        Seq("id"), "day",
+        knownTouched = Some(Set(p1))))))  // day2 written, undeclared
+    assert(ManifestTable.versions(fs, base2 + "/tt").isEmpty,
+      "the refused merge must not have committed a version")
+    // over-declaring a partition with no data and no history is a no-op
+    ManifestTable.mergeMany(spark, base2, Seq(
+      TableMerge("tt", Seq((1L, day1, 1.0)).toDF("id", "day", "v"),
+        Seq("id"), "day",
+        knownTouched = Some(Set(p1, p2)))))
+    assert(ManifestTable.read(spark, base2 + "/tt").count() == 1)
+  }
+
   test("applyChangeFeed: deletes drop keys, highest version wins, re-insert resurrects") {
     val existing = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "v")
     val feed = Seq(
