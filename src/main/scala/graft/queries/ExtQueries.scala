@@ -3294,6 +3294,103 @@ object ExtQueries {
       |ORDER BY d.doc_id""".stripMargin
 
   // ----------------------------------------------------------------
+  // q123_ccnet_sample — CCNet-STYLE QUALITY-STRATIFIED SAMPLING: the
+  // composition a pretraining pipeline actually runs — the q119
+  // backoff-LM score, length-normalized (score_q / n_tri as one
+  // IEEE-exact double division), cut into PER-LANGUAGE perplexity
+  // terciles (head/middle/tail — CCNet buckets per language, which
+  // also keeps the ntile window a proper per-lang exchange, never a
+  // global sort; at 100 TB the tercile EDGES would come from the q43
+  // KLL sketch instead of an exact window, same downstream), then
+  // deterministically subsampled per bucket (head 100% / middle 50% /
+  // tail 10%) with the SAME salted-md5 mechanics as q50's mixture —
+  // no RNG, reproducible, composes with the train/val split
+  // uncorrelated. Output: per (lang, bucket) doc counts, kept counts,
+  // rate, and the kept-id checksum. Oracle: the full q119 model chain
+  // + ntile + the identical md5 rule in DuckDB.
+  // ----------------------------------------------------------------
+  def q123CcnetSample(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val scored = q119LmScore(spark, dir)
+      .filter(col("n_tri") > 0)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .withColumn("avg_q", col("score_q").cast("double") / col("n_tri"))
+      .withColumn("tb", ntile(3).over(
+        Window.partitionBy(col("lang")).orderBy(col("avg_q").desc, col("doc_id"))))
+      .withColumn("btag", when(col("tb") === 1, "head")
+        .when(col("tb") === 2, "middle").otherwise("tail"))
+      .withColumn("rate", graft.ext.Curate.rateFor(col("btag"),
+        Seq("head" -> 100, "middle" -> 50, "tail" -> 10)))
+      .withColumn("__keep",
+        graft.ext.Curate.hashBucketSalted(col("doc_id"), "#ccnet", 100) < col("rate"))
+    scored.groupBy(col("lang"), col("btag"))
+      .agg(max(col("rate")).cast("long").as("rate_pct"),
+        count(lit(1)).as("n_docs"),
+        sum(when(col("__keep"), lit(1L)).otherwise(lit(0L))).as("n_kept"),
+        sum(when(col("__keep"), col("doc_id")).otherwise(lit(0L))).as("sum_kept_ids"))
+      .orderBy(col("lang"), col("btag"))
+  }
+
+  val q123CcnetSampleSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang,
+      |         regexp_replace(trim(lower(text)), '[ \t\n\r\f]+', ' ', 'g') AS t
+      |  FROM documents),
+      |tri AS (
+      |  SELECT doc_id,
+      |         unnest(list_transform(range(1, length(t) - 1),
+      |           i -> substr(t, CAST(i AS INT), 3))) AS g
+      |  FROM d WHERE length(t) >= 3),
+      |cnt3 AS (SELECT g, CAST(count(*) AS BIGINT) AS n3 FROM tri GROUP BY g),
+      |ctx2 AS (SELECT substr(g, 1, 2) AS p, CAST(sum(n3) AS BIGINT) AS n2ctx
+      |         FROM cnt3 GROUP BY 1),
+      |bi   AS (SELECT substr(g, 2, 2) AS s, CAST(sum(n3) AS BIGINT) AS n2
+      |         FROM cnt3 GROUP BY 1),
+      |ctx1 AS (SELECT substr(g, 2, 1) AS m, CAST(sum(n3) AS BIGINT) AS n1ctx
+      |         FROM cnt3 GROUP BY 1),
+      |uni  AS (SELECT substr(g, 3, 1) AS c, CAST(sum(n3) AS BIGINT) AS n1
+      |         FROM cnt3 GROUP BY 1),
+      |tot  AS (SELECT CAST(sum(n3) AS BIGINT) AS ntot FROM cnt3),
+      |model AS (
+      |  SELECT g, CAST(floor(ln(
+      |      0.7e0 * CAST(n3 AS DOUBLE) / CAST(n2ctx AS DOUBLE)
+      |    + 0.2e0 * CAST(n2 AS DOUBLE) / CAST(n1ctx AS DOUBLE)
+      |    + 0.1e0 * CAST(n1 AS DOUBLE) / CAST(ntot AS DOUBLE)) * 1e6) AS BIGINT) AS qlp
+      |  FROM cnt3
+      |  JOIN ctx2 ON substr(g, 1, 2) = p
+      |  JOIN bi   ON substr(g, 2, 2) = s
+      |  JOIN ctx1 ON substr(g, 2, 1) = m
+      |  JOIN uni  ON substr(g, 3, 1) = c
+      |  CROSS JOIN tot),
+      |sc AS (
+      |  SELECT tri.doc_id, CAST(count(*) AS BIGINT) AS n_tri,
+      |         CAST(sum(qlp) AS BIGINT) AS score_q
+      |  FROM tri JOIN model USING (g) GROUP BY tri.doc_id),
+      |scored AS (
+      |  SELECT sc.doc_id, d.lang,
+      |         CAST(sc.score_q AS DOUBLE) / sc.n_tri AS avg_q
+      |  FROM sc JOIN d ON d.doc_id = sc.doc_id
+      |  WHERE sc.n_tri > 0),
+      |tagged AS (
+      |  SELECT doc_id, lang,
+      |         CASE ntile(3) OVER (PARTITION BY lang ORDER BY avg_q DESC, doc_id)
+      |              WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS btag
+      |  FROM scored),
+      |rated AS (
+      |  SELECT doc_id, lang, btag,
+      |         CASE btag WHEN 'head' THEN 100 WHEN 'middle' THEN 50 ELSE 10 END AS rate,
+      |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#ccnet'), 1, 8))
+      |              AS UBIGINT) % 100 AS hb
+      |  FROM tagged)
+      |SELECT lang, btag, CAST(max(rate) AS BIGINT) AS rate_pct,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(CASE WHEN hb < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(sum(CASE WHEN hb < rate THEN doc_id ELSE 0 END) AS BIGINT) AS sum_kept_ids
+      |FROM rated GROUP BY lang, btag
+      |ORDER BY lang, btag""".stripMargin
+
+  // ----------------------------------------------------------------
   // q99_image_decode — the REAL byte-level image kernel under the
   // driver gate (round-7 verdict #5; the decode family is no longer
   // stub-labeled): deterministic gradient images are ENCODED in a
