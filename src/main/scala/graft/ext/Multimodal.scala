@@ -135,11 +135,21 @@ object Multimodal {
   final class FeatureExtractor {
     private val images = new PixelDecoder
     private val audio = new WavDecoder
+    private val video = new AviDecoder
 
     def extract(id: Long, bytes: Array[Byte]): MediaFeatures = {
       require(bytes.length >= 4, s"media $id: ${bytes.length}-byte payload")
       val f = new Array[Long](8)
-      if (bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F') {
+      // RIFF covers BOTH modalities — the form type at bytes 8-11
+      // routes WAVE to the audio kernel and 'AVI ' to the video one
+      // (red/green frame sums over 4 temporal windows, the per-frame
+      // analog of the audio per-window energy).
+      if (bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
+          bytes(2) == 'F' && bytes(3) == 'F' &&
+          bytes(8) == 'A' && bytes(9) == 'V' && bytes(10) == 'I' && bytes(11) == ' ') {
+        val v = video.temporalFeatures(id, bytes)
+        MediaFeatures(id, "video", v(0), v(1), v(2), v(3), v(4), v(5), v(6), v(7))
+      } else if (bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F') {
         val p = audio.pcm(id, bytes)
         var fr = 0
         while (fr < p.nFrames) {
@@ -692,7 +702,11 @@ object Multimodal {
       (sr, sg, sb)
     }
 
-    def decode(id: Long, b: Array[Byte]): DecodedVideo = {
+    /** Parsed container geometry shared by [[decode]] and
+      * [[temporalFeatures]] — (w, h, nFrames, usPerFrame, moviOff,
+      * moviEnd, idxOff), every header/idx1 invariant checked with the
+      * labeled quarantine errors. */
+    private def parseHeader(id: Long, b: Array[Byte]): (Int, Int, Int, Int, Int, Int, Int) = {
       require(b.length >= 12 && tag(b, 0) == "RIFF" && tag(b, 8) == "AVI ",
         s"media $id: not a RIFF AVI")
       var i = 12
@@ -746,6 +760,37 @@ object Multimodal {
       require(moviOff >= 0, s"media $id: no movi list")
       require(idxOff >= 0 && idxLen == 16 * nFrames,
         s"media $id: idx1 missing or ${idxLen}B for $nFrames frames")
+      (w, h, nFrames, usPerFrame, moviOff, moviEnd, idxOff)
+    }
+
+    /** Temporal video features for [[FeatureExtractor]]: frame-level
+      * red sums bucketed into 4 equal temporal windows (f0–f3) and
+      * the same for green (f4–f7) — the per-frame analog of the audio
+      * kernel's per-window energy, computed in the same sequential
+      * movi walk [[decode]] validates. */
+    def temporalFeatures(id: Long, b: Array[Byte]): Array[Long] = {
+      val (w, h, nFrames, _, moviOff, moviEnd, _) = parseHeader(id, b)
+      val stride = (w * 3 + 3) / 4 * 4
+      val frameBytes = stride * h
+      val f = new Array[Long](8)
+      var seen = 0
+      var j = moviOff
+      while (j + 8 <= moviEnd) {
+        val ft = tag(b, j); val fs = le32(b, j + 4)
+        require(ft == "00db" && fs == frameBytes,
+          s"media $id: movi chunk $ft/$fs != 00db/$frameBytes at byte $j")
+        val win = seen * 4 / nFrames
+        val (r, g, _) = frameSums(b, j + 8, w, h)
+        f(win) += r; f(4 + win) += g
+        seen += 1
+        j += 8 + fs + (fs & 1)
+      }
+      require(seen == nFrames, s"media $id: movi holds $seen frames, avih says $nFrames")
+      f
+    }
+
+    def decode(id: Long, b: Array[Byte]): DecodedVideo = {
+      val (w, h, nFrames, usPerFrame, moviOff, moviEnd, idxOff) = parseHeader(id, b)
       val stride = (w * 3 + 3) / 4 * 4
       val frameBytes = stride * h
       // Sequential walk of the movi children.

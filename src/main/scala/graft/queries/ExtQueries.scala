@@ -3391,6 +3391,66 @@ object ExtQueries {
       |ORDER BY lang, btag""".stripMargin
 
   // ----------------------------------------------------------------
+  // q124_video_features — the VIDEO arm of the real feature kernel
+  // (completes the q115 family — extractFeatures now routes RIFF by
+  // FORM TYPE, 'AVI ' to the AviDecoder instead of misrouting every
+  // RIFF payload to the WAV kernel): deterministic AVIs are ENCODED
+  // with the q110 pixel rule, then summarized as frame-level red sums
+  // bucketed into 4 equal temporal windows (f0–f3) and the same for
+  // green (f4–f7) — the per-frame analog of the audio kernel's
+  // per-window energy, computed in the same validated movi walk. The
+  // oracle recomputes all eight features closed-form from the planted
+  // rule with the f·4//nf window assignment.
+  // ----------------------------------------------------------------
+  def q124VideoFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val spec = Tables.documents(spark, dir)
+      .select(col("doc_id").as("media_id"),
+        (col("doc_id") % 5 + 4).cast("int").as("w"),
+        (col("doc_id") % 4 + 3).cast("int").as("h"),
+        (col("doc_id") % 7 + 2).cast("int").as("nf"),
+        (lit(33333) + (col("doc_id") % 3) * 8334).cast("int").as("uspf"))
+      .as[(Long, Int, Int, Int, Int)]
+    val media = spec.mapPartitions { rows =>
+      rows.map { case (id, w, h, nf, uspf) =>
+        val px = (f: Int, x: Int, y: Int) => (
+          ((3L * f + 5L * x + 7L * y + id) % 256L).toInt,
+          ((11L * f + 13L * x + 17L * y + id) % 256L).toInt,
+          ((19L * f + 23L * x + 29L * y + id) % 256L).toInt)
+        (id, graft.ext.Multimodal.encodeAvi(w, h, nf, uspf, px,
+          withJunk = id % 3 == 0))
+      }
+    }.toDF("media_id", "payload")
+    graft.ext.Multimodal.extractFeatures(media)
+      .toDF()
+      .orderBy(col("media_id"))
+  }
+
+  val q124VideoFeaturesSql: String = {
+    def win(k: Int, mult: Int): String =
+      s"""CAST(list_sum(list_transform(range(nf*w*h), i ->
+         |    CASE WHEN (i // (w*h)) * 4 // nf = $k
+         |         THEN ($mult*(i // (w*h)) + ${if (mult == 3) 5 else 13}*((i % (w*h)) % w)
+         |               + ${if (mult == 3) 7 else 17}*((i % (w*h)) // w) + media_id) % 256
+         |         ELSE 0 END)) AS BIGINT)""".stripMargin
+    s"""WITH m AS (
+       |  SELECT doc_id AS media_id,
+       |         4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
+       |         2 + doc_id % 7 AS nf
+       |  FROM documents)
+       |SELECT media_id, 'video' AS kind,
+       |  ${win(0, 3)} AS f0,
+       |  ${win(1, 3)} AS f1,
+       |  ${win(2, 3)} AS f2,
+       |  ${win(3, 3)} AS f3,
+       |  ${win(0, 11)} AS f4,
+       |  ${win(1, 11)} AS f5,
+       |  ${win(2, 11)} AS f6,
+       |  ${win(3, 11)} AS f7
+       |FROM m ORDER BY media_id""".stripMargin
+  }
+
+  // ----------------------------------------------------------------
   // q99_image_decode — the REAL byte-level image kernel under the
   // driver gate (round-7 verdict #5; the decode family is no longer
   // stub-labeled): deterministic gradient images are ENCODED in a
