@@ -1,0 +1,155 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** INCREMENTAL AGGREGATE-VIEW MAINTENANCE over a [[ManifestTable]] —
+  * the lakehouse materialized-view refresh: a grouped COUNT/SUM view
+  * of a base table is kept current by folding in only the DELTA of
+  * the partitions each base commit touched, never re-scanning the
+  * table. At 100 TB this is the difference between a refresh that
+  * costs O(daily batch) and one that costs O(history).
+  *
+  * Mechanics per [[refresh]]:
+  *   1. The last folded-in base version is read from the agg table's
+  *      committed PROPERTIES (`agg.base_version`) — atomic with the
+  *      agg data because both live in one manifest rename, so the
+  *      "applied the delta but lost the watermark" double-count crash
+  *      window cannot exist.
+  *   2. CHANGED partitions = manifest-entry diff between the recorded
+  *      and current base versions (added, removed, or rewritten dirs
+  *      — a pure driver-side metadata compare).
+  *   3. The delta = aggregate over the changed partitions' NEW dirs
+  *      minus the same over their OLD dirs (sign-tagged union, one
+  *      aggregation job) — old dirs are readable because they belong
+  *      to a retained base version (time travel is what makes
+  *      retraction possible without a log).
+  *   4. Affected group-hash buckets of the agg table are rewritten
+  *      via replaceTouched (bucket-pruned read ⟗ delta, groups whose
+  *      count reaches zero are DROPPED — the delete upsert semantics
+  *      cannot express), committing the new base version in the same
+  *      rename.
+  *
+  * If the recorded base version is no longer retained (refresh lagged
+  * past the base's `retainVersions` horizon) the view falls back to a
+  * FULL rebuild — correct, just not incremental; size the base
+  * retention to the refresh cadence.
+  *
+  * EXACTNESS CONTRACT: `sumCols` should be integer (LONG) columns —
+  * integer addition is associative, so the incrementally-maintained
+  * sums are bit-equal to a full recompute (the q125 gate proves it
+  * cross-engine). Floating sums would drift by reduction order, as
+  * they already do between any two full recomputes. COUNT and SUM
+  * are the retractable aggregates this maintains; MIN/MAX are not
+  * retractable without per-group history and are deliberately out of
+  * scope.
+  */
+object IncrementalAgg {
+
+  val BaseVersionProp = "agg.base_version"
+  private val BucketCol = "__gbucket"
+
+  /** The maintained view (group columns, `n`, `sum_<col>`…). */
+  def read(spark: SparkSession, aggPath: String): DataFrame =
+    ManifestTable.read(spark, aggPath).drop(BucketCol)
+
+  /** Bring the aggregate view at `aggPath` up to date with the base
+    * table at `basePath`. No-op if already current. */
+  def refresh(spark: SparkSession, basePath: String, aggPath: String,
+              groupCols: Seq[String], sumCols: Seq[String],
+              buckets: Int = 16, retainVersions: Int = 2): Unit = {
+    require(groupCols.nonEmpty, "IncrementalAgg.refresh: no group columns")
+    val fs = new Path(basePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val baseVersions = ManifestTable.versions(fs, basePath)
+    require(baseVersions.nonEmpty, s"IncrementalAgg.refresh: no base table at $basePath")
+    val baseCur = baseVersions.last
+    val state = ManifestTable.readProps(spark, aggPath).get(BaseVersionProp).map(_.toLong)
+    if (state.contains(baseCur)) return // already current
+
+    def aggOf(df: DataFrame, sign: Long): DataFrame =
+      df.groupBy(groupCols.map(col): _*)
+        .agg(sum(lit(sign)).as("n"),
+          sumCols.map(c => sum(col(c) * lit(sign)).as(s"sum_$c")): _*)
+
+    def withBucket(df: DataFrame): DataFrame =
+      df.withColumn(BucketCol,
+        pmod(xxhash64(groupCols.map(col): _*), lit(buckets.toLong)).cast("string"))
+
+    val aggFs = new Path(aggPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val incremental = state.exists(v => baseVersions.contains(v)) &&
+      ManifestTable.versions(aggFs, aggPath).nonEmpty
+
+    if (!incremental) {
+      // Full (re)build: the complete aggregate replaces every bucket.
+      val full = withBucket(aggOf(ManifestTable.read(spark, basePath), 1L))
+      ManifestTable.merge(spark, aggPath, full,
+        keys = groupCols, partitionCol = BucketCol,
+        retainVersions = retainVersions, replaceTouched = true,
+        knownTouched = Some(ManifestTable.partitionKeys(aggFs, aggPath) ++
+          (0 until buckets).map(_.toString)),
+        props = Map(BaseVersionProp -> baseCur.toString))
+      return
+    }
+
+    // Changed partitions between the recorded and current versions —
+    // a driver-side manifest diff (dir strings; stats suffixes ignored).
+    val prevV = state.get
+    val oldDirs = ManifestTable.partitionDirs(fs, basePath, prevV)
+    val newDirs = ManifestTable.partitionDirs(fs, basePath, baseCur)
+    val changed = (oldDirs.keySet ++ newDirs.keySet).filter(k =>
+      oldDirs.get(k) != newDirs.get(k))
+    val minus = changed.toSeq.flatMap(oldDirs.get)
+    val plus = changed.toSeq.flatMap(newDirs.get)
+
+    val delta: Option[DataFrame] =
+      if (changed.isEmpty) None
+      else {
+        val parts = Seq(
+          if (plus.isEmpty) None
+          else Some(aggOf(ManifestTable.readDirs(spark, basePath, baseCur, plus), 1L)),
+          if (minus.isEmpty) None
+          else Some(aggOf(ManifestTable.readDirs(spark, basePath, prevV, minus), -1L))
+        ).flatten
+        Some(parts.reduce(_ unionByName _)
+          .groupBy(groupCols.map(col): _*)
+          .agg(sum(col("n")).as("n"),
+            sumCols.map(c => sum(col(s"sum_$c")).as(s"sum_$c")): _*))
+      }
+
+    delta match {
+      case None =>
+        // Nothing changed (e.g. an idempotent base re-commit of
+        // identical content would still differ in dir names and land
+        // in the delta path; truly-empty diffs only advance the
+        // watermark): commit a data-empty version carrying the props.
+        val empty = read(spark, aggPath).limit(0)
+        ManifestTable.merge(spark, aggPath, withBucket(empty),
+          keys = groupCols, partitionCol = BucketCol,
+          retainVersions = retainVersions,
+          props = Map(BaseVersionProp -> baseCur.toString))
+      case Some(d) =>
+        val dB = withBucket(d)
+        val affected = dB.select(col(BucketCol)).distinct()
+          .collect().map(_.getString(0)).toSet
+        val existing = ManifestTable.read(spark, aggPath,
+            partitionFilter = affected.contains).drop(BucketCol)
+        val gc = groupCols
+        val merged = existing.select(
+            (gc.map(col) :+ col("n").as("__en")) ++
+              sumCols.map(c => col(s"sum_$c").as(s"__e$c")): _*)
+          .join(d.select((gc.map(col) :+ col("n").as("__dn")) ++
+            sumCols.map(c => col(s"sum_$c").as(s"__d$c")): _*), gc, "full_outer")
+          .select((gc.map(col) :+
+            (coalesce(col("__en"), lit(0L)) + coalesce(col("__dn"), lit(0L))).as("n")) ++
+            sumCols.map(c => (coalesce(col(s"__e$c"), lit(0L)) +
+              coalesce(col(s"__d$c"), lit(0L))).as(s"sum_$c")): _*)
+          .filter(col("n") > 0) // a group retracted to zero disappears
+        ManifestTable.merge(spark, aggPath, withBucket(merged),
+          keys = groupCols, partitionCol = BucketCol,
+          retainVersions = retainVersions, replaceTouched = true,
+          knownTouched = Some(affected),
+          props = Map(BaseVersionProp -> baseCur.toString))
+    }
+  }
+}

@@ -72,7 +72,15 @@ object ManifestTable {
   /** Manifest line key carrying the commit wall-clock epoch-millis —
     * the [[readAsOf]] resolution key. Same reservation argument. */
   private val CommitKey = "__commit_ms__"
-  private val Reserved = Set(SchemaKey, CommitKey)
+  /** Manifest line key carrying caller table properties (an encoded
+    * k=v list) — committed ATOMICALLY with the data by living in the
+    * same manifest, which is what makes them usable as transactional
+    * watermarks (e.g. [[IncrementalAgg]]'s last-folded base version:
+    * a crash between "agg data committed" and "state recorded" cannot
+    * exist, because they are one rename). NOT carried forward — each
+    * commit records its own; [[readProps]] resolves the latest. */
+  private val PropsKey = "__props__"
+  private val Reserved = Set(SchemaKey, CommitKey, PropsKey)
 
   /** Merge `incoming` into the manifest table at `path` with
     * [[Merge.upsert]] semantics per partition of `partitionCol`
@@ -98,17 +106,23 @@ object ManifestTable {
             keys: Seq[String], partitionCol: String,
             preserveExisting: Seq[String] = Nil,
             retainVersions: Int = 2,
-            statsColumns: Seq[String] = Nil): Unit = {
+            statsColumns: Seq[String] = Nil,
+            replaceTouched: Boolean = false,
+            props: Map[String, String] = Map.empty,
+            knownTouched: Option[Set[String]] = None): Unit = {
     require(retainVersions >= 1, s"retainVersions must be >= 1, got $retainVersions")
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
     // Affected-partition pruning: tiny bounded collect (distinct
-    // partition values of one batch), same as the swap-commit form.
-    val touched = validateTouched(incoming
+    // partition values of one batch), same as the swap-commit form —
+    // skipped when the caller DECLARES the window (commit-checked,
+    // see TableMerge.knownTouched).
+    val touched = validateTouched(knownTouched.getOrElse(incoming
       .select(col(partitionCol).cast("string").as("__p")).distinct()
       .collect().map(r => Option(r.getString(0)).getOrElse(
-        sys.error(s"ManifestTable.merge: null $partitionCol value in incoming"))).toSet)
-    val plan = planMerge(spark, fs, path, incoming, keys, preserveExisting, touched)
+        sys.error(s"ManifestTable.merge: null $partitionCol value in incoming"))).toSet))
+    val plan = planMerge(spark, fs, path, incoming, keys, preserveExisting, touched,
+      replaceTouched)
 
     // New data dirs, invisible until the manifest rename below. The
     // repartition gives each partition dir ONE file per batch (see
@@ -120,7 +134,7 @@ object ManifestTable {
     val newEntries = listPartitionDirs(fs, s"$path/$batch").map { name =>
       unescapePathName(name.stripPrefix("__pdir=")) -> s"$batch/$name"
     }
-    commitPlan(fs, plan, newEntries, retainVersions, statsColumns)
+    commitPlan(fs, plan, newEntries, retainVersions, statsColumns, props)
   }
 
   /** One incoming batch per table (a [[mergeMany]] element): the table
@@ -140,7 +154,9 @@ object ManifestTable {
                               keys: Seq[String], partitionCol: String,
                               preserveExisting: Seq[String] = Nil,
                               knownTouched: Option[Set[String]] = None,
-                              statsColumns: Seq[String] = Nil)
+                              statsColumns: Seq[String] = Nil,
+                              replaceTouched: Boolean = false,
+                              props: Map[String, String] = Map.empty)
 
   /** Merge several tables' batches with ONE touched-partition job and
     * ONE Spark write job covering every table — the multi-table form
@@ -204,7 +220,7 @@ object ManifestTable {
     }.toMap
 
     val plans = tables.map(t => t -> planMerge(spark, fs, s"$base/${t.name}",
-      t.incoming, t.keys, t.preserveExisting, touchedByTable(t.name)))
+      t.incoming, t.keys, t.preserveExisting, touchedByTable(t.name), t.replaceTouched))
 
     // ONE write job covering every table's merged batch. The
     // repartition aligns write tasks with partition dirs: each
@@ -235,7 +251,7 @@ object ManifestTable {
             unescapePathName(name.stripPrefix("__pdir=")) -> s"$batch/$name"
           }
         }
-      commitPlan(fs, plan, newEntries, retainVersions, t.statsColumns)
+      commitPlan(fs, plan, newEntries, retainVersions, t.statsColumns, t.props)
     } finally fs.delete(new Path(staging), true)
   }
 
@@ -245,7 +261,8 @@ object ManifestTable {
   private final case class MergePlan(path: String, current: Option[Long],
                                      oldEntries: Seq[(String, String)],
                                      touched: Set[String], merged: DataFrame,
-                                     nextSchemaJson: String)
+                                     nextSchemaJson: String,
+                                     replaceTouched: Boolean = false)
 
   /** Manifest lines are `key\tdir\n` — a key carrying either control
     * character would corrupt the file's structure. Date/numeric
@@ -262,7 +279,8 @@ object ManifestTable {
   private def planMerge(spark: SparkSession, fs: FileSystem, path: String,
                         incoming: DataFrame, keys: Seq[String],
                         preserveExisting: Seq[String],
-                        touched: Set[String]): MergePlan = {
+                        touched: Set[String],
+                        replaceTouched: Boolean = false): MergePlan = {
     val current = latestVersion(fs, path)
     val oldLines = current.map(v => readManifest(fs, path, v)).getOrElse(Nil)
     val oldEntries = dataEntries(oldLines)
@@ -305,7 +323,13 @@ object ManifestTable {
           "evolution is supported (untouched partitions cannot be read under the new type)")
       }
     }
+    // replaceTouched = static partition overwrite (replaceWhere): the
+    // incoming batch IS the new content of its partitions — no upsert
+    // against existing rows, which is also the only way a row can be
+    // DELETED from this table format. Schema evolution guards above
+    // still apply (untouched partitions must stay readable).
     val merged = existingOpt match {
+      case _ if replaceTouched => incoming
       case None => incoming
       case Some(existing) =>
         val added = incoming.columns.filterNot(existing.columns.contains)
@@ -333,7 +357,7 @@ object ManifestTable {
           merged.schema.fields.map(_.copy(nullable = true)))
       case None => merged.schema
     }
-    MergePlan(path, current, oldEntries, touched, merged, nextSchema.json)
+    MergePlan(path, current, oldEntries, touched, merged, nextSchema.json, replaceTouched)
   }
 
   /** Leaf `__pdir=` partition directory names of a written batch dir,
@@ -506,7 +530,8 @@ object ManifestTable {
   private def commitPlan(fs: FileSystem, plan: MergePlan,
                          newEntries: Seq[(String, String)],
                          retainVersions: Int,
-                         statsColumns: Seq[String] = Nil): Unit = {
+                         statsColumns: Seq[String] = Nil,
+                         props: Map[String, String] = Map.empty): Unit = {
     // The written-vs-touched cross-check, directional:
     //   - a WRITTEN partition outside the touched set means the batch
     //     carried rows whose existing data was never read (an
@@ -524,8 +549,12 @@ object ManifestTable {
       s"ManifestTable.merge: partitions ${undeclared.mkString(", ")} were written but " +
         s"not in the touched set ${plan.touched} — under-declared knownTouched or a " +
         "partition-value string roundtrip break; refusing to commit")
+    // Under replaceTouched, a declared partition with no output rows
+    // is a legitimate PARTITION DELETE (its old dir is dropped from
+    // the entries below); under merge semantics it means the write
+    // lost the existing rows it read — refuse.
     val phantom = (plan.touched -- written).intersect(plan.oldEntries.map(_._1).toSet)
-    require(phantom.isEmpty,
+    require(plan.replaceTouched || phantom.isEmpty,
       s"ManifestTable.merge: touched partitions ${phantom.mkString(", ")} have existing " +
         "data but the merged batch wrote no output for them — refusing to commit")
     // Zone-map stats for the new dirs (driver-side footer reads, no
@@ -536,9 +565,13 @@ object ManifestTable {
         k -> collectStats(fs, s"${plan.path}/$dir", statsColumns)
           .map(s => s"$dir\t$s").getOrElse(dir)
       }
+    val propLines =
+      if (props.isEmpty) Nil
+      else Seq(PropsKey -> props.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${escapeProp(k)}=${escapeProp(v)}" }.mkString(";"))
     val entries = (SchemaKey -> plan.nextSchemaJson) +:
       (CommitKey -> System.currentTimeMillis().toString) +:
-      (plan.oldEntries.filterNot(e => plan.touched(e._1)) ++ newWithStats)
+      (propLines ++ plan.oldEntries.filterNot(e => plan.touched(e._1)) ++ newWithStats)
     val next = plan.current.getOrElse(0L) + 1
     writeManifest(fs, plan.path, next, entries)
     cleanup(fs, plan.path, keepVersions =
@@ -625,6 +658,30 @@ object ManifestTable {
     readVersion(spark, path, eligible.last, partitionFilter)
   }
 
+  /** Partition-key → data-dir map of a retained version (stats
+    * suffixes stripped). Empty when the table does not exist. */
+  private[ops] def partitionDirs(fs: FileSystem, path: String,
+                                 version: Long): Map[String, String] =
+    dataEntries(readManifest(fs, path, version))
+      .map { case (k, v) => k -> dirOf(v) }.toMap
+
+  /** The LATEST version's partition keys; empty if no table. */
+  private[ops] def partitionKeys(fs: FileSystem, path: String): Set[String] =
+    latestVersion(fs, path)
+      .map(v => partitionDirs(fs, path, v).keySet).getOrElse(Set.empty)
+
+  /** Read specific RELATIVE data dirs of a retained version under its
+    * committed schema — the version-pinned partial read the manifest
+    * diff consumers ([[IncrementalAgg]]) need. */
+  private[ops] def readDirs(spark: SparkSession, path: String, version: Long,
+                            dirs: Seq[String]): DataFrame = {
+    require(dirs.nonEmpty, "ManifestTable.readDirs: no dirs")
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lines = readManifest(fs, path, version)
+    committedSchema(lines).map(spark.read.schema(_)).getOrElse(spark.read)
+      .parquet(dirs.map(d => s"$path/$d"): _*)
+  }
+
   /** All retained manifest versions, ascending (empty = no table).
     * Only `m<digits>` names count — a stray foreign file in the
     * manifest dir is ignored rather than crashing every read. */
@@ -650,6 +707,32 @@ object ManifestTable {
     * [[readAsOf]] then falls back to the manifest file's mtime). */
   private[ops] def committedMs(lines: Seq[(String, String)]): Option[Long] =
     lines.collectFirst { case (CommitKey, ms) => ms.toLong }
+
+  /** %-escape for property keys/values ('%', '=', ';', tab, newline
+    * — the chars the encoded list and manifest line structure use). */
+  private def escapeProp(s: String): String =
+    s.flatMap {
+      case c @ ('%' | '=' | ';' | '\t' | '\n') => f"%%${c.toInt}%02X"
+      case c => c.toString
+    }
+
+  /** Table properties committed by the LATEST manifest (empty when
+    * the last commit recorded none — props are per-commit, not
+    * carried forward; see [[PropsKey]]). */
+  def readProps(spark: SparkSession, path: String): Map[String, String] = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    latestVersion(fs, path) match {
+      case None => Map.empty
+      case Some(v) => readManifest(fs, path, v)
+        .collectFirst { case (PropsKey, enc) => enc }
+        .map(_.split(';').iterator.filter(_.nonEmpty).map { kv =>
+          val i = kv.indexOf('=')
+          require(i >= 0, s"ManifestTable.readProps: corrupt property '$kv' under $path")
+          unescapePathName(kv.substring(0, i)) -> unescapePathName(kv.substring(i + 1))
+        }.toMap)
+        .getOrElse(Map.empty)
+    }
+  }
 
   /** The schema a manifest committed, if one was recorded (manifests
     * written before schema tracking have none — readers then fall

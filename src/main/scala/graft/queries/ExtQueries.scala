@@ -3044,6 +3044,71 @@ object ExtQueries {
       |FROM hi ORDER BY day""".stripMargin
 
   // ----------------------------------------------------------------
+  // q125_incremental_agg — INCREMENTAL AGGREGATE-VIEW MAINTENANCE
+  // under the driver gate (MergeSpec covers it in-JVM): a grouped
+  // count/sum view of a day-partitioned manifest base table is kept
+  // current across three commits — initial load, an overlapping
+  // value+1 refetch (delta path: only the rewritten days are read,
+  // old dirs via time travel for the retraction), and an idempotent
+  // re-run (the delta nets to zero) — with the folded-in base version
+  // committed ATOMICALLY with the agg data as a manifest property.
+  // The oracle recomputes the full aggregate from the two-layer
+  // last-write-wins state in SQL, so equality proves the DELTA
+  // maintenance path is exactly a full recompute (integer sums make
+  // that bit-exact); the version watermark rides as constants.
+  // ----------------------------------------------------------------
+  def q125IncrementalAgg(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:q125_incremental_agg") {
+      q125IncrementalAggBuild(spark, dir)
+    }
+
+  private def q125IncrementalAggBuild(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{IncrementalAgg, ManifestTable}
+    val cut = "2024-01-16 00:00:00"
+    val overlap = "2024-01-10 00:00:00"
+    val ev = Tables.events(spark, dir)
+      .withColumn("day", date_trunc("day", col("ts")))
+    val m1 = ev.filter(col("ts") < lit(cut).cast("timestamp"))
+      .select(col("event_id"), col("day"), col("event_type").as("etype"),
+        floor(col("value") * lit(1e3)).cast("long").as("v_e3"))
+    val m2 = ev.filter(col("ts") >= lit(overlap).cast("timestamp"))
+      .select(col("event_id"), col("day"), col("event_type").as("etype"),
+        floor((col("value") + lit(1.0)) * lit(1e3)).cast("long").as("v_e3"))
+    val root = java.nio.file.Files.createTempDirectory("graft_q125_").toString
+    val (bPath, aPath) = (s"$root/base", s"$root/agg")
+    def run(m: DataFrame): Unit = {
+      ManifestTable.merge(spark, bPath, m, keys = Seq("event_id"), partitionCol = "day")
+      IncrementalAgg.refresh(spark, bPath, aPath,
+        groupCols = Seq("etype"), sumCols = Seq("v_e3"))
+    }
+    run(m1); run(m2); run(m2) // idempotent re-run: delta nets to zero
+    val fs = new org.apache.hadoop.fs.Path(bPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val baseV = ManifestTable.versions(fs, bPath).last
+    val refreshedTo = ManifestTable.readProps(spark, aPath)(IncrementalAgg.BaseVersionProp)
+    IncrementalAgg.read(spark, aPath)
+      .select(col("etype"), col("n"), col("sum_v_e3"))
+      .withColumn("base_version", lit(baseV))
+      .withColumn("refreshed_to", lit(refreshedTo))
+      .orderBy(col("etype"))
+  }
+
+  val q125IncrementalAggSql: String =
+    """WITH fin AS (
+      |  SELECT event_type,
+      |         CASE WHEN ts >= TIMESTAMP '2024-01-10 00:00:00'
+      |              THEN CAST(floor((value + 1.0) * 1e3) AS BIGINT)
+      |              ELSE CAST(floor(value * 1e3) AS BIGINT) END AS v_e3
+      |  FROM events)
+      |SELECT event_type AS etype,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(v_e3) AS BIGINT) AS sum_v_e3,
+      |  CAST(3 AS BIGINT) AS base_version,
+      |  '3' AS refreshed_to
+      |FROM fin GROUP BY event_type ORDER BY etype""".stripMargin
+
+  // ----------------------------------------------------------------
   // q112_html_strip — HTML boilerplate removal under the driver gate
   // (TextAnalysis.stripHtml — the web-scrape cleaning step of a
   // pre-training pipeline): every document is wrapped in-plan in a

@@ -616,6 +616,47 @@ class MergeSpec extends AnyFunSuite {
     assert(ManifestTable.read(spark, base2 + "/tt").count() == 1)
   }
 
+  test("IncrementalAgg: delta refresh equals full recompute, retracted groups " +
+    "vanish, the base-version watermark commits atomically with the data") {
+    import graft.ops.{IncrementalAgg, ManifestTable}
+    val base = java.nio.file.Files.createTempDirectory("graft-iagg").toString
+    val (bPath, aPath) = (s"$base/b", s"$base/agg")
+    val day1 = ts("2024-01-01")
+    val day2 = ts("2024-01-02")
+    def agg() = IncrementalAgg.read(spark, aPath).orderBy("g")
+      .select("g", "n", "sum_v").as[(String, Long, Long)].collect().toSeq
+    // m1: initial two days
+    ManifestTable.merge(spark, bPath,
+      Seq((1L, day1, "a", 10L), (2L, day1, "b", 5L), (3L, day2, "a", 7L))
+        .toDF("id", "day", "g", "v"), Seq("id"), "day")
+    IncrementalAgg.refresh(spark, bPath, aPath, Seq("g"), Seq("v"))
+    assert(agg() == Seq(("a", 2L, 17L), ("b", 1L, 5L)))
+    assert(ManifestTable.readProps(spark, aPath) == Map(IncrementalAgg.BaseVersionProp -> "1"))
+    // m2: upsert rewrites day1 only (update b, insert c) -> DELTA path
+    ManifestTable.merge(spark, bPath,
+      Seq((2L, day1, "b", 6L), (4L, day1, "c", 1L)).toDF("id", "day", "g", "v"),
+      Seq("id"), "day")
+    IncrementalAgg.refresh(spark, bPath, aPath, Seq("g"), Seq("v"))
+    assert(agg() == Seq(("a", 2L, 17L), ("b", 1L, 6L), ("c", 1L, 1L)),
+      "the delta-maintained view must equal a full recompute")
+    assert(ManifestTable.readProps(spark, aPath)(IncrementalAgg.BaseVersionProp) == "2")
+    // m3: replaceTouched day1 keeps only id 1 -> b and c RETRACT to zero
+    ManifestTable.merge(spark, bPath,
+      Seq((1L, day1, "a", 10L)).toDF("id", "day", "g", "v"),
+      Seq("id"), "day", replaceTouched = true)
+    assert(ManifestTable.read(spark, bPath).count() == 2,
+      "replaceTouched must DELETE the rows the batch does not carry")
+    IncrementalAgg.refresh(spark, bPath, aPath, Seq("g"), Seq("v"))
+    assert(agg() == Seq(("a", 2L, 17L)),
+      "groups whose count retracts to zero must disappear from the view")
+    // already current -> no-op (no new agg version)
+    val aggFs = new org.apache.hadoop.fs.Path(aPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vs = ManifestTable.versions(aggFs, aPath)
+    IncrementalAgg.refresh(spark, bPath, aPath, Seq("g"), Seq("v"))
+    assert(ManifestTable.versions(aggFs, aPath) == vs)
+  }
+
   test("applyChangeFeed: deletes drop keys, highest version wins, re-insert resurrects") {
     val existing = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "v")
     val feed = Seq(
