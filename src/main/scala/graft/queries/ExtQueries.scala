@@ -2789,6 +2789,69 @@ object ExtQueries {
     }.orderBy(col("asset_id"), col("ts"))
 
   // ----------------------------------------------------------------
+  // q126_stream_exactly_once — the EXACTLY-ONCE STREAMING SINK into
+  // the manifest table under the driver gate: q97's watermarked OHLC
+  // replay, landed through StreamingIngest.manifestMergeSink — each
+  // micro-batch's id commits ATOMICALLY with its data as a manifest
+  // property (one rename carries both). After the stream stops, the
+  // gate simulates foreachBatch's documented at-least-once
+  // RE-DELIVERY by invoking the sink again with the recorded batch id
+  // and a POISONED frame (every price +9999): exactly-once means the
+  // duplicate is skipped and the poison leaves no trace, which the
+  // oracle proves by recomputing the clean final state — identical to
+  // q97's (same pipeline semantics, different sink), so the two gates
+  // share one oracle and the delta under test is precisely storage +
+  // delivery semantics.
+  // ----------------------------------------------------------------
+  def q126StreamExactlyOnce(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:q126_stream_exactly_once") {
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val (t1, t2) = ("2024-01-11 00:00:00", "2024-01-21 00:00:00")
+      val log = Tables.events(spark, dir)
+        .filter(col("user_id") % 29 === 0)
+        .select(col("user_id").cast("string").as("asset_id"), col("ts"),
+          col("value").as("price"),
+          when(col("event_id") % 13 === 0, 3)
+            .when(col("ts") < lit(t1).cast("timestamp"), 1)
+            .when(col("ts") < lit(t2).cast("timestamp"), 2)
+            .otherwise(3).as("__b"))
+      val rows = log.as[(String, java.sql.Timestamp, Double, Int)].collect()
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(String, java.sql.Timestamp, Double)]
+      val ticks = input.toDF().toDF("asset_id", "ts", "price")
+        .withColumn("market_cap", lit(null).cast("double"))
+        .withColumn("volume", lit(null).cast("double"))
+      val out = java.nio.file.Files.createTempDirectory("graft_q126_").toString
+      val sinkPath = s"$out/table"
+      val sink = graft.streaming.StreamingIngest.manifestMergeSink(sinkPath)
+      val query = graft.streaming.StreamingIngest.hourlyCandles(ticks, watermark = "72 hours")
+        .writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", s"$out/ckpt")
+        .start()
+      try {
+        (1 to 3).foreach { b =>
+          input.addData(rows.iterator.filter(_._4 == b)
+            .map(t => (t._1, t._2, t._3)).toSeq: _*)
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+      // The at-least-once REPLAY: re-deliver the recorded batch id
+      // with poisoned data — exactly-once must skip it wholesale.
+      val lastId = graft.ops.ManifestTable.readProps(spark, sinkPath)(
+        graft.streaming.StreamingIngest.StreamBatchIdProp).toLong
+      val poison = graft.ops.ManifestTable.read(spark, sinkPath)
+        .drop("day").withColumn("open", col("open") + lit(9999.0))
+      sink(poison, lastId)
+      graft.ops.ManifestTable.read(spark, sinkPath)
+        .select(col("asset_id"), col("ts"), col("open"), col("high"),
+          col("low"), col("close"), col("n_ticks"))
+        .orderBy(col("asset_id"), col("ts"))
+    }
+
+  // ----------------------------------------------------------------
   // q98_manifest_merge — the manifest-committed table writer
   // (ManifestTable) end-to-end under the driver gate: initial load of
   // the first half of `events` day-partitioned, then an incremental

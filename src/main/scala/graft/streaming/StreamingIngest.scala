@@ -393,4 +393,35 @@ object StreamingIngest {
     MergeWriter.mergeIntoPartitioned(batch.sparkSession, path, withDay,
       keys = Seq("asset_id", "ts"), partitionCol = "day")
   }
+
+  /** Property key [[manifestMergeSink]] records its micro-batch id
+    * under. The sink OWNS its table: an interleaved non-sink commit
+    * would erase the marker (properties are per-commit). */
+  val StreamBatchIdProp = "stream.batch_id"
+
+  /** EXACTLY-ONCE foreachBatch sink into a [[graft.ops.ManifestTable]]:
+    * the micro-batch id commits ATOMICALLY with the data as a
+    * manifest property (one rename carries both), so when failure
+    * recovery RE-DELIVERS a batch — foreachBatch's documented
+    * at-least-once contract — the sink sees `recorded id >= delivered
+    * id` and skips, making the merge's side effects exactly-once per
+    * batch id. This is the marker-table pattern (Delta's
+    * `txnAppId`/`txnVersion`) built on the props primitive; without
+    * it a replayed non-idempotent merge double-applies. The merge
+    * itself is idempotent here (LWW upsert), so exactly-once is
+    * belt-and-braces for THIS pipeline — the point is the sink shape,
+    * proven by the q126 gate replaying a POISONED duplicate batch
+    * that must leave no trace. */
+  def manifestMergeSink(path: String, keys: Seq[String] = Seq("asset_id", "ts"))
+      : (DataFrame, Long) => Unit = (batch, id) => {
+    val spark = batch.sparkSession
+    val recorded = graft.ops.ManifestTable.readProps(spark, path)
+      .get(StreamBatchIdProp).map(_.toLong)
+    if (!recorded.exists(_ >= id)) {
+      val withDay = batch.withColumn("day", date_trunc("day", col("ts")))
+      graft.ops.ManifestTable.merge(spark, path, withDay,
+        keys = keys, partitionCol = "day",
+        props = Map(StreamBatchIdProp -> id.toString))
+    }
+  }
 }

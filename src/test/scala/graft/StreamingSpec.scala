@@ -259,6 +259,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally spark.conf.set(provKey, prevProv)
   }
 
+  test("manifestMergeSink is exactly-once per batch id: a re-delivered batch is " +
+    "skipped wholesale, a fresh id merges") {
+    import graft.ops.ManifestTable
+    import graft.streaming.StreamingIngest
+    val path = java.nio.file.Files.createTempDirectory("graft-eo-sink").toString + "/t"
+    val sink = StreamingIngest.manifestMergeSink(path, keys = Seq("asset_id", "ts"))
+    def frame(price: Double) =
+      Seq(("btc", ts("2024-01-01 01:00:00"), price)).toDF("asset_id", "ts", "price")
+    sink(frame(100.0), 0L)
+    assert(ManifestTable.read(spark, path).select("price").as[Double].collect().toSeq
+      == Seq(100.0))
+    // crash-recovery re-delivery of batch 0 with DIFFERENT data: the
+    // atomic batch-id property says it already committed -> skipped
+    sink(frame(666.0), 0L)
+    assert(ManifestTable.read(spark, path).select("price").as[Double].collect().toSeq
+      == Seq(100.0), "a replayed batch id must leave no trace")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(ManifestTable.versions(fs, path) == Seq(1L),
+      "the skipped replay must not even commit a version")
+    // the next batch id merges normally and advances the marker
+    sink(frame(120.0), 1L)
+    assert(ManifestTable.read(spark, path).select("price").as[Double].collect().toSeq
+      == Seq(120.0))
+    assert(ManifestTable.readProps(spark, path)(StreamingIngest.StreamBatchIdProp) == "1")
+  }
+
   test("flatMapGroupsWithState high-watermark alerts carry state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.{HighAlert, PriceTick}
