@@ -199,6 +199,17 @@ object ManifestTable {
       }
     val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+    // Sweep residue of a CRASHED earlier mergeMany: its staging dir
+    // sits under `base` (outside any table path), so the per-table
+    // orphan cleanup never sees it. Nothing references a staging dir
+    // until its renames run, and single-writer is the contract, so
+    // any survivor here is dead weight — the multi-table analog of
+    // the batch-dir orphan sweep.
+    if (fs.exists(new Path(base)))
+      fs.listStatus(new Path(base))
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("_staging-"))
+        .foreach(st => fs.delete(st.getPath, true))
+
     // ONE job for every table's touched-partition distinct — and only
     // for the tables that did NOT declare `knownTouched` (declared
     // sets are commit-checked, not trusted; see TableMerge). The
@@ -746,8 +757,15 @@ object ManifestTable {
   private[ops] def readManifest(fs: FileSystem, path: String, v: Long): Seq[(String, String)] = {
     val mpath = f"$path/$ManifestDir/m$v%012d"
     val in = fs.open(new Path(mpath))
-    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().zipWithIndex.toList
-      .map { case (line, n) =>
+    try {
+      val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines().zipWithIndex.toList
+      // A legal manifest always carries at least one line (the schema
+      // header since tracking; a data entry before it). Zero lines =
+      // a manifest created outside the tmp+rename protocol (crash
+      // artifact, foreign tooling) — treating it as an empty table
+      // would silently drop every partition; refuse instead.
+      require(lines.nonEmpty, s"ManifestTable: corrupt manifest $mpath: zero lines")
+      lines.map { case (line, n) =>
         val i = line.indexOf('\t')
         // A tab-less line means a truncated or corrupt manifest (e.g. a
         // trailing partial line from a non-atomic create on a foreign
@@ -757,7 +775,8 @@ object ManifestTable {
         require(i >= 0, s"ManifestTable: corrupt manifest $mpath line ${n + 1}: " +
           s"no tab separator in ${line.take(80)}")
         (line.substring(0, i), line.substring(i + 1))
-      } finally in.close()
+      }
+    } finally in.close()
   }
 
   private def writeManifest(fs: FileSystem, path: String, v: Long,

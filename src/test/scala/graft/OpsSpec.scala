@@ -657,6 +657,33 @@ class MergeSpec extends AnyFunSuite {
     assert(ManifestTable.versions(aggFs, aPath) == vs)
   }
 
+  test("ManifestTable residue and corruption: a zero-line manifest (created outside " +
+    "the commit protocol) fails reads loudly; a crashed mergeMany's staging dir " +
+    "is swept by the next run") {
+    import graft.ops.ManifestTable
+    import graft.ops.ManifestTable.TableMerge
+    val day1 = ts("2024-01-01")
+    // A zero-line m2 cannot come from the tmp+rename commit (writes
+    // are atomic); treating it as an empty table would silently drop
+    // every partition — reads must refuse with the named error.
+    val path = java.nio.file.Files.createTempDirectory("graft-manifest-race").toString + "/t"
+    ManifestTable.merge(spark, path,
+      Seq((1L, day1, 1.0)).toDF("id", "day", "v"), Seq("id"), "day")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(s"$path/_manifests/m000000000002"), false).close()
+    val e = intercept[IllegalArgumentException](ManifestTable.read(spark, path).count())
+    assert(e.getMessage.contains("zero lines"))
+    // crashed-mergeMany residue: a stale _staging dir under base is
+    // swept by the next mergeMany before it stages its own write
+    val base = java.nio.file.Files.createTempDirectory("graft-manifest-stg").toString
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$base/_staging-dead/__tbl=x"))
+    ManifestTable.mergeMany(spark, base, Seq(
+      TableMerge("tt", Seq((1L, day1, 1.0)).toDF("id", "day", "v"), Seq("id"), "day")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/_staging-dead")))
+    assert(ManifestTable.read(spark, s"$base/tt").count() == 1)
+  }
+
   test("applyChangeFeed: deletes drop keys, highest version wins, re-insert resurrects") {
     val existing = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "v")
     val feed = Seq(
