@@ -286,6 +286,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(ManifestTable.readProps(spark, path)(StreamingIngest.StreamBatchIdProp) == "1")
   }
 
+  test("stream -> exactly-once manifest sink -> per-batch IncrementalAgg refresh " +
+    "keeps a live aggregate view equal to a full recompute") {
+    // The full composition a continuous ingest runs: micro-batches
+    // land durably (exactly-once), and the maintained view follows
+    // each commit by folding in only that batch's touched partitions.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.{IncrementalAgg, ManifestTable}
+    import graft.streaming.StreamingIngest
+    val root = java.nio.file.Files.createTempDirectory("graft-live-agg").toString
+    val (bPath, aPath) = (s"$root/base", s"$root/agg")
+    val input = MemoryStream[(String, Timestamp, Long)]
+    val sink = StreamingIngest.manifestMergeSink(bPath, keys = Seq("asset_id", "ts"))
+    val query = input.toDF().toDF("asset_id", "ts", "v_e3")
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        sink(df, id)
+        IncrementalAgg.refresh(spark, bPath, aPath, Seq("asset_id"), Seq("v_e3"))
+      }
+      .option("checkpointLocation", s"$root/ckpt").start()
+    def agg() = IncrementalAgg.read(spark, aPath).orderBy("asset_id")
+      .select("asset_id", "n", "sum_v_e3").as[(String, Long, Long)].collect().toSeq
+    input.addData(("btc", ts("2024-01-01 01:00:00"), 100L),
+      ("btc", ts("2024-01-01 02:00:00"), 110L),
+      ("eth", ts("2024-01-01 01:30:00"), 7L))
+    query.processAllAvailable()
+    assert(agg() == Seq(("btc", 2L, 210L), ("eth", 1L, 7L)))
+    // batch 2: an UPSERT of an existing key (overlap refetch) plus a
+    // new day — the view must retract the old value, not double-count
+    input.addData(("btc", ts("2024-01-01 02:00:00"), 111L),
+      ("eth", ts("2024-01-02 05:00:00"), 8L))
+    query.processAllAvailable()
+    query.stop()
+    assert(agg() == Seq(("btc", 2L, 211L), ("eth", 2L, 15L)),
+      "the per-batch maintained view must equal a full recompute after an upsert")
+    assert(ManifestTable.read(spark, bPath).count() == 4)
+  }
+
   test("flatMapGroupsWithState high-watermark alerts carry state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.{HighAlert, PriceTick}
