@@ -3579,6 +3579,138 @@ object ExtQueries {
   }
 
   // ----------------------------------------------------------------
+  // q127_curation_flagship — the FULL PRETRAINING CURATION PIPELINE
+  // as one composed query, cross-engine exact end to end: exact
+  // dedup (min-id per content hash, q17's rule) → quality filter
+  // (q24's composite score ≥ 0.5 — bit-exact double arithmetic, so
+  // the threshold compare is engine-identical) → backoff-LM scoring
+  // (q119's model over the shared trigram pass) with PER-LANGUAGE
+  // perplexity terciles keeping head+middle (q123's CCNet shape) →
+  // reproducible md5 train/val/test split (q46) → per-(lang, split)
+  // sequence packing into 2048-token bins (q51's prefix-sum DIV).
+  // Every stage reuses the library operator AND its established
+  // oracle form, so the one long SQL chain is a composition of
+  // already-proven pieces — the point of the gate is that the
+  // COMPOSITION stays exact: any drift in how stages hand off
+  // (normalization conventions, id orders, float boundaries) breaks
+  // the hash. Output: per (lang, split) surviving docs, token mass,
+  // and packed bin count — the numbers a training run actually
+  // consumes.
+  // ----------------------------------------------------------------
+  def q127CurationFlagship(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.ext.{Curate, Dedup, TextAnalysis}
+    val docs = Tables.documents(spark, dir)
+    val deduped = Dedup.exactDedup(docs)
+    val quality = deduped.filter(TextAnalysis.qualityScore(col("text")) >= lit(0.5))
+    val sc = q119LmScore(spark, dir).filter(col("n_tri") > 0)
+      .select(col("doc_id"), (col("score_q").cast("double") / col("n_tri")).as("avg_q"))
+    val kept = quality.join(sc, Seq("doc_id"))
+      .withColumn("tb", ntile(3).over(
+        Window.partitionBy(col("lang")).orderBy(col("avg_q").desc, col("doc_id"))))
+      .filter(col("tb") <= 2)
+    val split = Curate.withSplit(kept)
+    val toks = split.withColumn("tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
+    val packed = Curate.packBins(
+      toks.withColumn("__grp", concat_ws("/", col("lang"), col("split"))),
+      groupCol = "__grp", idCol = "doc_id", tokensCol = "tokens", budget = 2048)
+    packed.groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("sum_tokens"),
+        (max(col("bin_id")) + 1).cast("long").as("n_bins"))
+      .orderBy(col("lang"), col("split"))
+  }
+
+  val q127CurationFlagshipSql: String =
+    """WITH h AS (
+      |  SELECT doc_id, text, lang,
+      |         sha256(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS ch
+      |  FROM documents),
+      |dd AS (
+      |  SELECT doc_id, text, lang FROM
+      |    (SELECT *, row_number() OVER (PARTITION BY ch ORDER BY doc_id) AS rn FROM h)
+      |  WHERE rn = 1),
+      |norm AS (
+      |  SELECT doc_id, lang,
+      |         regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t
+      |  FROM dd),
+      |qm AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(string_split(t, ' ')) AS BIGINT) AS n_tokens,
+      |    CASE WHEN len(t) = 0 THEN 0.0
+      |         ELSE CAST(len(regexp_replace(t, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+      |              / CAST(len(t) AS DOUBLE) END AS punct_ratio,
+      |    CASE WHEN len(string_split(t, ' ')) = 0 THEN 0.0
+      |         ELSE CAST(len(list_filter(string_split(t, ' '),
+      |                x -> x IN ('the','a','of','and','to','in','is','on','for','with'))) AS DOUBLE)
+      |              / CAST(len(string_split(t, ' ')) AS DOUBLE) END AS stopword_ratio,
+      |    CASE WHEN len(string_split(t, ' ')) = 0 THEN 0.0
+      |         ELSE CAST(len(regexp_replace(t, ' ', '', 'g')) AS DOUBLE)
+      |              / CAST(len(string_split(t, ' ')) AS DOUBLE) END AS mean_tok_len
+      |  FROM norm),
+      |q AS (
+      |  SELECT doc_id, lang, n_tokens FROM qm
+      |  WHERE 0.25 * least(1.0, CAST(n_tokens AS DOUBLE) / 50.0)
+      |      + 0.25 * (1.0 - least(1.0, punct_ratio * 5.0))
+      |      + 0.25 * least(1.0, stopword_ratio * 5.0)
+      |      + 0.25 * least(1.0, mean_tok_len / 8.0) >= 0.5),
+      |d2 AS (
+      |  SELECT doc_id, regexp_replace(trim(lower(text)), '[ \t\n\r\f]+', ' ', 'g') AS t
+      |  FROM documents),
+      |tri AS (
+      |  SELECT doc_id,
+      |         unnest(list_transform(range(1, length(t) - 1),
+      |           i -> substr(t, CAST(i AS INT), 3))) AS g
+      |  FROM d2 WHERE length(t) >= 3),
+      |cnt3 AS (SELECT g, CAST(count(*) AS BIGINT) AS n3 FROM tri GROUP BY g),
+      |ctx2 AS (SELECT substr(g, 1, 2) AS p, CAST(sum(n3) AS BIGINT) AS n2ctx
+      |         FROM cnt3 GROUP BY 1),
+      |bi   AS (SELECT substr(g, 2, 2) AS s, CAST(sum(n3) AS BIGINT) AS n2
+      |         FROM cnt3 GROUP BY 1),
+      |ctx1 AS (SELECT substr(g, 2, 1) AS m, CAST(sum(n3) AS BIGINT) AS n1ctx
+      |         FROM cnt3 GROUP BY 1),
+      |uni  AS (SELECT substr(g, 3, 1) AS c, CAST(sum(n3) AS BIGINT) AS n1
+      |         FROM cnt3 GROUP BY 1),
+      |tot  AS (SELECT CAST(sum(n3) AS BIGINT) AS ntot FROM cnt3),
+      |model AS (
+      |  SELECT g, CAST(floor(ln(
+      |      0.7e0 * CAST(n3 AS DOUBLE) / CAST(n2ctx AS DOUBLE)
+      |    + 0.2e0 * CAST(n2 AS DOUBLE) / CAST(n1ctx AS DOUBLE)
+      |    + 0.1e0 * CAST(n1 AS DOUBLE) / CAST(ntot AS DOUBLE)) * 1e6) AS BIGINT) AS qlp
+      |  FROM cnt3
+      |  JOIN ctx2 ON substr(g, 1, 2) = p
+      |  JOIN bi   ON substr(g, 2, 2) = s
+      |  JOIN ctx1 ON substr(g, 2, 1) = m
+      |  JOIN uni  ON substr(g, 3, 1) = c
+      |  CROSS JOIN tot),
+      |sc AS (
+      |  SELECT tri.doc_id, CAST(count(*) AS BIGINT) AS n_tri,
+      |         CAST(sum(qlp) AS BIGINT) AS score_q
+      |  FROM tri JOIN model USING (g) GROUP BY tri.doc_id),
+      |scd AS (SELECT doc_id, CAST(score_q AS DOUBLE) / n_tri AS avg_q
+      |        FROM sc WHERE n_tri > 0),
+      |jq AS (SELECT q.doc_id, q.lang, q.n_tokens, scd.avg_q
+      |       FROM q JOIN scd USING (doc_id)),
+      |tb AS (SELECT *, ntile(3) OVER (PARTITION BY lang ORDER BY avg_q DESC, doc_id) AS t3
+      |       FROM jq),
+      |kept AS (SELECT doc_id, lang, n_tokens FROM tb WHERE t3 <= 2),
+      |sp AS (
+      |  SELECT doc_id, lang, n_tokens,
+      |         CASE WHEN hb < 80 THEN 'train' WHEN hb < 90 THEN 'val'
+      |              ELSE 'test' END AS split
+      |  FROM (SELECT *, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+      |                       AS UBIGINT) % 100 AS hb FROM kept)),
+      |p AS (
+      |  SELECT lang, split, n_tokens,
+      |    COALESCE(SUM(n_tokens) OVER (PARTITION BY lang, split ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048 AS bin_id
+      |  FROM sp)
+      |SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+      |  CAST(max(bin_id) + 1 AS BIGINT) AS n_bins
+      |FROM p GROUP BY lang, split
+      |ORDER BY lang, split""".stripMargin
+
+  // ----------------------------------------------------------------
   // q99_image_decode — the REAL byte-level image kernel under the
   // driver gate (round-7 verdict #5; the decode family is no longer
   // stub-labeled): deterministic gradient images are ENCODED in a
