@@ -121,13 +121,13 @@ object StreamingIngest {
     * (state is per-group-empty there; smallest id wins via the
     * in-group sort), which is how the spec cross-checks.
     */
-  def nearDupCandidates(docs: Dataset[DocText],
-                        numBands: Int = 16, r: Int = 4): Dataset[NearDupCandidate] = {
+  /** Per-row (map-only) minhash band-bucket derivation shared by the
+    * two streaming near-dup forms: (doc_id, band, bucket) rows with
+    * the SAME hash chain as the batch band join. */
+  private def bandBucketRows(docs: Dataset[DocText],
+                             numBands: Int, r: Int): Dataset[(Long, Int, Long)] = {
     import docs.sparkSession.implicits._
     import graft.ext.Dedup
-    // Band/bucket construction and per-seed permutation hash are the
-    // SHARED Dedup helpers — one definition for batch and stream, so
-    // candidacy cannot drift (also spec-compared on the same corpus).
     val bands = Dedup.bandBuckets(numBands, r)(i => element_at(col("__sig"), i + 1))
     docs.toDF()
       .withColumn("__toks", split(Dedup.normalized(col("text")), " "))
@@ -148,6 +148,15 @@ object StreamingIngest {
       .select(col("doc_id"), explode(bands).as("__b"))
       .select(col("doc_id"), col("__b.band").as("band"), col("__b.bucket").as("bucket"))
       .as[(Long, Int, Long)]
+  }
+
+  def nearDupCandidates(docs: Dataset[DocText],
+                        numBands: Int = 16, r: Int = 4): Dataset[NearDupCandidate] = {
+    import docs.sparkSession.implicits._
+    // Band/bucket construction and per-seed permutation hash are the
+    // SHARED Dedup helpers — one definition for batch and stream, so
+    // candidacy cannot drift (also spec-compared on the same corpus).
+    bandBucketRows(docs, numBands, r)
       .groupByKey { case (_, band, bucket) => (band, bucket) }
       .flatMapGroupsWithState[Long, NearDupCandidate](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
@@ -161,6 +170,50 @@ object StreamingIngest {
           state.update(first)
           out.iterator
       }
+  }
+
+  /** The `transformWithState` processor behind [[nearDupCandidatesTtl]]:
+    * one first-claimant doc id per occupied (band, bucket), held in a
+    * ValueState with a PROCESSING-TIME TTL — the state bound the
+    * NoTimeout form documents but cannot enforce. Every batch that
+    * touches a bucket refreshes its TTL (update-on-activity: a bucket
+    * expires only after `ttl` of silence), after which the next
+    * arrival re-claims it — candidate recall changes exactly across
+    * evicted horizons, the documented trade. */
+  private[streaming] class BucketClaimProcessor(ttl: TTLConfig)
+      extends StatefulProcessor[(Int, Long), (Long, Int, Long), NearDupCandidate] {
+    @transient private var first: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      first = getHandle.getValueState[Long]("first", Encoders.scalaLong, ttl)
+    override def handleInputRows(key: (Int, Long), rows: Iterator[(Long, Int, Long)],
+                                 tv: TimerValues): Iterator[NearDupCandidate] = {
+      var f = if (first.exists()) Some(first.get()) else None
+      val out = rows.toSeq.sortBy(_._1).flatMap { case (id, band, _) =>
+        f match {
+          case None => f = Some(id); None
+          case Some(x) if id != x => Some(NearDupCandidate(id, x, band))
+          case _ => None
+        }
+      }
+      f.foreach(first.update) // refreshes the TTL on every active batch
+      out.iterator
+    }
+  }
+
+  /** TTL-BOUNDED streaming near-dup candidates — [[nearDupCandidates]]
+    * with the production state bound made real: per-bucket state
+    * expires after `ttl` of inactivity (RocksDB-backed processing-time
+    * TTL), so state size is (buckets active within the horizon), not
+    * unbounded history. Same hash chain and candidacy contract as the
+    * batch band join; recall differs only across evicted horizons.
+    * Requires the RocksDB state store provider. */
+  def nearDupCandidatesTtl(docs: Dataset[DocText], ttl: java.time.Duration,
+                           numBands: Int = 16, r: Int = 4): Dataset[NearDupCandidate] = {
+    import docs.sparkSession.implicits._
+    bandBucketRows(docs, numBands, r)
+      .groupByKey { case (_, band, bucket) => (band, bucket) }
+      .transformWithState(new BucketClaimProcessor(TTLConfig(ttl)),
+        TimeMode.ProcessingTime(), OutputMode.Append())(Encoders.product[NearDupCandidate])
   }
 
   /** Custom per-key streaming state via `flatMapGroupsWithState`

@@ -323,6 +323,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(ManifestTable.read(spark, bPath).count() == 4)
   }
 
+  test("nearDupCandidatesTtl: long TTL matches the unbounded form; expired buckets " +
+    "are re-claimed and stop flagging") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{DocText, NearDupCandidate}
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.get(provKey,
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // ProcessingTime TimeMode (which state TTL requires) triggers
+      // micro-batches CONTINUOUSLY, so processAllAvailable never
+      // settles — assertions POLL the memory sink for the expected
+      // emission instead. Sentinel emissions make batch completion
+      // visible; the batching of adjacent addData calls is immaterial
+      // because in-batch processing sorts by doc_id and yields the
+      // same candidate set either way.
+      def await(cond: => Boolean, what: String): Unit = {
+        val deadline = System.currentTimeMillis() + 30000
+        while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(100)
+        assert(cond, s"timed out waiting for $what")
+      }
+      def dups(tbl: String): Set[(Long, Long)] =
+        spark.table(tbl).as[NearDupCandidate].collect()
+          .map(c => (c.doc_id, c.dup_of)).toSet
+      val text = "the quick brown fox jumps over the lazy dog again and again"
+      val in = MemoryStream[DocText]
+      val q = StreamingIngest.nearDupCandidatesTtl(in.toDS(),
+          ttl = java.time.Duration.ofSeconds(1))
+        .writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName("ttl_dedup").start()
+      try {
+        // claim + an in-window duplicate (the sentinel making the
+        // batch visibly processed before the TTL sleep)
+        in.addData(DocText(10L, text), DocText(20L, text))
+        await(dups("ttl_dedup").contains((20L, 10L)), "the in-window duplicate flag")
+        assert(dups("ttl_dedup").forall(_ == (20L, 10L)))
+        Thread.sleep(2500) // let every bucket's 1 s TTL lapse
+        in.addData(DocText(11L, text)) // expired -> re-claims, must NOT flag vs 10
+        in.addData(DocText(12L, text)) // flags against the RE-claimant
+        await(dups("ttl_dedup").contains((12L, 11L)), "the post-expiry re-claim flag")
+        val got = dups("ttl_dedup")
+        assert(got == Set((20L, 10L), (12L, 11L)),
+          s"post-expiry 11 must re-claim clean (no (11,10)) and 12 flags against 11: $got")
+      } finally q.stop()
+    } finally spark.conf.set(provKey, prevProv)
+  }
+
   test("flatMapGroupsWithState high-watermark alerts carry state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.{HighAlert, PriceTick}
