@@ -48,6 +48,11 @@ import org.apache.spark.sql.functions._
 object IncrementalAgg {
 
   val BaseVersionProp = "agg.base_version"
+  /** The bucket count the view was last built with — the group→bucket
+    * mapping must stay stable or an incremental delta would land
+    * groups in new buckets while the old buckets keep their rows
+    * (double counting); a mismatch forces a full rebuild. */
+  val BucketsProp = "agg.buckets"
   private val BucketCol = "__gbucket"
 
   /** The maintained view (group columns, `n`, `sum_<col>`…). */
@@ -64,8 +69,10 @@ object IncrementalAgg {
     val baseVersions = ManifestTable.versions(fs, basePath)
     require(baseVersions.nonEmpty, s"IncrementalAgg.refresh: no base table at $basePath")
     val baseCur = baseVersions.last
-    val state = ManifestTable.readProps(spark, aggPath).get(BaseVersionProp).map(_.toLong)
-    if (state.contains(baseCur)) return // already current
+    val aggProps = ManifestTable.readProps(spark, aggPath)
+    val state = aggProps.get(BaseVersionProp).map(_.toLong)
+    val sameBuckets = aggProps.get(BucketsProp).forall(_ == buckets.toString)
+    if (state.contains(baseCur) && sameBuckets) return // already current
 
     def aggOf(df: DataFrame, sign: Long): DataFrame =
       df.groupBy(groupCols.map(col): _*)
@@ -77,18 +84,22 @@ object IncrementalAgg {
         pmod(xxhash64(groupCols.map(col): _*), lit(buckets.toLong)).cast("string"))
 
     val aggFs = new Path(aggPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val incremental = state.exists(v => baseVersions.contains(v)) &&
+    val props = Map(BaseVersionProp -> baseCur.toString,
+      BucketsProp -> buckets.toString)
+    val incremental = sameBuckets && state.exists(v => baseVersions.contains(v)) &&
       ManifestTable.versions(aggFs, aggPath).nonEmpty
 
     if (!incremental) {
-      // Full (re)build: the complete aggregate replaces every bucket.
+      // Full (re)build: the complete aggregate replaces every bucket
+      // (declared = every bucket of the NEW mapping plus every
+      // existing partition — stale buckets of an old mapping delete).
       val full = withBucket(aggOf(ManifestTable.read(spark, basePath), 1L))
       ManifestTable.merge(spark, aggPath, full,
         keys = groupCols, partitionCol = BucketCol,
         retainVersions = retainVersions, replaceTouched = true,
         knownTouched = Some(ManifestTable.partitionKeys(aggFs, aggPath) ++
           (0 until buckets).map(_.toString)),
-        props = Map(BaseVersionProp -> baseCur.toString))
+        props = props)
       return
     }
 
@@ -126,14 +137,19 @@ object IncrementalAgg {
         val empty = read(spark, aggPath).limit(0)
         ManifestTable.merge(spark, aggPath, withBucket(empty),
           keys = groupCols, partitionCol = BucketCol,
-          retainVersions = retainVersions,
-          props = Map(BaseVersionProp -> baseCur.toString))
+          retainVersions = retainVersions, props = props)
       case Some(d) =>
         val dB = withBucket(d)
         val affected = dB.select(col(BucketCol)).distinct()
           .collect().map(_.getString(0)).toSet
-        val existing = ManifestTable.read(spark, aggPath,
-            partitionFilter = affected.contains).drop(BucketCol)
+        // Only buckets that EXIST can be read; an affected bucket
+        // whose groups are all new has no dir yet (and an all-new
+        // affected set would otherwise fail the empty-read guard).
+        val readable = affected.intersect(ManifestTable.partitionKeys(aggFs, aggPath))
+        val existing =
+          if (readable.isEmpty) read(spark, aggPath).limit(0)
+          else ManifestTable.read(spark, aggPath,
+            partitionFilter = readable.contains).drop(BucketCol)
         val gc = groupCols
         val merged = existing.select(
             (gc.map(col) :+ col("n").as("__en")) ++
@@ -148,8 +164,7 @@ object IncrementalAgg {
         ManifestTable.merge(spark, aggPath, withBucket(merged),
           keys = groupCols, partitionCol = BucketCol,
           retainVersions = retainVersions, replaceTouched = true,
-          knownTouched = Some(affected),
-          props = Map(BaseVersionProp -> baseCur.toString))
+          knownTouched = Some(affected), props = props)
     }
   }
 }

@@ -185,10 +185,11 @@ object ManifestTable {
     require(tables.nonEmpty, "ManifestTable.mergeMany: no tables")
     require(tables.map(_.name).distinct.size == tables.size,
       s"ManifestTable.mergeMany: duplicate table names in ${tables.map(_.name)}")
-    tables.foreach(t => require(t.name.nonEmpty &&
+    tables.foreach(t => require(t.name.nonEmpty && t.name.head.isLetterOrDigit &&
       t.name.forall(c => c.isLetterOrDigit || c == '_' || c == '-' || c == '.'),
-      s"ManifestTable.mergeMany: table name '${t.name}' must be [A-Za-z0-9_.-]+ " +
-        "(it becomes a partition directory name)"))
+      s"ManifestTable.mergeMany: table name '${t.name}' must be [A-Za-z0-9][A-Za-z0-9_.-]* " +
+        "(it becomes a partition directory name, and a leading underscore would " +
+        "collide with the _staging-* residue sweep)"))
     // Same-named columns across tables must agree on dtype or the
     // union below would mis-type one side; refuse loudly up front.
     tables.flatMap(t => t.incoming.schema.fields.map(f => (f.name, f.dataType, t.name)))

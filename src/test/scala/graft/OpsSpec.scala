@@ -631,7 +631,8 @@ class MergeSpec extends AnyFunSuite {
         .toDF("id", "day", "g", "v"), Seq("id"), "day")
     IncrementalAgg.refresh(spark, bPath, aPath, Seq("g"), Seq("v"))
     assert(agg() == Seq(("a", 2L, 17L), ("b", 1L, 5L)))
-    assert(ManifestTable.readProps(spark, aPath) == Map(IncrementalAgg.BaseVersionProp -> "1"))
+    assert(ManifestTable.readProps(spark, aPath) ==
+      Map(IncrementalAgg.BaseVersionProp -> "1", IncrementalAgg.BucketsProp -> "16"))
     // m2: upsert rewrites day1 only (update b, insert c) -> DELTA path
     ManifestTable.merge(spark, bPath,
       Seq((2L, day1, "b", 6L), (4L, day1, "c", 1L)).toDF("id", "day", "g", "v"),
@@ -655,6 +656,24 @@ class MergeSpec extends AnyFunSuite {
     val vs = ManifestTable.versions(aggFs, aPath)
     IncrementalAgg.refresh(spark, bPath, aPath, Seq("g"), Seq("v"))
     assert(ManifestTable.versions(aggFs, aPath) == vs)
+    // a delta whose groups land ONLY in never-written buckets must
+    // not trip the empty bucket-pruned read: probe for a group name
+    // hashing outside the occupied bucket set, then ingest it
+    import org.apache.spark.sql.functions.{col => c, lit => l, pmod, xxhash64}
+    def bucketOf(g: String): String = Seq(g).toDF("g")
+      .select(pmod(xxhash64(c("g")), l(16L)).cast("string")).head.getString(0)
+    val occupied = ManifestTable.read(spark, aPath)
+      .select("__gbucket").distinct().as[String].collect().toSet
+    val fresh = (1 to 200).map(i => s"newgrp$i").find(g => !occupied(bucketOf(g))).get
+    ManifestTable.merge(spark, bPath,
+      Seq((9L, day2, fresh, 3L)).toDF("id", "day", "g", "v"), Seq("id"), "day")
+    IncrementalAgg.refresh(spark, bPath, aPath, Seq("g"), Seq("v"))
+    assert(agg() == Seq(("a", 2L, 17L), (fresh, 1L, 3L)))
+    // changing the bucket count forces a FULL rebuild (the mapping
+    // moved); values unchanged, recorded bucket prop updated
+    IncrementalAgg.refresh(spark, bPath, aPath, Seq("g"), Seq("v"), buckets = 4)
+    assert(agg() == Seq(("a", 2L, 17L), (fresh, 1L, 3L)))
+    assert(ManifestTable.readProps(spark, aPath)(IncrementalAgg.BucketsProp) == "4")
   }
 
   test("ManifestTable residue and corruption: a zero-line manifest (created outside " +
