@@ -60,7 +60,13 @@ object IncrementalAgg {
     ManifestTable.read(spark, aggPath).drop(BucketCol)
 
   /** Bring the aggregate view at `aggPath` up to date with the base
-    * table at `basePath`. No-op if already current. */
+    * table at `basePath`. No-op if already current.
+    *
+    * CONTRACT: `groupCols` must be NON-NULL (the delta⟗existing join
+    * is on the group key; null groups would not match themselves and
+    * silently split). `buckets` must stay stable per view — a change
+    * is detected via the committed property and forces a full
+    * rebuild. */
   def refresh(spark: SparkSession, basePath: String, aggPath: String,
               groupCols: Seq[String], sumCols: Seq[String],
               buckets: Int = 16, retainVersions: Int = 2): Unit = {
