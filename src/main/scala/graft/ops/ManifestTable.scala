@@ -609,6 +609,227 @@ object ManifestTable {
     cleanup(fs, path, keepVersions = vs.takeRight(keepLast).toSet)
   }
 
+  // ------------------------------------------------------------------
+  // ROW-LEVEL DELETE / UPDATE (r11) — copy-on-write, the Delta-default
+  // strategy: ONE column-pruned counting scan over the candidate
+  // partitions finds which partitions actually contain matching rows,
+  // then ONLY those partitions rewrite (through the existing
+  // replaceTouched commit path — same manifest rename, same retention,
+  // same schema guards). A partition whose every row matches a DELETE
+  // is dropped from the manifest without being read a second time. At
+  // 100 TB the cost is O(matching partitions) data rewrite + one scan
+  // of the candidate window — never a full-table rewrite; callers
+  // narrow the window further with `partitionFilter` (the replaceWhere
+  // discipline: the caller asserts the predicate cannot match outside
+  // the window, and rows outside it are left untouched by contract).
+  //
+  // SQL semantics are preserved exactly: a row where the predicate
+  // evaluates to NULL is NOT matched (DELETE removes only
+  // predicate-IS-TRUE rows; UPDATE leaves NULL-predicate rows
+  // unchanged), and UPDATE assignment right-hand sides all evaluate
+  // against the PRE-update row, whatever order the assignments are
+  // given in.
+  // ------------------------------------------------------------------
+
+  /** Evidence a [[deleteWhere]]/[[updateWhere]] returns: how many rows
+    * matched, how many partitions rewrote / dropped / were scanned,
+    * and whether a new version was committed at all (a no-match op is
+    * a no-op — it burns no version and rewrites nothing). */
+  final case class RowOpResult(rowsMatched: Long, partitionsRewritten: Long,
+                               partitionsDropped: Long, partitionsScanned: Long,
+                               partitionsTotal: Long, committed: Boolean)
+
+  /** Per-candidate-partition (value, matchedRows, totalRows) in ONE
+    * column-pruned Spark job (the scan reads only `partitionCol` plus
+    * the predicate's input columns). Bounded collect: O(partitions). */
+  private def matchCounts(spark: SparkSession, path: String, version: Long,
+                          candidates: Seq[(String, String)], partitionCol: String,
+                          hit: org.apache.spark.sql.Column): Seq[(String, Long, Long)] =
+    readDirs(spark, path, version, candidates.map(e => dirOf(e._2)))
+      .groupBy(col(partitionCol).cast("string").as("__p"))
+      .agg(sum(when(hit, lit(1L)).otherwise(lit(0L))).as("__m"),
+        count(lit(1)).as("__t"))
+      .collect().toSeq.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+
+  /** DELETE FROM the table WHERE `predicate` — copy-on-write. Rows
+    * where the predicate is NULL are kept (SQL DELETE semantics).
+    * Partitions left empty by the delete are dropped from the manifest
+    * (dir-level delete, the partition never rewrites); partitions with
+    * surviving rows rewrite whole; partitions with no matching row are
+    * untouched (their manifest entries — and zone-map stats — carry
+    * forward verbatim). Time travel still reads the pre-delete rows
+    * through any retained earlier version. */
+  def deleteWhere(spark: SparkSession, path: String, partitionCol: String,
+                  predicate: org.apache.spark.sql.Column,
+                  partitionFilter: String => Boolean = _ => true,
+                  retainVersions: Int = 2,
+                  statsColumns: Seq[String] = Nil): RowOpResult = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = latestVersion(fs, path).getOrElse(
+      sys.error(s"ManifestTable.deleteWhere: no manifest under $path/$ManifestDir"))
+    val lines = readManifest(fs, path, v)
+    val entries = dataEntries(lines)
+    val candidates = entries.filter(e => partitionFilter(e._1))
+    if (candidates.isEmpty)
+      return RowOpResult(0L, 0L, 0L, 0L, entries.size.toLong, committed = false)
+    val hit = coalesce(predicate, lit(false))
+    val counts = matchCounts(spark, path, v, candidates, partitionCol, hit)
+    val touched = counts.filter(_._2 > 0L)
+    if (touched.isEmpty)
+      return RowOpResult(0L, 0L, 0L, candidates.size.toLong, entries.size.toLong,
+        committed = false)
+    val rewritten = touched.filter { case (_, m, t) => m < t }
+    val dirByPart = candidates.map(e => e._1 -> dirOf(e._2)).toMap
+    val incoming =
+      if (rewritten.isEmpty)
+        // Every matched partition empties wholesale — commit a pure
+        // partition drop; the empty frame shapes the schema guards.
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          committedSchema(lines).getOrElse(
+            readDirs(spark, path, v, candidates.take(1).map(e => dirOf(e._2))).schema))
+      else readDirs(spark, path, v, rewritten.map(r => dirByPart(r._1))).filter(!hit)
+    merge(spark, path, incoming, keys = Nil, partitionCol = partitionCol,
+      retainVersions = retainVersions, statsColumns = statsColumns,
+      replaceTouched = true, knownTouched = Some(touched.map(_._1).toSet))
+    RowOpResult(touched.map(_._2).sum, rewritten.size.toLong,
+      (touched.size - rewritten.size).toLong, candidates.size.toLong,
+      entries.size.toLong, committed = true)
+  }
+
+  /** UPDATE the table SET `assignments` WHERE `predicate` —
+    * copy-on-write. Rows where the predicate is NULL are unchanged;
+    * every assignment right-hand side evaluates against the PRE-update
+    * row. Only partitions containing a matching row rewrite. The
+    * partition column cannot be assigned (a row moving across
+    * partition dirs breaks the stable-partition contract — model that
+    * as delete + re-merge), and assignments must target EXISTING
+    * columns (add columns through [[merge]]'s additive evolution, not
+    * through an update). A retype in an assignment is refused by the
+    * commit's schema guard. */
+  def updateWhere(spark: SparkSession, path: String, partitionCol: String,
+                  predicate: org.apache.spark.sql.Column,
+                  assignments: Map[String, org.apache.spark.sql.Column],
+                  partitionFilter: String => Boolean = _ => true,
+                  retainVersions: Int = 2,
+                  statsColumns: Seq[String] = Nil): RowOpResult = {
+    require(assignments.nonEmpty, "ManifestTable.updateWhere: no assignments")
+    require(!assignments.contains(partitionCol),
+      s"ManifestTable.updateWhere: cannot assign partition column $partitionCol — " +
+        "a row moving across partition dirs breaks the stable-partition contract")
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = latestVersion(fs, path).getOrElse(
+      sys.error(s"ManifestTable.updateWhere: no manifest under $path/$ManifestDir"))
+    val lines = readManifest(fs, path, v)
+    val entries = dataEntries(lines)
+    val candidates = entries.filter(e => partitionFilter(e._1))
+    if (candidates.isEmpty)
+      return RowOpResult(0L, 0L, 0L, 0L, entries.size.toLong, committed = false)
+    val hit = coalesce(predicate, lit(false))
+    val counts = matchCounts(spark, path, v, candidates, partitionCol, hit)
+    val touched = counts.filter(_._2 > 0L)
+    if (touched.isEmpty)
+      return RowOpResult(0L, 0L, 0L, candidates.size.toLong, entries.size.toLong,
+        committed = false)
+    val dirByPart = candidates.map(e => e._1 -> dirOf(e._2)).toMap
+    val base = readDirs(spark, path, v, touched.map(t => dirByPart(t._1)))
+    val missing = assignments.keys.filterNot(base.columns.contains)
+    require(missing.isEmpty, "ManifestTable.updateWhere: assignment to column(s) " +
+      s"${missing.mkString(", ")} not in the table — additive columns go through merge")
+    // Stage every new value under a temp name FIRST so each RHS sees
+    // the pre-update row, then swap them in (UPDATE evaluation order).
+    val staged = assignments.toSeq.zipWithIndex
+    val withTmp = staged.foldLeft(base) { case (df, ((c, e), i)) =>
+      df.withColumn(s"__upd_$i", when(hit, e).otherwise(col(c)))
+    }
+    val incoming = staged.foldLeft(withTmp) { case (df, ((c, _), i)) =>
+      df.withColumn(c, col(s"__upd_$i"))
+    }.drop(staged.map { case (_, i) => s"__upd_$i" }: _*)
+    merge(spark, path, incoming, keys = Nil, partitionCol = partitionCol,
+      retainVersions = retainVersions, statsColumns = statsColumns,
+      replaceTouched = true, knownTouched = Some(touched.map(_._1).toSet))
+    RowOpResult(touched.map(_._2).sum, touched.size.toLong, 0L,
+      candidates.size.toLong, entries.size.toLong, committed = true)
+  }
+
+  // ------------------------------------------------------------------
+  // CHANGE DATA FEED (r11) — row-level diffs between retained
+  // versions, the Delta CDF surface computed FROM THE MANIFEST DIFF:
+  // a partition whose manifest entry is byte-identical across two
+  // versions cannot have changed (dirs are immutable), so each
+  // version step reads ONLY the partitions whose dir changed — at
+  // 100 TB a daily commit touching 1% of partitions diffs 1% of the
+  // table, never all of it. Within a changed partition, a keyed full
+  // outer join classifies every row: insert / delete /
+  // update_preimage+update_postimage (a row present on both sides
+  // with identical non-key values emits nothing).
+  // ------------------------------------------------------------------
+
+  /** Row-level changes between retained versions `fromVersion`
+    * (exclusive) and `toVersion` (inclusive), one step per commit:
+    * the table's columns (under each step's committed schema; earlier
+    * steps resolve later-added columns as null) plus `_change_type`
+    * (insert | delete | update_preimage | update_postimage) and
+    * `_commit_version`. `keys` is the table's logical key (the same
+    * key its merges upsert on); per-commit attribution requires every
+    * intermediate version retained. */
+  def changes(spark: SparkSession, path: String, keys: Seq[String],
+              fromVersion: Long, toVersion: Long): DataFrame = {
+    require(keys.nonEmpty, "ManifestTable.changes: no key columns")
+    require(fromVersion < toVersion,
+      s"ManifestTable.changes: fromVersion $fromVersion must be < toVersion $toVersion")
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vs = versions(fs, path)
+    val steps = vs.filter(v => v > fromVersion && v <= toVersion)
+    require(vs.contains(fromVersion) && steps.size == (toVersion - fromVersion),
+      s"ManifestTable.changes: need every version m$fromVersion..m$toVersion retained " +
+        s"(have ${vs.mkString(", ")}) — an expired intermediate collapses per-commit " +
+        "attribution")
+    steps.map(v => changeStep(spark, fs, path, keys, v))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** The row diff contributed by ONE commit (version `v` vs `v-1`). */
+  private def changeStep(spark: SparkSession, fs: FileSystem, path: String,
+                         keys: Seq[String], v: Long): DataFrame = {
+    val prevDirs = partitionDirs(fs, path, v - 1)
+    val curLines = readManifest(fs, path, v)
+    val curDirs = dataEntries(curLines).map { case (k, value) => k -> dirOf(value) }.toMap
+    val changed = (prevDirs.keySet ++ curDirs.keySet)
+      .filter(p => prevDirs.get(p) != curDirs.get(p))
+    val oldSide = changed.toSeq.sorted.flatMap(prevDirs.get)
+    val newSide = changed.toSeq.sorted.flatMap(curDirs.get)
+    // Both sides read (and the diff emits) under the NEW version's
+    // committed schema — a widening commit diffs old rows with the
+    // added columns as null, exactly how version v reads them.
+    val schema: org.apache.spark.sql.types.StructType =
+      committedSchema(curLines).getOrElse {
+        val some = (newSide ++ oldSide).head // changed nonempty => a dir exists
+        spark.read.parquet(s"$path/$some").schema
+      }
+    def side(dirs: Seq[String]): DataFrame =
+      if (dirs.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(dirs.map(d => s"$path/$d"): _*)
+    keys.foreach(k => require(schema.fieldNames.contains(k),
+      s"ManifestTable.changes: key column $k not in the m$v schema"))
+    val nonKeys = schema.fieldNames.filterNot(keys.contains).toSeq
+    def pack(df: DataFrame, data: String, marker: String): DataFrame =
+      df.select(keys.map(col) ++ Seq(
+        struct(nonKeys.map(col): _*).as(data), lit(true).as(marker)): _*)
+    val j = pack(side(oldSide), "__od", "__oe")
+      .join(pack(side(newSide), "__nd", "__ne"), keys, "full_outer")
+    val differs = col("__oe").isNotNull && col("__ne").isNotNull &&
+      !(col("__od") <=> col("__nd"))
+    val pre = when(col("__ne").isNull, struct(lit("delete").as("t"), col("__od").as("d")))
+      .when(differs, struct(lit("update_preimage").as("t"), col("__od").as("d")))
+    val post = when(col("__oe").isNull, struct(lit("insert").as("t"), col("__nd").as("d")))
+      .when(differs, struct(lit("update_postimage").as("t"), col("__nd").as("d")))
+    j.select(keys.map(col) :+ explode(array(pre, post)).as("__c"): _*)
+      .filter(col("__c").isNotNull)
+      .select(keys.map(col) ++ nonKeys.map(nk => col(s"__c.d.$nk").as(nk)) ++ Seq(
+        col("__c.t").as("_change_type"), lit(v).as("_commit_version")): _*)
+  }
+
   /** The table as of its latest manifest. `partitionFilter` prunes at
     * the DIRECTORY level by partition-value string, before any file
     * is touched — the manifest-resolved analog of partition pruning. */

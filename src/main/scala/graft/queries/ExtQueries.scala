@@ -3711,6 +3711,269 @@ object ExtQueries {
       |ORDER BY lang, split""".stripMargin
 
   // ----------------------------------------------------------------
+  // q128_row_delete — copy-on-write row-level DELETE on the manifest
+  // table (ManifestTable.deleteWhere) under the driver gate (MergeSpec
+  // covers it in-JVM): a day-partitioned events table takes DELETE
+  // WHERE value >= 250 OR day = '2024-01-07'. The predicate is NULL
+  // on the rows whose value was nulled (event_id % 97 == 0) — SQL
+  // DELETE semantics keep them. The named day empties wholesale, so
+  // its partition is DROPPED from the manifest without a rewrite;
+  // days with scattered matches rewrite; days with none carry their
+  // manifest entries forward verbatim. The oracle recomputes the
+  // whole thing in SQL — final per-day state AND the op's evidence
+  // (rows matched, partitions rewritten/dropped/scanned) AND the
+  // pre-delete snapshot still readable through time travel — so five
+  // filesystem-level facts hash cross-engine.
+  // ----------------------------------------------------------------
+  def q128RowDelete(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:q128_row_delete") {
+      q128RowDeleteBuild(spark, dir)
+    }
+
+  private def q128RowDeleteBuild(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.ManifestTable
+    val dropDay = "2024-01-07 00:00:00"
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), date_trunc("day", col("ts")).as("day"),
+        when(col("event_id") % 97 === 0, lit(null).cast("double"))
+          .otherwise(col("value")).as("value"))
+    val path = java.nio.file.Files.createTempDirectory("graft_q128_").toString + "/table"
+    ManifestTable.merge(spark, path, ev, keys = Seq("event_id"), partitionCol = "day")
+    val r = ManifestTable.deleteWhere(spark, path, "day",
+      col("value") >= 250.0 || col("day") === lit(dropDay).cast("timestamp"))
+    val v1 = ManifestTable.readVersion(spark, path, 1L)
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * lit(1e3)).cast("long")).as("s")).collect()(0)
+    ManifestTable.read(spark, path)
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * lit(1e3)).cast("long")).as("sum_value_e3"))
+      .withColumn("rows_deleted", lit(r.rowsMatched))
+      .withColumn("parts_rewritten", lit(r.partitionsRewritten))
+      .withColumn("parts_dropped", lit(r.partitionsDropped))
+      .withColumn("parts_scanned", lit(r.partitionsScanned))
+      .withColumn("v1_rows", lit(v1.getLong(0)))
+      .withColumn("v1_sum_e3", lit(v1.getLong(1)))
+      .orderBy(col("day"))
+  }
+
+  val q128RowDeleteSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, date_trunc('day', ts) AS day,
+      |         CASE WHEN event_id % 97 = 0 THEN NULL ELSE value END AS value
+      |  FROM events),
+      |del AS (
+      |  SELECT *, (value >= 250.0 OR day = TIMESTAMP '2024-01-07') AS hit FROM ev),
+      |pstat AS (
+      |  SELECT day, CAST(count(*) AS BIGINT) AS t,
+      |         CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS m
+      |  FROM del GROUP BY day),
+      |kept AS (SELECT * FROM del WHERE hit IS NOT TRUE)
+      |SELECT day, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(floor(value * 1e3) AS BIGINT)) AS BIGINT) AS sum_value_e3,
+      |  (SELECT CAST(sum(m) AS BIGINT) FROM pstat) AS rows_deleted,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM pstat WHERE m > 0 AND m < t)
+      |    AS parts_rewritten,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM pstat WHERE m = t) AS parts_dropped,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM pstat) AS parts_scanned,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM ev) AS v1_rows,
+      |  (SELECT CAST(sum(CAST(floor(value * 1e3) AS BIGINT)) AS BIGINT) FROM ev)
+      |    AS v1_sum_e3
+      |FROM kept GROUP BY day ORDER BY day""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q129_row_update — copy-on-write row-level UPDATE
+  // (ManifestTable.updateWhere) under the driver gate: UPDATE SET
+  // value = value * 2, user_id = user_id + floor(value) WHERE
+  // event_type = 'click' AND value < 100. Two semantics pins ride the
+  // hash: NULL-predicate rows are untouched (the nulled values make
+  // the AND null), and every assignment RHS evaluates against the
+  // PRE-update row — user_id gains floor(OLD value); a sequential
+  // implementation would add floor(value*2) and shift the per-type
+  // user_id sum. Only partitions containing a match rewrite (evidence
+  // columns), and the pre-update snapshot stays readable.
+  // ----------------------------------------------------------------
+  def q129RowUpdate(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:q129_row_update") {
+      q129RowUpdateBuild(spark, dir)
+    }
+
+  private def q129RowUpdateBuild(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.ManifestTable
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), date_trunc("day", col("ts")).as("day"),
+        col("event_type"), col("user_id"),
+        when(col("event_id") % 97 === 0, lit(null).cast("double"))
+          .otherwise(col("value")).as("value"))
+    val path = java.nio.file.Files.createTempDirectory("graft_q129_").toString + "/table"
+    ManifestTable.merge(spark, path, ev, keys = Seq("event_id"), partitionCol = "day")
+    val r = ManifestTable.updateWhere(spark, path, "day",
+      col("event_type") === "click" && col("value") < 100.0,
+      Map("value" -> (col("value") * 2.0),
+          "user_id" -> (col("user_id") + floor(col("value")).cast("long"))))
+    val v1 = ManifestTable.readVersion(spark, path, 1L)
+      .agg(sum(floor(col("value") * lit(1e3)).cast("long")).as("s")).collect()(0)
+    ManifestTable.read(spark, path)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * lit(1e3)).cast("long")).as("sum_value_e3"),
+        sum(col("user_id")).as("sum_user_id"))
+      .withColumn("rows_updated", lit(r.rowsMatched))
+      .withColumn("parts_rewritten", lit(r.partitionsRewritten))
+      .withColumn("parts_scanned", lit(r.partitionsScanned))
+      .withColumn("v1_sum_e3", lit(v1.getLong(0)))
+      .orderBy(col("event_type"))
+  }
+
+  val q129RowUpdateSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, date_trunc('day', ts) AS day, event_type, user_id,
+      |         CASE WHEN event_id % 97 = 0 THEN NULL ELSE value END AS value
+      |  FROM events),
+      |m AS (
+      |  SELECT *, coalesce(event_type = 'click' AND value < 100.0, false) AS hit
+      |  FROM ev),
+      |upd AS (
+      |  SELECT event_type, day, hit,
+      |         CASE WHEN hit THEN user_id + CAST(floor(value) AS BIGINT)
+      |              ELSE user_id END AS user_id,
+      |         CASE WHEN hit THEN value * 2.0 ELSE value END AS value
+      |  FROM m),
+      |pstat AS (
+      |  SELECT day, CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS mm
+      |  FROM m GROUP BY day)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(floor(value * 1e3) AS BIGINT)) AS BIGINT) AS sum_value_e3,
+      |  CAST(sum(user_id) AS BIGINT) AS sum_user_id,
+      |  (SELECT CAST(sum(mm) AS BIGINT) FROM pstat) AS rows_updated,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM pstat WHERE mm > 0) AS parts_rewritten,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM pstat) AS parts_scanned,
+      |  (SELECT CAST(sum(CAST(floor(value * 1e3) AS BIGINT)) AS BIGINT) FROM ev)
+      |    AS v1_sum_e3
+      |FROM upd GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q130_change_feed — CHANGE DATA FEED from the manifest diff
+  // (ManifestTable.changes) under the driver gate: three commits
+  // build a layered history — v1 loads the non-(id%5==0) rows, v2
+  // upserts a 5-day tail window (ids %3==0 get value+1 → update
+  // pre/post pairs; ids %5==0 appear → inserts; the REST rewrite with
+  // identical values → must emit NOTHING even though their partition
+  // dirs changed), v3 is a row-level DELETE of value >= 250 through
+  // deleteWhere. The gate emits the FULL row-level feed
+  // (id, day, value, _change_type, _commit_version); the oracle
+  // reconstructs every row of it from the layered state in SQL, with
+  // IS DISTINCT FROM carrying the null-transition semantics the
+  // struct <=> comparison implements on the Spark side.
+  // ----------------------------------------------------------------
+  def q130ChangeFeed(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:q130_change_feed") {
+      q130ChangeFeedBuild(spark, dir)
+    }
+
+  private def q130ChangeFeedBuild(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.ManifestTable
+    val cut = "2024-01-26 00:00:00"
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), date_trunc("day", col("ts")).as("day"),
+        when(col("event_id") % 97 === 0, lit(null).cast("double"))
+          .otherwise(col("value")).as("value"))
+    val path = java.nio.file.Files.createTempDirectory("graft_q130_").toString + "/table"
+    ManifestTable.merge(spark, path, ev.filter(col("event_id") % 5 =!= 0),
+      keys = Seq("event_id"), partitionCol = "day", retainVersions = 3)
+    val win = ev.filter(col("day") >= lit(cut).cast("timestamp"))
+    ManifestTable.merge(spark, path,
+      win.withColumn("value",
+        when(col("event_id") % 3 === 0, col("value") + 1.0).otherwise(col("value"))),
+      keys = Seq("event_id"), partitionCol = "day", retainVersions = 3)
+    ManifestTable.deleteWhere(spark, path, "day", col("value") >= 250.0,
+      retainVersions = 3)
+    ManifestTable.changes(spark, path, Seq("event_id"), 1L, 3L)
+      .select(col("event_id"), col("day"), col("value"),
+        col("_change_type"), col("_commit_version"))
+      .orderBy(col("_commit_version"), col("event_id"), col("_change_type"))
+  }
+
+  val q130ChangeFeedSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, date_trunc('day', ts) AS day,
+      |         CASE WHEN event_id % 97 = 0 THEN NULL ELSE value END AS value
+      |  FROM events),
+      |v1 AS (SELECT * FROM ev WHERE event_id % 5 <> 0),
+      |win AS (SELECT * FROM ev WHERE day >= TIMESTAMP '2024-01-26'),
+      |b2 AS (
+      |  SELECT event_id, day,
+      |         CASE WHEN event_id % 3 = 0 THEN value + 1.0 ELSE value END AS value
+      |  FROM win),
+      |step2 AS (
+      |  SELECT b2.event_id, b2.day, b2.value, 'insert' AS ct FROM b2
+      |  WHERE b2.event_id % 5 = 0
+      |  UNION ALL
+      |  SELECT v1.event_id, v1.day, v1.value, 'update_preimage' AS ct
+      |  FROM v1 JOIN b2 USING (event_id) WHERE v1.value IS DISTINCT FROM b2.value
+      |  UNION ALL
+      |  SELECT b2.event_id, b2.day, b2.value, 'update_postimage' AS ct
+      |  FROM v1 JOIN b2 USING (event_id) WHERE v1.value IS DISTINCT FROM b2.value),
+      |v2 AS (
+      |  SELECT * FROM v1 WHERE day < TIMESTAMP '2024-01-26'
+      |  UNION ALL SELECT * FROM b2),
+      |step3 AS (
+      |  SELECT event_id, day, value, 'delete' AS ct FROM v2 WHERE value >= 250.0)
+      |SELECT event_id, day, value, ct AS _change_type,
+      |       CAST(v AS BIGINT) AS _commit_version
+      |FROM (SELECT *, 2 AS v FROM step2 UNION ALL SELECT *, 3 AS v FROM step3)
+      |ORDER BY _commit_version, event_id, _change_type""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q131_sql_registry — the SQL-TEXT surface of the custom Catalyst
+  // expressions: the whole query is ONE spark.sql(...) string over a
+  // temp view, reaching the codegen'd CosineSimilarity expression
+  // through the session FunctionRegistry (GraftExtensions.
+  // injectFunction — parser → registry → custom Expression, the full
+  // public path a SQL user takes). Semantics are q15's cosine, but
+  // resolved by NAME from SQL text rather than through the Column
+  // DSL; the oracle recomputes with DuckDB list arithmetic. A
+  // registration break (extension not installed, arity drift,
+  // type-check failure) turns into an analysis error here, not a
+  // silent fallback.
+  // ----------------------------------------------------------------
+  def q131SqlRegistry(spark: SparkSession, dir: String): DataFrame = {
+    Tables.embeddings(spark, dir).createOrReplaceTempView("graft_embeddings_q131")
+    spark.sql(
+      """SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, sim
+        |FROM (
+        |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |         row_number() OVER (
+        |           PARTITION BY q.vec_id
+        |           ORDER BY graft_cosine(q.embedding, e.embedding) DESC, e.vec_id) AS rank,
+        |         round(graft_cosine(q.embedding, e.embedding), 4) AS sim
+        |  FROM graft_embeddings_q131 q
+        |  JOIN graft_embeddings_q131 e ON e.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 5)
+        |WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin)
+  }
+
+  val q131SqlRegistrySql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+      |scored AS (
+      |  SELECT q.query_id, e.vec_id AS neighbor_id,
+      |         list_dot_product(qv, v) /
+      |           (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS sim
+      |  FROM q JOIN e ON e.vec_id <> q.query_id),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, round(sim, 4) AS sim
+      |FROM ranked WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
+  // ----------------------------------------------------------------
   // q99_image_decode — the REAL byte-level image kernel under the
   // driver gate (round-7 verdict #5; the decode family is no longer
   // stub-labeled): deterministic gradient images are ENCODED in a

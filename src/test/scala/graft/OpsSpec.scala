@@ -773,5 +773,123 @@ class MergeSpec extends AnyFunSuite {
       s"range join fell back to a nested-loop plan:\n$plan")
   }
 
+  test("ManifestTable.deleteWhere: NULL-predicate rows kept, emptied partition dropped, " +
+    "unmatched partition's file untouched, no-match op commits nothing") {
+    import graft.ops.ManifestTable
+    val path = java.nio.file.Files.createTempDirectory("graft-mt-delete").toString + "/t"
+    val (d1, d2, d3) = (ts("2024-01-01"), ts("2024-01-02"), ts("2024-01-03"))
+    val base = Seq(
+      (1L, d1, Option(10.0)), (2L, d1, Option.empty[Double]), (3L, d1, Option(35.0)),
+      (4L, d2, Option(20.0)), (5L, d2, Option(25.0)),
+      (6L, d3, Option(5.0)), (7L, d3, Option(40.0))
+    ).toDF("id", "day", "v")
+    ManifestTable.merge(spark, path, base, Seq("id"), "day", retainVersions = 3)
+    val day2FilesBefore = ManifestTable.read(spark, path,
+      partitionFilter = _.startsWith("2024-01-02")).inputFiles.toSet
+
+    val r = ManifestTable.deleteWhere(spark, path, "day",
+      col("v") >= 30.0 || col("id") === 6L, retainVersions = 3)
+    // ids 3, 7 match on v; id 6 matches on id; id 2's NULL predicate KEEPS it
+    assert(r == ManifestTable.RowOpResult(rowsMatched = 3, partitionsRewritten = 1,
+      partitionsDropped = 1, partitionsScanned = 3, partitionsTotal = 3, committed = true))
+    val got = ManifestTable.read(spark, path).orderBy("id")
+      .select("id", "v").as[(Long, Option[Double])].collect().toSeq
+    assert(got == Seq((1L, Some(10.0)), (2L, None), (4L, Some(20.0)), (5L, Some(25.0))))
+    // the unmatched partition (day2) was not rewritten: same physical file
+    val day2FilesAfter = ManifestTable.read(spark, path,
+      partitionFilter = _.startsWith("2024-01-02")).inputFiles.toSet
+    assert(day2FilesAfter == day2FilesBefore)
+    // time travel still reads the pre-delete snapshot
+    assert(ManifestTable.readVersion(spark, path, 1L).count() == 7L)
+
+    // partitionFilter is the replaceWhere window: v>=20 matches day2 rows,
+    // but a day1-only window must not touch them — and finding no match
+    // inside the window commits NOTHING (no version burned).
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versionsBefore = ManifestTable.versions(fs, path)
+    val r2 = ManifestTable.deleteWhere(spark, path, "day", col("v") >= 20.0,
+      partitionFilter = _.startsWith("2024-01-01"), retainVersions = 3)
+    assert(!r2.committed && r2.rowsMatched == 0 && r2.partitionsScanned == 1)
+    assert(ManifestTable.versions(fs, path) == versionsBefore)
+    assert(ManifestTable.read(spark, path).count() == 4L)
+  }
+
+  test("ManifestTable.updateWhere: RHS sees the PRE-update row, NULL-predicate rows " +
+    "unchanged, partition-column and unknown-column assignments refused") {
+    import graft.ops.ManifestTable
+    val path = java.nio.file.Files.createTempDirectory("graft-mt-update").toString + "/t"
+    val (d1, d2) = (ts("2024-01-01"), ts("2024-01-02"))
+    val base = Seq(
+      (1L, d1, Option(20.0), 1.0), (2L, d1, Option.empty[Double], 2.0),
+      (3L, d2, Option(5.0), 3.0)
+    ).toDF("id", "day", "v", "w")
+    ManifestTable.merge(spark, path, base, Seq("id"), "day", retainVersions = 3)
+    val day2FilesBefore = ManifestTable.read(spark, path,
+      partitionFilter = _.startsWith("2024-01-02")).inputFiles.toSet
+    // v := v + w, w := v — if assignments applied sequentially, w would
+    // see the NEW v (21.0); SQL UPDATE semantics require the old (20.0).
+    val r = ManifestTable.updateWhere(spark, path, "day", col("v") >= 10.0,
+      Map("v" -> (col("v") + col("w")), "w" -> col("v")), retainVersions = 3)
+    assert(r == ManifestTable.RowOpResult(rowsMatched = 1, partitionsRewritten = 1,
+      partitionsDropped = 0, partitionsScanned = 2, partitionsTotal = 2, committed = true))
+    val got = ManifestTable.read(spark, path).orderBy("id")
+      .select("id", "v", "w").as[(Long, Option[Double], Double)].collect().toSeq
+    assert(got == Seq((1L, Some(21.0), 20.0), (2L, None, 2.0), (3L, Some(5.0), 3.0)))
+    assert(ManifestTable.read(spark, path,
+      partitionFilter = _.startsWith("2024-01-02")).inputFiles.toSet == day2FilesBefore)
+    intercept[IllegalArgumentException] {
+      ManifestTable.updateWhere(spark, path, "day", lit(true), Map("day" -> lit(d2)))
+    }
+    intercept[IllegalArgumentException] {
+      ManifestTable.updateWhere(spark, path, "day", lit(true), Map("nope" -> lit(1.0)))
+    }
+  }
+
+  test("ManifestTable.changes: per-commit insert/update-pair/delete classification; " +
+    "identical rewritten rows emit nothing; missing intermediate version refused") {
+    import graft.ops.ManifestTable
+    val path = java.nio.file.Files.createTempDirectory("graft-mt-cdf").toString + "/t"
+    val (d1, d2) = (ts("2024-01-01"), ts("2024-01-02"))
+    ManifestTable.merge(spark, path, Seq(
+      (1L, d1, 10.0), (2L, d1, 20.0), (3L, d2, 30.0), (4L, d2, 40.0)
+    ).toDF("id", "day", "v"), Seq("id"), "day", retainVersions = 4)
+    // v2: id 2 rewrites with the SAME value (its partition still rewrote),
+    // id 1 changes, id 5 is new — all in day1; day2 untouched.
+    ManifestTable.merge(spark, path, Seq(
+      (1L, d1, 11.0), (2L, d1, 20.0), (5L, d1, 50.0)
+    ).toDF("id", "day", "v"), Seq("id"), "day", retainVersions = 4)
+    // v3: delete id 3 (day2 rewrites) and id 5 (day1 rewrites)
+    ManifestTable.deleteWhere(spark, path, "day", col("id").isin(3L, 5L),
+      retainVersions = 4)
+    val feed = ManifestTable.changes(spark, path, Seq("id"), 1L, 3L)
+      .orderBy("_commit_version", "id", "_change_type")
+      .select("id", "v", "_change_type", "_commit_version")
+      .as[(Long, Double, String, Long)].collect().toSeq
+    assert(feed == Seq(
+      (1L, 11.0, "update_postimage", 2L), // "_post" sorts before "_pre"
+      (1L, 10.0, "update_preimage", 2L),
+      (5L, 50.0, "insert", 2L),
+      (3L, 30.0, "delete", 3L),
+      (5L, 50.0, "delete", 3L)))
+    // replaying the feed over the v1 snapshot reproduces the v3 table
+    val replayed = graft.ops.Merge.applyChangeFeed(
+      ManifestTable.readVersion(spark, path, 1L),
+      ManifestTable.changes(spark, path, Seq("id"), 1L, 3L)
+        .filter(col("_change_type") =!= "update_preimage")
+        .withColumn("op", when(col("_change_type") === "delete", "delete")
+          .otherwise("update"))
+        .withColumnRenamed("_commit_version", "version")
+        .drop("_change_type"),
+      Seq("id"))
+    assert(replayed.orderBy("id").select("id", "v").as[(Long, Double)].collect().toSeq ==
+      ManifestTable.read(spark, path).orderBy("id").select("id", "v")
+        .as[(Long, Double)].collect().toSeq)
+    val e = intercept[IllegalArgumentException] {
+      ManifestTable.changes(spark, path, Seq("id"), 0L, 3L)
+    }
+    assert(e.getMessage.contains("retained"))
+  }
+
   private def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
 }
