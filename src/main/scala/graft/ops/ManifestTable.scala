@@ -109,7 +109,9 @@ object ManifestTable {
             statsColumns: Seq[String] = Nil,
             replaceTouched: Boolean = false,
             props: Map[String, String] = Map.empty,
-            knownTouched: Option[Set[String]] = None): Unit = {
+            knownTouched: Option[Set[String]] = None,
+            bloomColumns: Seq[String] = Nil,
+            bloomBits: Int = 8192): Unit = {
     require(retainVersions >= 1, s"retainVersions must be >= 1, got $retainVersions")
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -134,7 +136,14 @@ object ManifestTable {
     val newEntries = listPartitionDirs(fs, s"$path/$batch").map { name =>
       unescapePathName(name.stripPrefix("__pdir=")) -> s"$batch/$name"
     }
-    commitPlan(fs, plan, newEntries, retainVersions, statsColumns, props)
+    // Bloom index build reads the JUST-WRITTEN batch back (a
+    // column-pruned scan of only partitionCol + the bloom columns) —
+    // cheaper than re-evaluating the merge plan a second time.
+    val blooms =
+      if (bloomColumns.isEmpty) Map.empty[String, Seq[String]]
+      else collectBlooms(spark.read.parquet(s"$path/$batch"), partitionCol,
+        bloomColumns, bloomBits)
+    commitPlan(fs, plan, newEntries, retainVersions, statsColumns, props, blooms)
   }
 
   /** One incoming batch per table (a [[mergeMany]] element): the table
@@ -501,6 +510,124 @@ object ManifestTable {
     if (recorded.isEmpty) None else Some(recorded.mkString(";"))
   }
 
+  // ------------------------------------------------------------------
+  // BLOOM DIR-INDEX (r11) — the EQUALITY complement to the zone maps:
+  // min/max ranges cannot prune a point lookup on a high-cardinality
+  // unsorted column (every partition's range straddles it), and
+  // strings have no recordable range at all. A merge declaring
+  // `bloomColumns` commits one small bloom filter PER PARTITION DIR
+  // per column into the manifest line (`col!bloom=k:m:<hex>` — the
+  // '!' makes the key unmistakable for a zone-map entry), built with
+  // the same engine-portable md5 position scheme as
+  // [[graft.ext.Sketches.bloomWords]] so a DuckDB oracle rebuilds
+  // identical filters. [[readSkippingEquals]] then prunes at the
+  // DIRECTORY level: a dir whose bloom says "definitely absent" is
+  // never opened — no false negatives by construction, false
+  // positives only cost a read. Delta's bloom-filter index in
+  // miniature, at dir rather than file granularity. Untouched
+  // partitions carry their filters forward verbatim; dirs without a
+  // filter are always read (fail-safe). Size the filter to the
+  // partition's cardinality: mBits defaults to 8192 (2 KB/partition
+  // in the manifest) — at ~4 hashes that holds FP < 1% up to ~850
+  // distinct values per partition; pass a larger `bloomBits` for
+  // denser partitions.
+  // ------------------------------------------------------------------
+
+  private val BloomHashes = 4
+  private val BloomTag = "!bloom"
+
+  /** Per-partition packed bloom filters for `cols` over the written
+    * batch, as manifest suffix items — ONE Spark job for all columns
+    * (column-pruned scan of the batch). Bounded collect:
+    * O(partitions × mBits/32) small rows, the same driver-side scale
+    * class as the manifest itself. */
+  private def collectBlooms(batchDf: DataFrame, partitionCol: String,
+                            cols: Seq[String], mBits: Int): Map[String, Seq[String]] = {
+    require(mBits % 32 == 0 && mBits > 0, s"bloomBits must be a positive multiple of 32, got $mBits")
+    val words = mBits / 32
+    val posFrames = cols.map { c =>
+      batchDf.filter(col(c).isNotNull)
+        .select(col(partitionCol).cast("string").as("__p"), lit(c).as("__c"),
+          explode(array((0 until BloomHashes).map(j =>
+            graft.ext.Sketches.bloomPos(col(c), j, mBits)): _*)).as("__pos"))
+    }
+    val packed = posFrames.reduce(_ unionAll _)
+      .select(col("__p"), col("__c"),
+        floor(col("__pos") / 32).cast("int").as("__w"),
+        (col("__pos") % 32).cast("int").as("__bit"))
+      .groupBy(col("__p"), col("__c"), col("__w"))
+      .agg(bit_or(expr("shiftleft(CAST(1 AS BIGINT), __bit)")).as("__bits"))
+      .collect()
+    packed.groupBy(r => (r.getString(0), r.getString(1))).map { case ((p, c), rows) =>
+      val arr = Array.fill(words)(0L)
+      rows.foreach(r => arr(r.getInt(2)) = r.getLong(3))
+      (p, c, s"$c$BloomTag=$BloomHashes:$mBits:${arr.map(w => f"$w%08x").mkString}")
+    }.toSeq.groupBy(_._1).view.mapValues(_.map(_._3).toSeq).toMap
+  }
+
+  /** Driver-side replica of [[graft.ext.Sketches.bloomPos]]: md5 of
+    * "j#value", first 8 hex chars as a long, mod mBits. MUST stay in
+    * lockstep with the Spark expression (and the DuckDB oracle form). */
+  private def bloomProbePos(value: String, j: Int, mBits: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$j#$value".getBytes("UTF-8"))
+    val hex8 = md.take(4).map(b => f"$b%02x").mkString
+    (java.lang.Long.parseLong(hex8, 16) % mBits).toInt
+  }
+
+  /** Decode a `k:mBits:<hex>` bloom payload and test membership. */
+  private def bloomContains(payload: String, value: String): Boolean =
+    payload.split(':') match {
+      case Array(kS, mS, hex) =>
+        val (k, m) = (kS.toInt, mS.toInt)
+        require(hex.length == m / 32 * 8,
+          s"ManifestTable: corrupt bloom payload (len ${hex.length} for m=$m)")
+        (0 until k).forall { j =>
+          val pos = bloomProbePos(value, j, m)
+          val bits = java.lang.Long.parseLong(hex.substring(pos / 32 * 8, pos / 32 * 8 + 8), 16)
+          (bits & (1L << (pos % 32))) != 0L
+        }
+      case _ => sys.error(s"ManifestTable: corrupt bloom payload '${payload.take(40)}'")
+    }
+
+  /** The bloom payload a manifest entry carries for `column`, if any. */
+  private def bloomOf(entryValue: String, column: String): Option[String] =
+    statsOf(entryValue).flatMap(_.split(';').iterator
+      .find(_.startsWith(s"$column$BloomTag="))
+      .map(item => item.substring(item.indexOf('=') + 1)))
+
+  /** Read the table touching only partition dirs whose bloom filter
+    * for `column` might contain `value` (the stringified column value,
+    * matching `CAST(col AS STRING)`) — equality skipping under
+    * partition pruning. Returns a SUPERSET of the matching rows (whole
+    * surviving dirs); apply the row filter on top. Dirs without a
+    * committed bloom for `column` are always read. */
+  def readSkippingEquals(spark: SparkSession, path: String, column: String,
+                         value: String,
+                         partitionFilter: String => Boolean = _ => true): SkipResult = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = latestVersion(fs, path).getOrElse(
+      sys.error(s"ManifestTable.readSkippingEquals: no manifest under $path/$ManifestDir"))
+    val lines = readManifest(fs, path, v)
+    val live = dataEntries(lines).filter(e => partitionFilter(e._1))
+    val kept = live.filter { case (_, entryValue) =>
+      bloomOf(entryValue, column) match {
+        case Some(payload) => bloomContains(payload, value)
+        case None => true // no filter recorded -> cannot prune safely
+      }
+    }
+    val schema = committedSchema(lines)
+    val df =
+      if (kept.isEmpty) {
+        val s = schema.getOrElse(sys.error(
+          s"ManifestTable.readSkippingEquals: every dir pruned and manifest m$v has no " +
+            "committed schema to shape an empty result"))
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+      } else schema.map(spark.read.schema(_)).getOrElse(spark.read)
+        .parquet(kept.map(e => s"$path/${dirOf(e._2)}"): _*)
+    SkipResult(df, kept.size.toLong, live.size.toLong)
+  }
+
   /** A [[readSkipping]] result: the pruned frame plus the pruning
     * evidence (how many live dirs the range actually touched). */
   final case class SkipResult(df: DataFrame, dirsScanned: Long, dirsTotal: Long)
@@ -543,7 +670,8 @@ object ManifestTable {
                          newEntries: Seq[(String, String)],
                          retainVersions: Int,
                          statsColumns: Seq[String] = Nil,
-                         props: Map[String, String] = Map.empty): Unit = {
+                         props: Map[String, String] = Map.empty,
+                         blooms: Map[String, Seq[String]] = Map.empty): Unit = {
     // The written-vs-touched cross-check, directional:
     //   - a WRITTEN partition outside the touched set means the batch
     //     carried rows whose existing data was never read (an
@@ -569,13 +697,16 @@ object ManifestTable {
     require(plan.replaceTouched || phantom.isEmpty,
       s"ManifestTable.merge: touched partitions ${phantom.mkString(", ")} have existing " +
         "data but the merged batch wrote no output for them — refusing to commit")
-    // Zone-map stats for the new dirs (driver-side footer reads, no
-    // Spark job); untouched entries carry theirs forward verbatim.
+    // Zone-map stats (driver-side footer reads, no Spark job) and
+    // bloom items for the new dirs; untouched entries carry theirs
+    // forward verbatim.
     val newWithStats =
-      if (statsColumns.isEmpty) newEntries
+      if (statsColumns.isEmpty && blooms.isEmpty) newEntries
       else newEntries.map { case (k, dir) =>
-        k -> collectStats(fs, s"${plan.path}/$dir", statsColumns)
-          .map(s => s"$dir\t$s").getOrElse(dir)
+        val zone = if (statsColumns.isEmpty) Nil
+          else collectStats(fs, s"${plan.path}/$dir", statsColumns).toSeq
+        val items = zone ++ blooms.getOrElse(k, Nil)
+        k -> (if (items.isEmpty) dir else s"$dir\t${items.mkString(";")}")
       }
     val propLines =
       if (props.isEmpty) Nil
@@ -749,6 +880,56 @@ object ManifestTable {
       replaceTouched = true, knownTouched = Some(touched.map(_._1).toSet))
     RowOpResult(touched.map(_._2).sum, touched.size.toLong, 0L,
       candidates.size.toLong, entries.size.toLong, committed = true)
+  }
+
+  /** Apply a CDC batch — rows carrying the table's columns plus an op
+    * (`insert` / `update` / `delete`) and a version — to the manifest
+    * table with [[Merge.applyChangeFeed]] semantics: per key the
+    * highest-version op wins within the batch, delete winners drop the
+    * key, insert/update winners upsert it. Partition-scoped like
+    * [[merge]]: only the partitions the feed names are read and
+    * rewritten (delete rows carry their row's partition value, so a
+    * delete-only partition is still declared), and a partition the
+    * batch empties is dropped from the manifest. Creates the table on
+    * first call (schema = the feed minus op/version). This is the
+    * Debezium-shaped ingestion path: land row-level change streams
+    * without materializing the full table. CONTRACT: `partitionCol`
+    * stable per key, as for [[merge]]. */
+  def applyChanges(spark: SparkSession, path: String, feed: DataFrame,
+                   keys: Seq[String], partitionCol: String,
+                   opCol: String = "op", versionCol: String = "version",
+                   retainVersions: Int = 2,
+                   props: Map[String, String] = Map.empty): Unit = {
+    val payloadCols = feed.columns.filterNot(c => c == opCol || c == versionCol).toSeq
+    require(keys.forall(payloadCols.contains),
+      s"ManifestTable.applyChanges: keys ${keys.filterNot(payloadCols.contains)
+        .mkString(", ")} not in the feed payload")
+    require(payloadCols.contains(partitionCol),
+      s"ManifestTable.applyChanges: partition column $partitionCol not in the feed " +
+        "payload (delete rows must carry their partition value too)")
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val touched = validateTouched(feed
+      .select(col(partitionCol).cast("string").as("__p")).distinct()
+      .collect().map(r => Option(r.getString(0)).getOrElse(
+        sys.error(s"ManifestTable.applyChanges: null $partitionCol value in feed"))).toSet)
+    val payload = feed.select(payloadCols.map(col): _*)
+    val existing = latestVersion(fs, path) match {
+      case None => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], payload.schema)
+      case Some(v) =>
+        val lines = readManifest(fs, path, v)
+        val dirs = dataEntries(lines).collect {
+          case (k, value) if touched(k) => dirOf(value)
+        }
+        if (dirs.isEmpty) spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          committedSchema(lines).getOrElse(payload.schema))
+        else readDirs(spark, path, v, dirs)
+    }
+    val merged = Merge.applyChangeFeed(existing, feed, keys, opCol, versionCol)
+    merge(spark, path, merged, keys = Nil, partitionCol = partitionCol,
+      retainVersions = retainVersions, replaceTouched = true,
+      knownTouched = Some(touched), props = props)
   }
 
   // ------------------------------------------------------------------

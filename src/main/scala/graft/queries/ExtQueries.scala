@@ -3974,6 +3974,161 @@ object ExtQueries {
       |ORDER BY query_id, rank""".stripMargin
 
   // ----------------------------------------------------------------
+  // q132_cdc_ingest — EXACTLY-ONCE STREAMING CDC APPLY into the
+  // manifest table (StreamingIngest.cdcApplySink over
+  // ManifestTable.applyChanges) under the driver gate: three
+  // micro-batches land a row-level change stream — full insert load,
+  // then updates (%3 ids, value+10) plus deletes (%7∧¬%3 ids), then
+  // RESURRECTING re-inserts (%14∧¬%3 ids, value*2). After the stream
+  // stops, batch 2 is RE-DELIVERED (foreachBatch's documented
+  // at-least-once behavior) — and unlike the LWW upsert sink, a
+  // re-applied CDC batch is semantically WRONG, not just wasteful:
+  // its deletes would kill the batch-3 resurrections. Exactly-once
+  // (batch id committed atomically with the data as a manifest
+  // property) must skip it wholesale; the oracle recomputes the final
+  // state closed-form, so one resurrected row lost to a broken skip
+  // breaks the hash.
+  // ----------------------------------------------------------------
+  def q132CdcIngest(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:q132_cdc_ingest") {
+      q132CdcIngestBuild(spark, dir)
+    }
+
+  private def q132CdcIngestBuild(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.ops.ManifestTable
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), date_trunc("day", col("ts")).as("day"), col("value"))
+    val b1 = ev.withColumn("op", lit("insert")).withColumn("version", lit(1L))
+    val b2 = ev.filter(col("event_id") % 3 === 0)
+      .withColumn("value", col("value") + 10.0)
+      .withColumn("op", lit("update")).withColumn("version", lit(2L))
+      .unionByName(ev.filter(col("event_id") % 7 === 0 && col("event_id") % 3 =!= 0)
+        .withColumn("op", lit("delete")).withColumn("version", lit(2L)))
+    val b3 = ev.filter(col("event_id") % 14 === 0 && col("event_id") % 3 =!= 0)
+      .withColumn("value", col("value") * 2.0)
+      .withColumn("op", lit("insert")).withColumn("version", lit(3L))
+    def rowsOf(df: DataFrame) = df.select("event_id", "day", "value", "op", "version")
+      .as[(Long, java.sql.Timestamp, Double, String, Long)].collect().toSeq
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, Double, String, Long)]
+    val feed = input.toDF().toDF("event_id", "day", "value", "op", "version")
+    val out = java.nio.file.Files.createTempDirectory("graft_q132_").toString
+    val sinkPath = s"$out/table"
+    val sink = graft.streaming.StreamingIngest.cdcApplySink(
+      sinkPath, keys = Seq("event_id"), partitionCol = "day")
+    val query = feed.writeStream.outputMode("append")
+      .foreachBatch(sink)
+      .option("checkpointLocation", s"$out/ckpt")
+      .start()
+    try Seq(b1, b2, b3).foreach { b =>
+      input.addData(rowsOf(b): _*)
+      query.processAllAvailable()
+    } finally query.stop()
+    // The at-least-once RE-DELIVERY of committed batch 1 (= b2): its
+    // deletes would kill the b3 resurrections if the skip is broken.
+    sink(b2.select("event_id", "day", "value", "op", "version"), 1L)
+    val lastId = ManifestTable.readProps(spark, sinkPath)(
+      graft.streaming.StreamingIngest.StreamBatchIdProp).toLong
+    ManifestTable.read(spark, sinkPath)
+      .select(col("event_id"), col("day"),
+        floor(col("value") * lit(1e3)).cast("long").as("value_e3"))
+      .withColumn("last_batch_id", lit(lastId))
+      .orderBy(col("event_id"))
+  }
+
+  val q132CdcIngestSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, date_trunc('day', ts) AS day, value FROM events),
+      |fin AS (
+      |  SELECT event_id, day,
+      |         CASE WHEN event_id % 3 = 0 THEN value + 10.0
+      |              WHEN event_id % 14 = 0 THEN value * 2.0
+      |              ELSE value END AS value
+      |  FROM ev
+      |  WHERE NOT (event_id % 7 = 0 AND event_id % 3 <> 0 AND event_id % 14 <> 0))
+      |SELECT event_id, day,
+      |  CAST(floor(value * 1e3) AS BIGINT) AS value_e3,
+      |  CAST(2 AS BIGINT) AS last_batch_id
+      |FROM fin ORDER BY event_id""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q133_bloom_skipping — the BLOOM DIR-INDEX on the manifest table
+  // (equality complement to q120's zone maps): a merge declaring
+  // `bloomColumns = event_id` commits a per-partition bloom filter
+  // (k=4, m=8192, the engine-portable md5 position scheme of q100)
+  // into the manifest; `readSkippingEquals` then opens ONLY the dirs
+  // whose filter might contain the probed id. Six probes — five
+  // present ids and one impossible (-5) — each report found rows and
+  // dirs scanned. The oracle REBUILDS the identical per-day filters
+  // in SQL and probes them, so the exact dir count — including any
+  // deterministic false positive — hashes cross-engine, and the
+  // no-false-negative theorem rides implicitly: found_rows equals the
+  // plain SQL count, which is only possible if every dir holding the
+  // id survived pruning.
+  // ----------------------------------------------------------------
+  def q133BloomSkipping(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:q133_bloom_skipping") {
+      q133BloomSkippingBuild(spark, dir)
+    }
+
+  private def q133BloomSkippingBuild(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.ops.ManifestTable
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), date_trunc("day", col("ts")).as("day"))
+    val path = java.nio.file.Files.createTempDirectory("graft_q133_").toString + "/table"
+    ManifestTable.merge(spark, path, ev, keys = Seq("event_id"), partitionCol = "day",
+      bloomColumns = Seq("event_id"))
+    val probes = Seq(10L, 500L, 1234L, 4321L, 9998L, -5L)
+    probes.map { p =>
+      val r = ManifestTable.readSkippingEquals(spark, path, "event_id", p.toString)
+      val found = r.df.filter(col("event_id") === p).count()
+      (p, found, r.dirsScanned, r.dirsTotal)
+    }.toDF("probe", "found_rows", "dirs_scanned", "dirs_total")
+      .orderBy(col("probe"))
+  }
+
+  val q133BloomSkippingSql: String =
+    """WITH ev AS (SELECT event_id, date_trunc('day', ts) AS day FROM events),
+      |days AS (SELECT DISTINCT day FROM ev),
+      |pos AS (
+      |  SELECT day,
+      |    CAST(CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '#' ||
+      |      CAST(event_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 8192 AS BIGINT) AS pos
+      |  FROM (SELECT DISTINCT day, event_id FROM ev)
+      |  CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)),
+      |w AS (SELECT day, pos // 32 AS word,
+      |        bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits
+      |      FROM pos GROUP BY 1, 2),
+      |probes AS (SELECT unnest([10, 500, 1234, 4321, 9998, -5]) AS probe),
+      |pp AS (
+      |  SELECT probe,
+      |    CAST(CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '#' ||
+      |      CAST(probe AS VARCHAR)), 1, 8)) AS UBIGINT) % 8192 AS BIGINT) AS pos
+      |  FROM probes CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)),
+      |might AS (
+      |  SELECT pp.probe, days.day,
+      |    bool_and((coalesce(w.bits, 0) &
+      |      (CAST(1 AS BIGINT) << CAST(pp.pos % 32 AS INT))) <> 0) AS m
+      |  FROM pp CROSS JOIN days
+      |  LEFT JOIN w ON w.day = days.day AND w.word = pp.pos // 32
+      |  GROUP BY pp.probe, days.day),
+      |scanned AS (
+      |  SELECT probe, CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS dirs_scanned
+      |  FROM might GROUP BY probe),
+      |found AS (
+      |  SELECT probe, CAST(count(ev.event_id) AS BIGINT) AS found_rows
+      |  FROM probes LEFT JOIN ev ON ev.event_id = probes.probe GROUP BY probe)
+      |SELECT CAST(p.probe AS BIGINT) AS probe, f.found_rows, s.dirs_scanned,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM days) AS dirs_total
+      |FROM probes p JOIN scanned s USING (probe) JOIN found f USING (probe)
+      |ORDER BY probe""".stripMargin
+
+  // ----------------------------------------------------------------
   // q99_image_decode — the REAL byte-level image kernel under the
   // driver gate (round-7 verdict #5; the decode family is no longer
   // stub-labeled): deterministic gradient images are ENCODED in a

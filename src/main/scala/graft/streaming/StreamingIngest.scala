@@ -477,4 +477,25 @@ object StreamingIngest {
         props = Map(StreamBatchIdProp -> id.toString))
     }
   }
+
+  /** Exactly-once CDC ingestion: a foreachBatch sink applying a
+    * row-level change stream (insert/update/delete + version columns)
+    * to a manifest table through [[graft.ops.ManifestTable.applyChanges]],
+    * with [[manifestMergeSink]]'s batch-id-as-table-property
+    * de-duplication. Unlike the upsert sink — where re-delivery is
+    * merely wasteful because LWW merges are idempotent — a re-applied
+    * CDC batch is WRONG: replaying yesterday's deletes would kill rows
+    * a later batch re-inserted. The skip is therefore load-bearing
+    * here, and the q132 gate proves it by re-delivering a committed
+    * batch after a subsequent resurrection. */
+  def cdcApplySink(path: String, keys: Seq[String], partitionCol: String,
+                   opCol: String = "op", versionCol: String = "version")
+      : (DataFrame, Long) => Unit = (batch, id) => {
+    val spark = batch.sparkSession
+    val recorded = graft.ops.ManifestTable.readProps(spark, path)
+      .get(StreamBatchIdProp).map(_.toLong)
+    if (!recorded.exists(_ >= id))
+      graft.ops.ManifestTable.applyChanges(spark, path, batch, keys, partitionCol,
+        opCol, versionCol, props = Map(StreamBatchIdProp -> id.toString))
+  }
 }

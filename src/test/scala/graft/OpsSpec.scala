@@ -846,6 +846,62 @@ class MergeSpec extends AnyFunSuite {
     }
   }
 
+  test("ManifestTable bloom dir-index: present value's dir always survives (no false " +
+    "negative), absent value prunes bloom'd dirs, an unbloom'd dir is always read") {
+    import graft.ops.ManifestTable
+    val path = java.nio.file.Files.createTempDirectory("graft-mt-bloom").toString + "/t"
+    val (d1, d2, d3) = (ts("2024-01-01"), ts("2024-01-02"), ts("2024-01-03"))
+    ManifestTable.merge(spark, path,
+      Seq((1L, d1, 10.0), (2L, d1, 20.0), (3L, d2, 30.0), (4L, d2, 40.0))
+        .toDF("id", "day", "v"),
+      Seq("id"), "day", bloomColumns = Seq("id"), bloomBits = 4096)
+    // present id: its dir must survive and the row must be found
+    val hit = ManifestTable.readSkippingEquals(spark, path, "id", "3")
+    assert(hit.df.filter(col("id") === 3L).count() == 1L)
+    assert(hit.dirsScanned >= 1 && hit.dirsTotal == 2)
+    // absent id: both bloom'd dirs prune (deterministic for fixed
+    // hashes/data — md5 positions of "99" miss the 8 set bits)
+    val miss = ManifestTable.readSkippingEquals(spark, path, "id", "99")
+    assert(miss.dirsScanned == 0 && miss.df.count() == 0)
+    // a later merge WITHOUT bloomColumns adds day3: no filter recorded
+    // there -> always read, while day1/day2 keep their carried-forward
+    // filters and still prune
+    ManifestTable.merge(spark, path, Seq((5L, d3, 50.0)).toDF("id", "day", "v"),
+      Seq("id"), "day")
+    val mixed = ManifestTable.readSkippingEquals(spark, path, "id", "99")
+    assert(mixed.dirsScanned == 1 && mixed.dirsTotal == 3)
+    assert(mixed.df.select("id").as[Long].collect().toSet == Set(5L))
+  }
+
+  test("ManifestTable.applyChanges: version LWW within a batch, delete-only partition " +
+    "dropped, unknown-key delete is a no-op, table created on first call") {
+    import graft.ops.ManifestTable
+    val path = java.nio.file.Files.createTempDirectory("graft-mt-cdc-apply").toString + "/t"
+    val (d1, d2) = (ts("2024-01-01"), ts("2024-01-02"))
+    // first call creates the table from the feed payload schema
+    ManifestTable.applyChanges(spark, path, Seq(
+      (1L, d1, 10.0, "insert", 1L), (2L, d1, 20.0, "insert", 1L),
+      (3L, d2, 30.0, "insert", 1L)
+    ).toDF("id", "day", "v", "op", "version"), Seq("id"), "day")
+    assert(ManifestTable.read(spark, path).count() == 3L)
+    // one batch: key 2 gets update v2 THEN delete v3 (highest version
+    // wins -> deleted); key 9 never existed (delete no-op); key 3's
+    // delete empties day2 wholesale -> partition dropped
+    ManifestTable.applyChanges(spark, path, Seq(
+      (2L, d1, 99.0, "update", 2L), (2L, d1, 99.0, "delete", 3L),
+      (9L, d1, 0.0, "delete", 2L),
+      (3L, d2, 0.0, "delete", 2L)
+    ).toDF("id", "day", "v", "op", "version"), Seq("id"), "day")
+    val got = ManifestTable.read(spark, path).orderBy("id")
+      .select("id", "v").as[(Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 10.0)))
+    // day2 is gone from the manifest entirely
+    val e = intercept[IllegalArgumentException] {
+      ManifestTable.read(spark, path, partitionFilter = _.startsWith("2024-01-02"))
+    }
+    assert(e.getMessage.contains("no partition"))
+  }
+
   test("ManifestTable.changes: per-commit insert/update-pair/delete classification; " +
     "identical rewritten rows emit nothing; missing intermediate version refused") {
     import graft.ops.ManifestTable
