@@ -4129,6 +4129,144 @@ object ExtQueries {
       |ORDER BY probe""".stripMargin
 
   // ----------------------------------------------------------------
+  // q134_kmeans — DISTRIBUTED K-MEANS CLUSTERING (Cluster.
+  // kmeansQuantized) under the driver gate: k=8 quantized-centroid
+  // Lloyd's over the embeddings table, 2 iterations from the
+  // deterministic first-k-by-id init. Everything is INTEGER — e6
+  // coordinate quantization, integer squared distances, floor-divided
+  // centroid recomputes — so the oracle replays the EXACT trajectory
+  // in SQL (both Lloyd's steps unrolled as CTE pairs, ties to the
+  // lowest cluster id via first-match argmin both sides) and the
+  // final per-cluster membership hashes bit-for-bit: sizes, min
+  // member id, and the members' total quantized coordinate mass. The
+  // operator's scale shape is what earns the gate: assignment is a
+  // literal-centroid PROJECTION (no join, no shuffle), the recompute
+  // a k*dim-cell map-combined aggregate.
+  // ----------------------------------------------------------------
+  def q134Kmeans(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.Cluster
+    val emb = Tables.embeddings(spark, dir)
+    val asg = Cluster.kmeansQuantized(emb, k = 8, iters = 2)
+    val mass = emb.select(col("vec_id"),
+      aggregate(transform(col("embedding"),
+          x => floor(x.cast("double") * lit(1e6)).cast("long")),
+        lit(0L), (acc, v) => acc + v).as("__m"))
+    asg.join(mass, Seq("vec_id"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"), min(col("vec_id")).as("min_id"),
+        sum(col("__m")).as("sum_mass_e6"))
+      .withColumn("cluster_id", col("cluster_id").cast("long"))
+      .orderBy(col("cluster_id"))
+  }
+
+  val q134KmeansSql: String =
+    """WITH emb AS (
+      |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+      |           x -> CAST(floor(x * 1e6) AS BIGINT)) AS xq
+      |  FROM embeddings),
+      |pos AS (SELECT unnest(range(1, 65)) AS p),
+      |init AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS cid, xq AS c
+      |  FROM (SELECT * FROM emb ORDER BY vec_id LIMIT 8)),
+      |d1 AS (
+      |  SELECT e.vec_id, e.xq, i.cid,
+      |    list_sum(list_transform(range(1, 65),
+      |      p -> (e.xq[p] - i.c[p]) * (e.xq[p] - i.c[p]))) AS dist
+      |  FROM emb e CROSS JOIN init i),
+      |a1 AS (
+      |  SELECT vec_id, xq, cid FROM
+      |    (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      |     FROM d1) WHERE rn = 1),
+      |s1 AS (
+      |  SELECT cid, p, CAST(sum(xq[p]) AS BIGINT) AS s, count(*) AS n
+      |  FROM a1 CROSS JOIN pos GROUP BY cid, p),
+      |c1n AS (
+      |  SELECT cid, list(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) ORDER BY p) AS c
+      |  FROM s1 GROUP BY cid),
+      |c1 AS (SELECT i.cid, COALESCE(n.c, i.c) AS c
+      |       FROM init i LEFT JOIN c1n n USING (cid)),
+      |d2 AS (
+      |  SELECT e.vec_id, e.xq, i.cid,
+      |    list_sum(list_transform(range(1, 65),
+      |      p -> (e.xq[p] - i.c[p]) * (e.xq[p] - i.c[p]))) AS dist
+      |  FROM emb e CROSS JOIN c1 i),
+      |a2 AS (
+      |  SELECT vec_id, xq, cid FROM
+      |    (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      |     FROM d2) WHERE rn = 1),
+      |s2 AS (
+      |  SELECT cid, p, CAST(sum(xq[p]) AS BIGINT) AS s, count(*) AS n
+      |  FROM a2 CROSS JOIN pos GROUP BY cid, p),
+      |c2n AS (
+      |  SELECT cid, list(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) ORDER BY p) AS c
+      |  FROM s2 GROUP BY cid),
+      |c2 AS (SELECT i.cid, COALESCE(n.c, i.c) AS c
+      |       FROM c1 i LEFT JOIN c2n n USING (cid)),
+      |d3 AS (
+      |  SELECT e.vec_id, e.xq, i.cid,
+      |    list_sum(list_transform(range(1, 65),
+      |      p -> (e.xq[p] - i.c[p]) * (e.xq[p] - i.c[p]))) AS dist
+      |  FROM emb e CROSS JOIN c2 i),
+      |a3 AS (
+      |  SELECT vec_id, cid FROM
+      |    (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      |     FROM d3) WHERE rn = 1),
+      |mass AS (SELECT vec_id, CAST(list_sum(xq) AS BIGINT) AS m FROM emb)
+      |SELECT CAST(cid AS BIGINT) AS cluster_id,
+      |  CAST(count(*) AS BIGINT) AS n_members,
+      |  CAST(min(vec_id) AS BIGINT) AS min_id,
+      |  CAST(sum(m) AS BIGINT) AS sum_mass_e6
+      |FROM a3 JOIN mass USING (vec_id)
+      |GROUP BY cid ORDER BY cluster_id""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q135_cluster_sample — CLUSTER-BALANCED DIVERSITY SAMPLING
+  // (Cluster.balancedSample): cap each q134 k-means cluster at 40
+  // members chosen by a seeded md5 rank — the curation move that
+  // downweights over-represented semantic regions instead of
+  // sampling uniformly. The oracle replays the full chain (both
+  // Lloyd's iterations AND the md5 rank rule) in SQL, so cluster
+  // totals, kept counts, and the kept-id checksum all hash
+  // cross-engine — a drifted assignment OR a drifted sampling rank
+  // breaks it.
+  // ----------------------------------------------------------------
+  def q135ClusterSample(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.Cluster
+    val emb = Tables.embeddings(spark, dir)
+    val totals = Cluster.kmeansQuantized(emb, k = 8, iters = 2)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("n_total"))
+    Cluster.balancedSample(emb, k = 8, iters = 2, cap = 40)
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("vec_id")).as("sum_kept_ids"))
+      .join(totals, Seq("cluster_id"))
+      .withColumn("cluster_id", col("cluster_id").cast("long"))
+      .select(col("cluster_id"), col("n_total"), col("n_kept"), col("sum_kept_ids"))
+      .orderBy(col("cluster_id"))
+  }
+
+  val q135ClusterSampleSql: String = {
+    // Reuse q134's trajectory CTEs up to the final assignment a3,
+    // then apply the md5 cap rule — one source of truth for the
+    // Lloyd's unroll.
+    val base = q134KmeansSql.substring(0, q134KmeansSql.indexOf(",\nmass AS"))
+    base +
+      """,
+        |r AS (
+        |  SELECT vec_id, cid,
+        |    row_number() OVER (PARTITION BY cid
+        |      ORDER BY md5('bal' || '#' || CAST(vec_id AS VARCHAR)), vec_id) AS rk
+        |  FROM a3),
+        |tot AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_total FROM a3 GROUP BY cid)
+        |SELECT CAST(r.cid AS BIGINT) AS cluster_id, tot.n_total,
+        |  CAST(count(*) AS BIGINT) AS n_kept,
+        |  CAST(sum(r.vec_id) AS BIGINT) AS sum_kept_ids
+        |FROM r JOIN tot USING (cid)
+        |WHERE r.rk <= 40
+        |GROUP BY r.cid, tot.n_total
+        |ORDER BY cluster_id""".stripMargin
+  }
+
+  // ----------------------------------------------------------------
   // q99_image_decode — the REAL byte-level image kernel under the
   // driver gate (round-7 verdict #5; the decode family is no longer
   // stub-labeled): deterministic gradient images are ENCODED in a

@@ -816,4 +816,29 @@ class ExtSpec extends AnyFunSuite {
       TextAnalysis.htmlTagCount(col("h")), TextAnalysis.htmlLinkCount(col("h")))
       .as[(Long, Long)].collect()(0) == ((8L, 2L)))
   }
+
+  test("kmeansQuantized follows the hand-computed integer Lloyd's trajectory, " +
+    "with equal-distance ties to the lowest cluster id") {
+    import graft.ext.Cluster
+    // Five 2-d points; k=2, 1 iteration. Init: c1=(0,0), c2=(0,2e6)
+    // (first two by id after e6 quantization). Assignment 1 sends
+    // a,c,e -> 1 (e is EQUIDISTANT: 2.6e13 to both -> lowest id) and
+    // b,d -> 2. Recompute: c1 = (5e6, floor(1e6/3)) = (5000000,
+    // 333333) — the floor is the quantized-centroid signature —
+    // c2 = (5e6, 2e6). Final assignment: {a,c,e} -> 1, {b,d} -> 2.
+    val pts = Seq(
+      (1L, Array(0f, 0f)),   // a
+      (2L, Array(0f, 2f)),   // b
+      (3L, Array(10f, 0f)),  // c
+      (4L, Array(10f, 2f)),  // d
+      (5L, Array(5f, 1f))    // e
+    ).toDF("vec_id", "embedding")
+    val got = Cluster.kmeansQuantized(pts, k = 2, iters = 1)
+      .as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 1, 2L -> 2, 3L -> 1, 4L -> 2, 5L -> 1))
+    // iters = 0 is the pure init assignment (a,c,e with the tie rule)
+    val zero = Cluster.kmeansQuantized(pts, k = 2, iters = 0)
+      .as[(Long, Int)].collect().toMap
+    assert(zero == Map(1L -> 1, 2L -> 2, 3L -> 1, 4L -> 2, 5L -> 1))
+  }
 }
