@@ -1011,6 +1011,56 @@ object ManifestTable {
         col("__c.t").as("_change_type"), lit(v).as("_commit_version")): _*)
   }
 
+  /** CONSISTENCY AUDIT (fsck): classify every divergence between the
+    * retained manifests and the filesystem — the operational check a
+    * long-lived table runs before trusting a backup restore, a bucket
+    * migration, or a foreign writer. Driver-side metadata only (no
+    * Spark job); one row per finding, empty = healthy:
+    *
+    *   - `missing_dir` — a dir some retained manifest references does
+    *     not exist (data loss: that version can no longer be read);
+    *   - `orphan_batch` — a `data/batch-*` dir no retained manifest
+    *     references (crash residue the next merge's cleanup would
+    *     sweep; dead weight, not corruption);
+    *   - `manifest_tmp` — a leftover `.tmp` from a crashed commit
+    *     (never made live; dead weight);
+    *   - `corrupt_manifest` — a retained manifest that fails to parse
+    *     (zero lines / missing tab: created outside the tmp+rename
+    *     protocol).
+    */
+  def fsck(spark: SparkSession, path: String): DataFrame = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val issues = scala.collection.mutable.Buffer.empty[(String, String)]
+    val referenced = scala.collection.mutable.Set.empty[String]
+    versions(fs, path).foreach { v =>
+      try dataEntries(readManifest(fs, path, v)).foreach { case (p, value) =>
+        val d = dirOf(value)
+        referenced += d.split('/').take(2).mkString("/")
+        if (!fs.exists(new Path(s"$path/$d")))
+          issues += (("missing_dir", f"m$v%d:$p:$d"))
+      } catch {
+        case e: Exception =>
+          issues += (("corrupt_manifest", s"m$v: ${Option(e.getMessage).getOrElse(e.toString).take(120)}"))
+      }
+    }
+    val dataDir = new Path(s"$path/$DataDir")
+    if (fs.exists(dataDir)) fs.listStatus(dataDir).foreach { st =>
+      if (!referenced(s"$DataDir/${st.getPath.getName}"))
+        issues += (("orphan_batch", st.getPath.getName))
+    }
+    val mDir = new Path(s"$path/$ManifestDir")
+    if (fs.exists(mDir)) fs.listStatus(mDir).foreach { st =>
+      if (st.getPath.getName.endsWith(".tmp"))
+        issues += (("manifest_tmp", st.getPath.getName))
+    }
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        issues.toSeq.map(t => org.apache.spark.sql.Row(t._1, t._2)), 1),
+      StructType(Seq(StructField("issue", StringType, nullable = false),
+        StructField("subject", StringType, nullable = false))))
+  }
+
   /** The table as of its latest manifest. `partitionFilter` prunes at
     * the DIRECTORY level by partition-value string, before any file
     * is touched — the manifest-resolved analog of partition pruning. */

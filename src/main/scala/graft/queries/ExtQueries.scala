@@ -4267,6 +4267,150 @@ object ExtQueries {
   }
 
   // ----------------------------------------------------------------
+  // q136_incremental_join — INCREMENTAL JOIN-VIEW MAINTENANCE
+  // (IncrementalJoin over two ManifestTables) under the driver gate:
+  // an events⋈users enrichment view is kept current across a full
+  // build, a FACT-side commit (5-day tail refetch, value+5 → exactly
+  // those 5 view partitions rewrite), a DIM-side commit (2 of 150
+  // users change tier — the change data feed narrows a 2-partition
+  // dim rewrite to exactly 2 affected keys, then one column-pruned
+  // fact scan finds the key-bearing days), and an idempotent no-op.
+  // The oracle recomputes the final enriched view AND every refresh's
+  // partition count in SQL, so the bookkeeping (which partitions
+  // rewrote, and that the no-op committed nothing) hashes
+  // cross-engine alongside the data.
+  // ----------------------------------------------------------------
+  def q136IncrementalJoin(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:q136_incremental_join") {
+      q136IncrementalJoinBuild(spark, dir)
+    }
+
+  private def q136IncrementalJoinBuild(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{IncrementalJoin, ManifestTable}
+    val cut = "2024-01-26 00:00:00"
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), date_trunc("day", col("ts")).as("day"),
+        col("user_id"), col("value"))
+    val users = ev.select(col("user_id")).distinct()
+      .withColumn("tier", (col("user_id") % 5).cast("long"))
+      .withColumn("ub", col("user_id") % 8)
+    val base = java.nio.file.Files.createTempDirectory("graft_q136_").toString
+    val (factPath, dimPath, viewPath) = (s"$base/fact", s"$base/dim", s"$base/view")
+    def refresh() = IncrementalJoin.refresh(spark, factPath, dimPath, viewPath,
+      factKeys = Seq("event_id"), joinKey = "user_id", factPartitionCol = "day",
+      retainVersions = 3)
+    ManifestTable.merge(spark, factPath, ev, Seq("event_id"), "day", retainVersions = 3)
+    ManifestTable.merge(spark, dimPath, users, Seq("user_id"), "ub", retainVersions = 3)
+    val r1 = refresh()
+    ManifestTable.merge(spark, factPath,
+      ev.filter(col("day") >= lit(cut).cast("timestamp"))
+        .withColumn("value", col("value") + 5.0),
+      Seq("event_id"), "day", retainVersions = 3)
+    val r2 = refresh()
+    ManifestTable.merge(spark, dimPath,
+      users.filter(col("user_id") % 97 === 3).withColumn("tier", col("tier") + 10L),
+      Seq("user_id"), "ub", retainVersions = 3)
+    val r3 = refresh()
+    val r4 = refresh()
+    IncrementalJoin.read(spark, viewPath)
+      .groupBy(col("tier"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * lit(1e3)).cast("long")).as("sum_value_e3"))
+      .withColumn("r1_full", lit(r1.full))
+      .withColumn("r1_parts", lit(r1.partitionsRewritten))
+      .withColumn("r2_parts", lit(r2.partitionsRewritten))
+      .withColumn("r3_parts", lit(r3.partitionsRewritten))
+      .withColumn("r4_committed", lit(r4.committed))
+      .orderBy(col("tier"))
+  }
+
+  val q136IncrementalJoinSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, date_trunc('day', ts) AS day, user_id, value FROM events),
+      |factfin AS (
+      |  SELECT event_id, day, user_id,
+      |    value + CASE WHEN day >= TIMESTAMP '2024-01-26' THEN 5.0 ELSE 0.0 END AS value
+      |  FROM ev),
+      |tiers AS (
+      |  SELECT user_id,
+      |    user_id % 5 + CASE WHEN user_id % 97 = 3 THEN 10 ELSE 0 END AS tier
+      |  FROM (SELECT DISTINCT user_id FROM ev))
+      |SELECT CAST(t.tier AS BIGINT) AS tier, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(floor(f.value * 1e3) AS BIGINT)) AS BIGINT) AS sum_value_e3,
+      |  true AS r1_full,
+      |  (SELECT CAST(count(DISTINCT day) AS BIGINT) FROM ev) AS r1_parts,
+      |  (SELECT CAST(count(DISTINCT day) AS BIGINT) FROM ev
+      |     WHERE day >= TIMESTAMP '2024-01-26') AS r2_parts,
+      |  (SELECT CAST(count(DISTINCT day) AS BIGINT) FROM ev
+      |     WHERE user_id % 97 = 3) AS r3_parts,
+      |  false AS r4_committed
+      |FROM factfin f JOIN tiers t USING (user_id)
+      |GROUP BY t.tier ORDER BY tier""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q137_fsck — the MANIFEST CONSISTENCY AUDIT (ManifestTable.fsck)
+  // under the driver gate: a healthy two-commit table audits clean
+  // (the healthy_pre constant), then the gate INFLICTS one instance
+  // of every failure class the audit knows — deletes a data dir both
+  // retained manifests reference (missing_dir ×2, once per referencing
+  // version), plants an unreferenced batch dir (orphan_batch), a
+  // leftover commit tmp (manifest_tmp), and a zero-line manifest
+  // created outside the tmp+rename protocol (corrupt_manifest) — and
+  // the classification counts must come back exactly. Filesystem
+  // facts as constants, the q117 convention.
+  // ----------------------------------------------------------------
+  def q137Fsck(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:q137_fsck") {
+      q137FsckBuild(spark, dir)
+    }
+
+  private def q137FsckBuild(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.ManifestTable
+    val cut = "2024-01-26 00:00:00"
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), date_trunc("day", col("ts")).as("day"), col("value"))
+    val path = java.nio.file.Files.createTempDirectory("graft_q137_").toString + "/table"
+    ManifestTable.merge(spark, path, ev, Seq("event_id"), "day")
+    ManifestTable.merge(spark, path,
+      ev.filter(col("day") >= lit(cut).cast("timestamp"))
+        .withColumn("value", col("value") + 1.0),
+      Seq("event_id"), "day")
+    val healthyPre = ManifestTable.fsck(spark, path).count()
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // An UNTOUCHED partition's dir is referenced by BOTH retained
+    // manifests — delete it and the audit must report it once per
+    // referencing version. The first day is untouched by the tail
+    // merge, so its entry (and dir) carried forward.
+    // inputFiles returns percent-escaped URIs (the partition value
+    // carries spaces/colons) — decode before handing to the fs.
+    val victim = new java.net.URI(ManifestTable.read(spark, path,
+        partitionFilter = _.startsWith("2024-01-01")).inputFiles.head)
+      .getPath.replaceFirst("/[^/]*\\.parquet$", "")
+    fs.delete(new org.apache.hadoop.fs.Path(victim), true)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/data/batch-orphan"))
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$path/_manifests/m000000000009-dead.tmp"), false).close()
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$path/_manifests/m000000000999"), false).close()
+    ManifestTable.fsck(spark, path)
+      .groupBy(col("issue")).agg(count(lit(1)).as("n"))
+      .withColumn("healthy_pre", lit(healthyPre))
+      .orderBy(col("issue"))
+  }
+
+  val q137FsckSql: String =
+    """SELECT * FROM (VALUES
+      |  ('corrupt_manifest', CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+      |  ('manifest_tmp',     CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+      |  ('missing_dir',      CAST(2 AS BIGINT), CAST(0 AS BIGINT)),
+      |  ('orphan_batch',     CAST(1 AS BIGINT), CAST(0 AS BIGINT))
+      |) AS t(issue, n, healthy_pre)
+      |ORDER BY issue""".stripMargin
+
+  // ----------------------------------------------------------------
   // q99_image_decode — the REAL byte-level image kernel under the
   // driver gate (round-7 verdict #5; the decode family is no longer
   // stub-labeled): deterministic gradient images are ENCODED in a

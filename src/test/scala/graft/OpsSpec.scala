@@ -846,6 +846,40 @@ class MergeSpec extends AnyFunSuite {
     }
   }
 
+  test("IncrementalJoin: fact commits rewrite their own partitions, dim changes narrow " +
+    "to key-bearing partitions via the CDF, no-op commits nothing") {
+    import graft.ops.{IncrementalJoin, ManifestTable}
+    val base = java.nio.file.Files.createTempDirectory("graft-inc-join").toString
+    val (fp, dp, vp) = (s"$base/f", s"$base/d", s"$base/v")
+    val (d1, d2) = (ts("2024-01-01"), ts("2024-01-02"))
+    // users 10/20 appear only on day1, user 30 only on day2
+    ManifestTable.merge(spark, fp, Seq(
+      (1L, d1, 10L, 1.0), (2L, d1, 20L, 2.0), (3L, d2, 30L, 3.0)
+    ).toDF("id", "day", "uid", "v"), Seq("id"), "day", retainVersions = 3)
+    ManifestTable.merge(spark, dp, Seq(
+      (10L, "a", 0L), (20L, "b", 0L), (30L, "c", 1L)
+    ).toDF("uid", "name", "ub"), Seq("uid"), "ub", retainVersions = 3)
+    def refresh() = IncrementalJoin.refresh(spark, fp, dp, vp,
+      factKeys = Seq("id"), joinKey = "uid", factPartitionCol = "day",
+      retainVersions = 3)
+    val r1 = refresh()
+    assert(r1.full && r1.committed && r1.partitionsRewritten == 2)
+    assert(refresh() == IncrementalJoin.RefreshResult(0, full = false, committed = false))
+    val day2Files = ManifestTable.read(spark, vp,
+      partitionFilter = _.startsWith("2024-01-02")).inputFiles.toSet
+    // dim update touching only user 10 (bucket "a" rewrites alongside
+    // nothing else) -> only day1 holds uid 10 -> only day1 rewrites
+    ManifestTable.merge(spark, dp, Seq((10L, "A2", 0L)).toDF("uid", "name", "ub"),
+      Seq("uid"), "ub", retainVersions = 3)
+    val r3 = refresh()
+    assert(!r3.full && r3.partitionsRewritten == 1)
+    assert(ManifestTable.read(spark, vp,
+      partitionFilter = _.startsWith("2024-01-02")).inputFiles.toSet == day2Files)
+    val got = IncrementalJoin.read(spark, vp).orderBy("id")
+      .select("id", "name").as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "A2"), (2L, "b"), (3L, "c")))
+  }
+
   test("ManifestTable bloom dir-index: present value's dir always survives (no false " +
     "negative), absent value prunes bloom'd dirs, an unbloom'd dir is always read") {
     import graft.ops.ManifestTable
