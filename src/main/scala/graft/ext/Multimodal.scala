@@ -789,6 +789,39 @@ object Multimodal {
       f
     }
 
+    /** REAL nearest-neighbor VIDEO resize: the validated movi walk
+      * collects every source frame's data offset, each target frame
+      * samples its source at (⌊x·w₀/w⌋, ⌊y·h₀/h⌋) — [[resizeImage]]'s
+      * NN rule applied per frame — and the result re-encodes as a
+      * COMPLETE AVI (avih/strl headers, movi, idx1) at the new
+      * geometry with frame count and timing preserved. No codec
+      * library: decoder and encoder are both in-repo byte kernels. */
+    def resize(id: Long, b: Array[Byte], newW: Int, newH: Int): Array[Byte] = {
+      require(newW > 0 && newH > 0, s"media $id: bad resize target ${newW}x$newH")
+      val (w, h, nFrames, usPerFrame, moviOff, moviEnd, _) = parseHeader(id, b)
+      val stride = (w * 3 + 3) / 4 * 4
+      val frameBytes = stride * h
+      val offs = new Array[Int](nFrames)
+      var seen = 0
+      var j = moviOff
+      while (j + 8 <= moviEnd) {
+        val ft = tag(b, j); val fs = le32(b, j + 4)
+        require(ft == "00db" && fs == frameBytes,
+          s"media $id: movi chunk $ft/$fs != 00db/$frameBytes at byte $j")
+        require(seen < nFrames,
+          s"media $id: movi holds more frames than avih's $nFrames")
+        offs(seen) = j + 8; seen += 1
+        j += 8 + fs + (fs & 1)
+      }
+      require(seen == nFrames, s"media $id: movi holds $seen frames, avih says $nFrames")
+      encodeAvi(newW, newH, nFrames, usPerFrame, (f, x, y) => {
+        val sx = (x.toLong * w / newW).toInt
+        val sy = (y.toLong * h / newH).toInt
+        val p = offs(f) + (h - 1 - sy) * stride + sx * 3 // bottom-up source row
+        ((b(p + 2) & 0xff), (b(p + 1) & 0xff), (b(p) & 0xff))
+      })
+    }
+
     def decode(id: Long, b: Array[Byte]): DecodedVideo = {
       val (w, h, nFrames, usPerFrame, moviOff, moviEnd, idxOff) = parseHeader(id, b)
       val stride = (w * 3 + 3) / 4 * 4
@@ -851,5 +884,21 @@ object Multimodal {
         val decoder = new AviDecoder // per-partition init, not per-row
         rows.map { case (id, bytes) => decoder.decode(id, bytes) }
       }
+  }
+
+  /** Resize (media_id, payload) AVI rows to `w`×`h` with the REAL
+    * [[AviDecoder.resize]] kernel — per-partition decoder instance,
+    * map-only, payloads never shuffle (the [[resizeImages]] shape for
+    * the video modality). */
+  def resizeVideos(media: DataFrame, w: Int, h: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val decoder = new AviDecoder // per-partition init, not per-row
+        rows.map { case (id, bytes) => (id, decoder.resize(id, bytes, w, h)) }
+      }
+      .toDF("media_id", "payload")
   }
 }

@@ -4411,6 +4411,158 @@ object ExtQueries {
       |ORDER BY issue""".stripMargin
 
   // ----------------------------------------------------------------
+  // q138_video_resize — the REAL VIDEO RESIZE kernel
+  // (AviDecoder.resize) under the driver gate: the q110 synthesized
+  // AVIs (closed-form pixel rule, JUNK chunks on id%3==0) are resized
+  // to a fixed 6×5 — per-frame nearest-neighbor through the validated
+  // movi walk, re-encoded as complete AVIs (headers, movi, idx1) at
+  // the new geometry — then DECODED AGAIN by the q110 decoder. The
+  // oracle computes every output of the decode from the composed rule
+  // (source pixel of target (x, y) is (⌊x·w₀/6⌋, ⌊y·h₀/5⌋)): channel
+  // sums over the resized grids, the idx1-sliced middle-frame sum,
+  // and the corner probes. A resize that samples the wrong source
+  // row order, forgets the new stride, or re-encodes a broken index
+  // fails the re-decode or shifts exact integers.
+  // ----------------------------------------------------------------
+  def q138VideoResize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val spec = Tables.documents(spark, dir)
+      .select(col("doc_id").as("media_id"),
+        (col("doc_id") % 5 + 4).cast("int").as("w"),
+        (col("doc_id") % 4 + 3).cast("int").as("h"),
+        (col("doc_id") % 7 + 2).cast("int").as("nf"),
+        (lit(33333) + (col("doc_id") % 3) * 8334).cast("int").as("uspf"))
+      .as[(Long, Int, Int, Int, Int)]
+    val media = spec.mapPartitions { rows =>
+      rows.map { case (id, w, h, nf, uspf) =>
+        val px = (f: Int, x: Int, y: Int) => (
+          ((3L * f + 5L * x + 7L * y + id) % 256L).toInt,
+          ((11L * f + 13L * x + 17L * y + id) % 256L).toInt,
+          ((19L * f + 23L * x + 29L * y + id) % 256L).toInt)
+        (id, graft.ext.Multimodal.encodeAvi(w, h, nf, uspf, px,
+          withJunk = id % 3 == 0))
+      }
+    }.toDF("media_id", "payload")
+    graft.ext.Multimodal.decodeVideos(
+        graft.ext.Multimodal.resizeVideos(media, 6, 5))
+      .toDF()
+      .orderBy(col("media_id"))
+  }
+
+  val q138VideoResizeSql: String =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id,
+      |         4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
+      |         2 + doc_id % 7 AS nf
+      |  FROM documents)
+      |SELECT media_id, 'avi' AS fmt,
+      |  CAST(6 AS INT) AS width, CAST(5 AS INT) AS height,
+      |  CAST(nf AS BIGINT) AS n_frames,
+      |  CAST(33333 + (media_id % 3) * 8334 AS INT) AS us_per_frame,
+      |  CAST(list_sum(list_transform(range(nf*30), i ->
+      |    (3*(i // 30) + 5*((((i % 30) % 6) * w) // 6)
+      |     + 7*((((i % 30) // 6) * h) // 5) + media_id) % 256))
+      |    AS BIGINT) AS sum_r,
+      |  CAST(list_sum(list_transform(range(nf*30), i ->
+      |    (11*(i // 30) + 13*((((i % 30) % 6) * w) // 6)
+      |     + 17*((((i % 30) // 6) * h) // 5) + media_id) % 256))
+      |    AS BIGINT) AS sum_g,
+      |  CAST(list_sum(list_transform(range(nf*30), i ->
+      |    (19*(i // 30) + 23*((((i % 30) % 6) * w) // 6)
+      |     + 29*((((i % 30) // 6) * h) // 5) + media_id) % 256))
+      |    AS BIGINT) AS sum_b,
+      |  CAST(list_sum(list_transform(range(30), i ->
+      |    (11*(nf // 2) + 13*(((i % 6) * w) // 6)
+      |     + 17*(((i // 6) * h) // 5) + media_id) % 256))
+      |    AS BIGINT) AS mid_sum_g,
+      |  CAST(media_id % 256 AS BIGINT) AS first_r,
+      |  CAST((19*(nf-1) + 23*((5*w) // 6) + 29*((4*h) // 5) + media_id) % 256 AS BIGINT)
+      |    AS last_b
+      |FROM m ORDER BY media_id""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q139_stream_static — STREAM-STATIC JOIN under the driver gate
+  // (the §2.10 family's remaining join shape next to the q108/q114
+  // stream-stream forms): a 3-batch replay of the event stream
+  // inner-joins a STATIC user-tier dimension per micro-batch (odd
+  // users are absent from the dim, so the join itself filters), then
+  // a watermarked tumbling-day per-tier rollup. Late rows ride in
+  // batch 3 (%13 ids); the oracle recomputes the watermark cut in
+  // SQL exactly as q97 does — max event time after batch 2 minus
+  // 72 h, a late row survives iff its day-window END exceeds the cut
+  // (day-aligned ends vs µs cut: no boundary ties) — so stream ==
+  // batch-over-kept-rows hashes cross-engine with the join filter
+  // and the cut both part of the check.
+  // ----------------------------------------------------------------
+  def q139StreamStatic(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:q139_stream_static") {
+      q139StreamStaticBuild(spark, dir)
+    }
+
+  private def q139StreamStaticBuild(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val (t1, t2) = ("2024-01-11 00:00:00", "2024-01-21 00:00:00")
+    val log = Tables.events(spark, dir)
+      .filter(col("user_id") % 3 === 0)
+      .select(col("ts"), col("user_id"), col("value"),
+        when(col("event_id") % 13 === 0, 3)
+          .when(col("ts") < lit(t1).cast("timestamp"), 1)
+          .when(col("ts") < lit(t2).cast("timestamp"), 2)
+          .otherwise(3).as("__b"))
+    // Bounded driver collect BY DESIGN — the q97 replay-harness shape.
+    val rows = log.as[(java.sql.Timestamp, Long, Double, Int)].collect()
+    val dim = Tables.events(spark, dir)
+      .select(col("user_id")).distinct()
+      .filter(col("user_id") % 2 === 0)
+      .withColumn("tier", (col("user_id") % 5).cast("long"))
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val ticks = input.toDF().toDF("ts", "user_id", "value")
+    val acc = scala.collection.concurrent.TrieMap
+      .empty[(java.sql.Timestamp, Long), (Long, Long)]
+    val out = java.nio.file.Files.createTempDirectory("graft_q139_").toString
+    val query = graft.streaming.StreamingIngest
+      .tierDailyRollup(ticks, dim, watermark = "72 hours")
+      .writeStream.outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // update-mode upsert into the harness accumulator: last write
+        // per (day, tier) wins, which is exactly update semantics
+        batch.collect().foreach(r =>
+          acc((r.getTimestamp(0), r.getLong(1))) = (r.getLong(2), r.getLong(3)))
+      }
+      .option("checkpointLocation", s"$out/ckpt")
+      .start()
+    try (1 to 3).foreach { b =>
+      input.addData(rows.iterator.filter(_._4 == b)
+        .map(t => (t._1, t._2, t._3)).toSeq: _*)
+      query.processAllAvailable()
+    } finally query.stop()
+    acc.toSeq.map { case ((day, tier), (n, s)) => (day, tier, n, s) }
+      .toDF("day", "tier", "n", "sum_value_e3")
+      .orderBy(col("day"), col("tier"))
+  }
+
+  val q139StreamStaticSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, ts, user_id, value FROM events WHERE user_id % 3 = 0),
+      |b AS (
+      |  SELECT *, CASE WHEN event_id % 13 = 0 THEN 3
+      |                 WHEN ts < TIMESTAMP '2024-01-11' THEN 1
+      |                 WHEN ts < TIMESTAMP '2024-01-21' THEN 2 ELSE 3 END AS bb
+      |  FROM ev),
+      |cut AS (SELECT max(ts) - INTERVAL 72 HOUR AS c FROM b WHERE bb <= 2),
+      |kept AS (
+      |  SELECT * FROM b WHERE bb <= 2
+      |    OR date_trunc('day', ts) + INTERVAL 1 DAY > (SELECT c FROM cut)),
+      |j AS (SELECT *, user_id % 5 AS tier FROM kept WHERE user_id % 2 = 0)
+      |SELECT date_trunc('day', ts) AS day, CAST(tier AS BIGINT) AS tier,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(floor(value * 1e3) AS BIGINT)) AS BIGINT) AS sum_value_e3
+      |FROM j GROUP BY 1, 2 ORDER BY day, tier""".stripMargin
+
+  // ----------------------------------------------------------------
   // q99_image_decode — the REAL byte-level image kernel under the
   // driver gate (round-7 verdict #5; the decode family is no longer
   // stub-labeled): deterministic gradient images are ENCODED in a

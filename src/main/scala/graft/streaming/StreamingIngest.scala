@@ -478,6 +478,24 @@ object StreamingIngest {
     }
   }
 
+  /** STREAM-STATIC enrichment + watermarked daily rollup: each
+    * micro-batch of the event stream inner-joins a STATIC dimension
+    * frame — Spark's stream-static join is stateless (the dim is
+    * re-resolved per batch and typically broadcast; no dim rows ever
+    * enter the state store) — then feeds a watermarked tumbling-day
+    * aggregate per dim attribute. The enrichment-then-rollup shape
+    * every metrics pipeline starts from; rows later than the
+    * watermark drop under the standard window-end rule (gated with
+    * the q97 replay-and-recompute-the-cut pattern as q139). */
+  def tierDailyRollup(ticks: DataFrame, dim: DataFrame, watermark: String): DataFrame =
+    ticks.withWatermark("ts", watermark)
+      .join(dim, Seq("user_id"))
+      .groupBy(window(col("ts"), "1 day"), col("tier"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * lit(1e3)).cast("long")).as("sum_value_e3"))
+      .select(col("window.start").as("day"), col("tier"), col("n"),
+        col("sum_value_e3"))
+
   /** Exactly-once CDC ingestion: a foreachBatch sink applying a
     * row-level change stream (insert/update/delete + version columns)
     * to a manifest table through [[graft.ops.ManifestTable.applyChanges]],
