@@ -93,11 +93,19 @@ object Cluster {
     * region keeps all of it. One cluster-keyed exchange on top of
     * [[kmeansQuantized]]'s iterations. */
   def balancedSample(corpus: DataFrame, k: Int, iters: Int, cap: Int,
-                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    balancedSampleFrom(kmeansQuantized(corpus, k, iters, idCol, vecCol), cap, idCol)
+
+  /** [[balancedSample]] over an ALREADY-COMPUTED assignment frame
+    * (idCol, cluster_id) — the form a pipeline that also consumes the
+    * raw assignments uses, so Lloyd's runs once, not once per
+    * consumer. */
+  def balancedSampleFrom(assignments: DataFrame, cap: Int,
+                         idCol: String = "vec_id"): DataFrame = {
     require(cap >= 1, s"cap must be >= 1, got $cap")
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
       .orderBy(md5(concat_ws("#", lit("bal"), col(idCol).cast("string"))), col(idCol))
-    kmeansQuantized(corpus, k, iters, idCol, vecCol)
+    assignments
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= cap)
       .select(col(idCol), col("cluster_id"))

@@ -932,6 +932,92 @@ object ManifestTable {
       knownTouched = Some(touched), props = props)
   }
 
+  /** Evidence a [[mergeInto]] returns. */
+  final case class MergeIntoResult(updated: Long, deleted: Long, inserted: Long,
+                                   partitionsRewritten: Long)
+
+  /** Delta-style MERGE INTO — the general conditional upsert that
+    * completes the DML quartet next to [[merge]] (plain LWW upsert),
+    * [[deleteWhere]]/[[updateWhere]] and [[applyChanges]] (CDC):
+    *
+    *   - a source row matching an existing row by `keys` DELETES it
+    *     when `whenMatchedDelete` evaluates true (NULL = no), else
+    *     UPDATES it by `whenMatchedUpdate` (empty map = keep the
+    *     target row unchanged);
+    *   - an unmatched source row INSERTS when `insertNotMatched`
+    *     (the source then must carry the full table schema);
+    *   - unmatched target rows are untouched.
+    *
+    * Update/delete expressions evaluate over the joined row: TARGET
+    * columns under their own names, SOURCE columns as `src_<name>`
+    * (the two-sided reference Delta writes as `t.x` / `s.x`).
+    * Partition-scoped like every write here: only the partitions the
+    * SOURCE names are read and rewritten (matched rows always share
+    * the source row's partition under the stable-partition contract),
+    * and the whole result lands through the replaceTouched commit.
+    * One extra bounded aggregate computes the clause counts. */
+  def mergeInto(spark: SparkSession, path: String, source: DataFrame,
+                keys: Seq[String], partitionCol: String,
+                whenMatchedUpdate: Map[String, org.apache.spark.sql.Column] = Map.empty,
+                whenMatchedDelete: Option[org.apache.spark.sql.Column] = None,
+                insertNotMatched: Boolean = true,
+                retainVersions: Int = 2): MergeIntoResult = {
+    require(keys.nonEmpty, "ManifestTable.mergeInto: no key columns")
+    require(source.columns.contains(partitionCol),
+      s"ManifestTable.mergeInto: source must carry the partition column $partitionCol")
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = latestVersion(fs, path).getOrElse(
+      sys.error(s"ManifestTable.mergeInto: no manifest under $path/$ManifestDir"))
+    val lines = readManifest(fs, path, v)
+    val touched = validateTouched(source
+      .select(col(partitionCol).cast("string").as("__p")).distinct()
+      .collect().map(r => Option(r.getString(0)).getOrElse(
+        sys.error(s"ManifestTable.mergeInto: null $partitionCol value in source"))).toSet)
+    val dirs = dataEntries(lines).collect {
+      case (k, value) if touched(k) => dirOf(value)
+    }
+    val targetCols = committedSchema(lines).map(_.fieldNames.toSeq)
+      .getOrElse(sys.error(s"ManifestTable.mergeInto: manifest m$v has no committed " +
+        "schema (legacy table) — mergeInto needs the authoritative column list"))
+    whenMatchedUpdate.keys.foreach(c => require(targetCols.contains(c),
+      s"ManifestTable.mergeInto: update target column $c not in the table"))
+    require(!whenMatchedUpdate.keys.exists(keys.contains),
+      "ManifestTable.mergeInto: cannot update a key column")
+    require(!whenMatchedUpdate.contains(partitionCol),
+      s"ManifestTable.mergeInto: cannot update partition column $partitionCol")
+    val existing =
+      if (dirs.isEmpty) {
+        val s = committedSchema(lines).get
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+      } else readDirs(spark, path, v, dirs)
+    // Source: keys keep their names (join columns), payload prefixed.
+    val src = source.columns.foldLeft(source) { (df, c) =>
+      if (keys.contains(c)) df else df.withColumnRenamed(c, s"src_$c")
+    }
+    val j = existing.withColumn("__te", lit(true))
+      .join(src.withColumn("__se", lit(true)), keys, "full_outer")
+    val matched = col("__te").isNotNull && col("__se").isNotNull
+    val del = whenMatchedDelete.map(c => coalesce(c, lit(false))).getOrElse(lit(false))
+    val counts = j.agg(
+      sum(when(matched && !del, 1L).otherwise(0L)).as("u"),
+      sum(when(matched && del, 1L).otherwise(0L)).as("d"),
+      sum(when(col("__te").isNull, 1L).otherwise(0L)).as("i")).collect()(0)
+    val kept = j.filter(!(matched && del) && (lit(insertNotMatched) || col("__te").isNotNull))
+    val merged = kept.select(targetCols.map { c =>
+      val srcC = if (keys.contains(c)) col(c) else col(s"src_$c")
+      val tgt =
+        if (keys.contains(c)) col(c)
+        else whenMatchedUpdate.get(c).map(e => when(matched, e).otherwise(col(c)))
+          .getOrElse(col(c))
+      when(col("__te").isNull, srcC).otherwise(tgt).as(c)
+    }: _*)
+    merge(spark, path, merged, keys = Nil, partitionCol = partitionCol,
+      retainVersions = retainVersions, replaceTouched = true,
+      knownTouched = Some(touched))
+    MergeIntoResult(counts.getLong(0), counts.getLong(1),
+      if (insertNotMatched) counts.getLong(2) else 0L, touched.size.toLong)
+  }
+
   // ------------------------------------------------------------------
   // CHANGE DATA FEED (r11) — row-level diffs between retained
   // versions, the Delta CDF surface computed FROM THE MANIFEST DIFF:

@@ -846,6 +846,47 @@ class MergeSpec extends AnyFunSuite {
     }
   }
 
+  test("ManifestTable.mergeInto: delete/update/insert clause routing, untouched " +
+    "partition's file identity, key/partition assignment refused") {
+    import graft.ops.ManifestTable
+    val path = java.nio.file.Files.createTempDirectory("graft-mt-mergeinto").toString + "/t"
+    val (d1, d2) = (ts("2024-01-01"), ts("2024-01-02"))
+    ManifestTable.merge(spark, path, Seq(
+      (1L, d1, 10.0), (2L, d1, 20.0), (3L, d2, 30.0)
+    ).toDF("id", "day", "v"), Seq("id"), "day")
+    val day2Files = ManifestTable.read(spark, path,
+      partitionFilter = _.startsWith("2024-01-02")).inputFiles.toSet
+    val source = Seq(
+      (1L, d1, 5.0),  // matched, src_v < 6 -> DELETE
+      (2L, d1, 7.0),  // matched -> UPDATE v := src_v * 10
+      (9L, d1, 9.0)   // unmatched -> INSERT as-is
+    ).toDF("id", "day", "v")
+    val r = ManifestTable.mergeInto(spark, path, source,
+      keys = Seq("id"), partitionCol = "day",
+      whenMatchedUpdate = Map("v" -> (col("src_v") * 10.0)),
+      whenMatchedDelete = Some(col("src_v") < 6.0))
+    assert(r == ManifestTable.MergeIntoResult(updated = 1, deleted = 1,
+      inserted = 1, partitionsRewritten = 1))
+    val got = ManifestTable.read(spark, path).orderBy("id")
+      .select("id", "v").as[(Long, Double)].collect().toSeq
+    assert(got == Seq((2L, 70.0), (3L, 30.0), (9L, 9.0)))
+    assert(ManifestTable.read(spark, path,
+      partitionFilter = _.startsWith("2024-01-02")).inputFiles.toSet == day2Files)
+    intercept[IllegalArgumentException] {
+      ManifestTable.mergeInto(spark, path, source, Seq("id"), "day",
+        whenMatchedUpdate = Map("id" -> lit(0L)))
+    }
+    intercept[IllegalArgumentException] {
+      ManifestTable.mergeInto(spark, path, source, Seq("id"), "day",
+        whenMatchedUpdate = Map("day" -> lit(d2)))
+    }
+    // insertNotMatched = false: the unmatched source row is ignored
+    val r2 = ManifestTable.mergeInto(spark, path,
+      Seq((11L, d1, 1.0)).toDF("id", "day", "v"), Seq("id"), "day",
+      insertNotMatched = false)
+    assert(r2.inserted == 0 && ManifestTable.read(spark, path).count() == 3)
+  }
+
   test("IncrementalJoin: fact commits rewrite their own partitions, dim changes narrow " +
     "to key-bearing partitions via the CDF, no-op commits nothing") {
     import graft.ops.{IncrementalJoin, ManifestTable}
