@@ -44,6 +44,48 @@ object Dedup {
       .select((cols.map(c => col(s"__row.$c").as(c)) :+ col("__h").as("content_hash")): _*)
   }
 
+  /** C4-style SEGMENT-level corpus dedup — the sub-document form of
+    * [[exactDedup]]: the normalized text splits into consecutive
+    * non-overlapping `segTokens`-token segments ("lines"/"paragraphs"
+    * in a corpus that has them), every occurrence of a segment AFTER
+    * its first — globally, by (idCol, position) order, including
+    * repeats inside one document — is dropped, and each document
+    * reassembles from its surviving segments in order. This is the
+    * C4/CCNet "remove duplicated lines across the corpus" cleaning
+    * step: boilerplate (headers, footers, navigation) disappears from
+    * every copy but one while unique prose survives.
+    *
+    * Output: (idCol, n_segs, n_kept, text) — `text` is the
+    * reassembled document (empty string when every segment was a
+    * duplicate). Scale shape: one segment-hash-keyed exchange for the
+    * first-occurrence rank (the q17 class) and one idCol-keyed
+    * exchange to reassemble; segments move as ids+text once each. */
+  def dedupSegments(docs: DataFrame, segTokens: Int,
+                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(segTokens >= 1, s"segTokens must be >= 1, got $segTokens")
+    val k = segTokens
+    val toks = split(normalized(col(textCol)), " ")
+    val segs = docs
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0), ((size(toks) - 1) / lit(k)).cast("int")),
+        i => array_join(slice(toks, i * k + 1, lit(k)), " ")))
+        .as(Seq("seg_idx", "seg")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("seg"))
+      .orderBy(col(idCol), col("seg_idx"))
+    val kept = segs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(
+          struct(col("seg_idx"), col("seg")))), s => s.getField("seg")), " ")
+          .as("text"))
+    segs.groupBy(col(idCol)).agg(count(lit(1)).as("n_segs"))
+      .join(kept, Seq(idCol), "left_outer")
+      .select(col(idCol), col("n_segs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text"), lit("")).as("text"))
+  }
+
   /** Distinct word `n`-gram shingles of the normalized text. Documents
     * shorter than `n` tokens yield an empty set (they cannot
     * participate in shingle-based near-dup).

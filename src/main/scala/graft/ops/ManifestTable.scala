@@ -794,7 +794,9 @@ object ManifestTable {
                   predicate: org.apache.spark.sql.Column,
                   partitionFilter: String => Boolean = _ => true,
                   retainVersions: Int = 2,
-                  statsColumns: Seq[String] = Nil): RowOpResult = {
+                  statsColumns: Seq[String] = Nil,
+                  bloomColumns: Seq[String] = Nil,
+                  bloomBits: Int = 8192): RowOpResult = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val v = latestVersion(fs, path).getOrElse(
       sys.error(s"ManifestTable.deleteWhere: no manifest under $path/$ManifestDir"))
@@ -821,7 +823,8 @@ object ManifestTable {
       else readDirs(spark, path, v, rewritten.map(r => dirByPart(r._1))).filter(!hit)
     merge(spark, path, incoming, keys = Nil, partitionCol = partitionCol,
       retainVersions = retainVersions, statsColumns = statsColumns,
-      replaceTouched = true, knownTouched = Some(touched.map(_._1).toSet))
+      replaceTouched = true, knownTouched = Some(touched.map(_._1).toSet),
+      bloomColumns = bloomColumns, bloomBits = bloomBits)
     RowOpResult(touched.map(_._2).sum, rewritten.size.toLong,
       (touched.size - rewritten.size).toLong, candidates.size.toLong,
       entries.size.toLong, committed = true)
@@ -842,7 +845,9 @@ object ManifestTable {
                   assignments: Map[String, org.apache.spark.sql.Column],
                   partitionFilter: String => Boolean = _ => true,
                   retainVersions: Int = 2,
-                  statsColumns: Seq[String] = Nil): RowOpResult = {
+                  statsColumns: Seq[String] = Nil,
+                  bloomColumns: Seq[String] = Nil,
+                  bloomBits: Int = 8192): RowOpResult = {
     require(assignments.nonEmpty, "ManifestTable.updateWhere: no assignments")
     require(!assignments.contains(partitionCol),
       s"ManifestTable.updateWhere: cannot assign partition column $partitionCol — " +
@@ -877,7 +882,8 @@ object ManifestTable {
     }.drop(staged.map { case (_, i) => s"__upd_$i" }: _*)
     merge(spark, path, incoming, keys = Nil, partitionCol = partitionCol,
       retainVersions = retainVersions, statsColumns = statsColumns,
-      replaceTouched = true, knownTouched = Some(touched.map(_._1).toSet))
+      replaceTouched = true, knownTouched = Some(touched.map(_._1).toSet),
+      bloomColumns = bloomColumns, bloomBits = bloomBits)
     RowOpResult(touched.map(_._2).sum, touched.size.toLong, 0L,
       candidates.size.toLong, entries.size.toLong, committed = true)
   }
@@ -932,6 +938,79 @@ object ManifestTable {
       knownTouched = Some(touched), props = props)
   }
 
+  // ------------------------------------------------------------------
+  // HIDDEN PARTITIONING (r11) — Iceberg's headline usability idea in
+  // miniature: the caller merges by a TIMESTAMP column and never
+  // manages a partition column; the day() transform is derived at
+  // write time and COMMITTED as a table property, so a reader can ask
+  // for a raw ts range and get dir-level pruning derived from the
+  // transform automatically — no caller-side knowledge of the
+  // partition layout, hence no mis-pruning bugs when the layout
+  // changes.
+  // ------------------------------------------------------------------
+
+  /** The committed partition-transform property ([[mergeByDay]]). */
+  val TransformProp = "partition.transform"
+  private val DerivedDayCol = "__day"
+
+  /** [[merge]] partitioned by `day(tsCol)` — the derived `__day`
+    * column shapes the directory layout and rides in the files; the
+    * transform commits as a table property every merge, which is what
+    * [[readTsRange]] resolves. Same per-key stability contract: a
+    * key's day must not move (true for (entity, day)-keyed data). */
+  def mergeByDay(spark: SparkSession, path: String, incoming: DataFrame,
+                 keys: Seq[String], tsCol: String,
+                 preserveExisting: Seq[String] = Nil,
+                 retainVersions: Int = 2,
+                 statsColumns: Seq[String] = Nil,
+                 replaceTouched: Boolean = false,
+                 bloomColumns: Seq[String] = Nil,
+                 bloomBits: Int = 8192): Unit =
+    merge(spark, path,
+      incoming.withColumn(DerivedDayCol, date_trunc("day", col(tsCol))),
+      keys, partitionCol = DerivedDayCol,
+      preserveExisting = preserveExisting, retainVersions = retainVersions,
+      statsColumns = statsColumns, replaceTouched = replaceTouched,
+      props = Map(TransformProp -> s"day($tsCol)"),
+      bloomColumns = bloomColumns, bloomBits = bloomBits)
+
+  /** Read the table for a raw `[lo, hi]` TIMESTAMP range (strings in
+    * `yyyy-MM-dd HH:mm:ss`, the session-UTC partition-value format)
+    * — dir-level pruning is DERIVED from the committed day()
+    * transform: partitions from `day(lo)` through `hi` survive, the
+    * rest are never opened. Returns a day-granular SUPERSET (whole
+    * surviving dirs); apply the row filter on top. Fails loudly on a
+    * table without a committed transform — guessing a layout is how
+    * silent mis-prunes happen. */
+  def readTsRange(spark: SparkSession, path: String,
+                  lo: String, hi: String): SkipResult = {
+    require(lo.length >= 10 && hi.length >= 10 && lo <= hi,
+      s"ManifestTable.readTsRange: bad range [$lo, $hi]")
+    val tf = readProps(spark, path).getOrElse(TransformProp,
+      sys.error(s"ManifestTable.readTsRange: no $TransformProp property at $path — " +
+        "write through mergeByDay (readers must not guess the layout)"))
+    require(tf.startsWith("day("),
+      s"ManifestTable.readTsRange: unsupported transform $tf")
+    val loDay = lo.substring(0, 10) + " 00:00:00"
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = latestVersion(fs, path).getOrElse(
+      sys.error(s"ManifestTable.readTsRange: no manifest under $path/$ManifestDir"))
+    val lines = readManifest(fs, path, v)
+    val live = dataEntries(lines)
+    // fixed-width "yyyy-MM-dd HH:mm:ss" strings compare chronologically
+    val kept = live.filter { case (p, _) => p >= loDay && p <= hi }
+    val schema = committedSchema(lines)
+    val df =
+      if (kept.isEmpty) {
+        val s = schema.getOrElse(sys.error(
+          s"ManifestTable.readTsRange: every dir pruned and manifest m$v has no " +
+            "committed schema to shape an empty result"))
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+      } else schema.map(spark.read.schema(_)).getOrElse(spark.read)
+        .parquet(kept.map(e => s"$path/${dirOf(e._2)}"): _*)
+    SkipResult(df, kept.size.toLong, live.size.toLong)
+  }
+
   /** Evidence a [[mergeInto]] returns. */
   final case class MergeIntoResult(updated: Long, deleted: Long, inserted: Long,
                                    partitionsRewritten: Long)
@@ -961,7 +1040,10 @@ object ManifestTable {
                 whenMatchedUpdate: Map[String, org.apache.spark.sql.Column] = Map.empty,
                 whenMatchedDelete: Option[org.apache.spark.sql.Column] = None,
                 insertNotMatched: Boolean = true,
-                retainVersions: Int = 2): MergeIntoResult = {
+                retainVersions: Int = 2,
+                statsColumns: Seq[String] = Nil,
+                bloomColumns: Seq[String] = Nil,
+                bloomBits: Int = 8192): MergeIntoResult = {
     require(keys.nonEmpty, "ManifestTable.mergeInto: no key columns")
     require(source.columns.contains(partitionCol),
       s"ManifestTable.mergeInto: source must carry the partition column $partitionCol")
@@ -998,10 +1080,12 @@ object ManifestTable {
       .join(src.withColumn("__se", lit(true)), keys, "full_outer")
     val matched = col("__te").isNotNull && col("__se").isNotNull
     val del = whenMatchedDelete.map(c => coalesce(c, lit(false))).getOrElse(lit(false))
+    // coalesce: SUM over an empty join (empty source) is NULL
     val counts = j.agg(
-      sum(when(matched && !del, 1L).otherwise(0L)).as("u"),
-      sum(when(matched && del, 1L).otherwise(0L)).as("d"),
-      sum(when(col("__te").isNull, 1L).otherwise(0L)).as("i")).collect()(0)
+      coalesce(sum(when(matched && !del, 1L).otherwise(0L)), lit(0L)).as("u"),
+      coalesce(sum(when(matched && del, 1L).otherwise(0L)), lit(0L)).as("d"),
+      coalesce(sum(when(col("__te").isNull, 1L).otherwise(0L)), lit(0L)).as("i"))
+      .collect()(0)
     val kept = j.filter(!(matched && del) && (lit(insertNotMatched) || col("__te").isNotNull))
     val merged = kept.select(targetCols.map { c =>
       val srcC = if (keys.contains(c)) col(c) else col(s"src_$c")
@@ -1013,7 +1097,8 @@ object ManifestTable {
     }: _*)
     merge(spark, path, merged, keys = Nil, partitionCol = partitionCol,
       retainVersions = retainVersions, replaceTouched = true,
-      knownTouched = Some(touched))
+      knownTouched = Some(touched), statsColumns = statsColumns,
+      bloomColumns = bloomColumns, bloomBits = bloomBits)
     MergeIntoResult(counts.getLong(0), counts.getLong(1),
       if (insertNotMatched) counts.getLong(2) else 0L, touched.size.toLong)
   }
@@ -1063,6 +1148,24 @@ object ManifestTable {
     val curDirs = dataEntries(curLines).map { case (k, value) => k -> dirOf(value) }.toMap
     val changed = (prevDirs.keySet ++ curDirs.keySet)
       .filter(p => prevDirs.get(p) != curDirs.get(p))
+    if (changed.isEmpty) {
+      // A props-only commit (e.g. an incremental view's no-op version
+      // watermark) changes no partition: emit an empty step —
+      // unionByName(allowMissingColumns) null-fills the data columns
+      // against the other steps. Key dtypes come from the committed
+      // schema so the union never sees a type conflict (string
+      // fallback only for legacy schemaless manifests, where every
+      // step is equally legacy).
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val keyFields = committedSchema(curLines) match {
+        case Some(s) => keys.map(k => s.fields(s.fieldIndex(k)))
+        case None => keys.map(k => StructField(k, StringType))
+      }
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(keyFields ++ Seq(StructField("_change_type", StringType),
+          StructField("_commit_version", LongType))))
+    }
     val oldSide = changed.toSeq.sorted.flatMap(prevDirs.get)
     val newSide = changed.toSeq.sorted.flatMap(curDirs.get)
     // Both sides read (and the diff emits) under the NEW version's

@@ -4644,6 +4644,99 @@ object ExtQueries {
       |FROM fin GROUP BY day ORDER BY day""".stripMargin
 
   // ----------------------------------------------------------------
+  // q141_segment_dedup — C4-STYLE SEGMENT DEDUP across the corpus
+  // (Dedup.dedupSegments): the normalized documents split into
+  // consecutive 3-token segments; every occurrence after a segment's
+  // global first (by (doc_id, position)) drops — the "remove
+  // duplicated lines across the corpus" cleaning step that strips
+  // boilerplate from all copies but one — and each document
+  // reassembles from its survivors. The oracle replays the whole rule
+  // in SQL, with the reassembled text pinned by md5, so a drifted
+  // segmentation boundary, keep-rank order, or reassembly order all
+  // break the hash.
+  // ----------------------------------------------------------------
+  def q141SegmentDedup(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Dedup.dedupSegments(Tables.documents(spark, dir), segTokens = 3)
+      .select(col("doc_id"), col("n_segs"), col("n_kept"),
+        md5(col("text")).as("kept_md5"))
+      .orderBy(col("doc_id"))
+
+  val q141SegmentDedupSql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
+      |  FROM documents),
+      |seg AS (
+      |  SELECT doc_id, CAST(i AS INT) AS seg_idx,
+      |    array_to_string(toks[(i*3+1):(i*3+3)], ' ') AS seg
+      |  FROM d CROSS JOIN LATERAL unnest(range((len(toks) + 2) // 3)) AS t(i)),
+      |rn AS (
+      |  SELECT *, row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+      |  FROM seg),
+      |kept AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+      |    md5(string_agg(seg, ' ' ORDER BY seg_idx)) AS kept_md5
+      |  FROM rn WHERE rn = 1 GROUP BY doc_id),
+      |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs FROM seg GROUP BY doc_id)
+      |SELECT t.doc_id, t.n_segs, COALESCE(k.n_kept, 0) AS n_kept,
+      |  COALESCE(k.kept_md5, md5('')) AS kept_md5
+      |FROM tot t LEFT JOIN kept k USING (doc_id)
+      |ORDER BY t.doc_id""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q142_hidden_partitioning — Iceberg-style HIDDEN PARTITIONING
+  // (ManifestTable.mergeByDay / readTsRange): events merge by their
+  // RAW timestamp — the day() transform derives the layout and
+  // commits as a table property — and a reader asks for a raw ts
+  // range, getting dir-level pruning derived from the transform with
+  // zero layout knowledge. The oracle recomputes the pruning
+  // (distinct days from day(lo) through hi == dirs scanned, their
+  // row mass == rows scanned) AND the exact-range aggregate the
+  // caller's row filter produces on top, so the superset contract
+  // and the derived prune both hash cross-engine.
+  // ----------------------------------------------------------------
+  def q142HiddenPartitioning(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:q142_hidden_partitioning") {
+      q142HiddenPartitioningBuild(spark, dir)
+    }
+
+  private def q142HiddenPartitioningBuild(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.ManifestTable
+    val (lo, hi) = ("2024-01-10 06:00:00", "2024-01-13 18:00:00")
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("value"))
+    val path = java.nio.file.Files.createTempDirectory("graft_q142_").toString + "/table"
+    ManifestTable.mergeByDay(spark, path, ev, keys = Seq("event_id"), tsCol = "ts")
+    val r = ManifestTable.readTsRange(spark, path, lo, hi)
+    val rowsScanned = r.df.count()
+    r.df.filter(col("ts") >= lit(lo).cast("timestamp") &&
+        col("ts") <= lit(hi).cast("timestamp"))
+      .agg(count(lit(1)).as("n_in_range"),
+        sum(floor(col("value") * lit(1e3)).cast("long")).as("sum_value_e3"))
+      .withColumn("dirs_scanned", lit(r.dirsScanned))
+      .withColumn("dirs_total", lit(r.dirsTotal))
+      .withColumn("rows_scanned", lit(rowsScanned))
+  }
+
+  val q142HiddenPartitioningSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, ts, date_trunc('day', ts) AS day, value FROM events),
+      |win AS (
+      |  SELECT * FROM ev
+      |  WHERE day >= TIMESTAMP '2024-01-10' AND day <= TIMESTAMP '2024-01-13 18:00:00')
+      |SELECT
+      |  (SELECT CAST(count(*) AS BIGINT) FROM win
+      |     WHERE ts >= TIMESTAMP '2024-01-10 06:00:00'
+      |       AND ts <= TIMESTAMP '2024-01-13 18:00:00') AS n_in_range,
+      |  (SELECT CAST(sum(CAST(floor(value * 1e3) AS BIGINT)) AS BIGINT) FROM win
+      |     WHERE ts >= TIMESTAMP '2024-01-10 06:00:00'
+      |       AND ts <= TIMESTAMP '2024-01-13 18:00:00') AS sum_value_e3,
+      |  (SELECT CAST(count(DISTINCT day) AS BIGINT) FROM win) AS dirs_scanned,
+      |  (SELECT CAST(count(DISTINCT day) AS BIGINT) FROM ev) AS dirs_total,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM win) AS rows_scanned""".stripMargin
+
+  // ----------------------------------------------------------------
   // q99_image_decode — the REAL byte-level image kernel under the
   // driver gate (round-7 verdict #5; the decode family is no longer
   // stub-labeled): deterministic gradient images are ENCODED in a

@@ -1020,6 +1020,17 @@ class MergeSpec extends AnyFunSuite {
       ManifestTable.changes(spark, path, Seq("id"), 0L, 3L)
     }
     assert(e.getMessage.contains("retained"))
+    // a props-only commit (no partition changed) contributes an EMPTY
+    // step — the feed through it equals the feed up to it
+    val schema = ManifestTable.read(spark, path).schema
+    ManifestTable.merge(spark, path,
+      spark.createDataFrame(spark.sparkContext
+        .emptyRDD[org.apache.spark.sql.Row], schema),
+      Seq("id"), "day", replaceTouched = true,
+      knownTouched = Some(Set.empty), props = Map("marker" -> "v4"),
+      retainVersions = 5)
+    assert(ManifestTable.changes(spark, path, Seq("id"), 1L, 4L).count() ==
+      ManifestTable.changes(spark, path, Seq("id"), 1L, 3L).count())
   }
 
   private def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
