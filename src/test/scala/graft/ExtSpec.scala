@@ -817,6 +817,26 @@ class ExtSpec extends AnyFunSuite {
       .as[(Long, Long)].collect()(0) == ((8L, 2L)))
   }
 
+  test("dedupSegments drops every post-first occurrence (cross-doc AND within-doc) " +
+    "and reassembles survivors in order") {
+    // 2-token segments. doc 1: [a b][c d]; doc 2: [c d][e f][c d] —
+    // "c d" first occurs in doc 1 seg 1, so BOTH doc-2 copies drop;
+    // doc 3 is entirely doc-1 boilerplate -> empty reassembly.
+    val docs = Seq(
+      (1L, "a b c d"),
+      (2L, "c d e f c d"),
+      (3L, "a b")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupSegments(docs, segTokens = 2)
+      .orderBy("doc_id")
+      .select("doc_id", "n_segs", "n_kept", "text")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, 2L, "a b c d"),
+      (2L, 3L, 1L, "e f"),
+      (3L, 1L, 0L, "")))
+  }
+
   test("kmeansQuantized follows the hand-computed integer Lloyd's trajectory, " +
     "with equal-distance ties to the lowest cluster id") {
     import graft.ext.Cluster

@@ -319,4 +319,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"),
       s"q119's model join no longer broadcasts:\n$p")
   }
+
+  test("k-means assignment is a pure projection: no join, no exchange in the plan") {
+    // The operator's 100 TB contract: the centroid matrix rides into
+    // the plan as a LITERAL, so assigning a corpus to clusters scans
+    // it once with zero data movement — the expensive alternative
+    // (crossJoin + min_by) would shuffle every vector per iteration.
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val pts = Seq((1L, Array(0f, 0f)), (2L, Array(1f, 1f)), (3L, Array(2f, 0f)))
+      .toDF("vec_id", "embedding")
+    val p = graft.ext.Cluster.kmeansQuantized(pts, k = 2, iters = 1)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"k-means assignment is no longer a shuffle-free projection:\n$p")
+  }
 }
