@@ -449,11 +449,13 @@ object ManifestTable {
     // col -> (kind, min, max); None value = poisoned (unsupported or
     // a file without stats)
     val acc = scala.collection.mutable.Map.empty[String, Option[(String, BigDecimal, BigDecimal)]]
+    var totalRows = 0L // footer block row counts — free while we're here
     files.foreach { f =>
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, fs.getConf))
       try {
         val blocks = reader.getFooter.getBlocks
+        blocks.forEach(b => totalRows += b.getRowCount)
         cols.foreach { c =>
           if (!acc.get(c).contains(None)) {
             var fileMin: BigDecimal = null
@@ -506,8 +508,9 @@ object ManifestTable {
       } finally reader.close()
     }
     val recorded = cols.flatMap(c => acc.get(c).flatten.map { case (k, mn, mx) =>
-      s"$c=$k:${mn.bigDecimal.toPlainString}:${mx.bigDecimal.toPlainString}" })
-    if (recorded.isEmpty) None else Some(recorded.mkString(";"))
+      s"$c=$k:${mn.bigDecimal.toPlainString}:${mx.bigDecimal.toPlainString}" }) :+
+      s"$RowCountKey=$totalRows" // always recordable — powers fastCount
+    Some(recorded.mkString(";"))
   }
 
   // ------------------------------------------------------------------
@@ -1199,6 +1202,67 @@ object ManifestTable {
       .select(keys.map(col) ++ nonKeys.map(nk => col(s"__c.d.$nk").as(nk)) ++ Seq(
         col("__c.t").as("_change_type"), lit(v).as("_commit_version")): _*)
   }
+
+  /** RESTORE the table to retained `version` — as a NEW commit, the
+    * undo that keeps history linear (Delta's `RESTORE TABLE …
+    * VERSION AS OF`). The restored manifest re-references the old
+    * version's data dirs verbatim (zero data copy — dirs are
+    * immutable, and retention keeps every dir any kept manifest
+    * references), carrying that snapshot's schema, stats/bloom
+    * suffixes AND table properties — properties are part of the
+    * snapshot's transactional state (stream batch ids, view
+    * watermarks), and restoring data without them would corrupt
+    * exactly the exactly-once logic they exist for. One manifest
+    * write regardless of table size; a no-op when already current. */
+  def restore(spark: SparkSession, path: String, version: Long,
+              retainVersions: Int = 2): Unit = {
+    require(retainVersions >= 1, s"retainVersions must be >= 1, got $retainVersions")
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vs = versions(fs, path)
+    require(vs.contains(version),
+      s"ManifestTable.restore: m$version not retained under $path " +
+        s"(have ${vs.mkString(", ")})")
+    val cur = vs.last
+    if (version == cur) return
+    val lines = readManifest(fs, path, version)
+    val keep = lines.filter { case (k, _) => k != CommitKey }
+    val next = cur + 1
+    writeManifest(fs, path, next,
+      (CommitKey -> System.currentTimeMillis().toString) +: keep)
+    cleanup(fs, path, keepVersions =
+      (vs :+ next).distinct.sorted.takeRight(retainVersions).toSet)
+  }
+
+  /** A [[fastCount]] result: the row count and whether it came from
+    * manifest metadata alone (no file opened, no Spark job). */
+  final case class CountResult(rows: Long, metadataOnly: Boolean)
+
+  /** COUNT(*) over the (partition-filtered) table — metadata-only
+    * when every surviving manifest entry carries a committed
+    * `__rowcount` (recorded from the parquet footers whenever a merge
+    * declares `statsColumns`; entries carry it forward untouched), a
+    * plain Spark count otherwise. At 100 TB the metadata path answers
+    * the commonest observability query without touching one file. */
+  def fastCount(spark: SparkSession, path: String,
+                partitionFilter: String => Boolean = _ => true): CountResult = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = latestVersion(fs, path).getOrElse(
+      sys.error(s"ManifestTable.fastCount: no manifest under $path/$ManifestDir"))
+    val live = dataEntries(readManifest(fs, path, v)).filter(e => partitionFilter(e._1))
+    val counts = live.map { case (_, value) => rowCountOf(value) }
+    if (counts.forall(_.isDefined))
+      CountResult(counts.flatten.sum, metadataOnly = true)
+    else if (live.isEmpty) CountResult(0L, metadataOnly = true)
+    else CountResult(read(spark, path, partitionFilter).count(), metadataOnly = false)
+  }
+
+  /** The committed `__rowcount` of a manifest entry, if recorded. */
+  private def rowCountOf(entryValue: String): Option[Long] =
+    statsOf(entryValue).flatMap(_.split(';').iterator
+      .find(_.startsWith(s"$RowCountKey="))
+      .flatMap(item => item.substring(RowCountKey.length + 1).toLongOption))
+
+  private val RowCountKey = "__rowcount"
 
   /** CONSISTENCY AUDIT (fsck): classify every divergence between the
     * retained manifests and the filesystem — the operational check a
