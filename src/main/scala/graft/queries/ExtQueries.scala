@@ -4845,6 +4845,59 @@ object ExtQueries {
       |ORDER BY probe""".stripMargin
 
   // ----------------------------------------------------------------
+  // q145_scd2_apply — the SCD TYPE-2 DIMENSION WRITER (Scd2.
+  // applyBatch) under the driver gate: three user-tier snapshots at
+  // weekly effective dates fold into a half-open version history —
+  // unchanged rows must NOT spawn versions, changed rows close at the
+  // new effective date and reopen, a key changing twice carries three
+  // versions. The oracle reconstructs the identical history
+  // independently (run-length compression of the snapshot sequence
+  // via lag/lead windows), so every interval boundary — including the
+  // 2100-01-01 open sentinel (ns-safe) — hashes cross-engine. Complements q88,
+  // which only QUERIES a pre-existing version table.
+  // ----------------------------------------------------------------
+  def q145Scd2Apply(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Scd2
+    val u = Tables.events(spark, dir).select(col("user_id")).distinct()
+    val s1 = u.withColumn("tier", (col("user_id") % 5).cast("long"))
+    val s2 = u.withColumn("tier", (col("user_id") % 5 +
+      when(col("user_id") % 3 === 0, 10L).otherwise(0L)).cast("long"))
+    val s3 = u.withColumn("tier", (col("user_id") % 5 +
+      when(col("user_id") % 7 === 0, 20L).otherwise(0L)).cast("long"))
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val h1 = Scd2.applyBatch(Scd2.emptyHistory(s1), s1, Seq("user_id"),
+      ts("2024-02-01 00:00:00"))
+    val h2 = Scd2.applyBatch(h1, s2, Seq("user_id"), ts("2024-02-08 00:00:00"))
+    val h3 = Scd2.applyBatch(h2, s3, Seq("user_id"), ts("2024-02-15 00:00:00"))
+    h3.select(col("user_id"), col("tier"), col("valid_from"), col("valid_to"))
+      .orderBy(col("user_id"), col("valid_from"))
+  }
+
+  val q145Scd2ApplySql: String =
+    """WITH u AS (SELECT DISTINCT user_id FROM events),
+      |snaps AS (
+      |  SELECT user_id, TIMESTAMP '2024-02-01' AS ts,
+      |         user_id % 5 AS tier FROM u
+      |  UNION ALL
+      |  SELECT user_id, TIMESTAMP '2024-02-08',
+      |         user_id % 5 + CASE WHEN user_id % 3 = 0 THEN 10 ELSE 0 END FROM u
+      |  UNION ALL
+      |  SELECT user_id, TIMESTAMP '2024-02-15',
+      |         user_id % 5 + CASE WHEN user_id % 7 = 0 THEN 20 ELSE 0 END FROM u),
+      |runs AS (
+      |  SELECT *, lag(tier) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+      |  FROM snaps),
+      |starts AS (SELECT * FROM runs WHERE prev IS DISTINCT FROM tier),
+      |vers AS (
+      |  SELECT user_id, tier, ts AS valid_from,
+      |    COALESCE(lead(ts) OVER (PARTITION BY user_id ORDER BY ts),
+      |             TIMESTAMP '2100-01-01') AS valid_to
+      |  FROM starts)
+      |SELECT CAST(user_id AS BIGINT) AS user_id, CAST(tier AS BIGINT) AS tier,
+      |       valid_from, valid_to
+      |FROM vers ORDER BY user_id, valid_from""".stripMargin
+
+  // ----------------------------------------------------------------
   // q99_image_decode — the REAL byte-level image kernel under the
   // driver gate (round-7 verdict #5; the decode family is no longer
   // stub-labeled): deterministic gradient images are ENCODED in a

@@ -846,6 +846,36 @@ class MergeSpec extends AnyFunSuite {
     }
   }
 
+  test("Scd2.applyBatch: unchanged rows spawn no versions, changes close+reopen, " +
+    "batch-absent keys untouched, non-advancing effectiveTs refused in-plan") {
+    import graft.ops.Scd2
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val s1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "attr")
+    val h1 = Scd2.applyBatch(Scd2.emptyHistory(s1), s1, Seq("id"), t("2024-01-01 00:00:00"))
+    // batch 2: id 1 unchanged, id 2 changed, id 3 ABSENT, id 4 new
+    val s2 = Seq((1L, "a"), (2L, "B"), (4L, "d")).toDF("id", "attr")
+    val h2 = Scd2.applyBatch(h1, s2, Seq("id"), t("2024-02-01 00:00:00"))
+    val got = h2.orderBy("id", "valid_from")
+      .select("id", "attr", "valid_from", "valid_to")
+      .as[(Long, String, java.sql.Timestamp, java.sql.Timestamp)].collect().toSeq
+    assert(got == Seq(
+      (1L, "a", t("2024-01-01 00:00:00"), Scd2.OpenEnd),  // no spurious version
+      (2L, "b", t("2024-01-01 00:00:00"), t("2024-02-01 00:00:00")),
+      (2L, "B", t("2024-02-01 00:00:00"), Scd2.OpenEnd),
+      (3L, "c", t("2024-01-01 00:00:00"), Scd2.OpenEnd),  // absent from batch: kept
+      (4L, "d", t("2024-02-01 00:00:00"), Scd2.OpenEnd)))
+    // a batch whose effective ts does not advance past an open row it
+    // would close must fail loudly, not write an empty interval
+    val bad = Seq((2L, "B2")).toDF("id", "attr")
+    val ex = intercept[Throwable] {
+      Scd2.applyBatch(h2, bad, Seq("id"), t("2024-02-01 00:00:00")).collect()
+    }
+    def messages(th: Throwable): String =
+      Iterator.iterate(th)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString("|")
+    assert(messages(ex).contains("does not advance"), messages(ex))
+  }
+
   test("ManifestTable.mergeInto: delete/update/insert clause routing, untouched " +
     "partition's file identity, key/partition assignment refused") {
     import graft.ops.ManifestTable
