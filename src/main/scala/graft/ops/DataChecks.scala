@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Declarative data-quality constraint checks — the validation layer
@@ -63,4 +63,33 @@ object DataChecks {
       (count(lit(1)) - count(when(pred, 1))).as("n_bad"),
       count(lit(1)).as("n_total"))
       .withColumn("ok", col("n_bad") === 0)
+
+  /** A [[enforce]] split: rows passing every rule, and quarantined
+    * rows carrying the names of ALL the rules they failed. */
+  final case class Enforced(clean: DataFrame, quarantined: DataFrame)
+
+  /** WRITE-TIME expectation enforcement (the Delta-Live-Tables shape,
+    * next to this object's read-side report checks): each rule is a
+    * PASS predicate; a row where a rule evaluates false OR NULL fails
+    * it (a null value cannot be asserted in-range — fail-closed, the
+    * only safe default for a gate guarding a table). Failing rows
+    * quarantine with every failed rule named — countable, routable,
+    * re-processable — never silently dropped (the q102
+    * corrupt-record-routing posture applied to semantic rules). One
+    * map-only pass; the split is two filters over the same tagged
+    * plan. */
+  def enforce(df: DataFrame, rules: Seq[(String, Column)]): Enforced = {
+    require(rules.nonEmpty, "DataChecks.enforce: no rules")
+    val names = rules.map(_._1)
+    require(names.distinct.size == names.size,
+      s"DataChecks.enforce: duplicate rule names in ${names.mkString(", ")}")
+    val failed = rules.map { case (n, pass) =>
+      when(coalesce(pass, lit(false)), lit(null).cast("string")).otherwise(lit(n))
+    }
+    val tagged = df.withColumn("__viol", array_compact(array(failed: _*)))
+    Enforced(
+      clean = tagged.filter(size(col("__viol")) === 0).drop("__viol"),
+      quarantined = tagged.filter(size(col("__viol")) > 0)
+        .withColumnRenamed("__viol", "violated"))
+  }
 }

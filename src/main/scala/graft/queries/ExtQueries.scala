@@ -4898,6 +4898,138 @@ object ExtQueries {
       |FROM vers ORDER BY user_id, valid_from""".stripMargin
 
   // ----------------------------------------------------------------
+  // q146_stream_recovery — STREAMING CHECKPOINT RECOVERY under the
+  // driver gate: q97's watermarked OHLC pipeline, but the query is
+  // STOPPED after batch 2 and a NEW query object restarts from the
+  // same checkpoint before batch 3 arrives. Exactly the state the
+  // replay gates never exercise must survive the restart: committed
+  // source offsets (batches 1-2 must not reprocess), the aggregation
+  // state store (open hourly windows keep accumulating), and the
+  // WATERMARK itself (batch 3's late rows must be cut at the same
+  // 72 h line as in the uninterrupted run). The oracle is q97's,
+  // shared verbatim — identical output through a crash/restart is
+  // precisely the fault-tolerance claim.
+  // ----------------------------------------------------------------
+  def q146StreamRecovery(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:q146_stream_recovery") {
+      q146StreamRecoveryBuild(spark, dir)
+    }
+
+  private def q146StreamRecoveryBuild(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val (t1, t2) = ("2024-01-11 00:00:00", "2024-01-21 00:00:00")
+    val log = Tables.events(spark, dir)
+      .filter(col("user_id") % 29 === 0)
+      .select(col("user_id").cast("string").as("asset_id"), col("ts"),
+        col("value").as("price"),
+        when(col("event_id") % 13 === 0, 3)
+          .when(col("ts") < lit(t1).cast("timestamp"), 1)
+          .when(col("ts") < lit(t2).cast("timestamp"), 2)
+          .otherwise(3).as("__b"))
+    val rows = log.as[(String, java.sql.Timestamp, Double, Int)].collect()
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, java.sql.Timestamp, Double)]
+    val ticks = input.toDF().toDF("asset_id", "ts", "price")
+      .withColumn("market_cap", lit(null).cast("double"))
+      .withColumn("volume", lit(null).cast("double"))
+    val out = java.nio.file.Files.createTempDirectory("graft_q146_").toString
+    val sinkPath = s"$out/table"
+    def start() = graft.streaming.StreamingIngest
+      .hourlyCandles(ticks, watermark = "72 hours")
+      .writeStream.outputMode("update")
+      .foreachBatch(graft.streaming.StreamingIngest.candleMergeSink(sinkPath))
+      .option("checkpointLocation", s"$out/ckpt")
+      .start()
+    def feed(q: org.apache.spark.sql.streaming.StreamingQuery, b: Int): Unit = {
+      input.addData(rows.iterator.filter(_._4 == b)
+        .map(t => (t._1, t._2, t._3)).toSeq: _*)
+      q.processAllAvailable()
+    }
+    val q1 = start()
+    try { feed(q1, 1); feed(q1, 2) } finally q1.stop()
+    // the restart: new query object, same checkpoint — offsets,
+    // aggregation state and watermark must all restore
+    val q2 = start()
+    try feed(q2, 3) finally q2.stop()
+    spark.read.parquet(sinkPath)
+      .select(col("asset_id"), col("ts"), col("open"), col("high"),
+        col("low"), col("close"), col("n_ticks"))
+      .orderBy(col("asset_id"), col("ts"))
+  }
+
+  // ----------------------------------------------------------------
+  // q147_expectations — WRITE-TIME CONSTRAINT ENFORCEMENT
+  // (DataChecks.enforce, the Delta-Live-Tables "expectations" shape
+  // next to q92's read-side report): three rules — value present,
+  // value < 1000, event_type in the known set — split an
+  // injected-violation feed into a CLEAN frame and a QUARANTINE
+  // carrying each row's failed-rule names. NULL fails whatever rule
+  // it reaches (a null value violates BOTH the presence and the
+  // range rule — the quarantine explains every reason, not just the
+  // first). The oracle recomputes the split, the per-rule violation
+  // counts, and the clean mass in SQL.
+  // ----------------------------------------------------------------
+  def q147Expectations(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.DataChecks
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"),
+        when(col("event_id") % 97 === 0, lit(null).cast("double"))
+          .when(col("event_id") % 89 === 0, col("value") + 2000.0)
+          .otherwise(col("value")).as("value"),
+        when(col("event_id") % 83 === 0, lit("bogus"))
+          .otherwise(col("event_type")).as("event_type"))
+    val r = DataChecks.enforce(ev, Seq(
+      "value_present" -> col("value").isNotNull,
+      "value_lt_1000" -> (col("value") < 1000.0),
+      "type_known" -> col("event_type").isin("click", "view", "purchase",
+        "signup", "error")))
+    val perRule = r.quarantined
+      .select(explode(col("violated")).as("rule"))
+      .groupBy(col("rule")).agg(count(lit(1)).as("n"))
+    val cleanAgg = r.clean.agg(count(lit(1)).as("n"),
+      sum(floor(col("value") * lit(1e3)).cast("long")).as("s")).collect()(0)
+    perRule
+      .unionByName(r.quarantined.agg(count(lit(1)).as("n"))
+        .select(lit("quarantined_rows").as("rule"), col("n")))
+      .withColumn("clean_rows", lit(cleanAgg.getLong(0)))
+      .withColumn("clean_sum_e3", lit(cleanAgg.getLong(1)))
+      .orderBy(col("rule"))
+  }
+
+  val q147ExpectationsSql: String =
+    """WITH ev AS (
+      |  SELECT event_id,
+      |    CASE WHEN event_id % 97 = 0 THEN NULL
+      |         WHEN event_id % 89 = 0 THEN value + 2000.0
+      |         ELSE value END AS value,
+      |    CASE WHEN event_id % 83 = 0 THEN 'bogus' ELSE event_type END AS event_type
+      |  FROM events),
+      |f AS (
+      |  SELECT *,
+      |    NOT coalesce(value IS NOT NULL, false) AS v_present,
+      |    NOT coalesce(value < 1000.0, false) AS v_range,
+      |    NOT coalesce(event_type IN ('click','view','purchase','signup','error'),
+      |                 false) AS v_type
+      |  FROM ev),
+      |q AS (SELECT * FROM f WHERE v_present OR v_range OR v_type),
+      |clean AS (SELECT * FROM f WHERE NOT (v_present OR v_range OR v_type)),
+      |rules AS (
+      |  SELECT 'value_present' AS rule, CAST(count(*) AS BIGINT) AS n
+      |  FROM q WHERE v_present
+      |  UNION ALL SELECT 'value_lt_1000', CAST(count(*) AS BIGINT)
+      |  FROM q WHERE v_range
+      |  UNION ALL SELECT 'type_known', CAST(count(*) AS BIGINT)
+      |  FROM q WHERE v_type
+      |  UNION ALL SELECT 'quarantined_rows', (SELECT CAST(count(*) AS BIGINT) FROM q))
+      |SELECT rule, n,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM clean) AS clean_rows,
+      |  (SELECT CAST(sum(CAST(floor(value * 1e3) AS BIGINT)) AS BIGINT) FROM clean)
+      |    AS clean_sum_e3
+      |FROM rules ORDER BY rule""".stripMargin
+
+  // ----------------------------------------------------------------
   // q99_image_decode — the REAL byte-level image kernel under the
   // driver gate (round-7 verdict #5; the decode family is no longer
   // stub-labeled): deterministic gradient images are ENCODED in a
