@@ -73,6 +73,10 @@ object IncrementalJoin {
     val newProps = Map(FactVersionProp -> factCur.toString,
       DimVersionProp -> dimCur.toString)
     val dim = ManifestTable.read(spark, dimPath)
+    // The N:1 enrichment contract: a duplicate dim key would fan every
+    // matching fact row out into duplicate view rows — refuse loudly
+    // (one dim-sized aggregate per refresh; the dim is the small side).
+    ManifestTable.requireUniqueKeys(dim, Seq(joinKey), "IncrementalJoin dim")
 
     // Incremental needs: an existing view, both recorded versions
     // still retained, and every dim version in (recorded, current]

@@ -285,6 +285,21 @@ object ManifestTable {
                                      nextSchemaJson: String,
                                      replaceTouched: Boolean = false)
 
+  /** Refuse a frame whose `keys` are not unique — the guard the
+    * conditional-merge family shares ([[mergeInto]], [[Scd2]],
+    * [[IncrementalJoin]]'s dim): a duplicate key fans a keyed
+    * full-outer join out into duplicate rows, which no downstream
+    * check can attribute. One bounded aggregate (first offender). */
+  private[ops] def requireUniqueKeys(df: DataFrame, keys: Seq[String],
+                                     what: String): Unit = {
+    val dup = df.groupBy(keys.map(col): _*).count()
+      .filter(col("count") > 1).limit(1).collect()
+    require(dup.isEmpty, s"$what: duplicate key " +
+      s"(${keys.zip(dup.headOption.map(_.toSeq.init).getOrElse(Nil))
+        .map { case (k, v) => s"$k=$v" }.mkString(", ")}) — " +
+      "keys must be unique or the keyed join fans out")
+  }
+
   /** Manifest lines are `key\tdir\n` — a key carrying either control
     * character would corrupt the file's structure. Date/numeric
     * partition values never do; refuse the exotic string case loudly. */
@@ -1075,6 +1090,10 @@ object ManifestTable {
         val s = committedSchema(lines).get
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
       } else readDirs(spark, path, v, dirs)
+    // Duplicate source keys would fan the full-outer join out into
+    // duplicate target rows — Delta's "multiple source rows matched"
+    // error, refused here the same way (one bounded aggregate).
+    requireUniqueKeys(source, keys, "ManifestTable.mergeInto source")
     // Source: keys keep their names (join columns), payload prefixed.
     val src = source.columns.foldLeft(source) { (df, c) =>
       if (keys.contains(c)) df else df.withColumnRenamed(c, s"src_$c")

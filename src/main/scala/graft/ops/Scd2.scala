@@ -49,6 +49,9 @@ object Scd2 {
     require(history.columns.toSeq.sorted == expected,
       s"Scd2.applyBatch: history columns ${history.columns.sorted.mkString(",")} != " +
         s"batch + [$fromCol, $toCol]")
+    // A batch carrying a key twice would fan the keyed join out into
+    // parallel version chains — refuse like mergeInto does.
+    ManifestTable.requireUniqueKeys(batch, keys, "Scd2.applyBatch batch")
     val eff = lit(effectiveTs)
     val open = history.filter(col(toCol) === lit(OpenEnd))
     val closedRows = history.filter(col(toCol) =!= lit(OpenEnd))

@@ -915,6 +915,12 @@ class MergeSpec extends AnyFunSuite {
       Seq((11L, d1, 1.0)).toDF("id", "day", "v"), Seq("id"), "day",
       insertNotMatched = false)
     assert(r2.inserted == 0 && ManifestTable.read(spark, path).count() == 3)
+    // duplicate source keys fan the join out — refused loudly
+    val dupEx = intercept[IllegalArgumentException] {
+      ManifestTable.mergeInto(spark, path,
+        Seq((2L, d1, 1.0), (2L, d1, 2.0)).toDF("id", "day", "v"), Seq("id"), "day")
+    }
+    assert(dupEx.getMessage.contains("duplicate key"))
   }
 
   test("IncrementalJoin: fact commits rewrite their own partitions, dim changes narrow " +
