@@ -193,4 +193,29 @@ object Curate {
       .filter(col("n_picks") >= 1)
       .select((cols.map(col) :+ col("n_picks")): _*)
   }
+
+  /** DETERMINISTIC SHUFFLE-AND-SHARD — the training-export step: every
+    * row gets a `shard` in [0, n) by a seeded hash of its id and a
+    * `shard_pos` by a SECOND, independent seeded hash (so the
+    * within-shard order is uncorrelated with the shard assignment —
+    * one hash for both would sort each shard by the same bits that
+    * chose it). The result is a reproducible global shuffle: same
+    * corpus + seed ⇒ identical shards and identical order, across
+    * cluster sizes and re-runs — what makes a training run repeatable
+    * and resumable mid-epoch. Materialize with
+    * `write.partitionBy("shard")` after `sortWithinPartitions(shard,
+    * shard_pos)`; one hash-keyed exchange + per-shard sort, no global
+    * sort. Ties cannot occur (the id is the rank tiebreak), and the
+    * md5-based hashes are the engine-portable q46/q123 scheme. */
+  def shuffleShards(df: DataFrame, n: Int, seed: String,
+                    idCol: String = "doc_id"): DataFrame = {
+    require(n >= 1, s"shuffleShards: need n >= 1, got $n")
+    val assignHash = md5(concat_ws("#", lit(seed), col(idCol).cast("string")))
+    val orderHash = md5(concat_ws("#", lit(s"$seed:o"), col(idCol).cast("string")))
+    val w = Window.partitionBy(col("shard")).orderBy(orderHash, col(idCol))
+    df.withColumn("shard",
+        pmod(conv(substring(assignHash, 1, 8), 16, 10).cast("long"), lit(n.toLong))
+          .cast("int"))
+      .withColumn("shard_pos", row_number().over(w).cast("long"))
+  }
 }

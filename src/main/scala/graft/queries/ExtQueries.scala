@@ -5030,6 +5030,43 @@ object ExtQueries {
       |FROM rules ORDER BY rule""".stripMargin
 
   // ----------------------------------------------------------------
+  // q148_shuffle_shards — DETERMINISTIC SHUFFLE-AND-SHARD
+  // (Curate.shuffleShards): the training-export step assigns every
+  // document a shard (seeded hash) and a within-shard position (a
+  // SECOND independent seeded hash — order uncorrelated with
+  // assignment), making the global shuffle reproducible across
+  // cluster sizes and re-runs. The oracle rebuilds both hashes in
+  // SQL, so per-shard sizes, id mass, AND the exact first/last
+  // document of every shard's order hash cross-engine — a drifted
+  // hash, rank rule, or tiebreak moves a boundary document and
+  // breaks it.
+  // ----------------------------------------------------------------
+  def q148ShuffleShards(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Curate.shuffleShards(
+        Tables.documents(spark, dir).select(col("doc_id")), n = 16, seed = "42")
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"),
+        min_by(col("doc_id"), col("shard_pos")).as("first_id"),
+        max_by(col("doc_id"), col("shard_pos")).as("last_id"))
+      .withColumn("shard", col("shard").cast("long"))
+      .orderBy(col("shard"))
+
+  val q148ShuffleShardsSql: String =
+    """WITH a AS (
+      |  SELECT doc_id,
+      |    CAST(CAST(('0x' || substr(md5('42' || '#' || CAST(doc_id AS VARCHAR)), 1, 8))
+      |      AS UBIGINT) % 16 AS BIGINT) AS shard,
+      |    md5('42:o' || '#' || CAST(doc_id AS VARCHAR)) AS ok
+      |  FROM documents),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY shard ORDER BY ok, doc_id) AS pos
+      |      FROM a)
+      |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+      |  CAST(arg_min(doc_id, pos) AS BIGINT) AS first_id,
+      |  CAST(arg_max(doc_id, pos) AS BIGINT) AS last_id
+      |FROM r GROUP BY shard ORDER BY shard""".stripMargin
+
+  // ----------------------------------------------------------------
   // q99_image_decode — the REAL byte-level image kernel under the
   // driver gate (round-7 verdict #5; the decode family is no longer
   // stub-labeled): deterministic gradient images are ENCODED in a
