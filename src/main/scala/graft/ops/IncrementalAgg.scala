@@ -116,17 +116,21 @@ object IncrementalAgg {
     val newDirs = ManifestTable.partitionDirs(fs, basePath, baseCur)
     val changed = (oldDirs.keySet ++ newDirs.keySet).filter(k =>
       oldDirs.get(k) != newDirs.get(k))
-    val minus = changed.toSeq.flatMap(oldDirs.get)
-    val plus = changed.toSeq.flatMap(newDirs.get)
+    // Keyed reads (not raw dir reads): a compacted dir shared across
+    // partitions must contribute each changed key's rows exactly once,
+    // and never the rows of an unchanged key it also holds — else the
+    // +1/-1 fold double-counts or leaks.
+    val minus = changed.intersect(oldDirs.keySet)
+    val plus = changed.intersect(newDirs.keySet)
 
     val delta: Option[DataFrame] =
       if (changed.isEmpty) None
       else {
         val parts = Seq(
           if (plus.isEmpty) None
-          else Some(aggOf(ManifestTable.readDirs(spark, basePath, baseCur, plus), 1L)),
+          else Some(aggOf(ManifestTable.readKeys(spark, basePath, baseCur, plus), 1L)),
           if (minus.isEmpty) None
-          else Some(aggOf(ManifestTable.readDirs(spark, basePath, prevV, minus), -1L))
+          else Some(aggOf(ManifestTable.readKeys(spark, basePath, prevV, minus), -1L))
         ).flatten
         Some(parts.reduce(_ unionByName _)
           .groupBy(groupCols.map(col): _*)

@@ -80,7 +80,76 @@ object ManifestTable {
     * exist, because they are one rename). NOT carried forward — each
     * commit records its own; [[readProps]] resolves the latest. */
   private val PropsKey = "__props__"
-  private val Reserved = Set(SchemaKey, CommitKey, PropsKey)
+  /** Manifest line key recording the table's partition column name.
+    * Written by every commit since [[compact]] landed; readers need it
+    * ONLY to row-filter a compacted (shared) data dir, so manifests
+    * written before this key exist are still fully readable — they
+    * cannot contain shared dirs. Same reservation argument. */
+  private val PartitionColKey = "__partition_col__"
+  private val Reserved = Set(SchemaKey, CommitKey, PropsKey, PartitionColKey)
+
+  /** The committed partition-column name, if recorded. */
+  private[ops] def partitionColOf(lines: Seq[(String, String)]): Option[String] =
+    lines.collectFirst { case (PartitionColKey, c) => c }
+
+  /** Is this relative data dir a [[compact]]-written SHARED dir? A
+    * shared dir may hold several partitions' rows — and, because dirs
+    * are immutable, it may also hold STALE rows of a partition a later
+    * merge rewrote elsewhere. Readers must therefore always filter a
+    * shared dir to the keys that CURRENTLY reference it; exclusive
+    * `batch-` dirs hold exactly their one partition and never need a
+    * filter. */
+  private def isSharedDir(dir: String): Boolean = dir.startsWith(s"$DataDir/compact-")
+
+  /** Read the rows belonging to manifest `keys` under a version's
+    * `lines` — THE keyed read every partition-scoped consumer goes
+    * through. Exclusive dirs scan plain and filter-free (the common
+    * un-compacted layout pays nothing); each [[compact]]ed shared dir
+    * is opened once and row-filtered to the requested keys that
+    * CURRENTLY reference it — per dir, because an immutable shared dir
+    * can hold stale rows of a key a later commit moved to another dir
+    * (even to another shared dir, which is why one global key filter
+    * would still double-read). `schemaOverride` lets a caller resolve
+    * old dirs under a NEWER committed schema (the change-feed
+    * contract); otherwise the lines' own committed schema applies. */
+  private[ops] def readEntriesOf(spark: SparkSession, path: String,
+                                 lines: Seq[(String, String)], keys: Set[String],
+                                 schemaOverride: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    val selected = dataEntries(lines).filter(e => keys(e._1))
+    require(selected.nonEmpty, s"ManifestTable.readEntriesOf: no data dir under $path " +
+      s"for keys ${keys.take(5).mkString(", ")}…")
+    val schema = schemaOverride.orElse(committedSchema(lines))
+    def rd(dirs: Seq[String]): DataFrame =
+      schema.map(spark.read.schema(_)).getOrElse(spark.read)
+        .parquet(dirs.map(d => s"$path/$d"): _*)
+    val (shared, exclusive) = selected.partition(e => isSharedDir(dirOf(e._2)))
+    if (shared.isEmpty) rd(exclusive.map(e => dirOf(e._2)).distinct)
+    else {
+      val pcol = partitionColOf(lines).getOrElse(sys.error(
+        s"ManifestTable: a shared (compacted) data dir under $path needs the " +
+          s"$PartitionColKey manifest header to row-filter, and this manifest has " +
+          "none — foreign tooling wrote a shared dir without the header"))
+      val sharedFrames = shared.groupBy(e => dirOf(e._2)).toSeq.sortBy(_._1)
+        .map { case (d, es) =>
+          rd(Seq(d)).filter(col(pcol).cast("string")
+            .isInCollection(es.map(_._1)))
+        }
+      val frames =
+        (if (exclusive.isEmpty) Nil
+         else Seq(rd(exclusive.map(e => dirOf(e._2)).distinct))) ++ sharedFrames
+      // All branches resolve under ONE schema (compact refuses to run
+      // on a schemaless legacy table), so a positional union is exact.
+      frames.reduce(_.union(_))
+    }
+  }
+
+  /** [[readEntriesOf]] against a retained `version` — the keyed read
+    * the incremental-view maintainers use for their manifest diffs. */
+  private[ops] def readKeys(spark: SparkSession, path: String, version: Long,
+                            keys: Set[String]): DataFrame = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readEntriesOf(spark, path, readManifest(fs, path, version), keys)
+  }
 
   /** Merge `incoming` into the manifest table at `path` with
     * [[Merge.upsert]] semantics per partition of `partitionCol`
@@ -143,7 +212,8 @@ object ManifestTable {
       if (bloomColumns.isEmpty) Map.empty[String, Seq[String]]
       else collectBlooms(spark.read.parquet(s"$path/$batch"), partitionCol,
         bloomColumns, bloomBits)
-    commitPlan(fs, plan, newEntries, retainVersions, statsColumns, props, blooms)
+    commitPlan(fs, plan, partitionCol, newEntries, retainVersions, statsColumns, props,
+      blooms)
   }
 
   /** One incoming batch per table (a [[mergeMany]] element): the table
@@ -272,7 +342,8 @@ object ManifestTable {
             unescapePathName(name.stripPrefix("__pdir=")) -> s"$batch/$name"
           }
         }
-      commitPlan(fs, plan, newEntries, retainVersions, t.statsColumns, t.props)
+      commitPlan(fs, plan, t.partitionCol, newEntries, retainVersions, t.statsColumns,
+        t.props)
     } finally fs.delete(new Path(staging), true)
   }
 
@@ -321,7 +392,7 @@ object ManifestTable {
     val oldLines = current.map(v => readManifest(fs, path, v)).getOrElse(Nil)
     val oldEntries = dataEntries(oldLines)
     val prevSchema = committedSchema(oldLines)
-    val touchedDirs = oldEntries.filter(e => touched(e._1)).map(e => s"$path/${dirOf(e._2)}")
+    val touchedKeys = oldEntries.map(_._1).filter(touched).toSet
     // SCHEMA EVOLUTION (additive): a merge may ADD nullable columns.
     // The touched partitions are read under the previously COMMITTED
     // schema (absent columns fill as null — handles partitions written
@@ -332,9 +403,12 @@ object ManifestTable {
     // batches (no touched dirs), which would otherwise commit a
     // narrowed/retyped schema that silently projects away or bricks
     // the untouched partitions.
-    val reader = prevSchema.map(spark.read.schema(_)).getOrElse(spark.read)
+    // The keyed read: under the previously committed schema, each
+    // referenced dir opened once, row-filtered if a dir is shared
+    // with an untouched key (a compacted dir).
     val existingOpt =
-      if (touchedDirs.isEmpty) None else Some(reader.parquet(touchedDirs: _*))
+      if (touchedKeys.isEmpty) None
+      else Some(readEntriesOf(spark, path, oldLines, touchedKeys))
     // The schema the table already has, whenever one is knowable:
     // the committed schema, else (legacy manifests) the touched dirs'
     // self-described schema, else — for a legacy table touched only on
@@ -634,16 +708,20 @@ object ManifestTable {
         case None => true // no filter recorded -> cannot prune safely
       }
     }
-    val schema = committedSchema(lines)
+    // Dir-granular superset: every live entry referencing a kept dir
+    // survives (a shared dir is scanned once, and only its CURRENT
+    // keys' rows — never another key's stale copies).
+    val keptDirs = kept.map(e => dirOf(e._2)).distinct
+    val keptDirSet = keptDirs.toSet
+    val survivors = live.filter(e => keptDirSet(dirOf(e._2))).map(_._1).toSet
     val df =
       if (kept.isEmpty) {
-        val s = schema.getOrElse(sys.error(
+        val s = committedSchema(lines).getOrElse(sys.error(
           s"ManifestTable.readSkippingEquals: every dir pruned and manifest m$v has no " +
             "committed schema to shape an empty result"))
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
-      } else schema.map(spark.read.schema(_)).getOrElse(spark.read)
-        .parquet(kept.map(e => s"$path/${dirOf(e._2)}"): _*)
-    SkipResult(df, kept.size.toLong, live.size.toLong)
+      } else readEntriesOf(spark, path, lines, survivors)
+    SkipResult(df, keptDirs.size.toLong, live.size.toLong)
   }
 
   /** A [[readSkipping]] result: the pruned frame plus the pruning
@@ -669,22 +747,27 @@ object ManifestTable {
         case None => true // no stats recorded -> cannot prune safely
       }
     }
-    val schema = committedSchema(lines)
+    // Dir-granular superset: every live entry referencing a kept dir
+    // survives (a shared dir is scanned once, and only its CURRENT
+    // keys' rows — never another key's stale copies).
+    val keptDirs = kept.map(e => dirOf(e._2)).distinct
+    val keptDirSet = keptDirs.toSet
+    val survivors = live.filter(e => keptDirSet(dirOf(e._2))).map(_._1).toSet
     val df =
       if (kept.isEmpty) {
-        val s = schema.getOrElse(sys.error(
+        val s = committedSchema(lines).getOrElse(sys.error(
           s"ManifestTable.readSkipping: every dir pruned and manifest m$v has no " +
             "committed schema to shape an empty result"))
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
-      } else schema.map(spark.read.schema(_)).getOrElse(spark.read)
-        .parquet(kept.map(e => s"$path/${dirOf(e._2)}"): _*)
-    SkipResult(df, kept.size.toLong, live.size.toLong)
+      } else readEntriesOf(spark, path, lines, survivors)
+    SkipResult(df, keptDirs.size.toLong, live.size.toLong)
   }
 
   /** The commit half shared by [[merge]] and [[mergeMany]]: assemble
     * the next manifest from the plan plus the written entries, rename
     * it live, retire versions beyond the retention horizon. */
   private def commitPlan(fs: FileSystem, plan: MergePlan,
+                         partitionCol: String,
                          newEntries: Seq[(String, String)],
                          retainVersions: Int,
                          statsColumns: Seq[String] = Nil,
@@ -732,6 +815,7 @@ object ManifestTable {
         .map { case (k, v) => s"${escapeProp(k)}=${escapeProp(v)}" }.mkString(";"))
     val entries = (SchemaKey -> plan.nextSchemaJson) +:
       (CommitKey -> System.currentTimeMillis().toString) +:
+      (PartitionColKey -> partitionCol) +:
       (propLines ++ plan.oldEntries.filterNot(e => plan.touched(e._1)) ++ newWithStats)
     val next = plan.current.getOrElse(0L) + 1
     writeManifest(fs, plan.path, next, entries)
@@ -756,6 +840,147 @@ object ManifestTable {
     val vs = versions(fs, path)
     require(vs.nonEmpty, s"expireVersions: no manifest under $path/$ManifestDir")
     cleanup(fs, path, keepVersions = vs.takeRight(keepLast).toSet)
+  }
+
+  // ------------------------------------------------------------------
+  // COMPACTION (r11) — Delta OPTIMIZE's bin-packing in miniature, at
+  // the granularity this format has: each manifest entry references
+  // one data dir (one file), so a long-lived table with fine-grained
+  // partitions (daily dirs over years, per-bucket dirs) accumulates
+  // thousands of TINY files — the classic small-files tax: at 100 TB
+  // the scan cost is dominated by per-file open/footer overhead, not
+  // bytes. compact() greedily packs runs of adjacent small dirs into
+  // SHARED data dirs (one file per bin, ~targetBytes each) and commits
+  // the rewrite as a new manifest version with ZERO logical change:
+  // same rows, same schema, same table properties (carried forward
+  // verbatim — unlike merge's per-commit props, compaction must not
+  // disturb transactional watermarks), same per-entry stats/bloom
+  // suffixes (each key's row content is untouched, so its recorded
+  // bounds stay exact). Readers stay correct through [[readEntriesOf]]:
+  // a shared dir is opened once, and row-filtered by partition value
+  // only when a read selects a strict subset of its keys.
+  // ------------------------------------------------------------------
+
+  /** A [[compact]] result: data-dir counts before/after, how many
+    * manifest entries moved into shared dirs, how many bins were
+    * written, the byte mass rewritten, and whether a version committed
+    * at all (no-op when nothing packs — no version burned). */
+  final case class CompactResult(dirsBefore: Long, dirsAfter: Long,
+                                 entriesCompacted: Long, binsWritten: Long,
+                                 bytesCompacted: Long, committed: Boolean)
+
+  /** Bin-pack the latest snapshot's small data dirs into shared dirs
+    * of ~`targetBytes` (dirs already at or above `targetBytes` are
+    * left alone; a bin must cover at least `minDirs` dirs to be worth
+    * the rewrite). Key-adjacent dirs pack together — bins never span
+    * a large dir — so range locality survives for the skipping reads.
+    * ONE Spark job rewrites every bin (a broadcast key→bin tag + a
+    * one-file-per-bin shuffle); the commit is the usual single
+    * manifest rename, concurrency-checked like every other commit. */
+  def compact(spark: SparkSession, path: String, partitionCol: String,
+              targetBytes: Long = 128L << 20, minDirs: Int = 2,
+              retainVersions: Int = 2): CompactResult = {
+    require(targetBytes > 0, s"compact: targetBytes must be > 0, got $targetBytes")
+    require(minDirs >= 2, s"compact: minDirs must be >= 2, got $minDirs " +
+      "(a 1-dir bin is a rewrite with no file-count win)")
+    require(retainVersions >= 1, s"retainVersions must be >= 1, got $retainVersions")
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = latestVersion(fs, path).getOrElse(
+      sys.error(s"ManifestTable.compact: no manifest under $path/$ManifestDir"))
+    val lines = readManifest(fs, path, cur)
+    partitionColOf(lines).foreach(h => require(h == partitionCol,
+      s"ManifestTable.compact: table partition column is $h, not $partitionCol"))
+    // Shared dirs are only readable under ONE authoritative schema
+    // (readEntriesOf unions per-dir scans positionally), so a legacy
+    // schemaless manifest must see a merge (which commits one) first.
+    val schema = committedSchema(lines).getOrElse(sys.error(
+      s"ManifestTable.compact: no committed schema under $path (legacy manifest) — " +
+        "run one merge first"))
+    require(schema.fieldNames.contains(partitionCol),
+      s"ManifestTable.compact: $partitionCol is not a column of the committed schema")
+    val entries = dataEntries(lines)
+
+    // Units = distinct data dirs in key order (an already-shared dir
+    // from an earlier compact is ONE unit and may re-pack with its
+    // neighbors). Sizes are driver-side filesystem metadata.
+    val byDir = scala.collection.mutable.LinkedHashMap
+      .empty[String, Vector[(String, String)]]
+    entries.sortBy(_._1).foreach { e =>
+      val d = dirOf(e._2)
+      byDir.update(d, byDir.getOrElse(d, Vector.empty) :+ e)
+    }
+    val units: Seq[(String, Vector[(String, String)], Long)] = byDir.toSeq.map {
+      case (d, es) => (d, es, fs.getContentSummary(new Path(s"$path/$d")).getLength)
+    }
+
+    // Greedy adjacent packing; a large dir closes the current bin.
+    val bins = scala.collection.mutable.Buffer.empty[Vector[(String, Vector[(String, String)], Long)]]
+    var open = Vector.empty[(String, Vector[(String, String)], Long)]
+    var openBytes = 0L
+    def close(): Unit = {
+      if (open.size >= minDirs) bins += open
+      open = Vector.empty; openBytes = 0L
+    }
+    units.foreach { u =>
+      if (u._3 >= targetBytes) close() // stays alone, breaks adjacency
+      else {
+        if (u._3 > targetBytes - openBytes) close() // overflow-safe bound
+        open :+= u; openBytes += u._3
+      }
+    }
+    close()
+    if (bins.isEmpty)
+      return CompactResult(units.size.toLong, units.size.toLong, 0L, 0L, 0L,
+        committed = false)
+
+    // ONE rewrite job: broadcast (partition value -> bin) tag, one
+    // file per bin. Rows never move across bins, and readEntriesOf
+    // already scoped the scan to exactly the binned keys' rows.
+    import spark.implicits._
+    val binOfKey: Seq[(String, Int)] = bins.zipWithIndex.toSeq.flatMap {
+      case (bin, i) => bin.flatMap(_._2.map(_._1)).map(k => k -> i)
+    }
+    val binned = readEntriesOf(spark, path, lines, binOfKey.map(_._1).toSet)
+    val batch = s"$DataDir/compact-${java.util.UUID.randomUUID()}"
+    binned
+      .join(broadcast(binOfKey.toDF("__ck", "__bin")),
+        col(partitionCol).cast("string") === col("__ck"), "inner")
+      .drop("__ck")
+      .repartition(col("__bin"))
+      .write.partitionBy("__bin").parquet(s"$path/$batch")
+
+    // New entries: each binned key re-points at its bin's shared dir,
+    // CARRYING its stats/bloom suffix verbatim (per-key content is
+    // unchanged, so recorded bounds and row counts stay exact);
+    // untouched entries move through whole.
+    val dirOfBin: Map[Int, String] = fs.listStatus(new Path(s"$path/$batch"))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("__bin="))
+      .map(st => st.getPath.getName.stripPrefix("__bin=").toInt ->
+        s"$batch/${st.getPath.getName}")
+      .toMap
+    require(dirOfBin.size == bins.size, s"ManifestTable.compact: wrote " +
+      s"${dirOfBin.size} bin dirs for ${bins.size} planned bins — a bin lost its rows")
+    val binByKey = binOfKey.toMap
+    val newEntries = entries.map { case (k, value) =>
+      binByKey.get(k) match {
+        case None => k -> value
+        case Some(b) =>
+          val d = dirOfBin(b)
+          k -> statsOf(value).map(s => s"$d\t$s").getOrElse(d)
+      }
+    }
+    val head =
+      lines.collect { case e @ (SchemaKey, _) => e } ++
+        Seq(CommitKey -> System.currentTimeMillis().toString,
+          PartitionColKey -> partitionCol) ++
+        lines.collect { case e @ (PropsKey, _) => e }
+    writeManifest(fs, path, cur + 1, head ++ newEntries)
+    cleanup(fs, path, keepVersions =
+      (versions(fs, path) :+ (cur + 1)).distinct.sorted.takeRight(retainVersions).toSet)
+    CompactResult(units.size.toLong,
+      (units.size - bins.map(_.size).sum + bins.size).toLong,
+      binOfKey.size.toLong, bins.size.toLong, bins.flatten.map(_._3).sum,
+      committed = true)
   }
 
   // ------------------------------------------------------------------
@@ -794,7 +1019,7 @@ object ManifestTable {
   private def matchCounts(spark: SparkSession, path: String, version: Long,
                           candidates: Seq[(String, String)], partitionCol: String,
                           hit: org.apache.spark.sql.Column): Seq[(String, Long, Long)] =
-    readDirs(spark, path, version, candidates.map(e => dirOf(e._2)))
+    readKeys(spark, path, version, candidates.map(_._1).toSet)
       .groupBy(col(partitionCol).cast("string").as("__p"))
       .agg(sum(when(hit, lit(1L)).otherwise(lit(0L))).as("__m"),
         count(lit(1)).as("__t"))
@@ -830,7 +1055,6 @@ object ManifestTable {
       return RowOpResult(0L, 0L, 0L, candidates.size.toLong, entries.size.toLong,
         committed = false)
     val rewritten = touched.filter { case (_, m, t) => m < t }
-    val dirByPart = candidates.map(e => e._1 -> dirOf(e._2)).toMap
     val incoming =
       if (rewritten.isEmpty)
         // Every matched partition empties wholesale — commit a pure
@@ -838,7 +1062,7 @@ object ManifestTable {
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           committedSchema(lines).getOrElse(
             readDirs(spark, path, v, candidates.take(1).map(e => dirOf(e._2))).schema))
-      else readDirs(spark, path, v, rewritten.map(r => dirByPart(r._1))).filter(!hit)
+      else readEntriesOf(spark, path, lines, rewritten.map(_._1).toSet).filter(!hit)
     merge(spark, path, incoming, keys = Nil, partitionCol = partitionCol,
       retainVersions = retainVersions, statsColumns = statsColumns,
       replaceTouched = true, knownTouched = Some(touched.map(_._1).toSet),
@@ -884,8 +1108,7 @@ object ManifestTable {
     if (touched.isEmpty)
       return RowOpResult(0L, 0L, 0L, candidates.size.toLong, entries.size.toLong,
         committed = false)
-    val dirByPart = candidates.map(e => e._1 -> dirOf(e._2)).toMap
-    val base = readDirs(spark, path, v, touched.map(t => dirByPart(t._1)))
+    val base = readEntriesOf(spark, path, lines, touched.map(_._1).toSet)
     val missing = assignments.keys.filterNot(base.columns.contains)
     require(missing.isEmpty, "ManifestTable.updateWhere: assignment to column(s) " +
       s"${missing.mkString(", ")} not in the table — additive columns go through merge")
@@ -942,13 +1165,11 @@ object ManifestTable {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], payload.schema)
       case Some(v) =>
         val lines = readManifest(fs, path, v)
-        val dirs = dataEntries(lines).collect {
-          case (k, value) if touched(k) => dirOf(value)
-        }
-        if (dirs.isEmpty) spark.createDataFrame(
+        val keys = dataEntries(lines).map(_._1).filter(touched).toSet
+        if (keys.isEmpty) spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           committedSchema(lines).getOrElse(payload.schema))
-        else readDirs(spark, path, v, dirs)
+        else readEntriesOf(spark, path, lines, keys)
     }
     val merged = Merge.applyChangeFeed(existing, feed, keys, opCol, versionCol)
     merge(spark, path, merged, keys = Nil, partitionCol = partitionCol,
@@ -1017,16 +1238,20 @@ object ManifestTable {
     val live = dataEntries(lines)
     // fixed-width "yyyy-MM-dd HH:mm:ss" strings compare chronologically
     val kept = live.filter { case (p, _) => p >= loDay && p <= hi }
-    val schema = committedSchema(lines)
+    // Dir-granular superset: every live entry referencing a kept dir
+    // survives (a shared dir is scanned once, and only its CURRENT
+    // keys' rows — never another key's stale copies).
+    val keptDirs = kept.map(e => dirOf(e._2)).distinct
+    val keptDirSet = keptDirs.toSet
+    val survivors = live.filter(e => keptDirSet(dirOf(e._2))).map(_._1).toSet
     val df =
       if (kept.isEmpty) {
-        val s = schema.getOrElse(sys.error(
+        val s = committedSchema(lines).getOrElse(sys.error(
           s"ManifestTable.readTsRange: every dir pruned and manifest m$v has no " +
             "committed schema to shape an empty result"))
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
-      } else schema.map(spark.read.schema(_)).getOrElse(spark.read)
-        .parquet(kept.map(e => s"$path/${dirOf(e._2)}"): _*)
-    SkipResult(df, kept.size.toLong, live.size.toLong)
+      } else readEntriesOf(spark, path, lines, survivors)
+    SkipResult(df, keptDirs.size.toLong, live.size.toLong)
   }
 
   /** Evidence a [[mergeInto]] returns. */
@@ -1073,9 +1298,7 @@ object ManifestTable {
       .select(col(partitionCol).cast("string").as("__p")).distinct()
       .collect().map(r => Option(r.getString(0)).getOrElse(
         sys.error(s"ManifestTable.mergeInto: null $partitionCol value in source"))).toSet)
-    val dirs = dataEntries(lines).collect {
-      case (k, value) if touched(k) => dirOf(value)
-    }
+    val touchedKeys = dataEntries(lines).map(_._1).filter(touched).toSet
     val targetCols = committedSchema(lines).map(_.fieldNames.toSeq)
       .getOrElse(sys.error(s"ManifestTable.mergeInto: manifest m$v has no committed " +
         "schema (legacy table) — mergeInto needs the authoritative column list"))
@@ -1086,10 +1309,10 @@ object ManifestTable {
     require(!whenMatchedUpdate.contains(partitionCol),
       s"ManifestTable.mergeInto: cannot update partition column $partitionCol")
     val existing =
-      if (dirs.isEmpty) {
+      if (touchedKeys.isEmpty) {
         val s = committedSchema(lines).get
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
-      } else readDirs(spark, path, v, dirs)
+      } else readEntriesOf(spark, path, lines, touchedKeys)
     // Duplicate source keys would fan the full-outer join out into
     // duplicate target rows — Delta's "multiple source rows matched"
     // error, refused here the same way (one bounded aggregate).
@@ -1165,7 +1388,8 @@ object ManifestTable {
   /** The row diff contributed by ONE commit (version `v` vs `v-1`). */
   private def changeStep(spark: SparkSession, fs: FileSystem, path: String,
                          keys: Seq[String], v: Long): DataFrame = {
-    val prevDirs = partitionDirs(fs, path, v - 1)
+    val prevLines = readManifest(fs, path, v - 1)
+    val prevDirs = dataEntries(prevLines).map { case (k, value) => k -> dirOf(value) }.toMap
     val curLines = readManifest(fs, path, v)
     val curDirs = dataEntries(curLines).map { case (k, value) => k -> dirOf(value) }.toMap
     val changed = (prevDirs.keySet ++ curDirs.keySet)
@@ -1188,28 +1412,33 @@ object ManifestTable {
         StructType(keyFields ++ Seq(StructField("_change_type", StringType),
           StructField("_commit_version", LongType))))
     }
-    val oldSide = changed.toSeq.sorted.flatMap(prevDirs.get)
-    val newSide = changed.toSeq.sorted.flatMap(curDirs.get)
     // Both sides read (and the diff emits) under the NEW version's
     // committed schema — a widening commit diffs old rows with the
     // added columns as null, exactly how version v reads them.
     val schema: org.apache.spark.sql.types.StructType =
       committedSchema(curLines).getOrElse {
-        val some = (newSide ++ oldSide).head // changed nonempty => a dir exists
+        // changed nonempty => a dir exists on one side
+        val some = changed.toSeq.sorted.iterator
+          .flatMap(k => curDirs.get(k).orElse(prevDirs.get(k))).next()
         spark.read.parquet(s"$path/$some").schema
       }
-    def side(dirs: Seq[String]): DataFrame =
-      if (dirs.isEmpty)
+    // The keyed read filters a shared (compacted) dir to the CHANGED
+    // keys — without it, a merge that pulls one key out of a shared
+    // dir would diff the dir's OTHER keys as phantom deletes.
+    def side(lines: Seq[(String, String)], dirMap: Map[String, String]): DataFrame = {
+      val ks = changed.intersect(dirMap.keySet)
+      if (ks.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema).parquet(dirs.map(d => s"$path/$d"): _*)
+      else readEntriesOf(spark, path, lines, ks, schemaOverride = Some(schema))
+    }
     keys.foreach(k => require(schema.fieldNames.contains(k),
       s"ManifestTable.changes: key column $k not in the m$v schema"))
     val nonKeys = schema.fieldNames.filterNot(keys.contains).toSeq
     def pack(df: DataFrame, data: String, marker: String): DataFrame =
       df.select(keys.map(col) ++ Seq(
         struct(nonKeys.map(col): _*).as(data), lit(true).as(marker)): _*)
-    val j = pack(side(oldSide), "__od", "__oe")
-      .join(pack(side(newSide), "__nd", "__ne"), keys, "full_outer")
+    val j = pack(side(prevLines, prevDirs), "__od", "__oe")
+      .join(pack(side(curLines, curDirs), "__nd", "__ne"), keys, "full_outer")
     val differs = col("__oe").isNotNull && col("__ne").isNotNull &&
       !(col("__od") <=> col("__nd"))
     val pre = when(col("__ne").isNull, struct(lit("delete").as("t"), col("__od").as("d")))
@@ -1342,13 +1571,13 @@ object ManifestTable {
     val v = latestVersion(fs, path).getOrElse(
       sys.error(s"ManifestTable.read: no manifest under $path/$ManifestDir"))
     val lines = readManifest(fs, path, v)
-    val dirs = dataEntries(lines)
-      .collect { case (key, value) if partitionFilter(key) => s"$path/${dirOf(value)}" }
-    require(dirs.nonEmpty, s"ManifestTable.read: manifest m$v has no partition " +
+    val keys = dataEntries(lines).map(_._1).filter(partitionFilter).toSet
+    require(keys.nonEmpty, s"ManifestTable.read: manifest m$v has no partition " +
       s"passing the filter")
     // Committed schema (when present) pins column set + order and
-    // fills columns a pre-widening data dir lacks with nulls.
-    committedSchema(lines).map(spark.read.schema(_)).getOrElse(spark.read).parquet(dirs: _*)
+    // fills columns a pre-widening data dir lacks with nulls; the
+    // keyed read opens each (possibly compacted) dir once.
+    readEntriesOf(spark, path, lines, keys)
   }
 
   /** TIME TRAVEL: the table as of a specific retained `version` — the
@@ -1362,13 +1591,12 @@ object ManifestTable {
       s"ManifestTable.readVersion: m$version not retained under $path " +
         s"(have ${versions(fs, path).mkString(", ")})")
     val lines = readManifest(fs, path, version)
-    val dirs = dataEntries(lines)
-      .collect { case (key, value) if partitionFilter(key) => s"$path/${dirOf(value)}" }
-    require(dirs.nonEmpty, s"ManifestTable.readVersion: manifest m$version has no " +
+    val keys = dataEntries(lines).map(_._1).filter(partitionFilter).toSet
+    require(keys.nonEmpty, s"ManifestTable.readVersion: manifest m$version has no " +
       s"partition passing the filter")
     // Each version reads under ITS OWN committed schema — a snapshot
     // pinned before a widening resolves without the added columns.
-    committedSchema(lines).map(spark.read.schema(_)).getOrElse(spark.read).parquet(dirs: _*)
+    readEntriesOf(spark, path, lines, keys)
   }
 
   /** TIME TRAVEL BY TIMESTAMP: the table as of wall-clock instant
@@ -1515,26 +1743,103 @@ object ManifestTable {
     finally out.close()
     // THE commit point: one rename. HDFS rename-to-existing returns
     // false, so a concurrent writer racing to the same version fails
-    // here loudly instead of silently clobbering the other's commit.
-    require(fs.rename(tmp, dest),
-      s"ManifestTable: commit rename $tmp -> $dest failed (concurrent writer?); " +
-        s"table still reads as the previous version")
+    // here loudly instead of silently clobbering the other's commit —
+    // with the TYPED conflict [[withCommitRetry]] catches to re-plan.
+    if (!fs.rename(tmp, dest)) {
+      fs.delete(tmp, false) // the loser's tmp is residue, drop it now
+      throw CommitConflictException(
+        s"ManifestTable: commit rename $tmp -> $dest failed (concurrent writer); " +
+          s"table still reads as the previous version")
+    }
   }
+
+  /** A lost commit race: another writer renamed this version live
+    * first. The table is untouched by the loser (its data dirs are
+    * unreferenced residue, swept by the next successful commit's
+    * cleanup); the write is safe to re-plan against the new head. */
+  final case class CommitConflictException(msg: String)
+    extends RuntimeException(msg)
+
+  /** OPTIMISTIC CONCURRENCY (Delta-style): run `op` — any write on
+    * this object ([[merge]], [[deleteWhere]], [[mergeInto]],
+    * [[compact]]…) — and, on a lost commit race, RE-EXECUTE it against
+    * the new head, up to `maxAttempts` times with jittered backoff.
+    * Re-execution (not re-commit) is what makes this correct: the
+    * write re-reads the touched partitions as the winner left them, so
+    * upsert semantics hold under any interleaving, and writers on
+    * DISJOINT partitions serialize without losing either batch. A
+    * retry re-runs the op's Spark job — the price of lock-free
+    * multi-writer commits, paid only on actual contention (same
+    * trade Delta's conflict-then-retry protocol makes). The loser's
+    * orphaned data dirs are crash-residue-equivalent and swept by the
+    * next successful commit.
+    *
+    * RETENTION CONTRACT: `retainVersions` must exceed the maximum
+    * number of rival commits that can land while one writer is
+    * planning+writing — a loser planned at vN reads vN's dirs, and a
+    * rival's cleanup may vacuum them once vN falls off the horizon
+    * (the same vacuum-vs-concurrent-reader window Delta documents).
+    * Size retention to writer count, as the q150 gate does. */
+  def withCommitRetry[T](maxAttempts: Int = 5)(op: => T): T = {
+    require(maxAttempts >= 1, s"withCommitRetry: maxAttempts must be >= 1")
+    var attempt = 1
+    var backoffMs = 50L
+    while (true) {
+      try return op
+      catch {
+        case e: CommitConflictException =>
+          if (attempt >= maxAttempts) throw e
+          attempt += 1
+          // Jitter decorrelates two symmetric losers re-racing.
+          Thread.sleep(backoffMs + scala.util.Random.nextLong(backoffMs))
+          backoffMs = math.min(backoffMs * 2, 2000L)
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  /** How long a NEVER-REFERENCED data dir must sit before the sweep
+    * treats it as crash residue. A concurrent writer's in-flight batch
+    * dir is also unreferenced — without this grace, a rival's
+    * commit-time cleanup would delete it mid-write (the bug q150's
+    * barrier race exposed). Dirs referenced by an EXPIRED manifest are
+    * known-dead and deleted immediately, so retention semantics (and
+    * the vacuum tests) are unchanged. */
+  private[graft] val OrphanGraceMs: Long = 60L * 60 * 1000
 
   /** Drop data dirs unreferenced by every kept manifest, stray
     * manifest tmps, and manifests older than the kept set. Runs after
-    * each successful commit; also sweeps the residue of crashed
-    * merges (their batch dirs were never referenced by anything). */
+    * each successful commit. Two classes of unreferenced dir:
+    * KNOWN-DEAD (referenced only by manifests expiring right now) go
+    * immediately; NEVER-REFERENCED (crash residue — or a concurrent
+    * writer's in-flight batch) survive [[OrphanGraceMs]] first. */
   private def cleanup(fs: FileSystem, path: String, keepVersions: Set[Long]): Unit = {
-    val live: Set[String] = keepVersions.flatMap(v => dataEntries(readManifest(fs, path, v)))
-      .map { case (_, value) => dirOf(value).split('/').take(2).mkString("/") } // data/batch-…
+    def batchOf(value: String): String =
+      dirOf(value).split('/').take(2).mkString("/") // data/batch-…
+    val live: Set[String] = keepVersions.flatMap(v =>
+      dataEntries(readManifest(fs, path, v))).map { case (_, v) => batchOf(v) }
+    // Dirs referenced by the manifests this cleanup expires: dead the
+    // moment the manifest goes. Best-effort — an unreadable expired
+    // manifest leaves its dirs to the grace path.
+    val dead: Set[String] = versions(fs, path).filterNot(keepVersions).flatMap { v =>
+      try dataEntries(readManifest(fs, path, v)).map { case (_, value) => batchOf(value) }
+      catch { case _: Exception => Nil }
+    }.toSet -- live
+    val now = System.currentTimeMillis()
     val dataDir = new Path(s"$path/$DataDir")
     if (fs.exists(dataDir)) fs.listStatus(dataDir).foreach { st =>
-      if (!live(s"$DataDir/${st.getPath.getName}")) fs.delete(st.getPath, true)
+      val rel = s"$DataDir/${st.getPath.getName}"
+      if (!live(rel) &&
+          (dead(rel) || now - st.getModificationTime >= OrphanGraceMs))
+        fs.delete(st.getPath, true)
     }
     fs.listStatus(new Path(s"$path/$ManifestDir")).foreach { st =>
       val n = st.getPath.getName
-      val stale = n.endsWith(".tmp") ||
+      // Tmp manifests get the same grace — a rival's tmp exists for an
+      // instant between write and rename, and deleting it would turn
+      // that WINNING commit into a spurious conflict.
+      val stale =
+        (n.endsWith(".tmp") && now - st.getModificationTime >= OrphanGraceMs) ||
         (n.length > 1 && n.startsWith("m") && n.drop(1).forall(_.isDigit) &&
           !keepVersions(n.drop(1).toLong))
       if (stale) fs.delete(st.getPath, false)

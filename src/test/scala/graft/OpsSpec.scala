@@ -375,14 +375,23 @@ class MergeSpec extends AnyFunSuite {
     // table unaffected by the residue
     assert(graft.ops.ManifestTable.read(spark, path)
       .select("v").as[Double].collect().toSeq == Seq(10.0))
-    // the next successful merge commits AND sweeps the orphans
+    // a FRESH never-referenced dir is NOT swept — it could be a
+    // concurrent writer's in-flight batch (the orphan grace window)
+    graft.ops.ManifestTable.merge(spark, path,
+      Seq((3L, day1, 30.0)).toDF("id", "day", "v"), Seq("id"), "day")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path/data/batch-orphan")))
+    // age the residue past the grace window; the next merge sweeps it
+    val old = System.currentTimeMillis() - graft.ops.ManifestTable.OrphanGraceMs - 1000L
+    fs.setTimes(new org.apache.hadoop.fs.Path(s"$path/data/batch-orphan"), old, old)
+    fs.setTimes(new org.apache.hadoop.fs.Path(s"$path/_manifests/m000000000002-x.tmp"),
+      old, old)
     graft.ops.ManifestTable.merge(spark, path,
       Seq((2L, day1, 20.0)).toDF("id", "day", "v"), Seq("id"), "day")
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/data/batch-orphan")))
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_manifests/m000000000002-x.tmp")))
     assert(graft.ops.ManifestTable.read(spark, path).orderBy("id")
       .select("id", "v").as[(Long, Double)].collect().toSeq ==
-      Seq((1L, 10.0), (2L, 20.0)))
+      Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)))
   }
 
   test("ManifestTable time travel: retained versions pin their snapshot; horizon cleans") {
@@ -1067,6 +1076,192 @@ class MergeSpec extends AnyFunSuite {
       retainVersions = 5)
     assert(ManifestTable.changes(spark, path, Seq("id"), 1L, 4L).count() ==
       ManifestTable.changes(spark, path, Seq("id"), 1L, 3L).count())
+  }
+
+  test("ManifestTable.compact: bin-packs small dirs into one shared dir with zero " +
+    "logical change; filtered reads, time travel, fastCount, props all survive") {
+    import graft.ops.ManifestTable
+    val path = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/t"
+    // 6 daily partitions, 2 keys each, with stats so per-entry rowcounts exist
+    val rows = (1 to 12).map(i => (i.toLong, ts(f"2024-01-${(i - 1) / 2 + 1}%02d"), i * 10.0))
+    ManifestTable.merge(spark, path, rows.toDF("id", "day", "v"), Seq("id"), "day",
+      statsColumns = Seq("v"), props = Map("wm" -> "7"), retainVersions = 5)
+    val before = ManifestTable.read(spark, path).orderBy("id")
+      .select("id", "v").as[(Long, Double)].collect().toSeq
+
+    val r = ManifestTable.compact(spark, path, "day",
+      targetBytes = Long.MaxValue, retainVersions = 5)
+    assert(r.committed && r.binsWritten == 1L && r.dirsAfter == 1L &&
+      r.entriesCompacted == 6L && r.dirsBefore == 6L)
+    // zero logical change
+    assert(ManifestTable.read(spark, path).orderBy("id")
+      .select("id", "v").as[(Long, Double)].collect().toSeq == before)
+    // a filtered read selecting a strict SUBSET of the shared dir's
+    // keys is row-filtered, not dir-granular
+    assert(ManifestTable.read(spark, path, _.startsWith("2024-01-01"))
+      .select("id").as[Long].collect().toSet == Set(1L, 2L))
+    // compaction burned one version; the pre-compact snapshot time-travels
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(ManifestTable.versions(fs, path) == Seq(1L, 2L))
+    assert(ManifestTable.readVersion(spark, path, 1L).count() == 12L)
+    // table properties carried forward verbatim (transactional watermarks)
+    assert(ManifestTable.readProps(spark, path) == Map("wm" -> "7"))
+    // per-entry rowcounts carried: fastCount stays metadata-only and
+    // exact, including over a subset of the shared dir's keys
+    val c = ManifestTable.fastCount(spark, path, _.startsWith("2024-01-01"))
+    assert(c.metadataOnly && c.rows == 2L)
+    // stats carried per-key: zone-map skipping over the shared dir
+    // scans it once and stays a lossless superset
+    val sk = ManifestTable.readSkipping(spark, path, "v", BigDecimal(110), BigDecimal(999))
+    assert(sk.dirsScanned == 1L && sk.dirsTotal == 6L)
+    assert(sk.df.filter(col("v") >= 110).count() == 2L)
+    // a second compact finds a single unit — no-op, no version burned
+    val r2 = ManifestTable.compact(spark, path, "day",
+      targetBytes = Long.MaxValue, retainVersions = 5)
+    assert(!r2.committed && ManifestTable.versions(fs, path) == Seq(1L, 2L))
+    // nothing packs when every dir is already at/above target
+    val r3 = ManifestTable.compact(spark, path, "day", targetBytes = 1L,
+      retainVersions = 5)
+    assert(!r3.committed)
+  }
+
+  test("ManifestTable.compact: post-compact merge/delete/change-feed stay exact " +
+    "(shared dir is row-filtered, never leaked or double-read)") {
+    import graft.ops.ManifestTable
+    val path = java.nio.file.Files.createTempDirectory("graft-compact2").toString + "/t"
+    val rows = (1 to 12).map(i => (i.toLong, ts(f"2024-01-${(i - 1) / 2 + 1}%02d"), i * 10.0))
+    ManifestTable.merge(spark, path, rows.toDF("id", "day", "v"), Seq("id"), "day",
+      retainVersions = 9)
+    assert(ManifestTable.compact(spark, path, "day", targetBytes = Long.MaxValue,
+      retainVersions = 9).committed) // v2
+    // the compaction commit is logically SILENT in the change feed
+    assert(ManifestTable.changes(spark, path, Seq("id"), 1L, 2L).count() == 0L)
+
+    // merge updates key 3 (day 2): planMerge must read ONLY day 2's
+    // rows out of the shared dir — other days' keys must neither leak
+    // into day 2's new dir nor vanish
+    ManifestTable.merge(spark, path,
+      Seq((3L, ts("2024-01-02"), 999.0)).toDF("id", "day", "v"),
+      Seq("id"), "day", retainVersions = 9) // v3
+    val after = ManifestTable.read(spark, path).orderBy("id")
+      .select("id", "v").as[(Long, Double)].collect().toSeq
+    assert(after == (1 to 12).map(i => (i.toLong, if (i == 3) 999.0 else i * 10.0)))
+    // the merge step's feed: pre+post for key 3 only — the shared
+    // dir's OTHER keys are not phantom deletes
+    val cf = ManifestTable.changes(spark, path, Seq("id"), 2L, 3L)
+      .select("id", "_change_type").as[(Long, String)].collect().toSeq.sorted
+    assert(cf == Seq((3L, "update_postimage"), (3L, "update_preimage")))
+
+    // deleteWhere through the shared dir: only day 3 (keys 5, 6) is
+    // touched; key 5 deletes, key 6 survives, every other day intact
+    val del = ManifestTable.deleteWhere(spark, path, "day", col("id") === 5L,
+      retainVersions = 9)
+    assert(del.rowsMatched == 1L && del.partitionsRewritten == 1L)
+    assert(ManifestTable.read(spark, path).count() == 11L)
+    assert(ManifestTable.read(spark, path, _.startsWith("2024-01-03"))
+      .select("id").as[Long].collect().toSet == Set(6L))
+
+    // updateWhere through the shared dir: key 8 (day 4) doubles; the
+    // other shared keys are untouched
+    val upd = ManifestTable.updateWhere(spark, path, "day", col("id") === 8L,
+      Map("v" -> (col("v") * 2)), retainVersions = 9)
+    assert(upd.rowsMatched == 1L)
+    val vs = ManifestTable.read(spark, path).orderBy("id")
+      .select("id", "v").as[(Long, Double)].collect().toMap
+    assert(vs(8L) == 160.0 && vs(7L) == 70.0 && vs.size == 11)
+  }
+
+  test("IncrementalAgg: a compaction commit on the base folds a ZERO delta " +
+    "(no double-count through shared dirs)") {
+    import graft.ops.{IncrementalAgg, ManifestTable}
+    val base = java.nio.file.Files.createTempDirectory("graft-compact3").toString
+    val basePath = base + "/base"
+    val aggPath = base + "/agg"
+    val rows = (1 to 12).map(i => (i.toLong, ts(f"2024-01-${(i - 1) / 2 + 1}%02d"),
+      (i % 3).toString, i.toLong * 10))
+    ManifestTable.merge(spark, basePath, rows.toDF("id", "day", "g", "x"),
+      Seq("id"), "day", retainVersions = 9)
+    IncrementalAgg.refresh(spark, basePath, aggPath, Seq("g"), Seq("x"),
+      retainVersions = 9)
+    val want = IncrementalAgg.read(spark, aggPath).orderBy("g")
+      .select("g", "n", "sum_x").as[(String, Long, Long)].collect().toSeq
+    // compact the base, then refresh: the diff sees every partition's
+    // dir change, reads both sides through the keyed filter, and must
+    // net to zero
+    assert(ManifestTable.compact(spark, basePath, "day",
+      targetBytes = Long.MaxValue, retainVersions = 9).committed)
+    IncrementalAgg.refresh(spark, basePath, aggPath, Seq("g"), Seq("x"),
+      retainVersions = 9)
+    assert(IncrementalAgg.read(spark, aggPath).orderBy("g")
+      .select("g", "n", "sum_x").as[(String, Long, Long)].collect().toSeq == want)
+    // a real post-compact batch still folds incrementally and exactly:
+    // key 13 lands in day 1 (rewriting it OUT of the shared dir)
+    ManifestTable.merge(spark, basePath,
+      Seq((13L, ts("2024-01-01"), "0", 130L)).toDF("id", "day", "g", "x"),
+      Seq("id"), "day", retainVersions = 9)
+    IncrementalAgg.refresh(spark, basePath, aggPath, Seq("g"), Seq("x"),
+      retainVersions = 9)
+    val got = IncrementalAgg.read(spark, aggPath).orderBy("g")
+      .select("g", "n", "sum_x").as[(String, Long, Long)].collect().toSeq
+    val wantFull = rows.map(r => (r._3, r._4)).++(Seq(("0", 130L)))
+      .groupBy(_._1).map { case (g, xs) => (g, xs.size.toLong, xs.map(_._2).sum) }
+      .toSeq.sortBy(_._1)
+    assert(got == wantFull)
+  }
+
+  test("ManifestTable.withCommitRetry: racing writers on disjoint partitions all " +
+    "land under any interleaving; conflicts retry, other failures don't") {
+    import graft.ops.ManifestTable
+    val path = java.nio.file.Files.createTempDirectory("graft-occ").toString + "/t"
+    ManifestTable.merge(spark, path,
+      Seq((1L, ts("2024-01-01"), 1.0)).toDF("id", "day", "v"),
+      Seq("id"), "day", retainVersions = 9)
+    val n = 4
+    val barrier = new java.util.concurrent.CyclicBarrier(n)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+    try {
+      val futures = (2 to n + 1).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = {
+            barrier.await()
+            ManifestTable.withCommitRetry() {
+              ManifestTable.merge(spark, path,
+                Seq((i.toLong, ts(f"2024-01-$i%02d"), i * 1.0)).toDF("id", "day", "v"),
+                Seq("id"), "day", retainVersions = 9)
+            }
+          }
+        })
+      }
+      futures.foreach(_.get())
+    } finally pool.shutdown()
+    // every writer's batch landed exactly once, whatever the schedule
+    assert(ManifestTable.read(spark, path).orderBy("id")
+      .select("id", "v").as[(Long, Double)].collect().toSeq ==
+      (1 to n + 1).map(i => (i.toLong, i * 1.0)))
+    // each commit bumped the head exactly once: the initial load plus
+    // one per writer — v(n+1) exists, v(n+2) does not
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(ManifestTable.versions(fs, path) == (1L to (n + 1).toLong))
+    // a conflict that never resolves rethrows after maxAttempts tries
+    var conflictCalls = 0
+    intercept[ManifestTable.CommitConflictException] {
+      ManifestTable.withCommitRetry(maxAttempts = 3) {
+        conflictCalls += 1
+        throw ManifestTable.CommitConflictException("synthetic")
+      }
+    }
+    assert(conflictCalls == 3)
+    // non-conflict failures are NOT retried
+    var otherCalls = 0
+    intercept[IllegalArgumentException] {
+      ManifestTable.withCommitRetry(maxAttempts = 3) {
+        otherCalls += 1
+        throw new IllegalArgumentException("not a race")
+      }
+    }
+    assert(otherCalls == 1)
   }
 
   private def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
