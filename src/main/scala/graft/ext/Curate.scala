@@ -218,4 +218,48 @@ object Curate {
           .cast("int"))
       .withColumn("shard_pos", row_number().over(w).cast("long"))
   }
+
+  /** The registered domain of a URL: the last two dot-labels of its
+    * host (port stripped). A regex both engines evaluate identically
+    * — no `parse_url` (Spark-only) and no public-suffix list (co.uk
+    * style multi-label suffixes are out of scope; a real deployment
+    * broadcasts the PSL as a longest-suffix join on this column). */
+  def registeredDomain(url: Column): Column =
+    regexp_extract(
+      regexp_extract(url, "^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1),
+      "([^.]+\\.[^.]+)$", 1)
+
+  /** DOMAIN-LEVEL CURATION — the CommonCrawl-pipeline step before any
+    * content filter: cap every registered domain's share of the
+    * corpus at `maxPerDomain` documents and drop blocked domains
+    * outright. Without the cap, a handful of boilerplate-heavy sites
+    * (forums, link farms, mirrors) dominate the token budget; the cap
+    * is the crude-but-standard prior that no single site should
+    * out-vote the rest of the web.
+    *
+    * Which documents survive a capped domain is DETERMINISTIC and
+    * content-stable: each domain keeps its `maxPerDomain` lowest
+    * (md5(seed#id), id) documents — the q46/q148 engine-portable
+    * scheme — so a re-crawl that adds pages evicts predictably
+    * instead of reshuffling the kept set. Adds a `domain` column.
+    *
+    * Scale: ONE domain-keyed exchange; the rank≤k predicate becomes a
+    * WindowGroupLimit, so even a giant domain buffers only k rows per
+    * partition before the final per-group sort. The blocklist is a
+    * literal predicate (broadcast-sized by definition — block PATTERNS
+    * belong in a real denylist join). */
+  def domainCap(df: DataFrame, urlCol: String, maxPerDomain: Int,
+                blockedDomains: Seq[String], seed: String,
+                idCol: String = "doc_id"): DataFrame = {
+    require(maxPerDomain >= 1, s"domainCap: need maxPerDomain >= 1, got $maxPerDomain")
+    val tagged = df.withColumn("domain", registeredDomain(col(urlCol)))
+    val unblocked =
+      if (blockedDomains.isEmpty) tagged
+      else tagged.filter(!col("domain").isInCollection(blockedDomains))
+    val orderHash = md5(concat_ws("#", lit(seed), col(idCol).cast("string")))
+    val w = Window.partitionBy(col("domain")).orderBy(orderHash, col(idCol))
+    unblocked.withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= maxPerDomain)
+      .drop("__r")
+  }
 }

@@ -5252,6 +5252,76 @@ object ExtQueries {
       |FROM fin GROUP BY day ORDER BY day""".stripMargin
 
   // ----------------------------------------------------------------
+  // q151_domain_cap — DOMAIN-LEVEL CURATION (Curate.domainCap): the
+  // CommonCrawl-pipeline step before any content filter. Synthetic
+  // URLs spread the documents over seven hosts (two subdomains each
+  // of example.com and bulk.net, two of the blocked bad.org, and a
+  // PORT-carrying solo.site.io) — the operator must normalize host →
+  // registered domain (port stripped, subdomains folded), drop the
+  // blocklisted domain outright, and keep each surviving domain's
+  // maxPerDomain lowest (md5(seed#id), id) documents. The oracle
+  // replays URL synthesis, both regex extractions, the NOT-IN and
+  // the md5 keep-rule in SQL, and pins per-domain kept mass PLUS the
+  // exact first and boundary document of every domain's keep-order
+  // (arg_min/arg_max over the order hash) — a drifted hash, an
+  // unstripped port, or an off-by-one cap moves a boundary doc and
+  // breaks the gate cross-engine.
+  // ----------------------------------------------------------------
+  def q151DomainCap(spark: SparkSession, dir: String): DataFrame = {
+    val host = (col("doc_id") % 7)
+      .cast("int")
+    val hostName =
+      when(host === 0, "alpha.example.com")
+        .when(host === 1, "beta.example.com")
+        .when(host === 2, "www.bulk.net")
+        .when(host === 3, "cdn.bulk.net")
+        .when(host === 4, "spam.bad.org")
+        .when(host === 5, "mirror.bad.org")
+        .otherwise("solo.site.io:8443")
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        concat(lit("https://"), hostName, lit("/p/"), col("doc_id")).as("url"))
+    val kept = graft.ext.Curate.domainCap(docs, "url", maxPerDomain = 120,
+      blockedDomains = Seq("bad.org"), seed = "42cap")
+    val ohash = md5(concat_ws("#", lit("42cap"), col("doc_id").cast("string")))
+    kept.groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("doc_id")).as("sum_kept_ids"),
+        min_by(col("doc_id"), ohash).as("first_id"),
+        max_by(col("doc_id"), ohash).as("boundary_id"))
+      .orderBy(col("domain"))
+  }
+
+  val q151DomainCapSql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CASE CAST(doc_id % 7 AS INT)
+      |      WHEN 0 THEN 'alpha.example.com' WHEN 1 THEN 'beta.example.com'
+      |      WHEN 2 THEN 'www.bulk.net' WHEN 3 THEN 'cdn.bulk.net'
+      |      WHEN 4 THEN 'spam.bad.org' WHEN 5 THEN 'mirror.bad.org'
+      |      ELSE 'solo.site.io:8443' END AS host
+      |  FROM documents),
+      |u AS (SELECT doc_id,
+      |        'https://' || host || '/p/' || CAST(doc_id AS VARCHAR) AS url FROM d),
+      |dom AS (
+      |  SELECT doc_id,
+      |    regexp_extract(regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1),
+      |      '([^.]+\.[^.]+)$', 1) AS domain
+      |  FROM u),
+      |r AS (
+      |  SELECT *,
+      |    md5('42cap' || '#' || CAST(doc_id AS VARCHAR)) AS oh,
+      |    row_number() OVER (PARTITION BY domain
+      |      ORDER BY md5('42cap' || '#' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |  FROM dom WHERE domain NOT IN ('bad.org')),
+      |k AS (SELECT * FROM r WHERE rk <= 120)
+      |SELECT domain, CAST(count(*) AS BIGINT) AS n_kept,
+      |  CAST(sum(doc_id) AS BIGINT) AS sum_kept_ids,
+      |  CAST(arg_min(doc_id, oh) AS BIGINT) AS first_id,
+      |  CAST(arg_max(doc_id, oh) AS BIGINT) AS boundary_id
+      |FROM k GROUP BY domain ORDER BY domain""".stripMargin
+
+  // ----------------------------------------------------------------
   // q99_image_decode — the REAL byte-level image kernel under the
   // driver gate (round-7 verdict #5; the decode family is no longer
   // stub-labeled): deterministic gradient images are ENCODED in a

@@ -861,4 +861,36 @@ class ExtSpec extends AnyFunSuite {
       .as[(Long, Int)].collect().toMap
     assert(zero == Map(1L -> 1, 2L -> 2, 3L -> 1, 4L -> 2, 5L -> 1))
   }
+
+  test("Curate.domainCap: port stripped + subdomains folded, blocklist drops, kept " +
+    "set is content-stable under corpus growth (eviction, never reshuffle)") {
+    def urls(n: Int) = (1 to n).map { i =>
+      val host = (i % 3) match {
+        case 0 => "a.example.com"
+        case 1 => "b.example.com:8443" // port must strip
+        case 2 => "x.blocked.net"
+      }
+      (i.toLong, s"https://$host/p/$i")
+    }.toDF("doc_id", "url")
+    // registered-domain normalization: both subdomains fold to
+    // example.com (port gone); the blocked domain vanishes outright
+    val small = Curate.domainCap(urls(60), "url", maxPerDomain = 10,
+      blockedDomains = Seq("blocked.net"), seed = "s")
+    assert(small.select($"domain").distinct().as[String].collect().toSeq ==
+      Seq("example.com"))
+    val keptSmall = small.select($"doc_id").as[Long].collect().toSet
+    assert(keptSmall.size == 10 && keptSmall.forall(i => i % 3 != 2))
+    // growth: doubling the corpus may EVICT previously-kept docs but
+    // never admits a previously-rejected one ahead of a kept one —
+    // the kept set among the old ids is a subset of the old kept set
+    val keptBig = Curate.domainCap(urls(120), "url", maxPerDomain = 10,
+        blockedDomains = Seq("blocked.net"), seed = "s")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(keptBig.size == 10)
+    assert(keptBig.filter(_ <= 60).subsetOf(keptSmall))
+    // an uncapped domain keeps everything
+    val loose = Curate.domainCap(urls(60), "url", maxPerDomain = 1000,
+      blockedDomains = Nil, seed = "s")
+    assert(loose.count() == 60)
+  }
 }
