@@ -5322,6 +5322,71 @@ object ExtQueries {
       |FROM k GROUP BY domain ORDER BY domain""".stripMargin
 
   // ----------------------------------------------------------------
+  // q152_roc_auc — CLASSIFIER EVALUATION (Eval.rocStats +
+  // prAtThresholds): exact ROC/AUC of an integer quality score
+  // (cnt_the·1000 + len÷10, the q104 feature pair as a linear
+  // ranker) against the is-English label. AUC rides as the INTEGER
+  // Mann-Whitney pair (2·concordant + ties, 2·P·N) — no float ever
+  // crosses the gate — computed per-DISTINCT-score then one
+  // cumulative window (the shape that survives 100 TB, vs the
+  // textbook per-row global rank). Three operating-point rows carry
+  // tp/fp/fn/tn at fixed thresholds. The oracle rebuilds the token
+  // features, the score, the distinct-score cumulative and the
+  // threshold sweeps in SQL; a tie mishandled (counted full or
+  // dropped), an off-by-one cumulative frame, or a >=/> threshold
+  // flip each break a specific column.
+  // ----------------------------------------------------------------
+  def q152RocAuc(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tokFeats = TextAnalysis.tokenStream(docs)
+      .groupBy(col("doc_id")).agg(
+        count(lit(1)).as("len"),
+        sum(when(col("tok") === "the", 1L).otherwise(0L)).as("cnt_the"))
+    val scored = graft.ops.Intermediates.shared(
+      docs.select(col("doc_id"), (col("lang") === "en").cast("long").as("y"))
+        .join(tokFeats, Seq("doc_id"), "left_outer")
+        .select(col("y"),
+          (coalesce(col("cnt_the"), lit(0L)) * lit(1000L) +
+            expr("coalesce(len, 0L) div 10")).as("s")))
+    val roc = graft.ext.Eval.rocStats(scored, "s", "y")
+    val pr = graft.ext.Eval.prAtThresholds(scored, "s", "y",
+      Seq(1000L, 20000L, 60000L))
+    pr.crossJoin(broadcast(roc)).orderBy(col("threshold"))
+  }
+
+  val q152RocAucSql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, tok FROM (
+      |    SELECT doc_id, unnest(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS tok
+      |    FROM documents)
+      |  WHERE len(tok) > 0),
+      |tf AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS len,
+      |    CAST(sum(CASE WHEN tok = 'the' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_the
+      |  FROM tk GROUP BY doc_id),
+      |f AS (
+      |  SELECT CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y,
+      |    COALESCE(tf.cnt_the, 0) * 1000 + COALESCE(tf.len, 0) // 10 AS s
+      |  FROM documents d LEFT JOIN tf USING (doc_id)),
+      |g AS (SELECT s, sum(y) AS p, sum(1 - y) AS n FROM f GROUP BY s),
+      |c AS (SELECT *, coalesce(sum(n) OVER (ORDER BY s
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_n FROM g),
+      |roc AS (SELECT CAST(sum(p) AS BIGINT) AS pos, CAST(sum(n) AS BIGINT) AS neg,
+      |               CAST(sum(p * (2 * cum_n + n)) AS BIGINT) AS auc_num2 FROM c),
+      |t AS (SELECT CAST(unnest([1000, 20000, 60000]) AS BIGINT) AS threshold),
+      |pr AS (
+      |  SELECT threshold,
+      |    CAST(sum(CASE WHEN s >= threshold THEN y ELSE 0 END) AS BIGINT) AS tp,
+      |    CAST(sum(CASE WHEN s >= threshold THEN 1 - y ELSE 0 END) AS BIGINT) AS fp,
+      |    CAST(sum(CASE WHEN s < threshold THEN y ELSE 0 END) AS BIGINT) AS fn,
+      |    CAST(sum(CASE WHEN s < threshold THEN 1 - y ELSE 0 END) AS BIGINT) AS tn
+      |  FROM f CROSS JOIN t GROUP BY threshold)
+      |SELECT pr.threshold, pr.tp, pr.fp, pr.fn, pr.tn,
+      |  roc.pos, roc.neg, roc.auc_num2,
+      |  CAST(2 * roc.pos * roc.neg AS BIGINT) AS auc_den2
+      |FROM pr CROSS JOIN roc ORDER BY pr.threshold""".stripMargin
+
+  // ----------------------------------------------------------------
   // q99_image_decode — the REAL byte-level image kernel under the
   // driver gate (round-7 verdict #5; the decode family is no longer
   // stub-labeled): deterministic gradient images are ENCODED in a

@@ -893,4 +893,27 @@ class ExtSpec extends AnyFunSuite {
       blockedDomains = Nil, seed = "s")
     assert(loose.count() == 60)
   }
+
+  test("Eval: rocStats hand-case with a tie (Mann-Whitney half-credit); " +
+    "prAtThresholds confusion counts at >= cutoffs") {
+    import graft.ext.Eval
+    // pairs: (2,1)✓ (2,2)tie (3,1)✓ (3,2)✓ -> concordant 3, ties 1
+    val df = Seq((1L, 0L), (2L, 0L), (2L, 1L), (3L, 1L)).toDF("s", "y")
+    val r = Eval.rocStats(df, "s", "y")
+      .select($"pos", $"neg", $"auc_num2", $"auc_den2")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(r == ((2L, 2L, 7L, 8L))) // AUC = 7/8
+    val pr = Eval.prAtThresholds(df, "s", "y", Seq(2L, 3L))
+      .orderBy($"threshold")
+      .select($"threshold", $"tp", $"fp", $"fn", $"tn")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(pr == Seq((2L, 2L, 1L, 0L, 1L), (3L, 1L, 0L, 1L, 2L)))
+    // a perfect ranker and a constant (all-tied) ranker bound the stat
+    val perfect = Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L)).toDF("s", "y")
+    assert(Eval.rocStats(perfect, "s", "y").select($"auc_num2", $"auc_den2")
+      .as[(Long, Long)].collect().head == ((8L, 8L)))
+    val constant = Seq((5L, 0L), (5L, 1L), (5L, 0L), (5L, 1L)).toDF("s", "y")
+    assert(Eval.rocStats(constant, "s", "y").select($"auc_num2", $"auc_den2")
+      .as[(Long, Long)].collect().head == ((4L, 8L))) // AUC = 1/2
+  }
 }
