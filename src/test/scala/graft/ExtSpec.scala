@@ -916,4 +916,25 @@ class ExtSpec extends AnyFunSuite {
     assert(Eval.rocStats(constant, "s", "y").select($"auc_num2", $"auc_den2")
       .as[(Long, Long)].collect().head == ((4L, 8L))) // AUC = 1/2
   }
+
+  test("Similarity.quantizeInt8: symmetric scale, away-from-zero rounding, zero " +
+    "vector safe; int8TopK ranks by exact integer dots") {
+    import graft.ext.Similarity
+    val emb = Seq(
+      (1L, Array(2.0f, -4.0f, 1.0f)),  // scale 4: q = [64, -127, 32]
+      (2L, Array(0.0f, 0.0f, 0.0f)),   // zero vector: q = [0,0,0]
+      (3L, Array(-1.0f, 2.0f, -0.5f))  // scale 2: q = [-64, 127, -32]
+    ).toDF("vec_id", "embedding")
+    val qz = Similarity.quantizeInt8(emb).orderBy($"vec_id")
+      .select($"vec_id", $"scale", $"q").as[(Long, Double, Seq[Int])].collect().toSeq
+    assert(qz == Seq((1L, 4.0, Seq(64, -127, 32)), (2L, 0.0, Seq(0, 0, 0)),
+      (3L, 2.0, Seq(-64, 127, -32))))
+    // 2.0/4*127 = 63.5 rounds AWAY FROM ZERO to 64 (and -63.5 to -64)
+    // int8TopK: v3 = -v1/2 direction-ish; nearest to q1 among {2,3}
+    // is ranked by the exact integer dot / norms — v3 anti-correlates
+    // (sim < 0), zero vector sorts last with the -2 sentinel
+    val top = Similarity.int8TopK(emb, emb.filter($"vec_id" === 1L), k = 2)
+      .orderBy($"rank").select($"neighbor_id", $"rank").as[(Long, Int)].collect().toSeq
+    assert(top == Seq((3L, 1), (2L, 2)))
+  }
 }
