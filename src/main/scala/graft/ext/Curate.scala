@@ -219,6 +219,26 @@ object Curate {
       .withColumn("shard_pos", row_number().over(w).cast("long"))
   }
 
+  /** GROUP-CONSISTENT train/val/test split: like [[withSplit]], but
+    * keyed on md5 of a GROUP column (registered domain, cluster id,
+    * source) so every row of a group lands in the same split. This is
+    * the leakage-safe form: near-duplicate pages of one site — or
+    * members of one dedup cluster — can never straddle train and
+    * test, which per-doc splitting silently allows and which inflates
+    * eval scores exactly like test-set contamination. Same
+    * content-stable property as withSplit: groups never migrate when
+    * the corpus grows. */
+  def withGroupSplit(df: DataFrame, groupCol: String,
+                     trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct + valPct < 100,
+      s"train+val must leave room for test, got $trainPct+$valPct")
+    val b = hashBucket(col(groupCol), 100)
+    df.withColumn("split",
+      when(b < trainPct, "train")
+        .when(b < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
   /** The registered domain of a URL: the last two dot-labels of its
     * host (port stripped). A regex both engines evaluate identically
     * — no `parse_url` (Spark-only) and no public-suffix list (co.uk

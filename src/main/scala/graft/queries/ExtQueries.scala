@@ -5474,6 +5474,123 @@ object ExtQueries {
       |FROM hits CROSS JOIN st ORDER BY query_id""".stripMargin
 
   // ----------------------------------------------------------------
+  // q154_group_split — LEAKAGE-SAFE GROUP-CONSISTENT SPLITTING
+  // (Curate.withGroupSplit): the split is keyed on md5 of a GROUP
+  // (here 97 synthetic domains), so near-duplicate members of one
+  // group can never straddle train and test — the contamination
+  // vector per-doc splitting silently allows. The gate hashes the
+  // per-split doc/domain/id-mass breakdown (oracle replays the md5
+  // bucket rule on the domain string) AND the straddle count as a
+  // MEASURED fact (count of groups seen in >1 split — computed from
+  // the data, stated as 0 by the oracle; a split keyed on doc_id by
+  // mistake would make it nonzero and break the gate).
+  // ----------------------------------------------------------------
+  def q154GroupSplit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), concat(lit("d"), col("doc_id") % 97).as("domain"))
+    val tagged = graft.ext.Curate.withGroupSplit(docs, "domain")
+    val straddle = tagged.groupBy(col("domain"))
+      .agg(countDistinct(col("split")).as("k"))
+      .filter(col("k") > 1).count()
+    tagged.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("domain")).as("n_domains"),
+        sum(col("doc_id")).as("sum_ids"))
+      .withColumn("straddling_groups", lit(straddle))
+      .orderBy(col("split"))
+  }
+
+  val q154GroupSplitSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, 'd' || CAST(doc_id % 97 AS VARCHAR) AS domain
+      |  FROM documents),
+      |t AS (
+      |  SELECT *,
+      |    CAST(CAST(('0x' || substr(md5(domain), 1, 8)) AS UBIGINT) % 100 AS BIGINT)
+      |      AS b
+      |  FROM d),
+      |s AS (
+      |  SELECT doc_id, domain,
+      |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM t)
+      |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(count(DISTINCT domain) AS BIGINT) AS n_domains,
+      |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+      |  CAST(0 AS BIGINT) AS straddling_groups
+      |FROM s GROUP BY split ORDER BY split""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q155_deep_clone — ManifestTable DEEP CLONE then DIVERGENCE: the
+  // source table clones to an independent root (every referenced dir
+  // copied, manifest head + per-entry stats carried verbatim), then
+  // the two sides evolve in OPPOSITE directions — the clone upserts
+  // value+5 for the post-cut days while the SOURCE deletes those days
+  // outright. The gate reads the source's per-day state (post-cut
+  // days must be GONE, pre-cut untouched) and rides the clone's total
+  // row count and value mass (post-cut rows present AND updated) as
+  // constants, plus fastCount(clone) staying METADATA-ONLY — carried
+  // rowcount suffixes plus the diverging merge's fresh stats. Any
+  // sharing between the trees (a clone reading source dirs, a delete
+  // vacuuming a clone file) breaks one side's numbers.
+  // ----------------------------------------------------------------
+  def q155DeepClone(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:q155_deep_clone") {
+      q155DeepCloneBuild(spark, dir)
+    }
+
+  private def q155DeepCloneBuild(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.ManifestTable
+    val cut = "2024-01-12 00:00:00"
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), date_trunc("day", col("ts")).as("day"),
+        col("ts"), col("value"))
+    val base = java.nio.file.Files.createTempDirectory("graft_q155_").toString
+    val src = base + "/src"
+    val dst = base + "/clone"
+    ManifestTable.merge(spark, src, ev.select("event_id", "day", "value"),
+      keys = Seq("event_id"), partitionCol = "day", statsColumns = Seq("value"))
+    val cr = ManifestTable.deepClone(spark, src, dst)
+    ManifestTable.merge(spark, dst,
+      ev.filter(col("ts") >= lit(cut).cast("timestamp"))
+        .select(col("event_id"), col("day"), (col("value") + lit(5.0)).as("value")),
+      keys = Seq("event_id"), partitionCol = "day", statsColumns = Seq("value"))
+    ManifestTable.deleteWhere(spark, src, "day",
+      col("day") >= lit(cut).cast("timestamp"))
+    val cloneAgg = ManifestTable.read(spark, dst)
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * lit(1e3)).cast("long")).as("s")).collect()(0)
+    val fc = ManifestTable.fastCount(spark, dst)
+    ManifestTable.read(spark, src)
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * lit(1e3)).cast("long")).as("sum_value_e3"))
+      .withColumn("clone_rows", lit(cloneAgg.getLong(0)))
+      .withColumn("clone_sum_e3", lit(cloneAgg.getLong(1)))
+      .withColumn("clone_fc_meta", lit(fc.metadataOnly))
+      .withColumn("dirs_copied", lit(cr.dirsCopied))
+      .orderBy(col("day"))
+  }
+
+  val q155DeepCloneSql: String =
+    """WITH ev AS (SELECT event_id, date_trunc('day', ts) AS day, ts, value FROM events),
+      |srcfin AS (SELECT * FROM ev WHERE day < TIMESTAMP '2024-01-12 00:00:00'),
+      |clonefin AS (
+      |  SELECT event_id, day,
+      |    CASE WHEN ts >= TIMESTAMP '2024-01-12 00:00:00' THEN value + 5.0
+      |         ELSE value END AS value
+      |  FROM ev)
+      |SELECT day, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(floor(value * 1e3) AS BIGINT)) AS BIGINT) AS sum_value_e3,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM clonefin) AS clone_rows,
+      |  (SELECT CAST(sum(CAST(floor(value * 1e3) AS BIGINT)) AS BIGINT) FROM clonefin)
+      |    AS clone_sum_e3,
+      |  true AS clone_fc_meta,
+      |  (SELECT CAST(count(DISTINCT day) AS BIGINT) FROM ev) AS dirs_copied
+      |FROM srcfin GROUP BY day ORDER BY day""".stripMargin
+
+  // ----------------------------------------------------------------
   // q99_image_decode — the REAL byte-level image kernel under the
   // driver gate (round-7 verdict #5; the decode family is no longer
   // stub-labeled): deterministic gradient images are ENCODED in a

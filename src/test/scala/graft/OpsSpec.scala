@@ -1264,5 +1264,33 @@ class MergeSpec extends AnyFunSuite {
     assert(otherCalls == 1)
   }
 
+  test("ManifestTable.deepClone: independent trees — source expiry/delete cannot " +
+    "touch clone files; cloning onto an existing table is refused") {
+    import graft.ops.ManifestTable
+    val base = java.nio.file.Files.createTempDirectory("graft-clone").toString
+    val src = base + "/src"
+    val dst = base + "/dst"
+    val rows = (1 to 6).map(i => (i.toLong, ts(f"2024-01-0${(i - 1) / 2 + 1}%01d"), i * 1.0))
+    ManifestTable.merge(spark, src, rows.toDF("id", "day", "v"), Seq("id"), "day",
+      statsColumns = Seq("v"))
+    val cr = ManifestTable.deepClone(spark, src, dst)
+    assert(cr.dirsCopied == 3L && cr.bytesCopied > 0L)
+    // carried stats: the clone fastCounts metadata-only immediately
+    val fc = ManifestTable.fastCount(spark, dst)
+    assert(fc.metadataOnly && fc.rows == 6L)
+    // source deletes a day + expires history; clone is untouched
+    ManifestTable.deleteWhere(spark, src, "day", col("day") === ts("2024-01-01"))
+    ManifestTable.expireVersions(spark, src, keepLast = 1)
+    assert(ManifestTable.read(spark, src).count() == 4L)
+    assert(ManifestTable.read(spark, dst).orderBy("id")
+      .select("id", "v").as[(Long, Double)].collect().toSeq ==
+      (1 to 6).map(i => (i.toLong, i * 1.0)))
+    // refuse to clone onto an existing table
+    val e = intercept[RuntimeException] {
+      ManifestTable.deepClone(spark, src, dst)
+    }
+    assert(e.getMessage.contains("refusing to overwrite"))
+  }
+
   private def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
 }
