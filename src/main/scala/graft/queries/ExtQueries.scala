@@ -5591,6 +5591,64 @@ object ExtQueries {
       |FROM srcfin GROUP BY day ORDER BY day""".stripMargin
 
   // ----------------------------------------------------------------
+  // q156_jsonl_export — SHARDED JSONL TRAINING EXPORT round-tripped
+  // through the FILESYSTEM (Jsonl.writeShards): documents leave as
+  // shard=NN/ text dirs (q148's seeded shuffle-and-shard order) plus
+  // an _index sidecar, then the gate READS THE FILES BACK with the
+  // text source + from_json and aggregates per shard — doc counts,
+  // id mass, payload (n_chars) mass — and joins the returned index's
+  // first/last ids. The oracle recomputes every number from the
+  // documents table alone via the md5 shard/order rules: a sink that
+  // drops a row, writes a shard to the wrong dir, mangles a JSON
+  // field, or breaks the within-shard order (first/last ids) cannot
+  // match. The _index dir must also stay invisible to the text read
+  // (underscore contract) or the parse-failure nulls shift the sums.
+  // ----------------------------------------------------------------
+  def q156JsonlExport(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:q156_jsonl_export") {
+      q156JsonlExportBuild(spark, dir)
+    }
+
+  private def q156JsonlExportBuild(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
+    val out = java.nio.file.Files.createTempDirectory("graft_q156_").toString + "/export"
+    val idx = graft.sources.Jsonl.writeShards(docs, out, n = 8, seed = "42x")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_chars",
+        org.apache.spark.sql.types.LongType)))
+    val back = spark.read.text(out)
+      .select(col("shard").cast("long").as("shard"),
+        from_json(col("value"), schema).as("j"))
+      .select(col("shard"), col("j.doc_id").as("doc_id"),
+        col("j.n_chars").as("n_chars"))
+    back.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("sum_ids"),
+        sum(col("n_chars")).as("sum_chars"))
+      .join(idx.select(col("shard"), col("first_id"), col("last_id")), Seq("shard"))
+      .orderBy(col("shard"))
+  }
+
+  val q156JsonlExportSql: String =
+    """WITH a AS (
+      |  SELECT doc_id, n_chars,
+      |    CAST(CAST(('0x' || substr(md5('42x' || '#' || CAST(doc_id AS VARCHAR)), 1, 8))
+      |      AS UBIGINT) % 8 AS BIGINT) AS shard,
+      |    md5('42x:o' || '#' || CAST(doc_id AS VARCHAR)) AS ok
+      |  FROM documents),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY shard ORDER BY ok, doc_id) AS pos
+      |      FROM a)
+      |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(arg_min(doc_id, pos) AS BIGINT) AS first_id,
+      |  CAST(arg_max(doc_id, pos) AS BIGINT) AS last_id
+      |FROM r GROUP BY shard ORDER BY shard""".stripMargin
+
+  // ----------------------------------------------------------------
   // q99_image_decode — the REAL byte-level image kernel under the
   // driver gate (round-7 verdict #5; the decode family is no longer
   // stub-labeled): deterministic gradient images are ENCODED in a

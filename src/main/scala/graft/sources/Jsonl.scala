@@ -61,4 +61,36 @@ object Jsonl {
       count(lit(1)).as("n_lines"),
       sum(when(!col("is_corrupt"), 1L).otherwise(0L)).as("n_good"),
       sum(when(col("is_corrupt"), 1L).otherwise(0L)).as("n_corrupt"))
+
+  /** DETERMINISTIC SHARDED JSONL EXPORT — the delivery end of the
+    * pipeline: the corpus leaves as `shard=NN/` directories of
+    * one-JSON-object-per-line text, globally shuffled and sharded by
+    * [[graft.ext.Curate.shuffleShards]] (seeded md5 assignment + an
+    * independent seeded within-shard order), so the SAME corpus and
+    * seed produce byte-identical shards on any cluster size — the
+    * property that makes a training run repeatable and resumable.
+    * Rows are written in `shard_pos` order (one repartition + a
+    * within-partition sort; never a global sort). An `_index`
+    * directory (ignored by Spark readers — underscore prefix)
+    * records each shard's row count and first/last ids, the sidecar
+    * a training loader checks before streaming; the same frame is
+    * returned. `df`'s columns become the JSON fields in order. */
+  def writeShards(df: DataFrame, outDir: String, n: Int, seed: String,
+                  idCol: String = "doc_id"): DataFrame = {
+    val cols = df.columns.toSeq
+    val sharded = graft.ext.Curate.shuffleShards(df, n, seed, idCol)
+    sharded
+      .select(col("shard"), col("shard_pos"),
+        to_json(struct(cols.map(col): _*)).as("value"))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("shard_pos"))
+      .select(col("shard"), col("value"))
+      .write.partitionBy("shard").text(outDir)
+    val idx = sharded.groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        min_by(col(idCol), col("shard_pos")).as("first_id"),
+        max_by(col(idCol), col("shard_pos")).as("last_id"))
+    idx.coalesce(1).write.mode("overwrite").json(s"$outDir/_index")
+    idx
+  }
 }

@@ -536,4 +536,30 @@ class SourcesSpec extends AnyFunSuite {
       assert(got.toSeq == Seq(epochMicros), s"layout $dir")
     }
   }
+
+  test("Jsonl.writeShards: shard files carry rows in shard_pos order BYTE-LEVEL " +
+    "(first/last line match the index), _index invisible to the text read") {
+    import scala.jdk.CollectionConverters._
+    val docs = (1L to 40L).map(i => (i, i * 2)).toDF("doc_id", "n_chars")
+    val out = java.nio.file.Files.createTempDirectory("graft-jsonl-exp").toString + "/e"
+    val idx = graft.sources.Jsonl.writeShards(docs, out, n = 3, seed = "t")
+      .orderBy($"shard")
+      .select($"shard", $"n_rows", $"first_id", $"last_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(idx.map(_._2).sum == 40L && idx.size == 3)
+    // byte-level order: each shard dir's single text file starts with
+    // first_id's JSON line and ends with last_id's
+    idx.foreach { case (shard, _, firstId, lastId) =>
+      val dir = java.nio.file.Paths.get(out, s"shard=$shard")
+      val files = java.nio.file.Files.list(dir).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".txt")).toSeq
+      assert(files.size == 1, s"shard $shard should be one file")
+      val lines = java.nio.file.Files.readAllLines(files.head).asScala
+      assert(lines.head == s"""{"doc_id":$firstId,"n_chars":${firstId * 2}}""")
+      assert(lines.last == s"""{"doc_id":$lastId,"n_chars":${lastId * 2}}""")
+    }
+    // the _index sidecar exists and reads back; the text read ignores it
+    assert(spark.read.json(s"$out/_index").count() == 3)
+    assert(spark.read.text(out).count() == 40)
+  }
 }
