@@ -983,6 +983,43 @@ object ManifestTable {
       committed = true)
   }
 
+  /** PARTITION RESPEC — rewrite the table under a NEW partition
+    * column in one atomic commit (the by-rewrite form of Iceberg's
+    * partition-spec evolution; Hive-style layouts cannot do this
+    * without a window where readers see both layouts). `derive`
+    * optionally computes the new column from existing ones (additive
+    * schema evolution — it becomes a real stored column, the hidden-
+    * partitioning posture). Every OLD partition key is declared
+    * touched so its entry drops in the same rename that introduces
+    * the new keys; a reader resolves wholly-old-layout or wholly-new,
+    * never a mix, and retained prior versions still time-travel under
+    * the old layout. Cost: one full-table rewrite — the honest price
+    * of a layout change; do it once, when the query pattern shifts. */
+  def repartitionTable(spark: SparkSession, path: String, newPartitionCol: String,
+                       derive: Option[org.apache.spark.sql.Column] = None,
+                       retainVersions: Int = 2): Unit = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(latestVersion(fs, path).nonEmpty,
+      s"ManifestTable.repartitionTable: no table at $path")
+    val cur = read(spark, path)
+    val df = derive match {
+      case Some(e) =>
+        require(!cur.columns.contains(newPartitionCol),
+          s"ManifestTable.repartitionTable: $newPartitionCol already exists — omit derive")
+        cur.withColumn(newPartitionCol, e)
+      case None =>
+        require(cur.columns.contains(newPartitionCol),
+          s"ManifestTable.repartitionTable: no column $newPartitionCol — pass derive")
+        cur
+    }
+    val newKeys = df.select(col(newPartitionCol).cast("string").as("__p")).distinct()
+      .collect().map(r => Option(r.getString(0)).getOrElse(sys.error(
+        s"ManifestTable.repartitionTable: null $newPartitionCol value"))).toSet
+    merge(spark, path, df, keys = Nil, partitionCol = newPartitionCol,
+      replaceTouched = true, retainVersions = retainVersions,
+      knownTouched = Some(newKeys ++ partitionKeys(fs, path)))
+  }
+
   /** A [[deepClone]] result: dirs and bytes copied. */
   final case class CloneResult(dirsCopied: Long, bytesCopied: Long)
 
@@ -1788,16 +1825,34 @@ object ManifestTable {
     try out.write(entries.map { case (k, d) => s"$k\t$d" }.mkString("", "\n", "\n")
       .getBytes("UTF-8"))
     finally out.close()
-    // THE commit point: one rename. HDFS rename-to-existing returns
-    // false, so a concurrent writer racing to the same version fails
-    // here loudly instead of silently clobbering the other's commit —
-    // with the TYPED conflict [[withCommitRetry]] catches to re-plan.
-    if (!fs.rename(tmp, dest)) {
+    // THE commit point: one atomic create-if-absent of the version
+    // file. The primitive is FILESYSTEM-SPECIFIC — the same reality
+    // Delta's per-store LogStores encode:
+    //   - HDFS (and stores with HDFS rename semantics): rename to an
+    //     existing destination returns false — rename IS the CAS;
+    //   - local file:// : POSIX rename REPLACES an existing target,
+    //     silently clobbering a rival's commit (a lost update — the
+    //     q150 barrier race caught exactly this), so the CAS is an
+    //     atomic hard LINK, which fails with FileAlreadyExists when
+    //     the version is taken.
+    // Either way the loser surfaces as the TYPED conflict
+    // [[withCommitRetry]] catches to re-plan.
+    val committed =
+      if ("file" == fs.getScheme) {
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(dest.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          true
+        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      } else fs.rename(tmp, dest)
+    if (!committed) {
       fs.delete(tmp, false) // the loser's tmp is residue, drop it now
       throw CommitConflictException(
-        s"ManifestTable: commit rename $tmp -> $dest failed (concurrent writer); " +
+        s"ManifestTable: commit of $dest lost the version race (concurrent writer); " +
           s"table still reads as the previous version")
     }
+    if ("file" == fs.getScheme) fs.delete(tmp, false) // linked, tmp no longer needed
   }
 
   /** A lost commit race: another writer renamed this version live

@@ -5649,6 +5649,58 @@ object ExtQueries {
       |FROM r GROUP BY shard ORDER BY shard""".stripMargin
 
   // ----------------------------------------------------------------
+  // q157_partition_respec — ATOMIC PARTITION-SPEC CHANGE
+  // (ManifestTable.repartitionTable): a day-partitioned load is
+  // re-laid-out under a DERIVED bucket column (event_id % 8) in one
+  // commit — every old day entry drops in the same manifest rename
+  // that introduces the bucket entries, so no reader ever sees both
+  // layouts (the window Hive-style respecs cannot close). The gate
+  // hashes the per-bucket state, a DIR-LEVEL pruned read by a NEW
+  // key (partitionFilter "3" must equal the % 8 = 3 slice — pruning
+  // now derives from the new layout), the retained v1 still
+  // time-traveling under the OLD layout, and the version count.
+  // ----------------------------------------------------------------
+  def q157PartitionRespec(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:q157_partition_respec") {
+      q157PartitionRespecBuild(spark, dir)
+    }
+
+  private def q157PartitionRespecBuild(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.ManifestTable
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), date_trunc("day", col("ts")).as("day"), col("value"))
+    val path = java.nio.file.Files.createTempDirectory("graft_q157_").toString + "/table"
+    ManifestTable.merge(spark, path, ev,
+      keys = Seq("event_id"), partitionCol = "day", retainVersions = 3)
+    ManifestTable.repartitionTable(spark, path, "bucket",
+      derive = Some(pmod(col("event_id"), lit(8L))), retainVersions = 3)
+    val pruned3 = ManifestTable.read(spark, path, _ == "3").count()
+    val v1Rows = ManifestTable.readVersion(spark, path, 1L).count()
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = ManifestTable.versions(fs, path)
+    ManifestTable.read(spark, path)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * lit(1e3)).cast("long")).as("sum_value_e3"))
+      .withColumn("pruned3_rows", lit(pruned3))
+      .withColumn("v1_rows", lit(v1Rows))
+      .withColumn("versions_after", lit(versions.length.toLong))
+      .orderBy(col("bucket"))
+  }
+
+  val q157PartitionRespecSql: String =
+    """WITH ev AS (SELECT event_id, value FROM events),
+      |b AS (SELECT event_id % 8 AS bucket, value FROM ev)
+      |SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(floor(value * 1e3) AS BIGINT)) AS BIGINT) AS sum_value_e3,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM b WHERE bucket = 3) AS pruned3_rows,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM ev) AS v1_rows,
+      |  CAST(2 AS BIGINT) AS versions_after
+      |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  // ----------------------------------------------------------------
   // q99_image_decode — the REAL byte-level image kernel under the
   // driver gate (round-7 verdict #5; the decode family is no longer
   // stub-labeled): deterministic gradient images are ENCODED in a

@@ -1292,5 +1292,40 @@ class MergeSpec extends AnyFunSuite {
     assert(e.getMessage.contains("refusing to overwrite"))
   }
 
+  test("ManifestTable.repartitionTable: one-commit layout change — new-key pruning " +
+    "works, old keys gone, prior version time-travels under the old layout") {
+    import graft.ops.ManifestTable
+    val path = java.nio.file.Files.createTempDirectory("graft-respec").toString + "/t"
+    val rows = (1 to 12).map(i => (i.toLong, ts(f"2024-01-${(i - 1) / 4 + 1}%02d"), i * 1.0))
+    ManifestTable.merge(spark, path, rows.toDF("id", "day", "v"), Seq("id"), "day",
+      retainVersions = 3)
+    ManifestTable.repartitionTable(spark, path, "bucket",
+      derive = Some(col("id") % 3), retainVersions = 3)
+    // logical content unchanged, new derived column present
+    assert(ManifestTable.read(spark, path).orderBy("id")
+      .select("id", "v").as[(Long, Double)].collect().toSeq ==
+      (1 to 12).map(i => (i.toLong, i * 1.0)))
+    // dir-level pruning by the NEW key
+    assert(ManifestTable.read(spark, path, _ == "1")
+      .select("id").as[Long].collect().toSet == Set(1L, 4L, 7L, 10L))
+    // old day keys are gone from the live manifest (a day filter
+    // matches nothing and fails the no-partition guard loudly)
+    val e = intercept[RuntimeException] {
+      ManifestTable.read(spark, path, _.startsWith("2024-01-01"))
+    }
+    assert(e.getMessage.contains("no partition"))
+    // the pre-respec version still reads under the OLD layout
+    assert(ManifestTable.readVersion(spark, path, 1L,
+      _.startsWith("2024-01-01")).count() == 4L)
+    // guards: derive for an existing column / missing column refused
+    intercept[IllegalArgumentException] {
+      ManifestTable.repartitionTable(spark, path, "bucket",
+        derive = Some(col("id") % 5))
+    }
+    intercept[IllegalArgumentException] {
+      ManifestTable.repartitionTable(spark, path, "nope")
+    }
+  }
+
   private def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
 }
