@@ -92,6 +92,34 @@ object Curate {
     df.filter(hashBucketSalted(col(idCol), salt, 100) <
       rateFor(col(keyCol), ratesPct, defaultPct))
 
+  /** EPOCH-WEIGHTED MIXTURE (upsampling): where [[mixture]] can only
+    * DOWN-sample (rates ≤ 100%), training recipes routinely weight a
+    * high-quality source ABOVE 1 epoch — "Wikipedia ×3.5" means every
+    * document appears 3 times and a deterministic 50% md5-chosen
+    * subset a 4th. Each output row carries `epoch` (0-based copy
+    * index), so a downstream shuffle-shard spreads the copies apart.
+    * Implementation: one `explode(sequence(0, ⌈w⌉−1))` per row — the
+    * integer copies are unconditional, the final fractional copy
+    * keeps only rows whose salted [[hashBucket]] falls under the
+    * remainder — map-only, content-stable, no RNG, and a grown
+    * corpus never flips a previously-kept fractional copy. Weights
+    * are given in PERCENT (350 = 3.5 epochs) to keep the rule exact
+    * integer arithmetic. */
+  def withEpochs(df: DataFrame, keyCol: String, idCol: String,
+                 epochsPct: Seq[(String, Int)], defaultPct: Int = 100,
+                 salt: String = "#epoch"): DataFrame = {
+    require(epochsPct.forall(_._2 >= 0), "withEpochs: negative epoch weight")
+    val pct = rateFor(col(keyCol), epochsPct, defaultPct)
+    val fullCopies = (pct.cast("long") / 100L).cast("long") // ⌊w⌋ epochs
+    val fracPct = pct.cast("long") % 100L                   // remainder, in %
+    val keepFrac = hashBucketSalted(col(idCol), salt, 100) < fracPct
+    val copies = (fullCopies + when(keepFrac, 1L).otherwise(0L)).cast("int")
+    df.withColumn("__copies", copies)
+      .filter(col("__copies") > 0)
+      .withColumn("epoch", explode(sequence(lit(0), col("__copies") - 1)))
+      .drop("__copies")
+  }
+
   /** The per-key sampling rate [[mixture]] applies — exposed so
     * reports can state the rate they were filtered at from the SAME
     * expression (a re-implemented chain could silently drift). */

@@ -5701,6 +5701,97 @@ object ExtQueries {
       |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
 
   // ----------------------------------------------------------------
+  // q158_epoch_mixture — EPOCH-WEIGHTED UPSAMPLING
+  // (Curate.withEpochs): the training-recipe form of mixture where a
+  // high-quality source is weighted ABOVE one epoch — en ×2.5 means
+  // every English doc appears twice plus a deterministic md5-chosen
+  // half a third time; de ×0.3 keeps a 30% subset; the rest ride at
+  // ×1. The gate hashes the per-(lang, epoch) copy counts and id
+  // masses — the oracle replays ⌊w⌋ + (salted-md5-bucket < w mod
+  // 100) and the 0..copies−1 fan-out in SQL, so a flipped fractional
+  // rule, a 1-based epoch index, or a dropped integer copy each
+  // break a specific row.
+  // ----------------------------------------------------------------
+  def q158EpochMixture(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+    graft.ext.Curate.withEpochs(docs, "lang", "doc_id",
+        epochsPct = Seq("en" -> 250, "de" -> 30))
+      .groupBy(col("lang"), col("epoch").cast("long").as("epoch"))
+      .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_ids"))
+      .orderBy(col("lang"), col("epoch"))
+  }
+
+  val q158EpochMixtureSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang,
+      |    CASE lang WHEN 'en' THEN 250 WHEN 'de' THEN 30 ELSE 100 END AS w,
+      |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#epoch'), 1, 8))
+      |      AS UBIGINT) % 100 AS BIGINT) AS bucket
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, lang,
+      |    w // 100 + CASE WHEN bucket < w % 100 THEN 1 ELSE 0 END AS copies
+      |  FROM d),
+      |x AS (
+      |  SELECT doc_id, lang, CAST(unnest(range(copies)) AS BIGINT) AS epoch
+      |  FROM c WHERE copies > 0)
+      |SELECT lang, epoch, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+      |FROM x GROUP BY lang, epoch ORDER BY lang, epoch""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q159_smb_join — SORT-MERGE-BUCKET layout (Bucketed.writeBucketed
+  // / noShuffleJoin): events and a per-user profile are written
+  // PRE-BUCKETED on user_id into the session catalog, then joined
+  // WITHOUT ANY EXCHANGE — bucket i merges with bucket i in place,
+  // the layout that turns the recurring fact⋈fact shuffle into a
+  // local merge at 100 TB. The gate emits the per-user-residue join
+  // aggregate (oracle recomputes the join from events in SQL) and
+  // `shuffle_free`, MEASURED from the physical plan of the actual
+  // join — a changed bucket count, renamed key, or disabled
+  // bucketing would keep the numbers right and flip the plan fact,
+  // which is exactly the regression this gate exists to catch.
+  // ----------------------------------------------------------------
+  def q159SmbJoin(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:q159_smb_join") {
+      q159SmbJoinBuild(spark, dir)
+    }
+
+  private def q159SmbJoinBuild(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Bucketed
+    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("value"))
+    val usr = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    Bucketed.writeBucketed(ev, s"q159_events_$tag", "user_id", buckets = 16)
+    Bucketed.writeBucketed(usr, s"q159_users_$tag", "user_id", buckets = 16)
+    val (j, shuffleFree) = Bucketed.noShuffleJoin(spark,
+      s"q159_events_$tag", s"q159_users_$tag", "user_id")
+    j.groupBy((col("user_id") % 8).as("ubucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * lit(1e3)).cast("long")).as("sum_value_e3"),
+        sum(col("n_events")).as("sum_n_events"))
+      .withColumn("shuffle_free", lit(shuffleFree))
+      .orderBy(col("ubucket"))
+  }
+
+  val q159SmbJoinSql: String =
+    """WITH u AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+      |  FROM events GROUP BY user_id),
+      |j AS (
+      |  SELECT e.user_id, e.value, u.n_events
+      |  FROM events e JOIN u USING (user_id))
+      |SELECT user_id % 8 AS ubucket, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(floor(value * 1e3) AS BIGINT)) AS BIGINT) AS sum_value_e3,
+      |  CAST(sum(n_events) AS BIGINT) AS sum_n_events,
+      |  true AS shuffle_free
+      |FROM j GROUP BY ubucket ORDER BY ubucket""".stripMargin
+
+  // ----------------------------------------------------------------
   // q99_image_decode — the REAL byte-level image kernel under the
   // driver gate (round-7 verdict #5; the decode family is no longer
   // stub-labeled): deterministic gradient images are ENCODED in a

@@ -917,6 +917,33 @@ class ExtSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().head == ((4L, 8L))) // AUC = 1/2
   }
 
+  test("Curate.withEpochs: integer copies unconditional, fractional copy is a " +
+    "deterministic md5 subset, x0 drops, epoch indices dense from 0") {
+    val docs = (1L to 200L).map(i => (i, if (i <= 100) "hi" else "lo"))
+      .toDF("doc_id", "k")
+    val out = Curate.withEpochs(docs, "k", "doc_id",
+      epochsPct = Seq("hi" -> 230, "lo" -> 0))
+    // lo is dropped entirely; hi gets 2 full copies + ~30% a third
+    val byEpoch = out.groupBy($"k", $"epoch").count()
+      .as[(String, Int, Long)].collect()
+      .map { case (k, e, n) => ((k, e), n) }.toMap
+    assert(!byEpoch.keys.exists(_._1 == "lo"))
+    assert(byEpoch(("hi", 0)) == 100L && byEpoch(("hi", 1)) == 100L)
+    val frac = byEpoch.getOrElse(("hi", 2), 0L)
+    assert(frac > 0L && frac < 100L) // the md5-chosen remainder subset
+    // determinism + content-stability: same call, same rows; the
+    // epoch-2 subset is exactly the docs whose salted bucket < 30
+    val again = Curate.withEpochs(docs, "k", "doc_id",
+      epochsPct = Seq("hi" -> 230, "lo" -> 0))
+    assert(out.orderBy("doc_id", "epoch").collect().toSeq ==
+      again.orderBy("doc_id", "epoch").collect().toSeq)
+    val chosen = out.filter($"epoch" === 2).select($"doc_id").as[Long].collect().toSet
+    val expected = docs.filter($"k" === "hi")
+      .filter(Curate.hashBucketSalted($"doc_id", "#epoch", 100) < 30)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(chosen == expected)
+  }
+
   test("Similarity.quantizeInt8: symmetric scale, away-from-zero rounding, zero " +
     "vector safe; int8TopK ranks by exact integer dots") {
     import graft.ext.Similarity
