@@ -879,7 +879,8 @@ object ManifestTable {
     * manifest rename, concurrency-checked like every other commit. */
   def compact(spark: SparkSession, path: String, partitionCol: String,
               targetBytes: Long = 128L << 20, minDirs: Int = 2,
-              retainVersions: Int = 2): CompactResult = {
+              retainVersions: Int = 2,
+              sortWithinBins: Seq[String] = Nil): CompactResult = {
     require(targetBytes > 0, s"compact: targetBytes must be > 0, got $targetBytes")
     require(minDirs >= 2, s"compact: minDirs must be >= 2, got $minDirs " +
       "(a 1-dir bin is a rewrite with no file-count win)")
@@ -947,6 +948,10 @@ object ManifestTable {
         col(partitionCol).cast("string") === col("__ck"), "inner")
       .drop("__ck")
       .repartition(col("__bin"))
+      // Optional CLUSTERING inside each bin file (Z-order-lite on one
+      // key chain): tightens parquet row-group/page stats so the
+      // engine's own scan-time skipping bites inside the shared file.
+      .sortWithinPartitions((col("__bin") +: sortWithinBins.map(col)): _*)
       .write.partitionBy("__bin").parquet(s"$path/$batch")
 
     // New entries: each binned key re-points at its bin's shared dir,
@@ -1065,6 +1070,28 @@ object ManifestTable {
       head ++ Seq(CommitKey -> System.currentTimeMillis().toString) ++
         dataEntries(lines))
     CloneResult(dirs.size.toLong, bytes)
+  }
+
+  /** MAINTENANCE POLICY: compact only when the live snapshot
+    * references more than `maxDirs` data dirs — the auto-OPTIMIZE
+    * trigger an ingest job calls after every merge: O(1) manifest
+    * metadata when healthy (None, no version burned, no Spark job),
+    * a real [[compact]] only once the small-files debt crosses the
+    * line. */
+  def maybeCompact(spark: SparkSession, path: String, partitionCol: String,
+                   maxDirs: Int,
+                   targetBytes: Long = 128L << 20, minDirs: Int = 2,
+                   retainVersions: Int = 2,
+                   sortWithinBins: Seq[String] = Nil): Option[CompactResult] = {
+    require(maxDirs >= 1, s"maybeCompact: maxDirs must be >= 1, got $maxDirs")
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = latestVersion(fs, path).getOrElse(
+      sys.error(s"ManifestTable.maybeCompact: no manifest under $path/$ManifestDir"))
+    val liveDirs = dataEntries(readManifest(fs, path, v))
+      .map(e => dirOf(e._2)).distinct.size
+    if (liveDirs <= maxDirs) None
+    else Some(compact(spark, path, partitionCol, targetBytes, minDirs,
+      retainVersions, sortWithinBins))
   }
 
   // ------------------------------------------------------------------

@@ -5792,6 +5792,36 @@ object ExtQueries {
       |FROM j GROUP BY ubucket ORDER BY ubucket""".stripMargin
 
   // ----------------------------------------------------------------
+  // q160_exact_quantiles — EXACT distributed quantiles over an
+  // integral column (Stats.exactQuantilesPermille): per-DISTINCT-
+  // value aggregate + one cumulative window (the q152 AUC shape) —
+  // exact cuts with no global per-row sort and no approx_percentile
+  // error bound. All-integer rank rule (cum·1000 ≥ p·N), so the
+  // oracle's window replay must agree bit-for-bit; an off-by-one in
+  // the inclusive frame, a lower-vs-nearest rule drift, or a
+  // float-rank ceil each move a cut value. Complements q43
+  // (approx): same column, exact answers.
+  // ----------------------------------------------------------------
+  def q160ExactQuantiles(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Stats.exactQuantilesPermille(
+        Tables.documents(spark, dir), "n_chars",
+        permille = Seq(100, 250, 500, 750, 900, 990, 1000))
+      .orderBy(col("permille"))
+
+  val q160ExactQuantilesSql: String =
+    """WITH g AS (SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS n
+      |           FROM documents GROUP BY n_chars),
+      |c AS (SELECT v, sum(n) OVER (ORDER BY v
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM g),
+      |t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM documents),
+      |p AS (SELECT CAST(unnest([100, 250, 500, 750, 900, 990, 1000]) AS BIGINT)
+      |        AS permille)
+      |SELECT permille, CAST(min(v) AS BIGINT) AS value
+      |FROM c CROSS JOIN t CROSS JOIN p
+      |WHERE cum * 1000 >= permille * total
+      |GROUP BY permille ORDER BY permille""".stripMargin
+
+  // ----------------------------------------------------------------
   // q99_image_decode — the REAL byte-level image kernel under the
   // driver gate (round-7 verdict #5; the decode family is no longer
   // stub-labeled): deterministic gradient images are ENCODED in a

@@ -944,6 +944,21 @@ class ExtSpec extends AnyFunSuite {
     assert(chosen == expected)
   }
 
+  test("Stats.exactQuantilesPermille: discrete lower-quantile hand-cases incl. " +
+    "heavy duplicates and the exact-boundary rank") {
+    import graft.ext.Stats
+    def q(df: org.apache.spark.sql.DataFrame, ps: Int*) =
+      Stats.exactQuantilesPermille(df, "v", ps).orderBy($"permille")
+        .as[(Long, Long)].collect().toSeq
+    val uniform = (1L to 10L).toDF("v")
+    assert(q(uniform, 100, 500, 1000) == Seq((100L, 1L), (500L, 5L), (1000L, 10L)))
+    // duplicates: [1,1,1,9] — p750 lands EXACTLY on cum=3 (3·1000 =
+    // 750·4), so the boundary stays at 1; p751 crosses to 9
+    val dup = Seq(1L, 1L, 1L, 9L).toDF("v")
+    assert(q(dup, 500, 750, 751, 1000) ==
+      Seq((500L, 1L), (750L, 1L), (751L, 9L), (1000L, 9L)))
+  }
+
   test("Similarity.quantizeInt8: symmetric scale, away-from-zero rounding, zero " +
     "vector safe; int8TopK ranks by exact integer dots") {
     import graft.ext.Similarity

@@ -1327,5 +1327,38 @@ class MergeSpec extends AnyFunSuite {
     }
   }
 
+  test("ManifestTable.maybeCompact: O(1) no-op while healthy, compacts past the " +
+    "dir threshold; sortWithinBins clusters the bin file") {
+    import graft.ops.ManifestTable
+    val path = java.nio.file.Files.createTempDirectory("graft-maybec").toString + "/t"
+    val rows = (1 to 12).map(i => (i.toLong, ts(f"2024-01-${(i - 1) / 2 + 1}%02d"), 13.0 - i))
+    ManifestTable.merge(spark, path, rows.toDF("id", "day", "v"), Seq("id"), "day",
+      retainVersions = 5)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // healthy: 6 dirs <= maxDirs -> None, no version burned
+    assert(ManifestTable.maybeCompact(spark, path, "day", maxDirs = 10,
+      targetBytes = Long.MaxValue, retainVersions = 5).isEmpty)
+    assert(ManifestTable.versions(fs, path) == Seq(1L))
+    // past the threshold: compacts, clustered by v within the bin
+    val r = ManifestTable.maybeCompact(spark, path, "day", maxDirs = 3,
+      targetBytes = Long.MaxValue, retainVersions = 5,
+      sortWithinBins = Seq("v"))
+    assert(r.exists(_.committed) && ManifestTable.versions(fs, path) == Seq(1L, 2L))
+    // the single bin file is physically sorted by v (clustering): the
+    // file-order read returns ascending v (ids 12..1)
+    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/data"))
+      .filter(_.getPath.getName.startsWith("compact-"))
+    assert(dirs.length == 1)
+    val vOrder = spark.read
+      .parquet(s"$path/data/${dirs.head.getPath.getName}/__bin=0")
+      .select("v").as[Double].collect().toSeq
+    assert(vOrder == vOrder.sorted)
+    // and the logical table is unchanged
+    assert(ManifestTable.read(spark, path).orderBy("id")
+      .select("id", "v").as[(Long, Double)].collect().toSeq ==
+      rows.map(r => (r._1, r._3)))
+  }
+
   private def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
 }
