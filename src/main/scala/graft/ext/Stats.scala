@@ -43,4 +43,31 @@ object Stats {
       .groupBy(col("permille").cast("long").as("permille"))
       .agg(min(col("v")).as("value"))
   }
+
+  /** Per-GROUP exact quantiles — the per-language / per-source length
+    * cuts a curriculum or filter threshold is set from: same
+    * distinct-value + cumulative-window mechanics as
+    * [[exactQuantilesPermille]], with the window partitioned by the
+    * group and each group ranked against its own total. One row per
+    * (group, permille). */
+  def exactQuantilesPermilleBy(df: DataFrame, groupCol: String, valueCol: String,
+                               permille: Seq[Int]): DataFrame = {
+    require(permille.nonEmpty, "exactQuantilesPermilleBy: no ranks")
+    require(permille.forall(p => p >= 1 && p <= 1000),
+      s"exactQuantilesPermilleBy: permille out of (0, 1000]: $permille")
+    val g = df.groupBy(col(groupCol).as("g"), col(valueCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = g.withColumn("cum", sum(col("n")).over(w))
+    val total = df.groupBy(col(groupCol).as("g"))
+      .agg(count(lit(1)).cast("long").as("total"))
+    val ranks = df.sparkSession.range(1)
+      .select(explode(lit(permille.toArray)).as("permille"))
+    cum.join(total, Seq("g"))
+      .crossJoin(broadcast(ranks))
+      .filter(col("cum") * lit(1000L) >= col("permille").cast("long") * col("total"))
+      .groupBy(col("g").as(groupCol), col("permille").cast("long").as("permille"))
+      .agg(min(col("v")).as("value"))
+  }
 }

@@ -1183,6 +1183,49 @@ object ManifestTable {
       entries.size.toLong, committed = true)
   }
 
+  /** A [[deleteByKeys]] result: the row-op outcome plus the bloom
+    * pruning evidence (how many live dirs the key probe touched). */
+  final case class KeyDeleteResult(op: RowOpResult, dirsProbed: Long, dirsTotal: Long)
+
+  /** TARGETED DELETE BY KEY LIST — the right-to-be-forgotten path: a
+    * GDPR erasure request arrives as a (small) list of subject keys,
+    * and at 100 TB the difference between "scan everything for 50
+    * ids" and this is the whole feature. The committed bloom
+    * dir-index on `keyCol` restricts the candidate partitions to the
+    * dirs that MIGHT hold any of the keys (no false negatives — a
+    * bloom'd dir that skips provably holds none of them; un-bloom'd
+    * dirs are always probed, fail-safe), then [[deleteWhere]] runs
+    * its counting scan + copy-on-write rewrite over just those.
+    * Stringified-key matching follows the bloom's own
+    * `CAST(col AS STRING)` convention. */
+  def deleteByKeys(spark: SparkSession, path: String, partitionCol: String,
+                   keyCol: String, keys: Seq[String],
+                   retainVersions: Int = 2,
+                   statsColumns: Seq[String] = Nil,
+                   bloomColumns: Seq[String] = Nil,
+                   bloomBits: Int = 8192): KeyDeleteResult = {
+    require(keys.nonEmpty, "ManifestTable.deleteByKeys: empty key list")
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = latestVersion(fs, path).getOrElse(
+      sys.error(s"ManifestTable.deleteByKeys: no manifest under $path/$ManifestDir"))
+    val live = dataEntries(readManifest(fs, path, v))
+    val candidates = live.filter { case (_, entryValue) =>
+      bloomOf(entryValue, keyCol) match {
+        case Some(payload) => keys.exists(k => bloomContains(payload, k))
+        case None => true // no filter recorded -> cannot prune safely
+      }
+    }.map(_._1).toSet
+    val op =
+      if (candidates.isEmpty)
+        RowOpResult(0L, 0L, 0L, 0L, live.size.toLong, committed = false)
+      else deleteWhere(spark, path, partitionCol,
+        col(keyCol).cast("string").isInCollection(keys),
+        partitionFilter = candidates.contains,
+        retainVersions = retainVersions, statsColumns = statsColumns,
+        bloomColumns = bloomColumns, bloomBits = bloomBits)
+    KeyDeleteResult(op, candidates.size.toLong, live.size.toLong)
+  }
+
   /** UPDATE the table SET `assignments` WHERE `predicate` —
     * copy-on-write. Rows where the predicate is NULL are unchanged;
     * every assignment right-hand side evaluates against the PRE-update

@@ -5822,6 +5822,91 @@ object ExtQueries {
       |GROUP BY permille ORDER BY permille""".stripMargin
 
   // ----------------------------------------------------------------
+  // q161_grouped_quantiles — PER-GROUP exact quantiles
+  // (Stats.exactQuantilesPermilleBy): the per-language length cuts a
+  // curriculum or filter threshold is actually set from — same
+  // integer rank rule as q160, window partitioned per group, each
+  // group ranked against its own total. The oracle's PARTITION BY
+  // replay must agree bit-for-bit per (lang, permille).
+  // ----------------------------------------------------------------
+  def q161GroupedQuantiles(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Stats.exactQuantilesPermilleBy(
+        Tables.documents(spark, dir), "lang", "n_chars",
+        permille = Seq(250, 500, 750, 990))
+      .orderBy(col("lang"), col("permille"))
+
+  val q161GroupedQuantilesSql: String =
+    """WITH g AS (SELECT lang, n_chars AS v, CAST(count(*) AS BIGINT) AS n
+      |           FROM documents GROUP BY lang, n_chars),
+      |c AS (SELECT lang, v, sum(n) OVER (PARTITION BY lang ORDER BY v
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM g),
+      |t AS (SELECT lang, CAST(count(*) AS BIGINT) AS total
+      |      FROM documents GROUP BY lang),
+      |p AS (SELECT CAST(unnest([250, 500, 750, 990]) AS BIGINT) AS permille)
+      |SELECT c.lang, permille, CAST(min(v) AS BIGINT) AS value
+      |FROM c JOIN t USING (lang) CROSS JOIN p
+      |WHERE cum * 1000 >= permille * total
+      |GROUP BY c.lang, permille ORDER BY c.lang, permille""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q162_delete_by_keys — RIGHT-TO-BE-FORGOTTEN erasure
+  // (ManifestTable.deleteByKeys): the five lowest user_ids are
+  // erased from a user-bucket-partitioned events table whose merges
+  // committed a BLOOM dir-index on user_id. The bloom probe must
+  // restrict the counting scan to the buckets that might hold those
+  // users (probed_le rides the pruning evidence — ≤ 10 of the 24
+  // dirs probed for 5 single-bucket users even with false
+  // positives), deleteWhere must rewrite exactly the matched
+  // buckets, and the post-erasure per-bucket state, the matched-row
+  // count and the rewrite count are all recomputed by the oracle
+  // from events SQL (no false negative = no surviving erased row).
+  // ----------------------------------------------------------------
+  def q162DeleteByKeys(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:q162_delete_by_keys") {
+      q162DeleteByKeysBuild(spark, dir)
+    }
+
+  private def q162DeleteByKeysBuild(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.ManifestTable
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("value"),
+        pmod(col("user_id"), lit(24L)).as("ubucket"))
+    val path = java.nio.file.Files.createTempDirectory("graft_q162_").toString + "/table"
+    ManifestTable.merge(spark, path, ev, keys = Seq("event_id"),
+      partitionCol = "ubucket", bloomColumns = Seq("user_id"))
+    val subjects = Tables.events(spark, dir)
+      .select(col("user_id")).distinct().orderBy(col("user_id")).limit(5)
+      .collect().map(_.getLong(0).toString).toSeq
+    val r = ManifestTable.deleteByKeys(spark, path, "ubucket", "user_id", subjects,
+      bloomColumns = Seq("user_id"))
+    ManifestTable.read(spark, path)
+      .groupBy(col("ubucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * lit(1e3)).cast("long")).as("sum_value_e3"))
+      .withColumn("rows_matched", lit(r.op.rowsMatched))
+      .withColumn("parts_rewritten", lit(r.op.partitionsRewritten))
+      .withColumn("probed_le10", lit(r.dirsProbed <= 10L))
+      .withColumn("dirs_total", lit(r.dirsTotal))
+      .orderBy(col("ubucket"))
+  }
+
+  val q162DeleteByKeysSql: String =
+    """WITH u5 AS (SELECT DISTINCT user_id FROM events ORDER BY user_id LIMIT 5),
+      |fin AS (SELECT user_id % 24 AS ubucket, value FROM events
+      |        WHERE user_id NOT IN (SELECT user_id FROM u5)),
+      |hit AS (SELECT user_id % 24 AS ubucket FROM events
+      |        WHERE user_id IN (SELECT user_id FROM u5))
+      |SELECT ubucket, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(floor(value * 1e3) AS BIGINT)) AS BIGINT) AS sum_value_e3,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM hit) AS rows_matched,
+      |  (SELECT CAST(count(DISTINCT ubucket) AS BIGINT) FROM hit) AS parts_rewritten,
+      |  true AS probed_le10,
+      |  (SELECT CAST(count(DISTINCT user_id % 24) AS BIGINT) FROM events)
+      |    AS dirs_total
+      |FROM fin GROUP BY ubucket ORDER BY ubucket""".stripMargin
+
+  // ----------------------------------------------------------------
   // q99_image_decode — the REAL byte-level image kernel under the
   // driver gate (round-7 verdict #5; the decode family is no longer
   // stub-labeled): deterministic gradient images are ENCODED in a
