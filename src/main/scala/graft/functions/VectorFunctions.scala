@@ -207,6 +207,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         SignLshBuckets(args.head, planes,
           intLit(args(2), "numBands"), intLit(args(3), "r"))
       }))
+    TextNormalize.inject(ext)
   }
 }
 

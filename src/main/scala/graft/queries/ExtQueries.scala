@@ -5907,6 +5907,57 @@ object ExtQueries {
       |FROM fin GROUP BY ubucket ORDER BY ubucket""".stripMargin
 
   // ----------------------------------------------------------------
+  // q163_nfc_normalize — UNICODE NFC NORMALIZATION as a native
+  // codegen'd Catalyst expression (graft_nfc / NfcNormalize): each
+  // document gets a deterministic suffix mixing DECOMPOSED sequences
+  // (e+U+0301, a+U+0308) with already-composed text; the expression
+  // must canonically compose them (é, ä) so byte equality means
+  // character equality again — the precondition every exact-hash
+  // dedup and shingle pass silently assumes. The oracle builds the
+  // SAME payloads with chr() codepoints and runs DuckDB's OWN
+  // nfc_normalize: per-residue doc counts, char lengths before/after
+  // (each composition drops exactly one char), changed-row counts,
+  // and the md5 of the normalized suffix concatenation all hash
+  // cross-engine — JDK and DuckDB disagree on nothing or the gate
+  // breaks.
+  // ----------------------------------------------------------------
+  def q163NfcNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val grp = (col("doc_id") % 3).cast("long")
+    val suffix = when(grp === 0, lit("é")) // -> é under NFC
+      .when(grp === 1, lit("ä"))           // -> ä under NFC
+      .otherwise(lit("z"))                       // already NFC
+    val payload = concat(substring(col("text"), 1, 40), suffix)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), grp.as("grp"), payload.as("p"))
+      .withColumn("n", graft.functions.TextNormalize.nfc(col("p")))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("p"))).as("len_before"),
+        sum(length(col("n"))).as("len_after"),
+        sum(when(col("n") =!= col("p"), 1L).otherwise(0L)).as("n_changed"))
+      .withColumn("composed_ok",
+        col("len_before") - col("len_after") === col("n_changed"))
+      .orderBy(col("grp"))
+  }
+
+  val q163NfcNormalizeSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, doc_id % 3 AS grp,
+      |    substr(text, 1, 40) ||
+      |      CASE doc_id % 3 WHEN 0 THEN 'e' || chr(769)
+      |                      WHEN 1 THEN 'a' || chr(776)
+      |                      ELSE 'z' END AS p
+      |  FROM documents),
+      |n AS (SELECT doc_id, grp, p, nfc_normalize(p) AS np FROM d)
+      |SELECT grp, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(length(p)) AS BIGINT) AS len_before,
+      |  CAST(sum(length(np)) AS BIGINT) AS len_after,
+      |  CAST(sum(CASE WHEN np <> p THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+      |  sum(length(p)) - sum(length(np)) = sum(CASE WHEN np <> p THEN 1 ELSE 0 END)
+      |    AS composed_ok
+      |FROM n GROUP BY grp ORDER BY grp""".stripMargin
+
+  // ----------------------------------------------------------------
   // q99_image_decode — the REAL byte-level image kernel under the
   // driver gate (round-7 verdict #5; the decode family is no longer
   // stub-labeled): deterministic gradient images are ENCODED in a

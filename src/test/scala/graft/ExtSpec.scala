@@ -944,6 +944,26 @@ class ExtSpec extends AnyFunSuite {
     assert(chosen == expected)
   }
 
+  test("TextNormalize.nfc: composes decomposed sequences (codegen'd expression), " +
+    "ASCII identity, null-safe") {
+    import graft.functions.TextNormalize
+    val df = Seq("café", "plain ascii", "Åbc", "mixéd ä")
+      .toDF("s")
+    val out = df.select(TextNormalize.nfc($"s").as("n")).as[String].collect().toSeq
+    assert(out == Seq("café", "plain ascii", "Åbc", "mixéd ä"))
+    // null in, null out (UnaryExpression null-safety)
+    assert(df.select(TextNormalize.nfc(lit(null).cast("string"))).first().isNullAt(0))
+    // the expression participates in whole-stage codegen (no
+    // fallback) — over a codegen source (a local Seq collapses to a
+    // LocalTableScan with no codegen stage regardless of expression)
+    val ranged = spark.range(4)
+      .select(TextNormalize.nfc(concat(lit("e"), lit("́"), $"id".cast("string"))))
+    // "*(1)" is the whole-stage-codegen marker in the compact plan
+    // string; a CodegenFallback expression would strip it
+    assert(ranged.queryExecution.executedPlan.toString.contains("*(1) Project"))
+    assert(ranged.as[String].collect().forall(_.startsWith("é")))
+  }
+
   test("Stats.exactQuantilesPermille: discrete lower-quantile hand-cases incl. " +
     "heavy duplicates and the exact-boundary rank") {
     import graft.ext.Stats
