@@ -789,6 +789,61 @@ object Multimodal {
       f
     }
 
+    /** KEYFRAME SELECTION by frame-difference energy — the shot-cut
+      * heuristic a video-curation pipeline samples training frames
+      * with: delta(f) = Σ_pixels Σ_channels |c_f − c_{f−1}| for
+      * f ≥ 1 (frame 0 has no predecessor), and the keyframes are the
+      * top-`k` frames by (delta DESC, frame ASC — the deterministic
+      * tiebreak). Padding bytes inside the DIB stride are SKIPPED —
+      * they are encoder noise, not pixels. Returns (nFrames,
+      * totalDelta, keyframe indices, their deltas), padded with
+      * -1/-1 when fewer than `k` candidate frames exist. Same
+      * validated movi walk as [[decode]]/[[resize]]. */
+    def keyframes(id: Long, b: Array[Byte], k: Int): (Int, Long, Array[Int], Array[Long]) = {
+      require(k >= 1, s"media $id: keyframes k must be >= 1")
+      val (w, h, nFrames, _, moviOff, moviEnd, _) = parseHeader(id, b)
+      val stride = (w * 3 + 3) / 4 * 4
+      val frameBytes = stride * h
+      val offs = new Array[Int](nFrames)
+      var seen = 0
+      var j = moviOff
+      while (j + 8 <= moviEnd) {
+        val ft = tag(b, j); val fs = le32(b, j + 4)
+        require(ft == "00db" && fs == frameBytes,
+          s"media $id: movi chunk $ft/$fs != 00db/$frameBytes at byte $j")
+        require(seen < nFrames,
+          s"media $id: movi holds more frames than avih's $nFrames")
+        offs(seen) = j + 8; seen += 1
+        j += 8 + fs + (fs & 1)
+      }
+      require(seen == nFrames, s"media $id: movi holds $seen frames, avih says $nFrames")
+      val deltas = new Array[Long](nFrames) // index 0 stays 0 (no predecessor)
+      var f = 1
+      while (f < nFrames) {
+        val a = offs(f - 1); val c = offs(f)
+        var d = 0L
+        var row = 0
+        while (row < h) {
+          val ra = a + row * stride; val rc = c + row * stride
+          var i = 0
+          val rowBytes = w * 3 // stop before the stride padding
+          while (i < rowBytes) {
+            d += math.abs((b(rc + i) & 0xff) - (b(ra + i) & 0xff))
+            i += 1
+          }
+          row += 1
+        }
+        deltas(f) = d
+        f += 1
+      }
+      val ranked = (1 until nFrames).sortBy(i => (-deltas(i), i))
+      val top = ranked.take(k)
+      val idx = Array.fill(k)(-1)
+      val dv = Array.fill(k)(-1L)
+      top.zipWithIndex.foreach { case (fi, r) => idx(r) = fi; dv(r) = deltas(fi) }
+      (nFrames, deltas.sum, idx, dv)
+    }
+
     /** REAL nearest-neighbor VIDEO resize: the validated movi walk
       * collects every source frame's data offset, each target frame
       * samples its source at (⌊x·w₀/w⌋, ⌊y·h₀/h⌋) — [[resizeImage]]'s
@@ -884,6 +939,28 @@ object Multimodal {
         val decoder = new AviDecoder // per-partition init, not per-row
         rows.map { case (id, bytes) => decoder.decode(id, bytes) }
       }
+  }
+
+  /** Keyframe statistics for (media_id, payload) AVI rows with the
+    * REAL [[AviDecoder.keyframes]] kernel — per-partition decoder,
+    * map-only, payloads never shuffle. One row per video:
+    * (media_id, n_frames, total_delta, kf1, kf1_delta, kf2,
+    * kf2_delta) with -1 sentinels when fewer candidates exist. */
+  def keyframeStats(media: DataFrame, k: Int = 2): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val decoder = new AviDecoder // per-partition init, not per-row
+        rows.map { case (id, bytes) =>
+          val (nf, total, idx, dv) = decoder.keyframes(id, bytes, k)
+          (id, nf.toLong, total, idx(0), dv(0),
+            if (k > 1) idx(1) else -1, if (k > 1) dv(1) else -1L)
+        }
+      }
+      .toDF("media_id", "n_frames", "total_delta",
+        "kf1", "kf1_delta", "kf2", "kf2_delta")
   }
 
   /** Resize (media_id, payload) AVI rows to `w`×`h` with the REAL

@@ -5958,6 +5958,73 @@ object ExtQueries {
       |FROM n GROUP BY grp ORDER BY grp""".stripMargin
 
   // ----------------------------------------------------------------
+  // q164_keyframes — KEYFRAME SELECTION over the real AVI kernel
+  // (AviDecoder.keyframes): per video, the frame-difference energy
+  // delta(f) = Σ_pixels Σ_channels |c_f − c_{f−1}| ranks every frame
+  // and the top-2 (delta DESC, frame ASC tiebreak) become the
+  // keyframes — the shot-cut sampling heuristic a video-curation
+  // pipeline draws training frames with. Payloads are the q110
+  // synthetic AVIs, so the oracle recomputes EVERY delta closed-form
+  // from the planted per-channel rules (mod-256 wraparound included
+  // — a kernel that diffs mod-256 instead of abs, includes the DIB
+  // stride padding, or tiebreaks descending moves a keyframe index
+  // and breaks the hash). -1 sentinels pin the nf=2 edge (one
+  // candidate frame, no second keyframe).
+  // ----------------------------------------------------------------
+  def q164Keyframes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val spec = Tables.documents(spark, dir)
+      .select(col("doc_id").as("media_id"),
+        (col("doc_id") % 5 + 4).cast("int").as("w"),
+        (col("doc_id") % 4 + 3).cast("int").as("h"),
+        (col("doc_id") % 7 + 2).cast("int").as("nf"),
+        (lit(33333) + (col("doc_id") % 3) * 8334).cast("int").as("uspf"))
+      .as[(Long, Int, Int, Int, Int)]
+    val media = spec.mapPartitions { rows =>
+      rows.map { case (id, w, h, nf, uspf) =>
+        val px = (f: Int, x: Int, y: Int) => (
+          ((3L * f + 5L * x + 7L * y + id) % 256L).toInt,
+          ((11L * f + 13L * x + 17L * y + id) % 256L).toInt,
+          ((19L * f + 23L * x + 29L * y + id) % 256L).toInt)
+        (id, graft.ext.Multimodal.encodeAvi(w, h, nf, uspf, px,
+          withJunk = id % 3 == 0))
+      }
+    }.toDF("media_id", "payload")
+    graft.ext.Multimodal.keyframeStats(media, k = 2)
+      .orderBy(col("media_id"))
+  }
+
+  val q164KeyframesSql: String =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id,
+      |         4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
+      |         2 + doc_id % 7 AS nf
+      |  FROM documents),
+      |fr AS (
+      |  SELECT media_id, w, h, nf, CAST(unnest(range(1, nf)) AS BIGINT) AS f
+      |  FROM m),
+      |dl AS (
+      |  SELECT media_id, nf, f,
+      |    CAST(list_sum(list_transform(range(w*h), i ->
+      |        abs((3*f + 5*(i % w) + 7*(i // w) + media_id) % 256
+      |          - (3*(f-1) + 5*(i % w) + 7*(i // w) + media_id) % 256)
+      |      + abs((11*f + 13*(i % w) + 17*(i // w) + media_id) % 256
+      |          - (11*(f-1) + 13*(i % w) + 17*(i // w) + media_id) % 256)
+      |      + abs((19*f + 23*(i % w) + 29*(i // w) + media_id) % 256
+      |          - (19*(f-1) + 23*(i % w) + 29*(i // w) + media_id) % 256)))
+      |      AS BIGINT) AS delta
+      |  FROM fr),
+      |rk AS (SELECT *, row_number() OVER (PARTITION BY media_id
+      |         ORDER BY delta DESC, f) AS r FROM dl)
+      |SELECT media_id, CAST(max(nf) AS BIGINT) AS n_frames,
+      |  CAST(sum(delta) AS BIGINT) AS total_delta,
+      |  CAST(max(CASE WHEN r = 1 THEN f END) AS INT) AS kf1,
+      |  CAST(max(CASE WHEN r = 1 THEN delta END) AS BIGINT) AS kf1_delta,
+      |  CAST(coalesce(max(CASE WHEN r = 2 THEN f END), -1) AS INT) AS kf2,
+      |  CAST(coalesce(max(CASE WHEN r = 2 THEN delta END), -1) AS BIGINT) AS kf2_delta
+      |FROM rk GROUP BY media_id ORDER BY media_id""".stripMargin
+
+  // ----------------------------------------------------------------
   // q99_image_decode — the REAL byte-level image kernel under the
   // driver gate (round-7 verdict #5; the decode family is no longer
   // stub-labeled): deterministic gradient images are ENCODED in a

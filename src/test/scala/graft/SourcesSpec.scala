@@ -384,6 +384,18 @@ class SourcesSpec extends AnyFunSuite {
       yield (10 * f + x).toLong).sum)
     assert(wide.last_b == (1 + 2 + 1).toLong) // px(1,2,1).b
 
+    // keyframes: constant-per-frame rule — frame levels 0, 5, 10 give
+    // equal deltas (60, 60): the tie breaks to the LOWER frame; a
+    // 2-frame video has one candidate and a -1 second slot
+    def lv(f: Int, x: Int, y: Int): (Int, Int, Int) = (5 * f, 5 * f, 5 * f)
+    val (nf3, tot3, idx3, dv3) =
+      dec.keyframes(7L, Multimodal.encodeAvi(2, 2, 3, 33333, lv), k = 2)
+    assert(nf3 == 3 && tot3 == 120L)
+    assert(idx3.toSeq == Seq(1, 2) && dv3.toSeq == Seq(60L, 60L))
+    val (nf2, _, idx2, dv2) =
+      dec.keyframes(7L, Multimodal.encodeAvi(2, 2, 2, 33333, lv), k = 2)
+    assert(nf2 == 2 && idx2.toSeq == Seq(1, -1) && dv2.toSeq == Seq(60L, -1L))
+
     // malformed payloads must THROW (quarantine path)
     val ok = Multimodal.encodeAvi(2, 2, 3, 33333, px)
     intercept[IllegalArgumentException](dec.decode(9L, "RIFXjunkAVI ".getBytes ++ new Array[Byte](40)))
