@@ -941,6 +941,58 @@ object Multimodal {
       }
   }
 
+  /** SILENCE SEGMENTATION for (media_id, payload) WAV rows — the
+    * VAD-lite pass an audio-curation pipeline drops dead air with:
+    * the PCM stream is cut into fixed `windowFrames` windows, a
+    * window is SILENT when its energy (Σ over frames and channels of
+    * sample²) is below `threshold`, and maximal runs of silent
+    * windows are the segments. One row per clip: window count,
+    * silent-window count, segment count, longest run, first silent
+    * window (-1 when none). Per-partition [[WavDecoder]] kernel,
+    * map-only, payloads never shuffle. */
+  def silenceStats(media: DataFrame, windowFrames: Int,
+                   threshold: Long): DataFrame = {
+    require(windowFrames >= 1, s"silenceStats: windowFrames must be >= 1")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val decoder = new WavDecoder // per-partition init, not per-row
+        rows.map { case (id, bytes) =>
+          val p = decoder.pcm(id, bytes)
+          val nWin = (p.nFrames + windowFrames - 1) / windowFrames
+          var silent = 0L; var segments = 0L; var longest = 0L
+          var run = 0L; var firstSilent = -1L
+          var w = 0
+          while (w < nWin) {
+            var e = 0L
+            var f = w * windowFrames
+            val end = math.min(f + windowFrames, p.nFrames)
+            while (f < end) {
+              var c = 0
+              while (c < p.nChannels) {
+                val s = p.sample(f, c).toLong
+                e += s * s
+                c += 1
+              }
+              f += 1
+            }
+            if (e < threshold) {
+              silent += 1; run += 1
+              if (run == 1L) segments += 1
+              if (run > longest) longest = run
+              if (firstSilent < 0L) firstSilent = w.toLong
+            } else run = 0L
+            w += 1
+          }
+          (id, nWin.toLong, silent, segments, longest, firstSilent)
+        }
+      }
+      .toDF("media_id", "n_windows", "n_silent", "n_segments",
+        "longest_run", "first_silent")
+  }
+
   /** Keyframe statistics for (media_id, payload) AVI rows with the
     * REAL [[AviDecoder.keyframes]] kernel — per-partition decoder,
     * map-only, payloads never shuffle. One row per video:

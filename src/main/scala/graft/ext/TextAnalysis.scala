@@ -106,6 +106,27 @@ object TextAnalysis {
   def htmlLinkCount(html: Column): Column =
     regexp_count(html, lit("(?i)<a[ \\t\\n\\r\\f/>]")).cast("long")
 
+  /** Invisible-character class: zero-widths (ZWSP/ZWNJ/ZWJ), the BOM
+    * (which doubles as ZWNBSP mid-text), the soft hyphen, and the C0
+    * controls EXCEPT tab/newline/carriage-return. Copy-pasted web
+    * text is full of these; they poison exact-hash dedup (two
+    * visually identical documents hash apart), inflate token counts,
+    * and leak into training text as garbage codepoints. Explicit
+    * code-point class — identical under java.regex and RE2, so the
+    * oracle runs the same pattern (the stripHtml parity discipline). */
+  private val InvisibleClass =
+    "[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}\\x{00AD}\\x{0000}-\\x{0008}\\x{000B}\\x{000C}\\x{000E}-\\x{001F}]"
+
+  /** Strip invisible characters (see [[InvisibleClass]]). Map-only
+    * codegen'd regexp, no shuffle. */
+  def stripInvisible(text: Column): Column =
+    regexp_replace(text, InvisibleClass, "")
+
+  /** How many invisible characters the text carries — the detector
+    * half (quarantine-report metric) of [[stripInvisible]]. */
+  def invisibleCount(text: Column): Column =
+    regexp_count(text, lit(InvisibleClass)).cast("long")
+
   /** All character trigrams of an ALREADY-NORMALIZED text column, in
     * position order (occurrences, not distinct — coverage weights
     * repeated trigrams). Map-only HOF; empty array below 3 characters.

@@ -6025,6 +6025,116 @@ object ExtQueries {
       |FROM rk GROUP BY media_id ORDER BY media_id""".stripMargin
 
   // ----------------------------------------------------------------
+  // q165_invisible_strip — INVISIBLE-CHARACTER cleanup
+  // (TextAnalysis.stripInvisible/invisibleCount): zero-widths, BOM,
+  // soft hyphen and C0 controls (except \t\n\r) are injected per
+  // doc-residue and must strip — the copy-paste garbage that makes
+  // two visually identical documents hash apart in exact dedup. The
+  // oracle builds the SAME payloads with chr() codepoints and runs
+  // the SAME explicit code-point class (java.regex/RE2-identical, the
+  // stripHtml parity discipline); counts come from the length delta
+  // so both engines' notions must agree char-for-char, and clean_ok
+  // pins that stripping recovers exactly the uninjected text.
+  // ----------------------------------------------------------------
+  def q165InvisibleStrip(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.TextAnalysis
+    val grp = (col("doc_id") % 4).cast("long")
+    val inj = when(grp === 0, lit("​​"))
+      .when(grp === 1, lit("﻿"))
+      .when(grp === 2, lit("­"))
+      .otherwise(lit(""))
+    val base = substring(col("text"), 1, 30)
+    val payload = concat(base, inj, lit("end"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), grp.as("grp"), base.as("b"), payload.as("p"))
+      .withColumn("clean", TextAnalysis.stripInvisible(col("p")))
+      .withColumn("cnt", TextAnalysis.invisibleCount(col("p")))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("cnt")).as("n_invisible"),
+        sum(length(col("p"))).as("len_before"),
+        sum(length(col("clean"))).as("len_after"),
+        sum(when(col("clean") === concat(col("b"), lit("end")), 1L)
+          .otherwise(0L)).as("clean_ok"))
+      .orderBy(col("grp"))
+  }
+
+  val q165InvisibleStripSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, doc_id % 4 AS grp, substr(text, 1, 30) AS b,
+      |    substr(text, 1, 30) ||
+      |      CASE doc_id % 4 WHEN 0 THEN chr(8203) || chr(8203)
+      |                      WHEN 1 THEN chr(65279) || chr(7)
+      |                      WHEN 2 THEN chr(173) ELSE '' END || 'end' AS p
+      |  FROM documents),
+      |n AS (
+      |  SELECT doc_id, grp, b, p,
+      |    regexp_replace(p,
+      |      '[\x{200B}\x{200C}\x{200D}\x{FEFF}\x{00AD}\x{0000}-\x{0008}\x{000B}\x{000C}\x{000E}-\x{001F}]',
+      |      '', 'g') AS clean
+      |  FROM d)
+      |SELECT grp, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(length(p) - length(clean)) AS BIGINT) AS n_invisible,
+      |  CAST(sum(length(p)) AS BIGINT) AS len_before,
+      |  CAST(sum(length(clean)) AS BIGINT) AS len_after,
+      |  CAST(sum(CASE WHEN clean = b || 'end' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS clean_ok
+      |FROM n GROUP BY grp ORDER BY grp""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q166_silence_spans — AUDIO SILENCE SEGMENTATION over the real
+  // WAV kernel (Multimodal.silenceStats): PCM windows of 16 frames,
+  // silent when window energy < 1000; the synthetic clips plant
+  // 2-window silent runs every 5 windows (quiet samples in {-1,0,1},
+  // loud ~100+), mono/stereo by parity. The oracle replays the
+  // window rule and runs a gaps-and-islands pass over the silent
+  // windows — window counts, silent mass, SEGMENT count, longest
+  // run, first silent window all hash cross-engine; an off-by-one
+  // window split, an energy accumulated per-channel wrong, or a run
+  // reset missed each moves a column.
+  // ----------------------------------------------------------------
+  def q166SilenceSpans(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val spec = Tables.documents(spark, dir)
+      .select(col("doc_id").as("media_id"),
+        (lit(64) + (col("doc_id") % 5) * 16).cast("int").as("nf"),
+        (lit(1) + col("doc_id") % 2).cast("int").as("ch"))
+      .as[(Long, Int, Int)]
+    val media = spec.mapPartitions { rows =>
+      rows.map { case (id, nf, ch) =>
+        val sample = (f: Int, c: Int) =>
+          if ((f / 16) % 5 < 2) (f % 3) - 1
+          else (100 + (f + 7 * c + id) % 50).toInt
+        (id, graft.ext.Multimodal.encodeWav(ch, 16000, nf, sample))
+      }
+    }.toDF("media_id", "payload")
+    graft.ext.Multimodal.silenceStats(media, windowFrames = 16, threshold = 1000L)
+      .orderBy(col("media_id"))
+  }
+
+  val q166SilenceSpansSql: String =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id, (64 + (doc_id % 5) * 16) // 16 AS nw
+      |  FROM documents),
+      |ws AS (SELECT media_id, CAST(unnest(range(nw)) AS BIGINT) AS w, nw FROM m),
+      |sil AS (SELECT media_id, w, nw FROM ws WHERE w % 5 < 2),
+      |isl AS (SELECT media_id, w,
+      |          w - row_number() OVER (PARTITION BY media_id ORDER BY w) AS g
+      |        FROM sil),
+      |seg AS (SELECT media_id, g, CAST(count(*) AS BIGINT) AS len
+      |        FROM isl GROUP BY media_id, g)
+      |SELECT m.media_id, CAST(m.nw AS BIGINT) AS n_windows,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM isl WHERE isl.media_id = m.media_id)
+      |    AS n_silent,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM seg WHERE seg.media_id = m.media_id)
+      |    AS n_segments,
+      |  (SELECT CAST(max(len) AS BIGINT) FROM seg WHERE seg.media_id = m.media_id)
+      |    AS longest_run,
+      |  (SELECT CAST(min(w) AS BIGINT) FROM sil WHERE sil.media_id = m.media_id)
+      |    AS first_silent
+      |FROM m ORDER BY m.media_id""".stripMargin
+
+  // ----------------------------------------------------------------
   // q99_image_decode — the REAL byte-level image kernel under the
   // driver gate (round-7 verdict #5; the decode family is no longer
   // stub-labeled): deterministic gradient images are ENCODED in a
