@@ -941,6 +941,89 @@ object Multimodal {
       }
   }
 
+  /** PERCEPTUAL IMAGE HASH (dHash) for (media_id, payload) image
+    * rows — the visual analog of SimHash: the raster is NN-resampled
+    * to a 9×8 luma grid (luma = r+g+b, integer), and bit (x, y) says
+    * whether brightness RISES left-to-right at that cell
+    * (lum[x+1] > lum[x]) — 64 gradient-direction bits that survive
+    * re-encoding, format changes and small edits, which is exactly
+    * what byte-level exact dedup cannot see. Returned as two 32-bit
+    * halves (`h_hi`, `h_lo` — nonnegative longs, so XOR/bit_count
+    * replay in any engine without sign traps). Per-partition
+    * [[PixelDecoder]] kernel; payloads never shuffle. */
+  def dHashes(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val decoder = new PixelDecoder // per-partition init, not per-row
+        rows.map { case (id, bytes) =>
+          val r = decoder.raster(id, bytes)
+          val lum = Array.ofDim[Int](8, 9)
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 9) {
+              val sx = x * r.w / 9
+              val sy = y * r.h / 8
+              lum(y)(x) = r.channel(sx, sy, 0) + r.channel(sx, sy, 1) +
+                r.channel(sx, sy, 2)
+              x += 1
+            }
+            y += 1
+          }
+          var hi = 0L; var lo = 0L
+          var bit = 0
+          y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              if (lum(y)(x + 1) > lum(y)(x)) {
+                if (bit < 32) lo |= 1L << bit else hi |= 1L << (bit - 32)
+              }
+              bit += 1
+              x += 1
+            }
+            y += 1
+          }
+          (id, hi, lo)
+        }
+      }
+      .toDF("media_id", "h_hi", "h_lo")
+  }
+
+  /** Near-duplicate IMAGE pairs by dHash hamming distance ≤
+    * `maxHamming` — banded exact-match candidate generation, never
+    * all-pairs: the 64 bits split into four 16-bit bands, and by
+    * pigeonhole any pair within hamming 3 agrees EXACTLY on at least
+    * one band (4 bands, ≤3 flipped bits), so a band-keyed equi-join
+    * finds every qualifying pair and the exact popcount filter
+    * discards the rest. The 100 TB shape: ids+bands shuffle, pixels
+    * never do. */
+  def nearDupImages(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"nearDupImages: 4-band pigeonhole covers hamming <= 3, got $maxHamming")
+    val banded = hashes.select(col("media_id"), col("h_hi"), col("h_lo"),
+      posexplode(array(
+        pmod(col("h_lo"), lit(65536L)),
+        (col("h_lo") / 65536L).cast("long"),
+        pmod(col("h_hi"), lit(65536L)),
+        (col("h_hi") / 65536L).cast("long")))
+        .as(Seq("band_idx", "band_val")))
+    val a = banded.select(col("media_id").as("id_a"), col("h_hi").as("__ha"),
+      col("h_lo").as("__la"), col("band_idx"), col("band_val"))
+    val b = banded.select(col("media_id").as("id_b"), col("h_hi").as("__hb"),
+      col("h_lo").as("__lb"), col("band_idx"), col("band_val"))
+    a.join(b, Seq("band_idx", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (bit_count(col("__ha").bitwiseXOR(col("__hb"))) +
+          bit_count(col("__la").bitwiseXOR(col("__lb")))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct() // a pair agreeing on several bands collapses to one row
+  }
+
   /** SILENCE SEGMENTATION for (media_id, payload) WAV rows — the
     * VAD-lite pass an audio-curation pipeline drops dead air with:
     * the PCM stream is cut into fixed `windowFrames` windows, a

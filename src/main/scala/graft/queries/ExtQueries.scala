@@ -6135,6 +6135,92 @@ object ExtQueries {
       |FROM m ORDER BY m.media_id""".stripMargin
 
   // ----------------------------------------------------------------
+  // q167_image_neardup — PERCEPTUAL IMAGE NEAR-DUP (dHash +
+  // banded pairs): each even id gets an id-specific gradient image
+  // (BMP), each odd id the SAME gradient re-encoded as PPM with a
+  // one-pixel perturbation — the byte-level-different, visually-
+  // identical pair exact dedup cannot see. Multimodal.dHashes
+  // NN-resamples every raster to a 9×8 luma grid and packs 64
+  // gradient-direction bits; nearDupImages finds all pairs within
+  // hamming 3 via the 4×16-bit band join (pigeonhole-complete, never
+  // all-pairs). The oracle recomputes every hash closed-form from
+  // the planted rules (lead() over the luma grid, bit packing via
+  // shifts) and every qualifying pair via xor+bit_count — a resample
+  // rounding slip, a bit-order flip, or a band join that misses a
+  // pair all break the exact pair list. Both formats feed ONE hash,
+  // so the BMP/PPM layout quirks must cancel exactly.
+  // ----------------------------------------------------------------
+  def q167ImageNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val spec = Tables.documents(spark, dir)
+      .select(col("doc_id").as("media_id"))
+      .as[Long]
+    val media = spec.mapPartitions { rows =>
+      rows.map { id =>
+        val rid = id - (id % 2)
+        val w = (16 + rid % 9).toInt
+        val h = (12 + rid % 7).toInt
+        val a = 3 + rid % 7
+        val b2 = 5 + rid % 5
+        val odd = id % 2 == 1
+        val px = (x: Int, y: Int) => {
+          val base = a * x + b2 * y + rid
+          val pert = if (odd && x == 1 && y == 1) 1L else 0L
+          (((base + pert) % 256L).toInt, ((base + 85L) % 256L).toInt,
+            ((base + 170L) % 256L).toInt)
+        }
+        val bytes =
+          if (odd) graft.ext.Multimodal.encodePpm(w, h, px)
+          else graft.ext.Multimodal.encodeBmp(w, h, px)
+        (id, bytes)
+      }
+    }.toDF("media_id", "payload")
+    graft.ext.Multimodal
+      .nearDupImages(graft.ext.Multimodal.dHashes(media), maxHamming = 3)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val q167ImageNearDupSql: String =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id, doc_id - doc_id % 2 AS rid,
+      |         doc_id % 2 = 1 AS odd
+      |  FROM documents),
+      |grid AS (
+      |  SELECT media_id, rid, odd,
+      |         16 + rid % 9 AS w, 12 + rid % 7 AS h,
+      |         CAST(yy.y AS BIGINT) AS y, CAST(xx.x AS BIGINT) AS x
+      |  FROM m, (SELECT unnest(range(8)) AS y) yy,
+      |       (SELECT unnest(range(9)) AS x) xx),
+      |l AS (
+      |  SELECT media_id, y, x,
+      |    ((3 + rid % 7) * (x * w // 9) + (5 + rid % 5) * (y * h // 8) + rid
+      |       + CASE WHEN odd AND x * w // 9 = 1 AND y * h // 8 = 1
+      |              THEN 1 ELSE 0 END) % 256
+      |    + ((3 + rid % 7) * (x * w // 9) + (5 + rid % 5) * (y * h // 8) + rid
+      |       + 85) % 256
+      |    + ((3 + rid % 7) * (x * w // 9) + (5 + rid % 5) * (y * h // 8) + rid
+      |       + 170) % 256 AS lum
+      |  FROM grid),
+      |bt AS (SELECT media_id, y, x, lum,
+      |         lead(lum) OVER (PARTITION BY media_id, y ORDER BY x) AS nxt
+      |       FROM l),
+      |bits AS (SELECT media_id, y * 8 + x AS bit FROM bt
+      |         WHERE x < 8 AND nxt > lum),
+      |hs AS (
+      |  SELECT m.media_id,
+      |    coalesce((SELECT sum(1::BIGINT << CAST(bit - 32 AS INT)) FROM bits
+      |              WHERE bits.media_id = m.media_id AND bit >= 32), 0) AS h_hi,
+      |    coalesce((SELECT sum(1::BIGINT << CAST(bit AS INT)) FROM bits
+      |              WHERE bits.media_id = m.media_id AND bit < 32), 0) AS h_lo
+      |  FROM m)
+      |SELECT a.media_id AS id_a, b.media_id AS id_b,
+      |  CAST(bit_count(xor(a.h_hi, b.h_hi)) + bit_count(xor(a.h_lo, b.h_lo))
+      |    AS BIGINT) AS hamming
+      |FROM hs a JOIN hs b ON a.media_id < b.media_id
+      |WHERE bit_count(xor(a.h_hi, b.h_hi)) + bit_count(xor(a.h_lo, b.h_lo)) <= 3
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // ----------------------------------------------------------------
   // q99_image_decode — the REAL byte-level image kernel under the
   // driver gate (round-7 verdict #5; the decode family is no longer
   // stub-labeled): deterministic gradient images are ENCODED in a
