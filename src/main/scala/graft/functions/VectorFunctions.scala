@@ -208,6 +208,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           intLit(args(2), "numBands"), intLit(args(3), "r"))
       }))
     TextNormalize.inject(ext)
+    GraphemeCountFns.inject(ext)
   }
 }
 

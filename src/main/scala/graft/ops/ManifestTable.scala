@@ -207,9 +207,12 @@ object ManifestTable {
     }
     // Bloom index build reads the JUST-WRITTEN batch back (a
     // column-pruned scan of only partitionCol + the bloom columns) —
-    // cheaper than re-evaluating the merge plan a second time.
+    // cheaper than re-evaluating the merge plan a second time. An
+    // EMPTY batch (e.g. a delete that dropped every touched partition
+    // wholesale) wrote no parquet files, so there is nothing to read
+    // — and nothing to index.
     val blooms =
-      if (bloomColumns.isEmpty) Map.empty[String, Seq[String]]
+      if (bloomColumns.isEmpty || newEntries.isEmpty) Map.empty[String, Seq[String]]
       else collectBlooms(spark.read.parquet(s"$path/$batch"), partitionCol,
         bloomColumns, bloomBits)
     commitPlan(fs, plan, partitionCol, newEntries, retainVersions, statsColumns, props,

@@ -6135,6 +6135,50 @@ object ExtQueries {
       |FROM m ORDER BY m.media_id""".stripMargin
 
   // ----------------------------------------------------------------
+  // q168_grapheme_length — GRAPHEME-CLUSTER LENGTH as a native
+  // codegen'd expression (graft_grapheme_count): the length a length
+  // filter should actually measure — combining-mark text looks up to
+  // 2× "longer" in codepoints than in user-perceived characters,
+  // and a character-budget chunker slices inside a grapheme. Each
+  // doc-residue gets a suffix with a known grapheme/codepoint gap;
+  // the oracle measures the SAME payloads with DuckDB's own
+  // length_grapheme vs length — the JDK BreakIterator and DuckDB's
+  // UAX#29 tables must agree on every combining sequence or a
+  // per-group sum drifts.
+  // ----------------------------------------------------------------
+  def q168GraphemeLength(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraphemeCountFns
+    val grp = (col("doc_id") % 3).cast("long")
+    val suffix = when(grp === 0, lit("éä")) // 2 graphemes, 4 chars
+      .when(grp === 1, lit("x́̈"))            // 1 grapheme, 3 chars
+      .otherwise(lit(""))
+    val payload = concat(substring(col("text"), 1, 20), suffix)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), grp.as("grp"), payload.as("p"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("p"))).as("sum_chars"),
+        sum(GraphemeCountFns.graphemeCount(col("p"))).as("sum_graphemes"))
+      .withColumn("gap", col("sum_chars") - col("sum_graphemes"))
+      .orderBy(col("grp"))
+  }
+
+  val q168GraphemeLengthSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, doc_id % 3 AS grp,
+      |    substr(text, 1, 20) ||
+      |      CASE doc_id % 3
+      |        WHEN 0 THEN 'e' || chr(769) || 'a' || chr(776)
+      |        WHEN 1 THEN 'x' || chr(769) || chr(776)
+      |        ELSE '' END AS p
+      |  FROM documents)
+      |SELECT grp, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(length(p)) AS BIGINT) AS sum_chars,
+      |  CAST(sum(length_grapheme(p)) AS BIGINT) AS sum_graphemes,
+      |  CAST(sum(length(p)) - sum(length_grapheme(p)) AS BIGINT) AS gap
+      |FROM d GROUP BY grp ORDER BY grp""".stripMargin
+
+  // ----------------------------------------------------------------
   // q167_image_neardup — PERCEPTUAL IMAGE NEAR-DUP (dHash +
   // banded pairs): each even id gets an id-specific gradient image
   // (BMP), each odd id the SAME gradient re-encoded as PPM with a

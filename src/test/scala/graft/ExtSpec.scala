@@ -964,6 +964,18 @@ class ExtSpec extends AnyFunSuite {
     assert(ranged.as[String].collect().forall(_.startsWith("é")))
   }
 
+  test("GraphemeCount: combining sequences count as one user-perceived char; " +
+    "ASCII equals codepoints; codegen'd") {
+    import graft.functions.GraphemeCountFns.graphemeCount
+    val df = Seq("plain", "éä", "x́̈", "").toDF("s")
+    val got = df.select(length($"s").cast("long"), graphemeCount($"s"))
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((5L, 5L), (4L, 2L), (3L, 1L), (0L, 0L)))
+    val ranged = spark.range(3).select(graphemeCount(concat(lit("é"), $"id".cast("string"))))
+    assert(ranged.queryExecution.executedPlan.toString.contains("*(1) Project"))
+    assert(ranged.as[Long].collect().toSeq == Seq(2L, 2L, 2L))
+  }
+
   test("Stats.exactQuantilesPermille: discrete lower-quantile hand-cases incl. " +
     "heavy duplicates and the exact-boundary rank") {
     import graft.ext.Stats

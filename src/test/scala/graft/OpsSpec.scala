@@ -1360,5 +1360,22 @@ class MergeSpec extends AnyFunSuite {
       rows.map(r => (r._1, r._3)))
   }
 
+  test("ManifestTable: an EMPTY batch under bloomColumns commits cleanly (a " +
+    "wholesale partition drop has no files to bloom-index)") {
+    import graft.ops.ManifestTable
+    val path = java.nio.file.Files.createTempDirectory("graft-emptybloom").toString + "/t"
+    val rows = Seq((1L, ts("2024-01-01"), 1.0), (2L, ts("2024-01-02"), 2.0))
+    ManifestTable.merge(spark, path, rows.toDF("id", "day", "v"), Seq("id"), "day",
+      bloomColumns = Seq("id"))
+    // delete EVERY row of day 1: the rewrite batch is empty — the
+    // bloom build used to read the file-less batch dir and die with
+    // UNABLE_TO_INFER_SCHEMA
+    val r = ManifestTable.deleteWhere(spark, path, "day", col("id") === 1L,
+      bloomColumns = Seq("id"))
+    assert(r.committed && r.partitionsDropped == 1L)
+    assert(ManifestTable.read(spark, path).select("id").as[Long].collect().toSeq ==
+      Seq(2L))
+  }
+
   private def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
 }
