@@ -73,6 +73,30 @@ object Curate {
         expr(s"substring($textCol, offset, $maxChars)").as("chunk"))
   }
 
+  /** OVERLAPPING chunking — the RAG / retrieval-index standard where
+    * [[chunk]]'s disjoint slices lose the sentences that straddle a
+    * boundary: windows of `size` chars start every `stride` chars
+    * (stride < size ⇒ `size - stride` chars of overlap), and the last
+    * window starts at the final stride position that still has text.
+    * Window count = 1 + max(0, ⌈(len − size)/stride⌉) — one window
+    * covers a short doc whole, and no window is a pure suffix of its
+    * predecessor. Map-only explode; no shuffle. */
+  def chunkOverlap(df: DataFrame, size: Int, stride: Int,
+                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(size >= 1, s"chunkOverlap: size must be >= 1, got $size")
+    require(stride >= 1 && stride <= size,
+      s"chunkOverlap: stride must be in [1, size], got $stride")
+    df.filter(length(col(textCol)) > 0)
+      .withColumn("__n",
+        expr(s"1 + greatest(0L, (length($textCol) - $size + ${stride - 1}) " +
+          s"div $stride)"))
+      .select(col(idCol), col(textCol),
+        explode(expr("sequence(0, __n - 1)")).as("chunk_id"))
+      .withColumn("offset", col("chunk_id") * stride + 1)
+      .select(col(idCol), col("chunk_id"), col("offset"),
+        expr(s"substring($textCol, offset, $size)").as("chunk"))
+  }
+
   /** [[hashBucket]] with a salt, so independent sampling decisions
     * (split vs mixture) are uncorrelated — sharing one hash would
     * drop all of a key's mixture losses from the same split region. */

@@ -1001,9 +1001,15 @@ object Multimodal {
     * finds every qualifying pair and the exact popcount filter
     * discards the rest. The 100 TB shape: ids+bands shuffle, pixels
     * never do. */
-  def nearDupImages(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def nearDupImages(hashes: DataFrame, maxHamming: Int = 3): DataFrame =
+    nearDupByHash(hashes, maxHamming)
+
+  /** The banded pair search behind [[nearDupImages]] — generic over
+    * ANY (media_id, h_hi, h_lo) 64-bit perceptual hash frame
+    * ([[dHashes]], [[audioFingerprints]]). */
+  def nearDupByHash(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
-      s"nearDupImages: 4-band pigeonhole covers hamming <= 3, got $maxHamming")
+      s"nearDupByHash: 4-band pigeonhole covers hamming <= 3, got $maxHamming")
     val banded = hashes.select(col("media_id"), col("h_hi"), col("h_lo"),
       posexplode(array(
         pmod(col("h_lo"), lit(65536L)),
@@ -1022,6 +1028,59 @@ object Multimodal {
           bit_count(col("__la").bitwiseXOR(col("__lb")))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct() // a pair agreeing on several bands collapses to one row
+  }
+
+  /** AUDIO FINGERPRINT for (media_id, payload) WAV rows — the
+    * temporal analog of [[dHashes]] (chromaprint's core idea reduced
+    * to its deterministic skeleton): the clip is cut into 65
+    * EQUAL-COUNT windows (window i covers frames [i·F/65, (i+1)·F/65)
+    * — length-normalizing, so re-sampled copies of one recording
+    * still align), each window's energy is Σ sample² over frames and
+    * channels, and bit i says whether energy RISES window-to-window
+    * (e[i+1] > e[i]) — 64 loudness-envelope-direction bits robust to
+    * gain changes in the same way dHash is robust to brightness.
+    * Same (media_id, h_hi, h_lo) shape, so [[nearDupByHash]] finds
+    * near-dup audio pairs with the identical banded join.
+    * Per-partition [[WavDecoder]] kernel; payloads never shuffle. */
+  def audioFingerprints(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val decoder = new WavDecoder // per-partition init, not per-row
+        rows.map { case (id, bytes) =>
+          val p = decoder.pcm(id, bytes)
+          val e = new Array[Long](65)
+          var w = 0
+          while (w < 65) {
+            var f = (w.toLong * p.nFrames / 65).toInt
+            val end = ((w + 1).toLong * p.nFrames / 65).toInt
+            var acc = 0L
+            while (f < end) {
+              var c = 0
+              while (c < p.nChannels) {
+                val s = p.sample(f, c).toLong
+                acc += s * s
+                c += 1
+              }
+              f += 1
+            }
+            e(w) = acc
+            w += 1
+          }
+          var hi = 0L; var lo = 0L
+          var bit = 0
+          while (bit < 64) {
+            if (e(bit + 1) > e(bit)) {
+              if (bit < 32) lo |= 1L << bit else hi |= 1L << (bit - 32)
+            }
+            bit += 1
+          }
+          (id, hi, lo)
+        }
+      }
+      .toDF("media_id", "h_hi", "h_lo")
   }
 
   /** SILENCE SEGMENTATION for (media_id, payload) WAV rows — the

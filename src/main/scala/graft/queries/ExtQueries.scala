@@ -6179,6 +6179,133 @@ object ExtQueries {
       |FROM d GROUP BY grp ORDER BY grp""".stripMargin
 
   // ----------------------------------------------------------------
+  // q170_chunk_overlap — OVERLAPPING (sliding-window) CHUNKING
+  // (Curate.chunkOverlap): size-120 windows every 80 chars — the RAG
+  // indexing standard where disjoint slices lose boundary-straddling
+  // sentences. The gate pins the window-count formula, the total
+  // chunk mass, and EXACT RECONSTRUCTION: the original text must
+  // equal chunk 0 plus each later chunk's non-overlap suffix — an
+  // off-by-one in offset, stride, or the last-window rule breaks a
+  // doc's reassembly, counted per group and recomputed by the same
+  // construction in SQL.
+  // ----------------------------------------------------------------
+  def q170ChunkOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val size = 120
+    val stride = 80
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val ch = graft.ext.Curate.chunkOverlap(docs, size, stride)
+    val re = ch
+      .withColumn("piece",
+        when(col("chunk_id") === 0, col("chunk"))
+          .otherwise(expr(s"substring(chunk, ${size - stride + 1})")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(length(col("chunk"))).as("chunk_chars"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("chunk_id"), col("piece")))),
+          x => x.getField("piece")), "").as("reassembled"))
+    re.join(docs, Seq("doc_id"))
+      .groupBy((col("doc_id") % 7).as("grp"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chunks")).as("n_chunks"),
+        sum(col("chunk_chars")).as("sum_chunk_chars"),
+        sum(when(col("reassembled") === col("text"), 1L).otherwise(0L)).as("n_ok"))
+      .orderBy(col("grp"))
+  }
+
+  val q170ChunkOverlapSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text, length(text) AS len FROM documents
+      |  WHERE length(text) > 0),
+      |n AS (SELECT doc_id, text, len,
+      |        1 + greatest(0, (len - 120 + 79) // 80) AS nc FROM d),
+      |c AS (
+      |  SELECT doc_id, text, CAST(ci.i AS BIGINT) AS chunk_id,
+      |         substr(text, CAST(ci.i * 80 + 1 AS BIGINT), 120) AS chunk
+      |  FROM n, LATERAL (SELECT unnest(range(nc)) AS i) ci),
+      |re AS (
+      |  SELECT doc_id,
+      |    CAST(count(*) AS BIGINT) AS n_chunks,
+      |    CAST(sum(length(chunk)) AS BIGINT) AS chunk_chars,
+      |    string_agg(CASE WHEN chunk_id = 0 THEN chunk
+      |                    ELSE substr(chunk, 41) END, '' ORDER BY chunk_id)
+      |      AS reassembled
+      |  FROM c GROUP BY doc_id)
+      |SELECT re.doc_id % 7 AS grp, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_chunks) AS BIGINT) AS n_chunks,
+      |  CAST(sum(chunk_chars) AS BIGINT) AS sum_chunk_chars,
+      |  CAST(sum(CASE WHEN reassembled = d.text THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_ok
+      |FROM re JOIN d ON re.doc_id = d.doc_id
+      |GROUP BY grp ORDER BY grp""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q169_audio_neardup — PERCEPTUAL AUDIO NEAR-DUP
+  // (Multimodal.audioFingerprints + nearDupByHash): each even id gets
+  // an id-specific loudness envelope, each odd id the SAME envelope
+  // with a one-sample perturbation — the re-encoded copy exact
+  // byte dedup cannot see. The fingerprint is 64 energy-direction
+  // bits over 65 equal-count windows (length-normalizing), and the
+  // SAME 4×16-band join as q167 finds every pair within hamming 3.
+  // The oracle recomputes window energies, the lead() bit chain, the
+  // shift packing and every qualifying pair closed-form — an
+  // off-by-one window boundary, a sign slip in the energy, or a band
+  // join miss each breaks the exact pair list.
+  // ----------------------------------------------------------------
+  def q169AudioNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val spec = Tables.documents(spark, dir)
+      .select(col("doc_id").as("media_id"))
+      .as[Long]
+    val media = spec.mapPartitions { rows =>
+      rows.map { id =>
+        val rid = id - (id % 2)
+        val nf = (260 + (rid % 5) * 65).toInt
+        val odd = id % 2 == 1
+        val sample = (f: Int, c: Int) => {
+          val base = ((rid % 7 + 1) * (f / 16 + 1) + (3L * f) % 7) % 40
+          (base + (if (odd && f == 3) 1L else 0L)).toInt
+        }
+        (id, graft.ext.Multimodal.encodeWav(1, 16000, nf, sample))
+      }
+    }.toDF("media_id", "payload")
+    graft.ext.Multimodal
+      .nearDupByHash(graft.ext.Multimodal.audioFingerprints(media), maxHamming = 3)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val q169AudioNearDupSql: String =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id, doc_id - doc_id % 2 AS rid,
+      |         doc_id % 2 = 1 AS odd,
+      |         (260 + (doc_id - doc_id % 2) % 5 * 65) // 65 AS k
+      |  FROM documents),
+      |en AS (
+      |  SELECT media_id, CAST(w.w AS BIGINT) AS w,
+      |    list_sum(list_transform(range(w.w * k, (w.w + 1) * k), f ->
+      |      (((rid % 7 + 1) * (f // 16 + 1) + (3 * f) % 7) % 40
+      |        + CASE WHEN odd AND f = 3 THEN 1 ELSE 0 END)
+      |      * (((rid % 7 + 1) * (f // 16 + 1) + (3 * f) % 7) % 40
+      |        + CASE WHEN odd AND f = 3 THEN 1 ELSE 0 END))) AS e
+      |  FROM m, (SELECT unnest(range(65)) AS w) w),
+      |bt AS (SELECT media_id, w, e,
+      |         lead(e) OVER (PARTITION BY media_id ORDER BY w) AS nxt FROM en),
+      |bits AS (SELECT media_id, w AS bit FROM bt WHERE w < 64 AND nxt > e),
+      |hs AS (
+      |  SELECT m.media_id,
+      |    coalesce((SELECT sum(1::BIGINT << CAST(bit - 32 AS INT)) FROM bits
+      |              WHERE bits.media_id = m.media_id AND bit >= 32), 0) AS h_hi,
+      |    coalesce((SELECT sum(1::BIGINT << CAST(bit AS INT)) FROM bits
+      |              WHERE bits.media_id = m.media_id AND bit < 32), 0) AS h_lo
+      |  FROM m)
+      |SELECT a.media_id AS id_a, b.media_id AS id_b,
+      |  CAST(bit_count(xor(a.h_hi, b.h_hi)) + bit_count(xor(a.h_lo, b.h_lo))
+      |    AS BIGINT) AS hamming
+      |FROM hs a JOIN hs b ON a.media_id < b.media_id
+      |WHERE bit_count(xor(a.h_hi, b.h_hi)) + bit_count(xor(a.h_lo, b.h_lo)) <= 3
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // ----------------------------------------------------------------
   // q167_image_neardup — PERCEPTUAL IMAGE NEAR-DUP (dHash +
   // banded pairs): each even id gets an id-specific gradient image
   // (BMP), each odd id the SAME gradient re-encoded as PPM with a
