@@ -741,4 +741,24 @@ object Dedup {
       .select(col(idCol), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1).as("span_len"))
   }
+
+  /** CANONICAL SELECTION over near-dup clusters — the decision dedup
+    * actually exists to make: which copy SURVIVES. Given cluster
+    * membership (id, component) and per-doc quality, each cluster
+    * keeps its best member — highest `qualityCol`, ties to the lowest
+    * id (the deterministic rule a re-run must reproduce, or the
+    * "same" corpus ships different survivors). Returns the membership
+    * plus `is_canonical`; non-canonical rows are the redundant copies
+    * a training export drops. One component-keyed window, no
+    * self-join. */
+  def canonicalPerCluster(clusters: DataFrame, docs: DataFrame,
+                          qualityCol: String,
+                          idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col(qualityCol).desc, col(idCol))
+    clusters.join(docs.select(col(idCol), col(qualityCol)), Seq(idCol))
+      .withColumn("__r", row_number().over(w))
+      .withColumn("is_canonical", col("__r") === 1)
+      .drop("__r")
+  }
 }

@@ -65,4 +65,51 @@ object Eval {
         sum(when(col("s") < col("threshold"), col("y")).otherwise(0L)).as("fn"),
         sum(when(col("s") < col("threshold"), lit(1L) - col("y")).otherwise(0L)).as("tn"))
   }
+
+  /** CALIBRATION (reliability-diagram) bins: does "score 0.8" mean
+    * 80% positive? Scores in [0, scaleMax] bucket into `bins`
+    * equal-width bins (the top edge closes into the last bin); each
+    * row carries the bin's row count, positive count, and score mass
+    * — all integers, so the consumer computes mean-score vs
+    * positive-rate per bin (and ECE) at whatever precision it wants
+    * while two engines agree bit-for-bit on the sufficient
+    * statistics. One hash aggregate. */
+  def calibrationBins(df: DataFrame, scoreCol: String, labelCol: String,
+                      bins: Int, scaleMax: Long): DataFrame = {
+    require(bins >= 1, s"calibrationBins: bins must be >= 1, got $bins")
+    require(scaleMax >= 1, s"calibrationBins: scaleMax must be >= 1")
+    val s = col(scoreCol).cast("long")
+    df.select(s.as("__s"), col(labelCol).cast("long").as("y"))
+      // `div` (integer division), not `/` — Column./ is DOUBLE
+      // division and would spray fractional bin ids
+      .withColumn("bin",
+        least(expr(s"__s * $bins div ${scaleMax}L"), lit(bins - 1L)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+        sum(col("__s")).as("score_mass"))
+  }
+
+  /** JOIN-KEY SKEW REPORT — the diagnostic run before a big join:
+    * per-key counts reduce to (distinct keys, total rows, max key
+    * mass, the top-k heaviest keys) so the caller sees whether one
+    * key holds 30% of the table (salt it / broadcast the other side)
+    * before the shuffle discovers it the hard way. One hash aggregate
+    * + a k-row top-k; the raw table never collects. */
+  def skewReport(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"skewReport: k must be >= 1")
+    val counts = df.groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("n"))
+    val stats = counts.agg(count(lit(1)).as("n_keys"), sum(col("n")).as("n_rows"),
+      max(col("n")).as("max_key_rows"))
+    // orderBy+limit plans as TakeOrderedAndProject — per-partition
+    // top-k then a k-row driver merge, never a global sort; the rank
+    // window then runs over k rows only.
+    val top = counts.orderBy(col("n").desc, col("key")).limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("key"))
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .crossJoin(broadcast(stats))
+      .select(col("rank"), col("key"), col("n"),
+        col("n_keys"), col("n_rows"), col("max_key_rows"))
+  }
 }

@@ -6179,6 +6179,133 @@ object ExtQueries {
       |FROM d GROUP BY grp ORDER BY grp""".stripMargin
 
   // ----------------------------------------------------------------
+  // q172_calibration — RELIABILITY-DIAGRAM BINS
+  // (Eval.calibrationBins): the q152 linear ranker's scores bucket
+  // into 8 equal-width bins over [0, 8000] (top edge closed — scores above the scale clamp into the last bin), each
+  // carrying integer sufficient statistics — row count, positive
+  // count, score mass — from which mean-score-vs-positive-rate (and
+  // ECE) derive at any precision. The oracle replays the bucket rule
+  // (least(s·8//8000, 7)) and the sums; a right-open top edge or a
+  // float bucket boundary each moves a bin's mass.
+  // ----------------------------------------------------------------
+  def q172Calibration(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tokFeats = TextAnalysis.tokenStream(docs)
+      .groupBy(col("doc_id")).agg(
+        count(lit(1)).as("len"),
+        sum(when(col("tok") === "the", 1L).otherwise(0L)).as("cnt_the"))
+    val scored = docs.select(col("doc_id"), (col("lang") === "en").cast("long").as("y"))
+      .join(tokFeats, Seq("doc_id"), "left_outer")
+      .select(col("y"),
+        (coalesce(col("cnt_the"), lit(0L)) * lit(1000L) +
+          expr("coalesce(len, 0L) div 10")).as("s"))
+    graft.ext.Eval.calibrationBins(scored, "s", "y", bins = 8, scaleMax = 8000L)
+      .orderBy(col("bin"))
+  }
+
+  val q172CalibrationSql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, tok FROM (
+      |    SELECT doc_id, unnest(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS tok
+      |    FROM documents)
+      |  WHERE len(tok) > 0),
+      |tf AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS len,
+      |    CAST(sum(CASE WHEN tok = 'the' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_the
+      |  FROM tk GROUP BY doc_id),
+      |f AS (
+      |  SELECT CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y,
+      |    COALESCE(tf.cnt_the, 0) * 1000 + COALESCE(tf.len, 0) // 10 AS s
+      |  FROM documents d LEFT JOIN tf USING (doc_id))
+      |SELECT least(s * 8 // 8000, 7) AS bin,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(y) AS BIGINT) AS n_pos,
+      |  CAST(sum(s) AS BIGINT) AS score_mass
+      |FROM f GROUP BY bin ORDER BY bin""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q173_skew_report — JOIN-KEY SKEW DIAGNOSTIC (Eval.skewReport):
+  // the pre-join check that catches "one key holds 30% of the table"
+  // before the shuffle does. Per-key counts reduce to distinct-key /
+  // total / max-mass stats plus the top-3 heaviest keys; the plan is
+  // TakeOrderedAndProject (per-partition top-k + a k-row driver
+  // merge), never a global sort. Oracle replays counts and the
+  // (n DESC, key) ranking.
+  // ----------------------------------------------------------------
+  def q173SkewReport(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Eval.skewReport(Tables.events(spark, dir), "event_type", k = 3)
+      .orderBy(col("rank"))
+
+  val q173SkewReportSql: String =
+    """WITH c AS (SELECT CAST(event_type AS VARCHAR) AS key,
+      |             CAST(count(*) AS BIGINT) AS n
+      |           FROM events GROUP BY event_type),
+      |s AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+      |             CAST(sum(n) AS BIGINT) AS n_rows,
+      |             CAST(max(n) AS BIGINT) AS max_key_rows FROM c),
+      |r AS (SELECT *, row_number() OVER (ORDER BY n DESC, key) AS rank FROM c)
+      |SELECT CAST(rank AS BIGINT) AS rank, key, n, n_keys, n_rows, max_key_rows
+      |FROM r CROSS JOIN s WHERE rank <= 3 ORDER BY rank""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q171_canonical_dedup — CANONICAL SELECTION over the q44 near-dup
+  // clusters (Dedup.canonicalPerCluster): each exact-Jaccard
+  // component keeps its best member — longest text, ties to the
+  // lowest id — and the rest are the redundant copies a training
+  // export drops. The oracle re-derives the components with q44's
+  // recursive CTE, joins n_chars and replays the (quality DESC, id)
+  // window rule: per-component size, canonical id, canonical length
+  // and dropped count all hash cross-engine; an unstable tiebreak
+  // ships different survivors and breaks the gate.
+  // ----------------------------------------------------------------
+  def q171CanonicalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = Dedup.connectedComponents(
+        nearDup07(spark, dir).select(col("id_a"), col("id_b")))
+      .select(col("id").as("doc_id"), col("comp").as("component"))
+    val tagged = Dedup.canonicalPerCluster(clusters,
+      Tables.documents(spark, dir), "n_chars")
+    tagged.groupBy(col("component"))
+      .agg(count(lit(1)).as("size"),
+        max(when(col("is_canonical"), col("doc_id"))).as("canonical_id"),
+        max(when(col("is_canonical"), col("n_chars"))).as("canonical_chars"),
+        sum(when(!col("is_canonical"), 1L).otherwise(0L)).as("n_dropped"))
+      .orderBy(col("component"))
+  }
+
+  val q171CanonicalDedupSql: String =
+    """WITH RECURSIVE d AS (
+      |  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id,
+      |         list_distinct(list_transform(range(1, len(toks) - 1),
+      |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      |  FROM d WHERE len(toks) >= 3),
+      |p AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |  WHERE len(list_intersect(a.sh, b.sh)) * 1.0 / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7),
+      |e AS (SELECT id_a AS src, id_b AS dst FROM p
+      |      UNION ALL SELECT id_b, id_a FROM p),
+      |nn AS (SELECT DISTINCT src AS id FROM e),
+      |reach(src, dst) AS (
+      |  SELECT id, id FROM nn
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN e ON e.src = r.dst),
+      |comp AS (SELECT src AS doc_id, min(dst) AS component
+      |         FROM reach GROUP BY src),
+      |q AS (
+      |  SELECT comp.doc_id, component, documents.n_chars,
+      |    row_number() OVER (PARTITION BY component
+      |      ORDER BY documents.n_chars DESC, comp.doc_id) AS r
+      |  FROM comp JOIN documents ON comp.doc_id = documents.doc_id)
+      |SELECT component, CAST(count(*) AS BIGINT) AS size,
+      |  CAST(max(CASE WHEN r = 1 THEN doc_id END) AS BIGINT) AS canonical_id,
+      |  CAST(max(CASE WHEN r = 1 THEN n_chars END) AS BIGINT) AS canonical_chars,
+      |  CAST(sum(CASE WHEN r > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+      |FROM q GROUP BY component ORDER BY component""".stripMargin
+
+  // ----------------------------------------------------------------
   // q170_chunk_overlap — OVERLAPPING (sliding-window) CHUNKING
   // (Curate.chunkOverlap): size-120 windows every 80 chars — the RAG
   // indexing standard where disjoint slices lose boundary-straddling
