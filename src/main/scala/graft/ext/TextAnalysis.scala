@@ -271,6 +271,35 @@ object TextAnalysis {
       .drop("__lid_toks" +: LangMarkers.map { case (l, _) => s"__lid_s_$l" }: _*)
   }
 
+  /** MIXED-LANGUAGE DETECTION — the doc-level flag a multilingual
+    * curation pass sets before routing: language ID over the WHOLE
+    * document hides a bilingual page (boilerplate in one language,
+    * body in another — the classic scraped-site shape), so the text
+    * is chunked ([[graft.ext.Curate.chunk]] geometry) and each chunk
+    * classified independently via [[withLangId]]'s one-pass scoring;
+    * a doc whose chunks disagree is `is_mixed`. Per doc: chunk count,
+    * distinct predicted languages, the DOMINANT language (most
+    * chunks, ties to the alphabetically first — deterministic), and
+    * its chunk count. One doc-keyed exchange; chunking and scoring
+    * are map-only. */
+  def mixedLanguage(docs: DataFrame, chunkChars: Int,
+                    textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    val ch = graft.ext.Curate.chunk(docs, chunkChars, textCol, idCol)
+    val tagged = withLangId(ch, "chunk", "clang")
+    val per = tagged.groupBy(col(idCol), col("clang"))
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+      .orderBy(col("n").desc, col("clang"))
+    per.withColumn("__r", row_number().over(w))
+      .groupBy(col(idCol))
+      .agg(sum(col("n")).as("n_chunks"),
+        count(lit(1)).as("n_langs"),
+        max(when(col("__r") === 1, col("clang"))).as("dom_lang"),
+        max(when(col("__r") === 1, col("n"))).as("dom_n"))
+      .withColumn("is_mixed", col("n_langs") > 1)
+  }
+
   /** Smooth inverse document frequency: ln((n+1)/(df+1)) + 1 — the
     * sklearn-style smoothing that keeps corpus-wide terms positive.
     * Float-valued, so fine for ranking/filtering inside one engine

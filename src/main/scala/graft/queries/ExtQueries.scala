@@ -6179,6 +6179,69 @@ object ExtQueries {
       |FROM d GROUP BY grp ORDER BY grp""".stripMargin
 
   // ----------------------------------------------------------------
+  // q174_mixed_language — MIXED-LANGUAGE DETECTION
+  // (TextAnalysis.mixedLanguage): whole-doc language ID hides a
+  // bilingual page, so the text chunks (q48 geometry, 100 chars) and
+  // every chunk classifies independently; docs whose chunks disagree
+  // flag is_mixed. German marker text is PLANTED onto every 5th doc
+  // so real mixed docs exist, and the oracle replays the entire
+  // chain — chunk windows, the shared normalize/tokenize rule, the
+  // marker-hit argmax with q25's exact tie-breaking, and the
+  // dominant-language (n DESC, lang) window — per doc.
+  // ----------------------------------------------------------------
+  def q174MixedLanguage(spark: SparkSession, dir: String): DataFrame = {
+    val planted = Tables.documents(spark, dir).select(col("doc_id"),
+      when(col("doc_id") % 5 === 0,
+        concat(col("text"), lit(" der die das und ist nicht der die das und")))
+        .otherwise(col("text")).as("text"))
+    TextAnalysis.mixedLanguage(planted, chunkChars = 100)
+      .orderBy(col("doc_id"))
+  }
+
+  val q174MixedLanguageSql: String = {
+    val scoreSql = TextAnalysis.LangMarkers.map { case (lang, words) =>
+      s"CAST(len(list_filter(toks, x -> x IN (${words.map(w => s"'$w'").mkString(",")}))) AS BIGINT) AS s_$lang"
+    }.mkString(",\n    ")
+    val langs = TextAnalysis.LangMarkers.map(_._1)
+    val caseArms = (langs.zipWithIndex.map { case (lang, i) =>
+      val beatsEarlier = langs.take(i).map(l2 => s"s_$lang > s_$l2")
+      val beatsLater = langs.drop(i + 1).map(l2 => s"s_$lang >= s_$l2")
+      val cond = (beatsEarlier ++ beatsLater).mkString(" AND ")
+      s"WHEN $cond THEN '$lang'"
+    } :+ s"ELSE '${langs.head}'").mkString(" ")
+    s"""WITH p AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 5 = 0
+       |         THEN text || ' der die das und ist nicht der die das und'
+       |         ELSE text END AS text
+       |  FROM documents),
+       |d AS (SELECT doc_id, text, length(text) AS len FROM p
+       |      WHERE length(text) > 0),
+       |n AS (SELECT doc_id, text, (len + 99) // 100 AS nc FROM d),
+       |c AS (
+       |  SELECT doc_id, substr(text, CAST(ci.i * 100 + 1 AS BIGINT), 100) AS chunk
+       |  FROM n, LATERAL (SELECT unnest(range(nc)) AS i) ci),
+       |t AS (SELECT doc_id,
+       |        string_split(regexp_replace(trim(lower(chunk)), '\\s+', ' ', 'g'), ' ')
+       |          AS toks
+       |      FROM c),
+       |scored AS (SELECT doc_id,
+       |    $scoreSql
+       |  FROM t),
+       |pred AS (SELECT doc_id, CASE $caseArms END AS clang FROM scored),
+       |per AS (SELECT doc_id, clang, CAST(count(*) AS BIGINT) AS n
+       |        FROM pred GROUP BY doc_id, clang),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+       |        ORDER BY n DESC, clang) AS rk FROM per)
+       |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_chunks,
+       |  CAST(count(*) AS BIGINT) AS n_langs,
+       |  max(CASE WHEN rk = 1 THEN clang END) AS dom_lang,
+       |  CAST(max(CASE WHEN rk = 1 THEN n END) AS BIGINT) AS dom_n,
+       |  count(*) > 1 AS is_mixed
+       |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  // ----------------------------------------------------------------
   // q172_calibration — RELIABILITY-DIAGRAM BINS
   // (Eval.calibrationBins): the q152 linear ranker's scores bucket
   // into 8 equal-width bins over [0, 8000] (top edge closed — scores above the scale clamp into the last bin), each
