@@ -301,6 +301,40 @@ object Curate {
       regexp_extract(url, "^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1),
       "([^.]+\\.[^.]+)$", 1)
 
+  /** URL CANONICALIZATION — the normalization before any URL-keyed
+    * dedup: the same page arrives as `http://Site.com/a/`,
+    * `http://site.com/a?utm_source=x`, and `http://site.com:80/a#top`,
+    * and URL-exact dedup sees four documents until these collapse.
+    * Rules (each a plain string/regex op with IDENTICAL java.regex /
+    * RE2 semantics — no replacement backrefs, whose `$1` vs `\\1`
+    * syntax differs between engines):
+    *   1. drop the fragment (`#…`);
+    *   2. lowercase the scheme://host[:port] head (paths stay
+    *      case-sensitive — they are);
+    *   3. strip the scheme-default port (`:80` http, `:443` https);
+    *   4. drop tracking params (`utm_*`, `fbclid`, `gclid`) wherever
+    *      they sit in the query string, tidying separators;
+    *   5. strip one trailing `/`.
+    * Map-only codegen'd expressions; no shuffle. */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val head = regexp_extract(noFrag, "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
+    val rest = substring(noFrag, length(head) + 1, lit(1000000))
+    val lowHead = lower(head)
+    val noPort = when(lowHead.startsWith("http://") && lowHead.endsWith(":80"),
+        substring(lowHead, lit(1), length(lowHead) - 3))
+      .when(lowHead.startsWith("https://") && lowHead.endsWith(":443"),
+        substring(lowHead, lit(1), length(lowHead) - 4))
+      .otherwise(lowHead)
+    val joined = concat(noPort, rest)
+    // tracking params: mid-list (&k=v), list-head before more params
+    // (?k=v& -> ?), then a lone ?k=v
+    val t1 = regexp_replace(joined, "&(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&]*", "")
+    val t2 = regexp_replace(t1, "\\?(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&]*&", "?")
+    val t3 = regexp_replace(t2, "\\?(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&]*$", "")
+    when(t3.endsWith("/"), substring(t3, lit(1), length(t3) - 1)).otherwise(t3)
+  }
+
   /** DOMAIN-LEVEL CURATION — the CommonCrawl-pipeline step before any
     * content filter: cap every registered domain's share of the
     * corpus at `maxPerDomain` documents and drop blocked domains

@@ -6179,6 +6179,94 @@ object ExtQueries {
       |FROM d GROUP BY grp ORDER BY grp""".stripMargin
 
   // ----------------------------------------------------------------
+  // q175_url_canonical — URL CANONICALIZATION (Curate.canonicalUrl):
+  // five variants of each base URL — plain, trailing slash, utm
+  // params, fragment, UPPERCASE host with an explicit default port —
+  // must collapse to ONE canonical form, so URL-keyed dedup sees one
+  // page instead of five. The oracle replays every rule in SQL (no
+  // replacement backrefs anywhere — the $1-vs-\\1 engine divergence
+  // is designed out) and pins the canonical-group size histogram
+  // plus the exact canonical string mass; a missed rule leaves a
+  // variant stranded and moves a histogram row.
+  // ----------------------------------------------------------------
+  def q175UrlCanonical(spark: SparkSession, dir: String): DataFrame = {
+    val base = concat(lit("https://Site"), (col("doc_id") / 5).cast("long") % 50,
+      lit(".Example.com/Path"), (col("doc_id") / 5).cast("long") % 20,
+      lit("/p"), (col("doc_id") / 5).cast("long"))
+    val v = (col("doc_id") % 5).cast("long")
+    val g5 = (col("doc_id") / 5).cast("long")
+    // variant 4: lowercase HOST + explicit default port, same-case path
+    val hostPort = concat(lit("https://site"), g5 % 50,
+      lit(".example.com:443/Path"), g5 % 20, lit("/p"), g5)
+    val url = when(v === 0, base)
+      .when(v === 1, concat(base, lit("/")))
+      .when(v === 2, concat(base, lit("?utm_source=x&utm_campaign=y")))
+      .when(v === 3, concat(base, lit("#frag")))
+      .otherwise(hostPort)
+    val canon = Tables.documents(spark, dir)
+      .select(col("doc_id"), url.as("url"))
+      .withColumn("canonical", graft.ext.Curate.canonicalUrl(col("url")))
+    canon.groupBy(col("canonical"))
+      .agg(count(lit(1)).as("n_variants"))
+      .groupBy(col("n_variants"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(length(col("canonical"))).as("canon_char_mass"))
+      .orderBy(col("n_variants"))
+  }
+
+  val q175UrlCanonicalSql: String =
+    """WITH b AS (
+      |  SELECT doc_id,
+      |    'https://Site' || CAST(doc_id // 5 % 50 AS VARCHAR) ||
+      |    '.Example.com/Path' || CAST(doc_id // 5 % 20 AS VARCHAR) ||
+      |    '/p' || CAST(doc_id // 5 AS VARCHAR) AS base,
+      |    doc_id % 5 AS v
+      |  FROM documents),
+      |u AS (
+      |  SELECT doc_id,
+      |    CASE v WHEN 0 THEN base
+      |           WHEN 1 THEN base || '/'
+      |           WHEN 2 THEN base || '?utm_source=x&utm_campaign=y'
+      |           WHEN 3 THEN base || '#frag'
+      |           ELSE 'https://site' || CAST(doc_id // 5 % 50 AS VARCHAR) ||
+      |                '.example.com:443/Path' || CAST(doc_id // 5 % 20 AS VARCHAR) ||
+      |                '/p' || CAST(doc_id // 5 AS VARCHAR) END AS url
+      |  FROM b),
+      |s1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nofrag FROM u),
+      |s2 AS (
+      |  SELECT doc_id, nofrag,
+      |    regexp_extract(nofrag, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1) AS head
+      |  FROM s1),
+      |s3 AS (
+      |  SELECT doc_id,
+      |    CASE WHEN lower(head) LIKE 'http://%' AND lower(head) LIKE '%:80'
+      |           THEN substr(lower(head), 1, length(head) - 3)
+      |         WHEN lower(head) LIKE 'https://%' AND lower(head) LIKE '%:443'
+      |           THEN substr(lower(head), 1, length(head) - 4)
+      |         ELSE lower(head) END
+      |      || substr(nofrag, length(head) + 1) AS j
+      |  FROM s2),
+      |s4 AS (SELECT doc_id,
+      |         regexp_replace(j, '&(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&]*', '', 'g')
+      |           AS j FROM s3),
+      |s5 AS (SELECT doc_id,
+      |         regexp_replace(j, '\?(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&]*&', '?', 'g')
+      |           AS j FROM s4),
+      |s6 AS (SELECT doc_id,
+      |         regexp_replace(j, '\?(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&]*$', '', 'g')
+      |           AS j FROM s5),
+      |canon AS (
+      |  SELECT doc_id,
+      |    CASE WHEN j LIKE '%/' THEN substr(j, 1, length(j) - 1) ELSE j END
+      |      AS canonical
+      |  FROM s6),
+      |g AS (SELECT canonical, CAST(count(*) AS BIGINT) AS n_variants
+      |      FROM canon GROUP BY canonical)
+      |SELECT n_variants, CAST(count(*) AS BIGINT) AS n_groups,
+      |  CAST(sum(length(canonical)) AS BIGINT) AS canon_char_mass
+      |FROM g GROUP BY n_variants ORDER BY n_variants""".stripMargin
+
+  // ----------------------------------------------------------------
   // q174_mixed_language — MIXED-LANGUAGE DETECTION
   // (TextAnalysis.mixedLanguage): whole-doc language ID hides a
   // bilingual page, so the text chunks (q48 geometry, 100 chars) and

@@ -964,6 +964,23 @@ class ExtSpec extends AnyFunSuite {
     assert(ranged.as[String].collect().forall(_.startsWith("é")))
   }
 
+  test("Curate.canonicalUrl: fragments, default ports, tracking params and " +
+    "trailing slashes normalize; real params and path case survive") {
+    val cases = Seq(
+      ("HTTP://Example.COM:80/A/b/", "http://example.com/A/b"),
+      ("https://X.org:443/p?utm_source=a&id=7&utm_term=z#frag",
+        "https://x.org/p?id=7"),
+      ("https://x.org/p?futm=keepme", "https://x.org/p?futm=keepme"), // not utm_*
+      ("https://x.org/p?utm_source=a", "https://x.org/p"),
+      ("https://x.org/p?gclid=1&q=2", "https://x.org/p?q=2"),
+      ("https://x.org:8443/p", "https://x.org:8443/p"), // non-default port stays
+      ("http://x.org/", "http://x.org")
+    ).toDF("url", "want")
+    val got = cases.select(Curate.canonicalUrl($"url").as("got"), $"want")
+      .as[(String, String)].collect()
+    got.foreach { case (g, w) => assert(g == w, s"$g != $w") }
+  }
+
   test("GraphemeCount: combining sequences count as one user-perceived char; " +
     "ASCII equals codepoints; codegen'd") {
     import graft.functions.GraphemeCountFns.graphemeCount
