@@ -72,9 +72,12 @@ object Cluster {
           case Some(rows) =>
             val arr = old.toArray
             rows.foreach { r =>
-              // floor(s / n) — floor, not truncate-toward-zero, so
-              // negative sums round the same way in SQL replicas.
-              arr(r.getInt(1)) = math.floor(r.getLong(2).toDouble / r.getLong(3)).toLong
+              // Exact integer floor division (n > 0) — floor, not
+              // truncate-toward-zero, and never through a double:
+              // |sum| > 2^53 would lose low bits in a double and break
+              // the bit-exact cross-engine claim. The oracle mirrors
+              // it as (s - ((s % n) + n) % n) // n.
+              arr(r.getInt(1)) = Math.floorDiv(r.getLong(2), r.getLong(3))
             }
             arr.toSeq
         }

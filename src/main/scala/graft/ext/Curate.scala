@@ -298,7 +298,12 @@ object Curate {
     * broadcasts the PSL as a longest-suffix join on this column). */
   def registeredDomain(url: Column): Column =
     regexp_extract(
-      regexp_extract(url, "^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1),
+      // scheme matches case-insensitively and the host lowercases —
+      // HTTPS://Spam.Bad.Org/x must hit the same domain bucket (and
+      // the same blocklist entry) as its lowercase twin; without this
+      // a mixed-case scheme extracted an empty host and silently
+      // bypassed domainCap's block AND cap.
+      lower(regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)", 1)),
       "([^.]+\\.[^.]+)$", 1)
 
   /** URL CANONICALIZATION — the normalization before any URL-keyed

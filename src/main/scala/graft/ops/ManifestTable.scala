@@ -285,12 +285,18 @@ object ManifestTable {
     // Sweep residue of a CRASHED earlier mergeMany: its staging dir
     // sits under `base` (outside any table path), so the per-table
     // orphan cleanup never sees it. Nothing references a staging dir
-    // until its renames run, and single-writer is the contract, so
-    // any survivor here is dead weight — the multi-table analog of
-    // the batch-dir orphan sweep.
+    // until its renames run, so a survivor is dead weight — the
+    // multi-table analog of the batch-dir orphan sweep, and it gets
+    // the SAME [[OrphanGraceMs]] modification-time grace: single-
+    // writer is the documented contract, but if a rival mergeMany IS
+    // in flight on this base, deleting its staging mid-write would
+    // fail its renames non-retryably — the grace keeps the sweep
+    // consistent with the commit-level concurrency protections.
+    val now = System.currentTimeMillis()
     if (fs.exists(new Path(base)))
       fs.listStatus(new Path(base))
-        .filter(st => st.isDirectory && st.getPath.getName.startsWith("_staging-"))
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("_staging-") &&
+          now - st.getModificationTime >= OrphanGraceMs)
         .foreach(st => fs.delete(st.getPath, true))
 
     // ONE job for every table's touched-partition distinct — and only

@@ -4190,7 +4190,7 @@ object ExtQueries {
       |  SELECT cid, p, CAST(sum(xq[p]) AS BIGINT) AS s, count(*) AS n
       |  FROM a1 CROSS JOIN pos GROUP BY cid, p),
       |c1n AS (
-      |  SELECT cid, list(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) ORDER BY p) AS c
+      |  SELECT cid, list(CAST((s - ((s % n) + n) % n) // n AS BIGINT) ORDER BY p) AS c
       |  FROM s1 GROUP BY cid),
       |c1 AS (SELECT i.cid, COALESCE(n.c, i.c) AS c
       |       FROM init i LEFT JOIN c1n n USING (cid)),
@@ -4207,7 +4207,7 @@ object ExtQueries {
       |  SELECT cid, p, CAST(sum(xq[p]) AS BIGINT) AS s, count(*) AS n
       |  FROM a2 CROSS JOIN pos GROUP BY cid, p),
       |c2n AS (
-      |  SELECT cid, list(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) ORDER BY p) AS c
+      |  SELECT cid, list(CAST((s - ((s % n) + n) % n) // n AS BIGINT) ORDER BY p) AS c
       |  FROM s2 GROUP BY cid),
       |c2 AS (SELECT i.cid, COALESCE(n.c, i.c) AS c
       |       FROM c1 i LEFT JOIN c2n n USING (cid)),
@@ -5305,7 +5305,8 @@ object ExtQueries {
       |        'https://' || host || '/p/' || CAST(doc_id AS VARCHAR) AS url FROM d),
       |dom AS (
       |  SELECT doc_id,
-      |    regexp_extract(regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1),
+      |    regexp_extract(lower(regexp_extract(url,
+      |      '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)),
       |      '([^.]+\.[^.]+)$', 1) AS domain
       |  FROM u),
       |r AS (
