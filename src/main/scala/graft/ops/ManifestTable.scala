@@ -111,19 +111,61 @@ object ManifestTable {
     * (even to another shared dir, which is why one global key filter
     * would still double-read). `schemaOverride` lets a caller resolve
     * old dirs under a NEWER committed schema (the change-feed
-    * contract); otherwise the lines' own committed schema applies. */
+    * contract); otherwise the lines' own committed schema applies.
+    *
+    * DELETION VECTORS: an entry carrying a `__dv` suffix item has
+    * merge-on-read deletes pending — its rows anti-join the sidecar's
+    * (file, row-position) set (a broadcast of the tiny DV, no shuffle)
+    * before anything downstream sees them. Entries without a DV pay
+    * NOTHING: the plain multi-dir scan is untouched. `withPos = true`
+    * keeps the [[FileKeyCol]]/[[RowPosCol]] physical-address columns
+    * in the output — the handle [[deleteWhereMoR]] uses to record new
+    * positions. */
   private[ops] def readEntriesOf(spark: SparkSession, path: String,
                                  lines: Seq[(String, String)], keys: Set[String],
-                                 schemaOverride: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+                                 schemaOverride: Option[org.apache.spark.sql.types.StructType] = None,
+                                 withPos: Boolean = false): DataFrame = {
     val selected = dataEntries(lines).filter(e => keys(e._1))
     require(selected.nonEmpty, s"ManifestTable.readEntriesOf: no data dir under $path " +
       s"for keys ${keys.take(5).mkString(", ")}…")
     val schema = schemaOverride.orElse(committedSchema(lines))
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     def rd(dirs: Seq[String]): DataFrame =
       schema.map(spark.read.schema(_)).getOrElse(spark.read)
         .parquet(dirs.map(d => s"$path/$d"): _*)
+    // The physical row address: (last-3-segment file key, row index in
+    // file). The file key `batch-<uuid>/__pdir=<v>/part-…` is unique
+    // within a table (UUID dirs), and file NAME alone would not be —
+    // one dynamic-partition write task emits the same part-NNNNN-uuid
+    // name under several partition dirs.
+    def withMeta(df: DataFrame): DataFrame = df
+      .withColumn(FileKeyCol,
+        concat_ws("/", slice(split(col("_metadata.file_path"), "/"), -3, 3)))
+      .withColumn(RowPosCol, col("_metadata.row_index"))
+    def applyDv(df: DataFrame, refs: Seq[String]): DataFrame =
+      if (refs.isEmpty) df
+      else {
+        import spark.implicits._
+        val pairs = refs.distinct.flatMap(rel => loadDv(fs, path, rel)).distinct
+        val dvDf = pairs.toDF(DvFileCol, DvPosCol)
+        df.join(broadcast(dvDf),
+          df(FileKeyCol) === dvDf(DvFileCol) && df(RowPosCol) === dvDf(DvPosCol),
+          "left_anti")
+      }
+    // One frame per dir group; every branch ends with the same column
+    // list (schema [+ the two pos columns]), so the positional union
+    // below stays exact.
+    def finish(df: DataFrame, refs: Seq[String], needMeta: Boolean): DataFrame = {
+      val framed = if (needMeta) applyDv(withMeta(df), refs) else df
+      if (needMeta && !withPos) framed.drop(FileKeyCol, RowPosCol) else framed
+    }
     val (shared, exclusive) = selected.partition(e => isSharedDir(dirOf(e._2)))
-    if (shared.isEmpty) rd(exclusive.map(e => dirOf(e._2)).distinct)
+    val exDvRefs = exclusive.flatMap(e => dvRefOf(e._2).map(_._2))
+    val exFrame =
+      if (exclusive.isEmpty) Nil
+      else Seq(finish(rd(exclusive.map(e => dirOf(e._2)).distinct), exDvRefs,
+        needMeta = withPos || exDvRefs.nonEmpty))
+    if (shared.isEmpty) exFrame.head
     else {
       val pcol = partitionColOf(lines).getOrElse(sys.error(
         s"ManifestTable: a shared (compacted) data dir under $path needs the " +
@@ -131,15 +173,14 @@ object ManifestTable {
           "none — foreign tooling wrote a shared dir without the header"))
       val sharedFrames = shared.groupBy(e => dirOf(e._2)).toSeq.sortBy(_._1)
         .map { case (d, es) =>
-          rd(Seq(d)).filter(col(pcol).cast("string")
-            .isInCollection(es.map(_._1)))
+          val refs = es.flatMap(e => dvRefOf(e._2).map(_._2))
+          finish(rd(Seq(d)).filter(col(pcol).cast("string")
+            .isInCollection(es.map(_._1))), refs,
+            needMeta = withPos || refs.nonEmpty)
         }
-      val frames =
-        (if (exclusive.isEmpty) Nil
-         else Seq(rd(exclusive.map(e => dirOf(e._2)).distinct))) ++ sharedFrames
       // All branches resolve under ONE schema (compact refuses to run
       // on a schemaless legacy table), so a positional union is exact.
-      frames.reduce(_.union(_))
+      (exFrame ++ sharedFrames).reduce(_.union(_))
     }
   }
 
@@ -637,6 +678,110 @@ object ManifestTable {
   private val BloomHashes = 4
   private val BloomTag = "!bloom"
 
+  // ------------------------------------------------------------------
+  // DELETION VECTORS (r12) — merge-on-read row deletes, the
+  // Delta/Iceberg-v2 answer to the copy-on-write scale gap: a GDPR
+  // erasure of 5 subjects from a 100 TB table must not rewrite every
+  // touched partition. [[deleteWhereMoR]]/[[deleteByKeysMoR]] commit a
+  // tiny per-partition SIDECAR of deleted physical row addresses
+  // ((file, row-index) pairs, recorded from the parquet `_metadata`
+  // columns) and re-point the manifest entry at it via a `__dv`
+  // suffix item — ZERO data dirs rewrite; the commit is the usual one
+  // manifest rename. Reads fold the DV in as a broadcast anti-join
+  // ([[readEntriesOf]]); [[fastCount]] stays metadata-only by
+  // subtracting the recorded count; [[compact]] (and any merge that
+  // rewrites the partition) folds the DV into the rewritten file and
+  // drops the item. Zone-map/bloom suffixes survive a DV untouched —
+  // they become supersets, which only costs a false-positive read.
+  // ------------------------------------------------------------------
+
+  /** Manifest suffix item key for a deletion vector: `__dv=<n>:<rel>`
+    * (n = deleted row count — what keeps [[fastCount]] metadata-only —
+    * and rel = the sidecar path under the table root). Unmistakable
+    * for a zone-map (`col=kind:min:max`) or bloom (`col!bloom=…`)
+    * item, and ignored by their parsers. */
+  private val DvTag = "__dv"
+  /** Physical-address columns [[readEntriesOf]] exposes `withPos`. */
+  private[ops] val FileKeyCol = "__graft_file"
+  private[ops] val RowPosCol = "__graft_pos"
+  private val DvFileCol = "__dv_file"
+  private val DvPosCol = "__dv_pos"
+
+  /** The (deletedCount, sidecarRelPath) a manifest entry's `__dv`
+    * item records, if any. */
+  private[ops] def dvRefOf(entryValue: String): Option[(Long, String)] =
+    statsOf(entryValue).flatMap(_.split(';').iterator
+      .find(_.startsWith(s"$DvTag="))
+      .map { item =>
+        val body = item.substring(DvTag.length + 1)
+        val i = body.indexOf(':')
+        require(i > 0, s"ManifestTable: corrupt $DvTag item '${item.take(60)}'")
+        (body.substring(0, i).toLong, body.substring(i + 1))
+      })
+
+  /** Replace (or add) the `__dv` item on an entry value, keeping the
+    * dir and every other suffix item (zone maps, blooms, rowcount —
+    * all still valid as supersets/pre-delete counts). */
+  private def setDvItem(entryValue: String, n: Long, rel: String): String = {
+    val d = dirOf(entryValue)
+    val items = statsOf(entryValue)
+      .map(_.split(';').toSeq.filter(it => it.nonEmpty && !it.startsWith(s"$DvTag=")))
+      .getOrElse(Nil)
+    s"$d\t${(items :+ s"$DvTag=$n:$rel").mkString(";")}"
+  }
+
+  /** Write a DV sidecar: one line per file, `<fileKey>\t<pos,pos,…>`,
+    * positions sorted — newline-delimited text for the same
+    * debuggability reason the manifest itself is. Size is
+    * O(deleted rows in the partition): erasure-scale by contract. */
+  private def writeDv(fs: FileSystem, tablePath: String, rel: String,
+                      pairs: Seq[(String, Long)]): Unit = {
+    val p = new Path(s"$tablePath/$rel")
+    fs.mkdirs(p.getParent)
+    val out = fs.create(p, false)
+    try out.write(pairs.groupBy(_._1).toSeq.sortBy(_._1).map { case (f, ps) =>
+      require(!f.contains('\t') && !f.contains('\n'),
+        s"ManifestTable: file key '$f' not DV-encodable")
+      s"$f\t${ps.map(_._2).distinct.sorted.mkString(",")}"
+    }.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Load a DV sidecar back to its (fileKey, rowPos) pairs. */
+  private def loadDv(fs: FileSystem, tablePath: String, rel: String): Seq[(String, Long)] = {
+    val in = fs.open(new Path(s"$tablePath/$rel"))
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.nonEmpty).flatMap { line =>
+        val i = line.indexOf('\t')
+        require(i >= 0, s"ManifestTable: corrupt DV sidecar $rel: no tab in " +
+          line.take(60))
+        val f = line.substring(0, i)
+        line.substring(i + 1).split(',').iterator.filter(_.nonEmpty)
+          .map(s => (f, s.toLong)).toSeq
+      }.toList
+    finally in.close()
+  }
+
+  /** Relative data dirs a retained `version` references —
+    * observability for gates pinning physical facts (the q176
+    * zero-dirs-rewritten evidence). Driver-side metadata only. */
+  def dataDirs(spark: SparkSession, path: String, version: Long): Set[String] = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    dataEntries(readManifest(fs, path, version)).map(e => dirOf(e._2)).toSet
+  }
+
+  /** DV observability: (entries carrying a DV, total deleted rows
+    * recorded) in the LATEST manifest — metadata-only. The q176 gate
+    * pins this to prove the delete was merge-on-read and that
+    * [[compact]] folded it back to zero. */
+  def dvStats(spark: SparkSession, path: String): (Long, Long) = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = latestVersion(fs, path).getOrElse(
+      sys.error(s"ManifestTable.dvStats: no manifest under $path/$ManifestDir"))
+    val refs = dataEntries(readManifest(fs, path, v)).flatMap(e => dvRefOf(e._2))
+    (refs.size.toLong, refs.map(_._1).sum)
+  }
+
   /** Per-partition packed bloom filters for `cols` over the written
     * batch, as manifest suffix items — ONE Spark job for all columns
     * (column-pruned scan of the batch). Bounded collect:
@@ -980,7 +1125,20 @@ object ManifestTable {
         case None => k -> value
         case Some(b) =>
           val d = dirOfBin(b)
-          k -> statsOf(value).map(s => s"$d\t$s").getOrElse(d)
+          // The rewrite FOLDED any pending DV in (readEntriesOf applied
+          // it), so the carried suffix drops the __dv item — and the
+          // now-stale pre-delete __rowcount with it (fastCount falls
+          // back to a real count for folded entries until the next
+          // statsful merge re-records one). Zone maps and blooms stay:
+          // still-valid supersets of the surviving rows.
+          val items0 = statsOf(value)
+            .map(_.split(';').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+          val hadDv = items0.exists(_.startsWith(s"$DvTag="))
+          val items =
+            if (!hadDv) items0
+            else items0.filterNot(it => it.startsWith(s"$DvTag=") ||
+              it.startsWith(s"$RowCountKey="))
+          k -> (if (items.isEmpty) d else s"$d\t${items.mkString(";")}")
       }
     }
     val head =
@@ -1064,7 +1222,10 @@ object ManifestTable {
     require(latestVersion(dfs, dst).isEmpty,
       s"ManifestTable.deepClone: $dst already holds a table — refusing to overwrite")
     val lines = readManifest(sfs, src, v)
-    val dirs = dataEntries(lines).map(e => dirOf(e._2)).distinct
+    // Data dirs plus any pending DV sidecars — a clone without the
+    // DVs would resurrect deleted rows on the copy.
+    val dirs = (dataEntries(lines).map(e => dirOf(e._2)) ++
+      dataEntries(lines).flatMap(e => dvRefOf(e._2).map(_._2))).distinct
     var bytes = 0L
     dirs.foreach { d =>
       bytes += sfs.getContentSummary(new Path(s"$src/$d")).getLength
@@ -1290,6 +1451,132 @@ object ManifestTable {
       bloomColumns = bloomColumns, bloomBits = bloomBits)
     RowOpResult(touched.map(_._2).sum, touched.size.toLong, 0L,
       candidates.size.toLong, entries.size.toLong, committed = true)
+  }
+
+  /** Evidence a [[deleteWhereMoR]] returns: rows newly deleted, how
+    * many partitions took a DV, how many were scanned, and the
+    * headline physical fact — `dirsRewritten` is ALWAYS 0 (the whole
+    * point of merge-on-read; the field exists so gates can pin it). */
+  final case class DvDeleteResult(rowsDeleted: Long, partitionsAffected: Long,
+                                  partitionsScanned: Long, partitionsTotal: Long,
+                                  dirsRewritten: Long, committed: Boolean)
+
+  /** DELETE FROM the table WHERE `predicate` — MERGE-ON-READ. Instead
+    * of rewriting matched partitions ([[deleteWhere]]'s copy-on-write),
+    * this records each matched row's physical address in a per-
+    * partition DV sidecar and commits ONE manifest rename that
+    * re-points the touched entries — zero data dirs rewrite, whatever
+    * the table size. Reads, CDC, incremental views, [[fastCount]] and
+    * time travel all observe the delete exactly as if the rows were
+    * rewritten away; [[compact]] or any merge touching the partition
+    * later folds the DV into real files and drops it.
+    *
+    * SQL semantics match [[deleteWhere]]: NULL-predicate rows are
+    * kept. A second MoR delete on a partition MERGES its positions
+    * into the existing DV (one sidecar per entry, ever). CONTRACT:
+    * the matched set is collected to the driver (that is what makes
+    * the commit O(deleted rows), not O(table)) — this is the
+    * erasure-scale path; a delete matching a large fraction of the
+    * table belongs on [[deleteWhere]], whose cost is the rewrite it
+    * performs anyway. Safe under [[withCommitRetry]]: a lost version
+    * race re-plans against the winner's head. */
+  def deleteWhereMoR(spark: SparkSession, path: String, partitionCol: String,
+                     predicate: org.apache.spark.sql.Column,
+                     partitionFilter: String => Boolean = _ => true,
+                     retainVersions: Int = 2): DvDeleteResult = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = latestVersion(fs, path).getOrElse(
+      sys.error(s"ManifestTable.deleteWhereMoR: no manifest under $path/$ManifestDir"))
+    val lines = readManifest(fs, path, v)
+    partitionColOf(lines).foreach(h => require(h == partitionCol,
+      s"ManifestTable.deleteWhereMoR: table partition column is $h, not $partitionCol"))
+    val entries = dataEntries(lines)
+    val candidates = entries.filter(e => partitionFilter(e._1))
+    if (candidates.isEmpty)
+      return DvDeleteResult(0L, 0L, 0L, entries.size.toLong, 0L, committed = false)
+    val hit = coalesce(predicate, lit(false))
+    // ONE scan of the candidate window, with physical addresses and
+    // the EXISTING DVs applied — so matches are rows live right now,
+    // and a re-run of the same delete is an idempotent no-op.
+    val matched = readEntriesOf(spark, path, lines, candidates.map(_._1).toSet,
+        withPos = true)
+      .filter(hit)
+      .select(col(partitionCol).cast("string"), col(FileKeyCol), col(RowPosCol))
+      .collect()
+    if (matched.isEmpty)
+      return DvDeleteResult(0L, 0L, candidates.size.toLong, entries.size.toLong, 0L,
+        committed = false)
+    val entryByKey = entries.toMap
+    val byPart: Seq[(String, Seq[(String, Long)])] = matched
+      .groupBy(r => Option(r.getString(0)).getOrElse(sys.error(
+        s"ManifestTable.deleteWhereMoR: null $partitionCol value in a matched row")))
+      .toSeq.sortBy(_._1)
+      .map { case (p, rs) => p -> rs.toSeq.map(r => (r.getString(1), r.getLong(2))) }
+    // One sidecar dir per commit; per touched entry, merge the new
+    // positions with any existing DV (an entry references exactly one
+    // sidecar at a time — the superseded one becomes sweepable).
+    val dvDir = s"$DataDir/dv-${java.util.UUID.randomUUID()}"
+    val newRefs: Map[String, (Long, String)] = byPart.zipWithIndex.map {
+      case ((p, pairs), i) =>
+        val old = dvRefOf(entryByKey.getOrElse(p, sys.error(
+            s"ManifestTable.deleteWhereMoR: matched partition $p has no manifest entry")))
+          .map(r => loadDv(fs, path, r._2)).getOrElse(Nil)
+        val all = (old ++ pairs).distinct
+        val rel = s"$dvDir/p$i.dv"
+        writeDv(fs, path, rel, all)
+        p -> (all.size.toLong, rel)
+    }.toMap
+    val newEntries = entries.map { case (k, value) =>
+      newRefs.get(k) match {
+        case None => k -> value
+        case Some((n, rel)) => k -> setDvItem(value, n, rel)
+      }
+    }
+    val head = lines.collect { case e @ (SchemaKey, _) => e } ++
+      Seq(CommitKey -> System.currentTimeMillis().toString,
+        PartitionColKey -> partitionCol) ++
+      lines.collect { case e @ (PropsKey, _) => e }
+    writeManifest(fs, path, v + 1, head ++ newEntries)
+    cleanup(fs, path, keepVersions =
+      (versions(fs, path) :+ (v + 1)).distinct.sorted.takeRight(retainVersions).toSet)
+    DvDeleteResult(matched.length.toLong, byPart.size.toLong,
+      candidates.size.toLong, entries.size.toLong, dirsRewritten = 0L,
+      committed = true)
+  }
+
+  /** A [[deleteByKeysMoR]] result: the DV outcome plus the bloom
+    * pruning evidence. */
+  final case class KeyDvDeleteResult(op: DvDeleteResult, dirsProbed: Long,
+                                     dirsTotal: Long)
+
+  /** TARGETED MERGE-ON-READ DELETE BY KEY LIST — [[deleteByKeys]]'s
+    * bloom-pruned candidate narrowing (a dir whose committed bloom
+    * says every key is absent is never scanned; un-bloom'd dirs probe
+    * fail-safe) feeding [[deleteWhereMoR]]'s zero-rewrite commit: the
+    * full right-to-be-forgotten path at 100 TB touches the few dirs
+    * that might hold the subjects, writes a KB-scale sidecar, and
+    * renames one manifest. */
+  def deleteByKeysMoR(spark: SparkSession, path: String, partitionCol: String,
+                      keyCol: String, keys: Seq[String],
+                      retainVersions: Int = 2): KeyDvDeleteResult = {
+    require(keys.nonEmpty, "ManifestTable.deleteByKeysMoR: empty key list")
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = latestVersion(fs, path).getOrElse(
+      sys.error(s"ManifestTable.deleteByKeysMoR: no manifest under $path/$ManifestDir"))
+    val live = dataEntries(readManifest(fs, path, v))
+    val candidates = live.filter { case (_, entryValue) =>
+      bloomOf(entryValue, keyCol) match {
+        case Some(payload) => keys.exists(k => bloomContains(payload, k))
+        case None => true // no filter recorded -> cannot prune safely
+      }
+    }.map(_._1).toSet
+    val op =
+      if (candidates.isEmpty)
+        DvDeleteResult(0L, 0L, 0L, live.size.toLong, 0L, committed = false)
+      else deleteWhereMoR(spark, path, partitionCol,
+        col(keyCol).cast("string").isInCollection(keys),
+        partitionFilter = candidates.contains, retainVersions = retainVersions)
+    KeyDvDeleteResult(op, candidates.size.toLong, live.size.toLong)
   }
 
   /** Apply a CDC batch — rows carrying the table's columns plus an op
@@ -1555,8 +1842,18 @@ object ManifestTable {
     val prevDirs = dataEntries(prevLines).map { case (k, value) => k -> dirOf(value) }.toMap
     val curLines = readManifest(fs, path, v)
     val curDirs = dataEntries(curLines).map { case (k, value) => k -> dirOf(value) }.toMap
-    val changed = (prevDirs.keySet ++ curDirs.keySet)
-      .filter(p => prevDirs.get(p) != curDirs.get(p))
+    // Change detection compares the DV-qualified dir identity, not the
+    // dir alone: a merge-on-read delete changes an entry's visible rows
+    // WITHOUT changing its dir, and comparing dirs only would make DV
+    // commits invisible to the change feed.
+    def identOf(lines: Seq[(String, String)]): Map[String, String] =
+      dataEntries(lines).map { case (k, value) =>
+        k -> (dirOf(value) + dvRefOf(value).map(r => "|" + r._2).getOrElse(""))
+      }.toMap
+    val prevId = identOf(prevLines)
+    val curId = identOf(curLines)
+    val changed = (prevId.keySet ++ curId.keySet)
+      .filter(p => prevId.get(p) != curId.get(p))
     if (changed.isEmpty) {
       // A props-only commit (e.g. an incremental view's no-op version
       // watermark) changes no partition: emit an empty step —
@@ -1660,7 +1957,10 @@ object ManifestTable {
     val v = latestVersion(fs, path).getOrElse(
       sys.error(s"ManifestTable.fastCount: no manifest under $path/$ManifestDir"))
     val live = dataEntries(readManifest(fs, path, v)).filter(e => partitionFilter(e._1))
-    val counts = live.map { case (_, value) => rowCountOf(value) }
+    // A pending DV subtracts its recorded count — the footer rowcount
+    // is pre-delete, the `__dv=<n>:…` item carries exactly the delta.
+    val counts = live.map { case (_, value) =>
+      rowCountOf(value).map(_ - dvRefOf(value).map(_._1).getOrElse(0L)) }
     if (counts.forall(_.isDefined))
       CountResult(counts.flatten.sum, metadataOnly = true)
     else if (live.isEmpty) CountResult(0L, metadataOnly = true)
@@ -1690,7 +1990,10 @@ object ManifestTable {
     *     (never made live; dead weight);
     *   - `corrupt_manifest` — a retained manifest that fails to parse
     *     (zero lines / missing tab: created outside the tmp+rename
-    *     protocol).
+    *     protocol);
+    *   - `missing_dv` — a deletion-vector sidecar some retained
+    *     manifest references does not exist (worse than missing data:
+    *     the rows it deleted would silently resurrect).
     */
   def fsck(spark: SparkSession, path: String): DataFrame = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1702,6 +2005,13 @@ object ManifestTable {
         referenced += d.split('/').take(2).mkString("/")
         if (!fs.exists(new Path(s"$path/$d")))
           issues += (("missing_dir", f"m$v%d:$p:$d"))
+        dvRefOf(value).foreach { case (_, rel) =>
+          referenced += rel.split('/').take(2).mkString("/")
+          // a lost DV sidecar silently resurrects deleted rows —
+          // strictly worse than missing data, so it gets its own class
+          if (!fs.exists(new Path(s"$path/$rel")))
+            issues += (("missing_dv", f"m$v%d:$p:$rel"))
+        }
       } catch {
         case e: Exception =>
           issues += (("corrupt_manifest", s"m$v: ${Option(e.getMessage).getOrElse(e.toString).take(120)}"))
@@ -1785,12 +2095,20 @@ object ManifestTable {
     readVersion(spark, path, eligible.last, partitionFilter)
   }
 
-  /** Partition-key → data-dir map of a retained version (stats
-    * suffixes stripped). Empty when the table does not exist. */
+  /** Partition-key → DV-QUALIFIED dir identity of a retained version
+    * (stats suffixes stripped; a pending deletion vector rides as a
+    * `|<sidecar>` suffix). Consumers ([[IncrementalAgg]]/
+    * [[IncrementalJoin]]) compare these for EQUALITY to find changed
+    * partitions — the DV suffix is what makes a merge-on-read delete
+    * register as a change even though the data dir itself is
+    * untouched. Not a filesystem path; resolve dirs via the keyed
+    * reads. */
   private[ops] def partitionDirs(fs: FileSystem, path: String,
                                  version: Long): Map[String, String] =
     dataEntries(readManifest(fs, path, version))
-      .map { case (k, v) => k -> dirOf(v) }.toMap
+      .map { case (k, v) =>
+        k -> (dirOf(v) + dvRefOf(v).map(r => "|" + r._2).getOrElse(""))
+      }.toMap
 
   /** The LATEST version's partition keys; empty if no table. */
   private[ops] def partitionKeys(fs: FileSystem, path: String): Set[String] =
@@ -1995,15 +2313,20 @@ object ManifestTable {
     * immediately; NEVER-REFERENCED (crash residue — or a concurrent
     * writer's in-flight batch) survive [[OrphanGraceMs]] first. */
   private def cleanup(fs: FileSystem, path: String, keepVersions: Set[Long]): Unit = {
-    def batchOf(value: String): String =
-      dirOf(value).split('/').take(2).mkString("/") // data/batch-…
+    // Every top-level data/ dir an entry references: its data batch
+    // dir AND, when a deletion vector is pending, the DV sidecar's
+    // dir — a swept DV would silently RESURRECT deleted rows, the
+    // worst possible failure for an erasure feature.
+    def refsOf(value: String): Seq[String] =
+      dirOf(value).split('/').take(2).mkString("/") +:
+        dvRefOf(value).map(r => r._2.split('/').take(2).mkString("/")).toList
     val live: Set[String] = keepVersions.flatMap(v =>
-      dataEntries(readManifest(fs, path, v))).map { case (_, v) => batchOf(v) }
+      dataEntries(readManifest(fs, path, v))).flatMap { case (_, v) => refsOf(v) }
     // Dirs referenced by the manifests this cleanup expires: dead the
     // moment the manifest goes. Best-effort — an unreadable expired
     // manifest leaves its dirs to the grace path.
     val dead: Set[String] = versions(fs, path).filterNot(keepVersions).flatMap { v =>
-      try dataEntries(readManifest(fs, path, v)).map { case (_, value) => batchOf(value) }
+      try dataEntries(readManifest(fs, path, v)).flatMap { case (_, value) => refsOf(value) }
       catch { case _: Exception => Nil }
     }.toSet -- live
     val now = System.currentTimeMillis()

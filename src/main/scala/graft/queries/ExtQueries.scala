@@ -8149,4 +8149,96 @@ object ExtQueries {
       |  CAST(CASE WHEN ch = 2 THEN (11*(n-1) + media_id) % 4096 - 2048
       |            ELSE (7*(n-1) + media_id) % 4096 - 2048 END AS BIGINT) AS last_s
       |FROM m ORDER BY media_id""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q176_dv_delete — MERGE-ON-READ DELETION VECTORS (ManifestTable.
+  // deleteByKeysMoR): the right-to-be-forgotten path that does NOT
+  // rewrite data. A 30-day events manifest (zone maps + blooms +
+  // rowcounts committed) takes an erasure of the 48 subjects with
+  // event_id % 211 = 5; the commit writes per-partition position
+  // sidecars and renames ONE manifest. Five physical facts ride the
+  // hash next to the SQL-recomputed post-delete state:
+  //   - dirs_rewritten = 0 AND same_dirs (the v1/v2 manifests
+  //     reference byte-identical data-dir sets);
+  //   - dv_entries / dv_rows (every day holding a subject took a DV,
+  //     sized exactly to its matched rows);
+  //   - the change feed v1->v2 is EXACTLY the 48 deletes;
+  //   - fastCount stays METADATA-ONLY post-delete (pre-delete
+  //     rowcount minus the recorded DV count — no file opened);
+  //   - time travel to v1 still reads all 10k pre-delete rows.
+  // Then compact() folds the DVs into rewritten files: dvStats drops
+  // to zero, the v2->v3 change feed is EMPTY (folding is logically
+  // invisible), and the per-day state the gate RETURNS is read
+  // post-fold — so the fold's row content is what the oracle checks.
+  // ----------------------------------------------------------------
+  def q176DvDelete(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:q176_dv_delete") {
+      q176DvDeleteBuild(spark, dir)
+    }
+
+  private def q176DvDeleteBuild(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.ManifestTable
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), date_trunc("day", col("ts")).as("day"), col("value"))
+    val path = java.nio.file.Files.createTempDirectory("graft_q176_").toString + "/table"
+    ManifestTable.merge(spark, path, ev, keys = Seq("event_id"), partitionCol = "day",
+      retainVersions = 4, statsColumns = Seq("event_id"),
+      bloomColumns = Seq("event_id"))
+    val subjects = ev.filter(col("event_id") % 211 === 5)
+      .select(col("event_id").cast("string")).collect().map(_.getString(0)).sorted.toSeq
+    val r = ManifestTable.deleteByKeysMoR(spark, path, "day", "event_id", subjects,
+      retainVersions = 4)
+    val sameDirs = ManifestTable.dataDirs(spark, path, 1L) ==
+      ManifestTable.dataDirs(spark, path, 2L)
+    val (dvEntries, dvRows) = ManifestTable.dvStats(spark, path)
+    val cdc = ManifestTable.changes(spark, path, Seq("event_id"), 1L, 2L)
+      .agg(count(lit(1)).as("t"),
+        sum(when(col("_change_type") === "delete", 1L).otherwise(0L)).as("d"))
+      .collect()(0)
+    val fast = ManifestTable.fastCount(spark, path)
+    val v1Rows = ManifestTable.readVersion(spark, path, 1L).count()
+    ManifestTable.compact(spark, path, "day", targetBytes = 1L << 30,
+      minDirs = 2, retainVersions = 4)
+    val dvAfter = ManifestTable.dvStats(spark, path)._1
+    val cdcCompact = ManifestTable.changes(spark, path, Seq("event_id"), 2L, 3L).count()
+    ManifestTable.read(spark, path)
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * lit(1e3)).cast("long")).as("sum_value_e3"))
+      .withColumn("rows_deleted", lit(r.op.rowsDeleted))
+      .withColumn("dirs_rewritten", lit(r.op.dirsRewritten))
+      .withColumn("same_dirs", lit(sameDirs))
+      .withColumn("dv_entries", lit(dvEntries))
+      .withColumn("dv_rows", lit(dvRows))
+      .withColumn("cdc_total", lit(cdc.getLong(0)))
+      .withColumn("cdc_deletes", lit(cdc.getLong(1)))
+      .withColumn("fast_rows", lit(fast.rows))
+      .withColumn("fast_meta", lit(fast.metadataOnly))
+      .withColumn("v1_rows", lit(v1Rows))
+      .withColumn("dv_after_compact", lit(dvAfter))
+      .withColumn("cdc_compact", lit(cdcCompact))
+      .orderBy(col("day"))
+  }
+
+  val q176DvDeleteSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, date_trunc('day', ts) AS day, value FROM events),
+      |del AS (SELECT * FROM ev WHERE event_id % 211 = 5),
+      |kept AS (SELECT * FROM ev WHERE event_id % 211 <> 5)
+      |SELECT day, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(floor(value * 1e3) AS BIGINT)) AS BIGINT) AS sum_value_e3,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM del) AS rows_deleted,
+      |  CAST(0 AS BIGINT) AS dirs_rewritten,
+      |  TRUE AS same_dirs,
+      |  (SELECT CAST(count(DISTINCT day) AS BIGINT) FROM del) AS dv_entries,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM del) AS dv_rows,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM del) AS cdc_total,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM del) AS cdc_deletes,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM kept) AS fast_rows,
+      |  TRUE AS fast_meta,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM ev) AS v1_rows,
+      |  CAST(0 AS BIGINT) AS dv_after_compact,
+      |  CAST(0 AS BIGINT) AS cdc_compact
+      |FROM kept GROUP BY day ORDER BY day""".stripMargin
 }

@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.ManifestTable
+
+/** Merge-on-read deletion vectors (ManifestTable.deleteWhereMoR /
+  * deleteByKeysMoR): the zero-rewrite delete path and every surface it
+  * must stay consistent with — reads, time travel, fastCount, CDC,
+  * compaction folding, upsert folding, fsck, deepClone, vacuum.
+  */
+class DvSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def freshPath(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_dv_$tag").toString + "/t"
+
+  /** 40 rows over 4 partitions p0..p3, key = id. */
+  private def seed(path: String, statsful: Boolean = true): Unit = {
+    val df = (0 until 40).map(i => (i.toLong, s"p${i % 4}", i * 10.0))
+      .toDF("id", "part", "v")
+    ManifestTable.merge(spark, path, df, keys = Seq("id"), partitionCol = "part",
+      statsColumns = if (statsful) Seq("id") else Nil,
+      bloomColumns = if (statsful) Seq("id") else Nil)
+  }
+
+  /** Relative data-dir set the latest manifest references. */
+  private def liveDirs(path: String): Set[String] = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = ManifestTable.versions(fs, path).last
+    scala.io.Source.fromFile(f"$path/_manifests/m$v%012d").getLines()
+      .filterNot(_.startsWith("__")).map(_.split('\t')(1)).toSet
+  }
+
+  test("deleteWhereMoR deletes without rewriting any data dir") {
+    val path = freshPath("basic")
+    seed(path)
+    val before = liveDirs(path)
+    val r = ManifestTable.deleteWhereMoR(spark, path, "part", col("id") % 7 === 0)
+    assert(r.committed && r.dirsRewritten == 0L)
+    assert(r.rowsDeleted == (0 until 40).count(_ % 7 == 0))
+    assert(liveDirs(path) == before, "a MoR delete must not touch data dirs")
+    val got = ManifestTable.read(spark, path).select("id").as[Long].collect().toSet
+    assert(got == (0 until 40).map(_.toLong).filterNot(_ % 7 == 0).toSet)
+    // time travel still sees the pre-delete rows
+    assert(ManifestTable.readVersion(spark, path, 1L).count() == 40L)
+    // dvStats sees the pending vectors
+    val (entries, rows) = ManifestTable.dvStats(spark, path)
+    assert(entries > 0 && rows == r.rowsDeleted)
+  }
+
+  test("NULL-predicate rows are kept (SQL DELETE semantics)") {
+    val path = freshPath("nullpred")
+    val df = Seq((1L, "p0", Some(5.0)), (2L, "p0", None), (3L, "p0", Some(50.0)))
+      .toDF("id", "part", "v")
+    ManifestTable.merge(spark, path, df, keys = Seq("id"), partitionCol = "part")
+    val r = ManifestTable.deleteWhereMoR(spark, path, "part", col("v") > 10.0)
+    assert(r.rowsDeleted == 1L)
+    assert(ManifestTable.read(spark, path).select("id").as[Long].collect().toSet
+      == Set(1L, 2L))
+  }
+
+  test("second MoR delete merges into one DV; re-run is a no-op") {
+    val path = freshPath("merge2")
+    seed(path)
+    val r1 = ManifestTable.deleteWhereMoR(spark, path, "part", col("id") < 8,
+      retainVersions = 4)
+    val r2 = ManifestTable.deleteWhereMoR(spark, path, "part",
+      col("id") >= 8 && col("id") < 12, retainVersions = 4)
+    assert(r1.rowsDeleted == 8L && r2.rowsDeleted == 4L)
+    // re-running the first delete matches nothing (rows already gone)
+    val r3 = ManifestTable.deleteWhereMoR(spark, path, "part", col("id") < 8,
+      retainVersions = 4)
+    assert(r3.rowsDeleted == 0L && !r3.committed)
+    assert(ManifestTable.read(spark, path).count() == 28L)
+    val (_, rows) = ManifestTable.dvStats(spark, path)
+    assert(rows == 12L)
+  }
+
+  test("fastCount stays metadata-only and subtracts the DV") {
+    val path = freshPath("fastcount")
+    seed(path)
+    ManifestTable.deleteWhereMoR(spark, path, "part", col("id") % 5 === 0)
+    val c = ManifestTable.fastCount(spark, path)
+    assert(c.metadataOnly, "rowcount - dv should answer without a scan")
+    assert(c.rows == 40L - 8L)
+  }
+
+  test("deleteByKeysMoR prunes via blooms and deletes only the subjects") {
+    val path = freshPath("bykeys")
+    seed(path)
+    val r = ManifestTable.deleteByKeysMoR(spark, path, "part", "id",
+      Seq("3", "17", "999"))
+    assert(r.op.rowsDeleted == 2L && r.op.dirsRewritten == 0L)
+    assert(r.dirsProbed <= r.dirsTotal)
+    val got = ManifestTable.read(spark, path).select("id").as[Long].collect().toSet
+    assert(!got.contains(3L) && !got.contains(17L) && got.size == 38)
+  }
+
+  test("change feed shows DV deletes; compaction folds with a clean feed") {
+    val path = freshPath("cdc")
+    seed(path)
+    ManifestTable.deleteWhereMoR(spark, path, "part", col("id") % 10 === 0,
+      retainVersions = 4)
+    val cdc = ManifestTable.changes(spark, path, Seq("id"), 1L, 2L)
+    val dels = cdc.filter(col("_change_type") === "delete")
+      .select("id").as[Long].collect().toSet
+    assert(dels == Set(0L, 10L, 20L, 30L))
+    assert(cdc.count() == 4L, "a pure delete emits only delete rows")
+    // compaction folds the DVs into rewritten files…
+    val cr = ManifestTable.compact(spark, path, "part", targetBytes = 1L << 30,
+      minDirs = 2, retainVersions = 4)
+    assert(cr.committed)
+    assert(ManifestTable.dvStats(spark, path) == ((0L, 0L)))
+    assert(ManifestTable.read(spark, path).count() == 36L)
+    // …and the fold itself is a no-op in the change feed
+    assert(ManifestTable.changes(spark, path, Seq("id"), 2L, 3L).count() == 0L)
+  }
+
+  test("an upsert on a DV'd partition folds the DV for that partition") {
+    val path = freshPath("upsert")
+    seed(path)
+    ManifestTable.deleteWhereMoR(spark, path, "part", col("id") === 4L) // p0
+    val up = Seq((8L, "p0", 999.0)).toDF("id", "part", "v") // p0 rewrite
+    ManifestTable.merge(spark, path, up, keys = Seq("id"), partitionCol = "part")
+    val got = ManifestTable.read(spark, path)
+    assert(got.filter(col("id") === 4L).count() == 0L, "fold must not resurrect")
+    assert(got.filter(col("id") === 8L).select("v").as[Double].head() == 999.0)
+    assert(ManifestTable.dvStats(spark, path) == ((0L, 0L)),
+      "p0's rewrite folds its DV; no other partition had one")
+  }
+
+  test("fsck is clean after a DV commit; deepClone carries the DV") {
+    val path = freshPath("fsck")
+    seed(path)
+    ManifestTable.deleteWhereMoR(spark, path, "part", col("id") % 3 === 0)
+    assert(ManifestTable.fsck(spark, path).count() == 0L)
+    val dst = freshPath("clone")
+    ManifestTable.deepClone(spark, path, dst)
+    assert(ManifestTable.read(spark, dst).count() ==
+      ManifestTable.read(spark, path).count())
+    assert(ManifestTable.fsck(spark, dst).count() == 0L)
+    // incremental-view change detection sees the DV as a change
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ids1 = ManifestTable.versions(fs, path)
+    assert(ids1.size >= 2)
+  }
+}
