@@ -8241,4 +8241,72 @@ object ExtQueries {
       |  CAST(0 AS BIGINT) AS dv_after_compact,
       |  CAST(0 AS BIGINT) AS cdc_compact
       |FROM kept GROUP BY day ORDER BY day""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q177_file_stream — the DEPLOYABLE FILE-SOURCE STREAMING PATH:
+  // q97's watermarked OHLC pipeline fed by Spark's real file source
+  // over JSONL shards (the q156 delivery format) instead of the
+  // MemoryStream replay harness. Each replay batch lands as a JSONL
+  // file; a Trigger.AvailableNow query drains what exists and
+  // TERMINATES; the next batch lands and a NEW query object restarts
+  // from the same checkpoint — three runs, so committed FILE offsets
+  // (already-processed shards must not reprocess), the aggregation
+  // state store, and the WATERMARK all restore across restarts twice.
+  // Timestamps ride the wire as epoch-micros (exact; ISO string
+  // round-trips would truncate sub-millisecond ticks). The oracle is
+  // q97's, shared verbatim — identical output through the file
+  // source, restarts included, is precisely the claim that the
+  // deployable source carries the replay-proven semantics.
+  // ----------------------------------------------------------------
+  def q177FileStream(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:q177_file_stream") {
+      q177FileStreamBuild(spark, dir)
+    }
+
+  private def q177FileStreamBuild(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+    val (t1, t2) = ("2024-01-11 00:00:00", "2024-01-21 00:00:00")
+    val log = Tables.events(spark, dir)
+      .filter(col("user_id") % 29 === 0)
+      .select(col("user_id").cast("string").as("asset_id"), col("ts"),
+        col("value").as("price"),
+        when(col("event_id") % 13 === 0, 3)
+          .when(col("ts") < lit(t1).cast("timestamp"), 1)
+          .when(col("ts") < lit(t2).cast("timestamp"), 2)
+          .otherwise(3).as("__b"))
+    val out = java.nio.file.Files.createTempDirectory("graft_q177_").toString
+    val srcDir = s"$out/shards"
+    // the source dir must exist before the readStream plan resolves
+    // (the first shard lands only after the stream is defined)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    val sinkPath = s"$out/table"
+    def land(b: Int): Unit = log.filter(col("__b") === b)
+      .select(to_json(struct(col("asset_id"),
+        unix_micros(col("ts")).as("ts_us"), col("price"))).as("value"))
+      .coalesce(1).write.mode("append").text(srcDir)
+    val schema = StructType(Seq(StructField("asset_id", StringType),
+      StructField("ts_us", LongType), StructField("price", DoubleType)))
+    val ticks = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(srcDir)
+      .select(col("asset_id"), timestamp_micros(col("ts_us")).as("ts"),
+        col("price"))
+      .withColumn("market_cap", lit(null).cast("double"))
+      .withColumn("volume", lit(null).cast("double"))
+    def runOnce(): Unit = {
+      val q = graft.streaming.StreamingIngest
+        .hourlyCandles(ticks, watermark = "72 hours")
+        .writeStream.outputMode("update")
+        .foreachBatch(graft.streaming.StreamingIngest.candleMergeSink(sinkPath))
+        .option("checkpointLocation", s"$out/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    (1 to 3).foreach { b => land(b); runOnce() }
+    spark.read.parquet(sinkPath)
+      .select(col("asset_id"), col("ts"), col("open"), col("high"),
+        col("low"), col("close"), col("n_ticks"))
+      .orderBy(col("asset_id"), col("ts"))
+  }
 }
