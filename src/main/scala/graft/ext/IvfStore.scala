@@ -1,0 +1,113 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.ManifestTable
+
+/** PERSISTED, INCREMENTALLY MAINTAINED IVF index — the missing piece
+  * between [[Ivf]] (which trains per session) and a 100 TB corpus
+  * where the index OUTLIVES the job: centroids and the inverted index
+  * commit as [[ManifestTable]]s, a NEW document batch is assigned
+  * against the committed centroids WITHOUT retraining (and without
+  * re-scanning the existing corpus — the assignment plan's only input
+  * is the batch; the index merge rewrites only the list partitions
+  * the batch lands in), and a drift policy decides retraining from
+  * O(1) metadata (committed trained-size property vs the index
+  * table's metadata-only row count — no file opened, no Spark job).
+  *
+  * Layout under `base/`:
+  *   - `centroids/` — (list_id, centroid), partitioned+keyed by
+  *     list_id; commit properties carry k and the trained corpus
+  *     size (the drift denominator).
+  *   - `index/` — (list_id, idCol, vecCol), PARTITIONED BY list_id
+  *     (the physical layout [[Ivf.search]]'s probe wants: a query's
+  *     nProbe lists are whole directories) and keyed by idCol.
+  *
+  * Retrain itself is deliberately a fresh [[trainCommit]] to a new
+  * base (atomic cutover = repoint the consumer), not an in-place
+  * mutation: assignments move wholesale when centroids move, so
+  * in-place would rewrite the whole index table anyway.
+  */
+object IvfStore {
+
+  val KProp = "ivf.k"
+  val TrainedRowsProp = "ivf.trained_rows"
+
+  def centroidsPath(base: String): String = s"$base/centroids"
+  def indexPath(base: String): String = s"$base/index"
+
+  /** Train on `corpus` and commit both tables. One extra bounded
+    * count job records the drift denominator. */
+  def trainCommit(spark: SparkSession, base: String, corpus: DataFrame,
+                  k: Int, iters: Int = 3,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val nTrained = corpus.count()
+    val cents = Ivf.train(corpus, k, iters, idCol, vecCol)
+    ManifestTable.merge(spark, centroidsPath(base), cents,
+      keys = Seq("list_id"), partitionCol = "list_id",
+      props = Map(KProp -> k.toString, TrainedRowsProp -> nTrained.toString))
+    // statsColumns => per-partition rowcounts => needsRetrain's count
+    // stays metadata-only forever (appends re-record on touched lists,
+    // untouched entries carry theirs forward).
+    ManifestTable.merge(spark, indexPath(base), Ivf.index(corpus, cents, idCol, vecCol),
+      keys = Seq(idCol), partitionCol = "list_id", statsColumns = Seq(idCol))
+  }
+
+  /** Evidence an [[appendBatch]] returns: how many rows were assigned
+    * (== the batch — the existing corpus is never re-scanned) and
+    * which lists the merge rewrote. */
+  final case class AppendResult(rowsAssigned: Long, listsTouched: Set[String])
+
+  /** Assign a NEW batch against the COMMITTED centroids and merge it
+    * into the index table. No retraining, no corpus re-scan: the
+    * assignment is batch ⨯ broadcast(k centroids); the merge reads
+    * and rewrites only the list partitions the batch hits (untouched
+    * lists' manifest entries carry forward verbatim — the q178 gate
+    * pins exactly that). Batch ids upsert by key (LWW), so a
+    * re-delivered batch is idempotent. */
+  def appendBatch(spark: SparkSession, base: String, batch: DataFrame,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): AppendResult = {
+    val cents = ManifestTable.read(spark, centroidsPath(base))
+    val assigned = Ivf.index(batch, cents, idCol, vecCol)
+      .localCheckpoint() // assign once: the merge re-references it twice
+    val lists = assigned.select(col("list_id").cast("string")).distinct()
+      .collect().map(_.getString(0)).toSet // bounded: ≤ k rows
+    ManifestTable.merge(spark, indexPath(base), assigned,
+      keys = Seq(idCol), partitionCol = "list_id", statsColumns = Seq(idCol),
+      knownTouched = Some(lists))
+    val n = assigned.count()
+    graft.ops.Intermediates.release(assigned)
+    AppendResult(n, lists)
+  }
+
+  /** [[Ivf.search]] over the committed tables. */
+  def searchCommitted(spark: SparkSession, base: String, queries: DataFrame,
+                      k: Int, nProbe: Int = 4,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    Ivf.search(ManifestTable.read(spark, indexPath(base)),
+      ManifestTable.read(spark, centroidsPath(base)), queries, k, nProbe,
+      idCol, vecCol)
+
+  /** A drift check: current index size vs the committed training
+    * size, and the retrain verdict at `growthFactor`. */
+  final case class DriftCheck(indexedRows: Long, trainedRows: Long,
+                              metadataOnly: Boolean, retrain: Boolean)
+
+  /** O(1) DRIFT-TRIGGERED RETRAIN POLICY (the maybeCompact pattern):
+    * retrain when the index has grown past `growthFactor` × the
+    * corpus the centroids were trained on — stale centroids mean
+    * skewed lists and falling recall. Reads one property plus the
+    * metadata-only fastCount; no data file is opened. */
+  def needsRetrain(spark: SparkSession, base: String,
+                   growthFactor: Double = 1.5): DriftCheck = {
+    val trained = ManifestTable.readProps(spark, centroidsPath(base))
+      .getOrElse(TrainedRowsProp, sys.error(
+        s"IvfStore.needsRetrain: no $TrainedRowsProp property under $base — " +
+          "not an IvfStore-committed index")).toLong
+    require(trained > 0, s"IvfStore.needsRetrain: trained_rows = $trained")
+    val c = ManifestTable.fastCount(spark, indexPath(base))
+    DriftCheck(c.rows, trained, c.metadataOnly,
+      c.rows.toDouble / trained > growthFactor)
+  }
+}

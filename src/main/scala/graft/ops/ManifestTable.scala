@@ -770,6 +770,16 @@ object ManifestTable {
     dataEntries(readManifest(fs, path, version)).map(e => dirOf(e._2)).toSet
   }
 
+  /** Partition key → relative data dir of a retained `version` —
+    * per-entry observability (the q178 only-the-batch-was-assigned
+    * evidence compares untouched entries' dirs across versions).
+    * Driver-side metadata only. */
+  def entryDirs(spark: SparkSession, path: String, version: Long): Map[String, String] = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    dataEntries(readManifest(fs, path, version))
+      .map { case (k, v) => k -> dirOf(v) }.toMap
+  }
+
   /** DV observability: (entries carrying a DV, total deleted rows
     * recorded) in the LATEST manifest — metadata-only. The q176 gate
     * pins this to prove the delete was merge-on-read and that

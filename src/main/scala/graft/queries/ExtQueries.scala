@@ -8309,4 +8309,89 @@ object ExtQueries {
         col("low"), col("close"), col("n_ticks"))
       .orderBy(col("asset_id"), col("ts"))
   }
+
+  // ----------------------------------------------------------------
+  // q178_ivf_persist — PERSISTED + INCREMENTALLY MAINTAINED IVF INDEX
+  // (IvfStore): centroids + inverted index trained on the 478-vector
+  // corpus (vec_id % 23 <> 0) and COMMITTED as manifest tables; the
+  // 22-vector remainder then arrives as a new batch and is assigned
+  // against the committed centroids WITHOUT retraining — the gate
+  // pins the physical facts that make "without retraining" true:
+  //   - rows_assigned == the batch size (the assignment plan's only
+  //     input is the batch; SQL-recomputed count);
+  //   - every index-table entry for a list the batch did NOT hit
+  //     carries its v1 data dir into v2 VERBATIM, and every touched
+  //     list's dir changed (entryDirs compared across versions);
+  //   - the drift policy is O(1) metadata: fastCount metadata-only,
+  //     and the retrain verdicts at growth factors 1.5 / 1.02 are
+  //     recomputed by the oracle from the two corpus counts.
+  // Recall of committed-index search on the MERGED corpus vs exact
+  // brute-force holds the q33 floor (0.5) for every query — the
+  // incremental index is not just consistent, it still WORKS.
+  // ----------------------------------------------------------------
+  def q178IvfPersist(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:q178_ivf_persist") {
+      q178IvfPersistBuild(spark, dir)
+    }
+
+  private def q178IvfPersistBuild(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.IvfStore
+    import graft.ops.ManifestTable
+    val emb = Tables.embeddings(spark, dir)
+    val corpus = emb.filter(col("vec_id") % 23 =!= 0)
+    val batch = emb.filter(col("vec_id") % 23 === 0)
+    val base = java.nio.file.Files.createTempDirectory("graft_q178_").toString + "/ivf"
+    IvfStore.trainCommit(spark, base, corpus, k = 16, iters = 3)
+    val v1 = ManifestTable.entryDirs(spark, IvfStore.indexPath(base), 1L)
+    val r = IvfStore.appendBatch(spark, base, batch)
+    val v2 = ManifestTable.entryDirs(spark, IvfStore.indexPath(base), 2L)
+    val untouchedPreserved = v1.filterNot { case (k, _) => r.listsTouched(k) }
+      .forall { case (k, d) => v2.get(k).contains(d) }
+    val touchedRewritten = r.listsTouched
+      .forall(l => v1.get(l).isEmpty || v1.get(l) != v2.get(l))
+    val dc150 = IvfStore.needsRetrain(spark, base, growthFactor = 1.5)
+    val dc102 = IvfStore.needsRetrain(spark, base, growthFactor = 1.02)
+    // recall on the MERGED corpus: committed-index search vs exact
+    val queries = emb.filter(col("vec_id") < 10)
+    val k = 10
+    val exact = exactTop10(spark, dir).select(col("query_id"), col("neighbor_id"))
+    val approx = IvfStore.searchCommitted(spark, base, queries, k, nProbe = 4)
+      .select(col("query_id"), col("neighbor_id")).withColumn("__hit", lit(1))
+    exact.join(broadcast(approx), Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("__hit"), lit(0))).as("hits"))
+      .select(col("query_id").cast("long").as("query_id"),
+        lit(0.5).as("recall_floor"),
+        (col("hits").cast("double") / lit(k.toDouble) >= lit(0.5)).as("pass"))
+      .withColumn("rows_assigned", lit(r.rowsAssigned))
+      .withColumn("untouched_dirs_preserved", lit(untouchedPreserved))
+      .withColumn("touched_lists_rewritten", lit(touchedRewritten))
+      .withColumn("trained_rows", lit(dc150.trainedRows))
+      .withColumn("indexed_rows", lit(dc150.indexedRows))
+      .withColumn("drift_check_metadata_only",
+        lit(dc150.metadataOnly && dc102.metadataOnly))
+      .withColumn("retrain_at_150", lit(dc150.retrain))
+      .withColumn("retrain_at_102", lit(dc102.retrain))
+      .orderBy(col("query_id"))
+  }
+
+  val q178IvfPersistSql: String =
+    """WITH m AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS indexed,
+      |    CAST(count(*) FILTER (vec_id % 23 <> 0) AS BIGINT) AS trained,
+      |    CAST(count(*) FILTER (vec_id % 23 = 0) AS BIGINT) AS batch
+      |  FROM embeddings)
+      |SELECT CAST(vec_id AS BIGINT) AS query_id,
+      |  CAST(0.5 AS DOUBLE) AS recall_floor, TRUE AS pass,
+      |  (SELECT batch FROM m) AS rows_assigned,
+      |  TRUE AS untouched_dirs_preserved,
+      |  TRUE AS touched_lists_rewritten,
+      |  (SELECT trained FROM m) AS trained_rows,
+      |  (SELECT indexed FROM m) AS indexed_rows,
+      |  TRUE AS drift_check_metadata_only,
+      |  (SELECT CAST(indexed AS DOUBLE) / trained > 1.5 FROM m) AS retrain_at_150,
+      |  (SELECT CAST(indexed AS DOUBLE) / trained > 1.02 FROM m) AS retrain_at_102
+      |FROM embeddings WHERE vec_id < 10
+      |ORDER BY query_id""".stripMargin
 }
