@@ -161,10 +161,17 @@ object ManifestTable {
     }
     val (shared, exclusive) = selected.partition(e => isSharedDir(dirOf(e._2)))
     val exDvRefs = exclusive.flatMap(e => dvRefOf(e._2).map(_._2))
+    // Merge-on-read UPDATE appendices ride into the same scan: an
+    // entry's `__aux` dirs hold rows of ITS partition only, so they
+    // join the dir list of whichever branch reads the entry (and the
+    // shared branch's partition-value row filter passes them). The DV
+    // anti-join runs AFTER the union, so positions recorded against
+    // aux files (a second update superseding a first) resolve too.
+    val exAuxDirs = exclusive.flatMap(e => auxRefsOf(e._2).map(_._2))
     val exFrame =
       if (exclusive.isEmpty) Nil
-      else Seq(finish(rd(exclusive.map(e => dirOf(e._2)).distinct), exDvRefs,
-        needMeta = withPos || exDvRefs.nonEmpty))
+      else Seq(finish(rd((exclusive.map(e => dirOf(e._2)) ++ exAuxDirs).distinct),
+        exDvRefs, needMeta = withPos || exDvRefs.nonEmpty))
     if (shared.isEmpty) exFrame.head
     else {
       val pcol = partitionColOf(lines).getOrElse(sys.error(
@@ -174,7 +181,8 @@ object ManifestTable {
       val sharedFrames = shared.groupBy(e => dirOf(e._2)).toSeq.sortBy(_._1)
         .map { case (d, es) =>
           val refs = es.flatMap(e => dvRefOf(e._2).map(_._2))
-          finish(rd(Seq(d)).filter(col(pcol).cast("string")
+          val aux = es.flatMap(e => auxRefsOf(e._2).map(_._2)).distinct
+          finish(rd(d +: aux).filter(col(pcol).cast("string")
             .isInCollection(es.map(_._1))), refs,
             needMeta = withPos || refs.nonEmpty)
         }
@@ -730,6 +738,45 @@ object ManifestTable {
     s"$d\t${(items :+ s"$DvTag=$n:$rel").mkString(";")}"
   }
 
+  /** Manifest suffix item key for APPENDED-ROW dirs (merge-on-read
+    * updates): `__aux=<n>:<rel>[,<n>:<rel>…]` — each ref is an extra
+    * data dir holding rows that belong to the entry's partition ON TOP
+    * of its primary dir (the Iceberg-v2 "one partition, many data
+    * files" shape at dir granularity). `n` = appended row count, which
+    * keeps [[fastCount]] metadata-only. A list because each
+    * [[updateWhereMoR]] on a partition appends one more dir without
+    * rewriting the previous ones; [[compact]] (or any merge touching
+    * the partition) folds them back into one dir and drops the item.
+    *
+    * PRUNING CONTRACT: an entry carrying `__aux` is NEVER pruned by
+    * its zone-map/bloom items — those were recorded from the primary
+    * dir, and an update may have written values outside them (that is
+    * the point of an update). Compaction restores prunability. */
+  private val AuxTag = "__aux"
+
+  /** The (appendedCount, auxDirRel) list an entry's `__aux` item
+    * records; empty when none. */
+  private[ops] def auxRefsOf(entryValue: String): Seq[(Long, String)] =
+    statsOf(entryValue).toSeq.flatMap(_.split(';').iterator
+      .filter(_.startsWith(s"$AuxTag="))
+      .flatMap(_.substring(AuxTag.length + 1).split(',').iterator
+        .filter(_.nonEmpty).map { ref =>
+          val i = ref.indexOf(':')
+          require(i > 0, s"ManifestTable: corrupt $AuxTag item ref '${ref.take(60)}'")
+          (ref.substring(0, i).toLong, ref.substring(i + 1))
+        }))
+
+  /** Replace (or add) the `__aux` item on an entry value, keeping the
+    * dir and every other suffix item. */
+  private def setAuxItem(entryValue: String, refs: Seq[(Long, String)]): String = {
+    val d = dirOf(entryValue)
+    val items = statsOf(entryValue)
+      .map(_.split(';').toSeq.filter(it => it.nonEmpty && !it.startsWith(s"$AuxTag=")))
+      .getOrElse(Nil)
+    val item = s"$AuxTag=${refs.map { case (n, rel) => s"$n:$rel" }.mkString(",")}"
+    s"$d\t${(items :+ item).mkString(";")}"
+  }
+
   /** Write a DV sidecar: one line per file, `<fileKey>\t<pos,pos,…>`,
     * positions sorted — newline-delimited text for the same
     * debuggability reason the manifest itself is. Size is
@@ -762,9 +809,11 @@ object ManifestTable {
     finally in.close()
   }
 
-  /** Relative data dirs a retained `version` references —
-    * observability for gates pinning physical facts (the q176
-    * zero-dirs-rewritten evidence). Driver-side metadata only. */
+  /** Relative PRIMARY data dirs a retained `version` references
+    * (`__aux` appendix dirs and DV sidecars not included — see
+    * [[auxStats]]/[[dvStats]] for those) — observability for gates
+    * pinning physical facts (the q176/q179 zero-dirs-rewritten
+    * evidence). Driver-side metadata only. */
   def dataDirs(spark: SparkSession, path: String, version: Long): Set[String] = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     dataEntries(readManifest(fs, path, version)).map(e => dirOf(e._2)).toSet
@@ -789,6 +838,18 @@ object ManifestTable {
     val v = latestVersion(fs, path).getOrElse(
       sys.error(s"ManifestTable.dvStats: no manifest under $path/$ManifestDir"))
     val refs = dataEntries(readManifest(fs, path, v)).flatMap(e => dvRefOf(e._2))
+    (refs.size.toLong, refs.map(_._1).sum)
+  }
+
+  /** Aux-appendix observability: (entries carrying an `__aux` item,
+    * total appended rows recorded) in the LATEST manifest —
+    * metadata-only. The update gate pins this to prove the update was
+    * merge-on-read and that [[compact]] folded it back to zero. */
+  def auxStats(spark: SparkSession, path: String): (Long, Long) = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = latestVersion(fs, path).getOrElse(
+      sys.error(s"ManifestTable.auxStats: no manifest under $path/$ManifestDir"))
+    val refs = dataEntries(readManifest(fs, path, v)).flatMap(e => auxRefsOf(e._2))
     (refs.size.toLong, refs.map(_._1).sum)
   }
 
@@ -867,10 +928,12 @@ object ManifestTable {
     val lines = readManifest(fs, path, v)
     val live = dataEntries(lines).filter(e => partitionFilter(e._1))
     val kept = live.filter { case (_, entryValue) =>
-      bloomOf(entryValue, column) match {
+      // an aux appendix may hold values outside the recorded bloom
+      // (that is what an update does) — unprunable until compacted
+      auxRefsOf(entryValue).nonEmpty || (bloomOf(entryValue, column) match {
         case Some(payload) => bloomContains(payload, value)
         case None => true // no filter recorded -> cannot prune safely
-      }
+      })
     }
     // Dir-granular superset: every live entry referencing a kept dir
     // survives (a shared dir is scanned once, and only its CURRENT
@@ -906,10 +969,13 @@ object ManifestTable {
     val lines = readManifest(fs, path, v)
     val live = dataEntries(lines).filter(e => partitionFilter(e._1))
     val kept = live.filter { case (_, value) =>
-      statsOf(value).map(decodeStats).flatMap(_.get(column)) match {
+      // an aux appendix may hold values outside the recorded zone map
+      // (that is what an update does) — unprunable until compacted
+      auxRefsOf(value).nonEmpty ||
+      (statsOf(value).map(decodeStats).flatMap(_.get(column)) match {
         case Some((mn, mx)) => mx >= lo && mn <= hi
         case None => true // no stats recorded -> cannot prune safely
-      }
+      })
     }
     // Dir-granular superset: every live entry referencing a kept dir
     // survives (a shared dir is scanned once, and only its CURRENT
@@ -937,6 +1003,14 @@ object ManifestTable {
                          statsColumns: Seq[String] = Nil,
                          props: Map[String, String] = Map.empty,
                          blooms: Map[String, Seq[String]] = Map.empty): Unit = {
+    // `__dv`/`__aux` are the reserved suffix-item keys for deletion
+    // vectors and update appendices (see [[dvRefOf]]/[[auxRefsOf]]); a
+    // stats column of either name would commit a zone-map item (e.g.
+    // `__dv=long:min:max`) that every subsequent read would try to
+    // parse as a DV/aux reference.
+    Seq(DvTag, AuxTag).foreach(t => require(!statsColumns.contains(t),
+      s"ManifestTable: column name '$t' is reserved for merge-on-read " +
+        "manifest items and cannot be a stats column"))
     // The written-vs-touched cross-check, directional:
     //   - a WRITTEN partition outside the touched set means the batch
     //     carried rows whose existing data was never read (an
@@ -1135,17 +1209,22 @@ object ManifestTable {
         case None => k -> value
         case Some(b) =>
           val d = dirOfBin(b)
-          // The rewrite FOLDED any pending DV in (readEntriesOf applied
-          // it), so the carried suffix drops the __dv item — and the
-          // now-stale pre-delete __rowcount with it (fastCount falls
-          // back to a real count for folded entries until the next
-          // statsful merge re-records one). Zone maps and blooms stay:
-          // still-valid supersets of the surviving rows.
+          // The rewrite FOLDED any pending DV and aux appendix in
+          // (readEntriesOf applied/unioned them), so the carried
+          // suffix drops the __dv/__aux items — and the now-stale
+          // pre-fold __rowcount with them (fastCount falls back to a
+          // real count for folded entries until the next statsful
+          // merge re-records one). An aux fold ALSO drops zone maps
+          // and blooms: appended rows may lie outside the recorded
+          // bounds, so post-fold they would prune wrongly; a pure DV
+          // fold keeps them (still-valid supersets).
           val items0 = statsOf(value)
             .map(_.split(';').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
           val hadDv = items0.exists(_.startsWith(s"$DvTag="))
+          val hadAux = items0.exists(_.startsWith(s"$AuxTag="))
           val items =
-            if (!hadDv) items0
+            if (hadAux) Nil
+            else if (!hadDv) items0
             else items0.filterNot(it => it.startsWith(s"$DvTag=") ||
               it.startsWith(s"$RowCountKey="))
           k -> (if (items.isEmpty) d else s"$d\t${items.mkString(";")}")
@@ -1232,10 +1311,12 @@ object ManifestTable {
     require(latestVersion(dfs, dst).isEmpty,
       s"ManifestTable.deepClone: $dst already holds a table — refusing to overwrite")
     val lines = readManifest(sfs, src, v)
-    // Data dirs plus any pending DV sidecars — a clone without the
-    // DVs would resurrect deleted rows on the copy.
+    // Data dirs plus any pending DV sidecars and aux appendices — a
+    // clone without the DVs would resurrect deleted rows, one without
+    // the aux dirs would lose updated rows.
     val dirs = (dataEntries(lines).map(e => dirOf(e._2)) ++
-      dataEntries(lines).flatMap(e => dvRefOf(e._2).map(_._2))).distinct
+      dataEntries(lines).flatMap(e => dvRefOf(e._2).map(_._2)) ++
+      dataEntries(lines).flatMap(e => auxRefsOf(e._2).map(_._2))).distinct
     var bytes = 0L
     dirs.foreach { d =>
       bytes += sfs.getContentSummary(new Path(s"$src/$d")).getLength
@@ -1352,7 +1433,7 @@ object ManifestTable {
         // partition drop; the empty frame shapes the schema guards.
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           committedSchema(lines).getOrElse(
-            readDirs(spark, path, v, candidates.take(1).map(e => dirOf(e._2))).schema))
+            readEntriesOf(spark, path, lines, Set(candidates.head._1)).schema))
       else readEntriesOf(spark, path, lines, rewritten.map(_._1).toSet).filter(!hit)
     merge(spark, path, incoming, keys = Nil, partitionCol = partitionCol,
       retainVersions = retainVersions, statsColumns = statsColumns,
@@ -1389,12 +1470,15 @@ object ManifestTable {
     val v = latestVersion(fs, path).getOrElse(
       sys.error(s"ManifestTable.deleteByKeys: no manifest under $path/$ManifestDir"))
     val live = dataEntries(readManifest(fs, path, v))
-    val candidates = live.filter { case (_, entryValue) =>
-      bloomOf(entryValue, keyCol) match {
+    val candidateEntries = live.filter { case (_, entryValue) =>
+      // an aux appendix may hold key values outside the recorded
+      // bloom (an update can assign the key column) — always probe
+      auxRefsOf(entryValue).nonEmpty || (bloomOf(entryValue, keyCol) match {
         case Some(payload) => keys.exists(k => bloomContains(payload, k))
         case None => true // no filter recorded -> cannot prune safely
-      }
-    }.map(_._1).toSet
+      })
+    }
+    val candidates = candidateEntries.map(_._1).toSet
     val op =
       if (candidates.isEmpty)
         RowOpResult(0L, 0L, 0L, 0L, live.size.toLong, committed = false)
@@ -1403,7 +1487,11 @@ object ManifestTable {
         partitionFilter = candidates.contains,
         retainVersions = retainVersions, statsColumns = statsColumns,
         bloomColumns = bloomColumns, bloomBits = bloomBits)
-    KeyDeleteResult(op, candidates.size.toLong, live.size.toLong)
+    // DISTINCT data dirs, not partition entries: after compaction
+    // several entries share one dir, and the pruning evidence must
+    // reflect physical scan work (as readSkippingEquals counts it).
+    KeyDeleteResult(op, candidateEntries.map(e => dirOf(e._2)).distinct.size.toLong,
+      live.map(e => dirOf(e._2)).distinct.size.toLong)
   }
 
   /** UPDATE the table SET `assignments` WHERE `predicate` —
@@ -1554,6 +1642,136 @@ object ManifestTable {
       committed = true)
   }
 
+  /** Evidence an [[updateWhereMoR]] returns: rows updated, partitions
+    * that took a DV+appendix, the scan/total window, and the headline
+    * physical fact — `dirsRewritten` is ALWAYS 0 (gate-pinnable). */
+  final case class DvUpdateResult(rowsUpdated: Long, partitionsAffected: Long,
+                                  partitionsScanned: Long, partitionsTotal: Long,
+                                  dirsRewritten: Long, committed: Boolean)
+
+  /** UPDATE the table SET `assignments` WHERE `predicate` —
+    * MERGE-ON-READ (the Iceberg-v2 update form). Instead of rewriting
+    * every matched partition ([[updateWhere]]'s copy-on-write), this
+    * commits, in ONE manifest rename:
+    *
+    *   - a deletion vector over the matched rows' physical positions
+    *     (exactly [[deleteWhereMoR]]'s machinery), and
+    *   - an `__aux` APPENDIX dir per touched partition holding the
+    *     updated rows, written by one distributed job.
+    *
+    * Zero existing data dirs rewrite, whatever the table size — on a
+    * wide 100 TB table a single-column correction pays only the
+    * updated rows' write, not a partition rewrite. Reads, CDC,
+    * incremental views, [[fastCount]] (DV count out, aux count in —
+    * still metadata-only) and time travel observe the update exactly
+    * as if the partitions were rewritten; [[compact]] or any merge
+    * touching the partition later folds DV+appendix into real files.
+    *
+    * SQL semantics match [[updateWhere]]: NULL-predicate rows are
+    * unchanged, every assignment RHS evaluates against the PRE-update
+    * row, the partition column cannot be assigned, and assignments
+    * must target existing columns. An entry carrying an appendix is
+    * exempt from zone-map/bloom pruning until folded (updated values
+    * may lie outside the recorded bounds — see [[AuxTag]]). A second
+    * MoR update composes: its DV may address appendix files, and its
+    * appendix joins the entry's ref list. CONTRACT: matched-row
+    * ADDRESSES are collected to the driver (O(updated rows), as for
+    * [[deleteWhereMoR]]); row CONTENT flows executor-side only. A
+    * large-fraction update belongs on [[updateWhere]]. */
+  def updateWhereMoR(spark: SparkSession, path: String, partitionCol: String,
+                     predicate: org.apache.spark.sql.Column,
+                     assignments: Map[String, org.apache.spark.sql.Column],
+                     partitionFilter: String => Boolean = _ => true,
+                     retainVersions: Int = 2): DvUpdateResult = {
+    require(assignments.nonEmpty, "ManifestTable.updateWhereMoR: no assignments")
+    require(!assignments.contains(partitionCol),
+      s"ManifestTable.updateWhereMoR: cannot assign partition column $partitionCol — " +
+        "a row moving across partition dirs breaks the stable-partition contract")
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = latestVersion(fs, path).getOrElse(
+      sys.error(s"ManifestTable.updateWhereMoR: no manifest under $path/$ManifestDir"))
+    val lines = readManifest(fs, path, v)
+    partitionColOf(lines).foreach(h => require(h == partitionCol,
+      s"ManifestTable.updateWhereMoR: table partition column is $h, not $partitionCol"))
+    val entries = dataEntries(lines)
+    val candidates = entries.filter(e => partitionFilter(e._1))
+    if (candidates.isEmpty)
+      return DvUpdateResult(0L, 0L, 0L, entries.size.toLong, 0L, committed = false)
+    val hit = coalesce(predicate, lit(false))
+    // ONE scan of the candidate window with physical addresses and
+    // existing DVs/appendices applied — matches are rows live right
+    // now, so re-running the same idempotent assignment (x := c)
+    // re-addresses the appendix rows, never resurrects old ones.
+    val scanned = readEntriesOf(spark, path, lines, candidates.map(_._1).toSet,
+      withPos = true)
+    val missing = assignments.keys.filterNot(c =>
+      scanned.columns.contains(c) && c != FileKeyCol && c != RowPosCol)
+    require(missing.isEmpty, "ManifestTable.updateWhereMoR: assignment to column(s) " +
+      s"${missing.mkString(", ")} not in the table — additive columns go through merge")
+    val matched = scanned.filter(hit)
+    val addrs = matched
+      .select(col(partitionCol).cast("string"), col(FileKeyCol), col(RowPosCol))
+      .collect()
+    if (addrs.isEmpty)
+      return DvUpdateResult(0L, 0L, candidates.size.toLong, entries.size.toLong, 0L,
+        committed = false)
+    // The updated rows — staged assignment so every RHS sees the
+    // pre-update row (UPDATE evaluation order), then one distributed
+    // write partitioned like merge's batch dirs.
+    val staged = assignments.toSeq.zipWithIndex
+    val withTmp = staged.foldLeft(matched) { case (df, ((_, e), i)) =>
+      df.withColumn(s"__upd_$i", e)
+    }
+    val updatedDf = staged.foldLeft(withTmp) { case (df, ((c, _), i)) =>
+      df.withColumn(c, col(s"__upd_$i"))
+    }.drop(staged.map { case (_, i) => s"__upd_$i" }: _*)
+      .drop(FileKeyCol, RowPosCol)
+    val auxBatch = s"$DataDir/aux-${java.util.UUID.randomUUID()}"
+    updatedDf.withColumn("__pdir", col(partitionCol).cast("string"))
+      .repartition(col("__pdir"))
+      .write.partitionBy("__pdir").parquet(s"$path/$auxBatch")
+    val auxDirByPart: Map[String, String] =
+      listPartitionDirs(fs, s"$path/$auxBatch").map { name =>
+        unescapePathName(name.stripPrefix("__pdir=")) -> s"$auxBatch/$name"
+      }.toMap
+    val entryByKey = entries.toMap
+    val byPart: Seq[(String, Seq[(String, Long)])] = addrs
+      .groupBy(r => Option(r.getString(0)).getOrElse(sys.error(
+        s"ManifestTable.updateWhereMoR: null $partitionCol value in a matched row")))
+      .toSeq.sortBy(_._1)
+      .map { case (p, rs) => p -> rs.toSeq.map(r => (r.getString(1), r.getLong(2))) }
+    require(byPart.map(_._1).toSet == auxDirByPart.keySet,
+      "ManifestTable.updateWhereMoR: appendix write produced partitions " +
+        s"${auxDirByPart.keySet} but matched rows span ${byPart.map(_._1).toSet} — " +
+        "a partition-value string roundtrip break; refusing to commit")
+    val dvDir = s"$DataDir/dv-${java.util.UUID.randomUUID()}"
+    val newValues: Map[String, String] = byPart.zipWithIndex.map {
+      case ((p, pairs), i) =>
+        val value = entryByKey.getOrElse(p, sys.error(
+          s"ManifestTable.updateWhereMoR: matched partition $p has no manifest entry"))
+        val old = dvRefOf(value).map(r => loadDv(fs, path, r._2)).getOrElse(Nil)
+        val all = (old ++ pairs).distinct
+        val rel = s"$dvDir/p$i.dv"
+        writeDv(fs, path, rel, all)
+        val withDv = setDvItem(value, all.size.toLong, rel)
+        p -> setAuxItem(withDv,
+          auxRefsOf(value) :+ (pairs.size.toLong, auxDirByPart(p)))
+    }.toMap
+    val newEntries = entries.map { case (k, value) =>
+      k -> newValues.getOrElse(k, value)
+    }
+    val head = lines.collect { case e @ (SchemaKey, _) => e } ++
+      Seq(CommitKey -> System.currentTimeMillis().toString,
+        PartitionColKey -> partitionCol) ++
+      lines.collect { case e @ (PropsKey, _) => e }
+    writeManifest(fs, path, v + 1, head ++ newEntries)
+    cleanup(fs, path, keepVersions =
+      (versions(fs, path) :+ (v + 1)).distinct.sorted.takeRight(retainVersions).toSet)
+    DvUpdateResult(addrs.length.toLong, byPart.size.toLong,
+      candidates.size.toLong, entries.size.toLong, dirsRewritten = 0L,
+      committed = true)
+  }
+
   /** A [[deleteByKeysMoR]] result: the DV outcome plus the bloom
     * pruning evidence. */
   final case class KeyDvDeleteResult(op: DvDeleteResult, dirsProbed: Long,
@@ -1574,19 +1792,25 @@ object ManifestTable {
     val v = latestVersion(fs, path).getOrElse(
       sys.error(s"ManifestTable.deleteByKeysMoR: no manifest under $path/$ManifestDir"))
     val live = dataEntries(readManifest(fs, path, v))
-    val candidates = live.filter { case (_, entryValue) =>
-      bloomOf(entryValue, keyCol) match {
+    val candidateEntries = live.filter { case (_, entryValue) =>
+      // an aux appendix may hold key values outside the recorded
+      // bloom (an update can assign the key column) — always probe
+      auxRefsOf(entryValue).nonEmpty || (bloomOf(entryValue, keyCol) match {
         case Some(payload) => keys.exists(k => bloomContains(payload, k))
         case None => true // no filter recorded -> cannot prune safely
-      }
-    }.map(_._1).toSet
+      })
+    }
+    val candidates = candidateEntries.map(_._1).toSet
     val op =
       if (candidates.isEmpty)
         DvDeleteResult(0L, 0L, 0L, live.size.toLong, 0L, committed = false)
       else deleteWhereMoR(spark, path, partitionCol,
         col(keyCol).cast("string").isInCollection(keys),
         partitionFilter = candidates.contains, retainVersions = retainVersions)
-    KeyDvDeleteResult(op, candidates.size.toLong, live.size.toLong)
+    // DISTINCT data dirs (compaction makes entries share dirs) — the
+    // evidence must reflect physical scans, not manifest entries.
+    KeyDvDeleteResult(op, candidateEntries.map(e => dirOf(e._2)).distinct.size.toLong,
+      live.map(e => dirOf(e._2)).distinct.size.toLong)
   }
 
   /** Apply a CDC batch — rows carrying the table's columns plus an op
@@ -1852,13 +2076,15 @@ object ManifestTable {
     val prevDirs = dataEntries(prevLines).map { case (k, value) => k -> dirOf(value) }.toMap
     val curLines = readManifest(fs, path, v)
     val curDirs = dataEntries(curLines).map { case (k, value) => k -> dirOf(value) }.toMap
-    // Change detection compares the DV-qualified dir identity, not the
-    // dir alone: a merge-on-read delete changes an entry's visible rows
-    // WITHOUT changing its dir, and comparing dirs only would make DV
-    // commits invisible to the change feed.
+    // Change detection compares the DV+aux-qualified dir identity, not
+    // the dir alone: a merge-on-read delete (or update's appendix)
+    // changes an entry's visible rows WITHOUT changing its dir, and
+    // comparing dirs only would make such commits invisible to the
+    // change feed.
     def identOf(lines: Seq[(String, String)]): Map[String, String] =
       dataEntries(lines).map { case (k, value) =>
-        k -> (dirOf(value) + dvRefOf(value).map(r => "|" + r._2).getOrElse(""))
+        k -> (dirOf(value) + dvRefOf(value).map(r => "|" + r._2).getOrElse("") +
+          auxRefsOf(value).map(r => "|" + r._2).mkString)
       }.toMap
     val prevId = identOf(prevLines)
     val curId = identOf(curLines)
@@ -1969,8 +2195,12 @@ object ManifestTable {
     val live = dataEntries(readManifest(fs, path, v)).filter(e => partitionFilter(e._1))
     // A pending DV subtracts its recorded count — the footer rowcount
     // is pre-delete, the `__dv=<n>:…` item carries exactly the delta.
+    // Aux appendices add theirs: `__aux=<n>:…` counts are recorded at
+    // append time, so a MoR update (DV old positions + aux new rows)
+    // nets to zero and the count stays metadata-only.
     val counts = live.map { case (_, value) =>
-      rowCountOf(value).map(_ - dvRefOf(value).map(_._1).getOrElse(0L)) }
+      rowCountOf(value).map(_ - dvRefOf(value).map(_._1).getOrElse(0L)
+        + auxRefsOf(value).map(_._1).sum) }
     if (counts.forall(_.isDefined))
       CountResult(counts.flatten.sum, metadataOnly = true)
     else if (live.isEmpty) CountResult(0L, metadataOnly = true)
@@ -2021,6 +2251,13 @@ object ManifestTable {
           // strictly worse than missing data, so it gets its own class
           if (!fs.exists(new Path(s"$path/$rel")))
             issues += (("missing_dv", f"m$v%d:$p:$rel"))
+        }
+        auxRefsOf(value).foreach { case (_, rel) =>
+          referenced += rel.split('/').take(2).mkString("/")
+          // a lost aux appendix loses that update's rows: data loss,
+          // the same class as a missing primary dir
+          if (!fs.exists(new Path(s"$path/$rel")))
+            issues += (("missing_dir", f"m$v%d:$p:$rel"))
         }
       } catch {
         case e: Exception =>
@@ -2117,25 +2354,14 @@ object ManifestTable {
                                  version: Long): Map[String, String] =
     dataEntries(readManifest(fs, path, version))
       .map { case (k, v) =>
-        k -> (dirOf(v) + dvRefOf(v).map(r => "|" + r._2).getOrElse(""))
+        k -> (dirOf(v) + dvRefOf(v).map(r => "|" + r._2).getOrElse("") +
+          auxRefsOf(v).map(r => "|" + r._2).mkString)
       }.toMap
 
   /** The LATEST version's partition keys; empty if no table. */
   private[ops] def partitionKeys(fs: FileSystem, path: String): Set[String] =
     latestVersion(fs, path)
       .map(v => partitionDirs(fs, path, v).keySet).getOrElse(Set.empty)
-
-  /** Read specific RELATIVE data dirs of a retained version under its
-    * committed schema — the version-pinned partial read the manifest
-    * diff consumers ([[IncrementalAgg]]) need. */
-  private[ops] def readDirs(spark: SparkSession, path: String, version: Long,
-                            dirs: Seq[String]): DataFrame = {
-    require(dirs.nonEmpty, "ManifestTable.readDirs: no dirs")
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val lines = readManifest(fs, path, version)
-    committedSchema(lines).map(spark.read.schema(_)).getOrElse(spark.read)
-      .parquet(dirs.map(d => s"$path/$d"): _*)
-  }
 
   /** All retained manifest versions, ascending (empty = no table).
     * Only `m<digits>` names count — a stray foreign file in the
@@ -2328,8 +2554,9 @@ object ManifestTable {
     // dir — a swept DV would silently RESURRECT deleted rows, the
     // worst possible failure for an erasure feature.
     def refsOf(value: String): Seq[String] =
-      dirOf(value).split('/').take(2).mkString("/") +:
-        dvRefOf(value).map(r => r._2.split('/').take(2).mkString("/")).toList
+      (dirOf(value).split('/').take(2).mkString("/") +:
+        dvRefOf(value).map(r => r._2.split('/').take(2).mkString("/")).toList) ++
+        auxRefsOf(value).map(r => r._2.split('/').take(2).mkString("/"))
     val live: Set[String] = keepVersions.flatMap(v =>
       dataEntries(readManifest(fs, path, v))).flatMap { case (_, v) => refsOf(v) }
     // Dirs referenced by the manifests this cleanup expires: dead the

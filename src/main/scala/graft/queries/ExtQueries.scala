@@ -8301,7 +8301,12 @@ object ExtQueries {
         .option("checkpointLocation", s"$out/ckpt")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      // Bounded wait: a wedged micro-batch must fail the gate loudly,
+      // not hang the whole verify/bench harness.
+      if (!q.awaitTermination(300000L)) {
+        q.stop()
+        sys.error("q177: AvailableNow run did not terminate within 300 s")
+      }
     }
     (1 to 3).foreach { b => land(b); runOnce() }
     spark.read.parquet(sinkPath)
@@ -8394,4 +8399,120 @@ object ExtQueries {
       |  (SELECT CAST(indexed AS DOUBLE) / trained > 1.02 FROM m) AS retrain_at_102
       |FROM embeddings WHERE vec_id < 10
       |ORDER BY query_id""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q179_mor_update — MERGE-ON-READ UPDATE (ManifestTable.
+  // updateWhereMoR): the Iceberg-v2 update form — DV the matched
+  // positions + append the updated rows as an `__aux` appendix, one
+  // manifest rename, ZERO data dirs rewritten (on a wide 100 TB table
+  // a single-column correction pays the updated rows' write, not a
+  // partition rewrite). Reference semantics: src/db.py:87-99's
+  // update-by-PK generalized to a predicate. The same 30-day events
+  // manifest as q176 (zone maps + blooms + rowcounts) takes
+  // `SET value = value * 2 + 1000 WHERE event_id % 211 = 5` — the new
+  // values land OUTSIDE the committed zone maps, exercising the
+  // aux-unprunable contract. Physical facts riding the hash next to
+  // the SQL-recomputed post-update state:
+  //   - dirs_rewritten = 0 AND same_dirs (v1/v2 primary dir sets are
+  //     byte-identical);
+  //   - aux_entries / aux_rows and dv_entries / dv_rows (every day
+  //     holding a subject took an appendix + DV sized exactly to its
+  //     matched rows);
+  //   - the change feed v1->v2 is EXACTLY update_preimage +
+  //     update_postimage per matched row (no deletes, no inserts);
+  //   - fastCount stays METADATA-ONLY and UNCHANGED (DV count out,
+  //     aux count in — an update nets to zero rows);
+  //   - time travel to v1 still reads the pre-update sum.
+  // Then compact() folds appendix+DV into rewritten files: aux/dv
+  // stats drop to zero, the v2->v3 change feed is EMPTY (folding is
+  // logically invisible), and the per-day state the gate RETURNS is
+  // read post-fold — the fold's row content is what the oracle checks.
+  // ----------------------------------------------------------------
+  def q179MorUpdate(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:q179_mor_update") {
+      q179MorUpdateBuild(spark, dir)
+    }
+
+  private def q179MorUpdateBuild(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.ManifestTable
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), date_trunc("day", col("ts")).as("day"), col("value"))
+    val path = java.nio.file.Files.createTempDirectory("graft_q179_").toString + "/table"
+    ManifestTable.merge(spark, path, ev, keys = Seq("event_id"), partitionCol = "day",
+      retainVersions = 4, statsColumns = Seq("event_id", "value"),
+      bloomColumns = Seq("event_id"))
+    val v1Sum = ManifestTable.readVersion(spark, path, 1L)
+      .agg(sum(floor(col("value") * lit(1e3)).cast("long"))).collect()(0).getLong(0)
+    val r = ManifestTable.updateWhereMoR(spark, path, "day",
+      col("event_id") % 211 === 5,
+      Map("value" -> (col("value") * 2 + 1000)), retainVersions = 4)
+    val sameDirs = ManifestTable.dataDirs(spark, path, 1L) ==
+      ManifestTable.dataDirs(spark, path, 2L)
+    val (auxEntries, auxRows) = ManifestTable.auxStats(spark, path)
+    val (dvEntries, dvRows) = ManifestTable.dvStats(spark, path)
+    val cdc = ManifestTable.changes(spark, path, Seq("event_id"), 1L, 2L)
+      .agg(count(lit(1)).as("t"),
+        sum(when(col("_change_type") === "update_preimage", 1L).otherwise(0L)).as("pre"),
+        sum(when(col("_change_type") === "update_postimage", 1L).otherwise(0L)).as("post"))
+      .collect()(0)
+    val fast = ManifestTable.fastCount(spark, path)
+    val v1Rows = ManifestTable.readVersion(spark, path, 1L).count()
+    ManifestTable.compact(spark, path, "day", targetBytes = 1L << 30,
+      minDirs = 2, retainVersions = 4)
+    val auxAfter = ManifestTable.auxStats(spark, path)._1
+    val dvAfter = ManifestTable.dvStats(spark, path)._1
+    val cdcCompact = ManifestTable.changes(spark, path, Seq("event_id"), 2L, 3L).count()
+    ManifestTable.read(spark, path)
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * lit(1e3)).cast("long")).as("sum_value_e3"))
+      .withColumn("rows_updated", lit(r.rowsUpdated))
+      .withColumn("dirs_rewritten", lit(r.dirsRewritten))
+      .withColumn("same_dirs", lit(sameDirs))
+      .withColumn("aux_entries", lit(auxEntries))
+      .withColumn("aux_rows", lit(auxRows))
+      .withColumn("dv_entries", lit(dvEntries))
+      .withColumn("dv_rows", lit(dvRows))
+      .withColumn("cdc_total", lit(cdc.getLong(0)))
+      .withColumn("cdc_pre", lit(cdc.getLong(1)))
+      .withColumn("cdc_post", lit(cdc.getLong(2)))
+      .withColumn("fast_rows", lit(fast.rows))
+      .withColumn("fast_meta", lit(fast.metadataOnly))
+      .withColumn("v1_rows", lit(v1Rows))
+      .withColumn("v1_sum_e3", lit(v1Sum))
+      .withColumn("aux_after_compact", lit(auxAfter))
+      .withColumn("dv_after_compact", lit(dvAfter))
+      .withColumn("cdc_compact", lit(cdcCompact))
+      .orderBy(col("day"))
+  }
+
+  val q179MorUpdateSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, date_trunc('day', ts) AS day, value FROM events),
+      |upd AS (SELECT event_id, day,
+      |  CASE WHEN event_id % 211 = 5 THEN value * 2 + 1000 ELSE value END AS value
+      |  FROM ev),
+      |hit AS (SELECT * FROM ev WHERE event_id % 211 = 5)
+      |SELECT day, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(floor(value * 1e3) AS BIGINT)) AS BIGINT) AS sum_value_e3,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM hit) AS rows_updated,
+      |  CAST(0 AS BIGINT) AS dirs_rewritten,
+      |  TRUE AS same_dirs,
+      |  (SELECT CAST(count(DISTINCT day) AS BIGINT) FROM hit) AS aux_entries,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM hit) AS aux_rows,
+      |  (SELECT CAST(count(DISTINCT day) AS BIGINT) FROM hit) AS dv_entries,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM hit) AS dv_rows,
+      |  (SELECT CAST(2 * count(*) AS BIGINT) FROM hit) AS cdc_total,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM hit) AS cdc_pre,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM hit) AS cdc_post,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM ev) AS fast_rows,
+      |  TRUE AS fast_meta,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM ev) AS v1_rows,
+      |  (SELECT CAST(sum(CAST(floor(value * 1e3) AS BIGINT)) AS BIGINT) FROM ev)
+      |    AS v1_sum_e3,
+      |  CAST(0 AS BIGINT) AS aux_after_compact,
+      |  CAST(0 AS BIGINT) AS dv_after_compact,
+      |  CAST(0 AS BIGINT) AS cdc_compact
+      |FROM upd GROUP BY day ORDER BY day""".stripMargin
 }

@@ -149,4 +149,162 @@ class DvSpec extends AnyFunSuite {
     val ids1 = ManifestTable.versions(fs, path)
     assert(ids1.size >= 2)
   }
+
+  // ----- merge-on-read UPDATEs (updateWhereMoR: DV + __aux appendix) -----
+
+  test("updateWhereMoR updates without rewriting any primary data dir") {
+    val path = freshPath("upd")
+    seed(path)
+    val before = ManifestTable.dataDirs(spark, path, 1L)
+    val r = ManifestTable.updateWhereMoR(spark, path, "part",
+      col("id") % 7 === 0, Map("v" -> (col("v") + 0.5)))
+    assert(r.committed && r.dirsRewritten == 0L)
+    assert(r.rowsUpdated == (0 until 40).count(_ % 7 == 0))
+    assert(ManifestTable.dataDirs(spark, path, 2L) == before,
+      "a MoR update must not touch primary data dirs")
+    val got = ManifestTable.read(spark, path).select("id", "v")
+      .as[(Long, Double)].collect().toMap
+    assert(got.size == 40, "an update changes values, never the row count")
+    (0 until 40).foreach { i =>
+      val want = if (i % 7 == 0) i * 10.0 + 0.5 else i * 10.0
+      assert(got(i.toLong) == want, s"id=$i")
+    }
+    // time travel still sees the pre-update values
+    assert(ManifestTable.readVersion(spark, path, 1L)
+      .filter(col("id") === 0L).select("v").as[Double].head() == 0.0)
+    // appendix + DV metadata sized exactly to the matched rows
+    val (auxEntries, auxRows) = ManifestTable.auxStats(spark, path)
+    assert(auxRows == r.rowsUpdated && auxEntries > 0)
+    assert(ManifestTable.dvStats(spark, path)._2 == r.rowsUpdated)
+    // fastCount: DV out, aux in — metadata-only and UNCHANGED
+    val c = ManifestTable.fastCount(spark, path)
+    assert(c.metadataOnly && c.rows == 40L)
+  }
+
+  test("updateWhereMoR assignment RHS sees the PRE-update row (swap)") {
+    val path = freshPath("updswap")
+    val df = Seq((1L, "p0", 10.0, 20.0), (2L, "p0", 30.0, 40.0))
+      .toDF("id", "part", "a", "b")
+    ManifestTable.merge(spark, path, df, keys = Seq("id"), partitionCol = "part")
+    ManifestTable.updateWhereMoR(spark, path, "part", col("id") === 1L,
+      Map("a" -> col("b"), "b" -> col("a")))
+    val got = ManifestTable.read(spark, path).orderBy("id")
+      .select("a", "b").as[(Double, Double)].collect().toSeq
+    assert(got == Seq((20.0, 10.0), (30.0, 40.0)))
+  }
+
+  test("updateWhereMoR: NULL-predicate rows are unchanged; no match = no commit") {
+    val path = freshPath("updnull")
+    val df = Seq((1L, "p0", Some(5.0)), (2L, "p0", None), (3L, "p0", Some(50.0)))
+      .toDF("id", "part", "v")
+    ManifestTable.merge(spark, path, df, keys = Seq("id"), partitionCol = "part")
+    val r = ManifestTable.updateWhereMoR(spark, path, "part", col("v") > 10.0,
+      Map("v" -> lit(0.0)))
+    assert(r.rowsUpdated == 1L)
+    assert(ManifestTable.read(spark, path).filter(col("id") === 2L)
+      .select("v").as[Option[Double]].head().isEmpty)
+    val r2 = ManifestTable.updateWhereMoR(spark, path, "part", col("v") > 1e9,
+      Map("v" -> lit(0.0)))
+    assert(!r2.committed && r2.rowsUpdated == 0L)
+  }
+
+  test("second MoR update composes: DV may address appendix rows") {
+    val path = freshPath("upd2")
+    seed(path)
+    ManifestTable.updateWhereMoR(spark, path, "part", col("id") === 4L,
+      Map("v" -> lit(100.0)), retainVersions = 4)
+    // matches the row the FIRST update wrote into its appendix
+    ManifestTable.updateWhereMoR(spark, path, "part", col("v") === 100.0,
+      Map("v" -> lit(200.0)), retainVersions = 4)
+    val got = ManifestTable.read(spark, path)
+    assert(got.count() == 40L)
+    assert(got.filter(col("id") === 4L).select("v").as[Double].head() == 200.0)
+    assert(got.filter(col("v") === 100.0).count() == 0L,
+      "the first appendix's row must be DV'd away, not duplicated")
+  }
+
+  test("an __aux entry is exempt from zone-map and bloom pruning until folded") {
+    val path = freshPath("updprune")
+    seed(path) // stats + blooms on id, recorded pre-update
+    // push a key OUTSIDE the committed bloom/zone bounds
+    val r = ManifestTable.updateWhereMoR(spark, path, "part", col("id") === 5L,
+      Map("id" -> lit(1005L)))
+    assert(r.committed && r.rowsUpdated == 1L)
+    // bloom probe for the NEW key: recorded blooms say absent, but the
+    // aux'd entry must survive pruning and surface the row
+    val eq = ManifestTable.readSkippingEquals(spark, path, "id", "1005")
+    assert(eq.df.filter(col("id") === 1005L).count() == 1L)
+    // zone-map range probe above every recorded max
+    val rng = ManifestTable.readSkipping(spark, path, "id",
+      BigDecimal(1000), BigDecimal(2000))
+    assert(rng.df.filter(col("id") === 1005L).count() == 1L)
+    // and deleteByKeysMoR still finds the moved subject
+    val del = ManifestTable.deleteByKeysMoR(spark, path, "part", "id", Seq("1005"))
+    assert(del.op.rowsDeleted == 1L)
+  }
+
+  test("update change feed is update_pre/post; compaction folds aux cleanly") {
+    val path = freshPath("updcdc")
+    seed(path)
+    ManifestTable.updateWhereMoR(spark, path, "part", col("id") % 10 === 0,
+      Map("v" -> (col("v") + 1.0)), retainVersions = 4)
+    val cdc = ManifestTable.changes(spark, path, Seq("id"), 1L, 2L)
+    val byType = cdc.groupBy("_change_type").count()
+      .as[(String, Long)].collect().toMap
+    assert(byType == Map("update_preimage" -> 4L, "update_postimage" -> 4L),
+      s"got $byType")
+    val cr = ManifestTable.compact(spark, path, "part", targetBytes = 1L << 30,
+      minDirs = 2, retainVersions = 4)
+    assert(cr.committed)
+    assert(ManifestTable.auxStats(spark, path) == ((0L, 0L)))
+    assert(ManifestTable.dvStats(spark, path) == ((0L, 0L)))
+    // the fold is logically invisible and content survives it
+    assert(ManifestTable.changes(spark, path, Seq("id"), 2L, 3L).count() == 0L)
+    assert(ManifestTable.read(spark, path)
+      .filter(col("id") === 10L).select("v").as[Double].head() == 101.0)
+    assert(ManifestTable.read(spark, path).count() == 40L)
+  }
+
+  test("a merge on an aux'd partition folds the appendix for that partition") {
+    val path = freshPath("updfold")
+    seed(path)
+    ManifestTable.updateWhereMoR(spark, path, "part", col("id") === 4L, // p0
+      Map("v" -> lit(777.0)))
+    val up = Seq((8L, "p0", 999.0)).toDF("id", "part", "v") // p0 rewrite
+    ManifestTable.merge(spark, path, up, keys = Seq("id"), partitionCol = "part")
+    val got = ManifestTable.read(spark, path)
+    assert(got.filter(col("id") === 4L).select("v").as[Double].head() == 777.0,
+      "the fold must keep the updated value")
+    assert(got.filter(col("id") === 8L).select("v").as[Double].head() == 999.0)
+    assert(got.count() == 40L)
+    assert(ManifestTable.auxStats(spark, path) == ((0L, 0L)),
+      "p0's rewrite folds its appendix; no other partition had one")
+  }
+
+  test("fsck is clean after an update commit; deepClone carries the appendix") {
+    val path = freshPath("updfsck")
+    seed(path)
+    ManifestTable.updateWhereMoR(spark, path, "part", col("id") % 3 === 0,
+      Map("v" -> (col("v") * 2)))
+    assert(ManifestTable.fsck(spark, path).count() == 0L)
+    val dst = freshPath("updclone")
+    ManifestTable.deepClone(spark, path, dst)
+    assert(ManifestTable.fsck(spark, dst).count() == 0L)
+    assert(ManifestTable.read(spark, dst).filter(col("id") === 3L)
+      .select("v").as[Double].head() == 60.0)
+    assert(ManifestTable.read(spark, dst).count() == 40L)
+  }
+
+  test("updateWhereMoR refuses partition-column assignment and unknown columns") {
+    val path = freshPath("updguard")
+    seed(path)
+    val e1 = intercept[IllegalArgumentException](
+      ManifestTable.updateWhereMoR(spark, path, "part", lit(true),
+        Map("part" -> lit("p9"))))
+    assert(e1.getMessage.contains("partition column"))
+    val e2 = intercept[IllegalArgumentException](
+      ManifestTable.updateWhereMoR(spark, path, "part", lit(true),
+        Map("nope" -> lit(1))))
+    assert(e2.getMessage.contains("not in the table"))
+  }
 }

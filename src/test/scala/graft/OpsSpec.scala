@@ -702,13 +702,19 @@ class MergeSpec extends AnyFunSuite {
     fs.create(new org.apache.hadoop.fs.Path(s"$path/_manifests/m000000000002"), false).close()
     val e = intercept[IllegalArgumentException](ManifestTable.read(spark, path).count())
     assert(e.getMessage.contains("zero lines"))
-    // crashed-mergeMany residue: a stale _staging dir under base is
-    // swept by the next mergeMany before it stages its own write
+    // crashed-mergeMany residue: a _staging dir under base is swept by
+    // the next mergeMany ONLY once it ages past OrphanGraceMs — a
+    // fresh one could be a rival writer's in-flight staging and must
+    // survive (the sweep shares the batch-orphan grace window).
     val base = java.nio.file.Files.createTempDirectory("graft-manifest-stg").toString
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$base/_staging-fresh/__tbl=x"))
     fs.mkdirs(new org.apache.hadoop.fs.Path(s"$base/_staging-dead/__tbl=x"))
+    val stale = System.currentTimeMillis() - ManifestTable.OrphanGraceMs - 1000L
+    fs.setTimes(new org.apache.hadoop.fs.Path(s"$base/_staging-dead"), stale, stale)
     ManifestTable.mergeMany(spark, base, Seq(
       TableMerge("tt", Seq((1L, day1, 1.0)).toDF("id", "day", "v"), Seq("id"), "day")))
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/_staging-dead")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$base/_staging-fresh")))
     assert(ManifestTable.read(spark, s"$base/tt").count() == 1)
   }
 
