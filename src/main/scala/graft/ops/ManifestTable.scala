@@ -229,9 +229,70 @@ object ManifestTable {
             props: Map[String, String] = Map.empty,
             knownTouched: Option[Set[String]] = None,
             bloomColumns: Seq[String] = Nil,
-            bloomBits: Int = 8192): Unit = {
+            bloomBits: Int = 8192): Unit =
+    mergeCore(spark, path, incoming, keys, partitionCol, preserveExisting,
+      retainVersions, statsColumns, replaceTouched, props, knownTouched,
+      bloomColumns, bloomBits, bucketSpec = None)
+
+  /** [[merge]] into a BUCKET-SPECCED manifest table: rows are written
+    * pre-hashed into `nBuckets` files per partition dir on `bucketCol`
+    * (and pre-sorted within each bucket), and the spec is committed as
+    * table properties — so [[registerBucketed]] can expose the table
+    * to Spark's catalog bucketed scan and a co-bucketed fact⋈fact
+    * manifest join plans with NO exchange ([[Bucketed.noShuffleJoin]]'s
+    * SMB contract, extended to manifest tables; the r11 gap where
+    * shuffle-free joins existed only for catalog `bucketBy` tables).
+    *
+    * The spec is fixed at table creation; every later batch must
+    * declare the same (bucketCol, nBuckets). Other DML (plain merge,
+    * delete/update in either form, compact) REFUSES on a bucketed
+    * table — each would write non-bucketed files or detach rows from
+    * their hash bucket, silently degrading every later join back to a
+    * shuffle. Re-spec = [[repartitionTable]]-style rewrite under a new
+    * path. */
+  def mergeBucketed(spark: SparkSession, path: String, incoming: DataFrame,
+                    keys: Seq[String], partitionCol: String,
+                    bucketCol: String, nBuckets: Int,
+                    preserveExisting: Seq[String] = Nil,
+                    retainVersions: Int = 2,
+                    statsColumns: Seq[String] = Nil,
+                    replaceTouched: Boolean = false,
+                    knownTouched: Option[Set[String]] = None,
+                    bloomColumns: Seq[String] = Nil,
+                    bloomBits: Int = 8192): Unit = {
+    require(nBuckets >= 1, s"ManifestTable.mergeBucketed: nBuckets must be >= 1, got $nBuckets")
+    require(bucketCol != partitionCol,
+      "ManifestTable.mergeBucketed: bucketCol must differ from partitionCol " +
+        "(partition pruning already covers the partition column)")
+    require(incoming.columns.contains(bucketCol),
+      s"ManifestTable.mergeBucketed: incoming has no column $bucketCol")
+    val existing = readProps(spark, path)
+    bucketSpecOf(existing).foreach { case (c, n) =>
+      require(c == bucketCol && n == nBuckets,
+        s"ManifestTable.mergeBucketed: table is bucketed by ($c, $n), " +
+          s"got ($bucketCol, $nBuckets) — the spec is fixed at creation")
+    }
+    mergeCore(spark, path, incoming, keys, partitionCol, preserveExisting,
+      retainVersions, statsColumns, replaceTouched,
+      existing ++ Map(BucketColProp -> bucketCol, BucketNProp -> nBuckets.toString),
+      knownTouched, bloomColumns, bloomBits,
+      bucketSpec = Some((bucketCol, nBuckets)))
+  }
+
+  private def mergeCore(spark: SparkSession, path: String, incoming: DataFrame,
+                        keys: Seq[String], partitionCol: String,
+                        preserveExisting: Seq[String],
+                        retainVersions: Int,
+                        statsColumns: Seq[String],
+                        replaceTouched: Boolean,
+                        props: Map[String, String],
+                        knownTouched: Option[Set[String]],
+                        bloomColumns: Seq[String],
+                        bloomBits: Int,
+                        bucketSpec: Option[(String, Int)]): Unit = {
     require(retainVersions >= 1, s"retainVersions must be >= 1, got $retainVersions")
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    requireBucketAgreement(spark, path, bucketSpec, "merge")
 
     // Affected-partition pruning: tiny bounded collect (distinct
     // partition values of one batch), same as the swap-commit form —
@@ -246,11 +307,30 @@ object ManifestTable {
 
     // New data dirs, invisible until the manifest rename below. The
     // repartition gives each partition dir ONE file per batch (see
-    // mergeMany's write for the small-files rationale).
+    // mergeMany's write for the small-files rationale). Bucketed
+    // tables instead write through a throwaway catalog table —
+    // `bucketBy` is the only writer that stamps bucket ids into file
+    // names, which is where Spark's bucketed scan reads them back —
+    // repartitioned on the bucket hash so each (dir, bucket) is one
+    // file; the external table is dropped immediately (files stay).
     val batch = s"$DataDir/batch-${java.util.UUID.randomUUID()}"
-    plan.merged.withColumn("__pdir", col(partitionCol).cast("string"))
-      .repartition(col("__pdir"))
-      .write.partitionBy("__pdir").parquet(s"$path/$batch")
+    bucketSpec match {
+      case None =>
+        plan.merged.withColumn("__pdir", col(partitionCol).cast("string"))
+          .repartition(col("__pdir"))
+          .write.partitionBy("__pdir").parquet(s"$path/$batch")
+      case Some((c, n)) =>
+        val tmp = "graft_mbkt_w_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        spark.sql(s"DROP TABLE IF EXISTS `$tmp`")
+        plan.merged.withColumn("__pdir", col(partitionCol).cast("string"))
+          .repartition(n, col(c))
+          .write.format("parquet").partitionBy("__pdir")
+          .bucketBy(n, c).sortBy(c)
+          .option("path", s"$path/$batch")
+          .saveAsTable(tmp)
+        spark.sql(s"DROP TABLE `$tmp`")
+    }
     val newEntries = listPartitionDirs(fs, s"$path/$batch").map { name =>
       unescapePathName(name.stripPrefix("__pdir=")) -> s"$batch/$name"
     }
@@ -330,6 +410,8 @@ object ManifestTable {
             occ.map(o => s"${o._3}:${o._2.simpleString}").mkString(", "))
       }
     val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    tables.foreach(t =>
+      requireBucketAgreement(spark, s"$base/${t.name}", None, "mergeMany"))
 
     // Sweep residue of a CRASHED earlier mergeMany: its staging dir
     // sits under `base` (outside any table path), so the per-table
@@ -1127,6 +1209,7 @@ object ManifestTable {
     val cur = latestVersion(fs, path).getOrElse(
       sys.error(s"ManifestTable.compact: no manifest under $path/$ManifestDir"))
     val lines = readManifest(fs, path, cur)
+    requireBucketAgreement(spark, path, None, "compact")
     partitionColOf(lines).foreach(h => require(h == partitionCol,
       s"ManifestTable.compact: table partition column is $h, not $partitionCol"))
     // Shared dirs are only readable under ONE authoritative schema
@@ -1586,6 +1669,7 @@ object ManifestTable {
     val v = latestVersion(fs, path).getOrElse(
       sys.error(s"ManifestTable.deleteWhereMoR: no manifest under $path/$ManifestDir"))
     val lines = readManifest(fs, path, v)
+    requireBucketAgreement(spark, path, None, "deleteWhereMoR")
     partitionColOf(lines).foreach(h => require(h == partitionCol,
       s"ManifestTable.deleteWhereMoR: table partition column is $h, not $partitionCol"))
     val entries = dataEntries(lines)
@@ -1691,6 +1775,7 @@ object ManifestTable {
     val v = latestVersion(fs, path).getOrElse(
       sys.error(s"ManifestTable.updateWhereMoR: no manifest under $path/$ManifestDir"))
     val lines = readManifest(fs, path, v)
+    requireBucketAgreement(spark, path, None, "updateWhereMoR")
     partitionColOf(lines).foreach(h => require(h == partitionCol,
       s"ManifestTable.updateWhereMoR: table partition column is $h, not $partitionCol"))
     val entries = dataEntries(lines)
@@ -1874,6 +1959,98 @@ object ManifestTable {
 
   /** The committed partition-transform property ([[mergeByDay]]). */
   val TransformProp = "partition.transform"
+
+  /** Table properties [[mergeBucketed]] commits: the SMB bucket spec.
+    * Present together or not at all. */
+  val BucketColProp = "bucket.col"
+  val BucketNProp = "bucket.n"
+
+  /** The (bucketCol, nBuckets) a property map declares, if any. */
+  private[ops] def bucketSpecOf(props: Map[String, String]): Option[(String, Int)] =
+    for { c <- props.get(BucketColProp); n <- props.get(BucketNProp) }
+      yield (c, n.toInt)
+
+  /** Refuse an operation whose write path would break a committed
+    * bucket layout: a table carrying a bucket spec accepts writes only
+    * from [[mergeBucketed]] with the SAME spec (plain merges write
+    * un-bucket-named files; DV/aux commits detach rows from their
+    * hash bucket; compact repacks across buckets) — any of those
+    * would silently turn every later "shuffle-free" join back into a
+    * shuffle, the failure [[Bucketed.noShuffleJoin]] exists to
+    * surface. */
+  private def requireBucketAgreement(spark: SparkSession, path: String,
+                                     declared: Option[(String, Int)],
+                                     op: String): Unit = {
+    val committed = bucketSpecOf(readProps(spark, path))
+    (committed, declared) match {
+      case (Some(spec), None) => sys.error(
+        s"ManifestTable.$op: table at $path is bucketed by $spec — only " +
+          "mergeBucketed with the same spec may write it (plain DML would " +
+          "break the bucketed file layout)")
+      case (Some(spec), Some(d)) => require(spec == d,
+        s"ManifestTable.$op: table is bucketed by $spec, got $d")
+      case (None, _) => ()
+    }
+  }
+
+  /** Expose the LATEST snapshot of a [[mergeBucketed]] table to
+    * Spark's catalog bucketed scan: registers (replacing any previous
+    * registration) an EXTERNAL partitioned+bucketed catalog table
+    * whose partitions point at the manifest's current data dirs —
+    * zero data movement, metadata-only, re-runnable after every
+    * commit. `spark.table(name)` then plans a bucketed scan
+    * (`HashPartitioning(bucketCol, n)`), and a join of two tables
+    * registered with the same spec on the bucket column needs NO
+    * exchange ([[Bucketed.isShuffleFree]] is the evidence, as for
+    * q159's catalog tables). The dir-name partition column rides
+    * along as `__pdir` (string); data columns are exactly the
+    * committed schema. */
+  def registerBucketed(spark: SparkSession, path: String, name: String): DataFrame = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = latestVersion(fs, path).getOrElse(
+      sys.error(s"ManifestTable.registerBucketed: no manifest under $path/$ManifestDir"))
+    val lines = readManifest(fs, path, v)
+    val (c, n) = bucketSpecOf(propsOf(lines)).getOrElse(sys.error(
+      s"ManifestTable.registerBucketed: table at $path has no bucket spec — " +
+        "write it with mergeBucketed"))
+    val schema = committedSchema(lines).getOrElse(sys.error(
+      s"ManifestTable.registerBucketed: no committed schema under $path"))
+    val entries = dataEntries(lines)
+    entries.foreach { case (k, value) =>
+      require(!isSharedDir(dirOf(value)) && dvRefOf(value).isEmpty &&
+        auxRefsOf(value).isEmpty,
+        s"ManifestTable.registerBucketed: entry $k carries a compacted/DV/aux " +
+          "reference — not a clean bucketed layout (the writers refuse these on " +
+          "bucketed tables; this manifest was written by foreign tooling)")
+    }
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    // LOCATION is a stub: a partitioned catalog table scans ONLY its
+    // registered partitions, each of which points at a manifest dir.
+    // Created empty so the catalog's existence probes stay quiet.
+    fs.mkdirs(new Path(s"$path/_bucketstub"))
+    spark.sql(
+      s"""CREATE TABLE `$name` (${schema.toDDL}, __pdir STRING)
+         |USING PARQUET
+         |PARTITIONED BY (__pdir)
+         |CLUSTERED BY (`$c`) SORTED BY (`$c`) INTO $n BUCKETS
+         |LOCATION '$path/_bucketstub'""".stripMargin)
+    entries.foreach { case (k, value) =>
+      val esc = k.replace("'", "''")
+      spark.sql(s"ALTER TABLE `$name` ADD PARTITION (__pdir='$esc') " +
+        s"LOCATION '$path/${dirOf(value)}'")
+    }
+    spark.table(name)
+  }
+
+  /** The property map a manifest's lines carry (empty when none). */
+  private def propsOf(lines: Seq[(String, String)]): Map[String, String] =
+    lines.collectFirst { case (PropsKey, enc) => enc }
+      .map(_.split(';').iterator.filter(_.nonEmpty).map { kv =>
+        val i = kv.indexOf('=')
+        require(i >= 0, s"ManifestTable: corrupt property '$kv'")
+        unescapePathName(kv.substring(0, i)) -> unescapePathName(kv.substring(i + 1))
+      }.toMap)
+      .getOrElse(Map.empty)
   private val DerivedDayCol = "__day"
 
   /** [[merge]] partitioned by `day(tsCol)` — the derived `__day`
@@ -2404,14 +2581,7 @@ object ManifestTable {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     latestVersion(fs, path) match {
       case None => Map.empty
-      case Some(v) => readManifest(fs, path, v)
-        .collectFirst { case (PropsKey, enc) => enc }
-        .map(_.split(';').iterator.filter(_.nonEmpty).map { kv =>
-          val i = kv.indexOf('=')
-          require(i >= 0, s"ManifestTable.readProps: corrupt property '$kv' under $path")
-          unescapePathName(kv.substring(0, i)) -> unescapePathName(kv.substring(i + 1))
-        }.toMap)
-        .getOrElse(Map.empty)
+      case Some(v) => propsOf(readManifest(fs, path, v))
     }
   }
 

@@ -8515,4 +8515,85 @@ object ExtQueries {
       |  CAST(0 AS BIGINT) AS dv_after_compact,
       |  CAST(0 AS BIGINT) AS cdc_compact
       |FROM upd GROUP BY day ORDER BY day""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q180_manifest_bucket — BUCKET-SPECCED MANIFEST TABLES
+  // (ManifestTable.mergeBucketed / registerBucketed): the r11 gap
+  // closed — SMB shuffle-free joins previously existed only for
+  // catalog bucketBy tables (q159); manifest tables could not declare
+  // a bucket spec, so fact⋈fact joins on them always shuffled. Two
+  // event-derived fact tables land via mergeBucketed (8 buckets on
+  // user_id, committed as table properties; table A in TWO
+  // incremental batches, proving the layout survives the partition
+  // rewrite), then both register as catalog bucketed reads. The gate's
+  // plan — groupBy(user_id) on EACH side + the merge-hinted fact⋈fact
+  // join — must contain ZERO shuffle exchanges (Bucketed.isShuffleFree
+  // rides the hash as shuffle_free; at 100 TB this converts the most
+  // expensive recurring operation, the fact⋈fact exchange, into a
+  // local merge paid once at write). The per-user join-aggregate
+  // content is SQL-recomputed by the oracle.
+  // ----------------------------------------------------------------
+  def q180ManifestBucket(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:q180_manifest_bucket") {
+      q180ManifestBucketBuild(spark, dir)
+    }
+
+  private def q180ManifestBucketBuild(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{Bucketed, ManifestTable}
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id").cast("long").as("user_id"),
+        date_trunc("day", col("ts")).as("day"), col("value"))
+    val base = java.nio.file.Files.createTempDirectory("graft_q180_").toString
+    val pa = s"$base/fa"; val pb = s"$base/fb"
+    // table A in two incremental batches: the second rewrites touched
+    // partitions through the bucketed writer, keeping the layout
+    ManifestTable.mergeBucketed(spark, pa, ev.filter(col("event_id") % 6 === 0),
+      keys = Seq("event_id"), partitionCol = "day", bucketCol = "user_id",
+      nBuckets = 8, statsColumns = Seq("event_id"))
+    ManifestTable.mergeBucketed(spark, pa, ev.filter(col("event_id") % 6 === 3),
+      keys = Seq("event_id"), partitionCol = "day", bucketCol = "user_id",
+      nBuckets = 8, statsColumns = Seq("event_id"))
+    ManifestTable.mergeBucketed(spark, pb, ev.filter(col("event_id") % 3 === 1),
+      keys = Seq("event_id"), partitionCol = "day", bucketCol = "user_id",
+      nBuckets = 8, statsColumns = Seq("event_id"))
+    val ta = ManifestTable.registerBucketed(spark, pa, "graft_q180_a")
+    val tb = ManifestTable.registerBucketed(spark, pb, "graft_q180_b")
+    // both aggregates AND the join ride the bucketed distribution:
+    // the whole plan must carry no shuffle exchange
+    val aggA = ta.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("a_n"),
+        sum(floor(col("value") * lit(1e3)).cast("long")).as("a_sum_e3"))
+    val aggB = tb.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("b_n"),
+        sum(floor(col("value") * lit(1e3)).cast("long")).as("b_sum_e3"))
+    val j = aggA.hint("merge").join(aggB.hint("merge"), Seq("user_id"))
+    val shuffleFree = Bucketed.isShuffleFree(j)
+    val fastA = ManifestTable.fastCount(spark, pa)
+    j.withColumn("shuffle_free", lit(shuffleFree))
+      .withColumn("bucket_n",
+        lit(ManifestTable.readProps(spark, pa)(ManifestTable.BucketNProp).toInt))
+      .withColumn("fa_rows", lit(fastA.rows))
+      .withColumn("fa_meta", lit(fastA.metadataOnly))
+      .orderBy(col("user_id"))
+  }
+
+  val q180ManifestBucketSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, CAST(user_id AS BIGINT) AS user_id, value FROM events),
+      |aa AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS a_n,
+      |    CAST(sum(CAST(floor(value * 1e3) AS BIGINT)) AS BIGINT) AS a_sum_e3
+      |  FROM ev WHERE event_id % 3 = 0 GROUP BY user_id),
+      |bb AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS b_n,
+      |    CAST(sum(CAST(floor(value * 1e3) AS BIGINT)) AS BIGINT) AS b_sum_e3
+      |  FROM ev WHERE event_id % 3 = 1 GROUP BY user_id)
+      |SELECT aa.user_id, a_n, a_sum_e3, b_n, b_sum_e3,
+      |  TRUE AS shuffle_free,
+      |  CAST(8 AS INT) AS bucket_n,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM ev WHERE event_id % 3 = 0) AS fa_rows,
+      |  TRUE AS fa_meta
+      |FROM aa JOIN bb USING (user_id)
+      |ORDER BY user_id""".stripMargin
 }

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Bucketed, ManifestTable}
+
+/** Bucket-specced manifest tables (ManifestTable.mergeBucketed /
+  * registerBucketed): the SMB layout committed as table properties,
+  * catalog-registered reads, the shuffle-free fact⋈fact join evidence,
+  * and the writer guards that keep the layout honest.
+  */
+class BucketedManifestSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def freshPath(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_mbkt_$tag").toString + "/t"
+
+  private def facts(n: Int, tag: String) =
+    (0 until n).map(i => (i.toLong % 50, s"p${i % 3}", s"$tag$i", i * 1.0))
+      .toDF("user_id", "part", "payload", "v")
+
+  test("co-bucketed manifest tables join with zero exchange") {
+    val pa = freshPath("a"); val pb = freshPath("b")
+    ManifestTable.mergeBucketed(spark, pa, facts(300, "a"),
+      keys = Seq("payload"), partitionCol = "part", bucketCol = "user_id",
+      nBuckets = 8)
+    ManifestTable.mergeBucketed(spark, pb, facts(200, "b"),
+      keys = Seq("payload"), partitionCol = "part", bucketCol = "user_id",
+      nBuckets = 8)
+    val ta = ManifestTable.registerBucketed(spark, pa, "mbkt_spec_a")
+    val tb = ManifestTable.registerBucketed(spark, pb, "mbkt_spec_b")
+    val j = ta.select("user_id", "v").hint("merge")
+      .join(tb.select(col("user_id"), col("v").as("v2")).hint("merge"),
+        Seq("user_id"))
+    assert(Bucketed.isShuffleFree(j),
+      "a co-bucketed manifest join must plan without a shuffle exchange:\n" +
+        j.queryExecution.executedPlan.toString.take(2000))
+    // content parity vs the plain (shuffling) manifest reads
+    val plain = ManifestTable.read(spark, pa).select("user_id", "v")
+      .join(ManifestTable.read(spark, pb)
+        .select(col("user_id"), col("v").as("v2")), Seq("user_id"))
+    assert(j.count() == plain.count() && j.count() > 0)
+    assert(j.agg(sum(col("v") * col("v2"))).as[Double].head() ==
+      plain.agg(sum(col("v") * col("v2"))).as[Double].head())
+  }
+
+  test("a second bucketed batch keeps the layout and the shuffle-free join") {
+    val pa = freshPath("inc"); val pb = freshPath("incb")
+    ManifestTable.mergeBucketed(spark, pa, facts(100, "x"),
+      keys = Seq("payload"), partitionCol = "part", bucketCol = "user_id",
+      nBuckets = 4)
+    // second batch: upserts into touched partitions, rewritten bucketed
+    ManifestTable.mergeBucketed(spark, pa, facts(60, "y"),
+      keys = Seq("payload"), partitionCol = "part", bucketCol = "user_id",
+      nBuckets = 4)
+    ManifestTable.mergeBucketed(spark, pb, facts(50, "z"),
+      keys = Seq("payload"), partitionCol = "part", bucketCol = "user_id",
+      nBuckets = 4)
+    val ta = ManifestTable.registerBucketed(spark, pa, "mbkt_spec_inc_a")
+    val tb = ManifestTable.registerBucketed(spark, pb, "mbkt_spec_inc_b")
+    assert(ta.count() == 160L, "both batches' rows visible through the catalog read")
+    val j = ta.select("user_id").hint("merge")
+      .join(tb.select("user_id").hint("merge"), Seq("user_id"))
+    assert(Bucketed.isShuffleFree(j))
+    // the normal manifest read surface is unaffected by the spec
+    assert(ManifestTable.read(spark, pa).count() == 160L)
+    assert(ManifestTable.fastCount(spark, pa).rows == 160L)
+  }
+
+  test("non-bucketed DML refuses on a bucketed table; spec is fixed") {
+    val pa = freshPath("guard")
+    ManifestTable.mergeBucketed(spark, pa, facts(50, "g"),
+      keys = Seq("payload"), partitionCol = "part", bucketCol = "user_id",
+      nBuckets = 4)
+    val e1 = intercept[RuntimeException](ManifestTable.merge(spark, pa,
+      facts(10, "g2"), keys = Seq("payload"), partitionCol = "part"))
+    assert(e1.getMessage.contains("bucketed"))
+    val e2 = intercept[RuntimeException](ManifestTable.deleteWhereMoR(
+      spark, pa, "part", col("user_id") === 1L))
+    assert(e2.getMessage.contains("bucketed"))
+    val e3 = intercept[RuntimeException](ManifestTable.updateWhereMoR(
+      spark, pa, "part", col("user_id") === 1L, Map("v" -> lit(0.0))))
+    assert(e3.getMessage.contains("bucketed"))
+    val e4 = intercept[RuntimeException](ManifestTable.compact(
+      spark, pa, "part", targetBytes = 1L << 30))
+    assert(e4.getMessage.contains("bucketed"))
+    val e5 = intercept[IllegalArgumentException](ManifestTable.mergeBucketed(
+      spark, pa, facts(10, "g3"), keys = Seq("payload"), partitionCol = "part",
+      bucketCol = "user_id", nBuckets = 8))
+    assert(e5.getMessage.contains("fixed at creation"))
+    // a plain table refuses registerBucketed
+    val pp = freshPath("plain")
+    ManifestTable.merge(spark, pp, facts(10, "p"), keys = Seq("payload"),
+      partitionCol = "part")
+    val e6 = intercept[RuntimeException](
+      ManifestTable.registerBucketed(spark, pp, "mbkt_spec_plain"))
+    assert(e6.getMessage.contains("no bucket spec"))
+  }
+}
