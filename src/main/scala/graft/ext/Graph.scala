@@ -15,8 +15,9 @@ import graft.ops.Intermediates
   * the edge list is the big operand — write it bucketed on `src`
   * ([[graft.ops.Layout.writeBucketed]]) and every iteration's fan-out
   * join is shuffle-free on that side; ranks (one row per node) shuffle
-  * on the node key only. Iteration count is a caller-fixed constant,
-  * never data-dependent.
+  * on the node key only. Iteration count is a caller-fixed constant
+  * ([[pageRankE9]]) or convergence-terminated with an exact integer
+  * stopping rule ([[pageRankE9Converged]]), never float-dependent.
   */
 object Graph {
 
@@ -76,5 +77,75 @@ object Graph {
     }
     Intermediates.release(nodes)
     rank
+  }
+
+  /** A [[pageRankE9Converged]] result: the final ranks, how many
+    * iterations actually ran, whether the stopping rule fired before
+    * `maxIters`, and the last iteration's total absolute rank
+    * movement (e-9 units — 0 means an exact integer fixed point). */
+  final case class ConvergedRank(ranks: DataFrame, itersRun: Int,
+                                 converged: Boolean, lastDeltaE9: Long)
+
+  /** [[pageRankE9]] with CONVERGENCE-BASED TERMINATION — the e9-
+    * integer delta-sum stopping rule: after each iteration the total
+    * absolute rank movement Σ|rank' − rank| (an exact BIGINT — no
+    * float epsilon, so the iteration count is a DETERMINISTIC
+    * function of the input and a cross-engine oracle can unroll the
+    * same count) is compared against `tolPerNodeE9 · nNodes`; the
+    * loop stops at the first iteration at or under the bound, or at
+    * `maxIters`. On an already-converged graph this stops in a couple
+    * of iterations instead of burning the caller's worst-case budget
+    * — the cost of the rule is one slim aggregate per iteration over
+    * the just-checkpointed iterate (the previous rank rides along as
+    * a carried column; no extra join, no extra shuffle). */
+  def pageRankE9Converged(edges: DataFrame, maxIters: Int,
+                          tolPerNodeE9: Long = 1L,
+                          srcCol: String = "src", dstCol: String = "dst",
+                          dampingE2: Int = 85): ConvergedRank = {
+    require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
+    require(tolPerNodeE9 >= 0, s"tolPerNodeE9 must be >= 0, got $tolPerNodeE9")
+    require(dampingE2 >= 0 && dampingE2 <= 100, s"dampingE2 in [0,100], got $dampingE2")
+    val e = Intermediates.shared(
+      edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst")).distinct())
+    val outdeg = Intermediates.shared(
+      e.groupBy(col("__src")).agg(count(lit(1)).as("__deg")))
+    val nodes = e.select(col("__src").as("node"))
+      .unionByName(e.select(col("__dst").as("node"))).distinct()
+      .localCheckpoint()
+    val nNodes = nodes.count()
+    val bound = tolPerNodeE9 * nNodes
+    val baseE9 = (100 - dampingE2).toLong * 10000000L
+
+    var rank = nodes.withColumn("rank_e9", lit(1000000000L))
+    var iters = 0
+    var delta = Long.MaxValue
+    while (iters < maxIters && delta > bound) {
+      val contrib = rank
+        .join(outdeg, col("node") === col("__src"))
+        .withColumn("__c", expr("rank_e9 div __deg"))
+        .join(e, Seq("__src"))
+        .groupBy(col("__dst").as("node"))
+        .agg(sum(col("__c")).as("__in"))
+      val prev = rank
+      // prev rank rides along as __prev so the delta aggregate needs
+      // no second join against the previous iterate
+      val next = prev.select(col("node"), col("rank_e9").as("__prev"))
+        .join(contrib, Seq("node"), "left")
+        .withColumn("__in", coalesce(col("__in"), lit(0L)))
+        .withColumn("rank_e9", lit(baseE9) + expr(s"($dampingE2 * __in) div 100"))
+        .select(col("node"), col("rank_e9"), col("__prev"))
+        .localCheckpoint()
+      delta = next.agg(sum(abs(col("rank_e9") - col("__prev"))))
+        .first().getLong(0)
+      // keep the CHECKPOINTED handle as the iterate (release() targets
+      // the materialized plan, not a projection of it); __prev is
+      // stripped by the next iteration's select / the final return
+      rank = next
+      Intermediates.release(prev)
+      iters += 1
+    }
+    Intermediates.release(nodes)
+    ConvergedRank(rank.select(col("node"), col("rank_e9")), iters,
+      delta <= bound, delta)
   }
 }

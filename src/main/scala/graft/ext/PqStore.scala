@@ -1,0 +1,120 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.ManifestTable
+
+/** PERSISTED PQ codebooks + codes — [[IvfStore]]'s trainCommit/
+  * appendBatch pattern applied to [[Pq]], closing the "PQ trains per
+  * session" gap: at 100 TB the codebook is a model artifact that
+  * outlives any job, and re-encoding a new document batch must NOT
+  * retrain (retraining re-quantizes the whole corpus — every code
+  * becomes stale) nor re-scan the existing corpus.
+  *
+  * Layout under `base/`:
+  *   - `codebooks/` — (sub_id, code_id, codeword), partitioned by
+  *     sub_id, keyed (sub_id is stable per code_id across commits);
+  *     commit properties carry m, k and the trained corpus size (the
+  *     drift denominator).
+  *   - `codes/` — (idCol, codes: array<int>, __part), the compressed
+  *     corpus, partitioned by a small id-hash bucket (`__part =
+  *     pmod(hash(id), Parts)`) and keyed by idCol — a new batch
+  *     upserts (LWW, so re-delivery is idempotent) touching only the
+  *     buckets its ids hash into.
+  *
+  * Retrain is a fresh [[trainCommit]] to a new base (atomic cutover),
+  * exactly as for [[IvfStore]]: new codebooks invalidate every
+  * committed code, so in-place retraining would rewrite the codes
+  * table anyway.
+  */
+object PqStore {
+
+  val MProp = "pq.m"
+  val KProp = "pq.k"
+  val TrainedRowsProp = "pq.trained_rows"
+
+  /** Id-hash buckets of the codes table — the partition count, not a
+    * correctness knob; at real scale this is sized so one bucket is a
+    * few hundred MB. */
+  val Parts = 8
+
+  def codebooksPath(base: String): String = s"$base/codebooks"
+  def codesPath(base: String): String = s"$base/codes"
+
+  private def withPart(df: DataFrame, idCol: String): DataFrame =
+    df.withColumn("__part", pmod(hash(col(idCol)), lit(Parts)).cast("string"))
+
+  /** Train m×k codebooks on `corpus`, encode it, commit both tables.
+    * One extra bounded count job records the drift denominator. */
+  def trainCommit(spark: SparkSession, base: String, corpus: DataFrame,
+                  m: Int = 8, k: Int = 16, iters: Int = 3,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val nTrained = corpus.count()
+    val books = Pq.train(corpus, m, k, iters, idCol, vecCol)
+    ManifestTable.merge(spark, codebooksPath(base), books,
+      keys = Seq("sub_id", "code_id"), partitionCol = "sub_id",
+      props = Map(MProp -> m.toString, KProp -> k.toString,
+        TrainedRowsProp -> nTrained.toString))
+    // statsColumns => per-partition rowcounts => needsRetrain's count
+    // stays metadata-only forever.
+    ManifestTable.merge(spark, codesPath(base),
+      withPart(Pq.encode(corpus, books, m, idCol, vecCol), idCol),
+      keys = Seq(idCol), partitionCol = "__part", statsColumns = Seq(idCol))
+  }
+
+  /** Evidence an [[appendBatch]] returns: rows encoded (== the batch;
+    * the existing corpus is never re-scanned, the codebooks never
+    * retrain) and which id-hash buckets the merge rewrote. */
+  final case class AppendResult(rowsEncoded: Long, partsTouched: Set[String])
+
+  /** Encode a NEW batch against the COMMITTED codebooks and merge it
+    * into the codes table. The encode plan's only inputs are the
+    * batch and the broadcast m·k codebook; the merge reads and
+    * rewrites only the id-hash buckets the batch lands in (untouched
+    * buckets' manifest entries carry forward verbatim). */
+  def appendBatch(spark: SparkSession, base: String, batch: DataFrame,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): AppendResult = {
+    val props = ManifestTable.readProps(spark, codebooksPath(base))
+    val m = props.getOrElse(MProp, sys.error(
+      s"PqStore.appendBatch: no $MProp property under $base — " +
+        "not a PqStore-committed codebook")).toInt
+    val books = ManifestTable.read(spark, codebooksPath(base))
+    val encoded = withPart(Pq.encode(batch, books, m, idCol, vecCol), idCol)
+      .localCheckpoint() // encode once: the merge re-references it twice
+    val parts = encoded.select(col("__part")).distinct()
+      .collect().map(_.getString(0)).toSet // bounded: ≤ Parts rows
+    ManifestTable.merge(spark, codesPath(base), encoded,
+      keys = Seq(idCol), partitionCol = "__part", statsColumns = Seq(idCol),
+      knownTouched = Some(parts))
+    val n = encoded.count()
+    graft.ops.Intermediates.release(encoded)
+    AppendResult(n, parts)
+  }
+
+  /** [[Pq.search]] (ADC shortlist + exact re-rank) over the committed
+    * tables. `corpus` supplies the original vectors for the re-rank —
+    * it lives wherever the data lives; only codes/codebooks persist
+    * here. */
+  def searchCommitted(spark: SparkSession, base: String, corpus: DataFrame,
+                      queries: DataFrame, k: Int, shortlist: Int = 50,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    Pq.search(ManifestTable.read(spark, codesPath(base)).drop("__part"),
+      ManifestTable.read(spark, codebooksPath(base)),
+      corpus, queries, k, shortlist, idCol, vecCol)
+
+  /** O(1) DRIFT-TRIGGERED RETRAIN POLICY — committed training size vs
+    * the codes table's metadata-only count (the [[IvfStore]] policy;
+    * stale codebooks quantize a geometry the corpus has drifted from). */
+  def needsRetrain(spark: SparkSession, base: String,
+                   growthFactor: Double = 1.5): IvfStore.DriftCheck = {
+    val trained = ManifestTable.readProps(spark, codebooksPath(base))
+      .getOrElse(TrainedRowsProp, sys.error(
+        s"PqStore.needsRetrain: no $TrainedRowsProp property under $base — " +
+          "not a PqStore-committed codebook")).toLong
+    require(trained > 0, s"PqStore.needsRetrain: trained_rows = $trained")
+    val c = ManifestTable.fastCount(spark, codesPath(base))
+    IvfStore.DriftCheck(c.rows, trained, c.metadataOnly,
+      c.rows.toDouble / trained > growthFactor)
+  }
+}

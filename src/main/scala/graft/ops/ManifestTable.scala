@@ -130,9 +130,23 @@ object ManifestTable {
       s"for keys ${keys.take(5).mkString(", ")}…")
     val schema = schemaOverride.orElse(committedSchema(lines))
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def rd(dirs: Seq[String]): DataFrame =
-      schema.map(spark.read.schema(_)).getOrElse(spark.read)
-        .parquet(dirs.map(d => s"$path/$d"): _*)
+    // Column renames are metadata-only: files forever store their
+    // CREATION-TIME (physical) names, and the rename.map property
+    // maps current → physical. The scan requests the PHYSICAL schema
+    // (so parquet matches fields by the names actually on disk) and
+    // [[finish]] aliases back to current names at the end.
+    val colmap = renameMapOf(propsOf(lines))
+    def physOf(n: String): String = colmap.getOrElse(n, n)
+    def rd(dirs: Seq[String]): DataFrame = {
+      val rdr = schema match {
+        case Some(s) if colmap.nonEmpty =>
+          spark.read.schema(org.apache.spark.sql.types.StructType(
+            s.fields.map(f => f.copy(name = physOf(f.name)))))
+        case Some(s) => spark.read.schema(s)
+        case None => spark.read
+      }
+      rdr.parquet(dirs.map(d => s"$path/$d"): _*)
+    }
     // The physical row address: (last-3-segment file key, row index in
     // file). The file key `batch-<uuid>/__pdir=<v>/part-…` is unique
     // within a table (UUID dirs), and file NAME alone would not be —
@@ -153,10 +167,20 @@ object ManifestTable {
           "left_anti")
       }
     // One frame per dir group; every branch ends with the same column
-    // list (schema [+ the two pos columns]), so the positional union
-    // below stays exact.
+    // list (schema under CURRENT names [+ the two pos columns]), so
+    // the positional union below stays exact. The rename alias runs
+    // LAST — metadata extraction and the DV anti-join need the scan
+    // relation, and the row filter upstream uses the partition column
+    // (never renamable, so physical == current for it).
+    def renameToCurrent(df: DataFrame): DataFrame = (schema, colmap) match {
+      case (Some(s), m) if m.nonEmpty =>
+        val keep = df.columns.filter(c => c == FileKeyCol || c == RowPosCol)
+        df.select(s.fields.map(f => col(physOf(f.name)).as(f.name)).toSeq ++
+          keep.map(col): _*)
+      case _ => df
+    }
     def finish(df: DataFrame, refs: Seq[String], needMeta: Boolean): DataFrame = {
-      val framed = if (needMeta) applyDv(withMeta(df), refs) else df
+      val framed = renameToCurrent(if (needMeta) applyDv(withMeta(df), refs) else df)
       if (needMeta && !withPos) framed.drop(FileKeyCol, RowPosCol) else framed
     }
     val (shared, exclusive) = selected.partition(e => isSharedDir(dirOf(e._2)))
@@ -293,6 +317,21 @@ object ManifestTable {
     require(retainVersions >= 1, s"retainVersions must be >= 1, got $retainVersions")
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     requireBucketAgreement(spark, path, bucketSpec, "merge")
+    // Rename support: the batch is written under PHYSICAL names (so
+    // all dirs stay uniform forever) and the map is carried forward —
+    // per-commit props semantics would silently drop it.
+    val colmap = renameMapOf(readProps(spark, path))
+    require(bucketSpec.isEmpty || colmap.isEmpty,
+      "ManifestTable.mergeBucketed: refusing on a table with renamed columns " +
+        "(the catalog registration binds columns by name)")
+    val physNames = colmap.values.toSet
+    val colliding = incoming.columns.filterNot(colmap.contains).filter(physNames)
+    require(colliding.isEmpty,
+      s"ManifestTable.merge: column(s) ${colliding.mkString(", ")} collide with " +
+        "the physical (file) name of a renamed column — pick another name")
+    val effProps =
+      (if (colmap.isEmpty) Map.empty[String, String]
+       else Map(RenameMapProp -> encodeRenameMap(colmap))) ++ props
 
     // Affected-partition pruning: tiny bounded collect (distinct
     // partition values of one batch), same as the swap-commit form —
@@ -316,7 +355,8 @@ object ManifestTable {
     val batch = s"$DataDir/batch-${java.util.UUID.randomUUID()}"
     bucketSpec match {
       case None =>
-        plan.merged.withColumn("__pdir", col(partitionCol).cast("string"))
+        toPhysical(plan.merged, colmap)
+          .withColumn("__pdir", col(partitionCol).cast("string"))
           .repartition(col("__pdir"))
           .write.partitionBy("__pdir").parquet(s"$path/$batch")
       case Some((c, n)) =>
@@ -340,12 +380,17 @@ object ManifestTable {
     // EMPTY batch (e.g. a delete that dropped every touched partition
     // wholesale) wrote no parquet files, so there is nothing to read
     // — and nothing to index.
+    // The batch on disk carries PHYSICAL names: probe/collect under
+    // those, then re-key the committed items to CURRENT names (the
+    // names zone-map/bloom lookups use).
+    val physToCur = colmap.map(_.swap)
     val blooms =
       if (bloomColumns.isEmpty || newEntries.isEmpty) Map.empty[String, Seq[String]]
       else collectBlooms(spark.read.parquet(s"$path/$batch"), partitionCol,
-        bloomColumns, bloomBits)
-    commitPlan(fs, plan, partitionCol, newEntries, retainVersions, statsColumns, props,
-      blooms)
+        bloomColumns.map(c => colmap.getOrElse(c, c)), bloomBits)
+        .view.mapValues(items => rekeyItems(items, physToCur)).toMap
+    commitPlan(fs, plan, partitionCol, newEntries, retainVersions,
+      statsColumns.map(c => colmap.getOrElse(c, c)), effProps, blooms, physToCur)
   }
 
   /** One incoming batch per table (a [[mergeMany]] element): the table
@@ -410,8 +455,13 @@ object ManifestTable {
             occ.map(o => s"${o._3}:${o._2.simpleString}").mkString(", "))
       }
     val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    tables.foreach(t =>
-      requireBucketAgreement(spark, s"$base/${t.name}", None, "mergeMany"))
+    tables.foreach { t =>
+      requireBucketAgreement(spark, s"$base/${t.name}", None, "mergeMany")
+      require(renameMapOf(readProps(spark, s"$base/${t.name}")).isEmpty,
+        s"ManifestTable.mergeMany: table ${t.name} has renamed columns — " +
+          "merge it individually (the staged multi-table write cannot apply " +
+          "per-table physical-name mappings)")
+    }
 
     // Sweep residue of a CRASHED earlier mergeMany: its staging dir
     // sits under `base` (outside any table path), so the per-table
@@ -1084,7 +1134,8 @@ object ManifestTable {
                          retainVersions: Int,
                          statsColumns: Seq[String] = Nil,
                          props: Map[String, String] = Map.empty,
-                         blooms: Map[String, Seq[String]] = Map.empty): Unit = {
+                         blooms: Map[String, Seq[String]] = Map.empty,
+                         physToCur: Map[String, String] = Map.empty): Unit = {
     // `__dv`/`__aux` are the reserved suffix-item keys for deletion
     // vectors and update appendices (see [[dvRefOf]]/[[auxRefsOf]]); a
     // stats column of either name would commit a zone-map item (e.g.
@@ -1124,8 +1175,11 @@ object ManifestTable {
     val newWithStats =
       if (statsColumns.isEmpty && blooms.isEmpty) newEntries
       else newEntries.map { case (k, dir) =>
+        // statsColumns arrive as PHYSICAL (file) names; the committed
+        // items are re-keyed to CURRENT names, the ones lookups use.
         val zone = if (statsColumns.isEmpty) Nil
-          else collectStats(fs, s"${plan.path}/$dir", statsColumns).toSeq
+          else rekeyItems(collectStats(fs, s"${plan.path}/$dir", statsColumns)
+            .toSeq.flatMap(_.split(';')).filter(_.nonEmpty), physToCur)
         val items = zone ++ blooms.getOrElse(k, Nil)
         k -> (if (items.isEmpty) dir else s"$dir\t${items.mkString(";")}")
       }
@@ -1264,7 +1318,7 @@ object ManifestTable {
     }
     val binned = readEntriesOf(spark, path, lines, binOfKey.map(_._1).toSet)
     val batch = s"$DataDir/compact-${java.util.UUID.randomUUID()}"
-    binned
+    val packed = binned
       .join(broadcast(binOfKey.toDF("__ck", "__bin")),
         col(partitionCol).cast("string") === col("__ck"), "inner")
       .drop("__ck")
@@ -1273,6 +1327,8 @@ object ManifestTable {
       // key chain): tightens parquet row-group/page stats so the
       // engine's own scan-time skipping bites inside the shared file.
       .sortWithinPartitions((col("__bin") +: sortWithinBins.map(col)): _*)
+    // Rewritten shared dirs keep the table's PHYSICAL names uniform.
+    toPhysical(packed, renameMapOf(propsOf(lines)))
       .write.partitionBy("__bin").parquet(s"$path/$batch")
 
     // New entries: each binned key re-points at its bin's shared dir,
@@ -1345,6 +1401,10 @@ object ManifestTable {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(latestVersion(fs, path).nonEmpty,
       s"ManifestTable.repartitionTable: no table at $path")
+    require(!renameMapOf(readProps(spark, path)).contains(newPartitionCol),
+      s"ManifestTable.repartitionTable: $newPartitionCol is a renamed column — " +
+        "the partition column must read under its physical name (rename it back " +
+        "first, or partition on another column)")
     val cur = read(spark, path)
     val df = derive match {
       case Some(e) =>
@@ -1812,7 +1872,9 @@ object ManifestTable {
     }.drop(staged.map { case (_, i) => s"__upd_$i" }: _*)
       .drop(FileKeyCol, RowPosCol)
     val auxBatch = s"$DataDir/aux-${java.util.UUID.randomUUID()}"
-    updatedDf.withColumn("__pdir", col(partitionCol).cast("string"))
+    // Appendix files keep the table's PHYSICAL names uniform.
+    toPhysical(updatedDf, renameMapOf(propsOf(lines)))
+      .withColumn("__pdir", col(partitionCol).cast("string"))
       .repartition(col("__pdir"))
       .write.partitionBy("__pdir").parquet(s"$path/$auxBatch")
     val auxDirByPart: Map[String, String] =
@@ -2015,6 +2077,10 @@ object ManifestTable {
         "write it with mergeBucketed"))
     val schema = committedSchema(lines).getOrElse(sys.error(
       s"ManifestTable.registerBucketed: no committed schema under $path"))
+    require(renameMapOf(propsOf(lines)).isEmpty,
+      s"ManifestTable.registerBucketed: table at $path has renamed columns — " +
+        "the catalog schema binds file fields by name (foreign tooling wrote " +
+        "an unsupported combination; our writers refuse it)")
     val entries = dataEntries(lines)
     entries.foreach { case (k, value) =>
       require(!isSharedDir(dirOf(value)) && dvRefOf(value).isEmpty &&
@@ -2040,6 +2106,121 @@ object ManifestTable {
         s"LOCATION '$path/${dirOf(value)}'")
     }
     spark.table(name)
+  }
+
+  /** Table property [[renameColumn]] maintains: `cur1=phys1,cur2=phys2`
+    * — for every RENAMED column, the CURRENT name → the PHYSICAL name
+    * the parquet files store (creation-time name; files are never
+    * rewritten for a rename). Columns never renamed are absent
+    * (physical == current). The Iceberg-style name mapping at
+    * dir granularity — workable because every writer here funnels the
+    * frame through [[toPhysical]] before touching disk, so physical
+    * names stay uniform across ALL of a table's dirs forever. */
+  val RenameMapProp = "rename.map"
+
+  /** The current → physical map a property map declares (empty when
+    * no column was ever renamed). */
+  private[ops] def renameMapOf(props: Map[String, String]): Map[String, String] =
+    props.get(RenameMapProp).toSeq.flatMap(_.split(',').iterator.filter(_.nonEmpty)
+      .map { kv =>
+        val i = kv.indexOf('=')
+        require(i > 0, s"ManifestTable: corrupt $RenameMapProp entry '$kv'")
+        kv.substring(0, i) -> kv.substring(i + 1)
+      }).toMap
+
+  private def encodeRenameMap(m: Map[String, String]): String =
+    m.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(",")
+
+  /** Rename a frame's columns current → physical before a write (the
+    * inverse of the read-side alias in [[readEntriesOf]]). Columns
+    * outside the map (incl. `__pdir`) pass through. */
+  private def toPhysical(df: DataFrame, colmap: Map[String, String]): DataFrame =
+    if (colmap.isEmpty) df
+    else df.select(df.columns.map(c => col(c).as(colmap.getOrElse(c, c))).toSeq: _*)
+
+  /** Re-key stats/bloom item strings from physical back to current
+    * column names (items are keyed by the CURRENT name so zone-map and
+    * bloom lookups keep pruning after a rename). Item heads are
+    * `<col>=…` (zone map / rowcount) or `<col>!bloom=…`. */
+  private def rekeyItems(items: Seq[String], physToCur: Map[String, String]): Seq[String] =
+    if (physToCur.isEmpty) items
+    else items.map { it =>
+      val head = it.takeWhile(c => c != '=' && c != '!')
+      physToCur.get(head) match {
+        case Some(cur) => cur + it.substring(head.length)
+        case None => it
+      }
+    }
+
+  /** RENAME a column — METADATA-ONLY (Iceberg-style name mapping): one
+    * manifest commit that (a) renames the field in the committed
+    * schema, (b) records current → physical in [[RenameMapProp]] so
+    * every retained data dir reads byte-identically under the new
+    * name, and (c) re-keys the column's zone-map/bloom items so data
+    * skipping keeps pruning. No file is touched; old versions still
+    * time-travel under the old name. Renaming the partition column is
+    * refused (partition entries and dir names embed its values; model
+    * that as [[repartitionTable]]), as is renaming on a bucketed
+    * table (the catalog registration binds the bucket column by
+    * name). Chained renames compose (a→b→c maps c to a's physical);
+    * renaming back to the physical name drops the map entry. */
+  def renameColumn(spark: SparkSession, path: String, oldName: String,
+                   newName: String, retainVersions: Int = 2): Unit = {
+    require(oldName != newName, "ManifestTable.renameColumn: names are equal")
+    require(retainVersions >= 1, s"retainVersions must be >= 1, got $retainVersions")
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = latestVersion(fs, path).getOrElse(
+      sys.error(s"ManifestTable.renameColumn: no manifest under $path/$ManifestDir"))
+    val lines = readManifest(fs, path, v)
+    val schema = committedSchema(lines).getOrElse(sys.error(
+      s"ManifestTable.renameColumn: no committed schema under $path (legacy " +
+        "manifest) — run one merge first"))
+    require(schema.fieldNames.contains(oldName),
+      s"ManifestTable.renameColumn: no column $oldName " +
+        s"(have ${schema.fieldNames.mkString(", ")})")
+    require(!schema.fieldNames.contains(newName),
+      s"ManifestTable.renameColumn: column $newName already exists")
+    partitionColOf(lines).foreach(p => require(p != oldName,
+      s"ManifestTable.renameColumn: $oldName is the partition column — dir names " +
+        "embed its values; use repartitionTable for a layout change"))
+    val props = propsOf(lines)
+    require(bucketSpecOf(props).isEmpty,
+      "ManifestTable.renameColumn: refusing on a bucketed table (the catalog " +
+        "registration binds the bucket column by name)")
+    val map0 = renameMapOf(props)
+    val physical = map0.getOrElse(oldName, oldName)
+    val map1 = (map0 - oldName) ++
+      (if (newName == physical) Map.empty else Map(newName -> physical))
+    // The current → physical resolution must stay injective, or two
+    // current columns would read the same file field.
+    val newFields = schema.fieldNames.toSeq.map(n => if (n == oldName) newName else n)
+    val resolved = newFields.map(n => map1.getOrElse(n, n))
+    require(resolved.distinct.size == resolved.size,
+      s"ManifestTable.renameColumn: renaming $oldName to $newName makes the " +
+        s"physical resolution ambiguous (another column already resolves to a " +
+        "colliding file field)")
+    val newSchema = org.apache.spark.sql.types.StructType(
+      schema.fields.map(f => if (f.name == oldName) f.copy(name = newName) else f))
+    // Re-key the renamed column's zone/bloom items current-name-wise.
+    val rekey = Map(oldName -> newName)
+    val newEntries = dataEntries(lines).map { case (k, value) =>
+      val items = statsOf(value).map(_.split(';').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+      val out = rekeyItems(items, rekey)
+      k -> (if (out.isEmpty) dirOf(value) else s"${dirOf(value)}\t${out.mkString(";")}")
+    }
+    val newProps = (props - RenameMapProp) ++
+      (if (map1.isEmpty) Map.empty else Map(RenameMapProp -> encodeRenameMap(map1)))
+    val propLines =
+      if (newProps.isEmpty) Nil
+      else Seq(PropsKey -> newProps.toSeq.sortBy(_._1)
+        .map { case (k2, v2) => s"${escapeProp(k2)}=${escapeProp(v2)}" }.mkString(";"))
+    val head = Seq(SchemaKey -> newSchema.json,
+      CommitKey -> System.currentTimeMillis().toString) ++
+      lines.collect { case (PartitionColKey, p) => PartitionColKey -> p } ++
+      propLines
+    writeManifest(fs, path, v + 1, head ++ newEntries)
+    cleanup(fs, path, keepVersions =
+      (versions(fs, path) :+ (v + 1)).distinct.sorted.takeRight(retainVersions).toSet)
   }
 
   /** The property map a manifest's lines carry (empty when none). */

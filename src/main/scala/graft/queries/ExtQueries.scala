@@ -8596,4 +8596,191 @@ object ExtQueries {
       |  TRUE AS fa_meta
       |FROM aa JOIN bb USING (user_id)
       |ORDER BY user_id""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q181_column_rename — METADATA-ONLY COLUMN RENAME (ManifestTable.
+  // renameColumn): Iceberg-style name mapping — the committed schema
+  // renames, a rename.map table property maps the current name to the
+  // physical (file) name, and NOT ONE data file is touched. The r11
+  // gap: schema evolution was additive-only; a rename forced a
+  // rewrite. A 30-day events manifest renames value -> amount, then
+  // takes a post-rename CORRECTION batch under the new name (the
+  // reference's update-by-PK, src/db.py:87-99, across a rename).
+  // Facts riding the hash:
+  //   - same_dirs: the rename commit references BYTE-IDENTICAL data
+  //     dirs (the q155 file-identity pattern);
+  //   - cdc_rename = 0 (a rename is logically invisible to CDC);
+  //   - fastCount stays metadata-only and unchanged;
+  //   - pruned_all: a zone-map probe on the RENAMED name over an
+  //     impossible range skips EVERY dir — the rename re-keyed the
+  //     committed skipping items, it did not orphan them (a missed
+  //     lookup would fail-safe into scanning all dirs);
+  //   - v1 time-travels under the OLD name (v1_has_value) while the
+  //     live table reads under the new (has_amount);
+  //   - the correction's CDC is exactly update_pre/post per row.
+  // ----------------------------------------------------------------
+  def q181ColumnRename(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:q181_column_rename") {
+      q181ColumnRenameBuild(spark, dir)
+    }
+
+  private def q181ColumnRenameBuild(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.ManifestTable
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), date_trunc("day", col("ts")).as("day"), col("value"))
+    val path = java.nio.file.Files.createTempDirectory("graft_q181_").toString + "/table"
+    ManifestTable.merge(spark, path, ev, keys = Seq("event_id"), partitionCol = "day",
+      retainVersions = 6, statsColumns = Seq("event_id", "value"),
+      bloomColumns = Seq("event_id"))
+    ManifestTable.renameColumn(spark, path, "value", "amount", retainVersions = 6)
+    val sameDirs = ManifestTable.dataDirs(spark, path, 1L) ==
+      ManifestTable.dataDirs(spark, path, 2L)
+    val cdcRename = ManifestTable.changes(spark, path, Seq("event_id"), 1L, 2L).count()
+    val fast = ManifestTable.fastCount(spark, path)
+    val v1HasValue = ManifestTable.readVersion(spark, path, 1L)
+      .columns.contains("value")
+    val skip = ManifestTable.readSkipping(spark, path, "amount",
+      BigDecimal(-1e12), BigDecimal(-1e9))
+    val prunedAll = skip.dirsScanned == 0L && skip.dirsTotal > 0L
+    // correction batch under the NEW name (copy-on-write merge)
+    val fix = ManifestTable.read(spark, path)
+      .filter(col("event_id") % 211 === 5)
+      .withColumn("amount", col("amount") * 2 + 1000)
+    ManifestTable.merge(spark, path, fix, keys = Seq("event_id"),
+      partitionCol = "day", retainVersions = 6,
+      statsColumns = Seq("event_id", "amount"), bloomColumns = Seq("event_id"))
+    val cdc = ManifestTable.changes(spark, path, Seq("event_id"), 2L, 3L)
+      .agg(count(lit(1)).as("t"),
+        sum(when(col("_change_type") === "update_preimage", 1L).otherwise(0L)).as("pre"),
+        sum(when(col("_change_type") === "update_postimage", 1L).otherwise(0L)).as("post"))
+      .collect()(0)
+    val fin = ManifestTable.read(spark, path)
+    fin.groupBy(col("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("amount") * lit(1e3)).cast("long")).as("sum_amount_e3"))
+      .withColumn("same_dirs", lit(sameDirs))
+      .withColumn("cdc_rename", lit(cdcRename))
+      .withColumn("fast_rows", lit(fast.rows))
+      .withColumn("fast_meta", lit(fast.metadataOnly))
+      .withColumn("v1_has_value", lit(v1HasValue))
+      .withColumn("has_amount", lit(fin.columns.contains("amount")))
+      .withColumn("pruned_all", lit(prunedAll))
+      .withColumn("cdc_total", lit(cdc.getLong(0)))
+      .withColumn("cdc_pre", lit(cdc.getLong(1)))
+      .withColumn("cdc_post", lit(cdc.getLong(2)))
+      .orderBy(col("day"))
+  }
+
+  val q181ColumnRenameSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, date_trunc('day', ts) AS day, value FROM events),
+      |hit AS (SELECT * FROM ev WHERE event_id % 211 = 5),
+      |fixed AS (SELECT event_id, day,
+      |  CASE WHEN event_id % 211 = 5 THEN value * 2 + 1000 ELSE value END AS amount
+      |  FROM ev)
+      |SELECT day, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(floor(amount * 1e3) AS BIGINT)) AS BIGINT) AS sum_amount_e3,
+      |  TRUE AS same_dirs,
+      |  CAST(0 AS BIGINT) AS cdc_rename,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM ev) AS fast_rows,
+      |  TRUE AS fast_meta,
+      |  TRUE AS v1_has_value,
+      |  TRUE AS has_amount,
+      |  TRUE AS pruned_all,
+      |  (SELECT CAST(2 * count(*) AS BIGINT) FROM hit) AS cdc_total,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM hit) AS cdc_pre,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM hit) AS cdc_post
+      |FROM fixed GROUP BY day ORDER BY day""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q182_pq_persist — PERSISTED PQ CODEBOOKS + CODES (PqStore): the
+  // IvfStore trainCommit/appendBatch pattern for product quantization
+  // — codebooks trained on the 478-vector sub-corpus (vec_id % 23 <>
+  // 0) and COMMITTED; the 22-vector remainder then arrives as a new
+  // batch and is ENCODED against the committed codebooks WITHOUT
+  // retraining. The gate pins the physical facts that make "without
+  // retraining" true (the q178 evidence pattern):
+  //   - rows_encoded == the batch size (the encode plan's only inputs
+  //     are the batch and the broadcast codebook);
+  //   - every codes-table id-hash bucket the batch did NOT touch
+  //     carries its v1 data dir into v2 VERBATIM, and every touched
+  //     bucket's dir changed (entryDirs compared across versions);
+  //   - the codebooks table itself did NOT change (v1 is its only
+  //     version — nothing retrained);
+  //   - the drift policy is O(1) metadata (fastCount metadata-only;
+  //     retrain verdicts at 1.5 / 1.02 recomputed by the oracle).
+  // Recall of committed-codebook ADC search on the MERGED corpus vs
+  // exact brute-force holds q60's floor (0.6) for every query.
+  // ----------------------------------------------------------------
+  def q182PqPersist(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:q182_pq_persist") {
+      q182PqPersistBuild(spark, dir)
+    }
+
+  private def q182PqPersistBuild(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.PqStore
+    import graft.ops.ManifestTable
+    val norm = normEmb(spark, dir)
+    val corpus = norm.filter(col("vec_id") % 23 =!= 0)
+    val batch = norm.filter(col("vec_id") % 23 === 0)
+    val base = java.nio.file.Files.createTempDirectory("graft_q182_").toString + "/pq"
+    PqStore.trainCommit(spark, base, corpus, m = 16, k = 16, iters = 3)
+    val v1 = ManifestTable.entryDirs(spark, PqStore.codesPath(base), 1L)
+    val r = PqStore.appendBatch(spark, base, batch)
+    val v2 = ManifestTable.entryDirs(spark, PqStore.codesPath(base), 2L)
+    val untouchedPreserved = v1.filterNot { case (k, _) => r.partsTouched(k) }
+      .forall { case (k, d) => v2.get(k).contains(d) }
+    val touchedRewritten = r.partsTouched
+      .forall(p => v1.get(p).isEmpty || v1.get(p) != v2.get(p))
+    val fsBooks = new org.apache.hadoop.fs.Path(PqStore.codebooksPath(base))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val booksUntouched =
+      ManifestTable.versions(fsBooks, PqStore.codebooksPath(base)) == Seq(1L)
+    val dc150 = PqStore.needsRetrain(spark, base, growthFactor = 1.5)
+    val dc102 = PqStore.needsRetrain(spark, base, growthFactor = 1.02)
+    val queries = norm.filter(col("vec_id") < 10)
+    val k = 10
+    val exact = exactTop10(spark, dir).select(col("query_id"), col("neighbor_id"))
+    val approx = PqStore.searchCommitted(spark, base, norm, queries, k, shortlist = 100)
+      .select(col("query_id"), col("neighbor_id")).withColumn("__hit", lit(1))
+    exact.join(broadcast(approx), Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("__hit"), lit(0))).as("hits"))
+      .select(col("query_id").cast("long").as("query_id"),
+        lit(0.6).as("recall_floor"),
+        (col("hits").cast("double") / lit(k.toDouble) >= lit(0.6)).as("pass"))
+      .withColumn("rows_encoded", lit(r.rowsEncoded))
+      .withColumn("untouched_dirs_preserved", lit(untouchedPreserved))
+      .withColumn("touched_parts_rewritten", lit(touchedRewritten))
+      .withColumn("codebooks_untouched", lit(booksUntouched))
+      .withColumn("trained_rows", lit(dc150.trainedRows))
+      .withColumn("indexed_rows", lit(dc150.indexedRows))
+      .withColumn("drift_check_metadata_only",
+        lit(dc150.metadataOnly && dc102.metadataOnly))
+      .withColumn("retrain_at_150", lit(dc150.retrain))
+      .withColumn("retrain_at_102", lit(dc102.retrain))
+      .orderBy(col("query_id"))
+  }
+
+  val q182PqPersistSql: String =
+    """WITH m AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS indexed,
+      |    CAST(count(*) FILTER (vec_id % 23 <> 0) AS BIGINT) AS trained,
+      |    CAST(count(*) FILTER (vec_id % 23 = 0) AS BIGINT) AS batch
+      |  FROM embeddings)
+      |SELECT CAST(vec_id AS BIGINT) AS query_id,
+      |  CAST(0.6 AS DOUBLE) AS recall_floor, TRUE AS pass,
+      |  (SELECT batch FROM m) AS rows_encoded,
+      |  TRUE AS untouched_dirs_preserved,
+      |  TRUE AS touched_parts_rewritten,
+      |  TRUE AS codebooks_untouched,
+      |  (SELECT trained FROM m) AS trained_rows,
+      |  (SELECT indexed FROM m) AS indexed_rows,
+      |  TRUE AS drift_check_metadata_only,
+      |  (SELECT CAST(indexed AS DOUBLE) / trained > 1.5 FROM m) AS retrain_at_150,
+      |  (SELECT CAST(indexed AS DOUBLE) / trained > 1.02 FROM m) AS retrain_at_102
+      |FROM embeddings WHERE vec_id < 10
+      |ORDER BY query_id""".stripMargin
 }

@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.ManifestTable
+
+/** Metadata-only column rename (ManifestTable.renameColumn): the
+  * Iceberg-style name mapping — files keep their creation-time
+  * (physical) names forever, the manifest maps current → physical,
+  * and every read/write surface stays consistent across the rename.
+  */
+class RenameSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def freshPath(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_ren_$tag").toString + "/t"
+
+  private def seed(path: String): Unit = {
+    val df = (0 until 40).map(i => (i.toLong, s"p${i % 4}", i * 10.0))
+      .toDF("id", "part", "v")
+    ManifestTable.merge(spark, path, df, keys = Seq("id"), partitionCol = "part",
+      statsColumns = Seq("id", "v"), bloomColumns = Seq("id"), retainVersions = 4)
+  }
+
+  test("rename is metadata-only: same dirs, new name reads, old version keeps old name") {
+    val path = freshPath("basic")
+    seed(path)
+    val before = ManifestTable.dataDirs(spark, path, 1L)
+    ManifestTable.renameColumn(spark, path, "v", "amount", retainVersions = 4)
+    assert(ManifestTable.dataDirs(spark, path, 2L) == before,
+      "a rename must not touch one data file")
+    val got = ManifestTable.read(spark, path)
+    assert(got.columns.toSeq == Seq("id", "part", "amount"))
+    assert(got.filter(col("id") === 7L).select("amount").as[Double].head() == 70.0)
+    // time travel: the pre-rename snapshot still reads under the old name
+    val old = ManifestTable.readVersion(spark, path, 1L)
+    assert(old.columns.toSeq == Seq("id", "part", "v"))
+    assert(old.count() == 40L)
+    // fastCount untouched (rowcounts carried verbatim)
+    val c = ManifestTable.fastCount(spark, path)
+    assert(c.metadataOnly && c.rows == 40L)
+    // the rename commit is an EMPTY change-feed step
+    assert(ManifestTable.changes(spark, path, Seq("id"), 1L, 2L).count() == 0L)
+  }
+
+  test("post-rename merges land under the mapping; skipping keeps pruning") {
+    val path = freshPath("merge")
+    seed(path)
+    ManifestTable.renameColumn(spark, path, "v", "amount", retainVersions = 4)
+    // new batch arrives under the CURRENT name
+    ManifestTable.merge(spark, path,
+      Seq((100L, "p0", 5000.0), (101L, "p1", 6000.0)).toDF("id", "part", "amount"),
+      keys = Seq("id"), partitionCol = "part",
+      statsColumns = Seq("id", "amount"), bloomColumns = Seq("id"), retainVersions = 4)
+    val got = ManifestTable.read(spark, path)
+    assert(got.count() == 42L)
+    assert(got.filter(col("id") === 100L).select("amount").as[Double].head() == 5000.0)
+    assert(got.filter(col("id") === 7L).select("amount").as[Double].head() == 70.0)
+    // zone-map skipping on the RENAMED column prunes: old dirs' items
+    // were re-keyed at rename, the new dir's were committed re-keyed
+    val r = ManifestTable.readSkipping(spark, path, "amount",
+      BigDecimal(4999), BigDecimal(7000))
+    assert(r.dirsScanned < r.dirsTotal, s"expected pruning, scanned ${r.dirsScanned}/${r.dirsTotal}")
+    assert(r.df.filter(col("amount") >= 4999).count() == 2L)
+    // bloom probe on id still prunes too
+    val eq = ManifestTable.readSkippingEquals(spark, path, "id", "100")
+    assert(eq.df.filter(col("id") === 100L).count() == 1L)
+  }
+
+  test("chained renames compose; renaming back drops the mapping") {
+    val path = freshPath("chain")
+    seed(path)
+    ManifestTable.renameColumn(spark, path, "v", "v2", retainVersions = 6)
+    ManifestTable.renameColumn(spark, path, "v2", "v3", retainVersions = 6)
+    assert(ManifestTable.readProps(spark, path)(ManifestTable.RenameMapProp) == "v3=v")
+    assert(ManifestTable.read(spark, path).select(sum("v3")).as[Double].head()
+      == (0 until 40).map(_ * 10.0).sum)
+    ManifestTable.renameColumn(spark, path, "v3", "v", retainVersions = 6)
+    assert(!ManifestTable.readProps(spark, path).contains(ManifestTable.RenameMapProp))
+    assert(ManifestTable.read(spark, path).columns.toSeq == Seq("id", "part", "v"))
+  }
+
+  test("rename guards: partition column, existing names, physical collisions") {
+    val path = freshPath("guards")
+    seed(path)
+    val e1 = intercept[IllegalArgumentException](
+      ManifestTable.renameColumn(spark, path, "part", "part2"))
+    assert(e1.getMessage.contains("partition column"))
+    val e2 = intercept[IllegalArgumentException](
+      ManifestTable.renameColumn(spark, path, "v", "id"))
+    assert(e2.getMessage.contains("already exists"))
+    ManifestTable.renameColumn(spark, path, "v", "amount")
+    // an additive column named like the physical file field of the
+    // renamed column would make two current columns read one field
+    val e3 = intercept[IllegalArgumentException](ManifestTable.merge(spark, path,
+      Seq((1L, "p0", 1.0, 2.0)).toDF("id", "part", "amount", "v"),
+      keys = Seq("id"), partitionCol = "part"))
+    assert(e3.getMessage.contains("physical"))
+  }
+
+  test("MoR update and delete work across a rename; compact folds them") {
+    val path = freshPath("mor")
+    seed(path)
+    ManifestTable.renameColumn(spark, path, "v", "amount", retainVersions = 4)
+    val r = ManifestTable.updateWhereMoR(spark, path, "part",
+      col("id") === 4L, Map("amount" -> lit(999.0)), retainVersions = 4)
+    assert(r.committed && r.dirsRewritten == 0L)
+    assert(ManifestTable.read(spark, path).filter(col("id") === 4L)
+      .select("amount").as[Double].head() == 999.0)
+    val d = ManifestTable.deleteWhereMoR(spark, path, "part", col("id") === 5L,
+      retainVersions = 4)
+    assert(d.rowsDeleted == 1L)
+    val cr = ManifestTable.compact(spark, path, "part", targetBytes = 1L << 30,
+      minDirs = 2, retainVersions = 4)
+    assert(cr.committed)
+    val folded = ManifestTable.read(spark, path)
+    assert(folded.count() == 39L)
+    assert(folded.filter(col("id") === 4L).select("amount").as[Double].head() == 999.0)
+    assert(folded.columns.contains("amount"))
+    assert(ManifestTable.fsck(spark, path).count() == 0L)
+  }
+
+  test("CDC after a rename emits rows under the new name") {
+    val path = freshPath("cdc")
+    seed(path)
+    ManifestTable.renameColumn(spark, path, "v", "amount", retainVersions = 6)
+    ManifestTable.merge(spark, path,
+      Seq((0L, "p0", 12345.0)).toDF("id", "part", "amount"),
+      keys = Seq("id"), partitionCol = "part", retainVersions = 6)
+    val cdc = ManifestTable.changes(spark, path, Seq("id"), 2L, 3L)
+    assert(cdc.columns.contains("amount"))
+    val post = cdc.filter(col("_change_type") === "update_postimage")
+      .select("amount").as[Double].collect().toSeq
+    assert(post == Seq(12345.0))
+  }
+}
