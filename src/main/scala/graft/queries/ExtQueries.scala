@@ -8783,4 +8783,100 @@ object ExtQueries {
       |  (SELECT CAST(indexed AS DOUBLE) / trained > 1.02 FROM m) AS retrain_at_102
       |FROM embeddings WHERE vec_id < 10
       |ORDER BY query_id""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q183_pagerank_converged — CONVERGENCE-TERMINATED PAGERANK
+  // (Graph.pageRankE9Converged): q87's exact 1e-9 fixed-point
+  // iteration with the e9-integer delta-sum stopping rule instead of
+  // a caller-fixed count — the loop stops at the first iteration
+  // whose total absolute rank movement is ≤ tol·nNodes. Because the
+  // arithmetic is exact BIGINT end to end, the iteration count is a
+  // DETERMINISTIC function of the input — so the oracle can unroll
+  // EXACTLY the same number of steps (programmatically generated
+  // CTE chain, the q87 pattern) and match bit for bit, and the gate
+  // pins iters_run + converged as columns. The graph is the q87
+  // supplier↔customer graph restricted to l_orderkey % 10 = 0 (the
+  // rule's cost is per-iteration, so the gate keeps iterations cheap;
+  // the count depends only on the graph, not its size). Memoized per
+  // (session, dir) — the convergence run is a build, not a per-pass
+  // recompute.
+  // ----------------------------------------------------------------
+  val Q183TolPerNodeE9 = 10000000L // 1% of the initial rank unit
+  val Q183MaxIters = 40
+
+  def q183PagerankConverged(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:q183_pagerank_converged") {
+      q183PagerankConvergedBuild(spark, dir)
+    }
+
+  private def q183PagerankConvergedBuild(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey") % 10 === 0)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("l_suppkey") * 2).as("src"), (col("o_custkey") * 2 + 1).as("dst"))
+    val edges = pairs.unionByName(
+      pairs.select(col("dst").as("src"), col("src").as("dst")))
+    val r = graft.ext.Graph.pageRankE9Converged(edges, maxIters = Q183MaxIters,
+      tolPerNodeE9 = Q183TolPerNodeE9)
+    r.ranks
+      .withColumn("iters_run", lit(r.itersRun.toLong))
+      .withColumn("converged", lit(r.converged))
+      .orderBy(col("node"))
+  }
+
+  /** Oracle: the SAME stopping rule unrolled — generated CTE chain
+    * (q87's step pattern) up to Q183MaxIters with per-step delta
+    * CTEs, and the result selected from the FIRST step whose delta
+    * meets the bound (DuckDB computes which step that is, so the
+    * oracle derives iters_run itself instead of trusting a baked-in
+    * count — sf-independent like every other oracle). */
+  val q183PagerankConvergedSql: String = {
+    val maxI = Q183MaxIters
+    // Every CTE is MATERIALIZED: each r_i is referenced three times
+    // (r_{i+1}, d_i, the final union) — inlining would expand the
+    // 40-step chain exponentially and re-open the parquet scans
+    // hundreds of times.
+    def step(prev: String, cur: String) =
+      s"""$cur AS MATERIALIZED (
+         |  SELECT n.node,
+         |    CAST(150000000 + (85 * COALESCE(s.m, 0)) // 100 AS BIGINT) AS r
+         |  FROM n LEFT JOIN (
+         |    SELECT e.dst AS node, CAST(SUM($prev.r // deg.deg) AS BIGINT) AS m
+         |    FROM e JOIN deg ON e.src = deg.src JOIN $prev ON $prev.node = e.src
+         |    GROUP BY 1) s ON s.node = n.node)""".stripMargin
+    def delta(prev: String, cur: String, name: String) =
+      s"""$name AS MATERIALIZED (
+         |  SELECT CAST(SUM(ABS($cur.r - $prev.r)) AS BIGINT) AS d
+         |  FROM $cur JOIN $prev ON $cur.node = $prev.node)""".stripMargin
+    val steps = (1 to maxI).map { i =>
+      step(s"r${i - 1}", s"r$i") + ",\n" + delta(s"r${i - 1}", s"r$i", s"d$i")
+    }.mkString(",\n")
+    val firstHit = (1 to maxI).map(i =>
+      s"SELECT $i AS it, (SELECT d FROM d$i) AS d").mkString(" UNION ALL ")
+    s"""WITH p AS MATERIALIZED (
+      |  SELECT DISTINCT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE l_orderkey % 10 = 0),
+      |e AS MATERIALIZED (SELECT src, dst FROM p UNION SELECT dst, src FROM p),
+      |deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+      |n AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      |bound AS MATERIALIZED (SELECT CAST(${Q183TolPerNodeE9} AS BIGINT) *
+      |  (SELECT count(*) FROM n) AS b),
+      |r0 AS MATERIALIZED (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM n),
+      |$steps,
+      |hits AS MATERIALIZED ($firstHit),
+      |stop AS MATERIALIZED (SELECT CAST(MIN(it) AS BIGINT) AS it FROM hits
+      |  WHERE d <= (SELECT b FROM bound)),
+      |ranks AS (
+      |${(1 to maxI).map(i =>
+         s"  SELECT node, r, $i AS it FROM r$i").mkString(" UNION ALL\n")})
+      |SELECT node, r AS rank_e9,
+      |  (SELECT it FROM stop) AS iters_run,
+      |  TRUE AS converged
+      |FROM ranks WHERE it = (SELECT it FROM stop)
+      |ORDER BY node""".stripMargin
+  }
 }

@@ -22,6 +22,33 @@ class GraphSpec extends AnyFunSuite {
     graft.ops.Intermediates.sweep(spark)
   }
 
+  test("pageRankE9Converged stops early and equals the fixed-iteration run at that count") {
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L)).toDF("src", "dst")
+    // the 1↔{2,3} star is bipartite: the rank exchange oscillates and
+    // decays at damping^k, so a per-node tolerance of 2e5 (0.02% of
+    // the initial rank) fires around iteration ~50
+    val c = Graph.pageRankE9Converged(edges, maxIters = 60, tolPerNodeE9 = 200000L)
+    assert(c.converged, s"expected convergence, lastDelta=${c.lastDeltaE9}")
+    assert(c.itersRun < 60, "the stopping rule must fire before the budget")
+    assert(c.lastDeltaE9 <= 200000L * 3)
+    // determinism: the converged ranks ARE the fixed-iteration ranks
+    // at the reported count — the property that lets an oracle unroll
+    val fixedRun = Graph.pageRankE9(edges, iters = c.itersRun)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    val got = c.ranks.orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(got == fixedRun)
+    graft.ops.Intermediates.sweep(spark)
+  }
+
+  test("pageRankE9Converged reports non-convergence at an impossible tolerance") {
+    // tol 0 on a graph whose integer iteration keeps moving within
+    // maxIters=2 — the rule must NOT claim convergence
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L)).toDF("src", "dst")
+    val c = Graph.pageRankE9Converged(edges, maxIters = 2, tolPerNodeE9 = 0L)
+    assert(!c.converged && c.itersRun == 2)
+    graft.ops.Intermediates.sweep(spark)
+  }
+
   test("pageRankE9: a sink node keeps base rank inflow only (dangling mass not redistributed)") {
     // 1 → 2 only: node 2 never emits, node 1 never receives.
     // r1(1) = 15e7; r1(2) = 15e7 + (85·1e9) div 100 = 1e9.
