@@ -79,6 +79,74 @@ object Graph {
     rank
   }
 
+  /** A [[pageRankE9Bucketed]] result: ranks plus the measured plan
+    * facts the scale claim rests on. */
+  final case class BucketedRank(ranks: DataFrame, edgeScanBucketed: Boolean,
+                                shuffleExchanges: Int, probePlan: String)
+
+  /** [[pageRankE9]] over a CATALOG BUCKETED edge table — the 100 TB
+    * shape made real instead of documented: with the edge list
+    * written `bucketBy(n, src)` ([[graft.ops.Layout.writeBucketed]] /
+    * [[graft.ops.Bucketed.writeBucketed]]), every iteration's
+    * out-degree aggregate AND rank⋈edges fan-out join consume the
+    * bucketed scan's `HashPartitioning(src, n)` in place — the
+    * TB-scale operand never crosses the network after its one
+    * write-time shuffle; only the node-sized rank frames exchange
+    * (once into the src-bucketing, once for the dst-keyed sum).
+    * Edges are TRUSTED distinct (the write path dedups) — a
+    * `distinct()` here would force the very edge shuffle the layout
+    * exists to avoid. Returns the measured plan evidence from the
+    * FIRST iteration's contribution plan: the edge scan reports
+    * `Bucketed: true` and the plan carries at most `2` shuffle
+    * exchanges (rank-sized both) — gates pin these so a silently
+    * degraded layout (changed bucket count, disabled bucketing)
+    * flips the fact rather than the numbers. */
+  def pageRankE9Bucketed(spark: org.apache.spark.sql.SparkSession,
+                         edgeTable: String, iters: Int,
+                         dampingE2: Int = 85): BucketedRank = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(dampingE2 >= 0 && dampingE2 <= 100, s"dampingE2 in [0,100], got $dampingE2")
+    def e = spark.table(edgeTable).select(col("src").as("__src"), col("dst").as("__dst"))
+    // Out-degree straight off the bucketed scan — deliberately NOT
+    // cached: an InMemoryRelation hides the scan's bucket-derived
+    // outputPartitioning behind an adaptive plan, forcing the very
+    // exchange the layout avoids (measured: caching adds a third
+    // shuffle). Recomputing costs one column-pruned bucketed scan per
+    // iteration; at real scale the degree table is itself written
+    // bucketed once next to the edges.
+    def outdeg = e.groupBy(col("__src")).agg(count(lit(1)).as("__deg"))
+    val nodes = e.select(col("__src").as("node"))
+      .unionByName(e.select(col("__dst").as("node"))).distinct()
+      .localCheckpoint()
+    val baseE9 = (100 - dampingE2).toLong * 10000000L
+
+    def contribOf(rank: DataFrame): DataFrame = rank
+      .join(outdeg.hint("merge"), col("node") === col("__src"))
+      .withColumn("__c", expr("rank_e9 div __deg"))
+      .join(e.hint("merge"), Seq("__src"))
+      .groupBy(col("__dst").as("node"))
+      .agg(sum(col("__c")).as("__in"))
+
+    var rank = nodes.withColumn("rank_e9", lit(1000000000L))
+    // plan evidence measured ONCE, on the first iteration's shape
+    val probe = contribOf(rank).queryExecution.executedPlan.toString
+    val bucketed = probe.contains("Bucketed: true")
+    val exchanges = probe.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange"))
+    for (_ <- 1 to iters) {
+      val contrib = contribOf(rank)
+      val prev = rank
+      rank = nodes.join(contrib, Seq("node"), "left")
+        .withColumn("__in", coalesce(col("__in"), lit(0L)))
+        .withColumn("rank_e9", lit(baseE9) + expr(s"($dampingE2 * __in) div 100"))
+        .select(col("node"), col("rank_e9"))
+        .localCheckpoint()
+      Intermediates.release(prev)
+    }
+    Intermediates.release(nodes)
+    BucketedRank(rank, bucketed, exchanges, probe)
+  }
+
   /** A [[pageRankE9Converged]] result: the final ranks, how many
     * iterations actually ran, whether the stopping rule fired before
     * `maxIters`, and the last iteration's total absolute rank

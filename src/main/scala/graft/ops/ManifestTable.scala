@@ -1498,6 +1498,60 @@ object ManifestTable {
       retainVersions, sortWithinBins))
   }
 
+  /** Fold pending MERGE-ON-READ DEBT — every entry carrying a DV
+    * sidecar or an `__aux` appendix rewrites into plain data files
+    * (the keyed read folds them; the replaceTouched commit re-points
+    * the entries) — and ONLY those entries: debt-free partitions are
+    * untouched. This is the maintenance primitive [[compact]] cannot
+    * substitute for: bin-packing skips a lone small dir (`minDirs`),
+    * so a single partition carrying months of appendix chain would
+    * never fold through it. Pass `statsColumns`/`bloomColumns` to
+    * re-record skipping metadata on the folded dirs (a fold
+    * restores an aux-carrying entry's prunability). Returns the
+    * number of partitions folded (0 = debt-free, no commit). */
+  def foldMoR(spark: SparkSession, path: String, partitionCol: String,
+              retainVersions: Int = 2,
+              statsColumns: Seq[String] = Nil,
+              bloomColumns: Seq[String] = Nil,
+              bloomBits: Int = 8192): Long = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = latestVersion(fs, path).getOrElse(
+      sys.error(s"ManifestTable.foldMoR: no manifest under $path/$ManifestDir"))
+    val lines = readManifest(fs, path, v)
+    val debt = dataEntries(lines).filter { case (_, value) =>
+      dvRefOf(value).nonEmpty || auxRefsOf(value).nonEmpty }.map(_._1).toSet
+    if (debt.isEmpty) return 0L
+    val rows = readEntriesOf(spark, path, lines, debt)
+    merge(spark, path, rows, keys = Nil, partitionCol = partitionCol,
+      replaceTouched = true, knownTouched = Some(debt),
+      retainVersions = retainVersions, statsColumns = statsColumns,
+      bloomColumns = bloomColumns, bloomBits = bloomBits)
+    debt.size.toLong
+  }
+
+  /** MAINTENANCE POLICY for merge-on-read debt (the [[maybeCompact]]
+    * pattern): O(1) manifest metadata while healthy; a real
+    * [[foldMoR]] only once more than `maxPending` entries carry a DV
+    * or appendix. An ingest job calls this after its MoR
+    * deletes/updates so read-side anti-join and appendix-union costs
+    * stay bounded. */
+  def maybeFoldMoR(spark: SparkSession, path: String, partitionCol: String,
+                   maxPending: Int,
+                   retainVersions: Int = 2,
+                   statsColumns: Seq[String] = Nil,
+                   bloomColumns: Seq[String] = Nil,
+                   bloomBits: Int = 8192): Option[Long] = {
+    require(maxPending >= 0, s"maybeFoldMoR: maxPending must be >= 0, got $maxPending")
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = latestVersion(fs, path).getOrElse(
+      sys.error(s"ManifestTable.maybeFoldMoR: no manifest under $path/$ManifestDir"))
+    val pending = dataEntries(readManifest(fs, path, v)).count { case (_, value) =>
+      dvRefOf(value).nonEmpty || auxRefsOf(value).nonEmpty }
+    if (pending <= maxPending) None
+    else Some(foldMoR(spark, path, partitionCol, retainVersions, statsColumns,
+      bloomColumns, bloomBits))
+  }
+
   // ------------------------------------------------------------------
   // ROW-LEVEL DELETE / UPDATE (r11) — copy-on-write, the Delta-default
   // strategy: ONE column-pruned counting scan over the candidate
@@ -1919,6 +1973,45 @@ object ManifestTable {
       committed = true)
   }
 
+  /** A [[updateByKeysMoR]] result: the DV+appendix outcome plus the
+    * bloom pruning evidence. */
+  final case class KeyDvUpdateResult(op: DvUpdateResult, dirsProbed: Long,
+                                     dirsTotal: Long)
+
+  /** TARGETED MERGE-ON-READ UPDATE BY KEY LIST — the rectification
+    * half of the right-to-be-forgotten family (GDPR Art. 16 next to
+    * Art. 17's [[deleteByKeysMoR]]): a correction request arrives as
+    * a (small) list of subject keys plus assignments, the committed
+    * bloom dir-index narrows the scan to dirs that MIGHT hold any of
+    * them (no false negatives; un-bloom'd and aux-carrying dirs probe
+    * fail-safe), and [[updateWhereMoR]] commits DV + appendix in one
+    * rename — zero dirs rewritten. */
+  def updateByKeysMoR(spark: SparkSession, path: String, partitionCol: String,
+                      keyCol: String, keys: Seq[String],
+                      assignments: Map[String, org.apache.spark.sql.Column],
+                      retainVersions: Int = 2): KeyDvUpdateResult = {
+    require(keys.nonEmpty, "ManifestTable.updateByKeysMoR: empty key list")
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = latestVersion(fs, path).getOrElse(
+      sys.error(s"ManifestTable.updateByKeysMoR: no manifest under $path/$ManifestDir"))
+    val live = dataEntries(readManifest(fs, path, v))
+    val candidateEntries = live.filter { case (_, entryValue) =>
+      auxRefsOf(entryValue).nonEmpty || (bloomOf(entryValue, keyCol) match {
+        case Some(payload) => keys.exists(k => bloomContains(payload, k))
+        case None => true // no filter recorded -> cannot prune safely
+      })
+    }
+    val candidates = candidateEntries.map(_._1).toSet
+    val op =
+      if (candidates.isEmpty)
+        DvUpdateResult(0L, 0L, 0L, live.size.toLong, 0L, committed = false)
+      else updateWhereMoR(spark, path, partitionCol,
+        col(keyCol).cast("string").isInCollection(keys), assignments,
+        partitionFilter = candidates.contains, retainVersions = retainVersions)
+    KeyDvUpdateResult(op, candidateEntries.map(e => dirOf(e._2)).distinct.size.toLong,
+      live.map(e => dirOf(e._2)).distinct.size.toLong)
+  }
+
   /** A [[deleteByKeysMoR]] result: the DV outcome plus the bloom
     * pruning evidence. */
   final case class KeyDvDeleteResult(op: DvDeleteResult, dirsProbed: Long,
@@ -2213,6 +2306,90 @@ object ManifestTable {
     val propLines =
       if (newProps.isEmpty) Nil
       else Seq(PropsKey -> newProps.toSeq.sortBy(_._1)
+        .map { case (k2, v2) => s"${escapeProp(k2)}=${escapeProp(v2)}" }.mkString(";"))
+    val head = Seq(SchemaKey -> newSchema.json,
+      CommitKey -> System.currentTimeMillis().toString) ++
+      lines.collect { case (PartitionColKey, p) => PartitionColKey -> p } ++
+      propLines
+    writeManifest(fs, path, v + 1, head ++ newEntries)
+    cleanup(fs, path, keepVersions =
+      (versions(fs, path) :+ (v + 1)).distinct.sorted.takeRight(retainVersions).toSet)
+  }
+
+  /** The widenings [[widenColumn]] accepts — Iceberg's set (int →
+    * long, float → double, decimal precision growth at fixed scale)
+    * plus the small-int chain. Each is one Spark's parquet reader
+    * upcasts NATIVELY when the requested schema is wider than the
+    * file's physical type (verified for both the vectorized and
+    * row-based readers), which is what makes the operation
+    * metadata-only: old files are simply read under the wider type. */
+  private def isWidening(from: org.apache.spark.sql.types.DataType,
+                         to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (f: DecimalType, t: DecimalType) =>
+        t.scale == f.scale && t.precision > f.precision
+      case _ => false
+    }
+  }
+
+  /** WIDEN a column's type — METADATA-ONLY: one manifest commit that
+    * re-types the field in the committed schema; every retained data
+    * dir reads byte-identically under the wider type (the parquet
+    * reader's native upcast — no file touched), new batches write the
+    * wide type, and mixed-width dir histories resolve transparently.
+    * Allowed widenings: [[isWidening]]. Zone-map items stay (bounds
+    * are value-level, unchanged by a widening); bloom items stay for
+    * the integral/decimal widenings (their `CAST(col AS STRING)` keys
+    * render identically at either width) but are DROPPED for
+    * float → double, where the string rendering of a value differs
+    * across widths and a stale bloom would FALSE-NEGATIVE a probe —
+    * dirs without a bloom are always probed, fail-safe. Refused for
+    * the partition column (dir names embed its rendered values) and
+    * for a bucket column (the bucket hash differs across widths, so
+    * widening would silently detach rows from their buckets). Old
+    * versions still time-travel under the old type. */
+  def widenColumn(spark: SparkSession, path: String, colName: String,
+                  newType: org.apache.spark.sql.types.DataType,
+                  retainVersions: Int = 2): Unit = {
+    require(retainVersions >= 1, s"retainVersions must be >= 1, got $retainVersions")
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = latestVersion(fs, path).getOrElse(
+      sys.error(s"ManifestTable.widenColumn: no manifest under $path/$ManifestDir"))
+    val lines = readManifest(fs, path, v)
+    val schema = committedSchema(lines).getOrElse(sys.error(
+      s"ManifestTable.widenColumn: no committed schema under $path (legacy " +
+        "manifest) — run one merge first"))
+    require(schema.fieldNames.contains(colName),
+      s"ManifestTable.widenColumn: no column $colName " +
+        s"(have ${schema.fieldNames.mkString(", ")})")
+    val field = schema.fields(schema.fieldIndex(colName))
+    require(isWidening(field.dataType, newType),
+      s"ManifestTable.widenColumn: ${field.dataType.simpleString} -> " +
+        s"${newType.simpleString} is not a supported widening")
+    partitionColOf(lines).foreach(p => require(p != colName,
+      s"ManifestTable.widenColumn: $colName is the partition column — dir names " +
+        "embed its rendered values"))
+    val props = propsOf(lines)
+    bucketSpecOf(props).foreach { case (bc, _) => require(bc != colName,
+      s"ManifestTable.widenColumn: $colName is the bucket column — the bucket " +
+        "hash differs across widths; re-spec under a new path instead") }
+    val dropBlooms = field.dataType == org.apache.spark.sql.types.FloatType
+    val newSchema = org.apache.spark.sql.types.StructType(schema.fields.map(f =>
+      if (f.name == colName) f.copy(dataType = newType) else f))
+    val newEntries = dataEntries(lines).map { case (k, value) =>
+      val items = statsOf(value).map(_.split(';').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+      val out = if (!dropBlooms) items
+        else items.filterNot(_.startsWith(s"$colName$BloomTag="))
+      k -> (if (out.isEmpty) dirOf(value) else s"${dirOf(value)}\t${out.mkString(";")}")
+    }
+    val propLines =
+      if (props.isEmpty) Nil
+      else Seq(PropsKey -> props.toSeq.sortBy(_._1)
         .map { case (k2, v2) => s"${escapeProp(k2)}=${escapeProp(v2)}" }.mkString(";"))
     val head = Seq(SchemaKey -> newSchema.json,
       CommitKey -> System.currentTimeMillis().toString) ++

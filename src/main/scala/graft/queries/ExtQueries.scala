@@ -8879,4 +8879,169 @@ object ExtQueries {
       |FROM ranks WHERE it = (SELECT it FROM stop)
       |ORDER BY node""".stripMargin
   }
+
+  // ----------------------------------------------------------------
+  // q184_type_widening — METADATA-ONLY TYPE WIDENING (ManifestTable.
+  // widenColumn): the second half of the r11 schema-evolution ask
+  // (q181 covered rename) — int -> long re-types the committed schema
+  // in ONE manifest commit and not one data file is touched: the
+  // parquet reader upcasts INT32 files natively under the wider
+  // requested schema. A 30-day events manifest stores an INT `cents`
+  // column, widens it to BIGINT, then merges a correction batch whose
+  // values NO INT CAN HOLD (the point of widening) — the final state
+  // reads mixed int/long dir histories transparently. Facts riding
+  // the hash:
+  //   - same_dirs (the widen commit references byte-identical dirs);
+  //   - cdc_widen = 0 (widening is logically invisible);
+  //   - v1 time-travels as INT (v1_int_type) while the live table
+  //     reads BIGINT (is_long);
+  //   - fastCount stays metadata-only and unchanged across the widen;
+  //   - zone-map items carried through the widening still prune
+  //     (impossible-range probe skips EVERY dir);
+  //   - the correction's CDC is exactly update_pre/post per row.
+  // ----------------------------------------------------------------
+  def q184TypeWidening(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:q184_type_widening") {
+      q184TypeWideningBuild(spark, dir)
+    }
+
+  private def q184TypeWideningBuild(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.ManifestTable
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), date_trunc("day", col("ts")).as("day"),
+        floor(col("value") * 100).cast("int").as("cents"))
+    val path = java.nio.file.Files.createTempDirectory("graft_q184_").toString + "/table"
+    ManifestTable.merge(spark, path, ev, keys = Seq("event_id"), partitionCol = "day",
+      retainVersions = 6, statsColumns = Seq("event_id", "cents"),
+      bloomColumns = Seq("event_id"))
+    ManifestTable.widenColumn(spark, path, "cents", LongType, retainVersions = 6)
+    val sameDirs = ManifestTable.dataDirs(spark, path, 1L) ==
+      ManifestTable.dataDirs(spark, path, 2L)
+    val cdcWiden = ManifestTable.changes(spark, path, Seq("event_id"), 1L, 2L).count()
+    val fast = ManifestTable.fastCount(spark, path)
+    val v1Int = ManifestTable.readVersion(spark, path, 1L)
+      .schema("cents").dataType == IntegerType
+    val isLong = ManifestTable.read(spark, path).schema("cents").dataType == LongType
+    val skip = ManifestTable.readSkipping(spark, path, "cents",
+      BigDecimal(-1e15), BigDecimal(-1e12))
+    val prunedAll = skip.dirsScanned == 0L && skip.dirsTotal > 0L
+    // correction batch: values only a BIGINT can hold
+    val fix = ManifestTable.read(spark, path)
+      .filter(col("event_id") % 211 === 5)
+      .withColumn("cents", col("cents") + lit(10000000000L))
+    ManifestTable.merge(spark, path, fix, keys = Seq("event_id"),
+      partitionCol = "day", retainVersions = 6,
+      statsColumns = Seq("event_id", "cents"), bloomColumns = Seq("event_id"))
+    val cdc = ManifestTable.changes(spark, path, Seq("event_id"), 2L, 3L)
+      .agg(count(lit(1)).as("t"),
+        sum(when(col("_change_type") === "update_preimage", 1L).otherwise(0L)).as("pre"),
+        sum(when(col("_change_type") === "update_postimage", 1L).otherwise(0L)).as("post"))
+      .collect()(0)
+    ManifestTable.read(spark, path)
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+      .withColumn("same_dirs", lit(sameDirs))
+      .withColumn("cdc_widen", lit(cdcWiden))
+      .withColumn("fast_rows", lit(fast.rows))
+      .withColumn("fast_meta", lit(fast.metadataOnly))
+      .withColumn("v1_int_type", lit(v1Int))
+      .withColumn("is_long", lit(isLong))
+      .withColumn("pruned_all", lit(prunedAll))
+      .withColumn("cdc_total", lit(cdc.getLong(0)))
+      .withColumn("cdc_pre", lit(cdc.getLong(1)))
+      .withColumn("cdc_post", lit(cdc.getLong(2)))
+      .orderBy(col("day"))
+  }
+
+  // ----------------------------------------------------------------
+  // q185_bucketed_pagerank — PAGERANK OVER A BUCKETED EDGE TABLE
+  // (Graph.pageRankE9Bucketed): the 100 TB plan shape MEASURED, not
+  // documented — the edge list (the big operand; terabytes at scale)
+  // is written bucketBy(8, src) once, and every iteration's
+  // out-degree aggregate and rank⋈edges fan-out join consume the
+  // bucketed scan in place: the edge list never crosses the network
+  // again; only node-sized rank frames exchange. The gate runs q87's
+  // exact 1e-9 fixed-point semantics (3 iterations, the l_orderkey %
+  // 10 = 0 subgraph) and pins TWO measured plan facts next to the
+  // SQL-unrolled ranks:
+  //   - edge_scan_bucketed: the FileScan reports `Bucketed: true`;
+  //   - rank_only_exchanges: the contribution plan carries ≤ 2
+  //     shuffle exchanges (both rank-sized — the edge side has none).
+  // A changed bucket count or disabled bucketing keeps the numbers
+  // right and flips the plan facts — q159/q180's evidence discipline.
+  // ----------------------------------------------------------------
+  def q185BucketedPagerank(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:q185_bucketed_pagerank") {
+      q185BucketedPagerankBuild(spark, dir)
+    }
+
+  private def q185BucketedPagerankBuild(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey") % 10 === 0)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("l_suppkey") * 2).as("src"), (col("o_custkey") * 2 + 1).as("dst"))
+    val edges = pairs.unionByName(
+      pairs.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    graft.ops.Bucketed.writeBucketed(edges, "graft_q185_edges", "src", buckets = 8)
+    val r = graft.ext.Graph.pageRankE9Bucketed(spark, "graft_q185_edges", iters = 3)
+    r.ranks
+      .withColumn("edge_scan_bucketed", lit(r.edgeScanBucketed))
+      .withColumn("rank_only_exchanges", lit(r.shuffleExchanges <= 2))
+      .orderBy(col("node"))
+  }
+
+  val q185BucketedPagerankSql: String = {
+    def step(prev: String, cur: String) =
+      s"""$cur AS (
+         |  SELECT n.node,
+         |    CAST(150000000 + (85 * COALESCE(s.m, 0)) // 100 AS BIGINT) AS r
+         |  FROM n LEFT JOIN (
+         |    SELECT e.dst AS node, CAST(SUM($prev.r // deg.deg) AS BIGINT) AS m
+         |    FROM e JOIN deg ON e.src = deg.src JOIN $prev ON $prev.node = e.src
+         |    GROUP BY 1) s ON s.node = n.node)""".stripMargin
+    s"""WITH p AS (
+      |  SELECT DISTINCT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE l_orderkey % 10 = 0),
+      |e AS (SELECT src, dst FROM p UNION SELECT dst, src FROM p),
+      |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+      |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM n),
+      |${step("r0", "r1")},
+      |${step("r1", "r2")},
+      |${step("r2", "r3")}
+      |SELECT node, r AS rank_e9,
+      |  TRUE AS edge_scan_bucketed,
+      |  TRUE AS rank_only_exchanges
+      |FROM r3 ORDER BY node""".stripMargin
+  }
+
+  val q184TypeWideningSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, date_trunc('day', ts) AS day,
+      |    CAST(floor(value * 100) AS INTEGER) AS cents FROM events),
+      |hit AS (SELECT * FROM ev WHERE event_id % 211 = 5),
+      |fixed AS (SELECT event_id, day,
+      |  CASE WHEN event_id % 211 = 5
+      |    THEN CAST(cents AS BIGINT) + 10000000000
+      |    ELSE CAST(cents AS BIGINT) END AS cents
+      |  FROM ev)
+      |SELECT day, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+      |  TRUE AS same_dirs,
+      |  CAST(0 AS BIGINT) AS cdc_widen,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM ev) AS fast_rows,
+      |  TRUE AS fast_meta,
+      |  TRUE AS v1_int_type,
+      |  TRUE AS is_long,
+      |  TRUE AS pruned_all,
+      |  (SELECT CAST(2 * count(*) AS BIGINT) FROM hit) AS cdc_total,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM hit) AS cdc_pre,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM hit) AS cdc_post
+      |FROM fixed GROUP BY day ORDER BY day""".stripMargin
 }

@@ -295,6 +295,48 @@ class DvSpec extends AnyFunSuite {
     assert(ManifestTable.read(spark, dst).count() == 40L)
   }
 
+  test("updateByKeysMoR prunes via blooms and rectifies only the subjects") {
+    val path = freshPath("updbykeys")
+    seed(path)
+    val r = ManifestTable.updateByKeysMoR(spark, path, "part", "id",
+      Seq("3", "17", "999"), Map("v" -> lit(-1.0)))
+    assert(r.op.rowsUpdated == 2L && r.op.dirsRewritten == 0L)
+    assert(r.dirsProbed <= r.dirsTotal)
+    val got = ManifestTable.read(spark, path)
+    assert(got.filter(col("v") === -1.0).select("id").as[Long].collect().toSet
+      == Set(3L, 17L))
+    assert(got.count() == 40L)
+  }
+
+  test("foldMoR rewrites only debt-carrying partitions; maybeFoldMoR is O(1) when healthy") {
+    val path = freshPath("fold")
+    seed(path)
+    // p0 takes an update appendix, p1 a DV; p2/p3 stay debt-free
+    ManifestTable.updateWhereMoR(spark, path, "part", col("id") === 4L, // p0
+      Map("v" -> lit(777.0)), retainVersions = 6)
+    ManifestTable.deleteWhereMoR(spark, path, "part", col("id") === 5L, // p1
+      retainVersions = 6)
+    // healthy threshold: 2 pending <= 2 -> no commit, metadata only
+    assert(ManifestTable.maybeFoldMoR(spark, path, "part", maxPending = 2).isEmpty)
+    val before = ManifestTable.entryDirs(spark, path, 3L)
+    val r = ManifestTable.maybeFoldMoR(spark, path, "part", maxPending = 1,
+      retainVersions = 6, statsColumns = Seq("id"), bloomColumns = Seq("id"))
+    assert(r.contains(2L))
+    val after = ManifestTable.entryDirs(spark, path, 4L)
+    assert(after("p2") == before("p2") && after("p3") == before("p3"),
+      "debt-free partitions must carry their dirs verbatim through the fold")
+    assert(after("p0") != before("p0") && after("p1") != before("p1"))
+    assert(ManifestTable.dvStats(spark, path) == ((0L, 0L)))
+    assert(ManifestTable.auxStats(spark, path) == ((0L, 0L)))
+    val got = ManifestTable.read(spark, path)
+    assert(got.count() == 39L)
+    assert(got.filter(col("id") === 4L).select("v").as[Double].head() == 777.0)
+    assert(got.filter(col("id") === 5L).count() == 0L)
+    // the fold restored prunability and re-recorded skipping metadata
+    assert(ManifestTable.fastCount(spark, path).metadataOnly)
+    assert(ManifestTable.fsck(spark, path).count() == 0L)
+  }
+
   test("updateWhereMoR refuses partition-column assignment and unknown columns") {
     val path = freshPath("updguard")
     seed(path)

@@ -49,6 +49,24 @@ class GraphSpec extends AnyFunSuite {
     graft.ops.Intermediates.sweep(spark)
   }
 
+  test("pageRankE9Bucketed: edge scan bucketed, only rank-sized exchanges, ranks exact") {
+    import org.apache.spark.sql.functions.col
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (2L, 4L))
+    val edges = (pairs ++ pairs.map(_.swap)).distinct.toDF("src", "dst")
+    graft.ops.Bucketed.writeBucketed(edges, "graphspec_edges", "src", buckets = 4)
+    val r = graft.ext.Graph.pageRankE9Bucketed(spark, "graphspec_edges", iters = 2)
+    assert(r.edgeScanBucketed, "edge scan must report Bucketed: true:\n" +
+      r.probePlan.take(3000))
+    assert(r.shuffleExchanges <= 2,
+      s"expected <=2 rank-sized exchanges, got ${r.shuffleExchanges}:\n" +
+        r.probePlan.take(3000))
+    val want = graft.ext.Graph.pageRankE9(edges, iters = 2)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    val got = r.ranks.orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(got == want)
+    graft.ops.Intermediates.sweep(spark)
+  }
+
   test("pageRankE9: a sink node keeps base rank inflow only (dangling mass not redistributed)") {
     // 1 → 2 only: node 2 never emits, node 1 never receives.
     // r1(1) = 15e7; r1(2) = 15e7 + (85·1e9) div 100 = 1e9.

@@ -122,6 +122,87 @@ class RenameSpec extends AnyFunSuite {
     assert(ManifestTable.fsck(spark, path).count() == 0L)
   }
 
+  // ----- metadata-only type widening (widenColumn) -----
+
+  test("widen int->long is metadata-only; out-of-int-range rows then merge in") {
+    import org.apache.spark.sql.types._
+    val path = freshPath("widen")
+    val df = (0 until 20).map(i => (i.toLong, s"p${i % 2}", i * 100))
+      .toDF("id", "part", "cents")
+    ManifestTable.merge(spark, path, df, keys = Seq("id"), partitionCol = "part",
+      statsColumns = Seq("cents"), bloomColumns = Seq("id"), retainVersions = 4)
+    val before = ManifestTable.dataDirs(spark, path, 1L)
+    ManifestTable.widenColumn(spark, path, "cents", LongType, retainVersions = 4)
+    assert(ManifestTable.dataDirs(spark, path, 2L) == before,
+      "a widening must not touch one data file")
+    val got = ManifestTable.read(spark, path)
+    assert(got.schema("cents").dataType == LongType)
+    assert(got.select(sum("cents")).as[Long].head() == (0 until 20).map(_ * 100L).sum)
+    // v1 still reads as int
+    assert(ManifestTable.readVersion(spark, path, 1L).schema("cents").dataType
+      == IntegerType)
+    // widening is CDC-invisible
+    assert(ManifestTable.changes(spark, path, Seq("id"), 1L, 2L).count() == 0L)
+    // a batch with values no int can hold merges and reads back mixed
+    ManifestTable.merge(spark, path,
+      Seq((100L, "p0", 10000000000L)).toDF("id", "part", "cents"),
+      keys = Seq("id"), partitionCol = "part", statsColumns = Seq("cents"),
+      retainVersions = 4)
+    val all = ManifestTable.read(spark, path)
+    assert(all.count() == 21L)
+    assert(all.filter(col("id") === 100L).select("cents").as[Long].head()
+      == 10000000000L)
+    assert(all.filter(col("id") === 3L).select("cents").as[Long].head() == 300L)
+    // zone maps carried through the widening still prune
+    val skip = ManifestTable.readSkipping(spark, path, "cents",
+      BigDecimal(-100), BigDecimal(-1))
+    assert(skip.dirsScanned == 0L && skip.dirsTotal > 0L)
+    // fastCount stays metadata-only
+    assert(ManifestTable.fastCount(spark, path).metadataOnly)
+  }
+
+  test("widen float->double drops that column's blooms; others survive") {
+    import org.apache.spark.sql.types._
+    val path = freshPath("widenf")
+    val df = Seq((1L, "p0", 0.1f), (2L, "p0", 2.5f)).toDF("id", "part", "score")
+    ManifestTable.merge(spark, path, df, keys = Seq("id"), partitionCol = "part",
+      bloomColumns = Seq("id", "score"))
+    ManifestTable.widenColumn(spark, path, "score", DoubleType)
+    val got = ManifestTable.read(spark, path)
+    assert(got.schema("score").dataType == DoubleType)
+    // the float 0.1f upcasts to its exact double image
+    assert(got.filter(col("id") === 1L).select("score").as[Double].head()
+      == 0.1f.toDouble)
+    // a probe for the double rendering must not be false-negatived by
+    // a stale float-keyed bloom — the widening dropped it (fail-safe)
+    val eq = ManifestTable.readSkippingEquals(spark, path, "score",
+      0.1f.toDouble.toString)
+    assert(eq.df.filter(col("id") === 1L).count() == 1L)
+    // the id bloom is untouched and still prunes probes
+    val idEq = ManifestTable.readSkippingEquals(spark, path, "id", "1")
+    assert(idEq.df.filter(col("id") === 1L).count() == 1L)
+  }
+
+  test("widening guards: unsupported narrowing, partition and bucket columns") {
+    import org.apache.spark.sql.types._
+    val path = freshPath("widenguard")
+    seed(path)
+    val e1 = intercept[IllegalArgumentException](
+      ManifestTable.widenColumn(spark, path, "v", FloatType)) // double->float narrows
+    assert(e1.getMessage.contains("not a supported widening"))
+    val e2 = intercept[IllegalArgumentException](
+      ManifestTable.widenColumn(spark, path, "part", LongType))
+    assert(e2.getMessage.contains("not a supported widening") ||
+      e2.getMessage.contains("partition column"))
+    val pb = freshPath("widenbkt")
+    ManifestTable.mergeBucketed(spark, pb,
+      Seq((1, "p0", "x")).toDF("k", "part", "s"),
+      keys = Seq("s"), partitionCol = "part", bucketCol = "k", nBuckets = 2)
+    val e3 = intercept[IllegalArgumentException](
+      ManifestTable.widenColumn(spark, pb, "k", LongType))
+    assert(e3.getMessage.contains("bucket column"))
+  }
+
   test("CDC after a rename emits rows under the new name") {
     val path = freshPath("cdc")
     seed(path)
