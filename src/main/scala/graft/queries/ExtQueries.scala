@@ -8956,6 +8956,120 @@ object ExtQueries {
   }
 
   // ----------------------------------------------------------------
+  // q186_gdpr_lifecycle — THE FULL SUBJECT-RIGHTS LIFECYCLE, composed:
+  // one 30-day events manifest (blooms on event_id) takes, in order,
+  //   1. ERASURE (Art. 17): deleteByKeysMoR of the % 211 = 5 subjects
+  //      — bloom-pruned, DV sidecars, zero dirs rewritten;
+  //   2. RECTIFICATION (Art. 16): updateByKeysMoR of the % 211 = 9
+  //      subjects (value := value + 1000) — DV + appendix, zero dirs
+  //      rewritten, composing on top of the pending erasure DVs;
+  //   3. MAINTENANCE: maybeFoldMoR at a threshold the pending debt
+  //      exceeds — folds every debt-carrying partition into plain
+  //      files (restoring prunability), leaves the rest byte-identical;
+  //   4. AUDIT: fsck clean; time travel to v1 still shows the
+  //      pre-erasure subjects (retention IS the audit trail — true
+  //      disposal then expires those versions, q117's path).
+  // The gate pins each step's physical facts (zero rewrites, fold
+  // count, debt-free end state, untouched-partition dir identity,
+  // metadata-only count) next to the SQL-recomputed final state.
+  // ----------------------------------------------------------------
+  def q186GdprLifecycle(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:q186_gdpr_lifecycle") {
+      q186GdprLifecycleBuild(spark, dir)
+    }
+
+  private def q186GdprLifecycleBuild(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.ManifestTable
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), date_trunc("day", col("ts")).as("day"), col("value"))
+    val path = java.nio.file.Files.createTempDirectory("graft_q186_").toString + "/table"
+    ManifestTable.merge(spark, path, ev, keys = Seq("event_id"), partitionCol = "day",
+      retainVersions = 6, statsColumns = Seq("event_id"),
+      bloomColumns = Seq("event_id"))
+    def subjects(m: Int): Seq[String] = ev.filter(col("event_id") % 211 === m)
+      .select(col("event_id").cast("string")).collect().map(_.getString(0)).sorted.toSeq
+    // 1. erasure
+    val del = ManifestTable.deleteByKeysMoR(spark, path, "day", "event_id",
+      subjects(5), retainVersions = 6)
+    // 2. rectification (composes on the pending DVs)
+    val upd = ManifestTable.updateByKeysMoR(spark, path, "day", "event_id",
+      subjects(9), Map("value" -> (col("value") + 1000)), retainVersions = 6)
+    val beforeFold = ManifestTable.entryDirs(spark, path, 3L)
+    val (dvE, _) = ManifestTable.dvStats(spark, path)
+    // every debt-carrying day has a DV (rectified days carry DV +
+    // appendix), so the pending-entry count IS the DV entry count
+    val debtDays: Set[String] = ev
+      .filter(col("event_id") % 211 === 5 || col("event_id") % 211 === 9)
+      .select(col("day").cast("string")).distinct()
+      .collect().map(_.getString(0)).toSet
+    // 3. maintenance: the pending debt exceeds the policy line
+    val folded = ManifestTable.maybeFoldMoR(spark, path, "day", maxPending = 3,
+      retainVersions = 6, statsColumns = Seq("event_id"),
+      bloomColumns = Seq("event_id"))
+    val afterFold = ManifestTable.entryDirs(spark, path, 4L)
+    // the fold rewrites EXACTLY the debt-carrying partitions: every
+    // other entry carries its dir verbatim, every debt entry moved
+    val untouchedIdentical =
+      beforeFold.keySet.filterNot(debtDays).forall(p =>
+        afterFold.get(p) == beforeFold.get(p)) &&
+      debtDays.forall(p => afterFold.get(p) != beforeFold.get(p))
+    val debtFree = ManifestTable.dvStats(spark, path) == ((0L, 0L)) &&
+      ManifestTable.auxStats(spark, path) == ((0L, 0L))
+    val fast = ManifestTable.fastCount(spark, path)
+    // 4. audit
+    val fsckClean = ManifestTable.fsck(spark, path).count() == 0L
+    val v1HasSubjects = ManifestTable.readVersion(spark, path, 1L)
+      .filter(col("event_id") % 211 === 5).count()
+    ManifestTable.read(spark, path)
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * lit(1e3)).cast("long")).as("sum_value_e3"))
+      .withColumn("rows_erased", lit(del.op.rowsDeleted))
+      .withColumn("rows_rectified", lit(upd.op.rowsUpdated))
+      .withColumn("erase_dirs_rewritten", lit(del.op.dirsRewritten))
+      .withColumn("rectify_dirs_rewritten", lit(upd.op.dirsRewritten))
+      .withColumn("pending_before_fold", lit(dvE))
+      .withColumn("folded_partitions", lit(folded.getOrElse(0L)))
+      .withColumn("debt_free", lit(debtFree))
+      .withColumn("untouched_identical", lit(untouchedIdentical))
+      .withColumn("fast_rows", lit(fast.rows))
+      .withColumn("fast_meta", lit(fast.metadataOnly))
+      .withColumn("fsck_clean", lit(fsckClean))
+      .withColumn("v1_subject_rows", lit(v1HasSubjects))
+      .orderBy(col("day"))
+  }
+
+  val q186GdprLifecycleSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, date_trunc('day', ts) AS day, value FROM events),
+      |erased AS (SELECT * FROM ev WHERE event_id % 211 = 5),
+      |rect AS (SELECT * FROM ev WHERE event_id % 211 = 9),
+      |fin AS (
+      |  SELECT event_id, day,
+      |    CASE WHEN event_id % 211 = 9 THEN value + 1000 ELSE value END AS value
+      |  FROM ev WHERE event_id % 211 <> 5)
+      |SELECT day, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(floor(value * 1e3) AS BIGINT)) AS BIGINT) AS sum_value_e3,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM erased) AS rows_erased,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM rect) AS rows_rectified,
+      |  CAST(0 AS BIGINT) AS erase_dirs_rewritten,
+      |  CAST(0 AS BIGINT) AS rectify_dirs_rewritten,
+      |  (SELECT CAST(count(DISTINCT day) AS BIGINT) FROM
+      |    (SELECT day FROM erased UNION ALL SELECT day FROM rect))
+      |    AS pending_before_fold,
+      |  (SELECT CAST(count(DISTINCT day) AS BIGINT) FROM
+      |    (SELECT day FROM erased UNION ALL SELECT day FROM rect))
+      |    AS folded_partitions,
+      |  TRUE AS debt_free,
+      |  TRUE AS untouched_identical,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM fin) AS fast_rows,
+      |  TRUE AS fast_meta,
+      |  TRUE AS fsck_clean,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM erased) AS v1_subject_rows
+      |FROM fin GROUP BY day ORDER BY day""".stripMargin
+
+  // ----------------------------------------------------------------
   // q185_bucketed_pagerank — PAGERANK OVER A BUCKETED EDGE TABLE
   // (Graph.pageRankE9Bucketed): the 100 TB plan shape MEASURED, not
   // documented — the edge list (the big operand; terabytes at scale)

@@ -337,6 +337,33 @@ class DvSpec extends AnyFunSuite {
     assert(ManifestTable.fsck(spark, path).count() == 0L)
   }
 
+  test("IncrementalAgg sees MoR deletes and updates as changes and refreshes exactly") {
+    import graft.ops.IncrementalAgg
+    val base = java.nio.file.Files.createTempDirectory("graft_dv_iagg").toString
+    val (bPath, aPath) = (s"$base/b", s"$base/agg")
+    def agg() = IncrementalAgg.read(spark, aPath).orderBy("g")
+      .select("g", "n", "sum_v").as[(String, Long, Long)].collect().toSeq
+    ManifestTable.merge(spark, bPath,
+      Seq((1L, "p0", "a", 10L), (2L, "p0", "b", 5L), (3L, "p1", "a", 7L),
+        (4L, "p1", "b", 2L)).toDF("id", "part", "g", "v"),
+      Seq("id"), "part", retainVersions = 6)
+    IncrementalAgg.refresh(spark, bPath, aPath, Seq("g"), Seq("v"))
+    assert(agg() == Seq(("a", 2L, 17L), ("b", 2L, 7L)))
+    // a MoR delete changes NO dir — the DV-qualified identity must
+    // still register p0 as changed, or the view silently keeps id 2
+    ManifestTable.deleteWhereMoR(spark, bPath, "part", col("id") === 2L,
+      retainVersions = 6)
+    IncrementalAgg.refresh(spark, bPath, aPath, Seq("g"), Seq("v"))
+    assert(agg() == Seq(("a", 2L, 17L), ("b", 1L, 2L)),
+      "the view must equal a full recompute after a merge-on-read delete")
+    // a MoR update likewise: aux identity registers p1 as changed
+    ManifestTable.updateWhereMoR(spark, bPath, "part", col("id") === 3L,
+      Map("v" -> lit(100L)), retainVersions = 6)
+    IncrementalAgg.refresh(spark, bPath, aPath, Seq("g"), Seq("v"))
+    assert(agg() == Seq(("a", 2L, 110L), ("b", 1L, 2L)),
+      "the view must equal a full recompute after a merge-on-read update")
+  }
+
   test("updateWhereMoR refuses partition-column assignment and unknown columns") {
     val path = freshPath("updguard")
     seed(path)
