@@ -1778,7 +1778,8 @@ object ManifestTable {
   def deleteWhereMoR(spark: SparkSession, path: String, partitionCol: String,
                      predicate: org.apache.spark.sql.Column,
                      partitionFilter: String => Boolean = _ => true,
-                     retainVersions: Int = 2): DvDeleteResult = {
+                     retainVersions: Int = 2,
+                     extraProps: Map[String, String] = Map.empty): DvDeleteResult = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val v = latestVersion(fs, path).getOrElse(
       sys.error(s"ManifestTable.deleteWhereMoR: no manifest under $path/$ManifestDir"))
@@ -1831,13 +1832,27 @@ object ManifestTable {
     val head = lines.collect { case e @ (SchemaKey, _) => e } ++
       Seq(CommitKey -> System.currentTimeMillis().toString,
         PartitionColKey -> partitionCol) ++
-      lines.collect { case e @ (PropsKey, _) => e }
+      morPropLines(lines, extraProps)
     writeManifest(fs, path, v + 1, head ++ newEntries)
     cleanup(fs, path, keepVersions =
       (versions(fs, path) :+ (v + 1)).distinct.sorted.takeRight(retainVersions).toSet)
     DvDeleteResult(matched.length.toLong, byPart.size.toLong,
       candidates.size.toLong, entries.size.toLong, dirsRewritten = 0L,
       committed = true)
+  }
+
+  /** The props line a merge-on-read commit carries: the PREVIOUS
+    * version's properties merged under `extraProps` — the extra keys
+    * commit ATOMICALLY with the DV/appendix rename, which is what the
+    * exactly-once streaming-erasure marker needs. */
+  private def morPropLines(lines: Seq[(String, String)],
+                           extraProps: Map[String, String]): Seq[(String, String)] = {
+    if (extraProps.isEmpty) lines.collect { case e @ (PropsKey, _) => e }
+    else {
+      val merged = propsOf(lines) ++ extraProps
+      Seq(PropsKey -> merged.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${escapeProp(k)}=${escapeProp(v)}" }.mkString(";"))
+    }
   }
 
   /** Evidence an [[updateWhereMoR]] returns: rows updated, partitions
@@ -2026,7 +2041,8 @@ object ManifestTable {
     * renames one manifest. */
   def deleteByKeysMoR(spark: SparkSession, path: String, partitionCol: String,
                       keyCol: String, keys: Seq[String],
-                      retainVersions: Int = 2): KeyDvDeleteResult = {
+                      retainVersions: Int = 2,
+                      extraProps: Map[String, String] = Map.empty): KeyDvDeleteResult = {
     require(keys.nonEmpty, "ManifestTable.deleteByKeysMoR: empty key list")
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val v = latestVersion(fs, path).getOrElse(
@@ -2046,7 +2062,8 @@ object ManifestTable {
         DvDeleteResult(0L, 0L, 0L, live.size.toLong, 0L, committed = false)
       else deleteWhereMoR(spark, path, partitionCol,
         col(keyCol).cast("string").isInCollection(keys),
-        partitionFilter = candidates.contains, retainVersions = retainVersions)
+        partitionFilter = candidates.contains, retainVersions = retainVersions,
+        extraProps = extraProps)
     // DISTINCT data dirs (compaction makes entries share dirs) — the
     // evidence must reflect physical scans, not manifest entries.
     KeyDvDeleteResult(op, candidateEntries.map(e => dirOf(e._2)).distinct.size.toLong,
@@ -2148,22 +2165,28 @@ object ManifestTable {
     }
   }
 
-  /** Expose the LATEST snapshot of a [[mergeBucketed]] table to
-    * Spark's catalog bucketed scan: registers (replacing any previous
+  /** Expose a snapshot of a [[mergeBucketed]] table to Spark's
+    * catalog bucketed scan: registers (replacing any previous
     * registration) an EXTERNAL partitioned+bucketed catalog table
-    * whose partitions point at the manifest's current data dirs —
-    * zero data movement, metadata-only, re-runnable after every
-    * commit. `spark.table(name)` then plans a bucketed scan
+    * whose partitions point at the manifest's data dirs — zero data
+    * movement, metadata-only, re-runnable after every commit.
+    * `spark.table(name)` then plans a bucketed scan
     * (`HashPartitioning(bucketCol, n)`), and a join of two tables
     * registered with the same spec on the bucket column needs NO
     * exchange ([[Bucketed.isShuffleFree]] is the evidence, as for
     * q159's catalog tables). The dir-name partition column rides
     * along as `__pdir` (string); data columns are exactly the
-    * committed schema. */
-  def registerBucketed(spark: SparkSession, path: String, name: String): DataFrame = {
+    * committed schema. `version` pins a RETAINED snapshot (time
+    * travel — a reproducible training run re-registers the exact
+    * snapshot it trained on); default = latest. */
+  def registerBucketed(spark: SparkSession, path: String, name: String,
+                       version: Option[Long] = None): DataFrame = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val v = latestVersion(fs, path).getOrElse(
-      sys.error(s"ManifestTable.registerBucketed: no manifest under $path/$ManifestDir"))
+    val v = version.getOrElse(latestVersion(fs, path).getOrElse(
+      sys.error(s"ManifestTable.registerBucketed: no manifest under $path/$ManifestDir")))
+    require(versions(fs, path).contains(v),
+      s"ManifestTable.registerBucketed: m$v not retained under $path " +
+        s"(have ${versions(fs, path).mkString(", ")})")
     val lines = readManifest(fs, path, v)
     val (c, n) = bucketSpecOf(propsOf(lines)).getOrElse(sys.error(
       s"ManifestTable.registerBucketed: table at $path has no bucket spec — " +

@@ -8956,6 +8956,320 @@ object ExtQueries {
   }
 
   // ----------------------------------------------------------------
+  // q187_stream_erasure — EXACTLY-ONCE STREAMING ERASURE
+  // (StreamingIngest.erasureSink): the operational shape of
+  // right-to-be-forgotten — erasure requests arrive as a STREAM (a
+  // queue, not a cron), and each micro-batch of subject keys applies
+  // as a bloom-pruned MERGE-ON-READ key delete with the batch id
+  // committed ATOMICALLY with the DV manifest rename. Three waves
+  // (% 211 = 5 / 9 / 13) erase through a real MemoryStream +
+  // foreachBatch query; then wave 2 is RE-DELIVERED (foreachBatch's
+  // documented at-least-once behavior) and must skip WHOLESALE —
+  // after a fold a replayed erasure would re-kill resurrected rows,
+  // so the skip is load-bearing (the q132 argument). Facts riding the
+  // hash next to the SQL-recomputed post-erasure state:
+  //   - same_dirs: across load + three erasure commits, the data-dir
+  //     set is BYTE-IDENTICAL (every erasure was zero-rewrite);
+  //   - dv_rows == the three waves' row count exactly;
+  //   - one version per wave, and the poisoned re-delivery created
+  //     NO new version (poison_no_trace);
+  //   - last_batch_id = 2 (the marker survives all three commits);
+  //   - fastCount stays metadata-only; v1 time travel keeps all rows.
+  // ----------------------------------------------------------------
+  def q187StreamErasure(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:q187_stream_erasure") {
+      q187StreamErasureBuild(spark, dir)
+    }
+
+  private def q187StreamErasureBuild(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.ops.ManifestTable
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), date_trunc("day", col("ts")).as("day"), col("value"))
+    val out = java.nio.file.Files.createTempDirectory("graft_q187_").toString
+    val sinkPath = s"$out/table"
+    ManifestTable.merge(spark, sinkPath, ev, keys = Seq("event_id"),
+      partitionCol = "day", retainVersions = 8,
+      statsColumns = Seq("event_id"), bloomColumns = Seq("event_id"))
+    def wave(m: Int): Seq[Long] = ev.filter(col("event_id") % 211 === m)
+      .select(col("event_id")).as[Long].collect().toSeq.sorted
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val feed = input.toDF().toDF("event_id")
+    val sink = graft.streaming.StreamingIngest.erasureSink(
+      sinkPath, partitionCol = "day", keyCol = "event_id", retainVersions = 8)
+    val query = feed.writeStream.outputMode("append")
+      .foreachBatch(sink)
+      .option("checkpointLocation", s"$out/ckpt")
+      .start()
+    try Seq(5, 9, 13).foreach { m =>
+      input.addData(wave(m): _*)
+      query.processAllAvailable()
+    } finally query.stop()
+    val fs = new org.apache.hadoop.fs.Path(sinkPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vsStream = ManifestTable.versions(fs, sinkPath)
+    // at-least-once RE-DELIVERY of committed wave 2 (batch id 1):
+    // recorded id 2 >= 1 must skip it wholesale
+    sink(wave(9).toDF("event_id"), 1L)
+    val poisonNoTrace = ManifestTable.versions(fs, sinkPath) == vsStream
+    val sameDirs = ManifestTable.dataDirs(spark, sinkPath, 1L) ==
+      ManifestTable.dataDirs(spark, sinkPath, 4L)
+    val (_, dvRows) = ManifestTable.dvStats(spark, sinkPath)
+    val lastId = ManifestTable.readProps(spark, sinkPath)(
+      graft.streaming.StreamingIngest.StreamBatchIdProp).toLong
+    val fast = ManifestTable.fastCount(spark, sinkPath)
+    val v1Rows = ManifestTable.readVersion(spark, sinkPath, 1L).count()
+    ManifestTable.read(spark, sinkPath)
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * lit(1e3)).cast("long")).as("sum_value_e3"))
+      .withColumn("same_dirs", lit(sameDirs))
+      .withColumn("dv_rows", lit(dvRows))
+      .withColumn("versions_after_stream", lit(vsStream.size.toLong))
+      .withColumn("poison_no_trace", lit(poisonNoTrace))
+      .withColumn("last_batch_id", lit(lastId))
+      .withColumn("fast_rows", lit(fast.rows))
+      .withColumn("fast_meta", lit(fast.metadataOnly))
+      .withColumn("v1_rows", lit(v1Rows))
+      .orderBy(col("day"))
+  }
+
+  val q187StreamErasureSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, date_trunc('day', ts) AS day, value FROM events),
+      |erased AS (SELECT * FROM ev
+      |  WHERE event_id % 211 IN (5, 9, 13)),
+      |fin AS (SELECT * FROM ev
+      |  WHERE event_id % 211 NOT IN (5, 9, 13))
+      |SELECT day, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(floor(value * 1e3) AS BIGINT)) AS BIGINT) AS sum_value_e3,
+      |  TRUE AS same_dirs,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM erased) AS dv_rows,
+      |  CAST(4 AS BIGINT) AS versions_after_stream,
+      |  TRUE AS poison_no_trace,
+      |  CAST(2 AS BIGINT) AS last_batch_id,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM fin) AS fast_rows,
+      |  TRUE AS fast_meta,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM ev) AS v1_rows
+      |FROM fin GROUP BY day ORDER BY day""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q188_manifest_stream — MANIFEST TABLE AS A STREAMING SOURCE
+  // (ManifestStreamProvider, the Delta-source architecture: offsets =
+  // manifest versions, batch planning = driver-side manifest diff,
+  // batch reading = pruned parquet scan of ONLY newly-referenced
+  // dirs). An upstream day-partitioned events manifest takes three
+  // append waves; a `format("graft-manifest")` stream feeds the
+  // generic exactly-once upsert sink maintaining a downstream
+  // replica. The stream runs, STOPS, and restarts from its
+  // checkpoint twice; facts riding the hash next to the
+  // SQL-recomputed downstream state:
+  //   - rows_batch0 == wave-A count (first batch = snapshot);
+  //   - rows_after_restart == wave-B+C count EXACTLY (the restart
+  //     consumed only the two new commits — never rescanned the
+  //     snapshot; this is the whole point of the source);
+  //   - batches_total == 2 (catch-up planned ONE batch for two
+  //     commits — version-range offsets, not per-commit polling);
+  //   - change_commit_refused: an upsert that rewrites an existing
+  //     partition makes the NEXT stream start fail loudly (strict
+  //     append contract — Delta's default; silent wrong rows are the
+  //     failure mode this guards), and the refused commit leaves no
+  //     trace downstream.
+  // ----------------------------------------------------------------
+  def q188ManifestStream(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:q188_manifest_stream") {
+      q188ManifestStreamBuild(spark, dir)
+    }
+
+  private def q188ManifestStreamBuild(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.ManifestTable
+    import graft.streaming.StreamingIngest
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), date_trunc("day", col("ts")).as("day"), col("value"))
+    val out = java.nio.file.Files.createTempDirectory("graft_q188_").toString
+    val up = s"$out/up"; val down = s"$out/down"; val ckpt = s"$out/ckpt"
+    def wave(lo: Int, hi: Int) =
+      ev.filter(dayofmonth(col("day")).between(lo, hi))
+    ManifestTable.merge(spark, up, wave(1, 10), keys = Seq("event_id"),
+      partitionCol = "day", retainVersions = 8)
+    val counts = scala.collection.concurrent.TrieMap.empty[Long, Long]
+    val inner = StreamingIngest.manifestUpsertSink(down, Seq("event_id"), "day",
+      retainVersions = 4, statsColumns = Seq("event_id"))
+    val sink: (DataFrame, Long) => Unit = (batch, id) => {
+      val recorded = ManifestTable.readProps(spark, down)
+        .get(StreamingIngest.StreamBatchIdProp).map(_.toLong)
+      if (!recorded.exists(_ >= id)) counts.put(id, batch.count())
+      inner(batch, id)
+    }
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft-manifest").option("path", up).load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce() // batch 0: the wave-A snapshot
+    ManifestTable.merge(spark, up, wave(11, 20), keys = Seq("event_id"),
+      partitionCol = "day", retainVersions = 8)
+    ManifestTable.merge(spark, up, wave(21, 31), keys = Seq("event_id"),
+      partitionCol = "day", retainVersions = 8)
+    runOnce() // restart: ONE catch-up batch for the two new commits
+    // an upsert rewriting existing partitions breaks the append
+    // contract — the next start must refuse, not emit wrong rows
+    ManifestTable.merge(spark, up,
+      wave(1, 10).filter(col("event_id") % 97 === 0)
+        .withColumn("value", col("value") + lit(1.0)),
+      keys = Seq("event_id"), partitionCol = "day", retainVersions = 8)
+    val refused =
+      try { runOnce(); false }
+      catch { case t: Throwable =>
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+          .exists(c => Option(c.getMessage).exists(_.contains("non-append")))
+      }
+    val fast = ManifestTable.fastCount(spark, down)
+    ManifestTable.read(spark, down)
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * lit(1e3)).cast("long")).as("sum_value_e3"))
+      .withColumn("rows_batch0", lit(counts.getOrElse(0L, -1L)))
+      .withColumn("rows_after_restart",
+        lit(counts.filter(_._1 >= 1L).values.sum))
+      .withColumn("batches_total", lit(counts.size.toLong))
+      .withColumn("change_commit_refused", lit(refused))
+      .withColumn("down_rows", lit(fast.rows))
+      .withColumn("fast_meta", lit(fast.metadataOnly))
+      .orderBy(col("day"))
+  }
+
+  val q188ManifestStreamSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, date_trunc('day', ts) AS day, value FROM events),
+      |a AS (SELECT * FROM ev WHERE date_part('day', day) <= 10),
+      |bc AS (SELECT * FROM ev WHERE date_part('day', day) >= 11)
+      |SELECT day, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(floor(value * 1e3) AS BIGINT)) AS BIGINT) AS sum_value_e3,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM a) AS rows_batch0,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM bc) AS rows_after_restart,
+      |  CAST(2 AS BIGINT) AS batches_total,
+      |  TRUE AS change_commit_refused,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM ev) AS down_rows,
+      |  TRUE AS fast_meta
+      |FROM ev GROUP BY day ORDER BY day""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q189_medallion_cdf — CDF-MODE STREAMING REPLICATION of an
+  // UPDATING table: the medallion hop append mode refuses (q188) is
+  // exactly what `mode=cdf` exists for. An upstream keyed manifest
+  // takes a snapshot load, then ONE commit mixing updates (+1.5 on
+  // event_id%7==3) with new-partition inserts (days 11-15), then a
+  // MERGE-ON-READ key delete (event_id%11==5 — a DV commit, visible
+  // to the feed only because change detection is DV-qualified); a
+  // cdf stream replays every change into a downstream replica via
+  // applyChanges, restarting from its checkpoint between the
+  // snapshot and the two change commits. The restart's catch-up is
+  // ONE batch spanning both commits — applyChangeFeed's LWW-by-
+  // version resolution nets an update-then-delete of the same key to
+  // the delete (the composition that breaks naive CDC appliers).
+  // Facts: per-type CDF row counts (exact), and replica_diff == 0 —
+  // the downstream equals the upstream snapshot read row-for-row
+  // without ever rescanning it.
+  // ----------------------------------------------------------------
+  def q189MedallionCdf(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:q189_medallion_cdf") {
+      q189MedallionCdfBuild(spark, dir)
+    }
+
+  private def q189MedallionCdfBuild(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.ManifestTable
+    import graft.streaming.StreamingIngest
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), date_trunc("day", col("ts")).as("day"), col("value"))
+    val out = java.nio.file.Files.createTempDirectory("graft_q189_").toString
+    val up = s"$out/up"; val down = s"$out/down"; val ckpt = s"$out/ckpt"
+    val base = ev.filter(dayofmonth(col("day")) <= 10)
+    ManifestTable.merge(spark, up, base, keys = Seq("event_id"),
+      partitionCol = "day", retainVersions = 12,
+      statsColumns = Seq("event_id"), bloomColumns = Seq("event_id"))
+    val typeCounts = scala.collection.concurrent.TrieMap.empty[String, Long]
+    val inner = StreamingIngest.cdfApplySink(down, Seq("event_id"), "day",
+      retainVersions = 4)
+    val sink: (DataFrame, Long) => Unit = (batch, id) => {
+      val recorded = ManifestTable.readProps(spark, down)
+        .get(StreamingIngest.StreamBatchIdProp).map(_.toLong)
+      if (!recorded.exists(_ >= id))
+        batch.groupBy(col("_change_type")).count().collect().foreach(r =>
+          typeCounts.updateWith(r.getString(0))(p => Some(p.getOrElse(0L) + r.getLong(1))))
+      inner(batch, id)
+    }
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft-manifest").option("path", up)
+        .option("mode", "cdf").option("keys", "event_id").load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce() // batch 0: snapshot as inserts
+    // ONE commit mixing updates of existing keys with new partitions
+    ManifestTable.merge(spark, up,
+      base.filter(col("event_id") % 7 === 3)
+        .withColumn("value", col("value") + lit(1.5))
+        .unionByName(ev.filter(dayofmonth(col("day")).between(11, 15))),
+      keys = Seq("event_id"), partitionCol = "day", retainVersions = 12,
+      statsColumns = Seq("event_id"), bloomColumns = Seq("event_id"))
+    // then a merge-on-read erasure — a DV commit the feed must see
+    import spark.implicits._
+    val delKeys = ev.filter(dayofmonth(col("day")) <= 15)
+      .filter(col("event_id") % 11 === 5)
+      .select(col("event_id").cast("string")).as[String].collect().toSeq
+    if (delKeys.nonEmpty)
+      ManifestTable.deleteByKeysMoR(spark, up, "day", "event_id", delKeys,
+        retainVersions = 12)
+    runOnce() // restart: one catch-up batch spanning both commits
+    val upSnap = ManifestTable.read(spark, up)
+      .select(col("event_id"), col("day"), col("value"))
+    val downSnap = ManifestTable.read(spark, down)
+      .select(col("event_id"), col("day"), col("value"))
+    val replicaDiff = upSnap.withColumn("__s", lit(1))
+      .join(downSnap.withColumn("__d", lit(1)),
+        Seq("event_id", "day", "value"), "full_outer")
+      .filter(col("__s").isNull || col("__d").isNull).count()
+    ManifestTable.read(spark, down)
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * lit(1e3)).cast("long")).as("sum_value_e3"))
+      .withColumn("cdf_inserts", lit(typeCounts.getOrElse("insert", 0L)))
+      .withColumn("cdf_updates", lit(typeCounts.getOrElse("update_postimage", 0L)))
+      .withColumn("cdf_deletes", lit(typeCounts.getOrElse("delete", 0L)))
+      .withColumn("replica_diff", lit(replicaDiff))
+      .orderBy(col("day"))
+  }
+
+  val q189MedallionCdfSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, date_trunc('day', ts) AS day, value FROM events),
+      |base AS (SELECT * FROM ev WHERE date_part('day', day) <= 10),
+      |new1 AS (SELECT * FROM ev WHERE date_part('day', day) BETWEEN 11 AND 15),
+      |upd AS (
+      |  SELECT event_id, day,
+      |    CASE WHEN event_id % 7 = 3 THEN value + 1.5 ELSE value END AS value
+      |  FROM base
+      |  UNION ALL SELECT event_id, day, value FROM new1),
+      |fin AS (SELECT * FROM upd WHERE event_id % 11 <> 5)
+      |SELECT day, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(floor(value * 1e3) AS BIGINT)) AS BIGINT) AS sum_value_e3,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM base) +
+      |    (SELECT CAST(count(*) AS BIGINT) FROM new1) AS cdf_inserts,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM base WHERE event_id % 7 = 3)
+      |    AS cdf_updates,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM upd WHERE event_id % 11 = 5)
+      |    AS cdf_deletes,
+      |  CAST(0 AS BIGINT) AS replica_diff
+      |FROM fin GROUP BY day ORDER BY day""".stripMargin
+
+  // ----------------------------------------------------------------
   // q186_gdpr_lifecycle — THE FULL SUBJECT-RIGHTS LIFECYCLE, composed:
   // one 30-day events manifest (blooms on event_id) takes, in order,
   //   1. ERASURE (Art. 17): deleteByKeysMoR of the % 211 = 5 subjects

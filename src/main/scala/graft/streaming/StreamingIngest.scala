@@ -478,6 +478,64 @@ object StreamingIngest {
     }
   }
 
+  /** [[manifestMergeSink]] generalized to ANY row shape: the batch's
+    * rows merge AS-IS (no derived day column) into a manifest table
+    * keyed on `keys`, partitioned by an existing `partitionCol`, with
+    * the batch-id marker committed atomically. The downstream half of
+    * an incremental pipeline: a [[graft.ops.ManifestStreamProvider]]
+    * read feeds this sink, and the pair moves ONLY new commits end to
+    * end — the medallion hop (bronze→silver) with exactly-once on
+    * both sides. */
+  def manifestUpsertSink(path: String, keys: Seq[String], partitionCol: String,
+                         retainVersions: Int = 2,
+                         statsColumns: Seq[String] = Nil,
+                         bloomColumns: Seq[String] = Nil): (DataFrame, Long) => Unit =
+    (batch, id) => {
+      val spark = batch.sparkSession
+      val recorded = graft.ops.ManifestTable.readProps(spark, path)
+        .get(StreamBatchIdProp).map(_.toLong)
+      if (!recorded.exists(_ >= id))
+        graft.ops.ManifestTable.merge(spark, path, batch,
+          keys = keys, partitionCol = partitionCol,
+          retainVersions = retainVersions,
+          statsColumns = statsColumns, bloomColumns = bloomColumns,
+          props = Map(StreamBatchIdProp -> id.toString))
+    }
+
+  /** EXACTLY-ONCE CDF REPLICATION SINK: applies micro-batches of a
+    * `mode=cdf` [[graft.ops.ManifestStreamProvider]] read (rows
+    * carrying `_change_type`/`_commit_version`) to a downstream
+    * manifest table via [[graft.ops.ManifestTable.applyChanges]],
+    * with the batch-id marker committed atomically. `update_preimage`
+    * rows drop (the postimage carries the new payload); the
+    * remaining types map onto the applyChangeFeed op domain with
+    * `_commit_version` as the LWW version, so a single batch spanning
+    * several upstream commits (the restart catch-up case) resolves
+    * per key to the LAST commit's outcome — an update then delete of
+    * the same key nets to the delete. This is how a downstream
+    * replica of an UPDATING table stays exact without ever rescanning
+    * it. */
+  def cdfApplySink(path: String, keys: Seq[String], partitionCol: String,
+                   retainVersions: Int = 2): (DataFrame, Long) => Unit =
+    (batch, id) => {
+      val spark = batch.sparkSession
+      val recorded = graft.ops.ManifestTable.readProps(spark, path)
+        .get(StreamBatchIdProp).map(_.toLong)
+      if (!recorded.exists(_ >= id)) {
+        val feed = batch.filter(col("_change_type") =!= "update_preimage")
+          .withColumn("op", when(col("_change_type") === "insert", lit("insert"))
+            .when(col("_change_type") === "update_postimage", lit("update"))
+            .otherwise(lit("delete")))
+          .withColumnRenamed("_commit_version", "version")
+          .drop("_change_type")
+        if (!feed.isEmpty)
+          graft.ops.ManifestTable.applyChanges(spark, path, feed,
+            keys = keys, partitionCol = partitionCol,
+            retainVersions = retainVersions,
+            props = Map(StreamBatchIdProp -> id.toString))
+      }
+    }
+
   /** STREAM-STATIC enrichment + watermarked daily rollup: each
     * micro-batch of the event stream inner-joins a STATIC dimension
     * frame — Spark's stream-static join is stateless (the dim is
@@ -495,6 +553,37 @@ object StreamingIngest {
         sum(floor(col("value") * lit(1e3)).cast("long")).as("sum_value_e3"))
       .select(col("window.start").as("day"), col("tier"), col("n"),
         col("sum_value_e3"))
+
+  /** EXACTLY-ONCE STREAMING ERASURE: a foreachBatch sink applying
+    * each micro-batch of subject keys (an erasure-request stream —
+    * the operational shape of right-to-be-forgotten at scale: a
+    * queue, not a cron) as a MERGE-ON-READ key delete —
+    * [[graft.ops.ManifestTable.deleteByKeysMoR]]'s bloom-pruned,
+    * zero-rewrite path — with the batch id committed ATOMICALLY with
+    * the DV manifest rename (the [[manifestMergeSink]] marker
+    * pattern). Re-delivery is load-bearing to skip here: a replayed
+    * erasure batch would otherwise merge its positions into the DV a
+    * second time — idempotent for the SAME positions, but a replay
+    * AFTER a fold would re-delete rows a later batch resurrected, the
+    * q132 CDC hazard. Each batch's key list is collected to the
+    * driver — erasure requests are small by nature (the
+    * deleteByKeysMoR contract). A batch matching NO live rows commits
+    * nothing (and records no marker): replaying a no-op is a no-op. */
+  def erasureSink(path: String, partitionCol: String, keyCol: String,
+                  retainVersions: Int = 2): (DataFrame, Long) => Unit =
+    (batch, id) => {
+      val spark = batch.sparkSession
+      val recorded = graft.ops.ManifestTable.readProps(spark, path)
+        .get(StreamBatchIdProp).map(_.toLong)
+      if (!recorded.exists(_ >= id)) {
+        val keys = batch.select(org.apache.spark.sql.functions.col(keyCol)
+          .cast("string")).distinct().collect().map(_.getString(0)).toSeq
+        if (keys.nonEmpty)
+          graft.ops.ManifestTable.deleteByKeysMoR(spark, path, partitionCol,
+            keyCol, keys, retainVersions = retainVersions,
+            extraProps = Map(StreamBatchIdProp -> id.toString))
+      }
+    }
 
   /** Exactly-once CDC ingestion: a foreachBatch sink applying a
     * row-level change stream (insert/update/delete + version columns)

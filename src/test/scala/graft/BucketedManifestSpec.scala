@@ -69,6 +69,34 @@ class BucketedManifestSpec extends AnyFunSuite {
     assert(ManifestTable.fastCount(spark, pa).rows == 160L)
   }
 
+  test("versioned registration pins a snapshot; manifest⋈catalog SMB is shuffle-free") {
+    val pa = freshPath("ver")
+    ManifestTable.mergeBucketed(spark, pa, facts(100, "v1_"),
+      keys = Seq("payload"), partitionCol = "part", bucketCol = "user_id",
+      nBuckets = 4, retainVersions = 4)
+    ManifestTable.mergeBucketed(spark, pa, facts(40, "v2_"),
+      keys = Seq("payload"), partitionCol = "part", bucketCol = "user_id",
+      nBuckets = 4, retainVersions = 4)
+    // time travel: the v1 registration sees only the first batch
+    val t1 = ManifestTable.registerBucketed(spark, pa, "mbkt_spec_v1", Some(1L))
+    assert(t1.count() == 100L)
+    val tLatest = ManifestTable.registerBucketed(spark, pa, "mbkt_spec_vl")
+    assert(tLatest.count() == 140L)
+    // cross-form SMB: a bucketed MANIFEST table joins a bucketed
+    // CATALOG table with the same spec, still with zero exchange
+    Bucketed.writeBucketed(facts(60, "cat_").select("user_id", "v"),
+      "mbkt_spec_cat", "user_id", buckets = 4)
+    val j = tLatest.select("user_id").hint("merge")
+      .join(spark.table("mbkt_spec_cat").select("user_id").hint("merge"),
+        Seq("user_id"))
+    assert(Bucketed.isShuffleFree(j),
+      "manifest⋈catalog co-bucketed join must plan without a shuffle:\n" +
+        j.queryExecution.executedPlan.toString.take(2000))
+    val e = intercept[IllegalArgumentException](
+      ManifestTable.registerBucketed(spark, pa, "mbkt_spec_bad", Some(99L)))
+    assert(e.getMessage.contains("not retained"))
+  }
+
   test("non-bucketed DML refuses on a bucketed table; spec is fixed") {
     val pa = freshPath("guard")
     ManifestTable.mergeBucketed(spark, pa, facts(50, "g"),

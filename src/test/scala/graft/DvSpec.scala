@@ -337,6 +337,32 @@ class DvSpec extends AnyFunSuite {
     assert(ManifestTable.fsck(spark, path).count() == 0L)
   }
 
+  test("MoR update and delete compose on a COMPACTED (shared-dir) layout") {
+    val path = freshPath("updshared")
+    seed(path)
+    // pack all four partitions into one shared dir first
+    val cr = ManifestTable.compact(spark, path, "part", targetBytes = 1L << 30,
+      minDirs = 2, retainVersions = 6)
+    assert(cr.committed)
+    val r = ManifestTable.updateWhereMoR(spark, path, "part",
+      col("id") % 10 === 4, Map("v" -> lit(555.0)), retainVersions = 6)
+    assert(r.committed && r.dirsRewritten == 0L && r.rowsUpdated == 4L)
+    val d = ManifestTable.deleteWhereMoR(spark, path, "part", col("id") === 9L,
+      retainVersions = 6)
+    assert(d.rowsDeleted == 1L)
+    val got = ManifestTable.read(spark, path)
+    assert(got.count() == 39L)
+    assert(got.filter(col("v") === 555.0).select("id").as[Long].collect().toSet
+      == Set(4L, 14L, 24L, 34L))
+    assert(got.filter(col("id") === 9L).count() == 0L)
+    // and the fold cleans it back to plain files
+    assert(ManifestTable.foldMoR(spark, path, "part", retainVersions = 6) > 0L)
+    assert(ManifestTable.dvStats(spark, path) == ((0L, 0L)))
+    assert(ManifestTable.auxStats(spark, path) == ((0L, 0L)))
+    assert(ManifestTable.read(spark, path).count() == 39L)
+    assert(ManifestTable.fsck(spark, path).count() == 0L)
+  }
+
   test("IncrementalAgg sees MoR deletes and updates as changes and refreshes exactly") {
     import graft.ops.IncrementalAgg
     val base = java.nio.file.Files.createTempDirectory("graft_dv_iagg").toString

@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.ManifestTable
+import graft.streaming.StreamingIngest
+
+/** Manifest tables as a streaming source (`format("graft-manifest")`,
+  * ManifestStreamProvider): version offsets, snapshot-then-increments
+  * batching, the strict append contract, cdf-mode replication of an
+  * updating table, and the retention failure mode.
+  */
+class ManifestStreamSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def freshDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_mstream_$tag").toString
+
+  private def rows(part: String, ids: Range): DataFrame =
+    ids.map(i => (i.toLong, part, i * 1.0)).toDF("id", "part", "v")
+
+  /** Drain one stream run into `sink`, then stop. */
+  private def drain(up: String, ckpt: String, sink: (DataFrame, Long) => Unit,
+                    cdf: Boolean = false): Unit = {
+    val reader = spark.readStream.format("graft-manifest").option("path", up)
+    val src = (if (cdf) reader.option("mode", "cdf").option("keys", "id")
+               else reader).load()
+    val q = src.writeStream.foreachBatch(sink)
+      .option("checkpointLocation", ckpt).start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  private def causeChain(t: Throwable): Iterator[Throwable] =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+
+  test("append mode: snapshot batch, then ONLY newly-referenced dirs; empty steady state") {
+    val d = freshDir("append"); val up = s"$d/up"
+    ManifestTable.merge(spark, up, rows("p0", 0 until 10), keys = Seq("id"),
+      partitionCol = "part")
+    val batches = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val sink: (DataFrame, Long) => Unit = (b, id) => batches.synchronized {
+      batches += ((id, b.count()))
+    }
+    drain(up, s"$d/ckpt", sink)
+    assert(batches.toList == List((0L, 10L)), "first batch = full snapshot")
+    // steady state: restart with no new commit delivers no batch
+    drain(up, s"$d/ckpt", sink)
+    assert(batches.toList == List((0L, 10L)))
+    // two commits of new partitions -> ONE catch-up batch, new rows only
+    ManifestTable.merge(spark, up, rows("p1", 100 until 120), keys = Seq("id"),
+      partitionCol = "part", retainVersions = 4)
+    ManifestTable.merge(spark, up, rows("p2", 200 until 205), keys = Seq("id"),
+      partitionCol = "part", retainVersions = 4)
+    drain(up, s"$d/ckpt", sink)
+    assert(batches.toList == List((0L, 10L), (1L, 25L)),
+      "restart consumed only the two new commits, as one batch")
+  }
+
+  test("append mode refuses non-append commits: partition rewrite and MoR DV") {
+    val d = freshDir("strict"); val up = s"$d/up"
+    ManifestTable.merge(spark, up, rows("p0", 0 until 10), keys = Seq("id"),
+      partitionCol = "part", retainVersions = 4,
+      statsColumns = Seq("id"), bloomColumns = Seq("id"))
+    val sink: (DataFrame, Long) => Unit = (_, _) => ()
+    drain(up, s"$d/ckpt", sink)
+    // upsert rewriting the existing partition
+    ManifestTable.merge(spark, up, rows("p0", 0 until 3).withColumn("v", lit(9.9)),
+      keys = Seq("id"), partitionCol = "part", retainVersions = 4,
+      statsColumns = Seq("id"), bloomColumns = Seq("id"))
+    val e1 = intercept[Throwable](drain(up, s"$d/ckpt", sink))
+    assert(causeChain(e1).exists(c =>
+      Option(c.getMessage).exists(_.contains("non-append"))), s"got: $e1")
+    // a fresh stream from scratch snapshots fine; then a DV delete refuses too
+    drain(up, s"$d/ckpt2", sink)
+    ManifestTable.deleteByKeysMoR(spark, up, "part", "id", Seq("5"),
+      retainVersions = 4)
+    val e2 = intercept[Throwable](drain(up, s"$d/ckpt2", sink))
+    assert(causeChain(e2).exists(c =>
+      Option(c.getMessage).exists(_.contains("non-append"))), s"got: $e2")
+  }
+
+  test("cdf mode replicates updates and MoR deletes exactly; update-then-delete nets") {
+    val d = freshDir("cdf"); val up = s"$d/up"; val down = s"$d/down"
+    ManifestTable.merge(spark, up, rows("p0", 0 until 10), keys = Seq("id"),
+      partitionCol = "part", retainVersions = 8)
+    val sink = StreamingIngest.cdfApplySink(down, Seq("id"), "part")
+    drain(up, s"$d/ckpt", sink, cdf = true)
+    assert(ManifestTable.read(spark, down).count() == 10L)
+    // update ids 0-2, add p1, then MoR-delete id 2 (also just updated)
+    ManifestTable.merge(spark, up,
+      rows("p0", 0 until 3).withColumn("v", col("v") + lit(100.0))
+        .unionByName(rows("p1", 50 until 55)),
+      keys = Seq("id"), partitionCol = "part", retainVersions = 8)
+    ManifestTable.deleteByKeysMoR(spark, up, "part", "id", Seq("2"),
+      retainVersions = 8)
+    drain(up, s"$d/ckpt", sink, cdf = true)
+    val got = ManifestTable.read(spark, down)
+    assert(got.count() == 14L)
+    assert(got.filter(col("id") === 2L).count() == 0L,
+      "update-then-delete of the same key must net to the delete")
+    assert(got.filter(col("id") === 1L).select("v").as[Double].head() == 101.0)
+    // replica == upstream, row for row
+    val diff = ManifestTable.read(spark, up).exceptAll(got)
+      .unionAll(got.exceptAll(ManifestTable.read(spark, up))).count()
+    assert(diff == 0L)
+  }
+
+  test("cdf mode requires keys; checkpoint past the retention horizon fails loudly") {
+    val d = freshDir("guard"); val up = s"$d/up"
+    ManifestTable.merge(spark, up, rows("p0", 0 until 5), keys = Seq("id"),
+      partitionCol = "part", retainVersions = 1)
+    val sink: (DataFrame, Long) => Unit = (_, _) => ()
+    val eK = intercept[Throwable] {
+      val q = spark.readStream.format("graft-manifest").option("path", up)
+        .option("mode", "cdf").load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", s"$d/ckptK").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    assert(causeChain(eK).exists(c =>
+      Option(c.getMessage).exists(_.contains("requires the 'keys'"))), s"got: $eK")
+    drain(up, s"$d/ckpt", sink)
+    // retainVersions=1: two more commits expire the checkpointed m1
+    ManifestTable.merge(spark, up, rows("p1", 10 until 15), keys = Seq("id"),
+      partitionCol = "part", retainVersions = 1)
+    ManifestTable.merge(spark, up, rows("p2", 20 until 25), keys = Seq("id"),
+      partitionCol = "part", retainVersions = 1)
+    val eR = intercept[Throwable](drain(up, s"$d/ckpt", sink))
+    assert(causeChain(eR).exists(c =>
+      Option(c.getMessage).exists(_.contains("no longer retained"))), s"got: $eR")
+  }
+}
