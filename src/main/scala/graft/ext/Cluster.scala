@@ -45,7 +45,26 @@ object Cluster {
     * init. An emptied cluster keeps its previous centroid (it can be
     * re-entered later) rather than dividing by zero. */
   def kmeansQuantized(corpus: DataFrame, k: Int, iters: Int,
-                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    assignQuantized(corpus, trainQuantized(corpus, k, iters, idCol, vecCol),
+      idCol, vecCol)
+
+  /** Nearest-committed-centroid assignment of ANY frame (idCol,
+    * cluster_id in 1..centroids.size) — the projection-only half of
+    * [[kmeansQuantized]], exposed so a PERSISTED centroid matrix
+    * ([[CentroidStore]]) can assign new batches without retraining:
+    * the plan's only input is `corpus`; the centroids ride in as a
+    * literal. */
+  def assignQuantized(corpus: DataFrame, cents: Seq[Seq[Long]],
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    assign(corpus.select(col(idCol).as("__id"), quant(col(vecCol)).as("__xq")), cents)
+      .select(col("__id").as(idCol), col("__cid").as("cluster_id"))
+
+  /** The trained e6-quantized centroid matrix itself (1-based cluster
+    * id = position) — [[kmeansQuantized]]'s training loop without the
+    * final assignment, for callers that persist the model. */
+  def trainQuantized(corpus: DataFrame, k: Int, iters: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): Seq[Seq[Long]] = {
     require(k >= 1 && iters >= 0, s"need k >= 1, iters >= 0; got k=$k iters=$iters")
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -83,8 +102,7 @@ object Cluster {
         }
       }
     }
-    assign(xq, cents)
-      .select(col("__id").as(idCol), col("__cid").as("cluster_id"))
+    cents
   }
 
   /** Cluster-balanced diversity sample: keep at most `cap` members

@@ -9270,6 +9270,138 @@ object ExtQueries {
       |FROM fin GROUP BY day ORDER BY day""".stripMargin
 
   // ----------------------------------------------------------------
+  // q190_centroid_persist — PERSISTED k-MEANS (CentroidStore): the
+  // trainCommit/appendBatch pattern (q178 IVF, q182 PQ) applied to
+  // the CURATION k-means, closing the last trains-per-session gap.
+  // Train k=8/iters=2 on two thirds of the corpus (vec_id%3!=0),
+  // commit centroids+assignments; assign the remaining third against
+  // the COMMITTED matrix — no retrain, no corpus re-scan. Because the
+  // centroids are integer (e6-quantized, floor-division recomputes),
+  // the committed model reproduces the training session bit-exactly,
+  // so the oracle replays the full trajectory: train on the subset,
+  // assign ALL rows with the final matrix. Facts riding the hash:
+  //   - rows_assigned == the batch exactly;
+  //   - clusters_touched == the batch's distinct final clusters
+  //     (SQL-recomputed, not a constant);
+  //   - untouched_carried: every cluster partition the batch missed
+  //     kept its dir verbatim across the append commit;
+  //   - retrain: the O(1) drift policy fires at growthFactor=1.2
+  //     (corpus grew 1.5x past the trained size), metadata-only.
+  // ----------------------------------------------------------------
+  def q190CentroidPersist(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:q190_centroid_persist") {
+      q190CentroidPersistBuild(spark, dir)
+    }
+
+  private def q190CentroidPersistBuild(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.CentroidStore
+    import graft.ops.ManifestTable
+    val emb = Tables.embeddings(spark, dir)
+    val trn = emb.filter(col("vec_id") % 3 =!= 0)
+    val batch = emb.filter(col("vec_id") % 3 === 0)
+    val base = java.nio.file.Files.createTempDirectory("graft_q190_").toString + "/km"
+    CentroidStore.trainCommit(spark, base, trn, k = 8, iters = 2)
+    val apath = CentroidStore.assignmentsPath(base)
+    val d1 = ManifestTable.entryDirs(spark, apath, 1L)
+    val res = CentroidStore.assignBatch(spark, base, batch)
+    val d2 = ManifestTable.entryDirs(spark, apath, 2L)
+    val untouchedCarried = d1.forall { case (k, v) =>
+      res.clustersTouched.contains(k) || d2.get(k).contains(v) }
+    val drift = CentroidStore.needsRetrain(spark, base, growthFactor = 1.2)
+    val mass = emb.select(col("vec_id"),
+      aggregate(transform(col("embedding"),
+          x => floor(x.cast("double") * lit(1e6)).cast("long")),
+        lit(0L), (acc, v) => acc + v).as("__m"))
+    ManifestTable.read(spark, apath)
+      .join(mass, Seq("vec_id"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"), min(col("vec_id")).as("min_id"),
+        sum(col("__m")).as("sum_mass_e6"))
+      .withColumn("cluster_id", col("cluster_id").cast("long"))
+      .withColumn("rows_assigned", lit(res.rowsAssigned))
+      .withColumn("clusters_touched", lit(res.clustersTouched.size.toLong))
+      .withColumn("untouched_carried", lit(untouchedCarried))
+      .withColumn("retrain", lit(drift.retrain))
+      .withColumn("count_meta", lit(drift.metadataOnly))
+      .withColumn("total_rows", lit(drift.indexedRows))
+      .orderBy(col("cluster_id"))
+  }
+
+  /** q134's unrolled Lloyd's oracle, retargeted: init + both
+    * recomputes read `trn` (the training subset) only; the FINAL
+    * assignment (d3/a3) reads the full corpus — exactly what
+    * train-on-subset + committed-matrix appendBatch computes. */
+  val q190CentroidPersistSql: String =
+    """WITH emb AS (
+      |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+      |           x -> CAST(floor(x * 1e6) AS BIGINT)) AS xq
+      |  FROM embeddings),
+      |trn AS (SELECT * FROM emb WHERE vec_id % 3 <> 0),
+      |pos AS (SELECT unnest(range(1, 65)) AS p),
+      |init AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS cid, xq AS c
+      |  FROM (SELECT * FROM trn ORDER BY vec_id LIMIT 8)),
+      |d1 AS (
+      |  SELECT e.vec_id, e.xq, i.cid,
+      |    list_sum(list_transform(range(1, 65),
+      |      p -> (e.xq[p] - i.c[p]) * (e.xq[p] - i.c[p]))) AS dist
+      |  FROM trn e CROSS JOIN init i),
+      |a1 AS (
+      |  SELECT vec_id, xq, cid FROM
+      |    (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      |     FROM d1) WHERE rn = 1),
+      |s1 AS (
+      |  SELECT cid, p, CAST(sum(xq[p]) AS BIGINT) AS s, count(*) AS n
+      |  FROM a1 CROSS JOIN pos GROUP BY cid, p),
+      |c1n AS (
+      |  SELECT cid, list(CAST((s - ((s % n) + n) % n) // n AS BIGINT) ORDER BY p) AS c
+      |  FROM s1 GROUP BY cid),
+      |c1 AS (SELECT i.cid, COALESCE(n.c, i.c) AS c
+      |       FROM init i LEFT JOIN c1n n USING (cid)),
+      |d2 AS (
+      |  SELECT e.vec_id, e.xq, i.cid,
+      |    list_sum(list_transform(range(1, 65),
+      |      p -> (e.xq[p] - i.c[p]) * (e.xq[p] - i.c[p]))) AS dist
+      |  FROM trn e CROSS JOIN c1 i),
+      |a2 AS (
+      |  SELECT vec_id, xq, cid FROM
+      |    (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      |     FROM d2) WHERE rn = 1),
+      |s2 AS (
+      |  SELECT cid, p, CAST(sum(xq[p]) AS BIGINT) AS s, count(*) AS n
+      |  FROM a2 CROSS JOIN pos GROUP BY cid, p),
+      |c2n AS (
+      |  SELECT cid, list(CAST((s - ((s % n) + n) % n) // n AS BIGINT) ORDER BY p) AS c
+      |  FROM s2 GROUP BY cid),
+      |c2 AS (SELECT i.cid, COALESCE(n.c, i.c) AS c
+      |       FROM c1 i LEFT JOIN c2n n USING (cid)),
+      |d3 AS (
+      |  SELECT e.vec_id, e.xq, i.cid,
+      |    list_sum(list_transform(range(1, 65),
+      |      p -> (e.xq[p] - i.c[p]) * (e.xq[p] - i.c[p]))) AS dist
+      |  FROM emb e CROSS JOIN c2 i),
+      |a3 AS (
+      |  SELECT vec_id, cid FROM
+      |    (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      |     FROM d3) WHERE rn = 1),
+      |mass AS (SELECT vec_id, CAST(list_sum(xq) AS BIGINT) AS m FROM emb)
+      |SELECT CAST(cid AS BIGINT) AS cluster_id,
+      |  CAST(count(*) AS BIGINT) AS n_members,
+      |  CAST(min(vec_id) AS BIGINT) AS min_id,
+      |  CAST(sum(m) AS BIGINT) AS sum_mass_e6,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM emb WHERE vec_id % 3 = 0)
+      |    AS rows_assigned,
+      |  (SELECT CAST(count(DISTINCT cid) AS BIGINT) FROM a3 WHERE vec_id % 3 = 0)
+      |    AS clusters_touched,
+      |  TRUE AS untouched_carried,
+      |  TRUE AS retrain,
+      |  TRUE AS count_meta,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM emb) AS total_rows
+      |FROM a3 JOIN mass USING (vec_id)
+      |GROUP BY cid ORDER BY cluster_id""".stripMargin
+
+  // ----------------------------------------------------------------
   // q186_gdpr_lifecycle — THE FULL SUBJECT-RIGHTS LIFECYCLE, composed:
   // one 30-day events manifest (blooms on event_id) takes, in order,
   //   1. ERASURE (Art. 17): deleteByKeysMoR of the % 211 = 5 subjects
