@@ -75,7 +75,11 @@ class ManifestStreamProvider extends StreamSourceProvider with DataSourceRegiste
     require(!cdf || keys.nonEmpty,
       "graft-manifest source: mode=cdf requires the 'keys' option (the table's " +
         "logical key, comma-separated) — row-level change attribution is keyed")
-    new ManifestStreamSource(sqlContext.sparkSession, tablePath(parameters), cdf, keys)
+    val maxV = parameters.get("maxVersionsPerTrigger").map(_.toLong)
+    maxV.foreach(m => require(m >= 1,
+      s"graft-manifest source: maxVersionsPerTrigger must be >= 1, got $m"))
+    new ManifestStreamSource(sqlContext.sparkSession, tablePath(parameters), cdf, keys,
+      maxV)
   }
 }
 
@@ -109,7 +113,9 @@ private[ops] object ManifestStream {
 }
 
 private[ops] class ManifestStreamSource(spark: SparkSession, path: String,
-                                        cdf: Boolean, keys: Seq[String]) extends Source {
+                                        cdf: Boolean, keys: Seq[String],
+                                        maxVersionsPerTrigger: Option[Long] = None)
+    extends Source {
   import ManifestTable._
 
   private def fs: FileSystem =
@@ -117,8 +123,22 @@ private[ops] class ManifestStreamSource(spark: SparkSession, path: String,
 
   override val schema: StructType = ManifestStream.sourceSchema(spark, path, cdf)
 
+  /** ADMISSION-CONTROL floor: the highest version already planned
+    * into a batch this run ([[getBatch]]'s end, then [[commit]]).
+    * `maxVersionsPerTrigger` caps each batch at floor+max — Delta's
+    * maxFilesPerTrigger shape, bounding a catch-up after a long stop
+    * to digestible commits instead of one giant batch. Best-effort by
+    * honest design: the FIRST batch after a restart has no floor yet
+    * (the v1 engine consults getOffset before any getBatch) and runs
+    * uncapped; admission binds from the next batch on. */
+  @volatile private var floorV: Option[Long] = None
+
   override def getOffset: Option[OffsetV1] =
-    latestVersion(fs, path).map(LongOffset(_))
+    latestVersion(fs, path).map { latest =>
+      val capped = (for { m <- maxVersionsPerTrigger; f <- floorV }
+        yield math.min(latest, f + m)).getOrElse(latest)
+      LongOffset(capped)
+    }
 
   private def versionOf(o: OffsetV1): Long = o match {
     case LongOffset(v) => v
@@ -146,6 +166,7 @@ private[ops] class ManifestStreamSource(spark: SparkSession, path: String,
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val endV = versionOf(end)
+    floorV = Some(floorV.fold(endV)(math.max(_, endV)))
     require(versions(fs, path).contains(endV),
       s"graft-manifest source: end version m$endV no longer retained under $path — " +
         "the table's retainVersions horizon passed the stream's checkpoint; " +
@@ -202,6 +223,9 @@ private[ops] class ManifestStreamSource(spark: SparkSession, path: String,
     else readEntriesOf(spark, path, readManifest(fs, path, endV), fresh.toSet)
   }
 
-  override def commit(end: OffsetV1): Unit = ()
+  override def commit(end: OffsetV1): Unit = {
+    val v = versionOf(end)
+    floorV = Some(floorV.fold(v)(math.max(_, v)))
+  }
   override def stop(): Unit = ()
 }

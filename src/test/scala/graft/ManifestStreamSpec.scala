@@ -108,6 +108,55 @@ class ManifestStreamSpec extends AnyFunSuite {
     assert(diff == 0L)
   }
 
+  test("maxVersionsPerTrigger bounds a live catch-up to one commit per batch") {
+    val d = freshDir("admission"); val up = s"$d/up"
+    ManifestTable.merge(spark, up, rows("p0", 0 until 10), keys = Seq("id"),
+      partitionCol = "part", retainVersions = 8)
+    val batches = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val sink: (DataFrame, Long) => Unit = (b, id) => batches.synchronized {
+      batches += ((id, b.count()))
+    }
+    val q = spark.readStream.format("graft-manifest").option("path", up)
+      .option("maxVersionsPerTrigger", "1").load()
+      .writeStream.foreachBatch(sink)
+      .option("checkpointLocation", s"$d/ckpt").start()
+    try {
+      q.processAllAvailable() // batch 0: snapshot, floor = m1
+      (1 to 3).foreach(i => ManifestTable.merge(spark, up,
+        rows(s"p$i", i * 100 until i * 100 + 5), keys = Seq("id"),
+        partitionCol = "part", retainVersions = 8))
+      q.processAllAvailable() // three commits behind -> THREE capped batches
+    } finally q.stop()
+    assert(batches.toList ==
+      List((0L, 10L), (1L, 5L), (2L, 5L), (3L, 5L)),
+      s"each catch-up batch must cover exactly one version: $batches")
+  }
+
+  test("Trigger.AvailableNow drains to the current version and terminates") {
+    val d = freshDir("availnow"); val up = s"$d/up"
+    ManifestTable.merge(spark, up, rows("p0", 0 until 10), keys = Seq("id"),
+      partitionCol = "part", retainVersions = 8)
+    ManifestTable.merge(spark, up, rows("p1", 100 until 105), keys = Seq("id"),
+      partitionCol = "part", retainVersions = 8)
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val sink: (DataFrame, Long) => Unit = (b, _) => batches.synchronized {
+      batches += b.count()
+    }
+    def drainNow(): Unit = {
+      val q = spark.readStream.format("graft-manifest").option("path", up).load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", s"$d/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000L), "AvailableNow run did not terminate")
+    }
+    drainNow() // snapshot at m2
+    assert(batches.toList == List(15L))
+    ManifestTable.merge(spark, up, rows("p2", 200 until 203), keys = Seq("id"),
+      partitionCol = "part", retainVersions = 8)
+    drainNow() // the cron-shaped catch-up: new commit only, then exit
+    assert(batches.toList == List(15L, 3L))
+  }
+
   test("cdf mode requires keys; checkpoint past the retention horizon fails loudly") {
     val d = freshDir("guard"); val up = s"$d/up"
     ManifestTable.merge(spark, up, rows("p0", 0 until 5), keys = Seq("id"),
