@@ -40,6 +40,14 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   *     entry-identity comparison is a complete change detector. This
   *     mirrors Delta's default (fail on non-append) — tables taking
   *     updates stream through `mode=cdf` instead.
+  *     Tables taking updates stream through `mode=cdf` or, when only
+  *     the appends matter, `skipChangeCommits=true` (Delta's option:
+  *     change commits skip WHOLESALE, append commits still emit — a
+  *     per-commit walk, so every version in the window must be
+  *     retained). `startingVersion=<v>` makes the first batch the
+  *     increments since v instead of a snapshot;
+  *     `maxVersionsPerTrigger=<n>` bounds catch-up batches (Delta's
+  *     maxFilesPerTrigger shape, best-effort across restarts).
   *   - `mode=cdf` (`keys=<k1,k2,…>` required): each batch is
   *     [[ManifestTable.changes]] over `(startV, endV]` — row-level
   *     insert/delete/update_preimage/update_postimage with
@@ -78,8 +86,13 @@ class ManifestStreamProvider extends StreamSourceProvider with DataSourceRegiste
     val maxV = parameters.get("maxVersionsPerTrigger").map(_.toLong)
     maxV.foreach(m => require(m >= 1,
       s"graft-manifest source: maxVersionsPerTrigger must be >= 1, got $m"))
+    val startV = parameters.get("startingVersion").map(_.toLong)
+    val skipChanges = parameters.get("skipChangeCommits").exists(_.toBoolean)
+    require(!(skipChanges && cdf),
+      "graft-manifest source: skipChangeCommits applies to append mode only — " +
+        "cdf mode streams change commits as data, there is nothing to skip")
     new ManifestStreamSource(sqlContext.sparkSession, tablePath(parameters), cdf, keys,
-      maxV)
+      maxV, startV, skipChanges)
   }
 }
 
@@ -114,7 +127,9 @@ private[ops] object ManifestStream {
 
 private[ops] class ManifestStreamSource(spark: SparkSession, path: String,
                                         cdf: Boolean, keys: Seq[String],
-                                        maxVersionsPerTrigger: Option[Long] = None)
+                                        maxVersionsPerTrigger: Option[Long] = None,
+                                        startingVersion: Option[Long] = None,
+                                        skipChangeCommits: Boolean = false)
     extends Source {
   import ManifestTable._
 
@@ -171,14 +186,15 @@ private[ops] class ManifestStreamSource(spark: SparkSession, path: String,
       s"graft-manifest source: end version m$endV no longer retained under $path — " +
         "the table's retainVersions horizon passed the stream's checkpoint; " +
         "raise retainVersions on the writer")
-    start match {
+    start.map(versionOf).orElse(startingVersion) match {
       case None => // initial batch: the full snapshot at endV
         val snap = readVersion(spark, path, endV)
         align(if (!cdf) snap
         else snap.withColumn("_change_type", lit("insert"))
           .withColumn("_commit_version", lit(endV)))
-      case Some(s) =>
-        val startV = versionOf(s)
+      case Some(startV) => // incremental — also the FIRST batch when
+        // the caller pinned `startingVersion` (Delta's option: resume
+        // a consumer from a known version instead of re-snapshotting)
         if (startV == endV) return align(emptyBatch())
         require(startV < endV, s"graft-manifest source: offset went backwards " +
           s"(m$startV > m$endV)")
@@ -201,6 +217,45 @@ private[ops] class ManifestStreamSource(spark: SparkSession, path: String,
     require(versions(fs, path).contains(startV),
       s"graft-manifest source: checkpointed version m$startV no longer retained " +
         s"under $path — raise retainVersions on the writer")
+    if (!skipChangeCommits) {
+      stepFresh(startV, endV) match {
+        case Left(why) => throw new IllegalStateException(
+          s"graft-manifest source: non-append commit between m$startV and m$endV " +
+            s"($why) — append mode streams append-only tables; use mode=cdf for " +
+            "tables taking updates/deletes, or skipChangeCommits=true to stream " +
+            "only the append commits")
+        case Right(fresh) if fresh.isEmpty => emptyBatch()
+        case Right(fresh) =>
+          readEntriesOf(spark, path, readManifest(fs, path, endV), fresh)
+      }
+    } else {
+      // Delta's skipChangeCommits: walk every commit in (startV, endV]
+      // — required retained, the per-commit attribution contract — and
+      // emit ONLY the pure-append ones; a commit that also removed,
+      // rewrote or DV'd anything is skipped WHOLESALE (its appends
+      // included: a MERGE's inserts are not separable from its
+      // updates). A restore re-referencing already-streamed dirs in a
+      // LATER commit re-emits those rows — the same double-emission
+      // hazard Delta documents for this option.
+      val vs = versions(fs, path).filter(v => v >= startV && v <= endV)
+      require(vs.size.toLong == endV - startV + 1,
+        s"graft-manifest source: skipChangeCommits needs every version " +
+          s"m$startV..m$endV retained (have ${vs.mkString(", ")}) — an expired " +
+          "intermediate collapses per-commit attribution")
+      val frames = vs.sliding(2).collect {
+        case Seq(a, b) => (b, stepFresh(a, b))
+      }.collect {
+        case (b, Right(fresh)) if fresh.nonEmpty =>
+          readEntriesOf(spark, path, readManifest(fs, path, b), fresh)
+      }.toSeq
+      if (frames.isEmpty) emptyBatch()
+      else frames.reduce(_.unionByName(_, allowMissingColumns = true))
+    }
+  }
+
+  /** One version step's classification: Right(newly-referenced entry
+    * keys) for a pure-append step, Left(reason) for anything else. */
+  private def stepFresh(startV: Long, endV: Long): Either[String, Set[String]] = {
     val idS = partitionDirs(fs, path, startV)
     val idE = partitionDirs(fs, path, endV)
     val removed = (idS.keySet -- idE.keySet).toSeq.sorted
@@ -213,14 +268,10 @@ private[ops] class ManifestStreamSource(spark: SparkSession, path: String,
       fresh.filter(k => dirsS.contains(dirOf(idE(k))))
     }
     if (removed.nonEmpty || mutated.nonEmpty || dvFresh.nonEmpty || recycled.nonEmpty)
-      throw new IllegalStateException(
-        s"graft-manifest source: non-append commit between m$startV and m$endV " +
-          s"(removed=${removed.take(3).mkString(",")} mutated=${mutated.take(3)
-            .mkString(",")} dv=${dvFresh.take(3).mkString(",")} recycled=${recycled
-            .take(3).mkString(",")}) — append mode streams append-only tables; " +
-          "use mode=cdf for tables taking updates/deletes")
-    if (fresh.isEmpty) emptyBatch()
-    else readEntriesOf(spark, path, readManifest(fs, path, endV), fresh.toSet)
+      Left(s"removed=${removed.take(3).mkString(",")} mutated=${mutated.take(3)
+        .mkString(",")} dv=${dvFresh.take(3).mkString(",")} recycled=${recycled
+        .take(3).mkString(",")}")
+    else Right(fresh.toSet)
   }
 
   override def commit(end: OffsetV1): Unit = {

@@ -157,6 +157,56 @@ class ManifestStreamSpec extends AnyFunSuite {
     assert(batches.toList == List(15L, 3L))
   }
 
+  test("startingVersion: first batch is increments since the pinned version, not a snapshot") {
+    val d = freshDir("startv"); val up = s"$d/up"
+    ManifestTable.merge(spark, up, rows("p0", 0 until 10), keys = Seq("id"),
+      partitionCol = "part", retainVersions = 8)
+    ManifestTable.merge(spark, up, rows("p1", 100 until 104), keys = Seq("id"),
+      partitionCol = "part", retainVersions = 8)
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    val sink: (DataFrame, Long) => Unit = (b, _) => {
+      val ids = b.select(col("id")).as[Long].collect().toSet
+      batches.synchronized { batches += ids }
+    }
+    val q = spark.readStream.format("graft-manifest").option("path", up)
+      .option("startingVersion", "1").load()
+      .writeStream.foreachBatch(sink)
+      .option("checkpointLocation", s"$d/ckpt").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(batches.toList == List((100L until 104L).toSet),
+      s"expected only the m2 appends, got $batches")
+  }
+
+  test("skipChangeCommits streams around a rewrite commit, emitting append commits only") {
+    val d = freshDir("skipch"); val up = s"$d/up"
+    ManifestTable.merge(spark, up, rows("p0", 0 until 10), keys = Seq("id"),
+      partitionCol = "part", retainVersions = 8)
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    val sink: (DataFrame, Long) => Unit = (b, _) => {
+      val ids = b.select(col("id")).as[Long].collect().toSet
+      batches.synchronized { batches += ids }
+    }
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-manifest").option("path", up)
+        .option("skipChangeCommits", "true").load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", s"$d/ckpt").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    drain()
+    assert(batches.toList == List((0L until 10L).toSet))
+    // m2 rewrites p0 (a change commit), m3 appends p1: the catch-up
+    // must emit ONLY m3's rows — m2 skipped wholesale, no failure
+    ManifestTable.merge(spark, up, rows("p0", 0 until 3).withColumn("v", lit(7.7)),
+      keys = Seq("id"), partitionCol = "part", retainVersions = 8)
+    ManifestTable.merge(spark, up, rows("p1", 200 until 206), keys = Seq("id"),
+      partitionCol = "part", retainVersions = 8)
+    drain()
+    assert(batches.toList ==
+      List((0L until 10L).toSet, (200L until 206L).toSet),
+      s"m2's rewrite must be skipped, m3's appends emitted: $batches")
+  }
+
   test("cdf mode requires keys; checkpoint past the retention horizon fails loudly") {
     val d = freshDir("guard"); val up = s"$d/up"
     ManifestTable.merge(spark, up, rows("p0", 0 until 5), keys = Seq("id"),
