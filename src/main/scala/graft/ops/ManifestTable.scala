@@ -616,6 +616,21 @@ object ManifestTable {
       val dropped = base.fieldNames.filterNot(incoming.columns.contains)
       require(dropped.isEmpty, "ManifestTable.merge: incoming batch is missing table " +
         s"column(s) ${dropped.mkString(", ")} — only additive schema evolution is supported")
+      // A column ADDED by this batch must not resolve to a TOMBSTONED
+      // physical field (a previous dropColumn): retained dirs still
+      // store the dead values under that name, and re-adding would
+      // resurrect them on every old-dir read.
+      val tombs = tombstonesOf(propsOf(oldLines))
+      if (tombs.nonEmpty) {
+        val map0 = renameMapOf(propsOf(oldLines))
+        val readded = incoming.columns.filterNot(base.fieldNames.contains)
+          .filter(c => tombs.contains(map0.getOrElse(c, c)))
+        require(readded.isEmpty, s"ManifestTable.merge: column(s) " +
+          s"${readded.mkString(", ")} were previously DROPPED — retained data " +
+          "dirs still store the old values under that physical field, and " +
+          "re-adding would resurrect them; add the data under a different " +
+          "column name (renameColumn can restore the desired name later)")
+      }
       base.fields.foreach { f =>
         val inDt = incoming.schema(f.name).dataType
         require(inDt == f.dataType, s"ManifestTable.merge: column ${f.name} retyped " +
@@ -2330,6 +2345,82 @@ object ManifestTable {
       if (newProps.isEmpty) Nil
       else Seq(PropsKey -> newProps.toSeq.sortBy(_._1)
         .map { case (k2, v2) => s"${escapeProp(k2)}=${escapeProp(v2)}" }.mkString(";"))
+    val head = Seq(SchemaKey -> newSchema.json,
+      CommitKey -> System.currentTimeMillis().toString) ++
+      lines.collect { case (PartitionColKey, p) => PartitionColKey -> p } ++
+      propLines
+    writeManifest(fs, path, v + 1, head ++ newEntries)
+    cleanup(fs, path, keepVersions =
+      (versions(fs, path) :+ (v + 1)).distinct.sorted.takeRight(retainVersions).toSet)
+  }
+
+  /** Table property [[dropColumn]] maintains: the comma-joined set of
+    * PHYSICAL file-field names ever dropped. Retained data dirs still
+    * store those fields (a drop is metadata-only), so RE-ADDING a
+    * column that resolves to a tombstoned physical name is refused at
+    * merge time — old dirs would resurrect the dropped values under
+    * the new column. Iceberg avoids this with column IDs; the name
+    * mapping gets the same safety by never letting a live column
+    * resolve to a dead field. */
+  val DropTombstonesProp = "drop.tombstones"
+
+  private[ops] def tombstonesOf(props: Map[String, String]): Set[String] =
+    props.get(DropTombstonesProp).toSeq
+      .flatMap(_.split(',').iterator.filter(_.nonEmpty)).toSet
+
+  /** DROP a column — METADATA-ONLY, [[renameColumn]]'s sibling: one
+    * manifest commit that (a) removes the field from the committed
+    * schema — every retained data dir still stores it, reads simply
+    * stop requesting it — (b) strips the column's zone-map/bloom
+    * items, (c) drops its name-mapping entry, and (d) TOMBSTONES the
+    * physical file field so a later merge cannot re-add a column that
+    * would resurrect the dead values from old dirs (re-adding under a
+    * DIFFERENT name is fine — old dirs resolve it as null, the
+    * additive-evolution behavior). No file is touched; old versions
+    * still time-travel WITH the column. The partition column (dir
+    * names embed its values), the bucket column (the layout hashes
+    * it), and the last remaining column are refused. */
+  def dropColumn(spark: SparkSession, path: String, name: String,
+                 retainVersions: Int = 2): Unit = {
+    require(retainVersions >= 1, s"retainVersions must be >= 1, got $retainVersions")
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = latestVersion(fs, path).getOrElse(
+      sys.error(s"ManifestTable.dropColumn: no manifest under $path/$ManifestDir"))
+    val lines = readManifest(fs, path, v)
+    val schema = committedSchema(lines).getOrElse(sys.error(
+      s"ManifestTable.dropColumn: no committed schema under $path (legacy " +
+        "manifest) — run one merge first"))
+    require(schema.fieldNames.contains(name),
+      s"ManifestTable.dropColumn: no column $name " +
+        s"(have ${schema.fieldNames.mkString(", ")})")
+    require(schema.fields.length > 1,
+      s"ManifestTable.dropColumn: $name is the table's only column")
+    partitionColOf(lines).foreach(p => require(p != name,
+      s"ManifestTable.dropColumn: $name is the partition column — dir names " +
+        "embed its values; use repartitionTable for a layout change"))
+    val props = propsOf(lines)
+    bucketSpecOf(props).foreach { case (bc, _) => require(bc != name,
+      s"ManifestTable.dropColumn: $name is the bucket column — the layout " +
+        "hashes it; rewrite with a new spec instead") }
+    val map0 = renameMapOf(props)
+    val physical = map0.getOrElse(name, name)
+    val map1 = map0 - name
+    val newSchema = org.apache.spark.sql.types.StructType(
+      schema.fields.filterNot(_.name == name))
+    // Strip the dropped column's zone/bloom items (keyed by current
+    // name); rowcounts and other columns' items stay.
+    val newEntries = dataEntries(lines).map { case (k, value) =>
+      val items = statsOf(value).map(_.split(';').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+      val kept = items.filterNot { it =>
+        it.takeWhile(c => c != '=' && c != '!') == name }
+      k -> (if (kept.isEmpty) dirOf(value) else s"${dirOf(value)}\t${kept.mkString(";")}")
+    }
+    val newProps = (props - RenameMapProp) ++
+      (if (map1.isEmpty) Map.empty else Map(RenameMapProp -> encodeRenameMap(map1))) ++
+      Map(DropTombstonesProp ->
+        (tombstonesOf(props) + physical).toSeq.sorted.mkString(","))
+    val propLines = Seq(PropsKey -> newProps.toSeq.sortBy(_._1)
+      .map { case (k2, v2) => s"${escapeProp(k2)}=${escapeProp(v2)}" }.mkString(";"))
     val head = Seq(SchemaKey -> newSchema.json,
       CommitKey -> System.currentTimeMillis().toString) ++
       lines.collect { case (PartitionColKey, p) => PartitionColKey -> p } ++

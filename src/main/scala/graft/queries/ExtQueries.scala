@@ -9402,6 +9402,105 @@ object ExtQueries {
       |GROUP BY cid ORDER BY cluster_id""".stripMargin
 
   // ----------------------------------------------------------------
+  // q191_drop_column — METADATA-ONLY COLUMN DROP (renameColumn's
+  // sibling, completing the Iceberg schema-evolution trio add/rename/
+  // widen/drop): one manifest commit removes the field from the
+  // committed schema; every retained dir keeps its bytes, reads stop
+  // requesting the field. The hazard this gate pins is RESURRECTION:
+  // old files still store the dropped physical field, so re-adding a
+  // column resolving to it must REFUSE at merge time (Iceberg solves
+  // this with column IDs; the name mapping + tombstones get the same
+  // safety). Facts riding the hash next to the SQL-recomputed state:
+  //   - same_dirs across the drop commit (zero rewrite);
+  //   - the drop step is an EMPTY change-feed step;
+  //   - live schema is 3 columns, v1 time travel still reads all 4
+  //     (v1_type_rows counts the dropped column's values there);
+  //   - fastCount stays metadata-only and unchanged;
+  //   - readd_refused: merging the dropped column back raises;
+  //   - skipping still prunes on the surviving stats (probe_scanned
+  //     = 0 for an impossible key);
+  //   - a post-drop correction upsert under the narrowed schema
+  //     lands (the +10 on event_id%101==0, SQL-recomputed).
+  // ----------------------------------------------------------------
+  def q191DropColumn(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:q191_drop_column") {
+      q191DropColumnBuild(spark, dir)
+    }
+
+  private def q191DropColumnBuild(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.ManifestTable
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), date_trunc("day", col("ts")).as("day"),
+        col("value"), col("event_type"))
+    val path = java.nio.file.Files.createTempDirectory("graft_q191_").toString + "/t"
+    ManifestTable.merge(spark, path, ev, keys = Seq("event_id"),
+      partitionCol = "day", retainVersions = 8,
+      statsColumns = Seq("event_id"), bloomColumns = Seq("event_id"))
+    ManifestTable.dropColumn(spark, path, "event_type", retainVersions = 8)
+    val sameDirs = ManifestTable.dataDirs(spark, path, 1L) ==
+      ManifestTable.dataDirs(spark, path, 2L)
+    val cdcDropRows = ManifestTable.changes(spark, path, Seq("event_id"), 1L, 2L).count()
+    val v1 = ManifestTable.readVersion(spark, path, 1L)
+    val v1Cols = v1.columns.length.toLong
+    val v1TypeRows = v1.filter(col("event_type").isNotNull).count()
+    val liveCols = ManifestTable.read(spark, path).columns.length.toLong
+    val readdRefused =
+      try {
+        ManifestTable.merge(spark, path,
+          ev.limit(1).select(col("event_id"), col("day"), col("value"),
+            col("event_type")),
+          keys = Seq("event_id"), partitionCol = "day", retainVersions = 8)
+        false
+      } catch { case t: IllegalArgumentException =>
+        t.getMessage.contains("previously DROPPED") }
+    val probe = ManifestTable.readSkippingEquals(spark, path, "event_id", "-1")
+    // correction upsert under the narrowed schema
+    ManifestTable.merge(spark, path,
+      ev.filter(col("event_id") % 101 === 0)
+        .select(col("event_id"), col("day"), (col("value") + lit(10.0)).as("value")),
+      keys = Seq("event_id"), partitionCol = "day", retainVersions = 8,
+      statsColumns = Seq("event_id"), bloomColumns = Seq("event_id"))
+    val fast = ManifestTable.fastCount(spark, path)
+    ManifestTable.read(spark, path)
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * lit(1e3)).cast("long")).as("sum_value_e3"))
+      .withColumn("same_dirs", lit(sameDirs))
+      .withColumn("cdc_drop_rows", lit(cdcDropRows))
+      .withColumn("v1_cols", lit(v1Cols))
+      .withColumn("live_cols", lit(liveCols))
+      .withColumn("v1_type_rows", lit(v1TypeRows))
+      .withColumn("readd_refused", lit(readdRefused))
+      .withColumn("probe_scanned", lit(probe.dirsScanned))
+      .withColumn("fast_rows", lit(fast.rows))
+      .withColumn("fast_meta", lit(fast.metadataOnly))
+      .orderBy(col("day"))
+  }
+
+  val q191DropColumnSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, date_trunc('day', ts) AS day, value, event_type
+      |  FROM events),
+      |fin AS (
+      |  SELECT event_id, day,
+      |    CASE WHEN event_id % 101 = 0 THEN value + 10.0 ELSE value END AS value
+      |  FROM ev)
+      |SELECT day, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(floor(value * 1e3) AS BIGINT)) AS BIGINT) AS sum_value_e3,
+      |  TRUE AS same_dirs,
+      |  CAST(0 AS BIGINT) AS cdc_drop_rows,
+      |  CAST(4 AS BIGINT) AS v1_cols,
+      |  CAST(3 AS BIGINT) AS live_cols,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM ev WHERE event_type IS NOT NULL)
+      |    AS v1_type_rows,
+      |  TRUE AS readd_refused,
+      |  CAST(0 AS BIGINT) AS probe_scanned,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM ev) AS fast_rows,
+      |  TRUE AS fast_meta
+      |FROM fin GROUP BY day ORDER BY day""".stripMargin
+
+  // ----------------------------------------------------------------
   // q186_gdpr_lifecycle — THE FULL SUBJECT-RIGHTS LIFECYCLE, composed:
   // one 30-day events manifest (blooms on event_id) takes, in order,
   //   1. ERASURE (Art. 17): deleteByKeysMoR of the % 211 = 5 subjects

@@ -216,4 +216,76 @@ class RenameSpec extends AnyFunSuite {
       .select("amount").as[Double].collect().toSeq
     assert(post == Seq(12345.0))
   }
+
+  test("drop is metadata-only: same dirs, column gone live, old version keeps it") {
+    val path = freshPath("drop")
+    seed(path)
+    val before = ManifestTable.dataDirs(spark, path, 1L)
+    ManifestTable.dropColumn(spark, path, "v", retainVersions = 4)
+    assert(ManifestTable.dataDirs(spark, path, 2L) == before,
+      "a drop must not touch one data file")
+    val got = ManifestTable.read(spark, path)
+    assert(got.columns.toSeq == Seq("id", "part"))
+    assert(got.count() == 40L)
+    // time travel: the pre-drop snapshot still carries the column
+    val old = ManifestTable.readVersion(spark, path, 1L)
+    assert(old.columns.toSeq == Seq("id", "part", "v"))
+    assert(old.filter(col("id") === 7L).select("v").as[Double].head() == 70.0)
+    // fastCount untouched; the drop commit is an empty CDC step; the
+    // surviving column's zone/bloom items still prune
+    val c = ManifestTable.fastCount(spark, path)
+    assert(c.metadataOnly && c.rows == 40L)
+    assert(ManifestTable.changes(spark, path, Seq("id"), 1L, 2L).count() == 0L)
+    val probe = ManifestTable.readSkippingEquals(spark, path, "id", "9999")
+    assert(probe.dirsScanned == 0L && probe.dirsTotal > 0L)
+    // post-drop merges carry the narrowed schema
+    ManifestTable.merge(spark, path, Seq((100L, "p0")).toDF("id", "part"),
+      keys = Seq("id"), partitionCol = "part", retainVersions = 4)
+    assert(ManifestTable.read(spark, path).count() == 41L)
+  }
+
+  test("re-adding a dropped column is refused; a different name resolves old dirs as null") {
+    val path = freshPath("readd")
+    seed(path)
+    ManifestTable.dropColumn(spark, path, "v", retainVersions = 4)
+    val e = intercept[IllegalArgumentException](
+      ManifestTable.merge(spark, path,
+        Seq((200L, "p0", 1.5)).toDF("id", "part", "v"),
+        keys = Seq("id"), partitionCol = "part", retainVersions = 4))
+    assert(e.getMessage.contains("previously DROPPED"), e.getMessage)
+    // same data under a NEW name: additive evolution, old dirs read null
+    ManifestTable.merge(spark, path,
+      Seq((200L, "p0", 1.5)).toDF("id", "part", "v2"),
+      keys = Seq("id"), partitionCol = "part", retainVersions = 4)
+    val got = ManifestTable.read(spark, path)
+    assert(got.filter(col("id") === 200L).select("v2").as[Double].head() == 1.5)
+    assert(got.filter(col("id") === 7L).select("v2").collect().head.isNullAt(0),
+      "old rows must resolve the re-added-under-new-name column as null, " +
+        "never as the dead physical values")
+  }
+
+  test("dropping a RENAMED column tombstones the physical field; guards hold") {
+    val path = freshPath("renamedrop")
+    seed(path)
+    ManifestTable.renameColumn(spark, path, "v", "amount", retainVersions = 4)
+    ManifestTable.dropColumn(spark, path, "amount", retainVersions = 4)
+    // the PHYSICAL field is v: re-adding v is refused, re-adding the
+    // freed CURRENT name amount is fine (no old file stores 'amount')
+    val e = intercept[IllegalArgumentException](
+      ManifestTable.merge(spark, path, Seq((300L, "p0", 9.9)).toDF("id", "part", "v"),
+        keys = Seq("id"), partitionCol = "part", retainVersions = 4))
+    assert(e.getMessage.contains("previously DROPPED"))
+    ManifestTable.merge(spark, path,
+      Seq((300L, "p0", 9.9)).toDF("id", "part", "amount"),
+      keys = Seq("id"), partitionCol = "part", retainVersions = 4)
+    val got = ManifestTable.read(spark, path)
+    assert(got.filter(col("id") === 300L).select("amount").as[Double].head() == 9.9)
+    assert(got.filter(col("id") === 7L).select("amount").collect().head.isNullAt(0))
+    // guards: partition column and last-column drops refuse
+    assert(intercept[IllegalArgumentException](
+      ManifestTable.dropColumn(spark, path, "part")).getMessage.contains("partition"))
+    ManifestTable.dropColumn(spark, path, "amount", retainVersions = 4)
+    assert(intercept[IllegalArgumentException](
+      ManifestTable.dropColumn(spark, path, "part")).getMessage.contains("partition"))
+  }
 }
