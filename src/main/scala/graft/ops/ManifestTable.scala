@@ -62,7 +62,7 @@ import org.apache.spark.sql.functions._
   */
 object ManifestTable {
 
-  private val ManifestDir = "_manifests"
+  private[ops] val ManifestDir = "_manifests"
   private val DataDir = "data"
   /** Manifest line key carrying the committed table schema (JSON).
     * Reserved — a real partition value can never collide with it
@@ -3091,44 +3091,61 @@ object ManifestTable {
     } finally in.close()
   }
 
-  private def writeManifest(fs: FileSystem, path: String, v: Long,
-                            entries: Seq[(String, String)]): Unit = {
-    val dest = new Path(f"$path/$ManifestDir/m$v%012d")
+  private[ops] def manifestDest(path: String, v: Long): Path =
+    new Path(f"$path/$ManifestDir/m$v%012d")
+
+  /** Write a version's manifest CONTENT as a tmp file (no commit). */
+  private[ops] def writeManifestTmp(fs: FileSystem, path: String, v: Long,
+                                    entries: Seq[(String, String)]): Path = {
     val tmp = new Path(f"$path/$ManifestDir/m$v%012d-${java.util.UUID.randomUUID()}.tmp")
-    fs.mkdirs(dest.getParent)
+    fs.mkdirs(tmp.getParent)
     val out = fs.create(tmp, false)
     try out.write(entries.map { case (k, d) => s"$k\t$d" }.mkString("", "\n", "\n")
       .getBytes("UTF-8"))
     finally out.close()
-    // THE commit point: one atomic create-if-absent of the version
-    // file. The primitive is FILESYSTEM-SPECIFIC — the same reality
-    // Delta's per-store LogStores encode:
-    //   - HDFS (and stores with HDFS rename semantics): rename to an
-    //     existing destination returns false — rename IS the CAS;
-    //   - local file:// : POSIX rename REPLACES an existing target,
-    //     silently clobbering a rival's commit (a lost update — the
-    //     q150 barrier race caught exactly this), so the CAS is an
-    //     atomic hard LINK, which fails with FileAlreadyExists when
-    //     the version is taken.
-    // Either way the loser surfaces as the TYPED conflict
-    // [[withCommitRetry]] catches to re-plan.
-    val committed =
-      if ("file" == fs.getScheme) {
-        try {
-          java.nio.file.Files.createLink(
-            java.nio.file.Paths.get(dest.toUri.getPath),
-            java.nio.file.Paths.get(tmp.toUri.getPath))
-          true
-        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
-      } else fs.rename(tmp, dest)
-    if (!committed) {
-      fs.delete(tmp, false) // the loser's tmp is residue, drop it now
-      throw CommitConflictException(
-        s"ManifestTable: commit of $dest lost the version race (concurrent writer); " +
-          s"table still reads as the previous version")
-    }
-    if ("file" == fs.getScheme) fs.delete(tmp, false) // linked, tmp no longer needed
+    tmp
   }
+
+  /** THE commit point: one atomic create-if-absent of the version
+    * file. The primitive is FILESYSTEM-SPECIFIC — the same reality
+    * Delta's per-store LogStores encode:
+    *   - HDFS (and stores with HDFS rename semantics): rename to an
+    *     existing destination returns false — rename IS the CAS
+    *     (consumes the tmp on success);
+    *   - local file:// : POSIX rename REPLACES an existing target,
+    *     silently clobbering a rival's commit (a lost update — the
+    *     q150 barrier race caught exactly this), so the CAS is an
+    *     atomic hard LINK, which fails with FileAlreadyExists when
+    *     the version is taken (the tmp survives for the caller to
+    *     drop — or keep, as [[ManifestTxn]]'s recovery does for
+    *     content comparison). */
+  private[ops] def casManifest(fs: FileSystem, dest: Path, tmp: Path): Boolean =
+    if ("file" == fs.getScheme) {
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(dest.toUri.getPath),
+          java.nio.file.Paths.get(tmp.toUri.getPath))
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } else fs.rename(tmp, dest)
+
+  private def writeManifest(fs: FileSystem, path: String, v: Long,
+                            entries: Seq[(String, String)]): Unit =
+    ManifestTxn.active() match {
+      case Some(txn) => // STAGED: the tmp is written, the CAS deferred
+        // to the transaction's promote phase (ManifestTxn.run)
+        txn.stage(path, v, writeManifestTmp(fs, path, v, entries).getName)
+      case None =>
+        val tmp = writeManifestTmp(fs, path, v, entries)
+        val dest = manifestDest(path, v)
+        if (!casManifest(fs, dest, tmp)) {
+          fs.delete(tmp, false) // the loser's tmp is residue, drop it now
+          throw CommitConflictException(
+            s"ManifestTable: commit of $dest lost the version race (concurrent " +
+              "writer); table still reads as the previous version")
+        }
+        if ("file" == fs.getScheme) fs.delete(tmp, false) // linked, tmp done
+    }
 
   /** A lost commit race: another writer renamed this version live
     * first. The table is untouched by the loser (its data dirs are
@@ -3190,7 +3207,14 @@ object ManifestTable {
     * KNOWN-DEAD (referenced only by manifests expiring right now) go
     * immediately; NEVER-REFERENCED (crash residue — or a concurrent
     * writer's in-flight batch) survive [[OrphanGraceMs]] first. */
-  private def cleanup(fs: FileSystem, path: String, keepVersions: Set[Long]): Unit = {
+  private def cleanup(fs: FileSystem, path: String, keepVersions: Set[Long]): Unit =
+    ManifestTxn.active() match {
+      case Some(txn) => txn.deferCleanup(path, keepVersions) // after promote
+      case None => cleanupNow(fs, path, keepVersions)
+    }
+
+  private[ops] def cleanupNow(fs: FileSystem, path: String,
+                              keepVersions: Set[Long]): Unit = {
     // Every top-level data/ dir an entry references: its data batch
     // dir AND, when a deletion vector is pending, the DV sidecar's
     // dir — a swept DV would silently RESURRECT deleted rows, the

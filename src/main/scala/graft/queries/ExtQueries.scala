@@ -9501,6 +9501,110 @@ object ExtQueries {
       |FROM fin GROUP BY day ORDER BY day""".stripMargin
 
   // ----------------------------------------------------------------
+  // q192_atomic_txn — MULTI-TABLE ATOMIC COMMIT (ManifestTxn): fact +
+  // rollup committed together, so a consumer NEVER sees a fact table
+  // ahead of its rollup (the corpus-vs-index skew every two-table
+  // pipeline risks; neither Delta nor Iceberg offers this without an
+  // external catalog). Two waves land transactionally; an aborting
+  // transaction (body throws after staging one table) leaves ZERO
+  // trace on either table; then a correction wave is journaled,
+  // "crashes" after promoting only the fact table, and recover()
+  // rolls the rollup's promote forward — after which the rollup
+  // equals a fresh aggregation of the fact table EXACTLY
+  // (consistency_diff == 0, computed, not asserted). Facts riding the
+  // hash next to the SQL-recomputed rollup:
+  //   - fact/rollup both at version 3 (two waves + correction; the
+  //     aborted transaction minted NO version on either);
+  //   - recovered_journals == 1, journal dir empty after;
+  //   - abort_clean and consistency_diff measured.
+  // ----------------------------------------------------------------
+  def q192AtomicTxn(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:q192_atomic_txn") {
+      q192AtomicTxnBuild(spark, dir)
+    }
+
+  private def q192AtomicTxnBuild(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{ManifestTable, ManifestTxn}
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), date_trunc("day", col("ts")).as("day"), col("value"))
+    val out = java.nio.file.Files.createTempDirectory("graft_q192_").toString
+    val fact = s"$out/fact"; val roll = s"$out/rollup"; val jdir = s"$out/_txn"
+    def rollup(df: DataFrame): DataFrame = df.groupBy(col("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * lit(1e3)).cast("long")).as("sum_value_e3"))
+    def mergeFact(df: DataFrame): Unit = ManifestTable.merge(spark, fact, df,
+      keys = Seq("event_id"), partitionCol = "day", retainVersions = 8)
+    def mergeRoll(df: DataFrame): Unit = ManifestTable.merge(spark, roll, df,
+      keys = Seq("day"), partitionCol = "day", retainVersions = 8)
+    val w1 = ev.filter(dayofmonth(col("day")) <= 15)
+    val w2 = ev.filter(dayofmonth(col("day")) >= 16)
+    ManifestTxn.run(spark, jdir) { mergeFact(w1); mergeRoll(rollup(w1)) }
+    ManifestTxn.run(spark, jdir) { mergeFact(w2); mergeRoll(rollup(w2)) }
+    // an aborting transaction must leave zero trace on either table
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val abortClean =
+      try {
+        ManifestTxn.run(spark, jdir) {
+          mergeFact(ev.limit(5).withColumn("value", lit(-1.0)))
+          sys.error("simulated failure between the two table writes")
+        }
+        false
+      } catch { case _: RuntimeException =>
+        ManifestTable.versions(fs, fact) == Seq(1L, 2L) &&
+          ManifestTable.versions(fs, roll) == Seq(1L, 2L)
+      }
+    // correction wave: journaled, crashes mid-promote, rolls forward
+    val finEv = ev.withColumn("value",
+      when(col("event_id") % 97 === 0, col("value") + lit(5.0)).otherwise(col("value")))
+    val corr = finEv.filter(col("event_id") % 97 === 0)
+    val fixedDays = corr.select(col("day")).distinct()
+    val staged = ManifestTxn.stageOnly(spark) {
+      mergeFact(corr)
+      mergeRoll(rollup(finEv.join(fixedDays, Seq("day"))))
+    }
+    ManifestTxn.writeJournal(spark, jdir, staged)
+    ManifestTxn.promote(spark, staged.take(1)) // crash: fact live, rollup not
+    val recovered = ManifestTxn.recover(spark, jdir).toLong
+    val factV = ManifestTable.versions(fs, fact).max
+    val rollV = ManifestTable.versions(fs, roll).max
+    val journalClear = !fs.exists(new org.apache.hadoop.fs.Path(jdir)) ||
+      fs.listStatus(new org.apache.hadoop.fs.Path(jdir)).isEmpty
+    val consistencyDiff = ManifestTable.read(spark, roll)
+      .select(col("day"), col("n"), col("sum_value_e3")).withColumn("__r", lit(1))
+      .join(rollup(ManifestTable.read(spark, fact)).withColumn("__f", lit(1)),
+        Seq("day", "n", "sum_value_e3"), "full_outer")
+      .filter(col("__r").isNull || col("__f").isNull).count()
+    ManifestTable.read(spark, roll)
+      .select(col("day"), col("n"), col("sum_value_e3"))
+      .withColumn("fact_version", lit(factV))
+      .withColumn("rollup_version", lit(rollV))
+      .withColumn("abort_clean", lit(abortClean))
+      .withColumn("recovered_journals", lit(recovered))
+      .withColumn("journal_clear", lit(journalClear))
+      .withColumn("consistency_diff", lit(consistencyDiff))
+      .orderBy(col("day"))
+  }
+
+  val q192AtomicTxnSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, date_trunc('day', ts) AS day, value FROM events),
+      |fin AS (
+      |  SELECT event_id, day,
+      |    CASE WHEN event_id % 97 = 0 THEN value + 5.0 ELSE value END AS value
+      |  FROM ev)
+      |SELECT day, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(floor(value * 1e3) AS BIGINT)) AS BIGINT) AS sum_value_e3,
+      |  CAST(3 AS BIGINT) AS fact_version,
+      |  CAST(3 AS BIGINT) AS rollup_version,
+      |  TRUE AS abort_clean,
+      |  CAST(1 AS BIGINT) AS recovered_journals,
+      |  TRUE AS journal_clear,
+      |  CAST(0 AS BIGINT) AS consistency_diff
+      |FROM fin GROUP BY day ORDER BY day""".stripMargin
+
+  // ----------------------------------------------------------------
   // q186_gdpr_lifecycle — THE FULL SUBJECT-RIGHTS LIFECYCLE, composed:
   // one 30-day events manifest (blooms on event_id) takes, in order,
   //   1. ERASURE (Art. 17): deleteByKeysMoR of the % 211 = 5 subjects
