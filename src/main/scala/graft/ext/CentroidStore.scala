@@ -44,8 +44,10 @@ object CentroidStore {
   def assignmentsPath(base: String): String = s"$base/assignments"
 
   /** Train on `corpus` ([[Cluster.trainQuantized]]) and commit both
-    * tables. One extra bounded count job records the drift
-    * denominator. */
+    * tables ATOMICALLY ([[graft.ops.ManifestTxn]] — assignments
+    * without their matrix are uninterpretable; do not call inside an
+    * outer transaction). One extra bounded count job records the
+    * drift denominator. */
   def trainCommit(spark: SparkSession, base: String, corpus: DataFrame,
                   k: Int, iters: Int = 2,
                   idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
@@ -54,14 +56,16 @@ object CentroidStore {
     import spark.implicits._
     val centsDf = cents.zipWithIndex
       .map { case (c, i) => (i + 1, c) }.toDF("cluster_id", "centroid")
-    ManifestTable.merge(spark, centroidsPath(base), centsDf,
-      keys = Seq("cluster_id"), partitionCol = "cluster_id",
-      props = Map(KProp -> k.toString, TrainedRowsProp -> nTrained.toString))
-    // statsColumns => per-partition rowcounts => needsRetrain's count
-    // stays metadata-only forever.
-    ManifestTable.merge(spark, assignmentsPath(base),
-      Cluster.assignQuantized(corpus, cents, idCol, vecCol),
-      keys = Seq(idCol), partitionCol = "cluster_id", statsColumns = Seq(idCol))
+    graft.ops.ManifestTxn.run(spark, s"$base/_txn") {
+      ManifestTable.merge(spark, centroidsPath(base), centsDf,
+        keys = Seq("cluster_id"), partitionCol = "cluster_id",
+        props = Map(KProp -> k.toString, TrainedRowsProp -> nTrained.toString))
+      // statsColumns => per-partition rowcounts => needsRetrain's count
+      // stays metadata-only forever.
+      ManifestTable.merge(spark, assignmentsPath(base),
+        Cluster.assignQuantized(corpus, cents, idCol, vecCol),
+        keys = Seq(idCol), partitionCol = "cluster_id", statsColumns = Seq(idCol))
+    }
   }
 
   /** The committed matrix, 1-based cluster id = position — a bounded

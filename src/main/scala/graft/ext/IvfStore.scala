@@ -37,21 +37,28 @@ object IvfStore {
   def centroidsPath(base: String): String = s"$base/centroids"
   def indexPath(base: String): String = s"$base/index"
 
-  /** Train on `corpus` and commit both tables. One extra bounded
-    * count job records the drift denominator. */
+  /** Train on `corpus` and commit both tables ATOMICALLY (a
+    * [[graft.ops.ManifestTxn]] over `base/_txn` — a crash between the
+    * centroids and index commits would otherwise leave an index whose
+    * assignments reference centroids no reader can see, the exact
+    * two-table skew the transaction layer exists for; do not call
+    * inside an outer transaction). One extra bounded count job
+    * records the drift denominator. */
   def trainCommit(spark: SparkSession, base: String, corpus: DataFrame,
                   k: Int, iters: Int = 3,
                   idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val nTrained = corpus.count()
     val cents = Ivf.train(corpus, k, iters, idCol, vecCol)
-    ManifestTable.merge(spark, centroidsPath(base), cents,
-      keys = Seq("list_id"), partitionCol = "list_id",
-      props = Map(KProp -> k.toString, TrainedRowsProp -> nTrained.toString))
-    // statsColumns => per-partition rowcounts => needsRetrain's count
-    // stays metadata-only forever (appends re-record on touched lists,
-    // untouched entries carry theirs forward).
-    ManifestTable.merge(spark, indexPath(base), Ivf.index(corpus, cents, idCol, vecCol),
-      keys = Seq(idCol), partitionCol = "list_id", statsColumns = Seq(idCol))
+    graft.ops.ManifestTxn.run(spark, s"$base/_txn") {
+      ManifestTable.merge(spark, centroidsPath(base), cents,
+        keys = Seq("list_id"), partitionCol = "list_id",
+        props = Map(KProp -> k.toString, TrainedRowsProp -> nTrained.toString))
+      // statsColumns => per-partition rowcounts => needsRetrain's count
+      // stays metadata-only forever (appends re-record on touched lists,
+      // untouched entries carry theirs forward).
+      ManifestTable.merge(spark, indexPath(base), Ivf.index(corpus, cents, idCol, vecCol),
+        keys = Seq(idCol), partitionCol = "list_id", statsColumns = Seq(idCol))
+    }
   }
 
   /** Evidence an [[appendBatch]] returns: how many rows were assigned

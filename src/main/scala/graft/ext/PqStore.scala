@@ -45,22 +45,27 @@ object PqStore {
   private def withPart(df: DataFrame, idCol: String): DataFrame =
     df.withColumn("__part", pmod(hash(col(idCol)), lit(Parts)).cast("string"))
 
-  /** Train m×k codebooks on `corpus`, encode it, commit both tables.
-    * One extra bounded count job records the drift denominator. */
+  /** Train m×k codebooks on `corpus`, encode it, commit both tables
+    * ATOMICALLY ([[graft.ops.ManifestTxn]] — codes without their
+    * codebooks are undecodable; do not call inside an outer
+    * transaction). One extra bounded count job records the drift
+    * denominator. */
   def trainCommit(spark: SparkSession, base: String, corpus: DataFrame,
                   m: Int = 8, k: Int = 16, iters: Int = 3,
                   idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val nTrained = corpus.count()
     val books = Pq.train(corpus, m, k, iters, idCol, vecCol)
-    ManifestTable.merge(spark, codebooksPath(base), books,
-      keys = Seq("sub_id", "code_id"), partitionCol = "sub_id",
-      props = Map(MProp -> m.toString, KProp -> k.toString,
-        TrainedRowsProp -> nTrained.toString))
-    // statsColumns => per-partition rowcounts => needsRetrain's count
-    // stays metadata-only forever.
-    ManifestTable.merge(spark, codesPath(base),
-      withPart(Pq.encode(corpus, books, m, idCol, vecCol), idCol),
-      keys = Seq(idCol), partitionCol = "__part", statsColumns = Seq(idCol))
+    graft.ops.ManifestTxn.run(spark, s"$base/_txn") {
+      ManifestTable.merge(spark, codebooksPath(base), books,
+        keys = Seq("sub_id", "code_id"), partitionCol = "sub_id",
+        props = Map(MProp -> m.toString, KProp -> k.toString,
+          TrainedRowsProp -> nTrained.toString))
+      // statsColumns => per-partition rowcounts => needsRetrain's count
+      // stays metadata-only forever.
+      ManifestTable.merge(spark, codesPath(base),
+        withPart(Pq.encode(corpus, books, m, idCol, vecCol), idCol),
+        keys = Seq(idCol), partitionCol = "__part", statsColumns = Seq(idCol))
+    }
   }
 
   /** Evidence an [[appendBatch]] returns: rows encoded (== the batch;
