@@ -38,9 +38,8 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   *     DV/appendix (merge-on-read delete/update) raises rather than
   *     silently emitting wrong rows; dirs are immutable, so the
   *     entry-identity comparison is a complete change detector. This
-  *     mirrors Delta's default (fail on non-append) — tables taking
-  *     updates stream through `mode=cdf` instead.
-  *     Tables taking updates stream through `mode=cdf` or, when only
+  *     mirrors Delta's default (fail on non-append). Tables taking
+  *     updates stream through `mode=cdf` or, when only
   *     the appends matter, `skipChangeCommits=true` (Delta's option:
   *     change commits skip WHOLESALE, append commits still emit — a
   *     per-commit walk, so every version in the window must be
@@ -263,9 +262,11 @@ private[ops] class ManifestStreamSource(spark: SparkSession, path: String,
     val fresh = (idE.keySet -- idS.keySet).toSeq.sorted
     val dvFresh = fresh.filter(k => idE(k).contains('|'))
     val recycled = { // a "new" entry referencing a dir the start version
-      // already exposed (restore/clone) re-emits already-streamed rows
-      val dirsS = idS.valuesIterator.map(v => dirOf(v)).toSet
-      fresh.filter(k => dirsS.contains(dirOf(idE(k))))
+      // already exposed (restore/clone) re-emits already-streamed rows.
+      // Identities are dir + optional |dv/|aux suffixes — strip at '|'
+      // so a DV-qualified start identity still matches its bare dir.
+      val dirsS = idS.valuesIterator.map(_.takeWhile(_ != '|')).toSet
+      fresh.filter(k => dirsS.contains(idE(k).takeWhile(_ != '|')))
     }
     if (removed.nonEmpty || mutated.nonEmpty || dvFresh.nonEmpty || recycled.nonEmpty)
       Left(s"removed=${removed.take(3).mkString(",")} mutated=${mutated.take(3)
