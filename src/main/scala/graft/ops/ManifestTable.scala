@@ -147,6 +147,54 @@ object ManifestTable {
       }
       rdr.parquet(dirs.map(d => s"$path/$d"): _*)
     }
+    // Catalyst-integrated data skipping: the scan is the same
+    // HadoopFsRelation + ParquetFileFormat `spark.read.parquet`
+    // builds, but over a [[GraftFileIndex]] that answers `listFiles`
+    // from the manifest's per-dir zone maps / blooms — so a plain
+    // `.where(col > x)` on the returned frame prunes whole dirs at
+    // physical planning, with no explicit readSkipping call. The
+    // legacy schemaless branch keeps the inferring reader.
+    def listParquet(relDir: String): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(new Path(s"$path/$relDir")).toSeq.filter { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+    // Manifest stats/bloom items are keyed by CURRENT column names
+    // (rekeyItems at commit, renameColumn rewrites in place); the
+    // scan's pushed dataFilters reference PHYSICAL attribute names —
+    // re-key the metadata to match.
+    def toPhys(m: GraftFileIndex.EntryMeta): GraftFileIndex.EntryMeta =
+      if (colmap.isEmpty) m
+      else m.copy(stats = m.stats.map { case (k, v) => physOf(k) -> v },
+        blooms = m.blooms.map { case (k, v) => physOf(k) -> v })
+    def metasOf(entries: Seq[(String, String)]): Seq[GraftFileIndex.DirMeta] = {
+      val main = entries.groupBy(e => dirOf(e._2)).toSeq.sortBy(_._1).map {
+        case (d, es) =>
+          GraftFileIndex.DirMeta(d, listParquet(d), es.map(e => toPhys(entryMetaOf(e._2))))
+      }
+      val aux = entries.flatMap(e => auxRefsOf(e._2).map(_._2)).distinct.map { d =>
+        GraftFileIndex.DirMeta(d, listParquet(d),
+          Seq(GraftFileIndex.EntryMeta(Map.empty, Map.empty, prunable = false)))
+      }
+      main ++ aux
+    }
+    def rdIndexed(entries: Seq[(String, String)]): DataFrame = schema match {
+      case Some(s) =>
+        val phys =
+          if (colmap.isEmpty) s
+          else org.apache.spark.sql.types.StructType(
+            s.fields.map(f => f.copy(name = physOf(f.name))))
+        val idx = new GraftFileIndex(new Path(path), metasOf(entries))
+        val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+          idx, org.apache.spark.sql.types.StructType(Nil), phys, None,
+          new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
+          Map.empty[String, String])(cs)
+        cs.baseRelationToDataFrame(rel)
+      case None =>
+        rd((entries.map(e => dirOf(e._2)) ++
+          entries.flatMap(e => auxRefsOf(e._2).map(_._2))).distinct)
+    }
     // The physical row address: (last-3-segment file key, row index in
     // file). The file key `batch-<uuid>/__pdir=<v>/part-…` is unique
     // within a table (UUID dirs), and file NAME alone would not be —
@@ -186,15 +234,15 @@ object ManifestTable {
     val (shared, exclusive) = selected.partition(e => isSharedDir(dirOf(e._2)))
     val exDvRefs = exclusive.flatMap(e => dvRefOf(e._2).map(_._2))
     // Merge-on-read UPDATE appendices ride into the same scan: an
-    // entry's `__aux` dirs hold rows of ITS partition only, so they
-    // join the dir list of whichever branch reads the entry (and the
-    // shared branch's partition-value row filter passes them). The DV
-    // anti-join runs AFTER the union, so positions recorded against
-    // aux files (a second update superseding a first) resolve too.
-    val exAuxDirs = exclusive.flatMap(e => auxRefsOf(e._2).map(_._2))
+    // entry's `__aux` dirs hold rows of ITS partition only, so
+    // [[metasOf]] adds them (unprunable) to the dir list of whichever
+    // branch reads the entry (and the shared branch's partition-value
+    // row filter passes them). The DV anti-join runs AFTER the union,
+    // so positions recorded against aux files (a second update
+    // superseding a first) resolve too.
     val exFrame =
       if (exclusive.isEmpty) Nil
-      else Seq(finish(rd((exclusive.map(e => dirOf(e._2)) ++ exAuxDirs).distinct),
+      else Seq(finish(rdIndexed(exclusive),
         exDvRefs, needMeta = withPos || exDvRefs.nonEmpty))
     if (shared.isEmpty) exFrame.head
     else {
@@ -205,8 +253,7 @@ object ManifestTable {
       val sharedFrames = shared.groupBy(e => dirOf(e._2)).toSeq.sortBy(_._1)
         .map { case (d, es) =>
           val refs = es.flatMap(e => dvRefOf(e._2).map(_._2))
-          val aux = es.flatMap(e => auxRefsOf(e._2).map(_._2)).distinct
-          finish(rd(d +: aux).filter(col(pcol).cast("string")
+          finish(rdIndexed(es).filter(col(pcol).cast("string")
             .isInCollection(es.map(_._1))), refs,
             needMeta = withPos || refs.nonEmpty)
         }
@@ -730,6 +777,25 @@ object ManifestTable {
       }
     }.toMap
 
+  /** An entry's skipping metadata for [[GraftFileIndex]]: numeric
+    * zone-map bounds and bloom payloads split out of the stats string,
+    * with aux-carrying entries marked unprunable (an update appendix
+    * may hold values outside the recorded bounds — the rule
+    * [[readSkipping]]/[[readSkippingEquals]] already apply). */
+  private[ops] def entryMetaOf(entryValue: String): GraftFileIndex.EntryMeta = {
+    val items = statsOf(entryValue).map(_.split(';').toSeq).getOrElse(Nil)
+    val blooms = items.iterator.filter(_.contains(s"$BloomTag=")).map { item =>
+      val i = item.indexOf(s"$BloomTag=")
+      item.substring(0, i) -> item.substring(i + BloomTag.length + 1)
+    }.toMap
+    val stats = items.iterator.filterNot(_.contains(s"$BloomTag="))
+      .mkString(";") match {
+        case "" => Map.empty[String, (BigDecimal, BigDecimal)]
+        case s => decodeStats(s)
+      }
+    GraftFileIndex.EntryMeta(stats, blooms, prunable = auxRefsOf(entryValue).isEmpty)
+  }
+
   /** Merge footer min/max for `cols` across every parquet file of
     * `absDir`. A column is recorded only if EVERY file has usable
     * stats for it under a supported physical type — anything less and
@@ -1040,7 +1106,7 @@ object ManifestTable {
   }
 
   /** Decode a `k:mBits:<hex>` bloom payload and test membership. */
-  private def bloomContains(payload: String, value: String): Boolean =
+  private[ops] def bloomContains(payload: String, value: String): Boolean =
     payload.split(':') match {
       case Array(kS, mS, hex) =>
         val (k, m) = (kS.toInt, mS.toInt)

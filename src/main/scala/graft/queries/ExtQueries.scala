@@ -9605,6 +9605,76 @@ object ExtQueries {
       |FROM fin GROUP BY day ORDER BY day""".stripMargin
 
   // ----------------------------------------------------------------
+  // q193_auto_skipping — CATALYST-INTEGRATED AUTOMATIC DATA SKIPPING
+  // (GraftFileIndex): a PLAIN `ManifestTable.read(path).where(…)` —
+  // no readSkipping call — must prune whole data dirs at physical
+  // planning time, through FileSourceStrategy's own dataFilters over
+  // a manifest-backed FileIndex (the Delta TahoeFileIndex
+  // architecture). The evidence is read off the executed scan's
+  // index instance and pinned next to the SQL-recomputed aggregate:
+  //   - dirs_kept == days whose footer max(value) reaches the
+  //     predicate (footer stats are exact, so SQL recomputes it);
+  //   - dirs_total == the day count;
+  //   - miss_kept == 0: an equality probe on a key outside every
+  //     committed zone map plans a scan of ZERO files (and still
+  //     returns a schema'd empty frame);
+  //   - the per-day aggregate over the pruned scan == a plain SQL
+  //     filter (planning-time pruning is lossless).
+  // ----------------------------------------------------------------
+  def q193AutoSkipping(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:q193_auto_skipping") {
+      q193AutoSkippingBuild(spark, dir)
+    }
+
+  private def q193AutoSkippingBuild(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{GraftFileIndex, ManifestTable}
+    val lo = 340.0
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), date_trunc("day", col("ts")).as("day"), col("value"))
+    val path = java.nio.file.Files.createTempDirectory("graft_q193_").toString + "/table"
+    ManifestTable.merge(spark, path, ev,
+      keys = Seq("event_id"), partitionCol = "day",
+      statsColumns = Seq("value", "event_id"), bloomColumns = Seq("event_id"))
+    // run the frame, then read (kept, total) off the scan's index —
+    // the HadoopFsRelation is shared between sparkPlan and the
+    // executed plan, so this is the instance listFiles updated
+    def evidence(df: DataFrame): (Long, Long) = {
+      df.collect()
+      val prunes = df.queryExecution.sparkPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s.relation.location
+      }.collect { case g: GraftFileIndex => g.lastPrune }.flatten
+      require(prunes.nonEmpty, "q193: no GraftFileIndex saw a filtered listFiles")
+      (prunes.map(_._1).sum, prunes.map(_._2).sum)
+    }
+    val hi = ManifestTable.read(spark, path).where(col("value") >= lit(lo))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_hi"),
+        sum(floor(col("value") * lit(1e3)).cast("long")).as("sum_hi_e3"))
+    val (kept, total) = evidence(hi)
+    val (missKept, _) = evidence(
+      ManifestTable.read(spark, path).where(col("event_id") === lit(-1L)))
+    hi.withColumn("dirs_kept", lit(kept))
+      .withColumn("dirs_total", lit(total))
+      .withColumn("miss_kept", lit(missKept))
+      .orderBy(col("day"))
+  }
+
+  val q193AutoSkippingSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, date_trunc('day', ts) AS day, value FROM events),
+      |dstat AS (SELECT day, max(value) AS mx FROM ev GROUP BY day),
+      |hi AS (
+      |  SELECT day, CAST(count(*) AS BIGINT) AS n_hi,
+      |         CAST(sum(CAST(floor(value * 1e3) AS BIGINT)) AS BIGINT) AS sum_hi_e3
+      |  FROM ev WHERE value >= 340.0 GROUP BY day)
+      |SELECT day, n_hi, sum_hi_e3,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM dstat WHERE mx >= 340.0) AS dirs_kept,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM dstat) AS dirs_total,
+      |  CAST(0 AS BIGINT) AS miss_kept
+      |FROM hi ORDER BY day""".stripMargin
+
+  // ----------------------------------------------------------------
   // q186_gdpr_lifecycle — THE FULL SUBJECT-RIGHTS LIFECYCLE, composed:
   // one 30-day events manifest (blooms on event_id) takes, in order,
   //   1. ERASURE (Art. 17): deleteByKeysMoR of the % 211 = 5 subjects
