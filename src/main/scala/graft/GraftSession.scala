@@ -25,6 +25,13 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Write timestamps as INT64 micros, not legacy INT96: INT96
+      // carries NO footer min/max stats (deprecated in parquet), so
+      // every time-range zone map — the single most useful skipping
+      // dimension at 100 TB — would be unrecordable; micros is also
+      // what Delta/Iceberg/Trino interop expects. Readers handle both
+      // layouts, so pre-existing INT96 dirs keep reading fine.
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
 
   /** Standard main-entry session (Verify/Bench/EntrySmoke). */

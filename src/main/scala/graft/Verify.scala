@@ -15,8 +15,21 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir) // gates build/write their internal
+        // tables HERE, under the session default (INT64 micros — the
+        // stats-capable layout the skipping gates rely on)
+        // The RESULT dump is the one write the driver's comparator
+        // reads back with naive-timestamp tooling (pandas/DuckDB):
+        // INT64-micros timestamps are tagged isAdjustedToUTC=true and
+        // surface tz-AWARE there, hash-mismatching every oracle's
+        // naive timestamp. Dump results as INT96 (naive, what rounds
+        // 1-13 shipped); internal tables keep micros.
+        spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+        try df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        finally spark.conf.set("spark.sql.parquet.outputTimestampType",
+          "TIMESTAMP_MICROS")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

@@ -181,6 +181,8 @@ object Graph {
       .unionByName(e.select(col("__dst").as("node"))).distinct()
       .localCheckpoint()
     val nNodes = nodes.count()
+    require(nNodes > 0, "pageRankE9Converged: edge frame is empty — no nodes to " +
+      "rank (the delta aggregate over zero rows would be null)")
     val bound = tolPerNodeE9 * nNodes
     val baseE9 = (100 - dampingE2).toLong * 10000000L
 

@@ -46,12 +46,20 @@ import org.apache.spark.sql.types._
   */
 object GraftFileIndex {
 
-  /** Skipping metadata of ONE manifest entry: numeric zone-map bounds
-    * and bloom payloads under PHYSICAL column names, plus whether the
-    * entry may be pruned at all (false for aux-carrying entries). */
+  /** Skipping metadata of ONE manifest entry: numeric and string
+    * zone-map bounds, per-column null counts, the entry's row count,
+    * and bloom payloads — all under PHYSICAL column names — plus
+    * whether the entry may be pruned at all (false for aux-carrying
+    * entries). String bounds are recorded only when pure ASCII
+    * (where UTF-8 byte order, the parquet footer's comparator, agrees
+    * with Java string order); null counts only when every footer sets
+    * them. */
   final case class EntryMeta(stats: Map[String, (BigDecimal, BigDecimal)],
                              blooms: Map[String, String],
-                             prunable: Boolean)
+                             prunable: Boolean,
+                             strStats: Map[String, (String, String)] = Map.empty,
+                             nullCounts: Map[String, Long] = Map.empty,
+                             rowCount: Option[Long] = None)
 
   /** One data dir with the entries that reference it (several after
     * compaction folds partitions into a shared dir). */
@@ -72,6 +80,8 @@ object GraftFileIndex {
       case DoubleType =>
         val d = l.value.asInstanceOf[Double]
         if (java.lang.Double.isFinite(d)) Some(BigDecimal(d)) else None
+      case _: DecimalType => // money columns: the crypto tables' natural type
+        Some(l.value.asInstanceOf[org.apache.spark.sql.types.Decimal].toBigDecimal)
       case _ => None
     }
 
@@ -85,6 +95,49 @@ object GraftFileIndex {
         Some(l.value.toString)
       case _ => None
     }
+
+  /** A string literal eligible for string zone-map comparison: pure
+    * ASCII, where UTF-8 byte order (the footer comparator the
+    * committed bounds were recorded under) and Java string order
+    * agree. Non-ASCII answers None → no pruning (conservative). */
+  private[ops] def asciiOf(l: Literal): Option[String] =
+    if (l.value == null || l.dataType != StringType) None
+    else {
+      val s = l.value.toString
+      if (s.forall(c => c >= 0x20 && c < 0x7f)) Some(s) else None
+    }
+
+  /** Unwraps `CAST(ts AS DATE)` — the Catalyst form of
+    * `to_date(tsCol)` and the single most common time filter a user
+    * writes (`to_date(day) = DATE '…'`). The cast is MONOTONE
+    * non-injective: date D covers the timestamp range
+    * `[D 00:00, D+1 00:00)` in the cast's session zone, so every
+    * comparison against a date literal translates to a range check on
+    * the column's committed micros bounds. Yields the attribute and
+    * the zone id the cast resolved. */
+  private[ops] object TsAsDate {
+    def unapply(e: Expression): Option[(AttributeReference, String)] = e match {
+      case c @ Cast(a: AttributeReference, DateType, _, _)
+          if a.dataType == TimestampType =>
+        Some((a, c.timeZoneId.getOrElse("UTC")))
+      case _ => None
+    }
+  }
+
+  /** `[lo, hi)` in epoch MICROS of date-literal `days` in `zone` —
+    * the timestamp window `CAST(ts AS DATE) = days` selects. */
+  private[ops] def dayMicros(days: Int, zone: String): (Long, Long) = {
+    val z = java.time.ZoneId.of(zone)
+    val d = java.time.LocalDate.ofEpochDay(days.toLong)
+    def micros(i: java.time.Instant): Long =
+      Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L), i.getNano / 1000L)
+    (micros(d.atStartOfDay(z).toInstant),
+     micros(d.plusDays(1).atStartOfDay(z).toInstant))
+  }
+
+  private[ops] def daysOf(l: Literal): Option[Int] =
+    if (l.value == null || l.dataType != DateType) None
+    else Some(l.value.asInstanceOf[Int])
 }
 
 final class GraftFileIndex(tableRoot: Path,
@@ -101,8 +154,11 @@ final class GraftFileIndex(tableRoot: Path,
   override def refresh(): Unit = ()
   override lazy val sizeInBytes: Long =
     dirs.iterator.flatMap(_.files).map(_.getLen).sum
+  // Percent-escaped URIs, matching Spark's PartitioningAwareFileIndex
+  // contract (callers do `new java.net.URI(inputFiles.head)`; raw
+  // Path.toString breaks on partition values carrying spaces/colons).
   override def inputFiles: Array[String] =
-    dirs.flatMap(_.files.map(_.getPath.toString)).toArray
+    dirs.flatMap(_.files.map(_.getPath.toUri.toString)).toArray
 
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
@@ -117,7 +173,12 @@ final class GraftFileIndex(tableRoot: Path,
 
   /** True only when NO row of `en`'s dir can satisfy `e` — unknown
     * shapes answer false (keep). `excludes(And(l,r))` may exclude on
-    * either side; `Or` needs both. */
+    * either side; `Or` needs both. Comparison cases prune from
+    * numeric OR string zone maps ([[cmps]]); `IS NULL` prunes dirs
+    * whose committed null count is zero, `IS NOT NULL` all-null dirs;
+    * `CAST(ts AS DATE)` comparisons ([[TsAsDate]] — `to_date(day)`,
+    * the most common time filter) translate to micros-range checks
+    * against the timestamp column's own bounds. */
   private def excludes(e: Expression, en: EntryMeta): Boolean = e match {
     case And(l, r) => excludes(l, en) || excludes(r, en)
     case Or(l, r) => excludes(l, en) && excludes(r, en)
@@ -128,25 +189,53 @@ final class GraftFileIndex(tableRoot: Path,
     case EqualNullSafe(l: Literal, a: AttributeReference) if l.value != null =>
       exclEq(a.name, l, en)
     case GreaterThan(a: AttributeReference, l: Literal) =>
-      bounds(a.name, l, en).exists { case (_, mx, v) => mx <= v }
+      cmps(a.name, l, en).exists(_._2 <= 0) // mx <= v
     case GreaterThan(l: Literal, a: AttributeReference) => // v > col ⇔ col < v
-      bounds(a.name, l, en).exists { case (mn, _, v) => mn >= v }
+      cmps(a.name, l, en).exists(_._1 >= 0) // mn >= v
     case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
-      bounds(a.name, l, en).exists { case (_, mx, v) => mx < v }
+      cmps(a.name, l, en).exists(_._2 < 0) // mx < v
     case GreaterThanOrEqual(l: Literal, a: AttributeReference) =>
-      bounds(a.name, l, en).exists { case (mn, _, v) => mn > v }
+      cmps(a.name, l, en).exists(_._1 > 0) // mn > v
     case LessThan(a: AttributeReference, l: Literal) =>
-      bounds(a.name, l, en).exists { case (mn, _, v) => mn >= v }
+      cmps(a.name, l, en).exists(_._1 >= 0)
     case LessThan(l: Literal, a: AttributeReference) =>
-      bounds(a.name, l, en).exists { case (_, mx, v) => mx <= v }
+      cmps(a.name, l, en).exists(_._2 <= 0)
     case LessThanOrEqual(a: AttributeReference, l: Literal) =>
-      bounds(a.name, l, en).exists { case (mn, _, v) => mn > v }
+      cmps(a.name, l, en).exists(_._1 > 0)
     case LessThanOrEqual(l: Literal, a: AttributeReference) =>
-      bounds(a.name, l, en).exists { case (_, mx, v) => mx < v }
+      cmps(a.name, l, en).exists(_._2 < 0)
     case In(a: AttributeReference, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
       vs.forall(v => exclEq(a.name, v.asInstanceOf[Literal], en))
     case InSet(a: AttributeReference, hset) if hset.nonEmpty =>
       hset.forall(v => exclEq(a.name, Literal.create(v, a.dataType), en))
+    case IsNull(a: AttributeReference) =>
+      // a committed null count of ZERO proves no row of the dir is null
+      en.nullCounts.get(a.name).contains(0L)
+    case IsNotNull(a: AttributeReference) =>
+      // every row null (nulls == rowcount) proves no row survives
+      (for { n <- en.nullCounts.get(a.name); r <- en.rowCount } yield n == r)
+        .getOrElse(false)
+    // ---- CAST(ts AS DATE) <op> DATE-literal: range-translate -------
+    case EqualTo(TsAsDate(a, z), l: Literal) => exclDay(a, z, l, en)
+    case EqualTo(l: Literal, TsAsDate(a, z)) => exclDay(a, z, l, en)
+    case GreaterThan(TsAsDate(a, z), l: Literal) => // date(ts) > D ⇔ ts >= hi
+      dayWin(a, z, l, en).exists { case (_, mx, _, hi) => mx < hi }
+    case GreaterThan(l: Literal, TsAsDate(a, z)) => // D > date(ts) ⇔ ts < lo
+      dayWin(a, z, l, en).exists { case (mn, _, lo, _) => mn >= lo }
+    case GreaterThanOrEqual(TsAsDate(a, z), l: Literal) => // ⇔ ts >= lo
+      dayWin(a, z, l, en).exists { case (_, mx, lo, _) => mx < lo }
+    case GreaterThanOrEqual(l: Literal, TsAsDate(a, z)) => // ⇔ ts < hi
+      dayWin(a, z, l, en).exists { case (mn, _, _, hi) => mn >= hi }
+    case LessThan(TsAsDate(a, z), l: Literal) => // ⇔ ts < lo
+      dayWin(a, z, l, en).exists { case (mn, _, lo, _) => mn >= lo }
+    case LessThan(l: Literal, TsAsDate(a, z)) => // ⇔ ts >= hi
+      dayWin(a, z, l, en).exists { case (_, mx, _, hi) => mx < hi }
+    case LessThanOrEqual(TsAsDate(a, z), l: Literal) => // ⇔ ts < hi
+      dayWin(a, z, l, en).exists { case (mn, _, _, hi) => mn >= hi }
+    case LessThanOrEqual(l: Literal, TsAsDate(a, z)) => // ⇔ ts >= lo
+      dayWin(a, z, l, en).exists { case (_, mx, lo, _) => mx < lo }
+    case In(TsAsDate(a, z), vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+      vs.forall(v => exclDay(a, z, v.asInstanceOf[Literal], en))
     case _ => false
   }
 
@@ -154,8 +243,29 @@ final class GraftFileIndex(tableRoot: Path,
                      en: EntryMeta): Option[(BigDecimal, BigDecimal, BigDecimal)] =
     for { (mn, mx) <- en.stats.get(name); v <- numOf(l) } yield (mn, mx, v)
 
+  /** `(compare(min, v), compare(max, v))` in whichever zone-map domain
+    * holds both the column's bounds and the literal — numeric first,
+    * ASCII-string second; None when neither does (keep). */
+  private def cmps(name: String, l: Literal, en: EntryMeta): Option[(Int, Int)] =
+    bounds(name, l, en).map { case (mn, mx, v) => (mn.compare(v), mx.compare(v)) }
+      .orElse(for { (mn, mx) <- en.strStats.get(name); v <- asciiOf(l) }
+        yield (mn.compareTo(v), mx.compareTo(v)))
+
+  /** The entry's micros bounds for `a` plus the `[lo, hi)` micros
+    * window of date-literal `l` in zone `z`. */
+  private def dayWin(a: AttributeReference, z: String, l: Literal,
+                     en: EntryMeta): Option[(BigDecimal, BigDecimal, Long, Long)] =
+    for { (mn, mx) <- en.stats.get(a.name); d <- daysOf(l) } yield {
+      val (lo, hi) = dayMicros(d, z)
+      (mn, mx, lo, hi)
+    }
+
+  private def exclDay(a: AttributeReference, z: String, l: Literal,
+                      en: EntryMeta): Boolean =
+    dayWin(a, z, l, en).exists { case (mn, mx, lo, hi) => mx < lo || mn >= hi }
+
   private def exclEq(name: String, l: Literal, en: EntryMeta): Boolean = {
-    val statsExclude = bounds(name, l, en).exists { case (mn, mx, v) => v < mn || v > mx }
+    val statsExclude = cmps(name, l, en).exists { case (mnC, mxC) => mnC > 0 || mxC < 0 }
     statsExclude || (en.blooms.get(name) match {
       case Some(payload) =>
         strOf(l).exists(s => !ManifestTable.bloomContains(payload, s))

@@ -85,13 +85,20 @@ class ManifestStreamProvider extends StreamSourceProvider with DataSourceRegiste
     val maxV = parameters.get("maxVersionsPerTrigger").map(_.toLong)
     maxV.foreach(m => require(m >= 1,
       s"graft-manifest source: maxVersionsPerTrigger must be >= 1, got $m"))
+    val maxD = parameters.get("maxDirsPerTrigger").map(_.toLong)
+    maxD.foreach(m => require(m >= 1,
+      s"graft-manifest source: maxDirsPerTrigger must be >= 1, got $m"))
     val startV = parameters.get("startingVersion").map(_.toLong)
     val skipChanges = parameters.get("skipChangeCommits").exists(_.toBoolean)
     require(!(skipChanges && cdf),
       "graft-manifest source: skipChangeCommits applies to append mode only — " +
         "cdf mode streams change commits as data, there is nothing to skip")
+    require(maxD.isEmpty || (!cdf && !skipChanges),
+      "graft-manifest source: maxDirsPerTrigger applies to plain append mode " +
+        "only (cdf batches are row-level change windows; skipChangeCommits " +
+        "walks whole commits)")
     new ManifestStreamSource(sqlContext.sparkSession, tablePath(parameters), cdf, keys,
-      maxV, startV, skipChanges)
+      maxV, startV, skipChanges, maxD)
   }
 }
 
@@ -124,11 +131,23 @@ private[ops] object ManifestStream {
   }
 }
 
+/** A mid-version offset: versions `<= version - 1` fully emitted, plus
+  * the first `emitted` entries (key-sorted) of the fresh set of step
+  * `(version-1, version]` — how `maxDirsPerTrigger` splits one giant
+  * commit across triggers (Delta's maxBytesPerTrigger shape at this
+  * format's dir granularity). A FULL version serializes as the plain
+  * [[LongOffset]], so checkpoints stay compatible both ways. */
+private[ops] case class DirBoundOffset(version: Long, emitted: Long)
+    extends OffsetV1 {
+  override def json: String = s"""{"version":$version,"emitted":$emitted}"""
+}
+
 private[ops] class ManifestStreamSource(spark: SparkSession, path: String,
                                         cdf: Boolean, keys: Seq[String],
                                         maxVersionsPerTrigger: Option[Long] = None,
                                         startingVersion: Option[Long] = None,
-                                        skipChangeCommits: Boolean = false)
+                                        skipChangeCommits: Boolean = false,
+                                        maxDirsPerTrigger: Option[Long] = None)
     extends Source {
   import ManifestTable._
 
@@ -137,28 +156,78 @@ private[ops] class ManifestStreamSource(spark: SparkSession, path: String,
 
   override val schema: StructType = ManifestStream.sourceSchema(spark, path, cdf)
 
-  /** ADMISSION-CONTROL floor: the highest version already planned
+  /** ADMISSION-CONTROL floor: the highest position already planned
     * into a batch this run ([[getBatch]]'s end, then [[commit]]).
     * `maxVersionsPerTrigger` caps each batch at floor+max — Delta's
     * maxFilesPerTrigger shape, bounding a catch-up after a long stop
-    * to digestible commits instead of one giant batch. Best-effort by
-    * honest design: the FIRST batch after a restart has no floor yet
-    * (the v1 engine consults getOffset before any getBatch) and runs
-    * uncapped; admission binds from the next batch on. */
-  @volatile private var floorV: Option[Long] = None
+    * to digestible commits instead of one giant batch;
+    * `maxDirsPerTrigger` additionally splits WITHIN one commit
+    * (position = (version, dirs-emitted), [[DirBoundOffset]]).
+    * Best-effort by honest design: the FIRST batch after a restart
+    * has no floor yet (the v1 engine consults getOffset before any
+    * getBatch) and runs uncapped; admission binds from the next batch
+    * on. */
+  @volatile private var floor: Option[(Long, Option[Long])] = None
+
+  private def rank(p: (Long, Option[Long])): (Long, Long) =
+    (p._1, p._2.getOrElse(Long.MaxValue)) // a full version outranks any slice of it
+
+  private def raiseFloor(p: (Long, Option[Long])): Unit = synchronized {
+    if (!floor.exists(f => rank(f)._1 > rank(p)._1 ||
+        (rank(f)._1 == rank(p)._1 && rank(f)._2 >= rank(p)._2))) floor = Some(p)
+  }
 
   override def getOffset: Option[OffsetV1] =
-    latestVersion(fs, path).map { latest =>
-      val capped = (for { m <- maxVersionsPerTrigger; f <- floorV }
-        yield math.min(latest, f + m)).getOrElse(latest)
-      LongOffset(capped)
+    latestVersion(fs, path).flatMap { latest =>
+      (maxDirsPerTrigger, floor) match {
+        case (Some(m), Some((fv, femit))) =>
+          femit match {
+            case Some(k) => // resume inside version fv
+              val n = sortedFresh(fv - 1, fv).size.toLong
+              Some(if (k + m >= n) LongOffset(fv) else DirBoundOffset(fv, k + m))
+            case None if latest > fv => // advance ONE version, sliced
+              stepFresh(fv, fv + 1) match {
+                case Right(fresh) if fresh.size.toLong > m =>
+                  Some(DirBoundOffset(fv + 1, m))
+                case _ => Some(LongOffset(fv + 1)) // small step, or let
+                  // getBatch raise the non-append error with context
+              }
+            case None => Some(LongOffset(fv)) // caught up: no new batch
+          }
+        case _ =>
+          val capped = (for { m <- maxVersionsPerTrigger; (fv, _) <- floor }
+            yield math.min(latest, fv + m)).getOrElse(latest)
+          Some(LongOffset(capped))
+      }
     }
 
-  private def versionOf(o: OffsetV1): Long = o match {
-    case LongOffset(v) => v
-    case so: SerializedOffset => LongOffset(so).offset
-    case other => other.json.trim.toLong
+  private val DirJson = """\{"version":(\d+),"emitted":(\d+)\}""".r
+
+  /** Decode an offset to (version, emitted-slice): None = the version
+    * is fully emitted. */
+  private def posOf(o: OffsetV1): (Long, Option[Long]) = o match {
+    case LongOffset(v) => (v, None)
+    case DirBoundOffset(v, k) => (v, Some(k))
+    case other => other.json.trim match {
+      case DirJson(v, k) => (v.toLong, Some(k.toLong))
+      case s => (s.toLong, None)
+    }
   }
+
+  private def versionOf(o: OffsetV1): Long = posOf(o)._1
+
+  /** The step's fresh entry keys in a DETERMINISTIC order (sorted) —
+    * what [[DirBoundOffset]] slices index into. Raises on a
+    * non-append step, as the uncapped path does. */
+  private def sortedFresh(a: Long, b: Long): Seq[String] =
+    stepFresh(a, b) match {
+      case Left(why) => throw new IllegalStateException(
+        s"graft-manifest source: non-append commit between m$a and m$b ($why) — " +
+          "append mode streams append-only tables; use mode=cdf for tables " +
+          "taking updates/deletes, or skipChangeCommits=true to stream only " +
+          "the append commits")
+      case Right(fresh) => fresh.toSeq.sorted
+    }
 
   /** Null-fill-and-project a batch to the streamed schema (batches
     * read under their OWN committed schema — maybe wider or narrower
@@ -174,32 +243,79 @@ private[ops] class ManifestStreamSource(spark: SparkSession, path: String,
   private def align(df: DataFrame): DataFrame =
     org.apache.spark.sql.graft.StreamingBatchBridge.asStreamingBatch(
       df.select(schema.fields.toSeq.map { f =>
-        if (df.columns.contains(f.name)) col(f.name).cast(f.dataType)
-        else lit(null).cast(f.dataType).as(f.name)
+        if (df.columns.contains(f.name)) {
+          val got = df.schema(f.name).dataType
+          // A widenColumn on the RUNNING stream's table commits a type
+          // WIDER than the pinned field — casting that batch down
+          // (long→int) would emit overflowed garbage for values past
+          // the narrow range. Fail the stream instead (Delta's
+          // behavior on schema change); a restart re-pins the widened
+          // schema. Lossless upcasts (an old narrow dir read under a
+          // widened pinned schema) stay allowed.
+          require(got == f.dataType ||
+            org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(got, f.dataType),
+            s"graft-manifest source: column ${f.name} was widened to " +
+              s"${got.simpleString} while the stream pinned ${f.dataType.simpleString} " +
+              "— restart the stream to pick up the new schema (casting down would " +
+              "silently overflow)")
+          col(f.name).cast(f.dataType)
+        } else lit(null).cast(f.dataType).as(f.name)
       }: _*))
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
-    val endV = versionOf(end)
-    floorV = Some(floorV.fold(endV)(math.max(_, endV)))
+    val (endV, endEmit) = posOf(end)
+    raiseFloor((endV, endEmit))
     require(versions(fs, path).contains(endV),
       s"graft-manifest source: end version m$endV no longer retained under $path — " +
         "the table's retainVersions horizon passed the stream's checkpoint; " +
         "raise retainVersions on the writer")
-    start.map(versionOf).orElse(startingVersion) match {
+    start.map(posOf).orElse(startingVersion.map(v => (v, Option.empty[Long]))) match {
       case None => // initial batch: the full snapshot at endV
+        require(endEmit.isEmpty,
+          "graft-manifest source: the initial snapshot batch is never dir-sliced")
         val snap = readVersion(spark, path, endV)
         align(if (!cdf) snap
         else snap.withColumn("_change_type", lit("insert"))
           .withColumn("_commit_version", lit(endV)))
-      case Some(startV) => // incremental — also the FIRST batch when
-        // the caller pinned `startingVersion` (Delta's option: resume
-        // a consumer from a known version instead of re-snapshotting)
-        if (startV == endV) return align(emptyBatch())
-        require(startV < endV, s"graft-manifest source: offset went backwards " +
-          s"(m$startV > m$endV)")
+      case Some((startV, startEmit)) => // incremental — also the FIRST
+        // batch when the caller pinned `startingVersion` (Delta's
+        // option: resume a consumer from a known version instead of
+        // re-snapshotting)
+        if (startV == endV && startEmit == endEmit) return align(emptyBatch())
+        require(rank((startV, startEmit))._1 < rank((endV, endEmit))._1 ||
+            (startV == endV && rank((startV, startEmit))._2 < rank((endV, endEmit))._2),
+          s"graft-manifest source: offset went backwards " +
+            s"((m$startV,$startEmit) > (m$endV,$endEmit))")
         if (cdf) align(changes(spark, path, keys, startV, endV))
-        else align(appendBatch(startV, endV))
+        else if (startEmit.isEmpty && endEmit.isEmpty)
+          align(appendBatch(startV, endV))
+        else align(slicedBatch(startV, startEmit, endV, endEmit))
     }
+  }
+
+  /** A `maxDirsPerTrigger` slice: the window is always WITHIN one
+    * version's fresh set ([[getOffset]] advances at most one version
+    * when slicing), indexed into the key-sorted order. */
+  private def slicedBatch(startV: Long, startEmit: Option[Long],
+                          endV: Long, endEmit: Option[Long]): DataFrame = {
+    val (sliceV, from) = startEmit match {
+      case Some(k) => // resuming inside startV's fresh set
+        require(endV == startV, s"graft-manifest source: a mid-version offset " +
+          s"(m$startV,$k) must complete its version before advancing (end m$endV)")
+        (startV, k)
+      case None => // starting a new sliced version
+        require(endV == startV + 1, s"graft-manifest source: dir-sliced batches " +
+          s"advance one version at a time (m$startV -> m$endV)")
+        (endV, 0L)
+    }
+    require(versions(fs, path).contains(sliceV - 1),
+      s"graft-manifest source: version m${sliceV - 1} (the slice base) no longer " +
+        s"retained under $path — raise retainVersions on the writer")
+    val fresh = sortedFresh(sliceV - 1, sliceV)
+    val until = endEmit.map(_.toInt).getOrElse(fresh.size)
+    val window = fresh.slice(from.toInt, until)
+    if (window.isEmpty) emptyBatch()
+    else readEntriesOf(spark, path, readManifest(fs, path, sliceV), window.toSet)
   }
 
   private def emptyBatch(): DataFrame =
@@ -209,9 +325,17 @@ private[ops] class ManifestStreamSource(spark: SparkSession, path: String,
     * Entry identities ([[ManifestTable.partitionDirs]]) are
     * DV-qualified, so a merge-on-read delete/update registers as a
     * mutation even though its dir bytes are untouched. Only the two
-    * OFFSET versions' manifests are needed — the identity diff is
-    * change-complete without walking intermediates (dirs are
-    * immutable), which keeps restart viable under tight retention. */
+    * OFFSET versions' manifests are needed — for every SURVIVING
+    * entry the identity diff is change-complete (dirs are immutable),
+    * which keeps restart viable under tight retention. Known
+    * endpoint-diff blindness: an entry added AND removed entirely
+    * WITHIN `(startV, endV]` is invisible to the diff — its transient
+    * delete commit is neither emitted nor flagged. That is the append
+    * semantics this mode promises (emit what the END snapshot added),
+    * not a data bug: no surviving row is missed or duplicated. A
+    * consumer that must SEE every intermediate commit streams with
+    * `skipChangeCommits=true` (per-commit walk) or `mode=cdf`, both
+    * of which require the intermediates retained. */
   private def appendBatch(startV: Long, endV: Long): DataFrame = {
     require(versions(fs, path).contains(startV),
       s"graft-manifest source: checkpointed version m$startV no longer retained " +
@@ -275,9 +399,6 @@ private[ops] class ManifestStreamSource(spark: SparkSession, path: String,
     else Right(fresh.toSet)
   }
 
-  override def commit(end: OffsetV1): Unit = {
-    val v = versionOf(end)
-    floorV = Some(floorV.fold(v)(math.max(_, v)))
-  }
+  override def commit(end: OffsetV1): Unit = raiseFloor(posOf(end))
   override def stop(): Unit = ()
 }

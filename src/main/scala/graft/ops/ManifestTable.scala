@@ -64,6 +64,9 @@ object ManifestTable {
 
   private[ops] val ManifestDir = "_manifests"
   private val DataDir = "data"
+  /** Conventional in-table location for [[ManifestTxn]] journals —
+    * what [[fsck]] scans for crash residue. */
+  private[ops] val TxnDir = "_txn"
   /** Manifest line key carrying the committed table schema (JSON).
     * Reserved — a real partition value can never collide with it
     * because partition values are stringified column values and this
@@ -166,7 +169,9 @@ object ManifestTable {
     def toPhys(m: GraftFileIndex.EntryMeta): GraftFileIndex.EntryMeta =
       if (colmap.isEmpty) m
       else m.copy(stats = m.stats.map { case (k, v) => physOf(k) -> v },
-        blooms = m.blooms.map { case (k, v) => physOf(k) -> v })
+        blooms = m.blooms.map { case (k, v) => physOf(k) -> v },
+        strStats = m.strStats.map { case (k, v) => physOf(k) -> v },
+        nullCounts = m.nullCounts.map { case (k, v) => physOf(k) -> v })
     def metasOf(entries: Seq[(String, String)]): Seq[GraftFileIndex.DirMeta] = {
       val main = entries.groupBy(e => dirOf(e._2)).toSeq.sortBy(_._1).map {
         case (d, es) =>
@@ -366,8 +371,12 @@ object ManifestTable {
     requireBucketAgreement(spark, path, bucketSpec, "merge")
     // Rename support: the batch is written under PHYSICAL names (so
     // all dirs stay uniform forever) and the map is carried forward —
-    // per-commit props semantics would silently drop it.
-    val colmap = renameMapOf(readProps(spark, path))
+    // per-commit props semantics would silently drop it. The same
+    // carry-forward applies to every durable table-state prop (see
+    // DurablePropKeys): tombstones, bucket spec, partition transform,
+    // stream watermark all outlive the commit that wrote them.
+    val prevProps = readProps(spark, path)
+    val colmap = renameMapOf(prevProps)
     require(bucketSpec.isEmpty || colmap.isEmpty,
       "ManifestTable.mergeBucketed: refusing on a table with renamed columns " +
         "(the catalog registration binds columns by name)")
@@ -376,7 +385,7 @@ object ManifestTable {
     require(colliding.isEmpty,
       s"ManifestTable.merge: column(s) ${colliding.mkString(", ")} collide with " +
         "the physical (file) name of a renamed column — pick another name")
-    val effProps =
+    val effProps = durablePropsOf(prevProps) ++
       (if (colmap.isEmpty) Map.empty[String, String]
        else Map(RenameMapProp -> encodeRenameMap(colmap))) ++ props
 
@@ -580,7 +589,7 @@ object ManifestTable {
           }
         }
       commitPlan(fs, plan, t.partitionCol, newEntries, retainVersions, t.statsColumns,
-        t.props)
+        durablePropsOf(readProps(spark, plan.path)) ++ t.props)
     } finally fs.delete(new Path(staging), true)
   }
 
@@ -764,15 +773,35 @@ object ManifestTable {
     if (i < 0) None else Some(entryValue.substring(i + 1))
   }
 
-  /** Decode `col=kind:min:max;…` to per-column numeric bounds. */
+  /** Decode `col=kind:min:max;…` to per-column numeric bounds (kind
+    * `n`; string zone maps — kind `s` — decode via
+    * [[decodeStrStats]]). */
   private[ops] def decodeStats(stats: String): Map[String, (BigDecimal, BigDecimal)] =
     stats.split(';').iterator.filter(_.nonEmpty).flatMap { part =>
       val eq = part.indexOf('=')
       if (eq < 0) None
       else part.substring(eq + 1).split(':') match {
-        case Array(_, mn, mx) =>
+        case Array(k, mn, mx) if k != StrStatKind =>
           try Some(part.substring(0, eq) -> (BigDecimal(mn), BigDecimal(mx)))
           catch { case _: NumberFormatException => None }
+        case _ => None
+      }
+    }.toMap
+
+  /** Decode kind-`s` items (`col=s:<b64min>:<b64max>`) to per-column
+    * ASCII string bounds. */
+  private[ops] def decodeStrStats(stats: String): Map[String, (String, String)] =
+    stats.split(';').iterator.filter(_.nonEmpty).flatMap { part =>
+      val eq = part.indexOf('=')
+      if (eq < 0) None
+      else part.substring(eq + 1).split(':') match {
+        case Array(StrStatKind, mn, mx) =>
+          try {
+            val d = java.util.Base64.getDecoder
+            Some(part.substring(0, eq) ->
+              (new String(d.decode(mn), java.nio.charset.StandardCharsets.UTF_8),
+               new String(d.decode(mx), java.nio.charset.StandardCharsets.UTF_8)))
+          } catch { case _: IllegalArgumentException => None }
         case _ => None
       }
     }.toMap
@@ -788,28 +817,54 @@ object ManifestTable {
       val i = item.indexOf(s"$BloomTag=")
       item.substring(0, i) -> item.substring(i + BloomTag.length + 1)
     }.toMap
-    val stats = items.iterator.filterNot(_.contains(s"$BloomTag="))
-      .mkString(";") match {
-        case "" => Map.empty[String, (BigDecimal, BigDecimal)]
-        case s => decodeStats(s)
-      }
-    GraftFileIndex.EntryMeta(stats, blooms, prunable = auxRefsOf(entryValue).isEmpty)
+    val nulls = items.iterator.filter(_.contains(s"$NullsTag=")).flatMap { item =>
+      val i = item.indexOf(s"$NullsTag=")
+      try Some(item.substring(0, i) -> item.substring(i + NullsTag.length + 1).toLong)
+      catch { case _: NumberFormatException => None }
+    }.toMap
+    val rows = items.collectFirst {
+      case it if it.startsWith(s"$RowCountKey=") =>
+        it.substring(RowCountKey.length + 1).toLong
+    }
+    val zoneItems = items.iterator
+      .filterNot(it => it.contains(s"$BloomTag=") || it.contains(s"$NullsTag="))
+      .mkString(";")
+    val (stats, strStats) = zoneItems match {
+      case "" => (Map.empty[String, (BigDecimal, BigDecimal)],
+        Map.empty[String, (String, String)])
+      case s => (decodeStats(s), decodeStrStats(s))
+    }
+    GraftFileIndex.EntryMeta(stats, blooms,
+      prunable = auxRefsOf(entryValue).isEmpty,
+      strStats = strStats, nullCounts = nulls, rowCount = rows)
   }
 
-  /** Merge footer min/max for `cols` across every parquet file of
-    * `absDir`. A column is recorded only if EVERY file has usable
-    * stats for it under a supported physical type — anything less and
-    * skipping on it could drop rows. */
+  /** Merge footer min/max AND null counts for `cols` across every
+    * parquet file of `absDir`. A zone map is recorded only if EVERY
+    * file has usable stats for it under a supported physical type —
+    * anything less and skipping on it could drop rows. Numeric
+    * columns (ints, floats, dates, micros timestamps) record kind-`n`
+    * bounds; STRING columns record kind-`s` bounds when both footer
+    * bounds are pure printable ASCII (where the footer's UTF-8 byte
+    * order agrees with Java string order — non-ASCII bounds are
+    * skipped rather than risking an order mismatch; truncated footer
+    * bounds are already supersets, so they stay exclusion-safe). Null
+    * counts (`col!nulls=<n>`) record independently of the zone map —
+    * an all-null file has no min/max but a perfectly good null count
+    * — and power `IS [NOT] NULL` dir pruning. */
   private def collectStats(fs: FileSystem, absDir: String,
                            cols: Seq[String]): Option[String] = {
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     val files = fs.listStatus(new Path(absDir))
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
     if (files.isEmpty) return None
-    // col -> (kind, min, max); None value = poisoned (unsupported or
-    // a file without stats)
-    val acc = scala.collection.mutable.Map.empty[String, Option[(String, BigDecimal, BigDecimal)]]
+    // per col: zone accumulator (Left = numeric, Right = string) and
+    // null-count accumulator; None value = poisoned
+    type Zone = Either[(BigDecimal, BigDecimal), (String, String)]
+    val acc = scala.collection.mutable.Map.empty[String, Option[Zone]]
+    val nulls = scala.collection.mutable.Map.empty[String, Option[Long]]
     var totalRows = 0L // footer block row counts — free while we're here
+    def ascii(s: String): Boolean = s.forall(c => c >= 0x20 && c < 0x7f)
     files.foreach { f =>
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, fs.getConf))
@@ -817,58 +872,127 @@ object ManifestTable {
         val blocks = reader.getFooter.getBlocks
         blocks.forEach(b => totalRows += b.getRowCount)
         cols.foreach { c =>
-          if (!acc.get(c).contains(None)) {
-            var fileMin: BigDecimal = null
-            var fileMax: BigDecimal = null
-            var ok = true
-            blocks.forEach { b =>
-              b.getColumns.forEach { cc =>
-                if (cc.getPath.toDotString == c) {
-                  val pt = cc.getPrimitiveType
-                  val logical = pt.getLogicalTypeAnnotation
-                  val decimalOrOther = logical != null &&
-                    !logical.isInstanceOf[org.apache.parquet.schema
-                      .LogicalTypeAnnotation.TimestampLogicalTypeAnnotation] &&
-                    !logical.isInstanceOf[org.apache.parquet.schema
-                      .LogicalTypeAnnotation.IntLogicalTypeAnnotation] &&
-                    !logical.isInstanceOf[org.apache.parquet.schema
-                      .LogicalTypeAnnotation.DateLogicalTypeAnnotation]
-                  val st = cc.getStatistics
-                  if (decimalOrOther || st == null || !st.hasNonNullValue ||
-                      !Seq(INT32, INT64, FLOAT, DOUBLE).contains(pt.getPrimitiveTypeName))
-                    ok = false
-                  else {
-                    val (mn, mx) = (st.genericGetMin, st.genericGetMax) match {
+          var fileZone: Option[Zone] = None
+          var zoneOk = true
+          var fileNulls = 0L
+          var nullsOk = true
+          var seen = false
+          blocks.forEach { b =>
+            b.getColumns.forEach { cc =>
+              if (cc.getPath.toDotString == c) {
+                seen = true
+                val pt = cc.getPrimitiveType
+                val logical = pt.getLogicalTypeAnnotation
+                val isString = logical.isInstanceOf[org.apache.parquet.schema
+                  .LogicalTypeAnnotation.StringLogicalTypeAnnotation] &&
+                  pt.getPrimitiveTypeName == BINARY
+                val numericLogical = logical == null ||
+                  logical.isInstanceOf[org.apache.parquet.schema
+                    .LogicalTypeAnnotation.TimestampLogicalTypeAnnotation] ||
+                  logical.isInstanceOf[org.apache.parquet.schema
+                    .LogicalTypeAnnotation.IntLogicalTypeAnnotation] ||
+                  logical.isInstanceOf[org.apache.parquet.schema
+                    .LogicalTypeAnnotation.DateLogicalTypeAnnotation]
+                // decimal(≤18) stores as INT32/INT64 of the UNSCALED
+                // value — recordable once re-scaled (money columns)
+                val decScale = logical match {
+                  case d: org.apache.parquet.schema
+                    .LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+                    Some(d.getScale)
+                  case _ => None
+                }
+                val st = cc.getStatistics
+                if (st == null) { zoneOk = false; nullsOk = false }
+                else {
+                  if (st.isNumNullsSet) fileNulls += st.getNumNulls
+                  else nullsOk = false
+                  if (!st.hasNonNullValue) zoneOk = false
+                  else if (isString) {
+                    (st.genericGetMin, st.genericGetMax) match {
+                      case (a: org.apache.parquet.io.api.Binary,
+                            b: org.apache.parquet.io.api.Binary) =>
+                        val (mn, mx) = (a.toStringUsingUTF8, b.toStringUsingUTF8)
+                        if (!ascii(mn) || !ascii(mx)) zoneOk = false
+                        else fileZone = fileZone match {
+                          case Some(Right((m0, m1))) => Some(Right(
+                            (if (mn < m0) mn else m0, if (mx > m1) mx else m1)))
+                          case Some(Left(_)) => zoneOk = false; None
+                          case _ => Some(Right((mn, mx)))
+                        }
+                      case _ => zoneOk = false
+                    }
+                  } else if ((numericLogical || decScale.isDefined) &&
+                      Seq(INT32, INT64, FLOAT, DOUBLE).contains(pt.getPrimitiveTypeName)) {
+                    val parsed0 = (st.genericGetMin, st.genericGetMax) match {
                       case (a: java.lang.Integer, b: java.lang.Integer) =>
-                        (BigDecimal(a.intValue), BigDecimal(b.intValue))
+                        Some((BigDecimal(a.intValue), BigDecimal(b.intValue)))
                       case (a: java.lang.Long, b: java.lang.Long) =>
-                        (BigDecimal(a.longValue), BigDecimal(b.longValue))
+                        Some((BigDecimal(a.longValue), BigDecimal(b.longValue)))
                       case (a: java.lang.Float, b: java.lang.Float) =>
-                        (BigDecimal(a.floatValue.toDouble), BigDecimal(b.floatValue.toDouble))
+                        Some((BigDecimal(a.floatValue.toDouble),
+                          BigDecimal(b.floatValue.toDouble)))
                       case (a: java.lang.Double, b: java.lang.Double) =>
-                        (BigDecimal(a.doubleValue), BigDecimal(b.doubleValue))
-                      case _ => ok = false; (BigDecimal(0), BigDecimal(0))
+                        Some((BigDecimal(a.doubleValue), BigDecimal(b.doubleValue)))
+                      case _ => None
                     }
-                    if (ok) {
-                      if (fileMin == null || mn < fileMin) fileMin = mn
-                      if (fileMax == null || mx > fileMax) fileMax = mx
+                    val parsed = decScale match {
+                      case Some(s) => parsed0.map { case (mn, mx) =>
+                        (BigDecimal(mn.toBigIntExact.get, s),
+                         BigDecimal(mx.toBigIntExact.get, s)) }
+                      case None => parsed0
                     }
-                  }
+                    parsed match {
+                      case Some((mn, mx)) => fileZone = fileZone match {
+                        case Some(Left((m0, m1))) =>
+                          Some(Left((m0.min(mn), m1.max(mx))))
+                        case Some(Right(_)) => zoneOk = false; None
+                        case _ => Some(Left((mn, mx)))
+                      }
+                      case None => zoneOk = false
+                    }
+                  } else zoneOk = false
                 }
               }
             }
-            if (!ok || fileMin == null) acc(c) = None
-            else acc.updateWith(c) {
-              case Some(Some((k, m0, m1))) => Some(Some((k, m0.min(fileMin), m1.max(fileMax))))
-              case Some(None) => Some(None)
-              case None => Some(Some(("n", fileMin, fileMax)))
+          }
+          // a file NOT storing the column at all (additive evolution:
+          // written before the column existed) reads as all-null rows
+          // — null counts stay honest only by poisoning
+          if (!seen) { zoneOk = false; nullsOk = false }
+          if (!zoneOk || fileZone.isEmpty) acc(c) = None
+          else acc.updateWith(c) {
+            case Some(Some(Left((m0, m1)))) => fileZone match {
+              case Some(Left((mn, mx))) => Some(Some(Left((m0.min(mn), m1.max(mx)))))
+              case _ => Some(None)
             }
+            case Some(Some(Right((m0, m1)))) => fileZone match {
+              case Some(Right((mn, mx))) => Some(Some(Right(
+                (if (mn < m0) mn else m0, if (mx > m1) mx else m1))))
+              case _ => Some(None)
+            }
+            case Some(None) => Some(None)
+            case None => Some(fileZone)
+          }
+          if (!nullsOk) nulls(c) = None
+          else nulls.updateWith(c) {
+            case Some(Some(n)) => Some(Some(n + fileNulls))
+            case Some(None) => Some(None)
+            case None => Some(Some(fileNulls))
           }
         }
       } finally reader.close()
     }
-    val recorded = cols.flatMap(c => acc.get(c).flatten.map { case (k, mn, mx) =>
-      s"$c=$k:${mn.bigDecimal.toPlainString}:${mx.bigDecimal.toPlainString}" }) :+
+    val b64 = java.util.Base64.getEncoder
+    val zoneItems = cols.flatMap(c => acc.get(c).flatten.map {
+      case Left((mn, mx)) =>
+        s"$c=n:${mn.bigDecimal.toPlainString}:${mx.bigDecimal.toPlainString}"
+      case Right((mn, mx)) =>
+        val cs = java.nio.charset.StandardCharsets.UTF_8
+        s"$c=$StrStatKind:${b64.encodeToString(mn.getBytes(cs))}:" +
+          b64.encodeToString(mx.getBytes(cs))
+    })
+    val nullItems = cols.flatMap(c => nulls.get(c).flatten.map(n => s"$c$NullsTag=$n"))
+    val recorded = zoneItems ++ nullItems :+
       s"$RowCountKey=$totalRows" // always recordable — powers fastCount
     Some(recorded.mkString(";"))
   }
@@ -898,6 +1022,10 @@ object ManifestTable {
 
   private val BloomHashes = 4
   private val BloomTag = "!bloom"
+  /** Zone-map kind marker for string bounds (`col=s:<b64>:<b64>`). */
+  private[ops] val StrStatKind = "s"
+  /** Suffix-item tag for a column's null count (`col!nulls=<n>`). */
+  private[ops] val NullsTag = "!nulls"
 
   // ------------------------------------------------------------------
   // DELETION VECTORS (r12) — merge-on-read row deletes, the
@@ -1167,6 +1295,80 @@ object ManifestTable {
   /** A [[readSkipping]] result: the pruned frame plus the pruning
     * evidence (how many live dirs the range actually touched). */
   final case class SkipResult(df: DataFrame, dirsScanned: Long, dirsTotal: Long)
+
+  /** JOIN-DRIVEN FILE PRUNING — the dynamic-partition-pruning analog
+    * for manifest tables: before a fact ⋈ small-dim equi-join, probe
+    * the dim side's DISTINCT join keys against every fact entry's
+    * committed bloom + zone map at PLANNING time, and read only the
+    * dirs at least one key might live in. Spark's own DPP prunes
+    * PARTITIONS of a partitioned scan from a broadcast join's key set
+    * at runtime; the manifest already holds per-dir value metadata,
+    * so the same idea prunes FILES, driver-side, before any task
+    * launches. At 100 TB this turns "scan the fact table because the
+    * filter is on the dim" — the classic star-schema tax — into a
+    * dirs_kept ≪ dirs_total scan.
+    *
+    * The dim collect is bounded by the SAME broadcast-small contract
+    * the subsequent BroadcastHashJoin needs anyway (`maxKeys` refuses
+    * loudly past it — a dim too big to collect is too big to
+    * broadcast, and this optimization does not apply). Exclusion is
+    * per entry, CONSERVATIVE (false keeps only): an entry survives
+    * unless EVERY key is provably absent (bloom says no, or the
+    * recorded [min,max] excludes it); aux-carrying entries and
+    * metadata-less columns always survive. NULL keys are dropped —
+    * an equi-join never matches them.
+    *
+    * Returns the SUPERSET frame (whole surviving dirs) — apply the
+    * actual join on top; zero false drops by the exclusion rules
+    * above. */
+  def readJoinPruned(spark: SparkSession, path: String, column: String,
+                     dim: DataFrame, dimCol: String,
+                     partitionFilter: String => Boolean = _ => true,
+                     maxKeys: Int = 100000): SkipResult = {
+    val keyRows = dim.select(col(dimCol).cast("string").as("__k"))
+      .distinct().limit(maxKeys + 1).collect()
+    require(keyRows.length <= maxKeys,
+      s"ManifestTable.readJoinPruned: dim side exceeds $maxKeys distinct keys — " +
+        "too large for a planning-time probe (and for the broadcast join it " +
+        "feeds); use a plain join, or raise maxKeys deliberately")
+    val keys = keyRows.iterator.map(_.getString(0)).filter(_ != null).toSeq
+    val nums = keys.flatMap(k => try Some(BigDecimal(k))
+      catch { case _: NumberFormatException => None })
+    val numOk = nums.size == keys.size // zone maps only compare when every key parses
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = latestVersion(fs, path).getOrElse(
+      sys.error(s"ManifestTable.readJoinPruned: no manifest under $path/$ManifestDir"))
+    val lines = readManifest(fs, path, v)
+    val live = dataEntries(lines).filter(e => partitionFilter(e._1))
+    val kept = live.filter { case (_, value) =>
+      auxRefsOf(value).nonEmpty || {
+        val bloom = bloomOf(value, column)
+        val zone = statsOf(value).map(decodeStats).flatMap(_.get(column))
+        val zoneStr = statsOf(value).map(decodeStrStats).flatMap(_.get(column))
+        if (keys.isEmpty) false // an empty dim joins to nothing
+        else keys.indices.exists { i =>
+          val k = keys(i)
+          val bloomHit = bloom.forall(p => bloomContains(p, k))
+          val zoneHit = zone.forall { case (mn, mx) =>
+            !numOk || (nums(i) >= mn && nums(i) <= mx) }
+          val zoneStrHit = zoneStr.forall { case (mn, mx) =>
+            !k.forall(c => c >= 0x20 && c < 0x7f) || (k >= mn && k <= mx) }
+          bloomHit && zoneHit && zoneStrHit
+        }
+      }
+    }
+    val keptDirs = kept.map(e => dirOf(e._2)).distinct
+    val keptDirSet = keptDirs.toSet
+    val survivors = live.filter(e => keptDirSet(dirOf(e._2))).map(_._1).toSet
+    val df =
+      if (kept.isEmpty) {
+        val s = committedSchema(lines).getOrElse(sys.error(
+          s"ManifestTable.readJoinPruned: every dir pruned and manifest m$v has no " +
+            "committed schema to shape an empty result"))
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+      } else readEntriesOf(spark, path, lines, survivors)
+    SkipResult(df, keptDirs.size.toLong, live.size.toLong)
+  }
 
   /** Read the table touching only partition dirs whose recorded
     * [min, max] for `column` intersects [lo, hi] — zone-map skipping
@@ -1603,10 +1805,16 @@ object ManifestTable {
       dvRefOf(value).nonEmpty || auxRefsOf(value).nonEmpty }.map(_._1).toSet
     if (debt.isEmpty) return 0L
     val rows = readEntriesOf(spark, path, lines, debt)
-    merge(spark, path, rows, keys = Nil, partitionCol = partitionCol,
-      replaceTouched = true, knownTouched = Some(debt),
-      retainVersions = retainVersions, statsColumns = statsColumns,
-      bloomColumns = bloomColumns, bloomBits = bloomBits)
+    // A bucket-specced table folds through the BUCKETED write path —
+    // the folded rows re-land pre-hashed into the same layout, so the
+    // table stays join-ready through its whole DV lifecycle (the
+    // plain path would write un-bucket-named files).
+    mergeCore(spark, path, rows, keys = Nil, partitionCol = partitionCol,
+      preserveExisting = Nil, retainVersions = retainVersions,
+      statsColumns = statsColumns, replaceTouched = true,
+      props = Map.empty, knownTouched = Some(debt),
+      bloomColumns = bloomColumns, bloomBits = bloomBits,
+      bucketSpec = bucketSpecOf(readProps(spark, path)))
     debt.size.toLong
   }
 
@@ -1865,7 +2073,14 @@ object ManifestTable {
     val v = latestVersion(fs, path).getOrElse(
       sys.error(s"ManifestTable.deleteWhereMoR: no manifest under $path/$ManifestDir"))
     val lines = readManifest(fs, path, v)
-    requireBucketAgreement(spark, path, None, "deleteWhereMoR")
+    // Deliberately NO bucket-agreement check: a deletion vector is a
+    // POSITION sidecar — no row moves, no file rewrites, the bucket
+    // layout invariant holds exactly (Iceberg's bucket + position-
+    // deletes composition). registerBucketed overlays the DV
+    // anti-join as a broadcast join, which preserves the scan's
+    // HashPartitioning — the fact⋈fact join stays zero-exchange.
+    // Appendix-writing updateWhereMoR stays refused (appended rows
+    // would detach from their hash bucket).
     partitionColOf(lines).foreach(h => require(h == partitionCol,
       s"ManifestTable.deleteWhereMoR: table partition column is $h, not $partitionCol"))
     val entries = dataEntries(lines)
@@ -2280,12 +2495,13 @@ object ManifestTable {
         "an unsupported combination; our writers refuse it)")
     val entries = dataEntries(lines)
     entries.foreach { case (k, value) =>
-      require(!isSharedDir(dirOf(value)) && dvRefOf(value).isEmpty &&
-        auxRefsOf(value).isEmpty,
-        s"ManifestTable.registerBucketed: entry $k carries a compacted/DV/aux " +
-          "reference — not a clean bucketed layout (the writers refuse these on " +
-          "bucketed tables; this manifest was written by foreign tooling)")
+      require(!isSharedDir(dirOf(value)) && auxRefsOf(value).isEmpty,
+        s"ManifestTable.registerBucketed: entry $k carries a compacted/aux " +
+          "reference — not a clean bucketed layout (appendix rows detach from " +
+          "their hash bucket; the writers refuse these on bucketed tables). " +
+          "DV sidecars ARE supported: position deletes preserve the layout")
     }
+    val dvRefs = entries.flatMap(e => dvRefOf(e._2).map(_._2)).distinct
     spark.sql(s"DROP TABLE IF EXISTS `$name`")
     // LOCATION is a stub: a partitioned catalog table scans ONLY its
     // registered partitions, each of which points at a manifest dir.
@@ -2302,7 +2518,27 @@ object ManifestTable {
       spark.sql(s"ALTER TABLE `$name` ADD PARTITION (__pdir='$esc') " +
         s"LOCATION '$path/${dirOf(value)}'")
     }
-    spark.table(name)
+    // Merge-on-read deletes (bucket-layout-preserving position
+    // sidecars): fold them in as a BROADCAST anti-join over the
+    // catalog scan's own `_metadata` addresses. A broadcast join
+    // preserves the streamed side's HashPartitioning(bucketCol, n),
+    // so downstream co-bucketed joins still plan ZERO exchanges —
+    // the live-rows view rides the same bucketed scan.
+    val base = spark.table(name)
+    if (dvRefs.isEmpty) base
+    else {
+      import spark.implicits._
+      val pairs = dvRefs.flatMap(rel => loadDv(fs, path, rel)).distinct
+      val dvDf = pairs.toDF(DvFileCol, DvPosCol)
+      val keyed = base
+        .withColumn(FileKeyCol,
+          concat_ws("/", slice(split(col("_metadata.file_path"), "/"), -3, 3)))
+        .withColumn(RowPosCol, col("_metadata.row_index"))
+      keyed.join(broadcast(dvDf),
+          keyed(FileKeyCol) === dvDf(DvFileCol) && keyed(RowPosCol) === dvDf(DvPosCol),
+          "left_anti")
+        .drop(FileKeyCol, RowPosCol)
+    }
   }
 
   /** Table property [[renameColumn]] maintains: `cur1=phys1,cur2=phys2`
@@ -2433,6 +2669,32 @@ object ManifestTable {
   private[ops] def tombstonesOf(props: Map[String, String]): Set[String] =
     props.get(DropTombstonesProp).toSeq
       .flatMap(_.split(',').iterator.filter(_.nonEmpty)).toSet
+
+  /** Key the exactly-once streaming sink records its micro-batch id
+    * under ([[graft.streaming.StreamingIngest.manifestMergeSink]] —
+    * which aliases this constant); defined here so the durable-props
+    * carry-forward below can name it without a package cycle. */
+  val StreamBatchIdProp = "stream.batch_id"
+
+  /** DURABLE table-state property keys: facts about the TABLE (its
+    * physical layout, name mapping, dead fields, transactional
+    * watermarks) rather than about one commit. Commit paths that
+    * assemble props from caller input ([[merge]]/[[mergeMany]]) carry
+    * these forward from the previous version — losing any of them
+    * silently corrupts the state its mechanism protects: a lost
+    * [[DropTombstonesProp]] lets a later merge re-add the dropped
+    * column name and resurrect dead values from retained dirs; a lost
+    * [[StreamBatchIdProp]] (e.g. a [[foldMoR]] between an erasure
+    * commit and a foreachBatch replay) re-opens the replayed-batch
+    * double-apply the exactly-once sink exists to prevent. Caller
+    * props override on key collision (a stream sink advancing its own
+    * watermark). */
+  private[ops] val DurablePropKeys: Set[String] =
+    Set(RenameMapProp, DropTombstonesProp, BucketColProp, BucketNProp,
+        TransformProp, StreamBatchIdProp)
+
+  private[ops] def durablePropsOf(props: Map[String, String]): Map[String, String] =
+    props.view.filterKeys(DurablePropKeys).toMap
 
   /** DROP a column — METADATA-ONLY, [[renameColumn]]'s sibling: one
     * manifest commit that (a) removes the field from the committed
@@ -2955,7 +3217,14 @@ object ManifestTable {
     val issues = scala.collection.mutable.Buffer.empty[(String, String)]
     val referenced = scala.collection.mutable.Set.empty[String]
     versions(fs, path).foreach { v =>
-      try dataEntries(readManifest(fs, path, v)).foreach { case (p, value) =>
+      try {
+        val lines = readManifest(fs, path, v)
+        // The r13 metadata families must PARSE — a corrupt rename map,
+        // tombstone list or bucket spec breaks every later read/merge,
+        // so the audit surfaces it as the manifest corruption it is.
+        val props = propsOf(lines)
+        renameMapOf(props); tombstonesOf(props); bucketSpecOf(props)
+        dataEntries(lines).foreach { case (p, value) =>
         val d = dirOf(value)
         referenced += d.split('/').take(2).mkString("/")
         if (!fs.exists(new Path(s"$path/$d")))
@@ -2974,6 +3243,7 @@ object ManifestTable {
           if (!fs.exists(new Path(s"$path/$rel")))
             issues += (("missing_dir", f"m$v%d:$p:$rel"))
         }
+        }
       } catch {
         case e: Exception =>
           issues += (("corrupt_manifest", s"m$v: ${Option(e.getMessage).getOrElse(e.toString).take(120)}"))
@@ -2981,13 +3251,30 @@ object ManifestTable {
     }
     val dataDir = new Path(s"$path/$DataDir")
     if (fs.exists(dataDir)) fs.listStatus(dataDir).foreach { st =>
-      if (!referenced(s"$DataDir/${st.getPath.getName}"))
-        issues += (("orphan_batch", st.getPath.getName))
+      val n = st.getPath.getName
+      if (!referenced(s"$DataDir/$n"))
+        // DV/aux residue classifies distinctly from a stale batch dir:
+        // an orphan sidecar is retention residue of a folded MoR
+        // commit (expected, reclaimable), where an orphan batch is an
+        // interrupted write
+        issues += ((if (n.startsWith("dv-")) "orphan_dv"
+                    else if (n.startsWith("aux-")) "orphan_aux"
+                    else "orphan_batch", n))
     }
     val mDir = new Path(s"$path/$ManifestDir")
     if (fs.exists(mDir)) fs.listStatus(mDir).foreach { st =>
       if (st.getPath.getName.endsWith(".tmp"))
         issues += (("manifest_tmp", st.getPath.getName))
+    }
+    // Surviving multi-table txn journals (the conventional in-table
+    // journal location `_txn`): a journal present at audit time is a
+    // crash the writer has not rolled forward yet — ManifestTxn
+    // .recover repairs it; the audit's job is to REPORT it.
+    val txnDir = new Path(s"$path/$TxnDir")
+    if (fs.exists(txnDir)) fs.listStatus(txnDir).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("txn-"))
+        issues += ((if (n.endsWith(".tmp")) "txn_tmp" else "txn_journal", n))
     }
     import org.apache.spark.sql.types.{StringType, StructField, StructType}
     spark.createDataFrame(

@@ -4403,6 +4403,13 @@ object ExtQueries {
       s"$path/_manifests/m000000000009-dead.tmp"), false).close()
     fs.create(new org.apache.hadoop.fs.Path(
       s"$path/_manifests/m000000000999"), false).close()
+    // r14 classes: unreferenced MoR sidecar dirs report distinctly
+    // from a stale batch dir, and a surviving multi-table txn journal
+    // (crash residue ManifestTxn.recover would roll forward) is flagged
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/data/dv-orphan"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/data/aux-orphan"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/_txn"))
+    fs.create(new org.apache.hadoop.fs.Path(s"$path/_txn/txn-dead"), false).close()
     ManifestTable.fsck(spark, path)
       .groupBy(col("issue")).agg(count(lit(1)).as("n"))
       .withColumn("healthy_pre", lit(healthyPre))
@@ -4414,7 +4421,10 @@ object ExtQueries {
       |  ('corrupt_manifest', CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
       |  ('manifest_tmp',     CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
       |  ('missing_dir',      CAST(2 AS BIGINT), CAST(0 AS BIGINT)),
-      |  ('orphan_batch',     CAST(1 AS BIGINT), CAST(0 AS BIGINT))
+      |  ('orphan_aux',       CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+      |  ('orphan_batch',     CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+      |  ('orphan_dv',        CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+      |  ('txn_journal',      CAST(1 AS BIGINT), CAST(0 AS BIGINT))
       |) AS t(issue, n, healthy_pre)
       |ORDER BY issue""".stripMargin
 
@@ -8598,6 +8608,182 @@ object ExtQueries {
       |ORDER BY user_id""".stripMargin
 
   // ----------------------------------------------------------------
+  // q196_bucketed_mor — MERGE-ON-READ DELETES ON A BUCKET-SPECCED
+  // TABLE (the r13 mutual-exclusion gap closed): a position-delete
+  // sidecar moves no row and rewrites no file, so the bucket layout
+  // invariant holds — Iceberg's bucket + position-deletes composition.
+  //   1. two bucketed facts (8 buckets on user_id) land via
+  //      mergeBucketed;
+  //   2. fact A takes a deleteByKeysMoR (GDPR-shaped key list) —
+  //      dirs_rewritten MUST be 0;
+  //   3. registerBucketed folds the DV in as a BROADCAST anti-join
+  //      over the catalog scan's _metadata addresses — broadcast
+  //      preserves HashPartitioning, so the fact⋈fact plan still
+  //      carries ZERO shuffle exchanges (shuffle_free);
+  //   4. foldMoR on the bucketed table rewrites ONLY the debt
+  //      partitions THROUGH the bucketed writer (fold_n pinned), after
+  //      which the re-registered join is still shuffle-free
+  //      (shuffle_free_folded) with dv_after_fold = 0.
+  // The post-delete per-user join aggregate is SQL-recomputed.
+  // ----------------------------------------------------------------
+  def q196BucketedMor(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:q196_bucketed_mor") {
+      q196BucketedMorBuild(spark, dir)
+    }
+
+  private def q196BucketedMorBuild(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{Bucketed, ManifestTable}
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id").cast("long").as("user_id"),
+        date_trunc("day", col("ts")).as("day"), col("value"))
+    val base = java.nio.file.Files.createTempDirectory("graft_q196_").toString
+    val pa = s"$base/fa"; val pb = s"$base/fb"
+    ManifestTable.mergeBucketed(spark, pa, ev.filter(col("event_id") % 2 === 0),
+      keys = Seq("event_id"), partitionCol = "day", bucketCol = "user_id",
+      nBuckets = 8, retainVersions = 4, statsColumns = Seq("event_id"),
+      bloomColumns = Seq("event_id"))
+    ManifestTable.mergeBucketed(spark, pb, ev.filter(col("event_id") % 3 === 1),
+      keys = Seq("event_id"), partitionCol = "day", bucketCol = "user_id",
+      nBuckets = 8, retainVersions = 4, statsColumns = Seq("event_id"))
+    // GDPR-shaped erasure on the BUCKETED fact: bounded key list
+    val delKeys = ev.filter(col("event_id") % 2 === 0 && col("event_id") % 211 === 5)
+      .select(col("event_id").cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    val del = ManifestTable.deleteByKeysMoR(spark, pa, "day", "event_id", delKeys,
+      retainVersions = 4)
+    def joined(suffix: String) = {
+      val ta = ManifestTable.registerBucketed(spark, pa, s"graft_q196_a$suffix")
+      val tb = ManifestTable.registerBucketed(spark, pb, s"graft_q196_b$suffix")
+      val aggA = ta.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("a_n"),
+          sum(floor(col("value") * lit(1e3)).cast("long")).as("a_sum_e3"))
+      val aggB = tb.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("b_n"),
+          sum(floor(col("value") * lit(1e3)).cast("long")).as("b_sum_e3"))
+      aggA.hint("merge").join(aggB.hint("merge"), Seq("user_id"))
+    }
+    val j1 = joined("")
+    val shuffleFree = Bucketed.isShuffleFree(j1)
+    val (dvEntries, dvRows) = ManifestTable.dvStats(spark, pa)
+    // maintenance: fold the DV debt THROUGH the bucketed writer
+    val foldN = ManifestTable.foldMoR(spark, pa, "day", retainVersions = 4,
+      statsColumns = Seq("event_id"), bloomColumns = Seq("event_id"))
+    val (dvAfter, _) = ManifestTable.dvStats(spark, pa)
+    val j2 = joined("f")
+    val shuffleFreeFolded = Bucketed.isShuffleFree(j2)
+    j2.withColumn("dv_rows", lit(dvRows))
+      .withColumn("dv_entries", lit(dvEntries))
+      .withColumn("dirs_rewritten", lit(del.op.dirsRewritten))
+      .withColumn("shuffle_free", lit(shuffleFree))
+      .withColumn("fold_n", lit(foldN))
+      .withColumn("dv_after_fold", lit(dvAfter))
+      .withColumn("shuffle_free_folded", lit(shuffleFreeFolded))
+      .orderBy(col("user_id"))
+  }
+
+  val q196BucketedMorSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, CAST(user_id AS BIGINT) AS user_id,
+      |         date_trunc('day', ts) AS day, value FROM events),
+      |hit AS (SELECT * FROM ev WHERE event_id % 2 = 0 AND event_id % 211 = 5),
+      |a AS (SELECT * FROM ev WHERE event_id % 2 = 0 AND NOT event_id % 211 = 5),
+      |b AS (SELECT * FROM ev WHERE event_id % 3 = 1),
+      |aa AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS a_n,
+      |    CAST(sum(CAST(floor(value * 1e3) AS BIGINT)) AS BIGINT) AS a_sum_e3
+      |  FROM a GROUP BY user_id),
+      |bb AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS b_n,
+      |    CAST(sum(CAST(floor(value * 1e3) AS BIGINT)) AS BIGINT) AS b_sum_e3
+      |  FROM b GROUP BY user_id)
+      |SELECT aa.user_id, a_n, a_sum_e3, b_n, b_sum_e3,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM hit) AS dv_rows,
+      |  (SELECT CAST(count(DISTINCT day) AS BIGINT) FROM hit) AS dv_entries,
+      |  CAST(0 AS BIGINT) AS dirs_rewritten,
+      |  TRUE AS shuffle_free,
+      |  (SELECT CAST(count(DISTINCT day) AS BIGINT) FROM hit) AS fold_n,
+      |  CAST(0 AS BIGINT) AS dv_after_fold,
+      |  TRUE AS shuffle_free_folded
+      |FROM aa JOIN bb USING (user_id)
+      |ORDER BY aa.user_id""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q197_stream_dir_trigger — ROW-VOLUME-BOUNDED STREAM TRIGGERS
+  // (maxDirsPerTrigger, the r13 gap): maxVersionsPerTrigger bounds
+  // catch-up by COMMITS, but one giant commit still landed as one
+  // giant batch. The composite (version, dirs-emitted) offset
+  // (DirBoundOffset) now splits a single commit's fresh dirs across
+  // triggers — Delta's maxBytesPerTrigger shape at dir granularity.
+  // The gate snapshots a 10-day upstream, lands ONE 20-day commit,
+  // and drains with maxDirsPerTrigger=7 through an exactly-once
+  // downstream merge: catchup_batches (= ceil(20/7) = 3 batches
+  // INSIDE one version) and max_batch_days (= 7) are pinned next to
+  // the SQL-recomputed downstream state, which must be IDENTICAL to
+  // an unsliced ingest.
+  // ----------------------------------------------------------------
+  def q197StreamDirTrigger(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:q197_stream_dir_trigger") {
+      q197StreamDirTriggerBuild(spark, dir)
+    }
+
+  private def q197StreamDirTriggerBuild(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.ManifestTable
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), date_trunc("day", col("ts")).as("day"), col("value"))
+    val cut = java.sql.Date.valueOf("2024-01-10")
+    val base = java.nio.file.Files.createTempDirectory("graft_q197_").toString
+    val up = s"$base/up"; val down = s"$base/down"
+    ManifestTable.merge(spark, up, ev.filter(to_date(col("day")) <= lit(cut)),
+      keys = Seq("event_id"), partitionCol = "day", retainVersions = 8)
+    val batchDays = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val sink: (DataFrame, Long) => Unit = (b, _) => {
+      val days = b.select(col("day")).distinct().count()
+      if (days > 0) {
+        ManifestTable.merge(spark, down, b, keys = Seq("event_id"),
+          partitionCol = "day", retainVersions = 4)
+        batchDays.synchronized { batchDays += days }
+      }
+    }
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-manifest").option("path", up)
+        .option("maxDirsPerTrigger", "7").load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", s"$base/ckpt").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    drain() // snapshot (uncapped by design)
+    val snapBatches = batchDays.size
+    // ONE commit carrying 20 day-partitions
+    ManifestTable.merge(spark, up, ev.filter(to_date(col("day")) > lit(cut)),
+      keys = Seq("event_id"), partitionCol = "day", retainVersions = 8)
+    drain() // capped catch-up: 7 + 7 + 6
+    val catchup = (batchDays.size - snapBatches).toLong
+    val maxBatch = batchDays.drop(snapBatches).max
+    ManifestTable.read(spark, down)
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * lit(1e3)).cast("long")).as("sum_e3"))
+      .withColumn("catchup_batches", lit(catchup))
+      .withColumn("max_batch_days", lit(maxBatch))
+      .orderBy(col("day"))
+  }
+
+  val q197StreamDirTriggerSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, date_trunc('day', ts) AS day, value FROM events),
+      |tail AS (
+      |  SELECT CAST(count(DISTINCT day) AS BIGINT) AS nd FROM ev
+      |  WHERE CAST(day AS DATE) > DATE '2024-01-10')
+      |SELECT day, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(floor(value * 1e3) AS BIGINT)) AS BIGINT) AS sum_e3,
+      |  (SELECT CAST(ceil(nd / 7.0) AS BIGINT) FROM tail) AS catchup_batches,
+      |  (SELECT CASE WHEN nd >= 7 THEN CAST(7 AS BIGINT) ELSE nd END FROM tail)
+      |    AS max_batch_days
+      |FROM ev GROUP BY day ORDER BY day""".stripMargin
+
+  // ----------------------------------------------------------------
   // q181_column_rename — METADATA-ONLY COLUMN RENAME (ManifestTable.
   // renameColumn): Iceberg-style name mapping — the committed schema
   // renames, a rename.map table property maps the current name to the
@@ -9673,6 +9859,162 @@ object ExtQueries {
       |  (SELECT CAST(count(*) AS BIGINT) FROM dstat) AS dirs_total,
       |  CAST(0 AS BIGINT) AS miss_kept
       |FROM hi ORDER BY day""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q194_skipping_shapes — the r13 skipping BLIND SPOTS closed, each
+  // probed through a PLAIN `read(path).where(…)` and its dirs_kept
+  // pinned next to the SQL-recomputed answer (footer stats are exact
+  // per day dir, so SQL recomputes the kept count from day-level
+  // aggregates):
+  //   - IS NULL prunes dirs whose committed null count is 0;
+  //     IS NOT NULL prunes all-null dirs (null counts are recorded
+  //     independently of min/max — an all-null dir has no zone map
+  //     but a perfectly good null count);
+  //   - STRING range probes prune via kind-`s` (ASCII) zone maps;
+  //   - `to_date(day) = DATE '…'` — the r13 "prunes nothing" shape,
+  //     the most common time filter — range-translates against the
+  //     timestamp column's own micros bounds (recordable now that
+  //     writes are INT64 micros, not statless INT96).
+  // ----------------------------------------------------------------
+  def q194SkippingShapes(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:q194_skipping_shapes") {
+      q194SkippingShapesBuild(spark, dir)
+    }
+
+  private def q194SkippingShapesBuild(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{GraftFileIndex, ManifestTable}
+    // day-of-month bands: d<=5 all-null v; 6..10 half-null; d>=11
+    // null-free — so each IS [NOT] NULL probe has dirs to drop.
+    // `tag` prefixes the day, giving per-dir-disjoint string ranges.
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), date_trunc("day", col("ts")).as("day"),
+        col("event_type"), col("value"))
+      .withColumn("v",
+        when(dayofmonth(col("day")) <= 5, lit(null).cast("double"))
+          .when(dayofmonth(col("day")) <= 10,
+            when(col("event_id") % 2 === 0, lit(null).cast("double"))
+              .otherwise(col("value")))
+          .otherwise(col("value")))
+      .withColumn("tag",
+        concat(date_format(col("day"), "yyyy-MM-dd"), lit(":"), col("event_type")))
+      .select("event_id", "day", "v", "tag")
+    val path = java.nio.file.Files.createTempDirectory("graft_q194_").toString + "/table"
+    ManifestTable.merge(spark, path, ev, keys = Seq("event_id"), partitionCol = "day",
+      statsColumns = Seq("v", "tag", "day"))
+    def evidence(df: DataFrame): Long = {
+      df.collect()
+      val prunes = df.queryExecution.sparkPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s.relation.location
+      }.collect { case g: GraftFileIndex => g.lastPrune }.flatten
+      require(prunes.nonEmpty, "q194: no GraftFileIndex saw a filtered listFiles")
+      prunes.map(_._1).sum
+    }
+    def rd = ManifestTable.read(spark, path)
+    val pIsNull = rd.where(col("v").isNull).agg(count(lit(1)).as("n_null"))
+    val pNotNull = rd.where(col("v").isNotNull)
+      .agg(count(lit(1)).as("n_notnull"),
+        sum(floor(col("v") * lit(1e3)).cast("long")).as("sum_nn_e3"))
+    val pTag = rd.where(col("tag") >= lit("2024-01-10") && col("tag") < lit("2024-01-12"))
+      .agg(count(lit(1)).as("n_tag"))
+    val pDay = rd.where(to_date(col("day")) === lit(java.sql.Date.valueOf("2024-01-16")))
+      .agg(count(lit(1)).as("n_day16"))
+    val (kIsNull, kNotNull, kTag, kToDate) =
+      (evidence(pIsNull), evidence(pNotNull), evidence(pTag), evidence(pDay))
+    val total = ManifestTable.dataDirs(spark, path, 1L).size.toLong
+    pIsNull.crossJoin(pNotNull).crossJoin(pTag).crossJoin(pDay)
+      .withColumn("k_isnull", lit(kIsNull))
+      .withColumn("k_notnull", lit(kNotNull))
+      .withColumn("k_tag", lit(kTag))
+      .withColumn("k_todate", lit(kToDate))
+      .withColumn("dirs_total", lit(total))
+  }
+
+  val q194SkippingShapesSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, date_trunc('day', ts) AS day,
+      |         CASE WHEN extract(day FROM ts) <= 5 THEN NULL
+      |              WHEN extract(day FROM ts) <= 10 THEN
+      |                CASE WHEN event_id % 2 = 0 THEN NULL ELSE value END
+      |              ELSE value END AS v,
+      |         strftime(date_trunc('day', ts), '%Y-%m-%d') || ':' || event_type AS tag
+      |  FROM events),
+      |dstat AS (
+      |  SELECT day, sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS nn,
+      |         count(*) AS rows_, min(tag) AS mnt, max(tag) AS mxt
+      |  FROM ev GROUP BY day)
+      |SELECT
+      |  (SELECT CAST(count(*) AS BIGINT) FROM ev WHERE v IS NULL) AS n_null,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM ev WHERE v IS NOT NULL) AS n_notnull,
+      |  (SELECT CAST(sum(CAST(floor(v * 1e3) AS BIGINT)) AS BIGINT) FROM ev
+      |     WHERE v IS NOT NULL) AS sum_nn_e3,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM ev
+      |     WHERE tag >= '2024-01-10' AND tag < '2024-01-12') AS n_tag,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM ev
+      |     WHERE CAST(day AS DATE) = DATE '2024-01-16') AS n_day16,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM dstat WHERE nn > 0) AS k_isnull,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM dstat WHERE nn < rows_) AS k_notnull,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM dstat
+      |     WHERE mxt >= '2024-01-10' AND mnt < '2024-01-12') AS k_tag,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM dstat
+      |     WHERE CAST(day AS DATE) = DATE '2024-01-16') AS k_todate,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM dstat) AS dirs_total""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q195_join_pruning — JOIN-DRIVEN FILE PRUNING (the dynamic-
+  // partition-pruning analog): a fact ⋈ 3-key-dim star join where the
+  // dim's key set is probed against the fact manifest's committed
+  // zone maps at PLANNING time (readJoinPruned), so the fact scan
+  // touches dirs_kept ≪ dirs_total. The fact is range-partitioned on
+  // floor(user_id/10), making each dir's [min,max] footer stats exact
+  // and the kept count SQL-recomputable; the join result over the
+  // pruned superset must equal the plain SQL join (ZERO false drops).
+  // ----------------------------------------------------------------
+  def q195JoinPruning(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:q195_join_pruning") {
+      q195JoinPruningBuild(spark, dir)
+    }
+
+  private def q195JoinPruningBuild(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.ManifestTable
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .withColumn("ub", floor(col("user_id") / 10).cast("string"))
+    val path = java.nio.file.Files.createTempDirectory("graft_q195_").toString + "/fact"
+    ManifestTable.merge(spark, path, ev, keys = Seq("event_id"), partitionCol = "ub",
+      statsColumns = Seq("user_id"))
+    val dim = Tables.events(spark, dir).select(col("user_id")).distinct()
+      .filter(col("user_id") % 71 === 3)
+      .withColumn("seg", concat(lit("seg-"), col("user_id")))
+    val pruned = ManifestTable.readJoinPruned(spark, path, "user_id", dim, "user_id")
+    pruned.df.join(broadcast(dim), Seq("user_id"))
+      .groupBy(col("user_id"), col("seg"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * lit(1e3)).cast("long")).as("sum_e3"))
+      .withColumn("dirs_kept", lit(pruned.dirsScanned))
+      .withColumn("dirs_total", lit(pruned.dirsTotal))
+      .orderBy(col("user_id"))
+  }
+
+  val q195JoinPruningSql: String =
+    """WITH dim AS (
+      |  SELECT DISTINCT user_id FROM events WHERE user_id % 71 = 3),
+      |bstat AS (
+      |  SELECT CAST(floor(user_id / 10) AS BIGINT) AS ub,
+      |         min(user_id) AS mn, max(user_id) AS mx
+      |  FROM events GROUP BY 1),
+      |kept AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS k FROM bstat
+      |  WHERE EXISTS (SELECT 1 FROM dim WHERE dim.user_id BETWEEN bstat.mn AND bstat.mx)),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM bstat)
+      |SELECT e.user_id, 'seg-' || e.user_id AS seg,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(CAST(floor(value * 1e3) AS BIGINT)) AS BIGINT) AS sum_e3,
+      |       (SELECT k FROM kept) AS dirs_kept,
+      |       (SELECT t FROM tot) AS dirs_total
+      |FROM events e JOIN dim USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1""".stripMargin
 
   // ----------------------------------------------------------------
   // q186_gdpr_lifecycle — THE FULL SUBJECT-RIGHTS LIFECYCLE, composed:

@@ -448,9 +448,11 @@ object StreamingIngest {
   }
 
   /** Property key [[manifestMergeSink]] records its micro-batch id
-    * under. The sink OWNS its table: an interleaved non-sink commit
-    * would erase the marker (properties are per-commit). */
-  val StreamBatchIdProp = "stream.batch_id"
+    * under. A DURABLE prop ([[graft.ops.ManifestTable.DurablePropKeys]]):
+    * maintenance commits (foldMoR, plain merges) carry the marker
+    * forward, so a fold between an erasure commit and a foreachBatch
+    * replay can no longer erase the exactly-once watermark. */
+  val StreamBatchIdProp: String = graft.ops.ManifestTable.StreamBatchIdProp
 
   /** EXACTLY-ONCE foreachBatch sink into a [[graft.ops.ManifestTable]]:
     * the micro-batch id commits ATOMICALLY with the data as a

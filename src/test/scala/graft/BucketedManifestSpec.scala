@@ -105,9 +105,8 @@ class BucketedManifestSpec extends AnyFunSuite {
     val e1 = intercept[RuntimeException](ManifestTable.merge(spark, pa,
       facts(10, "g2"), keys = Seq("payload"), partitionCol = "part"))
     assert(e1.getMessage.contains("bucketed"))
-    val e2 = intercept[RuntimeException](ManifestTable.deleteWhereMoR(
-      spark, pa, "part", col("user_id") === 1L))
-    assert(e2.getMessage.contains("bucketed"))
+    // deleteWhereMoR is ALLOWED: a position-delete sidecar preserves
+    // the bucket layout (see the MoR-on-bucketed test below)
     val e3 = intercept[RuntimeException](ManifestTable.updateWhereMoR(
       spark, pa, "part", col("user_id") === 1L, Map("v" -> lit(0.0))))
     assert(e3.getMessage.contains("bucketed"))
@@ -125,5 +124,50 @@ class BucketedManifestSpec extends AnyFunSuite {
     val e6 = intercept[RuntimeException](
       ManifestTable.registerBucketed(spark, pp, "mbkt_spec_plain"))
     assert(e6.getMessage.contains("no bucket spec"))
+  }
+
+  test("MoR deletes on a bucketed table: zero rewrites, DV-aware registered " +
+    "read stays shuffle-free, foldMoR re-lands through the bucketed writer") {
+    val pa = freshPath("mor"); val pb = freshPath("morb")
+    ManifestTable.mergeBucketed(spark, pa, facts(300, "a"),
+      keys = Seq("payload"), partitionCol = "part", bucketCol = "user_id",
+      nBuckets = 8, retainVersions = 4)
+    ManifestTable.mergeBucketed(spark, pb, facts(200, "b"),
+      keys = Seq("payload"), partitionCol = "part", bucketCol = "user_id",
+      nBuckets = 8, retainVersions = 4)
+    val dirsBefore = ManifestTable.dataDirs(spark, pa, 1L)
+    // DV-delete every user_id == 7 row from the bucketed fact
+    val del = ManifestTable.deleteWhereMoR(spark, pa, "part",
+      col("user_id") === 7L, retainVersions = 4)
+    assert(del.committed && del.rowsDeleted == 6L && del.dirsRewritten == 0L)
+    assert(ManifestTable.dataDirs(spark, pa, 2L) == dirsBefore,
+      "a DV commit must reference byte-identical data dirs")
+    // the registered read folds the DV in and the SMB join stays free
+    val ta = ManifestTable.registerBucketed(spark, pa, "mbkt_mor_a")
+    val tb = ManifestTable.registerBucketed(spark, pb, "mbkt_mor_b")
+    val j = ta.select("user_id", "v").hint("merge")
+      .join(tb.select(col("user_id"), col("v").as("v2")).hint("merge"),
+        Seq("user_id"))
+    assert(Bucketed.isShuffleFree(j),
+      "DV anti-join must not reintroduce a shuffle:\n" +
+        j.queryExecution.executedPlan.toString.take(2000))
+    assert(ta.filter(col("user_id") === 7L).count() == 0L,
+      "DV'd rows must be invisible through the registered read")
+    assert(ta.count() == 294L)
+    // plain manifest read agrees with the registered read
+    assert(ManifestTable.read(spark, pa).count() == 294L)
+    // fold: only debt partitions rewrite, THROUGH the bucketed writer
+    val folded = ManifestTable.foldMoR(spark, pa, "part", retainVersions = 4)
+    assert(folded == 3L, s"user 7 hits all 3 partitions; folded $folded")
+    assert(ManifestTable.dvStats(spark, pa)._1 == 0L)
+    val ta2 = ManifestTable.registerBucketed(spark, pa, "mbkt_mor_a2")
+    val j2 = ta2.select("user_id", "v").hint("merge")
+      .join(tb.select(col("user_id"), col("v").as("v2")).hint("merge"),
+        Seq("user_id"))
+    assert(Bucketed.isShuffleFree(j2),
+      "the folded table must still register as cleanly bucketed")
+    assert(ta2.count() == 294L && ta2.filter(col("user_id") === 7L).count() == 0L)
+    // the spec survives the fold as durable props
+    assert(ManifestTable.readProps(spark, pa)(ManifestTable.BucketColProp) == "user_id")
   }
 }

@@ -145,6 +145,145 @@ class GraftFileIndexSpec extends AnyFunSuite {
       "within the kept dir only v=15 satisfies the range")
   }
 
+  /** Three day-partitions for the r14 skipping shapes: day1 `v` ALL
+    * null / s in [aa,bb]; day2 `v` non-null [10,15] / s in [cc,dd];
+    * day3 `v` mixed-null / s in [ee,ff]. Stats on v+s+day. */
+  private def seedNullStr(path: String): Unit = {
+    val rows: Seq[(Long, java.sql.Timestamp, Option[Double], String)] = Seq(
+      (1L, ts("2024-01-01"), None, "aa"), (2L, ts("2024-01-01"), None, "bb"),
+      (3L, ts("2024-01-02"), Some(10.0), "cc"), (4L, ts("2024-01-02"), Some(15.0), "dd"),
+      (5L, ts("2024-01-03"), Some(100.0), "ee"), (6L, ts("2024-01-03"), None, "ff"))
+    ManifestTable.merge(spark, path, rows.toDF("id", "day", "v", "s"),
+      Seq("id"), "day", statsColumns = Seq("v", "s", "day"))
+  }
+
+  test("IS NULL prunes zero-null dirs; IS NOT NULL prunes all-null dirs " +
+    "(committed null counts)") {
+    val path = freshPath("nulls")
+    seedNullStr(path)
+    val isNull = ManifestTable.read(spark, path).where(col("v").isNull)
+    val (kN, tN) = evidence(isNull)
+    assert(tN == 3L && kN == 2L, s"day2 has zero nulls in v; kept $kN/$tN")
+    assert(isNull.select("id").as[Long].collect().toSet == Set(1L, 2L, 6L))
+    val notNull = ManifestTable.read(spark, path).where(col("v").isNotNull)
+    val (kV, _) = evidence(notNull)
+    assert(kV == 2L, s"day1 is ALL-null in v (nulls == rowcount); kept $kV")
+    assert(notNull.select("id").as[Long].collect().toSet == Set(3L, 4L, 5L))
+  }
+
+  test("string zone maps prune range and equality probes; non-ASCII literals " +
+    "never prune") {
+    val path = freshPath("str")
+    seedNullStr(path)
+    val range = ManifestTable.read(spark, path)
+      .where(col("s") >= "cc" && col("s") <= "dz")
+    val (kR, tR) = evidence(range)
+    assert(tR == 3L && kR == 1L, s"[cc,dz] intersects only day2's [cc,dd]; kept $kR/$tR")
+    assert(range.select("id").as[Long].collect().toSet == Set(3L, 4L))
+    val miss = ManifestTable.read(spark, path).where(col("s") === "zz")
+    val (kM, _) = evidence(miss)
+    assert(kM == 0L && miss.count() == 0L, "zz is past every dir's max")
+    // a non-ASCII literal must not prune (byte-order vs string-order)
+    val uni = ManifestTable.read(spark, path).where(col("s") === "éé")
+    val (kU, _) = evidence(uni)
+    assert(kU == 3L && uni.count() == 0L, "non-ASCII probes scan everything")
+  }
+
+  test("decimal zone maps prune (unscaled INT32/INT64 footer stats re-scaled)") {
+    val path = freshPath("dec")
+    val rows = Seq(
+      (1L, ts("2024-01-01"), BigDecimal("10.25")), (2L, ts("2024-01-01"), BigDecimal("20.50")),
+      (3L, ts("2024-01-02"), BigDecimal("100.75")), (4L, ts("2024-01-02"), BigDecimal("200.00")))
+      .toDF("id", "day", "amount")
+      .withColumn("amount", col("amount").cast("decimal(12,2)"))
+    ManifestTable.merge(spark, path, rows, Seq("id"), "day",
+      statsColumns = Seq("amount"))
+    val df = ManifestTable.read(spark, path)
+      .where(col("amount") > lit(BigDecimal("50.00")).cast("decimal(12,2)"))
+    val (kept, total) = evidence(df)
+    assert(total == 2L && kept == 1L,
+      s"amount > 50.00 must prune day1 [10.25, 20.50]; kept $kept/$total")
+    assert(df.select("id").as[Long].collect().toSet == Set(3L, 4L))
+  }
+
+  test("to_date(ts) comparisons range-translate against the timestamp zone map; " +
+    "plain timestamp ranges prune too (micros footer stats)") {
+    val path = freshPath("todate")
+    seedNullStr(path)
+    val eq = ManifestTable.read(spark, path)
+      .where(to_date(col("day")) === lit(java.sql.Date.valueOf("2024-01-02")))
+    val (kE, tE) = evidence(eq)
+    assert(tE == 3L && kE == 1L, s"to_date(day) = 2024-01-02 keeps only day2 ($kE/$tE)")
+    assert(eq.select("id").as[Long].collect().toSet == Set(3L, 4L))
+    val ge = ManifestTable.read(spark, path)
+      .where(to_date(col("day")) >= lit(java.sql.Date.valueOf("2024-01-03")))
+    val (kG, _) = evidence(ge)
+    assert(kG == 1L && ge.count() == 2L)
+    val lt = ManifestTable.read(spark, path)
+      .where(to_date(col("day")) < lit(java.sql.Date.valueOf("2024-01-02")))
+    val (kL, _) = evidence(lt)
+    assert(kL == 1L && lt.select("id").as[Long].collect().toSet == Set(1L, 2L))
+    // plain timestamp comparison prunes off the same micros bounds
+    val tsGe = ManifestTable.read(spark, path)
+      .where(col("day") >= lit(ts("2024-01-03")))
+    val (kT, _) = evidence(tsGe)
+    assert(kT == 1L && tsGe.count() == 2L,
+      s"timestamp range must prune via INT64-micros footer stats; kept $kT")
+  }
+
+  test("inputFiles returns percent-escaped URIs (PartitioningAwareFileIndex " +
+    "contract) that parse and resolve over space/colon partition values") {
+    val path = freshPath("uri")
+    seed(path) // day partitions are timestamps → dirs carry ' ' and ':'
+    val files = ManifestTable.read(spark, path).inputFiles
+    assert(files.nonEmpty)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    files.foreach { f =>
+      assert(!f.contains(" "), s"raw space leaked into inputFiles URI: $f")
+      val uri = new java.net.URI(f) // must not throw URISyntaxException
+      assert(fs.exists(new org.apache.hadoop.fs.Path(uri.getPath)),
+        s"decoded inputFiles path must exist on disk: ${uri.getPath}")
+    }
+  }
+
+  test("readJoinPruned probes a dim's key set against zone maps AND blooms; " +
+    "empty dim prunes all, oversize dim refuses") {
+    val path = freshPath("joinprune")
+    seed(path) // ids 1-2/3-4/5-6 per day; stats v+id, bloom id
+    // dim hits ids 2 and 5 -> days 1 and 3 survive, day2 prunes
+    val dim = Seq((2L, "x"), (5L, "y")).toDF("id", "seg")
+    val r = ManifestTable.readJoinPruned(spark, path, "id", dim, "id")
+    assert(r.dirsTotal == 3L && r.dirsScanned == 2L, s"${r.dirsScanned}/${r.dirsTotal}")
+    val joined = r.df.join(dim, Seq("id")).select("id", "seg")
+      .as[(Long, String)].collect().toSet
+    assert(joined == Set((2L, "x"), (5L, "y")), "zero false drops")
+    // keys inside every [min,max] but absent from the data: the BLOOM
+    // must prune where the zone map cannot (ids 1-6 exist; 7 doesn't,
+    // but 7 > all maxes — use a bloom-only miss value INSIDE a range:
+    // day3 holds 5,6; probe 5.5 is not an int key — instead rebuild
+    // intuition with an id gap): merge a wide-range day so the zone
+    // map alone cannot exclude, then probe a missing key
+    ManifestTable.merge(spark, path,
+      Seq((100L, ts("2024-01-04"), 0.0, "g"), (200L, ts("2024-01-04"), 0.0, "h"))
+        .toDF("id", "day", "v", "s"),
+      Seq("id"), "day", statsColumns = Seq("v", "id"), bloomColumns = Seq("id"))
+    val missDim = Seq((150L, "z")).toDF("id", "seg") // inside day4's [100,200]
+    val rm = ManifestTable.readJoinPruned(spark, path, "id", missDim, "id")
+    assert(rm.dirsScanned == 0L,
+      s"150 is inside day4's zone map but its bloom must exclude it; kept ${rm.dirsScanned}")
+    // empty dim joins to nothing: every dir prunes, schema'd empty frame
+    val re = ManifestTable.readJoinPruned(spark, path, "id",
+      dim.filter(col("id") < 0L), "id")
+    assert(re.dirsScanned == 0L && re.df.count() == 0L)
+    assert(re.df.columns.nonEmpty)
+    // a dim past maxKeys refuses loudly
+    val big = spark.range(0, 50L).toDF("id").withColumn("seg", lit("s"))
+    val e = intercept[IllegalArgumentException](
+      ManifestTable.readJoinPruned(spark, path, "id", big, "id", maxKeys = 10))
+    assert(e.getMessage.contains("distinct keys"))
+  }
+
   test("a compacted shared dir survives unless EVERY entry it holds is excluded") {
     val path = freshPath("comp")
     seed(path)

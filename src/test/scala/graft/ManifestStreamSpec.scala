@@ -82,6 +82,41 @@ class ManifestStreamSpec extends AnyFunSuite {
       Option(c.getMessage).exists(_.contains("non-append"))), s"got: $e2")
   }
 
+  test("widening a column under a RUNNING stream fails the stream instead of " +
+    "silently downcasting; a restart re-pins the widened schema") {
+    val d = freshDir("widen"); val up = s"$d/up"
+    ManifestTable.merge(spark, up,
+      (0 until 5).map(i => (i.toLong, "p0", i)).toDF("id", "part", "n"),
+      keys = Seq("id"), partitionCol = "part", retainVersions = 8)
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val sink: (DataFrame, Long) => Unit = (b, _) => got.synchronized {
+      got ++= b.select(col("n").cast("long")).as[Long].collect()
+    }
+    val q = spark.readStream.format("graft-manifest").option("path", up).load()
+      .writeStream.foreachBatch(sink)
+      .option("checkpointLocation", s"$d/ckpt").start()
+    try {
+      q.processAllAvailable()
+      assert(got.sorted.toList == (0L until 5L).toList, "snapshot under int schema")
+      // widen int -> long while the stream is RUNNING (its schema is
+      // pinned at int), then append a value past Int range: the batch
+      // must FAIL the stream, never emit an overflowed int
+      ManifestTable.widenColumn(spark, up, "n", org.apache.spark.sql.types.LongType,
+        retainVersions = 8)
+      ManifestTable.merge(spark, up, Seq((100L, "p1", 3000000000L)).toDF("id", "part", "n"),
+        keys = Seq("id"), partitionCol = "part", retainVersions = 8)
+      val e = intercept[Throwable](q.processAllAvailable())
+      assert(causeChain(e).exists(c => Option(c.getMessage)
+        .exists(_.contains("widened"))), s"got: $e")
+      assert(!got.exists(_ < 0L), "no overflowed value may have been emitted")
+    } finally q.stop()
+    // restart on the same checkpoint: the new source pins the widened
+    // schema; the failed batch replays and the long value arrives intact
+    drain(up, s"$d/ckpt", sink)
+    assert(got.contains(3000000000L),
+      s"restarted stream must deliver the widened value; got ${got.toList}")
+  }
+
   test("cdf mode replicates updates and MoR deletes exactly; update-then-delete nets") {
     val d = freshDir("cdf"); val up = s"$d/up"; val down = s"$d/down"
     ManifestTable.merge(spark, up, rows("p0", 0 until 10), keys = Seq("id"),
@@ -130,6 +165,46 @@ class ManifestStreamSpec extends AnyFunSuite {
     assert(batches.toList ==
       List((0L, 10L), (1L, 5L), (2L, 5L), (3L, 5L)),
       s"each catch-up batch must cover exactly one version: $batches")
+  }
+
+  test("maxDirsPerTrigger splits ONE giant commit across triggers with an " +
+    "identical final state; offsets survive a mid-version restart") {
+    val d = freshDir("dirs"); val up = s"$d/up"
+    ManifestTable.merge(spark, up, rows("p0", 0 until 4), keys = Seq("id"),
+      partitionCol = "part", retainVersions = 8)
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val sink: (DataFrame, Long) => Unit = (b, _) => {
+      val got = b.select("id").as[Long].collect()
+      batches.synchronized { batches += got.length.toLong; ids ++= got }
+    }
+    def drainCapped(ckpt: String): Unit = {
+      val q = spark.readStream.format("graft-manifest").option("path", up)
+        .option("maxDirsPerTrigger", "2").load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    drainCapped(s"$d/ckpt")
+    assert(batches.toList == List(4L), "initial snapshot is uncapped by design")
+    // ONE commit adding 5 partitions -> 3 capped batches (2, 2, 1)
+    ManifestTable.merge(spark, up,
+      (1 to 5).map(i => (100L + i, s"p$i", i * 1.0)).toDF("id", "part", "v"),
+      keys = Seq("id"), partitionCol = "part", retainVersions = 8)
+    drainCapped(s"$d/ckpt")
+    assert(batches.toList == List(4L, 2L, 2L, 1L),
+      s"one 5-dir commit must land as 2+2+1 under maxDirsPerTrigger=2; got $batches")
+    assert(ids.sorted.toList == ((0L until 4L) ++ (101L to 105L)).toList,
+      "sliced catch-up must emit every row exactly once")
+    // a restart mid-stream resumes from the checkpointed slice with no
+    // duplicates: add another 3-dir commit, drain, restart, drain
+    ManifestTable.merge(spark, up,
+      (6 to 8).map(i => (100L + i, s"p$i", i * 1.0)).toDF("id", "part", "v"),
+      keys = Seq("id"), partitionCol = "part", retainVersions = 8)
+    drainCapped(s"$d/ckpt")
+    drainCapped(s"$d/ckpt")
+    assert(ids.sorted.toList == ((0L until 4L) ++ (101L to 108L)).toList,
+      s"no duplicate or lost rows across capped restarts; got ${ids.sorted.toList}")
   }
 
   test("Trigger.AvailableNow drains to the current version and terminates") {

@@ -264,6 +264,29 @@ class RenameSpec extends AnyFunSuite {
         "never as the dead physical values")
   }
 
+  test("tombstones are DURABLE: re-add stays refused after later unrelated merges " +
+    "(props carry forward across commits)") {
+    val path = freshPath("durabledrop")
+    seed(path)
+    ManifestTable.dropColumn(spark, path, "v", retainVersions = 4)
+    // two unrelated plain merges after the drop — each commit must
+    // carry the tombstone forward, or the third merge would silently
+    // resurrect the dead physical values from retained dirs
+    ManifestTable.merge(spark, path, Seq((500L, "p0")).toDF("id", "part"),
+      keys = Seq("id"), partitionCol = "part", retainVersions = 4)
+    ManifestTable.merge(spark, path, Seq((501L, "p1", 7.0)).toDF("id", "part", "w"),
+      keys = Seq("id"), partitionCol = "part", retainVersions = 4)
+    val e = intercept[IllegalArgumentException](
+      ManifestTable.merge(spark, path,
+        Seq((502L, "p0", 2.0, 1.5)).toDF("id", "part", "w", "v"),
+        keys = Seq("id"), partitionCol = "part", retainVersions = 4))
+    assert(e.getMessage.contains("previously DROPPED"),
+      s"tombstone lost after intervening merges: ${e.getMessage}")
+    // old rows still resolve the additive column w as null, not as v
+    assert(ManifestTable.read(spark, path)
+      .filter(col("id") === 7L).select("w").collect().head.isNullAt(0))
+  }
+
   test("dropping a RENAMED column tombstones the physical field; guards hold") {
     val path = freshPath("renamedrop")
     seed(path)

@@ -284,6 +284,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(ManifestTable.read(spark, path).select("price").as[Double].collect().toSeq
       == Seq(120.0))
     assert(ManifestTable.readProps(spark, path)(StreamingIngest.StreamBatchIdProp) == "1")
+    // MAINTENANCE between commit and replay must not wipe the
+    // exactly-once watermark: land eth (batch 2), MoR-delete it, FOLD
+    // the debt, then replay batch 2 with poisoned data — still skipped
+    sink(Seq(("eth", ts("2024-01-02 01:00:00"), 50.0)).toDF("asset_id", "ts", "price"), 2L)
+    ManifestTable.deleteWhereMoR(spark, path, "day",
+      org.apache.spark.sql.functions.col("asset_id") === "eth", retainVersions = 4)
+    assert(ManifestTable.foldMoR(spark, path, "day", retainVersions = 4) > 0L)
+    assert(ManifestTable.readProps(spark, path)(StreamingIngest.StreamBatchIdProp) == "2",
+      "foldMoR must carry the durable stream watermark forward")
+    sink(frame(666.0), 2L)
+    assert(ManifestTable.read(spark, path).orderBy("asset_id")
+      .select("price").as[Double].collect().toSeq == Seq(120.0),
+      "a replayed batch after a fold must still be skipped (no 666, no eth)")
   }
 
   test("stream -> exactly-once manifest sink -> per-batch IncrementalAgg refresh " +
