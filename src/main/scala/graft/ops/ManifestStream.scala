@@ -88,17 +88,20 @@ class ManifestStreamProvider extends StreamSourceProvider with DataSourceRegiste
     val maxD = parameters.get("maxDirsPerTrigger").map(_.toLong)
     maxD.foreach(m => require(m >= 1,
       s"graft-manifest source: maxDirsPerTrigger must be >= 1, got $m"))
+    val maxB = parameters.get("maxBytesPerTrigger").map(_.toLong)
+    maxB.foreach(m => require(m >= 1,
+      s"graft-manifest source: maxBytesPerTrigger must be >= 1, got $m"))
     val startV = parameters.get("startingVersion").map(_.toLong)
     val skipChanges = parameters.get("skipChangeCommits").exists(_.toBoolean)
     require(!(skipChanges && cdf),
       "graft-manifest source: skipChangeCommits applies to append mode only — " +
         "cdf mode streams change commits as data, there is nothing to skip")
-    require(maxD.isEmpty || (!cdf && !skipChanges),
-      "graft-manifest source: maxDirsPerTrigger applies to plain append mode " +
-        "only (cdf batches are row-level change windows; skipChangeCommits " +
-        "walks whole commits)")
+    require((maxD.isEmpty && maxB.isEmpty) || (!cdf && !skipChanges),
+      "graft-manifest source: maxDirsPerTrigger/maxBytesPerTrigger apply to " +
+        "plain append mode only (cdf batches are row-level change windows; " +
+        "skipChangeCommits walks whole commits)")
     new ManifestStreamSource(sqlContext.sparkSession, tablePath(parameters), cdf, keys,
-      maxV, startV, skipChanges, maxD)
+      maxV, startV, skipChanges, maxD, maxB)
   }
 }
 
@@ -147,7 +150,8 @@ private[ops] class ManifestStreamSource(spark: SparkSession, path: String,
                                         maxVersionsPerTrigger: Option[Long] = None,
                                         startingVersion: Option[Long] = None,
                                         skipChangeCommits: Boolean = false,
-                                        maxDirsPerTrigger: Option[Long] = None)
+                                        maxDirsPerTrigger: Option[Long] = None,
+                                        maxBytesPerTrigger: Option[Long] = None)
     extends Source {
   import ManifestTable._
 
@@ -177,20 +181,53 @@ private[ops] class ManifestStreamSource(spark: SparkSession, path: String,
         (rank(f)._1 == rank(p)._1 && rank(f)._2 >= rank(p)._2))) floor = Some(p)
   }
 
+  private def slicing: Boolean =
+    maxDirsPerTrigger.isDefined || maxBytesPerTrigger.isDefined
+
+  /** The slice endpoint after emitting from index `from` of version
+    * `sliceV`'s key-sorted fresh set: include dirs until the dir cap
+    * is reached or cumulative bytes REACH the byte bound (soft max,
+    * always >= 1 dir — Delta's maxBytesPerTrigger contract). Byte
+    * sizes are driver-side listStatus metadata over only the window's
+    * dirs. */
+  private def sliceEnd(sliceV: Long, from: Long, fresh: Seq[String]): Long = {
+    val n = fresh.size.toLong
+    val byDirs = maxDirsPerTrigger.map(from + _).getOrElse(n)
+    val byBytes = maxBytesPerTrigger match {
+      case None => n
+      case Some(bound) =>
+        val entries = dataEntries(readManifest(fs, path, sliceV)).toMap
+        var i = from
+        var acc = 0L
+        while (i < n && acc < bound) {
+          val d = dirOf(entries(fresh(i.toInt)))
+          acc += fs.listStatus(new Path(s"$path/$d")).iterator.map(_.getLen).sum
+          i += 1
+        }
+        i
+    }
+    math.min(n, math.min(byDirs, byBytes))
+  }
+
   override def getOffset: Option[OffsetV1] =
     latestVersion(fs, path).flatMap { latest =>
-      (maxDirsPerTrigger, floor) match {
-        case (Some(m), Some((fv, femit))) =>
+      floor match {
+        case Some((fv, femit)) if slicing =>
           femit match {
             case Some(k) => // resume inside version fv
-              val n = sortedFresh(fv - 1, fv).size.toLong
-              Some(if (k + m >= n) LongOffset(fv) else DirBoundOffset(fv, k + m))
+              val fresh = sortedFresh(fv - 1, fv)
+              val end = sliceEnd(fv, k, fresh)
+              Some(if (end >= fresh.size.toLong) LongOffset(fv)
+                   else DirBoundOffset(fv, end))
             case None if latest > fv => // advance ONE version, sliced
               stepFresh(fv, fv + 1) match {
-                case Right(fresh) if fresh.size.toLong > m =>
-                  Some(DirBoundOffset(fv + 1, m))
-                case _ => Some(LongOffset(fv + 1)) // small step, or let
-                  // getBatch raise the non-append error with context
+                case Right(freshSet) =>
+                  val fresh = freshSet.toSeq.sorted
+                  val end = sliceEnd(fv + 1, 0L, fresh)
+                  Some(if (end >= fresh.size.toLong) LongOffset(fv + 1)
+                       else DirBoundOffset(fv + 1, end))
+                case _ => Some(LongOffset(fv + 1)) // let getBatch raise
+                  // the non-append error with context
               }
             case None => Some(LongOffset(fv)) // caught up: no new batch
           }

@@ -8784,6 +8784,88 @@ object ExtQueries {
       |FROM ev GROUP BY day ORDER BY day""".stripMargin
 
   // ----------------------------------------------------------------
+  // q198_zorder — MULTI-DIMENSIONAL Z-ORDER RE-CLUSTERING
+  // (ManifestTable.clusterZOrder, Delta OPTIMIZE ZORDER's layout): a
+  // day-partitioned events table — where ONLY time filters can skip —
+  // rewrites into 2^(3·2) z-dirs keyed by interleaved (user_id, value)
+  // rank bits, after which selective probes on EITHER column prune
+  // most dirs through the committed zone maps. The gate passes
+  // EXPLICIT fixed-width ranks so the entire layout is SQL-
+  // reproducible: the oracle recomputes each z-bucket's min/max and
+  // derives kept_u / kept_v / dirs_total itself (footer stats are
+  // exact per dir), next to both probes' SQL-recomputed aggregates.
+  // ----------------------------------------------------------------
+  def q198Zorder(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:q198_zorder") {
+      q198ZorderBuild(spark, dir)
+    }
+
+  private def q198ZorderBuild(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{GraftFileIndex, ManifestTable}
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id").cast("long").as("user_id"),
+        date_trunc("day", col("ts")).as("day"), col("value"))
+    val path = java.nio.file.Files.createTempDirectory("graft_q198_").toString + "/table"
+    ManifestTable.merge(spark, path, ev, keys = Seq("event_id"), partitionCol = "day",
+      retainVersions = 4)
+    val ru = least(lit(7), floor(col("user_id") / lit(20))).cast("int")
+    val rv = least(lit(7), floor(col("value") / lit(64))).cast("int")
+    ManifestTable.clusterZOrder(spark, path, Seq("user_id", "value"), bits = 3,
+      ranks = Some(Seq(ru, rv)), retainVersions = 4)
+    def evidence(df: DataFrame): (Long, Long) = {
+      df.collect()
+      val prunes = df.queryExecution.sparkPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s.relation.location
+      }.collect { case g: GraftFileIndex => g.lastPrune }.flatten
+      require(prunes.nonEmpty, "q198: no GraftFileIndex saw a filtered listFiles")
+      (prunes.map(_._1).sum, prunes.map(_._2).sum)
+    }
+    val pU = ManifestTable.read(spark, path)
+      .where(col("user_id") >= 40L && col("user_id") <= 59L)
+      .agg(count(lit(1)).as("n_u"),
+        coalesce(sum(floor(col("value") * lit(1e3)).cast("long")), lit(0L)).as("sum_u_e3"))
+    val pV = ManifestTable.read(spark, path).where(col("value") >= 448.0)
+      .agg(count(lit(1)).as("n_v"),
+        coalesce(sum(floor(col("value") * lit(1e3)).cast("long")), lit(0L)).as("sum_v_e3"))
+    val (keptU, total) = evidence(pU)
+    val (keptV, _) = evidence(pV)
+    pU.crossJoin(pV)
+      .withColumn("kept_u", lit(keptU))
+      .withColumn("kept_v", lit(keptV))
+      .withColumn("dirs_total", lit(total))
+  }
+
+  val q198ZorderSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, CAST(user_id AS BIGINT) AS user_id, value FROM events),
+      |r AS (
+      |  SELECT *, CAST(least(7, floor(user_id / 20)) AS INT) AS ru,
+      |         CAST(least(7, floor(value / 64)) AS INT) AS rv
+      |  FROM ev),
+      |z AS (
+      |  SELECT *, ((ru & 1) << 0) | (((ru >> 1) & 1) << 2) | (((ru >> 2) & 1) << 4)
+      |          | ((rv & 1) << 1) | (((rv >> 1) & 1) << 3) | (((rv >> 2) & 1) << 5)
+      |          AS zb
+      |  FROM r),
+      |zstat AS (
+      |  SELECT zb, min(user_id) AS mnu, max(user_id) AS mxu,
+      |         min(value) AS mnv, max(value) AS mxv
+      |  FROM z GROUP BY zb)
+      |SELECT
+      |  (SELECT CAST(count(*) AS BIGINT) FROM ev
+      |     WHERE user_id BETWEEN 40 AND 59) AS n_u,
+      |  (SELECT CAST(coalesce(sum(CAST(floor(value * 1e3) AS BIGINT)), 0) AS BIGINT)
+      |     FROM ev WHERE user_id BETWEEN 40 AND 59) AS sum_u_e3,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM ev WHERE value >= 448.0) AS n_v,
+      |  (SELECT CAST(coalesce(sum(CAST(floor(value * 1e3) AS BIGINT)), 0) AS BIGINT)
+      |     FROM ev WHERE value >= 448.0) AS sum_v_e3,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM zstat
+      |     WHERE mxu >= 40 AND mnu <= 59) AS kept_u,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM zstat WHERE mxv >= 448.0) AS kept_v,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM zstat) AS dirs_total""".stripMargin
+
+  // ----------------------------------------------------------------
   // q181_column_rename — METADATA-ONLY COLUMN RENAME (ManifestTable.
   // renameColumn): Iceberg-style name mapping — the committed schema
   // renames, a rename.map table property maps the current name to the

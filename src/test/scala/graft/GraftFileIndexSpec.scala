@@ -247,6 +247,44 @@ class GraftFileIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("clusterZOrder: after re-clustering, selective probes on EITHER column " +
+    "prune dirs; content is preserved exactly") {
+    val path = freshPath("zorder")
+    // 256 rows over (a, b) = a uniform 16x16 grid, day-partitioned
+    // badly for both columns (the i*37%101 scramble gives every day the
+    // FULL a and b ranges, so day zone maps cannot prune either probe)
+    val rows = (0 until 256).map { i =>
+      (i.toLong, ts(f"2024-01-${i * 37 % 101 % 4 + 1}%02d"),
+        (i % 16).toDouble, (i / 16).toDouble)
+    }.toDF("id", "day", "a", "b")
+    ManifestTable.merge(spark, path, rows, Seq("id"), "day",
+      statsColumns = Seq("a", "b"))
+    // badly-clustered baseline: an `a` probe keeps every day dir
+    val pre = ManifestTable.read(spark, path).where(col("a") >= 14.0)
+    val (kPre, tPre) = evidence(pre)
+    assert(kPre == tPre && tPre == 4L, "day layout cannot prune an `a` probe")
+    val dirs = ManifestTable.clusterZOrder(spark, path, Seq("a", "b"), bits = 2,
+      retainVersions = 4)
+    assert(dirs > 1L && dirs <= 16L, s"2-bit 2-col z-space has <= 16 dirs; got $dirs")
+    val zread = ManifestTable.read(spark, path)
+    assert(zread.select("id").as[Long].collect().sorted.toSeq ==
+      (0L until 256L), "re-clustering must preserve every row")
+    // both single-column probes now prune through the zone maps
+    val pa = zread.where(col("a") >= 14.0)
+    val (ka, ta) = evidence(pa)
+    assert(ka < ta, s"`a` probe must prune after z-order ($ka/$ta)")
+    assert(pa.count() == 32L)
+    val pb = ManifestTable.read(spark, path).where(col("b") < 2.0)
+    val (kb, tb) = evidence(pb)
+    assert(kb < tb, s"`b` probe must prune after z-order ($kb/$tb)")
+    assert(pb.count() == 32L)
+    // guards: one column refuses; oversize z-space refuses
+    assert(intercept[IllegalArgumentException](
+      ManifestTable.clusterZOrder(spark, path, Seq("a"))).getMessage.contains(">= 2"))
+    assert(intercept[IllegalArgumentException](ManifestTable.clusterZOrder(
+      spark, path, Seq("a", "b"), bits = 11)).getMessage.contains("20"))
+  }
+
   test("readJoinPruned probes a dim's key set against zone maps AND blooms; " +
     "empty dim prunes all, oversize dim refuses") {
     val path = freshPath("joinprune")

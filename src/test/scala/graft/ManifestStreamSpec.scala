@@ -207,6 +207,41 @@ class ManifestStreamSpec extends AnyFunSuite {
       s"no duplicate or lost rows across capped restarts; got ${ids.sorted.toList}")
   }
 
+  test("maxBytesPerTrigger bounds a batch by dir bytes (soft max, >= 1 dir)") {
+    val d = freshDir("bytes"); val up = s"$d/up"
+    ManifestTable.merge(spark, up, rows("p0", 0 until 4), keys = Seq("id"),
+      partitionCol = "part", retainVersions = 8)
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val sink: (DataFrame, Long) => Unit = (b, _) => batches.synchronized {
+      batches += b.count()
+    }
+    def drainBytes(bound: String): Unit = {
+      val q = spark.readStream.format("graft-manifest").option("path", up)
+        .option("maxBytesPerTrigger", bound).load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", s"$d/ckpt").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    drainBytes("1") // snapshot is uncapped
+    assert(batches.toList == List(4L))
+    // ONE commit of 4 new partitions; a 1-byte bound forces ONE dir
+    // (= 5 rows) per trigger — 4 batches
+    ManifestTable.merge(spark, up,
+      (1 to 4).flatMap(p => (0 until 5).map(i => (100L * p + i, s"q$p", i * 1.0)))
+        .toDF("id", "part", "v"),
+      keys = Seq("id"), partitionCol = "part", retainVersions = 8)
+    drainBytes("1")
+    assert(batches.toList == List(4L, 5L, 5L, 5L, 5L),
+      s"1-byte bound must slice per dir; got $batches")
+    // a huge bound drains one further commit as a single batch
+    ManifestTable.merge(spark, up,
+      (5 to 6).map(p => (100L * p, s"q$p", 0.0)).toDF("id", "part", "v"),
+      keys = Seq("id"), partitionCol = "part", retainVersions = 8)
+    drainBytes((1L << 30).toString)
+    assert(batches.toList == List(4L, 5L, 5L, 5L, 5L, 2L),
+      s"a 1 GiB bound must not slice; got $batches")
+  }
+
   test("Trigger.AvailableNow drains to the current version and terminates") {
     val d = freshDir("availnow"); val up = s"$d/up"
     ManifestTable.merge(spark, up, rows("p0", 0 until 10), keys = Seq("id"),
