@@ -8411,6 +8411,110 @@ object ExtQueries {
       |ORDER BY query_id""".stripMargin
 
   // ----------------------------------------------------------------
+  // q199_streaming_ann — STREAMING ANN-INDEX MAINTENANCE: the
+  // manifest streaming source (q188) composed with the persisted IVF
+  // store (q178), so a vector index FOLLOWS its corpus table
+  // incrementally — the 100 TB answer to "the embedding table grows
+  // every hour; nobody re-scans it to keep search fresh".
+  //   1. an embeddings manifest lands 80% of the corpus; trainCommit
+  //      builds centroids + index on that snapshot (atomic two-table
+  //      txn);
+  //   2. a graft-manifest stream pinned at startingVersion=1 feeds
+  //      each append commit through IvfStore.appendBatch — assignment
+  //      is batch x broadcast(centroids), merges touch ONLY the hit
+  //      list partitions, NEVER the corpus so far;
+  //   3. two later commits (two waves of new vectors) arrive as two
+  //      batches; a manual RE-DELIVERY of the last wave proves the
+  //      LWW-keyed append idempotent (row count unchanged);
+  //   4. committed-index search over the final corpus clears the
+  //      q178 recall floor vs the exact oracle; the O(1) drift check
+  //      reports the growth and fires at the tight threshold.
+  // ----------------------------------------------------------------
+  def q199StreamingAnn(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:q199_streaming_ann") {
+      q199StreamingAnnBuild(spark, dir)
+    }
+
+  private def q199StreamingAnnBuild(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.IvfStore
+    import graft.ops.ManifestTable
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("pb", (col("vec_id") % 10).cast("string"))
+    val root = java.nio.file.Files.createTempDirectory("graft_q199_").toString
+    val up = s"$root/corpus"; val base = s"$root/ivf"
+    // 80% snapshot (pb 1-4, 6-9); waves land pb=0 then pb=5 — commit-
+    // disjoint partitions, so the stream sees pure appends
+    ManifestTable.merge(spark, up, emb.filter(col("vec_id") % 5 =!= 0),
+      keys = Seq("vec_id"), partitionCol = "pb", retainVersions = 8)
+    IvfStore.trainCommit(spark, base, ManifestTable.read(spark, up), k = 16, iters = 3)
+    val appended = new java.util.concurrent.atomic.AtomicLong(0L)
+    val batches = new java.util.concurrent.atomic.AtomicLong(0L)
+    val sink: (DataFrame, Long) => Unit = (b, _) => {
+      val batch = b.select(col("vec_id"), col("embedding"))
+      if (!batch.isEmpty) {
+        val r = IvfStore.appendBatch(spark, base, batch)
+        appended.addAndGet(r.rowsAssigned); batches.incrementAndGet()
+      }
+    }
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-manifest").option("path", up)
+        .option("startingVersion", "1").load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", s"$root/ckpt").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    ManifestTable.merge(spark, up, emb.filter(col("vec_id") % 10 === 0),
+      keys = Seq("vec_id"), partitionCol = "pb", retainVersions = 8)
+    drain()
+    ManifestTable.merge(spark, up, emb.filter(col("vec_id") % 10 === 5),
+      keys = Seq("vec_id"), partitionCol = "pb", retainVersions = 8)
+    drain()
+    // idempotence: re-deliver the last wave by hand — LWW keyed merge,
+    // the index row count must not move
+    val before = ManifestTable.fastCount(spark, IvfStore.indexPath(base)).rows
+    IvfStore.appendBatch(spark, base,
+      emb.filter(col("vec_id") % 10 === 5).select(col("vec_id"), col("embedding")))
+    val after = ManifestTable.fastCount(spark, IvfStore.indexPath(base))
+    val dc = IvfStore.needsRetrain(spark, base, growthFactor = 1.2)
+    val k = 10
+    val exact = exactTop10(spark, dir).select(col("query_id"), col("neighbor_id"))
+    val approx = IvfStore.searchCommitted(spark, base,
+        emb.filter(col("vec_id") < 10), k, nProbe = 4)
+      .select(col("query_id"), col("neighbor_id")).withColumn("__hit", lit(1))
+    exact.join(broadcast(approx), Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("__hit"), lit(0))).as("hits"))
+      .select(col("query_id").cast("long").as("query_id"),
+        (col("hits").cast("double") / lit(k.toDouble) >= lit(0.5)).as("pass"))
+      .withColumn("stream_batches", lit(batches.get()))
+      .withColumn("rows_appended", lit(appended.get()))
+      .withColumn("idempotent", lit(before == after.rows))
+      .withColumn("count_metadata_only", lit(after.metadataOnly))
+      .withColumn("trained_rows", lit(dc.trainedRows))
+      .withColumn("indexed_rows", lit(dc.indexedRows))
+      .withColumn("retrain_at_120", lit(dc.retrain))
+      .orderBy(col("query_id"))
+  }
+
+  val q199StreamingAnnSql: String =
+    """WITH m AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS indexed,
+      |    CAST(count(*) FILTER (vec_id % 5 <> 0) AS BIGINT) AS trained,
+      |    CAST(count(*) FILTER (vec_id % 5 = 0) AS BIGINT) AS waves
+      |  FROM embeddings)
+      |SELECT CAST(vec_id AS BIGINT) AS query_id, TRUE AS pass,
+      |  CAST(2 AS BIGINT) AS stream_batches,
+      |  (SELECT waves FROM m) AS rows_appended,
+      |  TRUE AS idempotent,
+      |  TRUE AS count_metadata_only,
+      |  (SELECT trained FROM m) AS trained_rows,
+      |  (SELECT indexed FROM m) AS indexed_rows,
+      |  (SELECT CAST(indexed AS DOUBLE) / trained > 1.2 FROM m) AS retrain_at_120
+      |FROM embeddings WHERE vec_id < 10
+      |ORDER BY query_id""".stripMargin
+
+  // ----------------------------------------------------------------
   // q179_mor_update — MERGE-ON-READ UPDATE (ManifestTable.
   // updateWhereMoR): the Iceberg-v2 update form — DV the matched
   // positions + append the updated rows as an `__aux` appendix, one
