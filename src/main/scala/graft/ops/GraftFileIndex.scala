@@ -138,6 +138,49 @@ object GraftFileIndex {
   private[ops] def daysOf(l: Literal): Option[Int] =
     if (l.value == null || l.dataType != DateType) None
     else Some(l.value.asInstanceOf[Int])
+
+  /** Unwraps `date_trunc(unit, ts)` — the dashboard time filter
+    * (`date_trunc('day', ts) = TIMESTAMP '…'`). Monotone
+    * non-injective like [[TsAsDate]]. */
+  private[ops] object TruncTs {
+    def unapply(e: Expression): Option[(AttributeReference, String, String)] = e match {
+      case t @ TruncTimestamp(Literal(fmt, StringType), a: AttributeReference, _)
+          if a.dataType == TimestampType && fmt != null =>
+        Some((a, fmt.toString.toLowerCase(java.util.Locale.ROOT),
+          t.timeZoneId.getOrElse("UTC")))
+      case _ => None
+    }
+  }
+
+  /** `(floor, next-boundary)` in epoch micros of trunc-unit `unit`
+    * around instant `tMicros` in `zone`; None for units this prunes
+    * conservatively on (week variants, quarters, sub-hour). */
+  private[ops] def truncBounds(unit: String, tMicros: Long,
+                               zone: String): Option[(Long, Long)] = {
+    val z = java.time.ZoneId.of(zone)
+    def micros(x: java.time.chrono.ChronoZonedDateTime[_]): Long = {
+      val i = x.toInstant
+      Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L), i.getNano / 1000L)
+    }
+    val zdt = java.time.Instant.ofEpochSecond(Math.floorDiv(tMicros, 1000000L),
+      Math.floorMod(tMicros, 1000000L) * 1000L).atZone(z)
+    val d = zdt.toLocalDate
+    val win = unit match {
+      case "day" | "dd" =>
+        Some((d.atStartOfDay(z), d.plusDays(1).atStartOfDay(z)))
+      case "hour" =>
+        val h = zdt.truncatedTo(java.time.temporal.ChronoUnit.HOURS)
+        Some((h, h.plusHours(1)))
+      case "month" | "mon" | "mm" =>
+        val m = d.withDayOfMonth(1)
+        Some((m.atStartOfDay(z), m.plusMonths(1).atStartOfDay(z)))
+      case "year" | "yyyy" | "yy" =>
+        val y = d.withDayOfYear(1)
+        Some((y.atStartOfDay(z), y.plusYears(1).atStartOfDay(z)))
+      case _ => None
+    }
+    win.map { case (lo, hi) => (micros(lo), micros(hi)) }
+  }
 }
 
 final class GraftFileIndex(tableRoot: Path,
@@ -236,8 +279,31 @@ final class GraftFileIndex(tableRoot: Path,
       dayWin(a, z, l, en).exists { case (_, mx, lo, _) => mx < lo }
     case In(TsAsDate(a, z), vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
       vs.forall(v => exclDay(a, z, v.asInstanceOf[Literal], en))
+    // ---- date_trunc(unit, ts) = TIMESTAMP-literal ------------------
+    case EqualTo(TruncTs(a, u, z), l: Literal) => exclTrunc(a, u, z, l, en)
+    case EqualTo(l: Literal, TruncTs(a, u, z)) => exclTrunc(a, u, z, l, en)
+    case In(TruncTs(a, u, z), vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+      vs.forall(v => exclTrunc(a, u, z, v.asInstanceOf[Literal], en))
     case _ => false
   }
+
+  /** `date_trunc(unit, ts) = T`: when T is unit-aligned the predicate
+    * selects `ts ∈ [T, next-boundary)` — range-check the committed
+    * micros bounds; when T is NOT aligned the predicate is FALSE for
+    * every row (trunc output is always aligned), so every dir
+    * excludes regardless of stats. */
+  private def exclTrunc(a: AttributeReference, unit: String, zone: String,
+                        l: Literal, en: EntryMeta): Boolean =
+    (if (l.dataType == TimestampType) numOf(l) else None) match {
+      case None => false
+      case Some(v) =>
+        truncBounds(unit, v.toLongExact, zone) match {
+          case None => false
+          case Some((lo, _)) if lo != v.toLongExact => true // unsatisfiable
+          case Some((lo, hi)) =>
+            en.stats.get(a.name).exists { case (mn, mx) => mx < lo || mn >= hi }
+        }
+    }
 
   private def bounds(name: String, l: Literal,
                      en: EntryMeta): Option[(BigDecimal, BigDecimal, BigDecimal)] =

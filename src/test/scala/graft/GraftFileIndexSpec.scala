@@ -229,6 +229,24 @@ class GraftFileIndexSpec extends AnyFunSuite {
     val (kT, _) = evidence(tsGe)
     assert(kT == 1L && tsGe.count() == 2L,
       s"timestamp range must prune via INT64-micros footer stats; kept $kT")
+    // date_trunc('day', ts) = aligned TIMESTAMP: window-translates
+    val tr = ManifestTable.read(spark, path)
+      .where(date_trunc("day", col("day")) === lit(ts("2024-01-02")))
+    val (kD, _) = evidence(tr)
+    assert(kD == 1L && tr.select("id").as[Long].collect().toSet == Set(3L, 4L))
+    // a NON-aligned literal makes the predicate unsatisfiable: every
+    // dir prunes and the result is a schema'd empty frame
+    val bad = ManifestTable.read(spark, path)
+      .where(date_trunc("day", col("day")) ===
+        lit(java.sql.Timestamp.valueOf("2024-01-02 13:30:00")))
+    val (kB, _) = evidence(bad)
+    assert(kB == 0L && bad.count() == 0L,
+      "trunc-to-day can never equal a mid-day instant")
+    // month window: every day of January collapses into one bucket
+    val mo = ManifestTable.read(spark, path)
+      .where(date_trunc("month", col("day")) === lit(ts("2024-01-01")))
+    val (kM, tM) = evidence(mo)
+    assert(kM == tM && mo.count() == 6L, "all dirs are inside 2024-01")
   }
 
   test("inputFiles returns percent-escaped URIs (PartitioningAwareFileIndex " +
