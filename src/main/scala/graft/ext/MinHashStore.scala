@@ -1,0 +1,205 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.ManifestTable
+
+/** PERSISTED MinHash-LSH DEDUP INDEX — [[IvfStore]]'s pattern for the
+  * near-duplicate family: commit a corpus's LSH band index and
+  * shingle sets as manifest tables ONCE, then dedup every incoming
+  * batch against the full corpus WITHOUT re-reading it. The
+  * reference-scale posture ([[Dedup.shingled]]'s "persist this frame
+  * next to the corpus" note) made concrete:
+  *
+  *   - `bands` table: one row per (doc, band) carrying the band's
+  *     bucket hash, partitioned by `pmod(bucket, nBuckets)` with zone
+  *     maps + blooms on `bucket` — a probe batch's bucket IN-list
+  *     prunes whole dirs through the automatic skipping path
+  *     ([[graft.ops.GraftFileIndex]]) and row-groups through parquet
+  *     pushdown;
+  *   - `shingles` table: one row per doc (its shingle set), same
+  *     layout on `doc_id` — candidate verification fetches ONLY the
+  *     hit docs' shingles, never the corpus;
+  *   - both tables commit ATOMICALLY ([[graft.ops.ManifestTxn]] over
+  *     `base/_txn`) — a bands/shingles version skew would verify
+  *     candidates against missing shingle rows.
+  *
+  * Probe cost at 100 TB: |batch|·numBands bucket keys (driver-bounded
+  * — the batch is the small side by contract), a dir-pruned scan of
+  * the hit band partitions, then a dir-pruned shingle fetch of only
+  * the candidates. The corpus never shuffles and is never re-scanned.
+  * Band parameters are committed as table properties so probes can
+  * never mismatch the index's layout.
+  */
+object MinHashStore {
+
+  val BandsProp = "minhash.bands"
+  val RProp = "minhash.r"
+  val ShingleNProp = "minhash.shingle_n"
+  val BucketsProp = "minhash.buckets"
+
+  def bandsPath(base: String): String = s"$base/bands"
+  def shinglesPath(base: String): String = s"$base/shingles"
+
+  private def params(spark: SparkSession, base: String): (Int, Int, Int, Int) = {
+    val p = ManifestTable.readProps(spark, bandsPath(base))
+    def get(k: String) = p.getOrElse(k, sys.error(
+      s"MinHashStore: no $k property under $base — not a MinHashStore index")).toInt
+    (get(BandsProp), get(RProp), get(ShingleNProp), get(BucketsProp))
+  }
+
+  private def bandRows(sh: DataFrame, numBands: Int, r: Int,
+                       nBuckets: Int): DataFrame =
+    Dedup.bandedFrame(sh, numBands, r)
+      .select(col("__id").as("doc_id"), col("__b.band").as("band"),
+        col("__b.bucket").as("bucket"))
+      .withColumn("pb", pmod(col("bucket"), lit(nBuckets.toLong)).cast("string"))
+
+  private def shingleRows(sh: DataFrame, nBuckets: Int): DataFrame =
+    sh.select(col("__id").as("doc_id"), col("__sh").as("sh"))
+      .withColumn("pb", pmod(col("doc_id"), lit(nBuckets.toLong)).cast("string"))
+
+  /** Shingle, sign, band and COMMIT `corpus` as the two index tables
+    * (atomic two-table transaction). One corpus pass; parameters are
+    * committed so every later probe/append reuses them. */
+  def buildCommit(spark: SparkSession, base: String, corpus: DataFrame,
+                  numBands: Int = 16, r: Int = 4, shingleN: Int = 3,
+                  nBuckets: Int = 16, bloomBits: Int = 1 << 16,
+                  textCol: String = "text", idCol: String = "doc_id"): Unit = {
+    val sh = graft.ops.Intermediates.shared(
+      Dedup.shingled(corpus, shingleN, textCol, idCol))
+    val props = Map(BandsProp -> numBands.toString, RProp -> r.toString,
+      ShingleNProp -> shingleN.toString, BucketsProp -> nBuckets.toString)
+    // A probe throws |batch|·numBands keys at every dir's bloom, so
+    // the filter must be sized for the PROBE fan-out, not a single
+    // lookup: 64 Kbit/dir keeps the per-key FP low enough that a
+    // whole probe's expected false keeps stay ≪ 1 dir.
+    graft.ops.ManifestTxn.run(spark, s"$base/_txn") {
+      ManifestTable.merge(spark, bandsPath(base), bandRows(sh, numBands, r, nBuckets),
+        keys = Seq("doc_id", "band"), partitionCol = "pb", props = props,
+        statsColumns = Seq("bucket"), bloomColumns = Seq("bucket"),
+        bloomBits = bloomBits)
+      ManifestTable.merge(spark, shinglesPath(base), shingleRows(sh, nBuckets),
+        keys = Seq("doc_id"), partitionCol = "pb", props = props,
+        statsColumns = Seq("doc_id"), bloomColumns = Seq("doc_id"),
+        bloomBits = bloomBits)
+    }
+    graft.ops.Intermediates.release(sh)
+  }
+
+  /** A [[probeBatch]] result: the verified near-dup pairs
+    * (new_id, corpus_id, jaccard — EXACT jaccard from stored shingle
+    * sets, the same verification [[Dedup.nearDupTextAgainst]] runs),
+    * the probe's bounded driver footprint, and the dir-pruning
+    * evidence of both index scans ((kept, total) off the automatic
+    * skipping index). */
+  final case class ProbeResult(pairs: DataFrame, bucketKeys: Long, candidates: Long,
+                               bandPrune: (Long, Long), shinglePrune: (Long, Long))
+
+  private def pruneOf(df: DataFrame): (Long, Long) = {
+    val prunes = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s.relation.location
+    }.collect { case g: graft.ops.GraftFileIndex => g.lastPrune }.flatten
+    (prunes.map(_._1).sum, prunes.map(_._2).sum)
+  }
+
+  /** Near-dup `newDocs` against the COMMITTED corpus index: the
+    * batch's band buckets probe the bands table (dir-pruned via the
+    * committed zone maps/blooms — an IN-list over `bucket`), matching
+    * (band, bucket) rows become candidates, and ONLY the candidate
+    * docs' shingle rows are fetched for exact-jaccard verification.
+    * The corpus text is never touched. */
+  def probeBatch(spark: SparkSession, base: String, newDocs: DataFrame,
+                 threshold: Double = 0.7,
+                 textCol: String = "text", idCol: String = "doc_id"): ProbeResult = {
+    val (numBands, r, shingleN, nBuckets) = params(spark, base)
+    val sh = graft.ops.Intermediates.shared(
+      Dedup.shingled(newDocs, shingleN, textCol, idCol))
+    val banded = graft.ops.Intermediates.shared(bandRows(sh, numBands, r, nBuckets))
+    // bounded: |batch| * numBands keys — the small side by contract
+    val keys = banded.select(col("bucket")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    import spark.implicits._
+    // bounded: the LSH candidate pairs of ONE batch
+    val candsDf =
+      if (keys.isEmpty) None
+      else Some(ManifestTable.read(spark, bandsPath(base))
+        .where(col("bucket").isInCollection(keys)) // dirs prune automatically
+        .as("c")
+        .join(banded.as("p"),
+          col("c.bucket") === col("p.bucket") && col("c.band") === col("p.band"))
+        .select(col("p.doc_id").as("new_id"), col("c.doc_id").as("corpus_id"))
+        .dropDuplicates("new_id", "corpus_id"))
+    val cands: Array[(Long, Long)] = candsDf
+      .map(_.collect().map(r => (r.getLong(0), r.getLong(1)))).getOrElse(Array.empty)
+    val bandPrune = candsDf.map(pruneOf).getOrElse((0L, 0L))
+    var shinglePrune = (0L, 0L)
+    val pairs =
+      if (cands.isEmpty)
+        Seq.empty[(Long, Long, Double)].toDF("new_id", "corpus_id", "jaccard")
+      else {
+        val cdf = cands.toSeq.toDF("new_id", "corpus_id")
+        val cids = cands.map(_._2).distinct.toSeq
+        val corpusSh = ManifestTable.read(spark, shinglesPath(base))
+          .where(col("doc_id").isInCollection(cids)) // dir-pruned fetch
+          .select(col("doc_id").as("corpus_id"), col("sh").as("__shb"))
+        val raw = broadcast(cdf)
+          .join(sh.select(col("__id").as("new_id"), col("__sh").as("__sha")), Seq("new_id"))
+          .join(corpusSh, Seq("corpus_id"))
+          .withColumn("jaccard", Dedup.jaccard(col("__sha"), col("__shb")))
+          .filter(col("jaccard") >= threshold)
+          .select(col("new_id"), col("corpus_id"), col("jaccard"))
+        val mat = raw.localCheckpoint() // executes the shingle scan:
+        // evidence is readable and the result no longer references sh
+        shinglePrune = pruneOf(raw)
+        mat
+      }
+    graft.ops.Intermediates.release(banded)
+    graft.ops.Intermediates.release(sh)
+    ProbeResult(pairs, keys.size.toLong, cands.length.toLong,
+      bandPrune, shinglePrune)
+  }
+
+  /** An [[appendBatch]] result: rows landed in each table and the
+    * band partitions the merge touched. */
+  final case class AppendResult(bandRows: Long, docRows: Long,
+                                bandDirsTouched: Set[String])
+
+  /** Index `newDocs` into the committed tables (after [[probeBatch]]
+    * decided what survives): one atomic two-table commit touching
+    * only the hit `pmod` partitions; LWW-keyed, so a re-delivered
+    * batch is idempotent. */
+  def appendBatch(spark: SparkSession, base: String, newDocs: DataFrame,
+                  bloomBits: Int = 1 << 16,
+                  textCol: String = "text", idCol: String = "doc_id"): AppendResult = {
+    val (numBands, r, shingleN, nBuckets) = params(spark, base)
+    // the layout params must survive this commit (props are
+    // per-commit for non-durable keys) — re-state them
+    val props = Map(BandsProp -> numBands.toString, RProp -> r.toString,
+      ShingleNProp -> shingleN.toString, BucketsProp -> nBuckets.toString)
+    val sh = graft.ops.Intermediates.shared(
+      Dedup.shingled(newDocs, shingleN, textCol, idCol))
+    val bands = bandRows(sh, numBands, r, nBuckets).localCheckpoint()
+    val docs = shingleRows(sh, nBuckets).localCheckpoint()
+    val bandDirs = bands.select(col("pb")).distinct()
+      .collect().map(_.getString(0)).toSet // bounded <= nBuckets
+    val docDirs = docs.select(col("pb")).distinct()
+      .collect().map(_.getString(0)).toSet
+    graft.ops.ManifestTxn.run(spark, s"$base/_txn") {
+      ManifestTable.merge(spark, bandsPath(base), bands,
+        keys = Seq("doc_id", "band"), partitionCol = "pb", props = props,
+        knownTouched = Some(bandDirs),
+        statsColumns = Seq("bucket"), bloomColumns = Seq("bucket"),
+        bloomBits = bloomBits)
+      ManifestTable.merge(spark, shinglesPath(base), docs,
+        keys = Seq("doc_id"), partitionCol = "pb", props = props,
+        knownTouched = Some(docDirs),
+        statsColumns = Seq("doc_id"), bloomColumns = Seq("doc_id"),
+        bloomBits = bloomBits)
+    }
+    val out = AppendResult(bands.count(), docs.count(), bandDirs)
+    graft.ops.Intermediates.release(sh)
+    out
+  }
+}

@@ -46,7 +46,10 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   *     retained). `startingVersion=<v>` makes the first batch the
   *     increments since v instead of a snapshot;
   *     `maxVersionsPerTrigger=<n>` bounds catch-up batches (Delta's
-  *     maxFilesPerTrigger shape, best-effort across restarts).
+  *     maxFilesPerTrigger shape, best-effort across restarts);
+  *     `maxDirsPerTrigger=<n>` / `maxBytesPerTrigger=<b>` split even
+  *     ONE giant commit's fresh dirs across triggers via a composite
+  *     (version, dirs-emitted) offset ([[DirBoundOffset]]).
   *   - `mode=cdf` (`keys=<k1,k2,…>` required): each batch is
   *     [[ManifestTable.changes]] over `(startV, endV]` — row-level
   *     insert/delete/update_preimage/update_postimage with

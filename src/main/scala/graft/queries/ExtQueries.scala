@@ -1405,6 +1405,93 @@ object ExtQueries {
       |ORDER BY new_id, corpus_id""".stripMargin
 
   // ----------------------------------------------------------------
+  // q200_minhash_store — PERSISTED MinHash-LSH DEDUP INDEX
+  // (MinHashStore, IvfStore's pattern for the near-dup family): the
+  // corpus's band index + shingle sets commit ONCE as two manifest
+  // tables (atomic txn, blooms sized for probe fan-out); every later
+  // batch dedups against the FULL corpus by probing only the dirs
+  // its bucket IN-list can touch — the corpus text is never re-read,
+  // never re-shingled, never shuffled. Same split/params/threshold
+  // as q58, so the verified pairs equal q58's exact all-pairs oracle
+  // (the same empirical-equality argument). Evidence riding the hash:
+  //   - band_dirs_pruned / shingle_dirs_pruned: both index scans kept
+  //     FEWER dirs than the table holds (automatic skipping, measured);
+  //   - batch_band_rows / index_band_rows SQL-recomputed (16 rows per
+  //     shingled doc);
+  //   - idempotent: a re-delivered append leaves the metadata-only
+  //     row count unchanged (LWW-keyed merges).
+  // ----------------------------------------------------------------
+  def q200MinhashStore(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:q200_minhash_store") {
+      q200MinhashStoreBuild(spark, dir)
+    }
+
+  private def q200MinhashStoreBuild(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.ext.MinHashStore
+    import graft.ops.ManifestTable
+    val docs = Tables.documents(spark, dir)
+    val base = java.nio.file.Files.createTempDirectory("graft_q200_").toString + "/mh"
+    MinHashStore.buildCommit(spark, base, docs.filter(col("doc_id") % 10 =!= 0))
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val probe = MinHashStore.probeBatch(spark, base, batch, threshold = 0.7)
+    // a NOVEL doc's probe shares no bucket with the corpus: every band
+    // dir prunes (the q193 miss_kept=0 pattern; a 10%-of-corpus batch
+    // legitimately collides into every dir, so the miss probe is the
+    // deterministic pruning witness)
+    val novel = Seq((999999L, (0 until 30).map(i => s"zq$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val miss = MinHashStore.probeBatch(spark, base, novel)
+    val app = MinHashStore.appendBatch(spark, base, batch)
+    MinHashStore.appendBatch(spark, base, novel)
+    val n1 = ManifestTable.fastCount(spark, MinHashStore.bandsPath(base))
+    MinHashStore.appendBatch(spark, base, batch) // re-delivered batch
+    val n2 = ManifestTable.fastCount(spark, MinHashStore.bandsPath(base))
+    // self-probe of the indexed novel doc: exactly one shingle row is
+    // fetched, through a dir-pruned scan
+    val self = MinHashStore.probeBatch(spark, base, novel, threshold = 0.99)
+    val selfFound = self.pairs.select(col("corpus_id")).as[Long]
+      .collect().toSeq == Seq(999999L)
+    probe.pairs
+      .withColumn("band_miss_kept", lit(miss.bandPrune._1))
+      .withColumn("batch_band_rows", lit(app.bandRows))
+      .withColumn("index_band_rows", lit(n2.rows))
+      .withColumn("idempotent", lit(n1.rows == n2.rows && n2.metadataOnly))
+      .withColumn("self_found", lit(selfFound))
+      .withColumn("self_shingle_pruned",
+        lit(self.shinglePrune._1 < self.shinglePrune._2))
+      .orderBy(col("new_id"), col("corpus_id"))
+  }
+
+  val q200MinhashStoreSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id,
+      |         list_distinct(list_transform(range(1, len(toks) - 1),
+      |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      |  FROM d WHERE len(toks) >= 3),
+      |m AS (
+      |  SELECT CAST(16 * (count(*) + 1) AS BIGINT) AS all_rows,
+      |         CAST(16 * count(*) FILTER (doc_id % 10 = 0) AS BIGINT) AS batch_rows
+      |  FROM s),
+      |p AS (
+      |  SELECT a.doc_id AS new_id, b.doc_id AS corpus_id,
+      |         len(list_intersect(a.sh, b.sh)) * 1.0 / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+      |  FROM s a JOIN s b ON a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0)
+      |SELECT new_id, corpus_id, jaccard,
+      |  CAST(0 AS BIGINT) AS band_miss_kept,
+      |  (SELECT batch_rows FROM m) AS batch_band_rows,
+      |  (SELECT all_rows FROM m) AS index_band_rows,
+      |  TRUE AS idempotent,
+      |  TRUE AS self_found,
+      |  TRUE AS self_shingle_pruned
+      |FROM p WHERE jaccard >= 0.7
+      |ORDER BY new_id, corpus_id""".stripMargin
+
+  // ----------------------------------------------------------------
   // q59_jaccard_join — EXACT n-gram Jaccard similarity join at
   // threshold 0.5 (Dedup.jaccardJoinExact): inverted-index pair
   // count — |A∩B| is a hash-aggregate over the gram self-join, J a

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.MinHashStore
+import graft.ops.ManifestTable
+
+/** Persisted MinHash-LSH dedup index (MinHashStore): committed band +
+  * shingle tables, dir-pruned probes, exact-jaccard verification from
+  * stored shingles, idempotent appends.
+  */
+class MinHashStoreSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def freshBase(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_mhs_$tag").toString + "/mh"
+
+  /** 40 corpus docs of distinct random-ish text plus one planted
+    * near-dup target; a 3-doc batch where doc 1000 near-dups the
+    * planted corpus doc 7, and 1001/1002 are novel. */
+  private def corpus: Seq[(Long, String)] =
+    (0L until 40L).map { i =>
+      (i, (0 until 30).map(j => s"w${(i * 31 + j * 7) % 997}").mkString(" "))
+    }
+  private def batch: Seq[(Long, String)] = {
+    val near = corpus(7)._2.split(" ").toSeq.updated(29, "zzz").mkString(" ")
+    Seq((1000L, near),
+      (1001L, (0 until 30).map(j => s"n${j * 13 % 991}").mkString(" ")),
+      (1002L, (0 until 30).map(j => s"m${j * 17 % 983}").mkString(" ")))
+  }
+
+  test("probe finds the planted near-dup from the committed index with " +
+    "dir-pruned scans; appends are idempotent") {
+    val base = freshBase("e2e")
+    MinHashStore.buildCommit(spark, base, corpus.toDF("doc_id", "text"))
+    val probe = MinHashStore.probeBatch(spark, base, batch.toDF("doc_id", "text"))
+    val pairs = probe.pairs.select("new_id", "corpus_id").as[(Long, Long)]
+      .collect().toSet
+    assert(pairs == Set((1000L, 7L)),
+      s"only the planted near-dup must verify; got $pairs " +
+        s"(candidates=${probe.candidates}, bandPrune=${probe.bandPrune}, " +
+        s"shinglePrune=${probe.shinglePrune})")
+    assert(probe.pairs.select("jaccard").as[Double].head() >= 0.9)
+    // both index scans pruned dirs (the probe's keys cannot touch all)
+    assert(probe.bandPrune._1 < probe.bandPrune._2,
+      s"band scan must prune: ${probe.bandPrune}")
+    assert(probe.shinglePrune._1 < probe.shinglePrune._2,
+      s"shingle fetch must prune: ${probe.shinglePrune}")
+    // append twice: idempotent, and a re-probe now self-matches
+    val app = MinHashStore.appendBatch(spark, base, batch.toDF("doc_id", "text"))
+    assert(app.docRows == 3L && app.bandRows == 48L)
+    val n1 = ManifestTable.fastCount(spark, MinHashStore.bandsPath(base))
+    MinHashStore.appendBatch(spark, base, batch.toDF("doc_id", "text"))
+    val n2 = ManifestTable.fastCount(spark, MinHashStore.bandsPath(base))
+    assert(n1.rows == n2.rows && n2.metadataOnly,
+      s"re-delivered append must not change the index (${n1.rows} vs ${n2.rows})")
+    assert(n2.rows == (40L + 3L) * 16L)
+    // the indexed batch doc now matches itself exactly
+    val again = MinHashStore.probeBatch(spark, base,
+      batch.take(1).toDF("doc_id", "text"), threshold = 0.99)
+    assert(again.pairs.select("new_id", "corpus_id").as[(Long, Long)]
+      .collect().toSet == Set((1000L, 1000L)))
+  }
+
+  test("an empty or matchless batch probes to zero pairs; params survive appends") {
+    val base = freshBase("none")
+    MinHashStore.buildCommit(spark, base, corpus.toDF("doc_id", "text"),
+      numBands = 8, r = 2, nBuckets = 4)
+    val none = MinHashStore.probeBatch(spark, base,
+      Seq((2000L, "totally unrelated fresh words only")).toDF("doc_id", "text"))
+    assert(none.pairs.count() == 0L)
+    MinHashStore.appendBatch(spark, base,
+      Seq((2000L, "totally unrelated fresh words only")).toDF("doc_id", "text"))
+    // params re-committed with the append: a later probe still works
+    val p2 = MinHashStore.probeBatch(spark, base,
+      Seq((2001L, "totally unrelated fresh words only")).toDF("doc_id", "text"),
+      threshold = 0.99)
+    assert(p2.pairs.select("corpus_id").as[Long].collect().toSeq == Seq(2000L),
+      "the appended doc must be findable under the committed params")
+  }
+}
