@@ -1492,6 +1492,106 @@ object ExtQueries {
       |ORDER BY new_id, corpus_id""".stripMargin
 
   // ----------------------------------------------------------------
+  // q201_streaming_dedup — THE CONTINUOUS CURATION LOOP, composed
+  // end-to-end: new documents stream in (manifest source), each
+  // micro-batch dedups against the PERSISTED corpus index
+  // (MinHashStore.probeBatch — the corpus is never re-read), and the
+  // SURVIVORS are both indexed (appendBatch, so later waves dedup
+  // against them too) and landed in a curated table. Wave 2 must
+  // therefore drop its near-dups of corpus AND wave-1 survivors —
+  // the oracle recomputes the full two-wave trajectory with exact
+  // all-pairs jaccard (q58's empirical-equality argument, twice).
+  // ----------------------------------------------------------------
+  def q201StreamingDedup(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:q201_streaming_dedup") {
+      q201StreamingDedupBuild(spark, dir)
+    }
+
+  private def q201StreamingDedupBuild(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.ext.MinHashStore
+    import graft.ops.ManifestTable
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .withColumn("pb", (col("doc_id") % 10).cast("string"))
+    val root = java.nio.file.Files.createTempDirectory("graft_q201_").toString
+    val up = s"$root/incoming"; val mh = s"$root/mh"; val cur = s"$root/curated"
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 5)
+    ManifestTable.merge(spark, up, corpus, keys = Seq("doc_id"),
+      partitionCol = "pb", retainVersions = 8)
+    MinHashStore.buildCommit(spark, mh, corpus)
+    val dups = new java.util.concurrent.atomic.AtomicLong(0L)
+    val batches = new java.util.concurrent.atomic.AtomicLong(0L)
+    val sink: (DataFrame, Long) => Unit = (b, _) => {
+      val bb = b.select(col("doc_id"), col("text"))
+      if (!bb.isEmpty) {
+        val probe = MinHashStore.probeBatch(spark, mh, bb)
+        val dupIds = probe.pairs.select(col("new_id")).distinct()
+          .as[Long].collect().toSet // bounded: one batch's dup ids
+        val survivors =
+          if (dupIds.isEmpty) bb
+          else bb.filter(!col("doc_id").isInCollection(dupIds.toSeq))
+        MinHashStore.appendBatch(spark, mh, survivors)
+        ManifestTable.merge(spark, cur,
+          survivors.withColumn("pb", (col("doc_id") % 10).cast("string")),
+          keys = Seq("doc_id"), partitionCol = "pb", retainVersions = 4)
+        dups.addAndGet(dupIds.size.toLong); batches.incrementAndGet()
+      }
+    }
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-manifest").option("path", up)
+        .option("startingVersion", "1").load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", s"$root/ckpt").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    ManifestTable.merge(spark, up, docs.filter(col("doc_id") % 10 === 0),
+      keys = Seq("doc_id"), partitionCol = "pb", retainVersions = 8)
+    drain() // wave 1 dedups against the corpus
+    ManifestTable.merge(spark, up, docs.filter(col("doc_id") % 10 === 5),
+      keys = Seq("doc_id"), partitionCol = "pb", retainVersions = 8)
+    drain() // wave 2 dedups against corpus + wave-1 survivors
+    ManifestTable.read(spark, cur).select(col("doc_id"))
+      .withColumn("n_dups", lit(dups.get()))
+      .withColumn("batches", lit(batches.get()))
+      .orderBy(col("doc_id"))
+  }
+
+  val q201StreamingDedupSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
+      |  FROM documents),
+      |s AS MATERIALIZED (
+      |  SELECT doc_id,
+      |         list_distinct(list_transform(range(1, len(toks) - 1),
+      |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      |  FROM d WHERE len(toks) >= 3),
+      |c AS MATERIALIZED (SELECT * FROM s WHERE doc_id % 10 NOT IN (0, 5)),
+      |dup1 AS MATERIALIZED (
+      |  SELECT DISTINCT a.doc_id FROM s a JOIN c b ON a.doc_id % 10 = 0
+      |  AND len(list_intersect(a.sh, b.sh)) * 1.0
+      |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7),
+      |s1 AS MATERIALIZED (
+      |  SELECT doc_id FROM d WHERE doc_id % 10 = 0
+      |  AND doc_id NOT IN (SELECT doc_id FROM dup1)),
+      |base2 AS MATERIALIZED (
+      |  SELECT * FROM c
+      |  UNION ALL SELECT s.* FROM s JOIN s1 USING (doc_id)),
+      |dup2 AS MATERIALIZED (
+      |  SELECT DISTINCT a.doc_id FROM s a JOIN base2 b ON a.doc_id % 10 = 5
+      |  AND len(list_intersect(a.sh, b.sh)) * 1.0
+      |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7),
+      |s2 AS (
+      |  SELECT doc_id FROM d WHERE doc_id % 10 = 5
+      |  AND doc_id NOT IN (SELECT doc_id FROM dup2)),
+      |curated AS (SELECT doc_id FROM s1 UNION ALL SELECT doc_id FROM s2)
+      |SELECT doc_id,
+      |  CAST((SELECT count(*) FROM dup1) + (SELECT count(*) FROM dup2) AS BIGINT)
+      |    AS n_dups,
+      |  CAST(2 AS BIGINT) AS batches
+      |FROM curated ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------------------------
   // q59_jaccard_join — EXACT n-gram Jaccard similarity join at
   // threshold 0.5 (Dedup.jaccardJoinExact): inverted-index pair
   // count — |A∩B| is a hash-aggregate over the gram self-join, J a
