@@ -279,13 +279,50 @@ final class GraftFileIndex(tableRoot: Path,
       dayWin(a, z, l, en).exists { case (_, mx, lo, _) => mx < lo }
     case In(TsAsDate(a, z), vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
       vs.forall(v => exclDay(a, z, v.asInstanceOf[Literal], en))
-    // ---- date_trunc(unit, ts) = TIMESTAMP-literal ------------------
+    // ---- date_trunc(unit, ts) <op> TIMESTAMP-literal ---------------
+    // trunc output is always unit-aligned, so every comparison against
+    // T translates to a micros threshold: with T's window [lo, hi)
+    // (lo = floor boundary, hi = next), trunc(ts) > T ⇔ ts >= hi;
+    // trunc(ts) >= T ⇔ ts >= (T aligned ? lo : hi); trunc(ts) <= T ⇔
+    // ts < hi; trunc(ts) < T ⇔ ts < (T aligned ? lo : hi).
     case EqualTo(TruncTs(a, u, z), l: Literal) => exclTrunc(a, u, z, l, en)
     case EqualTo(l: Literal, TruncTs(a, u, z)) => exclTrunc(a, u, z, l, en)
     case In(TruncTs(a, u, z), vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
       vs.forall(v => exclTrunc(a, u, z, v.asInstanceOf[Literal], en))
+    case GreaterThan(TruncTs(a, u, z), l: Literal) => // ⇔ ts >= hi
+      truncWin(u, z, l, en.stats.get(a.name)).exists { case (mn @ _, mx, _, hi, _) => mx < hi }
+    case GreaterThan(l: Literal, TruncTs(a, u, z)) => // trunc < T ⇔ ts < (al ? lo : hi)
+      truncWin(u, z, l, en.stats.get(a.name)).exists {
+        case (mn, _, lo, hi, al) => mn >= (if (al) lo else hi) }
+    case GreaterThanOrEqual(TruncTs(a, u, z), l: Literal) => // ⇔ ts >= (al ? lo : hi)
+      truncWin(u, z, l, en.stats.get(a.name)).exists {
+        case (_, mx, lo, hi, al) => mx < (if (al) lo else hi) }
+    case GreaterThanOrEqual(l: Literal, TruncTs(a, u, z)) => // trunc <= T ⇔ ts < hi
+      truncWin(u, z, l, en.stats.get(a.name)).exists { case (mn, _, _, hi, _) => mn >= hi }
+    case LessThan(TruncTs(a, u, z), l: Literal) => // ⇔ ts < (al ? lo : hi)
+      truncWin(u, z, l, en.stats.get(a.name)).exists {
+        case (mn, _, lo, hi, al) => mn >= (if (al) lo else hi) }
+    case LessThan(l: Literal, TruncTs(a, u, z)) => // trunc > T ⇔ ts >= hi
+      truncWin(u, z, l, en.stats.get(a.name)).exists { case (_, mx, _, hi, _) => mx < hi }
+    case LessThanOrEqual(TruncTs(a, u, z), l: Literal) => // ⇔ ts < hi
+      truncWin(u, z, l, en.stats.get(a.name)).exists { case (mn, _, _, hi, _) => mn >= hi }
+    case LessThanOrEqual(l: Literal, TruncTs(a, u, z)) => // trunc >= T ⇔ ts >= (al ? lo : hi)
+      truncWin(u, z, l, en.stats.get(a.name)).exists {
+        case (_, mx, lo, hi, al) => mx < (if (al) lo else hi) }
     case _ => false
   }
+
+  /** `(min, max, lo, hi, aligned)` for a trunc-comparison: the entry's
+    * micros bounds plus the literal's unit window and whether the
+    * literal IS the floor boundary. */
+  private def truncWin(unit: String, zone: String, l: Literal,
+                       stats: Option[(BigDecimal, BigDecimal)])
+      : Option[(BigDecimal, BigDecimal, Long, Long, Boolean)] =
+    for {
+      (mn, mx) <- stats
+      v <- if (l.dataType == TimestampType) numOf(l) else None
+      (lo, hi) <- truncBounds(unit, v.toLongExact, zone)
+    } yield (mn, mx, lo, hi, lo == v.toLongExact)
 
   /** `date_trunc(unit, ts) = T`: when T is unit-aligned the predicate
     * selects `ts ∈ [T, next-boundary)` — range-check the committed

@@ -247,6 +247,26 @@ class GraftFileIndexSpec extends AnyFunSuite {
       .where(date_trunc("month", col("day")) === lit(ts("2024-01-01")))
     val (kM, tM) = evidence(mo)
     assert(kM == tM && mo.count() == 6L, "all dirs are inside 2024-01")
+    // range comparisons on trunc: >= aligned keeps days 2-3; > keeps 3;
+    // <= mid-day-unaligned T keeps days 1-2 (trunc <= T ⇔ ts < next)
+    val tge = ManifestTable.read(spark, path)
+      .where(date_trunc("day", col("day")) >= lit(ts("2024-01-02")))
+    val (kGe, _) = evidence(tge)
+    assert(kGe == 2L && tge.count() == 4L)
+    val gt = ManifestTable.read(spark, path)
+      .where(date_trunc("day", col("day")) > lit(ts("2024-01-02")))
+    val (kGt, _) = evidence(gt)
+    assert(kGt == 1L && gt.select("id").as[Long].collect().toSet == Set(5L, 6L))
+    val le = ManifestTable.read(spark, path)
+      .where(date_trunc("day", col("day")) <=
+        lit(java.sql.Timestamp.valueOf("2024-01-02 13:30:00")))
+    val (kLe, _) = evidence(le)
+    assert(kLe == 2L && le.select("id").as[Long].collect().toSet ==
+      Set(1L, 2L, 3L, 4L), "trunc <= mid-day T admits all of day 2")
+    val tlt = ManifestTable.read(spark, path)
+      .where(date_trunc("day", col("day")) < lit(ts("2024-01-02")))
+    val (kLt, _) = evidence(tlt)
+    assert(kLt == 1L && tlt.select("id").as[Long].collect().toSet == Set(1L, 2L))
   }
 
   test("inputFiles returns percent-escaped URIs (PartitioningAwareFileIndex " +
