@@ -61,10 +61,12 @@ object CentroidStore {
         keys = Seq("cluster_id"), partitionCol = "cluster_id",
         props = Map(KProp -> k.toString, TrainedRowsProp -> nTrained.toString))
       // statsColumns => per-partition rowcounts => needsRetrain's count
-      // stays metadata-only forever.
+      // stays metadata-only forever. Blooms on the id so [[eraseKeys]]
+      // narrows to the clusters that might hold a subject.
       ManifestTable.merge(spark, assignmentsPath(base),
         Cluster.assignQuantized(corpus, cents, idCol, vecCol),
-        keys = Seq(idCol), partitionCol = "cluster_id", statsColumns = Seq(idCol))
+        keys = Seq(idCol), partitionCol = "cluster_id", statsColumns = Seq(idCol),
+        bloomColumns = Seq(idCol))
     }
   }
 
@@ -101,10 +103,26 @@ object CentroidStore {
       .collect().map(_.getString(0)).toSet // bounded: ≤ k rows
     ManifestTable.merge(spark, assignmentsPath(base), assigned,
       keys = Seq(idCol), partitionCol = "cluster_id", statsColumns = Seq(idCol),
-      knownTouched = Some(clusters))
+      bloomColumns = Seq(idCol), knownTouched = Some(clusters))
     val n = assigned.count()
     graft.ops.Intermediates.release(assigned)
     AppendResult(n, clusters)
+  }
+
+  /** ERASE vectors FROM THE ASSIGNMENTS TABLE — a (vec_id, cluster)
+    * row is per-subject derived data; leaving it keeps the subject in
+    * every [[balancedSampleCommitted]] draw. One bloom-pruned
+    * [[ManifestTable.deleteByKeysMoR]] (DV sidecar, zero dirs
+    * rewritten); the CENTROID MATRIX stays — a whole-corpus aggregate
+    * refreshed under [[needsRetrain]]. */
+  def eraseKeys(spark: SparkSession, base: String, vecIds: Seq[Long],
+                retainVersions: Int = 2,
+                idCol: String = "vec_id"): IvfStore.EraseResult = {
+    require(vecIds.nonEmpty, "CentroidStore.eraseKeys: empty vector id list")
+    val d = ManifestTable.deleteByKeysMoR(spark, assignmentsPath(base), "cluster_id",
+      idCol, vecIds.map(_.toString), retainVersions = retainVersions)
+    IvfStore.EraseResult(d.op.rowsDeleted, d.dirsProbed, d.dirsTotal,
+      d.op.dirsRewritten)
   }
 
   /** [[Cluster.balancedSampleFrom]] over the committed assignments —

@@ -55,9 +55,11 @@ object IvfStore {
         props = Map(KProp -> k.toString, TrainedRowsProp -> nTrained.toString))
       // statsColumns => per-partition rowcounts => needsRetrain's count
       // stays metadata-only forever (appends re-record on touched lists,
-      // untouched entries carry theirs forward).
+      // untouched entries carry theirs forward). Blooms on the id so
+      // [[eraseKeys]] narrows to the lists that might hold a subject.
       ManifestTable.merge(spark, indexPath(base), Ivf.index(corpus, cents, idCol, vecCol),
-        keys = Seq(idCol), partitionCol = "list_id", statsColumns = Seq(idCol))
+        keys = Seq(idCol), partitionCol = "list_id", statsColumns = Seq(idCol),
+        bloomColumns = Seq(idCol))
     }
   }
 
@@ -82,10 +84,33 @@ object IvfStore {
       .collect().map(_.getString(0)).toSet // bounded: ≤ k rows
     ManifestTable.merge(spark, indexPath(base), assigned,
       keys = Seq(idCol), partitionCol = "list_id", statsColumns = Seq(idCol),
-      knownTouched = Some(lists))
+      bloomColumns = Seq(idCol), knownTouched = Some(lists))
     val n = assigned.count()
     graft.ops.Intermediates.release(assigned)
     AppendResult(n, lists)
+  }
+
+  /** An [[eraseKeys]] result: rows removed and the bloom-pruning
+    * evidence ((probed, total) list dirs; zero rewritten). */
+  final case class EraseResult(rowsErased: Long, dirsProbed: Long,
+                               dirsTotal: Long, dirsRewritten: Long)
+
+  /** ERASE vectors FROM THE INDEX — an indexed embedding is derived
+    * personal data; erasing the base corpus row alone leaves the
+    * vector servable from [[searchCommitted]] forever. One
+    * bloom-pruned [[ManifestTable.deleteByKeysMoR]] over the index
+    * table (DV sidecar, zero dirs rewritten); the CENTROIDS stay — a
+    * k-means centroid is an aggregate over the whole training set,
+    * not any subject's record (the same reasoning under which a
+    * trained model survives an erasure request), and [[needsRetrain]]
+    * governs their eventual refresh. */
+  def eraseKeys(spark: SparkSession, base: String, vecIds: Seq[Long],
+                retainVersions: Int = 2,
+                idCol: String = "vec_id"): EraseResult = {
+    require(vecIds.nonEmpty, "IvfStore.eraseKeys: empty vector id list")
+    val d = ManifestTable.deleteByKeysMoR(spark, indexPath(base), "list_id",
+      idCol, vecIds.map(_.toString), retainVersions = retainVersions)
+    EraseResult(d.op.rowsDeleted, d.dirsProbed, d.dirsTotal, d.op.dirsRewritten)
   }
 
   /** [[Ivf.search]] over the committed tables. */

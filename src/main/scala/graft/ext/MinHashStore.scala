@@ -76,9 +76,12 @@ object MinHashStore {
     // lookup: 64 Kbit/dir keeps the per-key FP low enough that a
     // whole probe's expected false keeps stay ≪ 1 dir.
     graft.ops.ManifestTxn.run(spark, s"$base/_txn") {
+      // blooms on `doc_id` too: [[eraseKeys]] narrows to the dirs that
+      // might hold a subject's band rows the same way probes narrow on
+      // bucket
       ManifestTable.merge(spark, bandsPath(base), bandRows(sh, numBands, r, nBuckets),
         keys = Seq("doc_id", "band"), partitionCol = "pb", props = props,
-        statsColumns = Seq("bucket"), bloomColumns = Seq("bucket"),
+        statsColumns = Seq("bucket"), bloomColumns = Seq("bucket", "doc_id"),
         bloomBits = bloomBits)
       ManifestTable.merge(spark, shinglesPath(base), shingleRows(sh, nBuckets),
         keys = Seq("doc_id"), partitionCol = "pb", props = props,
@@ -109,10 +112,23 @@ object MinHashStore {
     * committed zone maps/blooms — an IN-list over `bucket`), matching
     * (band, bucket) rows become candidates, and ONLY the candidate
     * docs' shingle rows are fetched for exact-jaccard verification.
-    * The corpus text is never touched. */
+    * The corpus text is never touched.
+    *
+    * Driver footprint is BOUNDED by construction, not by hope: the
+    * candidate PAIRS stay distributed (a hot band bucket — stop-gram
+    * shingles, boilerplate-heavy corpora — can collide one probe doc
+    * with millions of corpus rows, so the pair set is |batch| ×
+    * corpus-collision fan-out, NOT batch-bounded). The only pair-side
+    * driver materialization is the distinct corpus-id IN-list that
+    * dir-prunes the shingle fetch, capped at `maxCandidateDocs` with
+    * a loud refusal ([[graft.ops.ManifestTable.readJoinPruned]]'s
+    * maxKeys posture) — past that cap the probe should be split, the
+    * band width rethought, or the stop-shingles cleaned, never
+    * silently spilled onto the driver. */
   def probeBatch(spark: SparkSession, base: String, newDocs: DataFrame,
                  threshold: Double = 0.7,
-                 textCol: String = "text", idCol: String = "doc_id"): ProbeResult = {
+                 textCol: String = "text", idCol: String = "doc_id",
+                 maxCandidateDocs: Int = 1 << 20): ProbeResult = {
     val (numBands, r, shingleN, nBuckets) = params(spark, base)
     val sh = graft.ops.Intermediates.shared(
       Dedup.shingled(newDocs, shingleN, textCol, idCol))
@@ -121,8 +137,7 @@ object MinHashStore {
     val keys = banded.select(col("bucket")).distinct()
       .collect().map(_.getLong(0)).toSeq
     import spark.implicits._
-    // bounded: the LSH candidate pairs of ONE batch
-    val candsDf =
+    val candsPlan =
       if (keys.isEmpty) None
       else Some(ManifestTable.read(spark, bandsPath(base))
         .where(col("bucket").isInCollection(keys)) // dirs prune automatically
@@ -131,21 +146,46 @@ object MinHashStore {
           col("c.bucket") === col("p.bucket") && col("c.band") === col("p.band"))
         .select(col("p.doc_id").as("new_id"), col("c.doc_id").as("corpus_id"))
         .dropDuplicates("new_id", "corpus_id"))
-    val cands: Array[(Long, Long)] = candsDf
-      .map(_.collect().map(r => (r.getLong(0), r.getLong(1)))).getOrElse(Array.empty)
-    val bandPrune = candsDf.map(pruneOf).getOrElse((0L, 0L))
+    // stash the band scan's file index BEFORE persisting — the
+    // CacheManager swaps the physical plan for an InMemoryTableScan,
+    // but the index OBJECT (where lastPrune lands at execution) is
+    // shared with the cache-fill plan
+    val bandIdx = candsPlan.toSeq.flatMap(df =>
+      df.queryExecution.sparkPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s.relation.location
+      }.collect { case g: graft.ops.GraftFileIndex => g })
+    // materialize the pairs DISTRIBUTED — localCheckpoint, NOT a
+    // persist: a persisted plan registers in the CacheManager under
+    // its ANALYZED shape, and a later probe of the same batch against
+    // the (mutated) index would silently reuse the stale pairs; the
+    // checkpointed RDD has no plan identity to collide on
+    val cands = candsPlan.map(_.localCheckpoint())
+    val nCands = cands.map(_.count()).getOrElse(0L)
+    val bandPr = bandIdx.flatMap(_.lastPrune)
+    val bandPrune = (bandPr.map(_._1).sum, bandPr.map(_._2).sum)
+    // the shingle-fetch IN-list: distinct corpus docs, capped loudly
+    val cids = cands.map(_.select(col("corpus_id")).distinct()
+      .limit(maxCandidateDocs + 1).collect().map(_.getLong(0)).toSeq)
+      .getOrElse(Seq.empty)
+    require(cids.size <= maxCandidateDocs,
+      s"MinHashStore.probeBatch: over $maxCandidateDocs distinct corpus candidates " +
+        "for one probe batch — a hot LSH bucket (boilerplate/stop-gram shingles?) " +
+        "is colliding the batch with a huge corpus slice. Split the batch, raise " +
+        "maxCandidateDocs explicitly, or clean the dominant shingles; refusing to " +
+        "fetch an unbounded candidate set")
     var shinglePrune = (0L, 0L)
     val pairs =
-      if (cands.isEmpty)
+      if (nCands == 0L)
         Seq.empty[(Long, Long, Double)].toDF("new_id", "corpus_id", "jaccard")
       else {
-        val cdf = cands.toSeq.toDF("new_id", "corpus_id")
-        val cids = cands.map(_._2).distinct.toSeq
         val corpusSh = ManifestTable.read(spark, shinglesPath(base))
           .where(col("doc_id").isInCollection(cids)) // dir-pruned fetch
           .select(col("doc_id").as("corpus_id"), col("sh").as("__shb"))
-        val raw = broadcast(cdf)
-          .join(sh.select(col("__id").as("new_id"), col("__sh").as("__sha")), Seq("new_id"))
+        // batch shingles broadcast (the small side by contract); the
+        // corpus-shingle join shuffles only the candidate slice
+        val raw = cands.get
+          .join(broadcast(sh.select(col("__id").as("new_id"), col("__sh").as("__sha"))),
+            Seq("new_id"))
           .join(corpusSh, Seq("corpus_id"))
           .withColumn("jaccard", Dedup.jaccard(col("__sha"), col("__shb")))
           .filter(col("jaccard") >= threshold)
@@ -155,10 +195,47 @@ object MinHashStore {
         shinglePrune = pruneOf(raw)
         mat
       }
+    cands.foreach(graft.ops.Intermediates.release)
     graft.ops.Intermediates.release(banded)
     graft.ops.Intermediates.release(sh)
-    ProbeResult(pairs, keys.size.toLong, cands.length.toLong,
-      bandPrune, shinglePrune)
+    ProbeResult(pairs, keys.size.toLong, nCands, bandPrune, shinglePrune)
+  }
+
+  /** An [[eraseKeys]] result: rows removed from each table and the
+    * bloom-pruning evidence of both deletes ((probed, total) dirs). */
+  final case class EraseResult(bandRowsErased: Long, shingleRowsErased: Long,
+                               bandDirsProbed: Long, bandDirsTotal: Long,
+                               shingleDirsProbed: Long, shingleDirsTotal: Long,
+                               dirsRewritten: Long)
+
+  /** ERASE documents FROM THE INDEX — the Art.-17 path for the store
+    * itself: an indexed doc's shingle set and band rows are literal
+    * content n-grams (personal data in their own right), and as long
+    * as they persist, [[probeBatch]] keeps flagging new docs as dups
+    * of a DELETED corpus doc — silently suppressing them from the
+    * curated table. Erasing from the BASE table alone is therefore
+    * not erasure; this removes the docs' band rows and shingle rows
+    * in ONE atomic two-table transaction (a crash between the deletes
+    * would leave candidates that verify against missing shingles),
+    * each via [[ManifestTable.deleteByKeysMoR]]: bloom-pruned to the
+    * dirs that might hold the subjects, DV sidecars, ZERO dirs
+    * rewritten. Layout params ride forward automatically (MoR commits
+    * carry the previous version's props verbatim). After this, a
+    * re-probe of the erased doc's exact text reports NO dup — the
+    * band rows are gone, so it never becomes a candidate. */
+  def eraseKeys(spark: SparkSession, base: String, docIds: Seq[Long],
+                retainVersions: Int = 2): EraseResult = {
+    require(docIds.nonEmpty, "MinHashStore.eraseKeys: empty doc id list")
+    val keys = docIds.map(_.toString)
+    graft.ops.ManifestTxn.run(spark, s"$base/_txn") {
+      val b = ManifestTable.deleteByKeysMoR(spark, bandsPath(base), "pb",
+        "doc_id", keys, retainVersions = retainVersions)
+      val s = ManifestTable.deleteByKeysMoR(spark, shinglesPath(base), "pb",
+        "doc_id", keys, retainVersions = retainVersions)
+      EraseResult(b.op.rowsDeleted, s.op.rowsDeleted,
+        b.dirsProbed, b.dirsTotal, s.dirsProbed, s.dirsTotal,
+        b.op.dirsRewritten + s.op.dirsRewritten)
+    }
   }
 
   /** An [[appendBatch]] result: rows landed in each table and the
@@ -190,7 +267,7 @@ object MinHashStore {
       ManifestTable.merge(spark, bandsPath(base), bands,
         keys = Seq("doc_id", "band"), partitionCol = "pb", props = props,
         knownTouched = Some(bandDirs),
-        statsColumns = Seq("bucket"), bloomColumns = Seq("bucket"),
+        statsColumns = Seq("bucket"), bloomColumns = Seq("bucket", "doc_id"),
         bloomBits = bloomBits)
       ManifestTable.merge(spark, shinglesPath(base), docs,
         keys = Seq("doc_id"), partitionCol = "pb", props = props,

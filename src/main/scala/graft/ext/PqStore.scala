@@ -61,10 +61,12 @@ object PqStore {
         props = Map(MProp -> m.toString, KProp -> k.toString,
           TrainedRowsProp -> nTrained.toString))
       // statsColumns => per-partition rowcounts => needsRetrain's count
-      // stays metadata-only forever.
+      // stays metadata-only forever. Blooms on the id so [[eraseKeys]]
+      // narrows to the buckets that might hold a subject.
       ManifestTable.merge(spark, codesPath(base),
         withPart(Pq.encode(corpus, books, m, idCol, vecCol), idCol),
-        keys = Seq(idCol), partitionCol = "__part", statsColumns = Seq(idCol))
+        keys = Seq(idCol), partitionCol = "__part", statsColumns = Seq(idCol),
+        bloomColumns = Seq(idCol))
     }
   }
 
@@ -91,10 +93,27 @@ object PqStore {
       .collect().map(_.getString(0)).toSet // bounded: ≤ Parts rows
     ManifestTable.merge(spark, codesPath(base), encoded,
       keys = Seq(idCol), partitionCol = "__part", statsColumns = Seq(idCol),
-      knownTouched = Some(parts))
+      bloomColumns = Seq(idCol), knownTouched = Some(parts))
     val n = encoded.count()
     graft.ops.Intermediates.release(encoded)
     AppendResult(n, parts)
+  }
+
+  /** ERASE vectors FROM THE CODES TABLE — a PQ code is a lossy but
+    * still subject-derived encoding of the erased embedding; leaving
+    * it lets [[searchCommitted]] keep shortlisting a deleted doc. One
+    * bloom-pruned [[ManifestTable.deleteByKeysMoR]] (DV sidecar, zero
+    * dirs rewritten); the CODEBOOKS stay — like [[IvfStore]]'s
+    * centroids they are whole-corpus aggregates, refreshed under
+    * [[needsRetrain]], not per-subject records. */
+  def eraseKeys(spark: SparkSession, base: String, vecIds: Seq[Long],
+                retainVersions: Int = 2,
+                idCol: String = "vec_id"): IvfStore.EraseResult = {
+    require(vecIds.nonEmpty, "PqStore.eraseKeys: empty vector id list")
+    val d = ManifestTable.deleteByKeysMoR(spark, codesPath(base), "__part",
+      idCol, vecIds.map(_.toString), retainVersions = retainVersions)
+    IvfStore.EraseResult(d.op.rowsDeleted, d.dirsProbed, d.dirsTotal,
+      d.op.dirsRewritten)
   }
 
   /** [[Pq.search]] (ADC shortlist + exact re-rank) over the committed

@@ -209,6 +209,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
     TextNormalize.inject(ext)
     GraphemeCountFns.inject(ext)
+    // automatic join-driven file pruning over manifest scans — runs
+    // once per optimization (pre-CBO), backs off to the unchanged
+    // plan on any doubt
+    ext.injectPreCBORule(session => graft.plans.JoinPruneRule(session))
   }
 }
 

@@ -184,13 +184,59 @@ object GraftFileIndex {
 }
 
 final class GraftFileIndex(tableRoot: Path,
-                           dirs: Seq[GraftFileIndex.DirMeta]) extends FileIndex {
+                           dirs: Seq[GraftFileIndex.DirMeta],
+                           reportTotal: Option[Long] = None) extends FileIndex {
   import GraftFileIndex._
 
   /** Evidence channel: `(dirsKept, dirsTotal)` of the most recent
     * `listFiles` call that carried data filters — the gate/spec
-    * instrument (specs assert kept < total for a selective filter). */
+    * instrument (specs assert kept < total for a selective filter).
+    * A join-narrowed index ([[joinNarrow]]) reports against the
+    * ORIGINAL table's dir count and records evidence even for a
+    * filterless listing (the narrowing IS the filter). */
   @volatile var lastPrune: Option[(Long, Long)] = None
+
+  /** True for an index [[joinNarrow]] produced — the join-prune rule
+    * never narrows twice. */
+  private[graft] def isNarrowed: Boolean = reportTotal.isDefined
+
+  private[graft] def dirCount: Int = dirs.size
+
+  /** The join-driven narrowing ([[graft.plans.JoinPruneRule]]'s
+    * worker): keep only dirs where at least one entry might hold at
+    * least one of the dim side's join keys, by the committed blooms
+    * and numeric/string zone maps — the same conservative rules
+    * [[ManifestTable.readJoinPruned]] applies (aux-carrying entries
+    * always survive; a column with no recorded metadata never
+    * prunes; non-numeric / non-ASCII keys skip that comparison
+    * domain). An EMPTY key set joins to nothing — every dir prunes.
+    * Returns None when nothing would be pruned (leave the plan
+    * untouched). */
+  private[graft] def joinNarrow(column: String,
+                                keys: Seq[String]): Option[GraftFileIndex] = {
+    val kept =
+      if (keys.isEmpty) Nil
+      else {
+        val nums = keys.map(k => try Some(BigDecimal(k))
+          catch { case _: NumberFormatException => None })
+        val numOk = nums.forall(_.isDefined) // compare only when every key parses
+        def entryMayHold(en: EntryMeta): Boolean =
+          !en.prunable || keys.indices.exists { i =>
+            val k = keys(i)
+            val bloomHit = en.blooms.get(column)
+              .forall(p => ManifestTable.bloomContains(p, k))
+            val zoneHit = en.stats.get(column).forall { case (mn, mx) =>
+              !numOk || { val v = nums(i).get; v >= mn && v <= mx } }
+            val strHit = en.strStats.get(column).forall { case (mn, mx) =>
+              !k.forall(c => c >= 0x20 && c < 0x7f) || (k >= mn && k <= mx) }
+            bloomHit && zoneHit && strHit
+          }
+        dirs.filter(_.entries.exists(entryMayHold))
+      }
+    if (kept.size == dirs.size) None
+    else Some(new GraftFileIndex(tableRoot, kept,
+      Some(reportTotal.getOrElse(dirs.size.toLong))))
+  }
 
   override def rootPaths: Seq[Path] = Seq(tableRoot)
   override def partitionSchema: StructType = StructType(Nil)
@@ -210,7 +256,8 @@ final class GraftFileIndex(tableRoot: Path,
       else dirs.filter { d =>
         !dataFilters.exists(f => d.entries.forall(en => en.prunable && excludes(f, en)))
       }
-    if (dataFilters.nonEmpty) lastPrune = Some((kept.size.toLong, dirs.size.toLong))
+    if (dataFilters.nonEmpty || reportTotal.isDefined)
+      lastPrune = Some((kept.size.toLong, reportTotal.getOrElse(dirs.size.toLong)))
     Seq(PartitionDirectory(InternalRow.empty, kept.flatMap(_.files).toArray))
   }
 
@@ -251,6 +298,15 @@ final class GraftFileIndex(tableRoot: Path,
       vs.forall(v => exclEq(a.name, v.asInstanceOf[Literal], en))
     case InSet(a: AttributeReference, hset) if hset.nonEmpty =>
       hset.forall(v => exclEq(a.name, Literal.create(v, a.dataType), en))
+    case StartsWith(a: AttributeReference, l: Literal) =>
+      // col LIKE 'p%' (the URL/domain family's natural filter): every
+      // p-prefixed string s satisfies p <= s < succ(p), where succ(p)
+      // bumps the last char — well-defined for ASCII p (last char
+      // < 0x7f), the only literals the ASCII zone maps compare
+      // against. Excluded when the dir's bounds sit entirely below p
+      // or entirely at/after succ(p). Empty prefix keeps (matches all).
+      (for { (mn, mx) <- en.strStats.get(a.name); p <- asciiOf(l) if p.nonEmpty }
+        yield mx < p || mn >= p.init + (p.last + 1).toChar).getOrElse(false)
     case IsNull(a: AttributeReference) =>
       // a committed null count of ZERO proves no row of the dir is null
       en.nullCounts.get(a.name).contains(0L)

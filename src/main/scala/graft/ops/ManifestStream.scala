@@ -338,10 +338,40 @@ private[ops] class ManifestStreamSource(spark: SparkSession, path: String,
     * when slicing), indexed into the key-sorted order. */
   private def slicedBatch(startV: Long, startEmit: Option[Long],
                           endV: Long, endEmit: Option[Long]): DataFrame = {
+    startEmit match {
+      case Some(k) if endV > startV =>
+        // RESTART catch-up: the checkpoint stopped mid-version (the
+        // stream was killed between slices) and newer commits landed
+        // before the restart. The fresh engine has no floor yet, so
+        // getOffset returned LongOffset(latest) — the batch must cover
+        // the REMAINDER of startV's sliced fresh set plus everything
+        // through endV, in one uncapped batch (the same best-effort
+        // admission contract the plain maxVersionsPerTrigger path
+        // documents for the first post-restart batch). Refusing here
+        // would be a permanent crash loop: every retrigger replays the
+        // same (mid-version start, later end) window.
+        require(endEmit.isEmpty, s"graft-manifest source: offset window " +
+          s"(m$startV,$k) -> (m$endV,$endEmit) spans versions yet ends " +
+          "mid-version — corrupt checkpoint")
+        require(versions(fs, path).contains(startV - 1),
+          s"graft-manifest source: version m${startV - 1} (the slice base) no " +
+            s"longer retained under $path — raise retainVersions on the writer")
+        val remainder = sortedFresh(startV - 1, startV).drop(k.toInt).toSet
+        val later = stepFresh(startV, endV) match {
+          case Left(why) => throw new IllegalStateException(
+            s"graft-manifest source: non-append commit between m$startV and " +
+              s"m$endV ($why) — append mode streams append-only tables; use " +
+              "mode=cdf for tables taking updates/deletes, or " +
+              "skipChangeCommits=true to stream only the append commits")
+          case Right(fresh) => fresh
+        }
+        val all = remainder ++ later
+        return if (all.isEmpty) emptyBatch()
+        else readEntriesOf(spark, path, readManifest(fs, path, endV), all)
+      case _ => ()
+    }
     val (sliceV, from) = startEmit match {
       case Some(k) => // resuming inside startV's fresh set
-        require(endV == startV, s"graft-manifest source: a mid-version offset " +
-          s"(m$startV,$k) must complete its version before advancing (end m$endV)")
         (startV, k)
       case None => // starting a new sliced version
         require(endV == startV + 1, s"graft-manifest source: dir-sliced batches " +

@@ -886,9 +886,20 @@ object ManifestTable {
                 val isString = logical.isInstanceOf[org.apache.parquet.schema
                   .LogicalTypeAnnotation.StringLogicalTypeAnnotation] &&
                   pt.getPrimitiveTypeName == BINARY
-                val numericLogical = logical == null ||
-                  logical.isInstanceOf[org.apache.parquet.schema
-                    .LogicalTypeAnnotation.TimestampLogicalTypeAnnotation] ||
+                // Timestamp bounds are interpreted as epoch MICROS by
+                // the pruning side (GraftFileIndex's numOf/dayMicros/
+                // truncBounds) — the session's pinned writer unit. A
+                // dir from a foreign writer in MILLIS/NANOS would be
+                // off by 1000x and silently drop matching dirs, so any
+                // other unit poisons instead of recording.
+                val tsMicros = logical match {
+                  case t: org.apache.parquet.schema
+                    .LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                    t.getUnit == org.apache.parquet.schema
+                      .LogicalTypeAnnotation.TimeUnit.MICROS
+                  case _ => false
+                }
+                val numericLogical = logical == null || tsMicros ||
                   logical.isInstanceOf[org.apache.parquet.schema
                     .LogicalTypeAnnotation.IntLogicalTypeAnnotation] ||
                   logical.isInstanceOf[org.apache.parquet.schema
@@ -1753,7 +1764,15 @@ object ManifestTable {
       "ManifestTable.clusterZOrder: column __zb already exists (table was " +
         "clustered before — re-clustering reuses it via repartitionTable)")
     val buckets = 1 << bits
-    val rankCols = ranks.getOrElse(cols.map { c =>
+    // Explicit ranks are CLAMPED to [0, 2^bits): only `bits` low bits
+    // interleave, so an out-of-domain rank would silently alias
+    // distant buckets into one z-dir (correctness survives — zone maps
+    // come from real footers — but clustering quality collapses with
+    // no signal). Clamping keeps extremes in the edge buckets, which
+    // is the monotone behavior a fixed-width-range caller expects.
+    val rankCols = ranks.map(_.map(r =>
+      least(lit(buckets - 1), greatest(lit(0), r.cast("int")))
+    )).getOrElse(cols.map { c =>
       val probs = (1 until buckets).map(_.toDouble / buckets).toArray
       val splits = cur.stat.approxQuantile(c, probs, relativeError)
       splits.distinct.foldLeft(lit(0))((acc, s) =>

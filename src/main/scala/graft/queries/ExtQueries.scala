@@ -1526,16 +1526,16 @@ object ExtQueries {
       val bb = b.select(col("doc_id"), col("text"))
       if (!bb.isEmpty) {
         val probe = MinHashStore.probeBatch(spark, mh, bb)
-        val dupIds = probe.pairs.select(col("new_id")).distinct()
-          .as[Long].collect().toSet // bounded: one batch's dup ids
-        val survivors =
-          if (dupIds.isEmpty) bb
-          else bb.filter(!col("doc_id").isInCollection(dupIds.toSeq))
+        // dup ids stay DISTRIBUTED (pairs are already materialized):
+        // survivors = batch anti-joined on the flagged new ids
+        val dupIds = probe.pairs.select(col("new_id").as("doc_id")).distinct()
+        val nDups = dupIds.count()
+        val survivors = bb.join(dupIds, Seq("doc_id"), "left_anti")
         MinHashStore.appendBatch(spark, mh, survivors)
         ManifestTable.merge(spark, cur,
           survivors.withColumn("pb", (col("doc_id") % 10).cast("string")),
           keys = Seq("doc_id"), partitionCol = "pb", retainVersions = 4)
-        dups.addAndGet(dupIds.size.toLong); batches.incrementAndGet()
+        dups.addAndGet(nDups); batches.incrementAndGet()
       }
     }
     def drain(): Unit = {
@@ -1590,6 +1590,143 @@ object ExtQueries {
       |    AS n_dups,
       |  CAST(2 AS BIGINT) AS batches
       |FROM curated ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q202_index_erasure — GDPR ERASURE PROPAGATED INTO THE DERIVED
+  // INDEX (MinHashStore.eraseKeys), closing the loop q186 left open:
+  // erasing a subject from the BASE table alone leaves its shingle
+  // sets and band rows (literal content n-grams — personal data under
+  // Art. 17) in the index forever, and probeBatch keeps flagging new
+  // docs as dups of the DELETED doc — silently suppressing them from
+  // the curated table. The gate composes the full lifecycle:
+  //   1. corpus (q201's split) committed as base table + MinHash
+  //      index; subjects = corpus docs with doc_id % 211 = 7 (that
+  //      shingle — >= 3 tokens);
+  //   2. PRE: an "echo" batch (exact copies of the subjects' texts
+  //      under new ids) probes — every echo is flagged (J = 1.0);
+  //   3. ERASURE: deleteByKeysMoR from the base + eraseKeys from the
+  //      index (each atomic, both bloom-pruned DV commits, ZERO dirs
+  //      rewritten);
+  //   4. POST: the subjects' band AND shingle rows read back as zero
+  //      rows; the SAME echo batch re-probes and matches only what
+  //      the REMAINING corpus still near-dups (SQL-recomputed exact
+  //      all-pairs jaccard);
+  //   5. THE STREAM STOPS SUPPRESSING: the echoes stream through the
+  //      q201 curation loop — exactly the no-longer-matching ones
+  //      land in the curated table (survived, in-plan, must equal the
+  //      oracle's post_dups = 0).
+  // ----------------------------------------------------------------
+  def q202IndexErasure(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:q202_index_erasure") {
+      q202IndexErasureBuild(spark, dir)
+    }
+
+  private def q202IndexErasureBuild(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.ext.{Dedup, MinHashStore}
+    import graft.ops.ManifestTable
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .withColumn("pb", (col("doc_id") % 10).cast("string"))
+    val root = java.nio.file.Files.createTempDirectory("graft_q202_").toString
+    val basePath = s"$root/base"; val mh = s"$root/mh"
+    val up = s"$root/incoming"; val cur = s"$root/curated"
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 5)
+    ManifestTable.merge(spark, basePath, corpus, keys = Seq("doc_id"),
+      partitionCol = "pb", retainVersions = 4,
+      statsColumns = Seq("doc_id"), bloomColumns = Seq("doc_id"))
+    MinHashStore.buildCommit(spark, mh, corpus)
+    // subjects: deterministic slice of the SHINGLED corpus (a doc
+    // under 3 tokens never enters the index, so it cannot be erased
+    // from it) — bounded collect, ~doc_count/211 ids
+    val subjects = Dedup.shingled(corpus, 3, "text", "doc_id")
+      .select(col("__id")).filter(col("__id") % 211 === 7)
+      .as[Long].collect().sorted.toSeq
+    val echoes = corpus.filter(col("doc_id").isInCollection(subjects))
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      .localCheckpoint()
+    // 2. PRE: every echo is a J=1.0 dup of its (still-indexed) subject
+    val pre = MinHashStore.probeBatch(spark, mh, echoes)
+    val preSuppressed = pre.pairs.select(col("new_id")).distinct().count()
+    // 3. the COMPOSED erasure: base row + derived index rows
+    val del = ManifestTable.deleteByKeysMoR(spark, basePath, "pb", "doc_id",
+      subjects.map(_.toString), retainVersions = 4)
+    val er = MinHashStore.eraseKeys(spark, mh, subjects, retainVersions = 4)
+    // 4. the subjects are GONE from the store (both tables read back
+    // zero rows through the MoR path)
+    val bandAfter = ManifestTable.read(spark, MinHashStore.bandsPath(mh))
+      .filter(col("doc_id").isInCollection(subjects)).count()
+    val shAfter = ManifestTable.read(spark, MinHashStore.shinglesPath(mh))
+      .filter(col("doc_id").isInCollection(subjects)).count()
+    val post = MinHashStore.probeBatch(spark, mh, echoes)
+    // 5. the curation loop now ADMITS the no-longer-matching echoes
+    ManifestTable.merge(spark, up, echoes.withColumn("pb", lit("e")),
+      keys = Seq("doc_id"), partitionCol = "pb", retainVersions = 4)
+    val sink: (DataFrame, Long) => Unit = (b, _) => {
+      val bb = b.select(col("doc_id"), col("text"))
+      if (!bb.isEmpty) {
+        val probe = MinHashStore.probeBatch(spark, mh, bb)
+        val dupIds = probe.pairs.select(col("new_id").as("doc_id")).distinct()
+        val survivors = bb.join(dupIds, Seq("doc_id"), "left_anti")
+        MinHashStore.appendBatch(spark, mh, survivors)
+        ManifestTable.merge(spark, cur, survivors.withColumn("pb", lit("e")),
+          keys = Seq("doc_id"), partitionCol = "pb", retainVersions = 4)
+      }
+    }
+    val q = spark.readStream.format("graft-manifest").option("path", up).load()
+      .writeStream.foreachBatch(sink)
+      .option("checkpointLocation", s"$root/ckpt").start()
+    try q.processAllAvailable() finally q.stop()
+    val curated = ManifestTable.read(spark, cur).select(col("doc_id").as("new_id"))
+      .withColumn("survived", lit(true))
+    val baseAfter = ManifestTable.fastCount(spark, basePath)
+    echoes.select(col("doc_id").as("new_id"))
+      .join(post.pairs.groupBy(col("new_id"))
+        .agg(count(lit(1)).as("post_dups")), Seq("new_id"), "left")
+      .na.fill(0L, Seq("post_dups"))
+      .join(curated, Seq("new_id"), "left")
+      .na.fill(false, Seq("survived"))
+      .withColumn("n_subjects", lit(subjects.size.toLong))
+      .withColumn("pre_suppressed", lit(preSuppressed))
+      .withColumn("band_rows_after", lit(bandAfter))
+      .withColumn("shingle_rows_after", lit(shAfter))
+      .withColumn("erase_dirs_rewritten",
+        lit(del.op.dirsRewritten + er.dirsRewritten))
+      .withColumn("base_rows_after", lit(baseAfter.rows))
+      .orderBy(col("new_id"))
+  }
+
+  val q202IndexErasureSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
+      |  FROM documents),
+      |s AS MATERIALIZED (
+      |  SELECT doc_id,
+      |         list_distinct(list_transform(range(1, len(toks) - 1),
+      |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      |  FROM d WHERE len(toks) >= 3),
+      |c AS MATERIALIZED (SELECT * FROM s WHERE doc_id % 10 NOT IN (0, 5)),
+      |subj AS MATERIALIZED (SELECT doc_id FROM c WHERE doc_id % 211 = 7),
+      |rem AS MATERIALIZED (
+      |  SELECT * FROM c WHERE doc_id NOT IN (SELECT doc_id FROM subj)),
+      |echo AS MATERIALIZED (
+      |  SELECT c.doc_id + 1000000 AS new_id, c.sh
+      |  FROM c JOIN subj USING (doc_id)),
+      |post AS MATERIALIZED (
+      |  SELECT e.new_id, CAST(count(*) FILTER (
+      |    len(list_intersect(e.sh, b.sh)) * 1.0
+      |      / len(list_distinct(list_concat(e.sh, b.sh))) >= 0.7) AS BIGINT)
+      |    AS post_dups
+      |  FROM echo e CROSS JOIN rem b GROUP BY e.new_id)
+      |SELECT new_id, post_dups, post_dups = 0 AS survived,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM subj) AS n_subjects,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM subj) AS pre_suppressed,
+      |  CAST(0 AS BIGINT) AS band_rows_after,
+      |  CAST(0 AS BIGINT) AS shingle_rows_after,
+      |  CAST(0 AS BIGINT) AS erase_dirs_rewritten,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM d WHERE doc_id % 10 NOT IN (0, 5))
+      |    - (SELECT CAST(count(*) AS BIGINT) FROM subj) AS base_rows_after
+      |FROM post ORDER BY new_id""".stripMargin
 
   // ----------------------------------------------------------------
   // q59_jaccard_join — EXACT n-gram Jaccard similarity join at
@@ -10247,7 +10384,10 @@ object ExtQueries {
   //   - `to_date(day) = DATE '…'` — the r13 "prunes nothing" shape,
   //     the most common time filter — range-translates against the
   //     timestamp column's own micros bounds (recordable now that
-  //     writes are INT64 micros, not statless INT96).
+  //     writes are INT64 micros, not statless INT96);
+  //   - `tag LIKE 'prefix%'` — the URL/domain family's natural filter
+  //     — excludes a dir when its ASCII bounds sit entirely below the
+  //     prefix or at/after its successor (p <= s < succ(p)).
   // ----------------------------------------------------------------
   def q194SkippingShapes(spark: SparkSession, dir: String): DataFrame =
     ResultCache.shared.getOrCompute(
@@ -10292,14 +10432,21 @@ object ExtQueries {
       .agg(count(lit(1)).as("n_tag"))
     val pDay = rd.where(to_date(col("day")) === lit(java.sql.Date.valueOf("2024-01-16")))
       .agg(count(lit(1)).as("n_day16"))
-    val (kIsNull, kNotNull, kTag, kToDate) =
-      (evidence(pIsNull), evidence(pNotNull), evidence(pTag), evidence(pDay))
+    // LIKE 'prefix%' over the ASCII zone maps: p <= s < succ(p), so a
+    // dir keeps iff mxt >= p and mnt < succ(p) — succ('2024-01-13') =
+    // '2024-01-14', which the oracle states literally
+    val pPre = rd.where(col("tag").startsWith("2024-01-13"))
+      .agg(count(lit(1)).as("n_prefix"))
+    val (kIsNull, kNotNull, kTag, kToDate, kPre) =
+      (evidence(pIsNull), evidence(pNotNull), evidence(pTag), evidence(pDay),
+        evidence(pPre))
     val total = ManifestTable.dataDirs(spark, path, 1L).size.toLong
-    pIsNull.crossJoin(pNotNull).crossJoin(pTag).crossJoin(pDay)
+    pIsNull.crossJoin(pNotNull).crossJoin(pTag).crossJoin(pDay).crossJoin(pPre)
       .withColumn("k_isnull", lit(kIsNull))
       .withColumn("k_notnull", lit(kNotNull))
       .withColumn("k_tag", lit(kTag))
       .withColumn("k_todate", lit(kToDate))
+      .withColumn("k_prefix", lit(kPre))
       .withColumn("dirs_total", lit(total))
   }
 
@@ -10325,12 +10472,16 @@ object ExtQueries {
       |     WHERE tag >= '2024-01-10' AND tag < '2024-01-12') AS n_tag,
       |  (SELECT CAST(count(*) AS BIGINT) FROM ev
       |     WHERE CAST(day AS DATE) = DATE '2024-01-16') AS n_day16,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM ev
+      |     WHERE tag LIKE '2024-01-13%') AS n_prefix,
       |  (SELECT CAST(count(*) AS BIGINT) FROM dstat WHERE nn > 0) AS k_isnull,
       |  (SELECT CAST(count(*) AS BIGINT) FROM dstat WHERE nn < rows_) AS k_notnull,
       |  (SELECT CAST(count(*) AS BIGINT) FROM dstat
       |     WHERE mxt >= '2024-01-10' AND mnt < '2024-01-12') AS k_tag,
       |  (SELECT CAST(count(*) AS BIGINT) FROM dstat
       |     WHERE CAST(day AS DATE) = DATE '2024-01-16') AS k_todate,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM dstat
+      |     WHERE mxt >= '2024-01-13' AND mnt < '2024-01-14') AS k_prefix,
       |  (SELECT CAST(count(*) AS BIGINT) FROM dstat) AS dirs_total""".stripMargin
 
   // ----------------------------------------------------------------
@@ -10361,12 +10512,29 @@ object ExtQueries {
       .filter(col("user_id") % 71 === 3)
       .withColumn("seg", concat(lit("seg-"), col("user_id")))
     val pruned = ManifestTable.readJoinPruned(spark, path, "user_id", dim, "user_id")
-    pruned.df.join(broadcast(dim), Seq("user_id"))
+    def agg(base: DataFrame): DataFrame = base.join(broadcast(dim), Seq("user_id"))
       .groupBy(col("user_id"), col("seg"))
       .agg(count(lit(1)).as("n"),
         sum(floor(col("value") * lit(1e3)).cast("long")).as("sum_e3"))
+    val explicitAgg = agg(pruned.df)
+    // the AUTOMATIC path (JoinPruneRule): a PLAIN read ⋈ broadcast(dim)
+    // with zero API opt-in must prune the same dirs — the rule probes
+    // the dim at planning time and swaps in a narrowed FileIndex
+    val plainAgg = agg(ManifestTable.read(spark, path))
+    plainAgg.collect()
+    val plainPrune = plainAgg.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s.relation.location
+    }.collect { case g: graft.ops.GraftFileIndex => g.lastPrune }.flatten
+    val (plainKept, plainTotal) =
+      (plainPrune.map(_._1).sum, plainPrune.map(_._2).sum)
+    val plainMatch = plainAgg.exceptAll(explicitAgg)
+      .unionAll(explicitAgg.exceptAll(plainAgg)).isEmpty
+    explicitAgg
       .withColumn("dirs_kept", lit(pruned.dirsScanned))
       .withColumn("dirs_total", lit(pruned.dirsTotal))
+      .withColumn("plain_kept", lit(plainKept))
+      .withColumn("plain_total", lit(plainTotal))
+      .withColumn("plain_match", lit(plainMatch))
       .orderBy(col("user_id"))
   }
 
@@ -10385,7 +10553,10 @@ object ExtQueries {
       |       CAST(count(*) AS BIGINT) AS n,
       |       CAST(sum(CAST(floor(value * 1e3) AS BIGINT)) AS BIGINT) AS sum_e3,
       |       (SELECT k FROM kept) AS dirs_kept,
-      |       (SELECT t FROM tot) AS dirs_total
+      |       (SELECT t FROM tot) AS dirs_total,
+      |       (SELECT k FROM kept) AS plain_kept,
+      |       (SELECT t FROM tot) AS plain_total,
+      |       TRUE AS plain_match
       |FROM events e JOIN dim USING (user_id)
       |GROUP BY 1, 2 ORDER BY 1""".stripMargin
 

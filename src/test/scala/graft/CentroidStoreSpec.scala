@@ -71,4 +71,21 @@ class CentroidStoreSpec extends AnyFunSuite {
     val grown = CentroidStore.needsRetrain(spark, base, growthFactor = 1.5)
     assert(grown.retrain && grown.metadataOnly && grown.indexedRows == 70L)
   }
+
+  test("eraseKeys drops a subject's assignment rows (DV-only, centroids " +
+    "untouched); samples no longer draw them") {
+    val base = freshBase("erase")
+    CentroidStore.trainCommit(spark, base, blobs(0 until 40), k = 2, iters = 2)
+    val before = CentroidStore.committedCentroids(spark, base)
+    val er = CentroidStore.eraseKeys(spark, base, Seq(4L, 5L))
+    assert(er.rowsErased == 2L && er.dirsRewritten == 0L, s"got $er")
+    assert(CentroidStore.committedCentroids(spark, base) == before,
+      "erasure must not move the committed matrix")
+    val left = ManifestTable.read(spark, CentroidStore.assignmentsPath(base))
+      .filter(col("vec_id").isin(4L, 5L)).count()
+    assert(left == 0L, "erased assignments still readable")
+    val drawn = CentroidStore.balancedSampleCommitted(spark, base, cap = 100)
+      .select("vec_id").as[Long].collect().toSet
+    assert(!drawn.contains(4L) && !drawn.contains(5L) && drawn.size == 38)
+  }
 }

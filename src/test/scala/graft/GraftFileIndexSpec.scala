@@ -189,6 +189,34 @@ class GraftFileIndexSpec extends AnyFunSuite {
     assert(kU == 3L && uni.count() == 0L, "non-ASCII probes scan everything")
   }
 
+  test("LIKE 'prefix%' prunes via string zone maps (mx < p or mn >= succ(p)); " +
+    "boundary prefixes keep their dir; non-ASCII prefixes never prune") {
+    val path = freshPath("prefix")
+    seedNullStr(path) // s bounds: day1 [aa,bb], day2 [cc,dd], day3 [ee,ff]
+    val c = ManifestTable.read(spark, path).where(col("s").startsWith("c"))
+    val (kC, tC) = evidence(c)
+    assert(tC == 3L && kC == 1L, s"c% keeps only day2; kept $kC/$tC")
+    assert(c.select("id").as[Long].collect().toSet == Set(3L), "only cc matches c%")
+    // boundary: the prefix EQUALS a dir's max ("bb" starts with "b")
+    val b = ManifestTable.read(spark, path).where(col("s").startsWith("b"))
+    val (kB, _) = evidence(b)
+    assert(kB == 1L && b.select("id").as[Long].collect().toSet == Set(2L),
+      s"b% must keep day1 (its max bb matches); kept $kB")
+    // boundary: the prefix EQUALS a dir's min
+    val ee = ManifestTable.read(spark, path).where(col("s").startsWith("ee"))
+    val (kE, _) = evidence(ee)
+    assert(kE == 1L && ee.select("id").as[Long].collect().toSet == Set(5L))
+    // between dirs: dz% sits past day2's max and before... succ bumps
+    // past every day3 value? no — "ee" >= "d{", so day3 excludes too
+    val dz = ManifestTable.read(spark, path).where(col("s").startsWith("dz"))
+    val (kZ, _) = evidence(dz)
+    assert(kZ == 0L && dz.count() == 0L, s"dz% excludes every dir; kept $kZ")
+    // a non-ASCII prefix must not prune (byte order vs string order)
+    val uni = ManifestTable.read(spark, path).where(col("s").startsWith("é"))
+    val (kU, _) = evidence(uni)
+    assert(kU == 3L && uni.count() == 0L, "non-ASCII prefixes scan everything")
+  }
+
   test("decimal zone maps prune (unscaled INT32/INT64 footer stats re-scaled)") {
     val path = freshPath("dec")
     val rows = Seq(
@@ -269,6 +297,35 @@ class GraftFileIndexSpec extends AnyFunSuite {
     assert(kLt == 1L && tlt.select("id").as[Long].collect().toSet == Set(1L, 2L))
   }
 
+  test("a TIMESTAMP_MILLIS writer poisons timestamp stats instead of " +
+    "recording bounds the micros-based pruning would misread 1000x off") {
+    val path = freshPath("tsmillis")
+    val conf = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.get(conf)
+    try {
+      spark.conf.set(conf, "TIMESTAMP_MILLIS")
+      seed(path) // stats on v+id record fine; `day` gets millis footers
+      // explicitly ask for timestamp stats under the foreign unit too
+      ManifestTable.merge(spark, path,
+        Seq((7L, ts("2024-01-04"), 300.0, "g")).toDF("id", "day", "v", "s"),
+        Seq("id"), "day", statsColumns = Seq("v", "id", "day"),
+        bloomColumns = Seq("id"))
+    } finally spark.conf.set(conf, prev)
+    // a timestamp range filter: NO dir may be silently dropped (the
+    // millis bounds, read as micros, would look 1000x too small) —
+    // poisoned stats keep every dir and the rows come back complete
+    val df = ManifestTable.read(spark, path).where(col("day") >= lit(ts("2024-01-03")))
+    val (kept, total) = evidence(df)
+    assert(total == 4L && kept == 4L,
+      s"millis-written timestamp stats must be poisoned, never pruned ($kept/$total)")
+    assert(df.select("id").as[Long].collect().toSet == Set(5L, 6L, 7L),
+      "every matching row must survive a foreign-unit writer")
+    // the same table's NUMERIC stats still prune — poisoning is per-column
+    val dfv = ManifestTable.read(spark, path).where(col("v") >= 250.0)
+    val (kv, tv) = evidence(dfv)
+    assert(tv == 4L && kv == 1L, s"v stats must still prune ($kv/$tv)")
+  }
+
   test("inputFiles returns percent-escaped URIs (PartitioningAwareFileIndex " +
     "contract) that parse and resolve over space/colon partition values") {
     val path = freshPath("uri")
@@ -321,6 +378,53 @@ class GraftFileIndexSpec extends AnyFunSuite {
       ManifestTable.clusterZOrder(spark, path, Seq("a"))).getMessage.contains(">= 2"))
     assert(intercept[IllegalArgumentException](ManifestTable.clusterZOrder(
       spark, path, Seq("a", "b"), bits = 11)).getMessage.contains("20"))
+  }
+
+  test("JoinPruneRule: a PLAIN join against a broadcast dim prunes the scan " +
+    "automatically; unsafe shapes and large dims leave the plan alone") {
+    val path = freshPath("autoprune")
+    seed(path) // ids 1-2/3-4/5-6 per day; stats v+id, bloom id
+    val dim = Seq((2L, "x"), (5L, "y")).toDF("id", "seg")
+    // zero API opt-in: read ⋈ broadcast(dim) — the rule narrows the index
+    val joined = ManifestTable.read(spark, path).join(broadcast(dim), Seq("id"))
+    val (kept, total) = evidence(joined)
+    assert(total == 3L && kept == 2L,
+      s"dim {2,5} must keep days 1+3 through the PLAIN join ($kept/$total)")
+    assert(joined.select("id", "seg").as[(Long, String)].collect().toSet ==
+      Set((2L, "x"), (5L, "y")), "zero false drops")
+    // an EMPTY dim joins to nothing: every dir prunes, result is empty
+    val none = ManifestTable.read(spark, path)
+      .join(broadcast(dim.filter(col("seg") === "zz")), Seq("id"))
+    assert(none.count() == 0L)
+    val nonePrune = none.queryExecution.sparkPlan.collect {
+      case s: FileSourceScanExec => s.relation.location
+    }.collect { case g: GraftFileIndex => g.lastPrune }.flatten
+    assert(nonePrune.map(_._1).sum == 0L, s"empty dim must prune all: $nonePrune")
+    // a WINDOW between scan and join blocks the walk (pruning would
+    // change row_number over pruned rows) — plan left alone, full scan
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+    val windowed = ManifestTable.read(spark, path)
+      .withColumn("rn", row_number().over(w))
+      .join(broadcast(dim), Seq("id"))
+    windowed.collect()
+    val wPrune = windowed.queryExecution.sparkPlan.collect {
+      case s: FileSourceScanExec => s.relation.location
+    }.collect { case g: GraftFileIndex => g.lastPrune }.flatten
+    assert(wPrune.forall(p => p._1 == p._2),
+      s"a window below the join must not prune: $wPrune")
+    // rule disabled -> the scan keeps its full, un-narrowed index
+    // (no data filter reaches the scan at all, so assert directly on
+    // the index object rather than through the lastPrune channel)
+    spark.conf.set("spark.graft.joinPrune.enabled", "false")
+    try {
+      val off = ManifestTable.read(spark, path).join(broadcast(dim), Seq("id"))
+      off.collect()
+      val offIdx = off.queryExecution.sparkPlan.collect {
+        case s: FileSourceScanExec => s.relation.location
+      }.collect { case g: GraftFileIndex => g }
+      assert(offIdx.nonEmpty && offIdx.forall(!_.isNarrowed),
+        "disabled rule must leave the index un-narrowed")
+    } finally spark.conf.set("spark.graft.joinPrune.enabled", "true")
   }
 
   test("readJoinPruned probes a dim's key set against zone maps AND blooms; " +

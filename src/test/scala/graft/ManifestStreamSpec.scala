@@ -207,6 +207,52 @@ class ManifestStreamSpec extends AnyFunSuite {
       s"no duplicate or lost rows across capped restarts; got ${ids.sorted.toList}")
   }
 
+  test("a mid-version checkpoint restarts cleanly after NEWER commits land: " +
+    "one catch-up batch covers the slice remainder plus the new commits") {
+    val d = freshDir("midrestart"); val up = s"$d/up"
+    ManifestTable.merge(spark, up, rows("p0", 0 until 4), keys = Seq("id"),
+      partitionCol = "part", retainVersions = 8)
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val sink: (DataFrame, Long) => Unit = (b, _) => {
+      val got = b.select("id").as[Long].collect()
+      ids.synchronized { ids ++= got }
+    }
+    def drainCapped(trigger: Option[org.apache.spark.sql.streaming.Trigger]): Unit = {
+      val w = spark.readStream.format("graft-manifest").option("path", up)
+        .option("maxDirsPerTrigger", "2").load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", s"$d/ckpt")
+      trigger match {
+        case Some(t) =>
+          val q = w.trigger(t).start()
+          assert(q.awaitTermination(120000L), "Trigger.Once run did not terminate")
+        case None =>
+          val q = w.start()
+          try q.processAllAvailable() finally q.stop()
+      }
+    }
+    drainCapped(None) // snapshot at m1
+    assert(ids.sorted.toList == (0L until 4L).toList)
+    // ONE commit adding 5 dirs, then exactly ONE capped microbatch
+    // (Trigger.Once): the checkpoint now ENDS on a committed
+    // mid-version offset (m2, 2 of 5 dirs emitted) with no pending
+    // batch to replay
+    ManifestTable.merge(spark, up,
+      (1 to 5).map(i => (100L + i, s"p$i", i * 1.0)).toDF("id", "part", "v"),
+      keys = Seq("id"), partitionCol = "part", retainVersions = 8)
+    drainCapped(Some(org.apache.spark.sql.streaming.Trigger.Once()))
+    assert(ids.size == 6, s"Trigger.Once must commit exactly one 2-dir slice; got $ids")
+    // a NEWER commit lands before the restart: the fresh engine has no
+    // floor, so the restart batch spans (mid-m2 -> m3) — this was a
+    // permanent crash loop before the catch-up path existed
+    ManifestTable.merge(spark, up,
+      (6 to 8).map(i => (100L + i, s"p$i", i * 1.0)).toDF("id", "part", "v"),
+      keys = Seq("id"), partitionCol = "part", retainVersions = 8)
+    drainCapped(None)
+    assert(ids.sorted.toList == ((0L until 4L) ++ (101L to 108L)).toList,
+      s"restart must emit the m2 remainder and m3 exactly once; got ${ids.sorted.toList}")
+  }
+
   test("maxBytesPerTrigger bounds a batch by dir bytes (soft max, >= 1 dir)") {
     val d = freshDir("bytes"); val up = s"$d/up"
     ManifestTable.merge(spark, up, rows("p0", 0 until 4), keys = Seq("id"),

@@ -64,6 +64,58 @@ class MinHashStoreSpec extends AnyFunSuite {
       .collect().toSet == Set((1000L, 1000L)))
   }
 
+  test("a hot LSH bucket refuses loudly at maxCandidateDocs instead of " +
+    "materializing the pair blow-up on the driver") {
+    val base = freshBase("hot")
+    // adversarial corpus: 30 docs of IDENTICAL boilerplate text — every
+    // band bucket collides every doc, so ONE probe doc of the same text
+    // is a candidate against the whole corpus
+    val boiler = (0 until 30).map(j => s"same${j % 7}").mkString(" ")
+    val hot = (0L until 30L).map(i => (i, boiler))
+    MinHashStore.buildCommit(spark, base, hot.toDF("doc_id", "text"))
+    val probeDf = Seq((5000L, boiler)).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      MinHashStore.probeBatch(spark, base, probeDf, maxCandidateDocs = 5)
+    }
+    assert(e.getMessage.contains("distinct corpus candidates"), s"got: $e")
+    // with an adequate cap the same probe verifies all 30, distributed
+    val ok = MinHashStore.probeBatch(spark, base, probeDf, threshold = 0.99)
+    assert(ok.candidates == 30L &&
+      ok.pairs.select("corpus_id").distinct().count() == 30L)
+  }
+
+  test("eraseKeys removes a doc's band AND shingle rows in one txn with zero " +
+    "rewrites; a re-probe of its exact text reports no dup") {
+    val base = freshBase("erase")
+    MinHashStore.buildCommit(spark, base, corpus.toDF("doc_id", "text"))
+    // pre: an exact copy of doc 7's text is flagged against it
+    val echo = Seq((9000L, corpus(7)._2)).toDF("doc_id", "text")
+    val pre = MinHashStore.probeBatch(spark, base, echo, threshold = 0.99)
+    assert(pre.pairs.select("corpus_id").as[Long].collect().toSet == Set(7L))
+    val er = MinHashStore.eraseKeys(spark, base, Seq(7L))
+    assert(er.bandRowsErased == 16L && er.shingleRowsErased == 1L,
+      s"doc 7 carries 16 band rows and 1 shingle row; got $er")
+    assert(er.dirsRewritten == 0L, s"erasure must be DV-only; got $er")
+    assert(er.shingleDirsProbed < er.shingleDirsTotal,
+      s"the shingle delete must bloom-prune: $er")
+    // the subject is GONE: zero rows via the MoR read, and the echo
+    // no longer matches anything (band_miss — it never candidates)
+    assert(ManifestTable.read(spark, MinHashStore.bandsPath(base))
+      .filter(col("doc_id") === 7L).count() == 0L)
+    assert(ManifestTable.read(spark, MinHashStore.shinglesPath(base))
+      .filter(col("doc_id") === 7L).count() == 0L)
+    // (a random bucket collision with ANOTHER corpus doc may still
+    // candidate — verification kills it; the erased doc itself cannot)
+    val post = MinHashStore.probeBatch(spark, base, echo, threshold = 0.99)
+    assert(post.pairs.count() == 0L,
+      s"erased doc must not suppress its echo; got ${post.candidates} candidates")
+    // the store still works: append the echo, self-probe finds it
+    MinHashStore.appendBatch(spark, base, echo)
+    val self = MinHashStore.probeBatch(spark, base, echo, threshold = 0.99)
+    assert(self.pairs.select("corpus_id").as[Long].collect().toSet == Set(9000L),
+      "post-erase appends must keep indexing")
+  }
+
   test("an empty or matchless batch probes to zero pairs; params survive appends") {
     val base = freshBase("none")
     MinHashStore.buildCommit(spark, base, corpus.toDF("doc_id", "text"),
