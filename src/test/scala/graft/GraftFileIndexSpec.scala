@@ -427,6 +427,78 @@ class GraftFileIndexSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.graft.joinPrune.enabled", "true")
   }
 
+  test("JoinPruneRule: unstable probe sides back off; two dims intersect their " +
+    "narrowings; outer joins narrow only the build side; probes memoize") {
+    val path = freshPath("autoprune2")
+    seed(path) // day1 ids {1,2}, day2 {3,4}, day3 {5,6}
+    val dim = Seq((2L, "xx"), (5L, "yy")).toDF("id", "seg")
+    def narrowed(df: DataFrame): Seq[GraftFileIndex] = {
+      df.collect()
+      df.queryExecution.sparkPlan.collect {
+        case s: FileSourceScanExec => s.relation.location
+      }.collect { case g: GraftFileIndex if g.isNarrowed => g }
+    }
+    // --- repeat-unstable probe sides must back off (the probe runs at
+    // planning AND run time; a drifting key set would drop join rows).
+    // The dim must be FILE-backed: a LocalRelation dim is evaluated
+    // eagerly by ConvertToLocalRelation, so its rand/sample/limit is
+    // already materialized (repeat-stable) before the rule runs.
+    val dimPath = freshPath("autoprune2dim")
+    ManifestTable.merge(spark, dimPath,
+      Seq((2L, "xx"), (5L, "yy")).toDF("id", "seg"), Seq("id"), "seg")
+    def fdim = ManifestTable.read(spark, dimPath)
+    val nd = ManifestTable.read(spark, path)
+      .join(broadcast(fdim.where(rand() <= 0.999999)), Seq("id"))
+    assert(narrowed(nd).isEmpty, "rand() in the dim must back off")
+    val samp = ManifestTable.read(spark, path)
+      .join(broadcast(fdim.sample(1.0)), Seq("id"))
+    assert(narrowed(samp).isEmpty, "a Sample dim must back off")
+    val lim = ManifestTable.read(spark, path)
+      .join(broadcast(fdim.limit(2)), Seq("id"))
+    assert(narrowed(lim).isEmpty, "Limit without Sort must back off")
+    val slim = ManifestTable.read(spark, path)
+      .join(broadcast(fdim.orderBy("id").limit(2)), Seq("id"))
+    assert(narrowed(slim).nonEmpty, "Sort+Limit is repeat-stable — narrows")
+    assert(slim.count() == 2L)
+    // --- two selective dims INTERSECT their narrowings on one scan
+    val dim2 = Seq((5L, 9.9), (6L, 8.8)).toDF("id", "w")
+    val both = ManifestTable.read(spark, path)
+      .join(broadcast(dim), Seq("id")).join(broadcast(dim2), Seq("id"))
+    val (kb, tb) = evidence(both)
+    assert(tb == 3L && kb == 1L,
+      s"dim{2,5} keeps days 1+3, dim2{5,6} intersects to day3 only ($kb/$tb)")
+    assert(both.select("id").as[Long].collect().toSeq == Seq(5L),
+      "the doubly-narrowed scan still returns the exact join result")
+    // --- LeftOuter narrows ONLY the build side: dim LEFT-joins the
+    // fact → fact dirs holding no dim key can only yield unmatched
+    // build rows, prunable; every dim row survives regardless
+    val lo = dim.join(ManifestTable.read(spark, path), Seq("id"), "left")
+    val (kl, tl) = evidence(lo)
+    assert(tl == 3L && kl == 2L, s"left-outer build side must narrow ($kl/$tl)")
+    assert(lo.count() == 2L && lo.where(col("v").isNull).count() == 0L)
+    // ...and the PRESERVED side never loses a dir
+    val pres = ManifestTable.read(spark, path)
+      .join(broadcast(dim), Seq("id"), "left")
+    pres.collect()
+    assert(narrowed(pres).isEmpty,
+      "a left-outer preserved side must keep every dir")
+    assert(pres.count() == 6L)
+    // --- probe memoization: the SAME canonical dim probe re-optimized
+    // (new action / new DataFrame of the same shape) runs NO new job
+    val dim3 = Seq((3L, "m"), (6L, "n")).toDF("id", "seg")
+    val b0 = graft.plans.JoinPruneRule.probeExecutions.get
+    val q1 = ManifestTable.read(spark, path).join(broadcast(dim3), Seq("id"))
+    q1.queryExecution.optimizedPlan
+    val b1 = graft.plans.JoinPruneRule.probeExecutions.get
+    assert(b1 == b0 + 1, s"first probe of dim3 must execute once ($b0 -> $b1)")
+    val q2 = ManifestTable.read(spark, path).join(broadcast(dim3), Seq("id"))
+    q2.queryExecution.optimizedPlan
+    assert(graft.plans.JoinPruneRule.probeExecutions.get == b1,
+      "an identical canonical probe must hit the session memo")
+    val (k2, t2) = evidence(q2)
+    assert(t2 == 3L && k2 == 2L, s"memoized keys {3,6} keep days 2+3 ($k2/$t2)")
+  }
+
   test("readJoinPruned probes a dim's key set against zone maps AND blooms; " +
     "empty dim prunes all, oversize dim refuses") {
     val path = freshPath("joinprune")
