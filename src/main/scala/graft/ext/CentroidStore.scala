@@ -31,9 +31,12 @@ import graft.ops.ManifestTable
   * store's results gateable cross-engine (q190) where a float
   * centroid store would drift in the last ulp.
   *
-  * Retrain is a fresh [[trainCommit]] to a new base (atomic cutover),
-  * as for the sibling stores: assignments move wholesale when
-  * centroids move.
+  * Retrain is BLUE/GREEN ([[retrainCommit]], the sibling stores'
+  * shape): assignments move wholesale when centroids move, so the
+  * next generation builds whole under `base/gen-NNNNNN/` while
+  * readers keep resolving the current one, then a one-CAS
+  * [[graft.ops.GenPointer]] flip cuts them over. Generation 0 is the
+  * legacy flat layout — pre-pointer tables keep working untouched.
   */
 object CentroidStore {
 
@@ -42,6 +45,11 @@ object CentroidStore {
 
   def centroidsPath(base: String): String = s"$base/centroids"
   def assignmentsPath(base: String): String = s"$base/assignments"
+
+  /** Resolve `base` through the blue/green pointer ([[IvfStore]]'s
+    * contract): the root whose tables are CURRENT. */
+  def resolvedBase(spark: SparkSession, base: String): String =
+    graft.ops.GenPointer.resolved(spark, base)
 
   /** Train on `corpus` ([[Cluster.trainQuantized]]) and commit both
     * tables ATOMICALLY ([[graft.ops.ManifestTxn]] — assignments
@@ -73,7 +81,7 @@ object CentroidStore {
   /** The committed matrix, 1-based cluster id = position — a bounded
     * k·dim collect (the [[Cluster]] driver-traffic class). */
   def committedCentroids(spark: SparkSession, base: String): Seq[Seq[Long]] = {
-    val rows = ManifestTable.read(spark, centroidsPath(base))
+    val rows = ManifestTable.read(spark, centroidsPath(resolvedBase(spark, base)))
       .select(col("cluster_id").cast("int"), col("centroid"))
       .collect().sortBy(_.getInt(0))
     require(rows.nonEmpty, s"CentroidStore: no committed centroids under $base")
@@ -96,12 +104,13 @@ object CentroidStore {
     * batch lands in. */
   def assignBatch(spark: SparkSession, base: String, batch: DataFrame,
                   idCol: String = "vec_id", vecCol: String = "embedding"): AppendResult = {
-    val cents = committedCentroids(spark, base)
+    val root = resolvedBase(spark, base) // current generation's tables
+    val cents = committedCentroids(spark, root)
     val assigned = Cluster.assignQuantized(batch, cents, idCol, vecCol)
       .localCheckpoint() // assign once: the merge re-references it twice
     val clusters = assigned.select(col("cluster_id").cast("string")).distinct()
       .collect().map(_.getString(0)).toSet // bounded: ≤ k rows
-    ManifestTable.merge(spark, assignmentsPath(base), assigned,
+    ManifestTable.merge(spark, assignmentsPath(root), assigned,
       keys = Seq(idCol), partitionCol = "cluster_id", statsColumns = Seq(idCol),
       bloomColumns = Seq(idCol), knownTouched = Some(clusters))
     val n = assigned.count()
@@ -114,13 +123,20 @@ object CentroidStore {
     * every [[balancedSampleCommitted]] draw. One bloom-pruned
     * [[ManifestTable.deleteByKeysMoR]] (DV sidecar, zero dirs
     * rewritten); the CENTROID MATRIX stays — a whole-corpus aggregate
-    * refreshed under [[needsRetrain]]. */
+    * refreshed under [[needsRetrain]]. The default is LOGICAL erasure
+    * only — masked bytes persist until compaction + retention expiry;
+    * `physical = true` runs [[ManifestTable.purgeDeletes]] for
+    * immediate byte removal (see [[IvfStore.eraseKeys]]). */
   def eraseKeys(spark: SparkSession, base: String, vecIds: Seq[Long],
                 retainVersions: Int = 2,
-                idCol: String = "vec_id"): IvfStore.EraseResult = {
+                idCol: String = "vec_id",
+                physical: Boolean = false): IvfStore.EraseResult = {
     require(vecIds.nonEmpty, "CentroidStore.eraseKeys: empty vector id list")
-    val d = ManifestTable.deleteByKeysMoR(spark, assignmentsPath(base), "cluster_id",
+    val root = resolvedBase(spark, base) // current generation's tables
+    val d = ManifestTable.deleteByKeysMoR(spark, assignmentsPath(root), "cluster_id",
       idCol, vecIds.map(_.toString), retainVersions = retainVersions)
+    if (physical) ManifestTable.purgeDeletes(spark, assignmentsPath(root),
+      statsColumns = Seq(idCol), bloomColumns = Seq(idCol))
     IvfStore.EraseResult(d.op.rowsDeleted, d.dirsProbed, d.dirsTotal,
       d.op.dirsRewritten)
   }
@@ -130,7 +146,26 @@ object CentroidStore {
   def balancedSampleCommitted(spark: SparkSession, base: String, cap: Int,
                               idCol: String = "vec_id"): DataFrame =
     Cluster.balancedSampleFrom(
-      ManifestTable.read(spark, assignmentsPath(base)), cap, idCol)
+      ManifestTable.read(spark,
+        assignmentsPath(resolvedBase(spark, base))), cap, idCol)
+
+  /** BLUE/GREEN RETRAIN — [[IvfStore.retrainCommit]]'s contract for
+    * the curation k-means pair: full side-by-side [[trainCommit]] of
+    * the next generation, one CAS flip, then retire generations
+    * beyond `keepGenerations`. Returns the new generation number. */
+  def retrainCommit(spark: SparkSession, base: String, corpus: DataFrame,
+                    k: Int, iters: Int = 2,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    keepGenerations: Int = 2): Long = {
+    import graft.ops.GenPointer
+    val fs = GenPointer.fsOf(spark, base)
+    val next = GenPointer.next(fs, base)
+    trainCommit(spark, GenPointer.root(base, next), corpus, k, iters, idCol, vecCol)
+    GenPointer.flip(fs, base, next)
+    GenPointer.retire(fs, base, keepGenerations,
+      Seq("centroids", "assignments", "_txn"))
+    next
+  }
 
   /** O(1) DRIFT-TRIGGERED RETRAIN POLICY — committed training size vs
     * the assignments table's metadata-only count (the [[IvfStore]]
@@ -138,12 +173,13 @@ object CentroidStore {
     * clusters). */
   def needsRetrain(spark: SparkSession, base: String,
                    growthFactor: Double = 1.5): IvfStore.DriftCheck = {
-    val trained = ManifestTable.readProps(spark, centroidsPath(base))
+    val root = resolvedBase(spark, base) // drift of the CURRENT generation
+    val trained = ManifestTable.readProps(spark, centroidsPath(root))
       .getOrElse(TrainedRowsProp, sys.error(
         s"CentroidStore.needsRetrain: no $TrainedRowsProp property under $base — " +
           "not a CentroidStore-committed model")).toLong
     require(trained > 0, s"CentroidStore.needsRetrain: trained_rows = $trained")
-    val c = ManifestTable.fastCount(spark, assignmentsPath(base))
+    val c = ManifestTable.fastCount(spark, assignmentsPath(root))
     IvfStore.DriftCheck(c.rows, trained, c.metadataOnly,
       c.rows.toDouble / trained > growthFactor)
   }

@@ -24,10 +24,14 @@ import graft.ops.ManifestTable
   *     (the physical layout [[Ivf.search]]'s probe wants: a query's
   *     nProbe lists are whole directories) and keyed by idCol.
   *
-  * Retrain itself is deliberately a fresh [[trainCommit]] to a new
-  * base (atomic cutover = repoint the consumer), not an in-place
-  * mutation: assignments move wholesale when centroids move, so
-  * in-place would rewrite the whole index table anyway.
+  * Retrain is BLUE/GREEN ([[retrainCommit]]): assignments move
+  * wholesale when centroids move, so an in-place retrain would
+  * rewrite the whole index table under live readers — instead the new
+  * generation builds side-by-side under `base/gen-NNNNNN/` and a
+  * one-CAS pointer flip ([[graft.ops.GenPointer]]) cuts every reader
+  * over atomically. All read/maintain entry points resolve the
+  * current generation first; generation 0 is the legacy flat layout,
+  * so pre-pointer tables keep working untouched.
   */
 object IvfStore {
 
@@ -37,13 +41,26 @@ object IvfStore {
   def centroidsPath(base: String): String = s"$base/centroids"
   def indexPath(base: String): String = s"$base/index"
 
+  /** The generation the readers/maintainers currently resolve —
+    * 0 until the first [[retrainCommit]] flip. */
+  def currentGeneration(spark: SparkSession, base: String): Long =
+    graft.ops.GenPointer.current(graft.ops.GenPointer.fsOf(spark, base), base)
+
+  /** Resolve `base` through the blue/green pointer: the root whose
+    * `centroids/` + `index/` are CURRENT. */
+  def resolvedBase(spark: SparkSession, base: String): String =
+    graft.ops.GenPointer.resolved(spark, base)
+
   /** Train on `corpus` and commit both tables ATOMICALLY (a
     * [[graft.ops.ManifestTxn]] over `base/_txn` — a crash between the
     * centroids and index commits would otherwise leave an index whose
     * assignments reference centroids no reader can see, the exact
     * two-table skew the transaction layer exists for; do not call
     * inside an outer transaction). One extra bounded count job
-    * records the drift denominator. */
+    * records the drift denominator. Generation-BLIND: it writes the
+    * given root verbatim ([[retrainCommit]] uses it to build new
+    * generation dirs; calling it directly on a flipped base would
+    * write the retired legacy dirs, not the current generation). */
   def trainCommit(spark: SparkSession, base: String, corpus: DataFrame,
                   k: Int, iters: Int = 3,
                   idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
@@ -77,12 +94,13 @@ object IvfStore {
     * re-delivered batch is idempotent. */
   def appendBatch(spark: SparkSession, base: String, batch: DataFrame,
                   idCol: String = "vec_id", vecCol: String = "embedding"): AppendResult = {
-    val cents = ManifestTable.read(spark, centroidsPath(base))
+    val root = resolvedBase(spark, base) // current generation's tables
+    val cents = ManifestTable.read(spark, centroidsPath(root))
     val assigned = Ivf.index(batch, cents, idCol, vecCol)
       .localCheckpoint() // assign once: the merge re-references it twice
     val lists = assigned.select(col("list_id").cast("string")).distinct()
       .collect().map(_.getString(0)).toSet // bounded: ≤ k rows
-    ManifestTable.merge(spark, indexPath(base), assigned,
+    ManifestTable.merge(spark, indexPath(root), assigned,
       keys = Seq(idCol), partitionCol = "list_id", statsColumns = Seq(idCol),
       bloomColumns = Seq(idCol), knownTouched = Some(lists))
     val n = assigned.count()
@@ -103,23 +121,66 @@ object IvfStore {
     * k-means centroid is an aggregate over the whole training set,
     * not any subject's record (the same reasoning under which a
     * trained model survives an erasure request), and [[needsRetrain]]
-    * governs their eventual refresh. */
+    * governs their eventual refresh.
+    *
+    * SCOPE OF THE DEFAULT: the DV delete makes the vectors LOGICALLY
+    * unreadable — every read path (search, drift, re-probe) behaves
+    * as if they are gone — but their bytes remain in the data files
+    * (masked) and in retained prior versions until a rewrite folds
+    * the DVs in and retention expires (the caveat Delta documents for
+    * deletion vectors + VACUUM). `physical = true` completes removal
+    * immediately: [[ManifestTable.purgeDeletes]] rewrites exactly the
+    * DV'd dirs and expires prior versions to 1 — bytes gone at the
+    * cost of rewriting those dirs and of time travel past this
+    * commit. */
   def eraseKeys(spark: SparkSession, base: String, vecIds: Seq[Long],
                 retainVersions: Int = 2,
-                idCol: String = "vec_id"): EraseResult = {
+                idCol: String = "vec_id",
+                physical: Boolean = false): EraseResult = {
     require(vecIds.nonEmpty, "IvfStore.eraseKeys: empty vector id list")
-    val d = ManifestTable.deleteByKeysMoR(spark, indexPath(base), "list_id",
+    val root = resolvedBase(spark, base) // current generation's tables
+    val d = ManifestTable.deleteByKeysMoR(spark, indexPath(root), "list_id",
       idCol, vecIds.map(_.toString), retainVersions = retainVersions)
+    if (physical) ManifestTable.purgeDeletes(spark, indexPath(root),
+      statsColumns = Seq(idCol), bloomColumns = Seq(idCol))
     EraseResult(d.op.rowsDeleted, d.dirsProbed, d.dirsTotal, d.op.dirsRewritten)
   }
 
-  /** [[Ivf.search]] over the committed tables. */
+  /** [[Ivf.search]] over the committed tables of the CURRENT
+    * generation (resolved once, at plan time: a search planned before
+    * a concurrent flip serves the old generation to completion — the
+    * blue/green contract). */
   def searchCommitted(spark: SparkSession, base: String, queries: DataFrame,
                       k: Int, nProbe: Int = 4,
-                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    Ivf.search(ManifestTable.read(spark, indexPath(base)),
-      ManifestTable.read(spark, centroidsPath(base)), queries, k, nProbe,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val root = resolvedBase(spark, base)
+    Ivf.search(ManifestTable.read(spark, indexPath(root)),
+      ManifestTable.read(spark, centroidsPath(root)), queries, k, nProbe,
       idCol, vecCol)
+  }
+
+  /** BLUE/GREEN RETRAIN — the answer [[needsRetrain]]'s verdict calls
+    * for, without taking the index down: a FULL [[trainCommit]] of
+    * `corpus` builds the next generation side-by-side (readers keep
+    * resolving the current one through every second of training),
+    * then ONE [[graft.ops.GenPointer.flip]] CAS cuts all of them
+    * over. Two racing retrains build disjoint generation dirs and
+    * exactly one flip wins. `keepGenerations` retires older
+    * generations' data AFTER the flip (default 2: current + previous,
+    * so searches planned just before the flip finish against intact
+    * tables). Returns the new generation number. */
+  def retrainCommit(spark: SparkSession, base: String, corpus: DataFrame,
+                    k: Int, iters: Int = 3,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    keepGenerations: Int = 2): Long = {
+    import graft.ops.GenPointer
+    val fs = GenPointer.fsOf(spark, base)
+    val next = GenPointer.next(fs, base)
+    trainCommit(spark, GenPointer.root(base, next), corpus, k, iters, idCol, vecCol)
+    GenPointer.flip(fs, base, next)
+    GenPointer.retire(fs, base, keepGenerations, Seq("centroids", "index", "_txn"))
+    next
+  }
 
   /** A drift check: current index size vs the committed training
     * size, and the retrain verdict at `growthFactor`. */
@@ -133,12 +194,13 @@ object IvfStore {
     * metadata-only fastCount; no data file is opened. */
   def needsRetrain(spark: SparkSession, base: String,
                    growthFactor: Double = 1.5): DriftCheck = {
-    val trained = ManifestTable.readProps(spark, centroidsPath(base))
+    val root = resolvedBase(spark, base) // drift of the CURRENT generation
+    val trained = ManifestTable.readProps(spark, centroidsPath(root))
       .getOrElse(TrainedRowsProp, sys.error(
         s"IvfStore.needsRetrain: no $TrainedRowsProp property under $base — " +
           "not an IvfStore-committed index")).toLong
     require(trained > 0, s"IvfStore.needsRetrain: trained_rows = $trained")
-    val c = ManifestTable.fastCount(spark, indexPath(base))
+    val c = ManifestTable.fastCount(spark, indexPath(root))
     DriftCheck(c.rows, trained, c.metadataOnly,
       c.rows.toDouble / trained > growthFactor)
   }

@@ -222,12 +222,28 @@ object MinHashStore {
     * rewritten. Layout params ride forward automatically (MoR commits
     * carry the previous version's props verbatim). After this, a
     * re-probe of the erased doc's exact text reports NO dup — the
-    * band rows are gone, so it never becomes a candidate. */
+    * band rows are gone, so it never becomes a candidate.
+    *
+    * SCOPE OF THE DEFAULT: that is LOGICAL erasure — the shingle and
+    * band bytes remain physically present in the data dirs (masked by
+    * the sidecars) and in retained prior manifest versions until a
+    * rewrite folds the DVs in and retention expires (the same caveat
+    * Delta documents for deletion vectors + VACUUM). `physical =
+    * true` completes removal immediately: after the atomic logical
+    * commit, [[ManifestTable.purgeDeletes]] rewrites exactly the
+    * DV'd dirs of both tables and expires their prior versions to 1.
+    * The purge runs OUTSIDE the two-table transaction — it changes
+    * no visible rows (the txn already erased them atomically), and
+    * it is idempotent, so a crash between the purges is repaired by
+    * re-running `eraseKeys(physical = true)` (the deletes find
+    * nothing; the purges finish). Costs: the DV'd dirs rewrite, and
+    * time travel past this commit is gone. */
   def eraseKeys(spark: SparkSession, base: String, docIds: Seq[Long],
-                retainVersions: Int = 2): EraseResult = {
+                retainVersions: Int = 2,
+                physical: Boolean = false): EraseResult = {
     require(docIds.nonEmpty, "MinHashStore.eraseKeys: empty doc id list")
     val keys = docIds.map(_.toString)
-    graft.ops.ManifestTxn.run(spark, s"$base/_txn") {
+    val r = graft.ops.ManifestTxn.run(spark, s"$base/_txn") {
       val b = ManifestTable.deleteByKeysMoR(spark, bandsPath(base), "pb",
         "doc_id", keys, retainVersions = retainVersions)
       val s = ManifestTable.deleteByKeysMoR(spark, shinglesPath(base), "pb",
@@ -236,6 +252,13 @@ object MinHashStore {
         b.dirsProbed, b.dirsTotal, s.dirsProbed, s.dirsTotal,
         b.op.dirsRewritten + s.op.dirsRewritten)
     }
+    if (physical) {
+      ManifestTable.purgeDeletes(spark, bandsPath(base),
+        statsColumns = Seq("bucket"), bloomColumns = Seq("bucket", "doc_id"))
+      ManifestTable.purgeDeletes(spark, shinglesPath(base),
+        statsColumns = Seq("doc_id"), bloomColumns = Seq("doc_id"))
+    }
+    r
   }
 
   /** An [[appendBatch]] result: rows landed in each table and the

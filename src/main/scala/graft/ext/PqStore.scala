@@ -23,10 +23,12 @@ import graft.ops.ManifestTable
   *     upserts (LWW, so re-delivery is idempotent) touching only the
   *     buckets its ids hash into.
   *
-  * Retrain is a fresh [[trainCommit]] to a new base (atomic cutover),
-  * exactly as for [[IvfStore]]: new codebooks invalidate every
-  * committed code, so in-place retraining would rewrite the codes
-  * table anyway.
+  * Retrain is BLUE/GREEN ([[retrainCommit]], [[IvfStore]]'s shape):
+  * new codebooks invalidate every committed code, so the next
+  * generation builds whole under `base/gen-NNNNNN/` while readers
+  * keep resolving the current one, then a one-CAS
+  * [[graft.ops.GenPointer]] flip cuts them over. Generation 0 is the
+  * legacy flat layout — pre-pointer tables keep working untouched.
   */
 object PqStore {
 
@@ -41,6 +43,11 @@ object PqStore {
 
   def codebooksPath(base: String): String = s"$base/codebooks"
   def codesPath(base: String): String = s"$base/codes"
+
+  /** Resolve `base` through the blue/green pointer ([[IvfStore]]'s
+    * contract): the root whose `codebooks/` + `codes/` are CURRENT. */
+  def resolvedBase(spark: SparkSession, base: String): String =
+    graft.ops.GenPointer.resolved(spark, base)
 
   private def withPart(df: DataFrame, idCol: String): DataFrame =
     df.withColumn("__part", pmod(hash(col(idCol)), lit(Parts)).cast("string"))
@@ -82,16 +89,17 @@ object PqStore {
     * buckets' manifest entries carry forward verbatim). */
   def appendBatch(spark: SparkSession, base: String, batch: DataFrame,
                   idCol: String = "vec_id", vecCol: String = "embedding"): AppendResult = {
-    val props = ManifestTable.readProps(spark, codebooksPath(base))
+    val root = resolvedBase(spark, base) // current generation's tables
+    val props = ManifestTable.readProps(spark, codebooksPath(root))
     val m = props.getOrElse(MProp, sys.error(
       s"PqStore.appendBatch: no $MProp property under $base — " +
         "not a PqStore-committed codebook")).toInt
-    val books = ManifestTable.read(spark, codebooksPath(base))
+    val books = ManifestTable.read(spark, codebooksPath(root))
     val encoded = withPart(Pq.encode(batch, books, m, idCol, vecCol), idCol)
       .localCheckpoint() // encode once: the merge re-references it twice
     val parts = encoded.select(col("__part")).distinct()
       .collect().map(_.getString(0)).toSet // bounded: ≤ Parts rows
-    ManifestTable.merge(spark, codesPath(base), encoded,
+    ManifestTable.merge(spark, codesPath(root), encoded,
       keys = Seq(idCol), partitionCol = "__part", statsColumns = Seq(idCol),
       bloomColumns = Seq(idCol), knownTouched = Some(parts))
     val n = encoded.count()
@@ -105,13 +113,22 @@ object PqStore {
     * bloom-pruned [[ManifestTable.deleteByKeysMoR]] (DV sidecar, zero
     * dirs rewritten); the CODEBOOKS stay — like [[IvfStore]]'s
     * centroids they are whole-corpus aggregates, refreshed under
-    * [[needsRetrain]], not per-subject records. */
+    * [[needsRetrain]], not per-subject records. The default is
+    * LOGICAL erasure only — the codes' bytes stay masked on disk and
+    * in retained versions until compaction + retention expiry;
+    * `physical = true` runs [[ManifestTable.purgeDeletes]] (rewrite
+    * the DV'd dirs, expire prior versions) for immediate byte
+    * removal — see [[IvfStore.eraseKeys]] for the full trade. */
   def eraseKeys(spark: SparkSession, base: String, vecIds: Seq[Long],
                 retainVersions: Int = 2,
-                idCol: String = "vec_id"): IvfStore.EraseResult = {
+                idCol: String = "vec_id",
+                physical: Boolean = false): IvfStore.EraseResult = {
     require(vecIds.nonEmpty, "PqStore.eraseKeys: empty vector id list")
-    val d = ManifestTable.deleteByKeysMoR(spark, codesPath(base), "__part",
+    val root = resolvedBase(spark, base) // current generation's tables
+    val d = ManifestTable.deleteByKeysMoR(spark, codesPath(root), "__part",
       idCol, vecIds.map(_.toString), retainVersions = retainVersions)
+    if (physical) ManifestTable.purgeDeletes(spark, codesPath(root),
+      statsColumns = Seq(idCol), bloomColumns = Seq(idCol))
     IvfStore.EraseResult(d.op.rowsDeleted, d.dirsProbed, d.dirsTotal,
       d.op.dirsRewritten)
   }
@@ -122,22 +139,42 @@ object PqStore {
     * here. */
   def searchCommitted(spark: SparkSession, base: String, corpus: DataFrame,
                       queries: DataFrame, k: Int, shortlist: Int = 50,
-                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    Pq.search(ManifestTable.read(spark, codesPath(base)).drop("__part"),
-      ManifestTable.read(spark, codebooksPath(base)),
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val root = resolvedBase(spark, base) // resolved once, at plan time
+    Pq.search(ManifestTable.read(spark, codesPath(root)).drop("__part"),
+      ManifestTable.read(spark, codebooksPath(root)),
       corpus, queries, k, shortlist, idCol, vecCol)
+  }
+
+  /** BLUE/GREEN RETRAIN — [[IvfStore.retrainCommit]]'s contract for
+    * the PQ pair: full side-by-side [[trainCommit]] of the next
+    * generation, one CAS flip, then retire generations beyond
+    * `keepGenerations`. Returns the new generation number. */
+  def retrainCommit(spark: SparkSession, base: String, corpus: DataFrame,
+                    m: Int = 8, k: Int = 16, iters: Int = 3,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    keepGenerations: Int = 2): Long = {
+    import graft.ops.GenPointer
+    val fs = GenPointer.fsOf(spark, base)
+    val next = GenPointer.next(fs, base)
+    trainCommit(spark, GenPointer.root(base, next), corpus, m, k, iters, idCol, vecCol)
+    GenPointer.flip(fs, base, next)
+    GenPointer.retire(fs, base, keepGenerations, Seq("codebooks", "codes", "_txn"))
+    next
+  }
 
   /** O(1) DRIFT-TRIGGERED RETRAIN POLICY — committed training size vs
     * the codes table's metadata-only count (the [[IvfStore]] policy;
     * stale codebooks quantize a geometry the corpus has drifted from). */
   def needsRetrain(spark: SparkSession, base: String,
                    growthFactor: Double = 1.5): IvfStore.DriftCheck = {
-    val trained = ManifestTable.readProps(spark, codebooksPath(base))
+    val root = resolvedBase(spark, base) // drift of the CURRENT generation
+    val trained = ManifestTable.readProps(spark, codebooksPath(root))
       .getOrElse(TrainedRowsProp, sys.error(
         s"PqStore.needsRetrain: no $TrainedRowsProp property under $base — " +
           "not a PqStore-committed codebook")).toLong
     require(trained > 0, s"PqStore.needsRetrain: trained_rows = $trained")
-    val c = ManifestTable.fastCount(spark, codesPath(base))
+    val c = ManifestTable.fastCount(spark, codesPath(root))
     IvfStore.DriftCheck(c.rows, trained, c.metadataOnly,
       c.rows.toDouble / trained > growthFactor)
   }

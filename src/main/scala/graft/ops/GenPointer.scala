@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** BLUE/GREEN GENERATION POINTER for the persisted index stores
+  * ([[graft.ext.IvfStore]], [[graft.ext.PqStore]],
+  * [[graft.ext.CentroidStore]]).
+  *
+  * A drift-triggered retrain must not rebuild in place: a live
+  * `searchCommitted` would either see a half-built index or lose the
+  * index for the duration of training. Instead the store builds the
+  * NEW generation side-by-side under `base/gen-NNNNNN/` while every
+  * reader keeps resolving the current one, then flips this pointer in
+  * ONE compare-and-swap — the same per-filesystem commit primitive
+  * manifest versions use ([[ManifestTable.casManifest]]: HDFS rename
+  * semantics, or an atomic hard link on local `file://`), so exactly
+  * one of two racing retrains wins and a reader NEVER resolves a
+  * half-flipped state.
+  *
+  * Layout: `base/_gen/g<%012d>` marker files; the current generation
+  * is the highest marker, and generation 0 (no marker at all) is the
+  * legacy flat layout (tables directly under `base/`) — existing
+  * tables keep working untouched. Generation data lives under
+  * `base/gen-<%06d>/`.
+  *
+  * Crash analysis: a retrain that dies BEFORE its flip leaves an
+  * orphaned gen dir and no pointer change — readers are unaffected
+  * and the next retrain numbers PAST the orphan ([[next]] scans dirs
+  * as well as markers), so it can never collide with a rival build in
+  * progress. A retrain that dies AFTER its flip is simply complete
+  * (retention of old generations just hasn't run). */
+object GenPointer {
+
+  private def ptrDir(base: String) = s"$base/_gen"
+
+  /** The generation data root: gen 0 = the legacy flat layout. */
+  def root(base: String, gen: Long): String =
+    if (gen == 0L) base else f"$base/gen-$gen%06d"
+
+  def fsOf(spark: SparkSession, base: String): FileSystem =
+    new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def markers(fs: FileSystem, base: String): Seq[Long] = {
+    val d = new Path(ptrDir(base))
+    if (!fs.exists(d)) Nil
+    else fs.listStatus(d).map(_.getPath.getName).toSeq
+      .filter(n => n.length == 13 && n.startsWith("g") &&
+        n.drop(1).forall(_.isDigit))
+      .map(_.drop(1).toLong).sorted
+  }
+
+  /** The CURRENT generation: highest flipped marker; 0 = legacy. */
+  def current(fs: FileSystem, base: String): Long =
+    markers(fs, base).lastOption.getOrElse(0L)
+
+  /** `root` of the current generation — what every reader resolves. */
+  def resolved(spark: SparkSession, base: String): String =
+    root(base, current(fsOf(spark, base), base))
+
+  /** The next build number: past every flipped marker AND every
+    * existing gen dir (a crashed or rival in-flight build keeps its
+    * dir; numbering past it means builds never collide). */
+  def next(fs: FileSystem, base: String): Long = {
+    val dirGens =
+      if (!fs.exists(new Path(base))) Nil
+      else fs.listStatus(new Path(base)).map(_.getPath.getName).toSeq
+        .filter(n => n.length == 10 && n.startsWith("gen-") &&
+          n.drop(4).forall(_.isDigit))
+        .map(_.drop(4).toLong)
+    (markers(fs, base) ++ dirGens :+ 0L).max + 1
+  }
+
+  /** CAS-flip the pointer to `gen`. Exactly one of two racing flips
+    * to the same number wins; the loser gets an error (its built
+    * generation dir survives for inspection). Refuses to flip
+    * backwards — a stale retrain must not roll the pointer back. */
+  def flip(fs: FileSystem, base: String, gen: Long): Unit = {
+    val cur = current(fs, base)
+    require(gen > cur,
+      s"GenPointer.flip: generation $gen is not past the current $cur")
+    val dest = new Path(f"${ptrDir(base)}/g$gen%012d")
+    fs.mkdirs(dest.getParent)
+    val tmp = new Path(f"${ptrDir(base)}/g$gen%012d-${java.util.UUID.randomUUID()}.tmp")
+    val out = fs.create(tmp, false)
+    try out.write(gen.toString.getBytes("UTF-8")) finally out.close()
+    if (!ManifestTable.casManifest(fs, dest, tmp)) {
+      fs.delete(tmp, false)
+      sys.error(s"GenPointer.flip: generation $gen was already flipped by a rival")
+    }
+  }
+
+  /** RETENTION: delete the data of flipped generations older than the
+    * `keep` most recent (markers stay — the pointer history is the
+    * audit trail; a deleted generation's marker resolves nothing and
+    * [[current]] never returns it because newer markers exist). The
+    * legacy generation 0 owns `legacyDirs` table subdirs directly
+    * under `base/`, so those are what a retired gen 0 deletes. Never
+    * touches un-flipped (in-flight or crashed) builds ABOVE the
+    * current pointer. Returns the retired generation numbers. */
+  def retire(fs: FileSystem, base: String, keep: Int,
+             legacyDirs: Seq[String]): Seq[Long] = {
+    require(keep >= 1, s"GenPointer.retire: keep must be >= 1, got $keep")
+    val flipped = markers(fs, base)
+    // gen 0 exists iff any legacy table dir does
+    val zero = legacyDirs.exists(d => fs.exists(new Path(s"$base/$d")))
+    val all = (if (zero) Seq(0L) else Nil) ++ flipped
+    val drop = all.dropRight(keep)
+    drop.foreach { g =>
+      if (g == 0L) legacyDirs.foreach { d =>
+        val p = new Path(s"$base/$d")
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+      else fs.delete(new Path(root(base, g)), true)
+    }
+    drop
+  }
+}

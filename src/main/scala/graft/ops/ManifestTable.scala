@@ -1677,6 +1677,116 @@ object ManifestTable {
       committed = true)
   }
 
+  /** A [[purgeDeletes]] result: how many data dirs carried a pending
+    * deletion vector and were purged, how many manifest entries
+    * (partition keys) were rewritten vs dropped outright (every row
+    * of the key was deleted), and whether a version committed (false
+    * = the table carried no DVs — no version burned). */
+  final case class PurgeResult(dirsPurged: Long, entriesRewritten: Long,
+                               entriesDropped: Long, committed: Boolean)
+
+  /** PHYSICAL erasure follow-up to the DV (merge-on-read) delete
+    * family: [[deleteByKeysMoR]]/[[deleteWhereMoR]] make deleted rows
+    * LOGICALLY unreadable in O(sidecar) time, but the rows' bytes
+    * remain in the data files (masked by the sidecar) and in every
+    * retained prior version — the same caveat Delta documents for
+    * deletion vectors before OPTIMIZE + VACUUM. `purgeDeletes`
+    * completes the Art.-17 loop:
+    *
+    *   1. every entry of every dir that carries a `__dv` item
+    *      rewrites ([[foldMoR]]'s mechanism — a keyed read folds the
+    *      vectors in, a replaceTouched commit re-points the entries,
+    *      bucket-specced tables re-land through the bucketed write
+    *      path). The WHOLE dir rewrites, not just its DV'd entries:
+    *      on a shared/compacted dir, leaving un-DV'd co-tenant
+    *      entries pointing at the old dir would keep the purged
+    *      bytes on disk;
+    *   2. a key whose every row was deleted lands zero rows, so its
+    *      entry DROPS from the manifest;
+    *   3. the commit's cleanup expires prior versions down to
+    *      `retainVersions` — deleting the pre-purge data dirs and the
+    *      DV sidecars themselves.
+    *
+    * Physical removal holds only for what this call can see: with
+    * `retainVersions` > 1 older retained snapshots still reference
+    * the unpurged dirs, so callers wanting bytes-gone-NOW keep the
+    * default 1 (deliberately stricter than other maintenance ops) and
+    * give up time travel past this commit. Pass `statsColumns` /
+    * `bloomColumns` to re-record skipping metadata on the purged dirs
+    * — in particular, re-declare the erasure key's bloom so the NEXT
+    * `eraseKeys` still prunes. Current table properties re-commit
+    * verbatim (non-durable layout params must survive maintenance).
+    * No-op (no version, `committed=false`) when no entry carries a
+    * DV; idempotent — a second run sees none. */
+  def purgeDeletes(spark: SparkSession, path: String,
+                   retainVersions: Int = 1,
+                   statsColumns: Seq[String] = Nil,
+                   bloomColumns: Seq[String] = Nil,
+                   bloomBits: Int = 8192): PurgeResult = {
+    require(retainVersions >= 1, s"retainVersions must be >= 1, got $retainVersions")
+    require(ManifestTxn.active().isEmpty,
+      "ManifestTable.purgeDeletes: physical erasure deletes dead dirs " +
+        "immediately and cannot run inside a transaction (a rollback would " +
+        "need them) — call it after the transaction commits; it is idempotent")
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = latestVersion(fs, path).getOrElse(
+      sys.error(s"ManifestTable.purgeDeletes: no manifest under $path/$ManifestDir"))
+    val lines = readManifest(fs, path, cur)
+    val pcol = partitionColOf(lines).getOrElse(sys.error(
+      s"ManifestTable.purgeDeletes: no partition column recorded under $path"))
+    val entries = dataEntries(lines)
+    val dvDirs = entries.filter(e => dvRefOf(e._2).isDefined)
+      .map(e => dirOf(e._2)).toSet
+    if (dvDirs.isEmpty) return PurgeResult(0L, 0L, 0L, committed = false)
+    // whole-dir coverage: every co-tenant key of a DV'd dir rewrites
+    val touched = entries.filter(e => dvDirs(dirOf(e._2))).map(_._1).toSet
+    val rows = readEntriesOf(spark, path, lines, touched)
+    // bounded collect (<= |touched| values): which keys still hold
+    // rows once the vectors fold in — an all-deleted purge must NOT
+    // go through mergeCore (it would write an empty, never-referenced
+    // batch dir that fsck then flags as an orphan)
+    val survivors: Set[String] = rows
+      .select(col(pcol).cast("string").as("__p")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val prevProps = readProps(spark, path)
+    if (survivors.isEmpty) {
+      // every touched key lost every row: drop their entries in a
+      // direct metadata commit (head + untouched entries), no data
+      // write at all
+      val head = lines.collect { case e @ (SchemaKey, _) => e } ++
+        Seq(CommitKey -> System.currentTimeMillis().toString,
+          PartitionColKey -> pcol) ++
+        lines.collect { case e @ (PropsKey, _) => e }
+      writeManifest(fs, path, cur + 1,
+        head ++ entries.filterNot(e => touched(e._1)))
+      cleanup(fs, path, keepVersions = (versions(fs, path) :+ (cur + 1))
+        .distinct.sorted.takeRight(retainVersions).toSet)
+    } else mergeCore(spark, path, rows, keys = Nil, partitionCol = pcol,
+      preserveExisting = Nil, retainVersions = retainVersions,
+      statsColumns = statsColumns, replaceTouched = true,
+      props = prevProps, knownTouched = Some(touched),
+      bloomColumns = bloomColumns, bloomBits = bloomBits,
+      bucketSpec = bucketSpecOf(prevProps))
+    // FINE-GRAINED dead-dir sweep. The commit's coarse cleanup works
+    // at TOP-LEVEL batch-dir granularity: a batch dir with one still-
+    // live co-tenant partition survives whole, including the purged
+    // partitions' old subdirs — exactly the bytes this call promises
+    // to remove. Delete each pre-purge DV'd dir that NO kept version
+    // references any more (provably dead: we just re-pointed every
+    // entry off it; with retainVersions > 1 an older kept snapshot
+    // may still claim it, and then it stays — the documented trade).
+    val keptRefs: Set[String] = versions(fs, path).flatMap(v =>
+      dataEntries(readManifest(fs, path, v)).map(e => dirOf(e._2))).toSet
+    dvDirs.filterNot(keptRefs).foreach { d =>
+      val p = new Path(s"$path/$d")
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    val after = dataEntries(readManifest(fs, path,
+      latestVersion(fs, path).getOrElse(cur))).map(_._1).toSet
+    PurgeResult(dvDirs.size.toLong, (touched & after).size.toLong,
+      (touched -- after).size.toLong, committed = true)
+  }
+
   /** PARTITION RESPEC — rewrite the table under a NEW partition
     * column in one atomic commit (the by-rewrite form of Iceberg's
     * partition-spec evolution; Hive-style layouts cannot do this
@@ -1737,7 +1847,26 @@ object ManifestTable {
     * bounds). The rewrite is ONE [[merge]] under partition column
     * `__zb` (the zero-padded z value rides as a data column, like any
     * [[repartitionTable]] derivation); stats on every clustered
-    * column are re-recorded. Returns the number of z-dirs written. */
+    * column are re-recorded. Returns the number of z-dirs written.
+    *
+    * INCREMENTAL MAINTENANCE (the lifecycle around the one-shot
+    * OPTIMIZE-ZORDER): the quantile path COMMITS its spec — columns,
+    * bits and the split points — as DURABLE table properties, which
+    * enables
+    *   - [[mergeZOrdered]]: cluster-on-write — later batches assign
+    *     their own `__zb` from the committed splits and land in their
+    *     z-dirs, so routine ingest does not erode clustering at all;
+    *   - [[clusteringDebt]] / [[maybeRecluster]]: the O(manifest)
+    *     health check + auto-recluster policy (the maybeCompact
+    *     pattern) for when the DATA DISTRIBUTION drifts past the
+    *     committed splits (mass piles into edge buckets).
+    * Re-clustering is supported: on a table this function already
+    * clustered (committed spec present), it recomputes the splits
+    * from the CURRENT data and rewrites — `__zb` is recognized as the
+    * cluster column, not a user column. The explicit-`ranks` path
+    * commits columns + bits but no splits (an arbitrary Column is not
+    * serializable metadata), so cluster-on-write refuses on such
+    * tables and says why. */
   def clusterZOrder(spark: SparkSession, path: String, cols: Seq[String],
                     bits: Int = 3,
                     ranks: Option[Seq[org.apache.spark.sql.Column]] = None,
@@ -1754,15 +1883,24 @@ object ManifestTable {
         s"(got $bits*${cols.size} -> ${1 << (bits * cols.size)} dirs)")
     ranks.foreach(r => require(r.size == cols.size,
       s"ManifestTable.clusterZOrder: ${r.size} rank expressions for ${cols.size} columns"))
+    cols.foreach(c => require(!c.exists(";|=,".contains(_)),
+      s"ManifestTable.clusterZOrder: column name '$c' would corrupt the " +
+        "committed split encoding"))
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(latestVersion(fs, path).nonEmpty,
       s"ManifestTable.clusterZOrder: no table at $path")
-    val cur = read(spark, path)
+    val prevProps = readProps(spark, path)
+    val curRaw = read(spark, path)
+    // a committed spec marks __zb as OURS (re-cluster: recompute and
+    // overwrite); without one, a __zb column belongs to the user
+    val cur =
+      if (prevProps.contains(ZOrderColsProp)) curRaw.drop("__zb")
+      else { require(!curRaw.columns.contains("__zb"),
+        "ManifestTable.clusterZOrder: column __zb already exists and no " +
+          "committed z-order spec claims it — refusing to overwrite user data")
+        curRaw }
     cols.foreach(c => require(cur.columns.contains(c),
       s"ManifestTable.clusterZOrder: no column $c (have ${cur.columns.mkString(", ")})"))
-    require(!cur.columns.contains("__zb"),
-      "ManifestTable.clusterZOrder: column __zb already exists (table was " +
-        "clustered before — re-clustering reuses it via repartitionTable)")
     val buckets = 1 << bits
     // Explicit ranks are CLAMPED to [0, 2^bits): only `bits` low bits
     // interleave, so an out-of-domain rank would silently alias
@@ -1770,30 +1908,185 @@ object ManifestTable {
     // come from real footers — but clustering quality collapses with
     // no signal). Clamping keeps extremes in the edge buckets, which
     // is the monotone behavior a fixed-width-range caller expects.
+    val splitsPerCol: Option[Seq[Array[Double]]] =
+      if (ranks.isDefined) None
+      else Some(cols.map { c =>
+        val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+        cur.stat.approxQuantile(c, probs, relativeError).distinct.sorted
+      })
     val rankCols = ranks.map(_.map(r =>
       least(lit(buckets - 1), greatest(lit(0), r.cast("int")))
-    )).getOrElse(cols.map { c =>
-      val probs = (1 until buckets).map(_.toDouble / buckets).toArray
-      val splits = cur.stat.approxQuantile(c, probs, relativeError)
-      splits.distinct.foldLeft(lit(0))((acc, s) =>
-        acc + when(col(c) > lit(s), 1).otherwise(0))
-    })
-    val n = cols.size
+    )).getOrElse(splitsPerCol.get.zip(cols).map { case (sp, c) =>
+      zRankOf(col(c), sp) })
+    val df = cur.withColumn("__zb", zBucketOf(rankCols, bits))
+    val newKeys = df.select(col("__zb")).distinct()
+      .collect().map(_.getString(0)).toSet // bounded: <= 2^(bits*cols)
+    val zprops = Map(ZOrderColsProp -> cols.mkString(","),
+      ZOrderBitsProp -> bits.toString) ++
+      splitsPerCol.map(sp => ZOrderSplitsProp -> cols.zip(sp).map {
+        case (c, arr) => s"$c=${arr.map(_.toString).mkString("|")}"
+      }.mkString(";"))
+    merge(spark, path, df, keys = Nil, partitionCol = "__zb",
+      replaceTouched = true, retainVersions = retainVersions,
+      knownTouched = Some(newKeys ++ partitionKeys(fs, path)),
+      statsColumns = (cols ++ statsColumns).distinct, props = zprops,
+      bloomColumns = bloomColumns, bloomBits = bloomBits)
+    newKeys.size.toLong
+  }
+
+  /** Quantile rank of `c` against committed split points (the number
+    * of splits strictly below the value; NULL ranks 0). */
+  private def zRankOf(c: org.apache.spark.sql.Column,
+                      splits: Array[Double]): org.apache.spark.sql.Column =
+    splits.foldLeft(lit(0))((acc, s) => acc + when(c > lit(s), 1).otherwise(0))
+
+  /** The zero-padded interleaved z value of per-column ranks. */
+  private def zBucketOf(rankCols: Seq[org.apache.spark.sql.Column],
+                        bits: Int): org.apache.spark.sql.Column = {
+    val n = rankCols.size
+    val buckets = 1 << bits
     val z = (0 until n).flatMap { j =>
       (0 until bits).map { i =>
         shiftleft(shiftright(rankCols(j).cast("int"), i).bitwiseAND(lit(1)), i * n + j)
       }
     }.reduce(_ bitwiseOR _)
     val pad = ((buckets << (bits * (n - 1))) - 1).toString.length
-    val df = cur.withColumn("__zb", format_string(s"%0${pad}d", coalesce(z, lit(0))))
-    val newKeys = df.select(col("__zb")).distinct()
+    format_string(s"%0${pad}d", coalesce(z, lit(0)))
+  }
+
+  private def zSpecOf(props: Map[String, String],
+                      what: String): (Seq[String], Int, Map[String, Array[Double]]) = {
+    val cols = props.getOrElse(ZOrderColsProp, sys.error(
+      s"ManifestTable.$what: table is not z-ordered — run clusterZOrder first"))
+      .split(',').toSeq
+    val bits = props(ZOrderBitsProp).toInt
+    val splits = props.getOrElse(ZOrderSplitsProp, sys.error(
+      s"ManifestTable.$what: table was clustered with explicit ranks (no " +
+        "committed splits) — re-cluster through the quantile path to enable " +
+        "incremental maintenance")).split(';').map { part =>
+      val i = part.indexOf('=')
+      part.take(i) -> (if (part.length == i + 1) Array.empty[Double]
+        else part.drop(i + 1).split("\\|").map(_.toDouble))
+    }.toMap
+    (cols, bits, splits)
+  }
+
+  /** CLUSTER-ON-WRITE — the maintenance half [[clusterZOrder]]'s
+    * one-shot rewrite needs to stay true over time: a new batch
+    * assigns its own `__zb` from the COMMITTED splits and merges under
+    * the z partition column, so it lands in exactly the z-dirs its
+    * values belong to (routine ingest erodes nothing; only the hit
+    * dirs rewrite, like any merge). Quality then degrades only when
+    * the DATA drifts past the committed splits — which
+    * [[clusteringDebt]] watches and [[maybeRecluster]] repairs.
+    *
+    * Keyed upserts: LWW within the z-dirs the batch lands in — the
+    * standard partitioned-upsert contract applies: if an existing
+    * key's CLUSTERED column values change, the new row lands in its
+    * new z-dir and the stale copy in the old dir must be deleted
+    * explicitly (deleteByKeysMoR) — the merge cannot see it there.
+    * Returns the z-dirs touched. */
+  def mergeZOrdered(spark: SparkSession, path: String, incoming: DataFrame,
+                    keys: Seq[String] = Nil,
+                    preserveExisting: Seq[String] = Nil,
+                    retainVersions: Int = 2,
+                    statsColumns: Seq[String] = Nil,
+                    bloomColumns: Seq[String] = Nil,
+                    bloomBits: Int = 8192): Set[String] = {
+    val (zcols, bits, splits) = zSpecOf(readProps(spark, path), "mergeZOrdered")
+    zcols.foreach(c => require(incoming.columns.contains(c),
+      s"ManifestTable.mergeZOrdered: incoming batch lacks clustered column $c"))
+    val rankCols = zcols.map(c => zRankOf(col(c), splits(c)))
+    val df = incoming.withColumn("__zb", zBucketOf(rankCols, bits))
+    val touched = df.select(col("__zb")).distinct()
       .collect().map(_.getString(0)).toSet // bounded: <= 2^(bits*cols)
-    merge(spark, path, df, keys = Nil, partitionCol = "__zb",
-      replaceTouched = true, retainVersions = retainVersions,
-      knownTouched = Some(newKeys ++ partitionKeys(fs, path)),
-      statsColumns = (cols ++ statsColumns).distinct,
+    merge(spark, path, df, keys = keys, partitionCol = "__zb",
+      preserveExisting = preserveExisting, retainVersions = retainVersions,
+      statsColumns = (zcols ++ statsColumns).distinct,
+      knownTouched = Some(touched),
       bloomColumns = bloomColumns, bloomBits = bloomBits)
-    newKeys.size.toLong
+    touched
+  }
+
+  /** A [[clusteringDebt]] report. `debtFactor` is the policy signal:
+    * the heaviest z-dir's row count over the ideal per-dir mass
+    * (total / 2^(bits·cols)) — 1.0 = perfectly balanced, and a pile-up
+    * in one bucket (the stale-splits signature: every new row ranks
+    * into an edge bucket once the domain drifts) pushes it up
+    * linearly. `avgSpanRatio` (mean over clustered columns of the
+    * mean per-dir zone-map span / global span) is the read-side
+    * observability companion: how much of the domain a probe-hit dir
+    * drags in. */
+  final case class ZOrderDebt(dirs: Long, rows: Long, maxDirRows: Long,
+                              debtFactor: Double, avgSpanRatio: Double,
+                              metadataOnly: Boolean)
+
+  /** O(manifest) CLUSTERING HEALTH CHECK — no Spark job, no file
+    * opened: per-dir row counts and zone maps are already committed
+    * manifest metadata. `metadataOnly=false` (some entry lacks a
+    * rowcount — e.g. a folded entry before its next statsful merge)
+    * falls back to counting that entry's dir with a bounded read. */
+  def clusteringDebt(spark: SparkSession, path: String): ZOrderDebt = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = latestVersion(fs, path).getOrElse(
+      sys.error(s"ManifestTable.clusteringDebt: no manifest under $path/$ManifestDir"))
+    val lines = readManifest(fs, path, v)
+    val (zcols, bits, _) = zSpecOf(propsOf(lines), "clusteringDebt")
+    val entries = dataEntries(lines)
+    if (entries.isEmpty)
+      return ZOrderDebt(0L, 0L, 0L, 0.0, 0.0, metadataOnly = true)
+    val counted = entries.map { case (k, value) =>
+      rowCountOf(value).map(_ - dvRefOf(value).map(_._1).getOrElse(0L)
+        + auxRefsOf(value).map(_._1).sum)
+        .map(n => (n, true))
+        .getOrElse((read(spark, path, _ == k).count(), false))
+    }
+    val rows = counted.map(_._1).sum
+    val maxDir = counted.map(_._1).max
+    val ideal = rows.toDouble / (1L << (bits * zcols.size))
+    val metas = entries.map(e => entryMetaOf(e._2))
+    val ratios = zcols.flatMap { c =>
+      val spans = metas.flatMap(_.stats.get(c))
+      if (spans.isEmpty) None
+      else {
+        val lo = spans.map(_._1).min
+        val hi = spans.map(_._2).max
+        val g = (hi - lo).toDouble
+        if (g == 0.0) Some(0.0)
+        else Some(spans.map(s => (s._2 - s._1).toDouble / g).sum / spans.size)
+      }
+    }
+    ZOrderDebt(entries.size.toLong, rows, maxDir,
+      if (ideal == 0.0) 0.0 else maxDir / ideal,
+      if (ratios.isEmpty) 1.0 else ratios.sum / ratios.size,
+      metadataOnly = counted.forall(_._2))
+  }
+
+  /** MAINTENANCE POLICY for clustering (the [[maybeCompact]] /
+    * [[maybeFoldMoR]] pattern): O(manifest) while healthy; a real
+    * re-cluster — fresh quantile splits from the CURRENT data, one
+    * rewrite — only once the heaviest z-dir exceeds `maxDebtFactor` ×
+    * the ideal per-dir mass AND the table is big enough for the
+    * rewrite to matter (`minRows`). An ingest job calls this after
+    * its [[mergeZOrdered]] batches; the common case costs one
+    * manifest read. Returns the new z-dir count when it re-clustered. */
+  def maybeRecluster(spark: SparkSession, path: String,
+                     maxDebtFactor: Double = 4.0,
+                     minRows: Long = 0L,
+                     relativeError: Double = 0.001,
+                     retainVersions: Int = 2,
+                     statsColumns: Seq[String] = Nil,
+                     bloomColumns: Seq[String] = Nil,
+                     bloomBits: Int = 8192): Option[Long] = {
+    require(maxDebtFactor > 1.0,
+      s"maybeRecluster: maxDebtFactor must be > 1, got $maxDebtFactor")
+    val (zcols, bits, _) = zSpecOf(readProps(spark, path), "maybeRecluster")
+    val debt = clusteringDebt(spark, path)
+    if (debt.debtFactor <= maxDebtFactor || debt.rows < minRows) None
+    else Some(clusterZOrder(spark, path, zcols, bits,
+      relativeError = relativeError, retainVersions = retainVersions,
+      statsColumns = statsColumns, bloomColumns = bloomColumns,
+      bloomBits = bloomBits))
   }
 
   /** A [[deepClone]] result: dirs and bytes copied. */
@@ -2778,9 +3071,18 @@ object ManifestTable {
     * double-apply the exactly-once sink exists to prevent. Caller
     * props override on key collision (a stream sink advancing its own
     * watermark). */
+  /** Z-order spec props ([[clusterZOrder]]): the clustered columns,
+    * bits per column, and the committed quantile split points —
+    * durable so [[mergeZOrdered]]'s cluster-on-write and
+    * [[maybeRecluster]]'s health check survive every later commit. */
+  val ZOrderColsProp = "zorder.cols"
+  val ZOrderBitsProp = "zorder.bits"
+  val ZOrderSplitsProp = "zorder.splits"
+
   private[ops] val DurablePropKeys: Set[String] =
     Set(RenameMapProp, DropTombstonesProp, BucketColProp, BucketNProp,
-        TransformProp, StreamBatchIdProp)
+        TransformProp, StreamBatchIdProp,
+        ZOrderColsProp, ZOrderBitsProp, ZOrderSplitsProp)
 
   private[ops] def durablePropsOf(props: Map[String, String]): Map[String, String] =
     props.view.filterKeys(DurablePropKeys).toMap

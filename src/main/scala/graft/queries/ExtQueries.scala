@@ -1729,6 +1729,104 @@ object ExtQueries {
       |FROM post ORDER BY new_id""".stripMargin
 
   // ----------------------------------------------------------------
+  // q203_physical_erasure — THE BYTES-GONE HALF OF ART. 17
+  // (ManifestTable.purgeDeletes): q202 proved the LOGICAL loop (DV
+  // deletes make subjects unreadable and un-suppressing), but the
+  // masked bytes stay in the data files and in retained versions —
+  // the Delta DV + VACUUM caveat. This gate pins the physical half:
+  //   1. corpus (doc_id % 10 != 0) committed as a manifest table,
+  //      pb = doc_id % 10, stats + blooms on doc_id;
+  //   2. subjects (doc_id % 211 = 3) MoR-deleted — zero dirs
+  //      rewritten, and a MANIFEST-BLIND recursive parquet read of
+  //      the data dirs still finds EVERY subject's bytes
+  //      (bytes_present_after_mor = n_subjects, the caveat itself);
+  //   3. purgeDeletes rewrites exactly the DV'd dirs and expires
+  //      prior versions: the same manifest-blind read now finds ZERO
+  //      subjects (bytes_present_after_purge = 0), one version
+  //      remains, and purge_dirs (= dirs holding >= 1 subject) and
+  //      purge_dropped (= dirs where EVERY row was a subject) are
+  //      SQL-recomputed from the corpus slicing;
+  //   4. the logical table is untouched by the purge: per-partition
+  //      survivor counts equal the oracle's.
+  // ----------------------------------------------------------------
+  def q203PhysicalErasure(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:q203_physical_erasure") {
+      q203PhysicalErasureBuild(spark, dir)
+    }
+
+  private def q203PhysicalErasureBuild(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.ops.ManifestTable
+    val corpus = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .withColumn("pb", (col("doc_id") % 10).cast("string"))
+      .filter(col("doc_id") % 10 =!= 0)
+    val root = java.nio.file.Files.createTempDirectory("graft_q203_").toString
+    val basePath = s"$root/base"
+    ManifestTable.merge(spark, basePath, corpus, keys = Seq("doc_id"),
+      partitionCol = "pb", statsColumns = Seq("doc_id"),
+      bloomColumns = Seq("doc_id"))
+    // bounded collect: ~corpus/211 ids
+    val subjects = corpus.filter(col("doc_id") % 211 === 3)
+      .select(col("doc_id")).as[Long].collect().sorted.toSeq
+    // the manifest-blind view: subject rows physically present in ANY
+    // file under data/, whatever the manifest says
+    def bytesPresent(): Long =
+      if (subjects.isEmpty) 0L
+      else spark.read.option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet").parquet(s"$basePath/data")
+        .filter(col("doc_id").isInCollection(subjects))
+        .select(col("doc_id")).distinct().count()
+    var morRewritten = 0L
+    var afterMor = 0L
+    var afterPurge = 0L
+    var purgeDirs = 0L
+    var purgeDropped = 0L
+    if (subjects.nonEmpty) {
+      val del = ManifestTable.deleteByKeysMoR(spark, basePath, "pb", "doc_id",
+        subjects.map(_.toString))
+      morRewritten = del.op.dirsRewritten
+      afterMor = bytesPresent()
+      val pr = ManifestTable.purgeDeletes(spark, basePath,
+        statsColumns = Seq("doc_id"), bloomColumns = Seq("doc_id"))
+      afterPurge = bytesPresent()
+      purgeDirs = pr.dirsPurged
+      purgeDropped = pr.entriesDropped
+    }
+    val fs = new org.apache.hadoop.fs.Path(basePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nVersions = ManifestTable.versions(fs, basePath).size.toLong
+    ManifestTable.read(spark, basePath)
+      .groupBy(col("pb")).agg(count(lit(1)).as("rows_after"))
+      .withColumn("n_subjects", lit(subjects.size.toLong))
+      .withColumn("mor_dirs_rewritten", lit(morRewritten))
+      .withColumn("bytes_present_after_mor", lit(afterMor))
+      .withColumn("bytes_present_after_purge", lit(afterPurge))
+      .withColumn("purge_dirs", lit(purgeDirs))
+      .withColumn("purge_dropped", lit(purgeDropped))
+      .withColumn("versions_after", lit(nVersions))
+      .orderBy(col("pb"))
+  }
+
+  val q203PhysicalErasureSql: String =
+    """WITH c AS MATERIALIZED (
+      |  SELECT doc_id, CAST(doc_id % 10 AS VARCHAR) AS pb
+      |  FROM documents WHERE doc_id % 10 <> 0),
+      |subj AS MATERIALIZED (SELECT doc_id, pb FROM c WHERE doc_id % 211 = 3)
+      |SELECT pb, CAST(count(*) AS BIGINT) AS rows_after,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM subj) AS n_subjects,
+      |  CAST(0 AS BIGINT) AS mor_dirs_rewritten,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM subj) AS bytes_present_after_mor,
+      |  CAST(0 AS BIGINT) AS bytes_present_after_purge,
+      |  (SELECT CAST(count(DISTINCT pb) AS BIGINT) FROM subj) AS purge_dirs,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM (
+      |     SELECT pb FROM c GROUP BY pb
+      |     HAVING count(*) = count(*) FILTER (doc_id % 211 = 3))) AS purge_dropped,
+      |  CAST(1 AS BIGINT) AS versions_after
+      |FROM c WHERE doc_id % 211 <> 3
+      |GROUP BY pb ORDER BY pb""".stripMargin
+
+  // ----------------------------------------------------------------
   // q59_jaccard_join — EXACT n-gram Jaccard similarity join at
   // threshold 0.5 (Dedup.jaccardJoinExact): inverted-index pair
   // count — |A∩B| is a hash-aggregate over the gram self-join, J a

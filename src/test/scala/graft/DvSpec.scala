@@ -337,6 +337,75 @@ class DvSpec extends AnyFunSuite {
     assert(ManifestTable.fsck(spark, path).count() == 0L)
   }
 
+  test("purgeDeletes physically removes DV'd bytes: rewritten dirs, expired " +
+    "versions, dropped all-deleted entries, shared dirs rewritten whole") {
+    val path = freshPath("purge")
+    seed(path) // 40 rows, parts p0..p3, stats+bloom on id
+    /** EVERY id physically present under data/, manifest-blind — the
+      * bytes-on-disk view a DV can only mask, never remove. */
+    def physicalIds(): Set[Long] = spark.read
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "*.parquet") // skip the .dv sidecars
+      .parquet(s"$path/data")
+      .select("id").as[Long].collect().toSet
+    // DV-delete ids 0 (p0) and 5 (p1); p2/p3 untouched
+    val del = ManifestTable.deleteByKeysMoR(spark, path, "part",
+      "id", Seq("0", "5"))
+    assert(del.op.rowsDeleted == 2L && del.op.dirsRewritten == 0L)
+    assert(physicalIds().contains(0L) && physicalIds().contains(5L),
+      "a MoR delete leaves the bytes on disk — that is the caveat purge exists for")
+    val logicalBefore = ManifestTable.read(spark, path)
+      .select("id").as[Long].collect().toSet
+    val p2dirBefore = ManifestTable.entryDirs(spark, path,
+      ManifestTable.versions(new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration), path).last)("p2")
+    val r = ManifestTable.purgeDeletes(spark, path,
+      statsColumns = Seq("id"), bloomColumns = Seq("id"))
+    assert(r.committed && r.dirsPurged == 2L &&
+      r.entriesRewritten == 2L && r.entriesDropped == 0L, r.toString)
+    // logical content unchanged; physical bytes GONE (prior versions
+    // expired to 1, so the pre-purge dirs and sidecars are deleted)
+    assert(ManifestTable.read(spark, path)
+      .select("id").as[Long].collect().toSet == logicalBefore)
+    val phys = physicalIds()
+    assert(!phys.contains(0L) && !phys.contains(5L),
+      s"purged ids must be physically absent from every surviving file")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(ManifestTable.versions(fs, path).size == 1,
+      "physical erasure expires prior versions (no time travel to the bytes)")
+    val p2dirAfter = ManifestTable.entryDirs(spark, path,
+      ManifestTable.versions(fs, path).last)("p2")
+    assert(p2dirAfter == p2dirBefore, "an un-DV'd dir must not rewrite")
+    // idempotent + no-op on a DV-free table: no version burned
+    assert(!ManifestTable.purgeDeletes(spark, path).committed)
+    // re-recorded skipping metadata still prunes + erase path works again
+    assert(ManifestTable.fastCount(spark, path).metadataOnly)
+    assert(ManifestTable.fsck(spark, path).count() == 0L)
+    // an ALL-rows-deleted partition drops its entry on purge
+    val ids2 = (0 until 40).filter(_ % 4 == 2).map(_.toString) // all of p2
+    ManifestTable.deleteByKeysMoR(spark, path, "part", "id", ids2)
+    val r2 = ManifestTable.purgeDeletes(spark, path,
+      statsColumns = Seq("id"), bloomColumns = Seq("id"))
+    assert(r2.committed && r2.entriesDropped == 1L, r2.toString)
+    assert(ManifestTable.read(spark, path)
+      .filter(col("part") === "p2").count() == 0L)
+    assert(!physicalIds().exists(_ % 4 == 2), "dropped partition's bytes gone")
+    // SHARED (compacted) dir: a DV on ONE co-tenant purges the dir
+    // WHOLE — the other tenant's entry re-points, bytes still exact
+    val cr = ManifestTable.compact(spark, path, "part", minDirs = 2)
+    assert(cr.committed, "p0/p1/p3 should pack into one shared dir")
+    ManifestTable.deleteByKeysMoR(spark, path, "part", "id", Seq("8")) // p0
+    assert(physicalIds().contains(8L))
+    val r3 = ManifestTable.purgeDeletes(spark, path,
+      statsColumns = Seq("id"), bloomColumns = Seq("id"))
+    assert(r3.committed && r3.entriesRewritten == 3L, r3.toString)
+    assert(!physicalIds().contains(8L),
+      "a shared dir rewrites whole — the co-tenant must not pin the purged bytes")
+    assert(ManifestTable.read(spark, path).count() == 40L - 2 - 10 - 1)
+    assert(ManifestTable.fsck(spark, path).count() == 0L)
+  }
+
   test("MoR update and delete compose on a COMPACTED (shared-dir) layout") {
     val path = freshPath("updshared")
     seed(path)

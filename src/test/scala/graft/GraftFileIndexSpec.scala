@@ -380,6 +380,62 @@ class GraftFileIndexSpec extends AnyFunSuite {
       spark, path, Seq("a", "b"), bits = 11)).getMessage.contains("20"))
   }
 
+  test("z-order incremental lifecycle: committed splits drive cluster-on-write, " +
+    "clusteringDebt is metadata-only, drift past the splits triggers maybeRecluster") {
+    val path = freshPath("zinc")
+    val rows = (0 until 256).map { i =>
+      (i.toLong, ts("2024-01-01"), (i % 16).toDouble, (i / 16).toDouble)
+    }.toDF("id", "day", "a", "b")
+    ManifestTable.merge(spark, path, rows, Seq("id"), "day",
+      statsColumns = Seq("a", "b"))
+    ManifestTable.clusterZOrder(spark, path, Seq("a", "b"), bits = 2,
+      retainVersions = 2)
+    // the spec is committed DURABLY: cols, bits, and the split points
+    val props = ManifestTable.readProps(spark, path)
+    assert(props(ManifestTable.ZOrderColsProp) == "a,b" &&
+      props(ManifestTable.ZOrderBitsProp) == "2" &&
+      props.contains(ManifestTable.ZOrderSplitsProp), props.toString)
+    // healthy right after clustering: O(manifest) check, no recluster
+    val d0 = ManifestTable.clusteringDebt(spark, path)
+    assert(d0.metadataOnly && d0.rows == 256L && d0.debtFactor <= 2.0, d0.toString)
+    assert(ManifestTable.maybeRecluster(spark, path).isEmpty,
+      "a balanced table must not re-cluster")
+    // CLUSTER-ON-WRITE: an in-domain batch lands in exactly the z-dirs
+    // its values rank into (here: the one top-corner bucket)
+    val corner = (1000 until 1008).map(i =>
+      (i.toLong, ts("2024-01-01"), 15.0, 15.0)).toDF("id", "day", "a", "b")
+    val touched = ManifestTable.mergeZOrdered(spark, path, corner, keys = Seq("id"))
+    assert(touched.size == 1, s"a (15,15) batch hits ONE bucket; got $touched")
+    val both = ManifestTable.read(spark, path)
+      .where(col("a") >= 14.0 && col("b") >= 14.0)
+    val (kb2, tb2) = evidence(both)
+    assert(kb2 < tb2, s"corner probe must still prune after the merge ($kb2/$tb2)")
+    assert(both.count() == 4L + 8L,
+      "grid corner (4) + the cluster-on-write batch (8)")
+    assert(ManifestTable.maybeRecluster(spark, path).isEmpty,
+      "in-domain ingest does not erode clustering")
+    // DRIFT: a domain-shifted batch ranks past every split — all of it
+    // piles into the edge bucket, the stale-splits signature
+    val shifted = (2000 until 2300).map(i =>
+      (i.toLong, ts("2024-01-01"), 1000.0 + i, 1000.0 + (i * 7 % 300)))
+      .toDF("id", "day", "a", "b")
+    ManifestTable.mergeZOrdered(spark, path, shifted, keys = Seq("id"))
+    val d1 = ManifestTable.clusteringDebt(spark, path)
+    assert(d1.metadataOnly && d1.debtFactor > 4.0,
+      s"300 rows in one bucket must show as debt: $d1")
+    // the policy repairs it: fresh quantile splits, one rewrite
+    val re = ManifestTable.maybeRecluster(spark, path)
+    assert(re.nonEmpty, "debt past the factor must trigger a re-cluster")
+    val d2 = ManifestTable.clusteringDebt(spark, path)
+    assert(d2.debtFactor <= 4.0, s"re-clustering must clear the debt: $d2")
+    assert(d2.rows == 256L + 8L + 300L)
+    // content intact and the NEW splits prune the shifted domain
+    val hi = ManifestTable.read(spark, path).where(col("a") >= 1000.0)
+    val (kh, th) = evidence(hi)
+    assert(kh < th, s"post-recluster probes prune under the new splits ($kh/$th)")
+    assert(hi.count() == 300L)
+  }
+
   test("JoinPruneRule: a PLAIN join against a broadcast dim prunes the scan " +
     "automatically; unsafe shapes and large dims leave the plan alone") {
     val path = freshPath("autoprune")

@@ -71,4 +71,56 @@ class IvfPqStoreSpec extends AnyFunSuite {
       "erasure must not touch the codebooks")
     assert(PqStore.needsRetrain(spark, base).indexedRows == 38L)
   }
+
+  test("retrainCommit is BLUE/GREEN: side-by-side build, one-CAS flip, " +
+    "retention, crash orphans skipped, backward flips refused") {
+    import graft.ops.GenPointer
+    val base = freshBase("bluegreen")
+    val fs = GenPointer.fsOf(spark, base)
+    // gen 0 (legacy flat layout)
+    IvfStore.trainCommit(spark, base, blobs(0 until 40), k = 2)
+    assert(IvfStore.currentGeneration(spark, base) == 0L)
+    assert(IvfStore.searchCommitted(spark, base, query, k = 40, nProbe = 2)
+      .count() == 40L)
+    // drift fires; the retrain builds gen 1 side-by-side + flips once
+    val g1 = IvfStore.retrainCommit(spark, base, blobs(0 until 60), k = 2)
+    assert(g1 == 1L && IvfStore.currentGeneration(spark, base) == 1L)
+    val post = IvfStore.searchCommitted(spark, base, query, k = 60, nProbe = 2)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(post.size == 60 && post.contains(58L),
+      s"post-flip searches must serve the NEW corpus; got ${post.size}")
+    // the previous generation's tables are RETAINED (keepGenerations=2):
+    // a search planned just before the flip finishes against intact dirs
+    assert(fs.exists(new org.apache.hadoop.fs.Path(IvfStore.indexPath(base))),
+      "the pre-flip generation must survive the default retention")
+    assert(ManifestTable.fastCount(spark, IvfStore.indexPath(base)).rows == 40L)
+    // maintenance routes to the CURRENT generation: append + erase land
+    // in gen 1, the retired-soon legacy dirs stay untouched
+    IvfStore.appendBatch(spark, base, blobs(60 until 64))
+    val g1root = GenPointer.root(base, 1L)
+    assert(ManifestTable.fastCount(spark, IvfStore.indexPath(g1root)).rows == 64L)
+    assert(ManifestTable.fastCount(spark, IvfStore.indexPath(base)).rows == 40L)
+    val dc = IvfStore.needsRetrain(spark, base)
+    assert(dc.trainedRows == 60L && dc.indexedRows == 64L && !dc.retrain,
+      s"drift must measure the CURRENT generation; got $dc")
+    IvfStore.eraseKeys(spark, base, Seq(58L))
+    assert(!IvfStore.searchCommitted(spark, base, query, k = 64, nProbe = 2)
+      .select("neighbor_id").as[Long].collect().toSet.contains(58L))
+    // a crashed rival left an orphan build dir: numbering skips PAST it
+    fs.mkdirs(new org.apache.hadoop.fs.Path(GenPointer.root(base, 5L)))
+    val g6 = IvfStore.retrainCommit(spark, base, blobs(0 until 70), k = 2,
+      keepGenerations = 1)
+    assert(g6 == 6L && IvfStore.currentGeneration(spark, base) == 6L,
+      s"next build must number past the orphan; got $g6")
+    // keepGenerations=1 retired BOTH older generations' data
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(IvfStore.indexPath(base))),
+      "retiring gen 0 deletes the legacy table dirs")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(g1root)),
+      "retiring gen 1 deletes its generation dir")
+    assert(IvfStore.searchCommitted(spark, base, query, k = 70, nProbe = 2)
+      .count() == 70L)
+    // the pointer only moves FORWARD (a stale retrain cannot roll back)
+    val err = intercept[RuntimeException](GenPointer.flip(fs, base, 3L))
+    assert(err.getMessage.contains("not past"), err.getMessage)
+  }
 }

@@ -116,6 +116,39 @@ class MinHashStoreSpec extends AnyFunSuite {
       "post-erase appends must keep indexing")
   }
 
+  test("eraseKeys(physical = true) leaves no subject bytes in either table's " +
+    "surviving files, expires prior versions, and the store keeps working") {
+    val base = freshBase("phys")
+    MinHashStore.buildCommit(spark, base, corpus.toDF("doc_id", "text"))
+    /** doc_ids physically present under a table's data/, manifest-
+      * blind — what a DV can only mask and the purge must remove. */
+    def physicalDocIds(table: String): Set[Long] = spark.read
+      .option("recursiveFileLookup", "true").option("pathGlobFilter", "*.parquet")
+      .parquet(s"$table/data").select("doc_id").as[Long].collect().toSet
+    assert(physicalDocIds(MinHashStore.bandsPath(base)).contains(7L))
+    val er = MinHashStore.eraseKeys(spark, base, Seq(7L), physical = true)
+    assert(er.bandRowsErased == 16L && er.shingleRowsErased == 1L, er.toString)
+    assert(!physicalDocIds(MinHashStore.bandsPath(base)).contains(7L),
+      "the subject's band bytes must be physically gone")
+    assert(!physicalDocIds(MinHashStore.shinglesPath(base)).contains(7L),
+      "the subject's shingle bytes must be physically gone")
+    // prior versions expired — no time travel back to the bytes
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(ManifestTable.versions(fs, MinHashStore.bandsPath(base)).size == 1)
+    assert(ManifestTable.versions(fs, MinHashStore.shinglesPath(base)).size == 1)
+    // layout params survived the purge commits (maintenance must not
+    // drop non-durable table props) — probe + append still run under
+    // the committed params
+    val echo = Seq((9000L, corpus(7)._2)).toDF("doc_id", "text")
+    val post = MinHashStore.probeBatch(spark, base, echo, threshold = 0.99)
+    assert(post.pairs.count() == 0L)
+    MinHashStore.appendBatch(spark, base, echo)
+    val self = MinHashStore.probeBatch(spark, base, echo, threshold = 0.99)
+    assert(self.pairs.select("corpus_id").as[Long].collect().toSet == Set(9000L),
+      "post-physical-erase appends must keep indexing")
+  }
+
   test("an empty or matchless batch probes to zero pairs; params survive appends") {
     val base = freshBase("none")
     MinHashStore.buildCommit(spark, base, corpus.toDF("doc_id", "text"),
