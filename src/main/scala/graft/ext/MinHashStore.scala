@@ -118,17 +118,28 @@ object MinHashStore {
     * candidate PAIRS stay distributed (a hot band bucket — stop-gram
     * shingles, boilerplate-heavy corpora — can collide one probe doc
     * with millions of corpus rows, so the pair set is |batch| ×
-    * corpus-collision fan-out, NOT batch-bounded). The only pair-side
-    * driver materialization is the distinct corpus-id IN-list that
-    * dir-prunes the shingle fetch, capped at `maxCandidateDocs` with
-    * a loud refusal ([[graft.ops.ManifestTable.readJoinPruned]]'s
-    * maxKeys posture) — past that cap the probe should be split, the
-    * band width rethought, or the stop-shingles cleaned, never
-    * silently spilled onto the driver. */
+    * corpus-collision fan-out, NOT batch-bounded). The shingle fetch
+    * adapts to the candidate count (one distributed `countDistinct`,
+    * never an unbounded collect):
+    *   - <= `maxInListDocs` distinct candidates: the ids collect into
+    *     an IN-list — whole-dir pruning through the committed doc_id
+    *     blooms plus parquet row-group pushdown, the sharpest scan;
+    *   - above that (up to `maxCandidateDocs`): the ids STAY
+    *     DISTRIBUTED — the scan prunes to the candidate id-hash
+    *     partitions (`pb`, a <= nBuckets IN-list) and the candidate
+    *     join itself does the row filtering. At 10^5+ candidates the
+    *     ids hash into every dir anyway, so the id-level IN-list buys
+    *     no pruning — only a multi-megabyte InSet serialized into
+    *     every task;
+    *   - past `maxCandidateDocs`: loud refusal ([[graft.ops
+    *     .ManifestTable.readJoinPruned]]'s maxKeys posture) — split
+    *     the probe, rethink the band width, or clean the dominant
+    *     shingles; never an unbounded fetch. */
   def probeBatch(spark: SparkSession, base: String, newDocs: DataFrame,
                  threshold: Double = 0.7,
                  textCol: String = "text", idCol: String = "doc_id",
-                 maxCandidateDocs: Int = 1 << 20): ProbeResult = {
+                 maxCandidateDocs: Int = 1 << 20,
+                 maxInListDocs: Int = 1 << 16): ProbeResult = {
     val (numBands, r, shingleN, nBuckets) = params(spark, base)
     val sh = graft.ops.Intermediates.shared(
       Dedup.shingled(newDocs, shingleN, textCol, idCol))
@@ -163,11 +174,11 @@ object MinHashStore {
     val nCands = cands.map(_.count()).getOrElse(0L)
     val bandPr = bandIdx.flatMap(_.lastPrune)
     val bandPrune = (bandPr.map(_._1).sum, bandPr.map(_._2).sum)
-    // the shingle-fetch IN-list: distinct corpus docs, capped loudly
-    val cids = cands.map(_.select(col("corpus_id")).distinct()
-      .limit(maxCandidateDocs + 1).collect().map(_.getLong(0)).toSeq)
-      .getOrElse(Seq.empty)
-    require(cids.size <= maxCandidateDocs,
+    // candidate-doc count: ONE distributed aggregate (never a collect
+    // of the ids themselves), then the regime split documented above
+    val nDistinct = cands.map(_.agg(countDistinct(col("corpus_id")))
+      .head().getLong(0)).getOrElse(0L)
+    require(nDistinct <= maxCandidateDocs,
       s"MinHashStore.probeBatch: over $maxCandidateDocs distinct corpus candidates " +
         "for one probe batch — a hot LSH bucket (boilerplate/stop-gram shingles?) " +
         "is colliding the batch with a huge corpus slice. Split the batch, raise " +
@@ -178,9 +189,24 @@ object MinHashStore {
       if (nCands == 0L)
         Seq.empty[(Long, Long, Double)].toDF("new_id", "corpus_id", "jaccard")
       else {
-        val corpusSh = ManifestTable.read(spark, shinglesPath(base))
-          .where(col("doc_id").isInCollection(cids)) // dir-pruned fetch
-          .select(col("doc_id").as("corpus_id"), col("sh").as("__shb"))
+        val corpusSh = (if (nDistinct <= maxInListDocs) {
+          // small regime: bounded id IN-list — bloom dir-pruning +
+          // row-group pushdown
+          val cids = cands.get.select(col("corpus_id")).distinct()
+            .collect().map(_.getLong(0)).toSeq
+          ManifestTable.read(spark, shinglesPath(base))
+            .where(col("doc_id").isInCollection(cids)) // dir-pruned fetch
+        } else {
+          // large regime: ids stay distributed; prune to the candidate
+          // id-hash PARTITIONS (<= nBuckets values) and let the
+          // candidate join below do the row filtering
+          val hitPbs = cands.get
+            .select(pmod(col("corpus_id"), lit(nBuckets.toLong)).cast("string")
+              .as("__pb")).distinct()
+            .collect().map(_.getString(0)).toSeq // bounded: <= nBuckets
+          ManifestTable.read(spark, shinglesPath(base))
+            .where(col("pb").isInCollection(hitPbs))
+        }).select(col("doc_id").as("corpus_id"), col("sh").as("__shb"))
         // batch shingles broadcast (the small side by contract); the
         // corpus-shingle join shuffles only the candidate slice
         val raw = cands.get

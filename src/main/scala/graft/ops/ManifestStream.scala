@@ -57,7 +57,13 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   *     [[ManifestTable.applyChanges]] replays to stay an exact
   *     replica. Requires intermediate versions retained (the
   *     `changes` contract); the first batch is the snapshot as
-  *     `insert` rows.
+  *     `insert` rows. `maxVersionsPerTrigger` bounds catch-ups, and
+  *     `maxDirsPerTrigger`/`maxBytesPerTrigger` slice even ONE giant
+  *     change commit (a full-table UPDATE) across triggers — the
+  *     slice unit is the CHANGED PARTITION (each partition's diff is
+  *     independent), so replay order within a commit is by partition;
+  *     a logical key therefore must live in one partition (the keyed
+  *     merge contract) for sliced replay to commute.
   *
   * Reference scope: the reference's cron pipeline re-reads its whole
   * SQLite table every run (`src/etl.py:20-47`); this source is that
@@ -99,12 +105,11 @@ class ManifestStreamProvider extends StreamSourceProvider with DataSourceRegiste
     require(!(skipChanges && cdf),
       "graft-manifest source: skipChangeCommits applies to append mode only — " +
         "cdf mode streams change commits as data, there is nothing to skip")
-    require((maxD.isEmpty && maxB.isEmpty) || (!cdf && !skipChanges),
-      "graft-manifest source: maxDirsPerTrigger/maxBytesPerTrigger apply to " +
-        "plain append mode only (cdf batches are row-level change windows; " +
-        "skipChangeCommits walks whole commits)")
+    require((maxD.isEmpty && maxB.isEmpty) || !skipChanges,
+      "graft-manifest source: maxDirsPerTrigger/maxBytesPerTrigger do not " +
+        "compose with skipChangeCommits (it walks whole commits)")
     new ManifestStreamSource(sqlContext.sparkSession, tablePath(parameters), cdf, keys,
-      maxV, startV, skipChanges, maxD, maxB)
+      maxV, startV, skipChanges, maxD, maxB, metadataPath = Some(metadataPath))
   }
 }
 
@@ -154,7 +159,8 @@ private[ops] class ManifestStreamSource(spark: SparkSession, path: String,
                                         startingVersion: Option[Long] = None,
                                         skipChangeCommits: Boolean = false,
                                         maxDirsPerTrigger: Option[Long] = None,
-                                        maxBytesPerTrigger: Option[Long] = None)
+                                        maxBytesPerTrigger: Option[Long] = None,
+                                        metadataPath: Option[String] = None)
     extends Source {
   import ManifestTable._
 
@@ -170,11 +176,49 @@ private[ops] class ManifestStreamSource(spark: SparkSession, path: String,
     * to digestible commits instead of one giant batch;
     * `maxDirsPerTrigger` additionally splits WITHIN one commit
     * (position = (version, dirs-emitted), [[DirBoundOffset]]).
-    * Best-effort by honest design: the FIRST batch after a restart
-    * has no floor yet (the v1 engine consults getOffset before any
-    * getBatch) and runs uncapped; admission binds from the next batch
-    * on. */
-  @volatile private var floor: Option[(Long, Option[Long])] = None
+    * PERSISTED across restarts: [[commit]] writes the floor to a
+    * sidecar under the source's checkpoint metadata dir, and a fresh
+    * source restores it — so a catch-up after a long stop (or the
+    * remainder of a mid-version slice) re-enters admission control
+    * from the last committed position instead of running one uncapped
+    * batch. Best-effort by design: a missing/corrupt sidecar (old
+    * checkpoints, a crash between the delete and rename) falls back
+    * to the documented uncapped first batch; the sidecar never
+    * contradicts the engine (it is written only at commit, so it
+    * trails every offset the engine could replay). */
+  @volatile private var floor: Option[(Long, Option[Long])] = loadFloor()
+
+  private def floorFile: Option[Path] =
+    metadataPath.map(m => new Path(m, "graft-admission-floor"))
+
+  private def loadFloor(): Option[(Long, Option[Long])] = floorFile.flatMap { f =>
+    try {
+      val ffs = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!ffs.exists(f)) None
+      else {
+        val in = ffs.open(f)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        txt.split(':') match {
+          case Array(v) => Some((v.toLong, None))
+          case Array(v, k) => Some((v.toLong, Some(k.toLong)))
+          case _ => None
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  private def persistFloor(): Unit = floorFile.foreach { f =>
+    try floor.foreach { case (v, k) =>
+      val ffs = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val tmp = new Path(f.getParent, s"${f.getName}.tmp")
+      val out = ffs.create(tmp, true)
+      try out.write((v.toString + k.map(e => s":$e").getOrElse(""))
+        .getBytes("UTF-8")) finally out.close()
+      if (ffs.exists(f)) ffs.delete(f, false)
+      ffs.rename(tmp, f)
+    } catch { case scala.util.control.NonFatal(_) => () }
+  }
 
   private def rank(p: (Long, Option[Long])): (Long, Long) =
     (p._1, p._2.getOrElse(Long.MaxValue)) // a full version outranks any slice of it
@@ -187,12 +231,27 @@ private[ops] class ManifestStreamSource(spark: SparkSession, path: String,
   private def slicing: Boolean =
     maxDirsPerTrigger.isDefined || maxBytesPerTrigger.isDefined
 
+  /** One version step's SLICE UNITS in deterministic (sorted) order —
+    * what [[DirBoundOffset]]'s `emitted` indexes into. Append mode
+    * slices the step's fresh entry keys (raising on a non-append
+    * step); cdf mode slices the step's CHANGED partition keys — each
+    * partition's row diff is independent, so a giant UPDATE commit
+    * decomposes cleanly. */
+  private def sliceUnits(a: Long, b: Long): Seq[String] =
+    if (!cdf) sortedFresh(a, b)
+    else {
+      val idA = partitionDirs(fs, path, a)
+      val idB = partitionDirs(fs, path, b)
+      (idA.keySet ++ idB.keySet).filter(k => idA.get(k) != idB.get(k)).toSeq.sorted
+    }
+
   /** The slice endpoint after emitting from index `from` of version
-    * `sliceV`'s key-sorted fresh set: include dirs until the dir cap
-    * is reached or cumulative bytes REACH the byte bound (soft max,
-    * always >= 1 dir — Delta's maxBytesPerTrigger contract). Byte
+    * `sliceV`'s slice units: include units until the dir cap is
+    * reached or cumulative bytes REACH the byte bound (soft max,
+    * always >= 1 unit — Delta's maxBytesPerTrigger contract). Byte
     * sizes are driver-side listStatus metadata over only the window's
-    * dirs. */
+    * dirs; a cdf unit REMOVED in `sliceV` sizes from the previous
+    * version's entry (its old dir is what the diff reads). */
   private def sliceEnd(sliceV: Long, from: Long, fresh: Seq[String]): Long = {
     val n = fresh.size.toLong
     val byDirs = maxDirsPerTrigger.map(from + _).getOrElse(n)
@@ -200,11 +259,14 @@ private[ops] class ManifestStreamSource(spark: SparkSession, path: String,
       case None => n
       case Some(bound) =>
         val entries = dataEntries(readManifest(fs, path, sliceV)).toMap
+        lazy val prev = dataEntries(readManifest(fs, path, sliceV - 1)).toMap
         var i = from
         var acc = 0L
         while (i < n && acc < bound) {
-          val d = dirOf(entries(fresh(i.toInt)))
-          acc += fs.listStatus(new Path(s"$path/$d")).iterator.map(_.getLen).sum
+          val d = dirOf(entries.getOrElse(fresh(i.toInt), prev(fresh(i.toInt))))
+          val dp = new Path(s"$path/$d")
+          if (fs.exists(dp))
+            acc += fs.listStatus(dp).iterator.map(_.getLen).sum
           i += 1
         }
         i
@@ -218,12 +280,17 @@ private[ops] class ManifestStreamSource(spark: SparkSession, path: String,
         case Some((fv, femit)) if slicing =>
           femit match {
             case Some(k) => // resume inside version fv
-              val fresh = sortedFresh(fv - 1, fv)
-              val end = sliceEnd(fv, k, fresh)
-              Some(if (end >= fresh.size.toLong) LongOffset(fv)
+              val units = sliceUnits(fv - 1, fv)
+              val end = sliceEnd(fv, k, units)
+              Some(if (end >= units.size.toLong) LongOffset(fv)
                    else DirBoundOffset(fv, end))
             case None if latest > fv => // advance ONE version, sliced
-              stepFresh(fv, fv + 1) match {
+              if (cdf) {
+                val units = sliceUnits(fv, fv + 1)
+                val end = sliceEnd(fv + 1, 0L, units)
+                Some(if (end >= units.size.toLong) LongOffset(fv + 1)
+                     else DirBoundOffset(fv + 1, end))
+              } else stepFresh(fv, fv + 1) match {
                 case Right(freshSet) =>
                   val fresh = freshSet.toSeq.sorted
                   val end = sliceEnd(fv + 1, 0L, fresh)
@@ -326,52 +393,65 @@ private[ops] class ManifestStreamSource(spark: SparkSession, path: String,
             (startV == endV && rank((startV, startEmit))._2 < rank((endV, endEmit))._2),
           s"graft-manifest source: offset went backwards " +
             s"((m$startV,$startEmit) > (m$endV,$endEmit))")
-        if (cdf) align(changes(spark, path, keys, startV, endV))
-        else if (startEmit.isEmpty && endEmit.isEmpty)
-          align(appendBatch(startV, endV))
+        if (startEmit.isEmpty && endEmit.isEmpty)
+          align(if (cdf) changes(spark, path, keys, startV, endV)
+                else appendBatch(startV, endV))
         else align(slicedBatch(startV, startEmit, endV, endEmit))
     }
   }
 
   /** A `maxDirsPerTrigger` slice: the window is always WITHIN one
-    * version's fresh set ([[getOffset]] advances at most one version
-    * when slicing), indexed into the key-sorted order. */
+    * version's slice-unit list ([[getOffset]] advances at most one
+    * version when slicing), indexed into the sorted order. Append
+    * slices read the windowed fresh dirs; cdf slices emit the
+    * windowed partitions' row diffs ([[ManifestTable.changeStepOf]]). */
   private def slicedBatch(startV: Long, startEmit: Option[Long],
                           endV: Long, endEmit: Option[Long]): DataFrame = {
     startEmit match {
       case Some(k) if endV > startV =>
         // RESTART catch-up: the checkpoint stopped mid-version (the
         // stream was killed between slices) and newer commits landed
-        // before the restart. The fresh engine has no floor yet, so
-        // getOffset returned LongOffset(latest) — the batch must cover
-        // the REMAINDER of startV's sliced fresh set plus everything
-        // through endV, in one uncapped batch (the same best-effort
-        // admission contract the plain maxVersionsPerTrigger path
-        // documents for the first post-restart batch). Refusing here
-        // would be a permanent crash loop: every retrigger replays the
-        // same (mid-version start, later end) window.
+        // before the restart. With the persisted admission-floor
+        // sidecar this window no longer arises (getOffset resumes the
+        // slicing from the restored floor); it remains the fallback
+        // for OLD checkpoints without a sidecar, where the fresh
+        // engine has no floor and getOffset returned
+        // LongOffset(latest) — the batch must cover the REMAINDER of
+        // startV's sliced units plus everything through endV, in one
+        // uncapped batch (the same best-effort admission contract the
+        // plain maxVersionsPerTrigger path documents for the first
+        // post-restart batch). Refusing here would be a permanent
+        // crash loop: every retrigger replays the same window.
         require(endEmit.isEmpty, s"graft-manifest source: offset window " +
           s"(m$startV,$k) -> (m$endV,$endEmit) spans versions yet ends " +
           "mid-version — corrupt checkpoint")
         require(versions(fs, path).contains(startV - 1),
           s"graft-manifest source: version m${startV - 1} (the slice base) no " +
             s"longer retained under $path — raise retainVersions on the writer")
-        val remainder = sortedFresh(startV - 1, startV).drop(k.toInt).toSet
-        val later = stepFresh(startV, endV) match {
-          case Left(why) => throw new IllegalStateException(
-            s"graft-manifest source: non-append commit between m$startV and " +
-              s"m$endV ($why) — append mode streams append-only tables; use " +
-              "mode=cdf for tables taking updates/deletes, or " +
-              "skipChangeCommits=true to stream only the append commits")
-          case Right(fresh) => fresh
+        val remainder = sliceUnits(startV - 1, startV).drop(k.toInt).toSet
+        return if (cdf) {
+          val head =
+            if (remainder.isEmpty) emptyBatch()
+            else changeStepOf(spark, path, keys, startV, remainder)
+          head.unionByName(changes(spark, path, keys, startV, endV),
+            allowMissingColumns = true)
+        } else {
+          val later = stepFresh(startV, endV) match {
+            case Left(why) => throw new IllegalStateException(
+              s"graft-manifest source: non-append commit between m$startV and " +
+                s"m$endV ($why) — append mode streams append-only tables; use " +
+                "mode=cdf for tables taking updates/deletes, or " +
+                "skipChangeCommits=true to stream only the append commits")
+            case Right(fresh) => fresh
+          }
+          val all = remainder ++ later
+          if (all.isEmpty) emptyBatch()
+          else readEntriesOf(spark, path, readManifest(fs, path, endV), all)
         }
-        val all = remainder ++ later
-        return if (all.isEmpty) emptyBatch()
-        else readEntriesOf(spark, path, readManifest(fs, path, endV), all)
       case _ => ()
     }
     val (sliceV, from) = startEmit match {
-      case Some(k) => // resuming inside startV's fresh set
+      case Some(k) => // resuming inside startV's slice units
         (startV, k)
       case None => // starting a new sliced version
         require(endV == startV + 1, s"graft-manifest source: dir-sliced batches " +
@@ -381,10 +461,11 @@ private[ops] class ManifestStreamSource(spark: SparkSession, path: String,
     require(versions(fs, path).contains(sliceV - 1),
       s"graft-manifest source: version m${sliceV - 1} (the slice base) no longer " +
         s"retained under $path — raise retainVersions on the writer")
-    val fresh = sortedFresh(sliceV - 1, sliceV)
-    val until = endEmit.map(_.toInt).getOrElse(fresh.size)
-    val window = fresh.slice(from.toInt, until)
+    val units = sliceUnits(sliceV - 1, sliceV)
+    val until = endEmit.map(_.toInt).getOrElse(units.size)
+    val window = units.slice(from.toInt, until)
     if (window.isEmpty) emptyBatch()
+    else if (cdf) changeStepOf(spark, path, keys, sliceV, window.toSet)
     else readEntriesOf(spark, path, readManifest(fs, path, sliceV), window.toSet)
   }
 
@@ -469,6 +550,9 @@ private[ops] class ManifestStreamSource(spark: SparkSession, path: String,
     else Right(fresh.toSet)
   }
 
-  override def commit(end: OffsetV1): Unit = raiseFloor(posOf(end))
+  override def commit(end: OffsetV1): Unit = {
+    raiseFloor(posOf(end))
+    persistFloor()
+  }
   override def stop(): Unit = ()
 }

@@ -3437,9 +3437,23 @@ object ManifestTable {
       .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
-  /** The row diff contributed by ONE commit (version `v` vs `v-1`). */
+  /** [[changeStep]] restricted to a PARTITION subset — the unit the
+    * streaming source's cdf dir/byte-bounded triggers slice on: one
+    * commit's change feed decomposes cleanly by partition (each
+    * partition's diff is independent), so a giant UPDATE commit can
+    * stream across several bounded micro-batches. */
+  private[ops] def changeStepOf(spark: SparkSession, path: String,
+                                keys: Seq[String], v: Long,
+                                parts: Set[String]): DataFrame = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    changeStep(spark, fs, path, keys, v, restrictTo = Some(parts))
+  }
+
+  /** The row diff contributed by ONE commit (version `v` vs `v-1`),
+    * optionally restricted to a subset of changed partitions. */
   private def changeStep(spark: SparkSession, fs: FileSystem, path: String,
-                         keys: Seq[String], v: Long): DataFrame = {
+                         keys: Seq[String], v: Long,
+                         restrictTo: Option[Set[String]] = None): DataFrame = {
     val prevLines = readManifest(fs, path, v - 1)
     val prevDirs = dataEntries(prevLines).map { case (k, value) => k -> dirOf(value) }.toMap
     val curLines = readManifest(fs, path, v)
@@ -3458,6 +3472,7 @@ object ManifestTable {
     val curId = identOf(curLines)
     val changed = (prevId.keySet ++ curId.keySet)
       .filter(p => prevId.get(p) != curId.get(p))
+      .filter(p => restrictTo.forall(_.contains(p)))
     if (changed.isEmpty) {
       // A props-only commit (e.g. an incremental view's no-op version
       // watermark) changes no partition: emit an empty step —

@@ -242,15 +242,110 @@ class ManifestStreamSpec extends AnyFunSuite {
       keys = Seq("id"), partitionCol = "part", retainVersions = 8)
     drainCapped(Some(org.apache.spark.sql.streaming.Trigger.Once()))
     assert(ids.size == 6, s"Trigger.Once must commit exactly one 2-dir slice; got $ids")
-    // a NEWER commit lands before the restart: the fresh engine has no
-    // floor, so the restart batch spans (mid-m2 -> m3) — this was a
-    // permanent crash loop before the catch-up path existed
+    // a NEWER commit lands before the restart. Delete the persisted
+    // admission-floor sidecar to simulate an OLD (pre-sidecar)
+    // checkpoint: the fresh engine then has no floor, so the restart
+    // batch spans (mid-m2 -> m3) — this was a permanent crash loop
+    // before the catch-up fallback existed
+    ManifestTable.merge(spark, up,
+      (6 to 8).map(i => (100L + i, s"p$i", i * 1.0)).toDF("id", "part", "v"),
+      keys = Seq("id"), partitionCol = "part", retainVersions = 8)
+    val floorFile = new java.io.File(s"$d/ckpt/sources/0/graft-admission-floor")
+    assert(floorFile.exists, "commit must persist the admission floor sidecar")
+    assert(floorFile.delete())
+    drainCapped(None)
+    assert(ids.sorted.toList == ((0L until 4L) ++ (101L to 108L)).toList,
+      s"restart must emit the m2 remainder and m3 exactly once; got ${ids.sorted.toList}")
+  }
+
+  test("the persisted admission floor keeps a post-restart catch-up CAPPED: " +
+    "slice remainder and newer commits drain as bounded batches") {
+    val d = freshDir("floorpersist"); val up = s"$d/up"
+    ManifestTable.merge(spark, up, rows("p0", 0 until 4), keys = Seq("id"),
+      partitionCol = "part", retainVersions = 8)
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val sink: (DataFrame, Long) => Unit = (b, _) => {
+      val got = b.select("id").as[Long].collect()
+      batches.synchronized { batches += got.length.toLong; ids ++= got }
+    }
+    def drainCapped(trigger: Option[org.apache.spark.sql.streaming.Trigger]): Unit = {
+      val w = spark.readStream.format("graft-manifest").option("path", up)
+        .option("maxDirsPerTrigger", "2").load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", s"$d/ckpt")
+      trigger match {
+        case Some(t) =>
+          val q = w.trigger(t).start()
+          assert(q.awaitTermination(120000L), "Trigger.Once run did not terminate")
+        case None =>
+          val q = w.start()
+          try q.processAllAvailable() finally q.stop()
+      }
+    }
+    drainCapped(None) // snapshot at m1
+    // ONE 5-dir commit; exactly ONE capped slice commits, then the
+    // stream dies mid-version (Trigger.Once) with the floor persisted
+    ManifestTable.merge(spark, up,
+      (1 to 5).map(i => (100L + i, s"p$i", i * 1.0)).toDF("id", "part", "v"),
+      keys = Seq("id"), partitionCol = "part", retainVersions = 8)
+    drainCapped(Some(org.apache.spark.sql.streaming.Trigger.Once()))
+    assert(ids.size == 6, s"one 2-dir slice committed before the stop; got $ids")
+    // a newer 3-dir commit lands before the restart; the restored
+    // floor keeps EVERY catch-up batch within the 2-dir admission cap
+    // (the pre-sidecar behavior was one uncapped remainder batch)
     ManifestTable.merge(spark, up,
       (6 to 8).map(i => (100L + i, s"p$i", i * 1.0)).toDF("id", "part", "v"),
       keys = Seq("id"), partitionCol = "part", retainVersions = 8)
     drainCapped(None)
+    val post = batches.toList.drop(2) // snapshot + the pre-stop slice
+    assert(post.nonEmpty && post.forall(_ <= 2L),
+      s"post-restart catch-up must stay capped at 2 dirs/batch; got $batches")
     assert(ids.sorted.toList == ((0L until 4L) ++ (101L to 108L)).toList,
-      s"restart must emit the m2 remainder and m3 exactly once; got ${ids.sorted.toList}")
+      s"capped catch-up emits every row exactly once; got ${ids.sorted.toList}")
+  }
+
+  test("cdf mode: maxDirsPerTrigger slices one giant UPDATE commit by changed " +
+    "partition; the union of slices equals the full change feed") {
+    val d = freshDir("cdfslice"); val up = s"$d/up"
+    val base = (0 until 12).map(i => (i.toLong, s"p${i % 6}", i * 1.0))
+      .toDF("id", "part", "v")
+    ManifestTable.merge(spark, up, base, keys = Seq("id"),
+      partitionCol = "part", retainVersions = 8)
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Double, Long)]
+    val sink: (DataFrame, Long) => Unit = (b, _) => {
+      val rs = b.select(col("_change_type"), col("id"), col("v"),
+        col("_commit_version")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      batches.synchronized { batches += rs.length.toLong; got ++= rs }
+    }
+    def drainCdf(): Unit = {
+      val q = spark.readStream.format("graft-manifest").option("path", up)
+        .option("mode", "cdf").option("keys", "id")
+        .option("maxDirsPerTrigger", "2").load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", s"$d/ckpt").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    drainCdf() // snapshot: 12 insert rows, never sliced
+    assert(batches.toList == List(12L), s"snapshot uncapped by design; got $batches")
+    got.clear()
+    // a FULL-TABLE update commit: every one of the 6 partitions changes
+    ManifestTable.merge(spark, up,
+      (0 until 12).map(i => (i.toLong, s"p${i % 6}", i + 1000.0))
+        .toDF("id", "part", "v"),
+      keys = Seq("id"), partitionCol = "part", retainVersions = 8)
+    drainCdf()
+    assert(batches.toList.drop(1) == List(8L, 8L, 8L),
+      "6 changed partitions x (2 rows -> pre+post) under maxDirsPerTrigger=2 " +
+        s"= three 8-row slices; got $batches")
+    // the sliced feed is EXACTLY the unsliced change feed
+    val direct = ManifestTable.changes(spark, up, Seq("id"), 1L, 2L)
+      .select(col("_change_type"), col("id"), col("v"), col("_commit_version"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(got.sorted.toList == direct.sorted.toList,
+      "slicing must not lose, duplicate or alter any change row")
   }
 
   test("maxBytesPerTrigger bounds a batch by dir bytes (soft max, >= 1 dir)") {

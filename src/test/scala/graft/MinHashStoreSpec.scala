@@ -84,6 +84,23 @@ class MinHashStoreSpec extends AnyFunSuite {
       ok.pairs.select("corpus_id").distinct().count() == 30L)
   }
 
+  test("probeBatch's large-candidate regime (ids stay distributed, partition-" +
+    "level pruning only) returns exactly the small-regime pairs") {
+    val base = freshBase("regime")
+    MinHashStore.buildCommit(spark, base, corpus.toDF("doc_id", "text"))
+    val b = batch.toDF("doc_id", "text")
+    val small = MinHashStore.probeBatch(spark, base, b, threshold = 0.5)
+    // maxInListDocs=1 forces the distributed shape on the same probe
+    val large = MinHashStore.probeBatch(spark, base, b, threshold = 0.5,
+      maxInListDocs = 1)
+    def pairsOf(r: MinHashStore.ProbeResult): Seq[(Long, Long)] =
+      r.pairs.select("new_id", "corpus_id").as[(Long, Long)].collect().sorted.toSeq
+    val sp = pairsOf(small)
+    assert(sp.nonEmpty && pairsOf(large) == sp,
+      s"regimes must agree: small=$sp large=${pairsOf(large)}")
+    assert(large.candidates == small.candidates)
+  }
+
   test("eraseKeys removes a doc's band AND shingle rows in one txn with zero " +
     "rewrites; a re-probe of its exact text reports no dup") {
     val base = freshBase("erase")
