@@ -1827,6 +1827,178 @@ object ExtQueries {
       |GROUP BY pb ORDER BY pb""".stripMargin
 
   // ----------------------------------------------------------------
+  // q204_blue_green — BLUE/GREEN INDEX RETRAIN (IvfStore
+  // .retrainCommit + GenPointer): the missing lifecycle around q178's
+  // drift verdict — when needsRetrain fires, the retrain must not
+  // take the index down or serve a half-built generation. The gate
+  // composes the full loop:
+  //   1. train on 2/3 of the corpus (gen 0, the legacy flat layout),
+  //      append the remaining 1/3 — drift at growthFactor 1.4 FIRES
+  //      (SQL-recomputed from the two corpus counts);
+  //   2. gen-0 search over the full index clears the recall floor
+  //      (nProbe = k probes every list — the index content is the
+  //      whole corpus, so only the floor is at stake);
+  //   3. retrainCommit builds generation 1 side-by-side and flips the
+  //      pointer in one CAS; the PREVIOUS generation's tables survive
+  //      the default retention (a search planned pre-flip finishes);
+  //   4. post-flip search resolves gen 1 and clears the floor; the
+  //      drift verdict CLEARS (trained == indexed == full corpus,
+  //      SQL-recomputed).
+  // ----------------------------------------------------------------
+  def q204BlueGreen(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:q204_blue_green") {
+      q204BlueGreenBuild(spark, dir)
+    }
+
+  private def q204BlueGreenBuild(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.IvfStore
+    val emb = Tables.embeddings(spark, dir)
+    val corpusA = emb.filter(col("vec_id") % 3 =!= 0)
+    val batchB = emb.filter(col("vec_id") % 3 === 0)
+    val queries = emb.filter(col("vec_id") < 10)
+    val base = java.nio.file.Files.createTempDirectory("graft_q204_").toString + "/ivf"
+    IvfStore.trainCommit(spark, base, corpusA, k = 8)
+    IvfStore.appendBatch(spark, base, batchB)
+    val genBefore = IvfStore.currentGeneration(spark, base)
+    val driftBefore = IvfStore.needsRetrain(spark, base, growthFactor = 1.4)
+    val k = 10
+    val exact = exactTop10(spark, dir).select(col("query_id"), col("neighbor_id"))
+    def hitsOf(approx: DataFrame): DataFrame =
+      exact.join(broadcast(approx.select(col("query_id"), col("neighbor_id"))
+          .withColumn("__hit", lit(1))),
+        Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(sum(coalesce(col("__hit"), lit(0))).as("hits"))
+    val preHits = hitsOf(IvfStore.searchCommitted(spark, base, queries, k, nProbe = 8))
+      .withColumnRenamed("hits", "pre_hits").localCheckpoint()
+    val gen = IvfStore.retrainCommit(spark, base, emb, k = 8)
+    val genAfter = IvfStore.currentGeneration(spark, base)
+    require(gen == genAfter, s"retrainCommit returned $gen but the pointer reads $genAfter")
+    val fs = graft.ops.GenPointer.fsOf(spark, base)
+    val legacyRetained = fs.exists(
+      new org.apache.hadoop.fs.Path(IvfStore.indexPath(base)))
+    val driftAfter = IvfStore.needsRetrain(spark, base, growthFactor = 1.4)
+    val postHits = hitsOf(IvfStore.searchCommitted(spark, base, queries, k, nProbe = 8))
+      .withColumnRenamed("hits", "post_hits")
+    preHits.join(postHits, Seq("query_id"))
+      .select(col("query_id").cast("long").as("query_id"),
+        (col("pre_hits") >= 5).as("pass_pre"),
+        (col("post_hits") >= 5).as("pass_post"))
+      .withColumn("gen_before", lit(genBefore))
+      .withColumn("gen_after", lit(genAfter))
+      .withColumn("legacy_retained", lit(legacyRetained))
+      .withColumn("retrain_fired", lit(driftBefore.retrain))
+      .withColumn("drift_clear_after", lit(driftAfter.retrain))
+      .withColumn("trained_after", lit(driftAfter.trainedRows))
+      .withColumn("indexed_after", lit(driftAfter.indexedRows))
+      .orderBy(col("query_id"))
+  }
+
+  val q204BlueGreenSql: String =
+    """WITH m AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS full_n,
+      |    CAST(count(*) FILTER (vec_id % 3 <> 0) AS BIGINT) AS a_n
+      |  FROM embeddings)
+      |SELECT CAST(vec_id AS BIGINT) AS query_id,
+      |  TRUE AS pass_pre, TRUE AS pass_post,
+      |  CAST(0 AS BIGINT) AS gen_before, CAST(1 AS BIGINT) AS gen_after,
+      |  TRUE AS legacy_retained,
+      |  (SELECT CAST(full_n AS DOUBLE) / a_n > 1.4 FROM m) AS retrain_fired,
+      |  FALSE AS drift_clear_after,
+      |  (SELECT full_n FROM m) AS trained_after,
+      |  (SELECT full_n FROM m) AS indexed_after
+      |FROM embeddings WHERE vec_id < 10
+      |ORDER BY query_id""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q205_zorder_maintain — INCREMENTAL Z-ORDER MAINTENANCE (the
+  // lifecycle around q198's one-shot OPTIMIZE-ZORDER):
+  //   1. 80% of events lands and clusters on (value, event_id); the
+  //      committed quantile splits make the layout MAINTAINABLE;
+  //   2. CLUSTER-ON-WRITE: the remaining 20% merges through
+  //      mergeZOrdered — rows assign their own z-bucket from the
+  //      committed splits, so routine ingest touches <= 2^(bits*cols)
+  //      z-dirs and erodes nothing (clusteringDebt stays healthy,
+  //      maybeRecluster declines, both O(manifest));
+  //   3. DRIFT: a domain-shifted batch (every value past the old
+  //      domain) ranks past every split and piles into the edge
+  //      bucket — debt crosses the factor, maybeRecluster fires,
+  //      fresh splits rebalance, and a probe on the shifted domain
+  //      dir-prunes under the new zone maps;
+  //   4. content is exact throughout: final row count and the
+  //      milli-summed value total are SQL-recomputed from `events`.
+  // ----------------------------------------------------------------
+  def q205ZorderMaintain(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:q205_zorder_maintain") {
+      q205ZorderMaintainBuild(spark, dir)
+    }
+
+  private def q205ZorderMaintainBuild(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.ManifestTable
+    val ev = Tables.events(spark, dir).select(col("event_id"), col("event_type"),
+      col("value"))
+    val root = java.nio.file.Files.createTempDirectory("graft_q205_").toString
+    val path = s"$root/t"
+    val a = ev.filter(col("event_id") % 5 =!= 0)
+    val b = ev.filter(col("event_id") % 5 === 0)
+    ManifestTable.merge(spark, path, a, keys = Seq("event_id"),
+      partitionCol = "event_type", statsColumns = Seq("value", "event_id"))
+    ManifestTable.clusterZOrder(spark, path, Seq("value", "event_id"), bits = 2)
+    val d0 = ManifestTable.clusteringDebt(spark, path)
+    val preOk = d0.metadataOnly &&
+      ManifestTable.maybeRecluster(spark, path).isEmpty
+    val touched = ManifestTable.mergeZOrdered(spark, path, b,
+      keys = Seq("event_id"))
+    val nCow = ManifestTable.fastCount(spark, path)
+    // the shifted batch: unique ids past the corpus, every value past
+    // the committed domain, value decorrelated from id WITHIN the
+    // batch (id % 97) so the post-recluster splits can spread it
+    val shifted = ev.filter(col("event_id") % 2 === 0)
+      .select((col("event_id") + 1000000000L).as("event_id"),
+        col("event_type"),
+        (lit(100000.0) + (col("event_id") % 97).cast("double")).as("value"))
+    ManifestTable.mergeZOrdered(spark, path, shifted, keys = Seq("event_id"))
+    val d1 = ManifestTable.clusteringDebt(spark, path)
+    val re = ManifestTable.maybeRecluster(spark, path)
+    val d2 = ManifestTable.clusteringDebt(spark, path)
+    val probe = ManifestTable.read(spark, path).where(col("value") >= 100000.0)
+    val probeRows = probe.count()
+    val prune = probe.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s.relation.location
+    }.collect { case g: graft.ops.GraftFileIndex => g.lastPrune }.flatten
+    val probePruned = prune.nonEmpty && prune.map(_._1).sum < prune.map(_._2).sum
+    ManifestTable.read(spark, path)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(floor(col("value") * 1000.0).cast("long")).as("value_sum_milli"))
+      .withColumn("n_after_cow", lit(nCow.rows))
+      .withColumn("cow_bounded", lit(touched.size <= 16))
+      .withColumn("pre_debt_ok", lit(preOk))
+      .withColumn("drift_fired", lit(d1.debtFactor > 4.0 && re.nonEmpty))
+      .withColumn("post_debt_ok", lit(d2.debtFactor <= 4.0 && d2.metadataOnly))
+      .withColumn("probe_pruned", lit(probePruned))
+      .withColumn("probe_rows", lit(probeRows))
+  }
+
+  val q205ZorderMaintainSql: String =
+    """WITH s AS (
+      |  SELECT event_id + 1000000000 AS event_id,
+      |    100000.0 + CAST(event_id % 97 AS DOUBLE) AS value
+      |  FROM events WHERE event_id % 2 = 0),
+      |allr AS (
+      |  SELECT event_id, value FROM events
+      |  UNION ALL SELECT event_id, value FROM s)
+      |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(CAST(floor(value * 1000.0) AS BIGINT)) AS BIGINT)
+      |    AS value_sum_milli,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM events) AS n_after_cow,
+      |  TRUE AS cow_bounded, TRUE AS pre_debt_ok, TRUE AS drift_fired,
+      |  TRUE AS post_debt_ok, TRUE AS probe_pruned,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM s) AS probe_rows
+      |FROM allr""".stripMargin
+
+  // ----------------------------------------------------------------
   // q59_jaccard_join — EXACT n-gram Jaccard similarity join at
   // threshold 0.5 (Dedup.jaccardJoinExact): inverted-index pair
   // count — |A∩B| is a hash-aggregate over the gram self-join, J a
