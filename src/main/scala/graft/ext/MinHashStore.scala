@@ -42,6 +42,17 @@ object MinHashStore {
   def bandsPath(base: String): String = s"$base/bands"
   def shinglesPath(base: String): String = s"$base/shingles"
 
+  /** The generation the probes/appends/erasures currently resolve —
+    * 0 until the first [[rebandCommit]] flip ([[IvfStore]]'s blue/
+    * green contract, [[graft.ops.GenPointer]]). */
+  def currentGeneration(spark: SparkSession, base: String): Long =
+    graft.ops.GenPointer.current(graft.ops.GenPointer.fsOf(spark, base), base)
+
+  /** Resolve `base` through the blue/green pointer: the root whose
+    * `bands/` + `shingles/` are CURRENT. */
+  def resolvedBase(spark: SparkSession, base: String): String =
+    graft.ops.GenPointer.resolved(spark, base)
+
   private def params(spark: SparkSession, base: String): (Int, Int, Int, Int) = {
     val p = ManifestTable.readProps(spark, bandsPath(base))
     def get(k: String) = p.getOrElse(k, sys.error(
@@ -140,7 +151,8 @@ object MinHashStore {
                  textCol: String = "text", idCol: String = "doc_id",
                  maxCandidateDocs: Int = 1 << 20,
                  maxInListDocs: Int = 1 << 16): ProbeResult = {
-    val (numBands, r, shingleN, nBuckets) = params(spark, base)
+    val root = resolvedBase(spark, base) // current generation's tables
+    val (numBands, r, shingleN, nBuckets) = params(spark, root)
     val sh = graft.ops.Intermediates.shared(
       Dedup.shingled(newDocs, shingleN, textCol, idCol))
     val banded = graft.ops.Intermediates.shared(bandRows(sh, numBands, r, nBuckets))
@@ -150,7 +162,7 @@ object MinHashStore {
     import spark.implicits._
     val candsPlan =
       if (keys.isEmpty) None
-      else Some(ManifestTable.read(spark, bandsPath(base))
+      else Some(ManifestTable.read(spark, bandsPath(root))
         .where(col("bucket").isInCollection(keys)) // dirs prune automatically
         .as("c")
         .join(banded.as("p"),
@@ -194,7 +206,7 @@ object MinHashStore {
           // row-group pushdown
           val cids = cands.get.select(col("corpus_id")).distinct()
             .collect().map(_.getLong(0)).toSeq
-          ManifestTable.read(spark, shinglesPath(base))
+          ManifestTable.read(spark, shinglesPath(root))
             .where(col("doc_id").isInCollection(cids)) // dir-pruned fetch
         } else {
           // large regime: ids stay distributed; prune to the candidate
@@ -204,7 +216,7 @@ object MinHashStore {
             .select(pmod(col("corpus_id"), lit(nBuckets.toLong)).cast("string")
               .as("__pb")).distinct()
             .collect().map(_.getString(0)).toSeq // bounded: <= nBuckets
-          ManifestTable.read(spark, shinglesPath(base))
+          ManifestTable.read(spark, shinglesPath(root))
             .where(col("pb").isInCollection(hitPbs))
         }).select(col("doc_id").as("corpus_id"), col("sh").as("__shb"))
         // batch shingles broadcast (the small side by contract); the
@@ -268,20 +280,21 @@ object MinHashStore {
                 retainVersions: Int = 2,
                 physical: Boolean = false): EraseResult = {
     require(docIds.nonEmpty, "MinHashStore.eraseKeys: empty doc id list")
+    val root = resolvedBase(spark, base) // current generation's tables
     val keys = docIds.map(_.toString)
-    val r = graft.ops.ManifestTxn.run(spark, s"$base/_txn") {
-      val b = ManifestTable.deleteByKeysMoR(spark, bandsPath(base), "pb",
+    val r = graft.ops.ManifestTxn.run(spark, s"$root/_txn") {
+      val b = ManifestTable.deleteByKeysMoR(spark, bandsPath(root), "pb",
         "doc_id", keys, retainVersions = retainVersions)
-      val s = ManifestTable.deleteByKeysMoR(spark, shinglesPath(base), "pb",
+      val s = ManifestTable.deleteByKeysMoR(spark, shinglesPath(root), "pb",
         "doc_id", keys, retainVersions = retainVersions)
       EraseResult(b.op.rowsDeleted, s.op.rowsDeleted,
         b.dirsProbed, b.dirsTotal, s.dirsProbed, s.dirsTotal,
         b.op.dirsRewritten + s.op.dirsRewritten)
     }
     if (physical) {
-      ManifestTable.purgeDeletes(spark, bandsPath(base),
+      ManifestTable.purgeDeletes(spark, bandsPath(root),
         statsColumns = Seq("bucket"), bloomColumns = Seq("bucket", "doc_id"))
-      ManifestTable.purgeDeletes(spark, shinglesPath(base),
+      ManifestTable.purgeDeletes(spark, shinglesPath(root),
         statsColumns = Seq("doc_id"), bloomColumns = Seq("doc_id"))
     }
     r
@@ -299,7 +312,8 @@ object MinHashStore {
   def appendBatch(spark: SparkSession, base: String, newDocs: DataFrame,
                   bloomBits: Int = 1 << 16,
                   textCol: String = "text", idCol: String = "doc_id"): AppendResult = {
-    val (numBands, r, shingleN, nBuckets) = params(spark, base)
+    val root = resolvedBase(spark, base) // current generation's tables
+    val (numBands, r, shingleN, nBuckets) = params(spark, root)
     // the layout params must survive this commit (props are
     // per-commit for non-durable keys) — re-state them
     val props = Map(BandsProp -> numBands.toString, RProp -> r.toString,
@@ -312,13 +326,13 @@ object MinHashStore {
       .collect().map(_.getString(0)).toSet // bounded <= nBuckets
     val docDirs = docs.select(col("pb")).distinct()
       .collect().map(_.getString(0)).toSet
-    graft.ops.ManifestTxn.run(spark, s"$base/_txn") {
-      ManifestTable.merge(spark, bandsPath(base), bands,
+    graft.ops.ManifestTxn.run(spark, s"$root/_txn") {
+      ManifestTable.merge(spark, bandsPath(root), bands,
         keys = Seq("doc_id", "band"), partitionCol = "pb", props = props,
         knownTouched = Some(bandDirs),
         statsColumns = Seq("bucket"), bloomColumns = Seq("bucket", "doc_id"),
         bloomBits = bloomBits)
-      ManifestTable.merge(spark, shinglesPath(base), docs,
+      ManifestTable.merge(spark, shinglesPath(root), docs,
         keys = Seq("doc_id"), partitionCol = "pb", props = props,
         knownTouched = Some(docDirs),
         statsColumns = Seq("doc_id"), bloomColumns = Seq("doc_id"),
@@ -327,5 +341,30 @@ object MinHashStore {
     val out = AppendResult(bands.count(), docs.count(), bandDirs)
     graft.ops.Intermediates.release(sh)
     out
+  }
+
+  /** BLUE/GREEN REBAND — the dedup index's retrain analog
+    * ([[IvfStore.retrainCommit]]'s contract): band parameters are
+    * fixed at build time, so tightening the near-dup threshold
+    * (numBands/r), the shingle width, or the bucket layout means a
+    * FULL re-index — which must not take probeBatch down or serve a
+    * half-built index. The next generation [[buildCommit]]s whole
+    * under `base/gen-NNNNNN/` while probes keep resolving the current
+    * one, then one [[graft.ops.GenPointer.flip]] CAS cuts them over;
+    * generations beyond `keepGenerations` retire after the flip.
+    * Returns the new generation number. */
+  def rebandCommit(spark: SparkSession, base: String, corpus: DataFrame,
+                   numBands: Int = 16, r: Int = 4, shingleN: Int = 3,
+                   nBuckets: Int = 16, bloomBits: Int = 1 << 16,
+                   textCol: String = "text", idCol: String = "doc_id",
+                   keepGenerations: Int = 2): Long = {
+    import graft.ops.GenPointer
+    val fs = GenPointer.fsOf(spark, base)
+    val next = GenPointer.next(fs, base)
+    buildCommit(spark, GenPointer.root(base, next), corpus, numBands, r,
+      shingleN, nBuckets, bloomBits, textCol, idCol)
+    GenPointer.flip(fs, base, next)
+    GenPointer.retire(fs, base, keepGenerations, Seq("bands", "shingles", "_txn"))
+    next
   }
 }

@@ -170,4 +170,36 @@ class BucketedManifestSpec extends AnyFunSuite {
     // the spec survives the fold as durable props
     assert(ManifestTable.readProps(spark, pa)(ManifestTable.BucketColProp) == "user_id")
   }
+
+  test("purgeDeletes on a bucketed table re-lands through the bucketed writer: " +
+    "bytes gone, SMB join still shuffle-free") {
+    val pa = freshPath("purge"); val pb = freshPath("purgeb")
+    ManifestTable.mergeBucketed(spark, pa, facts(300, "a"),
+      keys = Seq("payload"), partitionCol = "part", bucketCol = "user_id",
+      nBuckets = 8, retainVersions = 4)
+    ManifestTable.mergeBucketed(spark, pb, facts(200, "b"),
+      keys = Seq("payload"), partitionCol = "part", bucketCol = "user_id",
+      nBuckets = 8, retainVersions = 4)
+    ManifestTable.deleteWhereMoR(spark, pa, "part", col("user_id") === 7L,
+      retainVersions = 4)
+    def physicalUsers(): Set[Long] = spark.read
+      .option("recursiveFileLookup", "true").option("pathGlobFilter", "*.parquet")
+      .parquet(s"$pa/data").select("user_id").as[Long].collect().toSet
+    assert(physicalUsers().contains(7L), "pre-purge: masked bytes on disk")
+    val r = ManifestTable.purgeDeletes(spark, pa)
+    assert(r.committed && r.dirsPurged == 3L, r.toString)
+    assert(!physicalUsers().contains(7L), "purged bytes must be gone")
+    assert(ManifestTable.dvStats(spark, pa)._1 == 0L)
+    // the purge re-landed BUCKETED: registration + SMB join still free
+    val ta = ManifestTable.registerBucketed(spark, pa, "mbkt_purge_a")
+    val tb = ManifestTable.registerBucketed(spark, pb, "mbkt_purge_b")
+    val j = ta.select("user_id", "v").hint("merge")
+      .join(tb.select(col("user_id"), col("v").as("v2")).hint("merge"),
+        Seq("user_id"))
+    assert(Bucketed.isShuffleFree(j),
+      "a purge must not detach rows from their buckets:\n" +
+        j.queryExecution.executedPlan.toString.take(2000))
+    assert(ta.count() == 294L && ta.filter(col("user_id") === 7L).count() == 0L)
+    assert(ManifestTable.readProps(spark, pa)(ManifestTable.BucketColProp) == "user_id")
+  }
 }

@@ -166,6 +166,45 @@ class MinHashStoreSpec extends AnyFunSuite {
       "post-physical-erase appends must keep indexing")
   }
 
+  test("rebandCommit is BLUE/GREEN: the re-parameterized index builds side-by-" +
+    "side, one CAS flip, probes/appends/erasures resolve the new generation") {
+    import graft.ops.GenPointer
+    val base = freshBase("reband")
+    MinHashStore.buildCommit(spark, base, corpus.toDF("doc_id", "text"),
+      numBands = 8, r = 2)
+    assert(MinHashStore.currentGeneration(spark, base) == 0L)
+    val echo = Seq((9000L, corpus(7)._2)).toDF("doc_id", "text")
+    assert(MinHashStore.probeBatch(spark, base, echo, threshold = 0.99)
+      .pairs.select("corpus_id").as[Long].collect().toSet == Set(7L))
+    // reband under TIGHTER parameters; the old generation keeps serving
+    // until the flip, then survives retention for in-flight probes
+    val g1 = MinHashStore.rebandCommit(spark, base, corpus.toDF("doc_id", "text"),
+      numBands = 16, r = 4)
+    assert(g1 == 1L && MinHashStore.currentGeneration(spark, base) == 1L)
+    val fs = GenPointer.fsOf(spark, base)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(MinHashStore.bandsPath(base))),
+      "the legacy generation must survive the default retention")
+    // the flipped index carries the NEW params (16 bands) and still
+    // finds the planted dup; appends and erasures land in gen 1
+    val post = MinHashStore.probeBatch(spark, base, echo, threshold = 0.99)
+    assert(post.pairs.select("corpus_id").as[Long].collect().toSet == Set(7L))
+    MinHashStore.appendBatch(spark, base, echo)
+    val g1root = GenPointer.root(base, 1L)
+    assert(graft.ops.ManifestTable.read(spark, MinHashStore.shinglesPath(g1root))
+      .filter(col("doc_id") === 9000L).count() == 1L,
+      "appends must land in the current generation")
+    assert(graft.ops.ManifestTable.read(spark, MinHashStore.shinglesPath(base))
+      .filter(col("doc_id") === 9000L).count() == 0L,
+      "the retired-soon legacy tables must stay untouched")
+    val er = MinHashStore.eraseKeys(spark, base, Seq(7L))
+    assert(er.bandRowsErased == 16L,
+      s"erasure resolves gen 1 (16 band rows under the NEW numBands); got $er")
+    assert(MinHashStore.probeBatch(spark, base,
+      Seq((9100L, corpus(7)._2)).toDF("doc_id", "text"), threshold = 0.99)
+      .pairs.select("corpus_id").as[Long].collect().toSet == Set(9000L),
+      "post-erasure probes match only the appended echo, not the erased subject")
+  }
+
   test("an empty or matchless batch probes to zero pairs; params survive appends") {
     val base = freshBase("none")
     MinHashStore.buildCommit(spark, base, corpus.toDF("doc_id", "text"),
