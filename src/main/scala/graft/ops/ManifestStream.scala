@@ -46,7 +46,11 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   *     retained). `startingVersion=<v>` makes the first batch the
   *     increments since v instead of a snapshot;
   *     `maxVersionsPerTrigger=<n>` bounds catch-up batches (Delta's
-  *     maxFilesPerTrigger shape, best-effort across restarts);
+  *     maxFilesPerTrigger shape; the floor persists across restarts);
+  *     `boundInitialSnapshot=true` (with a dir/byte bound) slices the
+  *     INITIAL SNAPSHOT itself across triggers — the Delta starting-
+  *     snapshot admission; the snapshot position checkpoints as a
+  *     `snap` offset indexing the version's full entry list;
   *     `maxDirsPerTrigger=<n>` / `maxBytesPerTrigger=<b>` split even
   *     ONE giant commit's fresh dirs across triggers via a composite
   *     (version, dirs-emitted) offset ([[DirBoundOffset]]).
@@ -108,8 +112,16 @@ class ManifestStreamProvider extends StreamSourceProvider with DataSourceRegiste
     require((maxD.isEmpty && maxB.isEmpty) || !skipChanges,
       "graft-manifest source: maxDirsPerTrigger/maxBytesPerTrigger do not " +
         "compose with skipChangeCommits (it walks whole commits)")
+    val boundSnap = parameters.get("boundInitialSnapshot").exists(_.toBoolean)
+    require(!boundSnap || maxD.nonEmpty || maxB.nonEmpty,
+      "graft-manifest source: boundInitialSnapshot needs a slice bound — set " +
+        "maxDirsPerTrigger and/or maxBytesPerTrigger")
+    require(!(boundSnap && startV.nonEmpty),
+      "graft-manifest source: startingVersion skips the snapshot — there is " +
+        "no initial snapshot for boundInitialSnapshot to bound")
     new ManifestStreamSource(sqlContext.sparkSession, tablePath(parameters), cdf, keys,
-      maxV, startV, skipChanges, maxD, maxB, metadataPath = Some(metadataPath))
+      maxV, startV, skipChanges, maxD, maxB, boundSnap,
+      metadataPath = Some(metadataPath))
   }
 }
 
@@ -146,12 +158,24 @@ private[ops] object ManifestStream {
   * the first `emitted` entries (key-sorted) of the fresh set of step
   * `(version-1, version]` — how `maxDirsPerTrigger` splits one giant
   * commit across triggers (Delta's maxBytesPerTrigger shape at this
-  * format's dir granularity). A FULL version serializes as the plain
-  * [[LongOffset]], so checkpoints stay compatible both ways. */
-private[ops] case class DirBoundOffset(version: Long, emitted: Long)
+  * format's dir granularity). With `snap = true` the offset is a
+  * MID-SNAPSHOT position instead: `emitted` indexes the sorted FULL
+  * entry-key list of `version` (`boundInitialSnapshot`'s unit — the
+  * Delta-source isStartingVersion shape). A FULL version serializes
+  * as the plain [[LongOffset]], so checkpoints stay compatible both
+  * ways; non-snap offsets keep their pre-snap JSON. */
+private[ops] case class DirBoundOffset(version: Long, emitted: Long,
+                                       snap: Boolean = false)
     extends OffsetV1 {
-  override def json: String = s"""{"version":$version,"emitted":$emitted}"""
+  override def json: String =
+    if (snap) s"""{"version":$version,"emitted":$emitted,"snap":true}"""
+    else s"""{"version":$version,"emitted":$emitted}"""
 }
+
+/** A decoded stream position: `emitted = None` means the version is
+  * fully emitted; `snap` marks a mid-SNAPSHOT slice (the `emitted`
+  * index counts into the full entry list, not a step's fresh set). */
+private[ops] case class StreamPos(v: Long, emitted: Option[Long], snap: Boolean)
 
 private[ops] class ManifestStreamSource(spark: SparkSession, path: String,
                                         cdf: Boolean, keys: Seq[String],
@@ -160,6 +184,7 @@ private[ops] class ManifestStreamSource(spark: SparkSession, path: String,
                                         skipChangeCommits: Boolean = false,
                                         maxDirsPerTrigger: Option[Long] = None,
                                         maxBytesPerTrigger: Option[Long] = None,
+                                        boundInitialSnapshot: Boolean = false,
                                         metadataPath: Option[String] = None)
     extends Source {
   import ManifestTable._
@@ -186,12 +211,12 @@ private[ops] class ManifestStreamSource(spark: SparkSession, path: String,
     * to the documented uncapped first batch; the sidecar never
     * contradicts the engine (it is written only at commit, so it
     * trails every offset the engine could replay). */
-  @volatile private var floor: Option[(Long, Option[Long])] = loadFloor()
+  @volatile private var floor: Option[StreamPos] = loadFloor()
 
   private def floorFile: Option[Path] =
     metadataPath.map(m => new Path(m, "graft-admission-floor"))
 
-  private def loadFloor(): Option[(Long, Option[Long])] = floorFile.flatMap { f =>
+  private def loadFloor(): Option[StreamPos] = floorFile.flatMap { f =>
     try {
       val ffs = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!ffs.exists(f)) None
@@ -200,8 +225,9 @@ private[ops] class ManifestStreamSource(spark: SparkSession, path: String,
         val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
           finally in.close()
         txt.split(':') match {
-          case Array(v) => Some((v.toLong, None))
-          case Array(v, k) => Some((v.toLong, Some(k.toLong)))
+          case Array(v) => Some(StreamPos(v.toLong, None, snap = false))
+          case Array(v, k) => Some(StreamPos(v.toLong, Some(k.toLong), snap = false))
+          case Array(v, k, "s") => Some(StreamPos(v.toLong, Some(k.toLong), snap = true))
           case _ => None
         }
       }
@@ -209,24 +235,29 @@ private[ops] class ManifestStreamSource(spark: SparkSession, path: String,
   }
 
   private def persistFloor(): Unit = floorFile.foreach { f =>
-    try floor.foreach { case (v, k) =>
+    try floor.foreach { p =>
       val ffs = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val tmp = new Path(f.getParent, s"${f.getName}.tmp")
       val out = ffs.create(tmp, true)
-      try out.write((v.toString + k.map(e => s":$e").getOrElse(""))
-        .getBytes("UTF-8")) finally out.close()
+      try out.write((p.v.toString + p.emitted.map(e => s":$e").getOrElse("") +
+        (if (p.snap) ":s" else "")).getBytes("UTF-8")) finally out.close()
       if (ffs.exists(f)) ffs.delete(f, false)
       ffs.rename(tmp, f)
     } catch { case scala.util.control.NonFatal(_) => () }
   }
 
-  private def rank(p: (Long, Option[Long])): (Long, Long) =
-    (p._1, p._2.getOrElse(Long.MaxValue)) // a full version outranks any slice of it
+  private def rank(p: StreamPos): (Long, Long) =
+    (p.v, p.emitted.getOrElse(Long.MaxValue)) // full version outranks its slices
 
-  private def raiseFloor(p: (Long, Option[Long])): Unit = synchronized {
+  private def raiseFloor(p: StreamPos): Unit = synchronized {
     if (!floor.exists(f => rank(f)._1 > rank(p)._1 ||
         (rank(f)._1 == rank(p)._1 && rank(f)._2 >= rank(p)._2))) floor = Some(p)
   }
+
+  /** The FULL entry-key list of version `v`, sorted — the snapshot
+    * slice-unit list `boundInitialSnapshot` indexes into. */
+  private def fullUnits(v: Long): Seq[String] =
+    dataEntries(readManifest(fs, path, v)).map(_._1).sorted
 
   private def slicing: Boolean =
     maxDirsPerTrigger.isDefined || maxBytesPerTrigger.isDefined
@@ -277,7 +308,22 @@ private[ops] class ManifestStreamSource(spark: SparkSession, path: String,
   override def getOffset: Option[OffsetV1] =
     latestVersion(fs, path).flatMap { latest =>
       floor match {
-        case Some((fv, femit)) if slicing =>
+        case None if boundInitialSnapshot && startingVersion.isEmpty =>
+          // first offset of a fresh bounded-snapshot query: slice the
+          // INITIAL SNAPSHOT itself (Delta bounds its starting
+          // snapshot the same way — without this, the very first
+          // batch of a 100 TB table is the one batch admission
+          // control cannot touch)
+          val units = fullUnits(latest)
+          val end = sliceEnd(latest, 0L, units)
+          Some(if (end >= units.size.toLong) LongOffset(latest)
+               else DirBoundOffset(latest, end, snap = true))
+        case Some(StreamPos(fv, Some(k), true)) => // resume the snapshot
+          val units = fullUnits(fv)
+          val end = sliceEnd(fv, k, units)
+          Some(if (end >= units.size.toLong) LongOffset(fv)
+               else DirBoundOffset(fv, end, snap = true))
+        case Some(StreamPos(fv, femit, false)) if slicing =>
           femit match {
             case Some(k) => // resume inside version fv
               val units = sliceUnits(fv - 1, fv)
@@ -302,26 +348,25 @@ private[ops] class ManifestStreamSource(spark: SparkSession, path: String,
             case None => Some(LongOffset(fv)) // caught up: no new batch
           }
         case _ =>
-          val capped = (for { m <- maxVersionsPerTrigger; (fv, _) <- floor }
-            yield math.min(latest, fv + m)).getOrElse(latest)
+          val capped = (for { m <- maxVersionsPerTrigger; p <- floor }
+            yield math.min(latest, p.v + m)).getOrElse(latest)
           Some(LongOffset(capped))
       }
     }
 
-  private val DirJson = """\{"version":(\d+),"emitted":(\d+)\}""".r
+  private val DirJson =
+    """\{"version":(\d+),"emitted":(\d+)(,"snap":true)?\}""".r
 
-  /** Decode an offset to (version, emitted-slice): None = the version
-    * is fully emitted. */
-  private def posOf(o: OffsetV1): (Long, Option[Long]) = o match {
-    case LongOffset(v) => (v, None)
-    case DirBoundOffset(v, k) => (v, Some(k))
+  /** Decode an offset: emitted = None means the version is fully
+    * emitted; snap marks a mid-snapshot slice. */
+  private def posOf(o: OffsetV1): StreamPos = o match {
+    case LongOffset(v) => StreamPos(v, None, snap = false)
+    case DirBoundOffset(v, k, sn) => StreamPos(v, Some(k), sn)
     case other => other.json.trim match {
-      case DirJson(v, k) => (v.toLong, Some(k.toLong))
-      case s => (s.toLong, None)
+      case DirJson(v, k, sn) => StreamPos(v.toLong, Some(k.toLong), sn != null)
+      case s => StreamPos(s.toLong, None, snap = false)
     }
   }
-
-  private def versionOf(o: OffsetV1): Long = posOf(o)._1
 
   /** The step's fresh entry keys in a DETERMINISTIC order (sorted) —
     * what [[DirBoundOffset]] slices index into. Raises on a
@@ -370,16 +415,49 @@ private[ops] class ManifestStreamSource(spark: SparkSession, path: String,
       }: _*))
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
-    val (endV, endEmit) = posOf(end)
-    raiseFloor((endV, endEmit))
+    val endP = posOf(end)
+    val endV = endP.v
+    val endEmit = endP.emitted
+    raiseFloor(endP)
     require(versions(fs, path).contains(endV),
       s"graft-manifest source: end version m$endV no longer retained under $path — " +
         "the table's retainVersions horizon passed the stream's checkpoint; " +
         "raise retainVersions on the writer")
-    start.map(posOf).orElse(startingVersion.map(v => (v, Option.empty[Long]))) match {
+    val startP = start.map(posOf)
+      .orElse(startingVersion.map(v => StreamPos(v, None, snap = false)))
+    // ---- bounded-snapshot windows (boundInitialSnapshot): emitted
+    // indexes the sorted FULL entry list of the snapshot version ----
+    def snapWindow(v: Long, from: Long, until: Long): DataFrame = {
+      val units = fullUnits(v)
+      val w = units.slice(from.toInt, math.min(until, units.size.toLong).toInt)
+      align(if (w.isEmpty) emptyBatch()
+      else {
+        val raw = readEntriesOf(spark, path, readManifest(fs, path, v), w.toSet)
+        if (!cdf) raw
+        else raw.withColumn("_change_type", lit("insert"))
+          .withColumn("_commit_version", lit(v))
+      })
+    }
+    def mixedSnapshot(): Nothing = throw new IllegalStateException(
+      "graft-manifest source: mid-snapshot offsets mixed with other versions — " +
+        "the admission-floor sidecar was lost mid-snapshot while new commits " +
+        "landed (or boundInitialSnapshot was enabled on a pre-existing " +
+        "checkpoint); restart from a fresh checkpoint")
+    (startP, endP) match {
+      case (None, StreamPos(ev, Some(k), true)) =>
+        return snapWindow(ev, 0L, k)
+      case (Some(StreamPos(sv, Some(k0), true)), StreamPos(ev, ee, eSnap)) =>
+        if (sv == ev && (eSnap || ee.isEmpty))
+          return snapWindow(sv, k0, ee.getOrElse(fullUnits(sv).size.toLong))
+        else mixedSnapshot()
+      case (Some(_), StreamPos(_, Some(_), true)) => mixedSnapshot()
+      case _ => ()
+    }
+    startP.map(p => (p.v, p.emitted)) match {
       case None => // initial batch: the full snapshot at endV
         require(endEmit.isEmpty,
-          "graft-manifest source: the initial snapshot batch is never dir-sliced")
+          "graft-manifest source: the initial snapshot batch is dir-sliced only " +
+            "under boundInitialSnapshot (snap offsets)")
         val snap = readVersion(spark, path, endV)
         align(if (!cdf) snap
         else snap.withColumn("_change_type", lit("insert"))
@@ -389,8 +467,10 @@ private[ops] class ManifestStreamSource(spark: SparkSession, path: String,
         // option: resume a consumer from a known version instead of
         // re-snapshotting)
         if (startV == endV && startEmit == endEmit) return align(emptyBatch())
-        require(rank((startV, startEmit))._1 < rank((endV, endEmit))._1 ||
-            (startV == endV && rank((startV, startEmit))._2 < rank((endV, endEmit))._2),
+        require(rank(StreamPos(startV, startEmit, snap = false))._1 <
+            rank(endP)._1 ||
+            (startV == endV &&
+              rank(StreamPos(startV, startEmit, snap = false))._2 < rank(endP)._2),
           s"graft-manifest source: offset went backwards " +
             s"((m$startV,$startEmit) > (m$endV,$endEmit))")
         if (startEmit.isEmpty && endEmit.isEmpty)

@@ -305,6 +305,70 @@ class ManifestStreamSpec extends AnyFunSuite {
       s"capped catch-up emits every row exactly once; got ${ids.sorted.toList}")
   }
 
+  test("boundInitialSnapshot slices the INITIAL snapshot across triggers; a " +
+    "mid-snapshot restart resumes from the persisted position; cdf snapshots " +
+    "slice as insert rows") {
+    val d = freshDir("boundsnap"); val up = s"$d/up"
+    ManifestTable.merge(spark, up,
+      (1 to 5).map(i => (i.toLong, s"p$i", i * 1.0)).toDF("id", "part", "v"),
+      keys = Seq("id"), partitionCol = "part", retainVersions = 8)
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val sink: (DataFrame, Long) => Unit = (b, _) => {
+      val got = b.select("id").as[Long].collect()
+      batches.synchronized { batches += got.length.toLong; ids ++= got }
+    }
+    def drainSnap(trigger: Option[org.apache.spark.sql.streaming.Trigger]): Unit = {
+      val w = spark.readStream.format("graft-manifest").option("path", up)
+        .option("maxDirsPerTrigger", "2")
+        .option("boundInitialSnapshot", "true").load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", s"$d/ckpt")
+      trigger match {
+        case Some(t) =>
+          val q = w.trigger(t).start()
+          assert(q.awaitTermination(120000L), "Trigger.Once run did not terminate")
+        case None =>
+          val q = w.start()
+          try q.processAllAvailable() finally q.stop()
+      }
+    }
+    // exactly ONE 2-dir snapshot slice commits, then the stream stops
+    drainSnap(Some(org.apache.spark.sql.streaming.Trigger.Once()))
+    assert(batches.toList == List(2L),
+      s"the FIRST snapshot batch must respect the dir bound; got $batches")
+    // the restart resumes the snapshot from the persisted position,
+    // still capped, no duplicates
+    drainSnap(None)
+    assert(batches.toList == List(2L, 2L, 1L),
+      s"5 snapshot dirs must drain as 2+2+1 across the restart; got $batches")
+    assert(ids.sorted.toList == (1L to 5L).toList,
+      s"sliced snapshot emits every row exactly once; got ${ids.sorted.toList}")
+    // post-snapshot commits flow through the normal sliced admission
+    ManifestTable.merge(spark, up,
+      (6 to 8).map(i => (i.toLong, s"p$i", i * 1.0)).toDF("id", "part", "v"),
+      keys = Seq("id"), partitionCol = "part", retainVersions = 8)
+    drainSnap(None)
+    assert(ids.sorted.toList == (1L to 8L).toList &&
+      batches.toList.drop(3).forall(_ <= 2L),
+      s"post-snapshot commits stay capped; got $batches / ${ids.sorted.toList}")
+    // cdf: a fresh checkpoint slices the snapshot as insert rows
+    val types = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val csink: (DataFrame, Long) => Unit = (b, _) => types.synchronized {
+      types ++= b.select(col("id"), col("_change_type")).collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+    }
+    val q = spark.readStream.format("graft-manifest").option("path", up)
+      .option("mode", "cdf").option("keys", "id")
+      .option("maxDirsPerTrigger", "3")
+      .option("boundInitialSnapshot", "true").load()
+      .writeStream.foreachBatch(csink)
+      .option("checkpointLocation", s"$d/ckpt_cdf").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(types.sorted.toList == (1L to 8L).map(i => (i, "insert")).toList,
+      s"cdf snapshot slices must be insert-tagged, exactly once; got $types")
+  }
+
   test("cdf mode: maxDirsPerTrigger slices one giant UPDATE commit by changed " +
     "partition; the union of slices equals the full change feed") {
     val d = freshDir("cdfslice"); val up = s"$d/up"
