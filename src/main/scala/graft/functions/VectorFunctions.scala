@@ -213,6 +213,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // once per optimization (pre-CBO), backs off to the unchanged
     // plan on any doubt
     ext.injectPreCBORule(session => graft.plans.JoinPruneRule(session))
+    // automatic metadata-only aggregates — a global count/min/max over
+    // a bare manifest scan collapses to the committed footer stats
+    ext.injectPreCBORule(session => graft.plans.StatsAggRule(session))
+    // automatic materialized-view rewrite — grouped count/sum over a
+    // registered base answers from its IncrementalAgg view when fresh
+    ext.injectPreCBORule(session => graft.plans.MvRewriteRule(session))
   }
 }
 

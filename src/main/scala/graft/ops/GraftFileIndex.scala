@@ -202,6 +202,21 @@ final class GraftFileIndex(tableRoot: Path,
 
   private[graft] def dirCount: Int = dirs.size
 
+  /** Every live entry's skipping metadata — [[graft.plans.StatsAggRule]]'s
+    * input (each manifest entry appears under exactly one dir, so this
+    * enumerates entries once; per-entry stats stay per-KEY exact even
+    * for compact-shared dirs because entries carry their pre-compact
+    * stats forward verbatim). */
+  private[graft] def entryMetas: Seq[EntryMeta] = dirs.flatMap(_.entries)
+
+  /** The relative data dirs this index reads — [[graft.plans
+    * .MvRewriteRule]]'s scan-identity instrument (equality with the
+    * current manifest's dir set proves the scan is the complete,
+    * current table: dir names are UUID-fresh per commit). Aux
+    * (appendix) dirs appear here too, so a pending-MoR scan never
+    * compares equal. */
+  private[graft] def relDirs: Seq[String] = dirs.map(_.relDir)
+
   /** The join-driven narrowing ([[graft.plans.JoinPruneRule]]'s
     * worker): keep only dirs where at least one entry might hold at
     * least one of the dim side's join keys, by the committed blooms

@@ -59,6 +59,13 @@ object IncrementalAgg {
   def read(spark: SparkSession, aggPath: String): DataFrame =
     ManifestTable.read(spark, aggPath).drop(BucketCol)
 
+  /** The view AT a specific retained version — [[graft.plans
+    * .MvRewriteRule]] pins the version it freshness-checked, so a
+    * refresh racing the planner can never make it serve a version it
+    * did not verify. */
+  def readAt(spark: SparkSession, aggPath: String, version: Long): DataFrame =
+    ManifestTable.readVersion(spark, aggPath, version).drop(BucketCol)
+
   /** Bring the aggregate view at `aggPath` up to date with the base
     * table at `basePath`. No-op if already current.
     *

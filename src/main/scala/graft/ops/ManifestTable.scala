@@ -3816,6 +3816,18 @@ object ManifestTable {
     }
   }
 
+  /** Properties committed by a SPECIFIC retained version — the
+    * freshness instrument for consumers that must then READ exactly
+    * the version they checked ([[graft.plans.MvRewriteRule]] pairs
+    * this with [[readVersion]]; checking latest-props and separately
+    * re-resolving "latest" would tear under a concurrent refresh). */
+  def readPropsAt(spark: SparkSession, path: String, version: Long): Map[String, String] = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(versions(fs, path).contains(version),
+      s"ManifestTable.readPropsAt: m$version not retained under $path")
+    propsOf(readManifest(fs, path, version))
+  }
+
   /** The schema a manifest committed, if one was recorded (manifests
     * written before schema tracking have none — readers then fall
     * back to parquet self-description, the pre-evolution behavior). */

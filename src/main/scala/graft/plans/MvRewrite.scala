@@ -1,0 +1,279 @@
+package graft.plans
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.LongType
+
+import graft.ops.{GraftFileIndex, IncrementalAgg, ManifestTable}
+
+/** MATERIALIZED-VIEW REGISTRY — which [[IncrementalAgg]]-maintained
+  * views stand for which base tables. Registration is the explicit
+  * opt-in ([[MvRewriteRule]] rewrites nothing unregistered); it is
+  * process-wide state, mirroring how a catalog would carry MV
+  * definitions. The registered `groupCols`/`sumCols` MUST match the
+  * arguments the view is refreshed with, and [[IncrementalAgg]]'s
+  * contracts carry over: group columns non-null, sum columns LONG
+  * (integer addition is associative, so the view's sums are bit-equal
+  * to a recompute — the property that makes the rewrite an identity
+  * rather than an approximation). */
+object MvRegistry {
+  final case class MvDef(basePath: String, aggPath: String,
+                         groupCols: Seq[String], sumCols: Seq[String])
+
+  private val defs = new java.util.concurrent.ConcurrentHashMap[String, MvDef]
+
+  private def keyOf(spark: SparkSession, basePath: String): String = {
+    val p = new Path(basePath)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).makeQualified(p).toString
+  }
+
+  /** Declare `aggPath` a maintained aggregate view of `basePath`. */
+  def register(spark: SparkSession, basePath: String, aggPath: String,
+               groupCols: Seq[String], sumCols: Seq[String]): Unit = {
+    require(groupCols.nonEmpty, "MvRegistry.register: no group columns")
+    defs.put(keyOf(spark, basePath), MvDef(basePath, aggPath, groupCols, sumCols))
+  }
+
+  def unregister(spark: SparkSession, basePath: String): Unit =
+    defs.remove(keyOf(spark, basePath))
+
+  private[plans] def lookup(spark: SparkSession, root: Path): Option[MvDef] = {
+    val q = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(root).toString
+    Option(defs.get(q))
+  }
+
+  /** Test instrument: successful rewrites. */
+  private[graft] val rewrites = new java.util.concurrent.atomic.AtomicInteger
+}
+
+/** AUTOMATIC MATERIALIZED-VIEW REWRITE — the query side of
+  * [[IncrementalAgg]]: a grouped COUNT/SUM over the BASE table
+  *
+  * {{{ ManifestTable.read(spark, base).groupBy("k").agg(count(lit(1)), sum($"v")) }}}
+  *
+  * is answered from the maintained view instead — O(groups) read vs
+  * O(table) scan — when, and only when, the rewrite is provably an
+  * identity. This is the classic MV-rewrite (Calcite / warehouse
+  * `QUERY_REWRITE`) specialized to the two re-aggregable functions the
+  * view maintains; at 100 TB it turns the dashboard's hourly grouped
+  * scan into a read of a few thousand pre-folded rows.
+  *
+  * A rewrite fires only when ALL of:
+  *   - the aggregate sits over a bare, full, un-narrowed
+  *     [[GraftFileIndex]] scan of a REGISTERED base (identity
+  *     Projects / SubqueryAlias / group-column-only deterministic
+  *     Filters between them are absorbed — a group-col filter
+  *     re-applies on the view exactly, because view rows partition
+  *     the base by group key);
+  *   - the scan is CURRENT and COMPLETE: its dir set equals the
+  *     latest manifest's ([[ManifestTable.dataDirs]]) — a time-travel
+  *     read, a partition-filtered read, a join-narrowed index, or a
+  *     pending-MoR plan (DV anti-joins surface as Joins and appendix
+  *     dirs as extra index dirs) all fail this and back off;
+  *   - the VIEW is FRESH: its committed `agg.base_version` equals the
+  *     base's current version (atomic with the view's data — one
+  *     manifest rename — so "fresh" is transactional, not advisory);
+  *   - grouping is a SUBSET of the registered group columns (a coarser
+  *     roll-up re-aggregates exactly: counts and long sums are
+  *     associative), every aggregate is `count(*)` or `sum(sumCol)`
+  *     with LONG result type, no DISTINCT / FILTER clauses, and every
+  *     output type matches the view's bit-for-bit.
+  *
+  * The global (no GROUP BY) count re-folds as `coalesce(sum(n), 0)` —
+  * an empty base must still answer 0, not NULL. Injected pre-CBO;
+  * the freshness check is one driver-side manifest read per candidate
+  * aggregate, no job. `spark.graft.mvRewrite.enabled=false` turns the
+  * rule off; [[MvRegistry.rewrites]] counts successes. */
+case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  private def enabled: Boolean =
+    spark.conf.get("spark.graft.mvRewrite.enabled", "true").toBoolean
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!enabled) plan
+    else plan.transformUp {
+      case a: Aggregate => rewrite(a).getOrElse(a)
+    }
+
+  /** What the walk below the Aggregate found: the scan's index+root,
+    * exprId → physical column name/type, and the group-col filters to
+    * re-apply on the view. */
+  private case class ScanInfo(root: Path, idx: GraftFileIndex,
+                              colOf: Map[ExprId, (String, org.apache.spark.sql.types.DataType)],
+                              filters: Seq[Expression])
+
+  private def rewrite(a: Aggregate): Option[LogicalPlan] = for {
+    info <- walk(a.child, Nil)
+    mv <- MvRegistry.lookup(spark, info.root)
+    viewVersion <- fresh(mv, info)
+    plan <- build(a, mv, info, viewVersion)
+  } yield {
+    MvRegistry.rewrites.incrementAndGet()
+    logInfo(s"graft mv-rewrite: answered a grouped aggregate over " +
+      s"${mv.basePath} from the maintained view ${mv.aggPath}")
+    plan
+  }
+
+  /** Descend to the scan, absorbing identity Projects and deterministic
+    * Filters (kept for later translation — their references are
+    * validated against the group columns in [[build]]). */
+  private def walk(p: LogicalPlan, fs: Seq[Expression]): Option[ScanInfo] = p match {
+    case lr: LogicalRelation => lr.relation match {
+      case h: HadoopFsRelation => h.location match {
+        case g: GraftFileIndex if !g.isNarrowed =>
+          Some(ScanInfo(lr.relation.asInstanceOf[HadoopFsRelation].location
+            .rootPaths.head, g,
+            lr.output.map(at => at.exprId -> (at.name, at.dataType)).toMap, fs))
+        case _ => None
+      }
+      case _ => None
+    }
+    case Project(projList, child) => walk(child, fs).flatMap { info =>
+      val m = projList.flatMap {
+        case ar: AttributeReference => info.colOf.get(ar.exprId).map(ar.exprId -> _)
+        case al @ Alias(ar: AttributeReference, _) =>
+          info.colOf.get(ar.exprId).map(al.exprId -> _)
+        case _ => None
+      }.toMap
+      // filters collected ABOVE this project reference the outer ids;
+      // remap is implicit because colOf carries every live id
+      Some(info.copy(colOf = info.colOf ++ m))
+    }
+    case f: Filter if f.condition.deterministic => walk(f.child, fs :+ f.condition)
+    case SubqueryAlias(_, child) => walk(child, fs)
+    case _ => None
+  }
+
+  /** The scan is the complete current base AND the view has folded
+    * exactly that version. Returns the VIEW version whose committed
+    * `agg.base_version` was verified — [[build]] reads exactly that
+    * version, so a refresh racing the planner can neither serve an
+    * unverified snapshot nor tear between check and read. Driver-side
+    * metadata only: two version listings + one props read. */
+  private def fresh(mv: MvRegistry.MvDef, info: ScanInfo): Option[Long] = try {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val bfs = new Path(mv.basePath).getFileSystem(conf)
+    val vfs = new Path(mv.aggPath).getFileSystem(conf)
+    for {
+      cur <- ManifestTable.versions(bfs, mv.basePath).lastOption
+      if info.idx.relDirs.toSet == ManifestTable.dataDirs(spark, mv.basePath, cur)
+      vv <- ManifestTable.versions(vfs, mv.aggPath).lastOption
+      state <- ManifestTable.readPropsAt(spark, mv.aggPath, vv)
+        .get(IncrementalAgg.BaseVersionProp)
+      if state.toLong == cur
+    } yield vv
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Construct the replacement: Filter(view) → Aggregate → Project
+    * aliasing back to the original output names and exprIds. Any
+    * unmappable piece answers None (back off, never fail). */
+  private def build(a: Aggregate, mv: MvRegistry.MvDef,
+                    info: ScanInfo, viewVersion: Long): Option[LogicalPlan] = {
+    val viewPlan = IncrementalAgg.readAt(spark, mv.aggPath, viewVersion)
+      .queryExecution.analyzed
+    def viewAttr(name: String): Option[Attribute] = viewPlan.output.find(_.name == name)
+
+    def physOf(e: Expression): Option[String] = e match {
+      case ar: AttributeReference => info.colOf.get(ar.exprId).map(_._1)
+      case _ => None
+    }
+    // grouping: bare attrs, subset of the registered group columns
+    val groupPhys = a.groupingExpressions.map(physOf)
+    if (groupPhys.exists(_.isEmpty)) return None
+    val groupNames = groupPhys.flatten
+    if (!groupNames.forall(mv.groupCols.contains)) return None
+
+    // filters: every reference must be a group column
+    val translated = info.filters.map { cond =>
+      var ok = true
+      val t = cond.transform {
+        case ar: AttributeReference =>
+          info.colOf.get(ar.exprId).map(_._1) match {
+            case Some(c) if mv.groupCols.contains(c) =>
+              viewAttr(c) match {
+                case Some(va) if va.dataType == ar.dataType => va
+                case _ => ok = false; ar
+              }
+            case _ => ok = false; ar
+          }
+      }
+      if (ok) Some(t) else None
+    }
+    if (translated.exists(_.isEmpty)) return None
+    val filtered = translated.flatten
+      .foldLeft(viewPlan)((p, c) => Filter(c, p))
+
+    val nAttr = viewAttr("n").getOrElse(return None)
+    if (nAttr.dataType != LongType) return None
+
+    // classify each original output; build synthetic agg aliases
+    sealed trait Out
+    case class GroupOut(viewA: Attribute) extends Out
+    case class AggOut(alias: Alias, isCount: Boolean) extends Out
+    val groupAttrSet = a.groupingExpressions.collect {
+      case ar: AttributeReference => ar.exprId
+    }.toSet
+    var synths = Vector.empty[Alias]
+    val outs: Seq[Option[Out]] = a.aggregateExpressions.map { ne =>
+      val (core, origType) = ne match {
+        case al @ Alias(c, _) => (c, al.dataType)
+        case other => (other, other.dataType)
+      }
+      core match {
+        case ar: AttributeReference if groupAttrSet.contains(ar.exprId) =>
+          for {
+            c <- info.colOf.get(ar.exprId).map(_._1)
+            va <- viewAttr(c)
+            if va.dataType == origType
+          } yield GroupOut(va)
+        case AggregateExpression(fn, _, false, None, _) => fn match {
+          case Count(Seq(l: Literal)) if l.value != null =>
+            val al = Alias(Sum(nAttr).toAggregateExpression(), s"__mv_${synths.size}")()
+            synths :+= al
+            Some(AggOut(al, isCount = true))
+          case Sum(ar: AttributeReference, _) =>
+            for {
+              c <- physOf(ar)
+              if mv.sumCols.contains(c)
+              va <- viewAttr(s"sum_$c")
+              // LONG only: associative re-aggregation is exact; the
+              // type equality also rejects decimal double-widening
+              if va.dataType == LongType && origType == LongType
+            } yield {
+              val al = Alias(Sum(va).toAggregateExpression(), s"__mv_${synths.size}")()
+              synths :+= al
+              AggOut(al, isCount = false)
+            }
+          case _ => None
+        }
+        case _ => None
+      }
+    }
+    if (outs.exists(_.isEmpty)) return None
+
+    val groupingView: Seq[Attribute] = groupNames.flatMap(viewAttr)
+    if (groupingView.size != groupNames.size) return None
+    val agg2 = Aggregate(groupingView, groupingView ++ synths, filtered)
+
+    val projList: Seq[NamedExpression] = a.aggregateExpressions.zip(outs.flatten)
+      .map { case (orig, out) =>
+        val name = orig.name
+        out match {
+          case GroupOut(va) => Alias(va, name)(exprId = orig.exprId)
+          case AggOut(al, isCount) =>
+            val base: Expression =
+              if (isCount && a.groupingExpressions.isEmpty)
+                Coalesce(Seq(al.toAttribute, Literal(0L)))
+              else al.toAttribute
+            Alias(base, name)(exprId = orig.exprId)
+        }
+      }
+    Some(Project(projList, agg2))
+  }
+}

@@ -1,0 +1,223 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types._
+
+import graft.ops.GraftFileIndex
+
+/** AUTOMATIC METADATA-ONLY AGGREGATES — `ManifestTable.fastCount`'s
+  * idea moved INSIDE the planner and widened to min/max: a global
+  *
+  * {{{ ManifestTable.read(spark, path).agg(count("*"), max("ts")) }}}
+  *
+  * (or the same through `spark.sql`) collapses to a [[LocalRelation]]
+  * computed from the manifest's committed footer statistics — zero
+  * files opened, zero tasks launched. At 100 TB this answers the
+  * commonest observability queries ("how many rows, how fresh is the
+  * table") in driver milliseconds instead of a full scan. This is the
+  * Delta `OptimizeMetadataOnlyDeltaQuery` shape for this format
+  * (Delta cites it for exactly these three aggregates; Spark's own
+  * `OptimizeMetadataOnlyQuery` handles only partition-value queries).
+  *
+  * EXACTNESS BOUNDARY (back off to the unchanged plan on any doubt —
+  * a false fast-path answer is a wrong result, so every condition
+  * below is load-bearing):
+  *
+  *   - The aggregate must be GLOBAL (no grouping) and sit over a bare
+  *     [[GraftFileIndex]] scan reached through Project-of-attributes /
+  *     identity aliases / SubqueryAlias ONLY. Any other node — Filter,
+  *     Union, Join — stops the walk. This is not just simplicity: the
+  *     reader composes DV anti-joins, shared-dir row filters, and MoR
+  *     appendix unions into the plan whenever they apply, so "the plan
+  *     is a bare scan" certifies "footer stats describe exactly the
+  *     scan's rows".
+  *   - `count(*)` needs every entry's committed `__rowcount`;
+  *     `count(col)` additionally needs the column's committed null
+  *     count in every entry (a file not storing the column poisons the
+  *     null count at write time — additive-evolution honesty is
+  *     [[graft.ops.ManifestTable]]'s job, this rule only requires the
+  *     count to exist).
+  *   - `min/max(col)` answer from numeric zone maps for FIXED-WIDTH
+  *     exact types only: byte/short/int/long, date, micros timestamps,
+  *     and short decimals. Parquet footers never truncate fixed-width
+  *     bounds, so these are exact. STRING bounds are excluded —
+  *     writers may truncate binary statistics, which is fine for the
+  *     skipping side (supersets only cost a false-positive read) and
+  *     fatal here. FLOAT/DOUBLE are excluded — NaN ordering (Spark
+  *     sorts NaN above everything; footers omit or mis-order it) and
+  *     ±0.0 make footer bounds unreliable as VALUES. An entry whose
+  *     rows are all null for the column (committed null count ==
+  *     row count) contributes nothing, matching SQL min/max null
+  *     semantics; an entry with no zone map and no all-null proof
+  *     backs off.
+  *   - A join-narrowed index ([[JoinPruneRule]]) never qualifies (its
+  *     dir set is only valid under the join), and zone-map bounds are
+  *     only trusted when the bound converts EXACTLY to the column's
+  *     type.
+  *
+  * Injected as a PRE-CBO rule like [[JoinPruneRule]]; pure driver-side
+  * metadata arithmetic, O(entries), no job. The rewrite keeps the
+  * Aggregate's own output attributes (exprIds), so nothing upstream
+  * re-resolves. `spark.graft.statsAgg.enabled=false` turns it off;
+  * [[StatsAggRule.rewrites]] counts successful rewrites (the spec and
+  * gate instrument). */
+object StatsAggRule {
+  /** Test instrument: how many Aggregates collapsed to metadata. */
+  private[graft] val rewrites = new java.util.concurrent.atomic.AtomicInteger
+}
+
+case class StatsAggRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  private def enabled: Boolean =
+    spark.conf.get("spark.graft.statsAgg.enabled", "true").toBoolean
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!enabled) plan
+    else plan.transformUp {
+      case a: Aggregate if a.groupingExpressions.isEmpty =>
+        rewrite(a).getOrElse(a)
+    }
+
+  private def rewrite(a: Aggregate): Option[LogicalPlan] =
+    resolveScan(a.child).flatMap { case (idx, colOf) =>
+      val entries = idx.entryMetas
+      val values = a.aggregateExpressions.map(ne => valueOf(ne, entries, colOf))
+      if (values.exists(_.isEmpty)) None
+      else {
+        StatsAggRule.rewrites.incrementAndGet()
+        logInfo(s"graft stats-agg: answered ${a.aggregateExpressions.size} " +
+          s"aggregate(s) from ${entries.size} manifest entries (no scan)")
+        Some(LocalRelation(a.output,
+          Seq(InternalRow.fromSeq(values.map(_.get.orNull)))))
+      }
+    }
+
+  /** Walk to a bare, un-narrowed [[GraftFileIndex]] scan, carrying the
+    * exprId → physical-column-name mapping through identity Projects
+    * (the reader's rename layer is `Alias(AttributeReference)`). Any
+    * other operator answers None. */
+  private def resolveScan(p: LogicalPlan)
+      : Option[(GraftFileIndex, Map[ExprId, (String, DataType)])] = p match {
+    case lr: LogicalRelation => lr.relation match {
+      case fs: HadoopFsRelation => fs.location match {
+        case g: GraftFileIndex if !g.isNarrowed =>
+          Some((g, lr.output.map(a => a.exprId -> (a.name, a.dataType)).toMap))
+        case _ => None
+      }
+      case _ => None
+    }
+    case Project(projList, child) => resolveScan(child).map { case (g, m) =>
+      (g, projList.flatMap {
+        case ar: AttributeReference => m.get(ar.exprId).map(ar.exprId -> _)
+        case al @ Alias(ar: AttributeReference, _) => m.get(ar.exprId).map(al.exprId -> _)
+        case _ => None // unmapped outputs simply aren't resolvable
+      }.toMap)
+    }
+    case SubqueryAlias(_, child) => resolveScan(child)
+    case _ => None
+  }
+
+  /** The internal-row value of one aggregate output, if the committed
+    * metadata answers it exactly. Outer None = back off the whole
+    * rewrite; inner None = a legitimate NULL result (min/max over no
+    * non-null rows). */
+  private def valueOf(ne: NamedExpression,
+                      entries: Seq[GraftFileIndex.EntryMeta],
+                      colOf: Map[ExprId, (String, DataType)]): Option[Option[Any]] = {
+    def phys(ar: AttributeReference): Option[(String, DataType)] = colOf.get(ar.exprId)
+    val e = ne match {
+      case Alias(child, _) => child
+      case other => other
+    }
+    e match {
+      // evidence literals gates attach next to the aggregates
+      case l: Literal => Some(Option(l.value))
+      case AggregateExpression(fn, _, false, None, _) => fn match {
+        case Count(Seq(l: Literal)) if l.value != null =>
+          countStar(entries)
+        case Count(Seq(ar: AttributeReference)) =>
+          phys(ar).flatMap { case (c, _) => countCol(entries, c) }
+        case Min(ar: AttributeReference) =>
+          phys(ar).flatMap { case (c, dt) => bound(entries, c, dt, isMin = true) }
+        case Max(ar: AttributeReference) =>
+          phys(ar).flatMap { case (c, dt) => bound(entries, c, dt, isMin = false) }
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
+  /** Sum of committed rowcounts — requires every entry to carry one.
+    * Entries synthesized for MoR appendix dirs carry none, so a table
+    * with pending appendices backs off here (its read plan is not a
+    * bare scan anyway — defense in depth). */
+  private def countStar(entries: Seq[GraftFileIndex.EntryMeta]): Option[Option[Any]] = {
+    val counts = entries.map(_.rowCount)
+    if (counts.forall(_.isDefined)) Some(Some(counts.flatten.sum))
+    else None
+  }
+
+  /** Non-null count: `Σ (rowCount − nullCount(col))` — both required
+    * in every entry. */
+  private def countCol(entries: Seq[GraftFileIndex.EntryMeta],
+                       c: String): Option[Option[Any]] = {
+    val counts = entries.map(en =>
+      for { r <- en.rowCount; n <- en.nullCounts.get(c) } yield r - n)
+    if (counts.forall(_.isDefined)) Some(Some(counts.flatten.sum))
+    else None
+  }
+
+  /** Exact min or max from the numeric zone maps; entries proven
+    * all-null for the column are skipped (SQL min/max ignore nulls);
+    * zero contributing entries = NULL result. */
+  private def bound(entries: Seq[GraftFileIndex.EntryMeta], c: String,
+                    dt: DataType, isMin: Boolean): Option[Option[Any]] = {
+    if (!exactType(dt)) return None
+    val per = entries.map { en =>
+      en.stats.get(c) match {
+        case Some((mn, mx)) => Some(Some(if (isMin) mn else mx))
+        case None => // no zone map: only safe when provably all-null
+          (for { r <- en.rowCount; n <- en.nullCounts.get(c) } yield n == r) match {
+            case Some(true) => Some(None) // all-null entry contributes nothing
+            case _ => None
+          }
+      }
+    }
+    if (per.exists(_.isEmpty)) return None
+    val bds = per.flatten.flatten
+    if (bds.isEmpty) Some(None)
+    else {
+      val bd = if (isMin) bds.min else bds.max
+      internalOf(bd, dt).map(v => Some(v))
+    }
+  }
+
+  /** Fixed-width types whose parquet footer bounds are exact values:
+    * no truncation (strings), no NaN/±0.0 ordering hazards (floats). */
+  private def exactType(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | DateType |
+         TimestampType | TimestampNTZType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+
+  /** The bound as the column type's INTERNAL value — exact or bust. */
+  private def internalOf(bd: BigDecimal, dt: DataType): Option[Any] = try {
+    dt match {
+      case ByteType => Some(bd.toByteExact)
+      case ShortType => Some(bd.toShortExact)
+      case IntegerType | DateType => Some(bd.toIntExact)
+      case LongType | TimestampType | TimestampNTZType => Some(bd.toLongExact)
+      case d: DecimalType =>
+        val dec = org.apache.spark.sql.types.Decimal(bd)
+        if (dec.changePrecision(d.precision, d.scale)) Some(dec) else None
+      case _ => None
+    }
+  } catch { case _: ArithmeticException => None }
+}

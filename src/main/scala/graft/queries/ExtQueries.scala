@@ -1999,6 +1999,248 @@ object ExtQueries {
       |FROM allr""".stripMargin
 
   // ----------------------------------------------------------------
+  // q206_stats_agg — AUTOMATIC METADATA-ONLY AGGREGATES
+  // (graft.plans.StatsAggRule, the Delta OptimizeMetadataOnlyDeltaQuery
+  // analog): a plain `read(table).agg(count/min/max)` with ZERO API
+  // opt-in collapses to the manifest's committed footer statistics —
+  // the gate pins that the rewritten plan contains NO file scan
+  // (meta_only) while every value is SQL-recomputed from `events`,
+  // including count(xv) over a column with planted nulls (null counts)
+  // and min/max over long and micros-timestamp zone maps. Then a
+  // merge-on-read DELETE lands and the SAME query must FALL BACK to a
+  // real scan (dv_scans — footer bounds are pre-delete supersets; the
+  // DV anti-join in the plan is what backs the rule off) with the
+  // post-delete values again SQL-exact. At 100 TB the fast path
+  // answers the commonest observability queries ("how many rows, how
+  // fresh") in driver milliseconds instead of a full scan.
+  // ----------------------------------------------------------------
+  def q206StatsAgg(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:q206_stats_agg") {
+      q206StatsAggBuild(spark, dir)
+    }
+
+  private def q206StatsAggBuild(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.ManifestTable
+    def hasScan(df: DataFrame): Boolean = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.nonEmpty
+    val ev = Tables.events(spark, dir).select(
+      col("event_id"), col("ts"), col("user_id"),
+      when(col("event_id") % 7 === 0, lit(null).cast("long"))
+        .otherwise(col("user_id")).as("xv"),
+      date_trunc("day", col("ts")).cast("string").as("day"))
+    val path = java.nio.file.Files.createTempDirectory("graft_q206_").toString + "/t"
+    ManifestTable.merge(spark, path, ev, keys = Seq("event_id"), partitionCol = "day",
+      statsColumns = Seq("event_id", "ts", "user_id", "xv"))
+    val fast = ManifestTable.read(spark, path).agg(
+      count(lit(1)).as("n"), count(col("xv")).as("n_xv"),
+      min(col("user_id")).as("mn_u"), max(col("user_id")).as("mx_u"),
+      min(col("ts")).as("mn_ts"), max(col("ts")).as("mx_ts"))
+    fast.collect()
+    val metaOnly = !hasScan(fast)
+    // a MoR delete poisons the footer bounds (pre-delete supersets):
+    // the same aggregate must now run as a real scan and see the
+    // post-delete values
+    ManifestTable.deleteWhereMoR(spark, path, "day", col("event_id") % 211 === 5)
+    val after = ManifestTable.read(spark, path).agg(
+      count(lit(1)).as("n_dv"), max(col("event_id")).as("mx_e_dv"))
+    after.collect()
+    val dvScans = hasScan(after)
+    fast.crossJoin(after)
+      .withColumn("meta_only", lit(metaOnly))
+      .withColumn("dv_scans", lit(dvScans))
+      .select(col("n"), col("n_xv"), col("mn_u"), col("mx_u"),
+        col("mn_ts"), col("mx_ts"), col("meta_only"),
+        col("n_dv"), col("mx_e_dv"), col("dv_scans"))
+  }
+
+  val q206StatsAggSql: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n,
+      |  CAST(count(CASE WHEN event_id % 7 = 0 THEN NULL ELSE user_id END)
+      |    AS BIGINT) AS n_xv,
+      |  min(user_id) AS mn_u, max(user_id) AS mx_u,
+      |  min(ts) AS mn_ts, max(ts) AS mx_ts,
+      |  TRUE AS meta_only,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM events
+      |    WHERE event_id % 211 <> 5) AS n_dv,
+      |  (SELECT max(event_id) FROM events
+      |    WHERE event_id % 211 <> 5) AS mx_e_dv,
+      |  TRUE AS dv_scans
+      |FROM events""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q207_mv_rewrite — AUTOMATIC MATERIALIZED-VIEW REWRITE
+  // (graft.plans.MvRewriteRule + MvRegistry, the query side of
+  // IncrementalAgg): a registered grouped COUNT/SUM view answers a
+  // plain `read(base).groupBy(...).agg(...)` — including a coarser
+  // ROLL-UP grouping and a group-column filter — with the base never
+  // scanned (mv_used pins plan roots), and the freshness contract is
+  // TRANSACTIONAL: after a base merge the same query falls back to
+  // the scan (stale_scans) and sees the new rows; after refresh() the
+  // rewrite returns with values bit-equal to the scan
+  // (refreshed_match — long sums are associative, so view-fold order
+  // cannot leak). All final rows SQL-recomputed from `events`. At
+  // 100 TB this is the dashboard query answered from O(groups)
+  // pre-folded rows instead of an O(table) scan.
+  // ----------------------------------------------------------------
+  def q207MvRewrite(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:q207_mv_rewrite") {
+      q207MvRewriteBuild(spark, dir)
+    }
+
+  private def q207MvRewriteBuild(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{IncrementalAgg, ManifestTable}
+    import graft.plans.MvRegistry
+    def scanRoots(df: DataFrame): Set[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.rootPaths.head.toString
+          }
+      }.toSet
+    val ev = Tables.events(spark, dir).select(
+      col("event_id"), date_trunc("day", col("ts")).cast("string").as("day"),
+      col("event_type").as("etype"), (col("user_id") % 10).as("u10"),
+      floor(col("value") * 1000).cast("long").as("v"))
+    val root = java.nio.file.Files.createTempDirectory("graft_q207_").toString
+    val (base, view) = (root + "/base", root + "/view")
+    ManifestTable.merge(spark, base, ev, keys = Seq("event_id"), partitionCol = "day")
+    IncrementalAgg.refresh(spark, base, view, Seq("etype", "u10"), Seq("v"))
+    MvRegistry.register(spark, base, view, Seq("etype", "u10"), Seq("v"))
+    def query(): DataFrame = ManifestTable.read(spark, base)
+      .where(col("u10") >= 3).groupBy(col("etype"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    // 1. fresh: the roll-up + group-filter answers from the view
+    val q1 = query(); q1.collect()
+    val r1 = scanRoots(q1)
+    val mvUsed = r1.exists(_.endsWith("/view")) && !r1.exists(_.endsWith("/base"))
+    // 2. a base merge lands; the view is stale — the SAME query must
+    //    scan the base and see the new rows
+    val synth = Tables.events(spark, dir).filter(col("event_id") % 5 === 0)
+      .select((col("event_id") + 1000000000L).as("event_id"),
+        date_trunc("day", col("ts")).cast("string").as("day"),
+        lit("synthetic").as("etype"), (col("user_id") % 10).as("u10"),
+        (floor(col("value") * 1000).cast("long") + 13L).as("v"))
+    ManifestTable.merge(spark, base, synth, keys = Seq("event_id"), partitionCol = "day")
+    val q2 = query()
+    val rows2 = q2.collect()
+    val staleScans = scanRoots(q2).exists(_.endsWith("/base"))
+    // 3. refresh folds the delta; the rewrite returns, values bit-equal
+    IncrementalAgg.refresh(spark, base, view, Seq("etype", "u10"), Seq("v"))
+    val q3 = query()
+    val rows3 = q3.collect()
+    val r3 = scanRoots(q3)
+    val refreshedMatch = r3.exists(_.endsWith("/view")) &&
+      !r3.exists(_.endsWith("/base")) &&
+      rows2.map(_.toString).sorted.toSeq == rows3.map(_.toString).sorted.toSeq
+    MvRegistry.unregister(spark, base)
+    q3.withColumn("mv_used", lit(mvUsed))
+      .withColumn("stale_scans", lit(staleScans))
+      .withColumn("refreshed_match", lit(refreshedMatch))
+      .orderBy(col("etype"))
+  }
+
+  val q207MvRewriteSql: String =
+    """WITH allr AS (
+      |  SELECT event_type AS etype, user_id % 10 AS u10,
+      |    CAST(floor(value * 1000) AS BIGINT) AS v
+      |  FROM events
+      |  UNION ALL
+      |  SELECT 'synthetic' AS etype, user_id % 10 AS u10,
+      |    CAST(floor(value * 1000) AS BIGINT) + 13 AS v
+      |  FROM events WHERE event_id % 5 = 0)
+      |SELECT etype, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(v) AS BIGINT) AS sv,
+      |  TRUE AS mv_used, TRUE AS stale_scans, TRUE AS refreshed_match
+      |FROM allr WHERE u10 >= 3
+      |GROUP BY etype ORDER BY etype""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q208_dsir — DSIR-STYLE IMPORTANCE-RESAMPLED DATA SELECTION
+  // (graft.ext.Dsir; Xie et al. 2023): fit hashed word-bigram bag
+  // models on a TARGET sample (the en docs) and the RAW corpus (all
+  // docs), score every raw doc by the integer micro-nat MEAN
+  // log-likelihood ratio per gram (length-invariant — a sum would
+  // rank docs by shortness first), keep the top 120 under the total order
+  // (score DESC, doc_id). Every stage is engine-portable by
+  // construction — md5 bucket hashing (q46's idiom), the per-BUCKET
+  // floor(ln·1e6) quantization (q119's precedent), exact BIGINT doc
+  // scores — so the DuckDB oracle recomputes the ENTIRE selection,
+  // not a summary. Scale: bounded bucket tables (B=2048) broadcast;
+  // the only data shuffle is the per-doc score aggregate; selection
+  // is TakeOrderedAndProject.
+  // ----------------------------------------------------------------
+  def q208Dsir(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:q208_dsir") {
+      q208DsirBuild(spark, dir)
+    }
+
+  private def q208DsirBuild(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.Dsir
+    val B = 2048
+    val docs = Tables.documents(spark, dir)
+    val rawGrams = graft.ops.Intermediates.shared(
+      Dsir.wordBigrams(docs, "doc_id", "text"))
+    val tgtGrams = Dsir.wordBigrams(
+      docs.filter(col("lang") === "en"), "doc_id", "text")
+    val ratios = Dsir.fitLogRatios(tgtGrams, rawGrams, B)
+    val scored = Dsir.score(docs.select(col("doc_id"), col("lang")),
+      "doc_id", rawGrams, ratios, B)
+    Dsir.selectTopK(scored, "doc_id", 120)
+      .select(col("doc_id"), col("lang"), col("dsir_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q208DsirSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang,
+      |    list_filter(string_split_regex(
+      |      regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+      |      x -> x <> '') AS ts
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(ts)),
+      |      i -> ts[i] || '_' || ts[i + 1])) AS gram
+      |  FROM d WHERE len(ts) >= 2),
+      |gb AS (
+      |  SELECT doc_id,
+      |    CAST(CAST(('0x' || substr(md5(gram), 1, 8)) AS UBIGINT) % 2048
+      |      AS BIGINT) AS bucket
+      |  FROM g),
+      |tgt AS (
+      |  SELECT bucket, CAST(count(*) AS BIGINT) AS ct
+      |  FROM gb JOIN d USING (doc_id) WHERE d.lang = 'en' GROUP BY 1),
+      |raw AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cr FROM gb GROUP BY 1),
+      |tts AS (SELECT CAST(count(*) AS BIGINT) AS tt
+      |        FROM gb JOIN d USING (doc_id) WHERE d.lang = 'en'),
+      |trs AS (SELECT CAST(count(*) AS BIGINT) AS tr FROM gb),
+      |lr AS (
+      |  SELECT raw.bucket,
+      |    CAST(floor(ln(
+      |      ((coalesce(ct, 0) + 1e0) / (tt + 2048e0)) /
+      |      ((cr + 1e0) / (tr + 2048e0))) * 1e6) AS BIGINT) AS lr
+      |  FROM raw LEFT JOIN tgt ON raw.bucket = tgt.bucket
+      |  CROSS JOIN tts CROSS JOIN trs),
+      |sc AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
+      |       FROM gb GROUP BY 1, 2),
+      |ds AS (SELECT sc.doc_id,
+      |         CAST((CAST(sum(cnt * lr.lr) AS BIGINT)
+      |             + CAST(sum(cnt) AS BIGINT) * 100000000)
+      |           // CAST(sum(cnt) AS BIGINT) - 100000000 AS BIGINT) AS dsir_score
+      |       FROM sc JOIN lr USING (bucket) GROUP BY 1),
+      |scored AS (
+      |  SELECT doc.doc_id, doc.lang, CAST(ds.dsir_score AS BIGINT) AS dsir_score
+      |  FROM documents doc LEFT JOIN ds USING (doc_id)),
+      |top AS (SELECT * FROM scored
+      |        ORDER BY dsir_score DESC NULLS LAST, doc_id LIMIT 120)
+      |SELECT doc_id, lang, dsir_score FROM top ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------------------------
   // q59_jaccard_join — EXACT n-gram Jaccard similarity join at
   // threshold 0.5 (Dedup.jaccardJoinExact): inverted-index pair
   // count — |A∩B| is a hash-aggregate over the gram self-join, J a

@@ -1,0 +1,174 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{IncrementalAgg, ManifestTable}
+import graft.plans.MvRegistry
+
+/** Automatic materialized-view rewrite (MvRewriteRule): a grouped
+  * count/sum over a REGISTERED base table must be answered from its
+  * IncrementalAgg-maintained view — when and only when the view is
+  * provably fresh — with values identical to the full scan. Staleness,
+  * non-rewritable aggregates, non-group filters, subset scans and the
+  * kill switch must all fall back.
+  */
+class MvRewriteSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def fresh(tag: String): (String, String) = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft_mv_$tag").toString
+    (d + "/base", d + "/view")
+  }
+
+  /** 3 day-partitions × 2 types; v long. */
+  private def seed(base: String): Unit = {
+    val rows = (1L to 60L).map { i =>
+      (i, s"d${i % 3}", if (i % 2 == 0) "click" else "view", i % 10, i * 7L)
+    }.toDF("id", "day", "etype", "u10", "v")
+    ManifestTable.merge(spark, base, rows, Seq("id"), "day")
+  }
+
+  /** Collect every scanned table root in the optimized plan. */
+  private def roots(df: DataFrame): Set[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case h: HadoopFsRelation => h.location.rootPaths.head.toString
+      }
+    }.toSet
+
+  private def run(df: DataFrame): (Int, Set[String], Seq[org.apache.spark.sql.Row]) = {
+    val b = MvRegistry.rewrites.get
+    val rows = df.collect().toSeq
+    (MvRegistry.rewrites.get - b, roots(df), rows)
+  }
+
+  private def truth(df: => DataFrame): Seq[org.apache.spark.sql.Row] = {
+    spark.conf.set("spark.graft.mvRewrite.enabled", "false")
+    try df.collect().toSeq
+    finally spark.conf.set("spark.graft.mvRewrite.enabled", "true")
+  }
+
+  test("a grouped count+sum over a registered, fresh base answers from the " +
+    "view — the base is never scanned — with scan-identical values") {
+    val (base, view) = fresh("basic")
+    seed(base)
+    IncrementalAgg.refresh(spark, base, view, Seq("etype", "u10"), Seq("v"))
+    MvRegistry.register(spark, base, view, Seq("etype", "u10"), Seq("v"))
+    try {
+      def q = ManifestTable.read(spark, base)
+        .groupBy(col("etype"), col("u10"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+        .orderBy(col("etype"), col("u10"))
+      val (delta, rs, rows) = run(q)
+      assert(delta == 1, s"expected one MV rewrite, saw $delta")
+      assert(rs.exists(_.contains("/view")) && !rs.exists(_.contains("/base")),
+        s"the rewritten plan must scan the view only: $rs")
+      assert(rows == truth(q), "view answer must equal the scan answer")
+    } finally MvRegistry.unregister(spark, base)
+  }
+
+  test("roll-up over a grouping SUBSET re-aggregates the view; a group-column " +
+    "filter translates onto the view; the global count coalesces to 0") {
+    val (base, view) = fresh("rollup")
+    seed(base)
+    IncrementalAgg.refresh(spark, base, view, Seq("etype", "u10"), Seq("v"))
+    MvRegistry.register(spark, base, view, Seq("etype", "u10"), Seq("v"))
+    try {
+      def roll = ManifestTable.read(spark, base)
+        .where(col("u10") >= 3).groupBy(col("etype"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+        .orderBy(col("etype"))
+      val (d1, r1, rows1) = run(roll)
+      assert(d1 == 1 && !r1.exists(_.contains("/base")))
+      assert(rows1 == truth(roll))
+      // global: no grouping at all
+      def glob = ManifestTable.read(spark, base)
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      val (d2, _, rows2) = run(glob)
+      assert(d2 == 1 && rows2 == truth(glob))
+      // global over an IMPOSSIBLE group filter: count must be 0, not null
+      def none = ManifestTable.read(spark, base)
+        .where(col("etype") === "nosuch").agg(count(lit(1)).as("n"))
+      val (d3, _, rows3) = run(none)
+      assert(d3 == 1 && rows3.head.getLong(0) == 0L,
+        s"count over zero surviving view rows must coalesce to 0: $rows3")
+    } finally MvRegistry.unregister(spark, base)
+  }
+
+  test("staleness is transactional: a base merge un-rewrites the query until " +
+    "refresh() folds the delta back in") {
+    val (base, view) = fresh("stale")
+    seed(base)
+    IncrementalAgg.refresh(spark, base, view, Seq("etype"), Seq("v"))
+    MvRegistry.register(spark, base, view, Seq("etype"), Seq("v"))
+    try {
+      def q = ManifestTable.read(spark, base).groupBy(col("etype"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv")).orderBy(col("etype"))
+      assert(run(q)._1 == 1)
+      // new rows land; the view is now one version behind
+      ManifestTable.merge(spark, base,
+        Seq((100L, "d0", "click", 1L, 500L), (101L, "d9", "scroll", 2L, 600L))
+          .toDF("id", "day", "etype", "u10", "v"), Seq("id"), "day")
+      val (d2, r2, rows2) = run(q)
+      assert(d2 == 0 && r2.exists(_.contains("/base")),
+        "a stale view must NOT answer; the base scans")
+      assert(rows2.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .exists(_ == (("scroll", 1L, 600L))), "post-merge rows visible")
+      IncrementalAgg.refresh(spark, base, view, Seq("etype"), Seq("v"))
+      val (d3, _, rows3) = run(q)
+      assert(d3 == 1 && rows3 == rows2, "refresh restores the rewrite, same values")
+    } finally MvRegistry.unregister(spark, base)
+  }
+
+  test("back-offs: unregistered base, non-sum column, avg, non-group filter, " +
+    "partition-filtered scan, countDistinct, double sums, kill switch") {
+    val (base, view) = fresh("backoff")
+    seed(base)
+    IncrementalAgg.refresh(spark, base, view, Seq("etype"), Seq("v"))
+    def q(df: DataFrame): DataFrame =
+      df.groupBy(col("etype")).agg(count(lit(1)).as("n")).orderBy(col("etype"))
+    // unregistered: nothing happens
+    assert(run(q(ManifestTable.read(spark, base)))._1 == 0)
+    MvRegistry.register(spark, base, view, Seq("etype"), Seq("v"))
+    try {
+      val t = ManifestTable.read(spark, base)
+      // sum of a non-maintained column
+      val (d1, r1, _) = run(t.groupBy(col("etype")).agg(sum(col("u10")).as("s")))
+      assert(d1 == 0 && r1.exists(_.contains("/base")))
+      // avg is not maintained
+      assert(run(t.groupBy(col("etype")).agg(avg(col("v")).as("a")))._1 == 0)
+      // filter on a NON-group column cannot translate
+      assert(run(q(t.where(col("u10") > 5)))._1 == 0)
+      // a partition-filtered read is not the full table
+      assert(run(q(ManifestTable.read(spark, base, partitionFilter = _ == "d0")))._1 == 0)
+      // count distinct is not re-aggregable from the view
+      assert(run(t.groupBy(col("etype")).agg(countDistinct(col("v"))))._1 == 0)
+      // kill switch
+      spark.conf.set("spark.graft.mvRewrite.enabled", "false")
+      try assert(run(q(ManifestTable.read(spark, base)))._1 == 0)
+      finally spark.conf.set("spark.graft.mvRewrite.enabled", "true")
+      // still rewrites when nothing disqualifies (the guards above
+      // backed off for their own reasons, not collateral state)
+      assert(run(q(ManifestTable.read(spark, base)))._1 == 1)
+    } finally MvRegistry.unregister(spark, base)
+  }
+
+  test("double sums never rewrite (floating addition is not associative — " +
+    "the view's fold order would leak into results)") {
+    val (base, view) = fresh("dbl")
+    val rows = (1L to 20L).map(i => (i, s"d${i % 2}", "t", i * 0.1)).toDF("id", "day", "etype", "dv")
+    ManifestTable.merge(spark, base, rows, Seq("id"), "day")
+    IncrementalAgg.refresh(spark, base, view, Seq("etype"), Seq("dv"))
+    MvRegistry.register(spark, base, view, Seq("etype"), Seq("dv"))
+    try {
+      val (d, r, _) = run(ManifestTable.read(spark, base)
+        .groupBy(col("etype")).agg(sum(col("dv")).as("s")))
+      assert(d == 0 && r.exists(_.contains("/base")),
+        "a DOUBLE sum column must fall back to the scan")
+    } finally MvRegistry.unregister(spark, base)
+  }
+}

@@ -1,0 +1,178 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.ManifestTable
+import graft.plans.StatsAggRule
+
+/** Automatic metadata-only aggregates (StatsAggRule): a global
+  * count/count(col)/min/max over a bare manifest scan must collapse to
+  * the committed footer stats — zero files opened — and every rewrite
+  * must return exactly what the full scan would. Back-off cases
+  * (filters, DVs, doubles, strings, kill switch) must fall back to a
+  * real scan with unchanged results.
+  */
+class StatsAggSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def freshPath(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_sagg_$tag").toString + "/t"
+
+  private def ts(s: String): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(s)
+
+  /** Three day-partitions; x is long with nulls (day2 all-null),
+    * d is double, s is string. Stats on x, ts, d, s. */
+  private def seed(path: String): Unit = {
+    val rows = Seq(
+      (1L, ts("2024-01-01 03:00:00"), Some(10L), 1.5, "aa", "d1"),
+      (2L, ts("2024-01-01 09:00:00"), Some(7L), 2.5, "bb", "d1"),
+      (3L, ts("2024-01-02 00:30:00"), None, 3.5, "cc", "d2"),
+      (4L, ts("2024-01-02 23:00:00"), None, 4.5, "dd", "d2"),
+      (5L, ts("2024-01-03 12:00:00"), Some(42L), 5.5, "ee", "d3"),
+      (6L, ts("2024-01-03 13:00:00"), None, 6.5, "ff", "d3"))
+      .toDF("id", "t", "x", "d", "s", "day")
+    ManifestTable.merge(spark, path, rows, Seq("id"), "day",
+      statsColumns = Seq("id", "t", "x", "d", "s"))
+  }
+
+  /** Execute and classify: (rewrites-counter delta, had a file scan). */
+  private def run(df: DataFrame): (Int, Boolean, Seq[org.apache.spark.sql.Row]) = {
+    val before = StatsAggRule.rewrites.get
+    val rows = df.collect().toSeq
+    val delta = StatsAggRule.rewrites.get - before
+    val scanned = df.queryExecution.sparkPlan.collect {
+      case s: FileSourceScanExec => s
+    }.nonEmpty
+    (delta, scanned, rows)
+  }
+
+  test("global count/count(col)/min/max over a bare scan answer from metadata " +
+    "— no file scan — and match a forced full scan exactly") {
+    val path = freshPath("basic")
+    seed(path)
+    val agg = ManifestTable.read(spark, path).agg(
+      count(lit(1)).as("n"), count(col("x")).as("nx"),
+      min(col("id")).as("mn_id"), max(col("id")).as("mx_id"),
+      min(col("x")).as("mn_x"), max(col("x")).as("mx_x"),
+      min(col("t")).as("mn_t"), max(col("t")).as("mx_t"))
+    val (delta, scanned, rows) = run(agg)
+    assert(delta == 1, s"expected exactly one metadata rewrite, saw $delta")
+    assert(!scanned, "the rewritten plan must not contain a file scan")
+    assert(agg.queryExecution.optimizedPlan.collectLeaves()
+      .forall(_.isInstanceOf[LocalRelation]), "leaves must be LocalRelation")
+    // ground truth from a real scan (rule disabled)
+    spark.conf.set("spark.graft.statsAgg.enabled", "false")
+    try {
+      val truth = ManifestTable.read(spark, path).agg(
+        count(lit(1)), count(col("x")), min(col("id")), max(col("id")),
+        min(col("x")), max(col("x")), min(col("t")), max(col("t"))).collect().toSeq
+      assert(rows == truth, s"metadata answer $rows != scan answer $truth")
+    } finally spark.conf.set("spark.graft.statsAgg.enabled", "true")
+  }
+
+  test("the SQL surface rewrites too (temp view → SubqueryAlias walk)") {
+    val path = freshPath("sql")
+    seed(path)
+    ManifestTable.read(spark, path).createOrReplaceTempView("sagg_t")
+    val q = spark.sql("SELECT count(*) AS n, max(t) AS mx FROM sagg_t")
+    val (delta, scanned, rows) = run(q)
+    assert(delta == 1 && !scanned)
+    assert(rows.head.getLong(0) == 6L)
+    assert(rows.head.getTimestamp(1) == ts("2024-01-03 13:00:00"))
+  }
+
+  test("exactness back-offs: double and string min/max, filtered scans, " +
+    "and grouped aggregates all fall back to a real scan") {
+    val path = freshPath("backoff")
+    seed(path)
+    val t = ManifestTable.read(spark, path)
+    // double: NaN/±0.0 hazards — excluded type
+    val (d1, s1, r1) = run(t.agg(min(col("d")).as("mn")))
+    assert(d1 == 0 && s1 && r1.head.getDouble(0) == 1.5)
+    // string: truncation hazard — excluded type
+    val (d2, s2, r2) = run(t.agg(max(col("s")).as("mx")))
+    assert(d2 == 0 && s2 && r2.head.getString(0) == "ff")
+    // a Filter between aggregate and scan stops the walk
+    val (d3, s3, r3) = run(t.where(col("id") > 2L).agg(count(lit(1)).as("n")))
+    assert(d3 == 0 && s3 && r3.head.getLong(0) == 4L)
+    // grouped aggregates never rewrite
+    val (d4, s4, _) = run(t.groupBy(col("day")).agg(count(lit(1))))
+    assert(d4 == 0 && s4)
+    // count distinct never rewrites
+    val (d5, s5, r5) = run(t.agg(countDistinct(col("x")).as("nd")))
+    assert(d5 == 0 && s5 && r5.head.getLong(0) == 3L)
+  }
+
+  test("a pending deletion vector composes out of the fast path by plan " +
+    "shape (the DV anti-join is not a bare scan) — values stay right") {
+    val path = freshPath("dv")
+    seed(path)
+    ManifestTable.deleteWhereMoR(spark, path, "day", col("id") === 5L)
+    val agg = ManifestTable.read(spark, path).agg(
+      count(lit(1)).as("n"), max(col("x")).as("mx"))
+    val (delta, scanned, rows) = run(agg)
+    assert(delta == 0 && scanned, "a DV'd table must not answer from footers " +
+      "(pre-delete bounds would resurrect the deleted max)")
+    assert(rows.head.getLong(0) == 5L && rows.head.getLong(1) == 10L,
+      s"id=5 held the x=42 max; after its deletion max must be 10: $rows")
+  }
+
+  test("kill switch: spark.graft.statsAgg.enabled=false leaves the plan alone") {
+    val path = freshPath("kill")
+    seed(path)
+    spark.conf.set("spark.graft.statsAgg.enabled", "false")
+    try {
+      val (delta, scanned, rows) =
+        run(ManifestTable.read(spark, path).agg(count(lit(1)).as("n")))
+      assert(delta == 0 && scanned && rows.head.getLong(0) == 6L)
+    } finally spark.conf.set("spark.graft.statsAgg.enabled", "true")
+  }
+
+  test("a table written WITHOUT statsColumns backs off (no committed " +
+    "rowcount), and min/max on a statless column backs off") {
+    val path = freshPath("nostats")
+    val rows = Seq((1L, "p1", 3L), (2L, "p2", 9L)).toDF("id", "p", "v")
+    ManifestTable.merge(spark, path, rows, Seq("id"), "p")
+    val (d1, s1, r1) = run(ManifestTable.read(spark, path).agg(count(lit(1)).as("n")))
+    assert(d1 == 0 && s1 && r1.head.getLong(0) == 2L)
+    val path2 = freshPath("partial")
+    ManifestTable.merge(spark, path2, rows, Seq("id"), "p", statsColumns = Seq("id"))
+    // id answers from metadata; v has no zone map → the WHOLE rewrite
+    // backs off (one unanswerable aggregate poisons the rewrite)
+    val (d2, s2, r2) = run(ManifestTable.read(spark, path2)
+      .agg(min(col("id")).as("a"), max(col("v")).as("b")))
+    assert(d2 == 0 && s2 && r2.head.getLong(0) == 1L && r2.head.getLong(1) == 9L)
+    // id alone rewrites
+    val (d3, s3, r3) = run(ManifestTable.read(spark, path2)
+      .agg(min(col("id")).as("a"), max(col("id")).as("b")))
+    assert(d3 == 1 && !s3 && r3.head.getLong(0) == 1L && r3.head.getLong(1) == 2L)
+  }
+
+  test("merges keep the fast path honest: new partitions and rewritten " +
+    "partitions re-answer from the NEW snapshot's stats") {
+    val path = freshPath("evolve")
+    seed(path)
+    def fast(): (Long, Long, Long) = {
+      val agg = ManifestTable.read(spark, path).agg(
+        count(lit(1)).as("n"), min(col("id")).as("mn"), max(col("id")).as("mx"))
+      val (delta, scanned, rows) = run(agg)
+      assert(delta == 1 && !scanned)
+      (rows.head.getLong(0), rows.head.getLong(1), rows.head.getLong(2))
+    }
+    assert(fast() == ((6L, 1L, 6L)))
+    // append a new day and rewrite day1 (id 1 gains a sibling id 99)
+    val more = Seq(
+      (99L, ts("2024-01-01 22:00:00"), Some(1L), 9.9, "zz", "d1"),
+      (7L, ts("2024-01-04 01:00:00"), Some(3L), 7.7, "gg", "d4"))
+      .toDF("id", "t", "x", "d", "s", "day")
+    ManifestTable.merge(spark, path, more, Seq("id"), "day",
+      statsColumns = Seq("id", "t", "x", "d", "s"))
+    assert(fast() == ((8L, 1L, 99L)))
+  }
+}
