@@ -59,7 +59,8 @@ object GraftFileIndex {
                              prunable: Boolean,
                              strStats: Map[String, (String, String)] = Map.empty,
                              nullCounts: Map[String, Long] = Map.empty,
-                             rowCount: Option[Long] = None)
+                             rowCount: Option[Long] = None,
+                             key: Option[String] = None)
 
   /** One data dir with the entries that reference it (several after
     * compaction folds partitions into a shared dir). */
@@ -88,7 +89,7 @@ object GraftFileIndex {
   /** The literal as the string [[ManifestTable.bloomContains]] hashes —
     * blooms are built over `CAST(col AS STRING)`, so only types whose
     * JVM `toString` matches that cast exactly are eligible. */
-  private[ops] def strOf(l: Literal): Option[String] =
+  private[graft] def strOf(l: Literal): Option[String] =
     if (l.value == null) None
     else l.dataType match {
       case StringType | IntegerType | LongType | ByteType | ShortType =>
@@ -185,7 +186,9 @@ object GraftFileIndex {
 
 final class GraftFileIndex(tableRoot: Path,
                            dirs: Seq[GraftFileIndex.DirMeta],
-                           reportTotal: Option[Long] = None) extends FileIndex {
+                           reportTotal: Option[Long] = None,
+                           val partitionColName: Option[String] = None)
+    extends FileIndex {
   import GraftFileIndex._
 
   /** Evidence channel: `(dirsKept, dirsTotal)` of the most recent
@@ -250,7 +253,7 @@ final class GraftFileIndex(tableRoot: Path,
       }
     if (kept.size == dirs.size) None
     else Some(new GraftFileIndex(tableRoot, kept,
-      Some(reportTotal.getOrElse(dirs.size.toLong))))
+      Some(reportTotal.getOrElse(dirs.size.toLong)), partitionColName))
   }
 
   override def rootPaths: Seq[Path] = Seq(tableRoot)

@@ -175,7 +175,8 @@ object ManifestTable {
     def metasOf(entries: Seq[(String, String)]): Seq[GraftFileIndex.DirMeta] = {
       val main = entries.groupBy(e => dirOf(e._2)).toSeq.sortBy(_._1).map {
         case (d, es) =>
-          GraftFileIndex.DirMeta(d, listParquet(d), es.map(e => toPhys(entryMetaOf(e._2))))
+          GraftFileIndex.DirMeta(d, listParquet(d),
+            es.map(e => toPhys(entryMetaOf(e._2)).copy(key = Some(e._1))))
       }
       val aux = entries.flatMap(e => auxRefsOf(e._2).map(_._2)).distinct.map { d =>
         GraftFileIndex.DirMeta(d, listParquet(d),
@@ -189,7 +190,8 @@ object ManifestTable {
           if (colmap.isEmpty) s
           else org.apache.spark.sql.types.StructType(
             s.fields.map(f => f.copy(name = physOf(f.name))))
-        val idx = new GraftFileIndex(new Path(path), metasOf(entries))
+        val idx = new GraftFileIndex(new Path(path), metasOf(entries),
+          partitionColName = partitionColOf(lines))
         val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
         val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
           idx, org.apache.spark.sql.types.StructType(Nil), phys, None,

@@ -31,12 +31,16 @@ import graft.ops.GraftFileIndex
   *
   *   - The aggregate must be GLOBAL (no grouping) and sit over a bare
   *     [[GraftFileIndex]] scan reached through Project-of-attributes /
-  *     identity aliases / SubqueryAlias ONLY. Any other node — Filter,
-  *     Union, Join — stops the walk. This is not just simplicity: the
-  *     reader composes DV anti-joins, shared-dir row filters, and MoR
-  *     appendix unions into the plan whenever they apply, so "the plan
-  *     is a bare scan" certifies "footer stats describe exactly the
-  *     scan's rows".
+  *     identity aliases / SubqueryAlias ONLY. The ONE admissible
+  *     Filter shape is partition-key selection (`pcol = lit` /
+  *     `pcol IN (…)` conjunctions on the committed partition column),
+  *     which keeps entries whole-or-not-at-all, so
+  *     `count(*) … WHERE day = '…'` stays metadata-only; any other
+  *     node — other Filters, Union, Join — stops the walk. This is
+  *     not just simplicity: the reader composes DV anti-joins,
+  *     shared-dir row filters, and MoR appendix unions into the plan
+  *     whenever they apply, so "the plan is a bare scan" certifies
+  *     "footer stats describe exactly the scan's rows".
   *   - `count(*)` needs every entry's committed `__rowcount`;
   *     `count(col)` additionally needs the column's committed null
   *     count in every entry (a file not storing the column poisons the
@@ -72,7 +76,8 @@ object StatsAggRule {
   private[graft] val rewrites = new java.util.concurrent.atomic.AtomicInteger
 }
 
-case class StatsAggRule(spark: SparkSession) extends Rule[LogicalPlan] {
+case class StatsAggRule(spark: SparkSession)
+    extends Rule[LogicalPlan] with PredicateHelper {
 
   private def enabled: Boolean =
     spark.conf.get("spark.graft.statsAgg.enabled", "true").toBoolean
@@ -85,42 +90,107 @@ case class StatsAggRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
 
   private def rewrite(a: Aggregate): Option[LogicalPlan] =
-    resolveScan(a.child).flatMap { case (idx, colOf) =>
-      val entries = idx.entryMetas
-      val values = a.aggregateExpressions.map(ne => valueOf(ne, entries, colOf))
-      if (values.exists(_.isEmpty)) None
-      else {
-        StatsAggRule.rewrites.incrementAndGet()
-        logInfo(s"graft stats-agg: answered ${a.aggregateExpressions.size} " +
-          s"aggregate(s) from ${entries.size} manifest entries (no scan)")
-        Some(LocalRelation(a.output,
-          Seq(InternalRow.fromSeq(values.map(_.get.orNull)))))
+    resolveScan(a.child).flatMap { case (idx, colOf, filters) =>
+      narrow(idx, colOf, filters).flatMap { entries =>
+        val values = a.aggregateExpressions.map(ne => valueOf(ne, entries, colOf))
+        if (values.exists(_.isEmpty)) None
+        else {
+          StatsAggRule.rewrites.incrementAndGet()
+          logInfo(s"graft stats-agg: answered ${a.aggregateExpressions.size} " +
+            s"aggregate(s) from ${entries.size} manifest entries (no scan)")
+          Some(LocalRelation(a.output,
+            Seq(InternalRow.fromSeq(values.map(_.get.orNull)))))
+        }
       }
     }
 
   /** Walk to a bare, un-narrowed [[GraftFileIndex]] scan, carrying the
     * exprId → physical-column-name mapping through identity Projects
-    * (the reader's rename layer is `Alias(AttributeReference)`). Any
-    * other operator answers None. */
+    * (the reader's rename layer is `Alias(AttributeReference)`) and
+    * collecting deterministic Filters for [[narrow]] to adjudicate.
+    * Any other operator answers None. */
   private def resolveScan(p: LogicalPlan)
-      : Option[(GraftFileIndex, Map[ExprId, (String, DataType)])] = p match {
-    case lr: LogicalRelation => lr.relation match {
-      case fs: HadoopFsRelation => fs.location match {
-        case g: GraftFileIndex if !g.isNarrowed =>
-          Some((g, lr.output.map(a => a.exprId -> (a.name, a.dataType)).toMap))
+      : Option[(GraftFileIndex, Map[ExprId, (String, DataType)], Seq[Expression])] =
+    p match {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => fs.location match {
+          case g: GraftFileIndex if !g.isNarrowed =>
+            Some((g, lr.output.map(a => a.exprId -> (a.name, a.dataType)).toMap, Nil))
+          case _ => None
+        }
         case _ => None
       }
+      case Project(projList, child) => resolveScan(child).map { case (g, m, f) =>
+        // MERGE the alias mappings rather than replace: a Filter
+        // below this Project references scan-level ids that must
+        // stay resolvable (exprIds are globally unique, no clashes)
+        (g, m ++ projList.flatMap {
+          case al @ Alias(ar: AttributeReference, _) => m.get(ar.exprId).map(al.exprId -> _)
+          case _ => None // non-alias outputs simply aren't resolvable
+        }.toMap, f)
+      }
+      case f: Filter if f.condition.deterministic =>
+        resolveScan(f.child).map { case (g, m, fs) => (g, m, fs :+ f.condition) }
+      case SubqueryAlias(_, child) => resolveScan(child)
       case _ => None
     }
-    case Project(projList, child) => resolveScan(child).map { case (g, m) =>
-      (g, projList.flatMap {
-        case ar: AttributeReference => m.get(ar.exprId).map(ar.exprId -> _)
-        case al @ Alias(ar: AttributeReference, _) => m.get(ar.exprId).map(al.exprId -> _)
-        case _ => None // unmapped outputs simply aren't resolvable
-      }.toMap)
+
+  /** Absorb the collected filters into an ENTRY subset, or back off.
+    * The only absorbable shape is partition-key selection —
+    * `pcol = lit` / `pcol IN (lits)` (and conjunctions thereof) where
+    * `pcol` is the table's committed partition column: every row of an
+    * entry carries the entry's partition value, so the filter keeps
+    * entries WHOLE (all rows match) or not at all (zero rows match) —
+    * `SELECT count(*), max(ts) … WHERE day = '…'` stays metadata-only.
+    * The literal must stringify exactly as the manifest key does
+    * ([[GraftFileIndex.strOf]]'s types); anything else backs off. Any
+    * entry without a key (a MoR appendix dir) poisons the rewrite. */
+  private def narrow(idx: GraftFileIndex,
+                     colOf: Map[ExprId, (String, DataType)],
+                     filters: Seq[Expression]): Option[Seq[GraftFileIndex.EntryMeta]] = {
+    val entries = idx.entryMetas
+    if (filters.isEmpty) return Some(entries)
+    val pcol = idx.partitionColName.getOrElse(return None)
+    def isPcol(e: Expression): Boolean = e match {
+      case ar: AttributeReference => colOf.get(ar.exprId).exists(_._1 == pcol)
+      case _ => false
     }
-    case SubqueryAlias(_, child) => resolveScan(child)
-    case _ => None
+    val conjuncts = filters.flatMap(splitConjunctivePredicates)
+    // Left(keySet) narrows; Right(col) is an IS NOT NULL to re-check
+    // against the survivors' committed null counts; None backs off.
+    val parsed: Seq[Option[Either[Set[String], Option[String]]]] = conjuncts.map {
+      case EqualTo(k, l: Literal) if isPcol(k) =>
+        GraftFileIndex.strOf(l).map(s => scala.Left(Set(s)))
+      case EqualTo(l: Literal, k) if isPcol(k) =>
+        GraftFileIndex.strOf(l).map(s => scala.Left(Set(s)))
+      case In(k, vs) if isPcol(k) && vs.forall(_.isInstanceOf[Literal]) =>
+        val ss = vs.map(v => GraftFileIndex.strOf(v.asInstanceOf[Literal]))
+        if (ss.exists(_.isEmpty)) None else Some(scala.Left(ss.flatten.toSet))
+      // the analyzer infers `isnotnull(pcol)` next to every pcol
+      // equality; merge refuses null partition values, so it is
+      // row-complete (keeps every entry whole) — a no-op here
+      case IsNotNull(k) if isPcol(k) => Some(scala.Right(None))
+      // IS NOT NULL on any other column is row-complete exactly when
+      // the survivors' committed null counts are zero
+      case IsNotNull(ar: AttributeReference) =>
+        colOf.get(ar.exprId).map(c => scala.Right(Some(c._1)))
+      case _ => None
+    }
+    if (parsed.exists(_.isEmpty)) None
+    else {
+      val keySets = parsed.flatten.collect { case scala.Left(s) => s }
+      val kept =
+        if (keySets.isEmpty) entries
+        else if (entries.exists(_.key.isEmpty)) return None
+        else {
+          val ks = keySets.reduce(_ intersect _)
+          entries.filter(_.key.exists(ks))
+        }
+      val notNullCols = parsed.flatten.collect { case scala.Right(Some(c)) => c }
+      if (notNullCols.forall(c => kept.forall(_.nullCounts.get(c).contains(0L))))
+        Some(kept)
+      else None
+    }
   }
 
   /** The internal-row value of one aggregate output, if the committed

@@ -2006,7 +2006,10 @@ object ExtQueries {
   // the gate pins that the rewritten plan contains NO file scan
   // (meta_only) while every value is SQL-recomputed from `events`,
   // including count(xv) over a column with planted nulls (null counts)
-  // and min/max over long and micros-timestamp zone maps. Then a
+  // and min/max over long and micros-timestamp zone maps. A
+  // partition-key-filtered aggregate (WHERE day = <first day>) stays
+  // metadata-only too — entries are kept whole-or-not-at-all
+  // (part_meta_only). Then a
   // merge-on-read DELETE lands and the SAME query must FALL BACK to a
   // real scan (dv_scans — footer bounds are pre-delete supersets; the
   // DV anti-join in the plan is what backs the rule off) with the
@@ -2039,6 +2042,14 @@ object ExtQueries {
       min(col("ts")).as("mn_ts"), max(col("ts")).as("mx_ts"))
     fast.collect()
     val metaOnly = !hasScan(fast)
+    // partition-key selection stays metadata-only: entries are kept
+    // whole-or-not-at-all, so `… WHERE day = <first day>` still
+    // answers from the committed footer stats
+    val day0 = ev.agg(min(col("day"))).collect()(0).getString(0)
+    val part = ManifestTable.read(spark, path).where(col("day") === day0).agg(
+      count(lit(1)).as("n_d0"), max(col("user_id")).as("mx_u_d0"))
+    part.collect()
+    val partMetaOnly = !hasScan(part)
     // a MoR delete poisons the footer bounds (pre-delete supersets):
     // the same aggregate must now run as a real scan and see the
     // post-delete values
@@ -2047,11 +2058,13 @@ object ExtQueries {
       count(lit(1)).as("n_dv"), max(col("event_id")).as("mx_e_dv"))
     after.collect()
     val dvScans = hasScan(after)
-    fast.crossJoin(after)
+    fast.crossJoin(part).crossJoin(after)
       .withColumn("meta_only", lit(metaOnly))
+      .withColumn("part_meta_only", lit(partMetaOnly))
       .withColumn("dv_scans", lit(dvScans))
       .select(col("n"), col("n_xv"), col("mn_u"), col("mx_u"),
         col("mn_ts"), col("mx_ts"), col("meta_only"),
+        col("n_d0"), col("mx_u_d0"), col("part_meta_only"),
         col("n_dv"), col("mx_e_dv"), col("dv_scans"))
   }
 
@@ -2062,6 +2075,13 @@ object ExtQueries {
       |  min(user_id) AS mn_u, max(user_id) AS mx_u,
       |  min(ts) AS mn_ts, max(ts) AS mx_ts,
       |  TRUE AS meta_only,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM events
+      |    WHERE date_trunc('day', ts) =
+      |      (SELECT min(date_trunc('day', ts)) FROM events)) AS n_d0,
+      |  (SELECT max(user_id) FROM events
+      |    WHERE date_trunc('day', ts) =
+      |      (SELECT min(date_trunc('day', ts)) FROM events)) AS mx_u_d0,
+      |  TRUE AS part_meta_only,
       |  (SELECT CAST(count(*) AS BIGINT) FROM events
       |    WHERE event_id % 211 <> 5) AS n_dv,
       |  (SELECT max(event_id) FROM events

@@ -154,6 +154,45 @@ class StatsAggSpec extends AnyFunSuite {
     assert(d3 == 1 && !s3 && r3.head.getLong(0) == 1L && r3.head.getLong(1) == 2L)
   }
 
+  test("partition-key equality and IN filters stay metadata-only (entries " +
+    "are kept whole-or-not-at-all); any other conjunct backs off") {
+    val path = freshPath("pfilter")
+    seed(path)
+    val t = ManifestTable.read(spark, path)
+    // day = 'd2': both its ids are x-null → count(x)=0, min/max null
+    val one = t.where(col("day") === "d2").agg(
+      count(lit(1)).as("n"), count(col("x")).as("nx"),
+      min(col("id")).as("mn"), max(col("x")).as("mxx"))
+    val (d1, s1, r1) = run(one)
+    assert(d1 == 1 && !s1, "pcol equality must answer from metadata")
+    assert(r1.head.getLong(0) == 2L && r1.head.getLong(1) == 0L &&
+      r1.head.getLong(2) == 3L && r1.head.isNullAt(3), s"$r1")
+    // IN over two days
+    val two = t.where(col("day").isin("d1", "d3")).agg(
+      count(lit(1)).as("n"), max(col("x")).as("mx"))
+    val (d2, s2, r2) = run(two)
+    assert(d2 == 1 && !s2 && r2.head.getLong(0) == 4L && r2.head.getLong(1) == 42L)
+    // keys matching no entry select zero entries: count 0, max NULL
+    val nil = t.where(col("day").isin("d8", "d9")).agg(
+      count(lit(1)).as("n"), max(col("x")).as("mx"))
+    val (d3, s3, r3) = run(nil)
+    assert(d3 == 1 && !s3 && r3.head.getLong(0) == 0L && r3.head.isNullAt(1))
+    // a non-partition conjunct poisons the whole rewrite
+    val mixed = t.where(col("day") === "d1" && col("id") > 0L)
+      .agg(count(lit(1)).as("n"))
+    val (d4, s4, r4) = run(mixed)
+    assert(d4 == 0 && s4 && r4.head.getLong(0) == 2L)
+    // inequality on the partition column backs off too
+    val neq = t.where(col("day") =!= "d1").agg(count(lit(1)).as("n"))
+    val (d5, s5, r5) = run(neq)
+    assert(d5 == 0 && s5 && r5.head.getLong(0) == 4L)
+    // and the explicit partitionFilter read-path composes the same way
+    val pf = ManifestTable.read(spark, path, partitionFilter = _ == "d3")
+      .agg(count(lit(1)).as("n"), max(col("x")).as("mx"))
+    val (d6, s6, r6) = run(pf)
+    assert(d6 == 1 && !s6 && r6.head.getLong(0) == 2L && r6.head.getLong(1) == 42L)
+  }
+
   test("merges keep the fast path honest: new partitions and rewritten " +
     "partitions re-answer from the NEW snapshot's stats") {
     val path = freshPath("evolve")
