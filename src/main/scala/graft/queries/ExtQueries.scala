@@ -2261,6 +2261,111 @@ object ExtQueries {
       |SELECT doc_id, lang, dsir_score FROM top ORDER BY doc_id""".stripMargin
 
   // ----------------------------------------------------------------
+  // q209_streaming_mv — the ALWAYS-FRESH DASHBOARD, composed: a
+  // streaming ingest lands micro-batches in a manifest base table
+  // (exactly-once manifestUpsertSink) and refreshes the
+  // IncrementalAgg view in the SAME foreachBatch; between batches the
+  // dashboard query — a plain read(base).groupBy(...).agg(...) — is
+  // answered by MvRewriteRule from the view (per-batch mv_used
+  // evidence pins that the base was never scanned and values match
+  // the base recompute exactly). Then a batch writer lands a merge
+  // WITHOUT refreshing (the crash-between-merge-and-refresh window):
+  // the SAME query transparently falls back to the base scan
+  // (crash_fallback) — correct, just not accelerated — and one
+  // refresh() restores the rewrite (recovered_mv). The consistency
+  // story is transactional end-to-end: the view's base_version prop
+  // commits atomically with its data, so the rewrite can never serve
+  // a half-refreshed view. Final rows SQL-recomputed from `events`.
+  // ----------------------------------------------------------------
+  def q209StreamingMv(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:q209_streaming_mv") {
+      q209StreamingMvBuild(spark, dir)
+    }
+
+  private def q209StreamingMvBuild(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.ops.{IncrementalAgg, ManifestTable}
+    import graft.plans.MvRegistry
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def scanRoots(df: DataFrame): Set[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.rootPaths.head.toString
+          }
+      }.toSet
+    val ev = Tables.events(spark, dir).select(
+      col("event_id"), date_trunc("day", col("ts")).cast("string").as("day"),
+      col("event_type").as("etype"),
+      floor(col("value") * 1000).cast("long").as("v"))
+    val root = java.nio.file.Files.createTempDirectory("graft_q209_").toString
+    val (base, view) = (root + "/base", root + "/view")
+    val groupCols = Seq("etype")
+    val sink = graft.streaming.StreamingIngest.manifestUpsertSink(
+      base, keys = Seq("event_id"), partitionCol = "day")
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, String, Long)]
+    val feed = input.toDF().toDF("event_id", "day", "etype", "v")
+    val query = feed.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        sink(batch, id)
+        // refresh is idempotent and its watermark commits atomically
+        // with the view data — a crash between sink and refresh only
+        // leaves the view one version behind (the fallback window
+        // probed below), never inconsistent
+        IncrementalAgg.refresh(batch.sparkSession, base, view, groupCols, Seq("v"))
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .start()
+    MvRegistry.register(spark, base, view, groupCols, Seq("v"))
+    def dash(): DataFrame = ManifestTable.read(spark, base)
+      .groupBy(col("etype")).agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    def rowsOf(df: DataFrame) = df.select("event_id", "day", "etype", "v")
+      .as[(Long, String, String, Long)].collect().toSeq
+    val mvUsed = try {
+      (0L to 2L).map { m =>
+        input.addData(rowsOf(ev.filter(col("event_id") % 3 === m)): _*)
+        query.processAllAvailable()
+        val q = dash(); q.collect()
+        val rs = scanRoots(q)
+        rs.exists(_.endsWith("/view")) && !rs.exists(_.endsWith("/base"))
+      }
+    } finally query.stop()
+    // the crash window: a merge lands with NO refresh
+    ManifestTable.merge(spark, base,
+      ev.filter(col("event_id") % 5 === 0)
+        .withColumn("event_id", col("event_id") + 1000000000L)
+        .withColumn("etype", lit("synthetic")),
+      keys = Seq("event_id"), partitionCol = "day")
+    val stale = dash(); val staleRows = stale.collect()
+    val crashFallback = scanRoots(stale).exists(_.endsWith("/base"))
+    IncrementalAgg.refresh(spark, base, view, groupCols, Seq("v"))
+    val rec = dash(); val recRows = rec.collect()
+    val recoveredMv = scanRoots(rec).exists(_.endsWith("/view")) &&
+      !scanRoots(rec).exists(_.endsWith("/base")) &&
+      staleRows.map(_.toString).sorted.toSeq == recRows.map(_.toString).sorted.toSeq
+    MvRegistry.unregister(spark, base)
+    rec.withColumn("batches_mv_used", lit(mvUsed.count(identity).toLong))
+      .withColumn("crash_fallback", lit(crashFallback))
+      .withColumn("recovered_mv", lit(recoveredMv))
+      .orderBy(col("etype"))
+  }
+
+  val q209StreamingMvSql: String =
+    """WITH allr AS (
+      |  SELECT event_type AS etype, CAST(floor(value * 1000) AS BIGINT) AS v
+      |  FROM events
+      |  UNION ALL
+      |  SELECT 'synthetic' AS etype, CAST(floor(value * 1000) AS BIGINT) AS v
+      |  FROM events WHERE event_id % 5 = 0)
+      |SELECT etype, CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS sv,
+      |  CAST(3 AS BIGINT) AS batches_mv_used,
+      |  TRUE AS crash_fallback, TRUE AS recovered_mv
+      |FROM allr GROUP BY etype ORDER BY etype""".stripMargin
+
+  // ----------------------------------------------------------------
   // q59_jaccard_join — EXACT n-gram Jaccard similarity join at
   // threshold 0.5 (Dedup.jaccardJoinExact): inverted-index pair
   // count — |A∩B| is a hash-aggregate over the gram self-join, J a
