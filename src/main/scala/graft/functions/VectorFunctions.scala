@@ -209,16 +209,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
     TextNormalize.inject(ext)
     GraphemeCountFns.inject(ext)
-    // automatic join-driven file pruning over manifest scans — runs
-    // once per optimization (pre-CBO), backs off to the unchanged
-    // plan on any doubt
-    ext.injectPreCBORule(session => graft.plans.JoinPruneRule(session))
-    // automatic metadata-only aggregates — a global count/min/max over
-    // a bare manifest scan collapses to the committed footer stats
+    // Pre-CBO planner rules, in order: metadata-only aggregates, then
+    // the two materialized-view rewrites (the JOIN rewrite must run
+    // BEFORE join pruning so a rewritable join never pays the
+    // planning-time dim probe), then automatic join-driven file
+    // pruning for whatever remains. Each runs once per optimization
+    // and backs off to the unchanged plan on any doubt.
     ext.injectPreCBORule(session => graft.plans.StatsAggRule(session))
-    // automatic materialized-view rewrite — grouped count/sum over a
-    // registered base answers from its IncrementalAgg view when fresh
     ext.injectPreCBORule(session => graft.plans.MvRewriteRule(session))
+    ext.injectPreCBORule(session => graft.plans.MvJoinRewriteRule(session))
+    ext.injectPreCBORule(session => graft.plans.JoinPruneRule(session))
   }
 }
 

@@ -1,0 +1,210 @@
+package graft.plans
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+import graft.ops.{GraftFileIndex, IncrementalJoin, ManifestTable}
+
+/** JOIN-VIEW REGISTRY — which [[IncrementalJoin]]-maintained
+  * enrichment views stand for which `fact ⋈ dim` pairs. Registration
+  * is the explicit opt-in; [[IncrementalJoin]]'s contracts carry
+  * over: INNER equi-join on a dim-UNIQUE key (N:1 — the view is
+  * row-per-fact-row, which is what makes filter re-application on
+  * the view an identity). */
+object MvJoinRegistry {
+  final case class MvJoinDef(factPath: String, dimPath: String, viewPath: String,
+                             joinKey: String)
+
+  private val defs = new java.util.concurrent.ConcurrentHashMap[(String, String), MvJoinDef]
+
+  private def keyOf(spark: SparkSession, p: String): String = {
+    val path = new Path(p)
+    path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(path).toString
+  }
+
+  def register(spark: SparkSession, factPath: String, dimPath: String,
+               viewPath: String, joinKey: String): Unit =
+    defs.put((keyOf(spark, factPath), keyOf(spark, dimPath)),
+      MvJoinDef(factPath, dimPath, viewPath, joinKey))
+
+  def unregister(spark: SparkSession, factPath: String, dimPath: String): Unit =
+    defs.remove((keyOf(spark, factPath), keyOf(spark, dimPath)))
+
+  private[plans] def lookup(spark: SparkSession, factRoot: Path,
+                            dimRoot: Path): Option[MvJoinDef] =
+    Option(defs.get((keyOf(spark, factRoot.toString), keyOf(spark, dimRoot.toString))))
+
+  /** Test instrument: successful rewrites. */
+  private[graft] val rewrites = new java.util.concurrent.atomic.AtomicInteger
+}
+
+/** AUTOMATIC JOIN-VIEW REWRITE — the query side of
+  * [[IncrementalJoin]]: a plain
+  *
+  * {{{ ManifestTable.read(spark, fact).join(ManifestTable.read(spark, dim), "k") }}}
+  *
+  * is answered from the maintained enrichment view instead — one
+  * pre-joined scan versus a scan + shuffle/broadcast join — when the
+  * rewrite is provably an identity:
+  *
+  *   - the Join is INNER with a single deterministic equi-condition
+  *     on the REGISTERED join key, each side walking to a bare, full,
+  *     un-narrowed [[GraftFileIndex]] scan of the registered fact/dim
+  *     (identity Projects / SubqueryAlias / deterministic Filters
+  *     absorbed — the N:1 inner join is row-per-fact-row, so a
+  *     row-level filter on either side's columns commutes with the
+  *     join and re-applies on the view EXACTLY);
+  *   - both scans are CURRENT and COMPLETE (dir-set identity against
+  *     the latest manifests — time travel, partition-filtered reads,
+  *     join-narrowed indexes, pending-MoR plans all fail this);
+  *   - the view is FRESH: its committed `join.fact_version` /
+  *     `join.dim_version` equal both current versions, checked and
+  *     then READ at the same pinned view version;
+  *   - every join-output column resolves in the view by name with an
+  *     identical type (both sides of the key map to the view's single
+  *     key column — value-equal under the inner equi-join).
+  *
+  * Injected BEFORE [[JoinPruneRule]] so a rewritable join never pays
+  * the planning-time dim probe; anything the rewrite declines falls
+  * through to pruning as before. Driver-side metadata only.
+  * `spark.graft.mvRewrite.enabled=false` turns this off together with
+  * the aggregate rewrite. */
+case class MvJoinRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  private def enabled: Boolean =
+    spark.conf.get("spark.graft.mvRewrite.enabled", "true").toBoolean
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!enabled) plan
+    else plan.transformUp {
+      case j @ Join(_, _, Inner, Some(cond), _) if cond.deterministic =>
+        rewrite(j, cond).getOrElse(j)
+    }
+
+  private case class Side(root: Path, idx: GraftFileIndex,
+                          colOf: Map[ExprId, (String, org.apache.spark.sql.types.DataType)],
+                          filters: Seq[Expression])
+
+  private def rewrite(j: Join, cond: Expression): Option[LogicalPlan] = for {
+    (a, b) <- cond match {
+      case EqualTo(a: AttributeReference, b: AttributeReference) => Some((a, b))
+      case _ => None
+    }
+    left <- walk(j.left, Nil)
+    right <- walk(j.right, Nil)
+    // which attr belongs to which side, then which side is the
+    // registered FACT (try both orientations)
+    (lk, rk) <-
+      if (j.left.outputSet.contains(a) && j.right.outputSet.contains(b))
+        Some((a, b))
+      else if (j.left.outputSet.contains(b) && j.right.outputSet.contains(a))
+        Some((b, a))
+      else None
+    (mv, fact, dim, fk, dk) <-
+      MvJoinRegistry.lookup(spark, left.root, right.root)
+        .map(m => (m, left, right, lk, rk))
+        .orElse(MvJoinRegistry.lookup(spark, right.root, left.root)
+          .map(m => (m, right, left, rk, lk)))
+    if fact.colOf.get(fk.exprId).exists(_._1 == mv.joinKey) &&
+      dim.colOf.get(dk.exprId).exists(_._1 == mv.joinKey)
+    // a non-key NAME shared by both sides would make the by-name view
+    // mapping ambiguous (such a view cannot be built anyway) — back off
+    if !(fact.colOf.values.map(_._1).toSet - mv.joinKey)
+      .exists((dim.colOf.values.map(_._1).toSet - mv.joinKey))
+    viewVersion <- fresh(mv, fact, dim)
+    plan <- build(j, mv, fact, dim, fk, dk, viewVersion)
+  } yield {
+    MvJoinRegistry.rewrites.incrementAndGet()
+    logInfo(s"graft mv-join-rewrite: answered ${mv.factPath} ⋈ ${mv.dimPath} " +
+      s"from the maintained view ${mv.viewPath}")
+    plan
+  }
+
+  private def walk(p: LogicalPlan, fs: Seq[Expression]): Option[Side] = p match {
+    case lr: LogicalRelation => lr.relation match {
+      case h: HadoopFsRelation => h.location match {
+        case g: GraftFileIndex if !g.isNarrowed =>
+          Some(Side(h.location.rootPaths.head, g,
+            lr.output.map(at => at.exprId -> (at.name, at.dataType)).toMap, fs))
+        case _ => None
+      }
+      case _ => None
+    }
+    case Project(projList, child) => walk(child, fs).map { s =>
+      s.copy(colOf = s.colOf ++ projList.flatMap {
+        case al @ Alias(ar: AttributeReference, _) =>
+          s.colOf.get(ar.exprId).map(al.exprId -> _)
+        case _ => None
+      }.toMap)
+    }
+    case f: Filter if f.condition.deterministic => walk(f.child, fs :+ f.condition)
+    case SubqueryAlias(_, child) => walk(child, fs)
+    case _ => None
+  }
+
+  /** Both scans complete+current, view folded exactly those versions;
+    * returns the pinned view version. */
+  private def fresh(mv: MvJoinRegistry.MvJoinDef, fact: Side,
+                    dim: Side): Option[Long] = try {
+    val hc = spark.sparkContext.hadoopConfiguration
+    val ffs = new Path(mv.factPath).getFileSystem(hc)
+    val dfs = new Path(mv.dimPath).getFileSystem(hc)
+    val vfs = new Path(mv.viewPath).getFileSystem(hc)
+    for {
+      fCur <- ManifestTable.versions(ffs, mv.factPath).lastOption
+      dCur <- ManifestTable.versions(dfs, mv.dimPath).lastOption
+      if fact.idx.relDirs.toSet == ManifestTable.dataDirs(spark, mv.factPath, fCur)
+      if dim.idx.relDirs.toSet == ManifestTable.dataDirs(spark, mv.dimPath, dCur)
+      vv <- ManifestTable.versions(vfs, mv.viewPath).lastOption
+      props = ManifestTable.readPropsAt(spark, mv.viewPath, vv)
+      if props.get(IncrementalJoin.FactVersionProp).contains(fCur.toString)
+      if props.get(IncrementalJoin.DimVersionProp).contains(dCur.toString)
+    } yield vv
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Filter(view) → Project back to the join's output names/exprIds.
+    * Both key attrs map onto the view's single key column. */
+  private def build(j: Join, mv: MvJoinRegistry.MvJoinDef, fact: Side, dim: Side,
+                    fk: AttributeReference, dk: AttributeReference,
+                    viewVersion: Long): Option[LogicalPlan] = {
+    val viewPlan = ManifestTable.readVersion(spark, mv.viewPath, viewVersion)
+      .queryExecution.analyzed
+    def viewAttr(name: String): Option[Attribute] = viewPlan.output.find(_.name == name)
+
+    // every live mapping both sides carry, for filter translation and
+    // output projection; key attrs resolve to the view's key column
+    val all: Map[ExprId, (String, org.apache.spark.sql.types.DataType)] =
+      fact.colOf ++ dim.colOf
+    def target(id: ExprId): Option[Attribute] =
+      all.get(id).flatMap { case (n, dt) =>
+        viewAttr(n).filter(_.dataType == dt)
+      }
+
+    val translated = (fact.filters ++ dim.filters).map { cond =>
+      var ok = true
+      val t = cond.transform {
+        case ar: AttributeReference => target(ar.exprId) match {
+          case Some(va) => va
+          case None => ok = false; ar
+        }
+      }
+      if (ok) Some(t) else None
+    }
+    if (translated.exists(_.isEmpty)) return None
+    val filtered = translated.flatten.foldLeft(viewPlan)((p, c) => Filter(c, p))
+
+    val projList: Seq[NamedExpression] = j.output.map { o =>
+      target(o.exprId) match {
+        case Some(va) => Alias(va, o.name)(exprId = o.exprId)
+        case None => return None
+      }
+    }
+    Some(Project(projList, filtered))
+  }
+}

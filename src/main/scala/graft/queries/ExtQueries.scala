@@ -2366,6 +2366,91 @@ object ExtQueries {
       |FROM allr GROUP BY etype ORDER BY etype""".stripMargin
 
   // ----------------------------------------------------------------
+  // q210_mv_join_rewrite — AUTOMATIC JOIN-VIEW REWRITE
+  // (graft.plans.MvJoinRewriteRule + MvJoinRegistry, the query side
+  // of IncrementalJoin): a plain `read(fact) ⋈ read(dim)` over a
+  // registered pair answers from the maintained enrichment view —
+  // NEITHER base scanned (mv_used pins plan roots), one pre-joined
+  // scan instead of scan+join — because the N:1 inner equi-join makes
+  // the view row-per-fact-row. Freshness is two-sided and
+  // transactional: a dim rectification (updateWhere seg := 'seg-X')
+  // un-rewrites the SAME query until IncrementalJoin.refresh folds
+  // the delta (stale_scans), after which the rewrite returns with
+  // values bit-equal to the scan (recovered_mv). Final grouped rows
+  // SQL-recomputed from `events`. At 100 TB this removes the
+  // dashboard's repeated fact-side shuffle/broadcast join entirely.
+  // ----------------------------------------------------------------
+  def q210MvJoinRewrite(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:q210_mv_join_rewrite") {
+      q210MvJoinRewriteBuild(spark, dir)
+    }
+
+  private def q210MvJoinRewriteBuild(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{IncrementalJoin, ManifestTable}
+    import graft.plans.MvJoinRegistry
+    def scanRoots(df: DataFrame): Set[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.rootPaths.head.toString
+          }
+      }.toSet
+    val ev = Tables.events(spark, dir).select(
+      col("event_id"), date_trunc("day", col("ts")).cast("string").as("day"),
+      col("user_id"), floor(col("value") * 1000).cast("long").as("v"))
+    val dimDf = Tables.events(spark, dir).select(col("user_id")).distinct()
+      .select(col("user_id"),
+        concat(lit("seg-"), col("user_id") % 7).as("seg"),
+        (col("user_id") % 5).cast("string").as("pd"))
+    val root = java.nio.file.Files.createTempDirectory("graft_q210_").toString
+    val (fact, dim, view) = (root + "/fact", root + "/dim", root + "/jview")
+    ManifestTable.merge(spark, fact, ev, keys = Seq("event_id"), partitionCol = "day")
+    ManifestTable.merge(spark, dim, dimDf, keys = Seq("user_id"), partitionCol = "pd")
+    IncrementalJoin.refresh(spark, fact, dim, view, Seq("event_id"), "user_id", "day")
+    MvJoinRegistry.register(spark, fact, dim, view, "user_id")
+    def query(): DataFrame = ManifestTable.read(spark, fact)
+      .join(ManifestTable.read(spark, dim), Seq("user_id"))
+      .groupBy(col("seg")).agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    val q1 = query(); q1.collect()
+    val r1 = scanRoots(q1)
+    val mvUsed = r1.exists(_.endsWith("/jview")) &&
+      !r1.exists(s => s.endsWith("/fact") || s.endsWith("/dim"))
+    // dim-side rectification; the view is stale on ONE of its two bases
+    ManifestTable.updateWhere(spark, dim, "pd", col("user_id") % 13 === 2,
+      Map("seg" -> lit("seg-X")))
+    val q2 = query(); val rows2 = q2.collect()
+    val staleScans = scanRoots(q2).exists(_.endsWith("/fact"))
+    IncrementalJoin.refresh(spark, fact, dim, view, Seq("event_id"), "user_id", "day")
+    val q3 = query(); val rows3 = q3.collect()
+    val r3 = scanRoots(q3)
+    val recoveredMv = r3.exists(_.endsWith("/jview")) &&
+      !r3.exists(_.endsWith("/fact")) &&
+      rows2.map(_.toString).sorted.toSeq == rows3.map(_.toString).sorted.toSeq
+    MvJoinRegistry.unregister(spark, fact, dim)
+    q3.withColumn("mv_used", lit(mvUsed))
+      .withColumn("stale_scans", lit(staleScans))
+      .withColumn("recovered_mv", lit(recoveredMv))
+      .orderBy(col("seg"))
+  }
+
+  val q210MvJoinRewriteSql: String =
+    """WITH dim AS (
+      |  SELECT user_id,
+      |    CASE WHEN user_id % 13 = 2 THEN 'seg-X'
+      |         ELSE 'seg-' || CAST(user_id % 7 AS VARCHAR) END AS seg
+      |  FROM (SELECT DISTINCT user_id FROM events)),
+      |f AS (
+      |  SELECT event_id, user_id, CAST(floor(value * 1000) AS BIGINT) AS v
+      |  FROM events)
+      |SELECT dim.seg, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(f.v) AS BIGINT) AS sv,
+      |  TRUE AS mv_used, TRUE AS stale_scans, TRUE AS recovered_mv
+      |FROM f JOIN dim USING (user_id)
+      |GROUP BY dim.seg ORDER BY dim.seg""".stripMargin
+
+  // ----------------------------------------------------------------
   // q59_jaccard_join — EXACT n-gram Jaccard similarity join at
   // threshold 0.5 (Dedup.jaccardJoinExact): inverted-index pair
   // count — |A∩B| is a hash-aggregate over the gram self-join, J a

@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{IncrementalJoin, ManifestTable}
+import graft.plans.MvJoinRegistry
+
+/** Automatic join-view rewrite (MvJoinRewriteRule): a plain
+  * fact ⋈ dim over registered bases must be answered from the
+  * IncrementalJoin enrichment view when both versions are provably
+  * fresh — neither base scanned, filters on either side re-applied on
+  * the view — and every staleness/shape doubt must fall back. */
+class MvJoinSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def fresh(tag: String): (String, String, String) = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft_mvj_$tag").toString
+    (d + "/fact", d + "/dim", d + "/jview")
+  }
+
+  private def seed(fact: String, dim: String, view: String): Unit = {
+    val f = (1L to 40L).map(i => (i, s"d${i % 4}", i % 7, i * 3L))
+      .toDF("id", "day", "uid", "v")
+    val dm = (0L to 6L).map(u => (u, s"seg-${u % 3}", s"du${u % 2}"))
+      .toDF("uid", "seg", "du")
+    ManifestTable.merge(spark, fact, f, Seq("id"), "day")
+    ManifestTable.merge(spark, dim, dm, Seq("uid"), "du")
+    IncrementalJoin.refresh(spark, fact, dim, view, Seq("id"), "uid", "day")
+  }
+
+  private def roots(df: DataFrame): Set[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case h: HadoopFsRelation => h.location.rootPaths.head.toString
+      }
+    }.toSet
+
+  private def run(df: DataFrame): (Int, Set[String], Seq[String]) = {
+    val b = MvJoinRegistry.rewrites.get
+    val rows = df.collect().map(_.toString).sorted.toSeq
+    (MvJoinRegistry.rewrites.get - b, roots(df), rows)
+  }
+
+  private def truth(df: => DataFrame): Seq[String] = {
+    spark.conf.set("spark.graft.mvRewrite.enabled", "false")
+    try df.collect().map(_.toString).sorted.toSeq
+    finally spark.conf.set("spark.graft.mvRewrite.enabled", "true")
+  }
+
+  test("a plain inner fact⋈dim over registered bases answers from the view " +
+    "— neither base scanned — with join-identical rows, filters absorbed") {
+    val (fact, dim, view) = fresh("basic")
+    seed(fact, dim, view)
+    MvJoinRegistry.register(spark, fact, dim, view, "uid")
+    try {
+      def q = ManifestTable.read(spark, fact)
+        .join(ManifestTable.read(spark, dim), Seq("uid"))
+        .select(col("id"), col("uid"), col("seg"), col("v"))
+      val (d1, r1, rows1) = run(q)
+      assert(d1 == 1, s"expected one join-view rewrite, saw $d1")
+      assert(r1.exists(_.endsWith("/jview")) &&
+        !r1.exists(s => s.endsWith("/fact") || s.endsWith("/dim")), s"$r1")
+      assert(rows1 == truth(q))
+      // filters on either side commute with the N:1 inner join
+      def qf = ManifestTable.read(spark, fact).where(col("v") > 30L)
+        .join(ManifestTable.read(spark, dim).where(col("seg") === "seg-1"), Seq("uid"))
+        .select(col("id"), col("seg"))
+      val (d2, r2, rows2) = run(qf)
+      assert(d2 == 1 && !r2.exists(_.endsWith("/fact")))
+      assert(rows2 == truth(qf))
+      // an aggregate stacked on top still works (rewrite is below it)
+      def qa = ManifestTable.read(spark, fact)
+        .join(ManifestTable.read(spark, dim), Seq("uid"))
+        .groupBy(col("seg")).agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      val (d3, _, rows3) = run(qa)
+      assert(d3 == 1 && rows3 == truth(qa))
+    } finally MvJoinRegistry.unregister(spark, fact, dim)
+  }
+
+  test("staleness on EITHER side falls back: a dim update un-rewrites until " +
+    "refresh; fact appends likewise") {
+    val (fact, dim, view) = fresh("stale")
+    seed(fact, dim, view)
+    MvJoinRegistry.register(spark, fact, dim, view, "uid")
+    try {
+      def q = ManifestTable.read(spark, fact)
+        .join(ManifestTable.read(spark, dim), Seq("uid"))
+        .select(col("id"), col("seg"), col("v"))
+      assert(run(q)._1 == 1)
+      // dim-side change
+      ManifestTable.updateWhere(spark, dim, "du", col("uid") === 3L,
+        Map("seg" -> lit("seg-X")))
+      val (d2, r2, rows2) = run(q)
+      assert(d2 == 0 && r2.exists(_.endsWith("/fact")), "stale dim must scan")
+      assert(rows2.exists(_.contains("seg-X")))
+      IncrementalJoin.refresh(spark, fact, dim, view, Seq("id"), "uid", "day")
+      val (d3, _, rows3) = run(q)
+      assert(d3 == 1 && rows3 == rows2)
+      // fact-side change
+      ManifestTable.merge(spark, fact,
+        Seq((99L, "d1", 2L, 999L)).toDF("id", "day", "uid", "v"), Seq("id"), "day")
+      val (d4, _, rows4) = run(q)
+      assert(d4 == 0 && rows4.exists(_.contains("999")))
+      IncrementalJoin.refresh(spark, fact, dim, view, Seq("id"), "uid", "day")
+      assert(run(q)._1 == 1)
+    } finally MvJoinRegistry.unregister(spark, fact, dim)
+  }
+
+  test("back-offs: unregistered pair, wrong join key, outer join, " +
+    "partition-filtered fact, kill switch") {
+    val (fact, dim, view) = fresh("backoff")
+    seed(fact, dim, view)
+    def q(f: DataFrame, d: DataFrame): DataFrame =
+      f.join(d, Seq("uid")).select(col("id"), col("seg"))
+    // unregistered
+    assert(run(q(ManifestTable.read(spark, fact), ManifestTable.read(spark, dim)))._1 == 0)
+    MvJoinRegistry.register(spark, fact, dim, view, "uid")
+    try {
+      val (f, d) = (ManifestTable.read(spark, fact), ManifestTable.read(spark, dim))
+      // join on a NON-registered key never rewrites
+      val wrong = f.join(d.withColumnRenamed("uid", "v"), Seq("v"))
+      assert(run(wrong.select(col("id")))._1 == 0)
+      // outer joins are not the view's semantics
+      assert(run(f.join(d, Seq("uid"), "left").select(col("id"), col("seg")))._1 == 0)
+      // a partition-filtered fact is not the complete table
+      assert(run(q(ManifestTable.read(spark, fact, partitionFilter = _ == "d1"), d))._1 == 0)
+      // kill switch (shared with the aggregate rewrite)
+      spark.conf.set("spark.graft.mvRewrite.enabled", "false")
+      try assert(run(q(f, d))._1 == 0)
+      finally spark.conf.set("spark.graft.mvRewrite.enabled", "true")
+      assert(run(q(f, d))._1 == 1, "nothing above should have poisoned the rewrite")
+    } finally MvJoinRegistry.unregister(spark, fact, dim)
+  }
+}
