@@ -118,4 +118,30 @@ object Dsir {
     * scale). */
   def selectTopK(scored: DataFrame, idCol: String, k: Int): DataFrame =
     scored.orderBy(col("dsir_score").desc_nulls_last, col(idCol)).limit(k)
+
+  /** DSIR proper resamples rather than truncates: Gumbel-top-k =
+    * weighted sampling WITHOUT replacement with per-doc weight
+    * `exp(score / temperature)` (Efraimidis–Spirakis, Gumbel form) —
+    * key_i = score_i/τ + G_i, G from the SEEDED engine-portable md5
+    * hash of the id, so the sample is deterministic, reproducible
+    * across runs and resumable across retries (no `rand()`, which
+    * would also trip the planner rules' stability back-offs).
+    * τ → 0 recovers [[selectTopK]]'s truncation; larger τ admits more
+    * of the tail (diversity at the cost of average target-likeness).
+    * NULL-scored (gramless) docs are excluded — no evidence is not a
+    * sampling weight. Still a TakeOrderedAndProject. */
+  def resampleGumbel(scored: DataFrame, idCol: String, k: Int,
+                     temperature: Double, seed: Long): DataFrame = {
+    require(temperature > 0, "Dsir.resampleGumbel: temperature must be > 0")
+    // 52 uniform bits from the md5 prefix → u ∈ (0,1) exactly
+    // representable; G = -ln(-ln(u))
+    val u = (conv(substring(md5(concat_ws("#", lit(seed.toString),
+      col(idCol).cast("string"))), 1, 13), 16, 10).cast("double") + lit(0.5)) /
+      lit(4503599627370496.0) // 2^52
+    val key = col("dsir_score").cast("double") / lit(1e6) / lit(temperature) -
+      log(-log(u))
+    scored.where(col("dsir_score").isNotNull)
+      .withColumn("gumbel_key", key)
+      .orderBy(col("gumbel_key").desc, col(idCol)).limit(k)
+  }
 }

@@ -58,6 +58,31 @@ class DsirSpec extends AnyFunSuite {
     assert(top == Set(1L, 2L))
   }
 
+  test("Gumbel resampling: deterministic under a seed, recovers top-k as " +
+    "temperature → 0, admits the tail as it grows, excludes NULL scores") {
+    val docs = (1L to 200L).map(i => (i, if (i <= 20) 0L else -2000000L))
+      .toDF("doc_id", "dsir_score")
+      .unionByName(Seq((999L, None: Option[Long])).toDF("doc_id", "dsir_score"))
+    // tiny temperature: the 20 score-0 docs dominate every Gumbel draw
+    val cold = Dsir.resampleGumbel(docs, "doc_id", 10, 1e-9, seed = 7L)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(cold.forall(_ <= 20L),
+      "τ→0 must select only from the top score class (ties broken by Gumbel)")
+    // same seed → same sample; different seed → (here) a different one
+    val s1 = Dsir.resampleGumbel(docs, "doc_id", 25, 1.0, seed = 7L)
+      .select(col("doc_id")).as[Long].collect().toSeq
+    val s2 = Dsir.resampleGumbel(docs, "doc_id", 25, 1.0, seed = 7L)
+      .select(col("doc_id")).as[Long].collect().toSeq
+    assert(s1 == s2, "a seeded resample must be bit-reproducible")
+    val s3 = Dsir.resampleGumbel(docs, "doc_id", 25, 1.0, seed = 8L)
+      .select(col("doc_id")).as[Long].collect().toSeq
+    assert(s1 != s3, "a different seed must draw a different sample")
+    // at τ=1 the -2 nat gap no longer excludes the tail outright
+    assert(s1.exists(_ > 20L), "a warm temperature admits tail docs")
+    assert(!s1.contains(999L) && !cold.contains(999L),
+      "NULL-scored docs never sample")
+  }
+
   test("bucketOf matches the documented oracle form and stays in range") {
     val grams = Seq("alpha_beta", "beta_gamma", "x_1", "_", "αβ_γ")
       .toDF("gram")
