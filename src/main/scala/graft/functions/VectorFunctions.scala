@@ -215,9 +215,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // planning-time dim probe), then automatic join-driven file
     // pruning for whatever remains. Each runs once per optimization
     // and backs off to the unchanged plan on any doubt.
-    ext.injectPreCBORule(session => graft.plans.StatsAggRule(session))
-    ext.injectPreCBORule(session => graft.plans.MvRewriteRule(session))
+    // Each pre-CBO rule runs ONCE, in order — chosen so rewrites
+    // COMPOSE in one pass: the JOIN rewrite first
+    // (`read(fact)⋈read(dim) → groupBy` lands on the join view), the
+    // AGGREGATE rewrite then walks through the projected join-view
+    // scan onto an aggregate view registered OVER the join view (a
+    // two-level MV stack), the metadata-only rule last can collapse
+    // even a rewritten global aggregate to committed footer stats,
+    // and join pruning picks up whatever declined to rewrite.
     ext.injectPreCBORule(session => graft.plans.MvJoinRewriteRule(session))
+    ext.injectPreCBORule(session => graft.plans.MvRewriteRule(session))
+    ext.injectPreCBORule(session => graft.plans.StatsAggRule(session))
     ext.injectPreCBORule(session => graft.plans.JoinPruneRule(session))
   }
 }

@@ -110,6 +110,34 @@ class MvJoinSpec extends AnyFunSuite {
     } finally MvJoinRegistry.unregister(spark, fact, dim)
   }
 
+  test("two-level MV stack: an aggregate view registered OVER the join view " +
+    "composes in one pass — fact⋈dim→groupBy scans only the AGG view") {
+    val (fact, dim, view) = fresh("stack")
+    val aggView = view + "_agg"
+    seed(fact, dim, view)
+    graft.ops.IncrementalAgg.refresh(spark, view, aggView, Seq("seg"), Seq("v"))
+    MvJoinRegistry.register(spark, fact, dim, view, "uid")
+    graft.plans.MvRegistry.register(spark, view, aggView, Seq("seg"), Seq("v"))
+    try {
+      def q = ManifestTable.read(spark, fact)
+        .join(ManifestTable.read(spark, dim), Seq("uid"))
+        .groupBy(col("seg")).agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+        .orderBy(col("seg"))
+      val bA = graft.plans.MvRegistry.rewrites.get
+      val (dJ, r, rows) = run(q)
+      assert(dJ == 1 && graft.plans.MvRegistry.rewrites.get - bA == 1,
+        "both the join and the aggregate rewrite must fire in one pass")
+      assert(r.exists(_.endsWith("/jview_agg")) &&
+        !r.exists(s => s.endsWith("/fact") || s.endsWith("/dim") ||
+          s.endsWith("/jview")),
+        s"only the second-level agg view may be scanned: $r")
+      assert(rows == truth(q))
+    } finally {
+      MvJoinRegistry.unregister(spark, fact, dim)
+      graft.plans.MvRegistry.unregister(spark, view)
+    }
+  }
+
   test("back-offs: unregistered pair, wrong join key, outer join, " +
     "partition-filtered fact, kill switch") {
     val (fact, dim, view) = fresh("backoff")
