@@ -38,7 +38,12 @@ object MvJoinRegistry {
 
   private[plans] def lookup(spark: SparkSession, factRoot: Path,
                             dimRoot: Path): Option[MvJoinDef] =
-    Option(defs.get((keyOf(spark, factRoot.toString), keyOf(spark, dimRoot.toString))))
+    // empty-registry fast path: no per-join filesystem resolution
+    // in sessions that never registered a view
+    if (defs.isEmpty) None
+    else Option(defs.get((keyOf(spark, factRoot.toString), keyOf(spark, dimRoot.toString))))
+
+  private[plans] def isEmpty: Boolean = defs.isEmpty
 
   /** Test instrument: successful rewrites. */
   private[graft] val rewrites = new java.util.concurrent.atomic.AtomicInteger
@@ -81,7 +86,7 @@ case class MvJoinRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     spark.conf.get("spark.graft.mvRewrite.enabled", "true").toBoolean
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    if (!enabled) plan
+    if (!enabled || MvJoinRegistry.isEmpty) plan // walk nothing unregistered
     else plan.transformUp {
       case j @ Join(_, _, Inner, Some(cond), _) if cond.deterministic =>
         rewrite(j, cond).getOrElse(j)

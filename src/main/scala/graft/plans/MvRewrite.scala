@@ -42,11 +42,17 @@ object MvRegistry {
   def unregister(spark: SparkSession, basePath: String): Unit =
     defs.remove(keyOf(spark, basePath))
 
-  private[plans] def lookup(spark: SparkSession, root: Path): Option[MvDef] = {
-    val q = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .makeQualified(root).toString
-    Option(defs.get(q))
-  }
+  private[plans] def lookup(spark: SparkSession, root: Path): Option[MvDef] =
+    // empty-registry fast path: no per-aggregate filesystem
+    // resolution in sessions that never registered a view
+    if (defs.isEmpty) None
+    else {
+      val q = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .makeQualified(root).toString
+      Option(defs.get(q))
+    }
+
+  private[plans] def isEmpty: Boolean = defs.isEmpty
 
   /** Test instrument: successful rewrites. */
   private[graft] val rewrites = new java.util.concurrent.atomic.AtomicInteger
@@ -96,7 +102,7 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     spark.conf.get("spark.graft.mvRewrite.enabled", "true").toBoolean
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    if (!enabled) plan
+    if (!enabled || MvRegistry.isEmpty) plan // walk nothing unregistered
     else plan.transformUp {
       case a: Aggregate => rewrite(a).getOrElse(a)
     }
