@@ -41,9 +41,12 @@ import org.apache.spark.sql.functions._
   * sums are bit-equal to a full recompute (the q125 gate proves it
   * cross-engine). Floating sums would drift by reduction order, as
   * they already do between any two full recomputes. COUNT and SUM
-  * are the retractable aggregates this maintains; MIN/MAX are not
-  * retractable without per-group history and are deliberately out of
-  * scope.
+  * are the retractable aggregates; `minMaxCols` adds MIN/MAX under
+  * the classical FAST-REFRESH-ON-APPEND contract — min/max FOLD
+  * exactly when the delta is purely ADDITIVE (only brand-new
+  * partitions; `least`/`greatest` are order-independent for any
+  * type), and any RETRACTION (a rewritten or removed partition might
+  * have held the current bound) forces the documented full rebuild.
   */
 object IncrementalAgg {
 
@@ -53,9 +56,20 @@ object IncrementalAgg {
     * groups in new buckets while the old buckets keep their rows
     * (double counting); a mismatch forces a full rebuild. */
   val BucketsProp = "agg.buckets"
+  /** The min/max columns the view maintains — a mismatch with the
+    * caller's request forces a full rebuild (the committed view
+    * schema would not carry the requested bounds). */
+  val MinMaxProp = "agg.minmax"
   private val BucketCol = "__gbucket"
 
-  /** The maintained view (group columns, `n`, `sum_<col>`…). */
+  /** What a [[refresh]] did: `committed` is false only for the
+    * already-current no-op; `incremental` is false when the view was
+    * fully rebuilt (first build, lapsed retention, spec change, or a
+    * RETRACTION under maintained min/max). */
+  final case class RefreshResult(incremental: Boolean, committed: Boolean)
+
+  /** The maintained view (group columns, `n`, `sum_<col>`…,
+    * `min_<col>`/`max_<col>`…). */
   def read(spark: SparkSession, aggPath: String): DataFrame =
     ManifestTable.read(spark, aggPath).drop(BucketCol)
 
@@ -71,12 +85,13 @@ object IncrementalAgg {
     *
     * CONTRACT: `groupCols` must be NON-NULL (the delta⟗existing join
     * is on the group key; null groups would not match themselves and
-    * silently split). `buckets` must stay stable per view — a change
-    * is detected via the committed property and forces a full
-    * rebuild. */
+    * silently split). `buckets` and `minMaxCols` must stay stable per
+    * view — a change is detected via the committed properties and
+    * forces a full rebuild. */
   def refresh(spark: SparkSession, basePath: String, aggPath: String,
               groupCols: Seq[String], sumCols: Seq[String],
-              buckets: Int = 16, retainVersions: Int = 2): Unit = {
+              buckets: Int = 16, retainVersions: Int = 2,
+              minMaxCols: Seq[String] = Nil): RefreshResult = {
     require(groupCols.nonEmpty, "IncrementalAgg.refresh: no group columns")
     val fs = new Path(basePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val baseVersions = ManifestTable.versions(fs, basePath)
@@ -85,12 +100,26 @@ object IncrementalAgg {
     val aggProps = ManifestTable.readProps(spark, aggPath)
     val state = aggProps.get(BaseVersionProp).map(_.toLong)
     val sameBuckets = aggProps.get(BucketsProp).forall(_ == buckets.toString)
-    if (state.contains(baseCur) && sameBuckets) return // already current
+    val mmSpec = minMaxCols.mkString(",")
+    // pre-MinMaxProp views committed no entry — equivalent to "no
+    // maintained bounds", so legacy views stay incremental
+    val sameMinMax = aggProps.get(MinMaxProp).getOrElse("") == mmSpec
+    if (state.contains(baseCur) && sameBuckets && sameMinMax)
+      return RefreshResult(incremental = false, committed = false)
 
+    // count + signed sums (the retractable family)
     def aggOf(df: DataFrame, sign: Long): DataFrame =
       df.groupBy(groupCols.map(col): _*)
         .agg(sum(lit(sign)).as("n"),
           sumCols.map(c => sum(col(c) * lit(sign)).as(s"sum_$c")): _*)
+
+    // count + sums + min/max (the additive-only family)
+    def aggFull(df: DataFrame): DataFrame =
+      df.groupBy(groupCols.map(col): _*)
+        .agg(count(lit(1)).as("n"),
+          sumCols.map(c => sum(col(c)).as(s"sum_$c")) ++
+            minMaxCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"),
+              max(col(c)).as(s"max_$c"))): _*)
 
     def withBucket(df: DataFrame): DataFrame =
       df.withColumn(BucketCol,
@@ -98,23 +127,26 @@ object IncrementalAgg {
 
     val aggFs = new Path(aggPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val props = Map(BaseVersionProp -> baseCur.toString,
-      BucketsProp -> buckets.toString)
-    val incremental = sameBuckets && state.exists(v => baseVersions.contains(v)) &&
-      ManifestTable.versions(aggFs, aggPath).nonEmpty
+      BucketsProp -> buckets.toString, MinMaxProp -> mmSpec)
 
-    if (!incremental) {
+    def fullRebuild(): RefreshResult = {
       // Full (re)build: the complete aggregate replaces every bucket
       // (declared = every bucket of the NEW mapping plus every
       // existing partition — stale buckets of an old mapping delete).
-      val full = withBucket(aggOf(ManifestTable.read(spark, basePath), 1L))
+      val full = withBucket(aggFull(ManifestTable.read(spark, basePath)))
       ManifestTable.merge(spark, aggPath, full,
         keys = groupCols, partitionCol = BucketCol,
         retainVersions = retainVersions, replaceTouched = true,
         knownTouched = Some(ManifestTable.partitionKeys(aggFs, aggPath) ++
           (0 until buckets).map(_.toString)),
         props = props)
-      return
+      RefreshResult(incremental = false, committed = true)
     }
+
+    val incremental = sameBuckets && sameMinMax &&
+      state.exists(v => baseVersions.contains(v)) &&
+      ManifestTable.versions(aggFs, aggPath).nonEmpty
+    if (!incremental) return fullRebuild()
 
     // Changed partitions between the recorded and current versions —
     // a driver-side manifest diff (dir strings; stats suffixes ignored).
@@ -130,8 +162,15 @@ object IncrementalAgg {
     val minus = changed.intersect(oldDirs.keySet)
     val plus = changed.intersect(newDirs.keySet)
 
+    // Maintained min/max fold ONLY over additive deltas: a retracted
+    // (rewritten/removed) partition might have held the current
+    // bound, and min/max cannot "subtract" — full rebuild instead.
+    if (minMaxCols.nonEmpty && minus.nonEmpty) return fullRebuild()
+
     val delta: Option[DataFrame] =
       if (changed.isEmpty) None
+      else if (minMaxCols.nonEmpty)
+        Some(aggFull(ManifestTable.readKeys(spark, basePath, baseCur, plus)))
       else {
         val parts = Seq(
           if (plus.isEmpty) None
@@ -155,6 +194,7 @@ object IncrementalAgg {
         ManifestTable.merge(spark, aggPath, withBucket(empty),
           keys = groupCols, partitionCol = BucketCol,
           retainVersions = retainVersions, props = props)
+        RefreshResult(incremental = true, committed = true)
       case Some(d) =>
         val dB = withBucket(d)
         val affected = dB.select(col(BucketCol)).distinct()
@@ -170,18 +210,28 @@ object IncrementalAgg {
         val gc = groupCols
         val merged = existing.select(
             (gc.map(col) :+ col("n").as("__en")) ++
-              sumCols.map(c => col(s"sum_$c").as(s"__e$c")): _*)
+              sumCols.map(c => col(s"sum_$c").as(s"__e$c")) ++
+              minMaxCols.flatMap(c => Seq(col(s"min_$c").as(s"__emn$c"),
+                col(s"max_$c").as(s"__emx$c"))): _*)
           .join(d.select((gc.map(col) :+ col("n").as("__dn")) ++
-            sumCols.map(c => col(s"sum_$c").as(s"__d$c")): _*), gc, "full_outer")
+            sumCols.map(c => col(s"sum_$c").as(s"__d$c")) ++
+            minMaxCols.flatMap(c => Seq(col(s"min_$c").as(s"__dmn$c"),
+              col(s"max_$c").as(s"__dmx$c"))): _*), gc, "full_outer")
           .select((gc.map(col) :+
             (coalesce(col("__en"), lit(0L)) + coalesce(col("__dn"), lit(0L))).as("n")) ++
             sumCols.map(c => (coalesce(col(s"__e$c"), lit(0L)) +
-              coalesce(col(s"__d$c"), lit(0L))).as(s"sum_$c")): _*)
+              coalesce(col(s"__d$c"), lit(0L))).as(s"sum_$c")) ++
+            // least/greatest skip NULLs (an all-null or absent side
+            // contributes nothing) — exactly SQL min/max null semantics
+            minMaxCols.flatMap(c => Seq(
+              least(col(s"__emn$c"), col(s"__dmn$c")).as(s"min_$c"),
+              greatest(col(s"__emx$c"), col(s"__dmx$c")).as(s"max_$c"))): _*)
           .filter(col("n") > 0) // a group retracted to zero disappears
         ManifestTable.merge(spark, aggPath, withBucket(merged),
           keys = groupCols, partitionCol = BucketCol,
           retainVersions = retainVersions, replaceTouched = true,
           knownTouched = Some(affected), props = props)
+        RefreshResult(incremental = true, committed = true)
     }
   }
 }

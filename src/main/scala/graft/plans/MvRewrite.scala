@@ -23,7 +23,8 @@ import graft.ops.{GraftFileIndex, IncrementalAgg, ManifestTable}
   * rather than an approximation). */
 object MvRegistry {
   final case class MvDef(basePath: String, aggPath: String,
-                         groupCols: Seq[String], sumCols: Seq[String])
+                         groupCols: Seq[String], sumCols: Seq[String],
+                         minMaxCols: Seq[String] = Nil)
 
   private val defs = new java.util.concurrent.ConcurrentHashMap[String, MvDef]
 
@@ -32,11 +33,16 @@ object MvRegistry {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).makeQualified(p).toString
   }
 
-  /** Declare `aggPath` a maintained aggregate view of `basePath`. */
+  /** Declare `aggPath` a maintained aggregate view of `basePath`.
+    * `minMaxCols` must match the view's refresh arguments — min/max
+    * re-aggregate exactly for ANY type (order-independent, no
+    * arithmetic), so unlike sums they are not restricted to longs. */
   def register(spark: SparkSession, basePath: String, aggPath: String,
-               groupCols: Seq[String], sumCols: Seq[String]): Unit = {
+               groupCols: Seq[String], sumCols: Seq[String],
+               minMaxCols: Seq[String] = Nil): Unit = {
     require(groupCols.nonEmpty, "MvRegistry.register: no group columns")
-    defs.put(keyOf(spark, basePath), MvDef(basePath, aggPath, groupCols, sumCols))
+    defs.put(keyOf(spark, basePath),
+      MvDef(basePath, aggPath, groupCols, sumCols, minMaxCols))
   }
 
   def unregister(spark: SparkSession, basePath: String): Unit =
@@ -87,9 +93,11 @@ object MvRegistry {
   *     manifest rename — so "fresh" is transactional, not advisory);
   *   - grouping is a SUBSET of the registered group columns (a coarser
   *     roll-up re-aggregates exactly: counts and long sums are
-  *     associative), every aggregate is `count(*)` or `sum(sumCol)`
-  *     with LONG result type, no DISTINCT / FILTER clauses, and every
-  *     output type matches the view's bit-for-bit.
+  *     associative; min-of-mins / max-of-maxs are order-independent
+  *     for any type), every aggregate is `count(*)`, `sum(sumCol)`
+  *     with LONG result type, or `min/max(minMaxCol)` over a
+  *     registered maintained bound, no DISTINCT / FILTER clauses, and
+  *     every output type matches the view's bit-for-bit.
   *
   * The global (no GROUP BY) count re-folds as `coalesce(sum(n), 0)` —
   * an empty base must still answer 0, not NULL. Injected pre-CBO;
@@ -253,6 +261,31 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
               if va.dataType == LongType && origType == LongType
             } yield {
               val al = Alias(Sum(va).toAggregateExpression(), s"__mv_${synths.size}")()
+              synths :+= al
+              AggOut(al, isCount = false)
+            }
+          // min-of-mins / max-of-maxs are exact for ANY type — no
+          // arithmetic, order-independent — when the view maintains
+          // the bound (fast-refresh-on-append contract)
+          case Min(ar: AttributeReference) =>
+            for {
+              c <- physOf(ar)
+              if mv.minMaxCols.contains(c)
+              va <- viewAttr(s"min_$c")
+              if va.dataType == origType
+            } yield {
+              val al = Alias(Min(va).toAggregateExpression(), s"__mv_${synths.size}")()
+              synths :+= al
+              AggOut(al, isCount = false)
+            }
+          case Max(ar: AttributeReference) =>
+            for {
+              c <- physOf(ar)
+              if mv.minMaxCols.contains(c)
+              va <- viewAttr(s"max_$c")
+              if va.dataType == origType
+            } yield {
+              val al = Alias(Max(va).toAggregateExpression(), s"__mv_${synths.size}")()
               synths :+= al
               AggOut(al, isCount = false)
             }

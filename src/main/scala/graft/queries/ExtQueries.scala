@@ -2316,6 +2316,7 @@ object ExtQueries {
         // leaves the view one version behind (the fallback window
         // probed below), never inconsistent
         IncrementalAgg.refresh(batch.sparkSession, base, view, groupCols, Seq("v"))
+        ()
       }
       .option("checkpointLocation", s"$root/ckpt")
       .start()
@@ -2449,6 +2450,104 @@ object ExtQueries {
       |  TRUE AS mv_used, TRUE AS stale_scans, TRUE AS recovered_mv
       |FROM f JOIN dim USING (user_id)
       |GROUP BY dim.seg ORDER BY dim.seg""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q211_mv_minmax — MAINTAINED MIN/MAX BOUNDS in the aggregate view
+  // (IncrementalAgg minMaxCols + MvRewriteRule Min/Max support): the
+  // classical FAST-REFRESH-ON-APPEND contract — min/max FOLD exactly
+  // when the delta is purely additive (least/greatest over new
+  // partitions' bounds; order-independent for any type, so unlike
+  // sums they are not long-restricted), and a RETRACTION (here a
+  // partition-rewriting delete) forces the documented full rebuild
+  // because the retracted rows might have held the bound. The gate
+  // pins the refresh MODE at each step (append_incremental /
+  // rebuild_on_retract — RefreshResult evidence), that the dashboard
+  // roll-up `min(ts)/max(ts)` is MV-rewritten throughout (mv_used:
+  // base never scanned), and the final per-type bounds/counts are
+  // SQL-recomputed from `events`. At 100 TB this answers "how fresh
+  // is each slice" — the per-group freshness panel — from O(groups)
+  // pre-folded rows.
+  // ----------------------------------------------------------------
+  def q211MvMinmax(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:q211_mv_minmax") {
+      q211MvMinmaxBuild(spark, dir)
+    }
+
+  private def q211MvMinmaxBuild(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{IncrementalAgg, ManifestTable}
+    import graft.plans.MvRegistry
+    def scanRoots(df: DataFrame): Set[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.rootPaths.head.toString
+          }
+      }.toSet
+    val ev = Tables.events(spark, dir).select(
+      col("event_id"), col("ts"),
+      date_trunc("day", col("ts")).cast("string").as("day"),
+      col("event_type").as("etype"), (col("user_id") % 10).as("u10"),
+      floor(col("value") * 1000).cast("long").as("v"))
+    val root = java.nio.file.Files.createTempDirectory("graft_q211_").toString
+    val (base, view) = (root + "/base", root + "/view")
+    ManifestTable.merge(spark, base, ev, keys = Seq("event_id"), partitionCol = "day")
+    val gCols = Seq("etype", "u10")
+    IncrementalAgg.refresh(spark, base, view, gCols, Seq("v"),
+      minMaxCols = Seq("ts"))
+    MvRegistry.register(spark, base, view, gCols, Seq("v"),
+      minMaxCols = Seq("ts"))
+    def query(): DataFrame = ManifestTable.read(spark, base)
+      .groupBy(col("etype")).agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+        min(col("ts")).as("mn_ts"), max(col("ts")).as("mx_ts"))
+    val q1 = query(); q1.collect()
+    val mv1 = !scanRoots(q1).exists(_.endsWith("/base"))
+    // an APPEND into brand-new day partitions (+400 days) must FOLD
+    val synth = Tables.events(spark, dir).filter(col("event_id") % 11 === 0)
+      .select((col("event_id") + 2000000000L).as("event_id"),
+        (col("ts") + expr("INTERVAL 400 DAYS")).as("ts"),
+        date_trunc("day", col("ts") + expr("INTERVAL 400 DAYS"))
+          .cast("string").as("day"),
+        lit("synthetic").as("etype"), (col("user_id") % 10).as("u10"),
+        (floor(col("value") * 1000).cast("long") + 7L).as("v"))
+    ManifestTable.merge(spark, base, synth, keys = Seq("event_id"), partitionCol = "day")
+    val r2 = IncrementalAgg.refresh(spark, base, view, gCols, Seq("v"),
+      minMaxCols = Seq("ts"))
+    val appendIncremental = r2.incremental && r2.committed
+    val q2 = query(); q2.collect()
+    val mv2 = !scanRoots(q2).exists(_.endsWith("/base"))
+    // a RETRACTION (partition-rewriting delete) must REBUILD
+    ManifestTable.deleteWhere(spark, base, "day", col("event_id") % 97 === 3)
+    val r3 = IncrementalAgg.refresh(spark, base, view, gCols, Seq("v"),
+      minMaxCols = Seq("ts"))
+    val rebuildOnRetract = !r3.incremental && r3.committed
+    val q3 = query(); q3.collect()
+    val mv3 = !scanRoots(q3).exists(_.endsWith("/base"))
+    MvRegistry.unregister(spark, base)
+    q3.withColumn("mv_used", lit(mv1 && mv2 && mv3))
+      .withColumn("append_incremental", lit(appendIncremental))
+      .withColumn("rebuild_on_retract", lit(rebuildOnRetract))
+      .orderBy(col("etype"))
+  }
+
+  val q211MvMinmaxSql: String =
+    """WITH baseev AS (
+      |  SELECT event_id, ts, event_type AS etype,
+      |    CAST(floor(value * 1000) AS BIGINT) AS v
+      |  FROM events
+      |  UNION ALL
+      |  SELECT event_id + 2000000000 AS event_id,
+      |    ts + INTERVAL 400 DAY AS ts, 'synthetic' AS etype,
+      |    CAST(floor(value * 1000) AS BIGINT) + 7 AS v
+      |  FROM events WHERE event_id % 11 = 0),
+      |allr AS (SELECT * FROM baseev WHERE event_id % 97 <> 3)
+      |SELECT etype, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(v) AS BIGINT) AS sv,
+      |  min(ts) AS mn_ts, max(ts) AS mx_ts,
+      |  TRUE AS mv_used, TRUE AS append_incremental,
+      |  TRUE AS rebuild_on_retract
+      |FROM allr GROUP BY etype ORDER BY etype""".stripMargin
 
   // ----------------------------------------------------------------
   // q59_jaccard_join — EXACT n-gram Jaccard similarity join at

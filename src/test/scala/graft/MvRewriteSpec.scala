@@ -157,6 +157,49 @@ class MvRewriteSpec extends AnyFunSuite {
     } finally MvRegistry.unregister(spark, base)
   }
 
+  test("maintained min/max: additive deltas FOLD incrementally, a retraction " +
+    "forces the full rebuild, and the rewrite answers min/max incl. roll-up") {
+    val (base, view) = fresh("minmax")
+    seed(base)
+    val r0 = IncrementalAgg.refresh(spark, base, view,
+      Seq("etype", "u10"), Seq("v"), minMaxCols = Seq("v", "id"))
+    assert(!r0.incremental && r0.committed, "first build is full")
+    MvRegistry.register(spark, base, view, Seq("etype", "u10"), Seq("v"),
+      minMaxCols = Seq("v", "id"))
+    try {
+      def q = ManifestTable.read(spark, base).groupBy(col("etype"))
+        .agg(count(lit(1)).as("n"), min(col("v")).as("mnv"),
+          max(col("v")).as("mxv"), max(col("id")).as("mxi"))
+        .orderBy(col("etype"))
+      val (d1, r1, rows1) = run(q)
+      assert(d1 == 1 && !r1.exists(_.contains("/base")))
+      assert(rows1 == truth(q))
+      // an APPEND into brand-new partitions folds incrementally
+      ManifestTable.merge(spark, base,
+        Seq((200L, "d7", "click", 1L, 1000L), (201L, "d8", "view", 2L, 1L))
+          .toDF("id", "day", "etype", "u10", "v"), Seq("id"), "day")
+      val r2 = IncrementalAgg.refresh(spark, base, view,
+        Seq("etype", "u10"), Seq("v"), minMaxCols = Seq("v", "id"))
+      assert(r2.incremental && r2.committed,
+        "a purely additive delta must fold, not rebuild")
+      val (d3, _, rows3) = run(q)
+      assert(d3 == 1 && rows3 == truth(q),
+        "folded bounds must equal the recompute (new max 1000, new min 1)")
+      // a RETRACTION (rewriting an existing partition) forces a full
+      // rebuild — the retracted rows might have held the bounds
+      ManifestTable.deleteWhere(spark, base, "day", col("id") === 200L)
+      val r4 = IncrementalAgg.refresh(spark, base, view,
+        Seq("etype", "u10"), Seq("v"), minMaxCols = Seq("v", "id"))
+      assert(!r4.incremental && r4.committed,
+        "a retraction under maintained min/max must rebuild")
+      val (d5, _, rows5) = run(q)
+      assert(d5 == 1 && rows5 == truth(q),
+        "the rebuilt bounds must drop the retracted max")
+      assert(!rows5.exists(_.getLong(3) == 1000L),
+        "v=1000 was deleted; its max must not survive")
+    } finally MvRegistry.unregister(spark, base)
+  }
+
   test("double sums never rewrite (floating addition is not associative — " +
     "the view's fold order would leak into results)") {
     val (base, view) = fresh("dbl")

@@ -316,6 +316,7 @@ class StreamingSpec extends AnyFunSuite {
       .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
         sink(df, id)
         IncrementalAgg.refresh(spark, bPath, aPath, Seq("asset_id"), Seq("v_e3"))
+        ()
       }
       .option("checkpointLocation", s"$root/ckpt").start()
     def agg() = IncrementalAgg.read(spark, aPath).orderBy("asset_id")
