@@ -31,11 +31,13 @@ import graft.ops.GraftFileIndex
   *
   *   - The aggregate must be GLOBAL (no grouping) and sit over a bare
   *     [[GraftFileIndex]] scan reached through Project-of-attributes /
-  *     identity aliases / SubqueryAlias ONLY. The ONE admissible
-  *     Filter shape is partition-key selection (`pcol = lit` /
-  *     `pcol IN (…)` conjunctions on the committed partition column),
-  *     which keeps entries whole-or-not-at-all, so
-  *     `count(*) … WHERE day = '…'` stays metadata-only; any other
+  *     identity aliases / SubqueryAlias ONLY. The one admissible
+  *     Filter family is partition-key selection (`pcol = lit` /
+  *     `pcol IN (…)` / `pcol <op> lit` range conjunctions on the
+  *     committed partition column), which keeps entries
+  *     whole-or-not-at-all, so `count(*) … WHERE day >= '…'` stays
+  *     metadata-only (`count(DISTINCT pcol)` also answers — it is the
+  *     number of surviving non-empty entry keys); any other
   *     node — other Filters, Union, Join — stops the walk. This is
   *     not just simplicity: the reader composes DV anti-joins,
   *     shared-dir row filters, and MoR appendix unions into the plan
@@ -92,7 +94,8 @@ case class StatsAggRule(spark: SparkSession)
   private def rewrite(a: Aggregate): Option[LogicalPlan] =
     resolveScan(a.child).flatMap { case (idx, colOf, filters) =>
       narrow(idx, colOf, filters).flatMap { entries =>
-        val values = a.aggregateExpressions.map(ne => valueOf(ne, entries, colOf))
+        val values = a.aggregateExpressions.map(ne =>
+          valueOf(ne, entries, colOf, idx.partitionColName))
         if (values.exists(_.isEmpty)) None
         else {
           StatsAggRule.rewrites.incrementAndGet()
@@ -136,15 +139,18 @@ case class StatsAggRule(spark: SparkSession)
     }
 
   /** Absorb the collected filters into an ENTRY subset, or back off.
-    * The only absorbable shape is partition-key selection —
-    * `pcol = lit` / `pcol IN (lits)` (and conjunctions thereof) where
-    * `pcol` is the table's committed partition column: every row of an
-    * entry carries the entry's partition value, so the filter keeps
-    * entries WHOLE (all rows match) or not at all (zero rows match) —
-    * `SELECT count(*), max(ts) … WHERE day = '…'` stays metadata-only.
-    * The literal must stringify exactly as the manifest key does
-    * ([[GraftFileIndex.strOf]]'s types); anything else backs off. Any
-    * entry without a key (a MoR appendix dir) poisons the rewrite. */
+    * The absorbable shapes are partition-key selections — `pcol = lit`
+    * / `pcol IN (lits)` / `pcol <op> lit` range comparisons (and
+    * conjunctions thereof) on the table's committed partition column:
+    * every row of an entry carries the entry's partition value, so ANY
+    * key-decidable predicate keeps entries WHOLE (all rows match) or
+    * not at all — `SELECT count(*), max(ts) … WHERE day >= '…'` stays
+    * metadata-only. Equality/IN literals must stringify exactly as the
+    * manifest key does ([[GraftFileIndex.strOf]]'s types); range
+    * comparisons decide on parsed-back keys (integral columns) or on
+    * ASCII strings (where Java order == UTF8 byte order — the zone-map
+    * argument); anything else backs off. Any entry without a key (a
+    * MoR appendix dir) poisons the rewrite. */
   private def narrow(idx: GraftFileIndex,
                      colOf: Map[ExprId, (String, DataType)],
                      filters: Seq[Expression]): Option[Seq[GraftFileIndex.EntryMeta]] = {
@@ -155,19 +161,61 @@ case class StatsAggRule(spark: SparkSession)
       case ar: AttributeReference => colOf.get(ar.exprId).exists(_._1 == pcol)
       case _ => false
     }
+    // a key-string predicate for `pcol <cmp> lit`, when the compare
+    // domain is exact: integral keys parse back losslessly; ASCII
+    // string keys compare identically in Java and UTF8 byte order
+    def cmpPred(l: Literal, cmp: Int => Boolean): Option[String => Boolean] =
+      if (l.value == null) None
+      else l.dataType match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          val v = l.value match {
+            case b: Byte => b.toLong
+            case s: Short => s.toLong
+            case i: Int => i.toLong
+            case lo: Long => lo
+          }
+          if (entries.forall(_.key.exists(_.toLongOption.isDefined)))
+            Some(k => cmp(k.toLong.compare(v)))
+          else None
+        case StringType =>
+          val s = l.value.toString
+          val ascii = (x: String) => x.forall(c => c >= 0x20 && c < 0x7f)
+          if (ascii(s) && entries.forall(_.key.exists(ascii)))
+            Some(k => cmp(k.compare(s)))
+          else None
+        case _ => None
+      }
     val conjuncts = filters.flatMap(splitConjunctivePredicates)
-    // Left(keySet) narrows; Right(col) is an IS NOT NULL to re-check
-    // against the survivors' committed null counts; None backs off.
-    val parsed: Seq[Option[Either[Set[String], Option[String]]]] = conjuncts.map {
+    // Left(keyPredicate) narrows; Right(col) is an IS NOT NULL to
+    // re-check against the survivors' committed null counts; None
+    // backs off.
+    val parsed: Seq[Option[Either[String => Boolean, Option[String]]]] = conjuncts.map {
       case EqualTo(k, l: Literal) if isPcol(k) =>
-        GraftFileIndex.strOf(l).map(s => scala.Left(Set(s)))
+        GraftFileIndex.strOf(l).map(s => scala.Left((k: String) => k == s))
       case EqualTo(l: Literal, k) if isPcol(k) =>
-        GraftFileIndex.strOf(l).map(s => scala.Left(Set(s)))
+        GraftFileIndex.strOf(l).map(s => scala.Left((k: String) => k == s))
       case In(k, vs) if isPcol(k) && vs.forall(_.isInstanceOf[Literal]) =>
         val ss = vs.map(v => GraftFileIndex.strOf(v.asInstanceOf[Literal]))
-        if (ss.exists(_.isEmpty)) None else Some(scala.Left(ss.flatten.toSet))
+        if (ss.exists(_.isEmpty)) None
+        else { val set = ss.flatten.toSet; Some(scala.Left(set)) }
+      case GreaterThan(k, l: Literal) if isPcol(k) =>
+        cmpPred(l, _ > 0).map(scala.Left(_))
+      case GreaterThan(l: Literal, k) if isPcol(k) =>
+        cmpPred(l, _ < 0).map(scala.Left(_))
+      case GreaterThanOrEqual(k, l: Literal) if isPcol(k) =>
+        cmpPred(l, _ >= 0).map(scala.Left(_))
+      case GreaterThanOrEqual(l: Literal, k) if isPcol(k) =>
+        cmpPred(l, _ <= 0).map(scala.Left(_))
+      case LessThan(k, l: Literal) if isPcol(k) =>
+        cmpPred(l, _ < 0).map(scala.Left(_))
+      case LessThan(l: Literal, k) if isPcol(k) =>
+        cmpPred(l, _ > 0).map(scala.Left(_))
+      case LessThanOrEqual(k, l: Literal) if isPcol(k) =>
+        cmpPred(l, _ <= 0).map(scala.Left(_))
+      case LessThanOrEqual(l: Literal, k) if isPcol(k) =>
+        cmpPred(l, _ >= 0).map(scala.Left(_))
       // the analyzer infers `isnotnull(pcol)` next to every pcol
-      // equality; merge refuses null partition values, so it is
+      // predicate; merge refuses null partition values, so it is
       // row-complete (keeps every entry whole) — a no-op here
       case IsNotNull(k) if isPcol(k) => Some(scala.Right(None))
       // IS NOT NULL on any other column is row-complete exactly when
@@ -178,14 +226,11 @@ case class StatsAggRule(spark: SparkSession)
     }
     if (parsed.exists(_.isEmpty)) None
     else {
-      val keySets = parsed.flatten.collect { case scala.Left(s) => s }
+      val keyPreds = parsed.flatten.collect { case scala.Left(p) => p }
       val kept =
-        if (keySets.isEmpty) entries
+        if (keyPreds.isEmpty) entries
         else if (entries.exists(_.key.isEmpty)) return None
-        else {
-          val ks = keySets.reduce(_ intersect _)
-          entries.filter(_.key.exists(ks))
-        }
+        else entries.filter(_.key.exists(k => keyPreds.forall(_(k))))
       val notNullCols = parsed.flatten.collect { case scala.Right(Some(c)) => c }
       if (notNullCols.forall(c => kept.forall(_.nullCounts.get(c).contains(0L))))
         Some(kept)
@@ -199,7 +244,8 @@ case class StatsAggRule(spark: SparkSession)
     * non-null rows). */
   private def valueOf(ne: NamedExpression,
                       entries: Seq[GraftFileIndex.EntryMeta],
-                      colOf: Map[ExprId, (String, DataType)]): Option[Option[Any]] = {
+                      colOf: Map[ExprId, (String, DataType)],
+                      pcol: Option[String]): Option[Option[Any]] = {
     def phys(ar: AttributeReference): Option[(String, DataType)] = colOf.get(ar.exprId)
     val e = ne match {
       case Alias(child, _) => child
@@ -208,6 +254,16 @@ case class StatsAggRule(spark: SparkSession)
     e match {
       // evidence literals gates attach next to the aggregates
       case l: Literal => Some(Option(l.value))
+      // COUNT(DISTINCT pcol) = the number of live entry keys — each
+      // entry's rows all carry its key, keys are never null, and a
+      // key appears in exactly one live entry per manifest; entries
+      // must prove non-emptiness (committed rowcount > 0)
+      case AggregateExpression(Count(Seq(ar: AttributeReference)), _, true, None, _)
+          if phys(ar).map(_._1) == pcol && pcol.isDefined =>
+        if (entries.forall(en => en.key.isDefined && en.rowCount.isDefined))
+          Some(Some(entries.filter(_.rowCount.exists(_ > 0))
+            .flatMap(_.key).distinct.size.toLong))
+        else None
       case AggregateExpression(fn, _, false, None, _) => fn match {
         case Count(Seq(l: Literal)) if l.value != null =>
           countStar(entries)

@@ -2049,7 +2049,12 @@ object ExtQueries {
     val part = ManifestTable.read(spark, path).where(col("day") === day0).agg(
       count(lit(1)).as("n_d0"), max(col("user_id")).as("mx_u_d0"))
     part.collect()
-    val partMetaOnly = !hasScan(part)
+    // a pcol RANGE + count(DISTINCT pcol) stay metadata-only too —
+    // any key-decidable predicate keeps entries whole-or-not-at-all
+    val range = ManifestTable.read(spark, path).where(col("day") > day0).agg(
+      count(lit(1)).as("n_gt"), countDistinct(col("day")).as("nd_gt"))
+    range.collect()
+    val partMetaOnly = !hasScan(part) && !hasScan(range)
     // a MoR delete poisons the footer bounds (pre-delete supersets):
     // the same aggregate must now run as a real scan and see the
     // post-delete values
@@ -2058,13 +2063,14 @@ object ExtQueries {
       count(lit(1)).as("n_dv"), max(col("event_id")).as("mx_e_dv"))
     after.collect()
     val dvScans = hasScan(after)
-    fast.crossJoin(part).crossJoin(after)
+    fast.crossJoin(part).crossJoin(range).crossJoin(after)
       .withColumn("meta_only", lit(metaOnly))
       .withColumn("part_meta_only", lit(partMetaOnly))
       .withColumn("dv_scans", lit(dvScans))
       .select(col("n"), col("n_xv"), col("mn_u"), col("mx_u"),
         col("mn_ts"), col("mx_ts"), col("meta_only"),
-        col("n_d0"), col("mx_u_d0"), col("part_meta_only"),
+        col("n_d0"), col("mx_u_d0"), col("n_gt"), col("nd_gt"),
+        col("part_meta_only"),
         col("n_dv"), col("mx_e_dv"), col("dv_scans"))
   }
 
@@ -2081,6 +2087,13 @@ object ExtQueries {
       |  (SELECT max(user_id) FROM events
       |    WHERE date_trunc('day', ts) =
       |      (SELECT min(date_trunc('day', ts)) FROM events)) AS mx_u_d0,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM events
+      |    WHERE date_trunc('day', ts) >
+      |      (SELECT min(date_trunc('day', ts)) FROM events)) AS n_gt,
+      |  (SELECT CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT)
+      |    FROM events
+      |    WHERE date_trunc('day', ts) >
+      |      (SELECT min(date_trunc('day', ts)) FROM events)) AS nd_gt,
       |  TRUE AS part_meta_only,
       |  (SELECT CAST(count(*) AS BIGINT) FROM events
       |    WHERE event_id % 211 <> 5) AS n_dv,

@@ -193,6 +193,38 @@ class StatsAggSpec extends AnyFunSuite {
     assert(d6 == 1 && !s6 && r6.head.getLong(0) == 2L && r6.head.getLong(1) == 42L)
   }
 
+  test("range predicates on the partition key and count(distinct pcol) " +
+    "answer from metadata; non-pcol distinct still backs off") {
+    val path = freshPath("prange")
+    seed(path)
+    val t = ManifestTable.read(spark, path)
+    // ASCII string range on the partition column keeps entries whole
+    val r = t.where(col("day") >= "d2").agg(
+      count(lit(1)).as("n"), countDistinct(col("day")).as("nd"),
+      max(col("id")).as("mx"))
+    val (d1, s1, r1) = run(r)
+    assert(d1 == 1 && !s1, "pcol range + count(distinct pcol) must be metadata")
+    assert(r1.head.getLong(0) == 4L && r1.head.getLong(1) == 2L &&
+      r1.head.getLong(2) == 6L, s"$r1")
+    // strict bound flipped literal-first
+    val r2 = t.where(lit("d3") > col("day")).agg(count(lit(1)).as("n"))
+    val (d2, s2, rr2) = run(r2)
+    assert(d2 == 1 && !s2 && rr2.head.getLong(0) == 4L)
+    // numeric partition keys compare as parsed longs, not strings:
+    // keys "2" and "10" — a string order would call 10 < 2
+    val p2 = freshPath("pnum")
+    val rows = Seq((1L, 2L, 5L), (2L, 10L, 9L)).toDF("id", "pu", "v")
+    ManifestTable.merge(spark, p2, rows, Seq("id"), "pu", statsColumns = Seq("v"))
+    val r3 = ManifestTable.read(spark, p2).where(col("pu") > 2L)
+      .agg(count(lit(1)).as("n"), max(col("v")).as("mx"))
+    val (d3, s3, rr3) = run(r3)
+    assert(d3 == 1 && !s3 && rr3.head.getLong(0) == 1L && rr3.head.getLong(1) == 9L,
+      "pu > 2 must keep ONLY key 10 (numeric order, not string order)")
+    // count(distinct <non-pcol>) still backs off
+    val (d4, s4, rr4) = run(t.agg(countDistinct(col("id")).as("nd")))
+    assert(d4 == 0 && s4 && rr4.head.getLong(0) == 6L)
+  }
+
   test("merges keep the fast path honest: new partitions and rewritten " +
     "partitions re-answer from the NEW snapshot's stats") {
     val path = freshPath("evolve")
