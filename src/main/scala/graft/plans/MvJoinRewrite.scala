@@ -20,7 +20,8 @@ object MvJoinRegistry {
   final case class MvJoinDef(factPath: String, dimPath: String, viewPath: String,
                              joinKey: String)
 
-  private val defs = new java.util.concurrent.ConcurrentHashMap[(String, String), MvJoinDef]
+  private val defs =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Vector[MvJoinDef]]
 
   private def keyOf(spark: SparkSession, p: String): String = {
     val path = new Path(p)
@@ -28,20 +29,27 @@ object MvJoinRegistry {
       .makeQualified(path).toString
   }
 
+  /** A pair may carry several views (one per join key); the rewrite
+    * tries them in registration order. Re-registering the same
+    * `viewPath` replaces its definition in place. */
   def register(spark: SparkSession, factPath: String, dimPath: String,
                viewPath: String, joinKey: String): Unit =
-    defs.put((keyOf(spark, factPath), keyOf(spark, dimPath)),
-      MvJoinDef(factPath, dimPath, viewPath, joinKey))
+    defs.compute((keyOf(spark, factPath), keyOf(spark, dimPath)), (_, old) =>
+      Option(old).getOrElse(Vector.empty)
+        .filterNot(_.viewPath == viewPath) :+
+        MvJoinDef(factPath, dimPath, viewPath, joinKey))
 
+  /** Drop every view registered for the pair. */
   def unregister(spark: SparkSession, factPath: String, dimPath: String): Unit =
     defs.remove((keyOf(spark, factPath), keyOf(spark, dimPath)))
 
   private[plans] def lookup(spark: SparkSession, factRoot: Path,
-                            dimRoot: Path): Option[MvJoinDef] =
+                            dimRoot: Path): Seq[MvJoinDef] =
     // empty-registry fast path: no per-join filesystem resolution
     // in sessions that never registered a view
-    if (defs.isEmpty) None
-    else Option(defs.get((keyOf(spark, factRoot.toString), keyOf(spark, dimRoot.toString))))
+    if (defs.isEmpty) Nil
+    else Option(defs.get((keyOf(spark, factRoot.toString),
+      keyOf(spark, dimRoot.toString)))).getOrElse(Vector.empty)
 
   private[plans] def isEmpty: Boolean = defs.isEmpty
 
@@ -111,25 +119,35 @@ case class MvJoinRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       else if (j.left.outputSet.contains(b) && j.right.outputSet.contains(a))
         Some((b, a))
       else None
-    (mv, fact, dim, fk, dk) <-
-      MvJoinRegistry.lookup(spark, left.root, right.root)
-        .map(m => (m, left, right, lk, rk))
-        .orElse(MvJoinRegistry.lookup(spark, right.root, left.root)
-          .map(m => (m, right, left, rk, lk)))
-    if fact.colOf.get(fk.exprId).exists(_._1 == mv.joinKey) &&
-      dim.colOf.get(dk.exprId).exists(_._1 == mv.joinKey)
-    // a non-key NAME shared by both sides would make the by-name view
-    // mapping ambiguous (such a view cannot be built anyway) — back off
-    if !(fact.colOf.values.map(_._1).toSet - mv.joinKey)
-      .exists((dim.colOf.values.map(_._1).toSet - mv.joinKey))
-    viewVersion <- fresh(mv, fact, dim)
-    plan <- build(j, mv, fact, dim, fk, dk, viewVersion)
-  } yield {
-    MvJoinRegistry.rewrites.incrementAndGet()
-    logInfo(s"graft mv-join-rewrite: answered ${mv.factPath} ⋈ ${mv.dimPath} " +
-      s"from the maintained view ${mv.viewPath}")
-    plan
-  }
+    plan <- {
+      // several views may stand for one pair (one per join key) and
+      // either side may be the registered fact — try each candidate
+      // in registration order, first match wins
+      val candidates =
+        MvJoinRegistry.lookup(spark, left.root, right.root)
+          .map(m => (m, left, right, lk, rk)) ++
+        MvJoinRegistry.lookup(spark, right.root, left.root)
+          .map(m => (m, right, left, rk, lk))
+      candidates.view.flatMap { case (mv, fact, dim, fk, dk) =>
+        val keyed = fact.colOf.get(fk.exprId).exists(_._1 == mv.joinKey) &&
+          dim.colOf.get(dk.exprId).exists(_._1 == mv.joinKey)
+        // a non-key NAME shared by both sides would make the by-name
+        // view mapping ambiguous (such a view cannot be built anyway)
+        val unambiguous = !(fact.colOf.values.map(_._1).toSet - mv.joinKey)
+          .exists((dim.colOf.values.map(_._1).toSet - mv.joinKey))
+        if (!keyed || !unambiguous) None
+        else for {
+          viewVersion <- fresh(mv, fact, dim)
+          p <- build(j, mv, fact, dim, fk, dk, viewVersion)
+        } yield {
+          MvJoinRegistry.rewrites.incrementAndGet()
+          logInfo(s"graft mv-join-rewrite: answered ${mv.factPath} ⋈ " +
+            s"${mv.dimPath} from the maintained view ${mv.viewPath}")
+          p
+        }
+      }.headOption
+    }
+  } yield plan
 
   private def walk(p: LogicalPlan, fs: Seq[Expression]): Option[Side] = p match {
     case lr: LogicalRelation => lr.relation match {

@@ -26,7 +26,7 @@ object MvRegistry {
                          groupCols: Seq[String], sumCols: Seq[String],
                          minMaxCols: Seq[String] = Nil)
 
-  private val defs = new java.util.concurrent.ConcurrentHashMap[String, MvDef]
+  private val defs = new java.util.concurrent.ConcurrentHashMap[String, Vector[MvDef]]
 
   private def keyOf(spark: SparkSession, basePath: String): String = {
     val p = new Path(basePath)
@@ -34,28 +34,35 @@ object MvRegistry {
   }
 
   /** Declare `aggPath` a maintained aggregate view of `basePath`.
-    * `minMaxCols` must match the view's refresh arguments — min/max
-    * re-aggregate exactly for ANY type (order-independent, no
+    * A base may carry SEVERAL views (different groupings/measures);
+    * the rewrite tries them in REGISTRATION ORDER and takes the first
+    * that matches — register the smallest/most-specific view first.
+    * Re-registering the same `aggPath` replaces its definition in
+    * place. `minMaxCols` must match the view's refresh arguments —
+    * min/max re-aggregate exactly for ANY type (order-independent, no
     * arithmetic), so unlike sums they are not restricted to longs. */
   def register(spark: SparkSession, basePath: String, aggPath: String,
                groupCols: Seq[String], sumCols: Seq[String],
                minMaxCols: Seq[String] = Nil): Unit = {
     require(groupCols.nonEmpty, "MvRegistry.register: no group columns")
-    defs.put(keyOf(spark, basePath),
-      MvDef(basePath, aggPath, groupCols, sumCols, minMaxCols))
+    val d = MvDef(basePath, aggPath, groupCols, sumCols, minMaxCols)
+    defs.compute(keyOf(spark, basePath), (_, old) =>
+      Option(old).getOrElse(Vector.empty)
+        .filterNot(_.aggPath == aggPath) :+ d)
   }
 
+  /** Drop every view registered for `basePath`. */
   def unregister(spark: SparkSession, basePath: String): Unit =
     defs.remove(keyOf(spark, basePath))
 
-  private[plans] def lookup(spark: SparkSession, root: Path): Option[MvDef] =
+  private[plans] def lookup(spark: SparkSession, root: Path): Seq[MvDef] =
     // empty-registry fast path: no per-aggregate filesystem
     // resolution in sessions that never registered a view
-    if (defs.isEmpty) None
+    if (defs.isEmpty) Nil
     else {
       val q = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .makeQualified(root).toString
-      Option(defs.get(q))
+      Option(defs.get(q)).getOrElse(Vector.empty)
     }
 
   private[plans] def isEmpty: Boolean = defs.isEmpty
@@ -122,17 +129,22 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
                               colOf: Map[ExprId, (String, org.apache.spark.sql.types.DataType)],
                               filters: Seq[Expression])
 
-  private def rewrite(a: Aggregate): Option[LogicalPlan] = for {
-    info <- walk(a.child, Nil)
-    mv <- MvRegistry.lookup(spark, info.root)
-    viewVersion <- fresh(mv, info)
-    plan <- build(a, mv, info, viewVersion)
-  } yield {
-    MvRegistry.rewrites.incrementAndGet()
-    logInfo(s"graft mv-rewrite: answered a grouped aggregate over " +
-      s"${mv.basePath} from the maintained view ${mv.aggPath}")
-    plan
-  }
+  private def rewrite(a: Aggregate): Option[LogicalPlan] =
+    walk(a.child, Nil).flatMap { info =>
+      // several views may stand for one base — first match in
+      // registration order wins (register most-specific first)
+      MvRegistry.lookup(spark, info.root).view.flatMap { mv =>
+        for {
+          viewVersion <- fresh(mv, info)
+          plan <- build(a, mv, info, viewVersion)
+        } yield {
+          MvRegistry.rewrites.incrementAndGet()
+          logInfo(s"graft mv-rewrite: answered a grouped aggregate over " +
+            s"${mv.basePath} from the maintained view ${mv.aggPath}")
+          plan
+        }
+      }.headOption
+    }
 
   /** Descend to the scan, absorbing identity Projects and deterministic
     * Filters (kept for later translation — their references are

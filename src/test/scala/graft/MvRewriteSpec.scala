@@ -157,6 +157,46 @@ class MvRewriteSpec extends AnyFunSuite {
     } finally MvRegistry.unregister(spark, base)
   }
 
+  test("several views per base: the rewrite picks the FIRST matching view " +
+    "in registration order, and each query lands on a view that can serve it") {
+    val (base, viewA) = fresh("multi")
+    val viewB = viewA + "_coarse"
+    seed(base)
+    // viewA groups by (etype, u10); viewB by etype only
+    IncrementalAgg.refresh(spark, base, viewA, Seq("etype", "u10"), Seq("v"))
+    IncrementalAgg.refresh(spark, base, viewB, Seq("etype"), Seq("v"))
+    MvRegistry.register(spark, base, viewA, Seq("etype", "u10"), Seq("v"))
+    MvRegistry.register(spark, base, viewB, Seq("etype"), Seq("v"))
+    try {
+      // grouping by u10 matches ONLY viewA
+      def qa = ManifestTable.read(spark, base).groupBy(col("u10"))
+        .agg(count(lit(1)).as("n")).orderBy(col("u10"))
+      val (d1, r1, rows1) = run(qa)
+      assert(d1 == 1 && r1.exists(_.endsWith("/view")) &&
+        !r1.exists(_.endsWith("_coarse")), s"u10 must land on viewA: $r1")
+      assert(rows1 == truth(qa))
+      // grouping by etype matches BOTH; first registered (viewA) wins
+      def qb = ManifestTable.read(spark, base).groupBy(col("etype"))
+        .agg(sum(col("v")).as("sv")).orderBy(col("etype"))
+      val (d2, r2, rows2) = run(qb)
+      assert(d2 == 1 && r2.exists(_.endsWith("/view")) &&
+        !r2.exists(_.endsWith("_coarse")),
+        s"first-registered view wins a tie: $r2")
+      assert(rows2 == truth(qb))
+      // a STALE first view falls through to the second: refresh only
+      // viewB after a merge — the etype query must land on viewB
+      ManifestTable.merge(spark, base,
+        Seq((300L, "d9", "tap", 4L, 11L)).toDF("id", "day", "etype", "u10", "v"),
+        Seq("id"), "day")
+      IncrementalAgg.refresh(spark, base, viewB, Seq("etype"), Seq("v"))
+      val (d3, r3, rows3) = run(qb)
+      assert(d3 == 1 && r3.exists(_.endsWith("_coarse")) &&
+        !r3.exists(_.endsWith("/base")),
+        s"the stale viewA must fall through to the fresh viewB: $r3")
+      assert(rows3 == truth(qb))
+    } finally MvRegistry.unregister(spark, base)
+  }
+
   test("maintained min/max: additive deltas FOLD incrementally, a retraction " +
     "forces the full rebuild, and the rewrite answers min/max incl. roll-up") {
     val (base, view) = fresh("minmax")

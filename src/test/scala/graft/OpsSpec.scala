@@ -641,7 +641,8 @@ class MergeSpec extends AnyFunSuite {
     IncrementalAgg.refresh(spark, bPath, aPath, Seq("g"), Seq("v"))
     assert(agg() == Seq(("a", 2L, 17L), ("b", 1L, 5L)))
     assert(ManifestTable.readProps(spark, aPath) ==
-      Map(IncrementalAgg.BaseVersionProp -> "1", IncrementalAgg.BucketsProp -> "16"))
+      Map(IncrementalAgg.BaseVersionProp -> "1", IncrementalAgg.BucketsProp -> "16",
+        IncrementalAgg.MinMaxProp -> ""))
     // m2: upsert rewrites day1 only (update b, insert c) -> DELTA path
     ManifestTable.merge(spark, bPath,
       Seq((2L, day1, "b", 6L), (4L, day1, "c", 1L)).toDF("id", "day", "g", "v"),
