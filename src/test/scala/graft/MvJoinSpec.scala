@@ -138,6 +138,47 @@ class MvJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("rule interaction: a STALE join view falls through to JoinPruneRule — " +
+    "the same query still narrows the fact scan via the planning-time probe") {
+    val (fact, dim, view) = fresh("interact")
+    // fact partitioned by uid-range so the dim's keys can prune dirs
+    val f = (1L to 40L).map(i => (i, s"r${(i % 8) / 2}", i % 8, i * 3L))
+      .toDF("id", "day", "uid", "v")
+    val dm = (0L to 7L).map(u => (u, s"seg-${u % 3}", s"du${u % 2}"))
+      .toDF("uid", "seg", "du")
+    ManifestTable.merge(spark, fact, f, Seq("id"), "day", statsColumns = Seq("uid"))
+    ManifestTable.merge(spark, dim, dm, Seq("uid"), "du")
+    IncrementalJoin.refresh(spark, fact, dim, view, Seq("id"), "uid", "day")
+    MvJoinRegistry.register(spark, fact, dim, view, "uid")
+    try {
+      // make the view STALE (dim moves on)
+      ManifestTable.merge(spark, dim,
+        Seq((8L, "seg-9", "du0")).toDF("uid", "seg", "du"), Seq("uid"), "du")
+      // a selective broadcast dim slice: only uid 2,3 → fact dirs r1
+      val slice = ManifestTable.read(spark, dim)
+        .where(col("uid").isin(2L, 3L))
+      def q = ManifestTable.read(spark, fact)
+        .join(broadcast(slice), Seq("uid"))
+        .select(col("id"), col("seg"), col("v"))
+      val (d, r, rows) = run(q)
+      assert(d == 0 && r.exists(_.endsWith("/fact")),
+        "the stale view must not rewrite")
+      // ... but JoinPruneRule must have narrowed the fact scan
+      val q2 = ManifestTable.read(spark, fact)
+        .join(broadcast(slice), Seq("uid"))
+        .select(col("id"), col("seg"), col("v"))
+      q2.collect()
+      val prunes = q2.queryExecution.sparkPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.relation.location
+      }.collect { case g: graft.ops.GraftFileIndex => g.lastPrune }.flatten
+      val factPrune = prunes.find(_._2 == 4L)
+      assert(factPrune.exists(_._1 < 4L),
+        s"JoinPrune must narrow the 4-dir fact on the fallback path: $prunes")
+      assert(rows == truth(q))
+    } finally MvJoinRegistry.unregister(spark, fact, dim)
+  }
+
   test("back-offs: unregistered pair, wrong join key, outer join, " +
     "partition-filtered fact, kill switch") {
     val (fact, dim, view) = fresh("backoff")
