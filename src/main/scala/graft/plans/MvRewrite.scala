@@ -98,13 +98,18 @@ object MvRegistry {
   *   - the VIEW is FRESH: its committed `agg.base_version` equals the
   *     base's current version (atomic with the view's data — one
   *     manifest rename — so "fresh" is transactional, not advisory);
-  *   - grouping is a SUBSET of the registered group columns (a coarser
-  *     roll-up re-aggregates exactly: counts and long sums are
-  *     associative; min-of-mins / max-of-maxs are order-independent
-  *     for any type), every aggregate is `count(*)`, `sum(sumCol)`
-  *     with LONG result type, or `min/max(minMaxCol)` over a
-  *     registered maintained bound, no DISTINCT / FILTER clauses, and
-  *     every output type matches the view's bit-for-bit.
+  *   - every grouping expression is a DETERMINISTIC function of the
+  *     registered group columns — bare attrs (subset roll-up) or
+  *     expressions (`GROUP BY date_trunc('month', day)` over a
+  *     day-grained view): such an expression is constant within each
+  *     view row-group, so grouping by it commutes with the view's
+  *     pre-aggregation, and the coarser roll-up re-aggregates exactly
+  *     (counts and long sums associative; min-of-mins / max-of-maxs
+  *     order-independent for any type). Every aggregate is
+  *     `count(*)`, `sum(sumCol)` with LONG result type, or
+  *     `min/max(minMaxCol)` over a registered maintained bound, no
+  *     DISTINCT / FILTER clauses, and every output type matches the
+  *     view's bit-for-bit.
   *
   * The global (no GROUP BY) count re-folds as `coalesce(sum(n), 0)` —
   * an empty base must still answer 0, not NULL. Injected pre-CBO;
@@ -123,10 +128,15 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
 
   /** What the walk below the Aggregate found: the scan's index+root,
-    * exprId → physical column name/type, and the group-col filters to
-    * re-apply on the view. */
+    * exprId → physical column name/type, COMPUTED alias expressions
+    * resolved down to scan-level attrs (the optimizer's
+    * PullOutGroupingExpressions moves complex groupings into a
+    * Project below the Aggregate as `_groupingexpression#N` — the
+    * derived map lets [[build]] expand those back), and the filters
+    * to re-apply on the view. */
   private case class ScanInfo(root: Path, idx: GraftFileIndex,
                               colOf: Map[ExprId, (String, org.apache.spark.sql.types.DataType)],
+                              derived: Map[ExprId, Expression],
                               filters: Seq[Expression])
 
   private def rewrite(a: Aggregate): Option[LogicalPlan] =
@@ -155,21 +165,32 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case g: GraftFileIndex if !g.isNarrowed =>
           Some(ScanInfo(lr.relation.asInstanceOf[HadoopFsRelation].location
             .rootPaths.head, g,
-            lr.output.map(at => at.exprId -> (at.name, at.dataType)).toMap, fs))
+            lr.output.map(at => at.exprId -> (at.name, at.dataType)).toMap,
+            Map.empty, fs))
         case _ => None
       }
       case _ => None
     }
     case Project(projList, child) => walk(child, fs).flatMap { info =>
       val m = projList.flatMap {
-        case ar: AttributeReference => info.colOf.get(ar.exprId).map(ar.exprId -> _)
         case al @ Alias(ar: AttributeReference, _) =>
           info.colOf.get(ar.exprId).map(al.exprId -> _)
         case _ => None
       }.toMap
+      // COMPUTED aliases (incl. the optimizer's _groupingexpression#N
+      // pull-outs) record their defining expression resolved down to
+      // scan-level attrs, so translate() can expand them
+      val d = projList.flatMap {
+        case al @ Alias(e, _)
+            if !e.isInstanceOf[AttributeReference] && e.deterministic =>
+          Some(al.exprId -> e.transform {
+            case ar: AttributeReference => info.derived.getOrElse(ar.exprId, ar)
+          })
+        case _ => None
+      }.toMap
       // filters collected ABOVE this project reference the outer ids;
       // remap is implicit because colOf carries every live id
-      Some(info.copy(colOf = info.colOf ++ m))
+      Some(info.copy(colOf = info.colOf ++ m, derived = info.derived ++ d))
     }
     case f: Filter if f.condition.deterministic => walk(f.child, fs :+ f.condition)
     case SubqueryAlias(_, child) => walk(child, fs)
@@ -209,16 +230,22 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case ar: AttributeReference => info.colOf.get(ar.exprId).map(_._1)
       case _ => None
     }
-    // grouping: bare attrs, subset of the registered group columns
-    val groupPhys = a.groupingExpressions.map(physOf)
-    if (groupPhys.exists(_.isEmpty)) return None
-    val groupNames = groupPhys.flatten
-    if (!groupNames.forall(mv.groupCols.contains)) return None
-
-    // filters: every reference must be a group column
-    val translated = info.filters.map { cond =>
+    // Translate an expression onto the view: every referenced
+    // attribute must map to a REGISTERED GROUP COLUMN (such an
+    // expression is constant within each view row-group, so grouping
+    // or filtering by it commutes with the view's pre-aggregation —
+    // the soundness of both the expression-grouping roll-up, e.g.
+    // `GROUP BY date_trunc('month', day)` over a day-grained view,
+    // and the filter re-application).
+    def translate(e: Expression): Option[Expression] = {
+      // expand computed aliases (pulled-out grouping expressions)
+      // down to scan-level attrs first, then map those onto the view
+      val resolved = e.transform {
+        case ar: AttributeReference => info.derived.getOrElse(ar.exprId, ar)
+      }
+      if (!resolved.deterministic) return None
       var ok = true
-      val t = cond.transform {
+      val t = resolved.transform {
         case ar: AttributeReference =>
           info.colOf.get(ar.exprId).map(_._1) match {
             case Some(c) if mv.groupCols.contains(c) =>
@@ -231,6 +258,15 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       }
       if (ok) Some(t) else None
     }
+
+    // grouping: any deterministic expressions over group columns
+    val translatedGroups = a.groupingExpressions.map(translate)
+    if (translatedGroups.exists(_.isEmpty)) return None
+    val groupAliases = translatedGroups.flatten.zipWithIndex
+      .map { case (t, i) => Alias(t, s"__mvg_$i")() }
+
+    // filters: every reference must be a group column
+    val translated = info.filters.map(translate)
     if (translated.exists(_.isEmpty)) return None
     val filtered = translated.flatten
       .foldLeft(viewPlan)((p, c) => Filter(c, p))
@@ -240,11 +276,8 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
     // classify each original output; build synthetic agg aliases
     sealed trait Out
-    case class GroupOut(viewA: Attribute) extends Out
+    case class GroupOut(i: Int) extends Out
     case class AggOut(alias: Alias, isCount: Boolean) extends Out
-    val groupAttrSet = a.groupingExpressions.collect {
-      case ar: AttributeReference => ar.exprId
-    }.toSet
     var synths = Vector.empty[Alias]
     val outs: Seq[Option[Out]] = a.aggregateExpressions.map { ne =>
       val (core, origType) = ne match {
@@ -252,12 +285,11 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case other => (other, other.dataType)
       }
       core match {
-        case ar: AttributeReference if groupAttrSet.contains(ar.exprId) =>
-          for {
-            c <- info.colOf.get(ar.exprId).map(_._1)
-            va <- viewAttr(c)
-            if va.dataType == origType
-          } yield GroupOut(va)
+        // an output that IS one of the grouping expressions (bare
+        // attr or expression) projects that group's view-side alias
+        case e if a.groupingExpressions.exists(_.semanticEquals(e)) =>
+          val i = a.groupingExpressions.indexWhere(_.semanticEquals(e))
+          if (groupAliases(i).dataType == origType) Some(GroupOut(i)) else None
         case AggregateExpression(fn, _, false, None, _) => fn match {
           case Count(Seq(l: Literal)) if l.value != null =>
             val al = Alias(Sum(nAttr).toAggregateExpression(), s"__mv_${synths.size}")()
@@ -308,15 +340,14 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
     if (outs.exists(_.isEmpty)) return None
 
-    val groupingView: Seq[Attribute] = groupNames.flatMap(viewAttr)
-    if (groupingView.size != groupNames.size) return None
-    val agg2 = Aggregate(groupingView, groupingView ++ synths, filtered)
+    val agg2 = Aggregate(groupAliases.map(_.child),
+      (groupAliases: Seq[NamedExpression]) ++ synths, filtered)
 
     val projList: Seq[NamedExpression] = a.aggregateExpressions.zip(outs.flatten)
       .map { case (orig, out) =>
         val name = orig.name
         out match {
-          case GroupOut(va) => Alias(va, name)(exprId = orig.exprId)
+          case GroupOut(i) => Alias(groupAliases(i).toAttribute, name)(exprId = orig.exprId)
           case AggOut(al, isCount) =>
             val base: Expression =
               if (isCount && a.groupingExpressions.isEmpty)

@@ -157,6 +157,38 @@ class MvRewriteSpec extends AnyFunSuite {
     } finally MvRegistry.unregister(spark, base)
   }
 
+  test("EXPRESSION groupings over group columns roll up onto the view: " +
+    "GROUP BY f(groupCol) is constant within each view row-group") {
+    val (base, view) = fresh("exprgrp")
+    seed(base)
+    IncrementalAgg.refresh(spark, base, view, Seq("etype", "u10"), Seq("v"),
+      minMaxCols = Seq("v"))
+    MvRegistry.register(spark, base, view, Seq("etype", "u10"), Seq("v"),
+      minMaxCols = Seq("v"))
+    try {
+      // substring of a group col + arithmetic bucket of another
+      def q = ManifestTable.read(spark, base)
+        .groupBy(substring(col("etype"), 1, 1).as("e1"), (col("u10") % 3).as("ub"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"), max(col("v")).as("mx"))
+        .orderBy(col("e1"), col("ub"))
+      val (d1, r1, rows1) = run(q)
+      assert(d1 == 1 && !r1.exists(_.contains("/base")),
+        s"an expression grouping must rewrite onto the view: $r1")
+      assert(rows1 == truth(q))
+      // a grouping expression referencing a NON-group column backs off
+      def qbad = ManifestTable.read(spark, base)
+        .groupBy((col("id") % 2).as("parity")).agg(count(lit(1)).as("n"))
+      val (d2, r2, _) = run(qbad)
+      assert(d2 == 0 && r2.exists(_.contains("/base")),
+        "f(non-group col) is NOT constant within a view row-group")
+      // a nondeterministic grouping expression backs off
+      def qrand = ManifestTable.read(spark, base)
+        .groupBy((col("u10") + (rand() * 0)).as("g")).agg(count(lit(1)).as("n"))
+      val (d3, _, _) = run(qrand)
+      assert(d3 == 0, "nondeterministic groupings must not rewrite")
+    } finally MvRegistry.unregister(spark, base)
+  }
+
   test("several views per base: the rewrite picks the FIRST matching view " +
     "in registration order, and each query lands on a view that can serve it") {
     val (base, viewA) = fresh("multi")
