@@ -2544,6 +2544,123 @@ object ExtQueries {
       .orderBy(col("etype"))
   }
 
+  // ----------------------------------------------------------------
+  // q212_sql_rewrites — THE PURE SQL-TEXT SURFACE of the planner-rule
+  // block (q131's precedent, extended from functions to rules): every
+  // query below reaches the engine as a `spark.sql(...)` STRING over
+  // temp views — the BI-tool / notebook path — and each rule fires
+  // with zero API opt-in beyond view registration:
+  //   1. the grouped dashboard rewrites onto the IncrementalAgg view
+  //      (mv_sql: plan roots exclude the base),
+  //   2. the fact⋈dim JOIN rewrites onto the IncrementalJoin view
+  //      (join_sql: neither base scanned),
+  //   3. the global count/min/max WHERE day-range collapses to
+  //      committed footer stats (stats_sql: NO file scan at all).
+  // All values SQL-recomputed from `events` by the DuckDB oracle.
+  // ----------------------------------------------------------------
+  def q212SqlRewrites(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:q212_sql_rewrites") {
+      q212SqlRewritesBuild(spark, dir)
+    }
+
+  private def q212SqlRewritesBuild(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{IncrementalAgg, IncrementalJoin, ManifestTable}
+    import graft.plans.{MvJoinRegistry, MvRegistry}
+    def scanRoots(df: DataFrame): Set[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.rootPaths.head.toString
+          }
+      }.toSet
+    def hasScan(df: DataFrame): Boolean = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.nonEmpty
+    val ev = Tables.events(spark, dir).select(
+      col("event_id"), col("ts"),
+      date_trunc("day", col("ts")).cast("string").as("day"),
+      col("event_type").as("etype"), col("user_id"),
+      (col("user_id") % 10).as("u10"),
+      floor(col("value") * 1000).cast("long").as("v"))
+    val dimDf = Tables.events(spark, dir).select(col("user_id")).distinct()
+      .select(col("user_id"), concat(lit("sg-"), col("user_id") % 5).as("seg"),
+        (col("user_id") % 3).cast("string").as("pd"))
+    val root = java.nio.file.Files.createTempDirectory("graft_q212_").toString
+    val (base, aggV, dim, joinV) =
+      (root + "/base", root + "/aggv", root + "/dim", root + "/jv")
+    ManifestTable.merge(spark, base, ev, keys = Seq("event_id"),
+      partitionCol = "day", statsColumns = Seq("event_id", "ts", "user_id"))
+    ManifestTable.merge(spark, dim, dimDf, keys = Seq("user_id"), partitionCol = "pd")
+    IncrementalAgg.refresh(spark, base, aggV, Seq("etype", "u10"), Seq("v"))
+    IncrementalJoin.refresh(spark, base, dim, joinV, Seq("event_id"),
+      "user_id", "day")
+    MvRegistry.register(spark, base, aggV, Seq("etype", "u10"), Seq("v"))
+    MvJoinRegistry.register(spark, base, dim, joinV, "user_id")
+    ManifestTable.read(spark, base).createOrReplaceTempView("q212_base")
+    ManifestTable.read(spark, dim).createOrReplaceTempView("q212_dim")
+    // 1. grouped dashboard → IncrementalAgg view
+    val g = spark.sql("""SELECT etype, count(*) AS n, sum(v) AS sv
+      FROM q212_base WHERE u10 >= 4 GROUP BY etype ORDER BY etype""")
+    g.collect()
+    val mvSql = scanRoots(g).exists(_.endsWith("/aggv")) &&
+      !scanRoots(g).exists(_.endsWith("/base"))
+    // 2. fact⋈dim → IncrementalJoin view
+    val j = spark.sql("""SELECT seg, count(*) AS n
+      FROM q212_base JOIN q212_dim USING (user_id) GROUP BY seg""")
+    j.collect()
+    val joinSql = scanRoots(j).exists(_.endsWith("/jv")) &&
+      !scanRoots(j).exists(s => s.endsWith("/base") || s.endsWith("/dim"))
+    val jAgg = j.orderBy(col("seg")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // 3. global metadata aggregate under a day range
+    val day0 = ev.agg(min(col("day"))).collect()(0).getString(0)
+    val m = spark.sql(s"""SELECT count(*) AS n_meta, max(ts) AS mx_ts,
+      count(DISTINCT day) AS nd FROM q212_base WHERE day > '$day0'""")
+    m.collect()
+    val statsSql = !hasScan(m)
+    MvRegistry.unregister(spark, base)
+    MvJoinRegistry.unregister(spark, base, dim)
+    import spark.implicits._
+    val jDf = jAgg.toSeq.toDF("seg", "n_seg")
+    g.withColumn("mv_sql", lit(mvSql))
+      .withColumn("join_sql", lit(joinSql))
+      .withColumn("stats_sql", lit(statsSql))
+      .crossJoin(m)
+      .crossJoin(jDf)
+      .select(col("etype"), col("n"), col("sv"), col("seg"), col("n_seg"),
+        col("n_meta"), col("mx_ts"), col("nd"),
+        col("mv_sql"), col("join_sql"), col("stats_sql"))
+      .orderBy(col("etype"), col("seg"))
+  }
+
+  val q212SqlRewritesSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, ts, date_trunc('day', ts) AS day,
+      |    event_type AS etype, user_id, user_id % 10 AS u10,
+      |    CAST(floor(value * 1000) AS BIGINT) AS v
+      |  FROM events),
+      |g AS (
+      |  SELECT etype, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(v) AS BIGINT) AS sv
+      |  FROM ev WHERE u10 >= 4 GROUP BY etype),
+      |dim AS (
+      |  SELECT user_id, 'sg-' || CAST(user_id % 5 AS VARCHAR) AS seg
+      |  FROM (SELECT DISTINCT user_id FROM events)),
+      |j AS (
+      |  SELECT seg, CAST(count(*) AS BIGINT) AS n_seg
+      |  FROM ev JOIN dim USING (user_id) GROUP BY seg),
+      |m AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_meta, max(ts) AS mx_ts,
+      |    CAST(count(DISTINCT day) AS BIGINT) AS nd
+      |  FROM ev WHERE day > (SELECT min(day) FROM ev))
+      |SELECT g.etype, g.n, g.sv, j.seg, j.n_seg,
+      |  m.n_meta, m.mx_ts, m.nd,
+      |  TRUE AS mv_sql, TRUE AS join_sql, TRUE AS stats_sql
+      |FROM g CROSS JOIN j CROSS JOIN m
+      |ORDER BY g.etype, j.seg""".stripMargin
+
   val q211MvMinmaxSql: String =
     """WITH baseev AS (
       |  SELECT event_id, ts, event_type AS etype,
