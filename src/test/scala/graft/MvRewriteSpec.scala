@@ -189,6 +189,25 @@ class MvRewriteSpec extends AnyFunSuite {
     } finally MvRegistry.unregister(spark, base)
   }
 
+  test("the SQL parser path: a GROUP BY substring(...) roll-up through " +
+    "spark.sql text rewrites onto the view") {
+    val (base, view) = fresh("sqlexpr")
+    seed(base)
+    IncrementalAgg.refresh(spark, base, view, Seq("etype", "u10"), Seq("v"))
+    MvRegistry.register(spark, base, view, Seq("etype", "u10"), Seq("v"))
+    try {
+      ManifestTable.read(spark, base).createOrReplaceTempView("mv_sqlexpr")
+      def q = spark.sql("""SELECT substring(etype, 1, 2) AS e2,
+        count(*) AS n, sum(v) AS sv
+        FROM mv_sqlexpr WHERE u10 < 8 GROUP BY substring(etype, 1, 2)
+        ORDER BY e2""")
+      val (d, r, rows) = run(q)
+      assert(d == 1 && !r.exists(_.contains("/base")),
+        s"the parsed expression grouping must rewrite: $r")
+      assert(rows == truth(q))
+    } finally MvRegistry.unregister(spark, base)
+  }
+
   test("several views per base: the rewrite picks the FIRST matching view " +
     "in registration order, and each query lands on a view that can serve it") {
     val (base, viewA) = fresh("multi")
