@@ -225,6 +225,31 @@ class StatsAggSpec extends AnyFunSuite {
     assert(d4 == 0 && s4 && rr4.head.getLong(0) == 6L)
   }
 
+  test("metadata aggregates survive a metadata-only column RENAME (stats " +
+    "re-key to physical names; the rename Project maps back) and a compact " +
+    "falls back by plan shape with unchanged values") {
+    val path = freshPath("rename")
+    seed(path)
+    ManifestTable.renameColumn(spark, path, "x", "x2")
+    val agg = ManifestTable.read(spark, path).agg(
+      count(lit(1)).as("n"), count(col("x2")).as("nx"),
+      min(col("x2")).as("mn"), max(col("x2")).as("mx"))
+    val (d1, s1, r1) = run(agg)
+    assert(d1 == 1 && !s1, "renamed column must still answer from metadata")
+    assert(r1.head.getLong(0) == 6L && r1.head.getLong(1) == 3L &&
+      r1.head.getLong(2) == 7L && r1.head.getLong(3) == 42L, s"$r1")
+    // compaction folds every partition into ONE shared dir; entries
+    // carry their PER-KEY stats forward verbatim, and the reader's
+    // shared-dir row filter is itself a pcol-IN conjunct — so the
+    // single-branch compacted table STAYS metadata-only, exactly
+    ManifestTable.compact(spark, path, "day")
+    val (d2, s2, r2) = run(ManifestTable.read(spark, path).agg(
+      count(lit(1)).as("n"), max(col("x2")).as("mx")))
+    assert(d2 == 1 && !s2 && r2.head.getLong(0) == 6L && r2.head.getLong(1) == 42L,
+      "a fully-compacted table keeps the fast path: per-key stats are " +
+        "carried verbatim and stale co-tenant rows are not entries")
+  }
+
   test("merges keep the fast path honest: new partitions and rewritten " +
     "partitions re-answer from the NEW snapshot's stats") {
     val path = freshPath("evolve")
