@@ -373,4 +373,54 @@ object Curate {
       .filter(col("__r") <= maxPerDomain)
       .drop("__r")
   }
+
+  /** CROSS-DOCUMENT line dedup — the CCNet/RefinedWeb boilerplate
+    * removal step: a LINE whose normalized form appears in at least
+    * `minDocs` DISTINCT documents is boilerplate (cookie banners,
+    * nav menus, "subscribe" footers — the page furniture that
+    * dominates web text verbatim) and is dropped from EVERY document;
+    * each document's text is rebuilt from its surviving lines in
+    * original order (original raw bytes, only whole lines removed).
+    * Normalization is [[Dedup.normalized]] (lowercase, whitespace
+    * collapse) so trivially re-spaced furniture still matches; empty
+    * (all-whitespace) lines are never counted as boilerplate and
+    * always survive.
+    *
+    * Returns one row per input document: `idCol`, the rebuilt
+    * `textCol`, and `n_removed_lines`. A document whose every line
+    * was boilerplate survives with empty text (callers filter).
+    *
+    * Scale: three keyed exchanges, none corpus-quadratic — (1) the
+    * frequency aggregate on the normalized line (partial map-side
+    * combine; its OUTPUT, the boilerplate set, is small by the
+    * nature of the threshold), (2) a LEFT ANTI join of lines against
+    * that set (AQE broadcasts it when it fits), (3) the per-document
+    * reassembly groupBy. Line text must travel to its document's
+    * reducer for reassembly, so the anti-join keys on the normalized
+    * line directly; at extreme scale key it on xxhash64 instead and
+    * accept the 2⁻⁶⁴ collision. */
+  def dropBoilerplateLines(docs: DataFrame, minDocs: Int,
+                           idCol: String = "doc_id",
+                           textCol: String = "text"): DataFrame = {
+    require(minDocs >= 2, s"dropBoilerplateLines: need minDocs >= 2, got $minDocs")
+    val lines = docs
+      .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+      .withColumn("__key", Dedup.normalized(col("__line")))
+    val boiler = lines.filter(col("__key") =!= "")
+      .groupBy(col("__key"))
+      .agg(count_distinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select("__key")
+    val kept = lines.join(boiler, Seq("__key"), "left_anti")
+    val rebuilt = kept.groupBy(col(idCol)).agg(
+      concat_ws("\n", transform(
+        array_sort(collect_list(struct(col("__pos"), col("__line")))),
+        s => s.getField("__line"))).as("__text"),
+      count(lit(1)).as("__kept"))
+    val totals = lines.groupBy(col(idCol)).agg(count(lit(1)).as("__n_lines"))
+    totals.join(rebuilt, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("__text"), lit("")).as(textCol),
+        (col("__n_lines") - coalesce(col("__kept"), lit(0L))).as("n_removed_lines"))
+  }
 }

@@ -16,6 +16,120 @@ object TextAnalysis {
   def tokenCount(text: Column): Column =
     size(split(Dedup.normalized(text), " "))
 
+  /** The SEARCH tokenizer's split pattern: maximal `[a-z0-9]` runs of
+    * the lowercased text are tokens; everything else is a separator.
+    * Deliberately punctuation-insensitive (a keyword probe should hit
+    * "alert," and "alert!" alike) — the same token definition
+    * ClickHouse's `tokenbf_v1` skipping index uses — and therefore a
+    * DIFFERENT stream than the whitespace tokens BM25 ranks on
+    * ([[tokenCount]]/`tokenStream`), where punctuation stays attached.
+    * This exact string is part of the on-disk token-bloom contract:
+    * [[graft.ops.ManifestTable]] builds per-dir token blooms over
+    * `split(lower(col), TokenSplitRe)` and
+    * [[graft.ops.GraftFileIndex]] recognizes the [[tokenMatch]]
+    * expression tree by matching this literal. */
+  val TokenSplitRe: String = "[^a-z0-9]+"
+
+  /** Whole-token keyword search: true iff `token` appears as a
+    * maximal alphanumeric run in `text` (case-insensitive). Built as
+    * `array_contains(split(lower(text), TokenSplitRe), token)` — a
+    * codegen'd built-in chain, and the EXACT expression shape
+    * [[graft.ops.GraftFileIndex]] prunes dirs on when the manifest
+    * carries a committed token bloom for the column
+    * (`ManifestTable.merge(tokenBloomColumns = …)`). At 100 TB a
+    * keyword probe over a token-indexed corpus touches only dirs
+    * whose bloom might contain the token — the scan never sees the
+    * rest. `token` must be a non-empty lowercase alphanumeric run
+    * (anything else can never equal a split element). */
+  def tokenMatch(text: Column, token: String): Column = {
+    require(token.nonEmpty && token.forall(c => (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')),
+      s"tokenMatch: token must be a non-empty lowercase [a-z0-9]+ run, got '$token'")
+    array_contains(split(lower(text), TokenSplitRe), token)
+  }
+
+  /** ANY-of keyword search: true iff at least one of `tokens` appears
+    * as a whole token in `text` — the keyword-list filter (denylist
+    * scan, topic probe). Built as `arrays_overlap` over the same
+    * split, and pruned by [[graft.ops.GraftFileIndex]] through the
+    * committed token bloom: a dir is opened only when the bloom might
+    * hold AT LEAST ONE of the tokens. AND-of-keywords needs no
+    * helper — `tokenMatch(a) && tokenMatch(b)` prunes per conjunct. */
+  def tokenMatchAny(text: Column, tokens: Seq[String]): Column = {
+    require(tokens.nonEmpty, "tokenMatchAny: empty token list")
+    tokens.foreach(t => require(
+      t.nonEmpty && t.forall(c => (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')),
+      s"tokenMatchAny: tokens must be non-empty lowercase [a-z0-9]+ runs, got '$t'"))
+    arrays_overlap(split(lower(text), TokenSplitRe), typedLit(tokens))
+  }
+
+  /** GOPHER-STYLE REPETITION SIGNALS (Rae et al. 2021 §A1.1) — the
+    * quality-filter family that catches degenerate/templated text the
+    * length/punct scorers miss. One row per document:
+    *   - `n_lines` — nonempty (trimmed) line count;
+    *   - `dup_line_frac_e6` — fraction of lines whose exact trimmed
+    *     content repeats within the document
+    *     (`(n_lines − n_distinct) / n_lines`);
+    *   - `dup_line_char_frac_e6` — fraction of line characters in the
+    *     REPEATED occurrences (`Σ (cnt−1)·len / Σ cnt·len`);
+    *   - `top_bigram_char_frac_e6` — fraction of the tokenized text's
+    *     characters covered by the single most frequent word bigram
+    *     (`cnt · len(bigram) / len(tokens joined by ' ')`; ties break
+    *     to the lexicographically smallest bigram).
+    * All ratios are floor-quantized to integer MICRO-units via `div`
+    * (truncating integer division — engine-portable exactly, the
+    * q119/q208 idiom). Documents with no qualifying lines/bigrams
+    * report 0.
+    *
+    * Scale: two per-document aggregations and one per-document window
+    * (row_number → WindowGroupLimit) — every exchange is doc-keyed,
+    * nothing corpus-pairwise. */
+  def repetitionSignals(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lineGroups = docs
+      .select(col(idCol), explode(split(col(textCol), "\n")).as("__raw"))
+      .withColumn("__content", trim(col("__raw")))
+      .filter(col("__content") =!= "")
+      .groupBy(col(idCol), col("__content"))
+      .agg(count(lit(1)).as("__cnt"), length(col("__content")).cast("long").as("__len"))
+    val lineSig = lineGroups.groupBy(col(idCol))
+      .agg(sum(col("__cnt")).as("n_lines"),
+        count(lit(1)).as("__ndist"),
+        sum((col("__cnt") - 1) * col("__len")).as("__dup"),
+        sum(col("__cnt") * col("__len")).as("__tot"))
+      .select(col(idCol), col("n_lines"),
+        expr("CAST((1000000 * (n_lines - __ndist)) div n_lines AS BIGINT)")
+          .as("dup_line_frac_e6"),
+        expr("CAST((1000000 * __dup) div __tot AS BIGINT)")
+          .as("dup_line_char_frac_e6"))
+    val toks = filter(
+      split(regexp_replace(lower(col(textCol)), "[^a-z0-9]+", " "), " "),
+      t => t =!= "")
+    val grams = docs.select(col(idCol), toks.as("__ts"))
+      .withColumn("__den", length(array_join(col("__ts"), " ")).cast("long"))
+      .where(size(col("__ts")) >= 2)
+      .select(col(idCol), col("__den"), explode(transform(
+        sequence(lit(0), size(col("__ts")) - 2),
+        i => concat(element_at(col("__ts"), i + 1), lit(" "),
+          element_at(col("__ts"), i + 2)))).as("__g"))
+      .groupBy(col(idCol), col("__den"), col("__g"))
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__c").desc, col("__g").asc)
+    val topSig = grams.withColumn("__r", row_number().over(w))
+      .filter(col("__r") === 1)
+      .select(col(idCol),
+        expr("CAST((1000000 * __c * length(__g)) div __den AS BIGINT)")
+          .as("top_bigram_char_frac_e6"))
+    docs.select(col(idCol)).distinct()
+      .join(lineSig, Seq(idCol), "left_outer")
+      .join(topSig, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("dup_line_frac_e6"), lit(0L)).as("dup_line_frac_e6"),
+        coalesce(col("dup_line_char_frac_e6"), lit(0L)).as("dup_line_char_frac_e6"),
+        coalesce(col("top_bigram_char_frac_e6"), lit(0L)).as("top_bigram_char_frac_e6"))
+  }
+
   /** BPE-ish subword count: runs of alphanumerics or single
     * non-alphanumeric marks (≈ a GPT-style pre-tokenizer's word/punct
     * split; the real merge table isn't needed for a count heuristic). */

@@ -60,7 +60,8 @@ object GraftFileIndex {
                              strStats: Map[String, (String, String)] = Map.empty,
                              nullCounts: Map[String, Long] = Map.empty,
                              rowCount: Option[Long] = None,
-                             key: Option[String] = None)
+                             key: Option[String] = None,
+                             tokBlooms: Map[String, String] = Map.empty)
 
   /** One data dir with the entries that reference it (several after
     * compaction folds partitions into a shared dir). */
@@ -383,6 +384,43 @@ final class GraftFileIndex(tableRoot: Path,
     case LessThanOrEqual(l: Literal, TruncTs(a, u, z)) => // trunc >= T ⇔ ts >= (al ? lo : hi)
       truncWin(u, z, l, en.stats.get(a.name)).exists {
         case (_, mx, lo, hi, al) => mx < (if (al) lo else hi) }
+    // ---- tokenMatch(text, 'tok') against a committed TOKEN bloom ---
+    // graft.ext.TextAnalysis.tokenMatch builds EXACTLY
+    // `array_contains(split(lower(col), TokenSplitRe), 'tok')`; a dir
+    // whose committed token bloom proves the token absent from every
+    // row's token stream is excluded (no false negatives — every
+    // distinct token of every row was inserted at commit). Guarded on
+    // the literal being a real token: a non-[a-z0-9]+ literal can
+    // never equal a split element, but pruning on it would be a
+    // semantics claim the bloom doesn't make — keep instead.
+    case ArrayContains(
+        StringSplit(Lower(a: AttributeReference),
+          Literal(re, StringType), Literal(-1, IntegerType)),
+        Literal(tok, StringType))
+        if re != null && tok != null &&
+          re.toString == graft.ext.TextAnalysis.TokenSplitRe => {
+      val t = tok.toString
+      t.nonEmpty && t.forall(c => (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) &&
+        en.tokBlooms.get(a.name)
+          .exists(p => !ManifestTable.bloomContains(p, t))
+    }
+    // tokenMatchAny(text, toks): excluded only when the bloom proves
+    // EVERY probe token absent. Conservative guard: every element must
+    // be a real [a-z0-9]+ token, else no pruning.
+    case ArraysOverlap(
+        StringSplit(Lower(a: AttributeReference),
+          Literal(re, StringType), Literal(-1, IntegerType)),
+        Literal(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+          ArrayType(StringType, _)))
+        if re != null && re.toString == graft.ext.TextAnalysis.TokenSplitRe => {
+      val toks = (0 until arr.numElements()).map(i =>
+        if (arr.isNullAt(i)) null else arr.getUTF8String(i).toString)
+      toks.nonEmpty &&
+        toks.forall(t => t != null && t.nonEmpty &&
+          t.forall(c => (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9'))) &&
+        en.tokBlooms.get(a.name)
+          .exists(p => toks.forall(t => !ManifestTable.bloomContains(p, t)))
+    }
     case _ => false
   }
 

@@ -171,7 +171,8 @@ object ManifestTable {
       else m.copy(stats = m.stats.map { case (k, v) => physOf(k) -> v },
         blooms = m.blooms.map { case (k, v) => physOf(k) -> v },
         strStats = m.strStats.map { case (k, v) => physOf(k) -> v },
-        nullCounts = m.nullCounts.map { case (k, v) => physOf(k) -> v })
+        nullCounts = m.nullCounts.map { case (k, v) => physOf(k) -> v },
+        tokBlooms = m.tokBlooms.map { case (k, v) => physOf(k) -> v })
     def metasOf(entries: Seq[(String, String)]): Seq[GraftFileIndex.DirMeta] = {
       val main = entries.groupBy(e => dirOf(e._2)).toSeq.sortBy(_._1).map {
         case (d, es) =>
@@ -307,10 +308,16 @@ object ManifestTable {
             props: Map[String, String] = Map.empty,
             knownTouched: Option[Set[String]] = None,
             bloomColumns: Seq[String] = Nil,
-            bloomBits: Int = 8192): Unit =
+            bloomBits: Int = 8192,
+            tokenBloomColumns: Seq[String] = Nil,
+            tokenBloomBits: Int = 16384,
+            kmvColumns: Seq[String] = Nil,
+            kmvK: Int = 256): Unit =
     mergeCore(spark, path, incoming, keys, partitionCol, preserveExisting,
       retainVersions, statsColumns, replaceTouched, props, knownTouched,
-      bloomColumns, bloomBits, bucketSpec = None)
+      bloomColumns, bloomBits, bucketSpec = None,
+      tokenBloomColumns = tokenBloomColumns, tokenBloomBits = tokenBloomBits,
+      kmvColumns = kmvColumns, kmvK = kmvK)
 
   /** [[merge]] into a BUCKET-SPECCED manifest table: rows are written
     * pre-hashed into `nBuckets` files per partition dir on `bucketCol`
@@ -367,7 +374,11 @@ object ManifestTable {
                         knownTouched: Option[Set[String]],
                         bloomColumns: Seq[String],
                         bloomBits: Int,
-                        bucketSpec: Option[(String, Int)]): Unit = {
+                        bucketSpec: Option[(String, Int)],
+                        tokenBloomColumns: Seq[String] = Nil,
+                        tokenBloomBits: Int = 16384,
+                        kmvColumns: Seq[String] = Nil,
+                        kmvK: Int = 256): Unit = {
     require(retainVersions >= 1, s"retainVersions must be >= 1, got $retainVersions")
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     requireBucketAgreement(spark, path, bucketSpec, "merge")
@@ -442,13 +453,32 @@ object ManifestTable {
     // those, then re-key the committed items to CURRENT names (the
     // names zone-map/bloom lookups use).
     val physToCur = colmap.map(_.swap)
-    val blooms =
-      if (bloomColumns.isEmpty || newEntries.isEmpty) Map.empty[String, Seq[String]]
-      else collectBlooms(spark.read.parquet(s"$path/$batch"), partitionCol,
-        bloomColumns.map(c => colmap.getOrElse(c, c)), bloomBits)
+    // CHECK-constraint enforcement ([[addConstraint]]): validate the
+    // just-written batch — the only rows whose values are new — under
+    // CURRENT names, BEFORE anything commits. A refusal leaves the
+    // batch dir as unreferenced residue the next merge sweeps.
+    if (newEntries.nonEmpty && constraintsOf(effProps).nonEmpty) {
+      val b = spark.read.parquet(s"$path/$batch")
+      val curNames = b.columns.filterNot(_ == "__pdir")
+        .map(c => col(c).as(physToCur.getOrElse(c, c)))
+      checkConstraints(b.select(curNames.toSeq: _*), effProps, "merge")
+    }
+    def collected(cols: Seq[String])
+                 (build: Seq[String] => Map[String, Seq[String]]): Map[String, Seq[String]] =
+      if (cols.isEmpty || newEntries.isEmpty) Map.empty[String, Seq[String]]
+      else build(cols.map(c => colmap.getOrElse(c, c)))
         .view.mapValues(items => rekeyItems(items, physToCur)).toMap
+    lazy val batchDf = spark.read.parquet(s"$path/$batch")
+    val blooms = collected(bloomColumns)(
+      cs => collectBlooms(batchDf, partitionCol, cs, bloomBits))
+    val tokItems = collected(tokenBloomColumns)(
+      cs => collectTokenBlooms(batchDf, partitionCol, cs, tokenBloomBits))
+    val kmvItems = collected(kmvColumns)(
+      cs => collectKmv(batchDf, partitionCol, cs, kmvK))
+    val indexItems = (blooms.toSeq ++ tokItems.toSeq ++ kmvItems.toSeq)
+      .groupBy(_._1).view.mapValues(_.flatMap(_._2).toSeq).toMap
     commitPlan(fs, plan, partitionCol, newEntries, retainVersions,
-      statsColumns.map(c => colmap.getOrElse(c, c)), effProps, blooms, physToCur)
+      statsColumns.map(c => colmap.getOrElse(c, c)), effProps, indexItems, physToCur)
   }
 
   /** One incoming batch per table (a [[mergeMany]] element): the table
@@ -819,6 +849,10 @@ object ManifestTable {
       val i = item.indexOf(s"$BloomTag=")
       item.substring(0, i) -> item.substring(i + BloomTag.length + 1)
     }.toMap
+    val tokBlooms = items.iterator.filter(_.contains(s"$TokBloomTag=")).map { item =>
+      val i = item.indexOf(s"$TokBloomTag=")
+      item.substring(0, i) -> item.substring(i + TokBloomTag.length + 1)
+    }.toMap
     val nulls = items.iterator.filter(_.contains(s"$NullsTag=")).flatMap { item =>
       val i = item.indexOf(s"$NullsTag=")
       try Some(item.substring(0, i) -> item.substring(i + NullsTag.length + 1).toLong)
@@ -829,7 +863,8 @@ object ManifestTable {
         it.substring(RowCountKey.length + 1).toLong
     }
     val zoneItems = items.iterator
-      .filterNot(it => it.contains(s"$BloomTag=") || it.contains(s"$NullsTag="))
+      .filterNot(it => it.contains(s"$BloomTag=") || it.contains(s"$NullsTag=") ||
+        it.contains(s"$TokBloomTag=") || it.contains(s"$KmvTag="))
       .mkString(";")
     val (stats, strStats) = zoneItems match {
       case "" => (Map.empty[String, (BigDecimal, BigDecimal)],
@@ -838,7 +873,8 @@ object ManifestTable {
     }
     GraftFileIndex.EntryMeta(stats, blooms,
       prunable = auxRefsOf(entryValue).isEmpty,
-      strStats = strStats, nullCounts = nulls, rowCount = rows)
+      strStats = strStats, nullCounts = nulls, rowCount = rows,
+      tokBlooms = tokBlooms)
   }
 
   /** Merge footer min/max AND null counts for `cols` across every
@@ -1035,6 +1071,27 @@ object ManifestTable {
 
   private val BloomHashes = 4
   private val BloomTag = "!bloom"
+  /** Suffix-item tag for a TOKEN bloom (`col!tokbf=k:m:<hex>`): the
+    * same packed-word md5 bloom as `!bloom`, built over the DISTINCT
+    * lowercased `[a-z0-9]+` tokens of a text column rather than its
+    * whole values — ClickHouse's `tokenbf_v1` skipping index, at dir
+    * granularity. [[GraftFileIndex]] prunes on it when the pushed
+    * predicate is [[graft.ext.TextAnalysis.tokenMatch]]'s expression
+    * shape: a keyword search over a token-indexed 100 TB corpus opens
+    * only dirs whose bloom might contain the token. Same payload
+    * format as `!bloom`, so [[bloomContains]] probes both. */
+  private[ops] val TokBloomTag = "!tokbf"
+  /** Suffix-item tag for a KMV distinct sketch (`col!kmv=<k>:<hex…>`,
+    * hex… = the dir's bottom-`k` DISTINCT 64-bit md5 value hashes as
+    * sorted fixed-width 16-char hex, concatenated). The bottom-k /
+    * K-Minimum-Values estimator (Bar-Yossef et al. 2002; the Theta
+    * sketch's core): sketches merge by union-then-keep-k, so
+    * [[approxDistinct]] answers COUNT(DISTINCT col) over the whole
+    * table METADATA-ONLY — O(dirs·k) driver work, zero files read —
+    * the same scale class as the manifest itself. Engine-portable by
+    * construction (md5 of the CAST-to-string value; an oracle rebuilds
+    * the identical sketch in SQL). */
+  private[ops] val KmvTag = "!kmv"
   /** Zone-map kind marker for string bounds (`col=s:<b64>:<b64>`). */
   private[ops] val StrStatKind = "s"
   /** Suffix-item tag for a column's null count (`col!nulls=<n>`). */
@@ -1207,6 +1264,86 @@ object ManifestTable {
     (refs.size.toLong, refs.map(_._1).sum)
   }
 
+  /** [[approxDistinct]]'s answer. `exact` is TRUE when the merged
+    * union held fewer than `k` hashes — then EVERY dir's sketch was
+    * its complete hash set, so the union is the complete corpus hash
+    * set and the estimate is the true distinct count (modulo 64-bit
+    * md5 collisions, ~n²/2⁶⁵ — negligible below billions of values). */
+  final case class DistinctEstimate(estimate: Long, exact: Boolean,
+                                    k: Int, dirs: Long)
+
+  /** The KMV payload (`k`, sorted 16-hex-char hashes) a manifest
+    * entry carries for `column`, if any. */
+  private def kmvOf(entryValue: String, column: String): Option[(Int, Seq[String])] =
+    statsOf(entryValue).flatMap(_.split(';').iterator
+      .find(_.startsWith(s"$column$KmvTag="))
+      .map { item =>
+        val payload = item.substring(item.indexOf('=') + 1)
+        val i = payload.indexOf(':')
+        require(i > 0, s"ManifestTable: corrupt kmv payload for $column")
+        val hex = payload.substring(i + 1)
+        require(hex.length % 16 == 0,
+          s"ManifestTable: corrupt kmv payload for $column (hex length ${hex.length})")
+        (payload.substring(0, i).toInt, hex.grouped(16).toSeq)
+      })
+
+  /** METADATA-ONLY approximate `COUNT(DISTINCT column)` over the
+    * table (optionally a partition subset): merges the per-dir KMV
+    * sketches committed by `merge(kmvColumns = …)` — union the
+    * bottom-k hash sets, keep the k smallest, estimate
+    * `(k−1)·2⁶⁴ / h_k` (the classic bottom-k estimator, Bar-Yossef
+    * et al. 2002; relative error ≈ 1/√k, ~6% at the k=256 default).
+    * ZERO files are read — O(dirs·k) driver-side string work, the
+    * same scale class as reading the manifest — so at 100 TB this is
+    * the difference between an instant answer and a full-table
+    * shuffle. All arithmetic is exact BigInt (truncating division),
+    * reproducible verbatim by an external engine (DuckDB HUGEINT) —
+    * the q214 oracle rebuilds the identical sketch and estimate from
+    * the raw rows.
+    *
+    * Honesty rules: REFUSES when any selected entry lacks a committed
+    * sketch for `column` (a partial answer would silently undercount)
+    * or carries pending merge-on-read state (a DV'd row is still in
+    * its dir's sketch and an appendix row is in none — fold first;
+    * the same posture [[fastCount]] takes the subtraction path for,
+    * but a distinct count has no subtraction). Deleting dirs via
+    * compaction is safe — entries carry their sketches forward
+    * verbatim, and a sketch union is insensitive to re-grouping. */
+  def approxDistinct(spark: SparkSession, path: String, column: String,
+                     partitionFilter: String => Boolean = _ => true): DistinctEstimate = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = latestVersion(fs, path).getOrElse(
+      sys.error(s"ManifestTable.approxDistinct: no manifest under $path/$ManifestDir"))
+    val entries = dataEntries(readManifest(fs, path, v)).filter(e => partitionFilter(e._1))
+    entries.foreach { case (kPart, value) =>
+      require(dvRefOf(value).isEmpty && auxRefsOf(value).isEmpty,
+        s"ManifestTable.approxDistinct: entry $kPart carries pending merge-on-read " +
+          "state (DV or update appendix) the committed sketches do not reflect — " +
+          "run compact/maybeFoldMoR first")
+    }
+    val payloads = entries.map { case (kPart, value) =>
+      kmvOf(value, column).getOrElse(sys.error(
+        s"ManifestTable.approxDistinct: entry $kPart has no committed KMV sketch " +
+          s"for $column — merge with kmvColumns = Seq(\"$column\")"))
+    }
+    if (payloads.isEmpty) DistinctEstimate(0L, exact = true, 0, 0L)
+    else {
+      val ks = payloads.map(_._1).distinct
+      require(ks.size == 1,
+        s"ManifestTable.approxDistinct: mixed sketch sizes ${ks.mkString(", ")}")
+      val k = ks.head
+      val union = payloads.iterator.flatMap(_._2).toSeq.distinct.sorted
+      if (union.size < k)
+        DistinctEstimate(union.size.toLong, exact = true, k, entries.size.toLong)
+      else {
+        val hk = BigInt(union(k - 1), 16)
+        val est = (BigInt(k - 1) << 64) / hk
+        DistinctEstimate(if (est.isValidLong) est.toLong else Long.MaxValue,
+          exact = false, k, entries.size.toLong)
+      }
+    }
+  }
+
   /** Per-partition packed bloom filters for `cols` over the written
     * batch, as manifest suffix items — ONE Spark job for all columns
     * (column-pruned scan of the batch). Bounded collect:
@@ -1215,13 +1352,48 @@ object ManifestTable {
   private def collectBlooms(batchDf: DataFrame, partitionCol: String,
                             cols: Seq[String], mBits: Int): Map[String, Seq[String]] = {
     require(mBits % 32 == 0 && mBits > 0, s"bloomBits must be a positive multiple of 32, got $mBits")
-    val words = mBits / 32
     val posFrames = cols.map { c =>
       batchDf.filter(col(c).isNotNull)
         .select(col(partitionCol).cast("string").as("__p"), lit(c).as("__c"),
           explode(array((0 until BloomHashes).map(j =>
             graft.ext.Sketches.bloomPos(col(c), j, mBits)): _*)).as("__pos"))
     }
+    packPosItems(posFrames, mBits, BloomTag)
+  }
+
+  /** Per-partition TOKEN blooms ([[TokBloomTag]]) for text columns
+    * `cols`: the bloom is built over the dir's DISTINCT lowercased
+    * `[a-z0-9]+` tokens ([[graft.ext.TextAnalysis.TokenSplitRe]] — the
+    * same stream [[graft.ext.TextAnalysis.tokenMatch]] probes), so a
+    * keyword search prunes dirs through [[GraftFileIndex]]. The
+    * distinct-per-dir pass bounds the insert count at the dir's
+    * VOCABULARY (not its token count); size `mBits` to that — the
+    * 16384-bit default holds FP < 1% to ~1700 distinct tokens/dir. */
+  private def collectTokenBlooms(batchDf: DataFrame, partitionCol: String,
+                                 cols: Seq[String], mBits: Int): Map[String, Seq[String]] = {
+    require(mBits % 32 == 0 && mBits > 0,
+      s"tokenBloomBits must be a positive multiple of 32, got $mBits")
+    val posFrames = cols.map { c =>
+      batchDf.filter(col(c).isNotNull)
+        .select(col(partitionCol).cast("string").as("__p"),
+          explode(split(lower(col(c)), graft.ext.TextAnalysis.TokenSplitRe)).as("__t"))
+        .filter(col("__t") =!= "")
+        .distinct()
+        .select(col("__p"), lit(c).as("__c"),
+          explode(array((0 until BloomHashes).map(j =>
+            graft.ext.Sketches.bloomPos(col("__t"), j, mBits)): _*)).as("__pos"))
+    }
+    packPosItems(posFrames, mBits, TokBloomTag)
+  }
+
+  /** Shared bloom packer: `(dir, col, bit-position)` frames →
+    * `col<tag>=k:m:<hex>` manifest items. ONE Spark job for all
+    * columns of one tag family; bounded collect of
+    * O(partitions × mBits/32) small rows — the same driver-side scale
+    * class as the manifest itself. */
+  private def packPosItems(posFrames: Seq[DataFrame], mBits: Int,
+                           tag: String): Map[String, Seq[String]] = {
+    val words = mBits / 32
     val packed = posFrames.reduce(_ unionAll _)
       .select(col("__p"), col("__c"),
         floor(col("__pos") / 32).cast("int").as("__w"),
@@ -1232,7 +1404,35 @@ object ManifestTable {
     packed.groupBy(r => (r.getString(0), r.getString(1))).map { case ((p, c), rows) =>
       val arr = Array.fill(words)(0L)
       rows.foreach(r => arr(r.getInt(2)) = r.getLong(3))
-      (p, c, s"$c$BloomTag=$BloomHashes:$mBits:${arr.map(w => f"$w%08x").mkString}")
+      (p, c, s"$c$tag=$BloomHashes:$mBits:${arr.map(w => f"$w%08x").mkString}")
+    }.toSeq.groupBy(_._1).view.mapValues(_.map(_._3).toSeq).toMap
+  }
+
+  /** Per-partition KMV (bottom-k) distinct sketches ([[KmvTag]]) for
+    * `cols`: the dir's `k` smallest DISTINCT 64-bit md5 value hashes,
+    * kept as sorted fixed-width hex (lexicographic == numeric for
+    * fixed-width lowercase hex, so strings sort correctly end to
+    * end). One distinct + one window per batch; the window ranks
+    * within (dir, col) and the filter keeps ≤ k rows per group, so
+    * the collect is bounded at O(dirs × cols × k). */
+  private def collectKmv(batchDf: DataFrame, partitionCol: String,
+                         cols: Seq[String], k: Int): Map[String, Seq[String]] = {
+    require(k >= 16 && k <= 4096, s"kmvK must be in [16, 4096], got $k")
+    val hFrames = cols.map { c =>
+      batchDf.filter(col(c).isNotNull)
+        .select(col(partitionCol).cast("string").as("__p"), lit(c).as("__c"),
+          substring(md5(col(c).cast("string")), 1, 16).as("__h"))
+        .distinct()
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__p"), col("__c")).orderBy(col("__h"))
+    val rows = hFrames.reduce(_ unionAll _)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .collect()
+    rows.groupBy(r => (r.getString(0), r.getString(1))).map { case ((p, c), rs) =>
+      val hex = rs.sortBy(_.getInt(3)).map(_.getString(2)).mkString
+      (p, c, s"$c$KmvTag=$k:$hex")
     }.toSeq.groupBy(_._1).view.mapValues(_.map(_._3).toSeq).toMap
   }
 
@@ -2620,6 +2820,9 @@ object ManifestTable {
       df.withColumn(c, col(s"__upd_$i"))
     }.drop(staged.map { case (_, i) => s"__upd_$i" }: _*)
       .drop(FileKeyCol, RowPosCol)
+    // CHECK constraints apply to the updated values too — an UPDATE
+    // must not be a constraint side door (Delta enforces the same).
+    checkConstraints(updatedDf, propsOf(lines), "updateWhereMoR")
     val auxBatch = s"$DataDir/aux-${java.util.UUID.randomUUID()}"
     // Appendix files keep the table's PHYSICAL names uniform.
     toPhysical(updatedDf, renameMapOf(propsOf(lines)))
@@ -3081,13 +3284,115 @@ object ManifestTable {
   val ZOrderBitsProp = "zorder.bits"
   val ZOrderSplitsProp = "zorder.splits"
 
+  /** Prefix of table-level CHECK-constraint props
+    * (`constraint.<name> = <sql expr>`, [[addConstraint]]). Durable
+    * as a PREFIX family — every constraint survives every commit. */
+  val ConstraintPropPrefix = "constraint."
+
   private[ops] val DurablePropKeys: Set[String] =
     Set(RenameMapProp, DropTombstonesProp, BucketColProp, BucketNProp,
         TransformProp, StreamBatchIdProp,
         ZOrderColsProp, ZOrderBitsProp, ZOrderSplitsProp)
 
   private[ops] def durablePropsOf(props: Map[String, String]): Map[String, String] =
-    props.view.filterKeys(DurablePropKeys).toMap
+    props.view.filterKeys(k =>
+      DurablePropKeys(k) || k.startsWith(ConstraintPropPrefix)).toMap
+
+  /** The table's committed CHECK constraints, `name -> sql expr`. */
+  def constraintsOf(props: Map[String, String]): Map[String, String] =
+    props.collect { case (k, v) if k.startsWith(ConstraintPropPrefix) =>
+      k.substring(ConstraintPropPrefix.length) -> v }
+
+  /** Validate `df` (CURRENT column names) against every committed
+    * CHECK constraint in `props`; refuses on the first violated one.
+    * SQL-standard CHECK semantics: a row violates only when the
+    * expression evaluates to FALSE — NULL satisfies (the posture
+    * `WHERE` takes the opposite of, and what the SQL standard
+    * specifies for CHECK). One bounded Spark job per constraint
+    * (`limit(1)` — existence, not a count; constraint sets are small
+    * by design). */
+  private def checkConstraints(df: DataFrame, props: Map[String, String],
+                               op: String): Unit =
+    constraintsOf(props).toSeq.sortBy(_._1).foreach { case (n, sql) =>
+      val viol = df.filter(coalesce(expr(sql), lit(true)) === lit(false))
+        .limit(1).count()
+      require(viol == 0L,
+        s"ManifestTable.$op: CHECK constraint '$n' ($sql) is violated by " +
+          "incoming rows — refusing to commit")
+    }
+
+  /** ADD a table-level CHECK constraint (Delta's `ALTER TABLE … ADD
+    * CONSTRAINT … CHECK`): one metadata-only manifest commit that
+    * records `constraint.<name> = <exprSql>` as a durable prop, after
+    * validating that EVERY existing row satisfies the expression (one
+    * bounded scan — a constraint that the table already violates is
+    * refused, Delta's posture). From then on every write that lands
+    * new row values — [[merge]]/[[mergeBucketed]] batches and
+    * merge-on-read update appendices — validates against it before
+    * committing and REFUSES wholesale on a violation (the staged
+    * batch dir is left as crash residue the next merge sweeps; no
+    * partial state is ever visible). Rewrite maintenance (compact,
+    * z-order, purge, fold) moves only rows that already passed, so it
+    * does not re-validate. SQL-standard semantics: a row violates
+    * only when the expression is FALSE; NULL satisfies — write
+    * `col IS NOT NULL` to forbid nulls. Constraints survive every
+    * commit (durable-prefix props) and time-travel like any prop. */
+  def addConstraint(spark: SparkSession, path: String, name: String,
+                    exprSql: String, retainVersions: Int = 2): Unit = {
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
+      s"ManifestTable.addConstraint: name must be [A-Za-z0-9_]+, got '$name'")
+    require(retainVersions >= 1, s"retainVersions must be >= 1, got $retainVersions")
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = latestVersion(fs, path).getOrElse(
+      sys.error(s"ManifestTable.addConstraint: no manifest under $path/$ManifestDir"))
+    val lines = readManifest(fs, path, v)
+    val props = propsOf(lines)
+    require(!props.contains(s"$ConstraintPropPrefix$name"),
+      s"ManifestTable.addConstraint: constraint '$name' already exists — drop it first")
+    // the existing table must satisfy the new constraint
+    checkConstraints(read(spark, path),
+      Map(s"$ConstraintPropPrefix$name" -> exprSql), "addConstraint")
+    commitProps(fs, path, v, lines,
+      props + (s"$ConstraintPropPrefix$name" -> exprSql), retainVersions)
+  }
+
+  /** DROP a CHECK constraint — one metadata-only commit. */
+  def dropConstraint(spark: SparkSession, path: String, name: String,
+                     retainVersions: Int = 2): Unit = {
+    require(retainVersions >= 1, s"retainVersions must be >= 1, got $retainVersions")
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = latestVersion(fs, path).getOrElse(
+      sys.error(s"ManifestTable.dropConstraint: no manifest under $path/$ManifestDir"))
+    val lines = readManifest(fs, path, v)
+    val props = propsOf(lines)
+    require(props.contains(s"$ConstraintPropPrefix$name"),
+      s"ManifestTable.dropConstraint: no constraint '$name' " +
+        s"(have ${constraintsOf(props).keys.toSeq.sorted.mkString(", ") })")
+    commitProps(fs, path, v, lines, props - s"$ConstraintPropPrefix$name",
+      retainVersions)
+  }
+
+  /** Metadata-only commit of a new props map: schema, partition
+    * column, and every data entry carry verbatim; only the props line
+    * changes. The [[renameColumn]]/[[dropColumn]] commit form,
+    * factored for props-only changes. */
+  private def commitProps(fs: FileSystem, path: String, v: Long,
+                          lines: Seq[(String, String)],
+                          newProps: Map[String, String],
+                          retainVersions: Int): Unit = {
+    val propLines =
+      if (newProps.isEmpty) Nil
+      else Seq(PropsKey -> newProps.toSeq.sortBy(_._1)
+        .map { case (k2, v2) => s"${escapeProp(k2)}=${escapeProp(v2)}" }.mkString(";"))
+    val head =
+      lines.collect { case (SchemaKey, s) => SchemaKey -> s } ++
+        Seq(CommitKey -> System.currentTimeMillis().toString) ++
+        lines.collect { case (PartitionColKey, p) => PartitionColKey -> p } ++
+        propLines
+    writeManifest(fs, path, v + 1, head ++ dataEntries(lines))
+    cleanup(fs, path, keepVersions =
+      (versions(fs, path) :+ (v + 1)).distinct.sorted.takeRight(retainVersions).toSet)
+  }
 
   /** DROP a column — METADATA-ONLY, [[renameColumn]]'s sibling: one
     * manifest commit that (a) removes the field from the committed

@@ -2680,6 +2680,565 @@ object ExtQueries {
       |FROM allr GROUP BY etype ORDER BY etype""".stripMargin
 
   // ----------------------------------------------------------------
+  // q213_token_index — FULL-TEXT KEYWORD SKIPPING (ClickHouse
+  // tokenbf_v1 at dir granularity): `merge(tokenBloomColumns=…)`
+  // commits one bloom per dir over the DISTINCT lowercased [a-z0-9]+
+  // tokens of the text column, and a plain
+  // `read(path).where(TextAnalysis.tokenMatch(text, 'tok'))` prunes
+  // dirs through GraftFileIndex — a keyword search over a 100 TB
+  // corpus opens only dirs whose bloom might hold the token. Three
+  // probe regimes: a RARE token scattered over few days (zebra,
+  // planted in mixed case inside punctuation — the tokenizer must be
+  // case/punct-insensitive), a PER-DAY marker token (exactly one dir
+  // survives), and a UBIQUITOUS token (nothing prunes — conservative).
+  // The oracle REBUILDS the identical bloom in SQL (md5 positions,
+  // the q100 idiom), so each probe's dirs_kept is pinned exactly —
+  // false positives included — next to the SQL-recomputed row counts.
+  // ----------------------------------------------------------------
+  def q213TokenIndex(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:q213_token_index") {
+      q213TokenIndexBuild(spark, dir)
+    }
+
+  private def q213TokenIndexBuild(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{GraftFileIndex, ManifestTable}
+    import graft.ext.TextAnalysis.tokenMatch
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), date_trunc("day", col("ts")).as("day"),
+        col("event_type"), col("user_id"))
+      .withColumn("text", concat_ws(" ",
+        lit("The quick metric:"), col("event_type"),
+        concat(lit("u"), col("user_id")),
+        concat(lit("d"), date_format(col("day"), "yyyyMMdd")),
+        when(col("event_id") % 911 === 0, lit("ZEBRA!")).otherwise(lit("filler."))))
+      .select("event_id", "day", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft_q213_").toString + "/table"
+    ManifestTable.merge(spark, path, ev, keys = Seq("event_id"), partitionCol = "day",
+      statsColumns = Seq("event_id"), tokenBloomColumns = Seq("text"),
+      tokenBloomBits = 4096)
+    def evidence(df: DataFrame): Long = {
+      df.collect()
+      val prunes = df.queryExecution.sparkPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s.relation.location
+      }.collect { case g: GraftFileIndex => g.lastPrune }.flatten
+      require(prunes.nonEmpty, "q213: no GraftFileIndex saw a filtered listFiles")
+      prunes.map(_._1).sum
+    }
+    def rd = ManifestTable.read(spark, path)
+    val pZebra = rd.where(tokenMatch(col("text"), "zebra"))
+      .agg(count(lit(1)).as("n_zebra"), sum(col("event_id")).as("sum_zebra_ids"))
+    val pDay = rd.where(tokenMatch(col("text"), "d20240116"))
+      .agg(count(lit(1)).as("n_day"))
+    val pCommon = rd.where(tokenMatch(col("text"), "quick"))
+      .agg(count(lit(1)).as("n_common"))
+    // ANY-of keyword list: one bloom pass keeps dirs holding EITHER
+    val pAny = rd.where(graft.ext.TextAnalysis.tokenMatchAny(col("text"),
+        Seq("zebra", "unicorn")))
+      .agg(count(lit(1)).as("n_any"))
+    // the pure SQL-text path (q212's precedent): the same predicate
+    // TYPED AS SQL over a temp view prunes identically — the parser
+    // produces the exact expression tree the index matches
+    rd.createOrReplaceTempView("q213_docs")
+    val pSql = spark.sql("SELECT count(1) AS n_sql FROM q213_docs WHERE " +
+      "array_contains(split(lower(text), '[^a-z0-9]+'), 'zebra')")
+    val (kZ, kD, kC, kA, kS) = (evidence(pZebra), evidence(pDay),
+      evidence(pCommon), evidence(pAny), evidence(pSql))
+    val total = ManifestTable.dataDirs(spark, path, 1L).size.toLong
+    pZebra.crossJoin(pDay).crossJoin(pCommon).crossJoin(pAny).crossJoin(pSql)
+      .withColumn("k_zebra", lit(kZ))
+      .withColumn("k_day", lit(kD))
+      .withColumn("k_common", lit(kC))
+      .withColumn("k_any", lit(kA))
+      .withColumn("k_sql", lit(kS))
+      .withColumn("dirs_total", lit(total))
+  }
+
+  val q213TokenIndexSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, date_trunc('day', ts) AS day,
+      |    concat_ws(' ', 'The quick metric:', event_type,
+      |      'u' || CAST(user_id AS VARCHAR),
+      |      'd' || strftime(date_trunc('day', ts), '%Y%m%d'),
+      |      CASE WHEN event_id % 911 = 0 THEN 'ZEBRA!' ELSE 'filler.' END) AS text
+      |  FROM events),
+      |tok AS (
+      |  SELECT DISTINCT day, tok FROM (
+      |    SELECT day, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
+      |    FROM ev)
+      |  WHERE tok <> ''),
+      |js AS (SELECT * FROM (VALUES (0),(1),(2),(3)) AS t(j)),
+      |bits AS (
+      |  SELECT DISTINCT day,
+      |    CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '#' || tok), 1, 8))
+      |      AS UBIGINT) % 4096 AS pos
+      |  FROM tok CROSS JOIN js),
+      |probe AS (SELECT * FROM (VALUES ('zebra'), ('d20240116'), ('quick'),
+      |                                ('unicorn')) AS p(tokp)),
+      |ppos AS (
+      |  SELECT tokp,
+      |    CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '#' || tokp), 1, 8))
+      |      AS UBIGINT) % 4096 AS pos
+      |  FROM probe CROSS JOIN js),
+      |keepdays AS (
+      |  SELECT p.tokp, d.day
+      |  FROM (SELECT DISTINCT day FROM ev) d CROSS JOIN probe p
+      |  WHERE NOT EXISTS (
+      |    SELECT 1 FROM ppos pp
+      |    WHERE pp.tokp = p.tokp
+      |      AND NOT EXISTS (SELECT 1 FROM bits b WHERE b.day = d.day AND b.pos = pp.pos)))
+      |SELECT
+      |  (SELECT CAST(count(*) AS BIGINT) FROM ev
+      |     WHERE list_contains(string_split_regex(lower(text), '[^a-z0-9]+'), 'zebra'))
+      |    AS n_zebra,
+      |  (SELECT CAST(sum(event_id) AS BIGINT) FROM ev
+      |     WHERE list_contains(string_split_regex(lower(text), '[^a-z0-9]+'), 'zebra'))
+      |    AS sum_zebra_ids,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM ev
+      |     WHERE list_contains(string_split_regex(lower(text), '[^a-z0-9]+'), 'd20240116'))
+      |    AS n_day,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM ev
+      |     WHERE list_contains(string_split_regex(lower(text), '[^a-z0-9]+'), 'quick'))
+      |    AS n_common,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM ev
+      |     WHERE list_has_any(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |                        ['zebra', 'unicorn'])) AS n_any,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM ev
+      |     WHERE list_contains(string_split_regex(lower(text), '[^a-z0-9]+'), 'zebra'))
+      |    AS n_sql,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM keepdays WHERE tokp = 'zebra') AS k_zebra,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM keepdays WHERE tokp = 'd20240116') AS k_day,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM keepdays WHERE tokp = 'quick') AS k_common,
+      |  (SELECT CAST(count(DISTINCT day) AS BIGINT) FROM (
+      |     SELECT DISTINCT day FROM keepdays WHERE tokp IN ('zebra', 'unicorn')))
+      |    AS k_any,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM keepdays WHERE tokp = 'zebra') AS k_sql,
+      |  (SELECT CAST(count(DISTINCT day) AS BIGINT) FROM ev) AS dirs_total""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q214_approx_distinct — METADATA-ONLY COUNT(DISTINCT) via per-dir
+  // KMV (bottom-k) sketches: `merge(kmvColumns=…)` commits each dir's
+  // k smallest distinct 64-bit md5 value hashes into the manifest;
+  // `ManifestTable.approxDistinct` merges them (union, keep k,
+  // estimate (k−1)·2⁶⁴/h_k — Bar-Yossef et al. 2002) WITHOUT reading
+  // a single data file — O(dirs·k) driver work at any table size.
+  // Two regimes in one gate: user_id (cardinality ≫ k → the
+  // estimator path; the oracle REBUILDS the identical sketch in SQL —
+  // same md5 hashes, same HUGEINT truncating division — so the
+  // estimate is pinned EXACTLY, not within a tolerance band) and
+  // event_type (cardinality < k → the union is provably complete and
+  // the answer is exact, flagged `exact`). True distinct counts ride
+  // alongside for honesty.
+  // ----------------------------------------------------------------
+  def q214ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:q214_approx_distinct") {
+      q214ApproxDistinctBuild(spark, dir)
+    }
+
+  private def q214ApproxDistinctBuild(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.ManifestTable
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), date_trunc("day", col("ts")).as("day"),
+        col("user_id"), col("event_type"))
+    val path = java.nio.file.Files.createTempDirectory("graft_q214_").toString + "/table"
+    ManifestTable.merge(spark, path, ev, keys = Seq("event_id"), partitionCol = "day",
+      kmvColumns = Seq("user_id", "event_type"), kmvK = 64)
+    val du = ManifestTable.approxDistinct(spark, path, "user_id")
+    val dt = ManifestTable.approxDistinct(spark, path, "event_type")
+    val exacts = ev.agg(
+      count_distinct(col("user_id")).as("n_user"),
+      count_distinct(col("event_type")).as("n_type"))
+    import spark.implicits._
+    Seq((du.estimate, du.exact, dt.estimate, dt.exact, du.dirs, du.k.toLong))
+      .toDF("est_user", "exact_user", "est_type", "exact_type", "dirs", "k")
+      .crossJoin(exacts)
+      .select(col("est_user"), col("exact_user"), col("n_user"),
+        col("est_type"), col("exact_type"), col("n_type"),
+        col("dirs"), col("k"))
+  }
+
+  val q214ApproxDistinctSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, date_trunc('day', ts) AS day, user_id, event_type
+      |  FROM events),
+      |hu AS (SELECT DISTINCT day, substr(md5(CAST(user_id AS VARCHAR)), 1, 16) AS h
+      |       FROM ev),
+      |bu AS (SELECT day, h FROM (
+      |         SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rn
+      |         FROM hu) WHERE rn <= 64),
+      |mu AS (SELECT DISTINCT h FROM bu),
+      |ht AS (SELECT DISTINCT day, substr(md5(event_type), 1, 16) AS h FROM ev),
+      |bt AS (SELECT day, h FROM (
+      |         SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rn
+      |         FROM ht) WHERE rn <= 64),
+      |mt AS (SELECT DISTINCT h FROM bt)
+      |SELECT
+      |  CASE WHEN (SELECT count(*) FROM mu) < 64
+      |       THEN (SELECT CAST(count(*) AS BIGINT) FROM mu)
+      |       ELSE CAST((CAST(63 AS HUGEINT) * 18446744073709551616::HUGEINT) //
+      |            CAST(CAST(('0x' || (SELECT h FROM mu ORDER BY h LIMIT 1 OFFSET 63))
+      |              AS UBIGINT) AS HUGEINT) AS BIGINT) END AS est_user,
+      |  (SELECT count(*) FROM mu) < 64 AS exact_user,
+      |  (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM ev) AS n_user,
+      |  CASE WHEN (SELECT count(*) FROM mt) < 64
+      |       THEN (SELECT CAST(count(*) AS BIGINT) FROM mt)
+      |       ELSE CAST((CAST(63 AS HUGEINT) * 18446744073709551616::HUGEINT) //
+      |            CAST(CAST(('0x' || (SELECT h FROM mt ORDER BY h LIMIT 1 OFFSET 63))
+      |              AS UBIGINT) AS HUGEINT) AS BIGINT) END AS est_type,
+      |  (SELECT count(*) FROM mt) < 64 AS exact_type,
+      |  (SELECT CAST(count(DISTINCT event_type) AS BIGINT) FROM ev) AS n_type,
+      |  (SELECT CAST(count(DISTINCT day) AS BIGINT) FROM ev) AS dirs,
+      |  CAST(64 AS BIGINT) AS k""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q215_constraints — TABLE-LEVEL CHECK CONSTRAINTS (Delta's ALTER
+  // TABLE ADD CONSTRAINT): `addConstraint` commits
+  // `constraint.<name>` as a durable prop after validating existing
+  // data; every value-landing write from then on (merge batches, MoR
+  // update appendices) validates BEFORE committing and refuses
+  // WHOLESALE — no partial state, the staged dir is sweepable
+  // residue. SQL-standard semantics (FALSE violates, NULL satisfies).
+  // The full lifecycle in one gate: add on clean data → violating
+  // merge refused (nothing lands, not even its clean rows) →
+  // violating ADD refused → clean merge lands → constraint survives
+  // compaction → violating MoR update refused → drop → the formerly
+  // violating batch lands. Final table state SQL-recomputed; every
+  // refusal pinned as a boolean.
+  // ----------------------------------------------------------------
+  def q215Constraints(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:q215_constraints") {
+      q215ConstraintsBuild(spark, dir)
+    }
+
+  private def q215ConstraintsBuild(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.ManifestTable
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), date_trunc("day", col("ts")).as("day"),
+        floor(abs(col("value")) * lit(1e3)).cast("long").as("vpos"))
+    val path = java.nio.file.Files.createTempDirectory("graft_q215_").toString + "/table"
+    ManifestTable.merge(spark, path, ev, keys = Seq("event_id"), partitionCol = "day")
+    ManifestTable.addConstraint(spark, path, "vpos_nonneg", "vpos >= 0")
+    def refused(f: => Unit): Boolean =
+      try { f; false } catch { case e: IllegalArgumentException =>
+        e.getMessage.contains("CHECK constraint") }
+    val day0 = ev.select(min(col("day"))).as[java.sql.Timestamp].head()
+    // a violating merge refuses WHOLESALE — its clean row must not land
+    val mergeRefused = refused {
+      ManifestTable.merge(spark, path,
+        Seq((2000000001L, day0, 7L), (2000000002L, day0, -1L))
+          .toDF("event_id", "day", "vpos"),
+        keys = Seq("event_id"), partitionCol = "day")
+    }
+    val nAfterRefusal = ManifestTable.read(spark, path).count()
+    // an ADD the existing data violates refuses
+    val addRefused = refused {
+      ManifestTable.addConstraint(spark, path, "vpos_huge", "vpos >= 1000000000")
+    }
+    // a clean merge lands
+    ManifestTable.merge(spark, path,
+      Seq((2000000003L, day0, 11L)).toDF("event_id", "day", "vpos"),
+      keys = Seq("event_id"), partitionCol = "day")
+    // constraints survive compaction
+    ManifestTable.compact(spark, path, "day")
+    val survived = ManifestTable.constraintsOf(
+      ManifestTable.readProps(spark, path)) == Map("vpos_nonneg" -> "vpos >= 0")
+    // a violating MoR update refuses; the row keeps its value
+    val updRefused = refused {
+      ManifestTable.updateWhereMoR(spark, path, "day",
+        col("event_id") === 2000000003L, Map("vpos" -> lit(-9L)))
+    }
+    // drop, then the formerly violating batch lands
+    ManifestTable.dropConstraint(spark, path, "vpos_nonneg")
+    ManifestTable.merge(spark, path,
+      Seq((2000000002L, day0, -1L)).toDF("event_id", "day", "vpos"),
+      keys = Seq("event_id"), partitionCol = "day")
+    ManifestTable.read(spark, path)
+      .agg(count(lit(1)).as("n_final"), sum(col("vpos")).as("sum_final"),
+        min(col("vpos")).as("min_final"))
+      .withColumn("merge_refused", lit(mergeRefused))
+      .withColumn("n_after_refusal", lit(nAfterRefusal))
+      .withColumn("add_refused", lit(addRefused))
+      .withColumn("survived_compact", lit(survived))
+      .withColumn("upd_refused", lit(updRefused))
+  }
+
+  val q215ConstraintsSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, date_trunc('day', ts) AS day,
+      |    CAST(floor(abs(value) * 1e3) AS BIGINT) AS vpos
+      |  FROM events),
+      |finalt AS (
+      |  SELECT event_id, vpos FROM ev
+      |  UNION ALL
+      |  SELECT 2000000003, 11
+      |  UNION ALL
+      |  SELECT 2000000002, -1)
+      |SELECT
+      |  CAST(count(*) AS BIGINT) AS n_final,
+      |  CAST(sum(vpos) AS BIGINT) AS sum_final,
+      |  CAST(min(vpos) AS BIGINT) AS min_final,
+      |  TRUE AS merge_refused,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM ev) AS n_after_refusal,
+      |  TRUE AS add_refused,
+      |  TRUE AS survived_compact,
+      |  TRUE AS upd_refused
+      |FROM finalt""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q216_streaming_join_mv — STREAMING INGEST × ALWAYS-FRESH JOIN
+  // VIEW (q209's composition for the JOIN-view family): each
+  // micro-batch lands through the exactly-once manifest sink AND
+  // refreshes the IncrementalJoin view in the same foreachBatch;
+  // between batches a plain fact⋈dim aggregate MV-rewrites onto the
+  // view (neither base scanned — per-batch evidence). The crash
+  // window (a merge with no refresh) degrades to a correct base scan;
+  // one refresh restores the rewrite with bit-equal rows.
+  // ----------------------------------------------------------------
+  def q216StreamingJoinMv(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:q216_streaming_join_mv") {
+      q216StreamingJoinMvBuild(spark, dir)
+    }
+
+  private def q216StreamingJoinMvBuild(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.ops.{IncrementalJoin, ManifestTable}
+    import graft.plans.MvJoinRegistry
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def scanRoots(df: DataFrame): Set[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.rootPaths.head.toString
+          }
+      }.toSet
+    val ev = Tables.events(spark, dir).select(
+      col("event_id"), date_trunc("day", col("ts")).cast("string").as("day"),
+      col("user_id"), floor(col("value") * 1000).cast("long").as("v"))
+    val dimDf = Tables.events(spark, dir).select(col("user_id")).distinct()
+      .select(col("user_id"),
+        concat(lit("seg-"), col("user_id") % 7).as("seg"),
+        (col("user_id") % 5).cast("string").as("pd"))
+    val root = java.nio.file.Files.createTempDirectory("graft_q216_").toString
+    val (fact, dim, view) = (root + "/fact", root + "/dim", root + "/jview")
+    ManifestTable.merge(spark, dim, dimDf, keys = Seq("user_id"), partitionCol = "pd")
+    val sink = graft.streaming.StreamingIngest.manifestUpsertSink(
+      fact, keys = Seq("event_id"), partitionCol = "day")
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Long, Long)]
+    val feed = input.toDF().toDF("event_id", "day", "user_id", "v")
+    val query = feed.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        sink(batch, id)
+        IncrementalJoin.refresh(batch.sparkSession, fact, dim, view,
+          Seq("event_id"), "user_id", "day")
+        ()
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .start()
+    def dash(): DataFrame = ManifestTable.read(spark, fact)
+      .join(ManifestTable.read(spark, dim), Seq("user_id"))
+      .groupBy(col("seg")).agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    def rowsOf(df: DataFrame) = df.select("event_id", "day", "user_id", "v")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    val mvUsed = try {
+      // the view table doesn't exist before the first refresh, so
+      // register after the first batch lands
+      input.addData(rowsOf(ev.filter(col("event_id") % 3 === 0)): _*)
+      query.processAllAvailable()
+      MvJoinRegistry.register(spark, fact, dim, view, "user_id")
+      (1L to 2L).map { m =>
+        input.addData(rowsOf(ev.filter(col("event_id") % 3 === m)): _*)
+        query.processAllAvailable()
+        val q = dash(); q.collect()
+        val rs = scanRoots(q)
+        rs.exists(_.endsWith("/jview")) &&
+          !rs.exists(s => s.endsWith("/fact") || s.endsWith("/dim"))
+      }
+    } finally query.stop()
+    // crash window: a merge lands with NO refresh → correct fallback
+    ManifestTable.merge(spark, fact,
+      ev.filter(col("event_id") % 11 === 0)
+        .withColumn("event_id", col("event_id") + 2000000000L),
+      keys = Seq("event_id"), partitionCol = "day")
+    val stale = dash(); val staleRows = stale.collect()
+    val crashFallback = scanRoots(stale).exists(_.endsWith("/fact"))
+    IncrementalJoin.refresh(spark, fact, dim, view, Seq("event_id"), "user_id", "day")
+    val rec = dash(); val recRows = rec.collect()
+    val recoveredMv = scanRoots(rec).exists(_.endsWith("/jview")) &&
+      !scanRoots(rec).exists(_.endsWith("/fact")) &&
+      staleRows.map(_.toString).sorted.toSeq == recRows.map(_.toString).sorted.toSeq
+    MvJoinRegistry.unregister(spark, fact, dim)
+    rec.withColumn("batches_mv_used", lit(mvUsed.count(identity).toLong))
+      .withColumn("crash_fallback", lit(crashFallback))
+      .withColumn("recovered_mv", lit(recoveredMv))
+      .orderBy(col("seg"))
+  }
+
+  val q216StreamingJoinMvSql: String =
+    """WITH dim AS (
+      |  SELECT user_id, 'seg-' || CAST(user_id % 7 AS VARCHAR) AS seg
+      |  FROM (SELECT DISTINCT user_id FROM events)),
+      |f AS (
+      |  SELECT event_id, user_id, CAST(floor(value * 1000) AS BIGINT) AS v
+      |  FROM events
+      |  UNION ALL
+      |  SELECT event_id + 2000000000, user_id, CAST(floor(value * 1000) AS BIGINT)
+      |  FROM events WHERE event_id % 11 = 0)
+      |SELECT dim.seg, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(f.v) AS BIGINT) AS sv,
+      |  CAST(2 AS BIGINT) AS batches_mv_used,
+      |  TRUE AS crash_fallback, TRUE AS recovered_mv
+      |FROM f JOIN dim USING (user_id)
+      |GROUP BY dim.seg ORDER BY dim.seg""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q217_line_dedup — CROSS-DOCUMENT LINE DEDUP (CCNet/RefinedWeb
+  // boilerplate removal; Curate.dropBoilerplateLines): a line whose
+  // normalized form appears in >= minDocs DISTINCT documents is page
+  // furniture and is dropped from EVERY document; text is rebuilt
+  // from the surviving lines in original order. The corpus plants
+  // universal furniture (every doc), partial furniture (1 in 4), and
+  // per-doc unique footers; the oracle re-derives the boilerplate set
+  // and the rebuilt text per document (md5-compared — the raw bytes
+  // never ship through the compare).
+  // ----------------------------------------------------------------
+  def q217LineDedup(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:q217_line_dedup") {
+      q217LineDedupBuild(spark, dir)
+    }
+
+  private def q217LineDedupBuild(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), concat_ws("\n",
+        lit("Subscribe  to our Newsletter!"),
+        when(col("doc_id") % 4 === 0, lit("Cookie notice - accept all")),
+        col("text"),
+        lit("(c) 2024 Example Corp"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit("unique footer "), col("doc_id")))).as("text"))
+    graft.ext.Curate.dropBoilerplateLines(docs, minDocs = 50)
+      .select(col("doc_id"), md5(col("text")).as("clean_md5"),
+        col("n_removed_lines"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q217LineDedupSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, concat_ws(chr(10),
+      |    'Subscribe  to our Newsletter!',
+      |    CASE WHEN doc_id % 4 = 0 THEN 'Cookie notice - accept all' END,
+      |    text,
+      |    '(c) 2024 Example Corp',
+      |    CASE WHEN doc_id % 7 = 0
+      |         THEN 'unique footer ' || CAST(doc_id AS VARCHAR) END) AS text
+      |  FROM documents),
+      |lines AS (
+      |  SELECT doc_id, i, l[i] AS line,
+      |    regexp_replace(trim(lower(l[i])), '\s+', ' ', 'g') AS key
+      |  FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM corpus),
+      |       LATERAL (SELECT generate_subscripts(l, 1) AS i) t),
+      |boiler AS (
+      |  SELECT key FROM lines WHERE key <> ''
+      |  GROUP BY key HAVING count(DISTINCT doc_id) >= 50),
+      |kept AS (
+      |  SELECT doc_id, i, line FROM lines
+      |  WHERE key NOT IN (SELECT key FROM boiler)),
+      |rebuilt AS (
+      |  SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS clean,
+      |    count(*) AS n_kept
+      |  FROM kept GROUP BY doc_id),
+      |totals AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id)
+      |SELECT t.doc_id, md5(coalesce(r.clean, '')) AS clean_md5,
+      |  CAST(t.n_lines - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed_lines
+      |FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+      |ORDER BY t.doc_id""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q218_repetition — GOPHER REPETITION SIGNALS (Rae et al. 2021
+  // §A1.1; TextAnalysis.repetitionSignals): per-document duplicate-
+  // line fraction, duplicate-line CHARACTER fraction, and the
+  // top-bigram character-coverage fraction — the quality-filter
+  // family that catches degenerate/templated text. All ratios
+  // floor-quantized to integer micro-units via truncating integer
+  // division (engine-portable exactly). The corpus plants duplicate
+  // lines on 1-in-3 docs and a repeated bigram run on 1-in-5.
+  // ----------------------------------------------------------------
+  def q218Repetition(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:q218_repetition") {
+      q218RepetitionBuild(spark, dir)
+    }
+
+  private def q218RepetitionBuild(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), concat_ws("\n",
+        col("text"),
+        substring(col("text"), 1, 40),
+        when(col("doc_id") % 3 === 0, substring(col("text"), 1, 40)),
+        when(col("doc_id") % 5 === 0,
+          lit("buy now buy now buy now buy now"))).as("text"))
+    graft.ext.TextAnalysis.repetitionSignals(docs)
+      .orderBy(col("doc_id"))
+  }
+
+  val q218RepetitionSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, concat_ws(chr(10),
+      |    text,
+      |    substr(text, 1, 40),
+      |    CASE WHEN doc_id % 3 = 0 THEN substr(text, 1, 40) END,
+      |    CASE WHEN doc_id % 5 = 0
+      |         THEN 'buy now buy now buy now buy now' END) AS text
+      |  FROM documents),
+      |lines AS (
+      |  SELECT doc_id, trim(l[i]) AS content
+      |  FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM corpus),
+      |       LATERAL (SELECT generate_subscripts(l, 1) AS i) t
+      |  WHERE trim(l[i]) <> ''),
+      |lg AS (
+      |  SELECT doc_id, content, count(*) AS c, length(content) AS len
+      |  FROM lines GROUP BY doc_id, content),
+      |ls AS (
+      |  SELECT doc_id, sum(c) AS n_lines, count(*) AS nd,
+      |    sum((c - 1) * len) AS dup, sum(c * len) AS tot
+      |  FROM lg GROUP BY doc_id),
+      |tk AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(
+      |      regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+      |      x -> x <> '') AS l
+      |  FROM corpus),
+      |tb AS (
+      |  SELECT doc_id, length(array_to_string(l, ' ')) AS den, l
+      |  FROM tk WHERE len(l) >= 2),
+      |g AS (
+      |  SELECT doc_id, den, l[i] || ' ' || l[i + 1] AS gr
+      |  FROM tb, LATERAL (SELECT generate_subscripts(l, 1) AS i) t
+      |  WHERE i <= len(l) - 1),
+      |gc AS (SELECT doc_id, den, gr, count(*) AS c FROM g GROUP BY 1, 2, 3),
+      |top AS (
+      |  SELECT doc_id, (1000000 * c * length(gr)) // den AS v
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+      |          ORDER BY c DESC, gr ASC) AS rn FROM gc)
+      |  WHERE rn = 1)
+      |SELECT d.doc_id,
+      |  CAST(coalesce(ls.n_lines, 0) AS BIGINT) AS n_lines,
+      |  CAST(coalesce((1000000 * (ls.n_lines - ls.nd)) // ls.n_lines, 0) AS BIGINT)
+      |    AS dup_line_frac_e6,
+      |  CAST(coalesce((1000000 * ls.dup) // ls.tot, 0) AS BIGINT)
+      |    AS dup_line_char_frac_e6,
+      |  CAST(coalesce(top.v, 0) AS BIGINT) AS top_bigram_char_frac_e6
+      |FROM (SELECT DISTINCT doc_id FROM corpus) d
+      |LEFT JOIN ls USING (doc_id) LEFT JOIN top USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
+  // ----------------------------------------------------------------
   // q59_jaccard_join — EXACT n-gram Jaccard similarity join at
   // threshold 0.5 (Dedup.jaccardJoinExact): inverted-index pair
   // count — |A∩B| is a hash-aggregate over the gram self-join, J a

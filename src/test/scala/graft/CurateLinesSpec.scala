@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cross-document line dedup (Curate.dropBoilerplateLines) and the
+  * Gopher repetition signals (TextAnalysis.repetitionSignals) —
+  * edge-case behavior the q217/q218 oracles don't single out.
+  */
+class CurateLinesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("dropBoilerplateLines: furniture goes everywhere, unique lines " +
+    "survive in order, all-boilerplate docs survive empty") {
+    val docs = Seq(
+      (1L, "HEADER\nalpha body\nfooter"),
+      (2L, "header\nbeta body\nFOOTER"),   // case/space variants match
+      (3L, "  header \ngamma body\nfooter"),
+      (4L, "header\nfooter")               // nothing of its own
+    ).toDF("doc_id", "text")
+    val out = graft.ext.Curate.dropBoilerplateLines(docs, minDocs = 3)
+      .orderBy("doc_id")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, "alpha body", 2L),
+      (2L, "beta body", 2L),
+      (3L, "gamma body", 2L),
+      (4L, "", 2L)))
+  }
+
+  test("dropBoilerplateLines: empty lines never count as boilerplate; " +
+    "repeats within ONE doc don't cross the distinct-docs threshold") {
+    val docs = Seq(
+      (1L, "same\nsame\nsame\n\nkeep me"), // 'same' repeats in one doc only
+      (2L, "\n\nother\n")
+    ).toDF("doc_id", "text")
+    val out = graft.ext.Curate.dropBoilerplateLines(docs, minDocs = 2)
+      .orderBy("doc_id")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, "same\nsame\nsame\n\nkeep me", 0L),
+      (2L, "\n\nother\n", 0L)))
+  }
+
+  test("repetitionSignals: clean text scores low; planted repetition " +
+    "moves exactly the right dial") {
+    val docs = Seq(
+      (1L, "a quick brown fox\njumps over dogs"),          // clean
+      (2L, "same line\nsame line\nsame line"),             // dup lines
+      (3L, "buy now buy now buy now buy now"),             // top bigram
+      (4L, "")                                             // empty
+    ).toDF("doc_id", "text")
+    val out = graft.ext.TextAnalysis.repetitionSignals(docs)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(byId(1L)._2 == 2L && byId(1L)._3 == 0L && byId(1L)._4 == 0L)
+    // 3 lines, 1 distinct → dup_line_frac = 2/3; char frac = 2*9/27
+    assert(byId(2L)._3 == 666666L && byId(2L)._4 == 666666L)
+    // 'buy now' x4 of 7 bigrams, len 7 of 31 chars → 4*7*1e6 div 31
+    assert(byId(3L)._5 == (4L * 7L * 1000000L) / 31L)
+    assert(byId(4L) == ((4L, 0L, 0L, 0L, 0L)))
+  }
+}

@@ -607,4 +607,128 @@ class GraftFileIndexSpec extends AnyFunSuite {
     assert(k0 == 0L && none.count() == 0L,
       "v > 1000 excludes all three entries, so the one shared dir is pruned")
   }
+
+  // ------------------------------------------------------------------
+  // TOKEN BLOOM index (tokenBloomColumns → tokenMatch pruning)
+  // ------------------------------------------------------------------
+
+  /** Three day dirs with synthetic text: every day carries common
+    * tokens; "zebra" appears ONLY on day2 (inside punctuation and
+    * mixed case — the tokenizer must still hit it); each day carries
+    * a unique `dayNtag` marker token. */
+  private def seedTokens(path: String): Unit = {
+    val rows = Seq(
+      (1L, ts("2024-01-01"), "The quick brown fox, day1tag."),
+      (2L, ts("2024-01-01"), "a common line; day1tag!"),
+      (3L, ts("2024-01-02"), "Watch the ZeBrA, day2tag..."),
+      (4L, ts("2024-01-02"), "another common line day2tag"),
+      (5L, ts("2024-01-03"), "the common end (day3tag)"),
+      (6L, ts("2024-01-03"), "closing line: day3tag"))
+      .toDF("id", "day", "text")
+    ManifestTable.merge(spark, path, rows, Seq("id"), "day",
+      statsColumns = Seq("id"), tokenBloomColumns = Seq("text"),
+      tokenBloomBits = 4096)
+  }
+
+  test("tokenMatch prunes dirs via committed token blooms; case- and " +
+    "punctuation-insensitive; zero false drops") {
+    val path = freshPath("tok")
+    seedTokens(path)
+    import graft.ext.TextAnalysis.tokenMatch
+    // rare token, present only on day2 (as "ZeBrA," in the raw text)
+    val zebra = ManifestTable.read(spark, path).where(tokenMatch(col("text"), "zebra"))
+    val (kz, tz) = evidence(zebra)
+    assert(tz == 3L && kz == 1L, s"zebra should keep exactly day2: kept $kz of $tz")
+    assert(zebra.select("id").as[Long].collect().toSet == Set(3L))
+    // per-day marker: exactly one dir survives, rows intact
+    val d3 = ManifestTable.read(spark, path).where(tokenMatch(col("text"), "day3tag"))
+    val (k3, _) = evidence(d3)
+    assert(k3 == 1L)
+    assert(d3.select("id").as[Long].collect().toSet == Set(5L, 6L))
+    // ubiquitous token: nothing prunes, every matching row returned
+    val common = ManifestTable.read(spark, path).where(tokenMatch(col("text"), "common"))
+    val (kc, _) = evidence(common)
+    assert(kc == 3L)
+    assert(common.count() == 3L)
+    // absent token: every dir pruned, empty result
+    val gone = ManifestTable.read(spark, path).where(tokenMatch(col("text"), "unicorn"))
+    val (kg, _) = evidence(gone)
+    assert(kg == 0L && gone.count() == 0L)
+    // ANY-of list: zebra|unicorn keeps only zebra's dir
+    val any = ManifestTable.read(spark, path).where(
+      graft.ext.TextAnalysis.tokenMatchAny(col("text"), Seq("zebra", "unicorn")))
+    val (ka, _) = evidence(any)
+    assert(ka == 1L)
+    assert(any.select("id").as[Long].collect().toSet == Set(3L))
+    // AND of two tokenMatch conjuncts prunes on either: zebra AND a
+    // day3-only marker excludes every dir
+    val andNone = ManifestTable.read(spark, path).where(
+      tokenMatch(col("text"), "zebra") && tokenMatch(col("text"), "day3tag"))
+    val (kn, _) = evidence(andNone)
+    assert(kn == 0L && andNone.count() == 0L)
+  }
+
+  test("token blooms are conservative: non-token literals, unindexed " +
+    "columns, and foreign split regexes never prune") {
+    val path = freshPath("tokc")
+    seedTokens(path)
+    // a literal with a separator char can never be pruned on (the
+    // bloom holds tokens only) — build the raw expression around
+    // tokenMatch's guard
+    val raw = ManifestTable.read(spark, path)
+      .where(array_contains(split(lower(col("text")),
+        graft.ext.TextAnalysis.TokenSplitRe), "no token"))
+    val (kr, tr) = evidence(raw)
+    assert(kr == tr, "non-token literal must not prune")
+    // a different split regex is a different token stream — no pruning
+    val foreign = ManifestTable.read(spark, path)
+      .where(array_contains(split(lower(col("text")), "\\s+"), "zebra"))
+    val (kf, tf) = evidence(foreign)
+    assert(kf == tf, "foreign tokenizer must not consult the bloom")
+    // tokenMatch over a table merged WITHOUT tokenBloomColumns keeps all
+    val path2 = freshPath("tokn")
+    val rows = Seq((1L, ts("2024-01-01"), "zebra here"),
+      (2L, ts("2024-01-02"), "none here")).toDF("id", "day", "text")
+    ManifestTable.merge(spark, path2, rows, Seq("id"), "day")
+    val un = ManifestTable.read(spark, path2)
+      .where(graft.ext.TextAnalysis.tokenMatch(col("text"), "zebra"))
+    val (ku, tu) = evidence(un)
+    assert(ku == tu && tu == 2L, "no committed token bloom → no pruning")
+    assert(un.count() == 1L)
+  }
+
+  test("token blooms survive a metadata-only rename: tokenMatch on the " +
+    "new name still prunes") {
+    val path = freshPath("tokr")
+    seedTokens(path)
+    ManifestTable.renameColumn(spark, path, "text", "body")
+    val zebra = ManifestTable.read(spark, path)
+      .where(graft.ext.TextAnalysis.tokenMatch(col("body"), "zebra"))
+    val (kz, tz) = evidence(zebra)
+    assert(tz == 3L && kz == 1L, s"renamed column must keep pruning: $kz of $tz")
+    assert(zebra.select("id").as[Long].collect().toSet == Set(3L))
+  }
+
+  test("token index follows the table: a later merge re-indexes touched " +
+    "dirs and new days prune correctly") {
+    val path = freshPath("tokm")
+    seedTokens(path)
+    import graft.ext.TextAnalysis.tokenMatch
+    // append a new day carrying zebra, and rewrite day2 WITHOUT zebra
+    val batch = Seq(
+      // NB not "zebra-free": '-' is a separator, which would tokenize
+      // right back to a `zebra` token — the index would be correct to
+      // keep the dir
+      (3L, ts("2024-01-02"), "rewritten, stripe free line day2tag"),
+      (7L, ts("2024-01-04"), "a zebra returns; day4tag"))
+      .toDF("id", "day", "text")
+    ManifestTable.merge(spark, path, batch, Seq("id"), "day",
+      statsColumns = Seq("id"), tokenBloomColumns = Seq("text"),
+      tokenBloomBits = 4096)
+    val zebra = ManifestTable.read(spark, path).where(tokenMatch(col("text"), "zebra"))
+    val (kz, tz) = evidence(zebra)
+    assert(tz == 4L && kz == 1L,
+      s"day2's rewritten bloom no longer holds zebra; only day4 keeps: $kz of $tz")
+    assert(zebra.select("id").as[Long].collect().toSet == Set(7L))
+  }
 }

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.ManifestTable
+
+/** Metadata-only distinct counting over manifest tables: per-dir KMV
+  * (bottom-k) sketches committed by `merge(kmvColumns = …)` and merged
+  * by `ManifestTable.approxDistinct` — zero files read.
+  */
+class SketchStatsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def freshPath(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_kmv_$tag").toString + "/t"
+
+  private def seed(path: String, n: Int, mod: Int, k: Int = 256): Unit = {
+    val df = (1 to n).map(i => (i.toLong, (i % 7).toString, (i % mod).toLong))
+      .toDF("id", "part", "u")
+    ManifestTable.merge(spark, path, df, Seq("id"), "part",
+      kmvColumns = Seq("u"), kmvK = k)
+  }
+
+  test("below k the union is the complete hash set: exact count, flagged exact") {
+    val path = freshPath("exact")
+    seed(path, n = 500, mod = 97) // 97 distinct u values across 7 dirs
+    val est = ManifestTable.approxDistinct(spark, path, "u")
+    assert(est.exact, "97 < 256 per-dir sketches are complete")
+    assert(est.estimate == 97L)
+    assert(est.dirs == 7L)
+  }
+
+  test("above k the bottom-k estimator lands within its error class") {
+    val path = freshPath("est")
+    seed(path, n = 4000, mod = 3989, k = 256) // ~3048 distinct values
+    val exact = ManifestTable.read(spark, path).select("u").distinct().count()
+    val est = ManifestTable.approxDistinct(spark, path, "u")
+    assert(!est.exact)
+    val rel = math.abs(est.estimate.toDouble - exact) / exact
+    // 1/sqrt(256) ≈ 6.3%; the data is fixed, so this is a
+    // deterministic pin with slack, not a flaky statistical bound
+    assert(rel < 0.25, s"estimate ${est.estimate} vs exact $exact (rel $rel)")
+  }
+
+  test("a later merge keeps the sketch union correct (touched dirs " +
+    "re-sketch; untouched dirs carry verbatim)") {
+    val path = freshPath("merge")
+    seed(path, n = 500, mod = 97)
+    // add 50 NEW distinct values, all landing in dirs part=0 and part=1
+    val extra = (1 to 50).map(i => (10000L + i, (i % 2).toString, 1000L + i))
+      .toDF("id", "part", "u")
+    ManifestTable.merge(spark, path, extra, Seq("id"), "part",
+      kmvColumns = Seq("u"), kmvK = 256)
+    val est = ManifestTable.approxDistinct(spark, path, "u")
+    assert(est.exact && est.estimate == 147L, s"97 + 50 new, got $est")
+  }
+
+  test("partition-filtered estimates merge only the selected dirs") {
+    val path = freshPath("pf")
+    seed(path, n = 500, mod = 97)
+    val one = ManifestTable.approxDistinct(spark, path, "u", p => p == "0")
+    val exact = ManifestTable.read(spark, path)
+      .where(col("part") === "0").select("u").distinct().count()
+    assert(one.exact && one.estimate == exact && one.dirs == 1L)
+  }
+
+  test("honesty refusals: missing sketch, pending MoR state") {
+    val path = freshPath("ref")
+    seed(path, n = 100, mod = 11)
+    val e1 = intercept[RuntimeException] {
+      ManifestTable.approxDistinct(spark, path, "id")
+    }
+    assert(e1.getMessage.contains("no committed KMV sketch"))
+    // a MoR delete leaves a DV the sketches don't reflect — refuse
+    ManifestTable.deleteWhereMoR(spark, path, "part", col("id") === 5L)
+    val e2 = intercept[IllegalArgumentException] {
+      ManifestTable.approxDistinct(spark, path, "u")
+    }
+    assert(e2.getMessage.contains("pending merge-on-read"))
+  }
+
+  test("a metadata-only rename re-keys the sketch: approxDistinct answers " +
+    "under the new name") {
+    val path = freshPath("ren")
+    seed(path, n = 500, mod = 97)
+    ManifestTable.renameColumn(spark, path, "u", "uid")
+    val est = ManifestTable.approxDistinct(spark, path, "uid")
+    assert(est.exact && est.estimate == 97L)
+    intercept[RuntimeException] {
+      ManifestTable.approxDistinct(spark, path, "u") // old name is gone
+    }
+  }
+
+  test("compaction carries sketches verbatim; the union is insensitive " +
+    "to dir re-grouping") {
+    val path = freshPath("comp")
+    seed(path, n = 500, mod = 97)
+    val before = ManifestTable.approxDistinct(spark, path, "u")
+    ManifestTable.compact(spark, path, "part")
+    val after = ManifestTable.approxDistinct(spark, path, "u")
+    assert(after.estimate == before.estimate && after.exact == before.exact)
+  }
+}
