@@ -312,12 +312,13 @@ object ManifestTable {
             tokenBloomColumns: Seq[String] = Nil,
             tokenBloomBits: Int = 16384,
             kmvColumns: Seq[String] = Nil,
-            kmvK: Int = 256): Unit =
+            kmvK: Int = 256,
+            sortWithinDirs: Seq[String] = Nil): Unit =
     mergeCore(spark, path, incoming, keys, partitionCol, preserveExisting,
       retainVersions, statsColumns, replaceTouched, props, knownTouched,
       bloomColumns, bloomBits, bucketSpec = None,
       tokenBloomColumns = tokenBloomColumns, tokenBloomBits = tokenBloomBits,
-      kmvColumns = kmvColumns, kmvK = kmvK)
+      kmvColumns = kmvColumns, kmvK = kmvK, sortWithinDirs = sortWithinDirs)
 
   /** [[merge]] into a BUCKET-SPECCED manifest table: rows are written
     * pre-hashed into `nBuckets` files per partition dir on `bucketCol`
@@ -378,7 +379,8 @@ object ManifestTable {
                         tokenBloomColumns: Seq[String] = Nil,
                         tokenBloomBits: Int = 16384,
                         kmvColumns: Seq[String] = Nil,
-                        kmvK: Int = 256): Unit = {
+                        kmvK: Int = 256,
+                        sortWithinDirs: Seq[String] = Nil): Unit = {
     require(retainVersions >= 1, s"retainVersions must be >= 1, got $retainVersions")
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     requireBucketAgreement(spark, path, bucketSpec, "merge")
@@ -400,7 +402,17 @@ object ManifestTable {
         "the physical (file) name of a renamed column — pick another name")
     val effProps = durablePropsOf(prevProps) ++
       (if (colmap.isEmpty) Map.empty[String, String]
-       else Map(RenameMapProp -> encodeRenameMap(colmap))) ++ props
+       else Map(RenameMapProp -> encodeRenameMap(colmap))) ++ props ++
+      (if (sortWithinDirs.isEmpty) Map.empty[String, String]
+       else Map(SortColsProp -> sortWithinDirs.mkString(",")))
+    // Effective write sort order: this merge's declaration, else the
+    // committed durable one — every writer keeps the layout contract.
+    val effSort = sortColsOf(effProps)
+    require(effSort.isEmpty || bucketSpec.isEmpty,
+      "ManifestTable.merge: sortWithinDirs and a bucket spec are exclusive — " +
+        "the bucketed writer already sorts within buckets via sortBy")
+    effSort.foreach(c => require(incoming.columns.contains(c),
+      s"ManifestTable.merge: sort column $c is not in the incoming batch"))
 
     // Affected-partition pruning: tiny bounded collect (distinct
     // partition values of one batch), same as the swap-commit form —
@@ -424,10 +436,18 @@ object ManifestTable {
     val batch = s"$DataDir/batch-${java.util.UUID.randomUUID()}"
     bucketSpec match {
       case None =>
-        toPhysical(plan.merged, colmap)
+        val shaped = toPhysical(plan.merged, colmap)
           .withColumn("__pdir", col(partitionCol).cast("string"))
           .repartition(col("__pdir"))
-          .write.partitionBy("__pdir").parquet(s"$path/$batch")
+        // Durable write sort order: rows sort by (__pdir, sort cols)
+        // within each task so every file's ROW GROUPS carry tight,
+        // disjoint sort-column footer ranges — parquet row-group
+        // pushdown then skips inside the dirs dir-pruning keeps.
+        val ordered =
+          if (effSort.isEmpty) shaped
+          else shaped.sortWithinPartitions(
+            (col("__pdir") +: effSort.map(c => col(colmap.getOrElse(c, c)))): _*)
+        ordered.write.partitionBy("__pdir").parquet(s"$path/$batch")
       case Some((c, n)) =>
         val tmp = "graft_mbkt_w_" +
           java.util.UUID.randomUUID().toString.replace("-", "")
@@ -1262,6 +1282,35 @@ object ManifestTable {
       sys.error(s"ManifestTable.auxStats: no manifest under $path/$ManifestDir"))
     val refs = dataEntries(readManifest(fs, path, v)).flatMap(e => auxRefsOf(e._2))
     (refs.size.toLong, refs.map(_._1).sum)
+  }
+
+  /** One retained snapshot's audit row ([[history]]). `rows` is the
+    * metadata-recorded row count when EVERY entry of that version
+    * carries one (None otherwise — pre-stats versions). */
+  final case class VersionInfo(version: Long, commitMs: Option[Long],
+                               entries: Long, rows: Option[Long],
+                               props: Map[String, String])
+
+  /** DESCRIBE HISTORY: every RETAINED version's commit time, entry
+    * count, metadata row count, and committed props, oldest first —
+    * the audit surface next to [[fsck]]/[[readVersion]]/[[readAsOf]].
+    * Metadata-only: O(retained versions) manifest reads, no Spark
+    * job. Props diffs between rows surface schema/constraint/layout
+    * changes; expired versions are simply absent (the retention
+    * horizon IS the audit horizon — Delta's posture). */
+  def history(spark: SparkSession, path: String): Seq[VersionInfo] = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    versions(fs, path).sorted.map { v =>
+      val lines = readManifest(fs, path, v)
+      val es = dataEntries(lines)
+      val rowCounts = es.map(e => entryMetaOf(e._2).rowCount)
+      VersionInfo(v,
+        lines.collectFirst { case (CommitKey, ms) => ms.toLong },
+        es.size.toLong,
+        if (rowCounts.nonEmpty && rowCounts.forall(_.isDefined))
+          Some(rowCounts.flatten.sum) else None,
+        propsOf(lines))
+    }
   }
 
   /** [[approxDistinct]]'s answer. `exact` is TRUE when the merged
@@ -3228,8 +3277,13 @@ object ManifestTable {
       val out = rekeyItems(items, rekey)
       k -> (if (out.isEmpty) dirOf(value) else s"${dirOf(value)}\t${out.mkString(";")}")
     }
+    // A renamed SORT column keeps the durable write order coherent —
+    // the prop holds CURRENT names, so it renames along.
+    val sortFixed = sortColsOf(props).map(c => if (c == oldName) newName else c)
     val newProps = (props - RenameMapProp) ++
-      (if (map1.isEmpty) Map.empty else Map(RenameMapProp -> encodeRenameMap(map1)))
+      (if (map1.isEmpty) Map.empty else Map(RenameMapProp -> encodeRenameMap(map1))) ++
+      (if (sortFixed.isEmpty) Map.empty
+       else Map(SortColsProp -> sortFixed.mkString(",")))
     val propLines =
       if (newProps.isEmpty) Nil
       else Seq(PropsKey -> newProps.toSeq.sortBy(_._1)
@@ -3284,6 +3338,23 @@ object ManifestTable {
   val ZOrderBitsProp = "zorder.bits"
   val ZOrderSplitsProp = "zorder.splits"
 
+  /** Durable WRITE SORT ORDER (Iceberg's `write.sort-order`): once a
+    * merge declares `sortWithinDirs`, every later batch of every
+    * writer sorts its rows by these columns within each partition dir
+    * before writing — so parquet ROW GROUPS carry tight, disjoint
+    * min/max footer ranges on the sort columns and selective scans
+    * skip row groups inside the dirs that dir-level pruning keeps
+    * (the second level of the skipping hierarchy; dir zone maps are
+    * the first). Comma-joined CURRENT column names. Re-declaring with
+    * different columns updates the order for FUTURE batches only —
+    * already-written files keep their layout (Iceberg's semantics;
+    * rewrite via compact/clusterZOrder to re-sort history). */
+  val SortColsProp = "sort.cols"
+
+  /** The committed write sort order, if any. */
+  def sortColsOf(props: Map[String, String]): Seq[String] =
+    props.get(SortColsProp).map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+
   /** Prefix of table-level CHECK-constraint props
     * (`constraint.<name> = <sql expr>`, [[addConstraint]]). Durable
     * as a PREFIX family — every constraint survives every commit. */
@@ -3292,7 +3363,7 @@ object ManifestTable {
   private[ops] val DurablePropKeys: Set[String] =
     Set(RenameMapProp, DropTombstonesProp, BucketColProp, BucketNProp,
         TransformProp, StreamBatchIdProp,
-        ZOrderColsProp, ZOrderBitsProp, ZOrderSplitsProp)
+        ZOrderColsProp, ZOrderBitsProp, ZOrderSplitsProp, SortColsProp)
 
   private[ops] def durablePropsOf(props: Map[String, String]): Map[String, String] =
     props.view.filterKeys(k =>
@@ -3441,8 +3512,13 @@ object ManifestTable {
         it.takeWhile(c => c != '=' && c != '!') == name }
       k -> (if (kept.isEmpty) dirOf(value) else s"${dirOf(value)}\t${kept.mkString(";")}")
     }
-    val newProps = (props - RenameMapProp) ++
+    // A dropped SORT column falls out of the durable write order
+    // (Iceberg's behavior); an emptied order drops the prop.
+    val sortKept = sortColsOf(props).filterNot(_ == name)
+    val newProps = (props - RenameMapProp - SortColsProp) ++
       (if (map1.isEmpty) Map.empty else Map(RenameMapProp -> encodeRenameMap(map1))) ++
+      (if (sortKept.isEmpty) Map.empty
+       else Map(SortColsProp -> sortKept.mkString(","))) ++
       Map(DropTombstonesProp ->
         (tombstonesOf(props) + physical).toSeq.sorted.mkString(","))
     val propLines = Seq(PropsKey -> newProps.toSeq.sortBy(_._1)

@@ -3239,6 +3239,106 @@ object ExtQueries {
       |ORDER BY d.doc_id""".stripMargin
 
   // ----------------------------------------------------------------
+  // q219_hybrid_search — KEYWORD-PREFILTERED ANN (hybrid retrieval,
+  // the RAG-corpus query shape): a token-indexed document table is
+  // filtered by `tokenMatch` — dir-pruned through the committed token
+  // blooms, so the keyword stage OPENS only dirs that might hold the
+  // term — and only the surviving documents' embeddings are scored
+  // (exact cosine top-k vs a query vector; at 100 TB the prefilter is
+  // what turns a corpus-wide scan + score into a few-dir fetch). The
+  // oracle rebuilds the bloom decision (kept dirs pinned, FPs
+  // included) and recomputes the full ranked result in SQL.
+  // ----------------------------------------------------------------
+  def q219HybridSearch(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:q219_hybrid_search") {
+      q219HybridSearchBuild(spark, dir)
+    }
+
+  private def q219HybridSearchBuild(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{GraftFileIndex, ManifestTable}
+    import graft.ext.TextAnalysis.tokenMatch
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        floor(col("doc_id") / 50).cast("string").as("shard"),
+        concat(col("text"),
+          when(floor(col("doc_id") / 50).isin(2, 7) && col("doc_id") % 5 === 0,
+            lit(" planted ZEBRA marker")).otherwise(lit(""))).as("text"))
+    val path = java.nio.file.Files.createTempDirectory("graft_q219_").toString + "/table"
+    ManifestTable.merge(spark, path, docs, keys = Seq("doc_id"), partitionCol = "shard",
+      tokenBloomColumns = Seq("text"), tokenBloomBits = 4096)
+    val filtered = ManifestTable.read(spark, path)
+      .where(tokenMatch(col("text"), "zebra"))
+      .select(col("doc_id"))
+    filtered.collect()
+    val kept = filtered.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s.relation.location
+    }.collect { case g: GraftFileIndex => g.lastPrune }.flatten
+    require(kept.nonEmpty, "q219: no GraftFileIndex saw a filtered listFiles")
+    val (kDirs, tDirs) = (kept.map(_._1).sum, kept.map(_._2).sum)
+    val emb = Tables.embeddings(spark, dir)
+    val corpus = emb.join(filtered.withColumnRenamed("doc_id", "vec_id"), Seq("vec_id"),
+      "left_semi")
+    val queries = emb.filter(col("vec_id") === 0L)
+    graft.ext.Similarity.bruteForceTopK(corpus, queries, k = 10)
+      .select(col("neighbor_id"), col("rank").cast("long").as("rank"),
+        round(col("sim"), 4).as("sim"))
+      .withColumn("n_filtered", lit(filtered.count()))
+      .withColumn("k_dirs", lit(kDirs))
+      .withColumn("dirs_total", lit(tDirs))
+      .orderBy(col("rank"))
+  }
+
+  val q219HybridSearchSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, CAST(floor(doc_id / 50) AS BIGINT) AS shard,
+      |    text || CASE WHEN floor(doc_id / 50) IN (2, 7) AND doc_id % 5 = 0
+      |                 THEN ' planted ZEBRA marker' ELSE '' END AS text
+      |  FROM documents),
+      |hits AS (
+      |  SELECT doc_id FROM corpus
+      |  WHERE list_contains(string_split_regex(lower(text), '[^a-z0-9]+'), 'zebra')),
+      |tok AS (
+      |  SELECT DISTINCT shard, tok FROM (
+      |    SELECT shard, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
+      |    FROM corpus)
+      |  WHERE tok <> ''),
+      |js AS (SELECT * FROM (VALUES (0),(1),(2),(3)) AS t(j)),
+      |bits AS (
+      |  SELECT DISTINCT shard,
+      |    CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '#' || tok), 1, 8))
+      |      AS UBIGINT) % 4096 AS pos
+      |  FROM tok CROSS JOIN js),
+      |ppos AS (
+      |  SELECT CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '#zebra'), 1, 8))
+      |      AS UBIGINT) % 4096 AS pos
+      |  FROM js),
+      |keepshards AS (
+      |  SELECT s.shard FROM (SELECT DISTINCT shard FROM corpus) s
+      |  WHERE NOT EXISTS (
+      |    SELECT 1 FROM ppos pp
+      |    WHERE NOT EXISTS (SELECT 1 FROM bits b
+      |                      WHERE b.shard = s.shard AND b.pos = pp.pos))),
+      |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+      |      FROM embeddings),
+      |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+      |scored AS (
+      |  SELECT e.vec_id AS neighbor_id,
+      |    list_dot_product(qv, v) /
+      |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS sim
+      |  FROM q, e
+      |  WHERE e.vec_id IN (SELECT doc_id FROM hits) AND e.vec_id <> 0),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (ORDER BY sim DESC, neighbor_id) AS rank
+      |  FROM scored)
+      |SELECT neighbor_id, CAST(rank AS BIGINT) AS rank, round(sim, 4) AS sim,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM hits) AS n_filtered,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM keepshards) AS k_dirs,
+      |  (SELECT CAST(count(DISTINCT shard) AS BIGINT) FROM corpus) AS dirs_total
+      |FROM ranked WHERE rank <= 10
+      |ORDER BY rank""".stripMargin
+
+  // ----------------------------------------------------------------
   // q59_jaccard_join — EXACT n-gram Jaccard similarity join at
   // threshold 0.5 (Dedup.jaccardJoinExact): inverted-index pair
   // count — |A∩B| is a hash-aggregate over the gram self-join, J a

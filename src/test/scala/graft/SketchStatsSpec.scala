@@ -93,6 +93,29 @@ class SketchStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("history: retained versions audit oldest-first with commit time, " +
+    "entries, metadata rows, and props (expired versions absent)") {
+    val path = freshPath("hist")
+    val mk = (lo: Int, hi: Int) => (lo to hi)
+      .map(i => (i.toLong, (i % 3).toString, i.toLong)).toDF("id", "part", "u")
+    ManifestTable.merge(spark, path, mk(1, 30), Seq("id"), "part",
+      statsColumns = Seq("u"), retainVersions = 2)
+    ManifestTable.merge(spark, path, mk(31, 40), Seq("id"), "part",
+      statsColumns = Seq("u"), retainVersions = 2)
+    ManifestTable.merge(spark, path, mk(41, 45), Seq("id"), "part",
+      statsColumns = Seq("u"), retainVersions = 2)
+    val h = ManifestTable.history(spark, path)
+    assert(h.map(_.version) == Seq(2L, 3L), "retainVersions=2 keeps the last two")
+    assert(h.forall(_.commitMs.isDefined))
+    assert(h.map(_.entries) == Seq(3L, 3L))
+    assert(h.map(_.rows) == Seq(Some(40L), Some(45L)),
+      "metadata row counts track the upserts")
+    ManifestTable.addConstraint(spark, path, "u_pos", "u > 0")
+    val h2 = ManifestTable.history(spark, path)
+    assert(h2.last.props.get("constraint.u_pos").contains("u > 0"),
+      "props diffs surface constraint/layout changes")
+  }
+
   test("compaction carries sketches verbatim; the union is insensitive " +
     "to dir re-grouping") {
     val path = freshPath("comp")
