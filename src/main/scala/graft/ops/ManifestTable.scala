@@ -640,8 +640,18 @@ object ManifestTable {
             unescapePathName(name.stripPrefix("__pdir=")) -> s"$batch/$name"
           }
         }
+      val tProps = durablePropsOf(readProps(spark, plan.path)) ++ t.props
+      // CHECK constraints hold on the multi-table path too — each
+      // table's batch validates against ITS constraints before ITS
+      // commit. A refusal mid-loop leaves earlier tables committed
+      // and later ones untouched (mergeMany's commits are per-table
+      // sequential — the same partial-progress window a crash between
+      // commits has; wrap in ManifestTxn for all-or-nothing).
+      if (newEntries.nonEmpty && constraintsOf(tProps).nonEmpty)
+        checkConstraints(spark.read.parquet(s"${plan.path}/$batch").drop("__pdir"),
+          tProps, "mergeMany")
       commitPlan(fs, plan, t.partitionCol, newEntries, retainVersions, t.statsColumns,
-        durablePropsOf(readProps(spark, plan.path)) ++ t.props)
+        tProps)
     } finally fs.delete(new Path(staging), true)
   }
 

@@ -98,6 +98,27 @@ class ConstraintsSpec extends AnyFunSuite {
     assert(ManifestTable.read(spark, path).where(col("v") < 0).count() == 1L)
   }
 
+  test("the multi-table path enforces per-table constraints too") {
+    import graft.ops.ManifestTable.TableMerge
+    val base = java.nio.file.Files.createTempDirectory("graft_ck_many").toString
+    val a = Seq((1L, "p", 5.0)).toDF("id", "part", "v")
+    val b = Seq((1L, "p", 9.0)).toDF("id", "part", "w")
+    ManifestTable.mergeMany(spark, base, Seq(
+      TableMerge("ta", a, Seq("id"), "part"),
+      TableMerge("tb", b, Seq("id"), "part")))
+    ManifestTable.addConstraint(spark, s"$base/tb", "w_pos", "w > 0")
+    val bad = Seq((2L, "p", -1.0)).toDF("id", "part", "w")
+    val e = intercept[IllegalArgumentException] {
+      ManifestTable.mergeMany(spark, base, Seq(
+        TableMerge("ta", Seq((2L, "p", 6.0)).toDF("id", "part", "v"),
+          Seq("id"), "part"),
+        TableMerge("tb", bad, Seq("id"), "part")))
+    }
+    assert(e.getMessage.contains("w_pos"))
+    assert(ManifestTable.read(spark, s"$base/tb").count() == 1L,
+      "tb's violating batch must not commit")
+  }
+
   test("refusals and duplicates: duplicate name, unknown drop, bad name") {
     val path = freshPath("guards")
     seed(path)
