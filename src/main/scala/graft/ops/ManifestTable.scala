@@ -1919,8 +1919,15 @@ object ManifestTable {
           val items =
             if (hadAux) Nil
             else if (!hadDv) items0
+            // A DV fold keeps zone maps and blooms (still-valid
+            // SUPERSETS — false keeps only) but must drop the KMV
+            // sketch: it still holds the deleted values' hashes, and
+            // unlike pruning metadata a distinct ESTIMATE has no
+            // conservative direction — approxDistinct would count
+            // erased rows. Its absence makes approxDistinct refuse
+            // honestly until the next kmvColumns merge re-sketches.
             else items0.filterNot(it => it.startsWith(s"$DvTag=") ||
-              it.startsWith(s"$RowCountKey="))
+              it.startsWith(s"$RowCountKey=") || it.contains(s"$KmvTag="))
           k -> (if (items.isEmpty) d else s"$d\t${items.mkString(";")}")
       }
     }

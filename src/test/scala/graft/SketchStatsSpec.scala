@@ -125,4 +125,28 @@ class SketchStatsSpec extends AnyFunSuite {
     val after = ManifestTable.approxDistinct(spark, path, "u")
     assert(after.estimate == before.estimate && after.exact == before.exact)
   }
+
+  test("a DV-folding compact DROPS the folded entry's sketch — refusal, " +
+    "never an estimate that counts erased rows; a re-merge re-sketches") {
+    val path = freshPath("dvfold")
+    seed(path, n = 500, mod = 97)
+    ManifestTable.deleteWhereMoR(spark, path, "part", col("id") === 5L)
+    // pending DV → refusal (sketches don't reflect the delete)
+    intercept[IllegalArgumentException] {
+      ManifestTable.approxDistinct(spark, path, "u")
+    }
+    // the fold removes the rows physically; the sketch would now
+    // OVERCOUNT, so it must be gone — missing-sketch refusal instead
+    ManifestTable.compact(spark, path, "part")
+    val e = intercept[RuntimeException] {
+      ManifestTable.approxDistinct(spark, path, "u")
+    }
+    assert(e.getMessage.contains("no committed KMV sketch"))
+    // a kmvColumns merge touching the folded partition re-sketches it
+    ManifestTable.merge(spark, path,
+      Seq((9999L, "5", 5L)).toDF("id", "part", "u"),
+      Seq("id"), "part", kmvColumns = Seq("u"), kmvK = 256)
+    val est = ManifestTable.approxDistinct(spark, path, "u")
+    assert(est.exact && est.estimate == 97L)
+  }
 }
