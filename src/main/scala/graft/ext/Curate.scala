@@ -374,6 +374,98 @@ object Curate {
       .drop("__r")
   }
 
+  /** GOPHER QUALITY FILTER (Rae et al. 2021 Table A1) — the composed
+    * accept/reject rule cascade over the repetition and shape
+    * signals, each document labeled with the FIRST failed rule (fixed
+    * order below) or "ok". Words are the whitespace tokens of the
+    * normalized text ([[Dedup.normalized]]); the n-gram repetition
+    * family runs on the `[a-z0-9]+` token stream
+    * ([[TextAnalysis.repetitionSignals]]). Every comparison is
+    * integer micro-units or a cross-multiplied ratio — engine-portable
+    * exactly, zero float thresholds.
+    *
+    * Rules, in order (thresholds from the paper; n-gram set
+    * parameterized): word_count ∈ [minWords, maxWords];
+    * mean_word_length ∈ [3, 10]; symbol_ratio ('#' + '…' + '...'
+    * occurrences ≤ 0.1/word); bullet_lines (≤ 90% of lines start
+    * '-'/'*'/'•'); ellipsis_lines (≤ 30% end '…'/'...');
+    * alpha_words (≥ 80% contain a letter); stop_words (≥ 2 distinct
+    * of [[TextAnalysis.EnStopwords]]); dup_line_frac ≤ 0.30;
+    * dup_line_char_frac ≤ 0.20; topNgram / dupNgram caps per the
+    * `topNs` / `dupNs` maps.
+    *
+    * Scale: every stage is a per-document aggregation or map-only
+    * projection joined back on the id — doc-keyed exchanges only. */
+  def gopherFilter(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text",
+                   minWords: Int = 50, maxWords: Int = 100000,
+                   topNs: Seq[(Int, Long)] =
+                     Seq(2 -> 200000L, 3 -> 180000L, 4 -> 160000L),
+                   dupNs: Seq[(Int, Long)] =
+                     Seq(5 -> 150000L, 10 -> 100000L)): DataFrame = {
+    import graft.ext.{TextAnalysis => TA}
+    val base = docs.select(col(idCol), col(textCol))
+    val words = base.select(col(idCol),
+      filter(split(Dedup.normalized(col(textCol)), " "), w => w =!= "").as("__ws"),
+      col(textCol))
+      .select(col(idCol),
+        size(col("__ws")).cast("long").as("n_words"),
+        expr("aggregate(__ws, 0L, (a, x) -> a + length(x))").as("__wchars"),
+        size(filter(col("__ws"), w => w.rlike("[a-z]"))).cast("long").as("n_alpha"),
+        size(array_intersect(array_distinct(col("__ws")),
+          typedLit(TA.EnStopwords))).cast("long").as("n_stop"),
+        (length(col(textCol)) - length(replace(col(textCol), lit("#"), lit(""))))
+          .cast("long").as("__hash"),
+        (length(col(textCol)) - length(replace(col(textCol), lit("…"), lit(""))))
+          .cast("long").as("__ell1"),
+        ((length(col(textCol)) - length(replace(col(textCol), lit("..."), lit("")))) / 3)
+          .cast("long").as("__ell3"))
+      .withColumn("mean_wl_e6", expr("CAST((1000000 * __wchars) div n_words AS BIGINT)"))
+      .withColumn("n_symbols", col("__hash") + col("__ell1") + col("__ell3"))
+    val lines = base
+      .select(col(idCol), explode(split(col(textCol), "\n")).as("__raw"))
+      .withColumn("__l", trim(col("__raw")))
+      .filter(col("__l") =!= "")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("__l").startsWith("-") || col("__l").startsWith("*") ||
+          col("__l").startsWith("•"), 1L).otherwise(0L)).as("n_bullet"),
+        sum(when(col("__l").endsWith("...") || col("__l").endsWith("…"), 1L)
+          .otherwise(0L)).as("n_ellipsis"))
+    val rep = TA.repetitionSignals(base, idCol, textCol)
+      .drop("n_lines") // lines re-derived above next to bullet/ellipsis
+    val ngrams = (topNs.map { case (n, _) =>
+      TA.topNgramCharFracE6(base, n, idCol, textCol) } ++
+      dupNs.map { case (n, _) => TA.dupNgramCharFracE6(base, n, idCol, textCol) })
+    val joined = ngrams.foldLeft(
+      base.select(col(idCol)).distinct()
+        .join(words, Seq(idCol), "left_outer")
+        .join(lines, Seq(idCol), "left_outer")
+        .join(rep, Seq(idCol), "left_outer")) {
+      (acc, f) => acc.join(f, Seq(idCol), "left_outer") }
+    def z(c: String): Column = coalesce(col(c), lit(0L))
+    val reason =
+      when(z("n_words") < minWords || z("n_words") > maxWords, "word_count")
+        .when(z("mean_wl_e6") < 3000000L || z("mean_wl_e6") > 10000000L,
+          "mean_word_length")
+        .when(z("n_symbols") * 10L > z("n_words"), "symbol_ratio")
+        .when(z("n_bullet") * 10L > z("n_lines") * 9L, "bullet_lines")
+        .when(z("n_ellipsis") * 10L > z("n_lines") * 3L, "ellipsis_lines")
+        .when(z("n_alpha") * 5L < z("n_words") * 4L, "alpha_words")
+        .when(z("n_stop") < 2L, "stop_words")
+        .when(z("dup_line_frac_e6") > 300000L, "dup_line_frac")
+        .when(z("dup_line_char_frac_e6") > 200000L, "dup_line_char_frac")
+    val withNgrams = (topNs.map { case (n, cap) =>
+      (s"top${n}gram_char_frac_e6", cap, s"top${n}gram") } ++
+      dupNs.map { case (n, cap) =>
+        (s"dup${n}gram_char_frac_e6", cap, s"dup${n}gram") })
+      .foldLeft(reason) { case (r, (c, cap, name)) => r.when(z(c) > cap, name) }
+      .otherwise("ok")
+    joined.withColumn("reason", withNgrams)
+      .withColumn("accept", col("reason") === "ok")
+      .select(col(idCol), col("accept"), col("reason"))
+  }
+
   /** CROSS-DOCUMENT line dedup — the CCNet/RefinedWeb boilerplate
     * removal step: a LINE whose normalized form appears in at least
     * `minDocs` DISTINCT documents is boilerplate (cookie banners,

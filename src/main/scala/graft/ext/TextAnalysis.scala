@@ -102,24 +102,8 @@ object TextAnalysis {
           .as("dup_line_frac_e6"),
         expr("CAST((1000000 * __dup) div __tot AS BIGINT)")
           .as("dup_line_char_frac_e6"))
-    val toks = filter(
-      split(regexp_replace(lower(col(textCol)), "[^a-z0-9]+", " "), " "),
-      t => t =!= "")
-    val grams = docs.select(col(idCol), toks.as("__ts"))
-      .withColumn("__den", length(array_join(col("__ts"), " ")).cast("long"))
-      .where(size(col("__ts")) >= 2)
-      .select(col(idCol), col("__den"), explode(transform(
-        sequence(lit(0), size(col("__ts")) - 2),
-        i => concat(element_at(col("__ts"), i + 1), lit(" "),
-          element_at(col("__ts"), i + 2)))).as("__g"))
-      .groupBy(col(idCol), col("__den"), col("__g"))
-      .agg(count(lit(1)).as("__c"))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("__c").desc, col("__g").asc)
-    val topSig = grams.withColumn("__r", row_number().over(w))
-      .filter(col("__r") === 1)
-      .select(col(idCol),
-        expr("CAST((1000000 * __c * length(__g)) div __den AS BIGINT)")
-          .as("top_bigram_char_frac_e6"))
+    val topSig = topNgramCharFracE6(docs, 2, idCol, textCol)
+      .withColumnRenamed("top2gram_char_frac_e6", "top_bigram_char_frac_e6")
     docs.select(col(idCol)).distinct()
       .join(lineSig, Seq(idCol), "left_outer")
       .join(topSig, Seq(idCol), "left_outer")
@@ -128,6 +112,60 @@ object TextAnalysis {
         coalesce(col("dup_line_frac_e6"), lit(0L)).as("dup_line_frac_e6"),
         coalesce(col("dup_line_char_frac_e6"), lit(0L)).as("dup_line_char_frac_e6"),
         coalesce(col("top_bigram_char_frac_e6"), lit(0L)).as("top_bigram_char_frac_e6"))
+  }
+
+  /** Per-document TOP-n-gram character coverage, micro-quantized:
+    * `cnt · len(gram) div len(tokens joined by ' ')` for the most
+    * frequent word n-gram (ties → lexicographically smallest).
+    * Returns `(idCol, top{n}gram_char_frac_e6)`; docs with fewer than
+    * n tokens are absent (callers coalesce to 0). Tokens are the
+    * lowercased `[a-z0-9]+` runs — the [[repetitionSignals]] stream. */
+  def topNgramCharFracE6(docs: DataFrame, n: Int, idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 1, s"topNgramCharFracE6: n must be >= 1, got $n")
+    val grams = ngramCounts(docs, n, idCol, textCol)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__c").desc, col("__g").asc)
+    grams.withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
+      .select(col(idCol),
+        expr("CAST((1000000 * __c * length(__g)) div __den AS BIGINT)")
+          .as(s"top${n}gram_char_frac_e6"))
+  }
+
+  /** Per-document DUPLICATE-n-gram redundancy, micro-quantized:
+    * `Σ_{gram: cnt>1} (cnt−1)·len(gram) div len(tokens joined by ' ')`
+    * — the characters in the REPEATED occurrences, the same
+    * definition [[repetitionSignals]] uses for duplicate lines
+    * (implementations of Gopher's A1.1 vary on overlap handling;
+    * this one is order-free and engine-portable exactly). */
+  def dupNgramCharFracE6(docs: DataFrame, n: Int, idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    require(n >= 1, s"dupNgramCharFracE6: n must be >= 1, got $n")
+    ngramCounts(docs, n, idCol, textCol)
+      .groupBy(col(idCol), col("__den"))
+      .agg(sum(when(col("__c") > 1, (col("__c") - 1) * length(col("__g")).cast("long"))
+        .otherwise(lit(0L))).as("__dup"))
+      .select(col(idCol),
+        expr("CAST((1000000 * __dup) div __den AS BIGINT)")
+          .as(s"dup${n}gram_char_frac_e6"))
+  }
+
+  /** `(idCol, __den, __g, __c)`: per-doc word n-gram counts over the
+    * `[a-z0-9]+` token stream, with the doc's joined-token char length
+    * as the shared denominator. */
+  private def ngramCounts(docs: DataFrame, n: Int, idCol: String,
+                          textCol: String): DataFrame = {
+    val toks = filter(
+      split(regexp_replace(lower(col(textCol)), "[^a-z0-9]+", " "), " "),
+      t => t =!= "")
+    docs.select(col(idCol), toks.as("__ts"))
+      .withColumn("__den", length(array_join(col("__ts"), " ")).cast("long"))
+      .where(size(col("__ts")) >= n)
+      .select(col(idCol), col("__den"), explode(transform(
+        sequence(lit(0), size(col("__ts")) - n),
+        i => array_join(slice(col("__ts"), i + 1, lit(n)), " "))).as("__g"))
+      .groupBy(col(idCol), col("__den"), col("__g"))
+      .agg(count(lit(1)).as("__c"))
   }
 
   /** BPE-ish subword count: runs of alphanumerics or single

@@ -2446,7 +2446,11 @@ object ManifestTable {
               retainVersions: Int = 2,
               statsColumns: Seq[String] = Nil,
               bloomColumns: Seq[String] = Nil,
-              bloomBits: Int = 8192): Long = {
+              bloomBits: Int = 8192,
+              tokenBloomColumns: Seq[String] = Nil,
+              tokenBloomBits: Int = 16384,
+              kmvColumns: Seq[String] = Nil,
+              kmvK: Int = 256): Long = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val v = latestVersion(fs, path).getOrElse(
       sys.error(s"ManifestTable.foldMoR: no manifest under $path/$ManifestDir"))
@@ -2464,7 +2468,9 @@ object ManifestTable {
       statsColumns = statsColumns, replaceTouched = true,
       props = Map.empty, knownTouched = Some(debt),
       bloomColumns = bloomColumns, bloomBits = bloomBits,
-      bucketSpec = bucketSpecOf(readProps(spark, path)))
+      bucketSpec = bucketSpecOf(readProps(spark, path)),
+      tokenBloomColumns = tokenBloomColumns, tokenBloomBits = tokenBloomBits,
+      kmvColumns = kmvColumns, kmvK = kmvK)
     debt.size.toLong
   }
 
@@ -2479,7 +2485,11 @@ object ManifestTable {
                    retainVersions: Int = 2,
                    statsColumns: Seq[String] = Nil,
                    bloomColumns: Seq[String] = Nil,
-                   bloomBits: Int = 8192): Option[Long] = {
+                   bloomBits: Int = 8192,
+                   tokenBloomColumns: Seq[String] = Nil,
+                   tokenBloomBits: Int = 16384,
+                   kmvColumns: Seq[String] = Nil,
+                   kmvK: Int = 256): Option[Long] = {
     require(maxPending >= 0, s"maybeFoldMoR: maxPending must be >= 0, got $maxPending")
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val v = latestVersion(fs, path).getOrElse(
@@ -2488,7 +2498,8 @@ object ManifestTable {
       dvRefOf(value).nonEmpty || auxRefsOf(value).nonEmpty }
     if (pending <= maxPending) None
     else Some(foldMoR(spark, path, partitionCol, retainVersions, statsColumns,
-      bloomColumns, bloomBits))
+      bloomColumns, bloomBits, tokenBloomColumns, tokenBloomBits,
+      kmvColumns, kmvK))
   }
 
   // ------------------------------------------------------------------

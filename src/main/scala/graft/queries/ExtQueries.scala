@@ -3339,6 +3339,276 @@ object ExtQueries {
       |ORDER BY rank""".stripMargin
 
   // ----------------------------------------------------------------
+  // q220_gopher_filter — the COMPOSED Gopher quality cascade (Rae et
+  // al. 2021 Table A1; Curate.gopherFilter): 14 rules in fixed order
+  // — word count, mean word length, symbol ratio, bullet/ellipsis
+  // lines, alpha-word fraction, stopword presence, duplicate-line
+  // fractions, top-{2,3,4}-gram coverage, dup-{5,10}-gram redundancy
+  // — each doc labeled accept + FIRST-failed-rule reason. Every
+  // comparison is integer micro-units or a cross-multiplied ratio, so
+  // the oracle recomputes the ENTIRE cascade for all 500 docs
+  // exactly. The corpus plants one pathology per prime class (tiny
+  // docs, bullet walls, symbol spam, bigram loops) on top of clean
+  // text.
+  // ----------------------------------------------------------------
+  def q220GopherFilter(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:q220_gopher_filter") {
+      q220GopherFilterBuild(spark, dir)
+    }
+
+  private val Q220Bullets: String = (1 to 24).map(i => s"- item$i").mkString("\n")
+
+  private def q220GopherFilterBuild(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"),
+      concat_ws("\n",
+        when(col("doc_id") % 13 === 0, lit("tiny doc"))
+          .otherwise(concat(col("text"), lit("\nthe quick note of a run"))),
+        when(col("doc_id") % 11 === 0, lit(Q220Bullets)),
+        when(col("doc_id") % 17 === 0, lit("#### #### #### #### #### #### ####")),
+        when(col("doc_id") % 19 === 0,
+          lit("buy now buy now buy now buy now buy now buy now buy now buy now")))
+        .as("text"))
+    graft.ext.Curate.gopherFilter(docs, minWords = 10)
+      .orderBy(col("doc_id"))
+  }
+
+  /** The full Gopher-cascade SQL fragment over a `corpus(doc_id,
+    * text)` CTE, ending in `labeled(doc_id, reason)` — shared by the
+    * q220 gate and the q221 pipeline composition. */
+  private val GopherCascadeCtes: String = {
+    def gramBlocks(n: Int): String =
+      s"""g$n AS (
+         |  SELECT doc_id, den, array_to_string(l[i:i+${n - 1}], ' ') AS g
+         |  FROM (SELECT doc_id, length(array_to_string(l, ' ')) AS den, l
+         |        FROM tk WHERE len(l) >= $n),
+         |       LATERAL (SELECT generate_subscripts(l, 1) AS i) t
+         |  WHERE i <= len(l) - ${n - 1}),
+         |gc$n AS (SELECT doc_id, den, g, count(*) AS c FROM g$n GROUP BY 1, 2, 3)""".stripMargin
+    def topBlock(n: Int): String =
+      s"""top$n AS (
+         |  SELECT doc_id, (1000000 * c * length(g)) // den AS v
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |          ORDER BY c DESC, g ASC) AS rn FROM gc$n)
+         |  WHERE rn = 1)""".stripMargin
+    def dupBlock(n: Int): String =
+      s"""dup$n AS (
+         |  SELECT doc_id,
+         |    (1000000 * sum(CASE WHEN c > 1 THEN (c - 1) * length(g) ELSE 0 END)) // den AS v
+         |  FROM gc$n GROUP BY doc_id, den)""".stripMargin
+    s"""w AS (
+       |  SELECT doc_id, text,
+       |    list_filter(string_split(
+       |      regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' '),
+       |      x -> x <> '') AS ws
+       |  FROM corpus),
+       |wm AS (
+       |  SELECT doc_id,
+       |    CAST(len(ws) AS BIGINT) AS n_words,
+       |    CAST(coalesce((1000000 * list_sum(list_transform(ws, x -> length(x))))
+       |      // nullif(CAST(len(ws) AS BIGINT), 0), 0) AS BIGINT) AS mean_wl_e6,
+       |    CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha,
+       |    CAST(len(list_intersect(list_distinct(ws),
+       |      ['the','a','of','and','to','in','is','on','for','with'])) AS BIGINT) AS n_stop,
+       |    CAST((length(text) - length(replace(text, '#', ''))) +
+       |         (length(text) - length(replace(text, '…', ''))) +
+       |         (length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT)
+       |      AS n_symbols
+       |  FROM w),
+       |lraw AS (
+       |  SELECT doc_id, trim(l0[i]) AS l
+       |  FROM (SELECT doc_id, string_split(text, chr(10)) AS l0 FROM corpus),
+       |       LATERAL (SELECT generate_subscripts(l0, 1) AS i) t),
+       |lm AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+       |    CAST(sum(CASE WHEN l LIKE '-%' OR l LIKE '*%' OR l LIKE '•%'
+       |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_bullet,
+       |    CAST(sum(CASE WHEN l LIKE '%...' OR l LIKE '%…'
+       |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_ellipsis
+       |  FROM lraw WHERE l <> '' GROUP BY doc_id),
+       |lg AS (
+       |  SELECT doc_id, l AS content, count(*) AS c, length(l) AS len
+       |  FROM lraw WHERE l <> '' GROUP BY doc_id, l),
+       |ls AS (
+       |  SELECT doc_id,
+       |    (1000000 * (sum(c) - count(*))) // sum(c) AS dlf,
+       |    (1000000 * sum((c - 1) * len)) // sum(c * len) AS dlcf
+       |  FROM lg GROUP BY doc_id),
+       |tk AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(
+       |      regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+       |      x -> x <> '') AS l
+       |  FROM corpus),
+       |${gramBlocks(2)},
+       |${topBlock(2)},
+       |${gramBlocks(3)},
+       |${topBlock(3)},
+       |${gramBlocks(4)},
+       |${topBlock(4)},
+       |${gramBlocks(5)},
+       |${dupBlock(5)},
+       |${gramBlocks(10)},
+       |${dupBlock(10)},
+       |sig AS (
+       |  SELECT c.doc_id,
+       |    coalesce(wm.n_words, 0) AS n_words,
+       |    coalesce(wm.mean_wl_e6, 0) AS mean_wl_e6,
+       |    coalesce(wm.n_alpha, 0) AS n_alpha,
+       |    coalesce(wm.n_stop, 0) AS n_stop,
+       |    coalesce(wm.n_symbols, 0) AS n_symbols,
+       |    coalesce(lm.n_lines, 0) AS n_lines,
+       |    coalesce(lm.n_bullet, 0) AS n_bullet,
+       |    coalesce(lm.n_ellipsis, 0) AS n_ellipsis,
+       |    coalesce(ls.dlf, 0) AS dlf,
+       |    coalesce(ls.dlcf, 0) AS dlcf,
+       |    coalesce(top2.v, 0) AS t2, coalesce(top3.v, 0) AS t3,
+       |    coalesce(top4.v, 0) AS t4,
+       |    coalesce(dup5.v, 0) AS d5, coalesce(dup10.v, 0) AS d10
+       |  FROM (SELECT DISTINCT doc_id FROM corpus) c
+       |  LEFT JOIN wm USING (doc_id) LEFT JOIN lm USING (doc_id)
+       |  LEFT JOIN ls USING (doc_id)
+       |  LEFT JOIN top2 USING (doc_id) LEFT JOIN top3 USING (doc_id)
+       |  LEFT JOIN top4 USING (doc_id)
+       |  LEFT JOIN dup5 USING (doc_id) LEFT JOIN dup10 USING (doc_id)),
+       |labeled AS (
+       |  SELECT doc_id,
+       |    CASE
+       |      WHEN n_words < 10 OR n_words > 100000 THEN 'word_count'
+       |      WHEN mean_wl_e6 < 3000000 OR mean_wl_e6 > 10000000 THEN 'mean_word_length'
+       |      WHEN n_symbols * 10 > n_words THEN 'symbol_ratio'
+       |      WHEN n_bullet * 10 > n_lines * 9 THEN 'bullet_lines'
+       |      WHEN n_ellipsis * 10 > n_lines * 3 THEN 'ellipsis_lines'
+       |      WHEN n_alpha * 5 < n_words * 4 THEN 'alpha_words'
+       |      WHEN n_stop < 2 THEN 'stop_words'
+       |      WHEN dlf > 300000 THEN 'dup_line_frac'
+       |      WHEN dlcf > 200000 THEN 'dup_line_char_frac'
+       |      WHEN t2 > 200000 THEN 'top2gram'
+       |      WHEN t3 > 180000 THEN 'top3gram'
+       |      WHEN t4 > 160000 THEN 'top4gram'
+       |      WHEN d5 > 150000 THEN 'dup5gram'
+       |      WHEN d10 > 100000 THEN 'dup10gram'
+       |      ELSE 'ok' END AS reason
+       |  FROM sig)""".stripMargin
+  }
+
+  val q220GopherFilterSql: String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, concat_ws(chr(10),
+       |    CASE WHEN doc_id % 13 = 0 THEN 'tiny doc'
+       |         ELSE text || chr(10) || 'the quick note of a run' END,
+       |    CASE WHEN doc_id % 11 = 0 THEN '${(1 to 24).map(i => s"- item$i").mkString("' || chr(10) || '")}' END,
+       |    CASE WHEN doc_id % 17 = 0 THEN '#### #### #### #### #### #### ####' END,
+       |    CASE WHEN doc_id % 19 = 0
+       |         THEN 'buy now buy now buy now buy now buy now buy now buy now buy now' END)
+       |    AS text
+       |  FROM documents),
+       |$GopherCascadeCtes
+       |SELECT doc_id, reason = 'ok' AS accept, reason
+       |FROM labeled ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q221_curation_v2 — the WEB-CURATION PIPELINE over the round's new
+  // text operators, composed end to end and cross-engine exact:
+  // cross-document LINE DEDUP (q217's boilerplate removal — universal
+  // furniture lines drop from every doc) → the GOPHER CASCADE over
+  // the CLEANED text (q220's 14 rules — furniture removal changes
+  // line counts, so the stages genuinely interact) → EXACT DEDUP of
+  // the accepted, cleaned documents (q17's min-id rule) → per-language
+  // doc and token mass the training run consumes, with the pipeline's
+  // loss accounting (furniture lines removed, quality rejects, exact
+  // dupes) pinned alongside. The oracle replays the ENTIRE pipeline —
+  // the composition is the point: any drift in how stages hand off
+  // (reassembly order, normalization, cascade thresholds) breaks the
+  // hash.
+  // ----------------------------------------------------------------
+  def q221CurationV2(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:q221_curation_v2") {
+      q221CurationV2Build(spark, dir)
+    }
+
+  private def q221CurationV2Build(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.{Curate, Dedup, TextAnalysis}
+    val docs0 = Tables.documents(spark, dir).select(col("doc_id"),
+      concat_ws("\n",
+        lit("Subscribe to our newsletter!"),
+        concat(col("text"), lit("\nthe quick note of a run")),
+        when(col("doc_id") % 11 === 0, lit(Q220Bullets)),
+        lit("(c) 2024 Example Corp")).as("text"))
+    val cleaned = Curate.dropBoilerplateLines(docs0, minDocs = 50)
+    val linesRemoved = cleaned.agg(sum(col("n_removed_lines"))).head().getLong(0)
+    val gf = Curate.gopherFilter(cleaned, minWords = 10)
+    val accepted = cleaned.join(gf.filter(col("accept")).select("doc_id"), Seq("doc_id"))
+    val nAccepted = accepted.count()
+    val nRejected = docs0.count() - nAccepted
+    val dd = Dedup.exactDedup(accepted.select(col("doc_id"), col("text")))
+    val nDeduped = dd.count()
+    dd.join(Tables.documents(spark, dir).select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_curated"), sum(col("n_tokens")).as("sum_tokens"))
+      .withColumn("lines_removed", lit(linesRemoved))
+      .withColumn("n_rejected", lit(nRejected))
+      .withColumn("n_dupes", lit(nAccepted - nDeduped))
+      .orderBy(col("lang"))
+  }
+
+  val q221CurationV2Sql: String =
+    s"""WITH corpus0 AS (
+       |  SELECT doc_id, concat_ws(chr(10),
+       |    'Subscribe to our newsletter!',
+       |    text || chr(10) || 'the quick note of a run',
+       |    CASE WHEN doc_id % 11 = 0 THEN '${(1 to 24).map(i => s"- item$i").mkString("' || chr(10) || '")}' END,
+       |    '(c) 2024 Example Corp') AS text
+       |  FROM documents),
+       |bl_lines AS (
+       |  SELECT doc_id, i, l[i] AS line,
+       |    regexp_replace(trim(lower(l[i])), '\\s+', ' ', 'g') AS key
+       |  FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM corpus0),
+       |       LATERAL (SELECT generate_subscripts(l, 1) AS i) t),
+       |bl_boiler AS (
+       |  SELECT key FROM bl_lines WHERE key <> ''
+       |  GROUP BY key HAVING count(DISTINCT doc_id) >= 50),
+       |bl_kept AS (
+       |  SELECT doc_id, i, line FROM bl_lines
+       |  WHERE key NOT IN (SELECT key FROM bl_boiler)),
+       |bl_reb AS (
+       |  SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS clean
+       |  FROM bl_kept GROUP BY doc_id),
+       |corpus AS (
+       |  SELECT t.doc_id, coalesce(r.clean, '') AS text
+       |  FROM (SELECT DISTINCT doc_id FROM bl_lines) t
+       |  LEFT JOIN bl_reb r USING (doc_id)),
+       |$GopherCascadeCtes,
+       |at AS (
+       |  SELECT corpus.doc_id, corpus.text FROM corpus
+       |  JOIN (SELECT doc_id FROM labeled WHERE reason = 'ok') a USING (doc_id)),
+       |dd AS (
+       |  SELECT doc_id, text FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY sha256(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+       |      ORDER BY doc_id) AS rn
+       |    FROM at)
+       |  WHERE rn = 1),
+       |fin AS (
+       |  SELECT d.lang, dd.doc_id,
+       |    CAST(len(string_split(
+       |      regexp_replace(trim(lower(dd.text)), '\\s+', ' ', 'g'), ' ')) AS BIGINT)
+       |      AS n_tokens
+       |  FROM dd JOIN documents d USING (doc_id))
+       |SELECT lang,
+       |  CAST(count(*) AS BIGINT) AS n_curated,
+       |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       |  (SELECT CAST((SELECT count(*) FROM bl_lines) -
+       |               (SELECT count(*) FROM bl_kept) AS BIGINT)) AS lines_removed,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM labeled WHERE reason <> 'ok')
+       |    AS n_rejected,
+       |  (SELECT CAST((SELECT count(*) FROM at) -
+       |               (SELECT count(*) FROM dd) AS BIGINT)) AS n_dupes
+       |FROM fin GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ----------------------------------------------------------------
   // q59_jaccard_join — EXACT n-gram Jaccard similarity join at
   // threshold 0.5 (Dedup.jaccardJoinExact): inverted-index pair
   // count — |A∩B| is a hash-aggregate over the gram self-join, J a

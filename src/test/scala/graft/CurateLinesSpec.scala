@@ -43,6 +43,41 @@ class CurateLinesSpec extends AnyFunSuite {
       (2L, "\n\nother\n", 0L)))
   }
 
+  test("top/dup n-gram fractions generalize the bigram math (n = 3)") {
+    val docs = Seq((1L, "buy now buy now buy now")).toDF("doc_id", "text")
+    // tokens [buy now]x3: den = 23; 3-grams "buy now buy" x2 and
+    // "now buy now" x2 → top3 = (2*11*1e6) div 23; dup3 = (11+11)e6 div 23
+    val top = graft.ext.TextAnalysis.topNgramCharFracE6(docs, 3)
+      .as[(Long, Long)].head()
+    assert(top == ((1L, 22000000L / 23L)))
+    val dup = graft.ext.TextAnalysis.dupNgramCharFracE6(docs, 3)
+      .as[(Long, Long)].head()
+    assert(dup == ((1L, 22000000L / 23L)))
+  }
+
+  test("gopherFilter: clean text accepts; the cascade reports the FIRST " +
+    "failed rule in order") {
+    val bullets = (1 to 10).map(i => s"- item$i").mkString("\n")
+    // NB doc 1 must be LONG: the top-n-gram fraction follows the
+    // literal Gopher/NeMo definition (a unique n-gram still counts),
+    // so a 14-word doc trips top4gram on one long unique 4-gram —
+    // exactly why the paper's word_count floor runs first at 50.
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over a lazy dog while the sun is up " +
+        "and seven noisy crows argue about one shiny spoon near the old barn " +
+        "as two patient cats watch from a warm stone wall until dusk settles " +
+        "gently across the quiet valley floor"),
+      (2L, "one two three"),
+      (3L, s"the quick brown fox jumps over a lazy dog again\n$bullets"))
+      .toDF("doc_id", "text")
+    val out = graft.ext.Curate.gopherFilter(docs, minWords = 10)
+      .orderBy("doc_id").as[(Long, Boolean, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, true, "ok"),
+      (2L, false, "word_count"),
+      (3L, false, "bullet_lines")))
+  }
+
   test("repetitionSignals: clean text scores low; planted repetition " +
     "moves exactly the right dial") {
     val docs = Seq(
