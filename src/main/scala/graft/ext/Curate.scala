@@ -493,12 +493,23 @@ object Curate {
     * accept the 2⁻⁶⁴ collision. */
   def dropBoilerplateLines(docs: DataFrame, minDocs: Int,
                            idCol: String = "doc_id",
-                           textCol: String = "text"): DataFrame = {
+                           textCol: String = "text",
+                           keyOnHash: Boolean = false): DataFrame = {
     require(minDocs >= 2, s"dropBoilerplateLines: need minDocs >= 2, got $minDocs")
-    val lines = docs
+    val lines0 = docs
       .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
-      .withColumn("__key", Dedup.normalized(col("__line")))
-    val boiler = lines.filter(col("__key") =!= "")
+      .withColumn("__nkey", Dedup.normalized(col("__line")))
+    // keyOnHash: the extreme-scale shape — both the frequency
+    // aggregate and the anti-join key on xxhash64(normalized line)
+    // instead of the line text, shrinking the shuffled key to 8 bytes
+    // at a 2⁻⁶⁴-per-pair collision risk (a collision only ever
+    // REMOVES an innocent line alongside true furniture). Identical
+    // output on collision-free corpora — spec-pinned.
+    val lines = lines0.withColumn("__key",
+      if (keyOnHash) xxhash64(col("__nkey")) else col("__nkey"))
+    val emptyKey: Column =
+      if (keyOnHash) col("__nkey") === "" else col("__key") === ""
+    val boiler = lines.filter(!emptyKey)
       .groupBy(col("__key"))
       .agg(count_distinct(col(idCol)).as("__nd"))
       .filter(col("__nd") >= minDocs)

@@ -1329,7 +1329,20 @@ object ManifestTable {
     * set and the estimate is the true distinct count (modulo 64-bit
     * md5 collisions, ~n²/2⁶⁵ — negligible below billions of values). */
   final case class DistinctEstimate(estimate: Long, exact: Boolean,
-                                    k: Int, dirs: Long)
+                                    k: Int, dirs: Long) {
+    /** Advisory ~95% interval around the estimate: the bottom-k
+      * estimator's relative standard error is ≈ 1/√k (Beyer et al.
+      * 2007), so ±1.96/√k. Collapses to a point when [[exact]].
+      * Driver-side doubles — advisory, deliberately not part of any
+      * oracle contract (the estimate itself is the exact-arithmetic
+      * value). */
+    def bounds95: (Long, Long) =
+      if (exact || k == 0) (estimate, estimate)
+      else {
+        val m = (1.96 * estimate / math.sqrt(k.toDouble)).toLong
+        (math.max(0L, estimate - m), estimate + m)
+      }
+  }
 
   /** The KMV payload (`k`, sorted 16-hex-char hashes) a manifest
     * entry carries for `column`, if any. */

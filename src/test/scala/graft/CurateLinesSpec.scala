@@ -43,6 +43,21 @@ class CurateLinesSpec extends AnyFunSuite {
       (2L, "\n\nother\n", 0L)))
   }
 
+  test("keyOnHash (the extreme-scale anti-join shape) produces identical " +
+    "output to the text-keyed form") {
+    val docs = Seq(
+      (1L, "HEADER\nalpha body\nfooter\n"),
+      (2L, "header\nbeta body\nFOOTER"),
+      (3L, "  header \ngamma body\nfooter"))
+      .toDF("doc_id", "text")
+    val a = graft.ext.Curate.dropBoilerplateLines(docs, minDocs = 3)
+      .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+    val b = graft.ext.Curate.dropBoilerplateLines(docs, minDocs = 3, keyOnHash = true)
+      .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+    assert(a == b)
+    assert(a.head._2 == "alpha body\n", "empty trailing line survives both forms")
+  }
+
   test("top/dup n-gram fractions generalize the bigram math (n = 3)") {
     val docs = Seq((1L, "buy now buy now buy now")).toDF("doc_id", "text")
     // tokens [buy now]x3: den = 23; 3-grams "buy now buy" x2 and
