@@ -515,6 +515,35 @@ object Curate {
       .filter(col("__nd") >= minDocs)
       .select("__key")
     val kept = lines.join(boiler, Seq("__key"), "left_anti")
+    reassemble(lines, kept, idCol, textCol)
+  }
+
+  /** [[dropBoilerplateLines]] with a PRECOMPUTED boilerplate set —
+    * the incremental/streaming form: maintain corpus-wide line
+    * frequencies as an [[graft.ops.IncrementalAgg]] view over a
+    * `(doc, normalized-line)` manifest table, derive
+    * `boiler = view.filter(n >= k)`, and clean each arriving wave
+    * against it WITHOUT ever rescanning the corpus (q222's
+    * composition). `boiler(boilerKeyCol)` holds normalized line keys
+    * ([[Dedup.normalized]] of the raw line); empty keys are ignored
+    * (empty lines always survive, the batch form's rule). */
+  def dropBoilerplateLinesAgainst(docs: DataFrame, boiler: DataFrame,
+                                  boilerKeyCol: String = "line_key",
+                                  idCol: String = "doc_id",
+                                  textCol: String = "text"): DataFrame = {
+    val lines = docs
+      .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+      .withColumn("__key", Dedup.normalized(col("__line")))
+    val keys = boiler.select(col(boilerKeyCol).as("__key"))
+      .where(col("__key") =!= "").distinct()
+    val kept = lines.join(keys, Seq("__key"), "left_anti")
+    reassemble(lines, kept, idCol, textCol)
+  }
+
+  /** Rebuild each document from its surviving lines in original
+    * order; all-removed docs survive with empty text. */
+  private def reassemble(lines: DataFrame, kept: DataFrame,
+                         idCol: String, textCol: String): DataFrame = {
     val rebuilt = kept.groupBy(col(idCol)).agg(
       concat_ws("\n", transform(
         array_sort(collect_list(struct(col("__pos"), col("__line")))),

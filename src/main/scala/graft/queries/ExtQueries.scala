@@ -3609,6 +3609,132 @@ object ExtQueries {
        |FROM fin GROUP BY lang ORDER BY lang""".stripMargin
 
   // ----------------------------------------------------------------
+  // q222_incremental_boilerplate — INCREMENTAL corpus-wide line
+  // frequencies (the streaming form of q217's CCNet boilerplate
+  // removal): distinct (doc, normalized-line) pairs land in a
+  // manifest table per wave, an IncrementalAgg view maintains the
+  // per-line document counts ADDITIVELY (the second refresh is pinned
+  // incremental), and each arriving wave is cleaned against
+  // `view.filter(n >= k)` WITHOUT rescanning the corpus — the wave-2
+  // cleaning's scan roots include the view and exclude the lines
+  // table. Wave 2 introduces furniture of its own ("promo" in every
+  // odd doc), so the boilerplate SET genuinely grows between waves:
+  // wave 1 cleans under wave-1 frequencies, wave 2 under the merged
+  // ones — the oracle replays both stages exactly (per-doc rebuilt
+  // md5 + removed counts).
+  // ----------------------------------------------------------------
+  def q222IncrementalBoilerplate(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:q222_incremental_boilerplate") {
+      q222IncrementalBoilerplateBuild(spark, dir)
+    }
+
+  private def q222IncrementalBoilerplateBuild(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.{Curate, Dedup}
+    import graft.ops.{IncrementalAgg, ManifestTable}
+    import spark.implicits._
+    def scanRoots(df: DataFrame): Set[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.rootPaths.head.toString
+          }
+      }.toSet
+    def wave(parity: Int): DataFrame = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 2 === parity)
+      .select(col("doc_id"), concat_ws("\n",
+        lit("Subscribe  to our Newsletter!"),
+        col("text"),
+        if (parity == 1) lit("Join the new wave promo!")
+        else lit(null).cast("string"),
+        lit("(c) 2024 Example Corp")).as("text"))
+    def linesOf(w: DataFrame, day: String): DataFrame = w
+      .select(col("doc_id"), explode(split(col("text"), "\n")).as("__l"))
+      .select(col("doc_id"), Dedup.normalized(col("__l")).as("line_key"))
+      .where(col("line_key") =!= "").distinct()
+      .withColumn("day", lit(day))
+    val root = java.nio.file.Files.createTempDirectory("graft_q222_").toString
+    val (linesT, viewT) = (root + "/lines", root + "/freq")
+    val (w1, w2) = (wave(0), wave(1))
+    ManifestTable.merge(spark, linesT, linesOf(w1, "1"),
+      keys = Seq("doc_id", "line_key"), partitionCol = "day")
+    IncrementalAgg.refresh(spark, linesT, viewT, Seq("line_key"), Nil)
+    def boiler(): DataFrame = ManifestTable.read(spark, viewT)
+      .filter(col("n") >= 50).select(col("line_key"))
+    def md5Rows(cleaned: DataFrame, waveNo: Long): Seq[(Long, Long, String, Long)] =
+      cleaned.select(col("doc_id"), md5(col("text")).as("m"), col("n_removed_lines"))
+        .collect().map(r => (r.getLong(0), waveNo, r.getString(1), r.getLong(2))).toSeq
+    // wave 1 cleans under wave-1 frequencies — materialized BEFORE
+    // wave 2 lands (the view is live; laziness would read the future)
+    val rows1 = md5Rows(Curate.dropBoilerplateLinesAgainst(w1, boiler()), 1L)
+    ManifestTable.merge(spark, linesT, linesOf(w2, "2"),
+      keys = Seq("doc_id", "line_key"), partitionCol = "day")
+    val r2 = IncrementalAgg.refresh(spark, linesT, viewT, Seq("line_key"), Nil)
+    val b2 = boiler()
+    val c2 = Curate.dropBoilerplateLinesAgainst(w2, b2)
+    val roots = scanRoots(c2)
+    val viewOnly = roots.exists(_.endsWith("/freq")) &&
+      !roots.exists(_.endsWith("/lines"))
+    val rows2 = md5Rows(c2, 2L)
+    (rows1 ++ rows2).toDF("doc_id", "wave", "clean_md5", "n_removed_lines")
+      .withColumn("second_refresh_incremental", lit(r2.incremental))
+      .withColumn("view_only_clean", lit(viewOnly))
+      .orderBy(col("doc_id"))
+  }
+
+  val q222IncrementalBoilerplateSql: String =
+    """WITH w1 AS (
+      |  SELECT doc_id, concat_ws(chr(10), 'Subscribe  to our Newsletter!',
+      |    text, '(c) 2024 Example Corp') AS text
+      |  FROM documents WHERE doc_id % 2 = 0),
+      |w2 AS (
+      |  SELECT doc_id, concat_ws(chr(10), 'Subscribe  to our Newsletter!',
+      |    text, 'Join the new wave promo!', '(c) 2024 Example Corp') AS text
+      |  FROM documents WHERE doc_id % 2 = 1),
+      |e1 AS (
+      |  SELECT doc_id, i, l[i] AS line,
+      |    regexp_replace(trim(lower(l[i])), '\s+', ' ', 'g') AS key
+      |  FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM w1),
+      |       LATERAL (SELECT generate_subscripts(l, 1) AS i) t),
+      |e2 AS (
+      |  SELECT doc_id, i, l[i] AS line,
+      |    regexp_replace(trim(lower(l[i])), '\s+', ' ', 'g') AS key
+      |  FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM w2),
+      |       LATERAL (SELECT generate_subscripts(l, 1) AS i) t),
+      |f1 AS (
+      |  SELECT key, count(DISTINCT doc_id) AS n FROM e1 WHERE key <> ''
+      |  GROUP BY key),
+      |f12 AS (
+      |  SELECT key, count(DISTINCT doc_id) AS n
+      |  FROM (SELECT doc_id, key FROM e1 UNION ALL SELECT doc_id, key FROM e2)
+      |  WHERE key <> '' GROUP BY key),
+      |b1 AS (SELECT key FROM f1 WHERE n >= 50),
+      |b2 AS (SELECT key FROM f12 WHERE n >= 50),
+      |k1 AS (SELECT doc_id, i, line FROM e1
+      |       WHERE key NOT IN (SELECT key FROM b1)),
+      |k2 AS (SELECT doc_id, i, line FROM e2
+      |       WHERE key NOT IN (SELECT key FROM b2)),
+      |c1 AS (
+      |  SELECT t.doc_id, CAST(1 AS BIGINT) AS wave,
+      |    md5(coalesce(r.clean, '')) AS clean_md5,
+      |    CAST(t.nl - coalesce(r.nk, 0) AS BIGINT) AS n_removed_lines
+      |  FROM (SELECT doc_id, count(*) AS nl FROM e1 GROUP BY doc_id) t
+      |  LEFT JOIN (SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS clean,
+      |               count(*) AS nk FROM k1 GROUP BY doc_id) r USING (doc_id)),
+      |c2 AS (
+      |  SELECT t.doc_id, CAST(2 AS BIGINT) AS wave,
+      |    md5(coalesce(r.clean, '')) AS clean_md5,
+      |    CAST(t.nl - coalesce(r.nk, 0) AS BIGINT) AS n_removed_lines
+      |  FROM (SELECT doc_id, count(*) AS nl FROM e2 GROUP BY doc_id) t
+      |  LEFT JOIN (SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS clean,
+      |               count(*) AS nk FROM k2 GROUP BY doc_id) r USING (doc_id))
+      |SELECT doc_id, wave, clean_md5, n_removed_lines,
+      |  TRUE AS second_refresh_incremental, TRUE AS view_only_clean
+      |FROM (SELECT * FROM c1 UNION ALL SELECT * FROM c2)
+      |ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------------------------
   // q59_jaccard_join — EXACT n-gram Jaccard similarity join at
   // threshold 0.5 (Dedup.jaccardJoinExact): inverted-index pair
   // count — |A∩B| is a hash-aggregate over the gram self-join, J a
