@@ -411,7 +411,11 @@ object ManifestTable {
     require(effSort.isEmpty || bucketSpec.isEmpty,
       "ManifestTable.merge: sortWithinDirs and a bucket spec are exclusive — " +
         "the bucketed writer already sorts within buckets via sortBy")
-    effSort.foreach(c => require(incoming.columns.contains(c),
+    // A DECLARING merge must carry its sort columns (clearer refusal
+    // than planMerge's generic one); an INHERITED order needs no
+    // check — additive-only evolution means every batch carries every
+    // existing table column, the sort column included.
+    sortWithinDirs.foreach(c => require(incoming.columns.contains(c),
       s"ManifestTable.merge: sort column $c is not in the incoming batch"))
 
     // Affected-partition pruning: tiny bounded collect (distinct
