@@ -217,6 +217,24 @@ object Curate {
                           idCol: String = "doc_id", partitions: Int = 32): DataFrame = {
     require(n >= 1, s"sample size must be >= 1, got $n")
     val cols = df.columns.toSeq
+    // Enforce the documented weight contract instead of silently
+    // mis-sampling: an all-zero total would make every `div __total`
+    // NULL (empty sample, no error) and a negative weight makes the
+    // prefix sums non-monotone (pick counts telescope wrong). One
+    // bounded min() aggregate — the refuse-loudly posture of
+    // approxDistinct applied here; NULL min covers both the empty
+    // frame (nothing to cut the tape over) and null weights.
+    // min() skips NULLs, so a null weight is pinned to Long.MinValue
+    // first — it must refuse, not vanish from the aggregate
+    val minW = df.agg(min(coalesce(col(weightCol).cast("long"),
+      lit(Long.MinValue)))).head().get(0)
+    require(minW != null && minW.asInstanceOf[Long] >= 1L,
+      s"ppsSystematicSample: weights must be positive integers — " +
+        s"min($weightCol) is ${minW match {
+          case null => "undefined (empty input)"
+          case Long.MinValue => "NULL (null weight)"
+          case v => v.toString
+        }}")
     val ranged = df
       .withColumn("__w", col(weightCol).cast("long"))
       .withColumn("__ord", md5(col(idCol).cast("string")))

@@ -645,6 +645,16 @@ object ManifestTable {
           }
         }
       val tProps = durablePropsOf(readProps(spark, plan.path)) ++ t.props
+      // The staged batch is validated under PHYSICAL column names
+      // (no physToCur re-keying on this path) — sound ONLY because
+      // rename-mapped tables are refused up front AND `t.props`
+      // cannot smuggle a mapping in: enforce the assumption on the
+      // EFFECTIVE props, so if TableMerge ever grows rename support
+      // this fails loudly instead of resolving the wrong column.
+      require(renameMapOf(tProps).isEmpty,
+        s"ManifestTable.mergeMany: table ${t.name} carries a rename map in its " +
+          "effective props — the multi-table staged write validates and lands " +
+          "batches under physical names; merge it individually")
       // CHECK constraints hold on the multi-table path too — each
       // table's batch validates against ITS constraints before ITS
       // commit. A refusal mid-loop leaves earlier tables committed
@@ -1362,6 +1372,31 @@ object ManifestTable {
           s"ManifestTable: corrupt kmv payload for $column (hex length ${hex.length})")
         (payload.substring(0, i).toInt, hex.grouped(16).toSeq)
       })
+
+  /** The SINGLE k / mBits the committed KMV (resp. token-bloom)
+    * sketches for `columns` were built with, across every entry that
+    * carries one — so maintenance rewrites ([[foldMoR]]) re-sketch
+    * touched dirs with the SAME parameters and the family stays
+    * homogeneous (a mixed-k table makes [[approxDistinct]] refuse
+    * permanently). None = no committed sketch for any of the columns;
+    * a table that ALREADY carries mixed sizes refuses loudly — the
+    * caller must re-merge every dir to re-unify first. */
+  private def committedSketchParam(lines: Seq[(String, String)],
+                                   columns: Seq[String], tag: String,
+                                   decode: String => Int,
+                                   what: String): Option[Int] = {
+    val found = (for {
+      (_, value) <- dataEntries(lines)
+      items <- statsOf(value).toSeq
+      c <- columns
+      item <- items.split(';').iterator.filter(_.startsWith(s"$c$tag="))
+    } yield decode(item.substring(item.indexOf('=') + 1))).distinct
+    require(found.size <= 1,
+      s"ManifestTable: committed $what sketches carry mixed parameters " +
+        s"(${found.sorted.mkString(", ")}) — re-merge every dir to re-unify " +
+        "before maintenance can re-sketch")
+    found.headOption
+  }
 
   /** METADATA-ONLY approximate `COUNT(DISTINCT column)` over the
     * table (optionally a partition subset): merges the per-dir KMV
@@ -2476,6 +2511,16 @@ object ManifestTable {
       dvRefOf(value).nonEmpty || auxRefsOf(value).nonEmpty }.map(_._1).toSet
     if (debt.isEmpty) return 0L
     val rows = readEntriesOf(spark, path, lines, debt)
+    // Sketch-family homogeneity: re-sketch the touched dirs with the
+    // SAME k / mBits the table's existing sketches were committed with
+    // (the committed parameter WINS over the argument default — a
+    // table sketched at k=64 whose fold re-sketched at the 256 default
+    // would end mixed-k and lose approxDistinct permanently). A table
+    // with no committed sketch uses the argument as before.
+    val effKmvK = committedSketchParam(lines, kmvColumns, KmvTag,
+      p => p.substring(0, p.indexOf(':')).toInt, "KMV").getOrElse(kmvK)
+    val effTokBits = committedSketchParam(lines, tokenBloomColumns, TokBloomTag,
+      p => p.split(':')(1).toInt, "token-bloom").getOrElse(tokenBloomBits)
     // A bucket-specced table folds through the BUCKETED write path —
     // the folded rows re-land pre-hashed into the same layout, so the
     // table stays join-ready through its whole DV lifecycle (the
@@ -2486,8 +2531,8 @@ object ManifestTable {
       props = Map.empty, knownTouched = Some(debt),
       bloomColumns = bloomColumns, bloomBits = bloomBits,
       bucketSpec = bucketSpecOf(readProps(spark, path)),
-      tokenBloomColumns = tokenBloomColumns, tokenBloomBits = tokenBloomBits,
-      kmvColumns = kmvColumns, kmvK = kmvK)
+      tokenBloomColumns = tokenBloomColumns, tokenBloomBits = effTokBits,
+      kmvColumns = kmvColumns, kmvK = effKmvK)
     debt.size.toLong
   }
 
@@ -3301,6 +3346,7 @@ object ManifestTable {
     require(bucketSpecOf(props).isEmpty,
       "ManifestTable.renameColumn: refusing on a bucketed table (the catalog " +
         "registration binds the bucket column by name)")
+    requireNoConstraintRefs(spark, props, oldName, "renameColumn")
     val map0 = renameMapOf(props)
     val physical = map0.getOrElse(oldName, oldName)
     val map1 = (map0 - oldName) ++
@@ -3418,6 +3464,28 @@ object ManifestTable {
   def constraintsOf(props: Map[String, String]): Map[String, String] =
     props.collect { case (k, v) if k.startsWith(ConstraintPropPrefix) =>
       k.substring(ConstraintPropPrefix.length) -> v }
+
+  /** Refuse a [[renameColumn]]/[[dropColumn]] of a column any
+    * committed CHECK constraint references. Without this guard the
+    * stale SQL text would survive in the durable props, fail every
+    * subsequent value-landing write with an unresolved-column error —
+    * and, worse, silently validate the WRONG column if a new column
+    * later takes the old name (Delta refuses rename/drop of
+    * constrained columns for exactly this reason). Resolution is
+    * case-insensitive, matching the analyzer's default resolver the
+    * enforcement path ([[checkConstraints]]' `expr(sql)`) uses. */
+  private def requireNoConstraintRefs(spark: SparkSession,
+                                      props: Map[String, String],
+                                      colName: String, op: String): Unit =
+    constraintsOf(props).toSeq.sortBy(_._1).foreach { case (n, sql) =>
+      val refs = spark.sessionState.sqlParser.parseExpression(sql).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.nameParts.mkString(".").toLowerCase(java.util.Locale.ROOT)
+      }.toSet
+      require(!refs.contains(colName.toLowerCase(java.util.Locale.ROOT)),
+        s"ManifestTable.$op: column $colName is referenced by CHECK constraint " +
+          s"'$n' ($sql) — dropConstraint first")
+    }
 
   /** Validate `df` (CURRENT column names) against every committed
     * CHECK constraint in `props`; refuses on the first violated one.
@@ -3544,6 +3612,7 @@ object ManifestTable {
     bucketSpecOf(props).foreach { case (bc, _) => require(bc != name,
       s"ManifestTable.dropColumn: $name is the bucket column — the layout " +
         "hashes it; rewrite with a new spec instead") }
+    requireNoConstraintRefs(spark, props, name, "dropColumn")
     val map0 = renameMapOf(props)
     val physical = map0.getOrElse(name, name)
     val map1 = map0 - name

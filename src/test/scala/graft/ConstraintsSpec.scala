@@ -119,6 +119,31 @@ class ConstraintsSpec extends AnyFunSuite {
       "tb's violating batch must not commit")
   }
 
+  test("rename/drop of a constrained column refuses (the stale constraint " +
+    "text would otherwise break every write, or validate a future column " +
+    "of the old name); unconstrained columns still rename/drop") {
+    val path = freshPath("rendrop")
+    seed(path)
+    ManifestTable.addConstraint(spark, path, "v_pos", "v > 0")
+    val e1 = intercept[IllegalArgumentException] {
+      ManifestTable.renameColumn(spark, path, "v", "val")
+    }
+    assert(e1.getMessage.contains("v_pos") &&
+      e1.getMessage.contains("dropConstraint"))
+    val e2 = intercept[IllegalArgumentException] {
+      ManifestTable.dropColumn(spark, path, "v")
+    }
+    assert(e2.getMessage.contains("v_pos"))
+    // an UNreferenced column is free to move; case-insensitive match
+    // mirrors the analyzer's resolver (constraint "V > 0" binds v)
+    ManifestTable.renameColumn(spark, path, "id", "rid")
+    assert(ManifestTable.read(spark, path).columns.contains("rid"))
+    // after dropping the constraint, the rename goes through
+    ManifestTable.dropConstraint(spark, path, "v_pos")
+    ManifestTable.renameColumn(spark, path, "v", "val")
+    assert(ManifestTable.read(spark, path).columns.contains("val"))
+  }
+
   test("refusals and duplicates: duplicate name, unknown drop, bad name") {
     val path = freshPath("guards")
     seed(path)

@@ -797,6 +797,24 @@ class ExtSpec extends AnyFunSuite {
     assert(got == expect.toMap)
   }
 
+  test("ppsSystematicSample refuses non-positive weights loudly instead of " +
+    "silently returning an empty or telescoped-wrong sample") {
+    val zero = Seq((1L, 0L), (2L, 5L)).toDF("doc_id", "w")
+    val e1 = intercept[IllegalArgumentException] {
+      Curate.ppsSystematicSample(zero, "w", n = 2)
+    }
+    assert(e1.getMessage.contains("positive integers"))
+    val neg = Seq((1L, -3L), (2L, 5L)).toDF("doc_id", "w")
+    intercept[IllegalArgumentException] {
+      Curate.ppsSystematicSample(neg, "w", n = 2)
+    }
+    val nul = Seq((1L, Some(4L)), (2L, None)).toDF("doc_id", "w")
+    val e3 = intercept[IllegalArgumentException] {
+      Curate.ppsSystematicSample(nul, "w", n = 2)
+    }
+    assert(e3.getMessage.contains("NULL"))
+  }
+
   test("stripHtml: blocks dropped whole, entity unescape order, adversarial fragments") {
     def strip(in: String): String =
       Seq(in).toDF("h").select(TextAnalysis.stripHtml(col("h"))).as[String].collect()(0)

@@ -126,6 +126,22 @@ class SketchStatsSpec extends AnyFunSuite {
     assert(after.estimate == before.estimate && after.exact == before.exact)
   }
 
+  test("foldMoR re-sketches touched dirs at the COMMITTED k, not the call " +
+    "default — the sketch family stays homogeneous and approxDistinct keeps " +
+    "answering after maintenance") {
+    val path = freshPath("foldk")
+    seed(path, n = 500, mod = 50, k = 64) // non-default k; 50 distinct < 64
+    ManifestTable.deleteWhereMoR(spark, path, "part", col("id") === 5L)
+    // default kmvK=256 argument — the committed k=64 must win
+    val folded = ManifestTable.foldMoR(spark, path, "part",
+      kmvColumns = Seq("u"))
+    assert(folded == 1L)
+    val est = ManifestTable.approxDistinct(spark, path, "u")
+    assert(est.k == 64, s"the committed k must survive the fold: $est")
+    assert(est.exact && est.estimate == 50L,
+      s"post-fold family must stay k=64-homogeneous and answer: $est")
+  }
+
   test("a DV-folding compact DROPS the folded entry's sketch — refusal, " +
     "never an estimate that counts erased rows; a re-merge re-sketches") {
     val path = freshPath("dvfold")
