@@ -182,6 +182,24 @@ object IvfStore {
     next
   }
 
+  /** GENERATION GC — [[graft.ops.GenPointer.vacuum]] for this store's
+    * layout: retires flipped generations beyond `keep` (read-before-
+    * delete ordering documented there — `keep = 2` covers readers
+    * that planned against the previous generation) AND sweeps orphan
+    * builds [[retrainCommit]]'s in-line retire can never touch: a
+    * retrain that crashed before its flip, or lost its CAS to a
+    * rival, leaves a full side-by-side index on disk with no owner —
+    * the one unbounded-growth path the blue/green protocol itself
+    * cannot close. Orphans at-or-below the current pointer are dead
+    * with certainty (flips are forward-only) and go unconditionally;
+    * orphans above it are deleted only past `orphanHorizonMs` of
+    * inactivity, so a rival build in flight is never yanked. */
+  def vacuumGenerations(spark: SparkSession, base: String, keep: Int = 2,
+                        orphanHorizonMs: Long = 24L * 3600 * 1000)
+      : graft.ops.GenPointer.VacuumResult =
+    graft.ops.GenPointer.vacuum(graft.ops.GenPointer.fsOf(spark, base), base,
+      keep, Seq("centroids", "index", "_txn"), orphanHorizonMs)
+
   /** A drift check: current index size vs the committed training
     * size, and the retrain verdict at `growthFactor`. */
   final case class DriftCheck(indexedRows: Long, trainedRows: Long,

@@ -367,4 +367,13 @@ object MinHashStore {
     GenPointer.retire(fs, base, keepGenerations, Seq("bands", "shingles", "_txn"))
     next
   }
+
+  /** GENERATION GC — [[IvfStore.vacuumGenerations]]'s contract for
+    * the dedup index's layout (flipped retention + dead-orphan sweep
+    * with the in-flight-build horizon). */
+  def vacuumGenerations(spark: SparkSession, base: String, keep: Int = 2,
+                        orphanHorizonMs: Long = 24L * 3600 * 1000)
+      : graft.ops.GenPointer.VacuumResult =
+    graft.ops.GenPointer.vacuum(graft.ops.GenPointer.fsOf(spark, base), base,
+      keep, Seq("bands", "shingles", "_txn"), orphanHorizonMs)
 }

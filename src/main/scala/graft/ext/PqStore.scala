@@ -163,6 +163,15 @@ object PqStore {
     next
   }
 
+  /** GENERATION GC — [[IvfStore.vacuumGenerations]]'s contract for
+    * the PQ pair's layout (flipped retention + dead-orphan sweep with
+    * the in-flight-build horizon). */
+  def vacuumGenerations(spark: SparkSession, base: String, keep: Int = 2,
+                        orphanHorizonMs: Long = 24L * 3600 * 1000)
+      : graft.ops.GenPointer.VacuumResult =
+    graft.ops.GenPointer.vacuum(graft.ops.GenPointer.fsOf(spark, base), base,
+      keep, Seq("codebooks", "codes", "_txn"), orphanHorizonMs)
+
   /** O(1) DRIFT-TRIGGERED RETRAIN POLICY — committed training size vs
     * the codes table's metadata-only count (the [[IvfStore]] policy;
     * stale codebooks quantize a geometry the corpus has drifted from). */

@@ -97,7 +97,20 @@ object GenPointer {
     * legacy generation 0 owns `legacyDirs` table subdirs directly
     * under `base/`, so those are what a retired gen 0 deletes. Never
     * touches un-flipped (in-flight or crashed) builds ABOVE the
-    * current pointer. Returns the retired generation numbers. */
+    * current pointer. Returns the retired generation numbers.
+    *
+    * CONCURRENT-READER ORDERING (the [[graft.ops.ManifestTable]]
+    * `retainVersions` contract transplanted): a reader RESOLVES its
+    * generation once at plan time ([[resolved]]) and then reads that
+    * root for the rest of its query. Retention never deletes the
+    * CURRENT generation (`keep >= 1`), so the exposure window is a
+    * reader that resolved BEFORE a flip and is still scanning when a
+    * retire lands AFTER it — exactly the window a version expiry has
+    * for a pinned old version. `keep = 2` (the retrain default:
+    * current + previous) covers every reader that planned while the
+    * previous generation was still current; pass a larger `keep` for
+    * longer-running readers, the same dial `retainVersions` gives
+    * time travel. */
   def retire(fs: FileSystem, base: String, keep: Int,
              legacyDirs: Seq[String]): Seq[Long] = {
     require(keep >= 1, s"GenPointer.retire: keep must be >= 1, got $keep")
@@ -105,7 +118,12 @@ object GenPointer {
     // gen 0 exists iff any legacy table dir does
     val zero = legacyDirs.exists(d => fs.exists(new Path(s"$base/$d")))
     val all = (if (zero) Seq(0L) else Nil) ++ flipped
-    val drop = all.dropRight(keep)
+    // report only generations whose DATA was actually present — a
+    // marker outlives its deleted dir (audit trail), so a second
+    // retire must be an idempotent no-op, not a re-report
+    val drop = all.dropRight(keep).filter { g =>
+      if (g == 0L) zero else fs.exists(new Path(root(base, g)))
+    }
     drop.foreach { g =>
       if (g == 0L) legacyDirs.foreach { d =>
         val p = new Path(s"$base/$d")
@@ -114,5 +132,70 @@ object GenPointer {
       else fs.delete(new Path(root(base, g)), true)
     }
     drop
+  }
+
+  /** What a [[vacuum]] removed: flipped generations retired past the
+    * `keep` horizon, and un-flipped orphan builds deleted. */
+  final case class VacuumResult(retired: Seq[Long], orphansDeleted: Seq[Long])
+
+  /** The newest modification time under `dir`, walked to a bounded
+    * depth — enough to see a live build's activity (manifest commits
+    * at `<table>/manifest/m*`, batch dirs at `<table>/data/batch-*`
+    * both sit within 3 levels; part-files landing inside a batch dir
+    * bump the batch dir's own mtime). Bounded: an index store is a
+    * handful of dirs, never the 100 TB corpus. */
+  private def newestMs(fs: FileSystem, dir: Path, depth: Int): Long = {
+    val self = fs.getFileStatus(dir).getModificationTime
+    if (depth <= 0) self
+    else (self +: fs.listStatus(dir).toSeq.map { st =>
+      if (st.isDirectory) newestMs(fs, st.getPath, depth - 1)
+      else st.getModificationTime
+    }).max
+  }
+
+  /** GC for the blue/green layout — [[retire]] plus the ORPHAN sweep
+    * retire cannot do. Two orphan classes, adjudicated differently:
+    *
+    *   - An un-flipped gen dir BELOW (or at) the current pointer is
+    *     DEAD WITH CERTAINTY: [[flip]] refuses non-forward flips, so
+    *     no future commit can ever make it live — it is either a
+    *     crashed build that a later retrain numbered past, or a
+    *     racing build that already lost its CAS. Deleted
+    *     unconditionally (a loser still writing just fails its own
+    *     build job sooner; no reader ever resolved it).
+    *   - An un-flipped dir ABOVE the current pointer may be a RIVAL
+    *     BUILD IN FLIGHT that is about to win its flip — deleting it
+    *     mid-write would fail a healthy retrain. It is deleted only
+    *     when its newest modification time (bounded-depth walk) is
+    *     older than `orphanHorizonMs` — no healthy build goes that
+    *     long without landing a file. The default horizon (24 h)
+    *     dwarfs any real training run; pass `Long.MaxValue` to
+    *     protect in-flight builds unconditionally.
+    *
+    * Without this sweep, every crashed or CAS-losing retrain leaves
+    * its full index footprint on disk forever — the one unbounded
+    * growth path the flip protocol itself cannot close (the crashed
+    * process is gone; only a later janitor can know it never won). */
+  def vacuum(fs: FileSystem, base: String, keep: Int,
+             legacyDirs: Seq[String],
+             orphanHorizonMs: Long = 24L * 3600 * 1000): VacuumResult = {
+    val retired = retire(fs, base, keep, legacyDirs)
+    val cur = current(fs, base)
+    val flipped = markers(fs, base).toSet
+    val now = System.currentTimeMillis()
+    val orphans =
+      if (!fs.exists(new Path(base))) Nil
+      else fs.listStatus(new Path(base)).toSeq
+        .filter(st => st.isDirectory && {
+          val n = st.getPath.getName
+          n.length == 10 && n.startsWith("gen-") && n.drop(4).forall(_.isDigit)
+        })
+        .map(st => (st.getPath.getName.drop(4).toLong, st.getPath))
+        .filterNot { case (g, _) => flipped(g) } // un-flipped only
+        .filter { case (g, p) =>
+          g <= cur || now - newestMs(fs, p, depth = 3) >= orphanHorizonMs
+        }
+    orphans.foreach { case (_, p) => fs.delete(p, true) }
+    VacuumResult(retired, orphans.map(_._1).sorted)
   }
 }

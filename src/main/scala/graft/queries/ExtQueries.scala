@@ -3735,6 +3735,83 @@ object ExtQueries {
       |ORDER BY doc_id""".stripMargin
 
   // ----------------------------------------------------------------
+  // q223_gen_vacuum — GENERATION GC for the blue/green index stores
+  // (GenPointer.vacuum / IvfStore.vacuumGenerations), closing the one
+  // unbounded-growth path the flip protocol cannot: every crashed or
+  // CAS-losing retrain leaves a full side-by-side index on disk with
+  // no owner. Lifecycle under gate:
+  //   1. gen 0 trains on ⅔ of the corpus; gen 1 retrains on all of it
+  //      (keepGenerations high — nothing retired in-line);
+  //   2. a CRASHED build trains the next generation side-by-side but
+  //      dies before its CAS flip (no marker);
+  //   3. a later retrain numbers PAST the orphan and flips (gen 3) —
+  //      the orphan is now at-or-below the pointer: dead with
+  //      certainty (flips are forward-only);
+  //   4. vacuumGenerations(keep=1) retires gens 0+1 and deletes the
+  //      dead orphan; the CURRENT generation is untouched and the
+  //      served answer is BIT-IDENTICAL across the sweep (pinned by a
+  //      full pre/post row comparison), with recall re-proved against
+  //      the SQL-recomputed exact top-10.
+  // ----------------------------------------------------------------
+  def q223GenVacuum(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:q223_gen_vacuum") {
+      q223GenVacuumBuild(spark, dir)
+    }
+
+  private def q223GenVacuumBuild(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.IvfStore
+    import graft.ops.GenPointer
+    import org.apache.hadoop.fs.Path
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+    val base = java.nio.file.Files.createTempDirectory("graft_q223_").toString + "/ivf"
+    val fs = GenPointer.fsOf(spark, base)
+    IvfStore.trainCommit(spark, base, emb.filter(col("vec_id") % 3 =!= 0), k = 8)
+    IvfStore.retrainCommit(spark, base, emb, k = 8, keepGenerations = 99)
+    // the crash window: a build that trained whole but never flipped
+    val crashed = GenPointer.next(fs, base)
+    IvfStore.trainCommit(spark, GenPointer.root(base, crashed), emb, k = 8)
+    val cur = IvfStore.retrainCommit(spark, base, emb, k = 8, keepGenerations = 99)
+    val pre = IvfStore.searchCommitted(spark, base, queries, k = 10, nProbe = 8)
+      .orderBy(col("query_id"), col("rank")).collect().toSeq
+    val r = IvfStore.vacuumGenerations(spark, base, keep = 1)
+    val post = IvfStore.searchCommitted(spark, base, queries, k = 10, nProbe = 8)
+      .orderBy(col("query_id"), col("rank")).collect().toSeq
+    val exact = exactTop10(spark, dir).select(col("query_id"), col("neighbor_id"))
+    val approx = IvfStore.searchCommitted(spark, base, queries, k = 10, nProbe = 8)
+    exact.join(broadcast(approx.select(col("query_id"), col("neighbor_id"))
+        .withColumn("__hit", lit(1))),
+      Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("__hit"), lit(0))).as("hits"))
+      .select(col("query_id").cast("long").as("query_id"),
+        (col("hits") >= 5).as("pass_post"))
+      .withColumn("identical_across_vacuum", lit(post == pre))
+      .withColumn("retired", lit(r.retired.sorted.mkString(",")))
+      .withColumn("orphans_deleted", lit(r.orphansDeleted.mkString(",")))
+      .withColumn("legacy_gone",
+        lit(!fs.exists(new Path(IvfStore.indexPath(base)))))
+      .withColumn("gen1_gone",
+        lit(!fs.exists(new Path(GenPointer.root(base, 1L)))))
+      .withColumn("orphan_gone",
+        lit(!fs.exists(new Path(GenPointer.root(base, crashed)))))
+      .withColumn("current_kept",
+        lit(fs.exists(new Path(GenPointer.root(base, cur)))))
+      .withColumn("gen_current", lit(IvfStore.currentGeneration(spark, base)))
+      .orderBy(col("query_id"))
+  }
+
+  val q223GenVacuumSql: String =
+    """SELECT CAST(vec_id AS BIGINT) AS query_id,
+      |  TRUE AS pass_post, TRUE AS identical_across_vacuum,
+      |  '0,1' AS retired, '2' AS orphans_deleted,
+      |  TRUE AS legacy_gone, TRUE AS gen1_gone, TRUE AS orphan_gone,
+      |  TRUE AS current_kept, CAST(3 AS BIGINT) AS gen_current
+      |FROM embeddings WHERE vec_id < 10
+      |ORDER BY query_id""".stripMargin
+
+  // ----------------------------------------------------------------
   // q59_jaccard_join — EXACT n-gram Jaccard similarity join at
   // threshold 0.5 (Dedup.jaccardJoinExact): inverted-index pair
   // count — |A∩B| is a hash-aggregate over the gram self-join, J a

@@ -123,4 +123,59 @@ class IvfPqStoreSpec extends AnyFunSuite {
     val err = intercept[RuntimeException](GenPointer.flip(fs, base, 3L))
     assert(err.getMessage.contains("not past"), err.getMessage)
   }
+
+  test("vacuumGenerations: retires flipped generations beyond keep, deletes " +
+    "dead orphans (at-or-below the pointer) unconditionally, protects an " +
+    "in-flight build above the pointer until the horizon, and the search " +
+    "answer is bit-identical across the sweep") {
+    import graft.ops.GenPointer
+    import org.apache.hadoop.fs.Path
+    val base = freshBase("vacuum")
+    val fs = GenPointer.fsOf(spark, base)
+    // gen 0 (legacy) then gen 1, both kept (keepGenerations high)
+    IvfStore.trainCommit(spark, base, blobs(0 until 40), k = 2)
+    IvfStore.retrainCommit(spark, base, blobs(0 until 50), k = 2,
+      keepGenerations = 99)
+    // a CRASHED build: trained side-by-side at the next number but
+    // never flipped (the crash window before the CAS)
+    val crashedGen = GenPointer.next(fs, base)
+    IvfStore.trainCommit(spark, GenPointer.root(base, crashedGen),
+      blobs(0 until 50), k = 2)
+    // a later retrain numbers PAST the orphan and flips — the orphan
+    // is now at-or-below the pointer: dead with certainty
+    val g = IvfStore.retrainCommit(spark, base, blobs(0 until 60), k = 2,
+      keepGenerations = 99)
+    assert(g == crashedGen + 1)
+    // a RIVAL-IN-FLIGHT simulation: an un-flipped dir ABOVE the pointer
+    val inflight = GenPointer.root(base, g + 3)
+    fs.mkdirs(new Path(s"$inflight/centroids"))
+    val pre = IvfStore.searchCommitted(spark, base, query, k = 60, nProbe = 2)
+      .orderBy("query_id", "rank").collect().toSeq
+    // keep=1: only the current generation's data survives; the dead
+    // orphan goes; the in-flight build is inside the horizon — kept
+    val r = IvfStore.vacuumGenerations(spark, base, keep = 1)
+    assert(r.retired.sorted == Seq(0L, 1L), s"got $r")
+    assert(r.orphansDeleted == Seq(crashedGen), s"got $r")
+    assert(!fs.exists(new Path(IvfStore.indexPath(base))),
+      "retired gen 0 legacy dirs must be gone")
+    assert(!fs.exists(new Path(GenPointer.root(base, 1L))),
+      "retired gen 1 dir must be gone")
+    assert(!fs.exists(new Path(GenPointer.root(base, crashedGen))),
+      "the dead orphan build must be gone")
+    assert(fs.exists(new Path(inflight)),
+      "an in-flight build above the pointer survives inside the horizon")
+    assert(fs.exists(new Path(GenPointer.root(base, g))),
+      "the CURRENT generation is never touched")
+    // bit-identical post-vacuum answer (same generation, same dirs)
+    val post = IvfStore.searchCommitted(spark, base, query, k = 60, nProbe = 2)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(post == pre, "vacuum must not change the served answer")
+    // horizon 0: the stale in-flight dir is now adjudicated crashed
+    val r2 = IvfStore.vacuumGenerations(spark, base, keep = 1,
+      orphanHorizonMs = 0L)
+    assert(r2.orphansDeleted == Seq(g + 3) && !fs.exists(new Path(inflight)))
+    // idempotent: nothing left to do
+    val r3 = IvfStore.vacuumGenerations(spark, base, keep = 1)
+    assert(r3.retired.isEmpty && r3.orphansDeleted.isEmpty)
+  }
 }
