@@ -3451,6 +3451,16 @@ object ManifestTable {
     * as a PREFIX family — every constraint survives every commit. */
   val ConstraintPropPrefix = "constraint."
 
+  /** Prefixes of the MATERIALIZED-VIEW definition prop families
+    * ([[graft.plans.MvRegistry]] / [[graft.plans.MvJoinRegistry]]
+    * `register(durable = true)`): the MV catalog entry lives on the
+    * BASE (resp. fact) table's own manifest, so a fresh session's
+    * planner rediscovers every registered rewrite with no in-memory
+    * state — the difference between "correct results" and "correct
+    * results 1000× slower, silently" after a restart. */
+  val MvAggDefPropPrefix = "mv.agg."
+  val MvJoinDefPropPrefix = "mv.join."
+
   private[ops] val DurablePropKeys: Set[String] =
     Set(RenameMapProp, DropTombstonesProp, BucketColProp, BucketNProp,
         TransformProp, StreamBatchIdProp,
@@ -3458,7 +3468,36 @@ object ManifestTable {
 
   private[ops] def durablePropsOf(props: Map[String, String]): Map[String, String] =
     props.view.filterKeys(k =>
-      DurablePropKeys(k) || k.startsWith(ConstraintPropPrefix)).toMap
+      DurablePropKeys(k) || k.startsWith(ConstraintPropPrefix) ||
+        k.startsWith(MvAggDefPropPrefix) || k.startsWith(MvJoinDefPropPrefix)).toMap
+
+  /** One metadata-only commit adding/removing MV-definition props —
+    * the registries' durable backing ([[MvAggDefPropPrefix]] /
+    * [[MvJoinDefPropPrefix]] families only: validated families like
+    * `constraint.*` have their own entry points with their own
+    * validation commits and must not be reachable through a generic
+    * prop write). Data entries, schema, and partition column carry
+    * verbatim; bumps the version like every commit. */
+  private[graft] def updateMvDefProps(spark: SparkSession, path: String,
+                                      adds: Map[String, String],
+                                      removeKeys: String => Boolean,
+                                      retainVersions: Int = 2): Unit = {
+    require(adds.keys.forall(k => k.startsWith(MvAggDefPropPrefix) ||
+      k.startsWith(MvJoinDefPropPrefix)),
+      s"ManifestTable.updateMvDefProps: only mv.* prop families, got " +
+        adds.keys.mkString(", "))
+    require(retainVersions >= 1, s"retainVersions must be >= 1, got $retainVersions")
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = latestVersion(fs, path).getOrElse(
+      sys.error(s"ManifestTable.updateMvDefProps: no manifest under $path/$ManifestDir"))
+    val lines = readManifest(fs, path, v)
+    val props = propsOf(lines)
+    val next = props.filterNot { case (k, _) =>
+      (k.startsWith(MvAggDefPropPrefix) || k.startsWith(MvJoinDefPropPrefix)) &&
+        removeKeys(k)
+    } ++ adds
+    if (next != props) commitProps(fs, path, v, lines, next, retainVersions)
+  }
 
   /** The table's committed CHECK constraints, `name -> sql expr`. */
   def constraintsOf(props: Map[String, String]): Map[String, String] =

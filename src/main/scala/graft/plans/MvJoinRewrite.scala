@@ -23,35 +23,111 @@ object MvJoinRegistry {
   private val defs =
     new java.util.concurrent.ConcurrentHashMap[(String, String), Vector[MvJoinDef]]
 
+  /** Durable-definition memo, [[MvRegistry]]'s shape: (qualified
+    * fact, fact manifest version) → decoded defs; version-keyed, so a
+    * durable register/unregister invalidates by construction. */
+  private val durableMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Vector[MvJoinDef]]
+
   private def keyOf(spark: SparkSession, p: String): String = {
     val path = new Path(p)
     path.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .makeQualified(path).toString
   }
 
+  private def enc(s: String): String = java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String): String = java.net.URLDecoder.decode(s, "UTF-8")
+
+  /** `mv.join.NNNN` prop value on the FACT manifest: URL-encoded dim
+    * and view paths plus the join key. */
+  private def encodeDef(d: MvJoinDef): String =
+    Seq(enc(d.dimPath), enc(d.viewPath), d.joinKey).mkString("|")
+
+  private def decodeDef(factPath: String, value: String): MvJoinDef = {
+    val parts = value.split('|')
+    MvJoinDef(factPath, dec(parts(0)), dec(parts(1)), parts(2))
+  }
+
   /** A pair may carry several views (one per join key); the rewrite
     * tries them in registration order. Re-registering the same
-    * `viewPath` replaces its definition in place. */
+    * `viewPath` replaces its definition in place (durably too — it
+    * keeps its prop slot). `durable = true` commits the definition
+    * as a `mv.join.NNNN` prop on the FACT table's manifest, so a
+    * fresh session's [[lookup]] rediscovers it with no in-memory
+    * state ([[MvRegistry]]'s catalog contract; the durable register
+    * bumps the fact version, so register before the view refresh). */
   def register(spark: SparkSession, factPath: String, dimPath: String,
-               viewPath: String, joinKey: String): Unit =
+               viewPath: String, joinKey: String,
+               durable: Boolean = false): Unit = {
+    require(!joinKey.contains(',') && !joinKey.contains('|'),
+      "MvJoinRegistry.register: the join key must not contain ',' or '|'")
+    val d = MvJoinDef(factPath, dimPath, viewPath, joinKey)
     defs.compute((keyOf(spark, factPath), keyOf(spark, dimPath)), (_, old) =>
       Option(old).getOrElse(Vector.empty)
-        .filterNot(_.viewPath == viewPath) :+
-        MvJoinDef(factPath, dimPath, viewPath, joinKey))
+        .filterNot(_.viewPath == viewPath) :+ d)
+    if (durable) {
+      val existing = durableProps(spark, factPath)
+      val slot = existing.collectFirst {
+        case (k, v) if decodeDef(factPath, v).viewPath == viewPath => k
+      }.getOrElse {
+        val used = existing.keys
+          .map(_.stripPrefix(graft.ops.ManifestTable.MvJoinDefPropPrefix).toInt)
+        f"${graft.ops.ManifestTable.MvJoinDefPropPrefix}${if (used.isEmpty) 0 else used.max + 1}%04d"
+      }
+      graft.ops.ManifestTable.updateMvDefProps(spark, factPath,
+        adds = Map(slot -> encodeDef(d)), removeKeys = _ == slot)
+    }
+  }
 
-  /** Drop every view registered for the pair. */
-  def unregister(spark: SparkSession, factPath: String, dimPath: String): Unit =
+  /** Drop every view registered for the pair — in this session, and
+    * (with `durable = true`) THIS pair's entries from the fact
+    * manifest's catalog props (other dims' entries stay). */
+  def unregister(spark: SparkSession, factPath: String, dimPath: String,
+                 durable: Boolean = false): Unit = {
     defs.remove((keyOf(spark, factPath), keyOf(spark, dimPath)))
+    if (durable) {
+      val dimQ = keyOf(spark, dimPath)
+      val drop = durableProps(spark, factPath).collect {
+        case (k, v) if keyOf(spark, decodeDef(factPath, v).dimPath) == dimQ => k
+      }.toSet
+      graft.ops.ManifestTable.updateMvDefProps(spark, factPath,
+        adds = Map.empty, removeKeys = drop)
+    }
+  }
 
+  private def durableProps(spark: SparkSession,
+                           factPath: String): Map[String, String] =
+    try graft.ops.ManifestTable.readProps(spark, factPath).filter(
+      _._1.startsWith(graft.ops.ManifestTable.MvJoinDefPropPrefix))
+    catch { case scala.util.control.NonFatal(_) => Map.empty }
+
+  /** In-memory defs win; a miss falls through to the fact manifest's
+    * `mv.join.*` catalog props (memoized per fact version), filtered
+    * to the dim actually joined. */
   private[plans] def lookup(spark: SparkSession, factRoot: Path,
-                            dimRoot: Path): Seq[MvJoinDef] =
-    // empty-registry fast path: no per-join filesystem resolution
-    // in sessions that never registered a view
-    if (defs.isEmpty) Nil
-    else Option(defs.get((keyOf(spark, factRoot.toString),
-      keyOf(spark, dimRoot.toString)))).getOrElse(Vector.empty)
+                            dimRoot: Path): Seq[MvJoinDef] = {
+    val factQ = keyOf(spark, factRoot.toString)
+    val dimQ = keyOf(spark, dimRoot.toString)
+    Option(defs.get((factQ, dimQ))).getOrElse {
+      val fact = factRoot.toString
+      try {
+        val fs = factRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        graft.ops.ManifestTable.versions(fs, fact).lastOption match {
+          case None => Vector.empty
+          case Some(v) =>
+            if (durableMemo.size > 512) durableMemo.clear()
+            durableMemo.computeIfAbsent((factQ, v), _ =>
+              graft.ops.ManifestTable.readPropsAt(spark, fact, v).toVector
+                .filter(_._1.startsWith(graft.ops.ManifestTable.MvJoinDefPropPrefix))
+                .sortBy(_._1).map { case (_, value) => decodeDef(fact, value) })
+              .filter(d => keyOf(spark, d.dimPath) == dimQ)
+        }
+      } catch { case scala.util.control.NonFatal(_) => Vector.empty }
+    }
+  }
 
-  private[plans] def isEmpty: Boolean = defs.isEmpty
+  /** Test hook: fresh-session simulation ([[MvRegistry.clearInMemory]]). */
+  private[graft] def clearInMemory(): Unit = defs.clear()
 
   /** Test instrument: successful rewrites. */
   private[graft] val rewrites = new java.util.concurrent.atomic.AtomicInteger
@@ -94,7 +170,9 @@ case class MvJoinRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     spark.conf.get("spark.graft.mvRewrite.enabled", "true").toBoolean
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    if (!enabled || MvJoinRegistry.isEmpty) plan // walk nothing unregistered
+    // no registry-empty fast path: the durable catalog must fire in a
+    // fresh session (lookup memoizes its manifest probe per version)
+    if (!enabled) plan
     else plan.transformUp {
       case j @ Join(_, _, Inner, Some(cond), _) if cond.deterministic =>
         rewrite(j, cond).getOrElse(j)

@@ -13,14 +13,25 @@ import graft.ops.{GraftFileIndex, IncrementalAgg, ManifestTable}
 
 /** MATERIALIZED-VIEW REGISTRY — which [[IncrementalAgg]]-maintained
   * views stand for which base tables. Registration is the explicit
-  * opt-in ([[MvRewriteRule]] rewrites nothing unregistered); it is
-  * process-wide state, mirroring how a catalog would carry MV
-  * definitions. The registered `groupCols`/`sumCols` MUST match the
-  * arguments the view is refreshed with, and [[IncrementalAgg]]'s
-  * contracts carry over: group columns non-null, sum columns LONG
-  * (integer addition is associative, so the view's sums are bit-equal
-  * to a recompute — the property that makes the rewrite an identity
-  * rather than an approximation). */
+  * opt-in ([[MvRewriteRule]] rewrites nothing unregistered). The
+  * registered `groupCols`/`sumCols` MUST match the arguments the view
+  * is refreshed with, and [[IncrementalAgg]]'s contracts carry over:
+  * group columns non-null, sum columns LONG (integer addition is
+  * associative, so the view's sums are bit-equal to a recompute — the
+  * property that makes the rewrite an identity rather than an
+  * approximation).
+  *
+  * DURABILITY: `register(durable = true)` additionally persists the
+  * definition as a `mv.agg.NNNN` prop ON THE BASE TABLE'S MANIFEST —
+  * the catalog entry a warehouse would keep for QUERY_REWRITE. A
+  * fresh session's [[lookup]] falls through to the manifest on an
+  * in-memory miss (memoized per base version), so the rewrite
+  * survives a restart with zero re-registration — without this, a
+  * restarted pipeline gets correct results 1000× slower and nobody
+  * is told. Ordering note: the durable register is itself a manifest
+  * commit (bumps the base version), so register BEFORE the view's
+  * [[IncrementalAgg.refresh]] — freshness pins the view to the base
+  * version the refresh folded. */
 object MvRegistry {
   final case class MvDef(basePath: String, aggPath: String,
                          groupCols: Seq[String], sumCols: Seq[String],
@@ -28,9 +39,35 @@ object MvRegistry {
 
   private val defs = new java.util.concurrent.ConcurrentHashMap[String, Vector[MvDef]]
 
+  /** Durable-definition memo: (qualified base, manifest version) →
+    * decoded defs. A durable register/unregister bumps the version,
+    * so staleness is impossible by construction; bounded by the
+    * crude-but-sufficient clear-at-cap (the map is tiny — one entry
+    * per (table, version) actually queried). */
+  private val durableMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Vector[MvDef]]
+
   private def keyOf(spark: SparkSession, basePath: String): String = {
     val p = new Path(basePath)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).makeQualified(p).toString
+  }
+
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String): String =
+    java.net.URLDecoder.decode(s, "UTF-8")
+
+  /** `mv.agg.NNNN` prop value: URL-encoded view path + the three
+    * column lists (identifiers — ',' and '|' refused at register). */
+  private def encodeDef(d: MvDef): String =
+    Seq(enc(d.aggPath), d.groupCols.mkString(","), d.sumCols.mkString(","),
+      d.minMaxCols.mkString(",")).mkString("|")
+
+  private def decodeDef(basePath: String, value: String): MvDef = {
+    val parts = value.split('|')
+    def cols(i: Int): Seq[String] =
+      if (i >= parts.length || parts(i).isEmpty) Nil else parts(i).split(',').toSeq
+    MvDef(basePath, dec(parts(0)), cols(1), cols(2), cols(3))
   }
 
   /** Declare `aggPath` a maintained aggregate view of `basePath`.
@@ -38,34 +75,84 @@ object MvRegistry {
     * the rewrite tries them in REGISTRATION ORDER and takes the first
     * that matches — register the smallest/most-specific view first.
     * Re-registering the same `aggPath` replaces its definition in
-    * place. `minMaxCols` must match the view's refresh arguments —
-    * min/max re-aggregate exactly for ANY type (order-independent, no
-    * arithmetic), so unlike sums they are not restricted to longs. */
+    * place (durably too: it keeps its prop slot, so its position in
+    * the try order is stable). `minMaxCols` must match the view's
+    * refresh arguments — min/max re-aggregate exactly for ANY type
+    * (order-independent, no arithmetic), so unlike sums they are not
+    * restricted to longs. `durable = true` also commits the
+    * definition onto the base manifest (see object doc). */
   def register(spark: SparkSession, basePath: String, aggPath: String,
                groupCols: Seq[String], sumCols: Seq[String],
-               minMaxCols: Seq[String] = Nil): Unit = {
+               minMaxCols: Seq[String] = Nil,
+               durable: Boolean = false): Unit = {
     require(groupCols.nonEmpty, "MvRegistry.register: no group columns")
+    require((groupCols ++ sumCols ++ minMaxCols)
+        .forall(c => !c.contains(',') && !c.contains('|')),
+      "MvRegistry.register: column names must not contain ',' or '|'")
     val d = MvDef(basePath, aggPath, groupCols, sumCols, minMaxCols)
     defs.compute(keyOf(spark, basePath), (_, old) =>
       Option(old).getOrElse(Vector.empty)
         .filterNot(_.aggPath == aggPath) :+ d)
+    if (durable) {
+      val existing = durableProps(spark, basePath)
+      val slot = existing.collectFirst {
+        case (k, v) if decodeDef(basePath, v).aggPath == aggPath => k
+      }.getOrElse {
+        val used = existing.keys
+          .map(_.stripPrefix(ManifestTable.MvAggDefPropPrefix).toInt)
+        f"${ManifestTable.MvAggDefPropPrefix}${if (used.isEmpty) 0 else used.max + 1}%04d"
+      }
+      ManifestTable.updateMvDefProps(spark, basePath,
+        adds = Map(slot -> encodeDef(d)), removeKeys = _ == slot)
+    }
   }
 
-  /** Drop every view registered for `basePath`. */
-  def unregister(spark: SparkSession, basePath: String): Unit =
+  /** Drop every view registered for `basePath` — in this session,
+    * and (with `durable = true`) from the base manifest's catalog
+    * props too. */
+  def unregister(spark: SparkSession, basePath: String,
+                 durable: Boolean = false): Unit = {
     defs.remove(keyOf(spark, basePath))
+    if (durable)
+      ManifestTable.updateMvDefProps(spark, basePath, adds = Map.empty,
+        removeKeys = _.startsWith(ManifestTable.MvAggDefPropPrefix))
+  }
 
-  private[plans] def lookup(spark: SparkSession, root: Path): Seq[MvDef] =
-    // empty-registry fast path: no per-aggregate filesystem
-    // resolution in sessions that never registered a view
-    if (defs.isEmpty) Nil
-    else {
-      val q = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .makeQualified(root).toString
-      Option(defs.get(q)).getOrElse(Vector.empty)
+  /** The base manifest's committed `mv.agg.*` props (empty for a
+    * non-manifest path or a table with no catalog entries). */
+  private def durableProps(spark: SparkSession,
+                           basePath: String): Map[String, String] =
+    try ManifestTable.readProps(spark, basePath).filter(
+      _._1.startsWith(ManifestTable.MvAggDefPropPrefix))
+    catch { case scala.util.control.NonFatal(_) => Map.empty }
+
+  /** In-memory defs win (session-local overrides); a miss falls
+    * through to the MANIFEST catalog entry — one latest-version
+    * probe, the props read memoized per (base, version). Prop-key
+    * order (zero-padded slots) IS the registration try order. */
+  private[plans] def lookup(spark: SparkSession, root: Path): Seq[MvDef] = {
+    val q = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(root).toString
+    Option(defs.get(q)).getOrElse {
+      val base = root.toString
+      try {
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        ManifestTable.versions(fs, base).lastOption match {
+          case None => Vector.empty
+          case Some(v) =>
+            if (durableMemo.size > 512) durableMemo.clear()
+            durableMemo.computeIfAbsent((q, v), _ =>
+              ManifestTable.readPropsAt(spark, base, v).toVector
+                .filter(_._1.startsWith(ManifestTable.MvAggDefPropPrefix))
+                .sortBy(_._1).map { case (_, value) => decodeDef(base, value) })
+        }
+      } catch { case scala.util.control.NonFatal(_) => Vector.empty }
     }
+  }
 
-  private[plans] def isEmpty: Boolean = defs.isEmpty
+  /** Test hook: a fresh-session simulation — the in-memory registry
+    * empties, so every subsequent lookup exercises the durable path. */
+  private[graft] def clearInMemory(): Unit = defs.clear()
 
   /** Test instrument: successful rewrites. */
   private[graft] val rewrites = new java.util.concurrent.atomic.AtomicInteger
@@ -122,7 +209,11 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     spark.conf.get("spark.graft.mvRewrite.enabled", "true").toBoolean
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    if (!enabled || MvRegistry.isEmpty) plan // walk nothing unregistered
+    // no registry-empty fast path any more: a fresh session's registry
+    // IS empty, and the durable catalog must still fire — the walk
+    // itself is pattern matching, and lookup's manifest probe is
+    // memoized per base version
+    if (!enabled) plan
     else plan.transformUp {
       case a: Aggregate => rewrite(a).getOrElse(a)
     }

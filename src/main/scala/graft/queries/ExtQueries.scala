@@ -2192,6 +2192,114 @@ object ExtQueries {
       |GROUP BY etype ORDER BY etype""".stripMargin
 
   // ----------------------------------------------------------------
+  // q224_durable_mv — DURABLE MV REGISTRATION (the warehouse catalog
+  // half of q207/q210): register(durable = true) persists the
+  // MvDef / MvJoinDef as `mv.agg.*` / `mv.join.*` props ON THE BASE
+  // (fact) MANIFEST, and lookup falls through to that catalog on an
+  // in-memory miss — so a RESTARTED session keeps every automatic
+  // rewrite. Under gate:
+  //   1. durable-register an aggregate view on an events base and a
+  //      join view on (base ⋈ etype-dim), THEN refresh both
+  //      (the durable register is itself a version-bumping commit);
+  //   2. both rewrites fire through the in-memory path;
+  //   3. clearInMemory() simulates the fresh session — both rewrites
+  //      STILL fire (rewrites counters pinned, scan roots exclude
+  //      base/fact/dim) with values identical to the kill-switch scan;
+  //   4. durable unregister + clear — the base scans again (the
+  //      catalog is gone for good, not just for this session).
+  // ----------------------------------------------------------------
+  def q224DurableMv(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:q224_durable_mv") {
+      q224DurableMvBuild(spark, dir)
+    }
+
+  private def q224DurableMvBuild(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{IncrementalAgg, IncrementalJoin, ManifestTable}
+    import graft.plans.{MvJoinRegistry, MvRegistry}
+    def scanRoots(df: DataFrame): Set[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.rootPaths.head.toString
+          }
+      }.toSet
+    val ev = Tables.events(spark, dir).select(
+      col("event_id"), date_trunc("day", col("ts")).cast("string").as("day"),
+      col("event_type").as("etype"), (col("user_id") % 10).as("u10"),
+      floor(col("value") * 1000).cast("long").as("v"))
+    val root = java.nio.file.Files.createTempDirectory("graft_q224_").toString
+    val (base, view, dim, jview) =
+      (root + "/base", root + "/view", root + "/dim", root + "/jview")
+    ManifestTable.merge(spark, base, ev, keys = Seq("event_id"), partitionCol = "day")
+    ManifestTable.merge(spark, dim,
+      ev.select(col("etype")).distinct()
+        .withColumn("label", concat(lit("seg-"), col("etype"))),
+      keys = Seq("etype"), partitionCol = "etype")
+    // register durably FIRST (each durable register bumps the base
+    // version), then refresh — freshness pins the refreshed versions
+    MvRegistry.register(spark, base, view, Seq("etype", "u10"), Seq("v"),
+      durable = true)
+    MvJoinRegistry.register(spark, base, dim, jview, "etype", durable = true)
+    IncrementalAgg.refresh(spark, base, view, Seq("etype", "u10"), Seq("v"))
+    IncrementalJoin.refresh(spark, base, dim, jview, Seq("event_id"), "etype", "day")
+    def aggQ(): DataFrame = ManifestTable.read(spark, base)
+      .where(col("u10") >= 3).groupBy(col("etype"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    def joinQ(): DataFrame = ManifestTable.read(spark, base)
+      .join(ManifestTable.read(spark, dim), Seq("etype"))
+      .groupBy(col("label")).agg(count(lit(1)).as("jn"))
+    def fired(df: DataFrame, ctr: java.util.concurrent.atomic.AtomicInteger)
+        : (Boolean, Set[String], Seq[String]) = {
+      val b = ctr.get
+      val rows = df.collect().map(_.toString).sorted.toSeq
+      (ctr.get - b >= 1, scanRoots(df), rows)
+    }
+    // kill-switch truth for value identity
+    spark.conf.set("spark.graft.mvRewrite.enabled", "false")
+    val (aggTruth, joinTruth) =
+      try (aggQ().collect().map(_.toString).sorted.toSeq,
+        joinQ().collect().map(_.toString).sorted.toSeq)
+      finally spark.conf.set("spark.graft.mvRewrite.enabled", "true")
+    val (memAgg, _, _) = fired(aggQ(), MvRegistry.rewrites)
+    val (memJoin, _, _) = fired(joinQ(), MvJoinRegistry.rewrites)
+    // the fresh-session simulation: only the durable catalog remains
+    MvRegistry.clearInMemory()
+    MvJoinRegistry.clearInMemory()
+    val (durAgg, ra, rowsA) = fired(aggQ(), MvRegistry.rewrites)
+    val (durJoin, rj, rowsJ) = fired(joinQ(), MvJoinRegistry.rewrites)
+    val aggRootsOk = ra.exists(_.endsWith("/view")) && !ra.exists(_.endsWith("/base"))
+    val joinRootsOk = rj.exists(_.endsWith("/jview")) &&
+      !rj.exists(s => s.endsWith("/base") || s.endsWith("/dim"))
+    // durable unregister is permanent: cleared registries + catalog
+    // gone → the scan returns (refresh absorbs the unregister commits)
+    MvRegistry.unregister(spark, base, durable = true)
+    MvJoinRegistry.unregister(spark, base, dim, durable = true)
+    MvRegistry.clearInMemory()
+    MvJoinRegistry.clearInMemory()
+    IncrementalAgg.refresh(spark, base, view, Seq("etype", "u10"), Seq("v"))
+    val (reAgg, ra2, _) = fired(aggQ(), MvRegistry.rewrites)
+    val unregScans = !reAgg && ra2.exists(_.endsWith("/base"))
+    aggQ().withColumn("mem_paths_fired", lit(memAgg && memJoin))
+      .withColumn("durable_agg_fired", lit(durAgg && aggRootsOk))
+      .withColumn("durable_join_fired", lit(durJoin && joinRootsOk))
+      .withColumn("values_identical",
+        lit(rowsA == aggTruth && rowsJ == joinTruth))
+      .withColumn("unregister_durable", lit(unregScans))
+      .orderBy(col("etype"))
+  }
+
+  val q224DurableMvSql: String =
+    """SELECT event_type AS etype, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sv,
+      |  TRUE AS mem_paths_fired, TRUE AS durable_agg_fired,
+      |  TRUE AS durable_join_fired, TRUE AS values_identical,
+      |  TRUE AS unregister_durable
+      |FROM events WHERE user_id % 10 >= 3
+      |GROUP BY event_type ORDER BY etype""".stripMargin
+
+  // ----------------------------------------------------------------
   // q208_dsir — DSIR-STYLE IMPORTANCE-RESAMPLED DATA SELECTION
   // (graft.ext.Dsir; Xie et al. 2023): fit hashed word-bigram bag
   // models on a TARGET sample (the en docs) and the RAW corpus (all

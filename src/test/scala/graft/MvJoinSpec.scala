@@ -204,4 +204,40 @@ class MvJoinSpec extends AnyFunSuite {
       assert(run(q(f, d))._1 == 1, "nothing above should have poisoned the rewrite")
     } finally MvJoinRegistry.unregister(spark, fact, dim)
   }
+
+  test("DURABLE registration on the fact manifest re-arms the join rewrite " +
+    "after the in-memory registry clears; durable unregister drops only " +
+    "this pair's entries") {
+    val (fact, dim, view) = fresh("durable")
+    val f = (1L to 40L).map(i => (i, s"d${i % 4}", i % 7, i * 3L))
+      .toDF("id", "day", "uid", "v")
+    val dm = (0L to 6L).map(u => (u, s"seg-${u % 3}", s"du${u % 2}"))
+      .toDF("uid", "seg", "du")
+    ManifestTable.merge(spark, fact, f, Seq("id"), "day")
+    ManifestTable.merge(spark, dim, dm, Seq("uid"), "du")
+    // register BEFORE refresh (the durable register bumps the fact
+    // version; freshness pins the versions the refresh folded)
+    MvJoinRegistry.register(spark, fact, dim, view, "uid", durable = true)
+    IncrementalJoin.refresh(spark, fact, dim, view, Seq("id"), "uid", "day")
+    def q = ManifestTable.read(spark, fact)
+      .join(ManifestTable.read(spark, dim), Seq("uid"))
+      .select(col("id"), col("uid"), col("seg"), col("v"))
+    val t = truth(q)
+    assert(run(q)._1 == 1, "in-memory path fires")
+    MvJoinRegistry.clearInMemory()
+    val (d2, r2, rows2) = run(q)
+    assert(d2 == 1 && r2.exists(_.endsWith("/jview")) &&
+      !r2.exists(s => s.endsWith("/fact") || s.endsWith("/dim")),
+      s"the durable catalog must re-arm the join rewrite: $r2")
+    assert(rows2 == t)
+    // durable unregister: the pair's prop is gone; refresh absorbs the
+    // version bump and the join scans again
+    MvJoinRegistry.unregister(spark, fact, dim, durable = true)
+    MvJoinRegistry.clearInMemory()
+    IncrementalJoin.refresh(spark, fact, dim, view, Seq("id"), "uid", "day")
+    val (d3, r3, rows3) = run(q)
+    assert(d3 == 0 && r3.exists(_.endsWith("/fact")),
+      "after durable unregister the join must scan again")
+    assert(rows3 == t)
+  }
 }

@@ -291,6 +291,42 @@ class MvRewriteSpec extends AnyFunSuite {
     } finally MvRegistry.unregister(spark, base)
   }
 
+  test("DURABLE registration: the catalog prop on the base manifest re-arms " +
+    "the rewrite after the in-memory registry clears (fresh-session " +
+    "simulation); durable unregister removes it for good") {
+    val (base, view) = fresh("durable")
+    seed(base)
+    // register BEFORE refresh — the durable register is itself a
+    // manifest commit, and freshness pins the refreshed version
+    MvRegistry.register(spark, base, view, Seq("etype"), Seq("v"),
+      durable = true)
+    IncrementalAgg.refresh(spark, base, view, Seq("etype"), Seq("v"))
+    def q = ManifestTable.read(spark, base).groupBy(col("etype"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv")).orderBy(col("etype"))
+    val t = truth(q)
+    assert(run(q)._1 == 1, "in-memory path fires")
+    MvRegistry.clearInMemory()
+    val (d2, r2, rows2) = run(q)
+    assert(d2 == 1 && !r2.exists(_.contains("/base")),
+      s"the durable catalog must re-arm the rewrite with no in-memory state: $r2")
+    assert(rows2 == t, "durable-path answer identical to the scan")
+    // durable unregister: prop gone, no rewrite even via the fallback
+    MvRegistry.unregister(spark, base, durable = true)
+    MvRegistry.clearInMemory()
+    IncrementalAgg.refresh(spark, base, view, Seq("etype"), Seq("v"))
+    val (d3, r3, rows3) = run(q)
+    assert(d3 == 0 && r3.exists(_.contains("/base")),
+      "after durable unregister the base must scan again")
+    assert(rows3 == t)
+    // re-register durably twice: the slot is reused, not duplicated
+    MvRegistry.register(spark, base, view, Seq("etype"), Seq("v"), durable = true)
+    MvRegistry.register(spark, base, view, Seq("etype"), Seq("v"), durable = true)
+    assert(ManifestTable.readProps(spark, base)
+      .count(_._1.startsWith(ManifestTable.MvAggDefPropPrefix)) == 1,
+      "re-registering the same view must replace its prop slot in place")
+    MvRegistry.unregister(spark, base, durable = true)
+  }
+
   test("double sums never rewrite (floating addition is not associative — " +
     "the view's fold order would leak into results)") {
     val (base, view) = fresh("dbl")
