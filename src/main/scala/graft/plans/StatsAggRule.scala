@@ -89,6 +89,8 @@ case class StatsAggRule(spark: SparkSession)
     else plan.transformUp {
       case a: Aggregate if a.groupingExpressions.isEmpty =>
         rewrite(a).getOrElse(a)
+      case a: Aggregate if a.groupingExpressions.size == 1 =>
+        rewriteGrouped(a).getOrElse(a)
     }
 
   private def rewrite(a: Aggregate): Option[LogicalPlan] =
@@ -106,6 +108,110 @@ case class StatsAggRule(spark: SparkSession)
         }
       }
     }
+
+  /** GROUPED metadata-only aggregates — `GROUP BY pcol` ONLY (Spark's
+    * own `OptimizeMetadataOnlyQuery` shape, widened to this format's
+    * footer stats): every row of an entry carries the entry's
+    * partition value, so a partition-key grouping is a GROUP PER
+    * SURVIVING NON-EMPTY ENTRY and each group's count/count(col)/
+    * min/max folds from that single entry's committed metadata — one
+    * LocalRelation row per live key, zero tasks ("rows per day" at
+    * 100 TB in driver milliseconds). The grouping expression must be
+    * the BARE partition column (any computed grouping is pulled out
+    * by the optimizer as a non-identity alias and stops [[resolveScan]];
+    * any other column's grouping backs off here). The same [[narrow]]
+    * filter adjudication applies; the group VALUE parses back from
+    * the entry key exactly for the key-roundtrip-lossless types
+    * ([[keyInternal]]) — and min/max OF the partition column itself
+    * answer from the key even for strings (the key IS the value;
+    * footer truncation is not in play). A duplicate key, a keyless
+    * (MoR appendix) entry, or a missing rowcount backs the whole
+    * rewrite off. */
+  private def rewriteGrouped(a: Aggregate): Option[LogicalPlan] =
+    resolveScan(a.child).flatMap { case (idx, colOf, filters) =>
+      for {
+        pcol <- idx.partitionColName
+        g <- a.groupingExpressions.head match {
+          case ar: AttributeReference
+              if colOf.get(ar.exprId).exists(_._1 == pcol) => Some(ar)
+          case _ => None
+        }
+        entries <- narrow(idx, colOf, filters)
+        if entries.forall(en => en.key.isDefined && en.rowCount.isDefined)
+        live = entries.filter(_.rowCount.exists(_ > 0))
+        if live.map(_.key.get).distinct.size == live.size // one entry per key
+        rows <- {
+          val perKey = live.sortBy(_.key.get).map { en =>
+            val values = a.aggregateExpressions.map(ne =>
+              valueOfGrouped(ne, en, g, colOf, pcol))
+            if (values.exists(_.isEmpty)) None
+            else Some(InternalRow.fromSeq(values.map(_.get.orNull)))
+          }
+          if (perKey.exists(_.isEmpty)) None else Some(perKey.flatten)
+        }
+      } yield {
+        StatsAggRule.rewrites.incrementAndGet()
+        logInfo(s"graft stats-agg: answered a GROUP BY $pcol aggregate from " +
+          s"${live.size} manifest entries (no scan)")
+        LocalRelation(a.output, rows)
+      }
+    }
+
+  /** One output value of a pcol-grouped aggregate, from ONE entry's
+    * metadata (the entry IS the group). */
+  private def valueOfGrouped(ne: NamedExpression,
+                             en: GraftFileIndex.EntryMeta,
+                             g: AttributeReference,
+                             colOf: Map[ExprId, (String, DataType)],
+                             pcol: String): Option[Option[Any]] = {
+    val key = en.key.get
+    def phys(ar: AttributeReference): Option[(String, DataType)] = colOf.get(ar.exprId)
+    val e = ne match {
+      case Alias(child, _) => child
+      case other => other
+    }
+    e match {
+      case ar: AttributeReference if ar.exprId == g.exprId =>
+        keyInternal(key, g.dataType).map(v => Some(v))
+      case l: Literal => Some(Option(l.value))
+      case AggregateExpression(fn, _, false, None, _) => fn match {
+        case Count(Seq(l: Literal)) if l.value != null => countStar(Seq(en))
+        case Count(Seq(ar: AttributeReference)) =>
+          phys(ar).flatMap { case (c, _) => countCol(Seq(en), c) }
+        case Min(ar: AttributeReference) =>
+          phys(ar).flatMap { case (c, dt) =>
+            // min/max of the KEY column is the key itself — exact for
+            // any key-lossless type, strings included
+            if (c == pcol) keyInternal(key, dt).map(v => Some(v))
+            else bound(Seq(en), c, dt, isMin = true)
+          }
+        case Max(ar: AttributeReference) =>
+          phys(ar).flatMap { case (c, dt) =>
+            if (c == pcol) keyInternal(key, dt).map(v => Some(v))
+            else bound(Seq(en), c, dt, isMin = false)
+          }
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
+  /** The entry key parsed back to the column's INTERNAL value — only
+    * for types whose `CAST(value AS STRING)` (the committed dir-key
+    * form) round-trips losslessly: integrals, strings (identity),
+    * dates (ISO). Timestamps, floats, and decimals back off — their
+    * string forms are not bijective with the internal value. */
+  private def keyInternal(key: String, dt: DataType): Option[Any] = dt match {
+    case StringType => Some(org.apache.spark.unsafe.types.UTF8String.fromString(key))
+    case ByteType => key.toByteOption
+    case ShortType => key.toShortOption
+    case IntegerType => key.toIntOption
+    case LongType => key.toLongOption
+    case DateType =>
+      try Some(java.time.LocalDate.parse(key).toEpochDay.toInt)
+      catch { case _: java.time.format.DateTimeParseException => None }
+    case _ => None
+  }
 
   /** Walk to a bare, un-narrowed [[GraftFileIndex]] scan, carrying the
     * exprId → physical-column-name mapping through identity Projects

@@ -2103,6 +2103,86 @@ object ExtQueries {
       |FROM events""".stripMargin
 
   // ----------------------------------------------------------------
+  // q225_grouped_stats — GROUPED METADATA-ONLY AGGREGATES (the
+  // StatsAggRule GROUP BY pcol extension; Spark's own
+  // OptimizeMetadataOnlyQuery shape widened to footer stats): the
+  // dashboard's "rows per day" — per-key count/count(col)/min/max
+  // over a bare partitioned scan — collapses to ONE LocalRelation row
+  // per live manifest entry, zero tasks at any table size. The gate
+  // pins: (1) the grouped plan has NO file scan (meta_only) while
+  // every per-day value is SQL-recomputed from `events`, incl. min of
+  // the key column itself (exact even as a string — the key IS the
+  // value, no footer truncation in play); (2) a pcol-range filter
+  // composes and stays metadata-only (flt_meta_only); (3) a MoR
+  // delete forces the SAME grouped query back to a real scan
+  // (dv_scans) with post-delete per-day counts again SQL-exact.
+  // ----------------------------------------------------------------
+  def q225GroupedStats(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:q225_grouped_stats") {
+      q225GroupedStatsBuild(spark, dir)
+    }
+
+  private def q225GroupedStatsBuild(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.ManifestTable
+    def hasScan(df: DataFrame): Boolean = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.nonEmpty
+    val ev = Tables.events(spark, dir).select(
+      col("event_id"), col("ts"), col("user_id"),
+      when(col("event_id") % 7 === 0, lit(null).cast("long"))
+        .otherwise(col("user_id")).as("xv"),
+      date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+    val path = java.nio.file.Files.createTempDirectory("graft_q225_").toString + "/t"
+    ManifestTable.merge(spark, path, ev, keys = Seq("event_id"), partitionCol = "day",
+      statsColumns = Seq("event_id", "ts", "user_id", "xv"))
+    def grouped(): DataFrame = ManifestTable.read(spark, path)
+      .groupBy(col("day")).agg(
+        count(lit(1)).as("n"), count(col("xv")).as("n_xv"),
+        min(col("user_id")).as("mn_u"), max(col("user_id")).as("mx_u"),
+        min(col("ts")).as("mn_ts"), max(col("ts")).as("mx_ts"),
+        min(col("day")).as("mn_day"))
+    val g = grouped(); g.collect()
+    val metaOnly = !hasScan(g)
+    val day0 = ev.agg(min(col("day"))).collect()(0).getString(0)
+    val flt = ManifestTable.read(spark, path).where(col("day") > day0)
+      .groupBy(col("day")).agg(count(lit(1)).as("n_flt"))
+    val fltDays = flt.count()
+    val fltMetaOnly = !hasScan(flt)
+    // a MoR delete → pre-delete footer stats are supersets; the SAME
+    // grouped query must fall back to a real scan and stay exact
+    ManifestTable.deleteWhereMoR(spark, path, "day", col("event_id") % 211 === 5)
+    val after = ManifestTable.read(spark, path).groupBy(col("day"))
+      .agg(count(lit(1)).as("n_dv"))
+    after.collect()
+    val dvScans = hasScan(after)
+    g.join(after, Seq("day"))
+      .withColumn("meta_only", lit(metaOnly))
+      .withColumn("flt_meta_only", lit(fltMetaOnly))
+      .withColumn("flt_days", lit(fltDays))
+      .withColumn("dv_scans", lit(dvScans))
+      .orderBy(col("day"))
+  }
+
+  val q225GroupedStatsSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, ts, user_id,
+      |    CASE WHEN event_id % 7 = 0 THEN NULL ELSE user_id END AS xv,
+      |    strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+      |  FROM events)
+      |SELECT day, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(count(xv) AS BIGINT) AS n_xv,
+      |  min(user_id) AS mn_u, max(user_id) AS mx_u,
+      |  min(ts) AS mn_ts, max(ts) AS mx_ts,
+      |  min(day) AS mn_day,
+      |  TRUE AS meta_only, TRUE AS flt_meta_only,
+      |  (SELECT CAST(count(DISTINCT day) AS BIGINT) FROM ev
+      |   WHERE day > (SELECT min(day) FROM ev)) AS flt_days,
+      |  CAST(count(*) FILTER (event_id % 211 <> 5) AS BIGINT) AS n_dv,
+      |  TRUE AS dv_scans
+      |FROM ev GROUP BY day ORDER BY day""".stripMargin
+
+  // ----------------------------------------------------------------
   // q207_mv_rewrite — AUTOMATIC MATERIALIZED-VIEW REWRITE
   // (graft.plans.MvRewriteRule + MvRegistry, the query side of
   // IncrementalAgg): a registered grouped COUNT/SUM view answers a

@@ -88,7 +88,7 @@ class StatsAggSpec extends AnyFunSuite {
   }
 
   test("exactness back-offs: double and string min/max, filtered scans, " +
-    "and grouped aggregates all fall back to a real scan") {
+    "and non-pcol grouped aggregates all fall back to a real scan") {
     val path = freshPath("backoff")
     seed(path)
     val t = ManifestTable.read(spark, path)
@@ -101,8 +101,9 @@ class StatsAggSpec extends AnyFunSuite {
     // a Filter between aggregate and scan stops the walk
     val (d3, s3, r3) = run(t.where(col("id") > 2L).agg(count(lit(1)).as("n")))
     assert(d3 == 0 && s3 && r3.head.getLong(0) == 4L)
-    // grouped aggregates never rewrite
-    val (d4, s4, _) = run(t.groupBy(col("day")).agg(count(lit(1))))
+    // a NON-pcol grouping never rewrites (GROUP BY pcol does — its
+    // own test below)
+    val (d4, s4, _) = run(t.groupBy(col("s")).agg(count(lit(1))))
     assert(d4 == 0 && s4)
     // count distinct never rewrites
     val (d5, s5, r5) = run(t.agg(countDistinct(col("x")).as("nd")))
@@ -270,5 +271,67 @@ class StatsAggSpec extends AnyFunSuite {
     ManifestTable.merge(spark, path, more, Seq("id"), "day",
       statsColumns = Seq("id", "t", "x", "d", "s"))
     assert(fast() == ((8L, 1L, 99L)))
+  }
+
+  test("GROUP BY pcol folds per-key count/count(col)/min/max from each " +
+    "entry's metadata — no scan — incl. min/max of the key column itself " +
+    "(strings exact: the key IS the value), matching the real scan") {
+    val path = freshPath("grouped")
+    seed(path)
+    def q = ManifestTable.read(spark, path).groupBy(col("day")).agg(
+      count(lit(1)).as("n"), count(col("x")).as("nx"),
+      min(col("id")).as("mn_id"), max(col("t")).as("mx_t"),
+      min(col("day")).as("mn_day"), max(col("day")).as("mx_day"))
+      .orderBy(col("day"))
+    val (delta, scanned, rows) = run(q)
+    assert(delta == 1, s"expected one grouped metadata rewrite, saw $delta")
+    assert(!scanned, "the grouped rewrite must not contain a file scan")
+    spark.conf.set("spark.graft.statsAgg.enabled", "false")
+    try assert(rows == q.collect().toSeq, "grouped metadata != scan answer")
+    finally spark.conf.set("spark.graft.statsAgg.enabled", "true")
+    // a pcol FILTER composes: surviving entries only
+    def qf = ManifestTable.read(spark, path).where(col("day") >= "d2")
+      .groupBy(col("day")).agg(count(lit(1)).as("n")).orderBy(col("day"))
+    val (d2, s2, r2) = run(qf)
+    assert(d2 == 1 && !s2)
+    assert(r2.map(r => (r.getString(0), r.getLong(1))) == Seq(("d2", 2L), ("d3", 2L)))
+    // bare DISTINCT-shaped grouping (no aggregates) answers too
+    val (d3, s3, r3) = run(ManifestTable.read(spark, path)
+      .groupBy(col("day")).agg(max(col("day")).as("mx")).select(col("day"))
+      .orderBy(col("day")))
+    assert(d3 == 1 && !s3 && r3.map(_.getString(0)) == Seq("d1", "d2", "d3"))
+  }
+
+  test("grouped back-offs: non-pcol grouping, computed grouping, row filter " +
+    "on a data column, count(distinct), string bounds of a non-key column, " +
+    "and a pending DV all fall back to the scan with unchanged results") {
+    val path = freshPath("gback")
+    seed(path)
+    val t = ManifestTable.read(spark, path)
+    // non-pcol grouping
+    val (d1, s1, _) = run(t.groupBy(col("s")).agg(count(lit(1)).as("n")))
+    assert(d1 == 0 && s1)
+    // computed grouping over the pcol
+    val (d2, s2, _) = run(t.groupBy(substring(col("day"), 1, 1).as("g"))
+      .agg(count(lit(1)).as("n")))
+    assert(d2 == 0 && s2)
+    // row filter on a data column
+    val (d3, s3, _) = run(t.where(col("id") > 2L).groupBy(col("day"))
+      .agg(count(lit(1)).as("n")))
+    assert(d3 == 0 && s3)
+    // count(distinct) per group is not metadata-derivable
+    val (d4, s4, _) = run(t.groupBy(col("day")).agg(countDistinct(col("x"))))
+    assert(d4 == 0 && s4)
+    // string bounds of a NON-key column stay excluded (footer truncation)
+    val (d5, s5, _) = run(t.groupBy(col("day")).agg(max(col("s")).as("mx")))
+    assert(d5 == 0 && s5)
+    // a pending DV poisons the bare scan (anti-join in the plan)
+    ManifestTable.deleteWhereMoR(spark, path, "day", col("id") === 5L)
+    def qdv = ManifestTable.read(spark, path).groupBy(col("day"))
+      .agg(count(lit(1)).as("n")).orderBy(col("day"))
+    val (d6, s6, r6) = run(qdv)
+    assert(d6 == 0 && s6, "a DV'd table must fall back to the real scan")
+    assert(r6.map(r => (r.getString(0), r.getLong(1))) ==
+      Seq(("d1", 2L), ("d2", 2L), ("d3", 1L)), "post-delete groups exact")
   }
 }
