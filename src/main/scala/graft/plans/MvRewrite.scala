@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 import graft.ops.{GraftFileIndex, IncrementalAgg, ManifestTable}
 
@@ -369,6 +369,7 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     sealed trait Out
     case class GroupOut(i: Int) extends Out
     case class AggOut(alias: Alias, isCount: Boolean) extends Out
+    case class AvgOut(sumAl: Alias, nAl: Alias) extends Out
     var synths = Vector.empty[Alias]
     val outs: Seq[Option[Out]] = a.aggregateExpressions.map { ne =>
       val (core, origType) = ne match {
@@ -398,6 +399,31 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
               val al = Alias(Sum(va).toAggregateExpression(), s"__mv_${synths.size}")()
               synths :+= al
               AggOut(al, isCount = false)
+            }
+          // avg(longCol) = Σsum / Σn from the maintained pair — but
+          // ONLY under the plan-time double-exactness proof
+          // ([[avgExactProof]]): Spark's Average accumulates the sum
+          // as DOUBLE per row, so the rewrite is bit-identical to the
+          // scan exactly when every partial sum any order can produce
+          // is an exactly-representable integer. DECIMAL avg never
+          // rewrites: the view maintains LONG sums only, and a
+          // maintained decimal sum would re-aggregate at a wider
+          // precision than the scan's internal sum type — a different
+          // overflow boundary, not an identity.
+          case Average(ar: AttributeReference, _) =>
+            for {
+              c <- physOf(ar)
+              if mv.sumCols.contains(c)
+              va <- viewAttr(s"sum_$c")
+              if va.dataType == LongType && ar.dataType == LongType &&
+                origType == DoubleType
+              if avgExactProof(info, c)
+            } yield {
+              val sAl = Alias(Sum(va).toAggregateExpression(), s"__mv_${synths.size}")()
+              synths :+= sAl
+              val cAl = Alias(Sum(nAttr).toAggregateExpression(), s"__mv_${synths.size}")()
+              synths :+= cAl
+              AvgOut(sAl, cAl)
             }
           // min-of-mins / max-of-maxs are exact for ANY type — no
           // arithmetic, order-independent — when the view maintains
@@ -445,8 +471,44 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
                 Coalesce(Seq(al.toAttribute, Literal(0L)))
               else al.toAttribute
             Alias(base, name)(exprId = orig.exprId)
+          // Average's own final step on a non-decimal input is ONE
+          // double division of the (double-accumulated) sum by the
+          // long count cast to double; under the exactness proof both
+          // operands here are the same doubles, so the division is
+          // the same IEEE operation. n is never 0 (view groups carry
+          // n >= 1; an empty global fold gives NULL/NULL = NULL,
+          // which is avg-over-no-rows in both plans).
+          case AvgOut(sAl, cAl) =>
+            Alias(new Divide(Cast(sAl.toAttribute, DoubleType),
+              Cast(cAl.toAttribute, DoubleType)), name)(exprId = orig.exprId)
         }
       }
     Some(Project(projList, agg2))
+  }
+
+  /** The plan-time proof that a view-based `avg(c)` is BIT-IDENTICAL
+    * to the scan: Spark's Average accumulates `cast(v as double)` row
+    * by row, so the rewrite (exact long Σ, one final conversion) is
+    * an identity iff every partial sum the scan can form is exactly
+    * representable — guaranteed when `maxAbs(c) × totalRows ≤ 2⁵³`
+    * (all partial sums are integers bounded by that product; the
+    * count side is long-accumulated in BOTH plans, so it needs no
+    * bound of its own). The bound, the per-entry null-freedom
+    * (avg divides by count(v), the view's n is count(*) — they only
+    * agree when the column has NO nulls), and the committed zone
+    * maps + rowcounts all come from the scan's own manifest metadata
+    * — O(entries) driver arithmetic, no job, the [[StatsAggRule]]
+    * machinery applied to an optimizer soundness proof. Any entry
+    * missing stats, null counts, or a rowcount fails the proof. */
+  private def avgExactProof(info: ScanInfo, c: String): Boolean = {
+    val entries = info.idx.entryMetas
+    entries.forall(en => en.rowCount.isDefined &&
+      en.nullCounts.get(c).contains(0L) && en.stats.contains(c)) && {
+      val total = BigDecimal(entries.flatMap(_.rowCount).sum)
+      val maxAbs = entries.flatMap(_.stats.get(c))
+        .map { case (mn, mx) => mn.abs.max(mx.abs) }
+        .foldLeft(BigDecimal(0))(_ max _)
+      maxAbs * total <= BigDecimal(BigInt(1) << 53)
+    }
   }
 }

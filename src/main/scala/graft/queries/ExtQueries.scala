@@ -2380,6 +2380,119 @@ object ExtQueries {
       |GROUP BY event_type ORDER BY etype""".stripMargin
 
   // ----------------------------------------------------------------
+  // q226_mv_avg — AVG IN THE MV REWRITE (MvRewriteRule + the
+  // double-exactness proof): avg(longCol) over a registered base
+  // answers as Σsum/Σn from the maintained (n, sum) pair — the single
+  // most common dashboard aggregate — but ONLY when the base's own
+  // manifest metadata PROVES the scan's double accumulation is exact
+  // (maxAbs × totalRows ≤ 2⁵³ from zone maps + rowcounts, zero null
+  // counts on the measure since avg divides by count(v) while the
+  // view maintains count(*)). Under gate: grouped, filtered-rollup
+  // and global avg all rewrite (avg_mv_used; no base scan) with
+  // values BIT-EQUAL to the kill-switch scan (bit_equal) and
+  // SQL-recomputed by DuckDB (both engines: exact integer sum, one
+  // IEEE division). DECIMAL honesty: a decimal-sum view re-aggregates
+  // at a wider precision than the scan's internal sum type — a
+  // different overflow boundary, not an identity — so avg/sum over a
+  // registered DECIMAL measure must scan (decimal_backoff); a value
+  // at 2⁵³ defeats the provable bound (bound_backoff).
+  // ----------------------------------------------------------------
+  def q226MvAvg(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:q226_mv_avg") {
+      q226MvAvgBuild(spark, dir)
+    }
+
+  private def q226MvAvgBuild(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{IncrementalAgg, ManifestTable}
+    import graft.plans.MvRegistry
+    def scanRoots(df: DataFrame): Set[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.rootPaths.head.toString
+          }
+      }.toSet
+    val ev = Tables.events(spark, dir).select(
+      col("event_id"), date_trunc("day", col("ts")).cast("string").as("day"),
+      col("event_type").as("etype"), (col("user_id") % 10).as("u10"),
+      floor(col("value") * 1000).cast("long").as("v"),
+      col("value").cast("decimal(12,3)").as("dv"))
+    val root = java.nio.file.Files.createTempDirectory("graft_q226_").toString
+    val (base, view, dview) = (root + "/base", root + "/view", root + "/dview")
+    ManifestTable.merge(spark, base, ev, keys = Seq("event_id"), partitionCol = "day",
+      statsColumns = Seq("v", "dv")) // the proof's zone maps + null counts
+    IncrementalAgg.refresh(spark, base, view, Seq("etype", "u10"), Seq("v"))
+    MvRegistry.register(spark, base, view, Seq("etype", "u10"), Seq("v"))
+    def counted(df: DataFrame): (Boolean, Set[String], Seq[org.apache.spark.sql.Row]) = {
+      val b = MvRegistry.rewrites.get
+      val rows = df.collect().toSeq
+      (MvRegistry.rewrites.get - b >= 1, scanRoots(df), rows)
+    }
+    def aggQ() = ManifestTable.read(spark, base).groupBy(col("etype"))
+      .agg(avg(col("v")).as("avg_v"), count(lit(1)).as("n")).orderBy(col("etype"))
+    def fltQ() = ManifestTable.read(spark, base).where(col("u10") >= 3)
+      .groupBy(col("etype")).agg(avg(col("v")).as("avg_f")).orderBy(col("etype"))
+    def allQ() = ManifestTable.read(spark, base).agg(avg(col("v")).as("avg_all"))
+    val (f1, r1, rows1) = counted(aggQ())
+    val (f2, r2, rows2) = counted(fltQ())
+    val (f3, r3, rows3) = counted(allQ())
+    val mvUsed = f1 && f2 && f3 &&
+      !(r1 ++ r2 ++ r3).exists(_.endsWith("/base"))
+    spark.conf.set("spark.graft.mvRewrite.enabled", "false")
+    val bitEqual =
+      try rows1 == aggQ().collect().toSeq && rows2 == fltQ().collect().toSeq &&
+        rows3 == allQ().collect().toSeq
+      finally spark.conf.set("spark.graft.mvRewrite.enabled", "true")
+    // DECIMAL widening honesty: a registered decimal measure refuses
+    IncrementalAgg.refresh(spark, base, dview, Seq("etype"), Seq("dv"))
+    MvRegistry.register(spark, base, dview, Seq("etype"), Seq("dv"))
+    val (fd1, rd1, _) = counted(ManifestTable.read(spark, base)
+      .groupBy(col("etype")).agg(avg(col("dv")).as("a")))
+    val (fd2, rd2, _) = counted(ManifestTable.read(spark, base)
+      .groupBy(col("etype")).agg(sum(col("dv")).as("s")))
+    val decimalBackoff = !fd1 && !fd2 &&
+      rd1.exists(_.endsWith("/base")) && rd2.exists(_.endsWith("/base"))
+    MvRegistry.unregister(spark, base)
+    // UNPROVABLE BOUND: one value at 2^53 defeats maxAbs × rows ≤ 2^53
+    val (base2, view2) = (root + "/big", root + "/bigview")
+    import spark.implicits._
+    ManifestTable.merge(spark, base2,
+      (Seq((0L, "d0", "click", 1L << 53)) ++
+        (1L to 9L).map(i => (i, s"d${i % 3}", "click", i)))
+        .toDF("event_id", "day", "etype", "v"),
+      Seq("event_id"), "day", statsColumns = Seq("v"))
+    IncrementalAgg.refresh(spark, base2, view2, Seq("etype"), Seq("v"))
+    MvRegistry.register(spark, base2, view2, Seq("etype"), Seq("v"))
+    val (fb, rb, _) = counted(ManifestTable.read(spark, base2)
+      .groupBy(col("etype")).agg(avg(col("v")).as("a")))
+    val boundBackoff = !fb && rb.exists(_.endsWith("/big"))
+    MvRegistry.unregister(spark, base2)
+    aggQ().join(fltQ(), Seq("etype")).crossJoin(allQ())
+      .withColumn("avg_mv_used", lit(mvUsed))
+      .withColumn("bit_equal", lit(bitEqual))
+      .withColumn("decimal_backoff", lit(decimalBackoff))
+      .withColumn("bound_backoff", lit(boundBackoff))
+      .orderBy(col("etype"))
+  }
+
+  val q226MvAvgSql: String =
+    """WITH ev AS (
+      |  SELECT event_type AS etype, user_id % 10 AS u10,
+      |    CAST(floor(value * 1000) AS BIGINT) AS v
+      |  FROM events),
+      |a AS (SELECT etype, avg(v) AS avg_v, CAST(count(*) AS BIGINT) AS n
+      |      FROM ev GROUP BY etype),
+      |f AS (SELECT etype, avg(v) AS avg_f FROM ev WHERE u10 >= 3 GROUP BY etype)
+      |SELECT a.etype, a.avg_v, a.n, f.avg_f,
+      |  (SELECT avg(v) FROM ev) AS avg_all,
+      |  TRUE AS avg_mv_used, TRUE AS bit_equal,
+      |  TRUE AS decimal_backoff, TRUE AS bound_backoff
+      |FROM a JOIN f USING (etype)
+      |ORDER BY etype""".stripMargin
+
+  // ----------------------------------------------------------------
   // q208_dsir — DSIR-STYLE IMPORTANCE-RESAMPLED DATA SELECTION
   // (graft.ext.Dsir; Xie et al. 2023): fit hashed word-bigram bag
   // models on a TARGET sample (the en docs) and the RAW corpus (all

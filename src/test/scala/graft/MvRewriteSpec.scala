@@ -139,7 +139,9 @@ class MvRewriteSpec extends AnyFunSuite {
       // sum of a non-maintained column
       val (d1, r1, _) = run(t.groupBy(col("etype")).agg(sum(col("u10")).as("s")))
       assert(d1 == 0 && r1.exists(_.contains("/base")))
-      // avg is not maintained
+      // avg backs off WITHOUT the metadata exactness proof (this base
+      // committed no zone maps / null counts for v) — the positive
+      // avg path has its own test below
       assert(run(t.groupBy(col("etype")).agg(avg(col("v")).as("a")))._1 == 0)
       // filter on a NON-group column cannot translate
       assert(run(q(t.where(col("u10") > 5)))._1 == 0)
@@ -325,6 +327,70 @@ class MvRewriteSpec extends AnyFunSuite {
       .count(_._1.startsWith(ManifestTable.MvAggDefPropPrefix)) == 1,
       "re-registering the same view must replace its prop slot in place")
     MvRegistry.unregister(spark, base, durable = true)
+  }
+
+  test("avg(long) rewrites to Σsum/Σn under the metadata double-exactness " +
+    "proof — bit-equal to the scan — and backs off on an unprovable bound, " +
+    "on planted nulls, and on missing stats") {
+    val (base, view) = fresh("avg")
+    val rows = (1L to 60L).map { i =>
+      (i, s"d${i % 3}", if (i % 2 == 0) "click" else "view", i % 10, i * 7L)
+    }.toDF("id", "day", "etype", "u10", "v")
+    // zone maps + null counts on v: the proof's inputs
+    ManifestTable.merge(spark, base, rows, Seq("id"), "day",
+      statsColumns = Seq("v"))
+    IncrementalAgg.refresh(spark, base, view, Seq("etype"), Seq("v"))
+    MvRegistry.register(spark, base, view, Seq("etype"), Seq("v"))
+    try {
+      def q = ManifestTable.read(spark, base).groupBy(col("etype"))
+        .agg(avg(col("v")).as("a"), count(lit(1)).as("n")).orderBy(col("etype"))
+      val (d1, r1, rows1) = run(q)
+      assert(d1 == 1 && !r1.exists(_.contains("/base")),
+        s"avg must rewrite under the proof: $r1")
+      assert(rows1 == truth(q), "view avg must be BIT-equal to the scan avg")
+      // global avg too (NULL over an empty fold matches avg-of-nothing)
+      def g = ManifestTable.read(spark, base).agg(avg(col("v")).as("a"))
+      val (d2, _, rows2) = run(g)
+      assert(d2 == 1 && rows2 == truth(g))
+    } finally MvRegistry.unregister(spark, base)
+    // UNPROVABLE BOUND: one value at 2^53 makes maxAbs × rows > 2^53
+    val (base2, view2) = fresh("avgbig")
+    ManifestTable.merge(spark, base2,
+      (Seq((0L, "d0", "click", 0L, 1L << 53)) ++
+        (1L to 9L).map(i => (i, s"d${i % 3}", "click", i % 10, i)))
+        .toDF("id", "day", "etype", "u10", "v"),
+      Seq("id"), "day", statsColumns = Seq("v"))
+    IncrementalAgg.refresh(spark, base2, view2, Seq("etype"), Seq("v"))
+    MvRegistry.register(spark, base2, view2, Seq("etype"), Seq("v"))
+    try {
+      val (d3, r3, _) = run(ManifestTable.read(spark, base2)
+        .groupBy(col("etype")).agg(avg(col("v")).as("a")))
+      assert(d3 == 0 && r3.exists(_.contains("/base")),
+        "a bound the metadata cannot prove must fall back to the scan")
+      // count/sum still rewrite on the same table (the bound only
+      // gates avg — long sums are exact at any magnitude)
+      val (d4, _, _) = run(ManifestTable.read(spark, base2)
+        .groupBy(col("etype")).agg(sum(col("v")).as("s")))
+      assert(d4 == 1)
+    } finally MvRegistry.unregister(spark, base2)
+    // PLANTED NULLS: avg divides by count(v); the view's n is
+    // count(*) — they differ under nulls, so the rewrite must refuse
+    val (base3, view3) = fresh("avgnull")
+    ManifestTable.merge(spark, base3,
+      (1L to 20L).map(i => (i, s"d${i % 2}", "t",
+        if (i % 5 == 0) None else Some(i * 3L)))
+        .toDF("id", "day", "etype", "v"),
+      Seq("id"), "day", statsColumns = Seq("v"))
+    IncrementalAgg.refresh(spark, base3, view3, Seq("etype"), Seq("v"))
+    MvRegistry.register(spark, base3, view3, Seq("etype"), Seq("v"))
+    try {
+      def qn = ManifestTable.read(spark, base3).groupBy(col("etype"))
+        .agg(avg(col("v")).as("a"))
+      val (d5, r5, rows5) = run(qn)
+      assert(d5 == 0 && r5.exists(_.contains("/base")),
+        "nulls in the measure must refuse the avg rewrite")
+      assert(rows5 == truth(qn))
+    } finally MvRegistry.unregister(spark, base3)
   }
 
   test("double sums never rewrite (floating addition is not associative — " +
