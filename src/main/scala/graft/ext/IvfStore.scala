@@ -159,6 +159,51 @@ object IvfStore {
       idCol, vecCol)
   }
 
+  /** A [[searchFilteredCommitted]] result: the ranked hits plus the
+    * dir-pruning evidence ((probed, total) list dirs). */
+  final case class FilteredSearch(df: DataFrame, dirsProbed: Long, dirsTotal: Long)
+
+  /** FILTERED ANN — the retrieval-stack "hybrid search" probe as ONE
+    * library call: approximate top-k over ONLY the vectors whose ids
+    * survive `keep` (a keyword prefilter, an ACL cut, a dedup
+    * verdict…), with the filter applied BEFORE any scoring:
+    *
+    *   - DIR level: the index's list dirs are pruned at planning time
+    *     through the committed per-dir id blooms + zone maps
+    *     ([[ManifestTable.readJoinPruned]]) — a list provably holding
+    *     none of the kept ids is never read (at 100 TB, a selective
+    *     prefilter turns the probe into a few-dir fetch);
+    *   - ROW level: a broadcast LEFT SEMI join against the distinct
+    *     kept ids drops non-surviving vectors before the cosine — no
+    *     score is ever computed for a filtered-out vector (the
+    *     post-filter alternative both wastes the scoring work AND
+    *     under-fills k).
+    *
+    * The bounded-probe contract holds: `keep` must fit the SAME
+    * broadcast-small envelope the planning probe needs —
+    * `maxKeepKeys` refuses loudly past it (a keep side too big to
+    * collect is too big to broadcast; run the plain scored join
+    * then). Exactness: pruning is conservative (false keeps only), so
+    * the result equals [[Ivf.search]] over the semi-joined index —
+    * and with `nProbe >= k-lists` it equals brute-force top-k over
+    * the kept subset outright. */
+  def searchFilteredCommitted(spark: SparkSession, base: String, queries: DataFrame,
+                              k: Int, keep: DataFrame, keepCol: String = "vec_id",
+                              nProbe: Int = 4,
+                              idCol: String = "vec_id", vecCol: String = "embedding",
+                              maxKeepKeys: Int = 100000): FilteredSearch = {
+    val root = resolvedBase(spark, base)
+    val pruned = ManifestTable.readJoinPruned(spark, indexPath(root), idCol,
+      keep, keepCol, maxKeys = maxKeepKeys)
+    val filteredIndex = pruned.df.join(
+      broadcast(keep.select(col(keepCol).as(idCol)).distinct()),
+      Seq(idCol), "left_semi")
+    val out = Ivf.search(filteredIndex,
+      ManifestTable.read(spark, centroidsPath(root)), queries, k, nProbe,
+      idCol, vecCol)
+    FilteredSearch(out, pruned.dirsScanned, pruned.dirsTotal)
+  }
+
   /** BLUE/GREEN RETRAIN — the answer [[needsRetrain]]'s verdict calls
     * for, without taking the index down: a FULL [[trainCommit]] of
     * `corpus` builds the next generation side-by-side (readers keep

@@ -3640,6 +3640,107 @@ object ExtQueries {
       |ORDER BY rank""".stripMargin
 
   // ----------------------------------------------------------------
+  // q227_filtered_ann — LIBRARY-LEVEL FILTERED ANN
+  // (IvfStore.searchFilteredCommitted — q219's hybrid gate rebuilt as
+  // ONE API call): the keep set (here the zebra keyword prefilter)
+  // prunes the index's list dirs through the committed id blooms at
+  // PLANNING time and semi-joins the survivors BEFORE the cosine —
+  // no score is ever computed for a filtered-out vector. Two pins:
+  //   1. EXACTNESS on the real embeddings: with nProbe covering every
+  //      list, the filtered search equals brute-force top-k over the
+  //      kept subset — the DuckDB oracle recomputes the entire ranked
+  //      result (ids, ranks, rounded sims) from raw rows;
+  //   2. PRUNING on an archetype-trained two-list store (k-means on
+  //      two seed points is exact, so the list layout is blob-pure by
+  //      construction): keeping only one blob's ids probes 1 of 2
+  //      list dirs (lists_pruned) and returns only kept ids
+  //      (only_kept) — the scan-only-surviving-lists contract.
+  // ----------------------------------------------------------------
+  def q227FilteredAnn(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:q227_filtered_ann") {
+      q227FilteredAnnBuild(spark, dir)
+    }
+
+  private def q227FilteredAnnBuild(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.IvfStore
+    import graft.ops.ManifestTable
+    import graft.ext.TextAnalysis.tokenMatch
+    import spark.implicits._
+    // the q219 keyword stage: planted markers, token-indexed table
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        floor(col("doc_id") / 50).cast("string").as("shard"),
+        concat(col("text"),
+          when(floor(col("doc_id") / 50).isin(2, 7) && col("doc_id") % 5 === 0,
+            lit(" planted ZEBRA marker")).otherwise(lit(""))).as("text"))
+    val droot = java.nio.file.Files.createTempDirectory("graft_q227_").toString
+    ManifestTable.merge(spark, s"$droot/docs", docs, keys = Seq("doc_id"),
+      partitionCol = "shard", tokenBloomColumns = Seq("text"),
+      tokenBloomBits = 4096)
+    val keep = ManifestTable.read(spark, s"$droot/docs")
+      .where(tokenMatch(col("text"), "zebra")).select(col("doc_id"))
+    val nFiltered = keep.count()
+    // the ANN stage as ONE call over a committed store
+    val emb = Tables.embeddings(spark, dir)
+    IvfStore.trainCommit(spark, s"$droot/ivf", emb, k = 8)
+    val fs = IvfStore.searchFilteredCommitted(spark, s"$droot/ivf",
+      emb.filter(col("vec_id") === 0L), k = 10, keep = keep,
+      keepCol = "doc_id", nProbe = 8)
+    // pruning evidence on the archetype-trained two-list store
+    // cosine clusters are DIRECTIONS: two orthogonal seed directions
+    // train exactly (k-means on 2 points), appends route evens → e1,
+    // odds → e2 — blob-pure lists by construction
+    val seeds = Seq(
+      (1001L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1003L, Array(0.0f, 1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    IvfStore.trainCommit(spark, s"$droot/blobs", seeds, k = 2)
+    IvfStore.appendBatch(spark, s"$droot/blobs",
+      (0 until 40).map { i =>
+        if (i % 2 == 0) (i.toLong, Array(1.0f, 0.0001f * i, 0.0f, 0.0f))
+        else (i.toLong, Array(0.0001f * i, 1.0f, 0.0f, 0.0f))
+      }.toDF("vec_id", "embedding"))
+    val evens = (0 until 40 by 2).map(i => Tuple1(i.toLong)).toDF("doc_id")
+    val pr = IvfStore.searchFilteredCommitted(spark, s"$droot/blobs",
+      Seq((999L, Array(1.0f, 0.01f, 0.0f, 0.0f))).toDF("vec_id", "embedding"),
+      k = 20, keep = evens, keepCol = "doc_id", nProbe = 2)
+    val prIds = pr.df.select(col("neighbor_id")).as[Long].collect().toSeq
+    fs.df.select(col("neighbor_id"), col("rank").cast("long").as("rank"),
+        round(col("sim"), 4).as("sim"))
+      .withColumn("n_filtered", lit(nFiltered))
+      .withColumn("lists_pruned", lit(pr.dirsProbed < pr.dirsTotal &&
+        pr.dirsTotal == 2L))
+      .withColumn("only_kept", lit(prIds.nonEmpty && prIds.forall(_ % 2 == 0)))
+      .orderBy(col("rank"))
+  }
+
+  val q227FilteredAnnSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id,
+      |    text || CASE WHEN floor(doc_id / 50) IN (2, 7) AND doc_id % 5 = 0
+      |                 THEN ' planted ZEBRA marker' ELSE '' END AS text
+      |  FROM documents),
+      |hits AS (
+      |  SELECT doc_id FROM corpus
+      |  WHERE list_contains(string_split_regex(lower(text), '[^a-z0-9]+'), 'zebra')),
+      |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+      |scored AS (
+      |  SELECT e.vec_id AS neighbor_id,
+      |    list_dot_product(qv, v) /
+      |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS sim
+      |  FROM q, e
+      |  WHERE e.vec_id IN (SELECT doc_id FROM hits) AND e.vec_id <> 0),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (ORDER BY sim DESC, neighbor_id) AS rank
+      |  FROM scored)
+      |SELECT neighbor_id, CAST(rank AS BIGINT) AS rank, round(sim, 4) AS sim,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM hits) AS n_filtered,
+      |  TRUE AS lists_pruned, TRUE AS only_kept
+      |FROM ranked WHERE rank <= 10
+      |ORDER BY rank""".stripMargin
+
+  // ----------------------------------------------------------------
   // q220_gopher_filter — the COMPOSED Gopher quality cascade (Rae et
   // al. 2021 Table A1; Curate.gopherFilter): 14 rules in fixed order
   // — word count, mean word length, symbol ratio, bullet/ellipsis

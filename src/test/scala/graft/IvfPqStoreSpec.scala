@@ -124,6 +124,62 @@ class IvfPqStoreSpec extends AnyFunSuite {
     assert(err.getMessage.contains("not past"), err.getMessage)
   }
 
+  test("searchFilteredCommitted: the keep set prunes list dirs through the " +
+    "committed id blooms, only surviving vectors score, and with all lists " +
+    "probed the result equals brute force over the kept subset") {
+    import graft.ext.Similarity
+    val base = freshBase("fann")
+    // Train on two DIRECTION archetypes (k-means on 2 points with
+    // k=2 is exactly those points — no init sensitivity), then append
+    // 40 direction-blob vectors: cosine assignment routes evens → the
+    // e1-list and odds → the e2-list deterministically, so the list
+    // layout is blob-pure by construction (cosine clusters are
+    // directions, not offsets — a zero or shared-direction seed would
+    // degenerate).
+    val seeds = Seq(
+      (1001L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1003L, Array(0.0f, 1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val dirBlobs = (0 until 40).map { i =>
+      if (i % 2 == 0) (i.toLong, Array(1.0f, 0.0001f * i, 0.0f, 0.0f))
+      else (i.toLong, Array(0.0001f * i, 1.0f, 0.0f, 0.0f))
+    }.toDF("vec_id", "embedding")
+    IvfStore.trainCommit(spark, base, seeds, k = 2)
+    IvfStore.appendBatch(spark, base, dirBlobs)
+    val keep = (0 until 40 by 2).map(i => Tuple1(i.toLong)).toDF("doc_id")
+    val dirQuery = Seq((999L, Array(1.0f, 0.01f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val r = IvfStore.searchFilteredCommitted(spark, base, dirQuery, k = 20,
+      keep = keep, keepCol = "doc_id", nProbe = 2)
+    val got = r.df.orderBy(col("rank"))
+      .select(col("neighbor_id"), col("rank")).as[(Long, Int)].collect().toSeq
+    assert(got.forall(_._1 % 2 == 0), s"only kept (even) ids may score: $got")
+    assert(got.size == 20, "the kept blob has 20 vectors; k=20 fills exactly")
+    // dir evidence: the odd-blob list holds NO kept id — bloom-pruned
+    assert(r.dirsProbed < r.dirsTotal && r.dirsTotal == 2L,
+      s"the non-kept list dir must be pruned: probed ${r.dirsProbed} of ${r.dirsTotal}")
+    // nProbe covers every list → exact equality with brute force over
+    // the kept subset (same cosine, same tie order)
+    val brute = Similarity.bruteForceTopK(
+      dirBlobs.join(keep.withColumnRenamed("doc_id", "vec_id"),
+        Seq("vec_id"), "left_semi"), dirQuery, k = 20)
+      .orderBy(col("rank"))
+      .select(col("neighbor_id"), col("rank")).as[(Long, Int)].collect().toSeq
+    assert(got == brute, "filtered ANN with full probe must equal brute force")
+    // erasure composes: an erased id can never return, even when kept
+    IvfStore.eraseKeys(spark, base, Seq(2L))
+    val r2 = IvfStore.searchFilteredCommitted(spark, base, dirQuery, k = 20,
+      keep = keep, keepCol = "doc_id", nProbe = 2)
+    assert(!r2.df.select(col("neighbor_id")).as[Long].collect().contains(2L),
+      "erased vectors stay erased under a keep filter")
+    // refusal past the broadcast envelope
+    val big = spark.range(0, 200).select(col("id").as("doc_id"))
+    val e = intercept[IllegalArgumentException] {
+      IvfStore.searchFilteredCommitted(spark, base, query, k = 5,
+        keep = big, keepCol = "doc_id", maxKeepKeys = 100)
+    }
+    assert(e.getMessage.contains("distinct keys"))
+  }
+
   test("vacuumGenerations: retires flipped generations beyond keep, deletes " +
     "dead orphans (at-or-below the pointer) unconditionally, protects an " +
     "in-flight build above the pointer until the horizon, and the search " +
