@@ -1455,6 +1455,97 @@ object ManifestTable {
     }
   }
 
+  /** [[approxDistinct]] under a SQL PARTITION-KEY predicate — the
+    * [[graft.plans.StatsAggRule]] `narrow` adjudication applied to
+    * the sketch fold: `where` is parsed and accepted ONLY as
+    * conjunctions of `pcol = lit` / `pcol IN (lits)` / `pcol <op>
+    * lit` range comparisons (plus `pcol IS NOT NULL`, a no-op —
+    * merge refuses null partition values). Every such predicate
+    * keeps entries WHOLE-or-not-at-all, so folding only the
+    * surviving entries' KMV sketches answers `COUNT(DISTINCT col)
+    * WHERE day >= '…'` from metadata with the same exactness
+    * contract as the full fold. Equality/IN literals must stringify
+    * exactly as the manifest key does; range comparisons decide on
+    * parsed-back integral keys or on ASCII strings (Java order ==
+    * UTF8 byte order). ANY other shape — a non-key column, a
+    * function of the key, an OR — REFUSES LOUDLY: a silently
+    * mis-scoped subset would be a wrong answer, and the row-level
+    * fallback is a plain `count(DISTINCT …)` scan. */
+  def approxDistinctWhere(spark: SparkSession, path: String, column: String,
+                          where: String): DistinctEstimate = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = latestVersion(fs, path).getOrElse(
+      sys.error(s"ManifestTable.approxDistinctWhere: no manifest under $path/$ManifestDir"))
+    val lines = readManifest(fs, path, v)
+    val pcol = partitionColOf(lines).getOrElse(sys.error(
+      s"ManifestTable.approxDistinctWhere: no partition column recorded under $path"))
+    val keys = dataEntries(lines).map(_._1)
+    approxDistinct(spark, path, column,
+      keyPredicateOf(spark, where, pcol, keys))
+  }
+
+  /** Parse `where` into a key-string predicate, or refuse loudly —
+    * the [[approxDistinctWhere]] adjudicator (the exactness rules of
+    * [[graft.plans.StatsAggRule]]'s `narrow`, over manifest keys). */
+  private def keyPredicateOf(spark: SparkSession, where: String, pcol: String,
+                             keys: Seq[String]): String => Boolean = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types._
+    def refuse(e: Expression): Nothing = sys.error(
+      s"ManifestTable.approxDistinctWhere: predicate '${e.sql}' is not " +
+        s"key-decidable — only AND-conjunctions of $pcol =/IN/range against " +
+        "literals fold from metadata; use a row-level count(DISTINCT …) scan " +
+        "for anything else")
+    def isP(e: Expression): Boolean = e match {
+      case a: UnresolvedAttribute =>
+        a.nameParts.mkString(".").equalsIgnoreCase(pcol)
+      case _ => false
+    }
+    def conj(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conj(l) ++ conj(r)
+      case other => Seq(other)
+    }
+    def ascii(s: String): Boolean = s.forall(c => c >= 0x20 && c < 0x7f)
+    val allIntegral = keys.forall(_.toLongOption.isDefined)
+    val allAscii = keys.forall(ascii)
+    def strOfLit(e: Expression, l: Literal): String =
+      GraftFileIndex.strOf(l).getOrElse(refuse(e))
+    def cmpPred(e: Expression, l: Literal, cmp: Int => Boolean): String => Boolean =
+      l.dataType match {
+        case ByteType | ShortType | IntegerType | LongType
+            if l.value != null && allIntegral =>
+          val x = l.value.toString.toLong
+          k => cmp(k.toLong.compare(x))
+        case StringType
+            if l.value != null && ascii(l.value.toString) && allAscii =>
+          val s = l.value.toString
+          k => cmp(k.compare(s))
+        case _ => refuse(e)
+      }
+    val preds: Seq[String => Boolean] =
+      conj(spark.sessionState.sqlParser.parseExpression(where)).map {
+        case e @ EqualTo(k, l: Literal) if isP(k) =>
+          val s = strOfLit(e, l); x => x == s
+        case e @ EqualTo(l: Literal, k) if isP(k) =>
+          val s = strOfLit(e, l); x => x == s
+        case e @ In(k, vs) if isP(k) && vs.forall(_.isInstanceOf[Literal]) =>
+          val set = vs.map(x => strOfLit(e, x.asInstanceOf[Literal])).toSet
+          x => set(x)
+        case e @ GreaterThan(k, l: Literal) if isP(k) => cmpPred(e, l, _ > 0)
+        case e @ GreaterThan(l: Literal, k) if isP(k) => cmpPred(e, l, _ < 0)
+        case e @ GreaterThanOrEqual(k, l: Literal) if isP(k) => cmpPred(e, l, _ >= 0)
+        case e @ GreaterThanOrEqual(l: Literal, k) if isP(k) => cmpPred(e, l, _ <= 0)
+        case e @ LessThan(k, l: Literal) if isP(k) => cmpPred(e, l, _ < 0)
+        case e @ LessThan(l: Literal, k) if isP(k) => cmpPred(e, l, _ > 0)
+        case e @ LessThanOrEqual(k, l: Literal) if isP(k) => cmpPred(e, l, _ <= 0)
+        case e @ LessThanOrEqual(l: Literal, k) if isP(k) => cmpPred(e, l, _ >= 0)
+        case IsNotNull(k) if isP(k) => _ => true
+        case other => refuse(other)
+      }
+    k => preds.forall(_(k))
+  }
+
   /** Per-partition packed bloom filters for `cols` over the written
     * batch, as manifest suffix items — ONE Spark job for all columns
     * (column-pruned scan of the batch). Bounded collect:

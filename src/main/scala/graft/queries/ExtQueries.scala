@@ -3193,6 +3193,92 @@ object ExtQueries {
       |  CAST(64 AS BIGINT) AS k""".stripMargin
 
   // ----------------------------------------------------------------
+  // q228_filtered_distinct — PARTITION-FILTERED approxDistinct
+  // (ManifestTable.approxDistinctWhere): `COUNT(DISTINCT col) WHERE
+  // day > …` from metadata — the SQL predicate is adjudicated with
+  // StatsAggRule's narrow rules (pcol =/IN/range conjunctions keep
+  // entries whole-or-not-at-all) and ONLY the surviving entries' KMV
+  // sketches fold. Pins: (1) the filtered estimate is EXACTLY the
+  // oracle's SQL-rebuilt bottom-k estimate over the subset (same md5
+  // hashes, same HUGEINT truncating division); (2) it equals a FULL
+  // REBUILD of the subset as its own table (content-stable sketches
+  // — same rows, same union); (3) honesty holds under the filter: a
+  // pending DV refuses, and a non-key-decidable predicate shape
+  // refuses loudly instead of silently mis-scoping.
+  // ----------------------------------------------------------------
+  def q228FilteredDistinct(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:q228_filtered_distinct") {
+      q228FilteredDistinctBuild(spark, dir)
+    }
+
+  private def q228FilteredDistinctBuild(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.ManifestTable
+    import spark.implicits._
+    val ev = Tables.events(spark, dir).select(
+      col("event_id"),
+      date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+      col("user_id"))
+    val root = java.nio.file.Files.createTempDirectory("graft_q228_").toString
+    val path = s"$root/table"
+    ManifestTable.merge(spark, path, ev, keys = Seq("event_id"), partitionCol = "day",
+      kmvColumns = Seq("user_id"), kmvK = 64)
+    val day0 = ev.agg(min(col("day"))).collect()(0).getString(0)
+    val est = ManifestTable.approxDistinctWhere(spark, path, "user_id",
+      s"day > '$day0'")
+    // a full rebuild of the subset as its own table folds to the
+    // IDENTICAL estimate — sketches are content-stable md5 bottom-k
+    val sub = s"$root/subset"
+    ManifestTable.merge(spark, sub, ev.where(col("day") > day0),
+      keys = Seq("event_id"), partitionCol = "day",
+      kmvColumns = Seq("user_id"), kmvK = 64)
+    val rebuilt = ManifestTable.approxDistinct(spark, sub, "user_id")
+    val equalRebuild = rebuilt.estimate == est.estimate &&
+      rebuilt.exact == est.exact && rebuilt.dirs == est.dirs
+    // honesty under the filter: non-key shapes and pending DVs refuse
+    val shapeRefused = try {
+      ManifestTable.approxDistinctWhere(spark, path, "user_id", "user_id > 5")
+      false
+    } catch { case e: RuntimeException => e.getMessage.contains("not key-decidable") }
+    ManifestTable.deleteWhereMoR(spark, path, "day", col("event_id") % 97 === 3)
+    val dvRefused = try {
+      ManifestTable.approxDistinctWhere(spark, path, "user_id", s"day > '$day0'")
+      false
+    } catch { case e: IllegalArgumentException =>
+      e.getMessage.contains("pending merge-on-read") }
+    val nTrue = ev.where(col("day") > day0)
+      .agg(count_distinct(col("user_id"))).collect()(0).getLong(0)
+    Seq((est.estimate, est.exact, est.dirs, est.k.toLong, nTrue,
+        equalRebuild, shapeRefused, dvRefused))
+      .toDF("est_f", "exact_f", "dirs_f", "k", "n_true",
+        "equal_rebuild", "shape_refused", "dv_refused")
+  }
+
+  val q228FilteredDistinctSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+      |    user_id
+      |  FROM events),
+      |sub AS (SELECT * FROM ev WHERE day > (SELECT min(day) FROM ev)),
+      |hu AS (SELECT DISTINCT day, substr(md5(CAST(user_id AS VARCHAR)), 1, 16) AS h
+      |       FROM sub),
+      |bu AS (SELECT day, h FROM (
+      |         SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rn
+      |         FROM hu) WHERE rn <= 64),
+      |mu AS (SELECT DISTINCT h FROM bu)
+      |SELECT
+      |  CASE WHEN (SELECT count(*) FROM mu) < 64
+      |       THEN (SELECT CAST(count(*) AS BIGINT) FROM mu)
+      |       ELSE CAST((CAST(63 AS HUGEINT) * 18446744073709551616::HUGEINT) //
+      |            CAST(CAST(('0x' || (SELECT h FROM mu ORDER BY h LIMIT 1 OFFSET 63))
+      |              AS UBIGINT) AS HUGEINT) AS BIGINT) END AS est_f,
+      |  (SELECT count(*) FROM mu) < 64 AS exact_f,
+      |  (SELECT CAST(count(DISTINCT day) AS BIGINT) FROM sub) AS dirs_f,
+      |  CAST(64 AS BIGINT) AS k,
+      |  (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM sub) AS n_true,
+      |  TRUE AS equal_rebuild, TRUE AS shape_refused, TRUE AS dv_refused""".stripMargin
+
+  // ----------------------------------------------------------------
   // q215_constraints — TABLE-LEVEL CHECK CONSTRAINTS (Delta's ALTER
   // TABLE ADD CONSTRAINT): `addConstraint` commits
   // `constraint.<name>` as a durable prop after validating existing

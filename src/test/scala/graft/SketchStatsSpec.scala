@@ -126,6 +126,43 @@ class SketchStatsSpec extends AnyFunSuite {
     assert(after.estimate == before.estimate && after.exact == before.exact)
   }
 
+  test("approxDistinctWhere: a pcol =/IN/range SQL predicate folds only the " +
+    "surviving entries' sketches — equal to a full rebuild on the same " +
+    "subset — and every non-key-decidable shape refuses loudly") {
+    val path = freshPath("adw")
+    seed(path, n = 500, mod = 97) // keys "0".."6", integral
+    // range: integral keys compare numerically
+    val est = ManifestTable.approxDistinctWhere(spark, path, "u", "part >= 4")
+    val manual = ManifestTable.approxDistinct(spark, path, "u",
+      p => p.toLong >= 4L)
+    assert(est == manual, s"$est != $manual")
+    val exact = ManifestTable.read(spark, path)
+      .where(col("part") >= "4").select("u").distinct().count()
+    assert(est.exact && est.estimate == exact && est.dirs == 3L)
+    // IN + equality + conjunction + IS NOT NULL
+    val in2 = ManifestTable.approxDistinctWhere(spark, path, "u",
+      "part IN ('1', '2') AND part IS NOT NULL")
+    assert(in2.dirs == 2L)
+    val eq1 = ManifestTable.approxDistinctWhere(spark, path, "u", "'3' = part")
+    assert(eq1.dirs == 1L)
+    // a FULL REBUILD on the same subset gives the identical estimate
+    // (content-stable md5 sketches: same rows -> same union)
+    val sub = freshPath("adw_sub")
+    ManifestTable.merge(spark, sub,
+      ManifestTable.read(spark, path).where(col("part").cast("long") >= 4L),
+      Seq("id"), "part", kmvColumns = Seq("u"), kmvK = 256)
+    val rebuilt = ManifestTable.approxDistinct(spark, sub, "u")
+    assert(rebuilt.estimate == est.estimate && rebuilt.exact == est.exact)
+    // refusals: non-key column, function of the key, OR, non-literal
+    for (bad <- Seq("u > 5", "substr(part, 1, 1) = '1'",
+        "part = '1' OR part = '2'", "part = id")) {
+      val e = intercept[RuntimeException] {
+        ManifestTable.approxDistinctWhere(spark, path, "u", bad)
+      }
+      assert(e.getMessage.contains("not key-decidable"), s"$bad: ${e.getMessage}")
+    }
+  }
+
   test("foldMoR re-sketches touched dirs at the COMMITTED k, not the call " +
     "default — the sketch family stays homogeneous and approxDistinct keeps " +
     "answering after maintenance") {
