@@ -382,6 +382,24 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case e if a.groupingExpressions.exists(_.semanticEquals(e)) =>
           val i = a.groupingExpressions.indexWhere(_.semanticEquals(e))
           if (groupAliases(i).dataType == origType) Some(GroupOut(i)) else None
+        // count(DISTINCT groupCol): the view holds EXACTLY one row
+        // per group tuple, so the distinct values of a group column
+        // on the view are the distinct values on the base — the
+        // same count over O(groups) rows instead of O(table). (Any
+        // translated group-column filter composes: it keeps whole
+        // row-groups on both sides.)
+        case AggregateExpression(Count(Seq(ar: AttributeReference)), _, true, None, _) =>
+          for {
+            c <- physOf(ar)
+            if mv.groupCols.contains(c)
+            va <- viewAttr(c)
+            if va.dataType == ar.dataType && origType == LongType
+          } yield {
+            val al = Alias(Count(Seq(va)).toAggregateExpression(isDistinct = true),
+              s"__mv_${synths.size}")()
+            synths :+= al
+            AggOut(al, isCount = false)
+          }
         case AggregateExpression(fn, _, false, None, _) => fn match {
           case Count(Seq(l: Literal)) if l.value != null =>
             val al = Alias(Sum(nAttr).toAggregateExpression(), s"__mv_${synths.size}")()

@@ -2435,15 +2435,20 @@ object ExtQueries {
     def fltQ() = ManifestTable.read(spark, base).where(col("u10") >= 3)
       .groupBy(col("etype")).agg(avg(col("v")).as("avg_f")).orderBy(col("etype"))
     def allQ() = ManifestTable.read(spark, base).agg(avg(col("v")).as("avg_all"))
+    // count(DISTINCT groupCol) rides the same view: one row per group
+    // tuple makes group-column distincts exact over O(groups) rows
+    def cntQ() = ManifestTable.read(spark, base)
+      .agg(count_distinct(col("u10")).as("nd_u10"))
     val (f1, r1, rows1) = counted(aggQ())
     val (f2, r2, rows2) = counted(fltQ())
     val (f3, r3, rows3) = counted(allQ())
-    val mvUsed = f1 && f2 && f3 &&
-      !(r1 ++ r2 ++ r3).exists(_.endsWith("/base"))
+    val (f4, r4, rows4) = counted(cntQ())
+    val mvUsed = f1 && f2 && f3 && f4 &&
+      !(r1 ++ r2 ++ r3 ++ r4).exists(_.endsWith("/base"))
     spark.conf.set("spark.graft.mvRewrite.enabled", "false")
     val bitEqual =
       try rows1 == aggQ().collect().toSeq && rows2 == fltQ().collect().toSeq &&
-        rows3 == allQ().collect().toSeq
+        rows3 == allQ().collect().toSeq && rows4 == cntQ().collect().toSeq
       finally spark.conf.set("spark.graft.mvRewrite.enabled", "true")
     // DECIMAL widening honesty: a registered decimal measure refuses
     IncrementalAgg.refresh(spark, base, dview, Seq("etype"), Seq("dv"))
@@ -2469,7 +2474,7 @@ object ExtQueries {
       .groupBy(col("etype")).agg(avg(col("v")).as("a")))
     val boundBackoff = !fb && rb.exists(_.endsWith("/big"))
     MvRegistry.unregister(spark, base2)
-    aggQ().join(fltQ(), Seq("etype")).crossJoin(allQ())
+    aggQ().join(fltQ(), Seq("etype")).crossJoin(allQ()).crossJoin(cntQ())
       .withColumn("avg_mv_used", lit(mvUsed))
       .withColumn("bit_equal", lit(bitEqual))
       .withColumn("decimal_backoff", lit(decimalBackoff))
@@ -2487,6 +2492,7 @@ object ExtQueries {
       |f AS (SELECT etype, avg(v) AS avg_f FROM ev WHERE u10 >= 3 GROUP BY etype)
       |SELECT a.etype, a.avg_v, a.n, f.avg_f,
       |  (SELECT avg(v) FROM ev) AS avg_all,
+      |  (SELECT CAST(count(DISTINCT u10) AS BIGINT) FROM ev) AS nd_u10,
       |  TRUE AS avg_mv_used, TRUE AS bit_equal,
       |  TRUE AS decimal_backoff, TRUE AS bound_backoff
       |FROM a JOIN f USING (etype)

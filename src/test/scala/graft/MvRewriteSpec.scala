@@ -147,7 +147,8 @@ class MvRewriteSpec extends AnyFunSuite {
       assert(run(q(t.where(col("u10") > 5)))._1 == 0)
       // a partition-filtered read is not the full table
       assert(run(q(ManifestTable.read(spark, base, partitionFilter = _ == "d0")))._1 == 0)
-      // count distinct is not re-aggregable from the view
+      // count distinct of a NON-group column is not re-aggregable
+      // from the view (group-column distincts are — own test below)
       assert(run(t.groupBy(col("etype")).agg(countDistinct(col("v"))))._1 == 0)
       // kill switch
       spark.conf.set("spark.graft.mvRewrite.enabled", "false")
@@ -327,6 +328,32 @@ class MvRewriteSpec extends AnyFunSuite {
       .count(_._1.startsWith(ManifestTable.MvAggDefPropPrefix)) == 1,
       "re-registering the same view must replace its prop slot in place")
     MvRegistry.unregister(spark, base, durable = true)
+  }
+
+  test("count(DISTINCT groupCol) answers from the view — one row per group " +
+    "tuple, so group-column distincts are exact over O(groups) rows") {
+    val (base, view) = fresh("cntd")
+    seed(base)
+    IncrementalAgg.refresh(spark, base, view, Seq("etype", "u10"), Seq("v"))
+    MvRegistry.register(spark, base, view, Seq("etype", "u10"), Seq("v"))
+    try {
+      def g = ManifestTable.read(spark, base)
+        .agg(countDistinct(col("u10")).as("nd"), count(lit(1)).as("n"))
+      val (d1, r1, rows1) = run(g)
+      assert(d1 == 1 && !r1.exists(_.contains("/base")),
+        s"global count(DISTINCT groupCol) must answer from the view: $r1")
+      assert(rows1 == truth(g))
+      // grouped: distinct u10 PER etype — view rows partition the base
+      def q = ManifestTable.read(spark, base).groupBy(col("etype"))
+        .agg(countDistinct(col("u10")).as("nd")).orderBy(col("etype"))
+      val (d2, _, rows2) = run(q)
+      assert(d2 == 1 && rows2 == truth(q))
+      // a group-column filter composes (keeps whole row-groups both sides)
+      def qf = ManifestTable.read(spark, base).where(col("u10") >= 5)
+        .agg(countDistinct(col("etype")).as("nd"))
+      val (d3, _, rows3) = run(qf)
+      assert(d3 == 1 && rows3 == truth(qf))
+    } finally MvRegistry.unregister(spark, base)
   }
 
   test("avg(long) rewrites to Σsum/Σn under the metadata double-exactness " +
