@@ -61,7 +61,8 @@ object GraftFileIndex {
                              nullCounts: Map[String, Long] = Map.empty,
                              rowCount: Option[Long] = None,
                              key: Option[String] = None,
-                             tokBlooms: Map[String, String] = Map.empty)
+                             tokBlooms: Map[String, String] = Map.empty,
+                             sums: Map[String, BigInt] = Map.empty)
 
   /** One data dir with the entries that reference it (several after
     * compaction folds partitions into a shared dir). */

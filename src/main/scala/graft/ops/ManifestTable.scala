@@ -313,12 +313,14 @@ object ManifestTable {
             tokenBloomBits: Int = 16384,
             kmvColumns: Seq[String] = Nil,
             kmvK: Int = 256,
-            sortWithinDirs: Seq[String] = Nil): Unit =
+            sortWithinDirs: Seq[String] = Nil,
+            sumColumns: Seq[String] = Nil): Unit =
     mergeCore(spark, path, incoming, keys, partitionCol, preserveExisting,
       retainVersions, statsColumns, replaceTouched, props, knownTouched,
       bloomColumns, bloomBits, bucketSpec = None,
       tokenBloomColumns = tokenBloomColumns, tokenBloomBits = tokenBloomBits,
-      kmvColumns = kmvColumns, kmvK = kmvK, sortWithinDirs = sortWithinDirs)
+      kmvColumns = kmvColumns, kmvK = kmvK, sortWithinDirs = sortWithinDirs,
+      sumColumns = sumColumns)
 
   /** [[merge]] into a BUCKET-SPECCED manifest table: rows are written
     * pre-hashed into `nBuckets` files per partition dir on `bucketCol`
@@ -380,7 +382,8 @@ object ManifestTable {
                         tokenBloomBits: Int = 16384,
                         kmvColumns: Seq[String] = Nil,
                         kmvK: Int = 256,
-                        sortWithinDirs: Seq[String] = Nil): Unit = {
+                        sortWithinDirs: Seq[String] = Nil,
+                        sumColumns: Seq[String] = Nil): Unit = {
     require(retainVersions >= 1, s"retainVersions must be >= 1, got $retainVersions")
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     requireBucketAgreement(spark, path, bucketSpec, "merge")
@@ -499,7 +502,10 @@ object ManifestTable {
       cs => collectTokenBlooms(batchDf, partitionCol, cs, tokenBloomBits))
     val kmvItems = collected(kmvColumns)(
       cs => collectKmv(batchDf, partitionCol, cs, kmvK))
-    val indexItems = (blooms.toSeq ++ tokItems.toSeq ++ kmvItems.toSeq)
+    val sumItems = collected(sumColumns)(
+      cs => collectSums(batchDf, partitionCol, cs))
+    val indexItems = (blooms.toSeq ++ tokItems.toSeq ++ kmvItems.toSeq ++
+        sumItems.toSeq)
       .groupBy(_._1).view.mapValues(_.flatMap(_._2).toSeq).toMap
     commitPlan(fs, plan, partitionCol, newEntries, retainVersions,
       statsColumns.map(c => colmap.getOrElse(c, c)), effProps, indexItems, physToCur)
@@ -906,9 +912,16 @@ object ManifestTable {
       case it if it.startsWith(s"$RowCountKey=") =>
         it.substring(RowCountKey.length + 1).toLong
     }
+    val sums = items.iterator.filter(_.contains(s"$SumTag=")).flatMap { item =>
+      val i = item.indexOf(s"$SumTag=")
+      try Some(item.substring(0, i) ->
+        BigInt(item.substring(i + SumTag.length + 1)))
+      catch { case _: NumberFormatException => None }
+    }.toMap
     val zoneItems = items.iterator
       .filterNot(it => it.contains(s"$BloomTag=") || it.contains(s"$NullsTag=") ||
-        it.contains(s"$TokBloomTag=") || it.contains(s"$KmvTag="))
+        it.contains(s"$TokBloomTag=") || it.contains(s"$KmvTag=") ||
+        it.contains(s"$SumTag="))
       .mkString(";")
     val (stats, strStats) = zoneItems match {
       case "" => (Map.empty[String, (BigDecimal, BigDecimal)],
@@ -918,7 +931,7 @@ object ManifestTable {
     GraftFileIndex.EntryMeta(stats, blooms,
       prunable = auxRefsOf(entryValue).isEmpty,
       strStats = strStats, nullCounts = nulls, rowCount = rows,
-      tokBlooms = tokBlooms)
+      tokBlooms = tokBlooms, sums = sums)
   }
 
   /** Merge footer min/max AND null counts for `cols` across every
@@ -1140,6 +1153,21 @@ object ManifestTable {
   private[ops] val StrStatKind = "s"
   /** Suffix-item tag for a column's null count (`col!nulls=<n>`). */
   private[ops] val NullsTag = "!nulls"
+  /** Suffix-item tag for a column's EXACT SUM over the dir's non-null
+    * rows (`col!sum=<signed decimal integer>`, committed by
+    * `merge(sumColumns = …)` from one bounded per-dir aggregate job —
+    * parquet footers carry min/max/null-count but never sums, so this
+    * is the one stats family that costs a job at write time). Long
+    * addition is associative, so the fold across entries is exact at
+    * any re-grouping: [[graft.plans.StatsAggRule]] answers global and
+    * GROUP-BY-pcol `sum(col)` — and `avg(col)` under the 2⁵³
+    * double-exactness proof — from metadata, zero files read. Stored
+    * as unbounded decimal text (the per-dir aggregate runs in
+    * decimal(38,0)), so the COMMITTED value never wraps; the rule
+    * backs off when the folded total exceeds Long range (the scan
+    * would overflow there, and that behavior — ANSI error or legacy
+    * wrap — belongs to the scan, not to a silent metadata answer). */
+  private[ops] val SumTag = "!sum"
 
   // ------------------------------------------------------------------
   // DELETION VECTORS (r12) — merge-on-read row deletes, the
@@ -1638,6 +1666,42 @@ object ManifestTable {
     }.toSeq.groupBy(_._1).view.mapValues(_.map(_._3).toSeq).toMap
   }
 
+  /** Per-partition EXACT SUMS ([[SumTag]]) for integral columns
+    * `cols`: ONE bounded aggregate job over the written batch — the
+    * values sum in decimal(38,0) (exact; a dir's long-column sum
+    * cannot approach 10³⁸), committed as signed decimal integer text
+    * so the stored value never wraps. An all-null (or absent) column
+    * in a dir records NO item — [[graft.plans.StatsAggRule]]
+    * disambiguates through the committed null counts, mirroring the
+    * zone-map all-null convention. Integral input types only: float
+    * sums are reduction-order-dependent and decimal sums carry their
+    * own widening semantics — neither folds as an identity. */
+  private def collectSums(batchDf: DataFrame, partitionCol: String,
+                          cols: Seq[String]): Map[String, Seq[String]] = {
+    cols.foreach { c =>
+      val dt = batchDf.schema(c).dataType
+      require(dt == org.apache.spark.sql.types.ByteType ||
+        dt == org.apache.spark.sql.types.ShortType ||
+        dt == org.apache.spark.sql.types.IntegerType ||
+        dt == org.apache.spark.sql.types.LongType,
+        s"ManifestTable: sumColumns supports integral columns only — $c is " +
+          s"${dt.simpleString} (float sums are order-dependent, decimal sums " +
+          "carry widening semantics; neither folds as an identity)")
+    }
+    val aggs = cols.map(c => sum(col(c).cast("decimal(38,0)")).as(c))
+    val rows = batchDf
+      .select((col(partitionCol).cast("string").as("__p") +: cols.map(col)): _*)
+      .groupBy(col("__p")).agg(aggs.head, aggs.tail: _*).collect()
+    rows.flatMap { r =>
+      val p = r.getString(0)
+      cols.zipWithIndex.flatMap { case (c, i) =>
+        Option(r.get(i + 1)).map { v =>
+          (p, s"$c$SumTag=${v.asInstanceOf[java.math.BigDecimal].toBigInteger}")
+        }
+      }
+    }.toSeq.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+  }
+
   /** Driver-side replica of [[graft.ext.Sketches.bloomPos]]: md5 of
     * "j#value", first 8 hex chars as a long, mod mBits. MUST stay in
     * lockstep with the Spark expression (and the DuckDB oracle form). */
@@ -2069,8 +2133,16 @@ object ManifestTable {
             // conservative direction — approxDistinct would count
             // erased rows. Its absence makes approxDistinct refuse
             // honestly until the next kmvColumns merge re-sketches.
+            // Committed SUMS drop for the same reason — they still
+            // include the deleted rows' values and have no
+            // conservative direction. (Null counts KEEP: stale
+            // counts only overestimate nulls post-delete — safe for
+            // both IS-NULL prune directions — and the exact uses in
+            // StatsAggRule all cross-check the rowcount, which is
+            // gone until the next statsful merge.)
             else items0.filterNot(it => it.startsWith(s"$DvTag=") ||
-              it.startsWith(s"$RowCountKey=") || it.contains(s"$KmvTag="))
+              it.startsWith(s"$RowCountKey=") || it.contains(s"$KmvTag=") ||
+              it.contains(s"$SumTag="))
           k -> (if (items.isEmpty) d else s"$d\t${items.mkString(";")}")
       }
     }

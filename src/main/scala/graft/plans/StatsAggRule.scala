@@ -190,6 +190,10 @@ case class StatsAggRule(spark: SparkSession)
             if (c == pcol) keyInternal(key, dt).map(v => Some(v))
             else bound(Seq(en), c, dt, isMin = false)
           }
+        case Sum(ar: AttributeReference, _) =>
+          phys(ar).flatMap { case (c, dt) => sumValue(Seq(en), c, dt, fn.dataType) }
+        case Average(ar: AttributeReference, _) =>
+          phys(ar).flatMap { case (c, dt) => avgValue(Seq(en), c, dt, fn.dataType) }
         case _ => None
       }
       case _ => None
@@ -379,6 +383,10 @@ case class StatsAggRule(spark: SparkSession)
           phys(ar).flatMap { case (c, dt) => bound(entries, c, dt, isMin = true) }
         case Max(ar: AttributeReference) =>
           phys(ar).flatMap { case (c, dt) => bound(entries, c, dt, isMin = false) }
+        case Sum(ar: AttributeReference, _) =>
+          phys(ar).flatMap { case (c, dt) => sumValue(entries, c, dt, fn.dataType) }
+        case Average(ar: AttributeReference, _) =>
+          phys(ar).flatMap { case (c, dt) => avgValue(entries, c, dt, fn.dataType) }
         case _ => None
       }
       case _ => None
@@ -405,15 +413,102 @@ case class StatsAggRule(spark: SparkSession)
     else None
   }
 
+  private def integralType(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
+  /** Exact folded `sum(col)` from the committed per-entry sums
+    * (`merge(sumColumns = …)` — [[graft.ops.ManifestTable]] SumTag):
+    * long addition is associative, so Σ over entries is the scan's
+    * sum exactly. Integral inputs only (the committed family), LONG
+    * output only (Spark's integral-sum result type). An entry with
+    * no committed sum contributes nothing ONLY when provably
+    * all-null for the column (sum ignores nulls); zero contributing
+    * entries = NULL result (SQL sum over no non-null rows). A DV
+    * fold DROPS the sum items (no conservative direction), so a
+    * present item is always from an intact write. A folded total
+    * outside Long range backs off — overflow behavior (ANSI error or
+    * legacy wrap) belongs to the scan, never to a silent metadata
+    * answer. */
+  private def sumValue(entries: Seq[GraftFileIndex.EntryMeta], c: String,
+                       inputDt: DataType, outDt: DataType): Option[Option[Any]] = {
+    if (outDt != LongType || !integralType(inputDt)) return None
+    val per = entries.map { en =>
+      en.sums.get(c) match {
+        case Some(s) => Some(Some(s))
+        case None =>
+          (for { r <- en.rowCount; n <- en.nullCounts.get(c) } yield n == r) match {
+            case Some(true) => Some(None) // all-null: contributes nothing
+            case _ => None
+          }
+      }
+    }
+    if (per.exists(_.isEmpty)) return None
+    val vals = per.flatten.flatten
+    if (vals.isEmpty) Some(None)
+    else {
+      val t = vals.sum
+      if (t.isValidLong) Some(Some(t.toLong)) else None
+    }
+  }
+
+  /** `avg(col)` from metadata under the DOUBLE-EXACTNESS PROOF (the
+    * [[MvRewriteRule]] avg argument, metadata-shaped): Spark's
+    * Average accumulates `cast(v as double)` per row, so the answer
+    * Σsum / Σ(non-null) is bit-identical exactly when every partial
+    * sum the scan can form is an exactly-representable integer —
+    * guaranteed by `maxAbs(zone maps) × non-null rows ≤ 2⁵³`. Needs
+    * per entry: the committed sum (or an all-null proof), rowcount,
+    * null count, and the zone map for the bound — all from the same
+    * statsful write. The final division replicates Average's own:
+    * one IEEE divide of the (exact) double sum by the long count
+    * cast to double. */
+  private def avgValue(entries: Seq[GraftFileIndex.EntryMeta], c: String,
+                       inputDt: DataType, outDt: DataType): Option[Option[Any]] = {
+    if (outDt != DoubleType || !integralType(inputDt)) return None
+    val parts = entries.map { en =>
+      for {
+        r <- en.rowCount
+        n <- en.nullCounts.get(c)
+        part <- if (n == r) Some((BigInt(0), 0L, BigDecimal(0)))
+        else for {
+          s <- en.sums.get(c)
+          (mn, mx) <- en.stats.get(c)
+        } yield (s, r - n, mn.abs.max(mx.abs))
+      } yield part
+    }
+    if (parts.exists(_.isEmpty)) return None
+    val ps = parts.flatten
+    val nonNull = ps.map(_._2).sum
+    if (nonNull == 0L) return Some(None)
+    val maxAbs = ps.map(_._3).foldLeft(BigDecimal(0))(_ max _)
+    if (maxAbs * BigDecimal(nonNull) > BigDecimal(BigInt(1) << 53)) return None
+    val s = ps.map(_._1).sum
+    Some(Some(s.toDouble / nonNull.toDouble))
+  }
+
   /** Exact min or max from the numeric zone maps; entries proven
     * all-null for the column are skipped (SQL min/max ignore nulls);
-    * zero contributing entries = NULL result. */
+    * zero contributing entries = NULL result.
+    *
+    * VALUE-EXACTNESS GUARD: a zone map is trusted as a VALUE only
+    * when the entry also carries its committed rowcount. The one
+    * path that keeps stats while rows changed is the DV-folding
+    * compact — it keeps zone maps as PRUNING SUPERSETS (false keeps
+    * only, fine for skipping) but deletes rows, so a deleted extreme
+    * would resurrect here; that same fold DROPS the rowcount, which
+    * makes rowcount-presence exactly the "stats are from an intact
+    * statsful write" certificate (they are recorded together by
+    * collectStats and never part separately anywhere else). */
   private def bound(entries: Seq[GraftFileIndex.EntryMeta], c: String,
                     dt: DataType, isMin: Boolean): Option[Option[Any]] = {
     if (!exactType(dt)) return None
     val per = entries.map { en =>
       en.stats.get(c) match {
-        case Some((mn, mx)) => Some(Some(if (isMin) mn else mx))
+        case Some((mn, mx)) if en.rowCount.isDefined =>
+          Some(Some(if (isMin) mn else mx))
+        case Some(_) => None // superset bounds (post-DV-fold): not values
         case None => // no zone map: only safe when provably all-null
           (for { r <- en.rowCount; n <- en.nullCounts.get(c) } yield n == r) match {
             case Some(true) => Some(None) // all-null entry contributes nothing

@@ -2183,6 +2183,86 @@ object ExtQueries {
       |FROM ev GROUP BY day ORDER BY day""".stripMargin
 
   // ----------------------------------------------------------------
+  // q229_metadata_sums — METADATA-ONLY SUM/AVG (the one stats family
+  // parquet footers cannot provide): merge(sumColumns=…) commits each
+  // dir's EXACT integral-column sum (one bounded per-dir aggregate
+  // job at write time, decimal(38,0) internally so the committed
+  // value never wraps) and StatsAggRule folds them — long addition
+  // is associative, so global and GROUP-BY-pcol sum(col) collapse to
+  // the manifest, and avg(col) answers under the same 2^53
+  // double-exactness proof as the MV rewrite (zone maps × non-null
+  // counts prove the scan's per-row double accumulation exact).
+  // "Total volume today" over 100 TB: zero tasks. Honesty: a pcol
+  // filter composes (entries whole-or-not-at-all); a MoR DELETE
+  // falls back by plan shape; a DV-FOLDING compact drops both the
+  // sums and the rowcount certificate, so neither a stale sum nor a
+  // stale zone-map extreme can ever serve as a value (the r17
+  // value-exactness guard, pinned in spec).
+  // ----------------------------------------------------------------
+  def q229MetadataSums(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:q229_metadata_sums") {
+      q229MetadataSumsBuild(spark, dir)
+    }
+
+  private def q229MetadataSumsBuild(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.ManifestTable
+    def hasScan(df: DataFrame): Boolean = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.nonEmpty
+    val ev = Tables.events(spark, dir).select(
+      col("event_id"),
+      date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+      floor(col("value") * 1000).cast("long").as("v"),
+      when(col("event_id") % 7 === 0, lit(null).cast("long"))
+        .otherwise(col("user_id")).as("xv"))
+    val path = java.nio.file.Files.createTempDirectory("graft_q229_").toString + "/t"
+    ManifestTable.merge(spark, path, ev, keys = Seq("event_id"), partitionCol = "day",
+      statsColumns = Seq("v", "xv"), sumColumns = Seq("v", "xv"))
+    val glob = ManifestTable.read(spark, path).agg(
+      sum(col("v")).as("sv_all"), sum(col("xv")).as("sxv_all"),
+      avg(col("v")).as("av_all"), avg(col("xv")).as("axv_all"))
+    glob.collect()
+    val globMeta = !hasScan(glob)
+    def grouped(): DataFrame = ManifestTable.read(spark, path)
+      .groupBy(col("day")).agg(sum(col("v")).as("sv"), avg(col("v")).as("av"),
+        sum(col("xv")).as("sxv"))
+    val g = grouped(); g.collect()
+    val day0 = ev.agg(min(col("day"))).collect()(0).getString(0)
+    val flt = ManifestTable.read(spark, path).where(col("day") > day0)
+      .agg(sum(col("v")).as("sv_flt"))
+    flt.collect()
+    val metaOnly = globMeta && !hasScan(g) && !hasScan(flt)
+    ManifestTable.deleteWhereMoR(spark, path, "day", col("event_id") % 211 === 5)
+    val after = ManifestTable.read(spark, path).groupBy(col("day"))
+      .agg(sum(col("v")).as("sv_dv"))
+    after.collect()
+    val dvScans = hasScan(after)
+    g.join(after, Seq("day")).crossJoin(glob).crossJoin(flt)
+      .withColumn("meta_only", lit(metaOnly))
+      .withColumn("dv_scans", lit(dvScans))
+      .orderBy(col("day"))
+  }
+
+  val q229MetadataSumsSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+      |    CAST(floor(value * 1000) AS BIGINT) AS v,
+      |    CASE WHEN event_id % 7 = 0 THEN NULL ELSE user_id END AS xv
+      |  FROM events)
+      |SELECT day, CAST(sum(v) AS BIGINT) AS sv, avg(v) AS av,
+      |  CAST(sum(xv) AS BIGINT) AS sxv,
+      |  CAST(sum(CASE WHEN event_id % 211 <> 5 THEN v END) AS BIGINT) AS sv_dv,
+      |  (SELECT CAST(sum(v) AS BIGINT) FROM ev) AS sv_all,
+      |  (SELECT CAST(sum(xv) AS BIGINT) FROM ev) AS sxv_all,
+      |  (SELECT avg(v) FROM ev) AS av_all,
+      |  (SELECT avg(xv) FROM ev) AS axv_all,
+      |  (SELECT CAST(sum(v) AS BIGINT) FROM ev
+      |   WHERE day > (SELECT min(day) FROM ev)) AS sv_flt,
+      |  TRUE AS meta_only, TRUE AS dv_scans
+      |FROM ev GROUP BY day ORDER BY day""".stripMargin
+
+  // ----------------------------------------------------------------
   // q207_mv_rewrite — AUTOMATIC MATERIALIZED-VIEW REWRITE
   // (graft.plans.MvRewriteRule + MvRegistry, the query side of
   // IncrementalAgg): a registered grouped COUNT/SUM view answers a

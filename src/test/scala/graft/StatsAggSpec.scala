@@ -273,6 +273,74 @@ class StatsAggSpec extends AnyFunSuite {
     assert(fast() == ((8L, 1L, 99L)))
   }
 
+  test("sum/avg from committed per-dir sums (merge(sumColumns)): global and " +
+    "per-key answers fold exactly — nulls ignored by sum, avg under the " +
+    "2^53 proof — and every honesty boundary backs off") {
+    val path = freshPath("sums")
+    val rows = Seq(
+      (1L, Some(10L), 1.5, "d1"), (2L, Some(7L), 2.5, "d1"),
+      (3L, None, 3.5, "d2"), (4L, Some(-4L), 4.5, "d2"),
+      (5L, Some(42L), 5.5, "d3"), (6L, None, 6.5, "d3"))
+      .toDF("id", "x", "d", "day")
+    ManifestTable.merge(spark, path, rows, Seq("id"), "day",
+      statsColumns = Seq("id", "x"), sumColumns = Seq("id", "x"))
+    def q = ManifestTable.read(spark, path).agg(
+      sum(col("id")).as("si"), sum(col("x")).as("sx"),
+      avg(col("id")).as("ai"), avg(col("x")).as("ax"))
+    val (d1, s1, r1) = run(q)
+    assert(d1 == 1 && !s1, "sum/avg must answer from metadata")
+    spark.conf.set("spark.graft.statsAgg.enabled", "false")
+    try assert(r1 == q.collect().toSeq, "metadata sum/avg must be BIT-equal")
+    finally spark.conf.set("spark.graft.statsAgg.enabled", "true")
+    assert(r1.head.getLong(1) == 55L && r1.head.getDouble(3) == 55.0 / 4.0,
+      s"sum ignores nulls, avg divides by the non-null count: $r1")
+    // grouped per day
+    def g = ManifestTable.read(spark, path).groupBy(col("day"))
+      .agg(sum(col("x")).as("sx"), avg(col("x")).as("ax")).orderBy(col("day"))
+    val (d2, s2, r2) = run(g)
+    assert(d2 == 1 && !s2)
+    spark.conf.set("spark.graft.statsAgg.enabled", "false")
+    try assert(r2 == g.collect().toSeq)
+    finally spark.conf.set("spark.graft.statsAgg.enabled", "true")
+    // a column with NO committed sum backs off (d is double anyway —
+    // collectSums refuses float columns at write time)
+    intercept[IllegalArgumentException] {
+      ManifestTable.merge(spark, path,
+        Seq((9L, Some(1L), 9.9, "d1")).toDF("id", "x", "d", "day"),
+        Seq("id"), "day", sumColumns = Seq("d"))
+    }
+    val (d3, s3, _) = run(ManifestTable.read(spark, path)
+      .agg(sum(col("d")).as("sd")))
+    assert(d3 == 0 && s3, "no committed sum -> scan")
+    // a DV fold DROPS the sums AND the value-exactness certificate:
+    // neither sum nor the stale zone-map max may answer post-fold
+    ManifestTable.deleteWhereMoR(spark, path, "day", col("id") === 5L)
+    ManifestTable.compact(spark, path, "day")
+    def qf = ManifestTable.read(spark, path).agg(
+      sum(col("x")).as("sx"), max(col("x")).as("mx"))
+    val (d4, s4, r4) = run(qf)
+    assert(d4 == 0 && s4,
+      "post-DV-fold metadata is supersets, not values — must scan")
+    assert(r4.head.getLong(0) == 13L && r4.head.getLong(1) == 10L,
+      s"id=5 held x=42; after its deletion sum=13 max=10: $r4")
+  }
+
+  test("an overflowing folded sum backs off at plan time (the scan's " +
+    "overflow behavior — ANSI error or legacy wrap — belongs to the scan)") {
+    val path = freshPath("sumovf")
+    val big = Long.MaxValue / 2 + 1
+    ManifestTable.merge(spark, path,
+      Seq((1L, big, "a"), (2L, big, "b")).toDF("id", "x", "day"),
+      Seq("id"), "day", statsColumns = Seq("x"), sumColumns = Seq("x"))
+    val before = StatsAggRule.rewrites.get
+    val df = ManifestTable.read(spark, path).agg(sum(col("x")).as("sx"))
+    df.queryExecution.executedPlan // force optimization, never execute
+    assert(StatsAggRule.rewrites.get == before,
+      "a Long-overflowing fold must not answer from metadata")
+    assert(df.queryExecution.sparkPlan.collect {
+      case s: FileSourceScanExec => s }.nonEmpty)
+  }
+
   test("GROUP BY pcol folds per-key count/count(col)/min/max from each " +
     "entry's metadata — no scan — incl. min/max of the key column itself " +
     "(strings exact: the key IS the value), matching the real scan") {
