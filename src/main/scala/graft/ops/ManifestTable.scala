@@ -2665,7 +2665,8 @@ object ManifestTable {
               tokenBloomColumns: Seq[String] = Nil,
               tokenBloomBits: Int = 16384,
               kmvColumns: Seq[String] = Nil,
-              kmvK: Int = 256): Long = {
+              kmvK: Int = 256,
+              sumColumns: Seq[String] = Nil): Long = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val v = latestVersion(fs, path).getOrElse(
       sys.error(s"ManifestTable.foldMoR: no manifest under $path/$ManifestDir"))
@@ -2695,7 +2696,7 @@ object ManifestTable {
       bloomColumns = bloomColumns, bloomBits = bloomBits,
       bucketSpec = bucketSpecOf(readProps(spark, path)),
       tokenBloomColumns = tokenBloomColumns, tokenBloomBits = effTokBits,
-      kmvColumns = kmvColumns, kmvK = effKmvK)
+      kmvColumns = kmvColumns, kmvK = effKmvK, sumColumns = sumColumns)
     debt.size.toLong
   }
 
@@ -2714,7 +2715,8 @@ object ManifestTable {
                    tokenBloomColumns: Seq[String] = Nil,
                    tokenBloomBits: Int = 16384,
                    kmvColumns: Seq[String] = Nil,
-                   kmvK: Int = 256): Option[Long] = {
+                   kmvK: Int = 256,
+                   sumColumns: Seq[String] = Nil): Option[Long] = {
     require(maxPending >= 0, s"maybeFoldMoR: maxPending must be >= 0, got $maxPending")
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val v = latestVersion(fs, path).getOrElse(
@@ -2724,7 +2726,7 @@ object ManifestTable {
     if (pending <= maxPending) None
     else Some(foldMoR(spark, path, partitionCol, retainVersions, statsColumns,
       bloomColumns, bloomBits, tokenBloomColumns, tokenBloomBits,
-      kmvColumns, kmvK))
+      kmvColumns, kmvK, sumColumns))
   }
 
   // ------------------------------------------------------------------

@@ -323,6 +323,22 @@ class StatsAggSpec extends AnyFunSuite {
       "post-DV-fold metadata is supersets, not values — must scan")
     assert(r4.head.getLong(0) == 13L && r4.head.getLong(1) == 10L,
       s"id=5 held x=42; after its deletion sum=13 max=10: $r4")
+    // a statsful foldMoR RE-RECORDS the family: on a clean table, a
+    // MoR delete then foldMoR(sumColumns) restores the global
+    // metadata answer with post-delete values exact
+    val path2 = freshPath("sumsfold")
+    ManifestTable.merge(spark, path2, rows, Seq("id"), "day",
+      statsColumns = Seq("id", "x"), sumColumns = Seq("id", "x"))
+    ManifestTable.deleteWhereMoR(spark, path2, "day", col("id") === 5L)
+    val folded = ManifestTable.foldMoR(spark, path2, "day",
+      statsColumns = Seq("id", "x"), sumColumns = Seq("id", "x"))
+    assert(folded == 1L)
+    val (d5, s5, r5) = run(ManifestTable.read(spark, path2).agg(
+      sum(col("x")).as("sx"), max(col("x")).as("mx")))
+    assert(d5 == 1 && !s5,
+      "a statsful foldMoR(sumColumns) must restore the metadata answer")
+    assert(r5.head.getLong(0) == 13L && r5.head.getLong(1) == 10L,
+      s"id=5 held x=42; after its deletion sum=13 max=10: $r5")
   }
 
   test("an overflowing folded sum backs off at plan time (the scan's " +
