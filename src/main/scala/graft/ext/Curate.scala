@@ -222,19 +222,21 @@ object Curate {
     // NULL (empty sample, no error) and a negative weight makes the
     // prefix sums non-monotone (pick counts telescope wrong). One
     // bounded min() aggregate — the refuse-loudly posture of
-    // approxDistinct applied here; NULL min covers both the empty
-    // frame (nothing to cut the tape over) and null weights.
-    // min() skips NULLs, so a null weight is pinned to Long.MinValue
-    // first — it must refuse, not vanish from the aggregate
+    // approxDistinct applied here (the validation pass re-reads the
+    // input; cache upstream if it is expensive). min() skips NULLs,
+    // so a null weight is pinned to Long.MinValue first — it must
+    // refuse, not vanish from the aggregate. An EMPTY input is not a
+    // contract violation: it returns an empty sample, the pre-guard
+    // behavior (per-stratum pipelines legitimately hit empty cuts).
     val minW = df.agg(min(coalesce(col(weightCol).cast("long"),
       lit(Long.MinValue)))).head().get(0)
-    require(minW != null && minW.asInstanceOf[Long] >= 1L,
+    if (minW == null)
+      return df.withColumn("n_picks", lit(1L))
+        .select((cols.map(col) :+ col("n_picks")): _*).limit(0)
+    require(minW.asInstanceOf[Long] >= 1L,
       s"ppsSystematicSample: weights must be positive integers — " +
-        s"min($weightCol) is ${minW match {
-          case null => "undefined (empty input)"
-          case Long.MinValue => "NULL (null weight)"
-          case v => v.toString
-        }}")
+        s"min($weightCol) is ${
+          if (minW == Long.MinValue) "NULL (null weight)" else minW.toString}")
     val ranged = df
       .withColumn("__w", col(weightCol).cast("long"))
       .withColumn("__ord", md5(col(idCol).cast("string")))

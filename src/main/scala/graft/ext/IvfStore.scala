@@ -193,11 +193,23 @@ object IvfStore {
                               idCol: String = "vec_id", vecCol: String = "embedding",
                               maxKeepKeys: Int = 100000): FilteredSearch = {
     val root = resolvedBase(spark, base)
+    // ONE evaluation of the (typically expensive) keep plan: the
+    // bounded distinct key set collects once and then drives BOTH the
+    // planning-time dir probe and the broadcast semi side as a LOCAL
+    // frame — the probe's internal collect re-reads only these local
+    // rows, never the upstream prefilter pipeline a second time.
+    val sel = keep.select(col(keepCol).as(idCol)).distinct()
+      .limit(maxKeepKeys + 1)
+    val rows = sel.collect()
+    require(rows.length <= maxKeepKeys,
+      s"IvfStore.searchFilteredCommitted: keep side exceeds $maxKeepKeys " +
+        "distinct keys — too large for the planning probe and the broadcast " +
+        "semi join; run the plain scored join, or raise maxKeepKeys deliberately")
+    import scala.jdk.CollectionConverters._
+    val keysDf = spark.createDataFrame(rows.toSeq.asJava, sel.schema)
     val pruned = ManifestTable.readJoinPruned(spark, indexPath(root), idCol,
-      keep, keepCol, maxKeys = maxKeepKeys)
-    val filteredIndex = pruned.df.join(
-      broadcast(keep.select(col(keepCol).as(idCol)).distinct()),
-      Seq(idCol), "left_semi")
+      keysDf, idCol, maxKeys = maxKeepKeys)
+    val filteredIndex = pruned.df.join(broadcast(keysDf), Seq(idCol), "left_semi")
     val out = Ivf.search(filteredIndex,
       ManifestTable.read(spark, centroidsPath(root)), queries, k, nProbe,
       idCol, vecCol)

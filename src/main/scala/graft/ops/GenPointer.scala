@@ -143,15 +143,22 @@ object GenPointer {
     * at `<table>/manifest/m*`, batch dirs at `<table>/data/batch-*`
     * both sit within 3 levels; part-files landing inside a batch dir
     * bump the batch dir's own mtime). Bounded: an index store is a
-    * handful of dirs, never the 100 TB corpus. */
-  private def newestMs(fs: FileSystem, dir: Path, depth: Int): Long = {
-    val self = fs.getFileStatus(dir).getModificationTime
-    if (depth <= 0) self
-    else (self +: fs.listStatus(dir).toSeq.map { st =>
-      if (st.isDirectory) newestMs(fs, st.getPath, depth - 1)
-      else st.getModificationTime
-    }).max
-  }
+    * handful of dirs, never the 100 TB corpus. A path that VANISHES
+    * mid-walk (a rival build's task commit renaming files out of
+    * `_temporary`) is itself proof of live activity — it reports
+    * `now`, so the horizon protects the build instead of the janitor
+    * crashing on the very dir it was designed to spare. */
+  private def newestMs(fs: FileSystem, dir: Path, depth: Int): Long =
+    try {
+      val self = fs.getFileStatus(dir).getModificationTime
+      if (depth <= 0) self
+      else (self +: fs.listStatus(dir).toSeq.map { st =>
+        if (st.isDirectory) newestMs(fs, st.getPath, depth - 1)
+        else st.getModificationTime
+      }).max
+    } catch {
+      case _: java.io.FileNotFoundException => System.currentTimeMillis()
+    }
 
   /** GC for the blue/green layout — [[retire]] plus the ORPHAN sweep
     * retire cannot do. Two orphan classes, adjudicated differently:

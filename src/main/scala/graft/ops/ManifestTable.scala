@@ -1297,6 +1297,25 @@ object ManifestTable {
     * [[auxStats]]/[[dvStats]] for those) — observability for gates
     * pinning physical facts (the q176/q179 zero-dirs-rewritten
     * evidence). Driver-side metadata only. */
+  /** TRUE iff two retained versions carry BIT-IDENTICAL table data:
+    * the full data-entry lists (key → dir + stats/DV/aux suffix)
+    * compare equal. Dirs are immutable (every data change lands new
+    * dirs or new DV/aux suffix items), so entry-list equality proves
+    * the versions differ only in head metadata — schema, props,
+    * constraints, MV catalog entries. The MV rewrites use this to
+    * bridge metadata-only commits in their freshness checks: a
+    * catalog/constraint commit after a view refresh must not disarm
+    * the rewrite (the data the view folded is provably unchanged).
+    * Driver-side: two manifest reads. */
+  private[graft] def sameDataEntries(spark: SparkSession, path: String,
+                                     v1: Long, v2: Long): Boolean =
+    v1 == v2 || {
+      val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      try dataEntries(readManifest(fs, path, v1)) ==
+        dataEntries(readManifest(fs, path, v2))
+      catch { case scala.util.control.NonFatal(_) => false } // expired version
+    }
+
   def dataDirs(spark: SparkSession, path: String, version: Long): Set[String] = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     dataEntries(readManifest(fs, path, version)).map(e => dirOf(e._2)).toSet
@@ -1537,8 +1556,33 @@ object ManifestTable {
     def ascii(s: String): Boolean = s.forall(c => c >= 0x20 && c < 0x7f)
     val allIntegral = keys.forall(_.toLongOption.isDefined)
     val allAscii = keys.forall(ascii)
-    def strOfLit(e: Expression, l: Literal): String =
-      GraftFileIndex.strOf(l).getOrElse(refuse(e))
+    // Equality/IN must adjudicate in the KEY FAMILY'S domain, exactly
+    // like ranges — the expression is parsed UNRESOLVED, so no
+    // analyzer coercion protects this path: `month = 3` against
+    // zero-padded string keys "01".."12" would textually match
+    // nothing and silently return a confident empty answer instead of
+    // the coerced match a real engine performs. Integral key families
+    // compare numerically (any literal that parses back losslessly);
+    // string families compare textually against STRING literals only;
+    // every cross-domain shape refuses loudly.
+    def eqValue(e: Expression, l: Literal): Either[Long, String] =
+      if (l.value == null) refuse(e)
+      else if (allIntegral) l.dataType match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          scala.Left(l.value.toString.toLong)
+        case StringType =>
+          l.value.toString.toLongOption.map(scala.Left(_)).getOrElse(refuse(e))
+        case _ => refuse(e)
+      }
+      else l.dataType match {
+        case StringType => scala.Right(l.value.toString)
+        case _ => refuse(e)
+      }
+    def eqPred(e: Expression, l: Literal): String => Boolean =
+      eqValue(e, l) match {
+        case scala.Left(x) => k => k.toLong == x
+        case scala.Right(s) => k => k == s
+      }
     def cmpPred(e: Expression, l: Literal, cmp: Int => Boolean): String => Boolean =
       l.dataType match {
         case ByteType | ShortType | IntegerType | LongType
@@ -1553,13 +1597,13 @@ object ManifestTable {
       }
     val preds: Seq[String => Boolean] =
       conj(spark.sessionState.sqlParser.parseExpression(where)).map {
-        case e @ EqualTo(k, l: Literal) if isP(k) =>
-          val s = strOfLit(e, l); x => x == s
-        case e @ EqualTo(l: Literal, k) if isP(k) =>
-          val s = strOfLit(e, l); x => x == s
+        case e @ EqualTo(k, l: Literal) if isP(k) => eqPred(e, l)
+        case e @ EqualTo(l: Literal, k) if isP(k) => eqPred(e, l)
         case e @ In(k, vs) if isP(k) && vs.forall(_.isInstanceOf[Literal]) =>
-          val set = vs.map(x => strOfLit(e, x.asInstanceOf[Literal])).toSet
-          x => set(x)
+          val values = vs.map(x => eqValue(e, x.asInstanceOf[Literal]))
+          val longs = values.collect { case scala.Left(x) => x }.toSet
+          val strs = values.collect { case scala.Right(s) => s }.toSet
+          k => (longs.nonEmpty && longs(k.toLong)) || strs(k)
         case e @ GreaterThan(k, l: Literal) if isP(k) => cmpPred(e, l, _ > 0)
         case e @ GreaterThan(l: Literal, k) if isP(k) => cmpPred(e, l, _ < 0)
         case e @ GreaterThanOrEqual(k, l: Literal) if isP(k) => cmpPred(e, l, _ >= 0)
@@ -3646,7 +3690,7 @@ object ManifestTable {
   private[graft] def updateMvDefProps(spark: SparkSession, path: String,
                                       adds: Map[String, String],
                                       removeKeys: String => Boolean,
-                                      retainVersions: Int = 2): Unit = {
+                                      retainVersions: Int): Unit = {
     require(adds.keys.forall(k => k.startsWith(MvAggDefPropPrefix) ||
       k.startsWith(MvJoinDefPropPrefix)),
       s"ManifestTable.updateMvDefProps: only mv.* prop families, got " +

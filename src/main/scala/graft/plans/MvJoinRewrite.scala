@@ -23,12 +23,6 @@ object MvJoinRegistry {
   private val defs =
     new java.util.concurrent.ConcurrentHashMap[(String, String), Vector[MvJoinDef]]
 
-  /** Durable-definition memo, [[MvRegistry]]'s shape: (qualified
-    * fact, fact manifest version) → decoded defs; version-keyed, so a
-    * durable register/unregister invalidates by construction. */
-  private val durableMemo =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long), Vector[MvJoinDef]]
-
   private def keyOf(spark: SparkSession, p: String): String = {
     val path = new Path(p)
     path.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -38,15 +32,18 @@ object MvJoinRegistry {
   private def enc(s: String): String = java.net.URLEncoder.encode(s, "UTF-8")
   private def dec(s: String): String = java.net.URLDecoder.decode(s, "UTF-8")
 
-  /** `mv.join.NNNN` prop value on the FACT manifest: URL-encoded dim
-    * and view paths plus the join key. */
-  private def encodeDef(d: MvJoinDef): String =
-    Seq(enc(d.dimPath), enc(d.viewPath), d.joinKey).mkString("|")
-
-  private def decodeDef(factPath: String, value: String): MvJoinDef = {
-    val parts = value.split('|')
-    MvJoinDef(factPath, dec(parts(0)), dec(parts(1)), parts(2))
-  }
+  /** Shared catalog mechanics ([[DurableDefCatalog]]): `mv.join.NNNN`
+    * props on the FACT manifest hold the URL-encoded dim and view
+    * paths plus the join key; corrupt props skip on lookup, sweep on
+    * durable unregister. */
+  private val catalog = new DurableDefCatalog[MvJoinDef](
+    graft.ops.ManifestTable.MvJoinDefPropPrefix,
+    d => Seq(enc(d.dimPath), enc(d.viewPath), d.joinKey).mkString("|"),
+    (factPath, value) => try {
+      val parts = value.split('|')
+      Some(MvJoinDef(factPath, dec(parts(0)), dec(parts(1)), parts(2)))
+    } catch { case scala.util.control.NonFatal(_) => None },
+    (a, b) => a.viewPath == b.viewPath)
 
   /** A pair may carry several views (one per join key); the rewrite
     * tries them in registration order. Re-registering the same
@@ -54,76 +51,50 @@ object MvJoinRegistry {
     * keeps its prop slot). `durable = true` commits the definition
     * as a `mv.join.NNNN` prop on the FACT table's manifest, so a
     * fresh session's [[lookup]] rediscovers it with no in-memory
-    * state ([[MvRegistry]]'s catalog contract; the durable register
-    * bumps the fact version, so register before the view refresh). */
+    * state; `retainVersions` is that commit's retention horizon
+    * (pass the table's own setting — addConstraint's contract).
+    * Registration ORDER vs refresh does not matter: freshness
+    * bridges metadata-only commits by data-entry identity. */
   def register(spark: SparkSession, factPath: String, dimPath: String,
                viewPath: String, joinKey: String,
-               durable: Boolean = false): Unit = {
+               durable: Boolean = false,
+               retainVersions: Int = 2): Unit = {
     require(!joinKey.contains(',') && !joinKey.contains('|'),
       "MvJoinRegistry.register: the join key must not contain ',' or '|'")
     val d = MvJoinDef(factPath, dimPath, viewPath, joinKey)
     defs.compute((keyOf(spark, factPath), keyOf(spark, dimPath)), (_, old) =>
       Option(old).getOrElse(Vector.empty)
         .filterNot(_.viewPath == viewPath) :+ d)
-    if (durable) {
-      val existing = durableProps(spark, factPath)
-      val slot = existing.collectFirst {
-        case (k, v) if decodeDef(factPath, v).viewPath == viewPath => k
-      }.getOrElse {
-        val used = existing.keys
-          .map(_.stripPrefix(graft.ops.ManifestTable.MvJoinDefPropPrefix).toInt)
-        f"${graft.ops.ManifestTable.MvJoinDefPropPrefix}${if (used.isEmpty) 0 else used.max + 1}%04d"
-      }
-      graft.ops.ManifestTable.updateMvDefProps(spark, factPath,
-        adds = Map(slot -> encodeDef(d)), removeKeys = _ == slot)
-    }
+    if (durable)
+      catalog.persist(spark, factPath, keyOf(spark, factPath), d, retainVersions)
   }
 
-  /** Drop every view registered for the pair — in this session, and
-    * (with `durable = true`) THIS pair's entries from the fact
-    * manifest's catalog props (other dims' entries stay). */
+  /** Drop every view registered for the pair. In-memory the pair
+    * becomes an EMPTY SHADOW (a session-local disable that does NOT
+    * fall through to the manifest catalog — [[MvRegistry.unregister]]'s
+    * contract); `durable = true` also removes THIS pair's catalog
+    * entries for good (other dims' entries stay; corrupt ones sweep). */
   def unregister(spark: SparkSession, factPath: String, dimPath: String,
-                 durable: Boolean = false): Unit = {
-    defs.remove((keyOf(spark, factPath), keyOf(spark, dimPath)))
-    if (durable) {
-      val dimQ = keyOf(spark, dimPath)
-      val drop = durableProps(spark, factPath).collect {
-        case (k, v) if keyOf(spark, decodeDef(factPath, v).dimPath) == dimQ => k
-      }.toSet
-      graft.ops.ManifestTable.updateMvDefProps(spark, factPath,
-        adds = Map.empty, removeKeys = drop)
-    }
+                 durable: Boolean = false,
+                 retainVersions: Int = 2): Unit = {
+    val dimQ = keyOf(spark, dimPath)
+    defs.put((keyOf(spark, factPath), dimQ), Vector.empty)
+    if (durable)
+      catalog.remove(spark, factPath, keyOf(spark, factPath),
+        d => keyOf(spark, d.dimPath) == dimQ, retainVersions)
   }
 
-  private def durableProps(spark: SparkSession,
-                           factPath: String): Map[String, String] =
-    try graft.ops.ManifestTable.readProps(spark, factPath).filter(
-      _._1.startsWith(graft.ops.ManifestTable.MvJoinDefPropPrefix))
-    catch { case scala.util.control.NonFatal(_) => Map.empty }
-
-  /** In-memory defs win; a miss falls through to the fact manifest's
-    * `mv.join.*` catalog props (memoized per fact version), filtered
-    * to the dim actually joined. */
+  /** In-memory defs win (including the empty unregister shadow); a
+    * true miss falls through to the fact manifest's `mv.join.*`
+    * catalog (TTL'd version probe, per-version memo), filtered to
+    * the dim actually joined. */
   private[plans] def lookup(spark: SparkSession, factRoot: Path,
                             dimRoot: Path): Seq[MvJoinDef] = {
     val factQ = keyOf(spark, factRoot.toString)
     val dimQ = keyOf(spark, dimRoot.toString)
-    Option(defs.get((factQ, dimQ))).getOrElse {
-      val fact = factRoot.toString
-      try {
-        val fs = factRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        graft.ops.ManifestTable.versions(fs, fact).lastOption match {
-          case None => Vector.empty
-          case Some(v) =>
-            if (durableMemo.size > 512) durableMemo.clear()
-            durableMemo.computeIfAbsent((factQ, v), _ =>
-              graft.ops.ManifestTable.readPropsAt(spark, fact, v).toVector
-                .filter(_._1.startsWith(graft.ops.ManifestTable.MvJoinDefPropPrefix))
-                .sortBy(_._1).map { case (_, value) => decodeDef(fact, value) })
-              .filter(d => keyOf(spark, d.dimPath) == dimQ)
-        }
-      } catch { case scala.util.control.NonFatal(_) => Vector.empty }
-    }
+    Option(defs.get((factQ, dimQ))).getOrElse(
+      catalog.lookup(spark, factRoot.toString, factQ)
+        .filter(d => keyOf(spark, d.dimPath) == dimQ))
   }
 
   /** Test hook: fresh-session simulation ([[MvRegistry.clearInMemory]]). */
@@ -249,8 +220,12 @@ case class MvJoinRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  /** Both scans complete+current, view folded exactly those versions;
-    * returns the pinned view version. */
+  /** Both scans complete+current, view folded exactly that DATA;
+    * returns the pinned view version. Metadata-only commits on
+    * either base (constraints, the `mv.join.*` catalog write itself,
+    * sort order) bridge through data-entry identity
+    * ([[ManifestTable.sameDataEntries]]) — so durable registration
+    * order vs refresh is irrelevant. */
   private def fresh(mv: MvJoinRegistry.MvJoinDef, fact: Side,
                     dim: Side): Option[Long] = try {
     val hc = spark.sparkContext.hadoopConfiguration
@@ -264,8 +239,10 @@ case class MvJoinRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       if dim.idx.relDirs.toSet == ManifestTable.dataDirs(spark, mv.dimPath, dCur)
       vv <- ManifestTable.versions(vfs, mv.viewPath).lastOption
       props = ManifestTable.readPropsAt(spark, mv.viewPath, vv)
-      if props.get(IncrementalJoin.FactVersionProp).contains(fCur.toString)
-      if props.get(IncrementalJoin.DimVersionProp).contains(dCur.toString)
+      fState <- props.get(IncrementalJoin.FactVersionProp)
+      dState <- props.get(IncrementalJoin.DimVersionProp)
+      if ManifestTable.sameDataEntries(spark, mv.factPath, fState.toLong, fCur)
+      if ManifestTable.sameDataEntries(spark, mv.dimPath, dState.toLong, dCur)
     } yield vv
   } catch { case scala.util.control.NonFatal(_) => None }
 

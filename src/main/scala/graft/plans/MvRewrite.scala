@@ -39,14 +39,6 @@ object MvRegistry {
 
   private val defs = new java.util.concurrent.ConcurrentHashMap[String, Vector[MvDef]]
 
-  /** Durable-definition memo: (qualified base, manifest version) →
-    * decoded defs. A durable register/unregister bumps the version,
-    * so staleness is impossible by construction; bounded by the
-    * crude-but-sufficient clear-at-cap (the map is tiny — one entry
-    * per (table, version) actually queried). */
-  private val durableMemo =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long), Vector[MvDef]]
-
   private def keyOf(spark: SparkSession, basePath: String): String = {
     val p = new Path(basePath)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).makeQualified(p).toString
@@ -57,18 +49,22 @@ object MvRegistry {
   private def dec(s: String): String =
     java.net.URLDecoder.decode(s, "UTF-8")
 
-  /** `mv.agg.NNNN` prop value: URL-encoded view path + the three
-    * column lists (identifiers — ',' and '|' refused at register). */
-  private def encodeDef(d: MvDef): String =
-    Seq(enc(d.aggPath), d.groupCols.mkString(","), d.sumCols.mkString(","),
-      d.minMaxCols.mkString(",")).mkString("|")
-
-  private def decodeDef(basePath: String, value: String): MvDef = {
-    val parts = value.split('|')
-    def cols(i: Int): Seq[String] =
-      if (i >= parts.length || parts(i).isEmpty) Nil else parts(i).split(',').toSeq
-    MvDef(basePath, dec(parts(0)), cols(1), cols(2), cols(3))
-  }
+  /** The shared catalog mechanics ([[DurableDefCatalog]]): `mv.agg.
+    * NNNN` prop values are the URL-encoded view path + the three
+    * column lists (identifiers — ',' and '|' refused at register);
+    * a corrupt prop decodes to None (skipped on lookup, swept on
+    * durable unregister). */
+  private val catalog = new DurableDefCatalog[MvDef](
+    ManifestTable.MvAggDefPropPrefix,
+    d => Seq(enc(d.aggPath), d.groupCols.mkString(","), d.sumCols.mkString(","),
+      d.minMaxCols.mkString(",")).mkString("|"),
+    (basePath, value) => try {
+      val parts = value.split('|')
+      def cols(i: Int): Seq[String] =
+        if (i >= parts.length || parts(i).isEmpty) Nil else parts(i).split(',').toSeq
+      Some(MvDef(basePath, dec(parts(0)), cols(1), cols(2), cols(3)))
+    } catch { case scala.util.control.NonFatal(_) => None },
+    (a, b) => a.aggPath == b.aggPath)
 
   /** Declare `aggPath` a maintained aggregate view of `basePath`.
     * A base may carry SEVERAL views (different groupings/measures);
@@ -80,11 +76,17 @@ object MvRegistry {
     * refresh arguments — min/max re-aggregate exactly for ANY type
     * (order-independent, no arithmetic), so unlike sums they are not
     * restricted to longs. `durable = true` also commits the
-    * definition onto the base manifest (see object doc). */
+    * definition onto the base manifest (see object doc);
+    * `retainVersions` is that commit's retention horizon — pass the
+    * table's own setting, exactly as for addConstraint (the catalog
+    * write must not silently shorten a 10-version table's history).
+    * Registration ORDER vs refresh no longer matters: the freshness
+    * check bridges metadata-only commits by data-entry identity. */
   def register(spark: SparkSession, basePath: String, aggPath: String,
                groupCols: Seq[String], sumCols: Seq[String],
                minMaxCols: Seq[String] = Nil,
-               durable: Boolean = false): Unit = {
+               durable: Boolean = false,
+               retainVersions: Int = 2): Unit = {
     require(groupCols.nonEmpty, "MvRegistry.register: no group columns")
     require((groupCols ++ sumCols ++ minMaxCols)
         .forall(c => !c.contains(',') && !c.contains('|')),
@@ -93,65 +95,39 @@ object MvRegistry {
     defs.compute(keyOf(spark, basePath), (_, old) =>
       Option(old).getOrElse(Vector.empty)
         .filterNot(_.aggPath == aggPath) :+ d)
-    if (durable) {
-      val existing = durableProps(spark, basePath)
-      val slot = existing.collectFirst {
-        case (k, v) if decodeDef(basePath, v).aggPath == aggPath => k
-      }.getOrElse {
-        val used = existing.keys
-          .map(_.stripPrefix(ManifestTable.MvAggDefPropPrefix).toInt)
-        f"${ManifestTable.MvAggDefPropPrefix}${if (used.isEmpty) 0 else used.max + 1}%04d"
-      }
-      ManifestTable.updateMvDefProps(spark, basePath,
-        adds = Map(slot -> encodeDef(d)), removeKeys = _ == slot)
-    }
-  }
-
-  /** Drop every view registered for `basePath` — in this session,
-    * and (with `durable = true`) from the base manifest's catalog
-    * props too. */
-  def unregister(spark: SparkSession, basePath: String,
-                 durable: Boolean = false): Unit = {
-    defs.remove(keyOf(spark, basePath))
     if (durable)
-      ManifestTable.updateMvDefProps(spark, basePath, adds = Map.empty,
-        removeKeys = _.startsWith(ManifestTable.MvAggDefPropPrefix))
+      catalog.persist(spark, basePath, keyOf(spark, basePath), d, retainVersions)
   }
 
-  /** The base manifest's committed `mv.agg.*` props (empty for a
-    * non-manifest path or a table with no catalog entries). */
-  private def durableProps(spark: SparkSession,
-                           basePath: String): Map[String, String] =
-    try ManifestTable.readProps(spark, basePath).filter(
-      _._1.startsWith(ManifestTable.MvAggDefPropPrefix))
-    catch { case scala.util.control.NonFatal(_) => Map.empty }
+  /** Drop every view registered for `basePath`. In-memory the entry
+    * becomes an EMPTY SHADOW, not an absence — so a session that
+    * unregisters a durably-cataloged base really does disable its
+    * rewrites locally instead of silently falling through to the
+    * manifest catalog. `durable = true` also removes the catalog
+    * props for good (and sweeps any corrupt ones). */
+  def unregister(spark: SparkSession, basePath: String,
+                 durable: Boolean = false,
+                 retainVersions: Int = 2): Unit = {
+    defs.put(keyOf(spark, basePath), Vector.empty)
+    if (durable)
+      catalog.remove(spark, basePath, keyOf(spark, basePath), _ => true,
+        retainVersions)
+  }
 
-  /** In-memory defs win (session-local overrides); a miss falls
-    * through to the MANIFEST catalog entry — one latest-version
-    * probe, the props read memoized per (base, version). Prop-key
-    * order (zero-padded slots) IS the registration try order. */
+  /** In-memory defs win (session-local overrides, INCLUDING the
+    * empty shadow an unregister leaves); a true miss falls through to
+    * the MANIFEST catalog — TTL'd latest-version probe, props read
+    * memoized per (base, version). Prop-key order (zero-padded
+    * slots) IS the registration try order. */
   private[plans] def lookup(spark: SparkSession, root: Path): Seq[MvDef] = {
     val q = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .makeQualified(root).toString
-    Option(defs.get(q)).getOrElse {
-      val base = root.toString
-      try {
-        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        ManifestTable.versions(fs, base).lastOption match {
-          case None => Vector.empty
-          case Some(v) =>
-            if (durableMemo.size > 512) durableMemo.clear()
-            durableMemo.computeIfAbsent((q, v), _ =>
-              ManifestTable.readPropsAt(spark, base, v).toVector
-                .filter(_._1.startsWith(ManifestTable.MvAggDefPropPrefix))
-                .sortBy(_._1).map { case (_, value) => decodeDef(base, value) })
-        }
-      } catch { case scala.util.control.NonFatal(_) => Vector.empty }
-    }
+    Option(defs.get(q)).getOrElse(catalog.lookup(spark, root.toString, q))
   }
 
   /** Test hook: a fresh-session simulation — the in-memory registry
-    * empties, so every subsequent lookup exercises the durable path. */
+    * (shadows included) empties, so every subsequent lookup exercises
+    * the durable path. */
   private[graft] def clearInMemory(): Unit = defs.clear()
 
   /** Test instrument: successful rewrites. */
@@ -289,11 +265,16 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   /** The scan is the complete current base AND the view has folded
-    * exactly that version. Returns the VIEW version whose committed
+    * exactly that data. Returns the VIEW version whose committed
     * `agg.base_version` was verified — [[build]] reads exactly that
     * version, so a refresh racing the planner can neither serve an
-    * unverified snapshot nor tear between check and read. Driver-side
-    * metadata only: two version listings + one props read. */
+    * unverified snapshot nor tear between check and read. Freshness
+    * BRIDGES metadata-only commits ([[ManifestTable.sameDataEntries]]):
+    * a constraint/catalog/sort-order commit after the refresh bumps
+    * the base version without touching a data entry, and must not
+    * disarm the rewrite — in particular, `register(durable = true)`
+    * is itself such a commit, so registration order vs refresh is
+    * irrelevant. Driver-side metadata only. */
   private def fresh(mv: MvRegistry.MvDef, info: ScanInfo): Option[Long] = try {
     val conf = spark.sparkContext.hadoopConfiguration
     val bfs = new Path(mv.basePath).getFileSystem(conf)
@@ -304,7 +285,7 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       vv <- ManifestTable.versions(vfs, mv.aggPath).lastOption
       state <- ManifestTable.readPropsAt(spark, mv.aggPath, vv)
         .get(IncrementalAgg.BaseVersionProp)
-      if state.toLong == cur
+      if ManifestTable.sameDataEntries(spark, mv.basePath, state.toLong, cur)
     } yield vv
   } catch { case scala.util.control.NonFatal(_) => None }
 

@@ -813,6 +813,11 @@ class ExtSpec extends AnyFunSuite {
       Curate.ppsSystematicSample(nul, "w", n = 2)
     }
     assert(e3.getMessage.contains("NULL"))
+    // an EMPTY input is not a violation: per-stratum pipelines hit
+    // empty cuts legitimately — empty in, empty sample out
+    val empty = Seq.empty[(Long, Long)].toDF("doc_id", "w")
+    val got = Curate.ppsSystematicSample(empty, "w", n = 5)
+    assert(got.columns.toSeq == Seq("doc_id", "w", "n_picks") && got.count() == 0L)
   }
 
   test("stripHtml: blocks dropped whole, entity unescape order, adversarial fragments") {

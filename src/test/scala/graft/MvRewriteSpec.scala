@@ -299,20 +299,33 @@ class MvRewriteSpec extends AnyFunSuite {
     "simulation); durable unregister removes it for good") {
     val (base, view) = fresh("durable")
     seed(base)
-    // register BEFORE refresh — the durable register is itself a
-    // manifest commit, and freshness pins the refreshed version
+    // refresh FIRST, register durably AFTER — the catalog write is a
+    // metadata-only commit and freshness bridges it by data-entry
+    // identity, so the registration order is irrelevant
+    IncrementalAgg.refresh(spark, base, view, Seq("etype"), Seq("v"))
     MvRegistry.register(spark, base, view, Seq("etype"), Seq("v"),
       durable = true)
-    IncrementalAgg.refresh(spark, base, view, Seq("etype"), Seq("v"))
     def q = ManifestTable.read(spark, base).groupBy(col("etype"))
       .agg(count(lit(1)).as("n"), sum(col("v")).as("sv")).orderBy(col("etype"))
     val t = truth(q)
-    assert(run(q)._1 == 1, "in-memory path fires")
+    assert(run(q)._1 == 1,
+      "register-after-refresh must still fire (metadata-only bridge)")
     MvRegistry.clearInMemory()
     val (d2, r2, rows2) = run(q)
     assert(d2 == 1 && !r2.exists(_.contains("/base")),
       s"the durable catalog must re-arm the rewrite with no in-memory state: $r2")
     assert(rows2 == t, "durable-path answer identical to the scan")
+    // a SESSION-LOCAL unregister shadows the durable catalog: no
+    // fallthrough, the base scans — but the catalog prop survives
+    MvRegistry.unregister(spark, base)
+    val (dS, rS, _) = run(q)
+    assert(dS == 0 && rS.exists(_.contains("/base")),
+      "session unregister must shadow the durable catalog, not fall through")
+    assert(ManifestTable.readProps(spark, base)
+      .exists(_._1.startsWith(ManifestTable.MvAggDefPropPrefix)),
+      "the catalog prop must survive a session-local unregister")
+    MvRegistry.clearInMemory() // lift the shadow: the catalog re-arms
+    assert(run(q)._1 == 1)
     // durable unregister: prop gone, no rewrite even via the fallback
     MvRegistry.unregister(spark, base, durable = true)
     MvRegistry.clearInMemory()

@@ -153,13 +153,37 @@ class SketchStatsSpec extends AnyFunSuite {
       Seq("id"), "part", kmvColumns = Seq("u"), kmvK = 256)
     val rebuilt = ManifestTable.approxDistinct(spark, sub, "u")
     assert(rebuilt.estimate == est.estimate && rebuilt.exact == est.exact)
-    // refusals: non-key column, function of the key, OR, non-literal
+    // equality adjudicates in the KEY FAMILY'S domain, like ranges:
+    // an integer literal against integral keys compares NUMERICALLY
+    // (the coercion a resolved engine would apply) — textual compare
+    // would silently miss zero-padded keys
+    val eqNum = ManifestTable.approxDistinctWhere(spark, path, "u", "part = 3")
+    assert(eqNum.dirs == 1L, "integer-literal equality must coerce numerically")
+    val padded = freshPath("adw_pad")
+    ManifestTable.merge(spark, padded,
+      (1 to 60).map(i => (i.toLong, f"${i % 3 + 1}%02d", (i % 7).toLong))
+        .toDF("id", "part", "u"),
+      Seq("id"), "part", kmvColumns = Seq("u"), kmvK = 256)
+    // keys are "01".."03": `part = 3` must match "03", not nothing
+    val eqPad = ManifestTable.approxDistinctWhere(spark, padded, "u", "part = 3")
+    assert(eqPad.dirs == 1L,
+      s"zero-padded integral keys must coerce: $eqPad")
+    // refusals: non-key column, function of the key, OR, non-literal,
+    // and a cross-domain equality no coercion can decide
     for (bad <- Seq("u > 5", "substr(part, 1, 1) = '1'",
-        "part = '1' OR part = '2'", "part = id")) {
+        "part = '1' OR part = '2'", "part = id", "part = 'x1'")) {
       val e = intercept[RuntimeException] {
         ManifestTable.approxDistinctWhere(spark, path, "u", bad)
       }
       assert(e.getMessage.contains("not key-decidable"), s"$bad: ${e.getMessage}")
+    }
+    // a STRING key family refuses numeric literals outright
+    val strKeys = freshPath("adw_str")
+    ManifestTable.merge(spark, strKeys,
+      Seq((1L, "a", 1L), (2L, "b", 2L)).toDF("id", "part", "u"),
+      Seq("id"), "part", kmvColumns = Seq("u"), kmvK = 256)
+    intercept[RuntimeException] {
+      ManifestTable.approxDistinctWhere(spark, strKeys, "u", "part = 3")
     }
   }
 
