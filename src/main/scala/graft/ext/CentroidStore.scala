@@ -150,20 +150,30 @@ object CentroidStore {
         assignmentsPath(resolvedBase(spark, base))), cap, idCol)
 
   /** BLUE/GREEN RETRAIN — [[IvfStore.retrainCommit]]'s contract for
-    * the curation k-means pair: full side-by-side [[trainCommit]] of
-    * the next generation, one CAS flip, then retire generations
-    * beyond `keepGenerations`. Returns the new generation number. */
+    * the curation k-means pair: heartbeat, full side-by-side
+    * [[trainCommit]] of the next generation, one CAS flip, then
+    * retire generations beyond `keepGenerations` (or the full orphan
+    * [[vacuumGenerations]] sweep when `vacuumOrphans` — in-flight
+    * rivals stay protected by the inactivity horizon). Returns the
+    * new generation number. */
   def retrainCommit(spark: SparkSession, base: String, corpus: DataFrame,
                     k: Int, iters: Int = 2,
                     idCol: String = "vec_id", vecCol: String = "embedding",
-                    keepGenerations: Int = 2): Long = {
+                    keepGenerations: Int = 2,
+                    vacuumOrphans: Boolean = false,
+                    orphanHorizonMs: Long = 24L * 3600 * 1000): Long = {
     import graft.ops.GenPointer
     val fs = GenPointer.fsOf(spark, base)
     val next = GenPointer.next(fs, base)
+    GenPointer.heartbeat(fs, base, next)
     trainCommit(spark, GenPointer.root(base, next), corpus, k, iters, idCol, vecCol)
     GenPointer.flip(fs, base, next)
-    GenPointer.retire(fs, base, keepGenerations,
-      Seq("centroids", "assignments", "_txn"))
+    if (vacuumOrphans)
+      GenPointer.vacuum(fs, base, keepGenerations,
+        Seq("centroids", "assignments", "_txn"), orphanHorizonMs)
+    else
+      GenPointer.retire(fs, base, keepGenerations,
+        Seq("centroids", "assignments", "_txn"))
     next
   }
 

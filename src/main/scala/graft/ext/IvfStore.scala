@@ -225,17 +225,33 @@ object IvfStore {
     * exactly one flip wins. `keepGenerations` retires older
     * generations' data AFTER the flip (default 2: current + previous,
     * so searches planned just before the flip finish against intact
-    * tables). Returns the new generation number. */
+    * tables). `vacuumOrphans = true` additionally runs the
+    * [[vacuumGenerations]] orphan sweep right here — the janitor runs
+    * where the garbage is created (a crashed or CAS-losing rival's
+    * dir), instead of relying on operator discipline to call it; a
+    * rival build IN FLIGHT above the new pointer stays protected by
+    * the same `orphanHorizonMs` inactivity horizon (its
+    * [[graft.ops.GenPointer.heartbeat]] file is fresh). The build
+    * drops its own heartbeat before training starts, so a symmetric
+    * rival's vacuum can never mistake THIS build for an idle orphan
+    * either. Returns the new generation number. */
   def retrainCommit(spark: SparkSession, base: String, corpus: DataFrame,
                     k: Int, iters: Int = 3,
                     idCol: String = "vec_id", vecCol: String = "embedding",
-                    keepGenerations: Int = 2): Long = {
+                    keepGenerations: Int = 2,
+                    vacuumOrphans: Boolean = false,
+                    orphanHorizonMs: Long = 24L * 3600 * 1000): Long = {
     import graft.ops.GenPointer
     val fs = GenPointer.fsOf(spark, base)
     val next = GenPointer.next(fs, base)
+    GenPointer.heartbeat(fs, base, next)
     trainCommit(spark, GenPointer.root(base, next), corpus, k, iters, idCol, vecCol)
     GenPointer.flip(fs, base, next)
-    GenPointer.retire(fs, base, keepGenerations, Seq("centroids", "index", "_txn"))
+    if (vacuumOrphans)
+      GenPointer.vacuum(fs, base, keepGenerations,
+        Seq("centroids", "index", "_txn"), orphanHorizonMs)
+    else
+      GenPointer.retire(fs, base, keepGenerations, Seq("centroids", "index", "_txn"))
     next
   }
 

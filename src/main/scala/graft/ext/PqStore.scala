@@ -147,19 +147,28 @@ object PqStore {
   }
 
   /** BLUE/GREEN RETRAIN — [[IvfStore.retrainCommit]]'s contract for
-    * the PQ pair: full side-by-side [[trainCommit]] of the next
-    * generation, one CAS flip, then retire generations beyond
-    * `keepGenerations`. Returns the new generation number. */
+    * the PQ pair: heartbeat, full side-by-side [[trainCommit]] of the
+    * next generation, one CAS flip, then retire generations beyond
+    * `keepGenerations` (or the full orphan [[vacuumGenerations]] sweep
+    * when `vacuumOrphans` — in-flight rivals stay protected by the
+    * inactivity horizon). Returns the new generation number. */
   def retrainCommit(spark: SparkSession, base: String, corpus: DataFrame,
                     m: Int = 8, k: Int = 16, iters: Int = 3,
                     idCol: String = "vec_id", vecCol: String = "embedding",
-                    keepGenerations: Int = 2): Long = {
+                    keepGenerations: Int = 2,
+                    vacuumOrphans: Boolean = false,
+                    orphanHorizonMs: Long = 24L * 3600 * 1000): Long = {
     import graft.ops.GenPointer
     val fs = GenPointer.fsOf(spark, base)
     val next = GenPointer.next(fs, base)
+    GenPointer.heartbeat(fs, base, next)
     trainCommit(spark, GenPointer.root(base, next), corpus, m, k, iters, idCol, vecCol)
     GenPointer.flip(fs, base, next)
-    GenPointer.retire(fs, base, keepGenerations, Seq("codebooks", "codes", "_txn"))
+    if (vacuumOrphans)
+      GenPointer.vacuum(fs, base, keepGenerations,
+        Seq("codebooks", "codes", "_txn"), orphanHorizonMs)
+    else
+      GenPointer.retire(fs, base, keepGenerations, Seq("codebooks", "codes", "_txn"))
     next
   }
 

@@ -138,16 +138,37 @@ object GenPointer {
     * `keep` horizon, and un-flipped orphan builds deleted. */
   final case class VacuumResult(retired: Seq[Long], orphansDeleted: Seq[Long])
 
+  /** Touch `gen-N/_heartbeat` — the liveness signal [[vacuum]]'s
+    * orphan horizon reads as a FILE mtime. Directory mtimes are a
+    * posix/HDFS notion: object stores (S3A and friends) synthesize
+    * them and need not bump a parent when a file lands inside, so a
+    * slow in-flight build whose only visible activity was directory
+    * churn could look idle to [[newestMs]] and be vacuumed before its
+    * flip. A build calls this at start (the store `retrainCommit`s
+    * do) and may call it again between long phases; after the first
+    * manifest commit the manifest files themselves (`<table>/manifest/
+    * m*`, within the walk depth) carry file-mtime liveness. Overwrite,
+    * not append — one tiny file per build, object-store friendly. */
+  def heartbeat(fs: FileSystem, base: String, gen: Long): Unit = {
+    val p = new Path(s"${root(base, gen)}/_heartbeat")
+    fs.mkdirs(p.getParent)
+    val out = fs.create(p, true)
+    try out.write(System.currentTimeMillis().toString.getBytes("UTF-8"))
+    finally out.close()
+  }
+
   /** The newest modification time under `dir`, walked to a bounded
-    * depth — enough to see a live build's activity (manifest commits
-    * at `<table>/manifest/m*`, batch dirs at `<table>/data/batch-*`
-    * both sit within 3 levels; part-files landing inside a batch dir
-    * bump the batch dir's own mtime). Bounded: an index store is a
-    * handful of dirs, never the 100 TB corpus. A path that VANISHES
-    * mid-walk (a rival build's task commit renaming files out of
-    * `_temporary`) is itself proof of live activity — it reports
-    * `now`, so the horizon protects the build instead of the janitor
-    * crashing on the very dir it was designed to spare. */
+    * depth — enough to see a live build's activity as FILE mtimes:
+    * the [[heartbeat]] file at the root, and manifest commits at
+    * `<table>/manifest/m*` (3 levels) once the build starts landing
+    * tables. Directory mtimes are consulted too but are a bonus, not
+    * the contract — object stores synthesize them (see [[heartbeat]]).
+    * Bounded: an index store is a handful of dirs, never the 100 TB
+    * corpus. A path that VANISHES mid-walk (a rival build's task
+    * commit renaming files out of `_temporary`) is itself proof of
+    * live activity — it reports `now`, so the horizon protects the
+    * build instead of the janitor crashing on the very dir it was
+    * designed to spare. */
   private def newestMs(fs: FileSystem, dir: Path, depth: Int): Long =
     try {
       val self = fs.getFileStatus(dir).getModificationTime

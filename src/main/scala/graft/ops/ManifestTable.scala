@@ -1526,15 +1526,21 @@ object ManifestTable {
     val lines = readManifest(fs, path, v)
     val pcol = partitionColOf(lines).getOrElse(sys.error(
       s"ManifestTable.approxDistinctWhere: no partition column recorded under $path"))
+    val pcolType = committedSchema(lines).getOrElse(sys.error(
+      s"ManifestTable.approxDistinctWhere: no committed schema under $path"))
+      .find(_.name == pcol).getOrElse(sys.error(
+        s"ManifestTable.approxDistinctWhere: partition column $pcol missing " +
+          s"from the committed schema under $path")).dataType
     val keys = dataEntries(lines).map(_._1)
     approxDistinct(spark, path, column,
-      keyPredicateOf(spark, where, pcol, keys))
+      keyPredicateOf(spark, where, pcol, pcolType, keys))
   }
 
   /** Parse `where` into a key-string predicate, or refuse loudly —
     * the [[approxDistinctWhere]] adjudicator (the exactness rules of
     * [[graft.plans.StatsAggRule]]'s `narrow`, over manifest keys). */
   private def keyPredicateOf(spark: SparkSession, where: String, pcol: String,
+                             pcolType: org.apache.spark.sql.types.DataType,
                              keys: Seq[String]): String => Boolean = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.catalyst.expressions._
@@ -1554,45 +1560,76 @@ object ManifestTable {
       case other => Seq(other)
     }
     def ascii(s: String): Boolean = s.forall(c => c >= 0x20 && c < 0x7f)
-    val allIntegral = keys.forall(_.toLongOption.isDefined)
+    // The compare DOMAIN is adjudicated from the COMMITTED SCHEMA's
+    // partition-column type plus the literal's type — the expression
+    // is parsed UNRESOLVED, so no analyzer coercion protects this
+    // path, and key-shape inference fails in both directions:
+    //
+    //   - INTEGRAL column: the engine compares numerically whatever
+    //     the literal family is (ANSI casts a string literal to the
+    //     column's integral type), so `day >= '9'` over int keys
+    //     1..12 must keep 9..12 — a textual compare would silently
+    //     exclude '10'..'12'. String literals must parse as longs or
+    //     refuse (the engine's cast would error too).
+    //   - STRING column, STRING literal: pure string equality /
+    //     ordering — NEVER coerce: `part = '3'` against zero-padded
+    //     keys '01'..'12' is FALSE in the engine even though '3' and
+    //     '03' are numerically equal. (Ranges additionally need the
+    //     ASCII guard: Java order == UTF8 byte order.)
+    //   - STRING column, INTEGRAL literal: the engine casts the
+    //     COLUMN to the numeric domain (`part = 3` matches key '03'),
+    //     so keys compare as parsed longs — decidable only when EVERY
+    //     key parses (a non-parsing key would make the scan's ANSI
+    //     cast error; refuse loudly rather than guess).
+    //   - DATE column, STRING literal: the engine casts the literal
+    //     to a date; keys are canonical ISO (`CAST(date AS STRING)`),
+    //     where lexicographic order IS date order — so the compare is
+    //     textual, but ONLY when the literal is itself canonical ISO
+    //     (a non-canonical '2024-1-5' names the same date yet would
+    //     textually miss the key; refuse it).
+    //
+    // Any other column type or literal family refuses loudly.
+    val integralCol = pcolType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    val stringCol = pcolType == StringType
+    val allKeysParse = keys.forall(_.toLongOption.isDefined)
     val allAscii = keys.forall(ascii)
-    // Equality/IN must adjudicate in the KEY FAMILY'S domain, exactly
-    // like ranges — the expression is parsed UNRESOLVED, so no
-    // analyzer coercion protects this path: `month = 3` against
-    // zero-padded string keys "01".."12" would textually match
-    // nothing and silently return a confident empty answer instead of
-    // the coerced match a real engine performs. Integral key families
-    // compare numerically (any literal that parses back losslessly);
-    // string families compare textually against STRING literals only;
-    // every cross-domain shape refuses loudly.
     def eqValue(e: Expression, l: Literal): Either[Long, String] =
       if (l.value == null) refuse(e)
-      else if (allIntegral) l.dataType match {
+      else if (integralCol) l.dataType match {
         case ByteType | ShortType | IntegerType | LongType =>
           scala.Left(l.value.toString.toLong)
         case StringType =>
           l.value.toString.toLongOption.map(scala.Left(_)).getOrElse(refuse(e))
         case _ => refuse(e)
       }
-      else l.dataType match {
+      else if (stringCol) l.dataType match {
         case StringType => scala.Right(l.value.toString)
+        case ByteType | ShortType | IntegerType | LongType if allKeysParse =>
+          scala.Left(l.value.toString.toLong)
         case _ => refuse(e)
       }
+      else if (pcolType == DateType) l.dataType match {
+        case StringType =>
+          val s = l.value.toString
+          val canonical =
+            try java.time.LocalDate.parse(s).toString == s
+            catch { case _: java.time.format.DateTimeParseException => false }
+          if (canonical) scala.Right(s) else refuse(e)
+        case _ => refuse(e)
+      }
+      else refuse(e)
     def eqPred(e: Expression, l: Literal): String => Boolean =
       eqValue(e, l) match {
-        case scala.Left(x) => k => k.toLong == x
+        case scala.Left(x) => k => k.toLongOption.contains(x)
         case scala.Right(s) => k => k == s
       }
     def cmpPred(e: Expression, l: Literal, cmp: Int => Boolean): String => Boolean =
-      l.dataType match {
-        case ByteType | ShortType | IntegerType | LongType
-            if l.value != null && allIntegral =>
-          val x = l.value.toString.toLong
-          k => cmp(k.toLong.compare(x))
-        case StringType
-            if l.value != null && ascii(l.value.toString) && allAscii =>
-          val s = l.value.toString
-          k => cmp(k.compare(s))
+      eqValue(e, l) match {
+        case scala.Left(x) => k => cmp(k.toLong.compare(x))
+        case scala.Right(s) if ascii(s) && allAscii => k => cmp(k.compare(s))
         case _ => refuse(e)
       }
     val preds: Seq[String => Boolean] =

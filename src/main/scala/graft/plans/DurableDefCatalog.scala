@@ -67,17 +67,33 @@ private[plans] final class DurableDefCatalog[D](
     versionProbe.remove(ownerQ)
   }
 
-  /** The committed defs at `owner`'s latest version, prop-key order. */
+  /** The committed defs at `owner`'s latest version, prop-key order.
+    * Only SUCCESSFUL reads are memoized: a transient readPropsAt
+    * failure returns empty for THIS call but is retried on the next
+    * lookup — caching it would silently disable every durable rewrite
+    * for the (owner, version) until the version bumps, a long-lived
+    * perf regression on a stable table. */
   def lookup(spark: SparkSession, owner: String, ownerQ: String): Vector[D] =
     latestVersion(spark, owner, ownerQ) match {
       case None => Vector.empty
       case Some(v) =>
-        if (memo.size > 512) memo.clear()
-        memo.computeIfAbsent((ownerQ, v), _ =>
-          try ManifestTable.readPropsAt(spark, owner, v).toVector
-            .filter(_._1.startsWith(prefix)).sortBy(_._1)
-            .flatMap { case (_, value) => decode(owner, value) }
-          catch { case scala.util.control.NonFatal(_) => Vector.empty })
+        val k = (ownerQ, v)
+        val cached = memo.get(k)
+        if (cached != null) cached
+        else {
+          val read =
+            try Some(ManifestTable.readPropsAt(spark, owner, v).toVector
+              .filter(_._1.startsWith(prefix)).sortBy(_._1)
+              .flatMap { case (_, value) => decode(owner, value) })
+            catch { case scala.util.control.NonFatal(_) => None }
+          read match {
+            case Some(defs) =>
+              if (memo.size > 512) memo.clear()
+              memo.put(k, defs)
+              defs
+            case None => Vector.empty
+          }
+        }
     }
 
   private def latestVersion(spark: SparkSession, owner: String,

@@ -234,4 +234,51 @@ class IvfPqStoreSpec extends AnyFunSuite {
     val r3 = IvfStore.vacuumGenerations(spark, base, keep = 1)
     assert(r3.retired.isEmpty && r3.orphansDeleted.isEmpty)
   }
+
+  test("retrainCommit(vacuumOrphans = true): the janitor runs in-line with " +
+    "the flip — dead orphans sweep, retention holds, and a rival build " +
+    "racing ABOVE the new pointer survives the vacuum (heartbeat-fresh)") {
+    import graft.ops.GenPointer
+    import org.apache.hadoop.fs.Path
+    val base = freshBase("autogc")
+    val fs = GenPointer.fsOf(spark, base)
+    IvfStore.trainCommit(spark, base, blobs(0 until 40), k = 2) // gen 0 legacy
+    // a crashed build: trained side-by-side, never flipped — dead the
+    // moment anything flips past it
+    val crashed = GenPointer.next(fs, base)
+    IvfStore.trainCommit(spark, GenPointer.root(base, crashed),
+      blobs(0 until 40), k = 2)
+    val mine = crashed + 1
+    // a RIVAL racing us, the real above-the-pointer window: the moment
+    // our build's heartbeat lands (the FIRST thing retrainCommit
+    // writes), the rival numbers past our dir — its generation sits
+    // ABOVE the pointer our flip is about to set, and only the
+    // inactivity horizon (reading its fresh heartbeat FILE mtime, the
+    // object-store-safe signal) stands between it and the janitor
+    val rivalGen = mine + 1
+    val rival = new Thread(() => {
+      val hb = new Path(s"${GenPointer.root(base, mine)}/_heartbeat")
+      while (!fs.exists(hb)) Thread.sleep(5)
+      GenPointer.heartbeat(fs, base, rivalGen)
+    })
+    rival.start()
+    val g = IvfStore.retrainCommit(spark, base, blobs(0 until 50), k = 2,
+      keepGenerations = 1, vacuumOrphans = true)
+    rival.join()
+    assert(g == mine, s"retrain numbered past the crashed orphan: $g")
+    // retention swept in-line: keep=1 retired gen 0's legacy dirs
+    assert(!fs.exists(new Path(IvfStore.indexPath(base))),
+      "retired legacy generation dirs must be gone")
+    // the dead orphan (un-flipped, below the new pointer) swept in-line
+    assert(!fs.exists(new Path(GenPointer.root(base, crashed))),
+      "the crashed build must be vacuumed with the flip")
+    // the racing rival above the new pointer is PROTECTED
+    assert(fs.exists(new Path(s"${GenPointer.root(base, rivalGen)}/_heartbeat")),
+      "an in-flight rival above the pointer must survive the in-line vacuum")
+    // the new generation serves, its own heartbeat present (so a
+    // symmetric rival's janitor could never adjudicate US idle either)
+    assert(fs.exists(new Path(s"${GenPointer.root(base, g)}/_heartbeat")))
+    assert(IvfStore.searchCommitted(spark, base, query, k = 50, nProbe = 2)
+      .count() == 50L)
+  }
 }

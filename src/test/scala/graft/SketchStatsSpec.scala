@@ -164,20 +164,50 @@ class SketchStatsSpec extends AnyFunSuite {
       (1 to 60).map(i => (i.toLong, f"${i % 3 + 1}%02d", (i % 7).toLong))
         .toDF("id", "part", "u"),
       Seq("id"), "part", kmvColumns = Seq("u"), kmvK = 256)
-    // keys are "01".."03": `part = 3` must match "03", not nothing
+    // keys are "01".."03": `part = 3` (INTEGRAL literal) must match
+    // "03" — the engine casts the STRING COLUMN to the numeric domain
     val eqPad = ManifestTable.approxDistinctWhere(spark, padded, "u", "part = 3")
     assert(eqPad.dirs == 1L,
-      s"zero-padded integral keys must coerce: $eqPad")
+      s"an integral literal against a string column must coerce: $eqPad")
+    // …but `part = '3'` (STRING literal) is STRING EQUALITY — the
+    // engine's '3' = '03' is FALSE, so the decidable answer is EMPTY,
+    // never a numerically-coerced over-scoped subset
+    val eqPadStr = ManifestTable.approxDistinctWhere(spark, padded, "u", "part = '3'")
+    assert(eqPadStr.dirs == 0L && eqPadStr.estimate == 0L && eqPadStr.exact,
+      s"a string literal against a string column must not coerce: $eqPadStr")
+    // same on the unpadded table: 'x1' matches no key — decidably empty
+    val eqNoKey = ManifestTable.approxDistinctWhere(spark, path, "u", "part = 'x1'")
+    assert(eqNoKey.dirs == 0L && eqNoKey.estimate == 0L && eqNoKey.exact)
+    // the compare domain comes from the COMMITTED SCHEMA's column
+    // type, never key shape: over an INTEGRAL column with keys 1..12,
+    // a STRING range literal compares NUMERICALLY (`part >= '9'`
+    // keeps 9..12) — textual compare would silently exclude '10'..'12'
+    val intCol = freshPath("adw_int")
+    ManifestTable.merge(spark, intCol,
+      (1 to 60).map(i => (i.toLong, (i % 12 + 1).toLong, (i % 7).toLong))
+        .toDF("id", "part", "u"),
+      Seq("id"), "part", kmvColumns = Seq("u"), kmvK = 256)
+    val strRange = ManifestTable.approxDistinctWhere(spark, intCol, "u", "part >= '9'")
+    assert(strRange.dirs == 4L,
+      s"a string literal over an integral column must compare numerically: $strRange")
+    val strEq = ManifestTable.approxDistinctWhere(spark, intCol, "u", "part = '11'")
+    assert(strEq.dirs == 1L)
     // refusals: non-key column, function of the key, OR, non-literal,
-    // and a cross-domain equality no coercion can decide
+    // a literal family no engine cast decides (unparsable string on an
+    // integral column), and a non-integral cross-domain literal
     for (bad <- Seq("u > 5", "substr(part, 1, 1) = '1'",
-        "part = '1' OR part = '2'", "part = id", "part = 'x1'")) {
+        "part = '1' OR part = '2'", "part = id")) {
       val e = intercept[RuntimeException] {
         ManifestTable.approxDistinctWhere(spark, path, "u", bad)
       }
       assert(e.getMessage.contains("not key-decidable"), s"$bad: ${e.getMessage}")
     }
-    // a STRING key family refuses numeric literals outright
+    val eInt = intercept[RuntimeException] {
+      ManifestTable.approxDistinctWhere(spark, intCol, "u", "part = 'x1'")
+    }
+    assert(eInt.getMessage.contains("not key-decidable"))
+    // a string column whose keys don't all parse refuses an integral
+    // literal (the scan's ANSI cast of the column would error)
     val strKeys = freshPath("adw_str")
     ManifestTable.merge(spark, strKeys,
       Seq((1L, "a", 1L), (2L, "b", 2L)).toDF("id", "part", "u"),
