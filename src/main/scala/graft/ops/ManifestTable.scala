@@ -1747,29 +1747,38 @@ object ManifestTable {
     }.toSeq.groupBy(_._1).view.mapValues(_.map(_._3).toSeq).toMap
   }
 
-  /** Per-partition EXACT SUMS ([[SumTag]]) for integral columns
-    * `cols`: ONE bounded aggregate job over the written batch — the
-    * values sum in decimal(38,0) (exact; a dir's long-column sum
-    * cannot approach 10³⁸), committed as signed decimal integer text
-    * so the stored value never wraps. An all-null (or absent) column
-    * in a dir records NO item — [[graft.plans.StatsAggRule]]
-    * disambiguates through the committed null counts, mirroring the
-    * zone-map all-null convention. Integral input types only: float
-    * sums are reduction-order-dependent and decimal sums carry their
-    * own widening semantics — neither folds as an identity. */
+  /** Per-partition EXACT SUMS ([[SumTag]]) for integral AND decimal
+    * columns `cols`: ONE bounded aggregate job over the written batch.
+    * Integral values sum in decimal(38,0) and commit as the plain
+    * integer total; decimal(p,s) values sum in decimal(38,s) (exact —
+    * fixed-point addition is associative; 38 digits dwarf any real
+    * dir's total, and a dir whose |Σ| really crosses 10³⁸⁻ˢ fails THIS
+    * WRITE loudly under ANSI instead of committing a wrapped item) and
+    * commit as the UNSCALED integer at the column's scale, so the
+    * stored text is scale-free and never wraps. The reader
+    * ([[graft.plans.StatsAggRule]]) re-attaches the scale from the
+    * column's type. An all-null (or absent) column in a dir records NO
+    * item — the rule disambiguates through the committed null counts,
+    * mirroring the zone-map all-null convention. FLOAT columns refuse:
+    * their sums are reduction-order-dependent and never fold as an
+    * identity. */
   private def collectSums(batchDf: DataFrame, partitionCol: String,
                           cols: Seq[String]): Map[String, Seq[String]] = {
-    cols.foreach { c =>
+    import org.apache.spark.sql.types._
+    val scaleOf: Map[String, Int] = cols.map { c =>
       val dt = batchDf.schema(c).dataType
-      require(dt == org.apache.spark.sql.types.ByteType ||
-        dt == org.apache.spark.sql.types.ShortType ||
-        dt == org.apache.spark.sql.types.IntegerType ||
-        dt == org.apache.spark.sql.types.LongType,
-        s"ManifestTable: sumColumns supports integral columns only — $c is " +
-          s"${dt.simpleString} (float sums are order-dependent, decimal sums " +
-          "carry widening semantics; neither folds as an identity)")
-    }
-    val aggs = cols.map(c => sum(col(c).cast("decimal(38,0)")).as(c))
+      val s = dt match {
+        case ByteType | ShortType | IntegerType | LongType => Some(0)
+        case d: DecimalType => Some(d.scale)
+        case _ => None
+      }
+      require(s.isDefined,
+        s"ManifestTable: sumColumns supports integral and decimal columns " +
+          s"only — $c is ${dt.simpleString} (float sums are " +
+          "reduction-order-dependent and never fold as an identity)")
+      c -> s.get
+    }.toMap
+    val aggs = cols.map(c => sum(col(c).cast(s"decimal(38,${scaleOf(c)})")).as(c))
     val rows = batchDf
       .select((col(partitionCol).cast("string").as("__p") +: cols.map(col)): _*)
       .groupBy(col("__p")).agg(aggs.head, aggs.tail: _*).collect()
@@ -1777,7 +1786,9 @@ object ManifestTable {
       val p = r.getString(0)
       cols.zipWithIndex.flatMap { case (c, i) =>
         Option(r.get(i + 1)).map { v =>
-          (p, s"$c$SumTag=${v.asInstanceOf[java.math.BigDecimal].toBigInteger}")
+          val unscaled = v.asInstanceOf[java.math.BigDecimal]
+            .setScale(scaleOf(c)).unscaledValue
+          (p, s"$c$SumTag=$unscaled")
         }
       }
     }.toSeq.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap

@@ -420,20 +420,56 @@ case class StatsAggRule(spark: SparkSession)
 
   /** Exact folded `sum(col)` from the committed per-entry sums
     * (`merge(sumColumns = …)` — [[graft.ops.ManifestTable]] SumTag):
-    * long addition is associative, so Σ over entries is the scan's
-    * sum exactly. Integral inputs only (the committed family), LONG
-    * output only (Spark's integral-sum result type). An entry with
-    * no committed sum contributes nothing ONLY when provably
-    * all-null for the column (sum ignores nulls); zero contributing
-    * entries = NULL result (SQL sum over no non-null rows). A DV
-    * fold DROPS the sum items (no conservative direction), so a
-    * present item is always from an intact write. A folded total
-    * outside Long range backs off — overflow behavior (ANSI error or
-    * legacy wrap) belongs to the scan, never to a silent metadata
-    * answer. */
+    * fixed-point addition is associative, so Σ over entries is the
+    * scan's sum exactly. Two committed families:
+    *
+    *   - INTEGRAL input, LONG output (Spark's integral-sum result
+    *     type): the committed item is the plain total; a folded total
+    *     outside Long range backs off — overflow behavior (ANSI error
+    *     or legacy wrap) belongs to the scan, never to a silent
+    *     metadata answer.
+    *   - DECIMAL(p,s) input, DECIMAL(min(38,p+10),s) output (Spark's
+    *     `Sum.resultType`): the committed item is the UNSCALED total
+    *     at the column's scale; the fold re-attaches the scale and
+    *     must FIT the output precision — the scan's own
+    *     CheckOverflowInSum boundary — or back off (past it the scan
+    *     ANSI-errors / legacy-nulls; a silent metadata value would
+    *     diverge).
+    *
+    * An entry with no committed sum contributes nothing ONLY when
+    * provably all-null for the column (sum ignores nulls); zero
+    * contributing entries = NULL result (SQL sum over no non-null
+    * rows). A DV fold DROPS the sum items (no conservative
+    * direction), so a present item is always from an intact write. */
   private def sumValue(entries: Seq[GraftFileIndex.EntryMeta], c: String,
                        inputDt: DataType, outDt: DataType): Option[Option[Any]] = {
-    if (outDt != LongType || !integralType(inputDt)) return None
+    val decimalShape = (inputDt, outDt) match {
+      case (in: DecimalType, out: DecimalType)
+          if out.scale == in.scale &&
+            out.precision == math.min(38, in.precision + 10) => Some(out)
+      case _ => None
+    }
+    if (decimalShape.isEmpty && (outDt != LongType || !integralType(inputDt)))
+      return None
+    foldSums(entries, c).flatMap {
+      case None => Some(None)
+      case Some(t) => decimalShape match {
+        case None => if (t.isValidLong) Some(Some(t.toLong)) else None
+        case Some(out) =>
+          val dec = org.apache.spark.sql.types.Decimal(
+            BigDecimal(t, out.scale))
+          if (dec.changePrecision(out.precision, out.scale)) Some(Some(dec))
+          else None // overflow belongs to the scan
+      }
+    }
+  }
+
+  /** Fold the committed per-entry sums for `c` as raw (unscaled)
+    * integers. Outer None = an entry is undecidable (no sum, no
+    * all-null proof) — back off; inner None = every entry all-null
+    * (SQL NULL sum). */
+  private def foldSums(entries: Seq[GraftFileIndex.EntryMeta],
+                       c: String): Option[Option[BigInt]] = {
     val per = entries.map { en =>
       en.sums.get(c) match {
         case Some(s) => Some(Some(s))
@@ -444,12 +480,10 @@ case class StatsAggRule(spark: SparkSession)
           }
       }
     }
-    if (per.exists(_.isEmpty)) return None
-    val vals = per.flatten.flatten
-    if (vals.isEmpty) Some(None)
+    if (per.exists(_.isEmpty)) None
     else {
-      val t = vals.sum
-      if (t.isValidLong) Some(Some(t.toLong)) else None
+      val vals = per.flatten.flatten
+      if (vals.isEmpty) Some(None) else Some(Some(vals.sum))
     }
   }
 
@@ -466,6 +500,11 @@ case class StatsAggRule(spark: SparkSession)
     * cast to double. */
   private def avgValue(entries: Seq[GraftFileIndex.EntryMeta], c: String,
                        inputDt: DataType, outDt: DataType): Option[Option[Any]] = {
+    (inputDt, outDt) match {
+      case (in: DecimalType, out: DecimalType) =>
+        return avgDecimal(entries, c, in, out)
+      case _ =>
+    }
     if (outDt != DoubleType || !integralType(inputDt)) return None
     val parts = entries.map { en =>
       for {
@@ -486,6 +525,45 @@ case class StatsAggRule(spark: SparkSession)
     if (maxAbs * BigDecimal(nonNull) > BigDecimal(BigInt(1) << 53)) return None
     val s = ps.map(_._1).sum
     Some(Some(s.toDouble / nonNull.toDouble))
+  }
+
+  /** `avg(decimal(p,s))` from metadata — EXACT with no 2⁵³ proof
+    * needed: the scan's Average accumulates decimals in fixed-point
+    * `decimal(p+10, s)` (associative, order-independent), so the
+    * folded committed sums ARE the scan's internal sum whenever the
+    * total fits that type (past it the scan's CheckOverflowInSum
+    * errors/nulls — back off, overflow belongs to the scan). The
+    * final value then replicates `Average.evaluateExpression`
+    * LITERALLY: the SAME Catalyst `Divide(sum, count.cast(
+    * decimal(20,0)), LEGACY).cast(resultType)` tree is built over the
+    * folded sum and non-null count as literals and EVALUATED — bit
+    * identity by construction, not by re-derivation of Spark's
+    * decimal division/rounding rules. Needs per entry: the committed
+    * sum (or an all-null proof), rowcount, and null count. The
+    * division can never overflow the (p+4, s+4) result (|avg| ≤
+    * max|v|, which fits (p,s)), so ANSI vs legacy cast agree. */
+  private def avgDecimal(entries: Seq[GraftFileIndex.EntryMeta], c: String,
+                         in: DecimalType, out: DecimalType): Option[Option[Any]] = {
+    if (out.precision != math.min(38, in.precision + 4) ||
+        out.scale != math.min(38, in.scale + 4)) return None
+    val sumDt = DecimalType(math.min(38, in.precision + 10), in.scale)
+    val counts = entries.map(en =>
+      for { r <- en.rowCount; n <- en.nullCounts.get(c) } yield r - n)
+    if (counts.exists(_.isEmpty)) return None
+    val nonNull = counts.flatten.sum
+    if (nonNull == 0L) return Some(None)
+    foldSums(entries, c).flatMap {
+      case None => Some(None) // unreachable: nonNull > 0 ⟹ some sum
+      case Some(t) =>
+        val dec = org.apache.spark.sql.types.Decimal(BigDecimal(t, in.scale))
+        if (!dec.changePrecision(sumDt.precision, sumDt.scale)) None
+        else {
+          val div = Divide(Literal(dec, sumDt),
+            Literal(org.apache.spark.sql.types.Decimal(nonNull),
+              DecimalType(20, 0)), EvalMode.LEGACY)
+          Some(Option(Cast(div, out).eval(InternalRow.empty)))
+        }
+    }
   }
 
   /** Exact min or max from the numeric zone maps; entries proven

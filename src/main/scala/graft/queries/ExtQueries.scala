@@ -2263,6 +2263,113 @@ object ExtQueries {
       |FROM ev GROUP BY day ORDER BY day""".stripMargin
 
   // ----------------------------------------------------------------
+  // q230_decimal_sums — METADATA-ONLY DECIMAL SUM/AVG (the
+  // reference's own column types: numeric(20,8) price —
+  // /root/reference/sql/schema.sql:16-18): merge(sumColumns) commits
+  // each dir's EXACT fixed-point sum as scale-free unscaled-integer
+  // text (summed in decimal(38,s) at write time — associative, no
+  // rounding), and StatsAggRule folds them into the scan's own
+  // result types: sum emits decimal(p+10,s) and backs off past that
+  // precision (the scan's CheckOverflowInSum boundary — overflow
+  // behavior belongs to the scan); avg needs NO 2^53 proof (decimal
+  // accumulation is exact) and reproduces Spark's value BIT-FOR-BIT
+  // by evaluating the SAME Divide/Cast tree Average builds. The
+  // oracle recomputes avg by exact HUGEINT arithmetic (round-half-up
+  // at scale s+4) — no float division anywhere. "Total volume
+  // today" on the reference's decimal columns: zero tasks at 100 TB.
+  // A pcol filter composes; a MoR DELETE falls back by plan shape
+  // (dv_scans pins it); precision-overflow and DV-fold back-offs are
+  // pinned in StatsAggSpec.
+  // ----------------------------------------------------------------
+  def q230DecimalSums(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:q230_decimal_sums") {
+      q230DecimalSumsBuild(spark, dir)
+    }
+
+  private def q230DecimalSumsBuild(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.ManifestTable
+    def hasScan(df: DataFrame): Boolean = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.nonEmpty
+    val ev = Tables.events(spark, dir).select(
+      col("event_id"),
+      date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+      col("value").cast("decimal(20,8)").as("price"),
+      when(col("event_id") % 7 === 0, lit(null))
+        .otherwise(col("value") * 2).cast("decimal(20,8)").as("xp"))
+    val path = java.nio.file.Files.createTempDirectory("graft_q230_").toString + "/t"
+    ManifestTable.merge(spark, path, ev, keys = Seq("event_id"), partitionCol = "day",
+      statsColumns = Seq("price", "xp"), sumColumns = Seq("price", "xp"))
+    val glob = ManifestTable.read(spark, path).agg(
+      sum(col("price")).as("sp_all"), avg(col("price")).as("ap_all"),
+      sum(col("xp")).as("sxp_all"), avg(col("xp")).as("axp_all"))
+    glob.collect()
+    val globMeta = !hasScan(glob)
+    val g = ManifestTable.read(spark, path).groupBy(col("day"))
+      .agg(sum(col("price")).as("sp"), avg(col("price")).as("ap"),
+        sum(col("xp")).as("sxp"))
+    g.collect()
+    val day0 = ev.agg(min(col("day"))).collect()(0).getString(0)
+    val flt = ManifestTable.read(spark, path).where(col("day") > day0)
+      .agg(sum(col("price")).as("sp_flt"))
+    flt.collect()
+    val metaOnly = globMeta && !hasScan(g) && !hasScan(flt)
+    ManifestTable.deleteWhereMoR(spark, path, "day", col("event_id") % 211 === 5)
+    val after = ManifestTable.read(spark, path).groupBy(col("day"))
+      .agg(sum(col("price")).as("sp_dv"))
+    after.collect()
+    val dvScans = hasScan(after)
+    g.join(after, Seq("day")).crossJoin(glob).crossJoin(flt)
+      .withColumn("meta_only", lit(metaOnly))
+      .withColumn("dv_scans", lit(dvScans))
+      .orderBy(col("day"))
+  }
+
+  val q230DecimalSumsSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+      |    CAST(value AS DECIMAL(20,8)) AS price,
+      |    CASE WHEN event_id % 7 = 0 THEN NULL
+      |         ELSE CAST(value * 2 AS DECIMAL(20,8)) END AS xp
+      |  FROM events),
+      |g AS (
+      |  SELECT day, CAST(sum(price) AS DECIMAL(30,8)) AS sp,
+      |    sum(CAST(price * 100000000 AS HUGEINT)) AS sp8, count(price) AS np,
+      |    CAST(sum(xp) AS DECIMAL(30,8)) AS sxp,
+      |    CAST(sum(CASE WHEN event_id % 211 <> 5 THEN price END)
+      |         AS DECIMAL(30,8)) AS sp_dv
+      |  FROM ev GROUP BY day),
+      |t AS (
+      |  SELECT CAST(sum(price) AS DECIMAL(30,8)) AS sp_all,
+      |    sum(CAST(price * 100000000 AS HUGEINT)) AS sp8, count(price) AS np,
+      |    CAST(sum(xp) AS DECIMAL(30,8)) AS sxp_all,
+      |    sum(CAST(xp * 100000000 AS HUGEINT)) AS sxp8, count(xp) AS nxp
+      |  FROM ev),
+      |f AS (
+      |  SELECT CAST(sum(price) AS DECIMAL(30,8)) AS sp_flt FROM ev
+      |  WHERE day > (SELECT min(day) FROM ev))
+      |SELECT g.day, g.sp,
+      |  -- avg(decimal(20,8)) = decimal(24,12), round-half-up of the
+      |  -- EXACT sum/count (positive prices): (2*num + n) // (2*n)
+      |  CAST(CAST((g.sp8*10000*2 + g.np) // (2*g.np) // 1000000000000
+      |         AS VARCHAR) || '.' ||
+      |       lpad(CAST((g.sp8*10000*2 + g.np) // (2*g.np) % 1000000000000
+      |         AS VARCHAR), 12, '0') AS DECIMAL(24,12)) AS ap,
+      |  g.sxp, g.sp_dv, t.sp_all,
+      |  CAST(CAST((t.sp8*10000*2 + t.np) // (2*t.np) // 1000000000000
+      |         AS VARCHAR) || '.' ||
+      |       lpad(CAST((t.sp8*10000*2 + t.np) // (2*t.np) % 1000000000000
+      |         AS VARCHAR), 12, '0') AS DECIMAL(24,12)) AS ap_all,
+      |  t.sxp_all,
+      |  CAST(CAST((t.sxp8*10000*2 + t.nxp) // (2*t.nxp) // 1000000000000
+      |         AS VARCHAR) || '.' ||
+      |       lpad(CAST((t.sxp8*10000*2 + t.nxp) // (2*t.nxp) % 1000000000000
+      |         AS VARCHAR), 12, '0') AS DECIMAL(24,12)) AS axp_all,
+      |  f.sp_flt, TRUE AS meta_only, TRUE AS dv_scans
+      |FROM g, t, f ORDER BY g.day""".stripMargin
+
+  // ----------------------------------------------------------------
   // q207_mv_rewrite — AUTOMATIC MATERIALIZED-VIEW REWRITE
   // (graft.plans.MvRewriteRule + MvRegistry, the query side of
   // IncrementalAgg): a registered grouped COUNT/SUM view answers a

@@ -357,6 +357,63 @@ class StatsAggSpec extends AnyFunSuite {
       case s: FileSourceScanExec => s }.nonEmpty)
   }
 
+  test("DECIMAL sum/avg from committed per-dir sums: exact fixed-point fold " +
+    "emitting the scan's own result types, avg through Spark's own " +
+    "Divide/Cast tree — bit-equal to the scan — and a fold past the scan's " +
+    "CheckOverflowInSum precision backs off at plan time") {
+    val path = freshPath("decsums")
+    val rows = Seq(
+      (1L, Option(BigDecimal("12345.67891234")), "d1"),
+      (2L, Option(BigDecimal("-0.00000001")), "d1"),
+      (3L, Option.empty[BigDecimal], "d2"),
+      (4L, Option(BigDecimal("77777777777.12345678")), "d2"),
+      (5L, Option(BigDecimal("0.99999999")), "d3"),
+      (6L, Option(BigDecimal("1.00000003")), "d3"),
+      (7L, Option.empty[BigDecimal], "d4")) // an ALL-NULL partition
+      .toDF("id", "p", "day")
+      .select(col("id"), col("p").cast("decimal(20,8)").as("p"), col("day"))
+    ManifestTable.merge(spark, path, rows, Seq("id"), "day",
+      statsColumns = Seq("id", "p"), sumColumns = Seq("p"))
+    def q = ManifestTable.read(spark, path).agg(
+      sum(col("p")).as("sp"), avg(col("p")).as("ap"))
+    val (d1, s1, r1) = run(q)
+    assert(d1 == 1 && !s1, "decimal sum/avg must answer from metadata")
+    assert(q.schema("sp").dataType.sql == "DECIMAL(30,8)" &&
+      q.schema("ap").dataType.sql == "DECIMAL(24,12)",
+      s"the rewrite must keep the scan's Sum/Average result types: ${q.schema}")
+    spark.conf.set("spark.graft.statsAgg.enabled", "false")
+    try assert(r1 == q.collect().toSeq,
+      "metadata decimal sum/avg must be BIT-equal to the scan")
+    finally spark.conf.set("spark.graft.statsAgg.enabled", "true")
+    // grouped per day — incl. the all-null day folding to SQL NULLs
+    def g = ManifestTable.read(spark, path).groupBy(col("day"))
+      .agg(sum(col("p")).as("sp"), avg(col("p")).as("ap")).orderBy(col("day"))
+    val (d2, s2, r2) = run(g)
+    assert(d2 == 1 && !s2)
+    spark.conf.set("spark.graft.statsAgg.enabled", "false")
+    try assert(r2 == g.collect().toSeq)
+    finally spark.conf.set("spark.graft.statsAgg.enabled", "true")
+    assert(r2.last.isNullAt(1) && r2.last.isNullAt(2),
+      s"an all-null partition's sum and avg are SQL NULL: ${r2.last}")
+    // a fold past the output precision backs off: decimal(38,0) caps
+    // Sum's widening at 38 digits, so two near-max per-dir sums (each
+    // committed fine at write time) overflow the FOLD — the plan must
+    // fall back to the scan, which owns the overflow behavior
+    val ovf = freshPath("decovf")
+    val big = "9" * 38
+    ManifestTable.merge(spark, ovf,
+      Seq((1L, big, "a"), (2L, big, "b")).toDF("id", "p", "day")
+        .select(col("id"), col("p").cast("decimal(38,0)").as("p"), col("day")),
+      Seq("id"), "day", statsColumns = Seq("p"), sumColumns = Seq("p"))
+    val before = StatsAggRule.rewrites.get
+    val dfo = ManifestTable.read(spark, ovf).agg(sum(col("p")).as("sp"))
+    dfo.queryExecution.executedPlan // force optimization, never execute
+    assert(StatsAggRule.rewrites.get == before,
+      "a precision-overflowing decimal fold must not answer from metadata")
+    assert(dfo.queryExecution.sparkPlan.collect {
+      case s: FileSourceScanExec => s }.nonEmpty)
+  }
+
   test("GROUP BY pcol folds per-key count/count(col)/min/max from each " +
     "entry's metadata — no scan — incl. min/max of the key column itself " +
     "(strings exact: the key IS the value), matching the real scan") {
