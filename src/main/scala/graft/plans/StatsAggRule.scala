@@ -94,7 +94,7 @@ case class StatsAggRule(spark: SparkSession)
     }
 
   private def rewrite(a: Aggregate): Option[LogicalPlan] =
-    resolveScan(a.child).flatMap { case (idx, colOf, filters) =>
+    resolveScan(a.child).flatMap { case (idx, colOf, _, filters) =>
       narrow(idx, colOf, filters).flatMap { entries =>
         val values = a.aggregateExpressions.map(ne =>
           valueOf(ne, entries, colOf, idx.partitionColName))
@@ -109,91 +109,153 @@ case class StatsAggRule(spark: SparkSession)
       }
     }
 
-  /** GROUPED metadata-only aggregates — `GROUP BY pcol` ONLY (Spark's
-    * own `OptimizeMetadataOnlyQuery` shape, widened to this format's
+  /** GROUPED metadata-only aggregates — `GROUP BY pcol` or `GROUP BY
+    * <deterministic expression of pcol>` (Spark's own
+    * `OptimizeMetadataOnlyQuery` shape, widened to this format's
     * footer stats): every row of an entry carries the entry's
     * partition value, so a partition-key grouping is a GROUP PER
-    * SURVIVING NON-EMPTY ENTRY and each group's count/count(col)/
-    * min/max folds from that single entry's committed metadata — one
-    * LocalRelation row per live key, zero tasks ("rows per day" at
-    * 100 TB in driver milliseconds). The grouping expression must be
-    * the BARE partition column (any computed grouping is pulled out
-    * by the optimizer as a non-identity alias and stops [[resolveScan]];
-    * any other column's grouping backs off here). The same [[narrow]]
-    * filter adjudication applies; the group VALUE parses back from
-    * the entry key exactly for the key-roundtrip-lossless types
-    * ([[keyInternal]]) — and min/max OF the partition column itself
-    * answer from the key even for strings (the key IS the value;
-    * footer truncation is not in play). A duplicate key, a keyless
-    * (MoR appendix) entry, or a missing rowcount backs the whole
-    * rewrite off. */
+    * SURVIVING NON-EMPTY ENTRY, and a deterministic EXPRESSION of the
+    * key (`GROUP BY substr(day, 1, 7)` — the month-rollup dashboard
+    * query; the analyzer pulls it below the Aggregate as a
+    * `_groupingexpression` alias, which [[resolveScan]] carries) is
+    * CONSTANT WITHIN each entry — so grouping by it merely MERGES
+    * whole entries, and each group's count/count(col)/min/max/sum/avg
+    * folds from its member entries' committed metadata exactly as the
+    * global rewrite does over all of them: one LocalRelation row per
+    * group, zero tasks ("rows per month" at 100 TB in driver
+    * milliseconds). The expression evaluates per entry KEY on the
+    * driver (same Catalyst eval the scan would run per row); an
+    * evaluation error backs off — the scan then raises it itself. The
+    * same [[narrow]] filter adjudication applies; the key parses back
+    * only for the key-roundtrip-lossless types ([[keyInternal]]) —
+    * and min/max OF the partition column itself answer from the
+    * member keys even for strings (the key IS the value; footer
+    * truncation is not in play). A duplicate key, a keyless (MoR
+    * appendix) entry, a missing rowcount, or a non-pcol reference in
+    * the grouping backs the whole rewrite off. */
   private def rewriteGrouped(a: Aggregate): Option[LogicalPlan] =
-    resolveScan(a.child).flatMap { case (idx, colOf, filters) =>
+    resolveScan(a.child).flatMap { case (idx, colOf, aliasOf, filters) =>
       for {
         pcol <- idx.partitionColName
-        g <- a.groupingExpressions.head match {
-          case ar: AttributeReference
-              if colOf.get(ar.exprId).exists(_._1 == pcol) => Some(ar)
-          case _ => None
+        g = a.groupingExpressions.head
+        // the grouping, with alias references inlined, as an
+        // expression over the bare scan attributes
+        resolved = g.transformUp {
+          case ar: AttributeReference if aliasOf.contains(ar.exprId) =>
+            aliasOf(ar.exprId)
         }
+        if resolved.deterministic && resolved.references.nonEmpty &&
+          resolved.references.forall(r =>
+            colOf.get(r.exprId).exists(_._1 == pcol))
+        pcolDt <- resolved.references.headOption.map(_.dataType)
         entries <- narrow(idx, colOf, filters)
         if entries.forall(en => en.key.isDefined && en.rowCount.isDefined)
         live = entries.filter(_.rowCount.exists(_ > 0))
         if live.map(_.key.get).distinct.size == live.size // one entry per key
+        groups <- groupByExpr(live, resolved, pcolDt)
         rows <- {
-          val perKey = live.sortBy(_.key.get).map { en =>
+          val perGroup = groups.map { case (gv, ens) =>
             val values = a.aggregateExpressions.map(ne =>
-              valueOfGrouped(ne, en, g, colOf, pcol))
+              valueOfGrouped(ne, ens, g, gv, colOf, pcol, pcolDt))
             if (values.exists(_.isEmpty)) None
             else Some(InternalRow.fromSeq(values.map(_.get.orNull)))
           }
-          if (perKey.exists(_.isEmpty)) None else Some(perKey.flatten)
+          if (perGroup.exists(_.isEmpty)) None else Some(perGroup.flatten)
         }
       } yield {
         StatsAggRule.rewrites.incrementAndGet()
-        logInfo(s"graft stats-agg: answered a GROUP BY $pcol aggregate from " +
-          s"${live.size} manifest entries (no scan)")
+        logInfo(s"graft stats-agg: answered a GROUP BY ${g.sql} aggregate " +
+          s"from ${live.size} manifest entries in ${groups.size} group(s) " +
+          "(no scan)")
         LocalRelation(a.output, rows)
       }
     }
 
-  /** One output value of a pcol-grouped aggregate, from ONE entry's
-    * metadata (the entry IS the group). */
+  /** Partition `live` entries into groups by the grouping expression
+    * evaluated on each entry's parsed-back key (internal values, the
+    * same eval the scan runs per row). None = a key does not parse
+    * losslessly or the eval throws (ANSI error — the scan owns it).
+    * Groups order deterministically by rendered value, nulls first
+    * (SQL groups nulls together). */
+  private def groupByExpr(live: Seq[GraftFileIndex.EntryMeta],
+                          resolved: Expression, pcolDt: DataType)
+      : Option[Seq[(Any, Seq[GraftFileIndex.EntryMeta])]] = {
+    val evaluated = live.map { en =>
+      keyInternal(en.key.get, pcolDt).flatMap { kv =>
+        val bound = resolved.transformUp {
+          case _: AttributeReference => Literal(kv, pcolDt)
+        }
+        try Some(bound.eval(InternalRow.empty))
+        catch { case scala.util.control.NonFatal(_) => None }
+      }.map(gv => gv -> en)
+    }
+    if (evaluated.exists(_.isEmpty)) None
+    else Some(evaluated.flatten
+      .groupBy { case (gv, _) => Option(gv).fold("")("v" + _.toString) }
+      .toSeq.sortBy(_._1)
+      .map { case (_, pairs) => (pairs.head._1, pairs.map(_._2)) })
+  }
+
+  /** One output value of a grouped aggregate, from the group's MEMBER
+    * entries' metadata (counts and sums add, min/max combine — the
+    * global fold restricted to the group's subset). */
   private def valueOfGrouped(ne: NamedExpression,
-                             en: GraftFileIndex.EntryMeta,
-                             g: AttributeReference,
+                             ens: Seq[GraftFileIndex.EntryMeta],
+                             g: Expression, groupValue: Any,
                              colOf: Map[ExprId, (String, DataType)],
-                             pcol: String): Option[Option[Any]] = {
-    val key = en.key.get
+                             pcol: String, pcolDt: DataType): Option[Option[Any]] = {
     def phys(ar: AttributeReference): Option[(String, DataType)] = colOf.get(ar.exprId)
+    def keyFold(dt: DataType, isMin: Boolean): Option[Option[Any]] = {
+      // min/max of the KEY column folds over the member keys — exact
+      // for any key-lossless type, strings included (the key IS the
+      // value); the compare happens on the RAW key text, which orders
+      // identically to the internal value for every keyInternal type
+      // (integrals zero-trim to numeric compare via parse, ISO dates
+      // and ASCII-safe strings compare bytewise)
+      val parsed = ens.map(en => keyInternal(en.key.get, dt).map(_ => en.key.get))
+      if (parsed.exists(_.isEmpty)) None
+      else {
+        val keys = parsed.flatten
+        val pick = dt match {
+          case ByteType | ShortType | IntegerType | LongType =>
+            val ls = keys.map(_.toLong)
+            (if (isMin) ls.min else ls.max).toString
+          case StringType => // Spark string order is UTF8 BYTE order
+            val us = keys.map(org.apache.spark.unsafe.types.UTF8String.fromString)
+            (if (isMin) us.min else us.max).toString
+          case _ => if (isMin) keys.min else keys.max // ISO dates: ASCII
+        }
+        keyInternal(pick, dt).map(v => Some(v))
+      }
+    }
     val e = ne match {
       case Alias(child, _) => child
       case other => other
     }
     e match {
-      case ar: AttributeReference if ar.exprId == g.exprId =>
-        keyInternal(key, g.dataType).map(v => Some(v))
+      case ar: AttributeReference if g.isInstanceOf[AttributeReference] &&
+          ar.exprId == g.asInstanceOf[AttributeReference].exprId =>
+        Some(Option(groupValue))
+      case other if other.semanticEquals(g) => Some(Option(groupValue))
       case l: Literal => Some(Option(l.value))
       case AggregateExpression(fn, _, false, None, _) => fn match {
-        case Count(Seq(l: Literal)) if l.value != null => countStar(Seq(en))
+        case Count(Seq(l: Literal)) if l.value != null => countStar(ens)
         case Count(Seq(ar: AttributeReference)) =>
-          phys(ar).flatMap { case (c, _) => countCol(Seq(en), c) }
+          phys(ar).flatMap { case (c, _) => countCol(ens, c) }
         case Min(ar: AttributeReference) =>
           phys(ar).flatMap { case (c, dt) =>
-            // min/max of the KEY column is the key itself — exact for
-            // any key-lossless type, strings included
-            if (c == pcol) keyInternal(key, dt).map(v => Some(v))
-            else bound(Seq(en), c, dt, isMin = true)
+            if (c == pcol) keyFold(dt, isMin = true)
+            else bound(ens, c, dt, isMin = true)
           }
         case Max(ar: AttributeReference) =>
           phys(ar).flatMap { case (c, dt) =>
-            if (c == pcol) keyInternal(key, dt).map(v => Some(v))
-            else bound(Seq(en), c, dt, isMin = false)
+            if (c == pcol) keyFold(dt, isMin = false)
+            else bound(ens, c, dt, isMin = false)
           }
         case Sum(ar: AttributeReference, _) =>
-          phys(ar).flatMap { case (c, dt) => sumValue(Seq(en), c, dt, fn.dataType) }
+          phys(ar).flatMap { case (c, dt) => sumValue(ens, c, dt, fn.dataType) }
         case Average(ar: AttributeReference, _) =>
-          phys(ar).flatMap { case (c, dt) => avgValue(Seq(en), c, dt, fn.dataType) }
+          phys(ar).flatMap { case (c, dt) => avgValue(ens, c, dt, fn.dataType) }
         case _ => None
       }
       case _ => None
@@ -219,31 +281,48 @@ case class StatsAggRule(spark: SparkSession)
 
   /** Walk to a bare, un-narrowed [[GraftFileIndex]] scan, carrying the
     * exprId → physical-column-name mapping through identity Projects
-    * (the reader's rename layer is `Alias(AttributeReference)`) and
-    * collecting deterministic Filters for [[narrow]] to adjudicate.
-    * Any other operator answers None. */
+    * (the reader's rename layer is `Alias(AttributeReference)`),
+    * recording NON-IDENTITY deterministic aliases (the analyzer pulls
+    * a computed grouping below the Aggregate as a
+    * `_groupingexpression` alias — [[rewriteGrouped]] adjudicates and
+    * evaluates them; an aggregate referencing one simply fails its
+    * colOf lookup and backs off), and collecting deterministic
+    * Filters for [[narrow]] to adjudicate. Recorded alias expressions
+    * are pre-inlined to scan-level references, so one transform
+    * resolves a grouping fully. Any other operator answers None. */
   private def resolveScan(p: LogicalPlan)
-      : Option[(GraftFileIndex, Map[ExprId, (String, DataType)], Seq[Expression])] =
+      : Option[(GraftFileIndex, Map[ExprId, (String, DataType)],
+                Map[ExprId, Expression], Seq[Expression])] =
     p match {
       case lr: LogicalRelation => lr.relation match {
         case fs: HadoopFsRelation => fs.location match {
           case g: GraftFileIndex if !g.isNarrowed =>
-            Some((g, lr.output.map(a => a.exprId -> (a.name, a.dataType)).toMap, Nil))
+            Some((g, lr.output.map(a => a.exprId -> (a.name, a.dataType)).toMap,
+              Map.empty, Nil))
           case _ => None
         }
         case _ => None
       }
-      case Project(projList, child) => resolveScan(child).map { case (g, m, f) =>
+      case Project(projList, child) => resolveScan(child).map { case (g, m, ax, f) =>
         // MERGE the alias mappings rather than replace: a Filter
         // below this Project references scan-level ids that must
         // stay resolvable (exprIds are globally unique, no clashes)
-        (g, m ++ projList.flatMap {
+        val ids = m ++ projList.flatMap {
           case al @ Alias(ar: AttributeReference, _) => m.get(ar.exprId).map(al.exprId -> _)
           case _ => None // non-alias outputs simply aren't resolvable
-        }.toMap, f)
+        }.toMap
+        val exprs = ax ++ projList.flatMap {
+          case al @ Alias(child, _)
+              if !child.isInstanceOf[AttributeReference] && child.deterministic =>
+            Some(al.exprId -> child.transformUp {
+              case ar: AttributeReference if ax.contains(ar.exprId) => ax(ar.exprId)
+            })
+          case _ => None
+        }.toMap
+        (g, ids, exprs, f)
       }
       case f: Filter if f.condition.deterministic =>
-        resolveScan(f.child).map { case (g, m, fs) => (g, m, fs :+ f.condition) }
+        resolveScan(f.child).map { case (g, m, ax, fs) => (g, m, ax, fs :+ f.condition) }
       case SubqueryAlias(_, child) => resolveScan(child)
       case _ => None
     }

@@ -2263,6 +2263,101 @@ object ExtQueries {
       |FROM ev GROUP BY day ORDER BY day""".stripMargin
 
   // ----------------------------------------------------------------
+  // q231_expr_grouped_stats — GROUPED METADATA AGGREGATES BY AN
+  // EXPRESSION OF THE PARTITION KEY (StatsAggRule rewriteGrouped,
+  // widened past the bare pcol): `GROUP BY substr(day, …)` — the
+  // month/decade-rollup dashboard shape — evaluates the expression
+  // per manifest entry KEY on the driver (the same Catalyst eval the
+  // scan runs per row; constant within an entry since every row
+  // carries the entry's partition value) and MERGES whole entries
+  // per evaluated value: counts and exact sums add, min/max combine,
+  // the key column folds from member keys, avg rides the committed
+  // sums (decimal exactly; long under the 2^53 proof). One
+  // LocalRelation row per rollup group, zero tasks at 100 TB. The
+  // gate pins: (1) the DataFrame AND spark.sql surfaces both rewrite
+  // with no file scan (meta_only — the analyzer's _groupingexpression
+  // aliasing is carried through the scan walk); (2) a pcol filter
+  // composes (flt_meta_only); (3) a MoR delete forces the same
+  // rollup back to a real scan (dv_scans), values SQL-exact again.
+  // Eval-throwing and mixed-reference groupings are pinned as
+  // back-offs in StatsAggSpec.
+  // ----------------------------------------------------------------
+  def q231ExprGroupedStats(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:q231_expr_grouped_stats") {
+      q231ExprGroupedStatsBuild(spark, dir)
+    }
+
+  private def q231ExprGroupedStatsBuild(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.ManifestTable
+    def hasScan(df: DataFrame): Boolean = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.nonEmpty
+    val ev = Tables.events(spark, dir).select(
+      col("event_id"), col("user_id"),
+      when(col("event_id") % 7 === 0, lit(null).cast("long"))
+        .otherwise(col("user_id")).as("xv"),
+      floor(col("value") * 1000).cast("long").as("v"),
+      col("value").cast("decimal(20,8)").as("price"),
+      date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+    val path = java.nio.file.Files.createTempDirectory("graft_q231_").toString + "/t"
+    ManifestTable.merge(spark, path, ev, keys = Seq("event_id"), partitionCol = "day",
+      statsColumns = Seq("event_id", "user_id", "xv", "v", "price"),
+      sumColumns = Seq("v", "price"))
+    // the 10-day "decade" rollup: substr(day, 9, 1) merges ~10 whole
+    // day-entries per group
+    def rollup(): DataFrame = ManifestTable.read(spark, path)
+      .groupBy(substring(col("day"), 9, 1).as("dec"))
+      .agg(count(lit(1)).as("n"), count(col("xv")).as("n_xv"),
+        sum(col("v")).as("sv"), avg(col("v")).as("av"),
+        sum(col("price")).as("sp"),
+        min(col("day")).as("mn_day"), max(col("day")).as("mx_day"),
+        max(col("user_id")).as("mx_u"))
+    val g = rollup(); g.collect()
+    ManifestTable.read(spark, path).createOrReplaceTempView("q231_t")
+    val gs = spark.sql("SELECT substr(day, 9, 1) AS dec, count(*) AS n_sql, " +
+      "sum(v) AS sv_sql FROM q231_t GROUP BY substr(day, 9, 1)")
+    gs.collect()
+    val metaOnly = !hasScan(g) && !hasScan(gs)
+    val day0 = ev.agg(min(col("day"))).collect()(0).getString(0)
+    val flt = ManifestTable.read(spark, path).where(col("day") > day0)
+      .groupBy(substring(col("day"), 9, 1).as("dec"))
+      .agg(count(lit(1)).as("n_flt"))
+    flt.collect()
+    val fltMetaOnly = !hasScan(flt)
+    ManifestTable.deleteWhereMoR(spark, path, "day", col("event_id") % 211 === 5)
+    val after = ManifestTable.read(spark, path)
+      .groupBy(substring(col("day"), 9, 1).as("dec"))
+      .agg(count(lit(1)).as("n_dv"))
+    after.collect()
+    val dvScans = hasScan(after)
+    g.join(gs, Seq("dec")).join(flt, Seq("dec")).join(after, Seq("dec"))
+      .withColumn("meta_only", lit(metaOnly))
+      .withColumn("flt_meta_only", lit(fltMetaOnly))
+      .withColumn("dv_scans", lit(dvScans))
+      .orderBy(col("dec"))
+  }
+
+  val q231ExprGroupedStatsSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id,
+      |    CASE WHEN event_id % 7 = 0 THEN NULL ELSE user_id END AS xv,
+      |    CAST(floor(value * 1000) AS BIGINT) AS v,
+      |    CAST(value AS DECIMAL(20,8)) AS price,
+      |    strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+      |  FROM events)
+      |SELECT substr(day, 9, 1) AS dec, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(count(xv) AS BIGINT) AS n_xv,
+      |  CAST(sum(v) AS BIGINT) AS sv, avg(v) AS av,
+      |  CAST(sum(price) AS DECIMAL(30,8)) AS sp,
+      |  min(day) AS mn_day, max(day) AS mx_day, max(user_id) AS mx_u,
+      |  CAST(count(*) AS BIGINT) AS n_sql, CAST(sum(v) AS BIGINT) AS sv_sql,
+      |  CAST(count(*) FILTER (day > (SELECT min(day) FROM ev)) AS BIGINT) AS n_flt,
+      |  CAST(count(*) FILTER (event_id % 211 <> 5) AS BIGINT) AS n_dv,
+      |  TRUE AS meta_only, TRUE AS flt_meta_only, TRUE AS dv_scans
+      |FROM ev GROUP BY substr(day, 9, 1) ORDER BY dec""".stripMargin
+
+  // ----------------------------------------------------------------
   // q230_decimal_sums — METADATA-ONLY DECIMAL SUM/AVG (the
   // reference's own column types: numeric(20,8) price —
   // /root/reference/sql/schema.sql:16-18): merge(sumColumns) commits

@@ -443,6 +443,69 @@ class StatsAggSpec extends AnyFunSuite {
     assert(d3 == 1 && !s3 && r3.map(_.getString(0)) == Seq("d1", "d2", "d3"))
   }
 
+  test("GROUP BY an EXPRESSION of pcol merges whole entries per evaluated " +
+    "value — the month-rollup dashboard query scanless — with counts/sums " +
+    "adding, min/max combining, and the key column folding from member keys") {
+    val path = freshPath("gexpr")
+    val rows = Seq(
+      (1L, Some(10L), BigDecimal("1.5"), "2024-01-01"),
+      (2L, Some(7L), BigDecimal("2.5"), "2024-01-02"),
+      (3L, None, BigDecimal("3.25"), "2024-01-03"),
+      (4L, Some(-4L), BigDecimal("4.5"), "2024-02-01"),
+      (5L, Some(42L), BigDecimal("5.5"), "2024-02-02"),
+      (6L, None, BigDecimal("6.5"), "2024-02-02"))
+      .toDF("id", "x", "p", "day")
+      .select(col("id"), col("x"), col("p").cast("decimal(20,8)").as("p"), col("day"))
+    ManifestTable.merge(spark, path, rows, Seq("id"), "day",
+      statsColumns = Seq("id", "x", "p"), sumColumns = Seq("x", "p"))
+    def q = ManifestTable.read(spark, path)
+      .groupBy(substring(col("day"), 1, 7).as("month"))
+      .agg(count(lit(1)).as("n"), count(col("x")).as("nx"),
+        sum(col("x")).as("sx"), avg(col("x")).as("ax"),
+        sum(col("p")).as("sp"),
+        min(col("day")).as("mn_day"), max(col("day")).as("mx_day"),
+        max(col("id")).as("mx_id"))
+      .orderBy(col("month"))
+    val (delta, scanned, rs) = run(q)
+    assert(delta == 1 && !scanned,
+      s"the expression grouping must fold from metadata: delta=$delta scanned=$scanned")
+    spark.conf.set("spark.graft.statsAgg.enabled", "false")
+    try assert(rs == q.collect().toSeq, "expression-grouped metadata != scan")
+    finally spark.conf.set("spark.graft.statsAgg.enabled", "true")
+    assert(rs.map(_.getString(0)) == Seq("2024-01", "2024-02"))
+    assert(rs.map(_.getLong(1)) == Seq(3L, 3L) &&
+      rs.map(_.getString(6)) == Seq("2024-01-01", "2024-02-01") &&
+      rs.map(_.getString(7)) == Seq("2024-01-03", "2024-02-02"))
+    // the SQL surface normalizes to the same _groupingexpression shape
+    ManifestTable.read(spark, path).createOrReplaceTempView("gexpr_t")
+    def qs = spark.sql(
+      "SELECT substr(day, 1, 7) AS month, count(*) AS n, sum(x) AS sx " +
+        "FROM gexpr_t GROUP BY substr(day, 1, 7) ORDER BY month")
+    val (ds, ss, rsql) = run(qs)
+    assert(ds == 1 && !ss)
+    spark.conf.set("spark.graft.statsAgg.enabled", "false")
+    try assert(rsql == qs.collect().toSeq)
+    finally spark.conf.set("spark.graft.statsAgg.enabled", "true")
+    // a pcol FILTER composes with the expression grouping
+    def qf = ManifestTable.read(spark, path).where(col("day") >= "2024-02")
+      .groupBy(substring(col("day"), 1, 7).as("month"))
+      .agg(count(lit(1)).as("n"))
+    val (df1, sf1, rf) = run(qf)
+    assert(df1 == 1 && !sf1 &&
+      rf.map(r => (r.getString(0), r.getLong(1))) == Seq(("2024-02", 3L)))
+    // an expression whose driver-side eval THROWS on these keys (ANSI
+    // cast of a non-numeric key) must back off to the scan — which
+    // owns the error — not crash the planner; plan-only, never run
+    val before = StatsAggRule.rewrites.get
+    val bad = ManifestTable.read(spark, path)
+      .groupBy((col("day").cast("int") + 1).as("g")).agg(count(lit(1)).as("n"))
+    bad.queryExecution.executedPlan // force optimization
+    assert(StatsAggRule.rewrites.get == before,
+      "an eval-throwing grouping must not answer from metadata")
+    assert(bad.queryExecution.sparkPlan.collect {
+      case s: FileSourceScanExec => s }.nonEmpty)
+  }
+
   test("grouped back-offs: non-pcol grouping, computed grouping, row filter " +
     "on a data column, count(distinct), string bounds of a non-key column, " +
     "and a pending DV all fall back to the scan with unchanged results") {
@@ -452,10 +515,14 @@ class StatsAggSpec extends AnyFunSuite {
     // non-pcol grouping
     val (d1, s1, _) = run(t.groupBy(col("s")).agg(count(lit(1)).as("n")))
     assert(d1 == 0 && s1)
-    // computed grouping over the pcol
-    val (d2, s2, _) = run(t.groupBy(substring(col("day"), 1, 1).as("g"))
+    // computed grouping over a NON-pcol column
+    val (d2, s2, _) = run(t.groupBy(substring(col("s"), 1, 1).as("g"))
       .agg(count(lit(1)).as("n")))
     assert(d2 == 0 && s2)
+    // computed grouping mixing pcol with a data column
+    val (d2b, s2b, _) = run(t.groupBy(concat(col("day"), col("s")).as("g"))
+      .agg(count(lit(1)).as("n")))
+    assert(d2b == 0 && s2b)
     // row filter on a data column
     val (d3, s3, _) = run(t.where(col("id") > 2L).groupBy(col("day"))
       .agg(count(lit(1)).as("n")))
