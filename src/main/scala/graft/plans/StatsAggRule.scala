@@ -94,18 +94,16 @@ case class StatsAggRule(spark: SparkSession)
     }
 
   private def rewrite(a: Aggregate): Option[LogicalPlan] =
-    resolveScan(a.child).flatMap { case (idx, colOf, _, filters) =>
-      narrow(idx, colOf, filters).flatMap { entries =>
-        val values = a.aggregateExpressions.map(ne =>
-          valueOf(ne, entries, colOf, idx.partitionColName))
-        if (values.exists(_.isEmpty)) None
-        else {
-          StatsAggRule.rewrites.incrementAndGet()
-          logInfo(s"graft stats-agg: answered ${a.aggregateExpressions.size} " +
-            s"aggregate(s) from ${entries.size} manifest entries (no scan)")
-          Some(LocalRelation(a.output,
-            Seq(InternalRow.fromSeq(values.map(_.get.orNull)))))
-        }
+    resolveScan(a.child).flatMap { case ResolvedScan(entries, pcol, colOf, _) =>
+      val values = a.aggregateExpressions.map(ne =>
+        valueOf(ne, entries, colOf, pcol))
+      if (values.exists(_.isEmpty)) None
+      else {
+        StatsAggRule.rewrites.incrementAndGet()
+        logInfo(s"graft stats-agg: answered ${a.aggregateExpressions.size} " +
+          s"aggregate(s) from ${entries.size} manifest entries (no scan)")
+        Some(LocalRelation(a.output,
+          Seq(InternalRow.fromSeq(values.map(_.get.orNull)))))
       }
     }
 
@@ -134,9 +132,9 @@ case class StatsAggRule(spark: SparkSession)
     * appendix) entry, a missing rowcount, or a non-pcol reference in
     * the grouping backs the whole rewrite off. */
   private def rewriteGrouped(a: Aggregate): Option[LogicalPlan] =
-    resolveScan(a.child).flatMap { case (idx, colOf, aliasOf, filters) =>
+    resolveScan(a.child).flatMap { case ResolvedScan(entries, pcolOpt, colOf, aliasOf) =>
       for {
-        pcol <- idx.partitionColName
+        pcol <- pcolOpt
         g = a.groupingExpressions.head
         // the grouping, with alias references inlined, as an
         // expression over the bare scan attributes
@@ -148,7 +146,6 @@ case class StatsAggRule(spark: SparkSession)
           resolved.references.forall(r =>
             colOf.get(r.exprId).exists(_._1 == pcol))
         pcolDt <- resolved.references.headOption.map(_.dataType)
-        entries <- narrow(idx, colOf, filters)
         if entries.forall(en => en.key.isDefined && en.rowCount.isDefined)
         live = entries.filter(_.rowCount.exists(_ > 0))
         if live.map(_.key.get).distinct.size == live.size // one entry per key
@@ -279,31 +276,84 @@ case class StatsAggRule(spark: SparkSession)
     case _ => None
   }
 
-  /** Walk to a bare, un-narrowed [[GraftFileIndex]] scan, carrying the
-    * exprId → physical-column-name mapping through identity Projects
-    * (the reader's rename layer is `Alias(AttributeReference)`),
-    * recording NON-IDENTITY deterministic aliases (the analyzer pulls
-    * a computed grouping below the Aggregate as a
-    * `_groupingexpression` alias — [[rewriteGrouped]] adjudicates and
-    * evaluates them; an aggregate referencing one simply fails its
-    * colOf lookup and backs off), and collecting deterministic
-    * Filters for [[narrow]] to adjudicate. Recorded alias expressions
-    * are pre-inlined to scan-level references, so one transform
-    * resolves a grouping fully. Any other operator answers None. */
-  private def resolveScan(p: LogicalPlan)
-      : Option[(GraftFileIndex, Map[ExprId, (String, DataType)],
+  /** A plan resolved to pure manifest metadata: the surviving entry
+    * metas (filters already absorbed), the partition column, and the
+    * head plan's attribute/alias maps for the Aggregate above. */
+  private case class ResolvedScan(entries: Seq[GraftFileIndex.EntryMeta],
+                                  pcol: Option[String],
+                                  colOf: Map[ExprId, (String, DataType)],
+                                  aliasOf: Map[ExprId, Expression])
+
+  /** Resolve `p` to metadata — a single branch, or a UNION of
+    * branches over the SAME table (the MULTI-BIN COMPACTED read
+    * shape: `Union(scan(exclusive), Filter(cast(pcol) IN binKeys,
+    * scan(sharedDir)) …)` — routine weekly compaction at 100 TB must
+    * not silently demote the zero-scan dashboard answers to scans
+    * forever). Union-all folding is ADDITIVE — counts/sums add,
+    * min/max combine, per-branch entry metas each describe exactly
+    * their branch's rows (a shared dir carries one meta PER KEY,
+    * transplanted verbatim from before the compact, and the branch's
+    * key filter keeps exactly those keys' rows) — so concatenating
+    * the branches' surviving entries is exact even for overlapping
+    * branches (a self-union double-counts in both the scan and the
+    * fold). Branch schemas must agree positionally by (name, type) —
+    * the aggregate references the HEAD branch's attributes — and
+    * every branch must share the table root and partition column. */
+  private def resolveScan(p: LogicalPlan): Option[ResolvedScan] = p match {
+    case u: Union =>
+      val branches = u.children.map(resolveBranch)
+      if (branches.exists(_.isEmpty)) None
+      else {
+        val bs = branches.flatten
+        val shape = bs.head._1.output.map(a => (a.name, a.dataType))
+        val sameShape = bs.forall(_._1.output.map(a => (a.name, a.dataType)) == shape)
+        val roots = bs.map(_._2.rootPaths.headOption).distinct
+        val pcols = bs.map(_._2.partitionColName).distinct
+        if (!sameShape || roots.size != 1 || pcols.size != 1) None
+        else {
+          val narrowed = bs.map { case (_, idx, colOf, _, filters) =>
+            narrow(idx.entryMetas, idx.partitionColName, colOf, filters)
+          }
+          if (narrowed.exists(_.isEmpty)) None
+          else {
+            val (_, headIdx, headCols, headAliases, _) = bs.head
+            Some(ResolvedScan(narrowed.flatten.flatten,
+              headIdx.partitionColName, headCols, headAliases))
+          }
+        }
+      }
+    case other => resolveBranch(other).flatMap { case (_, idx, colOf, aliasOf, filters) =>
+      narrow(idx.entryMetas, idx.partitionColName, colOf, filters)
+        .map(ResolvedScan(_, idx.partitionColName, colOf, aliasOf))
+    }
+  }
+
+  /** Walk one branch to a bare, un-narrowed [[GraftFileIndex]] scan,
+    * carrying the exprId → physical-column-name mapping through
+    * identity Projects (the reader's rename layer is
+    * `Alias(AttributeReference)`), recording NON-IDENTITY
+    * deterministic aliases (the analyzer pulls a computed grouping
+    * below the Aggregate as a `_groupingexpression` alias —
+    * [[rewriteGrouped]] adjudicates and evaluates them; an aggregate
+    * referencing one simply fails its colOf lookup and backs off),
+    * and collecting deterministic Filters for [[narrow]] to
+    * adjudicate. Recorded alias expressions are pre-inlined to
+    * scan-level references, so one transform resolves a grouping
+    * fully. Any other operator answers None. */
+  private def resolveBranch(p: LogicalPlan)
+      : Option[(LogicalPlan, GraftFileIndex, Map[ExprId, (String, DataType)],
                 Map[ExprId, Expression], Seq[Expression])] =
     p match {
       case lr: LogicalRelation => lr.relation match {
         case fs: HadoopFsRelation => fs.location match {
           case g: GraftFileIndex if !g.isNarrowed =>
-            Some((g, lr.output.map(a => a.exprId -> (a.name, a.dataType)).toMap,
+            Some((p, g, lr.output.map(a => a.exprId -> (a.name, a.dataType)).toMap,
               Map.empty, Nil))
           case _ => None
         }
         case _ => None
       }
-      case Project(projList, child) => resolveScan(child).map { case (g, m, ax, f) =>
+      case Project(projList, child) => resolveBranch(child).map { case (_, g, m, ax, f) =>
         // MERGE the alias mappings rather than replace: a Filter
         // below this Project references scan-level ids that must
         // stay resolvable (exprIds are globally unique, no clashes)
@@ -319,11 +369,13 @@ case class StatsAggRule(spark: SparkSession)
             })
           case _ => None
         }.toMap
-        (g, ids, exprs, f)
+        (p, g, ids, exprs, f)
       }
       case f: Filter if f.condition.deterministic =>
-        resolveScan(f.child).map { case (g, m, ax, fs) => (g, m, ax, fs :+ f.condition) }
-      case SubqueryAlias(_, child) => resolveScan(child)
+        resolveBranch(f.child).map { case (_, g, m, ax, fs) =>
+          (p, g, m, ax, fs :+ f.condition) }
+      case SubqueryAlias(_, child) =>
+        resolveBranch(child).map { case (_, g, m, ax, fs) => (p, g, m, ax, fs) }
       case _ => None
     }
 
@@ -340,14 +392,23 @@ case class StatsAggRule(spark: SparkSession)
     * ASCII strings (where Java order == UTF8 byte order — the zone-map
     * argument); anything else backs off. Any entry without a key (a
     * MoR appendix dir) poisons the rewrite. */
-  private def narrow(idx: GraftFileIndex,
+  private def narrow(entries: Seq[GraftFileIndex.EntryMeta],
+                     pcolOpt: Option[String],
                      colOf: Map[ExprId, (String, DataType)],
                      filters: Seq[Expression]): Option[Seq[GraftFileIndex.EntryMeta]] = {
-    val entries = idx.entryMetas
     if (filters.isEmpty) return Some(entries)
-    val pcol = idx.partitionColName.getOrElse(return None)
+    val pcol = pcolOpt.getOrElse(return None)
     def isPcol(e: Expression): Boolean = e match {
       case ar: AttributeReference => colOf.get(ar.exprId).exists(_._1 == pcol)
+      case _ => false
+    }
+    // the reader's own shared-bin row filter: `cast(pcol as string)`
+    // — its value IS the manifest key text (dirs are keyed by exactly
+    // this cast), so key-set predicates over it keep entries
+    // whole-or-not-at-all by exact string identity
+    def isPcolKeyText(e: Expression): Boolean = e match {
+      case Cast(ar: AttributeReference, StringType, _, _) =>
+        colOf.get(ar.exprId).exists(_._1 == pcol)
       case _ => false
     }
     // a key-string predicate for `pcol <cmp> lit`, when the compare
@@ -387,6 +448,17 @@ case class StatsAggRule(spark: SparkSession)
         val ss = vs.map(v => GraftFileIndex.strOf(v.asInstanceOf[Literal]))
         if (ss.exists(_.isEmpty)) None
         else { val set = ss.flatten.toSet; Some(scala.Left(set)) }
+      // the shared-bin key filter in its three optimizer forms
+      case EqualTo(k, l: Literal) if isPcolKeyText(k) && l.value != null =>
+        val s = l.value.toString
+        Some(scala.Left((key: String) => key == s))
+      case In(k, vs) if isPcolKeyText(k) && vs.forall(v =>
+          v.isInstanceOf[Literal] && v.asInstanceOf[Literal].value != null) =>
+        val set = vs.map(_.asInstanceOf[Literal].value.toString).toSet
+        Some(scala.Left(set))
+      case InSet(k, hset) if isPcolKeyText(k) && !hset.contains(null) =>
+        val set = hset.map(_.toString)
+        Some(scala.Left((key: String) => set.contains(key)))
       case GreaterThan(k, l: Literal) if isPcol(k) =>
         cmpPred(l, _ > 0).map(scala.Left(_))
       case GreaterThan(l: Literal, k) if isPcol(k) =>

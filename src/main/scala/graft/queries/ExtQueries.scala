@@ -2263,6 +2263,115 @@ object ExtQueries {
       |FROM ev GROUP BY day ORDER BY day""".stripMargin
 
   // ----------------------------------------------------------------
+  // q232_union_compact_stats — THE METADATA FAST PATH SURVIVES A
+  // MULTI-BIN COMPACTION (StatsAggRule resolveScan over the reader's
+  // union shape): routine bin-packing rewrites a fine-partitioned
+  // table into several SHARED dirs + exclusive leftovers, and the
+  // read plans as `Union(scan(exclusive), Filter(cast(pcol) IN
+  // binKeys, scan(bin)) …)` — before this rule learned the shape,
+  // the first weekly compact silently demoted every zero-scan
+  // dashboard answer to a full scan FOREVER. Union-all folding is
+  // additive (counts/sums add, min/max combine) and each shared dir
+  // carries one meta PER KEY transplanted verbatim, so the fold is
+  // exact. Gate pins: ≥2 bins actually written (bins_written); the
+  // global count/min/max/sum/avg (long + decimal), the per-day and
+  // the expression-rollup groupings, and a pcol-filtered count all
+  // answer scanless post-compact (meta_only) and SQL-exact; a MoR
+  // delete poisons one branch and backs the whole union off
+  // (dv_scans) with post-delete values exact again.
+  // ----------------------------------------------------------------
+  def q232UnionCompactStats(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:q232_union_compact_stats") {
+      q232UnionCompactStatsBuild(spark, dir)
+    }
+
+  private def q232UnionCompactStatsBuild(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.ManifestTable
+    def hasScan(df: DataFrame): Boolean = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.nonEmpty
+    val ev = Tables.events(spark, dir).select(
+      col("event_id"), col("user_id"),
+      when(col("event_id") % 7 === 0, lit(null).cast("long"))
+        .otherwise(col("user_id")).as("xv"),
+      floor(col("value") * 1000).cast("long").as("v"),
+      col("value").cast("decimal(20,8)").as("price"),
+      date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+    val path = java.nio.file.Files.createTempDirectory("graft_q232_").toString + "/t"
+    ManifestTable.merge(spark, path, ev, keys = Seq("event_id"), partitionCol = "day",
+      statsColumns = Seq("event_id", "user_id", "xv", "v", "price"),
+      sumColumns = Seq("v", "price"))
+    // bin ~1/4 of the table per shared dir → several bins + leftovers
+    val fsys = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lens = ManifestTable.read(spark, path).inputFiles
+      .map(f => fsys.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen)
+    val comp = ManifestTable.compact(spark, path, "day",
+      targetBytes = math.max(1L, lens.sum / 4), minDirs = 2)
+    val binsWritten = comp.binsWritten
+    val glob = ManifestTable.read(spark, path).agg(
+      count(lit(1)).as("n_all"), count(col("xv")).as("nxv_all"),
+      min(col("event_id")).as("mn_e"), max(col("event_id")).as("mx_e"),
+      sum(col("v")).as("sv_all"), avg(col("v")).as("av_all"),
+      sum(col("price")).as("sp_all"),
+      count_distinct(col("day")).as("nd_day"))
+    glob.collect()
+    val g = ManifestTable.read(spark, path).groupBy(col("day"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    g.collect()
+    val roll = ManifestTable.read(spark, path)
+      .groupBy(substring(col("day"), 9, 1).as("dec"))
+      .agg(count(lit(1)).as("n_dec"), sum(col("price")).as("sp_dec"))
+    roll.collect()
+    val day0 = ev.agg(min(col("day"))).collect()(0).getString(0)
+    val flt = ManifestTable.read(spark, path).where(col("day") > day0)
+      .agg(count(lit(1)).as("n_flt"))
+    flt.collect()
+    val metaOnly = !hasScan(glob) && !hasScan(g) && !hasScan(roll) && !hasScan(flt)
+    ManifestTable.deleteWhereMoR(spark, path, "day", col("event_id") % 211 === 5)
+    val after = ManifestTable.read(spark, path).agg(count(lit(1)).as("n_dv"))
+    after.collect()
+    val dvScans = hasScan(after)
+    g.join(roll, substring(col("day"), 9, 1) === col("dec"))
+      .crossJoin(glob).crossJoin(flt).crossJoin(after)
+      .withColumn("bins_multi", lit(binsWritten >= 2L))
+      .withColumn("meta_only", lit(metaOnly))
+      .withColumn("dv_scans", lit(dvScans))
+      .orderBy(col("day"))
+  }
+
+  val q232UnionCompactStatsSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id,
+      |    CASE WHEN event_id % 7 = 0 THEN NULL ELSE user_id END AS xv,
+      |    CAST(floor(value * 1000) AS BIGINT) AS v,
+      |    CAST(value AS DECIMAL(20,8)) AS price,
+      |    strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+      |  FROM events),
+      |dec_g AS (
+      |  SELECT substr(day, 9, 1) AS dec, CAST(count(*) AS BIGINT) AS n_dec,
+      |    CAST(sum(price) AS DECIMAL(30,8)) AS sp_dec
+      |  FROM ev GROUP BY substr(day, 9, 1))
+      |SELECT day, CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS sv,
+      |  d.dec, d.n_dec, d.sp_dec,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM ev) AS n_all,
+      |  (SELECT CAST(count(xv) AS BIGINT) FROM ev) AS nxv_all,
+      |  (SELECT min(event_id) FROM ev) AS mn_e,
+      |  (SELECT max(event_id) FROM ev) AS mx_e,
+      |  (SELECT CAST(sum(v) AS BIGINT) FROM ev) AS sv_all,
+      |  (SELECT avg(v) FROM ev) AS av_all,
+      |  (SELECT CAST(sum(price) AS DECIMAL(30,8)) FROM ev) AS sp_all,
+      |  (SELECT CAST(count(DISTINCT day) AS BIGINT) FROM ev) AS nd_day,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM ev
+      |   WHERE day > (SELECT min(day) FROM ev)) AS n_flt,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM ev
+      |   WHERE event_id % 211 <> 5) AS n_dv,
+      |  TRUE AS bins_multi, TRUE AS meta_only, TRUE AS dv_scans
+      |FROM ev JOIN dec_g d ON substr(ev.day, 9, 1) = d.dec
+      |GROUP BY day, d.dec, d.n_dec, d.sp_dec ORDER BY day""".stripMargin
+
+  // ----------------------------------------------------------------
   // q231_expr_grouped_stats — GROUPED METADATA AGGREGATES BY AN
   // EXPRESSION OF THE PARTITION KEY (StatsAggRule rewriteGrouped,
   // widened past the bare pcol): `GROUP BY substr(day, …)` — the

@@ -506,6 +506,76 @@ class StatsAggSpec extends AnyFunSuite {
       case s: FileSourceScanExec => s }.nonEmpty)
   }
 
+  test("a MULTI-BIN compacted table keeps the metadata fast path: the " +
+    "union-of-branches read (bins + exclusive dirs) folds additively — " +
+    "global, grouped, expression-grouped and pcol-filtered aggregates all " +
+    "scanless and bit-equal — and a DV'd branch backs the whole union off") {
+    val path = freshPath("unioncomp")
+    val rows = (1L to 90L).map { i =>
+      val d = (i - 1) % 9 + 1
+      (i, if (i % 11 == 0) None else Some(i * 3),
+        BigDecimal(i).setScale(2) * BigDecimal("0.25"), f"2024-01-0$d%d")
+    }.toDF("id", "x", "p", "day")
+      .select(col("id"), col("x"), col("p").cast("decimal(20,8)").as("p"), col("day"))
+    ManifestTable.merge(spark, path, rows, Seq("id"), "day",
+      statsColumns = Seq("id", "x", "p"), sumColumns = Seq("x", "p"))
+    // pack ~3 small dirs per bin; 9 dirs → ≥2 shared bins (+ possibly
+    // an exclusive leftover under minDirs)
+    val avgBytes = {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val ds = ManifestTable.read(spark, path).inputFiles
+        .map(f => fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen)
+      ds.sum / ds.length
+    }
+    val res = ManifestTable.compact(spark, path, "day",
+      targetBytes = (avgBytes * 3.2).toLong, minDirs = 2)
+    assert(res.committed && res.binsWritten >= 2,
+      s"need a MULTI-bin layout for this pin: $res")
+    // global over the union of branches
+    def qg = ManifestTable.read(spark, path).agg(
+      count(lit(1)).as("n"), count(col("x")).as("nx"),
+      min(col("id")).as("mn"), max(col("id")).as("mx"),
+      sum(col("x")).as("sx"), avg(col("x")).as("ax"),
+      sum(col("p")).as("sp"), countDistinct(col("day")).as("nd"))
+    val (d1, s1, r1) = run(qg)
+    assert(d1 == 1 && !s1,
+      s"a multi-bin compacted table must keep the metadata fast path: $d1 $s1")
+    spark.conf.set("spark.graft.statsAgg.enabled", "false")
+    try assert(r1 == qg.collect().toSeq, "union fold != scan")
+    finally spark.conf.set("spark.graft.statsAgg.enabled", "true")
+    // grouped by pcol and by an expression of it, across bins
+    def qd = ManifestTable.read(spark, path).groupBy(col("day"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx")).orderBy(col("day"))
+    val (d2, s2, r2) = run(qd)
+    assert(d2 == 1 && !s2)
+    spark.conf.set("spark.graft.statsAgg.enabled", "false")
+    try assert(r2 == qd.collect().toSeq)
+    finally spark.conf.set("spark.graft.statsAgg.enabled", "true")
+    def qe = ManifestTable.read(spark, path)
+      .groupBy((substring(col("day"), 10, 1).cast("int") % 2).as("g"))
+      .agg(count(lit(1)).as("n"), sum(col("p")).as("sp"),
+        max(col("day")).as("mxd"))
+      .orderBy(col("g"))
+    val (d3, s3, r3) = run(qe)
+    assert(d3 == 1 && !s3)
+    spark.conf.set("spark.graft.statsAgg.enabled", "false")
+    try assert(r3 == qe.collect().toSeq)
+    finally spark.conf.set("spark.graft.statsAgg.enabled", "true")
+    // a pcol filter composes per branch (some branches may empty out)
+    def qf = ManifestTable.read(spark, path).where(col("day") >= "2024-01-07")
+      .agg(count(lit(1)).as("n"))
+    val (d4, s4, r4) = run(qf)
+    assert(d4 == 1 && !s4 && r4.head.getLong(0) == 30L)
+    // a DV on one branch poisons the whole union (plan shape: the
+    // DV'd branch joins its sidecar) — fall back, values exact
+    ManifestTable.deleteWhereMoR(spark, path, "day", col("id") === 7L)
+    def qdv = ManifestTable.read(spark, path).agg(count(lit(1)).as("n"))
+    val (d5, s5, r5) = run(qdv)
+    assert(d5 == 0 && s5, "a DV'd branch must back the union off")
+    assert(r5.head.getLong(0) == 89L)
+  }
+
   test("grouped back-offs: non-pcol grouping, computed grouping, row filter " +
     "on a data column, count(distinct), string bounds of a non-key column, " +
     "and a pending DV all fall back to the scan with unchanged results") {
