@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -13,12 +13,13 @@ import graft.ops.{GraftFileIndex, IncrementalJoin, ManifestTable}
 /** JOIN-VIEW REGISTRY — which [[IncrementalJoin]]-maintained
   * enrichment views stand for which `fact ⋈ dim` pairs. Registration
   * is the explicit opt-in; [[IncrementalJoin]]'s contracts carry
-  * over: INNER equi-join on a dim-UNIQUE key (N:1 — the view is
-  * row-per-fact-row, which is what makes filter re-application on
-  * the view an identity). */
+  * over: equi-join on a dim-UNIQUE key — single or COMPOSITE — with
+  * `inner` or `left_outer` (fact-preserving) semantics; the view is
+  * row-per-fact-row in both modes, which is what makes filter
+  * re-application on the view an identity. */
 object MvJoinRegistry {
   final case class MvJoinDef(factPath: String, dimPath: String, viewPath: String,
-                             joinKey: String)
+                             joinKeys: Seq[String], joinType: String)
 
   private val defs =
     new java.util.concurrent.ConcurrentHashMap[(String, String), Vector[MvJoinDef]]
@@ -34,21 +35,38 @@ object MvJoinRegistry {
 
   /** Shared catalog mechanics ([[DurableDefCatalog]]): `mv.join.NNNN`
     * props on the FACT manifest hold the URL-encoded dim and view
-    * paths plus the join key; corrupt props skip on lookup, sweep on
+    * paths, the ','-joined key list (ORDER-STABLE — the encoded order
+    * is the registered order) and the join type; a 3-part value is an
+    * r17-era single-key inner def and decodes as such, so existing
+    * catalogs keep working. Corrupt props skip on lookup, sweep on
     * durable unregister. */
   private val catalog = new DurableDefCatalog[MvJoinDef](
     graft.ops.ManifestTable.MvJoinDefPropPrefix,
-    d => Seq(enc(d.dimPath), enc(d.viewPath), d.joinKey).mkString("|"),
+    d => Seq(enc(d.dimPath), enc(d.viewPath), d.joinKeys.mkString(","),
+      d.joinType).mkString("|"),
     (factPath, value) => try {
       val parts = value.split('|')
-      Some(MvJoinDef(factPath, dec(parts(0)), dec(parts(1)), parts(2)))
+      val keys = parts(2).split(',').toSeq.filter(_.nonEmpty)
+      val jt = if (parts.length >= 4) parts(3) else "inner"
+      if (keys.isEmpty || !Set("inner", "left_outer")(jt)) None
+      else Some(MvJoinDef(factPath, dec(parts(0)), dec(parts(1)), keys, jt))
     } catch { case scala.util.control.NonFatal(_) => None },
     (a, b) => a.viewPath == b.viewPath)
 
-  /** A pair may carry several views (one per join key); the rewrite
-    * tries them in registration order. Re-registering the same
-    * `viewPath` replaces its definition in place (durably too — it
-    * keeps its prop slot). `durable = true` commits the definition
+  /** Single-key inner registration — the original surface. */
+  def register(spark: SparkSession, factPath: String, dimPath: String,
+               viewPath: String, joinKey: String): Unit =
+    register(spark, factPath, dimPath, viewPath, Seq(joinKey))
+
+  /** Single-key inner registration, durable. */
+  def register(spark: SparkSession, factPath: String, dimPath: String,
+               viewPath: String, joinKey: String, durable: Boolean): Unit =
+    register(spark, factPath, dimPath, viewPath, Seq(joinKey), durable = durable)
+
+  /** A pair may carry several views (one per key list / join type);
+    * the rewrite tries them in registration order. Re-registering the
+    * same `viewPath` replaces its definition in place (durably too —
+    * it keeps its prop slot). `durable = true` commits the definition
     * as a `mv.join.NNNN` prop on the FACT table's manifest, so a
     * fresh session's [[lookup]] rediscovers it with no in-memory
     * state; `retainVersions` is that commit's retention horizon
@@ -56,12 +74,15 @@ object MvJoinRegistry {
     * Registration ORDER vs refresh does not matter: freshness
     * bridges metadata-only commits by data-entry identity. */
   def register(spark: SparkSession, factPath: String, dimPath: String,
-               viewPath: String, joinKey: String,
+               viewPath: String, joinKeys: Seq[String],
+               joinType: String = "inner",
                durable: Boolean = false,
                retainVersions: Int = 2): Unit = {
-    require(!joinKey.contains(',') && !joinKey.contains('|'),
-      "MvJoinRegistry.register: the join key must not contain ',' or '|'")
-    val d = MvJoinDef(factPath, dimPath, viewPath, joinKey)
+    require(joinKeys.nonEmpty, "MvJoinRegistry.register: no join keys")
+    require(joinKeys.forall(k => !k.contains(',') && !k.contains('|')),
+      "MvJoinRegistry.register: join keys must not contain ',' or '|'")
+    val jt = IncrementalJoin.normalizeJoinType(joinType)
+    val d = MvJoinDef(factPath, dimPath, viewPath, joinKeys, jt)
     defs.compute((keyOf(spark, factPath), keyOf(spark, dimPath)), (_, old) =>
       Option(old).getOrElse(Vector.empty)
         .filterNot(_.viewPath == viewPath) :+ d)
@@ -107,35 +128,50 @@ object MvJoinRegistry {
 /** AUTOMATIC JOIN-VIEW REWRITE — the query side of
   * [[IncrementalJoin]]: a plain
   *
-  * {{{ ManifestTable.read(spark, fact).join(ManifestTable.read(spark, dim), "k") }}}
+  * {{{ ManifestTable.read(spark, fact).join(ManifestTable.read(spark, dim), keys) }}}
   *
   * is answered from the maintained enrichment view instead — one
   * pre-joined scan versus a scan + shuffle/broadcast join — when the
   * rewrite is provably an identity:
   *
-  *   - the Join is INNER with a single deterministic equi-condition
-  *     on the REGISTERED join key, each side walking to a bare, full,
-  *     un-narrowed [[GraftFileIndex]] scan of the registered fact/dim
-  *     (identity Projects / SubqueryAlias / deterministic Filters
-  *     absorbed — the N:1 inner join is row-per-fact-row, so a
-  *     row-level filter on either side's columns commutes with the
-  *     join and re-applies on the view EXACTLY);
+  *   - the Join is INNER (either orientation) or LEFT OUTER with the
+  *     registered FACT on the LEFT (the fact-preserving shape the
+  *     view materializes; a dim-preserving outer join is a different
+  *     result set and never rewrites), with a deterministic
+  *     conjunction of attribute equalities covering EXACTLY the
+  *     registered key list — single or COMPOSITE — each conjunct
+  *     equating the same-named column on both sides, each side
+  *     walking to a bare, full, un-narrowed [[GraftFileIndex]] scan
+  *     of the registered fact/dim (identity Projects / SubqueryAlias
+  *     / deterministic Filters absorbed — row-per-fact-row makes a
+  *     row-level filter commute with the join and re-apply on the
+  *     view EXACTLY ... with one outer-join exception: a DIM-side
+  *     filter does NOT commute with null-extension (pre-filtering the
+  *     dim null-extends MORE fact rows; post-filtering the view
+  *     DROPS them), so left_outer declines any dim-side filter);
   *   - both scans are CURRENT and COMPLETE (dir-set identity against
   *     the latest manifests — time travel, partition-filtered reads,
   *     join-narrowed indexes, pending-MoR plans all fail this);
   *   - the view is FRESH: its committed `join.fact_version` /
   *     `join.dim_version` equal both current versions, checked and
-  *     then READ at the same pinned view version;
+  *     then READ at the same pinned view version — and when the view
+  *     recorded its semantics (`join.type` / `join.keys`), they must
+  *     match the registered definition (defense in depth against a
+  *     mis-registered view);
   *   - every join-output column resolves in the view by name with an
-  *     identical type (both sides of the key map to the view's single
-  *     key column — value-equal under the inner equi-join).
+  *     identical type. Under INNER both key attrs map to the view's
+  *     single key column (value-equal under the equi-join); under
+  *     LEFT OUTER the DIM-side key attr is NULL exactly on unmatched
+  *     rows, so it maps to the view's null-extended
+  *     [[IncrementalJoin.dimKeyCol]] copy instead.
   *
   * Injected BEFORE [[JoinPruneRule]] so a rewritable join never pays
   * the planning-time dim probe; anything the rewrite declines falls
   * through to pruning as before. Driver-side metadata only.
   * `spark.graft.mvRewrite.enabled=false` turns this off together with
   * the aggregate rewrite. */
-case class MvJoinRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
+case class MvJoinRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
+    with PredicateHelper {
 
   private def enabled: Boolean =
     spark.conf.get("spark.graft.mvRewrite.enabled", "true").toBoolean
@@ -145,7 +181,7 @@ case class MvJoinRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // fresh session (lookup memoizes its manifest probe per version)
     if (!enabled) plan
     else plan.transformUp {
-      case j @ Join(_, _, Inner, Some(cond), _) if cond.deterministic =>
+      case j @ Join(_, _, Inner | LeftOuter, Some(cond), _) if cond.deterministic =>
         rewrite(j, cond).getOrElse(j)
     }
 
@@ -154,44 +190,75 @@ case class MvJoinRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
                           filters: Seq[Expression])
 
   private def rewrite(j: Join, cond: Expression): Option[LogicalPlan] = for {
-    (a, b) <- cond match {
-      case EqualTo(a: AttributeReference, b: AttributeReference) => Some((a, b))
-      case _ => None
+    // every conjunct an attr=attr equality, oriented (left, right)
+    pairs <- {
+      val oriented = splitConjunctivePredicates(cond).map {
+        case EqualTo(a: AttributeReference, b: AttributeReference) =>
+          if (j.left.outputSet.contains(a) && j.right.outputSet.contains(b))
+            Some((a, b))
+          else if (j.left.outputSet.contains(b) && j.right.outputSet.contains(a))
+            Some((b, a))
+          else None
+        case _ => None
+      }
+      if (oriented.exists(_.isEmpty)) None else Some(oriented.flatten)
     }
+    if pairs.nonEmpty
     left <- walk(j.left, Nil)
     right <- walk(j.right, Nil)
-    // which attr belongs to which side, then which side is the
-    // registered FACT (try both orientations)
-    (lk, rk) <-
-      if (j.left.outputSet.contains(a) && j.right.outputSet.contains(b))
-        Some((a, b))
-      else if (j.left.outputSet.contains(b) && j.right.outputSet.contains(a))
-        Some((b, a))
-      else None
     plan <- {
-      // several views may stand for one pair (one per join key) and
-      // either side may be the registered fact — try each candidate
-      // in registration order, first match wins
+      // several views may stand for one pair (one per key list / join
+      // type) and either side may be the registered fact — try each
+      // candidate in registration order, first match wins. factLeft
+      // tracks the orientation for the outer-join adjudication.
       val candidates =
         MvJoinRegistry.lookup(spark, left.root, right.root)
-          .map(m => (m, left, right, lk, rk)) ++
+          .map(m => (m, left, right, pairs, true)) ++
         MvJoinRegistry.lookup(spark, right.root, left.root)
-          .map(m => (m, right, left, rk, lk))
-      candidates.view.flatMap { case (mv, fact, dim, fk, dk) =>
-        val keyed = fact.colOf.get(fk.exprId).exists(_._1 == mv.joinKey) &&
-          dim.colOf.get(dk.exprId).exists(_._1 == mv.joinKey)
+          .map(m => (m, right, left, pairs.map(_.swap), false))
+      candidates.view.flatMap { case (mv, fact, dim, kp, factLeft) =>
+        val leftOuter = j.joinType == LeftOuter
+        // the conjuncts must equate the same-named column on both
+        // sides and cover the registered key list exactly
+        val names = kp.map { case (fa, da) =>
+          for {
+            (fn, _) <- fact.colOf.get(fa.exprId)
+            (dn, _) <- dim.colOf.get(da.exprId)
+            if fn == dn
+          } yield fn
+        }
+        val ks = names.flatten
+        val keyed = !names.exists(_.isEmpty) &&
+          ks.distinct.size == ks.size && ks.toSet == mv.joinKeys.toSet
+        val typeOk =
+          if (leftOuter) mv.joinType == "left_outer" && factLeft
+          else mv.joinType == "inner"
+        // a dim-side filter does not commute with null-extension. The
+        // ONE exception is the optimizer's own inferred
+        // `isnotnull(<join key>)` on the dim build side — a null dim
+        // key never matches, so dropping such rows changes nothing
+        // about the outer result; those conjuncts are admitted and
+        // EXCLUDED from view translation (applying them on the view
+        // would drop exactly the null-extended rows they must spare)
+        val filtersOk = !leftOuter ||
+          dim.filters.flatMap(splitConjunctivePredicates).forall {
+            case IsNotNull(ar: AttributeReference) =>
+              dim.colOf.get(ar.exprId).exists(p => mv.joinKeys.contains(p._1))
+            case _ => false
+          }
         // a non-key NAME shared by both sides would make the by-name
         // view mapping ambiguous (such a view cannot be built anyway)
-        val unambiguous = !(fact.colOf.values.map(_._1).toSet - mv.joinKey)
-          .exists((dim.colOf.values.map(_._1).toSet - mv.joinKey))
-        if (!keyed || !unambiguous) None
+        val unambiguous = !(fact.colOf.values.map(_._1).toSet -- mv.joinKeys)
+          .exists((dim.colOf.values.map(_._1).toSet -- mv.joinKeys))
+        if (!keyed || !typeOk || !filtersOk || !unambiguous) None
         else for {
           viewVersion <- fresh(mv, fact, dim)
-          p <- build(j, mv, fact, dim, fk, dk, viewVersion)
+          p <- build(j, mv, fact, dim, leftOuter, viewVersion)
         } yield {
           MvJoinRegistry.rewrites.incrementAndGet()
           logInfo(s"graft mv-join-rewrite: answered ${mv.factPath} ⋈ " +
-            s"${mv.dimPath} from the maintained view ${mv.viewPath}")
+            s"${mv.dimPath} (${mv.joinType}) from the maintained view " +
+            s"${mv.viewPath}")
           p
         }
       }.headOption
@@ -220,10 +287,11 @@ case class MvJoinRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  /** Both scans complete+current, view folded exactly that DATA;
-    * returns the pinned view version. Metadata-only commits on
-    * either base (constraints, the `mv.join.*` catalog write itself,
-    * sort order) bridge through data-entry identity
+  /** Both scans complete+current, view folded exactly that DATA and
+    * (when recorded) with exactly the registered SEMANTICS; returns
+    * the pinned view version. Metadata-only commits on either base
+    * (constraints, the `mv.join.*` catalog write itself, sort order)
+    * bridge through data-entry identity
     * ([[ManifestTable.sameDataEntries]]) — so durable registration
     * order vs refresh is irrelevant. */
   private def fresh(mv: MvJoinRegistry.MvJoinDef, fact: Side,
@@ -241,30 +309,39 @@ case class MvJoinRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       props = ManifestTable.readPropsAt(spark, mv.viewPath, vv)
       fState <- props.get(IncrementalJoin.FactVersionProp)
       dState <- props.get(IncrementalJoin.DimVersionProp)
+      if props.get(IncrementalJoin.JoinTypeProp).forall(_ == mv.joinType)
+      if props.get(IncrementalJoin.JoinKeysProp)
+        .forall(_ == mv.joinKeys.mkString(","))
       if ManifestTable.sameDataEntries(spark, mv.factPath, fState.toLong, fCur)
       if ManifestTable.sameDataEntries(spark, mv.dimPath, dState.toLong, dCur)
     } yield vv
   } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Filter(view) → Project back to the join's output names/exprIds.
-    * Both key attrs map onto the view's single key column. */
+    * Under INNER both key attrs map onto the view's single key
+    * column; under LEFT OUTER the dim-side key attrs map onto the
+    * view's null-extended [[IncrementalJoin.dimKeyCol]] copies. */
   private def build(j: Join, mv: MvJoinRegistry.MvJoinDef, fact: Side, dim: Side,
-                    fk: AttributeReference, dk: AttributeReference,
-                    viewVersion: Long): Option[LogicalPlan] = {
+                    leftOuter: Boolean, viewVersion: Long): Option[LogicalPlan] = {
     val viewPlan = ManifestTable.readVersion(spark, mv.viewPath, viewVersion)
       .queryExecution.analyzed
     def viewAttr(name: String): Option[Attribute] = viewPlan.output.find(_.name == name)
 
-    // every live mapping both sides carry, for filter translation and
-    // output projection; key attrs resolve to the view's key column
-    val all: Map[ExprId, (String, org.apache.spark.sql.types.DataType)] =
-      fact.colOf ++ dim.colOf
-    def target(id: ExprId): Option[Attribute] =
-      all.get(id).flatMap { case (n, dt) =>
-        viewAttr(n).filter(_.dataType == dt)
-      }
+    val keySet = mv.joinKeys.toSet
+    def target(id: ExprId): Option[Attribute] = {
+      val dimKey = leftOuter &&
+        dim.colOf.get(id).exists { case (n, _) => keySet(n) }
+      (if (dimKey) dim.colOf.get(id) else fact.colOf.get(id).orElse(dim.colOf.get(id)))
+        .flatMap { case (n, dt) =>
+          viewAttr(if (dimKey) IncrementalJoin.dimKeyCol(n) else n)
+            .filter(_.dataType == dt)
+        }
+    }
 
-    val translated = (fact.filters ++ dim.filters).map { cond =>
+    // under left_outer the admitted dim-side conjuncts are the
+    // inferred key-isnotnull no-ops — never re-applied on the view
+    val toTranslate = if (leftOuter) fact.filters else fact.filters ++ dim.filters
+    val translated = toTranslate.map { cond =>
       var ok = true
       val t = cond.transform {
         case ar: AttributeReference => target(ar.exprId) match {

@@ -3163,6 +3163,127 @@ object ExtQueries {
       |GROUP BY dim.seg ORDER BY dim.seg""".stripMargin
 
   // ----------------------------------------------------------------
+  // q233_mv_join_outer — COMPOSITE-KEY + LEFT-OUTER JOIN-VIEW REWRITE
+  // (MvJoinRewriteRule over IncrementalJoin's widened contracts): the
+  // two warehouse shapes r17 backed off from. (a) A COMPOSITE
+  // equi-key (user_id, region) — the rewrite demands the equality
+  // conjunction cover the registered key list exactly, any order.
+  // (b) LEFT OUTER dim-enrichment — the commonest warehouse view:
+  // every fact row survives, null-extended when unmatched; the view
+  // stays row-per-fact-row, the maintained dim-side key copy
+  // (IncrementalJoin.dimKeyCol) serves dim-key references NULL on
+  // exactly the unmatched rows, and a dim-side filter DECLINES (it
+  // does not commute with null-extension). Both queries answer from
+  // their views with NEITHER base scanned (mv_used); a dim
+  // rectification un-rewrites BOTH until refresh folds the delta
+  // (stale_scans → recovered_mv, values bit-equal across the flip).
+  // Final rows SQL-recomputed from `events`.
+  // ----------------------------------------------------------------
+  def q233MvJoinOuter(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:q233_mv_join_outer") {
+      q233MvJoinOuterBuild(spark, dir)
+    }
+
+  private def q233MvJoinOuterBuild(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{IncrementalJoin, ManifestTable}
+    import graft.plans.MvJoinRegistry
+    import spark.implicits._
+    def scanRoots(df: DataFrame): Set[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.rootPaths.head.toString
+          }
+      }.toSet
+    val ev = Tables.events(spark, dir).select(
+      col("event_id"), date_trunc("day", col("ts")).cast("string").as("day"),
+      col("user_id"), (col("event_id") % 3).cast("string").as("region"),
+      floor(col("value") * 1000).cast("long").as("v"))
+    // the dim covers regions 0 and 1 only — region-2 fact rows have no
+    // match and NULL-extend under the outer view
+    val dimDf = Tables.events(spark, dir).select(col("user_id")).distinct()
+      .crossJoin(Seq("0", "1").toDF("region"))
+      .select(col("user_id"), col("region"),
+        concat(lit("seg-"), col("user_id") % 7, lit("-"), col("region")).as("seg"),
+        (col("user_id") % 5).cast("string").as("pd"))
+    val root = java.nio.file.Files.createTempDirectory("graft_q233_").toString
+    val (fact, dim) = (root + "/fact", root + "/dim")
+    val (viewC, viewL) = (root + "/cview", root + "/lview")
+    ManifestTable.merge(spark, fact, ev, keys = Seq("event_id"), partitionCol = "day")
+    ManifestTable.merge(spark, dim, dimDf, keys = Seq("user_id", "region"),
+      partitionCol = "pd")
+    def refreshBoth(): Unit = {
+      IncrementalJoin.refresh(spark, fact, dim, viewC, Seq("event_id"),
+        Seq("user_id", "region"), "day")
+      IncrementalJoin.refresh(spark, fact, dim, viewL, Seq("event_id"),
+        Seq("user_id", "region"), "day", joinType = "left_outer")
+    }
+    refreshBoth()
+    MvJoinRegistry.register(spark, fact, dim, viewC, Seq("user_id", "region"))
+    MvJoinRegistry.register(spark, fact, dim, viewL, Seq("user_id", "region"),
+      joinType = "left_outer")
+    // composite keys in REVERSED order — set-equality, not order
+    def qInner(): DataFrame = ManifestTable.read(spark, fact)
+      .join(ManifestTable.read(spark, dim), Seq("region", "user_id"))
+      .agg(count(lit(1)).as("n_inner"), sum(col("v")).as("sv_inner"))
+    def qLeft(): DataFrame = ManifestTable.read(spark, fact)
+      .join(ManifestTable.read(spark, dim), Seq("user_id", "region"), "left_outer")
+      .groupBy(coalesce(col("seg"), lit("unmatched")).as("seg"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    val (i1, l1) = (qInner(), qLeft()); i1.collect(); l1.collect()
+    val r1 = scanRoots(i1) ++ scanRoots(l1)
+    val mvUsed = r1.exists(_.endsWith("/cview")) && r1.exists(_.endsWith("/lview")) &&
+      !r1.exists(s => s.endsWith("/fact") || s.endsWith("/dim"))
+    // dim-side rectification staleness: BOTH views un-rewrite
+    ManifestTable.updateWhere(spark, dim, "pd", col("user_id") % 13 === 2,
+      Map("seg" -> lit("seg-X")))
+    val (i2, l2) = (qInner(), qLeft())
+    val rows2 = (i2.collect(), l2.collect())
+    val staleScans = scanRoots(i2).exists(_.endsWith("/fact")) &&
+      scanRoots(l2).exists(_.endsWith("/fact"))
+    refreshBoth()
+    val (i3, l3) = (qInner(), qLeft())
+    val rows3 = (i3.collect(), l3.collect())
+    val r3 = scanRoots(i3) ++ scanRoots(l3)
+    val recoveredMv = r3.exists(_.endsWith("/cview")) &&
+      r3.exists(_.endsWith("/lview")) && !r3.exists(_.endsWith("/fact")) &&
+      rows2._1.map(_.toString).sorted.toSeq == rows3._1.map(_.toString).sorted.toSeq &&
+      rows2._2.map(_.toString).sorted.toSeq == rows3._2.map(_.toString).sorted.toSeq
+    MvJoinRegistry.unregister(spark, fact, dim)
+    l3.crossJoin(i3)
+      .withColumn("mv_used", lit(mvUsed))
+      .withColumn("stale_scans", lit(staleScans))
+      .withColumn("recovered_mv", lit(recoveredMv))
+      .orderBy(col("seg"))
+  }
+
+  val q233MvJoinOuterSql: String =
+    """WITH f AS (
+      |  SELECT event_id, user_id, CAST(event_id % 3 AS VARCHAR) AS region,
+      |    CAST(floor(value * 1000) AS BIGINT) AS v
+      |  FROM events),
+      |dim AS (
+      |  SELECT user_id, region,
+      |    CASE WHEN user_id % 13 = 2 THEN 'seg-X'
+      |         ELSE 'seg-' || CAST(user_id % 7 AS VARCHAR) || '-' || region
+      |    END AS seg
+      |  FROM (SELECT DISTINCT user_id FROM events)
+      |  CROSS JOIN (SELECT unnest(['0', '1']) AS region)),
+      |inner_tot AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_inner,
+      |    CAST(sum(v) AS BIGINT) AS sv_inner
+      |  FROM f JOIN dim USING (user_id, region))
+      |SELECT coalesce(dim.seg, 'unmatched') AS seg,
+      |  CAST(count(*) AS BIGINT) AS n, CAST(sum(f.v) AS BIGINT) AS sv,
+      |  inner_tot.n_inner, inner_tot.sv_inner,
+      |  TRUE AS mv_used, TRUE AS stale_scans, TRUE AS recovered_mv
+      |FROM f LEFT JOIN dim USING (user_id, region) CROSS JOIN inner_tot
+      |GROUP BY 1, inner_tot.n_inner, inner_tot.sv_inner
+      |ORDER BY seg""".stripMargin
+
+  // ----------------------------------------------------------------
   // q211_mv_minmax — MAINTAINED MIN/MAX BOUNDS in the aggregate view
   // (IncrementalAgg minMaxCols + MvRewriteRule Min/Max support): the
   // classical FAST-REFRESH-ON-APPEND contract — min/max FOLD exactly

@@ -240,4 +240,105 @@ class MvJoinSpec extends AnyFunSuite {
       "after durable unregister the join must scan again")
     assert(rows3 == t)
   }
+
+  test("COMPOSITE-KEY inner join rewrites: the equality conjunction must " +
+    "cover the registered key list exactly (any order), and a subset join " +
+    "falls back") {
+    val (fact, dim, view) = fresh("composite")
+    val f = (1L to 40L).map(i => (i, s"d${i % 4}", i % 7, s"r${i % 2}", i * 3L))
+      .toDF("id", "day", "uid", "region", "v")
+    val dm = (0L to 6L).flatMap(u => Seq(
+      (u, "r0", s"seg-${u % 3}-a"), (u, "r1", s"seg-${u % 3}-b")))
+      .toDF("uid", "region", "seg")
+    ManifestTable.merge(spark, fact, f, Seq("id"), "day")
+    ManifestTable.merge(spark, dim, dm, Seq("uid", "region"), "region")
+    IncrementalJoin.refresh(spark, fact, dim, view, Seq("id"),
+      Seq("uid", "region"), "day")
+    MvJoinRegistry.register(spark, fact, dim, view, Seq("uid", "region"))
+    try {
+      def q = ManifestTable.read(spark, fact)
+        .join(ManifestTable.read(spark, dim), Seq("uid", "region"))
+        .select(col("id"), col("uid"), col("region"), col("seg"), col("v"))
+      val (d1, r1, rows1) = run(q)
+      assert(d1 == 1, s"composite-key join must rewrite: $d1")
+      assert(r1.exists(_.endsWith("/jview")) &&
+        !r1.exists(s => s.endsWith("/fact") || s.endsWith("/dim")), s"$r1")
+      assert(rows1 == truth(q))
+      // key order in the join condition is irrelevant (set equality)
+      def q2 = ManifestTable.read(spark, fact)
+        .join(ManifestTable.read(spark, dim), Seq("region", "uid"))
+        .select(col("id"), col("seg"))
+      val (d2, _, rows2) = run(q2)
+      assert(d2 == 1 && rows2 == truth(q2))
+      // a SUBSET of the registered keys is a different (fan-out) join
+      def q3 = ManifestTable.read(spark, fact)
+        .join(ManifestTable.read(spark, dim).drop("region"), Seq("uid"))
+      val (d3, r3, rows3) = run(q3)
+      assert(d3 == 0 && r3.exists(_.endsWith("/fact")),
+        "a subset-key join must never rewrite")
+      assert(rows3 == truth(q3))
+    } finally MvJoinRegistry.unregister(spark, fact, dim)
+  }
+
+  test("LEFT OUTER dim-enrichment rewrites fact-preservingly: unmatched fact " +
+    "rows null-extend bit-equal to the scan, the dim-side KEY reference " +
+    "serves the view's null-extended copy, a fact-side filter commutes, a " +
+    "dim-side filter declines, and an inner query over the outer view " +
+    "falls back") {
+    val (fact, dim, view) = fresh("louter")
+    val f = (1L to 40L).map(i => (i, s"d${i % 4}", i % 7, i * 3L))
+      .toDF("id", "day", "uid", "v")
+    // dim covers only uid 0..3: uids 4..6 null-extend
+    val dm = (0L to 3L).map(u => (u, s"seg-${u % 3}", s"du${u % 2}"))
+      .toDF("uid", "seg", "du")
+    ManifestTable.merge(spark, fact, f, Seq("id"), "day")
+    ManifestTable.merge(spark, dim, dm, Seq("uid"), "du")
+    IncrementalJoin.refresh(spark, fact, dim, view, Seq("id"),
+      Seq("uid"), "day", joinType = "left_outer")
+    MvJoinRegistry.register(spark, fact, dim, view, Seq("uid"),
+      joinType = "left")
+    try {
+      def q = ManifestTable.read(spark, fact)
+        .join(ManifestTable.read(spark, dim), Seq("uid"), "left_outer")
+        .select(col("id"), col("uid"), col("seg"), col("v"))
+      val (d1, r1, rows1) = run(q)
+      assert(d1 == 1, s"left-outer enrichment must rewrite: $d1")
+      assert(r1.exists(_.endsWith("/jview")) &&
+        !r1.exists(s => s.endsWith("/fact") || s.endsWith("/dim")), s"$r1")
+      assert(rows1 == truth(q))
+      assert(rows1.exists(_.contains("null")), "unmatched rows null-extend")
+      // the DIM-side key reference is NULL exactly on unmatched rows —
+      // the rewrite serves the view's null-extended __dim_ copy
+      val fdf = ManifestTable.read(spark, fact)
+      val ddf = ManifestTable.read(spark, dim)
+      def qk = fdf.join(ddf, fdf("uid") === ddf("uid"), "left_outer")
+        .select(fdf("id"), fdf("uid").as("fuid"), ddf("uid").as("duid"),
+          ddf("seg"))
+      val (d2, _, rows2) = run(qk)
+      assert(d2 == 1 && rows2 == truth(qk),
+        "dim-side key must serve the null-extended copy")
+      // fact-side filter commutes with the fact-preserving join
+      def qf = ManifestTable.read(spark, fact).where(col("v") > 60L)
+        .join(ManifestTable.read(spark, dim), Seq("uid"), "left_outer")
+        .select(col("id"), col("seg"))
+      val (d3, _, rows3) = run(qf)
+      assert(d3 == 1 && rows3 == truth(qf))
+      // a dim-side filter does NOT commute with null-extension — decline
+      def qd = ManifestTable.read(spark, fact)
+        .join(ManifestTable.read(spark, dim).where(col("seg") === "seg-1"),
+          Seq("uid"), "left_outer")
+        .select(col("id"), col("seg"))
+      val (d4, r4, rows4) = run(qd)
+      assert(d4 == 0 && r4.exists(_.endsWith("/fact")),
+        "a dim-side filter under left outer must fall back")
+      assert(rows4 == truth(qd))
+      // an INNER query over the left_outer-registered pair falls back
+      def qi = ManifestTable.read(spark, fact)
+        .join(ManifestTable.read(spark, dim), Seq("uid"))
+        .select(col("id"), col("seg"))
+      val (d5, _, rows5) = run(qi)
+      assert(d5 == 0 && rows5 == truth(qi),
+        "join-type mismatch must never rewrite")
+    } finally MvJoinRegistry.unregister(spark, fact, dim)
+  }
 }
