@@ -146,6 +146,58 @@ object PqStore {
       corpus, queries, k, shortlist, idCol, vecCol)
   }
 
+  /** FILTERED ANN ON THE PQ PATH — [[IvfStore.searchFilteredCommitted]]'s
+    * hybrid-search contract for the memory-bounded store: approximate
+    * top-k over ONLY the vectors whose ids survive `keep`, the filter
+    * applied BEFORE any scoring:
+    *
+    *   - DIR level: the codes table's id-hash buckets are pruned at
+    *     planning time through the committed per-dir id blooms + zone
+    *     maps ([[ManifestTable.readJoinPruned]]) — a bucket provably
+    *     holding none of the kept ids is never read;
+    *   - ROW level: a broadcast LEFT SEMI against the distinct kept
+    *     ids drops non-surviving codes BEFORE the ADC table lookup —
+    *     no distance is ever computed for a filtered-out vector, and
+    *     the shortlist can never be starved by non-survivors (the
+    *     post-filter alternative both wastes the ADC work AND
+    *     under-fills k).
+    *
+    * The bounded-probe contract holds: `keep` must fit the SAME
+    * broadcast-small envelope the planning probe needs — `maxKeepKeys`
+    * refuses loudly past it. Exactness: ADC scans every kept code
+    * (pruning is conservative, false keeps only), so the result
+    * equals [[Pq.search]] over the semi-joined codes outright — the
+    * same shortlist/re-rank semantics, restricted to survivors.
+    * `corpus` supplies the original vectors for the exact re-rank,
+    * exactly as in [[searchCommitted]]. */
+  def searchFilteredCommitted(spark: SparkSession, base: String, corpus: DataFrame,
+                              queries: DataFrame, k: Int, keep: DataFrame,
+                              keepCol: String = "vec_id", shortlist: Int = 50,
+                              idCol: String = "vec_id", vecCol: String = "embedding",
+                              maxKeepKeys: Int = 100000): IvfStore.FilteredSearch = {
+    val root = resolvedBase(spark, base)
+    // ONE evaluation of the (typically expensive) keep plan — the
+    // bounded distinct key set drives BOTH the planning-time bucket
+    // probe and the broadcast semi side as a LOCAL frame
+    val sel = keep.select(col(keepCol).as(idCol)).distinct()
+      .limit(maxKeepKeys + 1)
+    val rows = sel.collect()
+    require(rows.length <= maxKeepKeys,
+      s"PqStore.searchFilteredCommitted: keep side exceeds $maxKeepKeys " +
+        "distinct keys — too large for the planning probe and the broadcast " +
+        "semi join; run the plain scored search, or raise maxKeepKeys deliberately")
+    import scala.jdk.CollectionConverters._
+    val keysDf = spark.createDataFrame(rows.toSeq.asJava, sel.schema)
+    val pruned = ManifestTable.readJoinPruned(spark, codesPath(root), idCol,
+      keysDf, idCol, maxKeys = maxKeepKeys)
+    val filteredCodes = pruned.df.drop("__part")
+      .join(broadcast(keysDf), Seq(idCol), "left_semi")
+    val out = Pq.search(filteredCodes,
+      ManifestTable.read(spark, codebooksPath(root)), corpus, queries,
+      k, shortlist, idCol, vecCol)
+    IvfStore.FilteredSearch(out, pruned.dirsScanned, pruned.dirsTotal)
+  }
+
   /** BLUE/GREEN RETRAIN — [[IvfStore.retrainCommit]]'s contract for
     * the PQ pair: heartbeat, full side-by-side [[trainCommit]] of the
     * next generation, one CAS flip, then retire generations beyond

@@ -4345,6 +4345,104 @@ object ExtQueries {
       |ORDER BY rank""".stripMargin
 
   // ----------------------------------------------------------------
+  // q234_pq_filtered_ann — FILTERED ANN ON THE PQ PATH
+  // (PqStore.searchFilteredCommitted — q227's hybrid contract for the
+  // memory-bounded store): the keep set (the zebra keyword prefilter)
+  // prunes the codes table's id-hash BUCKETS through the committed id
+  // blooms at planning time and semi-joins survivors BEFORE the ADC
+  // table lookup — no distance is ever computed for a filtered-out
+  // code, and the shortlist cannot be starved by non-survivors. Two
+  // pins:
+  //   1. EXACTNESS on the real embeddings: with the shortlist
+  //      covering every kept id, the exact cosine re-rank sees the
+  //      whole kept subset, so the filtered PQ search equals
+  //      brute-force top-k over it — the DuckDB oracle recomputes the
+  //      entire ranked result (ids, ranks, rounded sims) from raw
+  //      rows, quantization exactly cancelled by the covering re-rank;
+  //   2. PRUNING on a 40-vector store: a 5-id keep slice hashes into
+  //      fewer buckets than the table occupies (buckets_pruned) and
+  //      returns only kept ids (only_kept).
+  // ----------------------------------------------------------------
+  def q234PqFilteredAnn(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:q234_pq_filtered_ann") {
+      q234PqFilteredAnnBuild(spark, dir)
+    }
+
+  private def q234PqFilteredAnnBuild(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.PqStore
+    import graft.ops.ManifestTable
+    import graft.ext.TextAnalysis.tokenMatch
+    import spark.implicits._
+    // the q227 keyword stage: planted markers, token-indexed table
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        floor(col("doc_id") / 50).cast("string").as("shard"),
+        concat(col("text"),
+          when(floor(col("doc_id") / 50).isin(2, 7) && col("doc_id") % 5 === 0,
+            lit(" planted ZEBRA marker")).otherwise(lit(""))).as("text"))
+    val droot = java.nio.file.Files.createTempDirectory("graft_q234_").toString
+    ManifestTable.merge(spark, s"$droot/docs", docs, keys = Seq("doc_id"),
+      partitionCol = "shard", tokenBloomColumns = Seq("text"),
+      tokenBloomBits = 4096)
+    val keep = ManifestTable.read(spark, s"$droot/docs")
+      .where(tokenMatch(col("text"), "zebra")).select(col("doc_id"))
+    val nFiltered = keep.count()
+    // the PQ stage as ONE call over a committed store; the shortlist
+    // covers every kept id, so the exact re-rank cancels quantization
+    val emb = Tables.embeddings(spark, dir)
+    PqStore.trainCommit(spark, s"$droot/pq", emb, m = 8, k = 16)
+    val fsr = PqStore.searchFilteredCommitted(spark, s"$droot/pq", emb,
+      emb.filter(col("vec_id") === 0L), k = 10, keep = keep,
+      keepCol = "doc_id", shortlist = math.max(64, nFiltered.toInt + 8))
+    // pruning evidence on a small bucketed store: 5 kept ids occupy
+    // fewer id-hash buckets than the 40-vector table does
+    val blobs = (0 until 40).map { i =>
+      val c = if (i % 2 == 0) 0.0f else 10.0f
+      (i.toLong, Array.tabulate(8)(j => c + 0.001f * (i + j)))
+    }.toDF("vec_id", "embedding")
+    PqStore.trainCommit(spark, s"$droot/pqblobs", blobs, m = 4, k = 4)
+    val keepIds = Seq(0L, 4L, 8L, 12L, 16L)
+    val pr = PqStore.searchFilteredCommitted(spark, s"$droot/pqblobs", blobs,
+      Seq((999L, Array.tabulate(8)(j => 0.001f * j))).toDF("vec_id", "embedding"),
+      k = 5, keep = keepIds.map(Tuple1(_)).toDF("doc_id"),
+      keepCol = "doc_id", shortlist = 60)
+    val prIds = pr.df.select(col("neighbor_id")).as[Long].collect().toSeq
+    fsr.df.select(col("neighbor_id"), col("rank").cast("long").as("rank"),
+        round(col("sim"), 4).as("sim"))
+      .withColumn("n_filtered", lit(nFiltered))
+      .withColumn("buckets_pruned", lit(pr.dirsProbed < pr.dirsTotal))
+      .withColumn("only_kept", lit(prIds.nonEmpty && prIds.forall(keepIds.contains)))
+      .orderBy(col("rank"))
+  }
+
+  val q234PqFilteredAnnSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id,
+      |    text || CASE WHEN floor(doc_id / 50) IN (2, 7) AND doc_id % 5 = 0
+      |                 THEN ' planted ZEBRA marker' ELSE '' END AS text
+      |  FROM documents),
+      |hits AS (
+      |  SELECT doc_id FROM corpus
+      |  WHERE list_contains(string_split_regex(lower(text), '[^a-z0-9]+'), 'zebra')),
+      |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+      |scored AS (
+      |  SELECT e.vec_id AS neighbor_id,
+      |    list_dot_product(qv, v) /
+      |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS sim
+      |  FROM q, e
+      |  WHERE e.vec_id IN (SELECT doc_id FROM hits) AND e.vec_id <> 0),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (ORDER BY sim DESC, neighbor_id) AS rank
+      |  FROM scored)
+      |SELECT neighbor_id, CAST(rank AS BIGINT) AS rank, round(sim, 4) AS sim,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM hits) AS n_filtered,
+      |  TRUE AS buckets_pruned, TRUE AS only_kept
+      |FROM ranked WHERE rank <= 10
+      |ORDER BY rank""".stripMargin
+
+  // ----------------------------------------------------------------
   // q220_gopher_filter — the COMPOSED Gopher quality cascade (Rae et
   // al. 2021 Table A1; Curate.gopherFilter): 14 rules in fixed order
   // — word count, mean word length, symbol ratio, bullet/ellipsis

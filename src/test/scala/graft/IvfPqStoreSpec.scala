@@ -180,6 +180,48 @@ class IvfPqStoreSpec extends AnyFunSuite {
     assert(e.getMessage.contains("distinct keys"))
   }
 
+  test("PqStore.searchFilteredCommitted: the keep set prunes id-hash buckets " +
+    "through the committed id blooms, only surviving codes reach the ADC, " +
+    "and with a covering shortlist the result equals brute force over the " +
+    "kept subset") {
+    import graft.ext.Similarity
+    val base = freshBase("pqfann")
+    val corpus = blobs(0 until 40)
+    PqStore.trainCommit(spark, base, corpus, m = 4, k = 4)
+    val keepIds = Seq(0L, 4L, 8L, 12L, 16L) // a kept slice of the low blob
+    val keep = keepIds.map(Tuple1(_)).toDF("doc_id")
+    val r = PqStore.searchFilteredCommitted(spark, base, corpus, query, k = 5,
+      keep = keep, keepCol = "doc_id", shortlist = 60)
+    val got = r.df.orderBy(col("rank"))
+      .select(col("neighbor_id"), col("rank")).as[(Long, Int)].collect().toSeq
+    assert(got.map(_._1).forall(keepIds.contains), s"only kept ids may score: $got")
+    assert(got.size == 5, "k=5 fills exactly from the 5 kept vectors")
+    // bucket evidence: 5 kept ids hash into < all occupied buckets
+    assert(r.dirsProbed < r.dirsTotal,
+      s"buckets holding no kept id must be bloom-pruned: $r")
+    // a covering shortlist re-ranks EVERY kept code exactly → equal to
+    // brute-force cosine top-k over the kept subset (same tie order)
+    val brute = Similarity.bruteForceTopK(
+      corpus.join(keep.withColumnRenamed("doc_id", "vec_id"),
+        Seq("vec_id"), "left_semi"), query, k = 5)
+      .orderBy(col("rank"))
+      .select(col("neighbor_id"), col("rank")).as[(Long, Int)].collect().toSeq
+    assert(got == brute, "filtered PQ with covering shortlist must equal brute force")
+    // erasure composes: an erased id can never return, even when kept
+    PqStore.eraseKeys(spark, base, Seq(4L))
+    val r2 = PqStore.searchFilteredCommitted(spark, base, corpus, query, k = 5,
+      keep = keep, keepCol = "doc_id", shortlist = 60)
+    assert(!r2.df.select(col("neighbor_id")).as[Long].collect().contains(4L),
+      "erased codes stay erased under a keep filter")
+    // refusal past the broadcast envelope
+    val big = spark.range(0, 200).select(col("id").as("doc_id"))
+    val e = intercept[IllegalArgumentException] {
+      PqStore.searchFilteredCommitted(spark, base, corpus, query, k = 5,
+        keep = big, keepCol = "doc_id", maxKeepKeys = 100)
+    }
+    assert(e.getMessage.contains("distinct keys"))
+  }
+
   test("vacuumGenerations: retires flipped generations beyond keep, deletes " +
     "dead orphans (at-or-below the pointer) unconditionally, protects an " +
     "in-flight build above the pointer until the horizon, and the search " +
