@@ -36,11 +36,20 @@ import org.apache.spark.sql.functions._
   * FULL rebuild — correct, just not incremental; size the base
   * retention to the refresh cadence.
   *
-  * EXACTNESS CONTRACT: `sumCols` should be integer (LONG) columns —
-  * integer addition is associative, so the incrementally-maintained
-  * sums are bit-equal to a full recompute (the q125 gate proves it
-  * cross-engine). Floating sums would drift by reduction order, as
-  * they already do between any two full recomputes. COUNT and SUM
+  * EXACTNESS CONTRACT: `sumCols` should be integer (LONG) or DECIMAL
+  * columns — fixed-point addition is associative, so the
+  * incrementally-maintained sums are bit-equal to a full recompute
+  * (the q125 gate proves it cross-engine). Floating sums would drift
+  * by reduction order, as they already do between any two full
+  * recomputes. Every maintained sum is pinned to its CANONICAL type —
+  * exactly what `sum(col)` produces on the base (LONG for integrals,
+  * `decimal(min(38, p+10), s)` for decimals) — by casting each fold
+  * step back: without the cast, decimal arithmetic would widen the
+  * view's schema by one digit per incremental refresh. A group's
+  * running sum that genuinely overflows the canonical type fails the
+  * REFRESH loudly under ANSI — the same boundary at which the scan's
+  * own Sum errors, never a silently wrapped view. Retractions negate
+  * (type-preserving) rather than multiply by the sign. COUNT and SUM
   * are the retractable aggregates; `minMaxCols` adds MIN/MAX under
   * the classical FAST-REFRESH-ON-APPEND contract — min/max FOLD
   * exactly when the delta is purely ADDITIVE (only brand-new
@@ -107,17 +116,50 @@ object IncrementalAgg {
     if (state.contains(baseCur) && sameBuckets && sameMinMax)
       return RefreshResult(incremental = false, committed = false)
 
-    // count + signed sums (the retractable family)
-    def aggOf(df: DataFrame, sign: Long): DataFrame =
+    // the CANONICAL maintained type per sum column — exactly what
+    // `sum(col)` produces on the base; every fold step casts back to
+    // it so the view schema never drifts (decimal adds widen by a
+    // digit per fold otherwise)
+    val sumType: Map[String, org.apache.spark.sql.types.DataType] = {
+      val baseSchema = ManifestTable.read(spark, basePath).schema
+      sumCols.map { c =>
+        c -> (baseSchema(c).dataType match {
+          case d: org.apache.spark.sql.types.DecimalType =>
+            org.apache.spark.sql.types.DecimalType(
+              math.min(38, d.precision + 10), d.scale)
+          case org.apache.spark.sql.types.FloatType |
+               org.apache.spark.sql.types.DoubleType =>
+            org.apache.spark.sql.types.DoubleType
+          case _ => org.apache.spark.sql.types.LongType
+        })
+      }.toMap
+    }
+    def canon(c: String, e: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      e.cast(sumType(c)).as(s"sum_$c")
+
+    // count + signed sums + signed NON-NULL COUNTS (the retractable
+    // family; retraction NEGATES — type-preserving, unlike a sign
+    // multiply which widens decimals). The per-measure `cnt_<c>` is
+    // what keeps SUM null-correct under retraction: "no non-null rows
+    // left" (SQL NULL sum) and "values cancel to zero" are
+    // indistinguishable from the running sum alone, and it is exactly
+    // avg's count(v) denominator for the MV rewrite.
+    def aggOf(df: DataFrame, sign: Long): DataFrame = {
+      def signed(c: String) = if (sign >= 0L) col(c) else -col(c)
       df.groupBy(groupCols.map(col): _*)
         .agg(sum(lit(sign)).as("n"),
-          sumCols.map(c => sum(col(c) * lit(sign)).as(s"sum_$c")): _*)
+          sumCols.map(c => canon(c, sum(signed(c)))) ++
+            sumCols.map(c => sum(when(col(c).isNotNull, lit(sign))
+              .otherwise(lit(0L))).as(s"cnt_$c")): _*)
+    }
 
-    // count + sums + min/max (the additive-only family)
+    // count + sums + non-null counts + min/max (the additive-only
+    // family)
     def aggFull(df: DataFrame): DataFrame =
       df.groupBy(groupCols.map(col): _*)
         .agg(count(lit(1)).as("n"),
-          sumCols.map(c => sum(col(c)).as(s"sum_$c")) ++
+          sumCols.map(c => canon(c, sum(col(c)))) ++
+            sumCols.map(c => count(col(c)).as(s"cnt_$c")) ++
             minMaxCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"),
               max(col(c)).as(s"max_$c"))): _*)
 
@@ -143,9 +185,16 @@ object IncrementalAgg {
       RefreshResult(incremental = false, committed = true)
     }
 
+    // a view built before per-measure non-null counts lacks the
+    // cnt_<c> columns the fold needs — a one-time spec-change rebuild
+    // upgrades it (exactly the BucketsProp/MinMaxProp posture)
+    def viewHasCnts: Boolean = {
+      val cols = ManifestTable.read(spark, aggPath).schema.fieldNames.toSet
+      sumCols.forall(c => cols.contains(s"cnt_$c"))
+    }
     val incremental = sameBuckets && sameMinMax &&
       state.exists(v => baseVersions.contains(v)) &&
-      ManifestTable.versions(aggFs, aggPath).nonEmpty
+      ManifestTable.versions(aggFs, aggPath).nonEmpty && viewHasCnts
     if (!incremental) return fullRebuild()
 
     // Changed partitions between the recorded and current versions —
@@ -181,7 +230,8 @@ object IncrementalAgg {
         Some(parts.reduce(_ unionByName _)
           .groupBy(groupCols.map(col): _*)
           .agg(sum(col("n")).as("n"),
-            sumCols.map(c => sum(col(s"sum_$c")).as(s"sum_$c")): _*))
+            sumCols.map(c => canon(c, sum(col(s"sum_$c")))) ++
+              sumCols.map(c => sum(col(s"cnt_$c")).as(s"cnt_$c")): _*))
       }
 
     delta match {
@@ -211,16 +261,31 @@ object IncrementalAgg {
         val merged = existing.select(
             (gc.map(col) :+ col("n").as("__en")) ++
               sumCols.map(c => col(s"sum_$c").as(s"__e$c")) ++
+              sumCols.map(c => col(s"cnt_$c").as(s"__ec$c")) ++
               minMaxCols.flatMap(c => Seq(col(s"min_$c").as(s"__emn$c"),
                 col(s"max_$c").as(s"__emx$c"))): _*)
           .join(d.select((gc.map(col) :+ col("n").as("__dn")) ++
             sumCols.map(c => col(s"sum_$c").as(s"__d$c")) ++
+            sumCols.map(c => col(s"cnt_$c").as(s"__dc$c")) ++
             minMaxCols.flatMap(c => Seq(col(s"min_$c").as(s"__dmn$c"),
               col(s"max_$c").as(s"__dmx$c"))): _*), gc, "full_outer")
           .select((gc.map(col) :+
             (coalesce(col("__en"), lit(0L)) + coalesce(col("__dn"), lit(0L))).as("n")) ++
-            sumCols.map(c => (coalesce(col(s"__e$c"), lit(0L)) +
-              coalesce(col(s"__d$c"), lit(0L))).as(s"sum_$c")) ++
+            // a folded sum is SQL NULL exactly when no non-null row
+            // remains — "retracted every value" and "values cancel to
+            // zero" are different answers, and only cnt can tell them
+            // apart (the coalesce alone would serve 0 for an all-null
+            // group where the scan serves NULL)
+            sumCols.map { c =>
+              val cnt = coalesce(col(s"__ec$c"), lit(0L)) +
+                coalesce(col(s"__dc$c"), lit(0L))
+              when(cnt === 0L, lit(null).cast(sumType(c)))
+                .otherwise((coalesce(col(s"__e$c"), lit(0L).cast(sumType(c))) +
+                  coalesce(col(s"__d$c"), lit(0L).cast(sumType(c))))
+                  .cast(sumType(c))).as(s"sum_$c")
+            } ++
+            sumCols.map(c => (coalesce(col(s"__ec$c"), lit(0L)) +
+              coalesce(col(s"__dc$c"), lit(0L))).as(s"cnt_$c")) ++
             // least/greatest skip NULLs (an all-null or absent side
             // contributes nothing) — exactly SQL min/max null semantics
             minMaxCols.flatMap(c => Seq(

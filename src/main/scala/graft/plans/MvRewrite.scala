@@ -7,7 +7,8 @@ import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{ByteType, DataType, DecimalType, DoubleType,
+  IntegerType, LongType, ShortType}
 
 import graft.ops.{GraftFileIndex, IncrementalAgg, ManifestTable}
 
@@ -167,12 +168,18 @@ object MvRegistry {
   *     day-grained view): such an expression is constant within each
   *     view row-group, so grouping by it commutes with the view's
   *     pre-aggregation, and the coarser roll-up re-aggregates exactly
-  *     (counts and long sums associative; min-of-mins / max-of-maxs
-  *     order-independent for any type). Every aggregate is
-  *     `count(*)`, `sum(sumCol)` with LONG result type, or
-  *     `min/max(minMaxCol)` over a registered maintained bound, no
-  *     DISTINCT / FILTER clauses, and every output type matches the
-  *     view's bit-for-bit.
+  *     (counts and fixed-point sums associative; min-of-mins /
+  *     max-of-maxs order-independent for any type). Every aggregate
+  *     is `count(*)`, `count(sumCol)` (the maintained non-null count
+  *     re-aggregates), `sum(sumCol)` with LONG or DECIMAL result type
+  *     (decimal re-aggregation casts back to the scan's own
+  *     `decimal(p+10,s)` — the CheckOverflowInSum boundary — and the
+  *     maintained count keeps an all-null group's sum SQL NULL),
+  *     `avg(sumCol)` over the maintained (sum, count(v)) pair (long
+  *     under the 2⁵³ proof, decimal unconditionally — fixed-point is
+  *     exact), or `min/max(minMaxCol)` over a registered maintained
+  *     bound, no DISTINCT / FILTER clauses, and every output type
+  *     matches the view's bit-for-bit.
   *
   * The global (no GROUP BY) count re-folds as `coalesce(sum(n), 0)` —
   * an empty base must still answer 0, not NULL. Injected pre-CBO;
@@ -350,7 +357,16 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     sealed trait Out
     case class GroupOut(i: Int) extends Out
     case class AggOut(alias: Alias, isCount: Boolean) extends Out
-    case class AvgOut(sumAl: Alias, nAl: Alias) extends Out
+    case class AvgOut(sumAl: Alias, cntAl: Alias) extends Out
+    // sums re-aggregate alongside their maintained NON-NULL COUNT: a
+    // folded sum is SQL NULL exactly when Σcnt = 0 (the view's sum
+    // column alone cannot distinguish "all null" from "cancels to
+    // zero"), and decimal re-aggregations cast back to the scan's own
+    // result type (ANSI errors / legacy nulls at exactly the scan's
+    // CheckOverflowInSum boundary)
+    case class SumOut(sumAl: Alias, cntAl: Alias, to: DataType) extends Out
+    case class AvgDecOut(sumAl: Alias, cntAl: Alias, sumDt: DecimalType,
+                         out: DecimalType) extends Out
     var synths = Vector.empty[Alias]
     val outs: Seq[Option[Out]] = a.aggregateExpressions.map { ne =>
       val (core, origType) = ne match {
@@ -386,43 +402,91 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             val al = Alias(Sum(nAttr).toAggregateExpression(), s"__mv_${synths.size}")()
             synths :+= al
             Some(AggOut(al, isCount = true))
+          // count(col) — the view's maintained per-measure non-null
+          // count re-aggregates exactly (long addition)
+          case Count(Seq(ar: AttributeReference)) =>
+            for {
+              c <- physOf(ar)
+              if mv.sumCols.contains(c)
+              cnt <- viewAttr(s"cnt_$c")
+              if cnt.dataType == LongType && origType == LongType
+            } yield {
+              val al = Alias(Sum(cnt).toAggregateExpression(), s"__mv_${synths.size}")()
+              synths :+= al
+              AggOut(al, isCount = true) // global: coalesce to 0
+            }
+          // sum: LONG re-aggregates as itself (associative, exact);
+          // DECIMAL re-aggregates at `sum-of-sums` width and CASTS
+          // BACK to the scan's own decimal(min(38,p+10),s) — fixed-
+          // point addition is associative so the value is exact, and
+          // the cast ANSI-errors / legacy-nulls at exactly the
+          // boundary where the scan's CheckOverflowInSum does, so
+          // overflow behavior stays the scan's. Both ride the
+          // maintained non-null count for NULL correctness.
           case Sum(ar: AttributeReference, _) =>
             for {
               c <- physOf(ar)
               if mv.sumCols.contains(c)
               va <- viewAttr(s"sum_$c")
-              // LONG only: associative re-aggregation is exact; the
-              // type equality also rejects decimal double-widening
-              if va.dataType == LongType && origType == LongType
+              cnt <- viewAttr(s"cnt_$c")
+              if cnt.dataType == LongType
+              out <- (ar.dataType, va.dataType, origType) match {
+                case (LongType | IntegerType | ShortType | ByteType,
+                      LongType, LongType) => Some(LongType: DataType)
+                case (in: DecimalType, vd: DecimalType, out: DecimalType)
+                    if vd == out && out.scale == in.scale &&
+                      out.precision == math.min(38, in.precision + 10) =>
+                  Some(out: DataType)
+                case _ => None
+              }
             } yield {
-              val al = Alias(Sum(va).toAggregateExpression(), s"__mv_${synths.size}")()
-              synths :+= al
-              AggOut(al, isCount = false)
+              val sAl = Alias(Sum(va).toAggregateExpression(), s"__mv_${synths.size}")()
+              synths :+= sAl
+              val cAl = Alias(Sum(cnt).toAggregateExpression(), s"__mv_${synths.size}")()
+              synths :+= cAl
+              SumOut(sAl, cAl, out)
             }
-          // avg(longCol) = Σsum / Σn from the maintained pair — but
-          // ONLY under the plan-time double-exactness proof
-          // ([[avgExactProof]]): Spark's Average accumulates the sum
-          // as DOUBLE per row, so the rewrite is bit-identical to the
-          // scan exactly when every partial sum any order can produce
-          // is an exactly-representable integer. DECIMAL avg never
-          // rewrites: the view maintains LONG sums only, and a
-          // maintained decimal sum would re-aggregate at a wider
-          // precision than the scan's internal sum type — a different
-          // overflow boundary, not an identity.
+          // avg divides by count(v) — exactly Σcnt of the maintained
+          // non-null counts, so nulls in the measure need no special
+          // proof. avg(longCol) additionally needs the plan-time
+          // double-exactness proof ([[avgExactProof]]): Spark's
+          // Average accumulates the sum as DOUBLE per row, so the
+          // rewrite is bit-identical to the scan exactly when every
+          // partial sum any order can produce is an exactly-
+          // representable integer. avg(decimalCol) needs NO such
+          // bound — decimal accumulation is exact fixed-point — and
+          // its value is built as the SAME Catalyst tree Average's
+          // own evaluateExpression builds: the re-aggregated sum cast
+          // to the scan's internal sum type (the CheckOverflowInSum
+          // boundary), one decimal Divide, one cast to the result
+          // type — identity by construction.
           case Average(ar: AttributeReference, _) =>
             for {
               c <- physOf(ar)
               if mv.sumCols.contains(c)
               va <- viewAttr(s"sum_$c")
-              if va.dataType == LongType && ar.dataType == LongType &&
-                origType == DoubleType
-              if avgExactProof(info, c)
+              cnt <- viewAttr(s"cnt_$c")
+              if cnt.dataType == LongType
+              out <- (ar.dataType, va.dataType, origType) match {
+                case (LongType, LongType, DoubleType) if avgExactProof(info, c) =>
+                  Some(None)
+                case (in: DecimalType, vd: DecimalType, o: DecimalType)
+                    if vd.scale == in.scale &&
+                      vd.precision == math.min(38, in.precision + 10) &&
+                      o.precision == math.min(38, in.precision + 4) &&
+                      o.scale == math.min(38, in.scale + 4) =>
+                  Some(Some((vd, o)))
+                case _ => None
+              }
             } yield {
               val sAl = Alias(Sum(va).toAggregateExpression(), s"__mv_${synths.size}")()
               synths :+= sAl
-              val cAl = Alias(Sum(nAttr).toAggregateExpression(), s"__mv_${synths.size}")()
+              val cAl = Alias(Sum(cnt).toAggregateExpression(), s"__mv_${synths.size}")()
               synths :+= cAl
-              AvgOut(sAl, cAl)
+              out match {
+                case None => AvgOut(sAl, cAl)
+                case Some((sumDt, o)) => AvgDecOut(sAl, cAl, sumDt, o)
+              }
             }
           // min-of-mins / max-of-maxs are exact for ANY type — no
           // arithmetic, order-independent — when the view maintains
@@ -474,12 +538,29 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           // double division of the (double-accumulated) sum by the
           // long count cast to double; under the exactness proof both
           // operands here are the same doubles, so the division is
-          // the same IEEE operation. n is never 0 (view groups carry
-          // n >= 1; an empty global fold gives NULL/NULL = NULL,
-          // which is avg-over-no-rows in both plans).
+          // the same IEEE operation (Σcnt IS count(v)). An all-null
+          // group or the empty global fold gives NULL/NULL or x/0 →
+          // NULL, avg-over-no-non-null-rows in both plans.
           case AvgOut(sAl, cAl) =>
             Alias(new Divide(Cast(sAl.toAttribute, DoubleType),
               Cast(cAl.toAttribute, DoubleType)), name)(exprId = orig.exprId)
+          // Σcnt = 0 ⟹ no non-null row survives the filter: SQL NULL
+          // sum (the folded sum alone cannot distinguish "all null"
+          // from "cancels to zero"); otherwise the exact fold, cast
+          // to the scan's own result type.
+          case SumOut(sAl, cAl, to) =>
+            Alias(If(EqualTo(cAl.toAttribute, Literal(0L)),
+              Literal(null, to), Cast(sAl.toAttribute, to)),
+              name)(exprId = orig.exprId)
+          // Average's decimal evaluate tree, literally: the sum under
+          // its internal-type overflow boundary, one decimal Divide
+          // (LEGACY — Average passes failOnError = false; a zero or
+          // NULL divisor yields NULL, avg-over-no-non-null-rows in
+          // both plans), one result cast.
+          case AvgDecOut(sAl, cAl, sumDt, out) =>
+            Alias(Cast(Divide(Cast(sAl.toAttribute, sumDt),
+              Cast(cAl.toAttribute, DecimalType(20, 0)), EvalMode.LEGACY),
+              out), name)(exprId = orig.exprId)
         }
       }
     Some(Project(projList, agg2))
@@ -501,8 +582,16 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * missing stats, null counts, or a rowcount fails the proof. */
   private def avgExactProof(info: ScanInfo, c: String): Boolean = {
     val entries = info.idx.entryMetas
+    // NULLS need no clause of their own any more: the view maintains
+    // count(v) per group (cnt_<c>), so the divide's denominator is
+    // exact, and the bound below only strengthens (non-null rows ≤
+    // total rows). An entry proven all-null (no zone map but a
+    // rowcount-matching null count) contributes nothing and is fine;
+    // an entry with values must carry its zone map for the bound.
     entries.forall(en => en.rowCount.isDefined &&
-      en.nullCounts.get(c).contains(0L) && en.stats.contains(c)) && {
+      (en.stats.contains(c) ||
+        (for (r <- en.rowCount; n <- en.nullCounts.get(c)) yield n == r)
+          .getOrElse(false))) && {
       val total = BigDecimal(entries.flatMap(_.rowCount).sum)
       val maxAbs = entries.flatMap(_.stats.get(c))
         .map { case (mn, mx) => mn.abs.max(mx.abs) }

@@ -2583,10 +2583,10 @@ object ExtQueries {
   // TRANSACTIONAL: after a base merge the same query falls back to
   // the scan (stale_scans) and sees the new rows; after refresh() the
   // rewrite returns with values bit-equal to the scan
-  // (refreshed_match — long sums are associative, so view-fold order
-  // cannot leak). All final rows SQL-recomputed from `events`. At
-  // 100 TB this is the dashboard query answered from O(groups)
-  // pre-folded rows instead of an O(table) scan.
+  // (refreshed_match — fixed-point sums are associative, so
+  // view-fold order cannot leak). All final rows SQL-recomputed from
+  // `events`. At 100 TB this is the dashboard query answered from
+  // O(groups) pre-folded rows instead of an O(table) scan.
   // ----------------------------------------------------------------
   def q207MvRewrite(spark: SparkSession, dir: String): DataFrame =
     ResultCache.shared.getOrCompute(
@@ -2782,11 +2782,14 @@ object ExtQueries {
   // and global avg all rewrite (avg_mv_used; no base scan) with
   // values BIT-EQUAL to the kill-switch scan (bit_equal) and
   // SQL-recomputed by DuckDB (both engines: exact integer sum, one
-  // IEEE division). DECIMAL honesty: a decimal-sum view re-aggregates
-  // at a wider precision than the scan's internal sum type — a
-  // different overflow boundary, not an identity — so avg/sum over a
-  // registered DECIMAL measure must scan (decimal_backoff); a value
-  // at 2⁵³ defeats the provable bound (bound_backoff).
+  // IEEE division). DECIMAL measures rewrite too (decimal_mv):
+  // fixed-point re-aggregation is exact, the cast back to the scan's
+  // own result types pins the overflow boundary to the scan's
+  // CheckOverflowInSum, and avg divides the maintained (sum,
+  // count(v)) pair through Average's literal Divide/Cast tree — the
+  // oracle recomputes it with exact HUGEINT round-half-up, no float
+  // division. A value at 2⁵³ still defeats the long-avg provable
+  // bound (bound_backoff).
   // ----------------------------------------------------------------
   def q226MvAvg(spark: SparkSession, dir: String): DataFrame =
     ResultCache.shared.getOrCompute(
@@ -2841,15 +2844,22 @@ object ExtQueries {
       try rows1 == aggQ().collect().toSeq && rows2 == fltQ().collect().toSeq &&
         rows3 == allQ().collect().toSeq && rows4 == cntQ().collect().toSeq
       finally spark.conf.set("spark.graft.mvRewrite.enabled", "true")
-    // DECIMAL widening honesty: a registered decimal measure refuses
+    // DECIMAL identity: a registered decimal measure rewrites too —
+    // exact fixed-point re-aggregation cast to the scan's own result
+    // types, avg through Average's literal Divide/Cast tree over the
+    // maintained (sum, count(v)) pair — values bit-equal to the
+    // kill-switch scan and SQL-recomputed in the final output
     IncrementalAgg.refresh(spark, base, dview, Seq("etype"), Seq("dv"))
     MvRegistry.register(spark, base, dview, Seq("etype"), Seq("dv"))
-    val (fd1, rd1, _) = counted(ManifestTable.read(spark, base)
-      .groupBy(col("etype")).agg(avg(col("dv")).as("a")))
-    val (fd2, rd2, _) = counted(ManifestTable.read(spark, base)
-      .groupBy(col("etype")).agg(sum(col("dv")).as("s")))
-    val decimalBackoff = !fd1 && !fd2 &&
-      rd1.exists(_.endsWith("/base")) && rd2.exists(_.endsWith("/base"))
+    def decQ() = ManifestTable.read(spark, base).groupBy(col("etype"))
+      .agg(sum(col("dv")).as("dsum"), avg(col("dv")).as("davg"))
+      .orderBy(col("etype"))
+    val (fd1, rd1, rowsD) = counted(decQ())
+    spark.conf.set("spark.graft.mvRewrite.enabled", "false")
+    val decBitEqual =
+      try rowsD == decQ().collect().toSeq
+      finally spark.conf.set("spark.graft.mvRewrite.enabled", "true")
+    val decimalMv = fd1 && !rd1.exists(_.endsWith("/base")) && decBitEqual
     MvRegistry.unregister(spark, base)
     // UNPROVABLE BOUND: one value at 2^53 defeats maxAbs × rows ≤ 2^53
     val (base2, view2) = (root + "/big", root + "/bigview")
@@ -2865,10 +2875,11 @@ object ExtQueries {
       .groupBy(col("etype")).agg(avg(col("v")).as("a")))
     val boundBackoff = !fb && rb.exists(_.endsWith("/big"))
     MvRegistry.unregister(spark, base2)
-    aggQ().join(fltQ(), Seq("etype")).crossJoin(allQ()).crossJoin(cntQ())
+    aggQ().join(fltQ(), Seq("etype")).join(decQ(), Seq("etype"))
+      .crossJoin(allQ()).crossJoin(cntQ())
       .withColumn("avg_mv_used", lit(mvUsed))
       .withColumn("bit_equal", lit(bitEqual))
-      .withColumn("decimal_backoff", lit(decimalBackoff))
+      .withColumn("decimal_mv", lit(decimalMv))
       .withColumn("bound_backoff", lit(boundBackoff))
       .orderBy(col("etype"))
   }
@@ -2876,17 +2887,29 @@ object ExtQueries {
   val q226MvAvgSql: String =
     """WITH ev AS (
       |  SELECT event_type AS etype, user_id % 10 AS u10,
-      |    CAST(floor(value * 1000) AS BIGINT) AS v
+      |    CAST(floor(value * 1000) AS BIGINT) AS v,
+      |    CAST(value AS DECIMAL(12,3)) AS dv
       |  FROM events),
       |a AS (SELECT etype, avg(v) AS avg_v, CAST(count(*) AS BIGINT) AS n
       |      FROM ev GROUP BY etype),
-      |f AS (SELECT etype, avg(v) AS avg_f FROM ev WHERE u10 >= 3 GROUP BY etype)
-      |SELECT a.etype, a.avg_v, a.n, f.avg_f,
+      |f AS (SELECT etype, avg(v) AS avg_f FROM ev WHERE u10 >= 3 GROUP BY etype),
+      |d AS (
+      |  -- decimal sum exactly; avg(decimal(12,3)) = decimal(16,7) as
+      |  -- exact HUGEINT round-half-up of sum/count at scale 7 —
+      |  -- positive values, so (2*num + n) // (2*n)
+      |  SELECT etype, CAST(sum(dv) AS DECIMAL(22,3)) AS dsum,
+      |    CAST(CAST((sum(CAST(dv * 1000 AS HUGEINT))*10000*2 + count(dv))
+      |           // (2*count(dv)) // 10000000 AS VARCHAR) || '.' ||
+      |         lpad(CAST((sum(CAST(dv * 1000 AS HUGEINT))*10000*2 + count(dv))
+      |           // (2*count(dv)) % 10000000 AS VARCHAR), 7, '0')
+      |      AS DECIMAL(16,7)) AS davg
+      |  FROM ev GROUP BY etype)
+      |SELECT a.etype, a.avg_v, a.n, f.avg_f, d.dsum, d.davg,
       |  (SELECT avg(v) FROM ev) AS avg_all,
       |  (SELECT CAST(count(DISTINCT u10) AS BIGINT) FROM ev) AS nd_u10,
       |  TRUE AS avg_mv_used, TRUE AS bit_equal,
-      |  TRUE AS decimal_backoff, TRUE AS bound_backoff
-      |FROM a JOIN f USING (etype)
+      |  TRUE AS decimal_mv, TRUE AS bound_backoff
+      |FROM a JOIN f USING (etype) JOIN d USING (etype)
       |ORDER BY etype""".stripMargin
 
   // ----------------------------------------------------------------

@@ -369,9 +369,9 @@ class MvRewriteSpec extends AnyFunSuite {
     } finally MvRegistry.unregister(spark, base)
   }
 
-  test("avg(long) rewrites to Σsum/Σn under the metadata double-exactness " +
-    "proof — bit-equal to the scan — and backs off on an unprovable bound, " +
-    "on planted nulls, and on missing stats") {
+  test("avg(long) rewrites to Σsum/Σcnt under the metadata double-exactness " +
+    "proof — bit-equal to the scan, nulls included (the view maintains " +
+    "count(v) per group) — and backs off on an unprovable bound") {
     val (base, view) = fresh("avg")
     val rows = (1L to 60L).map { i =>
       (i, s"d${i % 3}", if (i % 2 == 0) "click" else "view", i % 10, i * 7L)
@@ -413,8 +413,9 @@ class MvRewriteSpec extends AnyFunSuite {
         .groupBy(col("etype")).agg(sum(col("v")).as("s")))
       assert(d4 == 1)
     } finally MvRegistry.unregister(spark, base2)
-    // PLANTED NULLS: avg divides by count(v); the view's n is
-    // count(*) — they differ under nulls, so the rewrite must refuse
+    // PLANTED NULLS: avg divides by count(v) — exactly the view's
+    // maintained Σcnt — so the rewrite fires and stays bit-equal;
+    // count(v) itself rewrites off the same column
     val (base3, view3) = fresh("avgnull")
     ManifestTable.merge(spark, base3,
       (1L to 20L).map(i => (i, s"d${i % 2}", "t",
@@ -425,12 +426,92 @@ class MvRewriteSpec extends AnyFunSuite {
     MvRegistry.register(spark, base3, view3, Seq("etype"), Seq("v"))
     try {
       def qn = ManifestTable.read(spark, base3).groupBy(col("etype"))
-        .agg(avg(col("v")).as("a"))
+        .agg(avg(col("v")).as("a"), count(col("v")).as("nv"),
+          sum(col("v")).as("sv"))
       val (d5, r5, rows5) = run(qn)
-      assert(d5 == 0 && r5.exists(_.contains("/base")),
-        "nulls in the measure must refuse the avg rewrite")
+      assert(d5 == 1 && !r5.exists(_.contains("/base")),
+        "nulls in the measure rewrite exactly through the maintained count(v)")
       assert(rows5 == truth(qn))
     } finally MvRegistry.unregister(spark, base3)
+  }
+
+  test("DECIMAL sum/avg rewrite onto the view: exact fixed-point " +
+    "re-aggregation cast to the scan's own result types — bit-equal to the " +
+    "scan, nulls included — and an incrementally-maintained view keeps its " +
+    "canonical schema and NULL-correct sums across retractions") {
+    val (base, view) = fresh("decmv")
+    def mk(ids: Seq[Long]) = ids.map { i =>
+      (i, s"d${i % 3}", if (i % 2 == 0) "click" else "view",
+        if (i % 5 == 0) Option.empty[BigDecimal]
+        else Some(BigDecimal(i * 7).setScale(3) / 4))
+    }.toDF("id", "day", "etype", "dv")
+      .select(col("id"), col("day"), col("etype"),
+        col("dv").cast("decimal(12,3)").as("dv"))
+    ManifestTable.merge(spark, base, mk(1L to 60L), Seq("id"), "day")
+    IncrementalAgg.refresh(spark, base, view, Seq("etype"), Seq("dv"))
+    MvRegistry.register(spark, base, view, Seq("etype"), Seq("dv"))
+    try {
+      def q = ManifestTable.read(spark, base).groupBy(col("etype"))
+        .agg(sum(col("dv")).as("s"), avg(col("dv")).as("a"),
+          count(col("dv")).as("nv"))
+        .orderBy(col("etype"))
+      val (d1, r1, rows1) = run(q)
+      assert(d1 == 1 && !r1.exists(_.contains("/base")),
+        s"decimal sum/avg must rewrite: $d1 $r1")
+      assert(q.schema("s").dataType.sql == "DECIMAL(22,3)" &&
+        q.schema("a").dataType.sql == "DECIMAL(16,7)",
+        s"the rewrite must keep the scan's result types: ${q.schema}")
+      assert(rows1 == truth(q), "decimal view answers must be BIT-equal")
+      def g = ManifestTable.read(spark, base).agg(
+        sum(col("dv")).as("s"), avg(col("dv")).as("a"))
+      val (d2, _, rows2) = run(g)
+      assert(d2 == 1 && rows2 == truth(g))
+      // INCREMENTAL refresh keeps the canonical decimal(22,3) sum
+      // type (each fold casts back — no one-digit-per-refresh drift)
+      ManifestTable.merge(spark, base,
+        mk(Seq(61L, 62L, 63L)), Seq("id"), "day")
+      val r = IncrementalAgg.refresh(spark, base, view, Seq("etype"), Seq("dv"))
+      assert(r.incremental, "the second refresh must be the delta path")
+      val viewSchema = IncrementalAgg.read(spark, view).schema
+      assert(viewSchema("sum_dv").dataType.sql == "DECIMAL(22,3)",
+        s"incremental folds must not widen the maintained type: $viewSchema")
+      val (d3, _, rows3) = run(q)
+      assert(d3 == 1 && rows3 == truth(q))
+    } finally MvRegistry.unregister(spark, base)
+  }
+
+  test("a retraction that leaves a group ALL-NULL folds its sum to SQL NULL, " +
+    "not 0 — the maintained non-null count disambiguates, and the rewrite " +
+    "serves the scan's answer exactly") {
+    val (base, view) = fresh("nullfold")
+    // group 'g': one non-null row (id 1, v=5) + one null row (id 2);
+    // group 'h': plain values (keeps the view non-degenerate)
+    ManifestTable.merge(spark, base,
+      Seq((1L, "d1", "g", Some(5L)), (2L, "d2", "g", Option.empty[Long]),
+        (3L, "d1", "h", Some(7L)), (4L, "d2", "h", Some(9L)))
+        .toDF("id", "day", "etype", "v"),
+      Seq("id"), "day")
+    IncrementalAgg.refresh(spark, base, view, Seq("etype"), Seq("v"))
+    MvRegistry.register(spark, base, view, Seq("etype"), Seq("v"))
+    try {
+      // retract the ONE non-null 'g' row (a d1 rewrite): the remaining
+      // 'g' row is null-only — sum over it is SQL NULL in the scan
+      ManifestTable.merge(spark, base,
+        Seq((1L, "d1", "gone", Option.empty[Long]),
+          (3L, "d1", "h", Some(7L))).toDF("id", "day", "etype", "v"),
+        Seq("id"), "day", replaceTouched = true)
+      val r = IncrementalAgg.refresh(spark, base, view, Seq("etype"), Seq("v"))
+      assert(r.incremental, "the retraction must fold incrementally")
+      def q = ManifestTable.read(spark, base).groupBy(col("etype"))
+        .agg(sum(col("v")).as("sv"), count(col("v")).as("nv"))
+        .orderBy(col("etype"))
+      val (d1, rts, rows) = run(q)
+      assert(d1 == 1 && !rts.exists(_.contains("/base")))
+      assert(rows == truth(q), "post-retraction fold must match the scan")
+      val gRow = rows.find(_.getString(0) == "g").get
+      assert(gRow.isNullAt(1) && gRow.getLong(2) == 0L,
+        s"an all-null group's sum is SQL NULL, its count(v) 0: $gRow")
+    } finally MvRegistry.unregister(spark, base)
   }
 
   test("double sums never rewrite (floating addition is not associative — " +
