@@ -357,14 +357,23 @@ object MinHashStore {
                    numBands: Int = 16, r: Int = 4, shingleN: Int = 3,
                    nBuckets: Int = 16, bloomBits: Int = 1 << 16,
                    textCol: String = "text", idCol: String = "doc_id",
-                   keepGenerations: Int = 2): Long = {
+                   keepGenerations: Int = 2,
+                   vacuumOrphans: Boolean = false,
+                   orphanHorizonMs: Long = 24L * 3600 * 1000): Long = {
     import graft.ops.GenPointer
     val fs = GenPointer.fsOf(spark, base)
     val next = GenPointer.next(fs, base)
+    GenPointer.heartbeat(fs, base, next) // the object-store-safe
+    // liveness signal a rival's vacuum horizon reads (IvfStore's
+    // retrainCommit contract)
     buildCommit(spark, GenPointer.root(base, next), corpus, numBands, r,
       shingleN, nBuckets, bloomBits, textCol, idCol)
     GenPointer.flip(fs, base, next)
-    GenPointer.retire(fs, base, keepGenerations, Seq("bands", "shingles", "_txn"))
+    if (vacuumOrphans)
+      GenPointer.vacuum(fs, base, keepGenerations,
+        Seq("bands", "shingles", "_txn"), orphanHorizonMs)
+    else
+      GenPointer.retire(fs, base, keepGenerations, Seq("bands", "shingles", "_txn"))
     next
   }
 

@@ -170,27 +170,49 @@ case class StatsAggRule(spark: SparkSession)
 
   /** Partition `live` entries into groups by the grouping expression
     * evaluated on each entry's parsed-back key (internal values, the
-    * same eval the scan runs per row). None = a key does not parse
-    * losslessly or the eval throws (ANSI error — the scan owns it).
-    * Groups order deterministically by rendered value, nulls first
-    * (SQL groups nulls together). */
+    * same eval the scan runs per row). None = the value type lacks
+    * value-based equality, a key does not parse losslessly, or the
+    * eval throws (ANSI error — the scan owns it). GROUP EQUALITY runs
+    * on the internal values themselves: atomic comparable types only
+    * (boxed equality is value-based for numerics — NaN groups with
+    * NaN, exactly Spark's grouping — UTF8String, and Decimal;
+    * BINARY's byte arrays compare by REFERENCE and would split equal
+    * groups, and nested types are out of scope — both back off), with
+    * signed float/double zeros normalized the way Spark's own
+    * NormalizeFloatingNumbers does for group keys. Groups order
+    * deterministically by rendered value, nulls first (SQL groups
+    * nulls together). */
   private def groupByExpr(live: Seq[GraftFileIndex.EntryMeta],
                           resolved: Expression, pcolDt: DataType)
       : Option[Seq[(Any, Seq[GraftFileIndex.EntryMeta])]] = {
+    val groupable = resolved.dataType match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+           DoubleType | StringType | BooleanType | DateType |
+           TimestampType | TimestampNTZType => true
+      case _: DecimalType => true
+      case _ => false // BINARY compares by reference; nested types out
+    }
+    if (!groupable) return None
+    def norm(v: Any): Any = v match {
+      case d: Double if d == 0.0d => 0.0d // -0.0 groups with 0.0
+      case f: Float if f == 0.0f => 0.0f
+      case other => other
+    }
     val evaluated = live.map { en =>
       keyInternal(en.key.get, pcolDt).flatMap { kv =>
         val bound = resolved.transformUp {
           case _: AttributeReference => Literal(kv, pcolDt)
         }
-        try Some(bound.eval(InternalRow.empty))
+        try Some(norm(bound.eval(InternalRow.empty)))
         catch { case scala.util.control.NonFatal(_) => None }
       }.map(gv => gv -> en)
     }
     if (evaluated.exists(_.isEmpty)) None
     else Some(evaluated.flatten
-      .groupBy { case (gv, _) => Option(gv).fold("")("v" + _.toString) }
-      .toSeq.sortBy(_._1)
-      .map { case (_, pairs) => (pairs.head._1, pairs.map(_._2)) })
+      .groupBy { case (gv, _) => gv } // value-based boxed equality
+      .toSeq
+      .sortBy { case (gv, _) => Option(gv).fold("")("v" + _.toString) }
+      .map { case (gv, pairs) => (gv, pairs.map(_._2)) })
   }
 
   /** One output value of a grouped aggregate, from the group's MEMBER
