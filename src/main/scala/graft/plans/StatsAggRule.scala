@@ -76,6 +76,12 @@ import graft.ops.GraftFileIndex
 object StatsAggRule {
   /** Test instrument: how many Aggregates collapsed to metadata. */
   private[graft] val rewrites = new java.util.concurrent.atomic.AtomicInteger
+
+  /** Control-flow signal: a per-key predicate eval could not decide
+    * (unparsable key or an ANSI eval error the scan owns) — the whole
+    * rewrite backs off instead of crashing the planner. */
+  private[plans] object NarrowBackoff extends Exception
+      with scala.util.control.NoStackTrace
 }
 
 case class StatsAggRule(spark: SparkSession)
@@ -333,8 +339,8 @@ case class StatsAggRule(spark: SparkSession)
         val pcols = bs.map(_._2.partitionColName).distinct
         if (!sameShape || roots.size != 1 || pcols.size != 1) None
         else {
-          val narrowed = bs.map { case (_, idx, colOf, _, filters) =>
-            narrow(idx.entryMetas, idx.partitionColName, colOf, filters)
+          val narrowed = bs.map { case (_, idx, colOf, aliasOf, filters) =>
+            narrow(idx.entryMetas, idx.partitionColName, colOf, aliasOf, filters)
           }
           if (narrowed.exists(_.isEmpty)) None
           else {
@@ -345,7 +351,7 @@ case class StatsAggRule(spark: SparkSession)
         }
       }
     case other => resolveBranch(other).flatMap { case (_, idx, colOf, aliasOf, filters) =>
-      narrow(idx.entryMetas, idx.partitionColName, colOf, filters)
+      narrow(idx.entryMetas, idx.partitionColName, colOf, aliasOf, filters)
         .map(ResolvedScan(_, idx.partitionColName, colOf, aliasOf))
     }
   }
@@ -402,27 +408,60 @@ case class StatsAggRule(spark: SparkSession)
     }
 
   /** Absorb the collected filters into an ENTRY subset, or back off.
-    * The absorbable shapes are partition-key selections — `pcol = lit`
-    * / `pcol IN (lits)` / `pcol <op> lit` range comparisons (and
-    * conjunctions thereof) on the table's committed partition column:
-    * every row of an entry carries the entry's partition value, so ANY
-    * key-decidable predicate keeps entries WHOLE (all rows match) or
-    * not at all — `SELECT count(*), max(ts) … WHERE day >= '…'` stays
-    * metadata-only. Equality/IN literals must stringify exactly as the
-    * manifest key does ([[GraftFileIndex.strOf]]'s types); range
-    * comparisons decide on parsed-back keys (integral columns) or on
-    * ASCII strings (where Java order == UTF8 byte order — the zone-map
-    * argument); anything else backs off. Any entry without a key (a
-    * MoR appendix dir) poisons the rewrite. */
+    * Every row of an entry carries the entry's partition value, so
+    * ANY key-decidable predicate keeps entries WHOLE (all rows match)
+    * or not at all — `SELECT count(*), max(ts) … WHERE day >= '…'`
+    * stays metadata-only. Structural fast paths decide `pcol = lit` /
+    * `pcol IN (lits)` / `pcol <op> lit` ranges (equality/IN literals
+    * must stringify exactly as the manifest key does —
+    * [[GraftFileIndex.strOf]]'s types; ranges on parsed-back integral
+    * keys or ASCII strings where Java order == UTF8 byte order), plus
+    * the compacted reader's own `cast(pcol as string) IN binKeys`
+    * forms; EVERY OTHER deterministic predicate referencing only the
+    * partition column falls to the per-key Catalyst EVAL fallback
+    * ([[evalPred]] — `substr(day,1,7) = …`, LIKE, OR/NOT, date
+    * literals), which is exact for key-roundtrip-lossless pcol types
+    * and backs off otherwise. Any entry without a key (a MoR appendix
+    * dir) poisons the rewrite. */
   private def narrow(entries: Seq[GraftFileIndex.EntryMeta],
                      pcolOpt: Option[String],
                      colOf: Map[ExprId, (String, DataType)],
+                     aliasOf: Map[ExprId, Expression],
                      filters: Seq[Expression]): Option[Seq[GraftFileIndex.EntryMeta]] = {
     if (filters.isEmpty) return Some(entries)
     val pcol = pcolOpt.getOrElse(return None)
     def isPcol(e: Expression): Boolean = e match {
       case ar: AttributeReference => colOf.get(ar.exprId).exists(_._1 == pcol)
       case _ => false
+    }
+    // ANY deterministic predicate whose references are (aliases of)
+    // the partition column alone is CONSTANT within each entry, so it
+    // keeps entries whole-or-not-at-all — evaluate it per entry key
+    // with the very Catalyst eval the scan runs per row (the
+    // rewriteGrouped machinery): `substr(day,1,7) = '2024-01'`, LIKE
+    // prefixes, OR/NOT combinations, date-typed literals all narrow.
+    // NULL excludes the entry (SQL WHERE drops null rows; per-entry
+    // constant, so all-or-nothing holds). A key that does not parse
+    // back losslessly or an eval error (ANSI — the scan owns it)
+    // backs the whole rewrite off via [[NarrowBackoff]].
+    def evalPred(e: Expression): Option[Either[String => Boolean, Option[String]]] = {
+      val resolved = e.transformUp {
+        case ar: AttributeReference if aliasOf.contains(ar.exprId) => aliasOf(ar.exprId)
+      }
+      if (!resolved.deterministic || resolved.references.isEmpty ||
+          !resolved.references.forall(r => colOf.get(r.exprId).exists(_._1 == pcol)))
+        None
+      else Some(scala.Left { (k: String) =>
+        val bound = resolved.transformUp {
+          case ar: AttributeReference =>
+            Literal(keyInternal(k, ar.dataType)
+              .getOrElse(throw StatsAggRule.NarrowBackoff), ar.dataType)
+        }
+        val v = try bound.eval(InternalRow.empty)
+        catch { case scala.util.control.NonFatal(_) =>
+          throw StatsAggRule.NarrowBackoff }
+        v == true
+      })
     }
     // the reader's own shared-bin row filter: `cast(pcol as string)`
     // — its value IS the manifest key text (dirs are keyed by exactly
@@ -458,17 +497,22 @@ case class StatsAggRule(spark: SparkSession)
         case _ => None
       }
     val conjuncts = filters.flatMap(splitConjunctivePredicates)
+    type Parsed = Option[Either[String => Boolean, Option[String]]]
     // Left(keyPredicate) narrows; Right(col) is an IS NOT NULL to
     // re-check against the survivors' committed null counts; None
-    // backs off.
-    val parsed: Seq[Option[Either[String => Boolean, Option[String]]]] = conjuncts.map {
-      case EqualTo(k, l: Literal) if isPcol(k) =>
-        GraftFileIndex.strOf(l).map(s => scala.Left((k: String) => k == s))
-      case EqualTo(l: Literal, k) if isPcol(k) =>
-        GraftFileIndex.strOf(l).map(s => scala.Left((k: String) => k == s))
-      case In(k, vs) if isPcol(k) && vs.forall(_.isInstanceOf[Literal]) =>
+    // backs off. Structural fast paths whose exactness check fails
+    // (a literal family strOf/cmpPred has no exact form for, e.g. a
+    // DATE literal) FALL THROUGH to the eval fallback before giving up.
+    val parsed: Seq[Parsed] = conjuncts.map {
+      case e @ EqualTo(k, l: Literal) if isPcol(k) =>
+        (GraftFileIndex.strOf(l).map(s =>
+          scala.Left((k: String) => k == s)): Parsed).orElse(evalPred(e))
+      case e @ EqualTo(l: Literal, k) if isPcol(k) =>
+        (GraftFileIndex.strOf(l).map(s =>
+          scala.Left((k: String) => k == s)): Parsed).orElse(evalPred(e))
+      case e @ In(k, vs) if isPcol(k) && vs.forall(_.isInstanceOf[Literal]) =>
         val ss = vs.map(v => GraftFileIndex.strOf(v.asInstanceOf[Literal]))
-        if (ss.exists(_.isEmpty)) None
+        if (ss.exists(_.isEmpty)) evalPred(e)
         else { val set = ss.flatten.toSet; Some(scala.Left(set)) }
       // the shared-bin key filter in its three optimizer forms
       case EqualTo(k, l: Literal) if isPcolKeyText(k) && l.value != null =>
@@ -481,34 +525,36 @@ case class StatsAggRule(spark: SparkSession)
       case InSet(k, hset) if isPcolKeyText(k) && !hset.contains(null) =>
         val set = hset.map(_.toString)
         Some(scala.Left((key: String) => set.contains(key)))
-      case GreaterThan(k, l: Literal) if isPcol(k) =>
-        cmpPred(l, _ > 0).map(scala.Left(_))
-      case GreaterThan(l: Literal, k) if isPcol(k) =>
-        cmpPred(l, _ < 0).map(scala.Left(_))
-      case GreaterThanOrEqual(k, l: Literal) if isPcol(k) =>
-        cmpPred(l, _ >= 0).map(scala.Left(_))
-      case GreaterThanOrEqual(l: Literal, k) if isPcol(k) =>
-        cmpPred(l, _ <= 0).map(scala.Left(_))
-      case LessThan(k, l: Literal) if isPcol(k) =>
-        cmpPred(l, _ < 0).map(scala.Left(_))
-      case LessThan(l: Literal, k) if isPcol(k) =>
-        cmpPred(l, _ > 0).map(scala.Left(_))
-      case LessThanOrEqual(k, l: Literal) if isPcol(k) =>
-        cmpPred(l, _ <= 0).map(scala.Left(_))
-      case LessThanOrEqual(l: Literal, k) if isPcol(k) =>
-        cmpPred(l, _ >= 0).map(scala.Left(_))
+      case e @ GreaterThan(k, l: Literal) if isPcol(k) =>
+        (cmpPred(l, _ > 0).map(scala.Left(_)): Parsed).orElse(evalPred(e))
+      case e @ GreaterThan(l: Literal, k) if isPcol(k) =>
+        (cmpPred(l, _ < 0).map(scala.Left(_)): Parsed).orElse(evalPred(e))
+      case e @ GreaterThanOrEqual(k, l: Literal) if isPcol(k) =>
+        (cmpPred(l, _ >= 0).map(scala.Left(_)): Parsed).orElse(evalPred(e))
+      case e @ GreaterThanOrEqual(l: Literal, k) if isPcol(k) =>
+        (cmpPred(l, _ <= 0).map(scala.Left(_)): Parsed).orElse(evalPred(e))
+      case e @ LessThan(k, l: Literal) if isPcol(k) =>
+        (cmpPred(l, _ < 0).map(scala.Left(_)): Parsed).orElse(evalPred(e))
+      case e @ LessThan(l: Literal, k) if isPcol(k) =>
+        (cmpPred(l, _ > 0).map(scala.Left(_)): Parsed).orElse(evalPred(e))
+      case e @ LessThanOrEqual(k, l: Literal) if isPcol(k) =>
+        (cmpPred(l, _ <= 0).map(scala.Left(_)): Parsed).orElse(evalPred(e))
+      case e @ LessThanOrEqual(l: Literal, k) if isPcol(k) =>
+        (cmpPred(l, _ >= 0).map(scala.Left(_)): Parsed).orElse(evalPred(e))
       // the analyzer infers `isnotnull(pcol)` next to every pcol
       // predicate; merge refuses null partition values, so it is
       // row-complete (keeps every entry whole) — a no-op here
       case IsNotNull(k) if isPcol(k) => Some(scala.Right(None))
       // IS NOT NULL on any other column is row-complete exactly when
       // the survivors' committed null counts are zero
-      case IsNotNull(ar: AttributeReference) =>
+      case IsNotNull(ar: AttributeReference)
+          if colOf.get(ar.exprId).exists(_._1 != pcol) =>
         colOf.get(ar.exprId).map(c => scala.Right(Some(c._1)))
-      case _ => None
+      // the general pcol-expression fallback (see evalPred)
+      case other => evalPred(other)
     }
     if (parsed.exists(_.isEmpty)) None
-    else {
+    else try {
       val keyPreds = parsed.flatten.collect { case scala.Left(p) => p }
       val kept =
         if (keyPreds.isEmpty) entries
@@ -518,7 +564,7 @@ case class StatsAggRule(spark: SparkSession)
       if (notNullCols.forall(c => kept.forall(_.nullCounts.get(c).contains(0L))))
         Some(kept)
       else None
-    }
+    } catch { case StatsAggRule.NarrowBackoff => None }
   }
 
   /** The internal-row value of one aggregate output, if the committed

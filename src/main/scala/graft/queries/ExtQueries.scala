@@ -2263,6 +2263,103 @@ object ExtQueries {
       |FROM ev GROUP BY day ORDER BY day""".stripMargin
 
   // ----------------------------------------------------------------
+  // q235_expr_filter_stats — EXPRESSION FILTERS OF THE PARTITION KEY
+  // NARROW BY PER-KEY EVAL (StatsAggRule narrow's evalPred fallback):
+  // any deterministic predicate referencing only the partition column
+  // is CONSTANT within each entry — so `WHERE substr(day,1,7) = …`,
+  // LIKE prefixes, OR/NOT combinations and inequality all keep
+  // entries whole-or-not-at-all and fold from metadata, evaluated per
+  // entry KEY on the driver with the very Catalyst eval the scan runs
+  // per row. Before this, only structural =/IN/range shapes narrowed
+  // and the month-filtered dashboard count quietly scanned. The gate
+  // pins: substr-eq, LIKE, OR and != filters over count/sum/avg
+  // (long + decimal) all scanless (meta_only) and SQL-exact; the
+  // filters compose with GROUPED and expression-grouped rewrites; a
+  // MoR delete forces the same queries back to a real scan
+  // (dv_scans). Eval-error and mixed-reference back-offs are pinned
+  // in StatsAggSpec.
+  // ----------------------------------------------------------------
+  def q235ExprFilterStats(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:q235_expr_filter_stats") {
+      q235ExprFilterStatsBuild(spark, dir)
+    }
+
+  private def q235ExprFilterStatsBuild(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.ManifestTable
+    def hasScan(df: DataFrame): Boolean = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.nonEmpty
+    val ev = Tables.events(spark, dir).select(
+      col("event_id"),
+      floor(col("value") * 1000).cast("long").as("v"),
+      col("value").cast("decimal(20,8)").as("price"),
+      date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+    val path = java.nio.file.Files.createTempDirectory("graft_q235_").toString + "/t"
+    ManifestTable.merge(spark, path, ev, keys = Seq("event_id"), partitionCol = "day",
+      statsColumns = Seq("event_id", "v", "price"), sumColumns = Seq("v", "price"))
+    // substr-eq month filter over long + decimal aggregates
+    val sub = ManifestTable.read(spark, path)
+      .where(substring(col("day"), 1, 7) === "2024-01")
+      .agg(count(lit(1)).as("n_sub"), sum(col("v")).as("sv_sub"),
+        avg(col("v")).as("av_sub"), sum(col("price")).as("sp_sub"))
+    sub.collect()
+    // LIKE prefix, grouped per day
+    val like = ManifestTable.read(spark, path)
+      .where(col("day").like("2024-01-1%"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n_like"))
+    like.collect()
+    // OR of key predicates + inequality, composed with an
+    // expression GROUPING (decade rollup)
+    val or = ManifestTable.read(spark, path)
+      .where((col("day") < "2024-01-05" || col("day") >= "2024-01-25") &&
+        col("day") =!= "2024-01-02")
+      .groupBy(substring(col("day"), 9, 1).as("dec"))
+      .agg(count(lit(1)).as("n_or"), sum(col("v")).as("sv_or"))
+    or.collect()
+    val metaOnly = !hasScan(sub) && !hasScan(like) && !hasScan(or)
+    ManifestTable.deleteWhereMoR(spark, path, "day", col("event_id") % 211 === 5)
+    val after = ManifestTable.read(spark, path)
+      .where(substring(col("day"), 1, 7) === "2024-01")
+      .agg(count(lit(1)).as("n_dv"))
+    after.collect()
+    val dvScans = hasScan(after)
+    like.crossJoin(or).crossJoin(sub).crossJoin(after)
+      .withColumn("meta_only", lit(metaOnly))
+      .withColumn("dv_scans", lit(dvScans))
+      .orderBy(col("day"), col("dec"))
+  }
+
+  val q235ExprFilterStatsSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, CAST(floor(value * 1000) AS BIGINT) AS v,
+      |    CAST(value AS DECIMAL(20,8)) AS price,
+      |    strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+      |  FROM events),
+      |org AS (
+      |  SELECT substr(day, 9, 1) AS dec, CAST(count(*) AS BIGINT) AS n_or,
+      |    CAST(sum(v) AS BIGINT) AS sv_or
+      |  FROM ev
+      |  WHERE (day < '2024-01-05' OR day >= '2024-01-25') AND day <> '2024-01-02'
+      |  GROUP BY substr(day, 9, 1)),
+      |likeg AS (
+      |  SELECT day, CAST(count(*) AS BIGINT) AS n_like
+      |  FROM ev WHERE day LIKE '2024-01-1%' GROUP BY day)
+      |SELECT likeg.day, likeg.n_like, org.dec, org.n_or, org.sv_or,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM ev
+      |   WHERE substr(day, 1, 7) = '2024-01') AS n_sub,
+      |  (SELECT CAST(sum(v) AS BIGINT) FROM ev
+      |   WHERE substr(day, 1, 7) = '2024-01') AS sv_sub,
+      |  (SELECT avg(v) FROM ev WHERE substr(day, 1, 7) = '2024-01') AS av_sub,
+      |  (SELECT CAST(sum(price) AS DECIMAL(30,8)) FROM ev
+      |   WHERE substr(day, 1, 7) = '2024-01') AS sp_sub,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM ev
+      |   WHERE substr(day, 1, 7) = '2024-01' AND event_id % 211 <> 5) AS n_dv,
+      |  TRUE AS meta_only, TRUE AS dv_scans
+      |FROM likeg CROSS JOIN org
+      |ORDER BY likeg.day, org.dec""".stripMargin
+
+  // ----------------------------------------------------------------
   // q232_union_compact_stats — THE METADATA FAST PATH SURVIVES A
   // MULTI-BIN COMPACTION (StatsAggRule resolveScan over the reader's
   // union shape): routine bin-packing rewrites a fine-partitioned

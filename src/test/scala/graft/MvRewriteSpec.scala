@@ -514,6 +514,55 @@ class MvRewriteSpec extends AnyFunSuite {
     } finally MvRegistry.unregister(spark, base)
   }
 
+  test("a view from before per-measure counts (no cnt_ columns) upgrades by " +
+    "a ONE-TIME full rebuild on the next refresh, then folds incrementally " +
+    "and rewrites again") {
+    val (base, view) = fresh("cntup")
+    ManifestTable.merge(spark, base,
+      (1L to 20L).map(i => (i, s"d${i % 2}", "t", i * 3L))
+        .toDF("id", "day", "etype", "v"),
+      Seq("id"), "day")
+    // build the LEGACY (pre-cnt) view shape directly: group cols, n,
+    // sum_<c>, bucket — plus the watermark props a refresh commits
+    val baseV = {
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      graft.ops.ManifestTable.history(spark, base).last.version
+    }
+    val legacy = ManifestTable.read(spark, base).groupBy(col("etype"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"))
+      .withColumn("__gbucket",
+        pmod(xxhash64(col("etype")), lit(16L)).cast("string"))
+    ManifestTable.merge(spark, view, legacy, keys = Seq("etype"),
+      partitionCol = "__gbucket",
+      props = Map(IncrementalAgg.BaseVersionProp -> baseV.toString,
+        IncrementalAgg.BucketsProp -> "16", IncrementalAgg.MinMaxProp -> ""))
+    // a base commit arrives; the refresh must detect the missing
+    // count column and FULL-rebuild (re-adding it), not fold blindly
+    ManifestTable.merge(spark, base,
+      Seq((21L, "d1", "t", 999L)).toDF("id", "day", "etype", "v"),
+      Seq("id"), "day")
+    val r1 = IncrementalAgg.refresh(spark, base, view, Seq("etype"), Seq("v"))
+    assert(!r1.incremental && r1.committed,
+      "a cnt-less legacy view must upgrade via full rebuild")
+    assert(IncrementalAgg.read(spark, view).columns.contains("cnt_v"))
+    MvRegistry.register(spark, base, view, Seq("etype"), Seq("v"))
+    try {
+      def q = ManifestTable.read(spark, base).groupBy(col("etype"))
+        .agg(sum(col("v")).as("s"), count(col("v")).as("nv"))
+      val (d1, r, rows) = run(q)
+      assert(d1 == 1 && !r.exists(_.contains("/base")) && rows == truth(q))
+      // and the NEXT refresh is incremental again
+      ManifestTable.merge(spark, base,
+        Seq((22L, "d0", "t", 5L)).toDF("id", "day", "etype", "v"),
+        Seq("id"), "day")
+      val r2 = IncrementalAgg.refresh(spark, base, view, Seq("etype"), Seq("v"))
+      assert(r2.incremental && r2.committed)
+      val (d2, _, rows2) = run(q)
+      assert(d2 == 1 && rows2 == truth(q))
+    } finally MvRegistry.unregister(spark, base)
+  }
+
   test("double sums never rewrite (floating addition is not associative — " +
     "the view's fold order would leak into results)") {
     val (base, view) = fresh("dbl")

@@ -183,15 +183,70 @@ class StatsAggSpec extends AnyFunSuite {
       .agg(count(lit(1)).as("n"))
     val (d4, s4, r4) = run(mixed)
     assert(d4 == 0 && s4 && r4.head.getLong(0) == 2L)
-    // inequality on the partition column backs off too
+    // inequality on the partition column is key-decidable too — the
+    // per-key eval fallback narrows it (r18)
     val neq = t.where(col("day") =!= "d1").agg(count(lit(1)).as("n"))
     val (d5, s5, r5) = run(neq)
-    assert(d5 == 0 && s5 && r5.head.getLong(0) == 4L)
+    assert(d5 == 1 && !s5 && r5.head.getLong(0) == 4L,
+      "pcol inequality narrows through the eval fallback")
     // and the explicit partitionFilter read-path composes the same way
     val pf = ManifestTable.read(spark, path, partitionFilter = _ == "d3")
       .agg(count(lit(1)).as("n"), max(col("x")).as("mx"))
     val (d6, s6, r6) = run(pf)
     assert(d6 == 1 && !s6 && r6.head.getLong(0) == 2L && r6.head.getLong(1) == 42L)
+  }
+
+  test("EXPRESSION filters of the partition key narrow by per-key Catalyst " +
+    "eval: substr/LIKE/OR/nullif and DATE-typed literals all stay " +
+    "metadata-only and bit-equal; an eval-erroring filter backs off") {
+    val path = freshPath("efilter")
+    val rows = (1L to 40L).map { i =>
+      val d = (i - 1) % 8 + 1
+      val month = if (d <= 4) "01" else "02"
+      (i, Some(i * 3), f"2024-$month-0${(d - 1) % 4 + 1}%d")
+    }.toDF("id", "x", "day")
+    ManifestTable.merge(spark, path, rows, Seq("id"), "day",
+      statsColumns = Seq("id", "x"), sumColumns = Seq("x"))
+    def check(df: => org.apache.spark.sql.DataFrame, what: String): Unit = {
+      val (d, s, r) = run(df)
+      assert(d == 1 && !s, s"$what must narrow by per-key eval: d=$d scanned=$s")
+      spark.conf.set("spark.graft.statsAgg.enabled", "false")
+      try assert(r == df.collect().toSeq, s"$what: eval narrow != scan")
+      finally spark.conf.set("spark.graft.statsAgg.enabled", "true")
+    }
+    val t = ManifestTable.read(spark, path)
+    check(t.where(substring(col("day"), 1, 7) === "2024-01")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx")), "substr-eq")
+    check(t.where(col("day").like("2024-02-%"))
+      .agg(count(lit(1)).as("n"), min(col("id")).as("mn")), "LIKE prefix")
+    check(t.where(col("day") === "2024-01-01" || col("day") >= "2024-02-03")
+      .agg(count(lit(1)).as("n")), "OR of key predicates")
+    // NULL excludes: nullif nulls one key's predicate — SQL WHERE
+    // drops null rows, per-entry constant so whole-entry exclusion
+    check(t.where(nullif(col("day"), lit("2024-01-02")) > "2024-01-01")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx")), "nullif-null-excludes")
+    // composes with GROUPED rewrites (incl. expression groupings)
+    check(t.where(substring(col("day"), 1, 7) === "2024-01")
+      .groupBy(col("day")).agg(count(lit(1)).as("n")).orderBy(col("day")),
+      "expression filter × grouped")
+    // a DATE-typed pcol with a DATE literal narrows through eval
+    // (strOf has no date form — only the eval path can decide it)
+    val dpath = freshPath("efilter_date")
+    ManifestTable.merge(spark, dpath,
+      rows.select(col("id"), col("x"), col("day").cast("date").as("day")),
+      Seq("id"), "day", statsColumns = Seq("x"), sumColumns = Seq("x"))
+    check(ManifestTable.read(spark, dpath)
+      .where(col("day") > lit(java.sql.Date.valueOf("2024-01-04")))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx")), "date literal")
+    // an eval-ERRORING filter (ANSI cast of a non-numeric key) backs
+    // off to the scan, which owns the error — plan-only, never run
+    val before = StatsAggRule.rewrites.get
+    val bad = t.where(col("day").cast("int") > 0).agg(count(lit(1)).as("n"))
+    bad.queryExecution.executedPlan
+    assert(StatsAggRule.rewrites.get == before,
+      "an eval-erroring filter must not answer from metadata")
+    assert(bad.queryExecution.sparkPlan.collect {
+      case s: FileSourceScanExec => s }.nonEmpty)
   }
 
   test("range predicates on the partition key and count(distinct pcol) " +
