@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -134,10 +134,11 @@ object MvJoinRegistry {
   * pre-joined scan versus a scan + shuffle/broadcast join — when the
   * rewrite is provably an identity:
   *
-  *   - the Join is INNER (either orientation) or LEFT OUTER with the
-  *     registered FACT on the LEFT (the fact-preserving shape the
-  *     view materializes; a dim-preserving outer join is a different
-  *     result set and never rewrites), with a deterministic
+  *   - the Join is INNER (either orientation) or FACT-PRESERVING
+  *     outer — LEFT OUTER with the registered fact on the LEFT, or
+  *     its mirror RIGHT OUTER with the fact on the RIGHT (the shape
+  *     the view materializes; a dim-preserving outer join is a
+  *     different result set and never rewrites), with a deterministic
   *     conjunction of attribute equalities covering EXACTLY the
   *     registered key list — single or COMPOSITE — each conjunct
   *     equating the same-named column on both sides, each side
@@ -181,7 +182,8 @@ case class MvJoinRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
     // fresh session (lookup memoizes its manifest probe per version)
     if (!enabled) plan
     else plan.transformUp {
-      case j @ Join(_, _, Inner | LeftOuter, Some(cond), _) if cond.deterministic =>
+      case j @ Join(_, _, Inner | LeftOuter | RightOuter, Some(cond), _)
+          if cond.deterministic =>
         rewrite(j, cond).getOrElse(j)
     }
 
@@ -217,7 +219,10 @@ case class MvJoinRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
         MvJoinRegistry.lookup(spark, right.root, left.root)
           .map(m => (m, right, left, pairs.map(_.swap), false))
       candidates.view.flatMap { case (mv, fact, dim, kp, factLeft) =>
-        val leftOuter = j.joinType == LeftOuter
+        // both outer forms are handled iff they PRESERVE THE FACT —
+        // `fact LEFT OUTER dim` and its mirror `dim RIGHT OUTER fact`
+        // are the same result set the view materializes
+        val leftOuter = j.joinType == LeftOuter || j.joinType == RightOuter
         // the conjuncts must equate the same-named column on both
         // sides and cover the registered key list exactly
         val names = kp.map { case (fa, da) =>
@@ -231,7 +236,8 @@ case class MvJoinRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
         val keyed = !names.exists(_.isEmpty) &&
           ks.distinct.size == ks.size && ks.toSet == mv.joinKeys.toSet
         val typeOk =
-          if (leftOuter) mv.joinType == "left_outer" && factLeft
+          if (j.joinType == LeftOuter) mv.joinType == "left_outer" && factLeft
+          else if (j.joinType == RightOuter) mv.joinType == "left_outer" && !factLeft
           else mv.joinType == "inner"
         // a dim-side filter does not commute with null-extension. The
         // ONE exception is the optimizer's own inferred

@@ -339,6 +339,22 @@ class MvJoinSpec extends AnyFunSuite {
       val (d5, _, rows5) = run(qi)
       assert(d5 == 0 && rows5 == truth(qi),
         "join-type mismatch must never rewrite")
+      // the MIRROR: dim RIGHT OUTER fact preserves the fact too —
+      // same result set, same view
+      def qr = ManifestTable.read(spark, dim)
+        .join(ManifestTable.read(spark, fact), Seq("uid"), "right_outer")
+        .select(col("id"), col("uid"), col("seg"), col("v"))
+      val (d6, r6, rows6) = run(qr)
+      assert(d6 == 1 && !r6.exists(_.endsWith("/fact")),
+        "fact-preserving RIGHT OUTER must rewrite like its LEFT mirror")
+      assert(rows6 == truth(qr))
+      // …but fact LEFT-preserving reversed (dim-preserving) never does
+      def qd2 = ManifestTable.read(spark, dim)
+        .join(ManifestTable.read(spark, fact), Seq("uid"), "left_outer")
+        .select(col("uid"), col("seg"))
+      val (d7, _, rows7) = run(qd2)
+      assert(d7 == 0 && rows7 == truth(qd2),
+        "a dim-preserving outer join is a different result set")
     } finally MvJoinRegistry.unregister(spark, fact, dim)
   }
 }
