@@ -95,7 +95,7 @@ case class StatsAggRule(spark: SparkSession)
     else plan.transformUp {
       case a: Aggregate if a.groupingExpressions.isEmpty =>
         rewrite(a).getOrElse(a)
-      case a: Aggregate if a.groupingExpressions.size == 1 =>
+      case a: Aggregate =>
         rewriteGrouped(a).getOrElse(a)
     }
 
@@ -141,25 +141,28 @@ case class StatsAggRule(spark: SparkSession)
     resolveScan(a.child).flatMap { case ResolvedScan(entries, pcolOpt, colOf, aliasOf) =>
       for {
         pcol <- pcolOpt
-        g = a.groupingExpressions.head
-        // the grouping, with alias references inlined, as an
-        // expression over the bare scan attributes
-        resolved = g.transformUp {
+        gs = a.groupingExpressions
+        // each grouping, with alias references inlined, as an
+        // expression over the bare scan attributes — ALL must be
+        // deterministic pcol-only (a multi-column grouping like
+        // `GROUP BY substr(day,1,4), substr(day,6,2)` — the
+        // year/month rollup — is several expressions of ONE key)
+        resolved = gs.map(_.transformUp {
           case ar: AttributeReference if aliasOf.contains(ar.exprId) =>
             aliasOf(ar.exprId)
-        }
-        if resolved.deterministic && resolved.references.nonEmpty &&
-          resolved.references.forall(r =>
-            colOf.get(r.exprId).exists(_._1 == pcol))
-        pcolDt <- resolved.references.headOption.map(_.dataType)
+        })
+        if resolved.forall(r => r.deterministic && r.references.nonEmpty &&
+          r.references.forall(ref =>
+            colOf.get(ref.exprId).exists(_._1 == pcol)))
+        pcolDt <- resolved.head.references.headOption.map(_.dataType)
         if entries.forall(en => en.key.isDefined && en.rowCount.isDefined)
         live = entries.filter(_.rowCount.exists(_ > 0))
         if live.map(_.key.get).distinct.size == live.size // one entry per key
         groups <- groupByExpr(live, resolved, pcolDt)
         rows <- {
-          val perGroup = groups.map { case (gv, ens) =>
+          val perGroup = groups.map { case (gvs, ens) =>
             val values = a.aggregateExpressions.map(ne =>
-              valueOfGrouped(ne, ens, g, gv, colOf, pcol, pcolDt))
+              valueOfGrouped(ne, ens, gs, gvs, colOf, pcol, pcolDt))
             if (values.exists(_.isEmpty)) None
             else Some(InternalRow.fromSeq(values.map(_.get.orNull)))
           }
@@ -167,9 +170,9 @@ case class StatsAggRule(spark: SparkSession)
         }
       } yield {
         StatsAggRule.rewrites.incrementAndGet()
-        logInfo(s"graft stats-agg: answered a GROUP BY ${g.sql} aggregate " +
-          s"from ${live.size} manifest entries in ${groups.size} group(s) " +
-          "(no scan)")
+        logInfo(s"graft stats-agg: answered a GROUP BY " +
+          s"${gs.map(_.sql).mkString(", ")} aggregate from ${live.size} " +
+          s"manifest entries in ${groups.size} group(s) (no scan)")
         LocalRelation(a.output, rows)
       }
     }
@@ -189,16 +192,16 @@ case class StatsAggRule(spark: SparkSession)
     * deterministically by rendered value, nulls first (SQL groups
     * nulls together). */
   private def groupByExpr(live: Seq[GraftFileIndex.EntryMeta],
-                          resolved: Expression, pcolDt: DataType)
-      : Option[Seq[(Any, Seq[GraftFileIndex.EntryMeta])]] = {
-    val groupable = resolved.dataType match {
+                          resolved: Seq[Expression], pcolDt: DataType)
+      : Option[Seq[(Seq[Any], Seq[GraftFileIndex.EntryMeta])]] = {
+    def groupable(dt: DataType): Boolean = dt match {
       case ByteType | ShortType | IntegerType | LongType | FloatType |
            DoubleType | StringType | BooleanType | DateType |
            TimestampType | TimestampNTZType => true
       case _: DecimalType => true
       case _ => false // BINARY compares by reference; nested types out
     }
-    if (!groupable) return None
+    if (!resolved.forall(r => groupable(r.dataType))) return None
     def norm(v: Any): Any = v match {
       case d: Double if d == 0.0d => 0.0d // -0.0 groups with 0.0
       case f: Float if f == 0.0f => 0.0f
@@ -206,19 +209,22 @@ case class StatsAggRule(spark: SparkSession)
     }
     val evaluated = live.map { en =>
       keyInternal(en.key.get, pcolDt).flatMap { kv =>
-        val bound = resolved.transformUp {
-          case _: AttributeReference => Literal(kv, pcolDt)
-        }
-        try Some(norm(bound.eval(InternalRow.empty)))
+        try Some(resolved.map { r =>
+          norm(r.transformUp {
+            case _: AttributeReference => Literal(kv, pcolDt)
+          }.eval(InternalRow.empty))
+        })
         catch { case scala.util.control.NonFatal(_) => None }
-      }.map(gv => gv -> en)
+      }.map(gvs => gvs -> en)
     }
     if (evaluated.exists(_.isEmpty)) None
     else Some(evaluated.flatten
-      .groupBy { case (gv, _) => gv } // value-based boxed equality
+      .groupBy { case (gvs, _) => gvs } // Seq equality is elementwise
+      // value-based boxed equality
       .toSeq
-      .sortBy { case (gv, _) => Option(gv).fold("")("v" + _.toString) }
-      .map { case (gv, pairs) => (gv, pairs.map(_._2)) })
+      .sortBy { case (gvs, _) =>
+        gvs.map(v => Option(v).fold("")("v" + _.toString)).mkString(" ") }
+      .map { case (gvs, pairs) => (gvs, pairs.map(_._2)) })
   }
 
   /** One output value of a grouped aggregate, from the group's MEMBER
@@ -226,7 +232,7 @@ case class StatsAggRule(spark: SparkSession)
     * global fold restricted to the group's subset). */
   private def valueOfGrouped(ne: NamedExpression,
                              ens: Seq[GraftFileIndex.EntryMeta],
-                             g: Expression, groupValue: Any,
+                             gs: Seq[Expression], groupValues: Seq[Any],
                              colOf: Map[ExprId, (String, DataType)],
                              pcol: String, pcolDt: DataType): Option[Option[Any]] = {
     def phys(ar: AttributeReference): Option[(String, DataType)] = colOf.get(ar.exprId)
@@ -257,11 +263,19 @@ case class StatsAggRule(spark: SparkSession)
       case Alias(child, _) => child
       case other => other
     }
+    def groupIndexOf(e2: Expression): Option[Int] = {
+      val i = gs.indexWhere {
+        case ga: AttributeReference => e2 match {
+          case ar: AttributeReference => ar.exprId == ga.exprId
+          case _ => false
+        }
+        case g => e2.semanticEquals(g)
+      }
+      if (i >= 0) Some(i) else None
+    }
     e match {
-      case ar: AttributeReference if g.isInstanceOf[AttributeReference] &&
-          ar.exprId == g.asInstanceOf[AttributeReference].exprId =>
-        Some(Option(groupValue))
-      case other if other.semanticEquals(g) => Some(Option(groupValue))
+      case other if groupIndexOf(other).isDefined =>
+        Some(Option(groupValues(groupIndexOf(other).get)))
       case l: Literal => Some(Option(l.value))
       case AggregateExpression(fn, _, false, None, _) => fn match {
         case Count(Seq(l: Literal)) if l.value != null => countStar(ens)

@@ -2524,7 +2524,20 @@ object ExtQueries {
     val gs = spark.sql("SELECT substr(day, 9, 1) AS dec, count(*) AS n_sql, " +
       "sum(v) AS sv_sql FROM q231_t GROUP BY substr(day, 9, 1)")
     gs.collect()
-    val metaOnly = !hasScan(g) && !hasScan(gs)
+    // MULTI-COLUMN grouping: two expressions of the one key (the
+    // year/month-rollup shape) merge entries per evaluated TUPLE —
+    // pinned as an md5 fingerprint of the full sorted result
+    val tup = ManifestTable.read(spark, path)
+      .groupBy(substring(col("day"), 9, 1).as("dec"),
+        (substring(col("day"), 10, 1).cast("int") % 2).as("par"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    tup.collect()
+    val tupStr = tup.orderBy(col("dec"), col("par")).collect()
+      .map(r => s"${r.getString(0)}:${r.getInt(1)}:${r.getLong(2)}:${r.getLong(3)}")
+      .mkString("|")
+    val tupFp = java.security.MessageDigest.getInstance("MD5")
+      .digest(tupStr.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val metaOnly = !hasScan(g) && !hasScan(gs) && !hasScan(tup)
     val day0 = ev.agg(min(col("day"))).collect()(0).getString(0)
     val flt = ManifestTable.read(spark, path).where(col("day") > day0)
       .groupBy(substring(col("day"), 9, 1).as("dec"))
@@ -2538,6 +2551,7 @@ object ExtQueries {
     after.collect()
     val dvScans = hasScan(after)
     g.join(gs, Seq("dec")).join(flt, Seq("dec")).join(after, Seq("dec"))
+      .withColumn("tup_fp", lit(tupFp))
       .withColumn("meta_only", lit(metaOnly))
       .withColumn("flt_meta_only", lit(fltMetaOnly))
       .withColumn("dv_scans", lit(dvScans))
@@ -2560,6 +2574,12 @@ object ExtQueries {
       |  CAST(count(*) AS BIGINT) AS n_sql, CAST(sum(v) AS BIGINT) AS sv_sql,
       |  CAST(count(*) FILTER (day > (SELECT min(day) FROM ev)) AS BIGINT) AS n_flt,
       |  CAST(count(*) FILTER (event_id % 211 <> 5) AS BIGINT) AS n_dv,
+      |  (SELECT md5(string_agg(dec2 || ':' || par || ':' || tn || ':' || tsv,
+      |       '|' ORDER BY dec2, par))
+      |   FROM (SELECT substr(day, 9, 1) AS dec2,
+      |           CAST(substr(day, 10, 1) AS INT) % 2 AS par,
+      |           CAST(count(*) AS BIGINT) AS tn, CAST(sum(v) AS BIGINT) AS tsv
+      |         FROM ev GROUP BY 1, 2)) AS tup_fp,
       |  TRUE AS meta_only, TRUE AS flt_meta_only, TRUE AS dv_scans
       |FROM ev GROUP BY substr(day, 9, 1) ORDER BY dec""".stripMargin
 

@@ -561,6 +561,45 @@ class StatsAggSpec extends AnyFunSuite {
       case s: FileSourceScanExec => s }.nonEmpty)
   }
 
+  test("MULTI-COLUMN groupings — several expressions of the one partition " +
+    "key (the year/month rollup) — merge entries per evaluated TUPLE, " +
+    "scanless and bit-equal; a tuple mixing in a data column backs off") {
+    val path = freshPath("gmulti")
+    val rows = (1L to 40L).map { i =>
+      val d = (i - 1) % 8 + 1
+      val month = if (d <= 4) "01" else "02"
+      (i, Some(i * 3), f"2024-$month-0${(d - 1) % 4 + 1}%d")
+    }.toDF("id", "x", "day")
+    ManifestTable.merge(spark, path, rows, Seq("id"), "day",
+      statsColumns = Seq("id", "x"), sumColumns = Seq("x"))
+    def q = ManifestTable.read(spark, path)
+      .groupBy(substring(col("day"), 6, 2).as("month"),
+        (substring(col("day"), 10, 1).cast("int") % 2).as("par"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        min(col("day")).as("mn_day"))
+      .orderBy(col("month"), col("par"))
+    val (d1, s1, rs) = run(q)
+    assert(d1 == 1 && !s1, s"tuple grouping must fold from metadata: $d1 $s1")
+    spark.conf.set("spark.graft.statsAgg.enabled", "false")
+    try assert(rs == q.collect().toSeq, "tuple-grouped metadata != scan")
+    finally spark.conf.set("spark.graft.statsAgg.enabled", "true")
+    assert(rs.size == 4, s"two months × two parities: $rs")
+    // bare pcol + an expression of it together
+    def q2 = ManifestTable.read(spark, path)
+      .groupBy(col("day"), substring(col("day"), 6, 2).as("month"))
+      .agg(count(lit(1)).as("n")).orderBy(col("day"))
+    val (d2, s2, rs2) = run(q2)
+    assert(d2 == 1 && !s2)
+    spark.conf.set("spark.graft.statsAgg.enabled", "false")
+    try assert(rs2 == q2.collect().toSeq)
+    finally spark.conf.set("spark.graft.statsAgg.enabled", "true")
+    // a tuple with a NON-pcol member backs the whole rewrite off
+    val (d3, s3, _) = run(ManifestTable.read(spark, path)
+      .groupBy(substring(col("day"), 6, 2).as("month"), (col("id") % 2).as("g"))
+      .agg(count(lit(1)).as("n")))
+    assert(d3 == 0 && s3, "a non-pcol tuple member must back off")
+  }
+
   test("a MULTI-BIN compacted table keeps the metadata fast path: the " +
     "union-of-branches read (bins + exclusive dirs) folds additively — " +
     "global, grouped, expression-grouped and pcol-filtered aggregates all " +
