@@ -2263,6 +2263,81 @@ object ExtQueries {
       |FROM ev GROUP BY day ORDER BY day""".stripMargin
 
   // ----------------------------------------------------------------
+  // q236_timetravel_stats — METADATA AGGREGATES OVER A TIME-TRAVEL
+  // SNAPSHOT: readVersion(v) builds its GraftFileIndex from THAT
+  // version's manifest — entries complete for the snapshot, each
+  // carrying the stats committed with it — so StatsAggRule's
+  // completeness certificate holds per snapshot and the pinned-
+  // version dashboard ("how many rows did we have before last
+  // night's batch") answers scanless with the OLD values, even after
+  // a later upsert rewrote the dirs. The gate merges a base batch,
+  // pins its version, then lands an update+insert batch: the
+  // snapshot's global + per-day aggregates fold from the v1 manifest
+  // (meta_only), the CURRENT read folds the post-batch values, and
+  // both are SQL-recomputed independently.
+  // ----------------------------------------------------------------
+  def q236TimetravelStats(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:q236_timetravel_stats") {
+      q236TimetravelStatsBuild(spark, dir)
+    }
+
+  private def q236TimetravelStatsBuild(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.ManifestTable
+    def hasScan(df: DataFrame): Boolean = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.nonEmpty
+    val ev = Tables.events(spark, dir).select(
+      col("event_id"),
+      floor(col("value") * 1000).cast("long").as("v"),
+      date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+    val b1 = ev.filter(col("event_id") % 3 =!= 0)
+    val b2 = ev.filter(col("event_id") % 3 === 0).union(
+      ev.filter(col("event_id") % 3 =!= 0 && col("event_id") % 5 === 0)
+        .select(col("event_id"), (col("v") + 7).as("v"), col("day")))
+    val path = java.nio.file.Files.createTempDirectory("graft_q236_").toString + "/t"
+    ManifestTable.merge(spark, path, b1, keys = Seq("event_id"), partitionCol = "day",
+      statsColumns = Seq("event_id", "v"), sumColumns = Seq("v"))
+    val v1 = ManifestTable.history(spark, path).last.version
+    ManifestTable.merge(spark, path, b2, keys = Seq("event_id"), partitionCol = "day",
+      statsColumns = Seq("event_id", "v"), sumColumns = Seq("v"))
+    val snap = ManifestTable.readVersion(spark, path, v1).agg(
+      count(lit(1)).as("n_v1"), sum(col("v")).as("sv_v1"),
+      max(col("v")).as("mx_v1"))
+    snap.collect()
+    val snapG = ManifestTable.readVersion(spark, path, v1)
+      .groupBy(col("day")).agg(count(lit(1)).as("n1"), sum(col("v")).as("sv1"))
+    snapG.collect()
+    val cur = ManifestTable.read(spark, path).agg(
+      count(lit(1)).as("n_cur"), sum(col("v")).as("sv_cur"))
+    cur.collect()
+    val metaOnly = !hasScan(snap) && !hasScan(snapG) && !hasScan(cur)
+    snapG.crossJoin(snap).crossJoin(cur)
+      .withColumn("meta_only", lit(metaOnly))
+      .orderBy(col("day"))
+  }
+
+  val q236TimetravelStatsSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, CAST(floor(value * 1000) AS BIGINT) AS v,
+      |    strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+      |  FROM events),
+      |b1 AS (SELECT * FROM ev WHERE event_id % 3 <> 0),
+      |cur AS (
+      |  SELECT event_id, day,
+      |    CASE WHEN event_id % 3 <> 0 AND event_id % 5 = 0 THEN v + 7
+      |         ELSE v END AS v
+      |  FROM ev)
+      |SELECT day, CAST(count(*) AS BIGINT) AS n1, CAST(sum(v) AS BIGINT) AS sv1,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM b1) AS n_v1,
+      |  (SELECT CAST(sum(v) AS BIGINT) FROM b1) AS sv_v1,
+      |  (SELECT max(v) FROM b1) AS mx_v1,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM cur) AS n_cur,
+      |  (SELECT CAST(sum(v) AS BIGINT) FROM cur) AS sv_cur,
+      |  TRUE AS meta_only
+      |FROM b1 GROUP BY day ORDER BY day""".stripMargin
+
+  // ----------------------------------------------------------------
   // q235_expr_filter_stats — EXPRESSION FILTERS OF THE PARTITION KEY
   // NARROW BY PER-KEY EVAL (StatsAggRule narrow's evalPred fallback):
   // any deterministic predicate referencing only the partition column
