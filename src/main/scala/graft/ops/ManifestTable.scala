@@ -1532,8 +1532,73 @@ object ManifestTable {
         s"ManifestTable.approxDistinctWhere: partition column $pcol missing " +
           s"from the committed schema under $path")).dataType
     val keys = dataEntries(lines).map(_._1)
-    approxDistinct(spark, path, column,
-      keyPredicateOf(spark, where, pcol, pcolType, keys))
+    val pred =
+      try keyPredicateOf(spark, where, pcol, pcolType, keys)
+      catch { case e: RuntimeException if e.getMessage != null &&
+          e.getMessage.contains("not key-decidable") =>
+        // the structural adjudicator refused — ANY deterministic
+        // predicate of the partition column ALONE is still decidable
+        // (constant per entry): analyze it against the table and
+        // evaluate per key, the graft.plans.StatsAggRule narrow/eval
+        // contract applied to the sketch fold
+        exprKeyPredicateOf(spark, path, where, pcol, pcolType).getOrElse(throw e)
+      }
+    approxDistinct(spark, path, column, pred)
+  }
+
+  /** The [[approxDistinctWhere]] EVAL fallback: analyze `where`
+    * against the table (so coercions/functions resolve exactly as a
+    * scan's would), require every reference to be the partition
+    * column, and decide per entry key by substituting the parsed-back
+    * internal value — exact for key-roundtrip-lossless pcol types
+    * (integrals, strings, ISO dates). NULL excludes (SQL WHERE). A
+    * non-pcol reference or a non-lossless pcol type returns None (the
+    * caller re-raises the structural refusal); an ANSI eval error
+    * propagates — the equivalent scan would raise it too. */
+  private def exprKeyPredicateOf(spark: SparkSession, path: String, where: String,
+                                 pcol: String,
+                                 pcolType: org.apache.spark.sql.types.DataType)
+      : Option[String => Boolean] = {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Literal}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    // an analysis failure (e.g. an ANSI-unparsable literal the
+    // coercion folds eagerly) means no honest metadata decision —
+    // return None so the caller re-raises the structural refusal and
+    // the user's row-level fallback surfaces the engine's own error
+    val analyzed =
+      try read(spark, path)
+        .where(org.apache.spark.sql.functions.expr(where))
+        .queryExecution.analyzed
+      catch { case scala.util.control.NonFatal(_) => return None }
+    val conds = analyzed.collect { case f: LFilter => f.condition }
+    if (conds.size != 1) return None
+    val cond = conds.head
+    if (!cond.deterministic || cond.references.isEmpty ||
+        !cond.references.forall(_.name == pcol)) return None
+    def keyVal(k: String): Option[Any] = pcolType match {
+      case org.apache.spark.sql.types.StringType =>
+        Some(org.apache.spark.unsafe.types.UTF8String.fromString(k))
+      case org.apache.spark.sql.types.ByteType => k.toByteOption
+      case org.apache.spark.sql.types.ShortType => k.toShortOption
+      case org.apache.spark.sql.types.IntegerType => k.toIntOption
+      case org.apache.spark.sql.types.LongType => k.toLongOption
+      case org.apache.spark.sql.types.DateType =>
+        try Some(java.time.LocalDate.parse(k).toEpochDay.toInt)
+        catch { case _: java.time.format.DateTimeParseException => None }
+      case _ => None
+    }
+    // probe losslessness up front so refusal stays LOUD and immediate
+    // rather than a surprise mid-fold
+    Some { (k: String) =>
+      val kv = keyVal(k).getOrElse(sys.error(
+        s"ManifestTable.approxDistinctWhere: key '$k' does not parse back " +
+          s"losslessly as ${pcolType.simpleString} — the expression predicate " +
+          "cannot be decided from metadata"))
+      val bound = cond.transformUp {
+        case _: AttributeReference => Literal(kv, pcolType)
+      }
+      bound.eval(org.apache.spark.sql.catalyst.InternalRow.empty) == true
+    }
   }
 
   /** Parse `where` into a key-string predicate, or refuse loudly —

@@ -192,20 +192,32 @@ class SketchStatsSpec extends AnyFunSuite {
       s"a string literal over an integral column must compare numerically: $strRange")
     val strEq = ManifestTable.approxDistinctWhere(spark, intCol, "u", "part = '11'")
     assert(strEq.dirs == 1L)
-    // refusals: non-key column, function of the key, OR, non-literal,
-    // a literal family no engine cast decides (unparsable string on an
-    // integral column), and a non-integral cross-domain literal
-    for (bad <- Seq("u > 5", "substr(part, 1, 1) = '1'",
-        "part = '1' OR part = '2'", "part = id")) {
+    // functions of the key and OR-combinations are decidable through
+    // the per-key EVAL fallback (r18) — the structural refusal no
+    // longer surfaces for pcol-only shapes
+    val fn1 = ManifestTable.approxDistinctWhere(spark, path, "u",
+      "substr(part, 1, 1) = '1'")
+    assert(fn1 == ManifestTable.approxDistinct(spark, path, "u",
+      _.startsWith("1")))
+    val or1 = ManifestTable.approxDistinctWhere(spark, path, "u",
+      "part = '1' OR part = '2'")
+    assert(or1 == ManifestTable.approxDistinct(spark, path, "u",
+      p => p == "1" || p == "2"))
+    // refusals that remain: a non-key column, and key = column
+    for (bad <- Seq("u > 5", "part = id")) {
       val e = intercept[RuntimeException] {
         ManifestTable.approxDistinctWhere(spark, path, "u", bad)
       }
       assert(e.getMessage.contains("not key-decidable"), s"$bad: ${e.getMessage}")
     }
-    val eInt = intercept[RuntimeException] {
+    // an unparsable string literal on an integral column raises the
+    // ENGINE'S OWN ANSI cast error through the eval fallback — exactly
+    // what the equivalent scan would raise (r18; previously a blanket
+    // structural refusal)
+    val eInt = intercept[Exception] {
       ManifestTable.approxDistinctWhere(spark, intCol, "u", "part = 'x1'")
     }
-    assert(eInt.getMessage.contains("not key-decidable"))
+    assert(eInt.getMessage.contains("CAST_INVALID_INPUT"), eInt.getMessage)
     // a string column whose keys don't all parse refuses an integral
     // literal (the scan's ANSI cast of the column would error)
     val strKeys = freshPath("adw_str")
@@ -215,6 +227,38 @@ class SketchStatsSpec extends AnyFunSuite {
     intercept[RuntimeException] {
       ManifestTable.approxDistinctWhere(spark, strKeys, "u", "part = 3")
     }
+  }
+
+  test("approxDistinctWhere EXPRESSION predicates: any deterministic " +
+    "pcol-only predicate the structural adjudicator refuses falls back to " +
+    "per-key eval — substr/OR/inequality fold; non-pcol shapes still refuse") {
+    val path = freshPath("adw_expr")
+    ManifestTable.merge(spark, path,
+      (1 to 60).map { i =>
+        val d = i % 6 + 1
+        (i.toLong, s"2024-0${d / 4 + 1}-0${d % 4 + 1}", (i % 7).toLong)
+      }.toDF("id", "part", "u"),
+      Seq("id"), "part", kmvColumns = Seq("u"), kmvK = 256)
+    // substr month selection — structurally refused, eval-decided
+    val est = ManifestTable.approxDistinctWhere(spark, path, "u",
+      "substr(part, 1, 7) = '2024-01'")
+    val manual = ManifestTable.approxDistinct(spark, path, "u",
+      p => p.startsWith("2024-01"))
+    assert(est == manual, s"$est != $manual")
+    // OR + inequality combinations
+    val or = ManifestTable.approxDistinctWhere(spark, path, "u",
+      "part = '2024-01-01' OR part >= '2024-02-02'")
+    val orManual = ManifestTable.approxDistinct(spark, path, "u",
+      p => p == "2024-01-01" || p >= "2024-02-02")
+    assert(or == orManual)
+    val ne = ManifestTable.approxDistinctWhere(spark, path, "u",
+      "part != '2024-01-01'")
+    assert(ne == ManifestTable.approxDistinct(spark, path, "u", _ != "2024-01-01"))
+    // a non-pcol reference still refuses loudly
+    val e = intercept[RuntimeException] {
+      ManifestTable.approxDistinctWhere(spark, path, "u", "substr(part,1,4) = id")
+    }
+    assert(e.getMessage.contains("not key-decidable"), e.getMessage)
   }
 
   test("foldMoR re-sketches touched dirs at the COMMITTED k, not the call " +
