@@ -365,8 +365,7 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // result type (ANSI errors / legacy nulls at exactly the scan's
     // CheckOverflowInSum boundary)
     case class SumOut(sumAl: Alias, cntAl: Alias, to: DataType) extends Out
-    case class AvgDecOut(sumAl: Alias, cntAl: Alias, sumDt: DecimalType,
-                         out: DecimalType) extends Out
+    case class AvgDecOut(sumAl: Alias, cntAl: Alias, av: Average) extends Out
     var synths = Vector.empty[Alias]
     val outs: Seq[Option[Out]] = a.aggregateExpressions.map { ne =>
       val (core, origType) = ne match {
@@ -460,22 +459,21 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           // to the scan's internal sum type (the CheckOverflowInSum
           // boundary), one decimal Divide, one cast to the result
           // type — identity by construction.
-          case Average(ar: AttributeReference, _) =>
+          case avFn @ Average(ar: AttributeReference, _) =>
+            val av = avFn.asInstanceOf[Average]
             for {
               c <- physOf(ar)
               if mv.sumCols.contains(c)
               va <- viewAttr(s"sum_$c")
               cnt <- viewAttr(s"cnt_$c")
               if cnt.dataType == LongType
-              out <- (ar.dataType, va.dataType, origType) match {
-                case (LongType, LongType, DoubleType) if avgExactProof(info, c) =>
-                  Some(None)
-                case (in: DecimalType, vd: DecimalType, o: DecimalType)
-                    if vd.scale == in.scale &&
-                      vd.precision == math.min(38, in.precision + 10) &&
-                      o.precision == math.min(38, in.precision + 4) &&
-                      o.scale == math.min(38, in.scale + 4) =>
-                  Some(Some((vd, o)))
+              decimal <- (ar.dataType, va.dataType) match {
+                case (LongType, LongType)
+                    if origType == DoubleType && avgExactProof(info, c) =>
+                  Some(false)
+                case (_: DecimalType, vd: DecimalType)
+                    if vd == av.sumDataType && origType == av.dataType =>
+                  Some(true)
                 case _ => None
               }
             } yield {
@@ -483,10 +481,7 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
               synths :+= sAl
               val cAl = Alias(Sum(cnt).toAggregateExpression(), s"__mv_${synths.size}")()
               synths :+= cAl
-              out match {
-                case None => AvgOut(sAl, cAl)
-                case Some((sumDt, o)) => AvgDecOut(sAl, cAl, sumDt, o)
-              }
+              if (decimal) AvgDecOut(sAl, cAl, av) else AvgOut(sAl, cAl)
             }
           // min-of-mins / max-of-maxs are exact for ANY type — no
           // arithmetic, order-independent — when the view maintains
@@ -552,15 +547,22 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             Alias(If(EqualTo(cAl.toAttribute, Literal(0L)),
               Literal(null, to), Cast(sAl.toAttribute, to)),
               name)(exprId = orig.exprId)
-          // Average's decimal evaluate tree, literally: the sum under
-          // its internal-type overflow boundary, one decimal Divide
-          // (LEGACY — Average passes failOnError = false; a zero or
-          // NULL divisor yields NULL, avg-over-no-non-null-rows in
-          // both plans), one result cast.
-          case AvgDecOut(sAl, cAl, sumDt, out) =>
-            Alias(Cast(Divide(Cast(sAl.toAttribute, sumDt),
-              Cast(cAl.toAttribute, DecimalType(20, 0)), EvalMode.LEGACY),
-              out), name)(exprId = orig.exprId)
+          // Average's decimal evaluate tree VERBATIM — the plan's own
+          // `if (count = 0) null else DecimalDivideWithOverflowCheck(
+          // sum, …, resultType, evalMode flags)` with the buffer
+          // references substituted by the re-aggregated Σsum/Σcnt:
+          // identical values in, identical division/rounding/overflow
+          // semantics out (the division happens at the RESULT type
+          // directly — no intermediate precision-loss rounding, which
+          // a hand-built Divide+Cast chain would introduce).
+          case AvgDecOut(sAl, cAl, av) =>
+            val tree = av.evaluateExpression.transform {
+              case a: AttributeReference if a.exprId == av.sum.exprId =>
+                sAl.toAttribute
+              case a: AttributeReference if a.exprId == av.count.exprId =>
+                cAl.toAttribute
+            }
+            Alias(tree, name)(exprId = orig.exprId)
         }
       }
     Some(Project(projList, agg2))

@@ -293,8 +293,9 @@ case class StatsAggRule(spark: SparkSession)
           }
         case Sum(ar: AttributeReference, _) =>
           phys(ar).flatMap { case (c, dt) => sumValue(ens, c, dt, fn.dataType) }
-        case Average(ar: AttributeReference, _) =>
-          phys(ar).flatMap { case (c, dt) => avgValue(ens, c, dt, fn.dataType) }
+        case av @ Average(ar: AttributeReference, _) =>
+          phys(ar).flatMap { case (c, dt) =>
+            avgValue(ens, c, dt, av.asInstanceOf[Average]) }
         case _ => None
       }
       case _ => None
@@ -618,8 +619,9 @@ case class StatsAggRule(spark: SparkSession)
           phys(ar).flatMap { case (c, dt) => bound(entries, c, dt, isMin = false) }
         case Sum(ar: AttributeReference, _) =>
           phys(ar).flatMap { case (c, dt) => sumValue(entries, c, dt, fn.dataType) }
-        case Average(ar: AttributeReference, _) =>
-          phys(ar).flatMap { case (c, dt) => avgValue(entries, c, dt, fn.dataType) }
+        case av @ Average(ar: AttributeReference, _) =>
+          phys(ar).flatMap { case (c, dt) =>
+            avgValue(entries, c, dt, av.asInstanceOf[Average]) }
         case _ => None
       }
       case _ => None
@@ -732,13 +734,12 @@ case class StatsAggRule(spark: SparkSession)
     * one IEEE divide of the (exact) double sum by the long count
     * cast to double. */
   private def avgValue(entries: Seq[GraftFileIndex.EntryMeta], c: String,
-                       inputDt: DataType, outDt: DataType): Option[Option[Any]] = {
-    (inputDt, outDt) match {
-      case (in: DecimalType, out: DecimalType) =>
-        return avgDecimal(entries, c, in, out)
+                       inputDt: DataType, av: Average): Option[Option[Any]] = {
+    inputDt match {
+      case in: DecimalType => return avgDecimal(entries, c, in, av)
       case _ =>
     }
-    if (outDt != DoubleType || !integralType(inputDt)) return None
+    if (av.dataType != DoubleType || !integralType(inputDt)) return None
     val parts = entries.map { en =>
       for {
         r <- en.rowCount
@@ -762,24 +763,22 @@ case class StatsAggRule(spark: SparkSession)
 
   /** `avg(decimal(p,s))` from metadata — EXACT with no 2⁵³ proof
     * needed: the scan's Average accumulates decimals in fixed-point
-    * `decimal(p+10, s)` (associative, order-independent), so the
-    * folded committed sums ARE the scan's internal sum whenever the
-    * total fits that type (past it the scan's CheckOverflowInSum
-    * errors/nulls — back off, overflow belongs to the scan). The
-    * final value then replicates `Average.evaluateExpression`
-    * LITERALLY: the SAME Catalyst `Divide(sum, count.cast(
-    * decimal(20,0)), LEGACY).cast(resultType)` tree is built over the
-    * folded sum and non-null count as literals and EVALUATED — bit
-    * identity by construction, not by re-derivation of Spark's
-    * decimal division/rounding rules. Needs per entry: the committed
-    * sum (or an all-null proof), rowcount, and null count. The
-    * division can never overflow the (p+4, s+4) result (|avg| ≤
-    * max|v|, which fits (p,s)), so ANSI vs legacy cast agree. */
+    * (associative, order-independent) and — probed from the 4.1.2
+    * jars — divides the UNCHECKED sum buffer straight into the result
+    * type through `DecimalDivideWithOverflowCheck` (no intermediate
+    * precision-loss rounding; only the RESULT is overflow-checked,
+    * per the plan's own evalMode). Rather than re-derive that, the
+    * PLAN'S OWN `Average.evaluateExpression` tree is taken verbatim
+    * and its sum/count buffer references substituted with the folded
+    * total and non-null count as literals — bit identity by
+    * construction for whatever evalMode/flags the plan carries. Needs
+    * per entry: the committed sum (or an all-null proof), rowcount,
+    * and null count. A total past 38 digits cannot be represented
+    * (the scan's own buffer arithmetic is undefined there too) and an
+    * eval error (ANSI result overflow) both back off — the scan then
+    * owns the behavior. */
   private def avgDecimal(entries: Seq[GraftFileIndex.EntryMeta], c: String,
-                         in: DecimalType, out: DecimalType): Option[Option[Any]] = {
-    if (out.precision != math.min(38, in.precision + 4) ||
-        out.scale != math.min(38, in.scale + 4)) return None
-    val sumDt = DecimalType(math.min(38, in.precision + 10), in.scale)
+                         in: DecimalType, av: Average): Option[Option[Any]] = {
     val counts = entries.map(en =>
       for { r <- en.rowCount; n <- en.nullCounts.get(c) } yield r - n)
     if (counts.exists(_.isEmpty)) return None
@@ -789,12 +788,16 @@ case class StatsAggRule(spark: SparkSession)
       case None => Some(None) // unreachable: nonNull > 0 ⟹ some sum
       case Some(t) =>
         val dec = org.apache.spark.sql.types.Decimal(BigDecimal(t, in.scale))
-        if (!dec.changePrecision(sumDt.precision, sumDt.scale)) None
+        if (!dec.changePrecision(38, in.scale)) None
         else {
-          val div = Divide(Literal(dec, sumDt),
-            Literal(org.apache.spark.sql.types.Decimal(nonNull),
-              DecimalType(20, 0)), EvalMode.LEGACY)
-          Some(Option(Cast(div, out).eval(InternalRow.empty)))
+          val tree = av.evaluateExpression.transform {
+            case ar: AttributeReference if ar.exprId == av.sum.exprId =>
+              Literal(dec, av.sumDataType)
+            case ar: AttributeReference if ar.exprId == av.count.exprId =>
+              Literal(nonNull)
+          }
+          try Some(Option(tree.eval(InternalRow.empty)))
+          catch { case scala.util.control.NonFatal(_) => None }
         }
     }
   }

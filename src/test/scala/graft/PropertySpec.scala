@@ -30,6 +30,51 @@ class PropertySpec extends AnyFunSuite {
       // unique PK per table, like the reference's (asset_id, ts)
       .dropDuplicates("k", "ts")
 
+  test("law: DECIMAL metadata sum/avg is BIT-equal to the scan across " +
+    "precisions, scales, signs, nulls and an all-null partition") {
+    import graft.ops.ManifestTable
+    import graft.plans.StatsAggRule
+    val shapes = Seq((10, 2), (20, 8), (12, 0), (38, 10))
+    for (((p, s), si) <- shapes.zipWithIndex) {
+      val r = rng(4200 + si)
+      val path = java.nio.file.Files
+        .createTempDirectory(s"graft_prop_dec$si").toString + "/t"
+      val maxUnscaled = BigInt(10).pow(math.min(p, 15) - 1)
+      val rows = (1 to 120).map { i =>
+        val day = s"d${i % 6}"
+        val v: Option[BigDecimal] =
+          if (i % 6 == 5) None // d5: an ALL-NULL partition
+          else if (r.nextInt(7) == 0) None // sprinkled nulls elsewhere
+          else {
+            val unscaled = BigInt(r.nextLong()) % maxUnscaled // signed
+            Some(BigDecimal(unscaled) / BigDecimal(10).pow(s))
+          }
+        (i.toLong, day, v)
+      }.toDF("id", "day", "dv")
+        .select(col("id"), col("day"), col("dv").cast(s"decimal($p,$s)").as("dv"))
+      ManifestTable.merge(spark, path, rows, Seq("id"), "day",
+        statsColumns = Seq("dv"), sumColumns = Seq("dv"))
+      def glob = ManifestTable.read(spark, path)
+        .agg(sum(col("dv")).as("sd"), avg(col("dv")).as("ad"),
+          count(col("dv")).as("nd"))
+      def grouped = ManifestTable.read(spark, path).groupBy(col("day"))
+        .agg(sum(col("dv")).as("sd"), avg(col("dv")).as("ad"))
+        .orderBy(col("day"))
+      for ((mk, what) <- Seq((() => glob, "global"), (() => grouped, "grouped"))) {
+        val before = StatsAggRule.rewrites.get
+        val viaMeta = mk().collect().toSeq
+        assert(StatsAggRule.rewrites.get - before >= 1,
+          s"decimal($p,$s) $what: the metadata rewrite must fire")
+        spark.conf.set("spark.graft.statsAgg.enabled", "false")
+        val viaScan =
+          try mk().collect().toSeq
+          finally spark.conf.set("spark.graft.statsAgg.enabled", "true")
+        assert(viaMeta == viaScan,
+          s"decimal($p,$s) $what: metadata answer must be BIT-equal to the scan")
+      }
+    }
+  }
+
   test("law: upsert is idempotent and incoming wins on key collision") {
     for (t <- 1 to Trials) {
       val r = rng(t)
