@@ -1514,10 +1514,15 @@ object ManifestTable {
     * contract as the full fold. Equality/IN literals must stringify
     * exactly as the manifest key does; range comparisons decide on
     * parsed-back integral keys or on ASCII strings (Java order ==
-    * UTF8 byte order). ANY other shape — a non-key column, a
-    * function of the key, an OR — REFUSES LOUDLY: a silently
-    * mis-scoped subset would be a wrong answer, and the row-level
-    * fallback is a plain `count(DISTINCT …)` scan. */
+    * UTF8 byte order). When the structural adjudicator refuses, any
+    * OTHER deterministic predicate of the partition column ALONE
+    * (a function of the key, an OR, a LIKE) still decides via
+    * [[exprKeyPredicateOf]] — analyzed against the table and
+    * evaluated per entry key, constant within an entry. Only a
+    * predicate referencing a NON-key column (or a non-lossless key
+    * type) REFUSES LOUDLY: a silently mis-scoped subset would be a
+    * wrong answer, and the row-level fallback is a plain
+    * `count(DISTINCT …)` scan. */
   def approxDistinctWhere(spark: SparkSession, path: String, column: String,
                           where: String): DistinctEstimate = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1659,7 +1664,20 @@ object ManifestTable {
       case _ => false
     }
     val stringCol = pcolType == StringType
+    // The string-column + integral-literal cross-domain path asserts
+    // "the engine casts the COLUMN to the numeric domain" — true
+    // under ANSI coercion (string → the literal's integral type,
+    // exact), but under LEGACY coercion Spark widens BOTH sides to
+    // DOUBLE, where longs beyond 2^53 collapse; a key encoding such
+    // an integer could adjudicate differently here (exact long
+    // compare) than in a real scan. Gate the path on ANSI mode, or —
+    // under legacy — on every key and literal fitting EXACTLY in a
+    // double, and refuse loudly otherwise.
+    val ansiOn = spark.sessionState.conf.ansiEnabled
+    def exactInDouble(x: Long): Boolean = math.abs(x) <= (1L << 53)
     val allKeysParse = keys.forall(_.toLongOption.isDefined)
+    val keysNumericallyDecidable = allKeysParse &&
+      (ansiOn || keys.forall(k => exactInDouble(k.toLong)))
     val allAscii = keys.forall(ascii)
     def eqValue(e: Expression, l: Literal): Either[Long, String] =
       if (l.value == null) refuse(e)
@@ -1672,7 +1690,9 @@ object ManifestTable {
       }
       else if (stringCol) l.dataType match {
         case StringType => scala.Right(l.value.toString)
-        case ByteType | ShortType | IntegerType | LongType if allKeysParse =>
+        case ByteType | ShortType | IntegerType | LongType
+            if keysNumericallyDecidable &&
+              (ansiOn || exactInDouble(l.value.toString.toLong)) =>
           scala.Left(l.value.toString.toLong)
         case _ => refuse(e)
       }
@@ -1688,7 +1708,14 @@ object ManifestTable {
       else refuse(e)
     def eqPred(e: Expression, l: Literal): String => Boolean =
       eqValue(e, l) match {
-        case scala.Left(x) => k => k.toLongOption.contains(x)
+        // a key that fails to parse cannot happen on the gated paths
+        // (integral columns commit integral keys; the string-column
+        // numeric path requires every key to parse) — if one appears
+        // anyway, refuse LOUDLY rather than silently excluding it
+        case scala.Left(x) => k => k.toLongOption.map(_ == x).getOrElse(
+          sys.error(s"ManifestTable.approxDistinctWhere: key '$k' does not " +
+            "parse as an integer — the numeric equality cannot be decided " +
+            "from metadata"))
         case scala.Right(s) => k => k == s
       }
     def cmpPred(e: Expression, l: Literal, cmp: Int => Boolean): String => Boolean =

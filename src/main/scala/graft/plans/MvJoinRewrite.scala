@@ -315,9 +315,15 @@ case class MvJoinRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
       props = ManifestTable.readPropsAt(spark, mv.viewPath, vv)
       fState <- props.get(IncrementalJoin.FactVersionProp)
       dState <- props.get(IncrementalJoin.DimVersionProp)
-      if props.get(IncrementalJoin.JoinTypeProp).forall(_ == mv.joinType)
+      // Pre-r18 views (built inner/single-key) carry neither prop, so
+      // absence is acceptable ONLY for that default shape; a
+      // non-default registration (left_outer or composite key) must
+      // find the props stamped AND matching, else a mis-registered
+      // legacy view would pass freshness and serve the wrong rows.
+      if props.get(IncrementalJoin.JoinTypeProp)
+        .fold(mv.joinType == "inner")(_ == mv.joinType)
       if props.get(IncrementalJoin.JoinKeysProp)
-        .forall(_ == mv.joinKeys.mkString(","))
+        .fold(mv.joinKeys.size == 1)(_ == mv.joinKeys.mkString(","))
       if ManifestTable.sameDataEntries(spark, mv.factPath, fState.toLong, fCur)
       if ManifestTable.sameDataEntries(spark, mv.dimPath, dState.toLong, dCur)
     } yield vv

@@ -223,7 +223,7 @@ case class StatsAggRule(spark: SparkSession)
       // value-based boxed equality
       .toSeq
       .sortBy { case (gvs, _) =>
-        gvs.map(v => Option(v).fold("")("v" + _.toString)).mkString(" ") }
+        gvs.map(v => Option(v).fold("")("v" + _.toString)).mkString("\u0000") }
       .map { case (gvs, pairs) => (gvs, pairs.map(_._2)) })
   }
 
