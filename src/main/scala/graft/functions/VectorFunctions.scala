@@ -223,6 +223,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // two-level MV stack), the metadata-only rule last can collapse
     // even a rewritten global aggregate to committed footer stats,
     // and join pruning picks up whatever declined to rewrite.
+    // the LATEST-STATE rewrite first: its output is a plain view
+    // scan, so a grouped aggregate or join above a rewritten
+    // latest-per-key can still hit the later rules' registries
+    ext.injectPreCBORule(session => graft.plans.LatestRewriteRule(session))
     ext.injectPreCBORule(session => graft.plans.MvJoinRewriteRule(session))
     ext.injectPreCBORule(session => graft.plans.MvRewriteRule(session))
     ext.injectPreCBORule(session => graft.plans.StatsAggRule(session))

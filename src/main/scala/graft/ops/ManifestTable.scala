@@ -3809,6 +3809,7 @@ object ManifestTable {
     * results 1000× slower, silently" after a restart. */
   val MvAggDefPropPrefix = "mv.agg."
   val MvJoinDefPropPrefix = "mv.join."
+  val MvLatestDefPropPrefix = "mv.latest."
 
   private[ops] val DurablePropKeys: Set[String] =
     Set(RenameMapProp, DropTombstonesProp, BucketColProp, BucketNProp,
@@ -3818,7 +3819,8 @@ object ManifestTable {
   private[ops] def durablePropsOf(props: Map[String, String]): Map[String, String] =
     props.view.filterKeys(k =>
       DurablePropKeys(k) || k.startsWith(ConstraintPropPrefix) ||
-        k.startsWith(MvAggDefPropPrefix) || k.startsWith(MvJoinDefPropPrefix)).toMap
+        k.startsWith(MvAggDefPropPrefix) || k.startsWith(MvJoinDefPropPrefix) ||
+        k.startsWith(MvLatestDefPropPrefix)).toMap
 
   /** One metadata-only commit adding/removing MV-definition props —
     * the registries' durable backing ([[MvAggDefPropPrefix]] /
@@ -3832,7 +3834,7 @@ object ManifestTable {
                                       removeKeys: String => Boolean,
                                       retainVersions: Int): Unit = {
     require(adds.keys.forall(k => k.startsWith(MvAggDefPropPrefix) ||
-      k.startsWith(MvJoinDefPropPrefix)),
+      k.startsWith(MvJoinDefPropPrefix) || k.startsWith(MvLatestDefPropPrefix)),
       s"ManifestTable.updateMvDefProps: only mv.* prop families, got " +
         adds.keys.mkString(", "))
     require(retainVersions >= 1, s"retainVersions must be >= 1, got $retainVersions")
@@ -3842,8 +3844,8 @@ object ManifestTable {
     val lines = readManifest(fs, path, v)
     val props = propsOf(lines)
     val next = props.filterNot { case (k, _) =>
-      (k.startsWith(MvAggDefPropPrefix) || k.startsWith(MvJoinDefPropPrefix)) &&
-        removeKeys(k)
+      (k.startsWith(MvAggDefPropPrefix) || k.startsWith(MvJoinDefPropPrefix) ||
+        k.startsWith(MvLatestDefPropPrefix)) && removeKeys(k)
     } ++ adds
     if (next != props) commitProps(fs, path, v, lines, next, retainVersions)
   }

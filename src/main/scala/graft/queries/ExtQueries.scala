@@ -2338,6 +2338,136 @@ object ExtQueries {
       |FROM b1 GROUP BY day ORDER BY day""".stripMargin
 
   // ----------------------------------------------------------------
+  // q237_latest_view — LATEST-STATE MAINTAINED VIEW + WINDOW REWRITE
+  // (IncrementalLatest + LatestRewriteRule): the reference's HEADLINE
+  // view, `v_latest_prices` (`sql/views.sql:2-8`) — latest row per
+  // key — answered from a MAINTAINED latest-state table instead of
+  // the full-scan + key-wide-shuffle `row_number()=1` plan. The gate
+  // pins the full lifecycle: (1) BOTH query forms — the window shape
+  // (Ops.latestPerKey) and the max_by aggregate shape
+  // (Ops.latestPerKeyAgg) — answer from the view with the fact never
+  // scanned (mv_used) and agree row-for-row (agg_matches); (2) an
+  // additive base commit makes the view stale → both forms fall back
+  // to the scan (stale_scans); (3) refresh folds the delta
+  // INCREMENTALLY (inc_fold — RefreshResult evidence) and the rewrite
+  // recovers with rows bit-equal to the scan answer (recovered);
+  // (4) an in-place price rectification is a RETRACTION → refresh
+  // takes the documented full rebuild (rebuild) and the rewrite
+  // serves the corrected rows. Final rows SQL-recomputed from
+  // `events` by an independent DuckDB window. At 100 TB this is THE
+  // dashboard query ("current price per asset") served from O(keys)
+  // pre-folded rows per refresh instead of a history scan per view.
+  // ----------------------------------------------------------------
+  def q237LatestView(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:q237_latest_view") {
+      q237LatestViewBuild(spark, dir)
+    }
+
+  private def q237LatestViewBuild(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{IncrementalLatest, ManifestTable, Ops}
+    import graft.plans.LatestRegistry
+    def scanRoots(df: DataFrame): Set[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.rootPaths.head.toString
+          }
+      }.toSet
+    val ev = Tables.events(spark, dir).select(
+      col("event_id"),
+      date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+      concat(lit("a"), (col("user_id") % 40).cast("string")).as("asset"),
+      unix_micros(col("ts")).as("ts_us"),
+      floor(col("value") * 10000).cast("long").as("price"))
+    val b1 = ev.filter(col("event_id") % 7 =!= 0)
+    // the additive batch lands in a brand-new day partition with
+    // strictly later timestamps — a purely additive delta
+    val b2 = ev.filter(col("event_id") % 7 === 0).select(
+      col("event_id"), lit("9999-01-01").as("day"), col("asset"),
+      (col("ts_us") + lit(1000000000000000L)).as("ts_us"),
+      (col("price") + 3L).as("price"))
+    val root = java.nio.file.Files.createTempDirectory("graft_q237_").toString
+    val (fact, view) = (root + "/fact", root + "/lview")
+    ManifestTable.merge(spark, fact, b1, keys = Seq("event_id"), partitionCol = "day")
+    IncrementalLatest.refresh(spark, fact, view, Seq("asset"), Seq("ts_us", "event_id"))
+    LatestRegistry.register(spark, fact, view, Seq("asset"), Seq("ts_us", "event_id"))
+    try {
+      def qWin(): DataFrame = Ops.latestPerKey(ManifestTable.read(spark, fact),
+        Seq("asset"), Seq(col("ts_us"), col("event_id")))
+        .select(col("asset"), col("ts_us"), col("price"))
+      def qAgg(): DataFrame = Ops.latestPerKeyAgg(ManifestTable.read(spark, fact),
+        Seq("asset"), struct(col("ts_us"), col("event_id")), Seq("ts_us", "price"))
+      def rowsOf(df: DataFrame): Seq[String] =
+        df.collect().map(_.toString).sorted.toSeq
+      val (w1, g1) = (qWin(), qAgg())
+      val (rw1, rg1) = (rowsOf(w1), rowsOf(g1))
+      val r1 = scanRoots(w1) ++ scanRoots(g1)
+      val mvUsed = r1.exists(_.endsWith("/lview")) && !r1.exists(_.endsWith("/fact"))
+      // additive commit → stale → both forms scan the fact
+      ManifestTable.merge(spark, fact, b2, keys = Seq("event_id"), partitionCol = "day")
+      val (w2, g2) = (qWin(), qAgg())
+      val (rw2, rg2) = (rowsOf(w2), rowsOf(g2))
+      val staleScans = scanRoots(w2).exists(_.endsWith("/fact")) &&
+        scanRoots(g2).exists(_.endsWith("/fact"))
+      val res = IncrementalLatest.refresh(spark, fact, view,
+        Seq("asset"), Seq("ts_us", "event_id"))
+      val incFold = res.incremental && res.committed
+      val (w3, g3) = (qWin(), qAgg())
+      val r3 = scanRoots(w3) ++ scanRoots(g3)
+      val recovered = r3.exists(_.endsWith("/lview")) &&
+        !r3.exists(_.endsWith("/fact")) &&
+        rowsOf(w3) == rw2 && rowsOf(g3) == rg2
+      // in-place rectification = retraction → full rebuild
+      ManifestTable.updateWhere(spark, fact, "day", col("event_id") % 11 === 4,
+        Map("price" -> (col("price") * 2L + 1L)))
+      val res2 = IncrementalLatest.refresh(spark, fact, view,
+        Seq("asset"), Seq("ts_us", "event_id"))
+      val rebuild = !res2.incremental && res2.committed
+      val (w4, g4) = (qWin(), qAgg())
+      val rows4 = w4.collect()
+      val r4 = scanRoots(w4) ++ scanRoots(g4)
+      val finalMv = r4.exists(_.endsWith("/lview")) && !r4.exists(_.endsWith("/fact"))
+      val aggMatches = rw1 == rg1 && rowsOf(g4) == rows4.map(_.toString).sorted.toSeq
+      w4.withColumn("mv_used", lit(mvUsed && finalMv))
+        .withColumn("stale_scans", lit(staleScans))
+        .withColumn("inc_fold", lit(incFold))
+        .withColumn("rebuild", lit(rebuild))
+        .withColumn("recovered", lit(recovered))
+        .withColumn("agg_matches", lit(aggMatches))
+        .orderBy(col("asset"))
+    } finally LatestRegistry.unregister(spark, fact)
+  }
+
+  val q237LatestViewSql: String =
+    """WITH ev AS (
+      |  SELECT event_id,
+      |    'a' || CAST(user_id % 40 AS VARCHAR) AS asset,
+      |    epoch_us(ts) AS ts_us,
+      |    CAST(floor(value * 10000) AS BIGINT) AS price
+      |  FROM events),
+      |allr AS (
+      |  SELECT event_id, asset, ts_us, price FROM ev WHERE event_id % 7 <> 0
+      |  UNION ALL
+      |  SELECT event_id, asset, ts_us + 1000000000000000 AS ts_us,
+      |    price + 3 AS price
+      |  FROM ev WHERE event_id % 7 = 0),
+      |fin AS (
+      |  SELECT event_id, asset, ts_us,
+      |    CASE WHEN event_id % 11 = 4 THEN price * 2 + 1 ELSE price END AS price
+      |  FROM allr),
+      |latest AS (
+      |  SELECT asset, ts_us, price,
+      |    row_number() OVER (PARTITION BY asset
+      |                       ORDER BY ts_us DESC, event_id DESC) AS rn
+      |  FROM fin)
+      |SELECT asset, ts_us, price,
+      |  TRUE AS mv_used, TRUE AS stale_scans, TRUE AS inc_fold,
+      |  TRUE AS rebuild, TRUE AS recovered, TRUE AS agg_matches
+      |FROM latest WHERE rn = 1 ORDER BY asset""".stripMargin
+
+  // ----------------------------------------------------------------
   // q235_expr_filter_stats — EXPRESSION FILTERS OF THE PARTITION KEY
   // NARROW BY PER-KEY EVAL (StatsAggRule narrow's evalPred fallback):
   // any deterministic predicate referencing only the partition column
