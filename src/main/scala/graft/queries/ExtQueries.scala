@@ -2468,6 +2468,132 @@ object ExtQueries {
       |FROM latest WHERE rn = 1 ORDER BY asset""".stripMargin
 
   // ----------------------------------------------------------------
+  // q238_star_join — STAR-JOIN CHAINING through MvJoinRewriteRule:
+  // `fact ⋈ dim1 ⋈ dim2` answered from ONE pre-joined scan. The
+  // inner join rewrites onto its maintained view (view1 = fact⋈dim1),
+  // and because transformUp rebuilds parents with rewritten children,
+  // the outer join's fact side IS view1's scan — which a second-level
+  // registration (view12 = view1⋈dim2, view-over-view) rewrites in
+  // the same pass. Per-dim staleness unwinds EXACTLY one level: a
+  // dim2 commit un-rewrites the outer join only (view1 still serves
+  // the inner), a dim1 commit unwinds to base scans; the refresh
+  // cascade (view1 from dim1, then view12 from its changed "fact"
+  // view1 — a fact-side incremental refresh) recovers bit-equal. At
+  // 100 TB the two-dim star is the standard warehouse dashboard
+  // shape; this turns scan+2 joins into one view read. Final rows
+  // SQL-recomputed from `events`.
+  // ----------------------------------------------------------------
+  def q238StarJoin(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:q238_star_join") {
+      q238StarJoinBuild(spark, dir)
+    }
+
+  private def q238StarJoinBuild(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{IncrementalJoin, ManifestTable}
+    import graft.plans.MvJoinRegistry
+    import spark.implicits._
+    def scanRoots(df: DataFrame): Set[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.rootPaths.head.toString
+          }
+      }.toSet
+    val factDf = Tables.events(spark, dir).select(
+      col("event_id"),
+      date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+      col("user_id"),
+      concat(lit("c"), (col("event_id") % 5).cast("string")).as("cat"),
+      floor(col("value") * 1000).cast("long").as("v"))
+    val dim1Df = Tables.events(spark, dir).select(col("user_id")).distinct()
+      .select(col("user_id"),
+        concat(lit("seg-"), (col("user_id") % 7).cast("string")).as("seg"),
+        (col("user_id") % 5).cast("string").as("pd"))
+    val dim2Df = Seq(0, 1, 2, 3, 4).toDF("i").select(
+      concat(lit("c"), col("i").cast("string")).as("cat"),
+      concat(lit("cat-"), col("i").cast("string")).as("cname"),
+      lit("p0").as("pd2"))
+    val root = java.nio.file.Files.createTempDirectory("graft_q238_").toString
+    val (fact, dim1, dim2) = (root + "/fact", root + "/dim1", root + "/dim2")
+    val (view1, view12) = (root + "/view1", root + "/view12")
+    ManifestTable.merge(spark, fact, factDf, Seq("event_id"), "day")
+    ManifestTable.merge(spark, dim1, dim1Df, Seq("user_id"), "pd")
+    ManifestTable.merge(spark, dim2, dim2Df, Seq("cat"), "pd2")
+    def refreshChain(): Unit = {
+      IncrementalJoin.refresh(spark, fact, dim1, view1,
+        Seq("event_id"), Seq("user_id"), "day")
+      IncrementalJoin.refresh(spark, view1, dim2, view12,
+        Seq("event_id"), Seq("cat"), "day")
+    }
+    refreshChain()
+    MvJoinRegistry.register(spark, fact, dim1, view1, Seq("user_id"))
+    MvJoinRegistry.register(spark, view1, dim2, view12, Seq("cat"))
+    try {
+      def q(): DataFrame = ManifestTable.read(spark, fact)
+        .join(ManifestTable.read(spark, dim1), Seq("user_id"))
+        .join(ManifestTable.read(spark, dim2), Seq("cat"))
+        .groupBy(col("seg"), col("cname"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      def rowsOf(df: DataFrame): Seq[String] =
+        df.collect().map(_.toString).sorted.toSeq
+      val q1 = q(); rowsOf(q1); val r1 = scanRoots(q1)
+      val starMv = r1.size == 1 && r1.head.endsWith("/view12")
+      // dim2 commit: the outer level alone unwinds
+      ManifestTable.updateWhere(spark, dim2, "pd2", col("cat") === "c2",
+        Map("cname" -> lit("cat-X")))
+      val q2 = q(); val rows2 = rowsOf(q2); val r2 = scanRoots(q2)
+      val stale2 = r2.exists(_.endsWith("/view1")) &&
+        r2.exists(_.endsWith("/dim2")) && !r2.exists(_.endsWith("/fact"))
+      IncrementalJoin.refresh(spark, view1, dim2, view12,
+        Seq("event_id"), Seq("cat"), "day")
+      val q3 = q(); val r3 = scanRoots(q3)
+      val rec2 = r3.size == 1 && r3.head.endsWith("/view12") && rowsOf(q3) == rows2
+      // dim1 commit: the whole star unwinds to base scans
+      ManifestTable.updateWhere(spark, dim1, "pd", col("user_id") % 13 === 2,
+        Map("seg" -> lit("seg-X")))
+      val q4 = q(); val rows4 = rowsOf(q4); val r4 = scanRoots(q4)
+      val stale1 = r4.exists(_.endsWith("/fact")) && r4.exists(_.endsWith("/dim1"))
+      refreshChain()
+      val q5 = q(); val r5 = scanRoots(q5)
+      val rec1 = r5.size == 1 && r5.head.endsWith("/view12") && rowsOf(q5) == rows4
+      q5.withColumn("star_mv", lit(starMv))
+        .withColumn("stale2", lit(stale2))
+        .withColumn("rec2", lit(rec2))
+        .withColumn("stale1", lit(stale1))
+        .withColumn("rec1", lit(rec1))
+        .orderBy(col("seg"), col("cname"))
+    } finally {
+      MvJoinRegistry.unregister(spark, fact, dim1)
+      MvJoinRegistry.unregister(spark, view1, dim2)
+    }
+  }
+
+  val q238StarJoinSql: String =
+    """WITH f AS (
+      |  SELECT event_id, user_id,
+      |    'c' || CAST(event_id % 5 AS VARCHAR) AS cat,
+      |    CAST(floor(value * 1000) AS BIGINT) AS v
+      |  FROM events),
+      |d1 AS (
+      |  SELECT user_id,
+      |    CASE WHEN user_id % 13 = 2 THEN 'seg-X'
+      |         ELSE 'seg-' || CAST(user_id % 7 AS VARCHAR) END AS seg
+      |  FROM (SELECT DISTINCT user_id FROM events)),
+      |d2 AS (
+      |  SELECT 'c' || CAST(i AS VARCHAR) AS cat,
+      |    CASE WHEN i = 2 THEN 'cat-X'
+      |         ELSE 'cat-' || CAST(i AS VARCHAR) END AS cname
+      |  FROM (SELECT unnest([0, 1, 2, 3, 4]) AS i))
+      |SELECT d1.seg, d2.cname, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(f.v) AS BIGINT) AS sv,
+      |  TRUE AS star_mv, TRUE AS stale2, TRUE AS rec2,
+      |  TRUE AS stale1, TRUE AS rec1
+      |FROM f JOIN d1 USING (user_id) JOIN d2 USING (cat)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ----------------------------------------------------------------
   // q235_expr_filter_stats — EXPRESSION FILTERS OF THE PARTITION KEY
   // NARROW BY PER-KEY EVAL (StatsAggRule narrow's evalPred fallback):
   // any deterministic predicate referencing only the partition column
