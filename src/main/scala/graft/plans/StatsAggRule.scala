@@ -100,9 +100,9 @@ case class StatsAggRule(spark: SparkSession)
     }
 
   private def rewrite(a: Aggregate): Option[LogicalPlan] =
-    resolveScan(a.child).flatMap { case ResolvedScan(entries, pcol, colOf, _) =>
+    resolveScan(a.child).flatMap { case ResolvedScan(entries, pcol, colOf, aliasOf) =>
       val values = a.aggregateExpressions.map(ne =>
-        valueOf(ne, entries, colOf, pcol))
+        valueOf(ne, entries, colOf, aliasOf, pcol))
       if (values.exists(_.isEmpty)) None
       else {
         StatsAggRule.rewrites.incrementAndGet()
@@ -162,7 +162,7 @@ case class StatsAggRule(spark: SparkSession)
         rows <- {
           val perGroup = groups.map { case (gvs, ens) =>
             val values = a.aggregateExpressions.map(ne =>
-              valueOfGrouped(ne, ens, gs, gvs, colOf, pcol, pcolDt))
+              valueOfGrouped(ne, ens, gs, gvs, colOf, aliasOf, pcol, pcolDt))
             if (values.exists(_.isEmpty)) None
             else Some(InternalRow.fromSeq(values.map(_.get.orNull)))
           }
@@ -194,19 +194,7 @@ case class StatsAggRule(spark: SparkSession)
   private def groupByExpr(live: Seq[GraftFileIndex.EntryMeta],
                           resolved: Seq[Expression], pcolDt: DataType)
       : Option[Seq[(Seq[Any], Seq[GraftFileIndex.EntryMeta])]] = {
-    def groupable(dt: DataType): Boolean = dt match {
-      case ByteType | ShortType | IntegerType | LongType | FloatType |
-           DoubleType | StringType | BooleanType | DateType |
-           TimestampType | TimestampNTZType => true
-      case _: DecimalType => true
-      case _ => false // BINARY compares by reference; nested types out
-    }
     if (!resolved.forall(r => groupable(r.dataType))) return None
-    def norm(v: Any): Any = v match {
-      case d: Double if d == 0.0d => 0.0d // -0.0 groups with 0.0
-      case f: Float if f == 0.0f => 0.0f
-      case other => other
-    }
     val evaluated = live.map { en =>
       keyInternal(en.key.get, pcolDt).flatMap { kv =>
         try Some(resolved.map { r =>
@@ -234,6 +222,7 @@ case class StatsAggRule(spark: SparkSession)
                              ens: Seq[GraftFileIndex.EntryMeta],
                              gs: Seq[Expression], groupValues: Seq[Any],
                              colOf: Map[ExprId, (String, DataType)],
+                             aliasOf: Map[ExprId, Expression],
                              pcol: String, pcolDt: DataType): Option[Option[Any]] = {
     def phys(ar: AttributeReference): Option[(String, DataType)] = colOf.get(ar.exprId)
     def keyFold(dt: DataType, isMin: Boolean): Option[Option[Any]] = {
@@ -277,6 +266,11 @@ case class StatsAggRule(spark: SparkSession)
       case other if groupIndexOf(other).isDefined =>
         Some(Option(groupValues(groupIndexOf(other).get)))
       case l: Literal => Some(Option(l.value))
+      // per-group COUNT(DISTINCT expr-of-pcol): distinct evaluated
+      // values over the group's MEMBER keys (bare pcol included —
+      // the identity expression)
+      case AggregateExpression(Count(Seq(expr)), _, true, None, _) =>
+        distinctExprCount(expr, ens, colOf, aliasOf, pcol)
       case AggregateExpression(fn, _, false, None, _) => fn match {
         case Count(Seq(l: Literal)) if l.value != null => countStar(ens)
         case Count(Seq(ar: AttributeReference)) =>
@@ -300,6 +294,71 @@ case class StatsAggRule(spark: SparkSession)
       }
       case _ => None
     }
+  }
+
+  /** Internal value types with VALUE-BASED boxed equality — the
+    * grouping/distinct adjudication ([[groupByExpr]] /
+    * [[distinctExprCount]]): numerics (NaN groups with NaN, exactly
+    * Spark's grouping), UTF8String, and Decimal. BINARY's byte arrays
+    * compare by REFERENCE and nested types are out of scope — both
+    * back off. */
+  private def groupable(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType |
+         DoubleType | StringType | BooleanType | DateType |
+         TimestampType | TimestampNTZType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+
+  /** Signed float/double zeros normalized the way Spark's own
+    * NormalizeFloatingNumbers does for group keys. */
+  private def norm(v: Any): Any = v match {
+    case d: Double if d == 0.0d => 0.0d // -0.0 groups with 0.0
+    case f: Float if f == 0.0f => 0.0f
+    case other => other
+  }
+
+  /** COUNT(DISTINCT <deterministic expression of the partition
+    * column>) from metadata: the expression is CONSTANT within each
+    * entry (every row carries the entry's key), so its distinct
+    * values over the table equal its distinct values over the live
+    * entry KEYS — evaluated per key on the driver with the very
+    * Catalyst eval the scan runs per row, under the same exactness
+    * discipline as [[groupByExpr]] (key-roundtrip-lossless pcol
+    * types only, value-based-equality result types only, ±0.0
+    * normalized, eval errors back off — ANSI belongs to the scan).
+    * NULL results are excluded (SQL count distinct); duplicate keys
+    * across entries (shared compacted bins) dedupe — distinctness is
+    * a property of the key set, not the entry list. O(live keys)
+    * interpreted eval, no job. */
+  private def distinctExprCount(expr: Expression,
+                                entries: Seq[GraftFileIndex.EntryMeta],
+                                colOf: Map[ExprId, (String, DataType)],
+                                aliasOf: Map[ExprId, Expression],
+                                pcol: String): Option[Option[Any]] = {
+    val resolved = expr.transformUp {
+      case ar: AttributeReference if aliasOf.contains(ar.exprId) =>
+        aliasOf(ar.exprId)
+    }
+    if (!resolved.deterministic || resolved.references.isEmpty ||
+        !resolved.references.forall(r =>
+          colOf.get(r.exprId).exists(_._1 == pcol)) ||
+        !groupable(resolved.dataType)) return None
+    val pcolDt = resolved.references.head.dataType
+    if (!entries.forall(en => en.key.isDefined && en.rowCount.isDefined))
+      return None
+    val liveKeys = entries.filter(_.rowCount.exists(_ > 0))
+      .flatMap(_.key).distinct
+    val vals = liveKeys.map { k =>
+      keyInternal(k, pcolDt).flatMap { kv =>
+        try Some(norm(resolved.transformUp {
+          case _: AttributeReference => Literal(kv, pcolDt)
+        }.eval(InternalRow.empty)))
+        catch { case scala.util.control.NonFatal(_) => None }
+      }
+    }
+    if (vals.exists(_.isEmpty)) None
+    else Some(Some(vals.flatten.filter(_ != null).distinct.size.toLong))
   }
 
   /** The entry key parsed back to the column's INTERNAL value — only
@@ -589,6 +648,7 @@ case class StatsAggRule(spark: SparkSession)
   private def valueOf(ne: NamedExpression,
                       entries: Seq[GraftFileIndex.EntryMeta],
                       colOf: Map[ExprId, (String, DataType)],
+                      aliasOf: Map[ExprId, Expression],
                       pcol: Option[String]): Option[Option[Any]] = {
     def phys(ar: AttributeReference): Option[(String, DataType)] = colOf.get(ar.exprId)
     val e = ne match {
@@ -608,6 +668,14 @@ case class StatsAggRule(spark: SparkSession)
           Some(Some(entries.filter(_.rowCount.exists(_ > 0))
             .flatMap(_.key).distinct.size.toLong))
         else None
+      // COUNT(DISTINCT <deterministic expr of pcol>) — "how many
+      // distinct months" (`count(DISTINCT substr(day,1,7))`): the
+      // expression is constant within each entry, so its distinct
+      // values over the table are its distinct values over the LIVE
+      // ENTRY KEYS — the groupByExpr eval applied to a distinct-count
+      case AggregateExpression(Count(Seq(expr)), _, true, None, _)
+          if pcol.isDefined =>
+        distinctExprCount(expr, entries, colOf, aliasOf, pcol.get)
       case AggregateExpression(fn, _, false, None, _) => fn match {
         case Count(Seq(l: Literal)) if l.value != null =>
           countStar(entries)

@@ -2594,6 +2594,87 @@ object ExtQueries {
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   // ----------------------------------------------------------------
+  // q239_distinct_expr — COUNT(DISTINCT expr-of-pcol) FROM METADATA
+  // (StatsAggRule distinctExprCount): "how many distinct months"
+  // (`count(DISTINCT substr(day,1,7))`) — the expression is constant
+  // within each entry, so its distinct values over the table are its
+  // distinct values over the LIVE ENTRY KEYS, evaluated per key on
+  // the driver with the very Catalyst eval the scan runs per row.
+  // The gate pins: the global distinct-month/distinct-day counts
+  // alongside count(*) scanless (meta_only); the same composed with
+  // a partition-key range filter (narrow keeps entries whole, then
+  // the distinct folds over survivors); the GROUPED form (distinct
+  // days per month group); and the honesty boundary — a distinct
+  // expression referencing a DATA column falls back to a real scan
+  // (backoff_scans) with values unchanged. All values SQL-recomputed.
+  // At 100 TB: the dashboard's "coverage" panel (months/days loaded)
+  // in driver milliseconds, zero tasks.
+  // ----------------------------------------------------------------
+  def q239DistinctExpr(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:q239_distinct_expr") {
+      q239DistinctExprBuild(spark, dir)
+    }
+
+  private def q239DistinctExprBuild(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.ManifestTable
+    def hasScan(df: DataFrame): Boolean = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.nonEmpty
+    val ev = Tables.events(spark, dir).select(
+      col("event_id"),
+      date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+      floor(col("value") * 1000).cast("long").as("v"))
+    val path = java.nio.file.Files.createTempDirectory("graft_q239_").toString + "/t"
+    ManifestTable.merge(spark, path, ev, keys = Seq("event_id"), partitionCol = "day",
+      statsColumns = Seq("event_id", "v"))
+    val t = ManifestTable.read(spark, path)
+    val global = t.agg(
+      countDistinct(substring(col("day"), 1, 7)).as("n_months"),
+      countDistinct(col("day")).as("n_days"),
+      count(lit(1)).as("n_rows"))
+    global.collect()
+    val filtered = t.where(col("day") >= "2024-01-03").agg(
+      countDistinct(substring(col("day"), 1, 7)).as("n_months_f"),
+      countDistinct(col("day")).as("n_days_f"))
+    filtered.collect()
+    val grouped = t.groupBy(substring(col("day"), 1, 7).as("month"))
+      .agg(countDistinct(col("day")).as("nd"), count(lit(1)).as("n"))
+    grouped.collect()
+    val metaOnly = !hasScan(global) && !hasScan(filtered) && !hasScan(grouped)
+    val backoff = t.agg(
+      countDistinct(concat(col("day"), col("v").cast("string"))).as("n_dv"))
+    backoff.collect()
+    val backoffScans = hasScan(backoff)
+    grouped.crossJoin(global).crossJoin(filtered).crossJoin(backoff)
+      .withColumn("meta_only", lit(metaOnly))
+      .withColumn("backoff_scans", lit(backoffScans))
+      .orderBy(col("month"))
+  }
+
+  val q239DistinctExprSql: String =
+    """WITH ev AS (
+      |  SELECT event_id,
+      |    strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+      |    CAST(floor(value * 1000) AS BIGINT) AS v
+      |  FROM events)
+      |SELECT substr(day, 1, 7) AS month,
+      |  CAST(count(DISTINCT day) AS BIGINT) AS nd,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  (SELECT CAST(count(DISTINCT substr(day, 1, 7)) AS BIGINT) FROM ev)
+      |    AS n_months,
+      |  (SELECT CAST(count(DISTINCT day) AS BIGINT) FROM ev) AS n_days,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM ev) AS n_rows,
+      |  (SELECT CAST(count(DISTINCT substr(day, 1, 7)) AS BIGINT) FROM ev
+      |     WHERE day >= '2024-01-03') AS n_months_f,
+      |  (SELECT CAST(count(DISTINCT day) AS BIGINT) FROM ev
+      |     WHERE day >= '2024-01-03') AS n_days_f,
+      |  (SELECT CAST(count(DISTINCT day || CAST(v AS VARCHAR)) AS BIGINT)
+      |     FROM ev) AS n_dv,
+      |  TRUE AS meta_only, TRUE AS backoff_scans
+      |FROM ev GROUP BY 1 ORDER BY month""".stripMargin
+
+  // ----------------------------------------------------------------
   // q235_expr_filter_stats — EXPRESSION FILTERS OF THE PARTITION KEY
   // NARROW BY PER-KEY EVAL (StatsAggRule narrow's evalPred fallback):
   // any deterministic predicate referencing only the partition column
