@@ -1472,7 +1472,27 @@ object ManifestTable {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val v = latestVersion(fs, path).getOrElse(
       sys.error(s"ManifestTable.approxDistinct: no manifest under $path/$ManifestDir"))
-    val entries = dataEntries(readManifest(fs, path, v)).filter(e => partitionFilter(e._1))
+    approxDistinctAt(spark, path, column, v, partitionFilter)
+  }
+
+  /** [[approxDistinct]] AT a retained version — the time-travel
+    * sketch: each manifest version's entries carry the sketches
+    * committed WITH them, so the estimate over a pinned snapshot
+    * answers "how many distinct users before last night's batch"
+    * from the OLD sketches even after later upserts rewrote the
+    * dirs — the same completeness-per-snapshot certificate
+    * [[graft.plans.StatsAggRule]] holds for [[readVersion]] reads.
+    * Same honesty rules (every selected entry sketched, no pending
+    * MoR state at that snapshot). */
+  def approxDistinctAt(spark: SparkSession, path: String, column: String,
+                       version: Long,
+                       partitionFilter: String => Boolean = _ => true): DistinctEstimate = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(versions(fs, path).contains(version),
+      s"ManifestTable.approxDistinctAt: m$version not retained under $path " +
+        s"(have ${versions(fs, path).mkString(", ")})")
+    val entries = dataEntries(readManifest(fs, path, version))
+      .filter(e => partitionFilter(e._1))
     entries.foreach { case (kPart, value) =>
       require(dvRefOf(value).isEmpty && auxRefsOf(value).isEmpty,
         s"ManifestTable.approxDistinct: entry $kPart carries pending merge-on-read " +
@@ -1528,7 +1548,22 @@ object ManifestTable {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val v = latestVersion(fs, path).getOrElse(
       sys.error(s"ManifestTable.approxDistinctWhere: no manifest under $path/$ManifestDir"))
-    val lines = readManifest(fs, path, v)
+    approxDistinctWhereAt(spark, path, column, where, v)
+  }
+
+  /** [[approxDistinctWhere]] AT a retained version — the predicate is
+    * adjudicated against THAT snapshot's committed partition-column
+    * type and entry keys, and the fold reads that snapshot's sketches
+    * ([[approxDistinctAt]]), so the whole answer — scope AND
+    * estimate — is transactionally pinned (this also anchors the
+    * latest-version path: adjudication and fold share one version,
+    * never a racing pair). */
+  def approxDistinctWhereAt(spark: SparkSession, path: String, column: String,
+                            where: String, version: Long): DistinctEstimate = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(versions(fs, path).contains(version),
+      s"ManifestTable.approxDistinctWhereAt: m$version not retained under $path")
+    val lines = readManifest(fs, path, version)
     val pcol = partitionColOf(lines).getOrElse(sys.error(
       s"ManifestTable.approxDistinctWhere: no partition column recorded under $path"))
     val pcolType = committedSchema(lines).getOrElse(sys.error(
@@ -1546,9 +1581,10 @@ object ManifestTable {
         // (constant per entry): analyze it against the table and
         // evaluate per key, the graft.plans.StatsAggRule narrow/eval
         // contract applied to the sketch fold
-        exprKeyPredicateOf(spark, path, where, pcol, pcolType).getOrElse(throw e)
+        exprKeyPredicateOf(spark, path, where, pcol, pcolType, version)
+          .getOrElse(throw e)
       }
-    approxDistinct(spark, path, column, pred)
+    approxDistinctAt(spark, path, column, version, pred)
   }
 
   /** The [[approxDistinctWhere]] EVAL fallback: analyze `where`
@@ -1562,16 +1598,19 @@ object ManifestTable {
     * propagates — the equivalent scan would raise it too. */
   private def exprKeyPredicateOf(spark: SparkSession, path: String, where: String,
                                  pcol: String,
-                                 pcolType: org.apache.spark.sql.types.DataType)
+                                 pcolType: org.apache.spark.sql.types.DataType,
+                                 version: Long)
       : Option[String => Boolean] = {
     import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Literal}
     import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
     // an analysis failure (e.g. an ANSI-unparsable literal the
     // coercion folds eagerly) means no honest metadata decision —
     // return None so the caller re-raises the structural refusal and
-    // the user's row-level fallback surfaces the engine's own error
+    // the user's row-level fallback surfaces the engine's own error.
+    // Analysis runs against the PINNED version's schema — a rename
+    // or type change after the snapshot must not leak in.
     val analyzed =
-      try read(spark, path)
+      try readVersion(spark, path, version)
         .where(org.apache.spark.sql.functions.expr(where))
         .queryExecution.analyzed
       catch { case scala.util.control.NonFatal(_) => return None }

@@ -2675,6 +2675,93 @@ object ExtQueries {
       |FROM ev GROUP BY 1 ORDER BY month""".stripMargin
 
   // ----------------------------------------------------------------
+  // q240_sketch_asof — SKETCH ESTIMATES × TIME TRAVEL × COMPACTION
+  // (ManifestTable.approxDistinctAt / approxDistinctWhereAt): each
+  // manifest version's entries carry the KMV sketches committed WITH
+  // them, so "how many distinct users before last night's batch"
+  // answers from the PINNED snapshot's sketches even after later
+  // upserts rewrote every dir — the StatsAggRule completeness-per-
+  // snapshot certificate extended to the sketch fold. The WHERE
+  // variant adjudicates its predicate against the pinned snapshot's
+  // committed pcol type and entry keys too (scope and estimate share
+  // ONE version — this also anchors the latest path against a racing
+  // commit). A compaction re-groups dirs but carries per-key sketches
+  // verbatim, so both the pinned and the current estimates survive
+  // the union-compacted shape. Cardinalities kept under k=256 so
+  // every estimate is EXACT (the complete-hash-set regime) and the
+  // DuckDB oracle recomputes them as plain count(DISTINCT …) — the
+  // estimator arithmetic itself is pinned cross-engine by q214.
+  // ----------------------------------------------------------------
+  def q240SketchAsof(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:q240_sketch_asof") {
+      q240SketchAsofBuild(spark, dir)
+    }
+
+  private def q240SketchAsofBuild(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.ManifestTable
+    import spark.implicits._
+    val ev = Tables.events(spark, dir).select(
+      col("event_id"),
+      date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+      (col("user_id") % 150).as("u"))
+    val b1 = ev.filter(col("event_id") % 3 =!= 0)
+    // the second batch lands in a new partition with a DISJOINT value
+    // range (200..279), keeping the total under k
+    val b2 = Tables.events(spark, dir).filter(col("event_id") % 3 === 0).select(
+      col("event_id"), lit("9999-01-01").as("day"),
+      (lit(200L) + col("user_id") % 80).as("u"))
+    val path = java.nio.file.Files.createTempDirectory("graft_q240_").toString + "/t"
+    ManifestTable.merge(spark, path, b1, keys = Seq("event_id"), partitionCol = "day",
+      kmvColumns = Seq("u"), retainVersions = 4)
+    val v1 = ManifestTable.history(spark, path).last.version
+    val est1 = ManifestTable.approxDistinct(spark, path, "u")
+    val day3 = "2024-01-03"
+    val est1w = ManifestTable.approxDistinctWhere(spark, path, "u",
+      s"day >= '$day3'")
+    ManifestTable.merge(spark, path, b2, keys = Seq("event_id"), partitionCol = "day",
+      kmvColumns = Seq("u"), retainVersions = 4)
+    val cur = ManifestTable.approxDistinct(spark, path, "u")
+    // pinned answers survive the later batch…
+    val asofOk = ManifestTable.approxDistinctAt(spark, path, "u", v1) == est1 &&
+      ManifestTable.approxDistinctWhereAt(spark, path, "u",
+        s"day >= '$day3'", v1) == est1w &&
+      // …including the expression-eval predicate path at the version
+      ManifestTable.approxDistinctWhereAt(spark, path, "u",
+        s"substr(day, 1, 7) >= '${day3.substring(0, 7)}'", v1).estimate >=
+        est1w.estimate
+    // a compaction re-groups dirs; carried sketches keep BOTH answers
+    ManifestTable.compact(spark, path, "day", retainVersions = 5)
+    val compactOk =
+      ManifestTable.approxDistinctAt(spark, path, "u", v1) == est1 &&
+      ManifestTable.approxDistinct(spark, path, "u").estimate == cur.estimate
+    val expiredRefuses =
+      try { ManifestTable.approxDistinctAt(spark, path, "u", 9999L); false }
+      catch { case _: IllegalArgumentException => true }
+    Seq((est1.estimate, est1w.estimate, cur.estimate,
+      est1.exact && est1w.exact && cur.exact, asofOk, compactOk, expiredRefuses))
+      .toDF("n_v1", "n_v1_w", "n_cur", "all_exact", "asof_ok", "compact_ok",
+        "expired_refuses")
+  }
+
+  val q240SketchAsofSql: String =
+    """WITH ev AS (
+      |  SELECT event_id,
+      |    strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+      |    user_id % 150 AS u
+      |  FROM events),
+      |b1 AS (SELECT * FROM ev WHERE event_id % 3 <> 0),
+      |b2 AS (SELECT 200 + user_id % 80 AS u FROM events WHERE event_id % 3 = 0)
+      |SELECT
+      |  (SELECT CAST(count(DISTINCT u) AS BIGINT) FROM b1) AS n_v1,
+      |  (SELECT CAST(count(DISTINCT u) AS BIGINT) FROM b1
+      |     WHERE day >= '2024-01-03') AS n_v1_w,
+      |  (SELECT CAST(count(DISTINCT u) AS BIGINT) FROM
+      |     (SELECT u FROM b1 UNION SELECT u FROM b2)) AS n_cur,
+      |  TRUE AS all_exact, TRUE AS asof_ok, TRUE AS compact_ok,
+      |  TRUE AS expired_refuses""".stripMargin
+
+  // ----------------------------------------------------------------
   // q235_expr_filter_stats — EXPRESSION FILTERS OF THE PARTITION KEY
   // NARROW BY PER-KEY EVAL (StatsAggRule narrow's evalPred fallback):
   // any deterministic predicate referencing only the partition column

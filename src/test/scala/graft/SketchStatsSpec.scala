@@ -300,4 +300,41 @@ class SketchStatsSpec extends AnyFunSuite {
     val est = ManifestTable.approxDistinct(spark, path, "u")
     assert(est.exact && est.estimate == 97L)
   }
+
+  test("time travel: approxDistinctAt / approxDistinctWhereAt answer from " +
+    "the PINNED snapshot's sketches after later upserts rewrote the dirs, " +
+    "survive a compaction (carried sketches), and refuse a dropped version") {
+    val path = freshPath("asof")
+    seed(path, n = 500, mod = 97) // v1: u ∈ 0..96
+    val v1 = ManifestTable.history(spark, path).last.version
+    val est1 = ManifestTable.approxDistinct(spark, path, "u")
+    val est1w = ManifestTable.approxDistinctWhere(spark, path, "u", "part >= 4")
+    assert(est1.exact && est1.estimate == 97L)
+    // a second batch rewrites every dir with NEW distinct values
+    val batch2 = (1 to 100).map(i => (10000L + i, (i % 7).toString, 1000L + i))
+      .toDF("id", "part", "u")
+    ManifestTable.merge(spark, path, batch2, Seq("id"), "part",
+      kmvColumns = Seq("u"), kmvK = 256, retainVersions = 3)
+    val cur = ManifestTable.approxDistinct(spark, path, "u")
+    assert(cur.estimate == 197L && cur.exact,
+      s"current snapshot sees both batches: $cur")
+    // the pinned snapshot still answers with the OLD sketches
+    assert(ManifestTable.approxDistinctAt(spark, path, "u", v1) == est1)
+    assert(ManifestTable.approxDistinctWhereAt(spark, path, "u",
+      "part >= 4", v1) == est1w)
+    // the where-adjudication pins too: expression fallback at version
+    assert(ManifestTable.approxDistinctWhereAt(spark, path, "u",
+      "substr(part, 1, 1) IN ('4', '5', '6')", v1) == est1w)
+    // a compaction re-groups dirs but carries sketches; the pinned
+    // and current estimates both survive
+    ManifestTable.compact(spark, path, "part", retainVersions = 4)
+    val v3 = ManifestTable.history(spark, path).last.version
+    assert(ManifestTable.approxDistinctAt(spark, path, "u", v1) == est1)
+    assert(ManifestTable.approxDistinctAt(spark, path, "u", v3).estimate ==
+      cur.estimate)
+    // a version outside retention refuses loudly
+    intercept[IllegalArgumentException] {
+      ManifestTable.approxDistinctAt(spark, path, "u", 9999L)
+    }
+  }
 }
