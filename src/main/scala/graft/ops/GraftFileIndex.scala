@@ -189,7 +189,8 @@ object GraftFileIndex {
 final class GraftFileIndex(tableRoot: Path,
                            dirs: Seq[GraftFileIndex.DirMeta],
                            reportTotal: Option[Long] = None,
-                           val partitionColName: Option[String] = None)
+                           val partitionColName: Option[String] = None,
+                           val writerTz: Option[String] = None)
     extends FileIndex {
   import GraftFileIndex._
 
@@ -255,7 +256,7 @@ final class GraftFileIndex(tableRoot: Path,
       }
     if (kept.size == dirs.size) None
     else Some(new GraftFileIndex(tableRoot, kept,
-      Some(reportTotal.getOrElse(dirs.size.toLong)), partitionColName))
+      Some(reportTotal.getOrElse(dirs.size.toLong)), partitionColName, writerTz))
   }
 
   override def rootPaths: Seq[Path] = Seq(tableRoot)

@@ -192,7 +192,8 @@ object ManifestTable {
           else org.apache.spark.sql.types.StructType(
             s.fields.map(f => f.copy(name = physOf(f.name))))
         val idx = new GraftFileIndex(new Path(path), metasOf(entries),
-          partitionColName = partitionColOf(lines))
+          partitionColName = partitionColOf(lines),
+          writerTz = propsOf(lines).get(PartitionTzProp))
         val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
         val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
           idx, org.apache.spark.sql.types.StructType(Nil), phys, None,
@@ -403,7 +404,22 @@ object ManifestTable {
     require(colliding.isEmpty,
       s"ManifestTable.merge: column(s) ${colliding.mkString(", ")} collide with " +
         "the physical (file) name of a renamed column — pick another name")
-    val effProps = durablePropsOf(prevProps) ++
+    // Timestamp-typed partition keys: stamp the writer's session zone
+    // as the parse-back certificate ([[PartitionTzProp]]); a session
+    // whose zone differs from the recorded one REFUSES — its key text
+    // would interleave two renderings on one table.
+    val tzProps: Map[String, String] =
+      incoming.schema.find(_.name == partitionCol).map(_.dataType) match {
+        case Some(org.apache.spark.sql.types.TimestampType) =>
+          val tz = spark.sessionState.conf.sessionLocalTimeZone
+          prevProps.get(PartitionTzProp).foreach(rec => require(rec == tz,
+            s"ManifestTable.merge: timestamp partition keys under $path were " +
+              s"rendered in zone $rec; this session writes in $tz — set " +
+              s"spark.sql.session.timeZone=$rec (mixed-zone key text is unsound)"))
+          Map(PartitionTzProp -> tz)
+        case _ => Map.empty
+      }
+    val effProps = durablePropsOf(prevProps) ++ tzProps ++
       (if (colmap.isEmpty) Map.empty[String, String]
        else Map(RenameMapProp -> encodeRenameMap(colmap))) ++ props ++
       (if (sortWithinDirs.isEmpty) Map.empty[String, String]
@@ -3850,10 +3866,23 @@ object ManifestTable {
   val MvJoinDefPropPrefix = "mv.join."
   val MvLatestDefPropPrefix = "mv.latest."
 
+  /** The SESSION TIMEZONE a timestamp-typed partition column's keys
+    * were rendered in (`CAST(ts AS STRING)` at write time) — the
+    * CERTIFICATE that makes the key text parseable back to the exact
+    * internal micros: for UTC/fixed-offset zones the cast is
+    * BIJECTIVE at microsecond precision, so a reader whose session
+    * zone EQUALS the recorded writer zone can round-trip key → value
+    * ([[graft.plans.StatsAggRule]] keyInternal). Stamped by the first
+    * timestamp-keyed merge; later merges REFUSE a differing session
+    * zone — mixed-zone key text on one table is unsound (the same
+    * instant would render two dir names). */
+  val PartitionTzProp = "partition.tz"
+
   private[ops] val DurablePropKeys: Set[String] =
     Set(RenameMapProp, DropTombstonesProp, BucketColProp, BucketNProp,
         TransformProp, StreamBatchIdProp,
-        ZOrderColsProp, ZOrderBitsProp, ZOrderSplitsProp, SortColsProp)
+        ZOrderColsProp, ZOrderBitsProp, ZOrderSplitsProp, SortColsProp,
+        PartitionTzProp)
 
   private[ops] def durablePropsOf(props: Map[String, String]): Map[String, String] =
     props.view.filterKeys(k =>

@@ -100,9 +100,9 @@ case class StatsAggRule(spark: SparkSession)
     }
 
   private def rewrite(a: Aggregate): Option[LogicalPlan] =
-    resolveScan(a.child).flatMap { case ResolvedScan(entries, pcol, colOf, aliasOf) =>
+    resolveScan(a.child).flatMap { case ResolvedScan(entries, pcol, colOf, aliasOf, wtz) =>
       val values = a.aggregateExpressions.map(ne =>
-        valueOf(ne, entries, colOf, aliasOf, pcol))
+        valueOf(ne, entries, colOf, aliasOf, pcol, wtz))
       if (values.exists(_.isEmpty)) None
       else {
         StatsAggRule.rewrites.incrementAndGet()
@@ -138,7 +138,7 @@ case class StatsAggRule(spark: SparkSession)
     * appendix) entry, a missing rowcount, or a non-pcol reference in
     * the grouping backs the whole rewrite off. */
   private def rewriteGrouped(a: Aggregate): Option[LogicalPlan] =
-    resolveScan(a.child).flatMap { case ResolvedScan(entries, pcolOpt, colOf, aliasOf) =>
+    resolveScan(a.child).flatMap { case ResolvedScan(entries, pcolOpt, colOf, aliasOf, wtz) =>
       for {
         pcol <- pcolOpt
         gs = a.groupingExpressions
@@ -158,11 +158,11 @@ case class StatsAggRule(spark: SparkSession)
         if entries.forall(en => en.key.isDefined && en.rowCount.isDefined)
         live = entries.filter(_.rowCount.exists(_ > 0))
         if live.map(_.key.get).distinct.size == live.size // one entry per key
-        groups <- groupByExpr(live, resolved, pcolDt)
+        groups <- groupByExpr(live, resolved, pcolDt, wtz)
         rows <- {
           val perGroup = groups.map { case (gvs, ens) =>
             val values = a.aggregateExpressions.map(ne =>
-              valueOfGrouped(ne, ens, gs, gvs, colOf, aliasOf, pcol, pcolDt))
+              valueOfGrouped(ne, ens, gs, gvs, colOf, aliasOf, pcol, pcolDt, wtz))
             if (values.exists(_.isEmpty)) None
             else Some(InternalRow.fromSeq(values.map(_.get.orNull)))
           }
@@ -192,11 +192,12 @@ case class StatsAggRule(spark: SparkSession)
     * deterministically by rendered value, nulls first (SQL groups
     * nulls together). */
   private def groupByExpr(live: Seq[GraftFileIndex.EntryMeta],
-                          resolved: Seq[Expression], pcolDt: DataType)
+                          resolved: Seq[Expression], pcolDt: DataType,
+                          writerTz: Option[String])
       : Option[Seq[(Seq[Any], Seq[GraftFileIndex.EntryMeta])]] = {
     if (!resolved.forall(r => groupable(r.dataType))) return None
     val evaluated = live.map { en =>
-      keyInternal(en.key.get, pcolDt).flatMap { kv =>
+      keyInternal(en.key.get, pcolDt, writerTz).flatMap { kv =>
         try Some(resolved.map { r =>
           norm(r.transformUp {
             case _: AttributeReference => Literal(kv, pcolDt)
@@ -223,7 +224,8 @@ case class StatsAggRule(spark: SparkSession)
                              gs: Seq[Expression], groupValues: Seq[Any],
                              colOf: Map[ExprId, (String, DataType)],
                              aliasOf: Map[ExprId, Expression],
-                             pcol: String, pcolDt: DataType): Option[Option[Any]] = {
+                             pcol: String, pcolDt: DataType,
+                             writerTz: Option[String]): Option[Option[Any]] = {
     def phys(ar: AttributeReference): Option[(String, DataType)] = colOf.get(ar.exprId)
     def keyFold(dt: DataType, isMin: Boolean): Option[Option[Any]] = {
       // min/max of the KEY column folds over the member keys — exact
@@ -232,7 +234,8 @@ case class StatsAggRule(spark: SparkSession)
       // identically to the internal value for every keyInternal type
       // (integrals zero-trim to numeric compare via parse, ISO dates
       // and ASCII-safe strings compare bytewise)
-      val parsed = ens.map(en => keyInternal(en.key.get, dt).map(_ => en.key.get))
+      val parsed = ens.map(en =>
+        keyInternal(en.key.get, dt, writerTz).map(_ => en.key.get))
       if (parsed.exists(_.isEmpty)) None
       else {
         val keys = parsed.flatten
@@ -243,9 +246,15 @@ case class StatsAggRule(spark: SparkSession)
           case StringType => // Spark string order is UTF8 BYTE order
             val us = keys.map(org.apache.spark.unsafe.types.UTF8String.fromString)
             (if (isMin) us.min else us.max).toString
+          case TimestampType | TimestampNTZType =>
+            // numeric compare on the parsed micros — text order is
+            // not certified for renders outside 4-digit years
+            val withVals = keys.map(k =>
+              k -> keyInternal(k, dt, writerTz).get.asInstanceOf[Long])
+            (if (isMin) withVals.minBy(_._2) else withVals.maxBy(_._2))._1
           case _ => if (isMin) keys.min else keys.max // ISO dates: ASCII
         }
-        keyInternal(pick, dt).map(v => Some(v))
+        keyInternal(pick, dt, writerTz).map(v => Some(v))
       }
     }
     val e = ne match {
@@ -270,7 +279,7 @@ case class StatsAggRule(spark: SparkSession)
       // values over the group's MEMBER keys (bare pcol included —
       // the identity expression)
       case AggregateExpression(Count(Seq(expr)), _, true, None, _) =>
-        distinctExprCount(expr, ens, colOf, aliasOf, pcol)
+        distinctExprCount(expr, ens, colOf, aliasOf, pcol, writerTz)
       case AggregateExpression(fn, _, false, None, _) => fn match {
         case Count(Seq(l: Literal)) if l.value != null => countStar(ens)
         case Count(Seq(ar: AttributeReference)) =>
@@ -335,7 +344,8 @@ case class StatsAggRule(spark: SparkSession)
                                 entries: Seq[GraftFileIndex.EntryMeta],
                                 colOf: Map[ExprId, (String, DataType)],
                                 aliasOf: Map[ExprId, Expression],
-                                pcol: String): Option[Option[Any]] = {
+                                pcol: String,
+                                writerTz: Option[String]): Option[Option[Any]] = {
     val resolved = expr.transformUp {
       case ar: AttributeReference if aliasOf.contains(ar.exprId) =>
         aliasOf(ar.exprId)
@@ -350,7 +360,7 @@ case class StatsAggRule(spark: SparkSession)
     val liveKeys = entries.filter(_.rowCount.exists(_ > 0))
       .flatMap(_.key).distinct
     val vals = liveKeys.map { k =>
-      keyInternal(k, pcolDt).flatMap { kv =>
+      keyInternal(k, pcolDt, writerTz).flatMap { kv =>
         try Some(norm(resolved.transformUp {
           case _: AttributeReference => Literal(kv, pcolDt)
         }.eval(InternalRow.empty)))
@@ -364,9 +374,26 @@ case class StatsAggRule(spark: SparkSession)
   /** The entry key parsed back to the column's INTERNAL value — only
     * for types whose `CAST(value AS STRING)` (the committed dir-key
     * form) round-trips losslessly: integrals, strings (identity),
-    * dates (ISO). Timestamps, floats, and decimals back off — their
-    * string forms are not bijective with the internal value. */
-  private def keyInternal(key: String, dt: DataType): Option[Any] = dt match {
+    * dates (ISO), and — under a zone CERTIFICATE — timestamps.
+    * Floats and decimals back off — their string forms are not
+    * bijective with the internal value.
+    *
+    * TIMESTAMP keys (the hourly-partitioned event-pipeline layout,
+    * `part = cast(ts_hour …)`): the writer rendered `CAST(ts AS
+    * STRING)` in its session zone, recorded on the manifest as
+    * [[graft.ops.ManifestTable.PartitionTzProp]] — the certificate
+    * that makes parse-back a proof, not an assumption. The key
+    * decodes exactly when (a) THIS session's zone equals the
+    * recorded writer zone (the text would otherwise decode to a
+    * different instant), (b) that zone is FIXED-OFFSET (UTC
+    * included) — no DST fold, so the rendering is INJECTIVE at
+    * microsecond precision and an entry holds exactly one internal
+    * value — and (c) the parsed value renders back to the identical
+    * key text via Spark's own cast (a per-key round-trip check, so
+    * the bijectivity claim is verified per key rather than trusted).
+    * TIMESTAMP_NTZ renders zone-free, so only (c) applies. */
+  private def keyInternal(key: String, dt: DataType,
+                          writerTz: Option[String]): Option[Any] = dt match {
     case StringType => Some(org.apache.spark.unsafe.types.UTF8String.fromString(key))
     case ByteType => key.toByteOption
     case ShortType => key.toShortOption
@@ -375,7 +402,31 @@ case class StatsAggRule(spark: SparkSession)
     case DateType =>
       try Some(java.time.LocalDate.parse(key).toEpochDay.toInt)
       catch { case _: java.time.format.DateTimeParseException => None }
+    case TimestampType =>
+      val tz = spark.sessionState.conf.sessionLocalTimeZone
+      val fixedOffset =
+        try java.time.ZoneId.of(tz).getRules.isFixedOffset
+        catch { case scala.util.control.NonFatal(_) => false }
+      if (!writerTz.contains(tz) || !fixedOffset) None
+      else castRoundTrip(key, dt, tz)
+    case TimestampNTZType =>
+      castRoundTrip(key, dt, spark.sessionState.conf.sessionLocalTimeZone)
     case _ => None
+  }
+
+  /** Parse `key` with Spark's own string→`dt` cast (LEGACY mode:
+    * null on unparsable text, never a planner error) and accept the
+    * value only if the reverse cast renders the IDENTICAL text. */
+  private def castRoundTrip(key: String, dt: DataType, tz: String): Option[Any] = {
+    val parsed =
+      try Cast(Literal(org.apache.spark.unsafe.types.UTF8String.fromString(key),
+        StringType), dt, Some(tz), EvalMode.LEGACY).eval(InternalRow.empty)
+      catch { case scala.util.control.NonFatal(_) => null }
+    Option(parsed).filter { v =>
+      try Cast(Literal(v, dt), StringType, Some(tz), EvalMode.LEGACY)
+        .eval(InternalRow.empty).toString == key
+      catch { case scala.util.control.NonFatal(_) => false }
+    }
   }
 
   /** A plan resolved to pure manifest metadata: the surviving entry
@@ -384,7 +435,8 @@ case class StatsAggRule(spark: SparkSession)
   private case class ResolvedScan(entries: Seq[GraftFileIndex.EntryMeta],
                                   pcol: Option[String],
                                   colOf: Map[ExprId, (String, DataType)],
-                                  aliasOf: Map[ExprId, Expression])
+                                  aliasOf: Map[ExprId, Expression],
+                                  writerTz: Option[String])
 
   /** Resolve `p` to metadata — a single branch, or a UNION of
     * branches over the SAME table (the MULTI-BIN COMPACTED read
@@ -414,19 +466,21 @@ case class StatsAggRule(spark: SparkSession)
         if (!sameShape || roots.size != 1 || pcols.size != 1) None
         else {
           val narrowed = bs.map { case (_, idx, colOf, aliasOf, filters) =>
-            narrow(idx.entryMetas, idx.partitionColName, colOf, aliasOf, filters)
+            narrow(idx.entryMetas, idx.partitionColName, colOf, aliasOf, filters,
+              idx.writerTz)
           }
           if (narrowed.exists(_.isEmpty)) None
           else {
             val (_, headIdx, headCols, headAliases, _) = bs.head
             Some(ResolvedScan(narrowed.flatten.flatten,
-              headIdx.partitionColName, headCols, headAliases))
+              headIdx.partitionColName, headCols, headAliases, headIdx.writerTz))
           }
         }
       }
     case other => resolveBranch(other).flatMap { case (_, idx, colOf, aliasOf, filters) =>
-      narrow(idx.entryMetas, idx.partitionColName, colOf, aliasOf, filters)
-        .map(ResolvedScan(_, idx.partitionColName, colOf, aliasOf))
+      narrow(idx.entryMetas, idx.partitionColName, colOf, aliasOf, filters,
+          idx.writerTz)
+        .map(ResolvedScan(_, idx.partitionColName, colOf, aliasOf, idx.writerTz))
     }
   }
 
@@ -501,7 +555,8 @@ case class StatsAggRule(spark: SparkSession)
                      pcolOpt: Option[String],
                      colOf: Map[ExprId, (String, DataType)],
                      aliasOf: Map[ExprId, Expression],
-                     filters: Seq[Expression]): Option[Seq[GraftFileIndex.EntryMeta]] = {
+                     filters: Seq[Expression],
+                     writerTz: Option[String]): Option[Seq[GraftFileIndex.EntryMeta]] = {
     if (filters.isEmpty) return Some(entries)
     val pcol = pcolOpt.getOrElse(return None)
     def isPcol(e: Expression): Boolean = e match {
@@ -528,7 +583,7 @@ case class StatsAggRule(spark: SparkSession)
       else Some(scala.Left { (k: String) =>
         val bound = resolved.transformUp {
           case ar: AttributeReference =>
-            Literal(keyInternal(k, ar.dataType)
+            Literal(keyInternal(k, ar.dataType, writerTz)
               .getOrElse(throw StatsAggRule.NarrowBackoff), ar.dataType)
         }
         val v = try bound.eval(InternalRow.empty)
@@ -649,7 +704,8 @@ case class StatsAggRule(spark: SparkSession)
                       entries: Seq[GraftFileIndex.EntryMeta],
                       colOf: Map[ExprId, (String, DataType)],
                       aliasOf: Map[ExprId, Expression],
-                      pcol: Option[String]): Option[Option[Any]] = {
+                      pcol: Option[String],
+                      writerTz: Option[String]): Option[Option[Any]] = {
     def phys(ar: AttributeReference): Option[(String, DataType)] = colOf.get(ar.exprId)
     val e = ne match {
       case Alias(child, _) => child
@@ -675,7 +731,7 @@ case class StatsAggRule(spark: SparkSession)
       // ENTRY KEYS — the groupByExpr eval applied to a distinct-count
       case AggregateExpression(Count(Seq(expr)), _, true, None, _)
           if pcol.isDefined =>
-        distinctExprCount(expr, entries, colOf, aliasOf, pcol.get)
+        distinctExprCount(expr, entries, colOf, aliasOf, pcol.get, writerTz)
       case AggregateExpression(fn, _, false, None, _) => fn match {
         case Count(Seq(l: Literal)) if l.value != null =>
           countStar(entries)

@@ -2762,6 +2762,90 @@ object ExtQueries {
       |  TRUE AS expired_refuses""".stripMargin
 
   // ----------------------------------------------------------------
+  // q241_ts_partition — TIMESTAMP-KEYED PARTITIONS IN THE METADATA
+  // FAST PATHS (StatsAggRule keyInternal × the writer-zone
+  // certificate): the hourly-partitioned event-pipeline layout
+  // (`part = date_trunc('hour', ts)`, a TIMESTAMP column) now takes
+  // the grouped/expression/filter/distinct metadata rewrites. The
+  // writer's session zone is recorded on the manifest
+  // (partition.tz — a certificate, not an assumption); a reader
+  // decodes key text back to exact micros only when its zone EQUALS
+  // the recorded one AND is fixed-offset (no DST fold → the
+  // rendering is injective), and every parsed key must render back
+  // to the identical text via Spark's own cast (per-key round-trip
+  // proof). The gate pins: day-rollup GROUP BY date_trunc over
+  // hourly keys, global min/max of the key, a ts-literal range
+  // filter, and count(DISTINCT day-of-key) — all scanless
+  // (meta_only) and SQL-exact; a MoR delete forces the same rollup
+  // back to a real scan (dv_scans). At 100 TB this is the event
+  // warehouse's native layout answering its dashboards driver-side.
+  // ----------------------------------------------------------------
+  def q241TsPartition(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:q241_ts_partition") {
+      q241TsPartitionBuild(spark, dir)
+    }
+
+  private def q241TsPartitionBuild(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.ManifestTable
+    def hasScan(df: DataFrame): Boolean = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.nonEmpty
+    val ev = Tables.events(spark, dir).select(
+      col("event_id"),
+      date_trunc("hour", col("ts")).as("hr"),
+      floor(col("value") * 1000).cast("long").as("v"))
+    val path = java.nio.file.Files.createTempDirectory("graft_q241_").toString + "/t"
+    ManifestTable.merge(spark, path, ev, keys = Seq("event_id"), partitionCol = "hr",
+      statsColumns = Seq("event_id", "v", "hr"), sumColumns = Seq("v"))
+    val t = ManifestTable.read(spark, path)
+    val roll = t.groupBy(date_trunc("day", col("hr")).as("day"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+        min(col("hr")).as("first_hr"), max(col("hr")).as("last_hr"))
+    roll.collect()
+    val glob = t.agg(min(col("hr")).as("mn_hr"), max(col("hr")).as("mx_hr"),
+      count(lit(1)).as("n_all"),
+      countDistinct(date_trunc("day", col("hr"))).as("n_days"))
+    glob.collect()
+    val flt = t.where(col("hr") >= "2024-01-03 00:00:00")
+      .agg(count(lit(1)).as("n_flt"), sum(col("v")).as("sv_flt"))
+    flt.collect()
+    val metaOnly = !hasScan(roll) && !hasScan(glob) && !hasScan(flt)
+    ManifestTable.deleteWhereMoR(spark, path, "hr", col("event_id") % 97 === 3)
+    val post = ManifestTable.read(spark, path)
+      .groupBy(date_trunc("day", col("hr")).as("day"))
+      .agg(count(lit(1)).as("n_dv"))
+    post.collect()
+    val dvScans = hasScan(post)
+    roll.join(post, Seq("day"))
+      .crossJoin(glob).crossJoin(flt)
+      .withColumn("meta_only", lit(metaOnly))
+      .withColumn("dv_scans", lit(dvScans))
+      .orderBy(col("day"))
+  }
+
+  val q241TsPartitionSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, date_trunc('hour', ts) AS hr,
+      |    CAST(floor(value * 1000) AS BIGINT) AS v
+      |  FROM events)
+      |SELECT date_trunc('day', hr) AS day,
+      |  CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS sv,
+      |  min(hr) AS first_hr, max(hr) AS last_hr,
+      |  CAST(count(*) FILTER (WHERE event_id % 97 <> 3) AS BIGINT) AS n_dv,
+      |  (SELECT min(hr) FROM ev) AS mn_hr,
+      |  (SELECT max(hr) FROM ev) AS mx_hr,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM ev) AS n_all,
+      |  (SELECT CAST(count(DISTINCT date_trunc('day', hr)) AS BIGINT) FROM ev)
+      |    AS n_days,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM ev
+      |     WHERE hr >= TIMESTAMP '2024-01-03 00:00:00') AS n_flt,
+      |  (SELECT CAST(sum(v) AS BIGINT) FROM ev
+      |     WHERE hr >= TIMESTAMP '2024-01-03 00:00:00') AS sv_flt,
+      |  TRUE AS meta_only, TRUE AS dv_scans
+      |FROM ev GROUP BY 1 ORDER BY day""".stripMargin
+
+  // ----------------------------------------------------------------
   // q235_expr_filter_stats — EXPRESSION FILTERS OF THE PARTITION KEY
   // NARROW BY PER-KEY EVAL (StatsAggRule narrow's evalPred fallback):
   // any deterministic predicate referencing only the partition column

@@ -742,4 +742,61 @@ class StatsAggSpec extends AnyFunSuite {
     val (d4, s4, _) = run(t.agg(countDistinct(col("s")).as("ns")))
     assert(d4 == 0 && s4, "distinct over a data column must scan")
   }
+
+  test("TIMESTAMP-keyed partitions take the grouped/expression fast paths " +
+    "under the writer-zone certificate; a zone-mismatched session backs off " +
+    "to the scan and a zone-mismatched writer refuses") {
+    assert(spark.sessionState.conf.sessionLocalTimeZone == "UTC",
+      "the test contract: session zone is UTC")
+    val path = freshPath("tskey")
+    // hourly partitions with a non-zero fraction key to exercise the
+    // trailing-zero-trimmed rendering too
+    val rows = Seq(
+      (1L, ts("2024-01-01 03:00:00"), 10L),
+      (2L, ts("2024-01-01 03:00:00"), 7L),
+      (3L, ts("2024-01-01 09:00:00"), 5L),
+      (4L, ts("2024-01-02 00:00:00"), 4L),
+      (5L, ts("2024-01-02 23:30:00.5"), 42L),
+      (6L, ts("2024-01-02 23:30:00.5"), 1L))
+      .toDF("id", "hr", "x")
+    ManifestTable.merge(spark, path, rows, Seq("id"), "hr",
+      statsColumns = Seq("id", "x"), sumColumns = Seq("x"))
+    assert(ManifestTable.readProps(spark, path)
+      .get(ManifestTable.PartitionTzProp).contains("UTC"),
+      "the writer zone certificate must be stamped")
+    val t = ManifestTable.read(spark, path)
+    // grouped by an expression of the timestamp key: the day rollup
+    def g = t.groupBy(date_trunc("day", col("hr")).as("day"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        max(col("hr")).as("mx_hr"))
+      .orderBy(col("day"))
+    val (d1, s1, r1) = run(g)
+    assert(d1 == 1 && !s1, s"day rollup over hourly ts keys must be scanless: $d1 $s1")
+    spark.conf.set("spark.graft.statsAgg.enabled", "false")
+    val truth = try g.collect().toSeq
+      finally spark.conf.set("spark.graft.statsAgg.enabled", "true")
+    assert(r1 == truth, "rollup values must equal the scan's")
+    // expression FILTER of the timestamp key + distinct expr
+    def f = t.where(col("hr") >= "2024-01-02 00:00:00")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(date_trunc("day", col("hr"))).as("ndays"))
+    val (d2, s2, r2) = run(f)
+    assert(d2 == 1 && !s2, s"ts-key filter + distinct-expr must be scanless: $d2 $s2")
+    assert(r2.map(r => (r.getLong(0), r.getLong(1))) == Seq((3L, 1L)))
+    // a session in a DIFFERENT zone than the writer: back off (the
+    // key text would decode to different instants), values unchanged
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      val (d3, s3, _) = run(t.groupBy(date_trunc("day", col("hr")).as("day"))
+        .agg(count(lit(1)).as("n")))
+      assert(d3 == 0 && s3, "a zone-mismatched reader must scan")
+      // and a zone-mismatched WRITER refuses loudly
+      val e = intercept[IllegalArgumentException] {
+        ManifestTable.merge(spark, path,
+          Seq((9L, ts("2024-01-03 00:00:00"), 1L)).toDF("id", "hr", "x"),
+          Seq("id"), "hr")
+      }
+      assert(e.getMessage.contains("rendered in zone"))
+    } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
+  }
 }
