@@ -60,7 +60,13 @@ object IncrementalLatest {
   val KeysProp = "latest.keys"
   val OrdProp = "latest.ord"
   val BucketsProp = "latest.buckets"
-  private val BucketCol = "__lbucket"
+  /** The view's internal key-hash partition column — public so a
+    * SECOND-LEVEL maintained view can be built OVER the latest view
+    * (e.g. [[IncrementalJoin.refresh]] with the latest view as the
+    * fact: the reference's full `v_latest_prices` = latest ⋈ assets,
+    * answered from one pre-joined table). */
+  val PartitionColName = "__lbucket"
+  private val BucketCol = PartitionColName
 
   /** What a [[refresh]] did: `committed` is false only for the
     * already-current no-op; `incremental` is false when the view was

@@ -2846,6 +2846,122 @@ object ExtQueries {
       |FROM ev GROUP BY 1 ORDER BY day""".stripMargin
 
   // ----------------------------------------------------------------
+  // q242_latest_enriched — THE REFERENCE'S FULL HEADLINE VIEW FROM
+  // ONE PRE-JOINED TABLE (LatestRewriteRule × MvJoinRewriteRule
+  // composition): `v_latest_prices` (`sql/views.sql:2-8`) is
+  // latest-row-per-asset ⋈ assets — a window AND a dim join over the
+  // full fact history. The rules COMPOSE in one optimizer pass:
+  // LatestRewriteRule (injected first) collapses the
+  // `row_number()=1` window onto the maintained latest-state view;
+  // MvJoinRewriteRule then sees `latestView ⋈ assets` — the latest
+  // view's scan is a registered join fact (IncrementalJoin with the
+  // latest view AS the fact, partitioned by its key-hash buckets) —
+  // and lands the whole query on ONE enriched table of O(assets)
+  // rows. Staleness unwinds the full stack (a price commit →
+  // latest view stale → window plan over the fact → the join walk
+  // sees a Window, not a scan → base scans); the refresh cascade
+  // (latest view from prices, then the join view from its changed
+  // "fact" buckets) recovers bit-equal. Final rows SQL-recomputed.
+  // At 100 TB: THE dashboard query — full scan + key shuffle +
+  // dim join — becomes a read of one small pre-joined table.
+  // ----------------------------------------------------------------
+  def q242LatestEnriched(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:q242_latest_enriched") {
+      q242LatestEnrichedBuild(spark, dir)
+    }
+
+  private def q242LatestEnrichedBuild(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{IncrementalJoin, IncrementalLatest, ManifestTable, Ops}
+    import graft.plans.{LatestRegistry, MvJoinRegistry}
+    def scanRoots(df: DataFrame): Set[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.rootPaths.head.toString
+          }
+      }.toSet
+    val pricesDf = Tables.events(spark, dir).select(
+      col("event_id"),
+      date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+      concat(lit("a"), (col("user_id") % 40).cast("string")).as("asset"),
+      unix_micros(col("ts")).as("ts_us"),
+      floor(col("value") * 10000).cast("long").as("price"))
+    val assetsDf = pricesDf.select(col("asset")).distinct()
+      .select(col("asset"),
+        concat(lit("S"), col("asset")).as("symbol"),
+        (substring(col("asset"), 2, 10).cast("long") % 5).cast("string").as("pd"))
+    val root = java.nio.file.Files.createTempDirectory("graft_q242_").toString
+    val (prices, assets) = (root + "/prices", root + "/assets")
+    val (lview, ljoin) = (root + "/lview", root + "/ljoin")
+    val b1 = pricesDf.filter(col("event_id") % 5 =!= 0)
+    val b2 = pricesDf.filter(col("event_id") % 5 === 0).select(
+      col("event_id"), lit("9999-01-01").as("day"), col("asset"),
+      (col("ts_us") + lit(1000000000000000L)).as("ts_us"),
+      (col("price") + 11L).as("price"))
+    ManifestTable.merge(spark, prices, b1, keys = Seq("event_id"), partitionCol = "day")
+    ManifestTable.merge(spark, assets, assetsDf, keys = Seq("asset"), partitionCol = "pd")
+    def refreshChain(): Unit = {
+      IncrementalLatest.refresh(spark, prices, lview,
+        Seq("asset"), Seq("ts_us", "event_id"))
+      IncrementalJoin.refresh(spark, lview, assets, ljoin,
+        Seq("asset"), Seq("asset"), IncrementalLatest.PartitionColName)
+    }
+    refreshChain()
+    LatestRegistry.register(spark, prices, lview, Seq("asset"), Seq("ts_us", "event_id"))
+    MvJoinRegistry.register(spark, lview, assets, ljoin, Seq("asset"))
+    try {
+      def q(): DataFrame = Ops.latestPerKey(ManifestTable.read(spark, prices),
+        Seq("asset"), Seq(col("ts_us"), col("event_id")))
+        .join(ManifestTable.read(spark, assets), Seq("asset"))
+        .select(col("asset"), col("symbol"), col("ts_us"), col("price"))
+      def rowsOf(df: DataFrame): Seq[String] =
+        df.collect().map(_.toString).sorted.toSeq
+      val q1 = q(); rowsOf(q1); val r1 = scanRoots(q1)
+      val stackMv = r1.size == 1 && r1.head.endsWith("/ljoin")
+      // a price commit unwinds the FULL stack to base scans
+      ManifestTable.merge(spark, prices, b2, keys = Seq("event_id"), partitionCol = "day")
+      val q2 = q(); val rows2 = rowsOf(q2); val r2 = scanRoots(q2)
+      val staleScans = r2.exists(_.endsWith("/prices")) &&
+        r2.exists(_.endsWith("/assets"))
+      refreshChain()
+      val q3 = q(); val r3 = scanRoots(q3)
+      val recovered = r3.size == 1 && r3.head.endsWith("/ljoin") &&
+        rowsOf(q3) == rows2
+      q3.withColumn("stack_mv", lit(stackMv))
+        .withColumn("stale_scans", lit(staleScans))
+        .withColumn("recovered", lit(recovered))
+        .orderBy(col("asset"))
+    } finally {
+      LatestRegistry.unregister(spark, prices)
+      MvJoinRegistry.unregister(spark, lview, assets)
+    }
+  }
+
+  val q242LatestEnrichedSql: String =
+    """WITH ev AS (
+      |  SELECT event_id,
+      |    'a' || CAST(user_id % 40 AS VARCHAR) AS asset,
+      |    epoch_us(ts) AS ts_us,
+      |    CAST(floor(value * 10000) AS BIGINT) AS price
+      |  FROM events),
+      |allr AS (
+      |  SELECT event_id, asset, ts_us, price FROM ev WHERE event_id % 5 <> 0
+      |  UNION ALL
+      |  SELECT event_id, asset, ts_us + 1000000000000000 AS ts_us,
+      |    price + 11 AS price
+      |  FROM ev WHERE event_id % 5 = 0),
+      |latest AS (
+      |  SELECT asset, ts_us, price,
+      |    row_number() OVER (PARTITION BY asset
+      |                       ORDER BY ts_us DESC, event_id DESC) AS rn
+      |  FROM allr)
+      |SELECT asset, 'S' || asset AS symbol, ts_us, price,
+      |  TRUE AS stack_mv, TRUE AS stale_scans, TRUE AS recovered
+      |FROM latest WHERE rn = 1 ORDER BY asset""".stripMargin
+
+  // ----------------------------------------------------------------
   // q235_expr_filter_stats — EXPRESSION FILTERS OF THE PARTITION KEY
   // NARROW BY PER-KEY EVAL (StatsAggRule narrow's evalPred fallback):
   // any deterministic predicate referencing only the partition column
