@@ -99,10 +99,21 @@ object IncrementalLatest {
     * base table at `basePath`. No-op if already current. `buckets`
     * must stay stable per view (committed; a change forces a full
     * rebuild — the key→bucket mapping must not move keys between
-    * buckets mid-life, the [[IncrementalAgg.BucketsProp]] argument). */
+    * buckets mid-life, the [[IncrementalAgg.BucketsProp]] argument).
+    *
+    * `statsColumns`/`sumColumns` commit footer stats and exact
+    * per-dir sums ON THE VIEW's own manifest — then
+    * [[graft.plans.StatsAggRule]] composes with the window rewrite:
+    * "current total per-asset price" (`latestPerKey(prices).agg(
+    * count, sum(price))`) collapses all the way to a LocalRelation —
+    * no window, no scan, zero tasks — because the latest rewrite
+    * lands the aggregate on the view scan and the stats rule answers
+    * it from the view's committed metadata. */
   def refresh(spark: SparkSession, basePath: String, viewPath: String,
               keys: Seq[String], ordCols: Seq[String],
-              buckets: Int = 16, retainVersions: Int = 2): RefreshResult = {
+              buckets: Int = 16, retainVersions: Int = 2,
+              statsColumns: Seq[String] = Nil,
+              sumColumns: Seq[String] = Nil): RefreshResult = {
     require(keys.nonEmpty, "IncrementalLatest.refresh: no key columns")
     require(ordCols.nonEmpty, "IncrementalLatest.refresh: no order columns")
     require(keys.intersect(ordCols).isEmpty,
@@ -144,7 +155,7 @@ object IncrementalLatest {
         replaceTouched = true,
         knownTouched = Some(ManifestTable.partitionKeys(viewFs, viewPath) ++
           (0 until buckets).map(_.toString)),
-        props = props)
+        props = props, statsColumns = statsColumns, sumColumns = sumColumns)
       RefreshResult(incremental = false, committed = true)
     }
 
@@ -170,7 +181,7 @@ object IncrementalLatest {
       val empty = read(spark, viewPath).limit(0)
       ManifestTable.merge(spark, viewPath, withBucket(empty), keys = keys,
         partitionCol = BucketCol, retainVersions = retainVersions,
-        props = props)
+        props = props, statsColumns = statsColumns, sumColumns = sumColumns)
       return RefreshResult(incremental = true, committed = true)
     }
 
@@ -193,7 +204,8 @@ object IncrementalLatest {
       existing.unionByName(deltaB.drop(BucketCol)), keys, ordCols))
     ManifestTable.merge(spark, viewPath, folded, keys = keys,
       partitionCol = BucketCol, retainVersions = retainVersions,
-      replaceTouched = true, knownTouched = Some(affected), props = props)
+      replaceTouched = true, knownTouched = Some(affected), props = props,
+      statsColumns = statsColumns, sumColumns = sumColumns)
     RefreshResult(incremental = true, committed = true)
   }
 }

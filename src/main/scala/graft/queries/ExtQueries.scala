@@ -2962,6 +2962,105 @@ object ExtQueries {
       |FROM latest WHERE rn = 1 ORDER BY asset""".stripMargin
 
   // ----------------------------------------------------------------
+  // q243_latest_kpis — LATEST-STATE × METADATA-ONLY AGGREGATES (the
+  // LatestRewriteRule × StatsAggRule stack): the dashboard's KPI row
+  // — "how many live assets, total current price, freshest tick" —
+  // is an aggregate OVER the latest-per-key window, at 100 TB a full
+  // fact scan + key-wide shuffle + aggregate. With the latest view
+  // refreshed carrying statsColumns/sumColumns on ITS OWN manifest,
+  // the two rules collapse the whole plan in one pass: the latest
+  // rewrite lands the aggregate on the view scan, and the stats rule
+  // answers count/sum/min/max from the view's committed footer
+  // metadata — a LocalRelation, no window, NO SCAN AT ALL, zero
+  // tasks. The gate pins: the KPI row fully metadata-only
+  // (meta_only — not a single FileSourceScanExec), both rule
+  // counters advancing (both_rules), a base commit un-collapsing to
+  // the real plan (stale_scans) with bit-equal values, and the
+  // refresh restoring the collapse (recovered). Values
+  // SQL-recomputed from the raw rows.
+  // ----------------------------------------------------------------
+  def q243LatestKpis(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:q243_latest_kpis") {
+      q243LatestKpisBuild(spark, dir)
+    }
+
+  private def q243LatestKpisBuild(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{IncrementalLatest, ManifestTable, Ops}
+    import graft.plans.{LatestRegistry, StatsAggRule}
+    import spark.implicits._
+    def hasScan(df: DataFrame): Boolean = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.nonEmpty
+    val pricesDf = Tables.events(spark, dir).select(
+      col("event_id"),
+      date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+      concat(lit("a"), (col("user_id") % 40).cast("string")).as("asset"),
+      unix_micros(col("ts")).as("ts_us"),
+      floor(col("value") * 10000).cast("long").as("price"))
+    val b1 = pricesDf.filter(col("event_id") % 4 =!= 0)
+    val b2 = pricesDf.filter(col("event_id") % 4 === 0).select(
+      col("event_id"), lit("9999-01-01").as("day"), col("asset"),
+      (col("ts_us") + lit(1000000000000000L)).as("ts_us"),
+      (col("price") + 7L).as("price"))
+    val root = java.nio.file.Files.createTempDirectory("graft_q243_").toString
+    val (prices, lview) = (root + "/prices", root + "/lview")
+    ManifestTable.merge(spark, prices, b1, keys = Seq("event_id"), partitionCol = "day")
+    def refreshView(): Unit =
+      IncrementalLatest.refresh(spark, prices, lview,
+        Seq("asset"), Seq("ts_us", "event_id"),
+        statsColumns = Seq("event_id", "ts_us", "price"),
+        sumColumns = Seq("price"))
+    refreshView()
+    LatestRegistry.register(spark, prices, lview, Seq("asset"), Seq("ts_us", "event_id"))
+    try {
+      def kpi(): DataFrame = Ops.latestPerKey(ManifestTable.read(spark, prices),
+        Seq("asset"), Seq(col("ts_us"), col("event_id")))
+        .agg(count(lit(1)).as("n_assets"), sum(col("price")).as("total_price"),
+          max(col("ts_us")).as("freshest"))
+      val (lb, sb) = (LatestRegistry.rewrites.get, StatsAggRule.rewrites.get)
+      val k1 = kpi(); val rows1 = k1.collect().toSeq
+      val bothRules = LatestRegistry.rewrites.get > lb && StatsAggRule.rewrites.get > sb
+      val metaOnly = !hasScan(k1)
+      ManifestTable.merge(spark, prices, b2, keys = Seq("event_id"), partitionCol = "day")
+      val k2 = kpi(); val rows2 = k2.collect().toSeq
+      val staleScans = hasScan(k2)
+      refreshView()
+      val k3 = kpi(); val rows3 = k3.collect().toSeq
+      val recovered = !hasScan(k3) && rows3.map(_.toString) == rows2.map(_.toString)
+      k3.withColumn("meta_only", lit(metaOnly))
+        .withColumn("both_rules", lit(bothRules))
+        .withColumn("stale_scans", lit(staleScans))
+        .withColumn("recovered", lit(recovered))
+    } finally LatestRegistry.unregister(spark, prices)
+  }
+
+  val q243LatestKpisSql: String =
+    """WITH ev AS (
+      |  SELECT event_id,
+      |    'a' || CAST(user_id % 40 AS VARCHAR) AS asset,
+      |    epoch_us(ts) AS ts_us,
+      |    CAST(floor(value * 10000) AS BIGINT) AS price
+      |  FROM events),
+      |allr AS (
+      |  SELECT event_id, asset, ts_us, price FROM ev WHERE event_id % 4 <> 0
+      |  UNION ALL
+      |  SELECT event_id, asset, ts_us + 1000000000000000 AS ts_us,
+      |    price + 7 AS price
+      |  FROM ev WHERE event_id % 4 = 0),
+      |latest AS (
+      |  SELECT asset, ts_us, price,
+      |    row_number() OVER (PARTITION BY asset
+      |                       ORDER BY ts_us DESC, event_id DESC) AS rn
+      |  FROM allr)
+      |SELECT CAST(count(*) AS BIGINT) AS n_assets,
+      |  CAST(sum(price) AS BIGINT) AS total_price,
+      |  max(ts_us) AS freshest,
+      |  TRUE AS meta_only, TRUE AS both_rules, TRUE AS stale_scans,
+      |  TRUE AS recovered
+      |FROM latest WHERE rn = 1""".stripMargin
+
+  // ----------------------------------------------------------------
   // q235_expr_filter_stats — EXPRESSION FILTERS OF THE PARTITION KEY
   // NARROW BY PER-KEY EVAL (StatsAggRule narrow's evalPred fallback):
   // any deterministic predicate referencing only the partition column
