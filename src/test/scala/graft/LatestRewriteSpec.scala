@@ -179,6 +179,50 @@ class LatestRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("a latest view refreshed with statsColumns/sumColumns composes with " +
+    "the metadata-aggregate rule: the KPI aggregate over the window " +
+    "collapses to a LocalRelation — no window, no scan at all") {
+    val (base, view) = fresh("kpi")
+    seed(base)
+    IncrementalLatest.refresh(spark, base, view, Seq("asset"), Seq("ts", "id"),
+      statsColumns = Seq("id", "ts"), sumColumns = Seq("ts"))
+    LatestRegistry.register(spark, base, view, Seq("asset"), Seq("ts", "id"))
+    try {
+      def kpi = Ops.latestPerKey(ManifestTable.read(spark, base),
+        Seq("asset"), Seq(col("ts"), col("id")))
+        .agg(count(lit(1)).as("n"), sum(col("ts")).as("st"),
+          max(col("ts")).as("mx"))
+      val scanned = kpi.queryExecution.sparkPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.nonEmpty
+      assert(!scanned, "the stacked rewrite must leave NO file scan")
+      assert(kpi.collect().toSeq == truth(kpi), "collapsed KPIs must be exact")
+    } finally LatestRegistry.unregister(spark, base)
+  }
+
+  test("COMPOSITE keys: a two-column latest-per-key maintains and rewrites " +
+    "like the single-key form") {
+    val (base, view) = fresh("composite")
+    val rows = (1L to 80L).map { i =>
+      (i, s"d${i % 2}", s"a${i % 4}", s"v${i % 3}", 1000L + i, i * 0.5)
+    }.toDF("id", "day", "asset", "venue", "ts", "price")
+    ManifestTable.merge(spark, base, rows, Seq("id"), "day")
+    IncrementalLatest.refresh(spark, base, view,
+      Seq("asset", "venue"), Seq("ts", "id"))
+    LatestRegistry.register(spark, base, view,
+      Seq("asset", "venue"), Seq("ts", "id"))
+    try {
+      def q = Ops.latestPerKey(ManifestTable.read(spark, base),
+        Seq("venue", "asset"), Seq(col("ts"), col("id"))) // reversed order
+        .select(col("asset"), col("venue"), col("ts"), col("price"))
+        .orderBy(col("asset"), col("venue"))
+      val (d1, r1, rows1) = run(q)
+      assert(d1 == 1 && !r1.exists(_.contains("/base")),
+        s"composite-key latest must rewrite (partition cols are a SET): $d1 $r1")
+      assert(rows1 == truth(q))
+    } finally LatestRegistry.unregister(spark, base)
+  }
+
   test("durable registration survives a registry wipe (fresh-session " +
     "simulation): the manifest catalog re-arms the rewrite") {
     val (base, view) = fresh("durable")
