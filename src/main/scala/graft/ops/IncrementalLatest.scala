@@ -35,10 +35,14 @@ import org.apache.spark.sql.functions._
   *      into the view's affected key-hash buckets (read affected
   *      buckets ∪ delta-latest → one window over the union →
   *      replaceTouched). Cost: O(batch + affected buckets).
-  *   4. Any RETRACTION (a rewritten or removed base partition) forces
-  *      the documented FULL rebuild — the retracted rows might have
-  *      held a key's current latest row, and argmax cannot subtract
-  *      (the [[IncrementalAgg]] min/max contract, row-shaped).
+  *   4. A RETRACTION (a rewritten or removed base partition) folds
+  *      by KEYED RECOMPUTE: argmax cannot subtract, but the affected
+  *      keys are knowable (rows in a changed partition's old or new
+  *      content), their new latest rows come from one keyed semi-join
+  *      scan of the current base, and only their hash buckets
+  *      rewrite — O(affected keys' rows), never O(history). The full
+  *      rebuild remains only for first build, lapsed retention, or a
+  *      spec change.
   *
   * CONTRACTS: `keys` non-null ([[ManifestTable.merge]] refuses null
   * keys on the base anyway); the `ordCols` tuple must be UNIQUE per
@@ -72,7 +76,8 @@ object IncrementalLatest {
     * already-current no-op; `incremental` is false when the view was
     * fully rebuilt (first build, lapsed retention, spec change, or a
     * retraction in the base delta). */
-  final case class RefreshResult(incremental: Boolean, committed: Boolean)
+  final case class RefreshResult(incremental: Boolean, committed: Boolean,
+                                 keyedRetraction: Boolean = false)
 
   /** The maintained view: exactly the base's columns, one row per
     * live key. */
@@ -171,9 +176,52 @@ object IncrementalLatest {
     val newDirs = ManifestTable.partitionDirs(baseFs, basePath, baseCur)
     val changed = (oldDirs.keySet ++ newDirs.keySet)
       .filter(k => oldDirs.get(k) != newDirs.get(k))
-    // A retraction (rewritten or removed partition) might have held a
-    // key's current latest row — argmax cannot subtract; rebuild.
-    if (changed.exists(oldDirs.keySet)) return fullRebuild()
+    // A RETRACTION (rewritten or removed partition) might have held a
+    // key's current latest row, and argmax cannot subtract — but it
+    // CAN recompute per key: the affected keys are exactly those with
+    // rows in a changed partition's old or new content, and their new
+    // latest rows come from ONE keyed scan of the current base
+    // (left-semi against the affected key set — the join-prune rule
+    // and committed key blooms turn this into a dirs-holding-the-keys
+    // read at scale). Unaffected keys carry verbatim, so the view
+    // rewrite touches only the affected keys' hash buckets. A
+    // one-partition rectification thus costs O(affected keys' rows),
+    // never O(history) — the full rebuild remains only for first
+    // build / lapsed retention / spec changes.
+    if (changed.exists(oldDirs.keySet)) {
+      val minus = changed.intersect(oldDirs.keySet)
+      val plus = changed.intersect(newDirs.keySet)
+      val affectedKeys = Seq(
+        if (minus.isEmpty) None
+        else Some(ManifestTable.readKeys(spark, basePath, prevV, minus)
+          .select(keys.map(col): _*)),
+        if (plus.isEmpty) None
+        else Some(ManifestTable.readKeys(spark, basePath, baseCur, plus)
+          .select(keys.map(col): _*))
+      ).flatten.reduce(_ unionByName _).distinct()
+      val latestFor = latestRows(
+        ManifestTable.read(spark, basePath).join(affectedKeys, keys, "left_semi"),
+        keys, ordCols)
+      // affected buckets come from the KEY set (a key whose rows all
+      // vanished must still have its bucket rewritten to DROP it)
+      val affected = withBucket(affectedKeys).select(col(BucketCol))
+        .distinct().collect().map(_.getString(0)).toSet
+      val readable = affected.intersect(ManifestTable.partitionKeys(viewFs, viewPath))
+      val kept =
+        if (readable.isEmpty) read(spark, viewPath).limit(0)
+        else ManifestTable.read(spark, viewPath,
+          partitionFilter = readable.contains).drop(BucketCol)
+          .join(affectedKeys, keys, "left_anti")
+      // kept and latestFor hold DISJOINT key sets, each one row per
+      // key — the union IS the buckets' complete new content
+      val folded = withBucket(kept.unionByName(latestFor))
+      ManifestTable.merge(spark, viewPath, folded, keys = keys,
+        partitionCol = BucketCol, retainVersions = retainVersions,
+        replaceTouched = true, knownTouched = Some(affected), props = props,
+        statsColumns = statsColumns, sumColumns = sumColumns)
+      return RefreshResult(incremental = true, committed = true,
+        keyedRetraction = true)
+    }
 
     if (changed.isEmpty) {
       // metadata-only base commit: advance the watermark with a

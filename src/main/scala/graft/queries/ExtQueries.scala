@@ -2352,8 +2352,9 @@ object ExtQueries {
   // INCREMENTALLY (inc_fold — RefreshResult evidence) and the rewrite
   // recovers with rows bit-equal to the scan answer (recovered);
   // (4) an in-place price rectification is a RETRACTION → refresh
-  // takes the documented full rebuild (rebuild) and the rewrite
-  // serves the corrected rows. Final rows SQL-recomputed from
+  // folds it by KEYED recompute (retract_inc — affected keys only,
+  // never a history rebuild) and the rewrite serves the corrected
+  // rows. Final rows SQL-recomputed from
   // `events` by an independent DuckDB window. At 100 TB this is THE
   // dashboard query ("current price per asset") served from O(keys)
   // pre-folded rows per refresh instead of a history scan per view.
@@ -2419,12 +2420,12 @@ object ExtQueries {
       val recovered = r3.exists(_.endsWith("/lview")) &&
         !r3.exists(_.endsWith("/fact")) &&
         rowsOf(w3) == rw2 && rowsOf(g3) == rg2
-      // in-place rectification = retraction → full rebuild
+      // in-place rectification = retraction → KEYED incremental fold
       ManifestTable.updateWhere(spark, fact, "day", col("event_id") % 11 === 4,
         Map("price" -> (col("price") * 2L + 1L)))
       val res2 = IncrementalLatest.refresh(spark, fact, view,
         Seq("asset"), Seq("ts_us", "event_id"))
-      val rebuild = !res2.incremental && res2.committed
+      val retractInc = res2.incremental && res2.committed && res2.keyedRetraction
       val (w4, g4) = (qWin(), qAgg())
       val rows4 = w4.collect()
       val r4 = scanRoots(w4) ++ scanRoots(g4)
@@ -2433,7 +2434,7 @@ object ExtQueries {
       w4.withColumn("mv_used", lit(mvUsed && finalMv))
         .withColumn("stale_scans", lit(staleScans))
         .withColumn("inc_fold", lit(incFold))
-        .withColumn("rebuild", lit(rebuild))
+        .withColumn("retract_inc", lit(retractInc))
         .withColumn("recovered", lit(recovered))
         .withColumn("agg_matches", lit(aggMatches))
         .orderBy(col("asset"))
@@ -2464,7 +2465,7 @@ object ExtQueries {
       |  FROM fin)
       |SELECT asset, ts_us, price,
       |  TRUE AS mv_used, TRUE AS stale_scans, TRUE AS inc_fold,
-      |  TRUE AS rebuild, TRUE AS recovered, TRUE AS agg_matches
+      |  TRUE AS retract_inc, TRUE AS recovered, TRUE AS agg_matches
       |FROM latest WHERE rn = 1 ORDER BY asset""".stripMargin
 
   // ----------------------------------------------------------------

@@ -113,8 +113,8 @@ class LatestRewriteSpec extends AnyFunSuite {
   }
 
   test("stale view falls back to the scan; an additive base commit refreshes " +
-    "INCREMENTALLY and the rewrite recovers bit-equal; a retraction forces " +
-    "the full rebuild and stays correct") {
+    "INCREMENTALLY and the rewrite recovers bit-equal; a retraction folds by " +
+    "KEYED recompute and stays correct") {
     val (base, view) = fresh("fresh")
     seed(base)
     IncrementalLatest.refresh(spark, base, view, Seq("asset"), Seq("ts", "id"))
@@ -143,8 +143,8 @@ class LatestRewriteSpec extends AnyFunSuite {
         Map("price" -> lit(0.25)))
       val res2 = IncrementalLatest.refresh(spark, base, view,
         Seq("asset"), Seq("ts", "id"))
-      assert(!res2.incremental && res2.committed,
-        s"a retraction must force the full rebuild: $res2")
+      assert(res2.incremental && res2.committed && res2.keyedRetraction,
+        s"a retraction must fold by keyed recompute, not a rebuild: $res2")
       val (d3, r3, rows3) = run(windowQ(base))
       assert(d3 == 1 && !r3.exists(_.contains("/base")),
         s"rebuilt view must rewrite: delta=$d3 roots=$r3")
