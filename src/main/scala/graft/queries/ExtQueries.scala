@@ -3062,6 +3062,110 @@ object ExtQueries {
       |FROM latest WHERE rn = 1""".stripMargin
 
   // ----------------------------------------------------------------
+  // q244_latest_agg — MAINTAINED AGGREGATE VIEW OVER THE LATEST VIEW
+  // (LatestRewriteRule × MvRewriteRule, completing the latest ×
+  // {stats, join, agg} stacking matrix): "current totals per
+  // segment" — a grouped aggregate over the latest-per-key window —
+  // rewrites in one pass onto an IncrementalAgg view REGISTERED OVER
+  // the latest view (two maintained views stacked: latest state from
+  // the fact, grouped sums from the latest state). The whole query —
+  // full scan + key shuffle + group shuffle — becomes a read of
+  // O(segments) pre-folded rows. A fact commit unwinds the stack;
+  // the two-step refresh cascade (latest view from the fact, agg
+  // view from its changed buckets) recovers bit-equal. Final rows
+  // SQL-recomputed.
+  // ----------------------------------------------------------------
+  def q244LatestAgg(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:q244_latest_agg") {
+      q244LatestAggBuild(spark, dir)
+    }
+
+  private def q244LatestAggBuild(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{IncrementalAgg, IncrementalLatest, ManifestTable, Ops}
+    import graft.plans.{LatestRegistry, MvRegistry}
+    def scanRoots(df: DataFrame): Set[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.rootPaths.head.toString
+          }
+      }.toSet
+    val pricesDf = Tables.events(spark, dir).select(
+      col("event_id"),
+      date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+      concat(lit("a"), (col("user_id") % 40).cast("string")).as("asset"),
+      concat(lit("g"), (col("user_id") % 6).cast("string")).as("seg"),
+      unix_micros(col("ts")).as("ts_us"),
+      floor(col("value") * 10000).cast("long").as("price"))
+    val b1 = pricesDf.filter(col("event_id") % 6 =!= 0)
+    val b2 = pricesDf.filter(col("event_id") % 6 === 0).select(
+      col("event_id"), lit("9999-01-01").as("day"), col("asset"), col("seg"),
+      (col("ts_us") + lit(1000000000000000L)).as("ts_us"),
+      (col("price") + 5L).as("price"))
+    val root = java.nio.file.Files.createTempDirectory("graft_q244_").toString
+    val (prices, lview, aview) = (root + "/prices", root + "/lview", root + "/aview")
+    ManifestTable.merge(spark, prices, b1, keys = Seq("event_id"), partitionCol = "day")
+    def refreshChain(): Unit = {
+      IncrementalLatest.refresh(spark, prices, lview,
+        Seq("asset"), Seq("ts_us", "event_id"))
+      IncrementalAgg.refresh(spark, lview, aview, Seq("seg"), Seq("price"))
+    }
+    refreshChain()
+    LatestRegistry.register(spark, prices, lview, Seq("asset"), Seq("ts_us", "event_id"))
+    MvRegistry.register(spark, lview, aview, Seq("seg"), Seq("price"))
+    try {
+      def q(): DataFrame = Ops.latestPerKey(ManifestTable.read(spark, prices),
+        Seq("asset"), Seq(col("ts_us"), col("event_id")))
+        .groupBy(col("seg"))
+        .agg(count(lit(1)).as("n"), sum(col("price")).as("book"))
+      def rowsOf(df: DataFrame): Seq[String] =
+        df.collect().map(_.toString).sorted.toSeq
+      val q1 = q(); rowsOf(q1); val r1 = scanRoots(q1)
+      val stackMv = r1.size == 1 && r1.head.endsWith("/aview")
+      ManifestTable.merge(spark, prices, b2, keys = Seq("event_id"), partitionCol = "day")
+      val q2 = q(); val rows2 = rowsOf(q2); val r2 = scanRoots(q2)
+      val staleScans = r2.exists(_.endsWith("/prices"))
+      refreshChain()
+      val q3 = q(); val r3 = scanRoots(q3)
+      val recovered = r3.size == 1 && r3.head.endsWith("/aview") &&
+        rowsOf(q3) == rows2
+      q3.withColumn("stack_mv", lit(stackMv))
+        .withColumn("stale_scans", lit(staleScans))
+        .withColumn("recovered", lit(recovered))
+        .orderBy(col("seg"))
+    } finally {
+      LatestRegistry.unregister(spark, prices)
+      MvRegistry.unregister(spark, lview)
+    }
+  }
+
+  val q244LatestAggSql: String =
+    """WITH ev AS (
+      |  SELECT event_id,
+      |    'a' || CAST(user_id % 40 AS VARCHAR) AS asset,
+      |    'g' || CAST(user_id % 6 AS VARCHAR) AS seg,
+      |    epoch_us(ts) AS ts_us,
+      |    CAST(floor(value * 10000) AS BIGINT) AS price
+      |  FROM events),
+      |allr AS (
+      |  SELECT event_id, asset, seg, ts_us, price FROM ev WHERE event_id % 6 <> 0
+      |  UNION ALL
+      |  SELECT event_id, asset, seg, ts_us + 1000000000000000 AS ts_us,
+      |    price + 5 AS price
+      |  FROM ev WHERE event_id % 6 = 0),
+      |latest AS (
+      |  SELECT asset, seg, ts_us, price,
+      |    row_number() OVER (PARTITION BY asset
+      |                       ORDER BY ts_us DESC, event_id DESC) AS rn
+      |  FROM allr)
+      |SELECT seg, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(price) AS BIGINT) AS book,
+      |  TRUE AS stack_mv, TRUE AS stale_scans, TRUE AS recovered
+      |FROM latest WHERE rn = 1 GROUP BY seg ORDER BY seg""".stripMargin
+
+  // ----------------------------------------------------------------
   // q235_expr_filter_stats — EXPRESSION FILTERS OF THE PARTITION KEY
   // NARROW BY PER-KEY EVAL (StatsAggRule narrow's evalPred fallback):
   // any deterministic predicate referencing only the partition column

@@ -223,6 +223,29 @@ class LatestRewriteSpec extends AnyFunSuite {
     } finally LatestRegistry.unregister(spark, base)
   }
 
+  test("the spark.sql surface rewrites too: the textual row_number()=1 " +
+    "subquery shape lands on the view") {
+    val (base, view) = fresh("sql")
+    seed(base)
+    IncrementalLatest.refresh(spark, base, view, Seq("asset"), Seq("ts", "id"))
+    LatestRegistry.register(spark, base, view, Seq("asset"), Seq("ts", "id"))
+    ManifestTable.read(spark, base).createOrReplaceTempView("latest_sql_base")
+    try {
+      def q = spark.sql(
+        """SELECT asset, ts, price FROM (
+          |  SELECT *, row_number() OVER (
+          |    PARTITION BY asset ORDER BY ts DESC, id DESC) AS rn
+          |  FROM latest_sql_base) WHERE rn = 1 ORDER BY asset""".stripMargin)
+      val (d1, r1, rows1) = run(q)
+      assert(d1 == 1 && !r1.exists(_.contains("/base")),
+        s"the SQL window shape must rewrite: delta=$d1 roots=$r1")
+      assert(rows1 == truth(q))
+    } finally {
+      spark.catalog.dropTempView("latest_sql_base")
+      LatestRegistry.unregister(spark, base)
+    }
+  }
+
   test("durable registration survives a registry wipe (fresh-session " +
     "simulation): the manifest catalog re-arms the rewrite") {
     val (base, view) = fresh("durable")
