@@ -1597,7 +1597,8 @@ object ManifestTable {
         // (constant per entry): analyze it against the table and
         // evaluate per key, the graft.plans.StatsAggRule narrow/eval
         // contract applied to the sketch fold
-        exprKeyPredicateOf(spark, path, where, pcol, pcolType, version)
+        exprKeyPredicateOf(spark, path, where, pcol, pcolType, version,
+            propsOf(lines).get(PartitionTzProp))
           .getOrElse(throw e)
       }
     approxDistinctAt(spark, path, column, version, pred)
@@ -1615,7 +1616,8 @@ object ManifestTable {
   private def exprKeyPredicateOf(spark: SparkSession, path: String, where: String,
                                  pcol: String,
                                  pcolType: org.apache.spark.sql.types.DataType,
-                                 version: Long)
+                                 version: Long,
+                                 writerTz: Option[String])
       : Option[String => Boolean] = {
     import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Literal}
     import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
@@ -1645,6 +1647,37 @@ object ManifestTable {
       case org.apache.spark.sql.types.DateType =>
         try Some(java.time.LocalDate.parse(k).toEpochDay.toInt)
         catch { case _: java.time.format.DateTimeParseException => None }
+      // TIMESTAMP keys under the writer-zone certificate
+      // ([[PartitionTzProp]], the [[graft.plans.StatsAggRule]]
+      // keyInternal contract): session zone must EQUAL the recorded
+      // writer zone and be fixed-offset (injective rendering, no DST
+      // fold), and the parsed value must render back to the
+      // identical key text via Spark's own cast.
+      case dt @ (org.apache.spark.sql.types.TimestampType |
+                 org.apache.spark.sql.types.TimestampNTZType) =>
+        import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode}
+        val tz = spark.sessionState.conf.sessionLocalTimeZone
+        val zoneOk = dt == org.apache.spark.sql.types.TimestampNTZType || {
+          writerTz.contains(tz) &&
+            (try java.time.ZoneId.of(tz).getRules.isFixedOffset
+             catch { case scala.util.control.NonFatal(_) => false })
+        }
+        if (!zoneOk) None
+        else {
+          val parsed =
+            try Cast(Literal(org.apache.spark.unsafe.types.UTF8String
+              .fromString(k), org.apache.spark.sql.types.StringType),
+              dt, Some(tz), EvalMode.LEGACY)
+              .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+            catch { case scala.util.control.NonFatal(_) => null }
+          Option(parsed).filter { v =>
+            try Cast(Literal(v, dt), org.apache.spark.sql.types.StringType,
+              Some(tz), EvalMode.LEGACY)
+              .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+              .toString == k
+            catch { case scala.util.control.NonFatal(_) => false }
+          }
+        }
       case _ => None
     }
     // probe losslessness up front so refusal stays LOUD and immediate

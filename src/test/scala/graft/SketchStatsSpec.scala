@@ -337,4 +337,43 @@ class SketchStatsSpec extends AnyFunSuite {
       ManifestTable.approxDistinctAt(spark, path, "u", 9999L)
     }
   }
+
+  test("approxDistinctWhere over TIMESTAMP partition keys decodes the key " +
+    "text under the writer-zone certificate; a zone-mismatched session " +
+    "refuses loudly") {
+    val path = freshPath("tsw")
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val rows = (1 to 300).map { i =>
+      (i.toLong, ts(s"2024-01-0${1 + i % 3} 0${i % 6}:00:00"), (i % 83).toLong)
+    }.toDF("id", "hr", "u")
+    ManifestTable.merge(spark, path, rows, Seq("id"), "hr",
+      kmvColumns = Seq("u"), kmvK = 256)
+    // structural shapes refuse on a timestamp column; the eval
+    // fallback decodes per key under the certificate
+    val est = ManifestTable.approxDistinctWhere(spark, path, "u",
+      "hr >= '2024-01-02 00:00:00'")
+    val exact = ManifestTable.read(spark, path)
+      .where(col("hr") >= "2024-01-02 00:00:00")
+      .select("u").distinct().count()
+    assert(est.exact && est.estimate == exact,
+      s"ts-keyed filtered estimate must be exact: $est vs $exact")
+    // an expression of the key decodes too
+    val estD = ManifestTable.approxDistinctWhere(spark, path, "u",
+      "date_trunc('day', hr) = TIMESTAMP '2024-01-02 00:00:00'")
+    val exactD = ManifestTable.read(spark, path)
+      .where(date_trunc("day", col("hr")) === "2024-01-02 00:00:00")
+      .select("u").distinct().count()
+    assert(estD.exact && estD.estimate == exactD)
+    // zone mismatch: the certificate fails → loud refusal, never a
+    // silently mis-scoped subset
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      val e = intercept[RuntimeException] {
+        ManifestTable.approxDistinctWhere(spark, path, "u",
+          "hr >= '2024-01-02 00:00:00'")
+      }
+      assert(e.getMessage.contains("not") || e.getMessage.contains("decid"),
+        s"zone mismatch must refuse: ${e.getMessage}")
+    } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
+  }
 }
