@@ -14662,14 +14662,24 @@ object ExtQueries {
       .agg(count(lit(1)).as("n_tag"))
     val pDay = rd.where(to_date(col("day")) === lit(java.sql.Date.valueOf("2024-01-16")))
       .agg(count(lit(1)).as("n_day16"))
+    // r19: `to_date(day)` over a timestamp PARTITION key is now
+    // metadata-answerable (the writer-zone certificate), so the probe
+    // would collapse to a LocalRelation and leave no scan to observe.
+    // This gate pins SCAN-TIME skipping — run the probe with the
+    // stats rule off so the evidence contract stays meaningful.
+    def evidenceScanned(df: DataFrame): Long = {
+      spark.conf.set("spark.graft.statsAgg.enabled", "false")
+      try evidence(df)
+      finally spark.conf.set("spark.graft.statsAgg.enabled", "true")
+    }
     // LIKE 'prefix%' over the ASCII zone maps: p <= s < succ(p), so a
     // dir keeps iff mxt >= p and mnt < succ(p) — succ('2024-01-13') =
     // '2024-01-14', which the oracle states literally
     val pPre = rd.where(col("tag").startsWith("2024-01-13"))
       .agg(count(lit(1)).as("n_prefix"))
     val (kIsNull, kNotNull, kTag, kToDate, kPre) =
-      (evidence(pIsNull), evidence(pNotNull), evidence(pTag), evidence(pDay),
-        evidence(pPre))
+      (evidence(pIsNull), evidence(pNotNull), evidence(pTag),
+        evidenceScanned(pDay), evidence(pPre))
     val total = ManifestTable.dataDirs(spark, path, 1L).size.toLong
     pIsNull.crossJoin(pNotNull).crossJoin(pTag).crossJoin(pDay).crossJoin(pPre)
       .withColumn("k_isnull", lit(kIsNull))
