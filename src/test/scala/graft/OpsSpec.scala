@@ -1112,8 +1112,11 @@ class MergeSpec extends AnyFunSuite {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(ManifestTable.versions(fs, path) == Seq(1L, 2L))
     assert(ManifestTable.readVersion(spark, path, 1L).count() == 12L)
-    // table properties carried forward verbatim (transactional watermarks)
-    assert(ManifestTable.readProps(spark, path) == Map("wm" -> "7"))
+    // table properties carried forward verbatim (transactional
+    // watermarks) — plus the writer-zone certificate the timestamp
+    // partition key stamps (r19, ManifestTable.PartitionTzProp)
+    assert(ManifestTable.readProps(spark, path) ==
+      Map("wm" -> "7", ManifestTable.PartitionTzProp -> "UTC"))
     // per-entry rowcounts carried: fastCount stays metadata-only and
     // exact, including over a subset of the shared dir's keys
     val c = ManifestTable.fastCount(spark, path, _.startsWith("2024-01-01"))
