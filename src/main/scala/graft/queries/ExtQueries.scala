@@ -26,6 +26,27 @@ import graft.ops.ResultCache
   */
 object ExtQueries {
 
+  /** Casts every DECIMAL output column to STRING, preserving names.
+    *
+    * Gate outputs must never carry raw DECIMAL columns: the driver
+    * hashes RENDERED values, and Spark parquet decimals arrive in
+    * pandas as `Decimal('95455.770')` (full declared scale) while the
+    * DuckDB oracle's `.df()` converts DECIMAL to float64 `95455.77` —
+    * a structural hash mismatch even when values are exactly equal
+    * (the r18/r19 q226/q230-family defect). STRING is the exactness-
+    * preserving rendering: Spark's `Decimal.toString` and DuckDB's
+    * `CAST(dec AS VARCHAR)` both print the full declared scale and
+    * are bit-identical for these value ranges. The matching oracle
+    * SQL casts the same columns AS VARCHAR. */
+  private def decimalsToString(df: DataFrame): DataFrame =
+    df.select(df.schema.fields.map { f =>
+      f.dataType match {
+        case _: org.apache.spark.sql.types.DecimalType =>
+          col(f.name).cast("string").as(f.name)
+        case _ => col(f.name)
+      }
+    }.toSeq: _*)
+
   /** Exact brute-force top-10 for the 10 probe queries — the shared
     * baseline of q15 (its output), q16 and q33 (their recall
     * denominators). Memoized per (session, dir) via the S8 result
@@ -3227,10 +3248,10 @@ object ExtQueries {
       .agg(count(lit(1)).as("n_dv"))
     after.collect()
     val dvScans = hasScan(after)
-    like.crossJoin(or).crossJoin(sub).crossJoin(after)
+    decimalsToString(like.crossJoin(or).crossJoin(sub).crossJoin(after)
       .withColumn("meta_only", lit(metaOnly))
       .withColumn("dv_scans", lit(dvScans))
-      .orderBy(col("day"), col("dec"))
+      .orderBy(col("day"), col("dec")))
   }
 
   val q235ExprFilterStatsSql: String =
@@ -3254,7 +3275,9 @@ object ExtQueries {
       |  (SELECT CAST(sum(v) AS BIGINT) FROM ev
       |   WHERE substr(day, 1, 7) = '2024-01') AS sv_sub,
       |  (SELECT avg(v) FROM ev WHERE substr(day, 1, 7) = '2024-01') AS av_sub,
-      |  (SELECT CAST(sum(price) AS DECIMAL(30,8)) FROM ev
+      |  -- render parity: decimal outputs travel as VARCHAR on both
+      |  -- sides (exactness-preserving; see decimalsToString)
+      |  (SELECT CAST(CAST(sum(price) AS DECIMAL(30,8)) AS VARCHAR) FROM ev
       |   WHERE substr(day, 1, 7) = '2024-01') AS sp_sub,
       |  (SELECT CAST(count(*) AS BIGINT) FROM ev
       |   WHERE substr(day, 1, 7) = '2024-01' AND event_id % 211 <> 5) AS n_dv,
@@ -3333,12 +3356,12 @@ object ExtQueries {
     val after = ManifestTable.read(spark, path).agg(count(lit(1)).as("n_dv"))
     after.collect()
     val dvScans = hasScan(after)
-    g.join(roll, substring(col("day"), 9, 1) === col("dec"))
+    decimalsToString(g.join(roll, substring(col("day"), 9, 1) === col("dec"))
       .crossJoin(glob).crossJoin(flt).crossJoin(after)
       .withColumn("bins_multi", lit(binsWritten >= 2L))
       .withColumn("meta_only", lit(metaOnly))
       .withColumn("dv_scans", lit(dvScans))
-      .orderBy(col("day"))
+      .orderBy(col("day")))
   }
 
   val q232UnionCompactStatsSql: String =
@@ -3350,8 +3373,10 @@ object ExtQueries {
       |    strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
       |  FROM events),
       |dec_g AS (
+      |  -- render parity: decimal outputs travel as VARCHAR on both
+      |  -- sides (exactness-preserving; see decimalsToString)
       |  SELECT substr(day, 9, 1) AS dec, CAST(count(*) AS BIGINT) AS n_dec,
-      |    CAST(sum(price) AS DECIMAL(30,8)) AS sp_dec
+      |    CAST(CAST(sum(price) AS DECIMAL(30,8)) AS VARCHAR) AS sp_dec
       |  FROM ev GROUP BY substr(day, 9, 1))
       |SELECT day, CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS sv,
       |  d.dec, d.n_dec, d.sp_dec,
@@ -3361,7 +3386,8 @@ object ExtQueries {
       |  (SELECT max(event_id) FROM ev) AS mx_e,
       |  (SELECT CAST(sum(v) AS BIGINT) FROM ev) AS sv_all,
       |  (SELECT avg(v) FROM ev) AS av_all,
-      |  (SELECT CAST(sum(price) AS DECIMAL(30,8)) FROM ev) AS sp_all,
+      |  (SELECT CAST(CAST(sum(price) AS DECIMAL(30,8)) AS VARCHAR)
+      |   FROM ev) AS sp_all,
       |  (SELECT CAST(count(DISTINCT day) AS BIGINT) FROM ev) AS nd_day,
       |  (SELECT CAST(count(*) AS BIGINT) FROM ev
       |   WHERE day > (SELECT min(day) FROM ev)) AS n_flt,
@@ -3453,12 +3479,13 @@ object ExtQueries {
       .agg(count(lit(1)).as("n_dv"))
     after.collect()
     val dvScans = hasScan(after)
-    g.join(gs, Seq("dec")).join(flt, Seq("dec")).join(after, Seq("dec"))
-      .withColumn("tup_fp", lit(tupFp))
-      .withColumn("meta_only", lit(metaOnly))
-      .withColumn("flt_meta_only", lit(fltMetaOnly))
-      .withColumn("dv_scans", lit(dvScans))
-      .orderBy(col("dec"))
+    decimalsToString(
+      g.join(gs, Seq("dec")).join(flt, Seq("dec")).join(after, Seq("dec"))
+        .withColumn("tup_fp", lit(tupFp))
+        .withColumn("meta_only", lit(metaOnly))
+        .withColumn("flt_meta_only", lit(fltMetaOnly))
+        .withColumn("dv_scans", lit(dvScans))
+        .orderBy(col("dec")))
   }
 
   val q231ExprGroupedStatsSql: String =
@@ -3472,7 +3499,9 @@ object ExtQueries {
       |SELECT substr(day, 9, 1) AS dec, CAST(count(*) AS BIGINT) AS n,
       |  CAST(count(xv) AS BIGINT) AS n_xv,
       |  CAST(sum(v) AS BIGINT) AS sv, avg(v) AS av,
-      |  CAST(sum(price) AS DECIMAL(30,8)) AS sp,
+      |  -- render parity: decimal outputs travel as VARCHAR on both
+      |  -- sides (exactness-preserving; see decimalsToString)
+      |  CAST(CAST(sum(price) AS DECIMAL(30,8)) AS VARCHAR) AS sp,
       |  min(day) AS mn_day, max(day) AS mx_day, max(user_id) AS mx_u,
       |  CAST(count(*) AS BIGINT) AS n_sql, CAST(sum(v) AS BIGINT) AS sv_sql,
       |  CAST(count(*) FILTER (day > (SELECT min(day) FROM ev)) AS BIGINT) AS n_flt,
@@ -3544,10 +3573,10 @@ object ExtQueries {
       .agg(sum(col("price")).as("sp_dv"))
     after.collect()
     val dvScans = hasScan(after)
-    g.join(after, Seq("day")).crossJoin(glob).crossJoin(flt)
+    decimalsToString(g.join(after, Seq("day")).crossJoin(glob).crossJoin(flt)
       .withColumn("meta_only", lit(metaOnly))
       .withColumn("dv_scans", lit(dvScans))
-      .orderBy(col("day"))
+      .orderBy(col("day")))
   }
 
   val q230DecimalSumsSql: String =
@@ -3573,24 +3602,30 @@ object ExtQueries {
       |f AS (
       |  SELECT CAST(sum(price) AS DECIMAL(30,8)) AS sp_flt FROM ev
       |  WHERE day > (SELECT min(day) FROM ev))
-      |SELECT g.day, g.sp,
+      |-- render parity: every decimal output travels as VARCHAR on
+      |-- both sides (exactness-preserving; see decimalsToString) —
+      |-- the avg columns still round-trip through DECIMAL(24,12) so
+      |-- the VARCHAR rendering is the canonical full-scale decimal
+      |SELECT g.day, CAST(g.sp AS VARCHAR) AS sp,
       |  -- avg(decimal(20,8)) = decimal(24,12), round-half-up of the
       |  -- EXACT sum/count (positive prices): (2*num + n) // (2*n)
-      |  CAST(CAST((g.sp8*10000*2 + g.np) // (2*g.np) // 1000000000000
+      |  CAST(CAST(CAST((g.sp8*10000*2 + g.np) // (2*g.np) // 1000000000000
       |         AS VARCHAR) || '.' ||
       |       lpad(CAST((g.sp8*10000*2 + g.np) // (2*g.np) % 1000000000000
-      |         AS VARCHAR), 12, '0') AS DECIMAL(24,12)) AS ap,
-      |  g.sxp, g.sp_dv, t.sp_all,
-      |  CAST(CAST((t.sp8*10000*2 + t.np) // (2*t.np) // 1000000000000
+      |         AS VARCHAR), 12, '0') AS DECIMAL(24,12)) AS VARCHAR) AS ap,
+      |  CAST(g.sxp AS VARCHAR) AS sxp, CAST(g.sp_dv AS VARCHAR) AS sp_dv,
+      |  CAST(t.sp_all AS VARCHAR) AS sp_all,
+      |  CAST(CAST(CAST((t.sp8*10000*2 + t.np) // (2*t.np) // 1000000000000
       |         AS VARCHAR) || '.' ||
       |       lpad(CAST((t.sp8*10000*2 + t.np) // (2*t.np) % 1000000000000
-      |         AS VARCHAR), 12, '0') AS DECIMAL(24,12)) AS ap_all,
-      |  t.sxp_all,
-      |  CAST(CAST((t.sxp8*10000*2 + t.nxp) // (2*t.nxp) // 1000000000000
+      |         AS VARCHAR), 12, '0') AS DECIMAL(24,12)) AS VARCHAR) AS ap_all,
+      |  CAST(t.sxp_all AS VARCHAR) AS sxp_all,
+      |  CAST(CAST(CAST((t.sxp8*10000*2 + t.nxp) // (2*t.nxp) // 1000000000000
       |         AS VARCHAR) || '.' ||
       |       lpad(CAST((t.sxp8*10000*2 + t.nxp) // (2*t.nxp) % 1000000000000
-      |         AS VARCHAR), 12, '0') AS DECIMAL(24,12)) AS axp_all,
-      |  f.sp_flt, TRUE AS meta_only, TRUE AS dv_scans
+      |         AS VARCHAR), 12, '0') AS DECIMAL(24,12)) AS VARCHAR) AS axp_all,
+      |  CAST(f.sp_flt AS VARCHAR) AS sp_flt, TRUE AS meta_only,
+      |  TRUE AS dv_scans
       |FROM g, t, f ORDER BY g.day""".stripMargin
 
   // ----------------------------------------------------------------
@@ -3895,13 +3930,13 @@ object ExtQueries {
       .groupBy(col("etype")).agg(avg(col("v")).as("a")))
     val boundBackoff = !fb && rb.exists(_.endsWith("/big"))
     MvRegistry.unregister(spark, base2)
-    aggQ().join(fltQ(), Seq("etype")).join(decQ(), Seq("etype"))
+    decimalsToString(aggQ().join(fltQ(), Seq("etype")).join(decQ(), Seq("etype"))
       .crossJoin(allQ()).crossJoin(cntQ())
       .withColumn("avg_mv_used", lit(mvUsed))
       .withColumn("bit_equal", lit(bitEqual))
       .withColumn("decimal_mv", lit(decimalMv))
       .withColumn("bound_backoff", lit(boundBackoff))
-      .orderBy(col("etype"))
+      .orderBy(col("etype")))
   }
 
   val q226MvAvgSql: String =
@@ -3916,13 +3951,16 @@ object ExtQueries {
       |d AS (
       |  -- decimal sum exactly; avg(decimal(12,3)) = decimal(16,7) as
       |  -- exact HUGEINT round-half-up of sum/count at scale 7 —
-      |  -- positive values, so (2*num + n) // (2*n)
-      |  SELECT etype, CAST(sum(dv) AS DECIMAL(22,3)) AS dsum,
-      |    CAST(CAST((sum(CAST(dv * 1000 AS HUGEINT))*10000*2 + count(dv))
+      |  -- positive values, so (2*num + n) // (2*n). Render parity:
+      |  -- decimal outputs travel as VARCHAR on both sides
+      |  -- (exactness-preserving; see decimalsToString) — davg still
+      |  -- round-trips through DECIMAL(16,7) for canonical rendering
+      |  SELECT etype, CAST(CAST(sum(dv) AS DECIMAL(22,3)) AS VARCHAR) AS dsum,
+      |    CAST(CAST(CAST((sum(CAST(dv * 1000 AS HUGEINT))*10000*2 + count(dv))
       |           // (2*count(dv)) // 10000000 AS VARCHAR) || '.' ||
       |         lpad(CAST((sum(CAST(dv * 1000 AS HUGEINT))*10000*2 + count(dv))
       |           // (2*count(dv)) % 10000000 AS VARCHAR), 7, '0')
-      |      AS DECIMAL(16,7)) AS davg
+      |      AS DECIMAL(16,7)) AS VARCHAR) AS davg
       |  FROM ev GROUP BY etype)
       |SELECT a.etype, a.avg_v, a.n, f.avg_f, d.dsum, d.davg,
       |  (SELECT avg(v) FROM ev) AS avg_all,

@@ -30,6 +30,7 @@ the sampled values happen to collide.
 This script is a dev-side verification tool only — it is not part of
 the Spark library.
 """
+import decimal
 import json
 import math
 import os
@@ -72,6 +73,29 @@ def dtype_kind(dt):
     if k in ("M", "m"):
         return "time"
     return "other"
+
+
+def series_kind(s):
+    """dtype_kind, but resolves object columns that hold Decimals.
+
+    The round-19 lesson: Spark parquet decimals arrive in pandas as
+    object columns of decimal.Decimal (full declared scale,
+    Decimal('95455.770')) while DuckDB's .df() converts DECIMAL
+    results to float64 (95455.77). Both values compare float-equal,
+    but the driver hashes the RENDERED values and sees them apart —
+    so 'decimal' must be its own kind, never 'other', or the
+    dtype-strict check silently skips the exact divergence that kept
+    q226/q230/q231/q232/q235 red for two rounds.
+    """
+    k = dtype_kind(s.dtype)
+    if k == "other":
+        for v in s:
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                continue
+            if isinstance(v, decimal.Decimal):
+                return "decimal"
+            break
+    return k
 
 
 def arrow_kind(t):
@@ -132,6 +156,17 @@ def lint_declared_types(name, rel, spark_schema):
                 f"col={field.name}: DuckDB {duck_raw[field.name]} "
                 f"(pandas float64) vs Spark {field.type} — CAST the "
                 f"oracle column AS BIGINT")
+        elif sk == "decimal" or dk == "decimal":
+            # ANY decimal-typed result column is a render hazard:
+            # pyarrow delivers Decimal objects at full declared scale,
+            # DuckDB's .df() delivers float64 — even when both sides
+            # declare DECIMAL the pandas conversions diverge and the
+            # driver hash can never match.
+            problems.append(
+                f"col={field.name}: DECIMAL-typed result column "
+                f"(spark={field.type}, duckdb={duck_raw[field.name]}) "
+                f"— render hazard; CAST BOTH sides to VARCHAR/STRING "
+                f"(exactness-preserving) or DOUBLE")
         elif {sk, dk} == {"int", "float"}:
             problems.append(
                 f"col={field.name}: DuckDB {duck_raw[field.name]} ({dk}) "
@@ -210,15 +245,18 @@ def main(sf_dir, out_dir, partial=False):
         # hard fail — the driver hashes "120" vs "120.0" differently.
         dtype_fail = None
         for col in g.columns:
-            gk, ek = dtype_kind(g[col].dtype), dtype_kind(e[col].dtype)
+            gk, ek = series_kind(g[col]), series_kind(e[col])
             if gk != ek and "other" not in (gk, ek):
-                dtype_fail = (col, g[col].dtype, e[col].dtype)
+                dtype_fail = (col, gk, ek)
                 break
         if dtype_fail:
             col, gd, ed = dtype_fail
             print(f"FAIL {name}: dtype mismatch col={col}: "
                   f"spark={gd} oracle={ed} — values may compare equal "
-                  f"but the driver hash will not")
+                  f"but the driver hash will not"
+                  + (" (Decimal objects vs float64: cast both sides "
+                     "to STRING/VARCHAR or DOUBLE)"
+                     if "decimal" in (gd, ed) else ""))
             n_fail += 1
             continue
         exact = True
