@@ -51,9 +51,11 @@ import org.apache.spark.sql.functions._
   * well-defined in either engine). For the `max_by` aggregate-form
   * rewrite ([[graft.plans.LatestRewriteRule]]) `ordCols` must also be
   * NON-NULL — `max_by` skips null-ordered rows while the window form
-  * ranks them last, and the two only agree when no ord is null (the
-  * caller contract, exactly like [[MvRegistry]]'s non-null
-  * groupCols). */
+  * ranks them last, and the two diverge exactly when a key's EVERY
+  * row has a null ord. That contract is no longer doc-only: each
+  * [[refresh]] validates the rows it writes and stamps the
+  * [[OrdNonNullProp]] certificate, and the max_by rewrite fires only
+  * against a certified view version. */
 object IncrementalLatest {
 
   val BaseVersionProp = "latest.base_version"
@@ -64,6 +66,19 @@ object IncrementalLatest {
   val KeysProp = "latest.keys"
   val OrdProp = "latest.ord"
   val BucketsProp = "latest.buckets"
+  /** VALIDATED-AT-WRITE certificate that no view row carries a NULL
+    * order value — the exact condition under which the `max_by`
+    * aggregate form and the window form agree (a view row with null
+    * ord means ALL of its key's rows had null ord: the window ranks
+    * them last and still emits one, `max_by` skips them all and
+    * returns null — the one silent divergence). Every [[refresh]]
+    * checks the rows it WRITES and stamps the prop only when the
+    * previous version carried it too (full rebuilds start the chain),
+    * so the certificate covers the whole view across the refresh
+    * lineage, not just the last-touched buckets.
+    * [[graft.plans.LatestRewriteRule]] requires it for the max_by
+    * rewrite; the window rewrite is null-safe and does not. */
+  val OrdNonNullProp = "latest.ord_nonnull"
   /** The view's internal key-hash partition column — public so a
     * SECOND-LEVEL maintained view can be built OVER the latest view
     * (e.g. [[IncrementalJoin.refresh]] with the latest view as the
@@ -148,6 +163,15 @@ object IncrementalLatest {
     val props = Map(BaseVersionProp -> baseCur.toString,
       KeysProp -> keys.mkString(","), OrdProp -> ordCols.mkString(","),
       BucketsProp -> buckets.toString)
+    // ord-non-null certificate ([[OrdNonNullProp]]): one bounded
+    // existence check over the rows this refresh WRITES (the only
+    // rows that can change the view), chained on the previous
+    // version's certificate for the buckets it does not touch.
+    val prevCertified = recorded.get(OrdNonNullProp).contains("true")
+    def writtenRowsCertified(df: DataFrame): Boolean =
+      df.filter(ordCols.map(col(_).isNull).reduce(_ || _)).isEmpty
+    def propsCert(certified: Boolean): Map[String, String] =
+      if (certified) props + (OrdNonNullProp -> "true") else props
     def withBucket(df: DataFrame): DataFrame =
       df.withColumn(BucketCol,
         pmod(xxhash64(keys.map(col): _*), lit(buckets.toLong)).cast("string"))
@@ -160,7 +184,8 @@ object IncrementalLatest {
         replaceTouched = true,
         knownTouched = Some(ManifestTable.partitionKeys(viewFs, viewPath) ++
           (0 until buckets).map(_.toString)),
-        props = props, statsColumns = statsColumns, sumColumns = sumColumns)
+        props = propsCert(writtenRowsCertified(full)),
+        statsColumns = statsColumns, sumColumns = sumColumns)
       RefreshResult(incremental = false, committed = true)
     }
 
@@ -217,7 +242,8 @@ object IncrementalLatest {
       val folded = withBucket(kept.unionByName(latestFor))
       ManifestTable.merge(spark, viewPath, folded, keys = keys,
         partitionCol = BucketCol, retainVersions = retainVersions,
-        replaceTouched = true, knownTouched = Some(affected), props = props,
+        replaceTouched = true, knownTouched = Some(affected),
+        props = propsCert(prevCertified && writtenRowsCertified(folded)),
         statsColumns = statsColumns, sumColumns = sumColumns)
       return RefreshResult(incremental = true, committed = true,
         keyedRetraction = true)
@@ -225,11 +251,13 @@ object IncrementalLatest {
 
     if (changed.isEmpty) {
       // metadata-only base commit: advance the watermark with a
-      // data-empty version carrying the props
+      // data-empty version carrying the props (no rows written — the
+      // ord-non-null certificate carries exactly when it already held)
       val empty = read(spark, viewPath).limit(0)
       ManifestTable.merge(spark, viewPath, withBucket(empty), keys = keys,
         partitionCol = BucketCol, retainVersions = retainVersions,
-        props = props, statsColumns = statsColumns, sumColumns = sumColumns)
+        props = propsCert(prevCertified),
+        statsColumns = statsColumns, sumColumns = sumColumns)
       return RefreshResult(incremental = true, committed = true)
     }
 
@@ -252,7 +280,8 @@ object IncrementalLatest {
       existing.unionByName(deltaB.drop(BucketCol)), keys, ordCols))
     ManifestTable.merge(spark, viewPath, folded, keys = keys,
       partitionCol = BucketCol, retainVersions = retainVersions,
-      replaceTouched = true, knownTouched = Some(affected), props = props,
+      replaceTouched = true, knownTouched = Some(affected),
+      props = propsCert(prevCertified && writtenRowsCertified(folded)),
       statsColumns = statsColumns, sumColumns = sumColumns)
     RefreshResult(incremental = true, committed = true)
   }

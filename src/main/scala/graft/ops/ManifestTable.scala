@@ -407,16 +407,30 @@ object ManifestTable {
     // Timestamp-typed partition keys: stamp the writer's session zone
     // as the parse-back certificate ([[PartitionTzProp]]); a session
     // whose zone differs from the recorded one REFUSES — its key text
-    // would interleave two renderings on one table.
+    // would interleave two renderings on one table. The stamp lands
+    // ONLY on the table-CREATING merge (no prior manifest): a table
+    // that predates the certificate may hold key text rendered in a
+    // zone this session cannot know, and stamping the CURRENT zone
+    // retroactively would certify a fiction the per-key round-trip
+    // check cannot detect (any fixed-offset zone round-trips its own
+    // rendering). Legacy tables stay UNCERTIFIED — readers refuse the
+    // metadata fast paths safely — until an operator attests the
+    // writer zone via [[certifyPartitionTz]].
     val tzProps: Map[String, String] =
       incoming.schema.find(_.name == partitionCol).map(_.dataType) match {
         case Some(org.apache.spark.sql.types.TimestampType) =>
           val tz = spark.sessionState.conf.sessionLocalTimeZone
-          prevProps.get(PartitionTzProp).foreach(rec => require(rec == tz,
-            s"ManifestTable.merge: timestamp partition keys under $path were " +
-              s"rendered in zone $rec; this session writes in $tz — set " +
-              s"spark.sql.session.timeZone=$rec (mixed-zone key text is unsound)"))
-          Map(PartitionTzProp -> tz)
+          prevProps.get(PartitionTzProp) match {
+            case Some(rec) =>
+              require(rec == tz,
+                s"ManifestTable.merge: timestamp partition keys under $path were " +
+                  s"rendered in zone $rec; this session writes in $tz — set " +
+                  s"spark.sql.session.timeZone=$rec (mixed-zone key text is unsound)")
+              Map(PartitionTzProp -> tz)
+            case None if latestVersion(fs, path).isEmpty =>
+              Map(PartitionTzProp -> tz)
+            case None => Map.empty
+          }
         case _ => Map.empty
       }
     val effProps = durablePropsOf(prevProps) ++ tzProps ++
@@ -1794,21 +1808,24 @@ object ManifestTable {
         case _ => refuse(e)
       }
       else refuse(e)
+    // a key that fails to parse cannot happen on the gated paths
+    // (integral columns commit integral keys; the string-column
+    // numeric path requires every key to parse) — if one appears
+    // anyway, refuse LOUDLY rather than silently excluding it. One
+    // shared parser so equality, comparison and IN all fail the
+    // identical condition the identical way.
+    def parseKeyLong(k: String): Long = k.toLongOption.getOrElse(
+      sys.error(s"ManifestTable.approxDistinctWhere: key '$k' does not " +
+        "parse as an integer — the numeric predicate cannot be decided " +
+        "from metadata"))
     def eqPred(e: Expression, l: Literal): String => Boolean =
       eqValue(e, l) match {
-        // a key that fails to parse cannot happen on the gated paths
-        // (integral columns commit integral keys; the string-column
-        // numeric path requires every key to parse) — if one appears
-        // anyway, refuse LOUDLY rather than silently excluding it
-        case scala.Left(x) => k => k.toLongOption.map(_ == x).getOrElse(
-          sys.error(s"ManifestTable.approxDistinctWhere: key '$k' does not " +
-            "parse as an integer — the numeric equality cannot be decided " +
-            "from metadata"))
+        case scala.Left(x) => k => parseKeyLong(k) == x
         case scala.Right(s) => k => k == s
       }
     def cmpPred(e: Expression, l: Literal, cmp: Int => Boolean): String => Boolean =
       eqValue(e, l) match {
-        case scala.Left(x) => k => cmp(k.toLong.compare(x))
+        case scala.Left(x) => k => cmp(parseKeyLong(k).compare(x))
         case scala.Right(s) if ascii(s) && allAscii => k => cmp(k.compare(s))
         case _ => refuse(e)
       }
@@ -1820,7 +1837,7 @@ object ManifestTable {
           val values = vs.map(x => eqValue(e, x.asInstanceOf[Literal]))
           val longs = values.collect { case scala.Left(x) => x }.toSet
           val strs = values.collect { case scala.Right(s) => s }.toSet
-          k => (longs.nonEmpty && longs(k.toLong)) || strs(k)
+          k => (longs.nonEmpty && longs(parseKeyLong(k))) || strs(k)
         case e @ GreaterThan(k, l: Literal) if isP(k) => cmpPred(e, l, _ > 0)
         case e @ GreaterThan(l: Literal, k) if isP(k) => cmpPred(e, l, _ < 0)
         case e @ GreaterThanOrEqual(k, l: Literal) if isP(k) => cmpPred(e, l, _ >= 0)
@@ -3949,6 +3966,89 @@ object ManifestTable {
         k.startsWith(MvLatestDefPropPrefix)) && removeKeys(k)
     } ++ adds
     if (next != props) commitProps(fs, path, v, lines, next, retainVersions)
+  }
+
+  /** OPERATOR ATTESTATION of a LEGACY timestamp-keyed table's writer
+    * zone ([[PartitionTzProp]]) — one metadata-only commit. Tables
+    * created before the certificate existed carry partition-key text
+    * whose rendering zone is unrecoverable from the text alone (any
+    * fixed-offset zone round-trips its own rendering), so [[merge]]
+    * never stamps them retroactively and the metadata fast paths
+    * refuse. An operator who KNOWS the historical writer sessions'
+    * zone records it here; the op validates everything that IS
+    * checkable — the table already has commits, the partition column
+    * is committed-schema TIMESTAMP, no conflicting certificate
+    * exists (same-zone re-certification is an idempotent no-op),
+    * `tz` is a fixed-offset zone (only those render bijectively at
+    * microsecond precision, so no reader honors anything else), and
+    * every committed key's text round-trips text→micros→text under
+    * `tz` — and refuses loudly otherwise. What it cannot validate is
+    * the attestation itself; that is the operator's contract, the
+    * same trust boundary as declaring the right primary key. */
+  def certifyPartitionTz(spark: SparkSession, path: String, tz: String,
+                         retainVersions: Int = 3): Unit = {
+    require(retainVersions >= 1, s"retainVersions must be >= 1, got $retainVersions")
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = latestVersion(fs, path).getOrElse(
+      sys.error(s"ManifestTable.certifyPartitionTz: no manifest under " +
+        s"$path/$ManifestDir — a NEW table is certified by its first merge"))
+    val lines = readManifest(fs, path, v)
+    val props = propsOf(lines)
+    props.get(PartitionTzProp) match {
+      case Some(rec) if rec == tz => return // idempotent re-attestation
+      case Some(rec) => sys.error(
+        s"ManifestTable.certifyPartitionTz: $path is already certified as " +
+          s"zone $rec; re-certifying as $tz would contradict committed key text")
+      case None =>
+    }
+    val pcol = partitionColOf(lines).getOrElse(sys.error(
+      s"ManifestTable.certifyPartitionTz: $path has no committed partition column"))
+    val dt = committedSchema(lines).flatMap(_.fields.find(_.name == pcol).map(_.dataType))
+      .getOrElse(sys.error(
+        s"ManifestTable.certifyPartitionTz: $path has no committed schema — " +
+          s"cannot prove $pcol is timestamp-typed"))
+    require(dt == org.apache.spark.sql.types.TimestampType,
+      s"ManifestTable.certifyPartitionTz: $pcol is $dt, not TIMESTAMP — the " +
+        "writer-zone certificate only applies to timestamp-typed partition keys")
+    val fixedOffset =
+      try java.time.ZoneId.of(tz).getRules.isFixedOffset
+      catch { case scala.util.control.NonFatal(_) => false }
+    require(fixedOffset,
+      s"ManifestTable.certifyPartitionTz: $tz is not a fixed-offset zone — " +
+        "only fixed-offset renderings are bijective at microsecond precision, " +
+        "so no metadata reader would honor this certificate")
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode, Literal}
+    dataEntries(lines).map(_._1).distinct.foreach { k =>
+      val parsed =
+        try Cast(Literal(org.apache.spark.unsafe.types.UTF8String.fromString(k),
+          org.apache.spark.sql.types.StringType), dt, Some(tz), EvalMode.LEGACY)
+          .eval(InternalRow.empty)
+        catch { case scala.util.control.NonFatal(_) => null }
+      val back = Option(parsed).map { p =>
+        Cast(Literal(p, dt), org.apache.spark.sql.types.StringType, Some(tz),
+          EvalMode.LEGACY).eval(InternalRow.empty).toString
+      }
+      require(back.contains(k),
+        s"ManifestTable.certifyPartitionTz: committed key '$k' does not " +
+          s"round-trip under $tz — attestation refused")
+    }
+    commitProps(fs, path, v, lines, props + (PartitionTzProp -> tz), retainVersions)
+  }
+
+  /** Test instrument ONLY: strip a durable prop with one
+    * metadata-only commit — simulates a LEGACY table written before
+    * the prop existed (e.g. pre-certificate timestamp-keyed tables
+    * for [[certifyPartitionTz]] tests). Never part of the public
+    * surface; real tables never un-certify. */
+  private[graft] def stripDurablePropForTest(spark: SparkSession, path: String,
+                                             key: String,
+                                             retainVersions: Int = 3): Unit = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = latestVersion(fs, path).getOrElse(
+      sys.error(s"ManifestTable.stripDurablePropForTest: no manifest under $path"))
+    val lines = readManifest(fs, path, v)
+    commitProps(fs, path, v, lines, propsOf(lines) - key, retainVersions)
   }
 
   /** The table's committed CHECK constraints, `name -> sql expr`. */

@@ -18,7 +18,10 @@ import graft.ops.{GraftFileIndex, IncrementalLatest, ManifestTable}
   * [[IncrementalLatest]]'s contracts carry over: the ord tuple unique
   * per key (determinism), and NON-NULL ord columns (the window form
   * ranks null ords last while `max_by` skips them — the two agree,
-  * and the view can stand for both, only when no ord is null).
+  * and the view can stand for both, only when no ord is null; the
+  * max_by rewrite ENFORCES this via refresh's validated-at-write
+  * [[IncrementalLatest.OrdNonNullProp]] certificate rather than
+  * trusting the registration).
   *
   * DURABILITY: `register(durable = true)` persists the definition as
   * a `mv.latest.NNNN` prop on the BASE table's manifest (the
@@ -375,6 +378,14 @@ case class LatestRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           info.filters.forall(keyOnly(dd, info, _))
       }
       vv <- fresh(d, info)
+      // max_by skips null-ordered rows while the maintained view ranks
+      // them last — the two agree only when no view row carries a null
+      // ord, which is exactly what refresh's validated-at-write
+      // certificate attests. An uncertified view (null ords present,
+      // or written before the certificate existed) declines to the
+      // scan; the window form is null-safe and rewrites regardless.
+      if ManifestTable.readPropsAt(spark, d.viewPath, vv)
+        .get(IncrementalLatest.OrdNonNullProp).contains("true")
       plan <- buildMaxBy(a, d, info, vv)
     } yield {
       LatestRegistry.rewrites.incrementAndGet()

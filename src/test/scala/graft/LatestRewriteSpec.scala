@@ -246,6 +246,46 @@ class LatestRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("max_by declines on a view without the ord-non-null certificate: an " +
+    "all-null-ord key makes max_by and the window disagree, so refresh " +
+    "withholds the certificate and only the null-safe window form rewrites") {
+    val (base, view) = fresh("nullord")
+    val rows = Seq(
+      (1L, "d0", "a0", Some(1000L), 1.5),
+      (2L, "d0", "a0", Some(1001L), 2.5),
+      (3L, "d1", "a1", Some(1002L), 3.5),
+      (4L, "d1", "anull", Option.empty[Long], 4.5)
+    ).toDF("id", "day", "asset", "ts", "price")
+    ManifestTable.merge(spark, base, rows, Seq("id"), "day")
+    IncrementalLatest.refresh(spark, base, view, Seq("asset"), Seq("ts"))
+    assert(!ManifestTable.readProps(spark, view)
+      .contains(IncrementalLatest.OrdNonNullProp),
+      "a view holding a null-ord row must not carry the certificate")
+    LatestRegistry.register(spark, base, view, Seq("asset"), Seq("ts"))
+    try {
+      // anull's only row has ts NULL: the view (window semantics,
+      // NULLS LAST) holds that row, but max_by SKIPS it and answers
+      // (NULL, NULL) for the group — a certified rewrite would be
+      // silently wrong, so it must decline to the scan
+      def agg = ManifestTable.read(spark, base).groupBy(col("asset"))
+        .agg(expr("max_by(price, ts)").as("p"), max(col("ts")).as("mts"))
+        .orderBy(col("asset"))
+      val (d1, r1, rows1) = run(agg)
+      assert(d1 == 0 && r1.exists(_.contains("/base")),
+        s"max_by over an uncertified view must DECLINE: delta=$d1 roots=$r1")
+      assert(rows1 == truth(agg))
+      // the window form ranks null ords last exactly like the view —
+      // null-safe, still rewrites with scan-identical rows
+      def win = Ops.latestPerKey(ManifestTable.read(spark, base), Seq("asset"),
+        Seq(col("ts"))).select(col("asset"), col("ts"), col("price"))
+        .orderBy(col("asset"))
+      val (d2, r2, rows2) = run(win)
+      assert(d2 == 1 && !r2.exists(_.contains("/base")),
+        s"the window form must still rewrite: delta=$d2 roots=$r2")
+      assert(rows2 == truth(win))
+    } finally LatestRegistry.unregister(spark, base)
+  }
+
   test("durable registration survives a registry wipe (fresh-session " +
     "simulation): the manifest catalog re-arms the rewrite") {
     val (base, view) = fresh("durable")

@@ -799,4 +799,53 @@ class StatsAggSpec extends AnyFunSuite {
       assert(e.getMessage.contains("rendered in zone"))
     } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
   }
+
+  test("a LEGACY timestamp-keyed table (written before the certificate) is " +
+    "never stamped retroactively: merges leave it uncertified and the fast " +
+    "paths scan, until certifyPartitionTz records the operator's attestation") {
+    assert(spark.sessionState.conf.sessionLocalTimeZone == "UTC",
+      "the test contract: session zone is UTC")
+    val path = freshPath("tslegacy")
+    val rows = Seq(
+      (1L, ts("2024-02-01 03:00:00"), 10L),
+      (2L, ts("2024-02-01 09:00:00"), 5L),
+      (3L, ts("2024-02-02 00:00:00"), 4L)).toDF("id", "hr", "x")
+    ManifestTable.merge(spark, path, rows, Seq("id"), "hr",
+      statsColumns = Seq("id", "x"), sumColumns = Seq("x"))
+    // simulate the pre-certificate table: strip the creating stamp
+    ManifestTable.stripDurablePropForTest(spark, path, ManifestTable.PartitionTzProp)
+    // a post-upgrade merge must NOT stamp the CURRENT session zone
+    // retroactively — the legacy keys' rendering zone is unknowable,
+    // and a wrong certificate would decode them to wrong instants
+    // undetectably (the per-key round-trip holds in any fixed zone)
+    ManifestTable.merge(spark, path,
+      Seq((4L, ts("2024-02-03 00:00:00"), 7L)).toDF("id", "hr", "x"),
+      Seq("id"), "hr", statsColumns = Seq("id", "x"), sumColumns = Seq("x"))
+    assert(!ManifestTable.readProps(spark, path)
+      .contains(ManifestTable.PartitionTzProp),
+      "no retroactive certificate on a legacy table")
+    def g = ManifestTable.read(spark, path)
+      .groupBy(date_trunc("day", col("hr")).as("day"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+      .orderBy(col("day"))
+    val (d0, s0, r0) = run(g)
+    assert(d0 == 0 && s0, s"an uncertified ts-keyed table must scan: $d0 $s0")
+    // a non-fixed-offset attestation refuses (no reader honors it)
+    intercept[IllegalArgumentException] {
+      ManifestTable.certifyPartitionTz(spark, path, "America/New_York")
+    }
+    // the operator attests the true writer zone → fast paths return
+    ManifestTable.certifyPartitionTz(spark, path, "UTC")
+    assert(ManifestTable.readProps(spark, path)
+      .get(ManifestTable.PartitionTzProp).contains("UTC"))
+    ManifestTable.certifyPartitionTz(spark, path, "UTC") // idempotent no-op
+    val (d1, s1, r1) = run(g)
+    assert(d1 == 1 && !s1, s"a certified legacy table takes the fast path: $d1 $s1")
+    assert(r1 == r0, "certified metadata answers must equal the scan's")
+    // a CONFLICTING re-attestation refuses loudly
+    val e = intercept[RuntimeException] {
+      ManifestTable.certifyPartitionTz(spark, path, "UTC+05:30")
+    }
+    assert(e.getMessage.contains("already certified"))
+  }
 }
