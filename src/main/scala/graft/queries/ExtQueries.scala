@@ -15041,4 +15041,166 @@ object ExtQueries {
       |  (SELECT CAST(count(*) AS BIGINT) FROM hit) AS cdc_pre,
       |  (SELECT CAST(count(*) AS BIGINT) FROM hit) AS cdc_post
       |FROM fixed GROUP BY day ORDER BY day""".stripMargin
+
+  // ----------------------------------------------------------------
+  // q245_asof_anchor — MAINTAINED AS-OF FAST PATH (AsOfSnapshots):
+  // the reference's #2 dashboard view, `v_price_change_24h`
+  // (`sql/views.sql:11-27`), needs "latest row per key AT OR BEFORE a
+  // cutoff" — un-maintainable by IncrementalLatest (a cutoff filter
+  // on the ord column changes which row is latest, so LatestRewrite
+  // correctly declines it) and O(history) as a raw window (a key that
+  // last traded months ago anchors in an old partition no cutoff
+  // prunes). AsOfSnapshots keeps PERIODIC latest snapshots (period =
+  // 10-day decade of the day key here) folded forward by the argmax
+  // identity; asOf(cutoff) is then one window over snapshot(period
+  // below the cutoff's) ∪ the boundary partitions ≤ cutoff day. The
+  // gate pins: (1) the fast path fires (fast_used) and its SCAN SET
+  // is exactly snapshot dir ∪ boundary day dirs — nothing above the
+  // cutoff day, nothing at-or-below the snapshot period (pruned_ok,
+  // via DataFrame.inputFiles vs the manifest's own per-partition
+  // reads); (2) values equal the direct pruned window
+  // (anchor_match); (3) LATE DATA into a snapshotted day flips
+  // freshness — asOf falls back (stale_fallback), still pruned above
+  // the cutoff (stale_pruned), sees the late rows; (4) refresh
+  // refolds the dirty SUFFIX only-ish (suffix_inc — bounded by
+  // periods since the dirty one, never O(history)) and the fast path
+  // recovers bit-equal (recovered); (5) the full reference view
+  // composes end-to-end from MAINTAINED state: now-side latest from
+  // the registered IncrementalLatest view (now_mv_used — fact never
+  // scanned), anchor from the snapshot store, pct change computed
+  // with one IEEE division both engines repeat exactly. Oracle:
+  // DuckDB recomputes the whole view from raw `events`.
+  // ----------------------------------------------------------------
+  def q245AsofAnchor(spark: SparkSession, dir: String): DataFrame =
+    ResultCache.shared.getOrCompute(
+      s"${ResultCache.sessionKey(spark)}:$dir:q245_asof_anchor") {
+      q245AsofAnchorBuild(spark, dir)
+    }
+
+  private def q245AsofAnchorBuild(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{AsOfSnapshots, IncrementalLatest, ManifestTable, Ops}
+    import graft.plans.LatestRegistry
+    def scanRoots(df: DataFrame): Set[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.rootPaths.head.toString
+          }
+      }.toSet
+    val ev = Tables.events(spark, dir).select(
+      col("event_id"),
+      date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+      concat(lit("a"), (col("user_id") % 40).cast("string")).as("asset"),
+      unix_micros(col("ts")).as("ts_us"),
+      floor(col("value") * 10000).cast("long").as("price"))
+    val keys = Seq("asset")
+    val ord = Seq("ts_us", "event_id")
+    val periodOf = (k: String) => k.substring(0, 9) // 10-day decades
+    val cutoffKey = "2024-01-12"
+    val cutoff = unix_micros(to_timestamp(lit("2024-01-12 06:00:00")))
+    val root = java.nio.file.Files.createTempDirectory("graft_q245_").toString
+    val (base, store, lview) = (root + "/base", root + "/store", root + "/lview")
+    // the LATE batch for the staleness leg: a brand-new asset whose
+    // only row lands in an already-snapshotted day, so its anchor
+    // PROVABLY appears only once the late data is seen
+    import spark.implicits._
+    val late = Seq((2000000001L, "2024-01-05", "zlate",
+      1704456000000000L /* 2024-01-05 12:00:00 UTC */, 123456L))
+      .toDF("event_id", "day", "asset", "ts_us", "price")
+    ManifestTable.merge(spark, base, ev, keys = Seq("event_id"), partitionCol = "day")
+    val res1 = AsOfSnapshots.refresh(spark, base, store, keys, ord, periodOf)
+    // 1. fast path + exact scan-set evidence
+    val a1 = AsOfSnapshots.asOf(spark, base, store, keys, ord, periodOf,
+      cutoffKey, cutoff)
+    val boundary = Set("2024-01-10", "2024-01-11", "2024-01-12")
+    val allowed = ManifestTable.read(spark, base,
+        partitionFilter = boundary.contains).inputFiles.toSet ++
+      ManifestTable.read(spark, store,
+        partitionFilter = (p: String) => a1.snapshotPeriod.contains(p))
+        .inputFiles.toSet
+    val fastUsed = a1.fast && res1.committed && a1.snapshotPeriod.contains("2024-01-0")
+    val prunedOk = a1.df.inputFiles.toSet.subsetOf(allowed)
+    def truth(): Seq[String] = Ops.asOfAtOrBefore(ManifestTable.read(spark, base),
+      keys, col("ts_us"), cutoff, Seq(col("event_id")))
+      .collect().map(_.toString).sorted.toSeq
+    val rowsOf = (df: DataFrame) => df.collect().map(_.toString).sorted.toSeq
+    val anchorMatch = rowsOf(a1.df) == truth()
+    // 2. late data into a snapshotted day → stale → pruned fallback
+    ManifestTable.merge(spark, base, late, keys = Seq("event_id"), partitionCol = "day")
+    val a2 = AsOfSnapshots.asOf(spark, base, store, keys, ord, periodOf,
+      cutoffKey, cutoff)
+    val atOrBelow = ManifestTable.read(spark, base,
+      partitionFilter = _ <= cutoffKey).inputFiles.toSet
+    val staleFallback = !a2.fast
+    val stalePruned = a2.df.inputFiles.toSet.subsetOf(atOrBelow)
+    val rows2 = rowsOf(a2.df)
+    val staleSeesLate = rows2 == truth() &&
+      rows2.exists(_.contains("zlate")) && !rowsOf(a1.df).exists(_.contains("zlate"))
+    // 3. refresh refolds the dirty suffix; the fast path recovers
+    val res2 = AsOfSnapshots.refresh(spark, base, store, keys, ord, periodOf)
+    val a3 = AsOfSnapshots.asOf(spark, base, store, keys, ord, periodOf,
+      cutoffKey, cutoff)
+    val suffixInc = res2.suffixRecompute && res2.committed
+    val recovered = a3.fast && rowsOf(a3.df) == rows2
+    // 4. the full v_price_change_24h from maintained state: now-side
+    // latest from the registered view, anchor from the store
+    IncrementalLatest.refresh(spark, base, lview, keys, ord)
+    LatestRegistry.register(spark, base, lview, keys, ord)
+    try {
+      val now = Ops.latestPerKey(ManifestTable.read(spark, base), keys,
+        Seq(col("ts_us"), col("event_id")))
+        .select(col("asset"), col("price").as("price_now"))
+      now.collect()
+      val nowMvUsed = scanRoots(now).exists(_.endsWith("/lview")) &&
+        !scanRoots(now).exists(_.endsWith("/base"))
+      val anchor = a3.df.select(col("asset"), col("price").as("price_24h"))
+      now.join(anchor, keys, "left")
+        .withColumn("pct_change_24h",
+          (col("price_now") - col("price_24h")).cast("double") /
+            col("price_24h").cast("double") * lit(100.0))
+        .withColumn("fast_used", lit(fastUsed))
+        .withColumn("pruned_ok", lit(prunedOk))
+        .withColumn("anchor_match", lit(anchorMatch))
+        .withColumn("stale_fallback", lit(staleFallback))
+        .withColumn("stale_pruned", lit(stalePruned))
+        .withColumn("stale_sees_late", lit(staleSeesLate))
+        .withColumn("suffix_inc", lit(suffixInc))
+        .withColumn("recovered", lit(recovered))
+        .withColumn("now_mv_used", lit(nowMvUsed))
+        .orderBy(col("asset"))
+    } finally LatestRegistry.unregister(spark, base)
+  }
+
+  val q245AsofAnchorSql: String =
+    """WITH ev AS (
+      |  SELECT event_id,
+      |    'a' || CAST(user_id % 40 AS VARCHAR) AS asset,
+      |    epoch_us(ts) AS ts_us,
+      |    CAST(floor(value * 10000) AS BIGINT) AS price
+      |  FROM events
+      |  UNION ALL
+      |  SELECT CAST(2000000001 AS BIGINT),
+      |    'zlate', epoch_us(TIMESTAMP '2024-01-05 12:00:00'),
+      |    CAST(123456 AS BIGINT)),
+      |nowr AS (
+      |  SELECT asset, price AS price_now FROM (
+      |    SELECT asset, price, row_number() OVER (
+      |      PARTITION BY asset ORDER BY ts_us DESC, event_id DESC) AS rn
+      |    FROM ev) WHERE rn = 1),
+      |anchor AS (
+      |  SELECT asset, price AS price_24h FROM (
+      |    SELECT asset, price, row_number() OVER (
+      |      PARTITION BY asset ORDER BY ts_us DESC, event_id DESC) AS rn
+      |    FROM ev
+      |    WHERE ts_us <= epoch_us(TIMESTAMP '2024-01-12 06:00:00')) WHERE rn = 1)
+      |SELECT n.asset, n.price_now, a.price_24h,
+      |  CAST(n.price_now - a.price_24h AS DOUBLE)
+      |    / CAST(a.price_24h AS DOUBLE) * 100.0 AS pct_change_24h,
+      |  TRUE AS fast_used, TRUE AS pruned_ok, TRUE AS anchor_match,
+      |  TRUE AS stale_fallback, TRUE AS stale_pruned,
+      |  TRUE AS stale_sees_late, TRUE AS suffix_inc, TRUE AS recovered,
+      |  TRUE AS now_mv_used
+      |FROM nowr n LEFT JOIN anchor a USING (asset)
+      |ORDER BY n.asset""".stripMargin
 }
