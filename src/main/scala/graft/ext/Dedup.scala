@@ -65,11 +65,15 @@ object Dedup {
     require(segTokens >= 1, s"segTokens must be >= 1, got $segTokens")
     val k = segTokens
     val toks = split(normalized(col(textCol)), " ")
-    val segs = docs
+    // Shared: the segment frame feeds BOTH the per-segment keep window
+    // and the per-doc total count — without the persist the
+    // normalize→tokenize→segment Generate runs twice (r20, the q73
+    // gram-frame argument; guide §1.2 step 2).
+    val segs = graft.ops.Intermediates.shared(docs
       .select(col(idCol), posexplode(transform(
         sequence(lit(0), ((size(toks) - 1) / lit(k)).cast("int")),
         i => array_join(slice(toks, i * k + 1, lit(k)), " ")))
-        .as(Seq("seg_idx", "seg")))
+        .as(Seq("seg_idx", "seg"))))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("seg"))
       .orderBy(col(idCol), col("seg_idx"))
     val kept = segs.withColumn("__rn", row_number().over(w))
@@ -713,14 +717,20 @@ object Dedup {
     * like the q18 band join. */
   def dupSpans(docs: DataFrame, k: Int = 5,
                textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val grams = docs
+    // Shared: the positioned-gram frame feeds BOTH the distinct-doc
+    // counting aggregate and the hit lookup — without the persist the
+    // whole normalize→tokenize→gram-build Generate (the CPU-dominant
+    // step: one regex pass + k-token slice/concat per position) runs
+    // twice, once per consumer (r20, guide §1.2 step 2; measured two
+    // separate scan+Generate subtrees in the q73 plan).
+    val grams = graft.ops.Intermediates.shared(docs
       .select(col(idCol), split(normalized(col(textCol)), " ").as("__toks"))
       .filter(size(col("__toks")) >= k)
       .select(col(idCol), posexplode(
         transform(sequence(lit(0), size(col("__toks")) - k),
           i => concat_ws(" ", slice(col("__toks"), i + 1, lit(k))))).as(Seq("__p", "__gram")))
       // 1-based start position (matches SQL/DuckDB list indexing)
-      .select(col(idCol), (col("__p") + 1).cast("long").as("__i"), col("__gram"))
+      .select(col(idCol), (col("__p") + 1).cast("long").as("__i"), col("__gram")))
     val dup = grams.groupBy(col("__gram"))
       .agg(count_distinct(col(idCol)).as("__nd"))
       .filter(col("__nd") >= 2)

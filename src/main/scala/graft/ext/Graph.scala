@@ -47,36 +47,46 @@ object Graph {
                  dampingE2: Int = 85): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(dampingE2 >= 0 && dampingE2 <= 100, s"dampingE2 in [0,100], got $dampingE2")
+    // Edge list persisted PRE-PARTITIONED on __src (r20, guide §2.4):
+    // the cached InMemoryRelation keeps its HashPartitioning, so every
+    // iteration's fan-out join and the one-time out-degree aggregate
+    // consume the edges in place — the edge-sized operand crosses the
+    // network once at build time, never per iteration (the bucketed
+    // variant's layout argument applied to the session cache).
     val e = Intermediates.shared(
-      edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst")).distinct())
-    val outdeg = Intermediates.shared(
-      e.groupBy(col("__src")).agg(count(lit(1)).as("__deg")))
-    // Node universe feeds every iteration's left join AND the init —
-    // eager checkpoint, released after the loop (the returned iterate
-    // is itself materialized, so it never re-reads this).
+      edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst")).distinct()
+        .repartition(col("__src")))
+    val outdeg = e.groupBy(col("__src")).agg(count(lit(1)).as("__deg"))
     val nodes = e.select(col("__src").as("node"))
       .unionByName(e.select(col("__dst").as("node"))).distinct()
-      .localCheckpoint()
     val baseE9 = (100 - dampingE2).toLong * 10000000L // (1−d)·1e9, exact
 
-    var rank = nodes.withColumn("rank_e9", lit(1000000000L))
+    // The iterate CARRIES the static out-degree — (node, __deg,
+    // rank_e9) — so the per-iteration rank⋈outdeg join of earlier
+    // rounds is gone (r20: one node-sized join per iteration, not
+    // two). Sinks ride with a null __deg and are filtered from the
+    // contribution exactly as the old inner join dropped them.
+    var rank = nodes
+      .join(outdeg.withColumnRenamed("__src", "node"), Seq("node"), "left")
+      .withColumn("rank_e9", lit(1000000000L))
+      .localCheckpoint()
     for (_ <- 1 to iters) {
       val contrib = rank
-        .join(outdeg, col("node") === col("__src"))
-        .withColumn("__c", expr("rank_e9 div __deg"))
+        .filter(col("__deg").isNotNull)
+        .select(col("node").as("__src"), expr("rank_e9 div __deg").as("__c"))
         .join(e, Seq("__src"))
         .groupBy(col("__dst").as("node"))
         .agg(sum(col("__c")).as("__in"))
       val prev = rank
-      rank = nodes.join(contrib, Seq("node"), "left")
+      rank = prev.select(col("node"), col("__deg"))
+        .join(contrib, Seq("node"), "left")
         .withColumn("__in", coalesce(col("__in"), lit(0L)))
         .withColumn("rank_e9", lit(baseE9) + expr(s"($dampingE2 * __in) div 100"))
-        .select(col("node"), col("rank_e9"))
+        .select(col("node"), col("__deg"), col("rank_e9"))
         .localCheckpoint()
       Intermediates.release(prev)
     }
-    Intermediates.release(nodes)
-    rank
+    rank.select(col("node"), col("rank_e9"))
   }
 
   /** A [[pageRankE9Bucketed]] result: ranks plus the measured plan
@@ -173,37 +183,43 @@ object Graph {
     require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
     require(tolPerNodeE9 >= 0, s"tolPerNodeE9 must be >= 0, got $tolPerNodeE9")
     require(dampingE2 >= 0 && dampingE2 <= 100, s"dampingE2 in [0,100], got $dampingE2")
+    // Same r20 shape as [[pageRankE9]]: edges cached pre-partitioned
+    // on __src (zero edge-sized exchanges per iteration) and the
+    // static out-degree carried on the iterate (one node-sized join
+    // per iteration, not two).
     val e = Intermediates.shared(
-      edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst")).distinct())
-    val outdeg = Intermediates.shared(
-      e.groupBy(col("__src")).agg(count(lit(1)).as("__deg")))
+      edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst")).distinct()
+        .repartition(col("__src")))
+    val outdeg = e.groupBy(col("__src")).agg(count(lit(1)).as("__deg"))
     val nodes = e.select(col("__src").as("node"))
       .unionByName(e.select(col("__dst").as("node"))).distinct()
+    val baseE9 = (100 - dampingE2).toLong * 10000000L
+
+    var rank = nodes
+      .join(outdeg.withColumnRenamed("__src", "node"), Seq("node"), "left")
+      .withColumn("rank_e9", lit(1000000000L))
       .localCheckpoint()
-    val nNodes = nodes.count()
+    val nNodes = rank.count()
     require(nNodes > 0, "pageRankE9Converged: edge frame is empty — no nodes to " +
       "rank (the delta aggregate over zero rows would be null)")
     val bound = tolPerNodeE9 * nNodes
-    val baseE9 = (100 - dampingE2).toLong * 10000000L
-
-    var rank = nodes.withColumn("rank_e9", lit(1000000000L))
     var iters = 0
     var delta = Long.MaxValue
     while (iters < maxIters && delta > bound) {
       val contrib = rank
-        .join(outdeg, col("node") === col("__src"))
-        .withColumn("__c", expr("rank_e9 div __deg"))
+        .filter(col("__deg").isNotNull)
+        .select(col("node").as("__src"), expr("rank_e9 div __deg").as("__c"))
         .join(e, Seq("__src"))
         .groupBy(col("__dst").as("node"))
         .agg(sum(col("__c")).as("__in"))
       val prev = rank
       // prev rank rides along as __prev so the delta aggregate needs
       // no second join against the previous iterate
-      val next = prev.select(col("node"), col("rank_e9").as("__prev"))
+      val next = prev.select(col("node"), col("__deg"), col("rank_e9").as("__prev"))
         .join(contrib, Seq("node"), "left")
         .withColumn("__in", coalesce(col("__in"), lit(0L)))
         .withColumn("rank_e9", lit(baseE9) + expr(s"($dampingE2 * __in) div 100"))
-        .select(col("node"), col("rank_e9"), col("__prev"))
+        .select(col("node"), col("__deg"), col("rank_e9"), col("__prev"))
         .localCheckpoint()
       delta = next.agg(sum(abs(col("rank_e9") - col("__prev"))))
         .first().getLong(0)
@@ -214,7 +230,6 @@ object Graph {
       Intermediates.release(prev)
       iters += 1
     }
-    Intermediates.release(nodes)
     ConvergedRank(rank.select(col("node"), col("rank_e9")), iters,
       delta <= bound, delta)
   }

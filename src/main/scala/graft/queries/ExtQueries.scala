@@ -266,7 +266,7 @@ object ExtQueries {
       .select(col("query_id").cast("long").as("query_id"),
         lit(floor).as("recall_floor"),
         (col("hits").cast("double") / lit(k.toDouble) >= lit(floor)).as("pass"))
-      .orderBy(col("query_id"))
+      .orderedShared(col("query_id"))
   }
 
   val q16LshRecallSql: String =
@@ -388,7 +388,7 @@ object ExtQueries {
     TextAnalysis.withTextFeatures(Tables.documents(spark, dir))
       .select(col("doc_id"), col("n_tokens"), col("n_subtokens"),
         col("punct_ratio"), col("stopword_ratio"), col("quality"))
-      .orderBy(col("doc_id"))
+      .orderedShared(col("doc_id"))
 
   val q24QualitySql: String =
     """WITH n AS (
@@ -429,7 +429,7 @@ object ExtQueries {
     TextAnalysis.withLangId(docs)
       .groupBy(col("lang"), col("pred_lang"))
       .agg(count(lit(1)).as("n"))
-      .orderBy(col("lang"), col("pred_lang"))
+      .orderedShared(col("lang"), col("pred_lang"))
   }
 
   val q25LangIdSql: String = {
@@ -718,7 +718,7 @@ object ExtQueries {
       .select(col("query_id").cast("long").as("query_id"),
         lit(floor).as("recall_floor"),
         (col("hits").cast("double") / lit(k.toDouble) >= lit(floor)).as("pass"))
-      .orderBy(col("query_id"))
+      .orderedShared(col("query_id"))
   }
 
   val q60PqRecallSql: String =
@@ -759,7 +759,7 @@ object ExtQueries {
   def q28FrameSample(spark: SparkSession, dir: String): DataFrame =
     graft.ext.Multimodal.sampleFrames(
         graft.ext.Multimodal.fromDocuments(Tables.documents(spark, dir)), everyMs = 500L)
-      .orderBy(col("media_id"), col("offset_ms"))
+      .orderedShared(col("media_id"), col("offset_ms"))
 
   val q28FrameSampleSql: String =
     """SELECT doc_id AS media_id, offset_ms,
@@ -782,8 +782,12 @@ object ExtQueries {
     val docs = Tables.documents(spark, dir)
     // One normalize/tokenize pass per row (withTextFeatures), same
     // quality doubles as the single-column scorer (spec-asserted).
-    val kept = TextAnalysis.withTextFeatures(docs)
-      .filter(col("quality") >= 0.5)
+    // Shared (r20): `kept` feeds the two semi-join id projections, the
+    // anti join, and the final aggregate — without the persist the
+    // quality regex chain re-evaluated once per consumer subtree.
+    val kept = graft.ops.Intermediates.shared(
+      TextAnalysis.withTextFeatures(docs)
+        .filter(col("quality") >= 0.5))
     // Near-dups among kept == the full-corpus q18 pairs restricted to
     // kept endpoints: signatures and band buckets are per-doc
     // functions, so candidacy of (a, b) is independent of other docs,
@@ -877,7 +881,7 @@ object ExtQueries {
     fp1.join(fp2, Seq("doc_id"))
       .select(col("doc_id"),
         (col("fingerprint") === col("__fp_ws")).as("fp_ws_invariant"))
-      .orderBy(col("doc_id"))
+      .orderedShared(col("doc_id"))
   }
 
   val q26FingerprintSql: String =
@@ -972,7 +976,7 @@ object ExtQueries {
       .select(col("doc_id"), col("chunk_id"), col("offset"),
         length(col("chunk")).cast("long").as("n_chunk_chars"),
         md5(col("chunk")).as("chunk_md5"))
-      .orderBy(col("doc_id"), col("chunk_id"))
+      .orderedShared(col("doc_id"), col("chunk_id"))
 
   val q48ChunksSql: String =
     """SELECT doc_id, chunk_id, chunk_id * 500 + 1 AS offset,
@@ -999,7 +1003,7 @@ object ExtQueries {
     planted.select(col("doc_id"),
         graft.ext.Curate.piiCount(col("text")).as("n_pii"),
         md5(graft.ext.Curate.redact(col("text"))).as("redacted_md5"))
-      .orderBy(col("doc_id"))
+      .orderedShared(col("doc_id"))
   }
 
   val q49RedactSql: String =
@@ -1096,7 +1100,7 @@ object ExtQueries {
         size(Dedup.shinglesFromToks(col("__toks"))).cast("long").as("n_distinct"))
       .withColumn("is_repetitive",
         (col("n_trigrams") - col("n_distinct")) * 5 > col("n_trigrams"))
-      .orderBy(col("doc_id"))
+      .orderedShared(col("doc_id"))
   }
 
   val q52RepetitionSql: String =
@@ -1138,7 +1142,7 @@ object ExtQueries {
       .select(col("doc_id"),
         (size(col("__fe")) > 0).as("has_fps"),
         (size(array_except(col("__fe"), col("__fs"))) === 0).as("subset_holds"))
-      .orderBy(col("doc_id"))
+      .orderedShared(col("doc_id"))
   }
 
   val q53WinnowSql: String =
@@ -1189,7 +1193,7 @@ object ExtQueries {
       .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
     graft.ops.Ops.sessionize(ev, userCol = "user_id", tsUsCol = "ts_us",
         tieBreak = "event_id", gapUs = 30L * 60 * 1000000)
-      .orderBy(col("user_id"), col("session_id"))
+      .orderedShared(col("user_id"), col("session_id"))
   }
 
   val q55SessionizeSql: String =
@@ -1325,7 +1329,7 @@ object ExtQueries {
   def q56TfIdf(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).filter(col("lang") === "en")
     TextAnalysis.topTermsTfIdf(docs, k = 3)
-      .orderBy(col("doc_id"), col("rank"))
+      .orderedShared(col("doc_id"), col("rank"))
   }
 
   val q56TfIdfSql: String =
@@ -1365,7 +1369,7 @@ object ExtQueries {
         Tables.documents(spark, dir).filter(col("doc_id") % 20 === 0).select(col("doc_id")),
         sh.filter(col("__id") % 20 === 0),
         sh.filter(col("__id") % 20 =!= 0))
-      .orderBy(col("doc_id"))
+      .orderedShared(col("doc_id"))
   }
 
   val q57ContaminationSql: String =
@@ -1406,7 +1410,7 @@ object ExtQueries {
     Dedup.nearDupTextAgainstFromShingles(
         sh.filter(col("__id") % 10 === 0),
         sh.filter(col("__id") % 10 =!= 0), threshold = 0.7)
-      .orderBy(col("new_id"), col("corpus_id"))
+      .orderedShared(col("new_id"), col("corpus_id"))
   }
 
   val q58IncrementalNearDupSql: String =
@@ -6140,7 +6144,7 @@ object ExtQueries {
       .select(col("user_id"), col("n_events"), col("start_us"), col("end_us"))
       .withColumn("session_id", row_number().over(w).cast("long"))
       .select(col("user_id"), col("session_id"), col("n_events"), col("start_us"), col("end_us"))
-      .orderBy(col("user_id"), col("session_id"))
+      .orderedShared(col("user_id"), col("session_id"))
   }
 
   val q63SessionWindowSql: String =
@@ -6224,11 +6228,19 @@ object ExtQueries {
   // same correctly-rounded quotient.
   // ----------------------------------------------------------------
   def q65GapFill(spark: SparkSession, dir: String): DataFrame =
-    graft.ops.TimeSeries.gapFillFromHourly(
-        hourlyCloseCached(spark, dir), keyCol = "user_id")
-      .select(col("user_id"), col("hour"),
-        floor(col("value_filled") * lit(1e6)).cast("long").as("value_e6"),
-        col("was_gap"))
+    // Shared before the global sort: a range exchange SAMPLES its
+    // child to pick partition bounds, so an uncached child subtree
+    // (here the whole grid join + window chain) evaluates TWICE per
+    // action — once for the sampler, once for the real shuffle.
+    // Persisting the narrow 4-column pre-sort frame halves the
+    // query's compute (r20; guide §5 reuse rule — the frame IS read
+    // twice by construction).
+    graft.ops.Intermediates.shared(
+      graft.ops.TimeSeries.gapFillFromHourly(
+          hourlyCloseCached(spark, dir), keyCol = "user_id")
+        .select(col("user_id"), col("hour"),
+          floor(col("value_filled") * lit(1e6)).cast("long").as("value_e6"),
+          col("was_gap")))
       .orderBy(col("user_id"), col("hour"))
 
   val q65GapFillSql: String =
@@ -6436,7 +6448,7 @@ object ExtQueries {
   // ----------------------------------------------------------------
   def q71DocFreq(spark: SparkSession, dir: String): DataFrame =
     graft.ext.TextAnalysis.docFrequencyProfile(Tables.documents(spark, dir))
-      .orderBy(col("doc_id"))
+      .orderedShared(col("doc_id"))
 
   val q71DocFreqSql: String =
     """WITH t AS (
@@ -6772,7 +6784,7 @@ object ExtQueries {
       .select(col("cohort_day").cast("timestamp").as("cohort_day"),
         col("day_offset").cast("long").as("day_offset"),
         col("n_active"))
-      .orderBy(col("cohort_day"), col("day_offset"))
+      .orderedShared(col("cohort_day"), col("day_offset"))
 
   val q80RetentionSql: String =
     """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
@@ -6833,7 +6845,7 @@ object ExtQueries {
         concat(substring(Dedup.normalized(col("text")), 1, 60), lit(" qz")).as("text"))
     Dedup.editDistanceProbe(probes, docs, maxDist = 8, prefixLen = 64)
       .select(col("probe_id"), col("corpus_id"), col("dist").cast("long").as("dist"))
-      .orderBy(col("probe_id"), col("corpus_id"))
+      .orderedShared(col("probe_id"), col("corpus_id"))
   }
 
   val q82EditDistanceSql: String =
@@ -7015,7 +7027,7 @@ object ExtQueries {
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
     graft.ops.Ops.scd2Join(facts, dims, "o_custkey", "dim_key", "o_orderdate")
       .select(col("o_orderkey"), col("o_custkey"), col("segment"))
-      .orderBy(col("o_orderkey"))
+      .orderedShared(col("o_orderkey"))
   }
 
   val q88Scd2Sql: String =
@@ -7071,7 +7083,7 @@ object ExtQueries {
         dense_rank().over(w).cast("long").as("drnk"),
         percent_rank().over(w).as("prnk"),
         cume_dist().over(w).as("cdist"))
-      .orderBy(col("doc_id"))
+      .orderedShared(col("doc_id"))
   }
 
   val q90RankSuiteSql: String =
@@ -7799,7 +7811,7 @@ object ExtQueries {
       .select(col("doc_id"), col("n_tags"), col("n_links"), col("raw_len"),
         length(col("clean")).cast("long").as("clean_len"),
         substring(col("clean"), 1, 40).as("head40"))
-      .orderBy(col("doc_id"))
+      .orderedShared(col("doc_id"))
   }
 
   val q112HtmlStripSql: String =
@@ -8143,7 +8155,7 @@ object ExtQueries {
     }.toDF("media_id", "payload")
     graft.ext.Multimodal.extractFeatures(media)
       .toDF()
-      .orderBy(col("media_id"))
+      .orderedShared(col("media_id"))
   }
 
   val q124VideoFeaturesSql: String = {
@@ -9056,7 +9068,7 @@ object ExtQueries {
     graft.ext.Multimodal.decodeVideos(
         graft.ext.Multimodal.resizeVideos(media, 6, 5))
       .toDF()
-      .orderBy(col("media_id"))
+      .orderedShared(col("media_id"))
   }
 
   val q138VideoResizeSql: String =
@@ -10024,7 +10036,7 @@ object ExtQueries {
     hits.crossJoin(broadcast(stats))
       .select(col("query_id").cast("long").as("query_id"), col("hits10"),
         col("max_err_e6"), col("sum_err_e6"), col("n_vec"))
-      .orderBy(col("query_id"))
+      .orderedShared(col("query_id"))
   }
 
   val q153Int8RecallSql: String =
@@ -10436,7 +10448,7 @@ object ExtQueries {
     graft.ext.Stats.exactQuantilesPermilleBy(
         Tables.documents(spark, dir), "lang", "n_chars",
         permille = Seq(250, 500, 750, 990))
-      .orderBy(col("lang"), col("permille"))
+      .orderedShared(col("lang"), col("permille"))
 
   val q161GroupedQuantilesSql: String =
     """WITH g AS (SELECT lang, n_chars AS v, CAST(count(*) AS BIGINT) AS n
@@ -10594,7 +10606,7 @@ object ExtQueries {
       }
     }.toDF("media_id", "payload")
     graft.ext.Multimodal.keyframeStats(media, k = 2)
-      .orderBy(col("media_id"))
+      .orderedShared(col("media_id"))
   }
 
   val q164KeyframesSql: String =
@@ -10886,7 +10898,7 @@ object ExtQueries {
         concat(col("text"), lit(" der die das und ist nicht der die das und")))
         .otherwise(col("text")).as("text"))
     TextAnalysis.mixedLanguage(planted, chunkChars = 100)
-      .orderBy(col("doc_id"))
+      .orderedShared(col("doc_id"))
   }
 
   val q174MixedLanguageSql: String = {
@@ -10954,7 +10966,7 @@ object ExtQueries {
         (coalesce(col("cnt_the"), lit(0L)) * lit(1000L) +
           expr("coalesce(len, 0L) div 10")).as("s"))
     graft.ext.Eval.calibrationBins(scored, "s", "y", bins = 8, scaleMax = 8000L)
-      .orderBy(col("bin"))
+      .orderedShared(col("bin"))
   }
 
   val q172CalibrationSql: String =
@@ -11023,7 +11035,7 @@ object ExtQueries {
         max(when(col("is_canonical"), col("doc_id"))).as("canonical_id"),
         max(when(col("is_canonical"), col("n_chars"))).as("canonical_chars"),
         sum(when(!col("is_canonical"), 1L).otherwise(0L)).as("n_dropped"))
-      .orderBy(col("component"))
+      .orderedShared(col("component"))
   }
 
   val q171CanonicalDedupSql: String =
@@ -11091,7 +11103,7 @@ object ExtQueries {
         sum(col("n_chunks")).as("n_chunks"),
         sum(col("chunk_chars")).as("sum_chunk_chars"),
         sum(when(col("reassembled") === col("text"), 1L).otherwise(0L)).as("n_ok"))
-      .orderBy(col("grp"))
+      .orderedShared(col("grp"))
   }
 
   val q170ChunkOverlapSql: String =
@@ -11152,7 +11164,7 @@ object ExtQueries {
     }.toDF("media_id", "payload")
     graft.ext.Multimodal
       .nearDupByHash(graft.ext.Multimodal.audioFingerprints(media), maxHamming = 3)
-      .orderBy(col("id_a"), col("id_b"))
+      .orderedShared(col("id_a"), col("id_b"))
   }
 
   val q169AudioNearDupSql: String =
@@ -11229,7 +11241,7 @@ object ExtQueries {
     }.toDF("media_id", "payload")
     graft.ext.Multimodal
       .nearDupImages(graft.ext.Multimodal.dHashes(media), maxHamming = 3)
-      .orderBy(col("id_a"), col("id_b"))
+      .orderedShared(col("id_a"), col("id_b"))
   }
 
   val q167ImageNearDupSql: String =
@@ -11311,7 +11323,7 @@ object ExtQueries {
     }.toDF("media_id", "payload")
     graft.ext.Multimodal.decodeImages(media)
       .toDF()
-      .orderBy(col("media_id"))
+      .orderedShared(col("media_id"))
   }
 
   val q99ImageDecodeSql: String =
@@ -11378,7 +11390,7 @@ object ExtQueries {
         (coalesce(col("__maybe"), lit(0L)) >= col("n_shared") &&
           (!col("contaminated") || coalesce(col("__maybe"), lit(0L)) > 0))
           .as("no_false_neg"))
-      .orderBy(col("doc_id"))
+      .orderedShared(col("doc_id"))
   }
 
   val q100BloomDecontamSql: String =
@@ -12557,7 +12569,7 @@ object ExtQueries {
     }.toDF("media_id", "payload")
     graft.ext.Multimodal.decodeVideos(media)
       .toDF()
-      .orderBy(col("media_id"))
+      .orderedShared(col("media_id"))
   }
 
   val q110VideoDecodeSql: String =
@@ -12636,7 +12648,7 @@ object ExtQueries {
     }.toDF("media_id", "payload")
     graft.ext.Multimodal.extractFeatures(media)
       .toDF()
-      .orderBy(col("media_id"))
+      .orderedShared(col("media_id"))
   }
 
   val q115FeatureExtractSql: String = {
@@ -12712,7 +12724,7 @@ object ExtQueries {
     graft.ext.Multimodal.decodeImages(
         graft.ext.Multimodal.resizeImages(media, 13, 7))
       .toDF()
-      .orderBy(col("media_id"))
+      .orderedShared(col("media_id"))
   }
 
   val q116ResizeSql: String = {

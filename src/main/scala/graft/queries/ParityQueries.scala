@@ -173,7 +173,7 @@ object ParityQueries {
     ev.crossJoin(broadcast(maxTs))
       .filter(col("ts") >= col("max_ts") - expr("INTERVAL 7 DAYS"))
       .select(col("event_id"), col("user_id"), col("ts"), col("value"))
-      .orderBy(col("event_id"))
+      .orderedShared(col("event_id"))
   }
 
   val q5SparklineSql: String =
@@ -216,7 +216,7 @@ object ParityQueries {
     cust
       .join(purchases, cust("c_custkey") === purchases("user_id"), "left")
       .select(col("c_custkey"), col("c_name"), col("avg_purchase"))
-      .orderBy(col("avg_purchase").desc_nulls_last, col("c_custkey"))
+      .orderedShared(col("avg_purchase").desc_nulls_last, col("c_custkey"))
   }
 
   val q7NullOrderingSql: String =

@@ -205,7 +205,7 @@ object RefViewQueries {
         col("price").cast("double").as("price"),
         col("market_cap").cast("double").as("market_cap"),
         col("volume").cast("double").as("volume"))
-      .orderBy(col("asset_id"), col("ts"))
+      .orderedShared(col("asset_id"), col("ts"))
   }
 
   val q32AlignRoundtripSql: String =
